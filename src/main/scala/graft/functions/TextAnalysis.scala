@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * All pure `functions._` compositions (codegen'd, no UDFs) so they
+  * run inside WholeStageCodegen over 100 TB of documents.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of lowercased text. */
+  def tokens(c: Column): Column =
+    split(trim(lower(c)), "\\s+")
+
+  /** Whitespace token count; empty/blank → 0. */
+  def tokenCount(c: Column): Column =
+    when(trim(c) === "" || c.isNull, 0).otherwise(size(tokens(c)))
+
+  /** BPE-ish subword-ish token count: word pieces + standalone
+    * punctuation, the usual pre-tokenizer regex.
+    */
+  def tokenCountRegex(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "a", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "una", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "que"),
+    "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"))
+
+  private def stopwordHits(toks: Column, lang: String): Column = {
+    val litArr = array(stopwords(lang).map(lit): _*)
+    size(filter(toks, t => array_contains(litArr, t)))
+  }
+
+  /** Heuristic language ID: script detection for CJK and
+    * Arabic-script text, stopword voting among Latin languages,
+    * "und" (undetermined) when nothing scores.
+    */
+  def languageId(c: Column): Column = {
+    val cjk = size(regexp_extract_all(c, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    val arabicScript = size(regexp_extract_all(c, lit("[\\x{0600}-\\x{06ff}]"), lit(0)))
+    val toks = tokens(c)
+    val scores = Seq("en", "es", "fr", "de").map(l => l -> stopwordHits(toks, l))
+    val best = scores
+      .map(_._2)
+      .reduce((a, b) => greatest(a, b))
+    val latinPick = scores.foldLeft(when(best <= 0, "und")) {
+      case (acc, (l, s)) => acc.when(s === best, l)
+    }
+    when(cjk > 0, "zh")
+      .when(arabicScript > 0, "fa")
+      .otherwise(latinPick.otherwise("und"))
+  }
+
+  /** Quality score in [0,1]: blend of length band, alphabetic ratio,
+    * stopword presence and mean word length band — the standard cheap
+    * pre-filter shape for web-scraped corpora.
+    */
+  def qualityScore(c: Column): Column = {
+    val nChars = length(c).cast("double")
+    val toks = tokens(c)
+    val nToks = size(toks).cast("double")
+    val alpha = size(regexp_extract_all(c, lit("[A-Za-z]"), lit(0))).cast("double")
+    val alphaRatio = when(nChars > 0, alpha / nChars).otherwise(lit(0.0))
+    val stopHits = stopwordHits(toks, "en").cast("double")
+    val stopRatio = when(nToks > 0, stopHits / nToks).otherwise(lit(0.0))
+    val meanWordLen = when(nToks > 0, (nChars - (nToks - 1)) / nToks).otherwise(lit(0.0))
+
+    val lenScore =
+      when(nChars >= 200 && nChars <= 10000, 1.0)
+        .when(nChars >= 50, 0.5)
+        .otherwise(0.0)
+    val wordLenScore =
+      when(meanWordLen >= 3 && meanWordLen <= 12, 1.0).otherwise(0.3)
+    round(
+      lit(0.3) * lenScore + lit(0.3) * alphaRatio +
+        lit(0.2) * least(stopRatio * 5, lit(1.0)) + lit(0.2) * wordLenScore,
+      4)
+  }
+
+  /** Canonical content fingerprint: lowercase, strip non-alnum, sort
+    * distinct tokens, md5. Near-identical reorderings/punctuation
+    * variants collide — the classic key-collision dedup key.
+    */
+  def fingerprint(c: Column): Column = {
+    val cleaned = regexp_replace(lower(c), "[^a-z0-9]+", " ")
+    val toks = array_sort(array_distinct(split(trim(cleaned), " ")))
+    md5(array_join(toks, " "))
+  }
+
+  /** Polynomial rolling hash of the raw text (base 31, mod 2^61-1),
+    * computed with the incremental aggregate lambda — the
+    * order-sensitive cousin of [[fingerprint]].
+    */
+  def rollingHash(c: Column): Column = {
+    val m = 2305843009213693951L // 2^61 - 1
+    aggregate(
+      split(c, ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch).cast("long"), lit(0L)), lit(m)))
+  }
+}

@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Persian/Arabic-aware text + calendar functions.
+  *
+  * Re-expression of the text half of the reference's
+  * `kolang/column_functions.py`. Pure `functions._` compositions
+  * (translate / regexp_replace / format_string) — codegen-friendly,
+  * no UDFs, so they stay inside WholeStageCodegen at any scale.
+  */
+object TextFunctions {
+
+  /** Normalize Arabic (٠-٩) and Persian (۰-۹) digits to ASCII
+    * (reference column_functions.py:138 `number_normalizer`).
+    */
+  def numberNormalizer(c: Column): Column =
+    translate(
+      translate(c, "٠١٢٣٤٥٦٧٨٩", "0123456789"),
+      "۰۱۲۳۴۵۶۷۸۹",
+      "0123456789")
+
+  /** Strip emoji/symbols, keeping English + Persian letters, digits,
+    * spaces and `accept` chars; normalizes Arabic letter variants to
+    * Persian and collapses runs of spaces
+    * (reference column_functions.py:219 `text_cleaner`).
+    */
+  def textCleaner(c: Column, accept: String = ""): Column = {
+    val normalized = translate(numberNormalizer(c), "كيأإؤةۀ", "کیااوهه")
+    val kept = regexp_replace(normalized, s"[^a-zآ-یA-Z0-9 $accept]", " ")
+    regexp_replace(kept, " {2,}", " ")
+  }
+
+  /** Format a number then map ASCII digits to Persian digits
+    * (reference column_functions.py:335 `persian_number`).
+    */
+  def persianNumber(c: Column, format: String = "%d"): Column =
+    translate(
+      format_string(format, c),
+      "0123456789",
+      "۰۱۲۳۴۵۶۷۸۹")
+
+  private val jMonthNames = Seq(
+    "فروردین", "اردیبهشت", "خرداد", "تیر", "مرداد", "شهریور",
+    "مهر", "آبان", "آذر", "دی", "بهمن", "اسفند")
+
+  private val jWeekNames = Seq(
+    "شنبه", "یکشنبه", "دوشنبه", "سه شنبه", "چهارشنبه", "پنجشنبه", "جمعه")
+
+  private val jSeasonNames = Seq("بهار", "تابستان", "پاییز", "زمستان")
+
+  /** Jalali (Solar Hijri) calendar fields for a Gregorian date column:
+    * (year, month, day) as numeric columns. Standard public-domain
+    * Gregorian→Jalali day-count arithmetic; same algorithm family the
+    * reference uses (reference column_functions.py:354 `jalali_date`).
+    */
+  def jalaliYmd(c: Column): (Column, Column, Column) = {
+    val jDaysCum = Seq(0, 31, 62, 93, 124, 155, 186, 216, 246, 276, 306, 336)
+
+    val gy = year(c) - 1600
+    val gdy = dayofyear(c) - 1
+    val gDayNo =
+      lit(365) * gy + floor((gy + 3) / 4) - floor((gy + 99) / 100) +
+        floor((gy + 399) / 400) + gdy
+
+    val jDayNo0 = gDayNo - 79
+    val jNp = floor(jDayNo0 / 12053)
+    val jDayNo1 = jDayNo0 % 12053
+    val jy0 = lit(979) + lit(33) * jNp + lit(4) * floor(jDayNo1 / 1461)
+    val jDayNo2 = jDayNo1 % 1461
+
+    val jy = when(jDayNo2 >= 366, jy0 + floor((jDayNo2 - 1) / 365)).otherwise(jy0)
+    val jDayNo = when(jDayNo2 >= 366, (jDayNo2 - 1) % 365).otherwise(jDayNo2)
+
+    var jmWhen = when(jDayNo < jDaysCum(1), 1)
+    for (i <- 2 until 12) jmWhen = jmWhen.when(jDayNo < jDaysCum(i), i)
+    val jm = jmWhen.otherwise(12)
+
+    val cumArr = array(jDaysCum.map(lit): _*)
+    val jd = jDayNo - element_at(cumArr, jm.cast("int")) + 1
+    (jy, jm, jd)
+  }
+
+  /** Format a Gregorian date column as a Jalali date string
+    * (reference column_functions.py:354 `jalali_date`).
+    *
+    * Format tokens: %d %m %y %Y (numeric), %fd %fm %fy %fY (Persian
+    * digits), %B month name, %A weekday name, %C season name.
+    */
+  def jalaliDate(c: Column, format: String = "%Y-%m-%d"): Column = {
+    val (jy, jm, jd) = jalaliYmd(c)
+    val gwd = dayofweek(c)
+
+    val monthArr = array(jMonthNames.map(lit): _*)
+    val weekArr = array(jWeekNames.map(lit): _*)
+    val seasonArr = array(jSeasonNames.map(lit): _*)
+
+    // token -> (java format spec, column argument)
+    val tokenMap: Seq[(String, (String, Column))] = Seq(
+      "%fd" -> (("%s", persianNumber(jd, "%02d"))),
+      "%fm" -> (("%s", persianNumber(jm, "%02d"))),
+      "%fy" -> (("%s", persianNumber(jy % 100, "%02d"))),
+      "%fY" -> (("%s", persianNumber(jy, "%d"))),
+      "%d" -> (("%02d", jd)),
+      "%m" -> (("%02d", jm)),
+      "%y" -> (("%02d", jy % 100)),
+      "%Y" -> (("%d", jy)),
+      "%B" -> (("%s", element_at(monthArr, jm.cast("int")))),
+      // weekday index: dayofweek is 1=Sunday..7=Saturday; Persian week
+      // starts Saturday → names[dayofweek % 7] (0-based).
+      "%A" -> (("%s", element_at(weekArr, (gwd % 7) + 1))),
+      "%C" -> (("%s", element_at(seasonArr, floor((jm - 1) / 3).cast("int") + 1))))
+
+    // Single-pass tokenization (longest-match first) into a java
+    // format string plus ordered column arguments.
+    val tokens = tokenMap.map(_._1)
+    val lookup = tokenMap.toMap
+    val fmt = new StringBuilder
+    val args = scala.collection.mutable.ArrayBuffer.empty[Column]
+    var i = 0
+    while (i < format.length) {
+      tokens.find(t => format.startsWith(t, i)) match {
+        case Some(t) =>
+          val (spec, arg) = lookup(t)
+          fmt ++= spec
+          args += arg
+          i += t.length
+        case None =>
+          val ch = format.charAt(i)
+          if (ch == '%') fmt ++= "%%" else fmt += ch
+          i += 1
+      }
+    }
+    format_string(fmt.toString, args.toSeq: _*)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** DataFrame-level operators.
+  *
+  * Re-expression of the reference's `kolang/dataframe_functions.py`
+  * as Spark-first Scala: `unpivot` rides Spark's native
+  * `Dataset.unpivot` (one narrow projection, no shuffle), and
+  * `unionAll` pads missing columns with typed nulls so Catalyst can
+  * still prune and push through the union.
+  */
+object DataFrameOps {
+
+  /** Unpivot `onColumns` into (inColumn, valueColumn) long format
+    * (reference dataframe_functions.py:15 `unpivot`). Uses Spark's
+    * built-in `unpivot` (the `stack` the reference hand-built).
+    */
+  def unpivot(
+      df: DataFrame,
+      onColumns: Seq[String],
+      inColumn: String,
+      valueColumn: String = "value",
+      ignoreNull: Boolean = true): DataFrame = {
+    val ids = df.columns.filterNot(onColumns.contains).map(col).toSeq
+    val out =
+      df.unpivot(ids.toArray, onColumns.map(col).toArray, inColumn, valueColumn)
+    if (ignoreNull) out.where(col(valueColumn).isNotNull) else out
+  }
+
+  /** Transpose a SMALL DataFrame: values of `keyCol` become columns,
+    * remaining column names become rows
+    * (reference dataframe_functions.py:137 `transpose`).
+    *
+    * Driver-side by construction (like the reference's pandas round
+    * trip) — output schema depends on data. Guarded by `maxRows`.
+    */
+  def transpose(df: DataFrame, keyCol: String, maxRows: Int = 10000): DataFrame = {
+    val rows = df.collect()
+    require(
+      rows.length <= maxRows,
+      s"transpose is a small-data operator; got ${rows.length} rows > $maxRows")
+    val spark = df.sparkSession
+    val otherCols = df.columns.filterNot(_ == keyCol)
+    val keyIdx = df.columns.indexOf(keyCol)
+    require(keyIdx >= 0, s"column $keyCol not found")
+
+    val newColNames = rows.map(r => String.valueOf(r.get(keyIdx)))
+    val schema = StructType(
+      StructField("index", StringType) +:
+        newColNames.map(n => StructField(n, StringType)).toSeq)
+    val outRows = otherCols.map { c =>
+      val ci = df.columns.indexOf(c)
+      Row.fromSeq(
+        c +: rows.map(r => if (r.isNullAt(ci)) null else String.valueOf(r.get(ci))).toSeq)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(outRows.toIndexedSeq, 1),
+      schema)
+  }
+
+  /** Union DataFrames with differing columns, padding the missing
+    * ones with nulls (reference dataframe_functions.py:155
+    * `union_all`). With `force=true`, common columns whose types
+    * disagree (and one side is string-castable) are cast to string
+    * first (reference dataframe_functions.py:224 `safe_union`).
+    */
+  def unionAll(dfs: Seq[DataFrame], force: Boolean = false): DataFrame = {
+    require(dfs.nonEmpty, "unionAll of zero DataFrames")
+    dfs.reduce((a, b) => unionPair(a, b, force))
+  }
+
+  def safeUnion(dfs: Seq[DataFrame]): DataFrame = unionAll(dfs, force = true)
+
+  private def unionPair(df1: DataFrame, df2: DataFrame, force: Boolean): DataFrame = {
+    val cols1 = df1.columns.toSeq
+    val cols2 = df2.columns.toSeq
+    val missing1 = cols2.filterNot(cols1.contains)
+    val missing2 = cols1.filterNot(cols2.contains)
+    // Typed null padding: take the dtype from the side that has the
+    // column, so no NullType reaches the union's type coercion.
+    def dtypeOf(df: DataFrame, c: String) = df.schema(c).dataType
+    var a = missing1.foldLeft(df1)((d, c) =>
+      d.withColumn(c, lit(null).cast(dtypeOf(df2, c))))
+    var b = missing2.foldLeft(df2)((d, c) =>
+      d.withColumn(c, lit(null).cast(dtypeOf(df1, c))))
+    if (force) {
+      val common = cols1.intersect(cols2)
+      common.foreach { c =>
+        val (t1, t2) = (dtypeOf(df1, c), dtypeOf(df2, c))
+        if (t1 != t2) {
+          a = a.withColumn(c, col(c).cast(StringType))
+          b = b.withColumn(c, col(c).cast(StringType))
+        }
+      }
+    }
+    a.unionByName(b)
+  }
+
+  /** Local rows → DataFrame with an explicit schema. Scala analog of
+    * the reference's `pandas_to_spark`
+    * (reference dataframe_functions.py:96) — in Scala the schema is
+    * explicit rather than sniffed from pandas dtypes.
+    */
+  def localToDf(spark: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+}

@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale posture: every near-dup operator is LSH-first — candidate
+  * pairs come from equality joins on band/bucket keys (shuffle rows
+  * O(n·bands), never O(n²)); expensive verification (Jaccard /
+  * Hamming) runs only inside buckets. Two hash families are provided:
+  *
+  *  - `md5`-string variants: portable bit-for-bit across engines
+  *    (used by the DuckDB-oracle-checked queries);
+  *  - `xxhash64` variants (`*Fast`): ~an order of magnitude cheaper
+  *    per shingle, the ones to use at 100 TB.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: keep the row with the smallest `keepCol` per
+    * distinct combination of `cols`. One hash-shuffle on the md5 of
+    * the content columns (tiny keys, not full text, on the wire).
+    */
+  def exact(df: DataFrame, cols: Seq[String], keepCol: String): DataFrame = {
+    val key = md5(concat_ws("", cols.map(col): _*))
+    val w = Window.partitionBy(key).orderBy(col(keepCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact-dup group stats: (kept id, group size) per distinct
+    * content — the aggregate view of [[exact]].
+    */
+  def exactStats(df: DataFrame, cols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(md5(concat_ws("", cols.map(col): _*)).as("content_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  // -------------------------------------------------------------- minhash
+
+  /** MinHash signature as `numHashes` lexicographic minima of
+    * md5(shingle + seed) — min-wise hashing over the md5 string
+    * order. Portable across engines (md5 is standardized).
+    */
+  def minHashSignature(shingleArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { h =>
+      array_min(transform(shingleArr, s => md5(concat_ws("#", s, lit(h)))))
+    }: _*)
+
+  /** MinHash signature via xxhash64 — the cheap hash for real scale
+    * (not DuckDB-portable; verified by ScalaTest instead).
+    */
+  def minHashSignatureFast(shingleArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { h =>
+      array_min(transform(shingleArr, s => xxhash64(s, lit(h))))
+    }: _*)
+
+  /** LSH band keys from a signature: `bands` hashes, each over
+    * `numHashes / bands` consecutive signature entries.
+    */
+  def bandKeys(sig: Column, numHashes: Int, bands: Int): Column = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    array((0 until bands).map { b =>
+      md5(concat_ws("|", (0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*))
+    }: _*)
+  }
+
+  /** Near-duplicate pairs via MinHash+LSH, verified with exact
+    * shingle-set Jaccard.
+    *
+    * Plan shape: shingle+sign each doc once → explode band keys
+    * (n·bands rows) → self-equality-join on (band index, band key) →
+    * distinct candidate pairs → join shingle sets back → Jaccard
+    * filter. No O(n²) stage anywhere.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minHashLshPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleK: Int = 5,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      jaccardThreshold: Double = 0.5,
+      fast: Boolean = false): DataFrame = {
+    val sh = charShingles(col(textCol), shingleK)
+    val sig =
+      if (fast) minHashSignatureFast(sh, numHashes)
+      else minHashSignature(sh, numHashes)
+    val withBands = df
+      .select(col(idCol).as("__id"), sh.as("__sh"), bandKeys(sig, numHashes, bands).as("__bands"))
+    val exploded = withBands
+      .select(col("__id"), posexplode(col("__bands")).as(Seq("__bpos", "__bkey")))
+
+    val a = exploded.select(col("__id").as("id_a"), col("__bpos"), col("__bkey"))
+    val b = exploded.select(col("__id").as("id_b"), col("__bpos"), col("__bkey"))
+    val candidates = a
+      .join(b, Seq("__bpos", "__bkey"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    val sets = df.select(col(idCol).as("__sid"), sh.as("__sset"))
+    candidates
+      .join(sets.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sset", "__set_a"), Seq("id_a"))
+      .join(sets.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sset", "__set_b"), Seq("id_b"))
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("__set_a"), col("__set_b"))).cast("double") /
+          size(array_union(col("__set_a"), col("__set_b"))).cast("double"))
+      .where(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Distinct character k-shingles (the real implementation —
+    * `substring` over a position sequence).
+    */
+  def charShingles(c: Column, k: Int): Column =
+    when(length(c) >= k,
+      array_distinct(
+        transform(sequence(lit(0), length(c) - k), i => substring(c, i + 1, lit(k)))))
+      .otherwise(array(c))
+
+  /** Distinct word n-grams over whitespace tokens. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = split(trim(c), "\\s+")
+    when(size(toks) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(array(array_join(toks, " ")))
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** SimHash over distinct whitespace tokens, `bits` wide (≤ 30 for
+    * the portable int variant). Bit j of each token comes from its
+    * md5 nibbles; the signature bit is the sign of the ±1 vote sum.
+    */
+  def simHash(c: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 30, "portable simHash holds its value in an int")
+    val toks = array_distinct(split(trim(lower(c)), "\\s+"))
+    val bitCols = (0 until bits).map { j =>
+      val nibbleIdx = j / 4 + 1
+      val shift = 3 - (j % 4)
+      // vote_j(token) = 2*bit_j(md5(token)) - 1
+      val votes = transform(
+        toks,
+        t =>
+          shiftright(conv(substring(md5(t), nibbleIdx, 1), 16, 10).cast("int"), shift)
+            .bitwiseAND(1) * 2 - 1)
+      val voteSum = aggregate(votes, lit(0), (acc, v) => acc + v)
+      when(voteSum > 0, lit(1 << j)).otherwise(lit(0))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs: docs whose signatures differ in ≤
+    * `maxHamming` bits, blocked by signature bytes (an LSH on the
+    * simhash itself: two sigs within Hamming r share at least one of
+    * r+1 disjoint chunks — pigeonhole — so the join is equality on
+    * chunks, never all-pairs).
+    */
+  def simHashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      bits: Int = 16,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val chunkBits = math.max(bits / chunks, 1)
+    val sigged = df.select(col(idCol).as("__id"), simHash(col(textCol), bits).as("__sig"))
+
+    val chunked = sigged.select(
+      col("__id"),
+      col("__sig"),
+      posexplode(array((0 until chunks).map { ci =>
+        shiftright(col("__sig"), ci * chunkBits)
+          .bitwiseAND((1 << chunkBits) - 1)
+          .as(s"c$ci")
+      }: _*)).as(Seq("__cpos", "__ckey")))
+
+    val a = chunked.select(col("__id").as("id_a"), col("__sig").as("sig_a"), col("__cpos"), col("__ckey"))
+    val b = chunked.select(col("__id").as("id_b"), col("__sig").as("sig_b"), col("__cpos"), col("__ckey"))
+    a.join(b, Seq("__cpos", "__ckey"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ------------------------------------------------------- n-gram jaccard
+
+  /** Word n-gram Jaccard similarity pairs within `blockBy` groups
+    * (pass a cheap blocking key — language, source, length bin — to
+    * bound the candidate space; use [[minHashLshPairs]] when no
+    * natural key exists).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      blockBy: Seq[String] = Nil): DataFrame = {
+    val sh = wordShingles(col(textCol), n)
+    val sets = df.select(
+      (col(idCol).as("__id") +: sh.as("__set") +: blockBy.map(col)): _*)
+    val joinKeys = blockBy
+    val a = sets.columns.foldLeft(sets)((d, c) =>
+      if (joinKeys.contains(c)) d else d.withColumnRenamed(c, c + "_a"))
+    val b = sets.columns.foldLeft(sets)((d, c) =>
+      if (joinKeys.contains(c)) d else d.withColumnRenamed(c, c + "_b"))
+    val joined =
+      if (joinKeys.nonEmpty) a.join(b, joinKeys)
+      else a.crossJoin(b)
+    joined
+      .where(col("__id_a") < col("__id_b"))
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("__set_a"), col("__set_b"))).cast("double") /
+          size(array_union(col("__set_a"), col("__set_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("__id_a").as("id_a"), col("__id_b").as("id_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+}
