@@ -49,7 +49,12 @@ object SparkEntry {
       .withColumn("revenue_pct", percent(col("revenue")))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ pipelineQueries
+
+  def oracleSql: Map[String, String] = coreOracle ++ pipelineOracle
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------------------------------------- §2.1 column functions
     "q_percent" -> ((s, dir) => {
       t(s, dir, "nation")
@@ -209,7 +214,7 @@ object SparkEntry {
       DataFrameOps.transpose(byRegion, "n_regionkey")
     }))
 
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracle: Map[String, String] = Map(
     "q_percent" ->
       """WITH g AS (SELECT n_regionkey, count(*) AS cnt FROM nation GROUP BY 1)
         |SELECT n_regionkey, cnt, round(100 * cnt / sum(cnt) OVER (), 2) AS pct FROM g""".stripMargin,
@@ -342,4 +347,257 @@ object SparkEntry {
         |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS b0 FROM m)
         |SELECT f.date, d.cnt, round(b0 + b1 * f.x, 2) AS trend
         |FROM fit f LEFT JOIN daily d USING (date), beta""".stripMargin)
+
+  // ===================================================================
+  // §2.3 LLM-pipeline operators: dedup, similarity, text, multimodal
+  // ===================================================================
+
+  /** documents ∪ clones of every 100th doc (new ids) — guarantees the
+    * near-dup operators have true positives to find on synthetic data.
+    */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.unionByName(
+      d.where(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")))
+  }
+
+  private val docsWithDupsSql =
+    """docs AS (SELECT doc_id, text, lang, source, n_chars FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 100 = 0)""".stripMargin
+
+  private def embWithDups(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    e.select(col("vec_id"), col("embedding"))
+      .unionByName(
+        e.where(col("vec_id") % 100 === 0)
+          .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+  }
+
+  private val embWithDupsSql =
+    """emb AS (SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL SELECT vec_id + 1000000, embedding
+      |  FROM embeddings WHERE vec_id % 100 = 0)""".stripMargin
+
+  // ---- DuckDB expression generators (mirror graft.functions exactly)
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE), (x, y) -> x + y)"
+
+  private def normSql(a: String): String =
+    s"sqrt(list_reduce(list_transform($a, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))"
+
+  private def cosSql(a: String, b: String): String =
+    s"(CASE WHEN ${normSql(a)} * ${normSql(b)} > 0 THEN ${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}) END)"
+
+  private def bucketSql(vecExpr: String, dim: Int, numPlanes: Int): String =
+    graft.functions.VectorFunctions
+      .planeSigns(dim, numPlanes)
+      .zipWithIndex
+      .map { case (signs, p) =>
+        val litList = signs.map(s => s"$s.0").mkString("[", ", ", "]")
+        s"(CASE WHEN ${dotSql(vecExpr, litList)} > 0 THEN ${1 << p} ELSE 0 END)"
+      }
+      .mkString("(", " + ", ")")
+
+  private def minhashSigSql(setExpr: String, numHashes: Int): String =
+    (0 until numHashes)
+      .map(h => s"list_min(list_transform($setExpr, x -> md5(x || '#$h')))")
+      .mkString("[", ", ", "]")
+
+  private def simhashSql(tkExpr: String, bits: Int): String =
+    (0 until bits).map { j =>
+      val nib = j / 4 + 1
+      val shift = 3 - (j % 4)
+      s"(CASE WHEN list_sum(list_transform($tkExpr, t -> (((strpos('0123456789abcdef', substr(md5(t), $nib, 1)) - 1) >> $shift) & 1) * 2 - 1)) > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private def swListSql(lang: String): String =
+    graft.functions.TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exactStats(t(s, dir, "documents"), Seq("text"), "doc_id")
+    }),
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minHashLshPairs(docsWithDups(s, dir), "text", "doc_id",
+        shingleK = 5, numHashes = 8, bands = 4, jaccardThreshold = 0.5)
+    }),
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup.simHashPairs(docsWithDups(s, dir), "text", "doc_id",
+        bits = 28, maxHamming = 1, ngram = 2)
+    }),
+    "q_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(
+        docsWithDups(s, dir)
+          .withColumn("len_bin", floor(length(col("text")) / 100)),
+        "text", "doc_id", n = 3, threshold = 0.5, blockBy = Seq("lang", "len_bin"))
+    }),
+    "q_embedding_neardup" -> ((s, dir) => {
+      Similarity.nearDupPairs(embWithDups(s, dir), "embedding", "vec_id",
+        dim = 64, threshold = 0.9, numPlanes = 6)
+    }),
+    "q_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5),
+        "embedding", "vec_id", "vec_id", k = 10)
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.where(col("vec_id") < 5),
+        "embedding", "vec_id", "vec_id", k = 10, dim = 64, numPlanes = 6)
+    }),
+    "q_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.TextAnalysis.languageId(col("text")).as("lang_pred"))
+    }),
+    "q_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.TextAnalysis.qualityScore(col("text")).as("quality"))
+    }),
+    "q_token_count" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).as("n_ws"),
+        graft.functions.TextAnalysis.tokenCountRegex(col("text")).as("n_bpe"))
+    }),
+    "q_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+    "q_multimodal_meta" -> ((s, dir) => {
+      graft.multimodal.Multimodal
+        .attachBinary(t(s, dir, "documents"), "text")
+        .select(
+          col("doc_id"),
+          col("media_meta.kind").as("kind"),
+          col("media_meta.size_bytes").as("size_bytes"),
+          col("media_meta.checksum").as("checksum"))
+    }),
+    "q_multimodal_decode" -> ((s, dir) => {
+      // rows-only check: decode stub is JVM-side (not SQL-expressible)
+      val withBin = graft.multimodal.Multimodal
+        .attachBinary(t(s, dir, "documents"), "text")
+        .select("doc_id", "payload")
+      graft.multimodal.Multimodal
+        .decodeStub(withBin, "payload", dim = 8)
+        .select(col("doc_id"), col("features"))
+    }))
+
+  private def pipelineOracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_key, min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_dedup_minhash" ->
+      (s"""WITH $docsWithDupsSql,
+          |sh AS (SELECT doc_id, CASE WHEN length(text) >= 5
+          |  THEN list_distinct(list_transform(range(0, length(text) - 4), i -> substr(text, i + 1, 5)))
+          |  ELSE [text] END AS s FROM docs),
+          |sg AS (SELECT doc_id, s, ${minhashSigSql("s", 8)} AS sig FROM sh),
+          |bd AS (SELECT doc_id, [md5(sig[1] || '|' || sig[2]), md5(sig[3] || '|' || sig[4]),
+          |  md5(sig[5] || '|' || sig[6]), md5(sig[7] || '|' || sig[8])] AS bands FROM sg),
+          |ex AS (${(0 until 4).map(b => s"SELECT doc_id, $b AS bpos, bands[${b + 1}] AS bkey FROM bd").mkString(" UNION ALL ")}),
+          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM ex a
+          |  JOIN ex b ON a.bpos = b.bpos AND a.bkey = b.bkey WHERE a.doc_id < b.doc_id),
+          |j AS (SELECT id_a, id_b,
+          |  len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s))::DOUBLE AS jac
+          |  FROM cand JOIN sh sa ON sa.doc_id = cand.id_a JOIN sh sb ON sb.doc_id = cand.id_b)
+          |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.5""".stripMargin),
+    "q_dedup_simhash" ->
+      (s"""WITH $docsWithDupsSql,
+          |tk0 AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM docs),
+          |tk AS (SELECT doc_id, CASE WHEN len(w) >= 2
+          |  THEN list_distinct(list_transform(range(0, len(w) - 1), i -> w[i + 1] || ' ' || w[i + 2]))
+          |  ELSE [array_to_string(w, ' ')] END AS tks FROM tk0),
+          |sg AS (SELECT doc_id, ${simhashSql("tks", 28)} AS sig FROM tk),
+          |ex AS (${(0 until 2).map(c => s"SELECT doc_id, sig, $c AS cpos, (sig >> ${c * 14}) & 16383 AS ckey FROM sg").mkString(" UNION ALL ")}),
+          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+          |  FROM ex a JOIN ex b ON a.cpos = b.cpos AND a.ckey = b.ckey WHERE a.doc_id < b.doc_id)
+          |SELECT id_a, id_b, bit_count(xor(sig_a::BIGINT, sig_b::BIGINT))::INT AS hamming FROM cand
+          |WHERE bit_count(xor(sig_a::BIGINT, sig_b::BIGINT)) <= 1""".stripMargin),
+    "q_ngram_jaccard" ->
+      (s"""WITH $docsWithDupsSql,
+          |tk AS (SELECT doc_id, lang, floor(length(text) / 100) AS len_bin,
+          |  regexp_split_to_array(trim(text), '\\s+') AS tks FROM docs),
+          |sh AS (SELECT doc_id, lang, len_bin, CASE WHEN len(tks) >= 3
+          |  THEN list_distinct(list_transform(range(0, len(tks) - 2),
+          |    i -> tks[i + 1] || ' ' || tks[i + 2] || ' ' || tks[i + 3]))
+          |  ELSE [array_to_string(tks, ' ')] END AS s FROM tk),
+          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE AS jac
+          |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.len_bin = b.len_bin
+          |  WHERE a.doc_id < b.doc_id)
+          |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM p WHERE jac >= 0.5""".stripMargin),
+    "q_embedding_neardup" ->
+      (s"""WITH $embWithDupsSql,
+          |b AS (SELECT vec_id, embedding, ${bucketSql("embedding", 64, 6)} AS bucket FROM emb),
+          |p AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b,
+          |  round(${cosSql("a.embedding", "b2.embedding")}, 6) AS cosine
+          |  FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id)
+          |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.9""".stripMargin),
+    "q_ann_topk" ->
+      (s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+          |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+          |s AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine FROM c, q),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM s)
+          |SELECT query_id, corpus_id, cosine, rank FROM r WHERE rank <= 10""".stripMargin),
+    "q_ann_lsh" ->
+      (s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, ${bucketSql("embedding", 64, 6)} AS bucket
+          |  FROM embeddings WHERE vec_id < 5),
+          |c AS (SELECT vec_id AS corpus_id, embedding AS cv, ${bucketSql("embedding", 64, 6)} AS bucket FROM embeddings),
+          |s AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine FROM c JOIN q USING (bucket)),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM s)
+          |SELECT query_id, corpus_id, cosine, rank FROM r WHERE rank <= 10""".stripMargin),
+    "q_lang_id" ->
+      (s"""WITH s AS (SELECT doc_id,
+          |  len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk,
+          |  len(regexp_extract_all(text, '[\\x{0600}-\\x{06ff}]')) AS arab,
+          |  regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents),
+          |v AS (SELECT doc_id, cjk, arab,
+          |  len(list_filter(tk, t -> list_contains(${swListSql("en")}, t))) AS s_en,
+          |  len(list_filter(tk, t -> list_contains(${swListSql("es")}, t))) AS s_es,
+          |  len(list_filter(tk, t -> list_contains(${swListSql("fr")}, t))) AS s_fr,
+          |  len(list_filter(tk, t -> list_contains(${swListSql("de")}, t))) AS s_de FROM s)
+          |SELECT doc_id, CASE WHEN cjk > 0 THEN 'zh' WHEN arab > 0 THEN 'fa'
+          |  WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
+          |  WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+          |  WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+          |  WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+          |  WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+          |  ELSE 'und' END AS lang_pred FROM v""".stripMargin),
+    "q_quality_score" ->
+      (s"""WITH s AS (SELECT doc_id, length(text)::DOUBLE AS nc,
+          |  regexp_split_to_array(trim(lower(text)), '\\s+') AS tk,
+          |  len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE AS alpha FROM documents),
+          |v AS (SELECT doc_id, nc, alpha, len(tk)::DOUBLE AS nt,
+          |  len(list_filter(tk, t -> list_contains(${swListSql("en")}, t)))::DOUBLE AS sh FROM s),
+          |w AS (SELECT doc_id,
+          |  CASE WHEN nc >= 200 AND nc <= 10000 THEN 1.0 WHEN nc >= 50 THEN 0.5 ELSE 0.0 END AS len_score,
+          |  CASE WHEN nc > 0 THEN alpha / nc ELSE 0.0 END AS alpha_ratio,
+          |  CASE WHEN nt > 0 THEN sh / nt ELSE 0.0 END AS stop_ratio,
+          |  CASE WHEN nt > 0 THEN (nc - (nt - 1)) / nt ELSE 0.0 END AS mwl FROM v)
+          |SELECT doc_id, round(0.3 * len_score + 0.3 * alpha_ratio
+          |  + 0.2 * least(stop_ratio * 5, 1.0)
+          |  + 0.2 * (CASE WHEN mwl >= 3 AND mwl <= 12 THEN 1.0 ELSE 0.3 END), 4) AS quality
+          |FROM w""".stripMargin),
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |    ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS n_ws,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+        |FROM documents""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))), ' ')) AS fp
+        |FROM documents""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id, 'image' AS kind, octet_length(encode(text))::BIGINT AS size_bytes,
+        |  md5(text) AS checksum
+        |FROM documents""".stripMargin)
 }

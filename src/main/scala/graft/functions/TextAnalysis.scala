@@ -25,7 +25,10 @@ object TextAnalysis {
   def tokenCountRegex(c: Column): Column =
     size(regexp_extract_all(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  private val stopwords: Map[String, Seq[String]] = Map(
+  /** Tiny per-language stopword lists for the heuristics below (also
+    * consumed by the oracle-SQL generator in SparkEntry).
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "of", "and", "to", "a", "in", "is", "it", "that", "for"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "una", "por"),
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "que"),

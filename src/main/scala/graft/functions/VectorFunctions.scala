@@ -37,22 +37,36 @@ object VectorFunctions {
       lit(0.0),
       (acc, v) => acc + v)
 
+  /** Deterministic Rademacher (±1) hyperplane components: sign i of
+    * plane p is the parity of the first md5 nibble of "p:i". No
+    * fitted model to ship — any engine (or a SQL oracle) can
+    * regenerate the exact planes.
+    */
+  def planeSigns(dim: Int, numPlanes: Int): Seq[Seq[Int]] =
+    (0 until numPlanes).map { p =>
+      (0 until dim).map { i =>
+        val d = java.security.MessageDigest
+          .getInstance("MD5")
+          .digest(s"$p:$i".getBytes("UTF-8"))
+        if (((d(0) >> 4) & 1) == 0) 1 else -1
+      }
+    }
+
   /** Random-hyperplane (SimHash-for-vectors) LSH bucket id from
-    * `numPlanes` sign bits. Planes are deterministic Rademacher (±1)
-    * vectors derived from md5(plane, dim-index) — reproducible across
-    * engines and runs, no stored model. One pass, no shuffle.
+    * `numPlanes` sign bits. The planes are [[planeSigns]] literals
+    * baked into the expression — constant-folded, one pass, no
+    * shuffle, no model state.
     */
   def hyperplaneBucket(vec: Column, dim: Int, numPlanes: Int): Column = {
     require(numPlanes <= 30, "bucket id held in an int")
-    val bits = (0 until numPlanes).map { p =>
-      // plane component i = +1 if first md5 nibble of "p:i" is even
-      val products = (0 until dim).map { i =>
-        val nibble = conv(substring(md5(lit(s"$p:$i")), 1, 1), 16, 10).cast("int")
-        val sign = when(nibble % 2 === 0, 1.0).otherwise(-1.0)
-        element_at(vec, i + 1).cast("double") * sign
-      }
-      val dot = products.reduce(_ + _)
-      when(dot > 0, 1).otherwise(0) * lit(1 << p)
+    val planes = planeSigns(dim, numPlanes)
+    val bits = planes.zipWithIndex.map { case (signs, p) =>
+      val signArr = array(signs.map(s => lit(s.toDouble)): _*)
+      val dot = aggregate(
+        zip_with(vec, signArr, (x, y) => x.cast("double") * y),
+        lit(0.0),
+        (acc, v) => acc + v)
+      when(dot > 0, lit(1 << p)).otherwise(lit(0))
     }
     bits.reduce(_ + _)
   }

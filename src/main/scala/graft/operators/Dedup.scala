@@ -140,13 +140,17 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  /** SimHash over distinct whitespace tokens, `bits` wide (≤ 30 for
-    * the portable int variant). Bit j of each token comes from its
-    * md5 nibbles; the signature bit is the sign of the ±1 vote sum.
+  /** SimHash over distinct word `ngram`-shingles of the lowercased
+    * text, `bits` wide (≤ 30 for the portable int variant). Bit j of
+    * each feature comes from its md5 nibbles; the signature bit is
+    * the sign of the ±1 vote sum. Use `ngram >= 2` when the corpus
+    * vocabulary is small — unigram features stop discriminating.
     */
-  def simHash(c: Column, bits: Int = 16): Column = {
+  def simHash(c: Column, bits: Int = 28, ngram: Int = 2): Column = {
     require(bits >= 1 && bits <= 30, "portable simHash holds its value in an int")
-    val toks = array_distinct(split(trim(lower(c)), "\\s+"))
+    val toks =
+      if (ngram == 1) array_distinct(split(trim(lower(c)), "\\s+"))
+      else wordShingles(lower(c), ngram)
     val bitCols = (0 until bits).map { j =>
       val nibbleIdx = j / 4 + 1
       val shift = 3 - (j % 4)
@@ -172,11 +176,12 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      bits: Int = 16,
-      maxHamming: Int = 3): DataFrame = {
+      bits: Int = 28,
+      maxHamming: Int = 1,
+      ngram: Int = 2): DataFrame = {
     val chunks = maxHamming + 1
     val chunkBits = math.max(bits / chunks, 1)
-    val sigged = df.select(col(idCol).as("__id"), simHash(col(textCol), bits).as("__sig"))
+    val sigged = df.select(col(idCol).as("__id"), simHash(col(textCol), bits, ngram).as("__sig"))
 
     val chunked = sigged.select(
       col("__id"),
