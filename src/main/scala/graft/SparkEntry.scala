@@ -337,16 +337,16 @@ object SparkEntry {
     "q_trend_line" ->
       """WITH daily AS (SELECT o_orderdate::DATE AS date, count(*)::DOUBLE AS cnt FROM orders GROUP BY 1),
         |bounds AS (SELECT min(date) AS d0, max(date) AS d1 FROM daily),
-        |spine AS (SELECT unnest(generate_series(d0, d1 + INTERVAL 7 DAY, INTERVAL 1 DAY))::DATE AS date FROM bounds),
-        |fit AS (SELECT s.date, coalesce(daily.cnt, 0) AS y,
-        |  date_diff('day', (SELECT d0 FROM bounds), s.date)::DOUBLE AS x
-        |  FROM spine s LEFT JOIN daily USING (date)),
+        |fit AS (SELECT cnt AS y,
+        |  date_diff('day', (SELECT d0 FROM bounds), date)::DOUBLE AS x FROM daily),
         |m AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(x * x) AS sxx,
         |  sum(y) AS sy, sum(x * y) AS sxy FROM fit),
         |beta AS (SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b1,
-        |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS b0 FROM m)
-        |SELECT f.date, d.cnt, round(b0 + b1 * f.x, 2) AS trend
-        |FROM fit f LEFT JOIN daily d USING (date), beta""".stripMargin)
+        |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS b0 FROM m),
+        |spine AS (SELECT unnest(generate_series(d0, d1 + INTERVAL 7 DAY, INTERVAL 1 DAY))::DATE AS date FROM bounds)
+        |SELECT s.date, d.cnt,
+        |  round(b0 + b1 * date_diff('day', (SELECT d0 FROM bounds), s.date)::DOUBLE, 2) AS trend
+        |FROM spine s LEFT JOIN daily d USING (date), beta""".stripMargin)
 
   // ===================================================================
   // §2.3 LLM-pipeline operators: dedup, similarity, text, multimodal
@@ -402,15 +402,19 @@ object SparkEntry {
       }
       .mkString("(", " + ", ")")
 
+  // Chunk minhash (mirrors Dedup.chunkMin): hash h of a shingle is
+  // hex chars [4h+1, 4h+4] of its single md5.
   private def minhashSigSql(setExpr: String, numHashes: Int): String =
     (0 until numHashes)
-      .map(h => s"list_min(list_transform($setExpr, x -> md5(x || '#$h')))")
+      .map(h => s"list_min(list_transform($setExpr, x -> substr(md5(x), ${h * 4 + 1}, 4)))")
       .mkString("[", ", ", "]")
 
+  // Mirrors Dedup.simHash: bit j of the 28-bit feature hash (integer
+  // value of md5 hex chars 1..7) lives in hex char 7 - j/4, bit j%4.
   private def simhashSql(tkExpr: String, bits: Int): String =
     (0 until bits).map { j =>
-      val nib = j / 4 + 1
-      val shift = 3 - (j % 4)
+      val nib = 7 - j / 4
+      val shift = j % 4
       s"(CASE WHEN list_sum(list_transform($tkExpr, t -> (((strpos('0123456789abcdef', substr(md5(t), $nib, 1)) - 1) >> $shift) & 1) * 2 - 1)) > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 

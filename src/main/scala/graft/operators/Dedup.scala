@@ -51,6 +51,17 @@ object Dedup {
       array_min(transform(shingleArr, s => md5(concat_ws("#", s, lit(h)))))
     }: _*)
 
+  /** The h-th chunk minhash over a PRE-HASHED shingle array (each
+    * element a 32-hex-char md5): hash function h = hex chars
+    * [4h+1, 4h+4] of the digest, so up to 8 independent 16-bit hash
+    * functions come from ONE md5 per shingle. An order of magnitude
+    * cheaper than seeded re-hashing; identical banding quality (the
+    * LSH only needs hash-family independence, and verification is
+    * exact-Jaccard anyway).
+    */
+  def chunkMin(md5Arr: Column, h: Int): Column =
+    array_min(transform(md5Arr, x => substring(x, h * 4 + 1, 4)))
+
   /** MinHash signature via xxhash64 — the cheap hash for real scale
     * (not DuckDB-portable; verified by ScalaTest instead).
     */
@@ -85,16 +96,37 @@ object Dedup {
       textCol: String,
       idCol: String,
       shingleK: Int = 5,
-      numHashes: Int = 12,
+      numHashes: Int = 8,
       bands: Int = 4,
       jaccardThreshold: Double = 0.5,
       fast: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    require(fast || numHashes <= 8, "portable (md5-chunk) minhash supports ≤ 8 hashes")
+    val rows = numHashes / bands
     val sh = charShingles(col(textCol), shingleK)
-    val sig =
-      if (fast) minHashSignatureFast(sh, numHashes)
-      else minHashSignature(sh, numHashes)
-    val withBands = df
-      .select(col(idCol).as("__id"), sh.as("__sh"), bandKeys(sig, numHashes, bands).as("__bands"))
+
+    // Stage the expensive expressions as real columns so each is
+    // computed ONCE per row (CollapseProject keeps multi-use
+    // non-cheap aliases staged): shingles → one hash per shingle →
+    // per-function minima → band keys.
+    val shingled = df.select(col(idCol).as("__id"), sh.as("__sh"))
+    val hashed =
+      if (fast)
+        shingled.withColumn("__hx", transform(col("__sh"), s => xxhash64(s)))
+      else
+        shingled.withColumn("__hx", transform(col("__sh"), s => md5(s)))
+    val mins = (0 until numHashes).map { h =>
+      val m =
+        if (fast) array_min(transform(col("__hx"), x => hash(x, lit(h))))
+        else chunkMin(col("__hx"), h)
+      m.as(s"__m$h")
+    }
+    val minned = hashed.select(col("__id") +: col("__sh") +: mins: _*)
+    val bandCols = (0 until bands).map { b =>
+      md5(concat_ws("|", (0 until rows).map(r => col(s"__m${b * rows + r}")): _*))
+    }
+    val withBands =
+      minned.select(col("__id"), col("__sh"), array(bandCols: _*).as("__bands"))
     val exploded = withBands
       .select(col("__id"), posexplode(col("__bands")).as(Seq("__bpos", "__bkey")))
 
@@ -106,10 +138,16 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
 
-    val sets = df.select(col(idCol).as("__sid"), sh.as("__sset"))
+    val sets = shingled.select(col("__id").as("__sid"), col("__sh").as("__sset"))
     candidates
       .join(sets.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sset", "__set_a"), Seq("id_a"))
       .join(sets.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sset", "__set_b"), Seq("id_b"))
+      // Result-preserving prefilter: jaccard ≤ min(|A|,|B|)/max(|A|,|B|),
+      // so size-skewed pairs can't pass the threshold — skip the
+      // expensive intersection for them.
+      .where(
+        least(size(col("__set_a")), size(col("__set_b"))).cast("double") >=
+          lit(jaccardThreshold) * greatest(size(col("__set_a")), size(col("__set_b"))))
       .withColumn(
         "jaccard",
         size(array_intersect(col("__set_a"), col("__set_b"))).cast("double") /
@@ -141,29 +179,47 @@ object Dedup {
   // -------------------------------------------------------------- simhash
 
   /** SimHash over distinct word `ngram`-shingles of the lowercased
-    * text, `bits` wide (≤ 30 for the portable int variant). Bit j of
-    * each feature comes from its md5 nibbles; the signature bit is
-    * the sign of the ±1 vote sum. Use `ngram >= 2` when the corpus
-    * vocabulary is small — unigram features stop discriminating.
+    * text, `bits` wide (≤ 28: all bits come from the first 7 nibbles
+    * of ONE md5 per feature). The signature bit j is the sign of the
+    * ±1 vote sum of bit j across features. Use `ngram >= 2` when the
+    * corpus vocabulary is small — unigram features stop
+    * discriminating.
+    *
+    * One aggregation pass, one md5 per feature: the 28-bit feature
+    * hash is bound once via a single-element `transform` (a
+    * let-binding — lambda variables are evaluated once per element,
+    * unlike repeated subexpressions), then all bit votes are derived
+    * from the bound value.
     */
   def simHash(c: Column, bits: Int = 28, ngram: Int = 2): Column = {
-    require(bits >= 1 && bits <= 30, "portable simHash holds its value in an int")
+    require(bits >= 1 && bits <= 28, "simHash bits come from 7 md5 nibbles (≤ 28)")
     val toks =
       if (ngram == 1) array_distinct(split(trim(lower(c)), "\\s+"))
       else wordShingles(lower(c), ngram)
-    val bitCols = (0 until bits).map { j =>
-      val nibbleIdx = j / 4 + 1
-      val shift = 3 - (j % 4)
-      // vote_j(token) = 2*bit_j(md5(token)) - 1
-      val votes = transform(
-        toks,
-        t =>
-          shiftright(conv(substring(md5(t), nibbleIdx, 1), 16, 10).cast("int"), shift)
-            .bitwiseAND(1) * 2 - 1)
-      val voteSum = aggregate(votes, lit(0), (acc, v) => acc + v)
-      when(voteSum > 0, lit(1 << j)).otherwise(lit(0))
-    }
-    bitCols.reduce(_ + _)
+    val js = sequence(lit(0), lit(bits - 1))
+    // voteSums[j] = Σ_tokens (2*bit_j(md5(token)) - 1)
+    val voteSums = aggregate(
+      toks,
+      array_repeat(lit(0L), bits),
+      (acc, t) =>
+        element_at(
+          transform(
+            array(conv(substring(md5(t), 1, 7), 16, 10).cast("long")),
+            tb =>
+              zip_with(
+                acc,
+                js,
+                (a, j) =>
+                  a + (pmod(floor(tb / pow(lit(2.0), j.cast("double"))).cast("long"), lit(2L)) * 2 - 1))),
+          1))
+    // sig = Σ_j (voteSum_j > 0) << j
+    aggregate(
+      zip_with(
+        voteSums,
+        js,
+        (v, j) => when(v > 0, pow(lit(2.0), j.cast("double")).cast("long")).otherwise(lit(0L))),
+      lit(0L),
+      (acc, v) => acc + v).cast("int")
   }
 
   /** SimHash near-dup pairs: docs whose signatures differ in ≤
@@ -230,6 +286,11 @@ object Dedup {
       else a.crossJoin(b)
     joined
       .where(col("__id_a") < col("__id_b"))
+      // jaccard ≤ min(|A|,|B|)/max(|A|,|B|): cheap result-preserving
+      // prune before the expensive intersection.
+      .where(
+        least(size(col("__set_a")), size(col("__set_b"))).cast("double") >=
+          lit(threshold) * greatest(size(col("__set_a")), size(col("__set_b"))))
       .withColumn(
         "jaccard",
         size(array_intersect(col("__set_a"), col("__set_b"))).cast("double") /

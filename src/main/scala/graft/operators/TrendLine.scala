@@ -42,21 +42,9 @@ object TrendLine {
       (Row0.getDate(0), Row0.getDate(1))
     val x = datediff(col(dateCol), lit(startDate)).cast("double")
 
-    // Reference fits on dates present in the data with missing-date
-    // values filled as 0 over the full spine; we fit over the full
-    // spine too for identical semantics.
-    val spine = spark
-      .range(1)
-      .select(
-        explode(
-          sequence(
-            lit(startDate),
-            date_add(lit(endDate), math.max(predictionDay, 0))))
-          .as(dateCol))
-    val fitBase = spine
-      .join(dated, Seq(dateCol), "left")
-      .na.fill(0, valueCols)
-      .withColumn("__x", x)
+    // Reference fits ONLY on observed rows (its spine + fillna(0)
+    // happens after fitting, for prediction output); match that.
+    val fitBase = dated.withColumn("__x", x)
 
     val momentAggs: Seq[Column] =
       (0 to 2 * degree).map(p => sum(pow(col("__x"), p)).as(s"sx$p")) ++
@@ -71,8 +59,20 @@ object TrendLine {
       v -> solve(a, b)
     }.toMap
 
+    // Output spine: every date in [start, end + predictionDay];
+    // trendline everywhere, original values null on unobserved dates.
+    val spine = spark
+      .range(1)
+      .select(
+        explode(
+          sequence(
+            lit(startDate),
+            date_add(lit(endDate), math.max(predictionDay, 0))))
+          .as(dateCol))
+      .withColumn("__x", x)
+
     valueCols
-      .foldLeft(fitBase) { (acc, v) =>
+      .foldLeft(spine) { (acc, v) =>
         val beta = coeffs(v)
         val pred = beta.zipWithIndex
           .map { case (c, p) => lit(c) * pow(col("__x"), p) }
@@ -80,8 +80,6 @@ object TrendLine {
         acc.withColumn(s"${v}_trendline", pred)
       }
       .drop("__x")
-      // restore original (unfilled) values: predicted-only dates → null
-      .drop(valueCols: _*)
       .join(dated.select(dateCol, valueCols: _*), Seq(dateCol), "left")
   }
 

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.DataFrameOps
+import graft.implicits._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class DataFrameOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unpivot: wide → long, nulls dropped by default") {
+    val df = Seq((1, Some(10.0), None: Option[Double]), (2, Some(20.0), Some(30.0)))
+      .toDF("id", "a", "b")
+    val out = DataFrameOps.unpivot(df, Seq("a", "b"), "measure", "value")
+    assert(out.columns.toSeq == Seq("id", "measure", "value"))
+    assert(out.count() == 3) // null b of row 1 dropped
+    val kept = DataFrameOps.unpivot(df, Seq("a", "b"), "m", "v", ignoreNull = false)
+    assert(kept.count() == 4)
+  }
+
+  test("transpose: keys become columns, columns become rows") {
+    val df = Seq(("r1", 1, 10), ("r2", 2, 20)).toDF("k", "x", "y")
+    val out = DataFrameOps.transpose(df, "k")
+    assert(out.columns.toSeq == Seq("index", "r1", "r2"))
+    val rows = out.collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows("x") == ("1", "2"))
+    assert(rows("y") == ("10", "20"))
+  }
+
+  test("transpose: refuses large inputs") {
+    val big = spark.range(100).withColumn("v", $"id" * 2)
+    intercept[IllegalArgumentException](DataFrameOps.transpose(big.toDF(), "id", maxRows = 10))
+  }
+
+  test("unionAll: pads missing columns with typed nulls") {
+    val a = Seq((1, "x")).toDF("id", "name")
+    val b = Seq((2, 3.5)).toDF("id", "score")
+    val out = DataFrameOps.unionAll(Seq(a, b))
+    assert(out.columns.toSet == Set("id", "name", "score"))
+    assert(out.schema("score").dataType == DoubleType)
+    assert(out.count() == 2)
+  }
+
+  test("safeUnion: casts conflicting column types to string") {
+    val a = Seq((1, 100)).toDF("id", "v") // v: int
+    val b = Seq((2, "abc")).toDF("id", "v") // v: string
+    val out = DataFrameOps.safeUnion(Seq(a, b))
+    assert(out.schema("v").dataType == StringType)
+    assert(out.select($"v").as[String].collect().toSet == Set("100", "abc"))
+  }
+
+  test("localToDf: explicit schema round trip") {
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("name", StringType)))
+    val out = DataFrameOps.localToDf(spark, Seq(Row(1, "a"), Row(2, null)), schema)
+    assert(out.count() == 2)
+    assert(out.schema == schema)
+  }
+
+  test("isNullOrIn: implicit column extension") {
+    val df = Seq(Some("a"), Some("b"), None).toDF("v")
+    val out = df.where($"v".isNullOrIn("a")).count()
+    assert(out == 2) // "a" and null
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup
+    (4L, "completely different content about astronomy and the moons of jupiter"))
+    .toDF("id", "text")
+
+  test("exact: keeps the smallest id per identical content") {
+    val out = Dedup.exact(docs, Seq("text"), "id")
+    val ids = out.select($"id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L, 4L))
+  }
+
+  test("exactStats: group sizes per content key") {
+    val out = Dedup
+      .exactStats(docs, Seq("text"), "id")
+      .select($"keep_id", $"dup_count")
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(out(1L) == 2L && out(3L) == 1L && out(4L) == 1L)
+  }
+
+  test("charShingles: distinct k-grams; short text falls back to whole string") {
+    val df = Seq("abcd", "ab").toDF("s")
+    val out = df.select(Dedup.charShingles($"s", 3).as("sh")).collect()
+    assert(out(0).getSeq[String](0).toSet == Set("abc", "bcd"))
+    assert(out(1).getSeq[String](0) == Seq("ab"))
+  }
+
+  test("wordShingles: distinct word n-grams") {
+    val df = Seq("a b c d").toDF("s")
+    val out = df.select(Dedup.wordShingles($"s", 2).as("sh")).collect()
+    assert(out(0).getSeq[String](0).toSet == Set("a b", "b c", "c d"))
+  }
+
+  test("minHash signatures: identical sets → identical signatures") {
+    val df = Seq("abcdefgh", "abcdefgh", "zyxwvuts").toDF("s")
+    val sh = Dedup.charShingles($"s", 3)
+    val sigs = df.select(Dedup.minHashSignature(sh, 6).as("sig")).collect()
+    assert(sigs(0).getSeq[String](0) == sigs(1).getSeq[String](0))
+    assert(sigs(0).getSeq[String](0) != sigs(2).getSeq[String](0))
+    val fast = df.select(Dedup.minHashSignatureFast(sh, 6).as("sig")).collect()
+    assert(fast(0).getSeq[Long](0) == fast(1).getSeq[Long](0))
+    assert(fast(0).getSeq[Long](0) != fast(2).getSeq[Long](0))
+  }
+
+  test("minHashLshPairs: finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup
+      .minHashLshPairs(docs, "text", "id", shingleK = 5, numHashes = 8, bands = 4,
+        jaccardThreshold = 0.5)
+      .select($"id_a", $"id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simHash: deterministic; near-identical texts within small hamming") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river"),
+      (3L, "astronomy jupiter moons telescope galaxy cluster nebula"))
+      .toDF("id", "text")
+    val sigs = df
+      .select($"id", Dedup.simHash($"text", 28, 2).as("sig"))
+      .as[(Long, Int)]
+      .collect()
+      .toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("simHashPairs: identical docs matched, unrelated docs not") {
+    val pairs = Dedup
+      .simHashPairs(docs, "text", "id", bits = 28, maxHamming = 2, ngram = 2)
+      .select($"id_a", $"id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("ngramJaccardPairs: blocked pairs above threshold") {
+    val blocked = docs.withColumn("blk", lit(1))
+    val pairs = Dedup
+      .ngramJaccardPairs(blocked, "text", "id", n = 3, threshold = 0.5, blockBy = Seq("blk"))
+      .select($"id_a", $"id_b", $"jaccard")
+      .as[(Long, Long, Double)]
+      .collect()
+    val byPair = pairs.map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(byPair((1L, 2L)) == 1.0)
+    assert(byPair.contains((1L, 3L))) // one-word difference, high n-gram overlap
+    assert(!byPair.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+}

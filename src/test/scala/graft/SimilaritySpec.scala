@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // Small corpus with a planted near-duplicate of vector 1.
+  private def corpus = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.99f, 0.1f, 0.0f, 0.0f)), // near-dup of 1
+    (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+    (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+    (5L, Seq(-1.0f, 0.0f, 0.0f, 0.0f)))
+    .toDF("id", "vec")
+
+  test("bruteForceTopK: rank 1 is the vector itself, rank 2 the planted near-dup") {
+    val q = corpus.where($"id" === 1L)
+    val out = Similarity
+      .bruteForceTopK(corpus, q, "vec", "id", "id", k = 3)
+      .select($"corpus_id", $"rank")
+      .as[(Long, Int)]
+      .collect()
+      .toMap
+    assert(out.size == 3)
+    // invert: rank -> corpus
+    val byRank = out.map(_.swap)
+    assert(byRank(1) == 1L)
+    assert(byRank(2) == 2L)
+  }
+
+  test("lshTopK: self and near-dup land in the query's bucket") {
+    val q = corpus.where($"id" === 1L)
+    val out = Similarity
+      .lshTopK(corpus, q, "vec", "id", "id", k = 5, dim = 4, numPlanes = 3)
+      .select($"corpus_id", $"rank")
+      .as[(Long, Int)]
+      .collect()
+      .toMap
+      .map(_.swap)
+    assert(out(1) == 1L) // the vector itself always shares its own bucket
+    // near-dup's tiny angular distance keeps it in the same bucket
+    assert(out.values.toSet.contains(2L))
+  }
+
+  test("nearDupPairs: finds the planted pair only") {
+    val pairs = Similarity
+      .nearDupPairs(corpus, "vec", "id", dim = 4, threshold = 0.95, numPlanes = 3)
+      .select($"id_a", $"id_b", $"cosine")
+      .as[(Long, Long, Double)]
+      .collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 > 0.99)
+  }
+}

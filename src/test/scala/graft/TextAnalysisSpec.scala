@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.TextAnalysis._
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount: whitespace tokens, blank → 0") {
+    val df = Seq("one two  three", "   ", "solo").toDF("s")
+    val out = df.select(tokenCount($"s").as("n")).as[Int].collect().toSeq
+    assert(out == Seq(3, 0, 1))
+  }
+
+  test("tokenCountRegex: word pieces plus standalone punctuation") {
+    val df = Seq("don't stop!").toDF("s")
+    // don + ' + t + stop + ! = 5
+    val out = df.select(tokenCountRegex($"s").as("n")).as[Int].head()
+    assert(out == 5)
+  }
+
+  test("languageId: script detection and stopword voting") {
+    val df = Seq(
+      "the cat sat on the mat and it is fine",
+      "el perro y la casa que en un dia",
+      "这是一个中文句子",
+      "این یک جمله فارسی است",
+      "zzz qqq xxx").toDF("s")
+    val out = df.select(languageId($"s").as("l")).as[String].collect().toSeq
+    assert(out == Seq("en", "es", "zh", "fa", "und"))
+  }
+
+  test("qualityScore: in [0,1], longer clean English text scores higher") {
+    val good = ("the quick brown fox jumps over the lazy dog and it is fine " * 5)
+    val bad = "@@@@ #### !!!!"
+    val df = Seq(good, bad).toDF("s")
+    val out = df.select(qualityScore($"s").as("q")).as[Double].collect().toSeq
+    assert(out.forall(q => q >= 0.0 && q <= 1.0))
+    assert(out(0) > out(1))
+  }
+
+  test("fingerprint: invariant to token order, case and punctuation") {
+    val df = Seq("Hello, World!", "world HELLO", "different text").toDF("s")
+    val out = df.select(fingerprint($"s").as("f")).as[String].collect().toSeq
+    assert(out(0) == out(1))
+    assert(out(0) != out(2))
+  }
+
+  test("rollingHash: order-sensitive, deterministic") {
+    val df = Seq("abc", "abc", "acb").toDF("s")
+    val out = df.select(rollingHash($"s").as("h")).as[Long].collect().toSeq
+    assert(out(0) == out(1))
+    assert(out(0) != out(2))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dotProduct / l2Norm / cosineSimilarity basics") {
+    val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 0.0f, 0.0f))).toDF("a", "b")
+    val (dot, na, cos) = df
+      .select(
+        dotProduct($"a", $"b").as("d"),
+        l2Norm($"a").as("n"),
+        cosineSimilarity($"a", $"b").as("c"))
+      .as[(Double, Double, Double)]
+      .head()
+    assert(dot == 2.0)
+    assert(na == 3.0)
+    assert(math.abs(cos - 2.0 / (3.0 * 2.0)) < 1e-12)
+  }
+
+  test("cosineSimilarity: null on zero vector (no NaN)") {
+    val df = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
+    val row = df.select(cosineSimilarity($"a", $"b").as("c")).collect()(0)
+    assert(row.isNullAt(0))
+  }
+
+  test("squaredL2Distance") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(4.0f, 6.0f))).toDF("a", "b")
+    val d = df.select(squaredL2Distance($"a", $"b").as("d")).as[Double].head()
+    assert(d == 9.0 + 16.0)
+  }
+
+  test("planeSigns: deterministic ±1 matrix") {
+    val p1 = planeSigns(16, 4)
+    val p2 = planeSigns(16, 4)
+    assert(p1 == p2)
+    assert(p1.flatten.forall(s => s == 1 || s == -1))
+    assert(p1.length == 4 && p1.head.length == 16)
+  }
+
+  test("hyperplaneBucket: matches a driver-side model of the same planes") {
+    val dim = 8
+    val numPlanes = 5
+    val vecs = Seq(
+      Array(1.0f, -2.0f, 0.5f, 3.0f, -1.0f, 0.0f, 2.0f, -0.5f),
+      Array(-1.0f, 2.0f, -0.5f, -3.0f, 1.0f, 0.0f, -2.0f, 0.5f))
+    val planes = planeSigns(dim, numPlanes)
+    def model(v: Array[Float]): Int =
+      planes.zipWithIndex.map { case (signs, p) =>
+        val dot = v.zip(signs).map { case (x, s) => x.toDouble * s }.sum
+        if (dot > 0) 1 << p else 0
+      }.sum
+    val df = vecs.map(_.toSeq).toDF("v")
+    val got = df
+      .select(hyperplaneBucket($"v", dim, numPlanes).as("b"))
+      .as[Int]
+      .collect()
+      .toSeq
+    assert(got == vecs.map(model).toSeq)
+  }
+}
