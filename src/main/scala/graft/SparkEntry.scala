@@ -426,8 +426,12 @@ object SparkEntry {
       Dedup.exactStats(t(s, dir, "documents"), Seq("text"), "doc_id")
     }),
     "q_dedup_minhash" -> ((s, dir) => {
+      // bands=2 (rows of 4): this synthetic corpus has ~0.17 baseline
+      // shingle Jaccard, so 2-row bands candidate-explode (E ∝ J²);
+      // 4-row bands keep candidates ∝ J⁴ while exact clones are
+      // always detected.
       Dedup.minHashLshPairs(docsWithDups(s, dir), "text", "doc_id",
-        shingleK = 5, numHashes = 8, bands = 4, jaccardThreshold = 0.5)
+        shingleK = 5, numHashes = 8, bands = 2, jaccardThreshold = 0.5)
     }),
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simHashPairs(docsWithDups(s, dir), "text", "doc_id",
@@ -497,21 +501,27 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_key, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
-    "q_dedup_minhash" ->
-      (s"""WITH $docsWithDupsSql,
-          |sh AS (SELECT doc_id, CASE WHEN length(text) >= 5
-          |  THEN list_distinct(list_transform(range(0, length(text) - 4), i -> substr(text, i + 1, 5)))
-          |  ELSE [text] END AS s FROM docs),
-          |sg AS (SELECT doc_id, s, ${minhashSigSql("s", 8)} AS sig FROM sh),
-          |bd AS (SELECT doc_id, [md5(sig[1] || '|' || sig[2]), md5(sig[3] || '|' || sig[4]),
-          |  md5(sig[5] || '|' || sig[6]), md5(sig[7] || '|' || sig[8])] AS bands FROM sg),
-          |ex AS (${(0 until 4).map(b => s"SELECT doc_id, $b AS bpos, bands[${b + 1}] AS bkey FROM bd").mkString(" UNION ALL ")}),
-          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM ex a
-          |  JOIN ex b ON a.bpos = b.bpos AND a.bkey = b.bkey WHERE a.doc_id < b.doc_id),
-          |j AS (SELECT id_a, id_b,
-          |  len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s))::DOUBLE AS jac
-          |  FROM cand JOIN sh sa ON sa.doc_id = cand.id_a JOIN sh sb ON sb.doc_id = cand.id_b)
-          |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.5""".stripMargin),
+    "q_dedup_minhash" -> {
+      val bands = 2
+      val rows = 8 / bands
+      val bandExprs = (0 until bands)
+        .map(b => "md5(" + (0 until rows).map(r => s"sig[${b * rows + r + 1}]")
+          .mkString(" || '|' || ") + ")")
+        .mkString("[", ", ", "]")
+      s"""WITH $docsWithDupsSql,
+         |sh AS (SELECT doc_id, CASE WHEN length(text) >= 5
+         |  THEN list_distinct(list_transform(range(0, length(text) - 4), i -> substr(text, i + 1, 5)))
+         |  ELSE [text] END AS s FROM docs),
+         |sg AS (SELECT doc_id, s, ${minhashSigSql("s", 8)} AS sig FROM sh),
+         |bd AS (SELECT doc_id, $bandExprs AS bands FROM sg),
+         |ex AS (${(0 until bands).map(b => s"SELECT doc_id, $b AS bpos, bands[${b + 1}] AS bkey FROM bd").mkString(" UNION ALL ")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM ex a
+         |  JOIN ex b ON a.bpos = b.bpos AND a.bkey = b.bkey WHERE a.doc_id < b.doc_id),
+         |j AS (SELECT id_a, id_b,
+         |  len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s))::DOUBLE AS jac
+         |  FROM cand JOIN sh sa ON sa.doc_id = cand.id_a JOIN sh sb ON sb.doc_id = cand.id_b)
+         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.5""".stripMargin
+    },
     "q_dedup_simhash" ->
       (s"""WITH $docsWithDupsSql,
           |tk0 AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM docs),

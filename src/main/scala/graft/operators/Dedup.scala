@@ -84,10 +84,23 @@ object Dedup {
   /** Near-duplicate pairs via MinHash+LSH, verified with exact
     * shingle-set Jaccard.
     *
-    * Plan shape: shingle+sign each doc once → explode band keys
-    * (n·bands rows) → self-equality-join on (band index, band key) →
-    * distinct candidate pairs → join shingle sets back → Jaccard
-    * filter. No O(n²) stage anywhere.
+    * Plan shape: shingle+hash+sign each doc ONCE (each expensive
+    * expression staged as a real column) → explode band keys, each
+    * row carrying its shingle set → group by (band index, band key)
+    * → emit pairs within each bucket (two nested explodes, never a
+    * self-join: a self-join re-computes the signature lineage on both
+    * sides) → size-ratio prune → exact Jaccard → distinct. No O(n²)
+    * stage; shuffle volume is O(n·bands) set-carrying rows.
+    *
+    * Detection probability of a pair with Jaccard J is
+    * 1 - (1 - J^(numHashes/bands))^bands — tune bands DOWN (longer
+    * bands) when the corpus has high baseline similarity, or the
+    * candidate volume explodes (E[candidates] ∝ n²·E[J^rows]).
+    *
+    * `maxBucket` drops band buckets larger than the cap (0 = no cap):
+    * at 100 TB a bucket with thousands of members is a degenerate
+    * shingle pattern, not a useful near-dup signal, and its K² pair
+    * blow-up dominates the job.
     *
     * @return (id_a, id_b, jaccard) with id_a < id_b.
     */
@@ -97,9 +110,10 @@ object Dedup {
       idCol: String,
       shingleK: Int = 5,
       numHashes: Int = 8,
-      bands: Int = 4,
+      bands: Int = 2,
       jaccardThreshold: Double = 0.5,
-      fast: Boolean = false): DataFrame = {
+      fast: Boolean = false,
+      maxBucket: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     require(fast || numHashes <= 8, "portable (md5-chunk) minhash supports ≤ 8 hashes")
     val rows = numHashes / bands
@@ -125,23 +139,15 @@ object Dedup {
     val bandCols = (0 until bands).map { b =>
       md5(concat_ws("|", (0 until rows).map(r => col(s"__m${b * rows + r}")): _*))
     }
-    val withBands =
-      minned.select(col("__id"), col("__sh"), array(bandCols: _*).as("__bands"))
-    val exploded = withBands
-      .select(col("__id"), posexplode(col("__bands")).as(Seq("__bpos", "__bkey")))
+    val exploded = minned
+      .select(col("__id"), col("__sh"),
+        posexplode(array(bandCols: _*)).as(Seq("__bpos", "__bkey")))
 
-    val a = exploded.select(col("__id").as("id_a"), col("__bpos"), col("__bkey"))
-    val b = exploded.select(col("__id").as("id_b"), col("__bpos"), col("__bkey"))
-    val candidates = a
-      .join(b, Seq("__bpos", "__bkey"))
+    bucketPairs(exploded, struct(col("__id"), col("__sh")), maxBucket)
+      .select(
+        col("__a.__id").as("id_a"), col("__a.__sh").as("__set_a"),
+        col("__b.__id").as("id_b"), col("__b.__sh").as("__set_b"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-
-    val sets = shingled.select(col("__id").as("__sid"), col("__sh").as("__sset"))
-    candidates
-      .join(sets.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sset", "__set_a"), Seq("id_a"))
-      .join(sets.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sset", "__set_b"), Seq("id_b"))
       // Result-preserving prefilter: jaccard ≤ min(|A|,|B|)/max(|A|,|B|),
       // so size-skewed pairs can't pass the threshold — skip the
       // expensive intersection for them.
@@ -154,6 +160,30 @@ object Dedup {
           size(array_union(col("__set_a"), col("__set_b"))).cast("double"))
       .where(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .distinct()
+  }
+
+  /** Within-bucket pair generation: group the (`__bpos`, `__bkey`)
+    * rows of `exploded` into member lists, then emit the K² ordered
+    * member pairs per bucket with two nested explodes. One shuffle of
+    * the member payloads, ONE computation of the upstream lineage —
+    * the self-join alternative computes it twice (column-renamed
+    * sides defeat exchange reuse).
+    */
+  private[operators] def bucketPairs(
+      exploded: DataFrame,
+      member: Column,
+      maxBucket: Int): DataFrame = {
+    val grouped = exploded
+      .groupBy(col("__bpos"), col("__bkey"))
+      .agg(collect_list(member).as("__ms"))
+      .where(size(col("__ms")) >= 2)
+    val capped =
+      if (maxBucket > 0) grouped.where(size(col("__ms")) <= maxBucket)
+      else grouped
+    capped
+      .select(explode(col("__ms")).as("__a"), col("__ms"))
+      .select(col("__a"), explode(col("__ms")).as("__b"))
   }
 
   /** Distinct character k-shingles (the real implementation —
@@ -246,17 +276,17 @@ object Dedup {
         shiftright(col("__sig"), ci * chunkBits)
           .bitwiseAND((1 << chunkBits) - 1)
           .as(s"c$ci")
-      }: _*)).as(Seq("__cpos", "__ckey")))
+      }: _*)).as(Seq("__bpos", "__bkey")))
 
-    val a = chunked.select(col("__id").as("id_a"), col("__sig").as("sig_a"), col("__cpos"), col("__ckey"))
-    val b = chunked.select(col("__id").as("id_b"), col("__sig").as("sig_b"), col("__cpos"), col("__ckey"))
-    a.join(b, Seq("__cpos", "__ckey"))
+    bucketPairs(chunked, struct(col("__id"), col("__sig")), maxBucket = 0)
+      .select(
+        col("__a.__id").as("id_a"), col("__a.__sig").as("sig_a"),
+        col("__b.__id").as("id_b"), col("__b.__sig").as("sig_b"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .distinct()
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 
   // ------------------------------------------------------- n-gram jaccard
@@ -272,20 +302,32 @@ object Dedup {
       idCol: String,
       n: Int = 3,
       threshold: Double = 0.5,
-      blockBy: Seq[String] = Nil): DataFrame = {
+      blockBy: Seq[String] = Nil,
+      maxBlock: Int = 0): DataFrame = {
     val sh = wordShingles(col(textCol), n)
-    val sets = df.select(
-      (col(idCol).as("__id") +: sh.as("__set") +: blockBy.map(col)): _*)
-    val joinKeys = blockBy
-    val a = sets.columns.foldLeft(sets)((d, c) =>
-      if (joinKeys.contains(c)) d else d.withColumnRenamed(c, c + "_a"))
-    val b = sets.columns.foldLeft(sets)((d, c) =>
-      if (joinKeys.contains(c)) d else d.withColumnRenamed(c, c + "_b"))
-    val joined =
-      if (joinKeys.nonEmpty) a.join(b, joinKeys)
-      else a.crossJoin(b)
-    joined
-      .where(col("__id_a") < col("__id_b"))
+    val verified =
+      if (blockBy.nonEmpty) {
+        // Group each block's members and emit within-block pairs —
+        // one computation of the shingle sets, one shuffle (the
+        // block-key self-join computes them twice and shuffles join
+        // output). Null block keys are dropped, matching SQL join
+        // equality semantics.
+        val exploded = df
+          .where(blockBy.map(col(_).isNotNull).reduce(_ && _))
+          .select(col(idCol).as("__id"), sh.as("__sh"),
+            lit(0).as("__bpos"), struct(blockBy.map(col): _*).as("__bkey"))
+        bucketPairs(exploded, struct(col("__id"), col("__sh")), maxBlock)
+          .select(
+            col("__a.__id").as("id_a"), col("__a.__sh").as("__set_a"),
+            col("__b.__id").as("id_b"), col("__b.__sh").as("__set_b"))
+      } else {
+        // No blocking key: explicit brute-force baseline (labeled —
+        // use minHashLshPairs when no natural key exists at scale).
+        val sets = df.select(col(idCol).as("__id"), sh.as("__set"))
+        sets.toDF("id_a", "__set_a").crossJoin(sets.toDF("id_b", "__set_b"))
+      }
+    verified
+      .where(col("id_a") < col("id_b"))
       // jaccard ≤ min(|A|,|B|)/max(|A|,|B|): cheap result-preserving
       // prune before the expensive intersection.
       .where(
@@ -296,7 +338,6 @@ object Dedup {
         size(array_intersect(col("__set_a"), col("__set_b"))).cast("double") /
           size(array_union(col("__set_a"), col("__set_b"))).cast("double"))
       .where(col("jaccard") >= threshold)
-      .select(col("__id_a").as("id_a"), col("__id_b").as("id_b"),
-        round(col("jaccard"), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 }
