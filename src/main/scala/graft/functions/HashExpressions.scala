@@ -1,0 +1,155 @@
+package graft.functions
+
+import java.security.MessageDigest
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels shared by the native hash expressions' interpreted
+  * and codegen paths. All md5-derived values are bit-compatible with
+  * the SQL formulations in the DuckDB oracles (md5 of the token's
+  * UTF-8 bytes; hex-nibble arithmetic documented per function).
+  */
+object HashKernels {
+
+  private def md5(bytes: Array[Byte]): Array[Byte] =
+    MessageDigest.getInstance("MD5").digest(bytes)
+
+  /** SimHash signature over a token array: per token ONE md5; the
+    * 28-bit feature hash is the integer value of the digest's first 7
+    * hex nibbles (= big-endian int of bytes 0..3, shifted right 4);
+    * signature bit j is the sign of the Σ(2·bit_j−1) vote.
+    */
+  def simHash(tokens: ArrayData, bits: Int): Int = {
+    val votes = new Array[Int](bits)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      val s = tokens.getUTF8String(t)
+      if (s != null) {
+        val d = md5(s.getBytes)
+        val tb = (((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) |
+          ((d(2) & 0xff) << 8) | (d(3) & 0xff)) >>> 4
+        var j = 0
+        while (j < bits) { votes(j) += (((tb >>> j) & 1) * 2 - 1); j += 1 }
+      }
+      t += 1
+    }
+    var sig = 0
+    var j = 0
+    while (j < bits) { if (votes(j) > 0) sig |= 1 << j; j += 1 }
+    sig
+  }
+
+  /** Chunk-minhash minima over a token array: ONE md5 per token;
+    * hash function h is the 16-bit big-endian value of digest bytes
+    * (2h, 2h+1) — i.e. hex chars [4h+1, 4h+4] — and the minimum is
+    * returned as 4 lowercase hex chars (numeric min ≡ lexicographic
+    * min at fixed width). Empty input → null minima, matching
+    * `array_min([])`.
+    */
+  def chunkMins(tokens: ArrayData, numHashes: Int): ArrayData = {
+    val mins = Array.fill(numHashes)(Int.MaxValue)
+    val n = tokens.numElements()
+    var any = false
+    var t = 0
+    while (t < n) {
+      val s = tokens.getUTF8String(t)
+      if (s != null) {
+        any = true
+        val d = md5(s.getBytes)
+        var h = 0
+        while (h < numHashes) {
+          val v = ((d(2 * h) & 0xff) << 8) | (d(2 * h + 1) & 0xff)
+          if (v < mins(h)) mins(h) = v
+          h += 1
+        }
+      }
+      t += 1
+    }
+    val out = new Array[Any](numHashes)
+    if (any) {
+      var h = 0
+      while (h < numHashes) {
+        out(h) = UTF8String.fromString(f"${mins(h)}%04x")
+        h += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Jaccard of two DISTINCT string arrays:
+    * |A∩B| / (|A|+|B|−|A∩B|) — the value of
+    * `size(array_intersect)/size(array_union)` on distinct inputs.
+    * Null on null elements (mirroring intersect's null handling is
+    * unnecessary here: upstream shingle arrays contain no nulls).
+    */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val set = new java.util.HashSet[UTF8String](math.max(16, na * 2))
+    var i = 0
+    while (i < na) { set.add(a.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < nb) { if (set.contains(b.getUTF8String(i))) inter += 1; i += 1 }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+}
+
+/** Native SimHash — bit-identical to the HOF formulation mirrored by
+  * the DuckDB oracle (see SparkEntry.simhashSql).
+  */
+case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 28, "simHash bits come from 7 md5 nibbles (≤ 28)")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "simhash"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simHash(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simHash($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
+/** Native chunk-minhash minima (array of `numHashes` 4-hex-char
+  * strings) — one md5 per token for ALL hash functions.
+  */
+case class ChunkMinHash(child: Expression, numHashes: Int) extends UnaryExpression {
+  require(numHashes >= 1 && numHashes <= 8, "md5 has 8 16-bit chunks")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "chunk_minhash"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.chunkMins(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.chunkMins($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkMinHash =
+    copy(child = newChild)
+}
+
+/** Native Jaccard similarity of two distinct string arrays. */
+case class JaccardSim(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.jaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSim =
+    copy(left = newLeft, right = newRight)
+}

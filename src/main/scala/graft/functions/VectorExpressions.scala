@@ -1,0 +1,186 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native (whole-stage-codegen) Catalyst expressions for the vector
+  * hot path. The `zip_with`/`aggregate` higher-order-function
+  * formulations in [[VectorFunctions]] are declarative and
+  * oracle-portable, but HOFs are interpreted (no codegen) and
+  * allocate an intermediate array per pass — ~3 ms/row for a 6-plane
+  * 64-dim bucket. These expressions generate tight primitive loops
+  * and are bit-identical to the HOF versions (same double
+  * accumulation order, same null semantics), verified by
+  * `VectorFunctionsSpec`.
+  */
+object VectorExpressions {
+
+  private[functions] def elemPrim(dt: DataType): (String, String) = dt match {
+    case ArrayType(FloatType, _)  => ("getFloat", "float")
+    case ArrayType(DoubleType, _) => ("getDouble", "double")
+    case other => throw new IllegalArgumentException(
+      s"expected array<float> or array<double>, got ${other.simpleString}")
+  }
+
+  private[functions] def elemAt(arr: ArrayData, dt: DataType, i: Int): Double =
+    dt match {
+      case ArrayType(FloatType, _)  => arr.getFloat(i).toDouble
+      case ArrayType(DoubleType, _) => arr.getDouble(i)
+      case _ => throw new IllegalStateException("checked in checkInputDataTypes")
+    }
+}
+
+/** cosine(a, b) = Σaᵢbᵢ / (√Σaᵢ² · √Σbᵢ²), null when either norm is
+  * zero, when lengths mismatch, or when an element is null — exactly
+  * [[VectorFunctions.cosineSimilarity]].
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import VectorExpressions._
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_similarity"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>/array<double> inputs")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = elemAt(x, left.dataType, i)
+      val yv = elemAt(y, right.dataType, i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom > 0.0) dot / denom else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (getL, _) = elemPrim(left.dataType)
+      val (getR, _) = elemPrim(right.dataType)
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val denom = ctx.freshName("denom")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) { ${ev.isNull} = true; } else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xv = (double) $a.$getL($i);
+         |    double $yv = (double) $b.$getR($i);
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    if ($denom > 0.0) { ${ev.value} = $dot / $denom; } else { ${ev.isNull} = true; }
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Random-hyperplane LSH bucket id: bit p = (vec · planes(p)) > 0 —
+  * exactly [[VectorFunctions.hyperplaneBucket]] (bucket 0 when the
+  * vector length mismatches the planes or an element is null, like
+  * the HOF version's null-vote fallthrough).
+  */
+case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression {
+  import VectorExpressions._
+
+  private lazy val planeArr: Array[Array[Double]] = planes.map(_.toArray).toArray
+  private lazy val dim: Int = if (planes.isEmpty) 0 else planes.head.length
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hyperplane_bucket"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<float>/array<double> input")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n != dim) return 0
+    var i = 0
+    while (i < n) { if (arr.isNullAt(i)) return 0; i += 1 }
+    var bucket = 0
+    var p = 0
+    while (p < planeArr.length) {
+      val row = planeArr(p)
+      var dot = 0.0
+      i = 0
+      while (i < n) { dot += elemAt(arr, child.dataType, i) * row(i); i += 1 }
+      if (dot > 0.0) bucket |= 1 << p
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val (get, _) = elemPrim(child.dataType)
+      val pRef = ctx.addReferenceObj("planes", planeArr, "double[][]")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val n = ctx.freshName("n")
+      val ok = ctx.freshName("ok")
+      val dot = ctx.freshName("dot")
+      val row = ctx.freshName("row")
+      s"""
+         |int $n = $a.numElements();
+         |boolean $ok = ($n == $dim);
+         |for (int $i = 0; $ok && $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { $ok = false; }
+         |}
+         |${ev.value} = 0;
+         |if ($ok) {
+         |  for (int $p = 0; $p < $pRef.length; $p++) {
+         |    double[] $row = $pRef[$p];
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $dot += ((double) $a.$get($i)) * $row[$i];
+         |    }
+         |    if ($dot > 0.0) { ${ev.value} |= (1 << $p); }
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}

@@ -52,6 +52,27 @@ object VectorFunctions {
       }
     }
 
+  /** Native codegen cosine similarity — bit-identical to
+    * [[cosineSimilarity]] but a tight primitive loop instead of four
+    * interpreted higher-order-function passes. Use in hot paths.
+    */
+  def cosineSimilarityNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      CosineSimilarity(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  }
+
+  /** Native codegen hyperplane bucket — bit-identical to
+    * [[hyperplaneBucket]]; one pass over the vector for all planes.
+    */
+  def hyperplaneBucketNative(vec: Column, dim: Int, numPlanes: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      HyperplaneBucket(
+        GraftSqlBridge.expression(vec),
+        planeSigns(dim, numPlanes).map(_.map(_.toDouble))))
+  }
+
   /** Random-hyperplane (SimHash-for-vectors) LSH bucket id from
     * `numPlanes` sign bits. The planes are [[planeSigns]] literals
     * baked into the expression — constant-folded, one pass, no

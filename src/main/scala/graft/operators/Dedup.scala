@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.functions.{ChunkMinHash, JaccardSim, SimHash => SimHashExpr}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -61,6 +62,21 @@ object Dedup {
     */
   def chunkMin(md5Arr: Column, h: Int): Column =
     array_min(transform(md5Arr, x => substring(x, h * 4 + 1, 4)))
+
+  /** Native one-pass chunk minhash: all `numHashes` minima from one
+    * md5 per token (see [[graft.functions.ChunkMinHash]]).
+    */
+  def chunkMinsNative(tokens: Column, numHashes: Int): Column =
+    GraftSqlBridge.column(
+      ChunkMinHash(GraftSqlBridge.expression(tokens), numHashes))
+
+  /** Native Jaccard of two distinct string arrays — the value of
+    * `size(array_intersect)/size(array_union)` as a tight hash-set
+    * loop.
+    */
+  def jaccardSim(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      JaccardSim(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   /** MinHash signature via xxhash64 — the cheap hash for real scale
     * (not DuckDB-portable; verified by ScalaTest instead).
@@ -124,20 +140,16 @@ object Dedup {
     // non-cheap aliases staged): shingles → one hash per shingle →
     // per-function minima → band keys.
     val shingled = df.select(col(idCol).as("__id"), sh.as("__sh"))
-    val hashed =
+    val minned =
       if (fast)
-        shingled.withColumn("__hx", transform(col("__sh"), s => xxhash64(s)))
+        shingled.withColumn("__mins",
+          array((0 until numHashes).map(h =>
+            array_min(transform(col("__sh"), s => xxhash64(s, lit(h)))).cast("string")): _*))
       else
-        shingled.withColumn("__hx", transform(col("__sh"), s => md5(s)))
-    val mins = (0 until numHashes).map { h =>
-      val m =
-        if (fast) array_min(transform(col("__hx"), x => hash(x, lit(h))))
-        else chunkMin(col("__hx"), h)
-      m.as(s"__m$h")
-    }
-    val minned = hashed.select(col("__id") +: col("__sh") +: mins: _*)
+        shingled.withColumn("__mins", chunkMinsNative(col("__sh"), numHashes))
     val bandCols = (0 until bands).map { b =>
-      md5(concat_ws("|", (0 until rows).map(r => col(s"__m${b * rows + r}")): _*))
+      md5(concat_ws("|",
+        (0 until rows).map(r => element_at(col("__mins"), b * rows + r + 1)): _*))
     }
     val exploded = minned
       .select(col("__id"), col("__sh"),
@@ -154,10 +166,7 @@ object Dedup {
       .where(
         least(size(col("__set_a")), size(col("__set_b"))).cast("double") >=
           lit(jaccardThreshold) * greatest(size(col("__set_a")), size(col("__set_b"))))
-      .withColumn(
-        "jaccard",
-        size(array_intersect(col("__set_a"), col("__set_b"))).cast("double") /
-          size(array_union(col("__set_a"), col("__set_b"))).cast("double"))
+      .withColumn("jaccard", jaccardSim(col("__set_a"), col("__set_b")))
       .where(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .distinct()
@@ -226,30 +235,8 @@ object Dedup {
     val toks =
       if (ngram == 1) array_distinct(split(trim(lower(c)), "\\s+"))
       else wordShingles(lower(c), ngram)
-    val js = sequence(lit(0), lit(bits - 1))
-    // voteSums[j] = Σ_tokens (2*bit_j(md5(token)) - 1)
-    val voteSums = aggregate(
-      toks,
-      array_repeat(lit(0L), bits),
-      (acc, t) =>
-        element_at(
-          transform(
-            array(conv(substring(md5(t), 1, 7), 16, 10).cast("long")),
-            tb =>
-              zip_with(
-                acc,
-                js,
-                (a, j) =>
-                  a + (pmod(floor(tb / pow(lit(2.0), j.cast("double"))).cast("long"), lit(2L)) * 2 - 1))),
-          1))
-    // sig = Σ_j (voteSum_j > 0) << j
-    aggregate(
-      zip_with(
-        voteSums,
-        js,
-        (v, j) => when(v > 0, pow(lit(2.0), j.cast("double")).cast("long")).otherwise(lit(0L))),
-      lit(0L),
-      (acc, v) => acc + v).cast("int")
+    GraftSqlBridge.column(
+      SimHashExpr(GraftSqlBridge.expression(toks), bits))
   }
 
   /** SimHash near-dup pairs: docs whose signatures differ in ≤
@@ -333,10 +320,7 @@ object Dedup {
       .where(
         least(size(col("__set_a")), size(col("__set_b"))).cast("double") >=
           lit(threshold) * greatest(size(col("__set_a")), size(col("__set_b"))))
-      .withColumn(
-        "jaccard",
-        size(array_intersect(col("__set_a"), col("__set_b"))).cast("double") /
-          size(array_union(col("__set_a"), col("__set_b"))).cast("double"))
+      .withColumn("jaccard", jaccardSim(col("__set_a"), col("__set_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

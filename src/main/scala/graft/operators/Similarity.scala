@@ -35,7 +35,7 @@ object Similarity {
     val q = queries.select(col(qIdCol).as("query_id"), col(vecCol).as("__qv"))
     val scored = c
       .join(broadcast(q))
-      .withColumn("cosine", round(cosineSimilarity(col("__cv"), col("__qv")), 6))
+      .withColumn("cosine", round(cosineSimilarityNative(col("__cv"), col("__qv")), 6))
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
@@ -61,14 +61,14 @@ object Similarity {
     val c = corpus.select(
       col(idCol).as("corpus_id"),
       col(vecCol).as("__cv"),
-      hyperplaneBucket(col(vecCol), dim, numPlanes).as("__bucket"))
+      hyperplaneBucketNative(col(vecCol), dim, numPlanes).as("__bucket"))
     val q = queries.select(
       col(qIdCol).as("query_id"),
       col(vecCol).as("__qv"),
-      hyperplaneBucket(col(vecCol), dim, numPlanes).as("__bucket"))
+      hyperplaneBucketNative(col(vecCol), dim, numPlanes).as("__bucket"))
     val scored = c
       .join(broadcast(q), Seq("__bucket"))
-      .withColumn("cosine", round(cosineSimilarity(col("__cv"), col("__qv")), 6))
+      .withColumn("cosine", round(cosineSimilarityNative(col("__cv"), col("__qv")), 6))
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
@@ -92,12 +92,12 @@ object Similarity {
     val bucketed = df.select(
       col(idCol).as("__id"),
       col(vecCol).as("__v"),
-      hyperplaneBucket(col(vecCol), dim, numPlanes).as("__bucket"))
+      hyperplaneBucketNative(col(vecCol), dim, numPlanes).as("__bucket"))
     val a = bucketed.select(col("__id").as("id_a"), col("__v").as("__va"), col("__bucket"))
     val b = bucketed.select(col("__id").as("id_b"), col("__v").as("__vb"), col("__bucket"))
     a.join(b, Seq("__bucket"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(cosineSimilarity(col("__va"), col("__vb")), 6))
+      .withColumn("cosine", round(cosineSimilarityNative(col("__va"), col("__vb")), 6))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
       .distinct()

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to `private[sql]` helpers for wrapping native Catalyst
+  * expressions into [[Column]]s (the classic-backend conversion in
+  * Spark 4 lives behind package-private `ExpressionUtils`). The usual
+  * extension-library shim; nothing here depends on internals beyond
+  * that one conversion.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

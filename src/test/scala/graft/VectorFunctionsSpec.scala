@@ -40,6 +40,36 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(p1.length == 4 && p1.head.length == 16)
   }
 
+  test("native expressions: bit-identical to the HOF formulations") {
+    val rng = new scala.util.Random(7)
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(16)(rng.nextFloat() * 2 - 1))
+    }
+    val df = vecs.toDF("id", "v")
+      .withColumn("w", reverse($"v"))
+    val cmp = df.select(
+      cosineSimilarity($"v", $"w").as("hof_cos"),
+      cosineSimilarityNative($"v", $"w").as("nat_cos"),
+      hyperplaneBucket($"v", 16, 8).as("hof_b"),
+      hyperplaneBucketNative($"v", 16, 8).as("nat_b"))
+    val bad = cmp.where(
+      $"hof_cos" =!= $"nat_cos" || $"hof_b" =!= $"nat_b").count()
+    assert(bad == 0)
+    // distribution sanity: natives produce >1 distinct bucket
+    assert(cmp.select($"nat_b").distinct().count() > 1)
+  }
+
+  test("native cosine: null on zero vector and null element") {
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f), Seq(1.0f, 1.0f)),
+      (2L, Seq(1.0f, 2.0f), Seq(1.0f, 1.0f)))
+      .toDF("id", "a", "b")
+      .withColumn("b2", when($"id" === 2L, $"b"))
+    val rows = df.select($"id", cosineSimilarityNative($"a", $"b").as("c"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(rows(1L) && !rows(2L))
+  }
+
   test("hyperplaneBucket: matches a driver-side model of the same planes") {
     val dim = 8
     val numPlanes = 5
