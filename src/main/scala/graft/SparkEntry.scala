@@ -421,6 +421,31 @@ object SparkEntry {
   private def swListSql(lang: String): String =
     graft.functions.TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Shared CTE chain ending in `mh(id_a, id_b, jac)` — the MinHash
+    * LSH near-dup pairs over `docs` (mirrors Dedup.minHashLshPairs
+    * with shingleK=5, numHashes=8, bands=2).
+    */
+  private lazy val minhashCtes: String = {
+    val bands = 2
+    val rows = 8 / bands
+    val bandExprs = (0 until bands)
+      .map(b => "md5(" + (0 until rows).map(r => s"sig[${b * rows + r + 1}]")
+        .mkString(" || '|' || ") + ")")
+      .mkString("[", ", ", "]")
+    s"""$docsWithDupsSql,
+       |sh AS (SELECT doc_id, CASE WHEN length(text) >= 5
+       |  THEN list_distinct(list_transform(range(0, length(text) - 4), i -> substr(text, i + 1, 5)))
+       |  ELSE [text] END AS s FROM docs),
+       |sg AS (SELECT doc_id, s, ${minhashSigSql("s", 8)} AS sig FROM sh),
+       |bd AS (SELECT doc_id, $bandExprs AS bands FROM sg),
+       |ex AS (${(0 until bands).map(b => s"SELECT doc_id, $b AS bpos, bands[${b + 1}] AS bkey FROM bd").mkString(" UNION ALL ")}),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM ex a
+       |  JOIN ex b ON a.bpos = b.bpos AND a.bkey = b.bkey WHERE a.doc_id < b.doc_id),
+       |mh AS (SELECT id_a, id_b,
+       |  len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s))::DOUBLE AS jac
+       |  FROM cand JOIN sh sa ON sa.doc_id = cand.id_a JOIN sh sb ON sb.doc_id = cand.id_b)""".stripMargin
+  }
+
   private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exactStats(t(s, dir, "documents"), Seq("text"), "doc_id")
@@ -436,6 +461,18 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simHashPairs(docsWithDups(s, dir), "text", "doc_id",
         bits = 28, maxHamming = 1, ngram = 2)
+    }),
+    "q_dedup_apply" -> ((s, dir) => {
+      val docs = docsWithDups(s, dir)
+      val pairs = Dedup.minHashLshPairs(docs, "text", "doc_id",
+        shingleK = 5, numHashes = 8, bands = 2, jaccardThreshold = 0.5)
+      Dedup.dropNearDuplicates(docs, pairs, "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minHashLshPairs(docsWithDups(s, dir), "text", "doc_id",
+        shingleK = 5, numHashes = 8, bands = 2, jaccardThreshold = 0.5)
+      Dedup.duplicateClusters(pairs)
     }),
     "q_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(
@@ -456,6 +493,11 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.where(col("vec_id") < 5),
         "embedding", "vec_id", "vec_id", k = 10, dim = 64, numPlanes = 6)
+    }),
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 5),
+        "embedding", "vec_id", "vec_id", k = 10, stride = 100, nprobe = 2)
     }),
     "q_lang_id" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -501,27 +543,24 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_key, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
-    "q_dedup_minhash" -> {
-      val bands = 2
-      val rows = 8 / bands
-      val bandExprs = (0 until bands)
-        .map(b => "md5(" + (0 until rows).map(r => s"sig[${b * rows + r + 1}]")
-          .mkString(" || '|' || ") + ")")
-        .mkString("[", ", ", "]")
-      s"""WITH $docsWithDupsSql,
-         |sh AS (SELECT doc_id, CASE WHEN length(text) >= 5
-         |  THEN list_distinct(list_transform(range(0, length(text) - 4), i -> substr(text, i + 1, 5)))
-         |  ELSE [text] END AS s FROM docs),
-         |sg AS (SELECT doc_id, s, ${minhashSigSql("s", 8)} AS sig FROM sh),
-         |bd AS (SELECT doc_id, $bandExprs AS bands FROM sg),
-         |ex AS (${(0 until bands).map(b => s"SELECT doc_id, $b AS bpos, bands[${b + 1}] AS bkey FROM bd").mkString(" UNION ALL ")}),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM ex a
-         |  JOIN ex b ON a.bpos = b.bpos AND a.bkey = b.bkey WHERE a.doc_id < b.doc_id),
-         |j AS (SELECT id_a, id_b,
-         |  len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s))::DOUBLE AS jac
-         |  FROM cand JOIN sh sa ON sa.doc_id = cand.id_a JOIN sh sb ON sb.doc_id = cand.id_b)
-         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.5""".stripMargin
-    },
+    "q_dedup_minhash" ->
+      s"""WITH $minhashCtes
+         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM mh WHERE jac >= 0.5""".stripMargin,
+    "q_dedup_apply" ->
+      s"""WITH $minhashCtes,
+         |pairs AS (SELECT id_a, id_b FROM mh WHERE jac >= 0.5)
+         |SELECT doc_id, lang, source, n_chars FROM docs
+         |WHERE doc_id NOT IN (SELECT id_b FROM pairs)""".stripMargin,
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT id_a, id_b FROM mh WHERE jac >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+         |SELECT id, min(r) AS label FROM reach GROUP BY 1""".stripMargin,
     "q_dedup_simhash" ->
       (s"""WITH $docsWithDupsSql,
           |tk0 AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM docs),
@@ -565,6 +604,20 @@ object SparkEntry {
           |  FROM embeddings WHERE vec_id < 5),
           |c AS (SELECT vec_id AS corpus_id, embedding AS cv, ${bucketSql("embedding", 64, 6)} AS bucket FROM embeddings),
           |s AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine FROM c JOIN q USING (bucket)),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM s)
+          |SELECT query_id, corpus_id, cosine, rank FROM r WHERE rank <= 10""".stripMargin),
+    "q_ann_ivf" ->
+      (s"""WITH cen AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 100 = 0),
+          |ca AS (SELECT vec_id AS corpus_id, embedding AS cv, cid,
+          |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn
+          |  FROM embeddings, cen),
+          |caf AS (SELECT corpus_id, cv, cid FROM ca WHERE rn = 1),
+          |qa AS (SELECT vec_id AS query_id, embedding AS qv, cid,
+          |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn
+          |  FROM embeddings, cen WHERE vec_id < 5),
+          |qaf AS (SELECT query_id, qv, cid FROM qa WHERE rn <= 2),
+          |s AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine
+          |  FROM caf JOIN qaf USING (cid)),
           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM s)
           |SELECT query_id, corpus_id, cosine, rank FROM r WHERE rank <= 10""".stripMargin),
     "q_lang_id" ->

@@ -195,6 +195,62 @@ object Dedup {
       .select(col("__a"), explode(col("__ms")).as("__b"))
   }
 
+  /** Drop near-duplicates greedily: remove every row whose id appears
+    * as the LARGER member of a near-dup pair (pairs carry id_a <
+    * id_b), keeping the smallest id of each pairwise-connected group
+    * that is directly paired with it. One broadcast-able left-anti
+    * join against the (tiny) pair list.
+    */
+  def dropNearDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+    df.join(
+      broadcast(pairs.select(col("id_b").as(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+
+  /** Duplicate clusters from a near-dup pair list: (id, cluster_id)
+    * where cluster_id is the minimum id in the pair-connected
+    * component. Iterative min-label propagation run to fixpoint (the
+    * driver loop checks convergence; `localCheckpoint` cuts lineage
+    * each round). Iteration count is the cluster diameter — tiny for
+    * dedup graphs; each round is one shuffle join + one aggregation,
+    * so this scales to billions of edges.
+    */
+  def duplicateClusters(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .localCheckpoint(true)
+    var labels = edges
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("__dl")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("__dl")).as("__nl"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("label", "__old"), Seq("id"))
+        .where(col("label") =!= col("__old"))
+        .limit(1)
+        .count()
+      converged = changed == 0
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** Distinct character k-shingles (the real implementation —
     * `substring` over a position sequence).
     */

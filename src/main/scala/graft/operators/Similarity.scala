@@ -78,6 +78,65 @@ object Similarity {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
+  /** IVF (inverted-file) approximate top-k: the corpus is assigned to
+    * its nearest "centroid" (a deterministic sample of corpus vectors
+    * — every `stride`-th id — so there is no trained model to ship);
+    * each query probes its `nprobe` nearest centroids and scores only
+    * those partitions' members.
+    *
+    * Scale shape: assignment is a broadcast of the (tiny) centroid
+    * set against the corpus — O(n·nlist) fused scoring in one pass,
+    * no shuffle of corpus rows until the per-vector argmax window;
+    * search touches ~n·nprobe/nlist of the corpus per query. Raise
+    * `stride` (fewer centroids) to cut assignment cost, raise
+    * `nprobe` to buy recall.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      qIdCol: String,
+      k: Int,
+      stride: Int = 100,
+      nprobe: Int = 2): DataFrame = {
+    val cen = corpus
+      .where(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"))
+
+    val wAssign = Window
+      .partitionBy(col("corpus_id"))
+      .orderBy(col("__ccos").desc, col("__cid").asc)
+    val assigned = corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+      .join(broadcast(cen))
+      .withColumn("__ccos", cosineSimilarityNative(col("__cv"), col("__cvec")))
+      .withColumn("__rn", row_number().over(wAssign))
+      .where(col("__rn") === 1)
+      .select("corpus_id", "__cv", "__cid")
+
+    val wProbe = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__qcos").desc, col("__cid").asc)
+    val probes = queries
+      .select(col(qIdCol).as("query_id"), col(vecCol).as("__qv"))
+      .join(broadcast(cen))
+      .withColumn("__qcos", cosineSimilarityNative(col("__qv"), col("__cvec")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .where(col("__rn") <= nprobe)
+      .select("query_id", "__qv", "__cid")
+
+    val wRank = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    assigned
+      .join(broadcast(probes), Seq("__cid"))
+      .withColumn("cosine", round(cosineSimilarityNative(col("__cv"), col("__qv")), 6))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates
     * from shared hyperplane buckets (self-equality-join — never
     * all-pairs).

@@ -91,6 +91,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("dropNearDuplicates: removes the larger id of each pair") {
+    val pairs = Seq((1L, 2L, 1.0)).toDF("id_a", "id_b", "jaccard")
+    val kept = Dedup.dropNearDuplicates(docs, pairs, "id")
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L))
+  }
+
+  test("duplicateClusters: min-label propagation over pair chains") {
+    // chain 1-2, 2-3 plus isolated pair 7-9: clusters {1,2,3}->1, {7,9}->7
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val labels = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("duplicateClusters: long chain converges to the global min") {
+    val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet == Set(1L))
+    assert(labels.keySet == (1L to 8L).toSet)
+  }
+
   test("ngramJaccardPairs: blocked pairs above threshold") {
     val blocked = docs.withColumn("blk", lit(1))
     val pairs = Dedup

@@ -28,6 +28,25 @@ class SessionizeSpec extends SparkSpec {
     assert(out == Seq(("u1", 2L, 3.0), ("u1", 1L, 3.0), ("u2", 1L, 4.0)))
   }
 
+  test("StreamDedup: duplicates within watermark dropped, state key is the content hash") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val deduped = graft.streaming.StreamDedup.byContentHash(
+      input.toDF(), Seq("user", "v"), "ts", watermark = "10 minutes")
+    val query = deduped.writeStream
+      .format("memory")
+      .queryName("graft_dedup")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(Ev("u1", t(0), 1.0), Ev("u1", t(1), 1.0), Ev("u1", t(2), 2.0))
+      query.processAllAvailable()
+      val out = spark.table("graft_dedup").select($"user", $"v")
+        .as[(String, Double)].collect().toSeq
+      assert(out.sorted == Seq(("u1", 1.0), ("u1", 2.0)))
+    } finally query.stop()
+  }
+
   test("streamingSessionAgg: MemoryStream sessions emitted after watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]

@@ -44,6 +44,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out.values.toSet.contains(2L))
   }
 
+  test("ivfTopK: probes the right partition; self is rank 1") {
+    // ids 0 and 3 are centroids (stride 3); query 1 should find itself
+    val c = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Seq(0.95f, 0.05f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.9f, 0.1f, 0.0f)))
+      .toDF("id", "vec")
+    val q = c.where($"id" === 1L)
+    val out = Similarity
+      .ivfTopK(c, q, "vec", "id", "id", k = 3, stride = 3, nprobe = 1)
+      .select($"corpus_id", $"rank")
+      .as[(Long, Int)]
+      .collect()
+      .toMap
+      .map(_.swap)
+    assert(out(1) == 1L) // itself
+    // probe covers only the x-axis centroid's partition: 0,1,2
+    assert(out.values.toSet.subsetOf(Set(0L, 1L, 2L)))
+  }
+
   test("nearDupPairs: finds the planted pair only") {
     val pairs = Similarity
       .nearDupPairs(corpus, "vec", "id", dim = 4, threshold = 0.95, numPlanes = 3)
