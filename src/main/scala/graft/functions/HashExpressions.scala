@@ -99,6 +99,94 @@ object HashKernels {
   }
 }
 
+/** Distinct character k-shingles of a string (code-point semantics,
+  * matching `substring`/`length`); input shorter than k → the whole
+  * string, matching `Dedup.charShingles`'s HOF formulation.
+  */
+case class CharShingles(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    CharShingles.shingles(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CharShingles.shingles($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingles =
+    copy(child = newChild)
+}
+
+object CharShingles {
+  def shingles(s: UTF8String, k: Int): ArrayData = {
+    val n = s.numChars()
+    if (n < k) return new GenericArrayData(Array[Any](s))
+    val seen = new java.util.LinkedHashSet[UTF8String](math.min(n * 2, 1 << 16))
+    var i = 0
+    while (i <= n - k) {
+      seen.add(s.substring(i, i + k))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Distinct word n-grams over a PRE-SPLIT token array (space-joined),
+  * matching `Dedup.wordShingles`'s HOF formulation: fewer tokens than
+  * n → one shingle of all tokens joined.
+  */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "ngram size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    WordNgrams.ngrams(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WordNgrams.ngrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+  private val SPACE = UTF8String.fromString(" ")
+
+  def ngrams(tokens: ArrayData, n: Int): ArrayData = {
+    val nt = tokens.numElements()
+    val toks = new Array[UTF8String](nt)
+    var i = 0
+    while (i < nt) { toks(i) = tokens.getUTF8String(i); i += 1 }
+    if (nt < n) {
+      return new GenericArrayData(
+        Array[Any](UTF8String.concatWs(SPACE, toks: _*)))
+    }
+    val seen = new java.util.LinkedHashSet[UTF8String](nt * 2)
+    i = 0
+    while (i <= nt - n) {
+      val slice = new Array[UTF8String](n)
+      System.arraycopy(toks, i, slice, 0, n)
+      seen.add(UTF8String.concatWs(SPACE, slice: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** Native SimHash — bit-identical to the HOF formulation mirrored by
   * the DuckDB oracle (see SparkEntry.simhashSql).
   */

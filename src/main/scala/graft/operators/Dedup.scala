@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{ChunkMinHash, JaccardSim, SimHash => SimHashExpr}
+import graft.functions.{ChunkMinHash, JaccardSim, SimHash => SimHashExpr, CharShingles => CharShinglesExpr, WordNgrams}
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -251,24 +251,21 @@ object Dedup {
     labels
   }
 
-  /** Distinct character k-shingles (the real implementation —
-    * `substring` over a position sequence).
+  /** Distinct character k-shingles (code-point semantics; shorter
+    * input → the whole string). Native codegen expression — the
+    * declarative twin (`array_distinct` over `transform(sequence)` of
+    * `substring`s) is interpreted and allocates three arrays per row.
     */
   def charShingles(c: Column, k: Int): Column =
-    when(length(c) >= k,
-      array_distinct(
-        transform(sequence(lit(0), length(c) - k), i => substring(c, i + 1, lit(k)))))
-      .otherwise(array(c))
+    GraftSqlBridge.column(CharShinglesExpr(GraftSqlBridge.expression(c), k))
 
-  /** Distinct word n-grams over whitespace tokens. */
+  /** Distinct word n-grams over whitespace tokens (fewer tokens than
+    * n → one shingle of all tokens joined). Tokenization stays the
+    * codegen'd `split`; the n-gram join + distinct is native.
+    */
   def wordShingles(c: Column, n: Int): Column = {
     val toks = split(trim(c), "\\s+")
-    when(size(toks) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, lit(n)), " "))))
-      .otherwise(array(array_join(toks, " ")))
+    GraftSqlBridge.column(WordNgrams(GraftSqlBridge.expression(toks), n))
   }
 
   // -------------------------------------------------------------- simhash
