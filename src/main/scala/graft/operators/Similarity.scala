@@ -57,15 +57,27 @@ object Similarity {
       qIdCol: String,
       k: Int,
       dim: Int,
-      numPlanes: Int = 8): DataFrame = {
+      numPlanes: Int = 8,
+      multiProbe: Int = 0): DataFrame = {
     val c = corpus.select(
       col(idCol).as("corpus_id"),
       col(vecCol).as("__cv"),
       hyperplaneBucketNative(col(vecCol), dim, numPlanes).as("__bucket"))
-    val q = queries.select(
+    val q0 = queries.select(
       col(qIdCol).as("query_id"),
       col(vecCol).as("__qv"),
       hyperplaneBucketNative(col(vecCol), dim, numPlanes).as("__bucket"))
+    // Multi-probe: additionally search the buckets at Hamming
+    // distance 1 from the query's bucket (first `multiProbe` plane
+    // flips) — recall without more shuffle, only more broadcast rows.
+    val q =
+      if (multiProbe <= 0) q0
+      else q0
+        .withColumn("__bucket",
+          explode(array(
+            (col("__bucket") +:
+              (0 until math.min(multiProbe, numPlanes)).map(p =>
+                col("__bucket").bitwiseXOR(lit(1 << p)))): _*)))
     val scored = c
       .join(broadcast(q), Seq("__bucket"))
       .withColumn("cosine", round(cosineSimilarityNative(col("__cv"), col("__qv")), 6))

@@ -44,6 +44,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out.values.toSet.contains(2L))
   }
 
+  test("lshTopK multi-probe: recovers neighbours one bucket-bit away") {
+    val q = corpus.where($"id" === 1L)
+    val noProbe = Similarity
+      .lshTopK(corpus, q, "vec", "id", "id", k = 5, dim = 4, numPlanes = 3)
+      .count()
+    val probed = Similarity
+      .lshTopK(corpus, q, "vec", "id", "id", k = 5, dim = 4, numPlanes = 3,
+        multiProbe = 3)
+      .count()
+    assert(probed >= noProbe) // extra buckets can only add candidates
+  }
+
   test("ivfTopK: probes the right partition; self is rank 1") {
     // ids 0 and 3 are centroids (stride 3); query 1 should find itself
     val c = Seq(
