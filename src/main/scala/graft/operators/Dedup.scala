@@ -6,7 +6,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for training-data pipelines: exact,
-  * MinHash+LSH, SimHash, n-gram Jaccard.
+  * MinHash+LSH (Broder, "On the resemblance and containment of
+  * documents", 1997; banding per Leskovec/Rajaraman/Ullman, Mining of
+  * Massive Datasets ch. 3), SimHash (Charikar, "Similarity estimation
+  * techniques from rounding algorithms", STOC 2002; Hamming-chunk
+  * blocking per Manku et al., "Detecting near-duplicates for web
+  * crawling", WWW 2007), n-gram Jaccard.
   *
   * Scale posture: every near-dup operator is LSH-first — candidate
   * pairs come from equality joins on band/bucket keys (shuffle rows

@@ -7,6 +7,12 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`).
   *
+  * Random-hyperplane LSH follows Charikar (STOC 2002); multi-probe
+  * follows Lv et al. (VLDB 2007); the IVF shape follows the
+  * inverted-file design popularized by Jégou et al. ("Product
+  * quantization for nearest neighbor search", TPAMI 2011), minus
+  * quantization — exact vectors within each list.
+  *
   * Two paths, same contract:
   *  - [[bruteForceTopK]]: exact cosine top-k; the query side is
   *    broadcast, so the corpus is scanned once with no shuffle of
