@@ -169,9 +169,14 @@ object SparkEntry {
         textCleaner(concat(col("text"), lit(" ۱۲۳!!abc❤"))).as("cleaned"))
     }),
     "q_jalali_date" -> ((s, dir) => {
+      // Two-level aggregate: count per Gregorian date first (~2.4k
+      // groups), THEN run the calendar conversion on the post-agg
+      // cardinality — the expensive scalar runs 60× fewer times.
       t(s, dir, "orders")
-        .groupBy(jalaliDate(col("o_orderdate")).as("jdate"))
+        .groupBy(col("o_orderdate"))
         .agg(count(lit(1)).as("cnt"))
+        .groupBy(jalaliDate(col("o_orderdate")).as("jdate"))
+        .agg(sum(col("cnt")).as("cnt"))
     }),
     // --------------------------------------------- §2.2 dataframe ops
     "q_is_null_or_in" -> ((s, dir) => {
