@@ -414,13 +414,14 @@ object SparkEntry {
       .map(h => s"list_min(list_transform($setExpr, x -> substr(md5(x), ${h * 4 + 1}, 4)))")
       .mkString("[", ", ", "]")
 
-  // Mirrors Dedup.simHash: bit j of the 28-bit feature hash (integer
-  // value of md5 hex chars 1..7) lives in hex char 7 - j/4, bit j%4.
+  // Mirrors Dedup.simHash: bit j of the bits-wide feature hash
+  // (integer value of md5 hex chars 1..bits/4) lives in hex char
+  // bits/4 - j/4, bit j%4.
   private def simhashSql(tkExpr: String, bits: Int): String =
     (0 until bits).map { j =>
-      val nib = 7 - j / 4
+      val nib = bits / 4 - j / 4
       val shift = j % 4
-      s"(CASE WHEN list_sum(list_transform($tkExpr, t -> (((strpos('0123456789abcdef', substr(md5(t), $nib, 1)) - 1) >> $shift) & 1) * 2 - 1)) > 0 THEN ${1 << j} ELSE 0 END)"
+      s"(CASE WHEN list_sum(list_transform($tkExpr, t -> (((strpos('0123456789abcdef', substr(md5(t), $nib, 1)) - 1) >> $shift) & 1) * 2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
   private def swListSql(lang: String): String =

@@ -18,11 +18,14 @@ object HashKernels {
     MessageDigest.getInstance("MD5").digest(bytes)
 
   /** SimHash signature over a token array: per token ONE md5; the
-    * 28-bit feature hash is the integer value of the digest's first 7
-    * hex nibbles (= big-endian int of bytes 0..3, shifted right 4);
-    * signature bit j is the sign of the Σ(2·bit_j−1) vote.
+    * `bits`-wide feature hash is the integer value of the digest's
+    * first bits/4 hex nibbles (big-endian); signature bit j is the
+    * sign of the Σ(2·bit_j−1) vote. `bits` must be a multiple of 4,
+    * ≤ 60 (fits a long; the DuckDB mirror addresses hex char
+    * `bits/4 − j/4`, bit `j%4`).
     */
-  def simHash(tokens: ArrayData, bits: Int): Int = {
+  def simHash(tokens: ArrayData, bits: Int): Long = {
+    val nibs = bits / 4
     val votes = new Array[Int](bits)
     val n = tokens.numElements()
     var t = 0
@@ -30,16 +33,21 @@ object HashKernels {
       val s = tokens.getUTF8String(t)
       if (s != null) {
         val d = md5(s.getBytes)
-        val tb = (((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) |
-          ((d(2) & 0xff) << 8) | (d(3) & 0xff)) >>> 4
+        var tb = 0L
+        var i = 0
+        while (i < nibs) {
+          val nib = if (i % 2 == 0) (d(i / 2) >> 4) & 0xf else d(i / 2) & 0xf
+          tb = (tb << 4) | nib
+          i += 1
+        }
         var j = 0
-        while (j < bits) { votes(j) += (((tb >>> j) & 1) * 2 - 1); j += 1 }
+        while (j < bits) { votes(j) += ((((tb >>> j) & 1L).toInt) * 2 - 1); j += 1 }
       }
       t += 1
     }
-    var sig = 0
+    var sig = 0L
     var j = 0
-    while (j < bits) { if (votes(j) > 0) sig |= 1 << j; j += 1 }
+    while (j < bits) { if (votes(j) > 0) sig |= 1L << j; j += 1 }
     sig
   }
 
@@ -191,9 +199,10 @@ object WordNgrams {
   * the DuckDB oracle (see SparkEntry.simhashSql).
   */
 case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
-  require(bits >= 1 && bits <= 28, "simHash bits come from 7 md5 nibbles (≤ 28)")
+  require(bits >= 4 && bits <= 60 && bits % 4 == 0,
+    "simHash bits must be a multiple of 4, between 4 and 60")
 
-  override def dataType: DataType = IntegerType
+  override def dataType: DataType = LongType
   override def prettyName: String = "simhash"
 
   override def nullSafeEval(input: Any): Any =

@@ -276,20 +276,18 @@ object Dedup {
   // -------------------------------------------------------------- simhash
 
   /** SimHash over distinct word `ngram`-shingles of the lowercased
-    * text, `bits` wide (≤ 28: all bits come from the first 7 nibbles
-    * of ONE md5 per feature). The signature bit j is the sign of the
-    * ±1 vote sum of bit j across features. Use `ngram >= 2` when the
-    * corpus vocabulary is small — unigram features stop
-    * discriminating.
-    *
-    * One aggregation pass, one md5 per feature: the 28-bit feature
-    * hash is bound once via a single-element `transform` (a
-    * let-binding — lambda variables are evaluated once per element,
-    * unlike repeated subexpressions), then all bit votes are derived
-    * from the bound value.
+    * text, `bits` wide (multiple of 4, ≤ 60 — all bits come from the
+    * first bits/4 nibbles of ONE md5 per feature; native kernel, one
+    * pass). The signature bit j is the sign of the ±1 vote sum of bit
+    * j across features. Use `ngram >= 2` when the corpus vocabulary
+    * is small — unigram features stop discriminating. At
+    * billion-document scale use `bits` ≥ 48 so the Hamming-chunk
+    * blocking keys (width bits/(maxHamming+1)) keep enough entropy to
+    * avoid degenerate buckets.
     */
   def simHash(c: Column, bits: Int = 28, ngram: Int = 2): Column = {
-    require(bits >= 1 && bits <= 28, "simHash bits come from 7 md5 nibbles (≤ 28)")
+    require(bits >= 4 && bits <= 60 && bits % 4 == 0,
+      "simHash bits must be a multiple of 4, between 4 and 60")
     val toks =
       if (ngram == 1) array_distinct(split(trim(lower(c)), "\\s+"))
       else wordShingles(lower(c), ngram)

@@ -73,11 +73,21 @@ class DedupSpec extends SparkSpec {
       .toDF("id", "text")
     val sigs = df
       .select($"id", Dedup.simHash($"text", 28, 2).as("sig"))
-      .as[(Long, Int)]
+      .as[(Long, Long)]
       .collect()
       .toMap
     assert(sigs(1L) == sigs(2L))
     assert(sigs(1L) != sigs(3L))
+  }
+
+  test("simHash: 60-bit signatures use the high nibbles") {
+    val df = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
+    val (s28, s60) = df.select(
+      Dedup.simHash($"text", 28, 2).as("a"),
+      Dedup.simHash($"text", 60, 2).as("b"))
+      .as[(Long, Long)].head()
+    assert(s60 != s28) // different nibble base → different bit values
+    assert(s60 >= 0L && s60 < (1L << 60))
   }
 
   test("simHashPairs: identical docs matched, unrelated docs not") {

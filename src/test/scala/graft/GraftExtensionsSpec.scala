@@ -22,7 +22,7 @@ class GraftExtensionsSpec extends SparkSpec {
       .sql("SELECT char_shingles(text, 5) AS s, simhash(word_ngrams(split(text, '\\\\s+'), 2), 28) AS sig FROM docs_sql")
       .collect()(0)
     assert(sh.getSeq[String](0).nonEmpty)
-    assert(sh.getInt(1) != 0)
+    assert(sh.getLong(1) != 0L)
 
     val jac = spark
       .sql("SELECT jaccard_sim(array('a','b'), array('b','c')) AS j")
