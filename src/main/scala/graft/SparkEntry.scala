@@ -526,6 +526,30 @@ object SparkEntry {
         col("doc_id"),
         graft.functions.TextAnalysis.fingerprint(col("text")).as("fp"))
     }),
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_ms", "value")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ms"), col("value").as("pvalue"))
+      graft.operators.TemporalJoin
+        .asOf(clicks, purchases, "ts_ms", "ts_ms", Seq("user_id"),
+          Seq("pvalue"), prefix = "purchase_")
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          col("purchase_ts"), col("purchase_pvalue").as("purchase_value"))
+    }),
+    "q_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+      val windows = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ms").as("w_start"),
+          (col("ts_ms") + 3600000L).as("w_end"))
+      graft.operators.TemporalJoin
+        .rangeJoin(views, windows, "ts_ms", "w_start", "w_end",
+          Seq("user_id"), bucketWidth = 3600000L)
+        .select("event_id", "user_id", "ts_ms", "w_start")
+    }),
     "q_multimodal_meta" -> ((s, dir) => {
       graft.multimodal.Multimodal
         .attachBinary(t(s, dir, "documents"), "text")
@@ -669,6 +693,19 @@ object SparkEntry {
         |  md5(array_to_string(list_sort(list_distinct(
         |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))), ' ')) AS fp
         |FROM documents""".stripMargin,
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type, value FROM events),
+        |c AS (SELECT event_id, user_id, ms, value FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ms, value FROM e WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ms AS ts_ms,
+        |  p.ms AS purchase_ts, p.value AS purchase_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ms >= p.ms""".stripMargin,
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type FROM events),
+        |v AS (SELECT event_id, user_id, ms FROM e WHERE event_type = 'view'),
+        |w AS (SELECT user_id, ms AS w_start, ms + 3600000 AS w_end FROM e WHERE event_type = 'purchase')
+        |SELECT v.event_id, v.user_id, v.ms AS ts_ms, w.w_start
+        |FROM v JOIN w ON v.user_id = w.user_id AND v.ms BETWEEN w.w_start AND w.w_end""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, 'image' AS kind, octet_length(encode(text))::BIGINT AS size_bytes,
         |  md5(text) AS checksum
