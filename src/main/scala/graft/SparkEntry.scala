@@ -526,6 +526,15 @@ object SparkEntry {
         col("doc_id"),
         graft.functions.TextAnalysis.fingerprint(col("text")).as("fp"))
     }),
+    "q_profile" -> ((s, dir) => {
+      graft.operators.Profile.profile(
+        t(s, dir, "events").withColumn("et", expr("nullif(event_type, 'error')")),
+        Seq("user_id", "et", "value"))
+    }),
+    "q_tfidf" -> ((s, dir) => {
+      graft.functions.TextAnalysis.tfIdfTopK(
+        t(s, dir, "documents"), "text", "doc_id", k = 5)
+    }),
     "q_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val clicks = ev.where(col("event_type") === "click")
@@ -693,6 +702,26 @@ object SparkEntry {
         |  md5(array_to_string(list_sort(list_distinct(
         |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))), ' ')) AS fp
         |FROM documents""".stripMargin,
+    "q_profile" ->
+      """WITH e AS (SELECT user_id, nullif(event_type, 'error') AS et, value FROM events)
+        |SELECT 'user_id' AS "column", count(*) AS n_rows,
+        |  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+        |  count(DISTINCT user_id) AS n_distinct FROM e
+        |UNION ALL SELECT 'et', count(*),
+        |  sum(CASE WHEN et IS NULL THEN 1 ELSE 0 END), count(DISTINCT et) FROM e
+        |UNION ALL SELECT 'value', count(*),
+        |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END), count(DISTINCT value) FROM e""".stripMargin,
+    "q_tfidf" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tc FROM tk GROUP BY 1, 2),
+        |tfl AS (SELECT *, sum(tc) OVER (PARTITION BY doc_id) AS dlen FROM tf),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS dfc FROM tk GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        |s AS (SELECT doc_id, term,
+        |  (tc::DOUBLE / dlen) * (ln((nd + 1)::DOUBLE / (dfc + 1)) + 1) AS tfidf
+        |  FROM tfl JOIN dfq USING (term), n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM s)
+        |SELECT doc_id, term, round(tfidf, 6) AS tfidf, rank FROM r WHERE rank <= 5""".stripMargin,
     "q_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type, value FROM events),
         |c AS (SELECT event_id, user_id, ms, value FROM e WHERE event_type = 'click'),

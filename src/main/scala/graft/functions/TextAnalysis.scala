@@ -95,6 +95,50 @@ object TextAnalysis {
     md5(array_join(toks, " "))
   }
 
+  /** Top-k TF-IDF terms per document (corpus-level operator).
+    *
+    * tf = term count / document token count; idf = ln((N+1)/(df+1))+1
+    * (smoothed, so corpus-universal terms still score). Deterministic
+    * top-k: rank by (tfidf DESC, term ASC).
+    *
+    * Scale shape: one explode+groupBy for per-doc term counts
+    * (map-side combined), one groupBy for document frequencies (df —
+    * shuffles one row per distinct term, not per occurrence), one
+    * shuffle-join on term, one window for top-k. The N scalar is a
+    * separate tiny aggregate, not a driver collect of data rows.
+    *
+    * @return (idCol, term, tfidf, rank), rank 1..k.
+    */
+  def tfIdfTopK(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("term"))
+    val tf = toks
+      .groupBy(col("__id"), col("term"))
+      .agg(count(lit(1)).as("__tc"))
+      .withColumn("__dlen", sum(col("__tc")).over(Window.partitionBy(col("__id"))))
+    val dfreq = toks.select("__id", "term").distinct()
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"))
+    val n = df.select(countDistinct(col(idCol)).as("__n"))
+    val scored = tf
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "tfidf",
+        (col("__tc").cast("double") / col("__dlen")) *
+          (log((col("__n") + 1).cast("double") / (col("__df") + 1)) + 1))
+    val w = Window.partitionBy(col("__id")).orderBy(col("tfidf").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("__id").as(idCol), col("term"),
+        round(col("tfidf"), 6).as("tfidf"), col("rank"))
+  }
+
   /** Polynomial rolling hash of the raw text (base 31, mod 2^61-1),
     * computed with the incremental aggregate lambda — the
     * order-sensitive cousin of [[fingerprint]].

@@ -46,6 +46,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0) != out(2))
   }
 
+  test("tfIdfTopK: rare distinguishing terms outrank corpus-universal ones") {
+    val df = Seq(
+      (1L, "common zebra zebra"),
+      (2L, "common apple apple"),
+      (3L, "common apple apple")).toDF("doc_id", "text")
+    val out = tfIdfTopK(df, "text", "doc_id", k = 1)
+      .select($"doc_id", $"term").as[(Long, String)].collect().toMap
+    assert(out(1L) == "zebra") // tf 2/3, df=1 — beats corpus-universal "common"
+    assert(out(2L) == "apple") // tf 2/3, df=2
+  }
+
   test("rollingHash: order-sensitive, deterministic") {
     val df = Seq("abc", "abc", "acb").toDF("s")
     val out = df.select(rollingHash($"s").as("h")).as[Long].collect().toSeq
