@@ -31,9 +31,17 @@ object Dedup {
     * distinct combination of `cols`. One hash-shuffle on the md5 of
     * the content columns (tiny keys, not full text, on the wire).
     */
+  /** Content key: single column hashes directly; multiple columns
+    * hash their JSON struct encoding, which preserves column
+    * boundaries and nulls (concat_ws would skip null columns,
+    * conflating ("a", null) with ("a")).
+    */
+  private def contentKey(cols: Seq[String]): Column =
+    if (cols.sizeIs == 1) md5(col(cols.head))
+    else md5(to_json(struct(cols.map(col): _*)))
+
   def exact(df: DataFrame, cols: Seq[String], keepCol: String): DataFrame = {
-    val key = md5(concat_ws("", cols.map(col): _*))
-    val w = Window.partitionBy(key).orderBy(col(keepCol))
+    val w = Window.partitionBy(contentKey(cols)).orderBy(col(keepCol))
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .drop("__rn")
@@ -43,7 +51,7 @@ object Dedup {
     * content — the aggregate view of [[exact]].
     */
   def exactStats(df: DataFrame, cols: Seq[String], idCol: String): DataFrame =
-    df.groupBy(md5(concat_ws("", cols.map(col): _*)).as("content_key"))
+    df.groupBy(contentKey(cols).as("content_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
   // -------------------------------------------------------------- minhash

@@ -19,6 +19,17 @@ class DedupSpec extends SparkSpec {
     assert(ids == Seq(1L, 3L, 4L))
   }
 
+  test("exact: multi-column keys distinguish nulls from missing values") {
+    val df = Seq(
+      (1L, Some("a"), Some("b")),
+      (2L, Some("a"), None), // NOT a duplicate of ("a", "b") or ("a")
+      (3L, Some("a"), None)) // duplicate of 2
+      .toDF("id", "x", "y")
+    val kept = Dedup.exact(df, Seq("x", "y"), "id")
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L))
+  }
+
   test("exactStats: group sizes per content key") {
     val out = Dedup
       .exactStats(docs, Seq("text"), "id")
