@@ -236,10 +236,12 @@ object Dedup {
       .select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .localCheckpoint(true)
+    // Seed with min(self, direct neighbours) — one aggregation. Pair
+    // and star graphs (the bulk of dedup graphs) converge right here,
+    // so the loop usually runs a single confirmation round.
     var labels = edges
-      .select(col("src").as("id"))
-      .distinct()
-      .withColumn("label", col("id"))
+      .groupBy(col("src").as("id"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
