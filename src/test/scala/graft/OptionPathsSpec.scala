@@ -1,0 +1,106 @@
+package graft
+
+import graft.functions.ColumnFunctions._
+import graft.operators.{DataFrameOps, Dedup, Similarity, TemporalJoin, TrendLine}
+import org.apache.spark.sql.functions._
+
+/** Coverage for non-default option paths across the operator set. */
+class OptionPathsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cumulativeSum: descending order accumulates from the top") {
+    val df = Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("t", "v")
+    val out = df
+      .select($"t", cumulativeSum($"v", $"t", ascending = false).as("cs"))
+      .as[(Int, Double)].collect().toMap
+    assert(out(3) == 30.0 && out(2) == 50.0 && out(1) == 60.0)
+  }
+
+  test("movingAverage: partitioned windows stay within their partition") {
+    val df = Seq(("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 100.0)).toDF("k", "t", "v")
+    val out = df
+      .select($"k", $"t",
+        movingAverage($"v", $"t", 3, "previous", 2, partitionBy = Seq($"k")).as("m"))
+      .as[(String, Int, Double)].collect()
+      .map { case (k, t, m) => (k, t) -> m }.toMap
+    assert(out(("a", 2)) == 15.0)
+    assert(out(("b", 1)) == 100.0) // not polluted by partition a
+  }
+
+  test("percent: custom rounding precision") {
+    val df = Seq(1.0, 2.0).toDF("v")
+    val out = df.select(percent($"v", r = 4).as("p")).as[Double].collect().sorted.toSeq
+    assert(out == Seq(33.3333, 66.6667))
+  }
+
+  test("unionAll: three frames with pairwise-disjoint columns") {
+    val a = Seq((1, "x")).toDF("id", "a")
+    val b = Seq((2, 2.5)).toDF("id", "b")
+    val c = Seq((3, true)).toDF("id", "c")
+    val out = DataFrameOps.unionAll(Seq(a, b, c))
+    assert(out.columns.toSet == Set("id", "a", "b", "c"))
+    assert(out.count() == 3)
+  }
+
+  test("minHashLshPairs: fast (xxhash64) path finds the planted dup") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (3L, "unrelated astronomy content about jupiter moons and telescopes"))
+      .toDF("id", "text")
+    val pairs = Dedup
+      .minHashLshPairs(docs, "text", "id", shingleK = 5, numHashes = 8,
+        bands = 2, jaccardThreshold = 0.5, fast = true)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simHashPairs: maxHamming=2 uses three chunks and still matches exact dups") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally different words everywhere here now then"))
+      .toDF("id", "text")
+    val pairs = Dedup
+      .simHashPairs(docs, "text", "id", bits = 48, maxHamming = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("lshTopK: multiProbe larger than numPlanes is capped safely") {
+    val c = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))).toDF("id", "v")
+    val out = Similarity.lshTopK(c, c, "v", "id", "id", k = 2, dim = 2,
+      numPlanes = 2, multiProbe = 10)
+    assert(out.count() >= 2) // both find at least themselves
+  }
+
+  test("trendLine: invalid degree rejected; constant series fits flat") {
+    val df = (0 until 5)
+      .map(i => (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), 7.0))
+      .toDF("date", "y")
+    intercept[IllegalArgumentException](TrendLine.addTrendLine(df, Seq("y"), degree = 0))
+    val out = TrendLine.addTrendLine(df, Seq("y"), "date")
+    val t = out.select(round($"y_trendline", 6)).as[Double].collect().toSet
+    assert(t == Set(7.0))
+  }
+
+  test("asOf: composite keys partition matches independently") {
+    val right = Seq(("a", 1, 10L, 1.0), ("b", 1, 10L, 2.0)).toDF("k1", "k2", "rts", "px")
+    val left = Seq(("a", 1, 20L), ("b", 1, 20L), ("a", 2, 20L)).toDF("k1", "k2", "lts")
+    val out = TemporalJoin
+      .asOf(left, right, "lts", "rts", Seq("k1", "k2"), Seq("px"), prefix = "r_")
+      .select($"k1", $"k2", $"r_px").collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out(("a", 1)).contains(1.0))
+    assert(out(("b", 1)).contains(2.0))
+    assert(out(("a", 2)).isEmpty)
+  }
+
+  test("sessionAgg without a value column omits value_sum") {
+    val df = Seq(("u", new java.sql.Timestamp(0L), 1.0)).toDF("user", "ts", "v")
+    val out = graft.streaming.Sessionize.sessionAgg(df, "user", "ts")
+    assert(!out.columns.contains("value_sum"))
+    assert(out.columns.contains("n_events"))
+  }
+}
