@@ -122,16 +122,19 @@ object Similarity {
       .where(pmod(col(idCol), lit(stride)) === 0)
       .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"))
 
-    val wAssign = Window
-      .partitionBy(col("corpus_id"))
-      .orderBy(col("__ccos").desc, col("__cid").asc)
+    // Corpus→centroid argmax as max(struct(cos, -cid, ...)) — a hash
+    // aggregation with map-side partials, not a window (which would
+    // sort-shuffle the full corpus, the 100 TB side). The -cid field
+    // makes ties deterministic (highest cos, then lowest cid) exactly
+    // like the ORDER BY (cos DESC, cid) the oracle uses.
     val assigned = corpus
       .select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
       .join(broadcast(cen))
       .withColumn("__ccos", cosineSimilarityNative(col("__cv"), col("__cvec")))
-      .withColumn("__rn", row_number().over(wAssign))
-      .where(col("__rn") === 1)
-      .select("corpus_id", "__cv", "__cid")
+      .groupBy(col("corpus_id"))
+      .agg(max(struct(col("__ccos"), (-col("__cid")).as("__negcid"),
+        col("__cid").as("__cid"), col("__cv").as("__cv"))).as("__m"))
+      .select(col("corpus_id"), col("__m.__cv").as("__cv"), col("__m.__cid").as("__cid"))
 
     val wProbe = Window
       .partitionBy(col("query_id"))
