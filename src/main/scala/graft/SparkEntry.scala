@@ -526,6 +526,12 @@ object SparkEntry {
         col("doc_id"),
         graft.functions.TextAnalysis.fingerprint(col("text")).as("fp"))
     }),
+    "q_sample" -> ((s, dir) => {
+      graft.operators.Sampling.stratifiedSample(
+        t(s, dir, "documents"), "lang",
+        Map("en" -> 0.5, "fr" -> 0.25, "zh" -> 1.0), "doc_id", seed = 7)
+        .select("doc_id", "lang")
+    }),
     "q_profile" -> ((s, dir) => {
       graft.operators.Profile.profile(
         t(s, dir, "events").withColumn("et", expr("nullif(event_type, 'error')")),
@@ -702,6 +708,17 @@ object SparkEntry {
         |  md5(array_to_string(list_sort(list_distinct(
         |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))), ' ')) AS fp
         |FROM documents""".stripMargin,
+    "q_sample" -> {
+      def keep(frac: Double) =
+        s"(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR || ':7'), 1, 1)) - 1) * 4096 + " +
+          s"(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR || ':7'), 2, 1)) - 1) * 256 + " +
+          s"(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR || ':7'), 3, 1)) - 1) * 16 + " +
+          s"(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR || ':7'), 4, 1)) - 1) < ${math.floor(frac * 65536).toInt}"
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE (lang = 'en' AND ${keep(0.5)})
+         |   OR (lang = 'fr' AND ${keep(0.25)})
+         |   OR (lang = 'zh' AND ${keep(1.0)})""".stripMargin
+    },
     "q_profile" ->
       """WITH e AS (SELECT user_id, nullif(event_type, 'error') AS et, value FROM events)
         |SELECT 'user_id' AS "column", count(*) AS n_rows,
