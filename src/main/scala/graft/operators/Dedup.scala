@@ -36,7 +36,7 @@ object Dedup {
     * boundaries and nulls (concat_ws would skip null columns,
     * conflating ("a", null) with ("a")).
     */
-  private def contentKey(cols: Seq[String]): Column =
+  private[graft] def contentKey(cols: Seq[String]): Column =
     if (cols.sizeIs == 1) md5(col(cols.head))
     else md5(to_json(struct(cols.map(col): _*)))
 
@@ -160,13 +160,10 @@ object Dedup {
             array_min(transform(col("__sh"), s => xxhash64(s, lit(h)))).cast("string")): _*))
       else
         shingled.withColumn("__mins", chunkMinsNative(col("__sh"), numHashes))
-    val bandCols = (0 until bands).map { b =>
-      md5(concat_ws("|",
-        (0 until rows).map(r => element_at(col("__mins"), b * rows + r + 1)): _*))
-    }
     val exploded = minned
       .select(col("__id"), col("__sh"),
-        posexplode(array(bandCols: _*)).as(Seq("__bpos", "__bkey")))
+        posexplode(bandKeys(col("__mins"), numHashes, bands))
+          .as(Seq("__bpos", "__bkey")))
 
     bucketPairs(exploded, struct(col("__id"), col("__sh")), maxBucket)
       .select(
@@ -250,9 +247,18 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label").as("__dl")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("__dl")).as("__nl"))
-      val next = labels
+      val stepped = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
+      // Pointer jumping: follow label -> label(label) so the min
+      // label doubles its reach per round — O(log diameter) rounds
+      // instead of O(diameter) for chain-shaped components.
+      val next = stepped
+        .join(
+          stepped.select(col("id").as("label"), col("label").as("__ll")),
+          Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
         .localCheckpoint(true)
       val changed = next
         .join(labels.withColumnRenamed("label", "__old"), Seq("id"))
@@ -263,6 +269,9 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"duplicateClusters did not converge in $maxIter rounds — " +
+        "component diameter exceeds 2^maxIter; raise maxIter")
     labels
   }
 
@@ -327,7 +336,7 @@ object Dedup {
       col("__sig"),
       posexplode(array((0 until chunks).map { ci =>
         shiftright(col("__sig"), ci * chunkBits)
-          .bitwiseAND((1 << chunkBits) - 1)
+          .bitwiseAND((1L << chunkBits) - 1)
           .as(s"c$ci")
       }: _*)).as(Seq("__bpos", "__bkey")))
 

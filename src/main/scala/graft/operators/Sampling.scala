@@ -19,7 +19,9 @@ object Sampling {
     */
   def keepFlag(idCol: Column, fraction: Double, seed: Int = 0): Column = {
     require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
-    conv(substring(md5(concat_ws(":", idCol.cast("string"), lit(seed))), 1, 4), 16, 10)
+    // concat (not concat_ws): a null id must null-propagate so the
+    // row is dropped, exactly like the oracle's `id::VARCHAR || ...`.
+    conv(substring(md5(concat(idCol.cast("string"), lit(":" + seed))), 1, 4), 16, 10)
       .cast("int") < lit(math.floor(fraction * 65536).toInt)
   }
 

@@ -169,13 +169,19 @@ object Similarity {
       dim: Int,
       threshold: Double,
       numPlanes: Int = 6): DataFrame = {
-    val bucketed = df.select(
+    // Bucket-grouped pair generation (one computation of the bucket
+    // lineage, one shuffle) — a column-renamed self-join would
+    // recompute the hyperplane buckets on both sides.
+    val exploded = df.select(
       col(idCol).as("__id"),
       col(vecCol).as("__v"),
-      hyperplaneBucketNative(col(vecCol), dim, numPlanes).as("__bucket"))
-    val a = bucketed.select(col("__id").as("id_a"), col("__v").as("__va"), col("__bucket"))
-    val b = bucketed.select(col("__id").as("id_b"), col("__v").as("__vb"), col("__bucket"))
-    a.join(b, Seq("__bucket"))
+      lit(0).as("__bpos"),
+      hyperplaneBucketNative(col(vecCol), dim, numPlanes).as("__bkey"))
+    Dedup
+      .bucketPairs(exploded, struct(col("__id"), col("__v")), maxBucket = 0)
+      .select(
+        col("__a.__id").as("id_a"), col("__a.__v").as("__va"),
+        col("__b.__id").as("id_b"), col("__b.__v").as("__vb"))
       .where(col("id_a") < col("id_b"))
       .withColumn("cosine", round(cosineSimilarityNative(col("__va"), col("__vb")), 6))
       .where(col("cosine") >= threshold)

@@ -46,14 +46,22 @@ object TrendLine {
     // happens after fitting, for prediction output); match that.
     val fitBase = dated.withColumn("__x", x)
 
-    val momentAggs: Seq[Column] =
-      (0 to 2 * degree).map(p => sum(pow(col("__x"), p)).as(s"sx$p")) ++
-        valueCols.flatMap(v =>
-          (0 to degree).map(p => sum(pow(col("__x"), p) * col(v)).as(s"sxy_${v}_$p")))
+    // Per-column moments, both conditioned on the SAME row set (rows
+    // where that column is non-null): Spark's sum skips nulls in
+    // Σxᵖ·y, so an unconditioned Σxᵖ would mix row sets and solve the
+    // wrong normal equations whenever a value column has nulls.
+    val momentAggs: Seq[Column] = valueCols.flatMap { v =>
+      (0 to 2 * degree).map(p =>
+        sum(when(col(v).isNotNull, pow(col("__x"), p))).as(s"sx_${v}_$p")) ++
+        (0 to degree).map(p =>
+          sum(pow(col("__x"), p) * col(v)).as(s"sxy_${v}_$p"))
+    }
     val m = fitBase.agg(momentAggs.head, momentAggs.tail: _*).head()
 
-    val sx = (0 to 2 * degree).map(p => m.getAs[Double](s"sx$p")).toArray
     val coeffs: Map[String, Array[Double]] = valueCols.map { v =>
+      require(!m.isNullAt(m.fieldIndex(s"sx_${v}_0")),
+        s"trend line for '$v': no non-null values to fit")
+      val sx = (0 to 2 * degree).map(p => m.getAs[Double](s"sx_${v}_$p")).toArray
       val b = (0 to degree).map(p => m.getAs[Double](s"sxy_${v}_$p")).toArray
       val a = Array.tabulate(degree + 1, degree + 1)((i, j) => sx(i + j))
       v -> solve(a, b)

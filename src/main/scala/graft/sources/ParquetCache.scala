@@ -46,7 +46,9 @@ object ParquetCache {
 
     products.foreach { product =>
       val dir = productPath(product)
-      val exists = fs.exists(dir)
+      // A bare directory left by a failed/killed write must NOT count
+      // as cached: require the committer's _SUCCESS marker.
+      val exists = fs.exists(new Path(dir, "_SUCCESS"))
       if (exists && !overwrite) {
         logger(s"load ${product.toMap}")
       } else {

@@ -34,7 +34,7 @@ object StreamDedup {
       tsCol: String,
       watermark: String = "1 hour"): DataFrame =
     stream
-      .withColumn("__ck", md5(concat_ws("", contentCols.map(col): _*)))
+      .withColumn("__ck", graft.operators.Dedup.contentKey(contentCols))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("__ck"))
       .drop("__ck")

@@ -55,6 +55,26 @@ class OptionPathsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("simHashPairs: wide-chunk masks (bits=48, maxHamming=0) stay correct") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally different words everywhere here now then"))
+      .toDF("id", "text")
+    // chunkBits = 48: an Int mask (1 << 48) would wrap to garbage
+    val pairs = Dedup
+      .simHashPairs(docs, "text", "id", bits = 48, maxHamming = 0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("duplicateClusters: 40-doc chain converges via pointer jumping") {
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.duplicateClusters(pairs, maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet == Set(1L))
+  }
+
   test("simHashPairs: maxHamming=2 uses three chunks and still matches exact dups") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

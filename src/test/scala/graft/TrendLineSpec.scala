@@ -40,6 +40,18 @@ class TrendLineSpec extends SparkSpec {
     assert(t("2024-01-05") == 17.0) // x=4 → 1+16
   }
 
+  test("null values are excluded from the fit consistently (moments share a row set)") {
+    // y observed as 2.0 on 5 dates, null on 5 more: the correct
+    // least-squares fit of the observed points is the constant 2.0.
+    val df = (0 until 10)
+      .map(i => (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+        if (i < 5) Some(2.0) else None))
+      .toDF("date", "y")
+    val out = TrendLine.addTrendLine(df, Seq("y"), "date")
+    val t = out.select(round($"y_trendline", 6)).as[Double].collect().toSet
+    assert(t == Set(2.0))
+  }
+
   test("multiple value columns fitted independently") {
     val df = (0 until 5)
       .map(i => (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
