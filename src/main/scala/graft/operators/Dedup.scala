@@ -205,6 +205,30 @@ object Dedup {
       .select(col("__a"), explode(col("__ms")).as("__b"))
   }
 
+  /** End-to-end near-dedup in one call: MinHash-LSH pairs →
+    * connected-component clusters → keep only each cluster's
+    * smallest id. Transitive, unlike the greedy
+    * [[dropNearDuplicates]]: in a chain a~b~c (a<b<c) exactly `a`
+    * survives even though (a,c) was never a direct pair.
+    */
+  def minHashLshDedup(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleK: Int = 5,
+      numHashes: Int = 8,
+      bands: Int = 2,
+      jaccardThreshold: Double = 0.5,
+      fast: Boolean = false,
+      maxBucket: Int = 0): DataFrame = {
+    val pairs = minHashLshPairs(df, textCol, idCol, shingleK, numHashes,
+      bands, jaccardThreshold, fast, maxBucket)
+    val losers = duplicateClusters(pairs)
+      .where(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    df.join(broadcast(losers), Seq(idCol), "left_anti")
+  }
+
   /** Drop near-duplicates greedily: remove every row whose id appears
     * as the LARGER member of a near-dup pair (pairs carry id_a <
     * id_b), keeping the smallest id of each pairwise-connected group

@@ -112,6 +112,13 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("minHashLshDedup: end-to-end keeps one representative per dup cluster") {
+    val kept = Dedup.minHashLshDedup(docs, "text", "id")
+      .select($"id").as[Long].collect().sorted.toSeq
+    // 1 and 2 are exact dups → keep 1; 3 and 4 unique enough to survive
+    assert(kept.contains(1L) && !kept.contains(2L) && kept.contains(4L))
+  }
+
   test("dropNearDuplicates: removes the larger id of each pair") {
     val pairs = Seq((1L, 2L, 1.0)).toDF("id_a", "id_b", "jaccard")
     val kept = Dedup.dropNearDuplicates(docs, pairs, "id")
