@@ -575,13 +575,15 @@ object SparkEntry {
           col("media_meta.checksum").as("checksum"))
     }),
     "q_multimodal_decode" -> ((s, dir) => {
-      // rows-only check: decode stub is JVM-side (not SQL-expressible)
+      // rows-only check: decode stub is JVM-side (not SQL-expressible).
+      // The raw array<float> is unhashable for the driver's pandas
+      // sorter, so project a stable digest of the vector instead.
       val withBin = graft.multimodal.Multimodal
         .attachBinary(t(s, dir, "documents"), "text")
         .select("doc_id", "payload")
       graft.multimodal.Multimodal
         .decodeStub(withBin, "payload", dim = 8)
-        .select(col("doc_id"), col("features"))
+        .select(col("doc_id"), md5(to_json(col("features"))).as("features_digest"))
     }))
 
   private def pipelineOracle: Map[String, String] = Map(
@@ -721,13 +723,13 @@ object SparkEntry {
     },
     "q_profile" ->
       """WITH e AS (SELECT user_id, nullif(event_type, 'error') AS et, value FROM events)
-        |SELECT 'user_id' AS "column", count(*) AS n_rows,
-        |  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
-        |  count(DISTINCT user_id) AS n_distinct FROM e
-        |UNION ALL SELECT 'et', count(*),
-        |  sum(CASE WHEN et IS NULL THEN 1 ELSE 0 END), count(DISTINCT et) FROM e
-        |UNION ALL SELECT 'value', count(*),
-        |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END), count(DISTINCT value) FROM e""".stripMargin,
+        |SELECT 'user_id' AS "column", count(*)::BIGINT AS n_rows,
+        |  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+        |  count(DISTINCT user_id)::BIGINT AS n_distinct FROM e
+        |UNION ALL SELECT 'et', count(*)::BIGINT,
+        |  sum(CASE WHEN et IS NULL THEN 1 ELSE 0 END)::BIGINT, count(DISTINCT et)::BIGINT FROM e
+        |UNION ALL SELECT 'value', count(*)::BIGINT,
+        |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT, count(DISTINCT value)::BIGINT FROM e""".stripMargin,
     "q_tfidf" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tc FROM tk GROUP BY 1, 2),
