@@ -397,9 +397,10 @@ object SparkEntry {
   private def cosSql(a: String, b: String): String =
     s"(CASE WHEN ${normSql(a)} * ${normSql(b)} > 0 THEN ${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}) END)"
 
-  private def bucketSql(vecExpr: String, dim: Int, numPlanes: Int): String =
+  private def bucketSql(
+      vecExpr: String, dim: Int, numPlanes: Int, planeOffset: Int = 0): String =
     graft.functions.VectorFunctions
-      .planeSigns(dim, numPlanes)
+      .planeSigns(dim, numPlanes, planeOffset)
       .zipWithIndex
       .map { case (signs, p) =>
         val litList = signs.map(s => s"$s.0").mkString("[", ", ", "]")
@@ -487,8 +488,10 @@ object SparkEntry {
         "text", "doc_id", n = 3, threshold = 0.5, blockBy = Seq("lang", "len_bin"))
     }),
     "q_embedding_neardup" -> ((s, dir) => {
+      // Exercises the banded multi-table path (2 tables × 8 planes) —
+      // the 100 TB shape — with the oracle mirroring both tables.
       Similarity.nearDupPairs(embWithDups(s, dir), "embedding", "vec_id",
-        dim = 64, threshold = 0.9, numPlanes = 6)
+        dim = 64, threshold = 0.9, numPlanes = 8, numTables = 2)
     }),
     "q_ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -635,10 +638,12 @@ object SparkEntry {
           |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM p WHERE jac >= 0.5""".stripMargin),
     "q_embedding_neardup" ->
       (s"""WITH $embWithDupsSql,
-          |b AS (SELECT vec_id, embedding, ${bucketSql("embedding", 64, 6)} AS bucket FROM emb),
+          |b AS (SELECT vec_id, embedding, 0 AS tbl, ${bucketSql("embedding", 64, 8, 0)} AS bucket FROM emb
+          |  UNION ALL
+          |  SELECT vec_id, embedding, 1, ${bucketSql("embedding", 64, 8, 8)} FROM emb),
           |p AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b,
           |  round(${cosSql("a.embedding", "b2.embedding")}, 6) AS cosine
-          |  FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id)
+          |  FROM b a JOIN b b2 USING (tbl, bucket) WHERE a.vec_id < b2.vec_id)
           |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.9""".stripMargin),
     "q_ann_topk" ->
       (s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -41,9 +41,14 @@ object VectorFunctions {
     * plane p is the parity of the first md5 nibble of "p:i". No
     * fitted model to ship — any engine (or a SQL oracle) can
     * regenerate the exact planes.
+    *
+    * `planeOffset` selects a disjoint slice of the global plane
+    * family (planes planeOffset..planeOffset+numPlanes-1) so multiple
+    * independent LSH tables (banding / OR-amplification) can be built
+    * from the same generator.
     */
-  def planeSigns(dim: Int, numPlanes: Int): Seq[Seq[Int]] =
-    (0 until numPlanes).map { p =>
+  def planeSigns(dim: Int, numPlanes: Int, planeOffset: Int = 0): Seq[Seq[Int]] =
+    (planeOffset until planeOffset + numPlanes).map { p =>
       (0 until dim).map { i =>
         val d = java.security.MessageDigest
           .getInstance("MD5")
@@ -65,12 +70,13 @@ object VectorFunctions {
   /** Native codegen hyperplane bucket — bit-identical to
     * [[hyperplaneBucket]]; one pass over the vector for all planes.
     */
-  def hyperplaneBucketNative(vec: Column, dim: Int, numPlanes: Int): Column = {
+  def hyperplaneBucketNative(
+      vec: Column, dim: Int, numPlanes: Int, planeOffset: Int = 0): Column = {
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.column(
       HyperplaneBucket(
         GraftSqlBridge.expression(vec),
-        planeSigns(dim, numPlanes).map(_.map(_.toDouble))))
+        planeSigns(dim, numPlanes, planeOffset).map(_.map(_.toDouble))))
   }
 
   /** Random-hyperplane (SimHash-for-vectors) LSH bucket id from

@@ -226,18 +226,22 @@ object Dedup {
     val losers = duplicateClusters(pairs)
       .where(col("id") =!= col("label"))
       .select(col("id").as(idCol))
-    df.join(broadcast(losers), Seq(idCol), "left_anti")
+    // No broadcast hint: the loser set grows with the corpus (billions
+    // of ids at 100 TB with a 30% dup rate would OOM the driver). AQE
+    // sees the real size at runtime and picks broadcast when it fits.
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Drop near-duplicates greedily: remove every row whose id appears
     * as the LARGER member of a near-dup pair (pairs carry id_a <
     * id_b), keeping the smallest id of each pairwise-connected group
-    * that is directly paired with it. One broadcast-able left-anti
-    * join against the (tiny) pair list.
+    * that is directly paired with it. One left-anti join against the
+    * pair list — unhinted: the dup-id set scales with the corpus, so
+    * AQE decides at runtime whether it fits a broadcast.
     */
   def dropNearDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
     df.join(
-      broadcast(pairs.select(col("id_b").as(idCol)).distinct()),
+      pairs.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
   /** Duplicate clusters from a near-dup pair list: (id, cluster_id)
@@ -343,6 +347,12 @@ object Dedup {
     * simhash itself: two sigs within Hamming r share at least one of
     * r+1 disjoint chunks — pigeonhole — so the join is equality on
     * chunks, never all-pairs).
+    *
+    * Scale guidance: chunk keys are bits/(maxHamming+1) wide, so at
+    * billion-doc scale use `bits` ≥ 48 (keys keep enough entropy) and
+    * set `maxBucket` to drop degenerate chunk buckets (boilerplate /
+    * near-empty docs that share a chunk with everything) instead of
+    * letting one bucket emit O(members²) pairs.
     */
   def simHashPairs(
       df: DataFrame,
@@ -350,7 +360,8 @@ object Dedup {
       idCol: String,
       bits: Int = 28,
       maxHamming: Int = 1,
-      ngram: Int = 2): DataFrame = {
+      ngram: Int = 2,
+      maxBucket: Int = 0): DataFrame = {
     val chunks = maxHamming + 1
     val chunkBits = math.max(bits / chunks, 1)
     val sigged = df.select(col(idCol).as("__id"), simHash(col(textCol), bits, ngram).as("__sig"))
@@ -364,7 +375,7 @@ object Dedup {
           .as(s"c$ci")
       }: _*)).as(Seq("__bpos", "__bkey")))
 
-    bucketPairs(chunked, struct(col("__id"), col("__sig")), maxBucket = 0)
+    bucketPairs(chunked, struct(col("__id"), col("__sig")), maxBucket)
       .select(
         col("__a.__id").as("id_a"), col("__a.__sig").as("sig_a"),
         col("__b.__id").as("id_b"), col("__b.__sig").as("sig_b"))

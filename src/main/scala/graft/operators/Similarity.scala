@@ -158,9 +158,32 @@ object Similarity {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
+  /** Buckets needed so the EXPECTED bucket occupancy stays ~constant
+    * as the corpus grows: planes = ⌈log₂(n / targetOccupancy)⌉. With a
+    * fixed plane count the bucket universe is fixed (2^planes) and
+    * within-bucket pair generation degenerates to all-pairs at scale;
+    * scaling planes with log₂ n keeps per-bucket work bounded.
+    */
+  def autoPlanes(n: Long, targetOccupancy: Int = 32): Int = {
+    val raw = math.ceil(
+      math.log(math.max(n, 2L).toDouble / targetOccupancy) / math.log(2.0)).toInt
+    math.min(28, math.max(8, raw)) // 28: bucket id lives in an int
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates
     * from shared hyperplane buckets (self-equality-join — never
     * all-pairs).
+    *
+    * Scale shape: `numPlanes ≤ 0` (the default) sizes the bucket
+    * universe from the corpus count so expected occupancy stays ~32
+    * regardless of n — a fixed plane count is a scale bug (2^planes
+    * total buckets → within-bucket all-pairs at 100×). More planes
+    * cut cost but also recall (P[pair collides] = sᵖ, s = 1 − θ/π);
+    * buy recall back with `numTables` independent plane tables
+    * (banding / OR-amplification: P = 1 − (1 − sᵖ)ᴸ) — candidates
+    * meet if they share a bucket in ANY table. `maxBucket` drops
+    * degenerate buckets (hubs / zero-ish vectors) instead of letting
+    * one bucket produce O(members²) pairs.
     */
   def nearDupPairs(
       df: DataFrame,
@@ -168,17 +191,27 @@ object Similarity {
       idCol: String,
       dim: Int,
       threshold: Double,
-      numPlanes: Int = 6): DataFrame = {
+      numPlanes: Int = 0,
+      numTables: Int = 1,
+      maxBucket: Int = 0): DataFrame = {
+    require(numTables >= 1, "numTables must be >= 1")
+    val planes =
+      if (numPlanes > 0) numPlanes
+      else autoPlanes(df.select(idCol).count()) // one column-pruned count job
     // Bucket-grouped pair generation (one computation of the bucket
     // lineage, one shuffle) — a column-renamed self-join would
-    // recompute the hyperplane buckets on both sides.
+    // recompute the hyperplane buckets on both sides. Table t uses
+    // the disjoint global plane slice [t·planes, (t+1)·planes); the
+    // table index rides along as __bpos so buckets of different
+    // tables never join.
     val exploded = df.select(
       col(idCol).as("__id"),
       col(vecCol).as("__v"),
-      lit(0).as("__bpos"),
-      hyperplaneBucketNative(col(vecCol), dim, numPlanes).as("__bkey"))
+      posexplode(array((0 until numTables).map(tbl =>
+        hyperplaneBucketNative(col(vecCol), dim, planes, tbl * planes)): _*))
+        .as(Seq("__bpos", "__bkey")))
     Dedup
-      .bucketPairs(exploded, struct(col("__id"), col("__v")), maxBucket = 0)
+      .bucketPairs(exploded, struct(col("__id"), col("__v")), maxBucket)
       .select(
         col("__a.__id").as("id_a"), col("__a.__v").as("__va"),
         col("__b.__id").as("id_b"), col("__b.__v").as("__vb"))

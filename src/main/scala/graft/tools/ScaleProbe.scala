@@ -42,6 +42,36 @@ object ScaleProbe {
       val tSim = (System.nanoTime() - t1) / 1e9
       println(f"SCALE|k=$k%-2d docs=${k * 5000}%-6d minhash(bands=$bands)=$tPairs%7.2fs pairs=$n%-8d simhash48=$tSim%7.2fs")
     }
+
+    // Embedding near-dup: auto planes (occupancy-constant buckets)
+    // should keep pair-generation cost tracking candidate volume, not
+    // n², as the corpus replicates 8×. The fixed-plane column shows
+    // what the round-1 design (planes frozen at 6) would do.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    def replicateEmb(k: Int): DataFrame =
+      (0 until k)
+        .map(i => emb.select((col("vec_id") + i * 10000000L).as("vec_id"), col("embedding")))
+        .reduce(_ unionByName _)
+    graft.operators.Similarity
+      .nearDupPairs(emb, "embedding", "vec_id", dim = 64, threshold = 0.9)
+      .write.format("noop").mode("overwrite").save() // warmup
+    for (k <- Seq(1, 2, 4, 8)) {
+      val e = replicateEmb(k)
+      val nRows = e.count()
+      val planes = graft.operators.Similarity.autoPlanes(nRows)
+      val t0 = System.nanoTime()
+      val nAuto = graft.operators.Similarity
+        .nearDupPairs(e, "embedding", "vec_id", dim = 64, threshold = 0.9,
+          numTables = 2).count()
+      val tAuto = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nFixed = graft.operators.Similarity
+        .nearDupPairs(e, "embedding", "vec_id", dim = 64, threshold = 0.9,
+          numPlanes = 6).count()
+      val tFixed = (System.nanoTime() - t1) / 1e9
+      println(f"SCALE-EMB|k=$k%-2d vecs=$nRows%-7d auto(planes=$planes,tables=2)=$tAuto%7.2fs pairs=$nAuto%-6d fixed(planes=6)=$tFixed%7.2fs pairs=$nFixed%-6d")
+    }
     spark.stop()
   }
 }

@@ -112,6 +112,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("simHashPairs: maxBucket drops degenerate chunk buckets") {
+    // 30 identical docs: every chunk bucket holds all 30 signatures.
+    val clones = (1L to 30L).map(i => (i, "the same boilerplate text again and again"))
+      .toDF("id", "text")
+    val uncapped = Dedup
+      .simHashPairs(clones, "text", "id", bits = 28, maxHamming = 1)
+      .count()
+    val capped = Dedup
+      .simHashPairs(clones, "text", "id", bits = 28, maxHamming = 1, maxBucket = 10)
+      .count()
+    assert(uncapped == 30L * 29 / 2)
+    assert(capped == 0L)
+  }
+
   test("minHashLshDedup: end-to-end keeps one representative per dup cluster") {
     val kept = Dedup.minHashLshDedup(docs, "text", "id")
       .select($"id").as[Long].collect().sorted.toSeq

@@ -87,4 +87,51 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
     assert(pairs.head._3 > 0.99)
   }
+
+  test("nearDupPairs: extra tables only add candidate pairs (OR-amplification)") {
+    // Many planes → low per-table collision probability; banding with
+    // more tables must recover at least the single-table pairs.
+    val one = Similarity
+      .nearDupPairs(corpus, "vec", "id", dim = 4, threshold = 0.95,
+        numPlanes = 8, numTables = 1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val four = Similarity
+      .nearDupPairs(corpus, "vec", "id", dim = 4, threshold = 0.95,
+        numPlanes = 8, numTables = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(one.subsetOf(four))
+    // identical vectors collide in every table — the planted pair is found
+    assert(four.contains((1L, 2L)))
+  }
+
+  test("nearDupPairs: maxBucket drops degenerate buckets") {
+    // 40 copies of the same vector → one bucket with 40 members in
+    // every table; capping below that suppresses all its pairs.
+    val clones = (1L to 40L).map(i => (i, Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "vec")
+    val uncapped = Similarity
+      .nearDupPairs(clones, "vec", "id", dim = 4, threshold = 0.9, numPlanes = 4)
+      .count()
+    val capped = Similarity
+      .nearDupPairs(clones, "vec", "id", dim = 4, threshold = 0.9, numPlanes = 4,
+        maxBucket = 10)
+      .count()
+    assert(uncapped == 40L * 39 / 2)
+    assert(capped == 0L)
+  }
+
+  test("nearDupPairs: auto planes (numPlanes<=0) resolves and still finds the pair") {
+    val pairs = Similarity
+      .nearDupPairs(corpus, "vec", "id", dim = 4, threshold = 0.95)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("autoPlanes: grows with log2(n), clamped to [8, 28]") {
+    assert(Similarity.autoPlanes(1L) == 8)
+    assert(Similarity.autoPlanes(1000L) == 8)
+    assert(Similarity.autoPlanes(32L << 20) == 20) // 2^20 buckets for 32M rows
+    // +8x rows → +3 planes: occupancy stays constant
+    assert(Similarity.autoPlanes((32L << 20) * 8) == 23)
+    assert(Similarity.autoPlanes(Long.MaxValue / 2) == 28)
+  }
 }
