@@ -14,8 +14,18 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object HashKernels {
 
-  private def md5(bytes: Array[Byte]): Array[Byte] =
-    MessageDigest.getInstance("MD5").digest(bytes)
+  // One digest instance per task thread: `getInstance` does a
+  // provider lookup per call, which dominates the hashing itself when
+  // the kernel runs once per token (millions of calls per partition).
+  private val localMd5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private def md5(bytes: Array[Byte]): Array[Byte] = {
+    val d = localMd5.get()
+    d.reset()
+    d.digest(bytes)
+  }
 
   /** SimHash signature over a token array: per token ONE md5; the
     * `bits`-wide feature hash is the integer value of the digest's

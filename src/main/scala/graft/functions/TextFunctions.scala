@@ -54,32 +54,19 @@ object TextFunctions {
     * (year, month, day) as numeric columns. Standard public-domain
     * Gregorian→Jalali day-count arithmetic; same algorithm family the
     * reference uses (reference column_functions.py:354 `jalali_date`).
+    *
+    * One native kernel ([[JalaliKernel]]) instead of the equivalent
+    * `when`-chain columns: a format string references these fields
+    * several times, and the inlined chains blew past Janino's 64 KB
+    * method limit — disabling whole-stage codegen for the whole
+    * stage. The struct is shared, so the kernel runs once per row.
     */
   def jalaliYmd(c: Column): (Column, Column, Column) = {
-    val jDaysCum = Seq(0, 31, 62, 93, 124, 155, 186, 216, 246, 276, 306, 336)
-
-    val gy = year(c) - 1600
-    val gdy = dayofyear(c) - 1
-    val gDayNo =
-      lit(365) * gy + floor((gy + 3) / 4) - floor((gy + 99) / 100) +
-        floor((gy + 399) / 400) + gdy
-
-    val jDayNo0 = gDayNo - 79
-    val jNp = floor(jDayNo0 / 12053)
-    val jDayNo1 = jDayNo0 % 12053
-    val jy0 = lit(979) + lit(33) * jNp + lit(4) * floor(jDayNo1 / 1461)
-    val jDayNo2 = jDayNo1 % 1461
-
-    val jy = when(jDayNo2 >= 366, jy0 + floor((jDayNo2 - 1) / 365)).otherwise(jy0)
-    val jDayNo = when(jDayNo2 >= 366, (jDayNo2 - 1) % 365).otherwise(jDayNo2)
-
-    var jmWhen = when(jDayNo < jDaysCum(1), 1)
-    for (i <- 2 until 12) jmWhen = jmWhen.when(jDayNo < jDaysCum(i), i)
-    val jm = jmWhen.otherwise(12)
-
-    val cumArr = array(jDaysCum.map(lit): _*)
-    val jd = jDayNo - element_at(cumArr, jm.cast("int")) + 1
-    (jy, jm, jd)
+    import org.apache.spark.sql.GraftSqlBridge
+    val s = GraftSqlBridge.column(JalaliYmd(
+      GraftSqlBridge.expression(year(c)),
+      GraftSqlBridge.expression(dayofyear(c))))
+    (s.getField("jy"), s.getField("jm"), s.getField("jd"))
   }
 
   /** Format a Gregorian date column as a Jalali date string

@@ -72,6 +72,9 @@ object VectorFunctions {
     */
   def hyperplaneBucketNative(
       vec: Column, dim: Int, numPlanes: Int, planeOffset: Int = 0): Column = {
+    // Same bound as the HOF twin: the kernel computes 1 << p, which
+    // Java wraps mod 32 — planes past 31 would silently alias.
+    require(numPlanes >= 1 && numPlanes <= 30, "bucket id held in an int")
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.column(
       HyperplaneBucket(

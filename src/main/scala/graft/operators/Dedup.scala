@@ -113,13 +113,22 @@ object Dedup {
   /** Near-duplicate pairs via MinHash+LSH, verified with exact
     * shingle-set Jaccard.
     *
-    * Plan shape: shingle+hash+sign each doc ONCE (each expensive
-    * expression staged as a real column) → explode band keys, each
-    * row carrying its shingle set → group by (band index, band key)
-    * → emit pairs within each bucket (two nested explodes, never a
-    * self-join: a self-join re-computes the signature lineage on both
-    * sides) → size-ratio prune → exact Jaccard → distinct. No O(n²)
-    * stage; shuffle volume is O(n·bands) set-carrying rows.
+    * Two-pass plan, sized for a corpus where shingle sets are ~5× the
+    * text volume and bands multiply that again:
+    *
+    *  1. CANDIDATES — shingle+hash+sign each doc once (each expensive
+    *     expression staged as a real column), explode band keys, and
+    *     shuffle ONLY (id, band key) rows into buckets; emit
+    *     within-bucket id pairs (two nested explodes, never a
+    *     self-join) and `distinct` them so cross-band duplicates are
+    *     verified once. Shuffle volume: O(n·bands) id-sized rows —
+    *     shingle payloads never reach the wire.
+    *  2. VERIFY — join the (tiny relative to the corpus) pair list
+    *     back to the source, recompute shingle sets for candidate
+    *     rows only (the projection sits ABOVE the join, so only
+    *     joined rows pay the kernel), and run the exact Jaccard.
+    *     Spark's runtime bloom-filter / broadcast join keeps the
+    *     probe-side shuffle at candidate volume.
     *
     * Detection probability of a pair with Jaccard J is
     * 1 - (1 - J^(numHashes/bands))^bands — tune bands DOWN (longer
@@ -130,6 +139,11 @@ object Dedup {
     * at 100 TB a bucket with thousands of members is a degenerate
     * shingle pattern, not a useful near-dup signal, and its K² pair
     * blow-up dominates the job.
+    *
+    * Ids must be unique (the verification join fans out otherwise).
+    * The source lineage is computed twice (candidates + verify) — a
+    * caller whose `df` is an expensive derivation should persist it
+    * first; for a plain scan the second pass is a column-pruned read.
     *
     * @return (id_a, id_b, jaccard) with id_a < id_b.
     */
@@ -145,14 +159,10 @@ object Dedup {
       maxBucket: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     require(fast || numHashes <= 8, "portable (md5-chunk) minhash supports ≤ 8 hashes")
-    val rows = numHashes / bands
-    val sh = charShingles(col(textCol), shingleK)
+    val src = Parallelism.spread(df)
 
-    // Stage the expensive expressions as real columns so each is
-    // computed ONCE per row (CollapseProject keeps multi-use
-    // non-cheap aliases staged): shingles → one hash per shingle →
-    // per-function minima → band keys.
-    val shingled = df.select(col(idCol).as("__id"), sh.as("__sh"))
+    val shingled = src.select(col(idCol).as("__id"),
+      charShingles(col(textCol), shingleK).as("__sh"))
     val minned =
       if (fast)
         shingled.withColumn("__mins",
@@ -161,25 +171,19 @@ object Dedup {
       else
         shingled.withColumn("__mins", chunkMinsNative(col("__sh"), numHashes))
     val exploded = minned
-      .select(col("__id"), col("__sh"),
+      .select(col("__id"),
         posexplode(bandKeys(col("__mins"), numHashes, bands))
           .as(Seq("__bpos", "__bkey")))
+    // No explicit distinct: attachSets' groupBy(id_a, id_b) collapses
+    // cross-band duplicate candidates in the same shuffle it already
+    // needs, saving a round.
+    val cands = bucketPairs(exploded, col("__id"), maxBucket)
+      .where(col("__a") < col("__b"))
+      .select(col("__a").as("id_a"), col("__b").as("id_b"))
 
-    bucketPairs(exploded, struct(col("__id"), col("__sh")), maxBucket)
-      .select(
-        col("__a.__id").as("id_a"), col("__a.__sh").as("__set_a"),
-        col("__b.__id").as("id_b"), col("__b.__sh").as("__set_b"))
-      .where(col("id_a") < col("id_b"))
-      // Result-preserving prefilter: jaccard ≤ min(|A|,|B|)/max(|A|,|B|),
-      // so size-skewed pairs can't pass the threshold — skip the
-      // expensive intersection for them.
-      .where(
-        least(size(col("__set_a")), size(col("__set_b"))).cast("double") >=
-          lit(jaccardThreshold) * greatest(size(col("__set_a")), size(col("__set_b"))))
-      .withColumn("jaccard", jaccardSim(col("__set_a"), col("__set_b")))
-      .where(col("jaccard") >= jaccardThreshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-      .distinct()
+    jaccardVerify(
+      attachSets(cands, src, idCol, textCol, charShingles(_, shingleK)),
+      jaccardThreshold)
   }
 
   /** Within-bucket pair generation: group the (`__bpos`, `__bkey`)
@@ -188,22 +192,74 @@ object Dedup {
     * the member payloads, ONE computation of the upstream lineage —
     * the self-join alternative computes it twice (column-renamed
     * sides defeat exchange reuse).
+    *
+    * With `maxBucket > 0` the cap is enforced BEFORE any bucket is
+    * materialized: a window count over (`__bpos`, `__bkey`) — same
+    * hash partitioning the aggregation needs, so still one shuffle —
+    * filters oversized buckets row-by-row (WindowExec buffers spill),
+    * so a degenerate million-member bucket never becomes one giant
+    * collect_list row.
     */
   private[operators] def bucketPairs(
       exploded: DataFrame,
       member: Column,
       maxBucket: Int): DataFrame = {
-    val grouped = exploded
-      .groupBy(col("__bpos"), col("__bkey"))
-      .agg(collect_list(member).as("__ms"))
-      .where(size(col("__ms")) >= 2)
-    val capped =
-      if (maxBucket > 0) grouped.where(size(col("__ms")) <= maxBucket)
-      else grouped
-    capped
+    val grouped =
+      if (maxBucket > 0) {
+        val w = Window.partitionBy(col("__bpos"), col("__bkey"))
+        exploded
+          .withColumn("__bc", count(lit(1)).over(w))
+          .where(col("__bc") >= 2 && col("__bc") <= maxBucket)
+          .groupBy(col("__bpos"), col("__bkey"))
+          .agg(collect_list(member).as("__ms"))
+      } else {
+        exploded
+          .groupBy(col("__bpos"), col("__bkey"))
+          .agg(collect_list(member).as("__ms"))
+          .where(size(col("__ms")) >= 2)
+      }
+    grouped
       .select(explode(col("__ms")).as("__a"), col("__ms"))
       .select(col("__a"), explode(col("__ms")).as("__b"))
   }
+
+  /** Verification join-back: attach each candidate pair's two feature
+    * sets, computing `mkSet` ONLY for rows that joined (the projection
+    * sits above the join). One join + one aggregation: the pair list
+    * explodes to (pair, member id) rows, meets the source once, and
+    * the two sides fold back with first(when(...)) — no second scan
+    * per side, no recompute of the candidate lineage.
+    */
+  private[operators] def attachSets(
+      cands: DataFrame,
+      src: DataFrame,
+      idCol: String,
+      textCol: String,
+      mkSet: Column => Column): DataFrame =
+    cands
+      .select(col("id_a"), col("id_b"),
+        explode(array(col("id_a"), col("id_b"))).as("__id"))
+      .join(src.select(col(idCol).as("__id"), col(textCol).as("__t")), Seq("__id"))
+      .select(col("id_a"), col("id_b"), col("__id"), mkSet(col("__t")).as("__p"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        first(when(col("__id") === col("id_a"), col("__p")), ignoreNulls = true).as("__set_a"),
+        first(when(col("__id") === col("id_b"), col("__p")), ignoreNulls = true).as("__set_b"))
+
+  /** Exact-Jaccard verification over attached set pairs, with the
+    * result-preserving size prefilter (jaccard ≤ min/max of the set
+    * sizes, so size-skewed pairs skip the intersection).
+    */
+  private[operators] def jaccardVerify(
+      withSets: DataFrame,
+      threshold: Double): DataFrame =
+    withSets
+      .where(
+        least(size(col("__set_a")), size(col("__set_b"))).cast("double") >=
+          lit(threshold) * greatest(size(col("__set_a")), size(col("__set_b"))))
+      .withColumn("jaccard", jaccardSim(col("__set_a"), col("__set_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
 
   /** End-to-end near-dedup in one call: MinHash-LSH pairs →
     * connected-component clusters → keep only each cluster's
@@ -257,10 +313,13 @@ object Dedup {
       idA: String = "id_a",
       idB: String = "id_b",
       maxIter: Int = 20): DataFrame = {
-    val edges = pairs
+    // Checkpoint the pair list BEFORE symmetrizing: the union
+    // references it twice, and without materialization the (multi-
+    // shuffle) pair pipeline would execute once per branch.
+    val e0 = pairs
       .select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .localCheckpoint(true)
+    val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
     // Seed with min(self, direct neighbours) — one aggregation. Pair
     // and star graphs (the bulk of dedup graphs) converge right here,
     // so the loop usually runs a single confirmation round.
@@ -271,36 +330,43 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // One-hop min propagation, with the change flag computed INSIDE
+      // the same job (no separate join-against-old count job: the
+      // convergence check below is a limit-1 scan of checkpointed
+      // blocks).
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("__dl")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("__dl")).as("__nl"))
       val stepped = labels
         .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
-      // Pointer jumping: follow label -> label(label) so the min
-      // label doubles its reach per round — O(log diameter) rounds
-      // instead of O(diameter) for chain-shaped components.
-      val next = stepped
-        .join(
-          stepped.select(col("id").as("label"), col("label").as("__ll")),
-          Seq("label"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("__nl"), col("label"))).as("label"),
+          (col("__nl") < col("label")).as("__chg"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("label", "__old"), Seq("id"))
-        .where(col("label") =!= col("__old"))
-        .limit(1)
-        .count()
-      converged = changed == 0
-      labels = next
+      // A step fixpoint is a global fixpoint: no label change on any
+      // edge means labels are constant per component, so pointer
+      // jumping is skipped on the (usual) final confirmation round.
+      converged = stepped.where(col("__chg")).isEmpty
+      labels =
+        if (converged) stepped.select(col("id"), col("label"))
+        else {
+          // Pointer jumping: follow label -> label(label) so the min
+          // label doubles its reach per round — O(log diameter)
+          // rounds instead of O(diameter) for chain components.
+          val s = stepped.select(col("id"), col("label"))
+          s.join(s.select(col("id").as("label"), col("label").as("__ll")),
+              Seq("label"), "left")
+            .select(col("id"),
+              least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
+            .localCheckpoint(true)
+        }
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
       s"duplicateClusters did not converge in $maxIter rounds — " +
         "component diameter exceeds 2^maxIter; raise maxIter")
-    labels
+    labels.select(col("id"), col("label"))
   }
 
   /** Distinct character k-shingles (code-point semantics; shorter
@@ -364,7 +430,8 @@ object Dedup {
       maxBucket: Int = 0): DataFrame = {
     val chunks = maxHamming + 1
     val chunkBits = math.max(bits / chunks, 1)
-    val sigged = df.select(col(idCol).as("__id"), simHash(col(textCol), bits, ngram).as("__sig"))
+    val sigged = Parallelism.spread(df)
+      .select(col(idCol).as("__id"), simHash(col(textCol), bits, ngram).as("__sig"))
 
     val chunked = sigged.select(
       col("__id"),
@@ -401,37 +468,36 @@ object Dedup {
       threshold: Double = 0.5,
       blockBy: Seq[String] = Nil,
       maxBlock: Int = 0): DataFrame = {
-    val sh = wordShingles(col(textCol), n)
-    val verified =
-      if (blockBy.nonEmpty) {
-        // Group each block's members and emit within-block pairs —
-        // one computation of the shingle sets, one shuffle (the
-        // block-key self-join computes them twice and shuffles join
-        // output). Null block keys are dropped, matching SQL join
-        // equality semantics.
-        val exploded = df
-          .where(blockBy.map(col(_).isNotNull).reduce(_ && _))
-          .select(col(idCol).as("__id"), sh.as("__sh"),
-            lit(0).as("__bpos"), struct(blockBy.map(col): _*).as("__bkey"))
+    val src = Parallelism.spread(df)
+    if (blockBy.nonEmpty) {
+      // Blocking keys are COARSE (language, length bin …): buckets
+      // hold hundreds of members and emit K² candidate pairs, so —
+      // unlike the LSH operators, whose buckets hold only probable
+      // near-dups — the shingle sets are computed once per doc and
+      // carried through the single bucket shuffle. A verification
+      // join-back here would recompute a doc's set once per pair it
+      // appears in (K× per doc) and shuffle the K² pair list again.
+      // Null block keys are dropped, matching SQL join equality
+      // semantics.
+      val exploded = src
+        .where(blockBy.map(col(_).isNotNull).reduce(_ && _))
+        .select(col(idCol).as("__id"), wordShingles(col(textCol), n).as("__sh"),
+          lit(0).as("__bpos"), struct(blockBy.map(col): _*).as("__bkey"))
+      jaccardVerify(
         bucketPairs(exploded, struct(col("__id"), col("__sh")), maxBlock)
           .select(
             col("__a.__id").as("id_a"), col("__a.__sh").as("__set_a"),
             col("__b.__id").as("id_b"), col("__b.__sh").as("__set_b"))
-      } else {
-        // No blocking key: explicit brute-force baseline (labeled —
-        // use minHashLshPairs when no natural key exists at scale).
-        val sets = df.select(col(idCol).as("__id"), sh.as("__set"))
+          .where(col("id_a") < col("id_b")),
+        threshold)
+    } else {
+      // No blocking key: explicit brute-force baseline (labeled —
+      // use minHashLshPairs when no natural key exists at scale).
+      val sets = src.select(col(idCol).as("__id"), wordShingles(col(textCol), n).as("__set"))
+      jaccardVerify(
         sets.toDF("id_a", "__set_a").crossJoin(sets.toDF("id_b", "__set_b"))
-      }
-    verified
-      .where(col("id_a") < col("id_b"))
-      // jaccard ≤ min(|A|,|B|)/max(|A|,|B|): cheap result-preserving
-      // prune before the expensive intersection.
-      .where(
-        least(size(col("__set_a")), size(col("__set_b"))).cast("double") >=
-          lit(threshold) * greatest(size(col("__set_a")), size(col("__set_b"))))
-      .withColumn("jaccard", jaccardSim(col("__set_a"), col("__set_b")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+          .where(col("id_a") < col("id_b")),
+        threshold)
+    }
   }
 }

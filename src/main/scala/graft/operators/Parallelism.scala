@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Partition-count hygiene for CPU-bound kernel stages.
+  *
+  * A 100 TB table arrives as ~10⁵–10⁶ file splits, so scan parallelism
+  * is free. A small (or unsplittable single-row-group) file arrives as
+  * 1–2 tasks — and a per-row kernel (shingling, hashing, regex
+  * counting) then runs on 1–2 cores of a 32-core executor. The fix is
+  * a repartition, but an UNCONDITIONAL repartition inside an operator
+  * would re-shuffle the full corpus at real scale where the scan is
+  * already wide.
+  *
+  * [[spread]] gates on the optimizer's size estimate (file-metadata
+  * only — no job runs): inputs smaller than `bytesPerCore ×
+  * defaultParallelism` are round-robin repartitioned to full
+  * parallelism (the shuffle moves at most that many bytes, trivially
+  * cheap by construction); anything larger is left untouched. At
+  * cluster scale this is always a no-op.
+  */
+object Parallelism {
+
+  /** Default budget per core under which repartitioning is
+    * obviously-cheap: 4 MiB/core (128 MiB across 32 cores).
+    */
+  val DefaultBytesPerCore: Long = 4L << 20
+
+  def spread(df: DataFrame, bytesPerCore: Long = DefaultBytesPerCore): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val par = sc.defaultParallelism
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < BigInt(bytesPerCore) * par) df.repartition(par) else df
+  }
+}

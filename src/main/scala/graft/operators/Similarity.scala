@@ -170,20 +170,56 @@ object Similarity {
     math.min(28, math.max(8, raw)) // 28: bucket id lives in an int
   }
 
+  /** Tables (OR-amplification) needed for `targetRecall` of pairs AT
+    * the decision threshold: per-table collision is P₁ = sᵖ with
+    * s = 1 − arccos(threshold)/π, so L = ⌈ln(1−R) / ln(1−sᵖ)⌉ tables
+    * give 1 − (1−sᵖ)ᴸ ≥ R. Pairs above the threshold collide with
+    * higher probability, so sizing at the threshold is conservative.
+    * Capped at `maxTables` — if the cap binds, the configuration is
+    * genuinely low-recall and the caller should lower `numPlanes` or
+    * accept it.
+    */
+  def autoTables(
+      numPlanes: Int,
+      threshold: Double,
+      targetRecall: Double = 0.9,
+      maxTables: Int = 64): Int = {
+    require(threshold > -1.0 && threshold < 1.0, "threshold must be in (-1, 1)")
+    require(targetRecall > 0.0 && targetRecall < 1.0, "targetRecall must be in (0, 1)")
+    val s = 1.0 - math.acos(threshold) / math.Pi
+    val p1 = math.pow(s, numPlanes.toDouble)
+    if (p1 >= targetRecall) 1
+    else {
+      val l = math.ceil(math.log1p(-targetRecall) / math.log1p(-p1)).toInt
+      math.min(maxTables, math.max(1, l))
+    }
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates
     * from shared hyperplane buckets (self-equality-join — never
-    * all-pairs).
+    * all-pairs), verified by joining vectors back to the candidate
+    * pair list (the bucket shuffle carries only (id, bucket) rows —
+    * vectors never multiply by `numTables` on the wire).
     *
     * Scale shape: `numPlanes ≤ 0` (the default) sizes the bucket
     * universe from the corpus count so expected occupancy stays ~32
     * regardless of n — a fixed plane count is a scale bug (2^planes
     * total buckets → within-bucket all-pairs at 100×). More planes
     * cut cost but also recall (P[pair collides] = sᵖ, s = 1 − θ/π);
-    * buy recall back with `numTables` independent plane tables
-    * (banding / OR-amplification: P = 1 − (1 − sᵖ)ᴸ) — candidates
-    * meet if they share a bucket in ANY table. `maxBucket` drops
-    * degenerate buckets (hubs / zero-ish vectors) instead of letting
-    * one bucket produce O(members²) pairs.
+    * `numTables ≤ 0` (the default) buys it back automatically with
+    * [[autoTables]] independent plane tables (banding /
+    * OR-amplification: P = 1 − (1 − sᵖ)ᴸ, sized for 0.9 recall at
+    * the threshold) — candidates meet if they share a bucket in ANY
+    * table. `maxBucket` drops degenerate buckets (hubs / zero-ish
+    * vectors) instead of letting one bucket produce O(members²)
+    * pairs.
+    *
+    * `expectedRows` feeds the auto-plane sizing without the extra
+    * count job (pass it when the cardinality is known; `numPlanes ≤ 0`
+    * with `expectedRows ≤ 0` falls back to a column-pruned count —
+    * note that also re-runs `df`'s lineage, so persist an expensive
+    * upstream first). Ids must be unique (the verification join fans
+    * out otherwise).
     */
   def nearDupPairs(
       df: DataFrame,
@@ -192,33 +228,47 @@ object Similarity {
       dim: Int,
       threshold: Double,
       numPlanes: Int = 0,
-      numTables: Int = 1,
-      maxBucket: Int = 0): DataFrame = {
-    require(numTables >= 1, "numTables must be >= 1")
+      numTables: Int = 0,
+      maxBucket: Int = 0,
+      expectedRows: Long = 0L): DataFrame = {
     val planes =
       if (numPlanes > 0) numPlanes
+      else if (expectedRows > 0) autoPlanes(expectedRows)
       else autoPlanes(df.select(idCol).count()) // one column-pruned count job
+    require(planes <= 30, "bucket id held in an int: numPlanes must be <= 30")
+    val tables = if (numTables > 0) numTables else autoTables(planes, threshold)
+    val src = Parallelism.spread(df)
     // Bucket-grouped pair generation (one computation of the bucket
     // lineage, one shuffle) — a column-renamed self-join would
     // recompute the hyperplane buckets on both sides. Table t uses
     // the disjoint global plane slice [t·planes, (t+1)·planes); the
     // table index rides along as __bpos so buckets of different
     // tables never join.
-    val exploded = df.select(
+    val exploded = src.select(
       col(idCol).as("__id"),
-      col(vecCol).as("__v"),
-      posexplode(array((0 until numTables).map(tbl =>
+      posexplode(array((0 until tables).map(tbl =>
         hyperplaneBucketNative(col(vecCol), dim, planes, tbl * planes)): _*))
         .as(Seq("__bpos", "__bkey")))
-    Dedup
-      .bucketPairs(exploded, struct(col("__id"), col("__v")), maxBucket)
-      .select(
-        col("__a.__id").as("id_a"), col("__a.__v").as("__va"),
-        col("__b.__id").as("id_b"), col("__b.__v").as("__vb"))
-      .where(col("id_a") < col("id_b"))
+    // No explicit distinct: the verification groupBy below collapses
+    // cross-table duplicate candidates in the shuffle it already needs.
+    val cands = Dedup
+      .bucketPairs(exploded, col("__id"), maxBucket)
+      .where(col("__a") < col("__b"))
+      .select(col("__a").as("id_a"), col("__b").as("id_b"))
+    // Verification join-back: the pair list explodes to (pair, member)
+    // rows and meets the source ONCE — candidate-volume vector
+    // shuffle, no per-table payload replication, no recompute of the
+    // candidate lineage.
+    cands
+      .select(col("id_a"), col("id_b"),
+        explode(array(col("id_a"), col("id_b"))).as("__id"))
+      .join(src.select(col(idCol).as("__id"), col(vecCol).as("__v")), Seq("__id"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        first(when(col("__id") === col("id_a"), col("__v")), ignoreNulls = true).as("__va"),
+        first(when(col("__id") === col("id_b"), col("__v")), ignoreNulls = true).as("__vb"))
       .withColumn("cosine", round(cosineSimilarityNative(col("__va"), col("__vb")), 6))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
-      .distinct()
   }
 }
