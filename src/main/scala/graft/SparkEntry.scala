@@ -3,7 +3,7 @@ package graft
 import graft.functions.ColumnFunctions._
 import graft.functions.TextFunctions._
 import graft.implicits._
-import graft.operators.{DataFrameOps, Dedup, Similarity, TrendLine}
+import graft.operators.{Cumulative, DataFrameOps, Dedup, Parallelism, Similarity, TrendLine}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -57,10 +57,13 @@ object SparkEntry {
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------------------------------------- §2.1 column functions
     "q_percent" -> ((s, dir) => {
-      t(s, dir, "nation")
-        .groupBy(col("n_regionkey"))
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("pct", percent(col("cnt")))
+      // Scale-safe twin of ColumnFunctions.percent: broadcast total
+      // instead of an empty-partition window (same values).
+      Cumulative.withPercentOfTotal(
+        t(s, dir, "nation")
+          .groupBy(col("n_regionkey"))
+          .agg(count(lit(1)).as("cnt")),
+        col("cnt"), "pct")
     }),
     "q_median" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -77,13 +80,14 @@ object SparkEntry {
           2).as("cum_spend"))
     }),
     "q_cumulative_percent" -> ((s, dir) => {
-      t(s, dir, "customer")
-        .groupBy(col("c_nationkey"))
-        .agg(count(lit(1)).as("cnt"))
-        .select(
-          col("c_nationkey"),
-          col("cnt"),
-          cumulativePercent(col("cnt"), col("c_nationkey")).as("cum_pct"))
+      // Scale-safe twin of ColumnFunctions.cumulativePercent: range
+      // prefix sum + broadcast total (same values, no global window).
+      Cumulative.withCumulativePercent(
+        t(s, dir, "customer")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("cnt")),
+        col("cnt"), col("c_nationkey"), "cum_pct")
+        .select(col("c_nationkey"), col("cnt"), col("cum_pct"))
     }),
     "q_bin" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -134,23 +138,28 @@ object SparkEntry {
           .as("token"))
     }),
     "q_cube_percent" -> ((s, dir) => {
-      t(s, dir, "orders")
-        .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(sum(col("o_totalprice")).as("rev"))
+      // Scale-safe twin of ColumnFunctions.cubePercent: broadcast
+      // leaf-level total instead of an empty-partition window.
+      Cumulative.withCubePercent(
+        t(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(sum(col("o_totalprice")).as("rev")),
+        col("rev"), Seq(col("o_orderstatus"), col("o_orderpriority")), "pct")
         .select(
           col("o_orderstatus"),
           col("o_orderpriority"),
           round(col("rev"), 2).as("rev_r"),
-          cubePercent(col("rev"), Seq(col("o_orderstatus"), col("o_orderpriority"))).as("pct"))
+          col("pct"))
     }),
     "q_moving_avg" -> ((s, dir) => {
-      t(s, dir, "orders")
-        .groupBy(to_date(col("o_orderdate")).as("date"))
-        .agg(count(lit(1)).as("cnt"))
-        .select(
-          col("date"),
-          col("cnt"),
-          movingAverage(col("cnt"), col("date"), 7, "center", 2).as("mavg7"))
+      // Scale-safe twin of ColumnFunctions.movingAverage: halo
+      // exchange over range partitions (same values, no global sort).
+      Cumulative.withMovingAverage(
+        t(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("date"))
+          .agg(count(lit(1)).as("cnt")),
+        col("cnt"), col("date"), "mavg7", 7, "center", 2)
+        .select(col("date"), col("cnt"), col("mavg7"))
     }),
     // ------------------------------------------------- §2.1 text functions
     "q_number_normalizer" -> ((s, dir) => {
@@ -509,23 +518,23 @@ object SparkEntry {
         "embedding", "vec_id", "vec_id", k = 10, stride = 100, nprobe = 2)
     }),
     "q_lang_id" -> ((s, dir) => {
-      t(s, dir, "documents").select(
+      Parallelism.spread(t(s, dir, "documents")).select(
         col("doc_id"),
         graft.functions.TextAnalysis.languageId(col("text")).as("lang_pred"))
     }),
     "q_quality_score" -> ((s, dir) => {
-      t(s, dir, "documents").select(
+      Parallelism.spread(t(s, dir, "documents")).select(
         col("doc_id"),
         graft.functions.TextAnalysis.qualityScore(col("text")).as("quality"))
     }),
     "q_token_count" -> ((s, dir) => {
-      t(s, dir, "documents").select(
+      Parallelism.spread(t(s, dir, "documents")).select(
         col("doc_id"),
         graft.functions.TextAnalysis.tokenCount(col("text")).as("n_ws"),
         graft.functions.TextAnalysis.tokenCountRegex(col("text")).as("n_bpe"))
     }),
     "q_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents").select(
+      Parallelism.spread(t(s, dir, "documents")).select(
         col("doc_id"),
         graft.functions.TextAnalysis.fingerprint(col("text")).as("fp"))
     }),

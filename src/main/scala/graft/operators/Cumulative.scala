@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe twins of the global-window column functions.
+  *
+  * `percent(c)` / `cumulativePercent(c, on)` / `movingAverage(...)`
+  * with no `partitionBy` are faithful to the reference and fine on
+  * post-aggregation cardinalities — but on raw data an
+  * empty-partition window moves EVERYTHING to one task
+  * (`WindowExec: No Partition Defined`). The operators here compute
+  * the same values with distributed plans:
+  *
+  *  - totals via a scalar aggregate broadcast back (never a window);
+  *  - running sums via a range-partitioned prefix sum: local window
+  *    per range partition + per-partition offsets (an aggregate of
+  *    ≤ numPartitions rows — bounded by cluster layout, not data);
+  *  - moving averages via halo exchange: each range partition
+  *    receives copies of the frame-width boundary rows of its
+  *    neighbours, computes the window locally, and drops the halo.
+  */
+object Cumulative {
+
+  /** `outCol` = 100·value/Σvalue, the global Σ computed as a scalar
+    * aggregate and broadcast-cross-joined back — no single-partition
+    * window, safe directly on raw data.
+    */
+  def withPercentOfTotal(
+      df: DataFrame,
+      value: Column,
+      outCol: String,
+      r: Int = 2): DataFrame =
+    df.crossJoin(broadcast(df.agg(sum(value).as("__tot"))))
+      .withColumn(outCol, round(lit(100) * value / col("__tot"), r))
+      .drop("__tot")
+
+  /** Scale-safe twin of `cubePercent`: the denominator counts only
+    * rows where every `cubeCols` entry is non-null (the leaf level of
+    * a `cube()`), computed as a scalar aggregate and broadcast back.
+    */
+  def withCubePercent(
+      df: DataFrame,
+      value: Column,
+      cubeCols: Seq[Column],
+      outCol: String,
+      r: Int = 2): DataFrame = {
+    val allNonNull = cubeCols.map(_.isNotNull).reduce(_ && _)
+    df.crossJoin(broadcast(df.agg(sum(when(allNonNull, value)).as("__tot"))))
+      .withColumn(outCol, round(lit(100) * value / col("__tot"), r))
+      .drop("__tot")
+  }
+
+  /** Global running sum of `value` ordered by `onCol` (RANGE frame —
+    * ties share a value), computed as a distributed prefix sum:
+    *
+    *  1. range-repartition on the order key (equal keys land in one
+    *     partition — a pure function of the key — so the RANGE frame
+    *     never straddles a boundary);
+    *  2. each partition computes its local running sum in parallel
+    *     (window partitioned by `spark_partition_id()`);
+    *  3. per-partition totals (≤ numPartitions rows, an aggregate)
+    *     turn into prefix offsets with a tiny single-partition window
+    *     — bounded by the cluster's partition count, not by n — and
+    *     broadcast back.
+    *
+    * The range exchange is referenced by both branches with an
+    * identical subtree, so ReuseExchange shuffles once.
+    */
+  def withCumulativeSum(
+      df: DataFrame,
+      value: Column,
+      onCol: Column,
+      outCol: String,
+      ascending: Boolean = true): DataFrame =
+    prefixSum(df, value, onCol, ascending, outCol) { (local, off, _) =>
+      local + coalesce(off, lit(0))
+    }
+
+  /** Global running percent-of-total ordered by `onCol` — the prefix
+    * sum of [[withCumulativeSum]] over the broadcast grand total.
+    */
+  def withCumulativePercent(
+      df: DataFrame,
+      value: Column,
+      onCol: Column,
+      outCol: String,
+      ascending: Boolean = true,
+      r: Int = 2): DataFrame =
+    prefixSum(df, value, onCol, ascending, outCol) { (local, off, tot) =>
+      round(lit(100) * (local + coalesce(off, lit(0))) / tot, r)
+    }
+
+  private def prefixSum(
+      df: DataFrame,
+      value: Column,
+      onCol: Column,
+      ascending: Boolean,
+      outCol: String)(
+      out: (Column, Column, Column) => Column): DataFrame = {
+    val ord = if (ascending) onCol.asc else onCol.desc
+    val part = df.repartitionByRange(ord).withColumn("__pid", spark_partition_id())
+    // The local window re-clusters by __pid (one hash exchange —
+    // Catalyst can't see that range partitioning already co-locates
+    // the id); parallelism is preserved: one task per range partition.
+    val wLoc = Window.partitionBy(col("__pid")).orderBy(ord)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    // Offsets: ≤ numPartitions aggregated rows; the constant-key
+    // window is single-partition by construction on a bounded input.
+    // pmod(__pid, 1) is constant-VALUED but not foldable, so the
+    // planner keeps a real (single-group) partition spec instead of
+    // warning about an undefined one.
+    val wOff = Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
+    val offs = part
+      .groupBy(col("__pid"))
+      .agg(sum(value).as("__ps"))
+      .select(
+        col("__pid"),
+        sum(col("__ps")).over(wOff.rowsBetween(Window.unboundedPreceding, -1)).as("__off"),
+        sum(col("__ps")).over(
+          wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("__tot"))
+    part
+      .join(broadcast(offs), Seq("__pid"))
+      .withColumn(outCol, out(sum(value).over(wLoc), col("__off"), col("__tot")))
+      .drop("__pid", "__off", "__tot")
+  }
+
+  /** Global moving average over a ROWS frame of `period` rows ordered
+    * by `order` (unique keys — ROWS frames are ill-defined under
+    * ties), distributed by halo exchange:
+    *
+    *  1. range-repartition on the order key;
+    *  2. copy each partition's first `after`-rows to its left
+    *     neighbour and last `before`-rows to its right neighbour
+    *     (the halo — O(numPartitions · period) duplicated rows);
+    *  3. every partition now holds every row of every frame it owns:
+    *     compute the window locally, keep only the partition's own
+    *     rows.
+    *
+    * Assumes `period` ≪ rows per partition (halo copies reach only
+    * the adjacent partition); the practical regime for a 100 TB sort
+    * — a 7-row window over million-row partitions.
+    */
+  def withMovingAverage(
+      df: DataFrame,
+      value: Column,
+      order: Column,
+      outCol: String,
+      period: Int,
+      mode: String = "center",
+      r: Int = -1): DataFrame = {
+    val p = period - 1
+    val (s, e) = mode match {
+      case "previous" => (-p, 0)
+      case "center"   => (-math.ceil(p / 2.0).toInt, math.floor(p / 2.0).toInt)
+      case "next"     => (0, p)
+      case other =>
+        throw new IllegalArgumentException(
+          s"mode must be previous|center|next, got: $other")
+    }
+    val before = -s
+    val after = e
+    val ranged = df.repartitionByRange(order.asc).withColumn("__pid", spark_partition_id())
+    val wAsc = Window.partitionBy(col("__pid")).orderBy(order.asc)
+    val wDesc = Window.partitionBy(col("__pid")).orderBy(order.desc)
+    val tagged = ranged
+      .withColumn("__rnA", row_number().over(wAsc))
+      .withColumn("__rnD", row_number().over(wDesc))
+    val own = tagged.withColumn("__tgt", col("__pid")).withColumn("__own", lit(true))
+    val toPrev = tagged.where(col("__rnA") <= after && col("__pid") > 0)
+      .withColumn("__tgt", col("__pid") - 1).withColumn("__own", lit(false))
+    val toNext = tagged.where(col("__rnD") <= before)
+      .withColumn("__tgt", col("__pid") + 1).withColumn("__own", lit(false))
+    val wFrame = Window.partitionBy(col("__tgt")).orderBy(order.asc).rowsBetween(s, e)
+    val mavg = avg(value).over(wFrame)
+    own.unionByName(toPrev).unionByName(toNext)
+      .withColumn(outCol, if (r >= 0) round(mavg, r) else mavg)
+      .where(col("__own"))
+      .drop("__pid", "__rnA", "__rnD", "__tgt", "__own")
+  }
+}

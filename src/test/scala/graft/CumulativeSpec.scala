@@ -1,0 +1,93 @@
+package graft
+
+import graft.functions.ColumnFunctions
+import graft.operators.Cumulative
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The scale-safe operators must agree exactly with their
+  * global-window column-function twins — same values, computed with
+  * distributed plans (range prefix sum / halo exchange / broadcast
+  * totals) instead of an empty-partition window.
+  */
+class CumulativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 200 rows over 4 test partitions so every operator genuinely
+  // crosses partition boundaries.
+  private def df: DataFrame =
+    spark.range(200).select(
+      col("id"),
+      (col("id") * 37 % 100).as("v"),
+      (col("id") % 7).as("g"))
+      .repartition(4)
+
+  private def sortedDoubles(d: DataFrame, c: String): Seq[(Long, Double)] =
+    d.select(col("id"), col(c).cast("double")).as[(Long, Double)].collect()
+      .sortBy(_._1).toSeq
+
+  test("withPercentOfTotal matches percent() with no partition") {
+    val want = sortedDoubles(
+      df.withColumn("p", ColumnFunctions.percent(col("v"), r = 6)), "p")
+    val got = sortedDoubles(
+      Cumulative.withPercentOfTotal(df, col("v"), "p", r = 6), "p")
+    assert(got == want)
+  }
+
+  test("withCubePercent matches cubePercent() with no partition") {
+    val cubed = df.cube(col("g")).agg(sum(col("v")).as("sv"))
+      .withColumn("id", coalesce(col("g"), lit(-1L)))
+    val want = sortedDoubles(
+      cubed.withColumn("p", ColumnFunctions.cubePercent(col("sv"), Seq(col("g")), r = 6)), "p")
+    val got = sortedDoubles(
+      Cumulative.withCubePercent(cubed, col("sv"), Seq(col("g")), "p", r = 6), "p")
+    assert(got == want)
+  }
+
+  test("withCumulativeSum matches cumulativeSum() globally, both directions") {
+    for (asc <- Seq(true, false)) {
+      val want = sortedDoubles(
+        df.withColumn("cs", ColumnFunctions.cumulativeSum(col("v"), col("id"), asc)), "cs")
+      val got = sortedDoubles(
+        Cumulative.withCumulativeSum(df, col("v"), col("id"), "cs", asc), "cs")
+      assert(got == want, s"ascending=$asc")
+    }
+  }
+
+  test("withCumulativeSum: RANGE semantics under ties") {
+    val ties = Seq((1, 1, 10), (2, 1, 20), (3, 2, 5)).toDF("id", "t", "v")
+    val want = sortedDoubles(
+      ties.withColumn("cs", ColumnFunctions.cumulativeSum(col("v"), col("t"))), "cs")
+    val got = sortedDoubles(
+      Cumulative.withCumulativeSum(ties, col("v"), col("t"), "cs"), "cs")
+    assert(got == want) // both tie rows see the shared 30
+  }
+
+  test("withCumulativePercent matches cumulativePercent()") {
+    val want = sortedDoubles(
+      df.withColumn("cp", ColumnFunctions.cumulativePercent(col("v"), col("id"), r = 6)), "cp")
+    val got = sortedDoubles(
+      Cumulative.withCumulativePercent(df, col("v"), col("id"), "cp", r = 6), "cp")
+    assert(got == want)
+  }
+
+  test("withMovingAverage matches movingAverage() in every mode") {
+    for (mode <- Seq("previous", "center", "next")) {
+      val want = sortedDoubles(
+        df.withColumn("m",
+          ColumnFunctions.movingAverage(col("v"), col("id"), 7, mode, r = 6)), "m")
+      val got = sortedDoubles(
+        Cumulative.withMovingAverage(df, col("v"), col("id"), "m", 7, mode, r = 6), "m")
+      assert(got == want, s"mode=$mode")
+    }
+  }
+
+  test("withMovingAverage: frame clipped at the global edges") {
+    val tiny = Seq((1, 2.0), (2, 4.0), (3, 6.0)).toDF("id", "v")
+    val got = Cumulative
+      .withMovingAverage(tiny, col("v"), col("id"), "m", 3, "center")
+      .select(col("id").cast("long"), col("m")).as[(Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 3.0), (2L, 4.0), (3L, 5.0)))
+  }
+}
