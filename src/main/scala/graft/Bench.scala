@@ -20,12 +20,47 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/JIT and the parquet footer caches so the first
-    // measured query doesn't absorb session startup (observed ~5 s).
+    // measured query doesn't absorb session startup (observed ~5 s),
+    // then push tiny synthetic rows through each kernel family
+    // (shingle/minhash/simhash, vector cosine/buckets, text counters,
+    // calendar, prefix sum) — measured queries then see steady-state
+    // kernels instead of paying their JIT (observed 1.5-2 s on the
+    // alphabetically-first query of each family).
+    import org.apache.spark.sql.functions._
     spark.range(1000000).selectExpr("sum(id)").collect()
     Seq("lineitem", "documents", "embeddings").foreach { tbl =>
       try spark.read.parquet(s"$sfDir/$tbl.parquet").limit(1).collect()
       catch { case _: Throwable => }
     }
+    def warm(df: => org.apache.spark.sql.DataFrame): Unit =
+      try df.write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+    val wDocs = spark.range(200).select(col("id"),
+      concat_ws(" ", md5(col("id").cast("string")),
+        md5((col("id") * 7).cast("string"))).as("text"))
+    val wVecs = spark.range(100).select(col("id"),
+      expr("transform(sequence(1, 64), i -> cast(pmod(id * i, 97) as float) / 97)")
+        .as("embedding"))
+    warm(graft.operators.Dedup.minHashLshPairs(wDocs, "text", "id", 5, 8, 2, 0.1))
+    warm(graft.operators.Dedup.simHashPairs(wDocs, "text", "id", 28, 1, 2))
+    warm(graft.operators.Dedup.duplicateClusters(
+      spark.range(20).select(col("id").as("id_a"), (col("id") + 1).as("id_b"))))
+    warm(graft.operators.Similarity.ivfTopK(
+      wVecs, wVecs.where(col("id") < 2), "embedding", "id", "id", 3, 10, 2))
+    warm(graft.operators.Similarity.nearDupPairs(
+      wVecs, "embedding", "id", 64, 0.8, numPlanes = 4, numTables = 2))
+    warm(wDocs.select(
+      graft.functions.TextAnalysis.languageId(col("text")),
+      graft.functions.TextAnalysis.qualityScore(col("text")),
+      graft.functions.TextAnalysis.tokenCountRegex(col("text")),
+      graft.functions.TextAnalysis.fingerprint(col("text"))))
+    warm(graft.functions.TextAnalysis.tfIdfTopK(wDocs, "text", "id", 2))
+    warm(wDocs.select(graft.functions.TextFunctions.jalaliDate(
+      date_add(to_date(lit("1995-01-01")), col("id").cast("int")))))
+    warm(graft.operators.Cumulative.withMovingAverage(
+      wDocs, col("id"), col("id"), "m", 7))
+    warm(graft.operators.Cumulative.withCumulativePercent(
+      wDocs, col("id"), col("id"), "cp"))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

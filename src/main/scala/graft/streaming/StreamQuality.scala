@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+/** Streaming twins of the text-quality path, plus the foreachBatch
+  * dedup-sink pattern that closes the training-data loop: documents
+  * arrive on a stream, are scored/filtered row-by-row, exact-deduped
+  * within a watermark, and appended to partitioned parquet.
+  *
+  * The quality/language/token columns are pure row-local expressions
+  * (`graft.functions.TextAnalysis`), so they attach to a streaming
+  * DataFrame unchanged — no state, no watermark needed until the
+  * dedup stage.
+  */
+object StreamQuality {
+
+  /** Attach language, quality and token-count columns to a (streaming
+    * or batch) DataFrame — stateless, so the micro-batch plan stays
+    * a pure map.
+    */
+  def withQualitySignals(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("lang_pred", TextAnalysis.languageId(col(textCol)))
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
+
+  /** Quality gate: keep rows whose score clears `minQuality` and
+    * whose token count is in [minTokens, maxTokens]. Stateless.
+    */
+  def qualityFilter(
+      df: DataFrame,
+      textCol: String,
+      minQuality: Double = 0.5,
+      minTokens: Int = 5,
+      maxTokens: Int = 1 << 20): DataFrame =
+    withQualitySignals(df, textCol)
+      .where(col("quality") >= minQuality &&
+        col("n_tokens").between(minTokens, maxTokens))
+
+  /** The foreachBatch sink pattern for a streamed dedup pipeline:
+    * each micro-batch is quality-filtered, exact-deduped WITHIN the
+    * batch (content-hash groupBy — cheap, bounded by batch size), and
+    * handed to `write` (typically parquet-append partitioned by a
+    * date/source column). Cross-batch dups are the watermark-bounded
+    * job of [[StreamDedup]] upstream; batch-local dups (same doc
+    * twice in one trigger) are closed out here, so the sink never
+    * writes a duplicate content key in one commit.
+    *
+    * foreachBatch (vs a plain file sink) is the pattern because the
+    * dedup groupBy is a batch-only operation — inside the callback
+    * the micro-batch is an ordinary DataFrame, so the full batch
+    * operator library applies. Exactly-once comes from the sink's
+    * idempotence on (batchId, content key): `write` receives the
+    * batchId to implement idempotent commits.
+    */
+  def dedupSink(
+      stream: DataFrame,
+      textCol: String,
+      idCol: String,
+      minQuality: Double = 0.5)(
+      write: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val cleaned = qualityFilter(batch.toDF(), textCol, minQuality)
+        val deduped = graft.operators.Dedup.exact(cleaned, Seq(textCol), idCol)
+        write(deduped, batchId)
+      }
+
+  /** Convenience: [[dedupSink]] wired to an append-mode parquet
+    * directory with processing-time triggers — the shape a training
+    * corpus ingestion job actually runs.
+    */
+  def dedupToParquet(
+      stream: DataFrame,
+      textCol: String,
+      idCol: String,
+      outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+      minQuality: Double = 0.5): DataStreamWriter[Row] =
+    dedupSink(stream, textCol, idCol, minQuality) { (batch, _) =>
+      batch.write.mode("append").parquet(outDir)
+    }
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+}

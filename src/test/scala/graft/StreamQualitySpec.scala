@@ -1,0 +1,74 @@
+package graft
+
+import graft.streaming.StreamQuality
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Doc(doc_id: Long, text: String, ts: Timestamp)
+
+class StreamQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(minute: Int) = new Timestamp(minute * 60000L)
+
+  private val good =
+    "The quick brown fox jumps over the lazy dog and keeps running through the field."
+  private val bad = "!!! ??? ###"
+
+  test("qualityFilter matches the batch quality/token semantics") {
+    val df = Seq(
+      Doc(1, good, t(0)),
+      Doc(2, bad, t(1)),
+      Doc(3, "tiny", t(2)))
+      .toDF()
+    val kept = StreamQuality.qualityFilter(df, "text", minQuality = 0.3, minTokens = 5)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L))
+    // signals agree with the batch functions they wrap
+    val sig = StreamQuality.withQualitySignals(df, "text")
+      .where($"doc_id" === 1)
+      .select($"quality", $"n_tokens")
+      .head()
+    val direct = df.where($"doc_id" === 1).select(
+      graft.functions.TextAnalysis.qualityScore($"text"),
+      graft.functions.TextAnalysis.tokenCount($"text")).head()
+    assert(sig == direct)
+  }
+
+  test("qualityFilter attaches to a streaming DataFrame (stateless plan)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val filtered = StreamQuality.qualityFilter(
+      input.toDF(), "text", minQuality = 0.3, minTokens = 5)
+    val query = filtered.writeStream
+      .format("memory").queryName("graft_quality").outputMode("append").start()
+    try {
+      input.addData(Doc(1, good, t(0)), Doc(2, bad, t(1)))
+      query.processAllAvailable()
+      val out = spark.table("graft_quality").select($"doc_id").as[Long].collect().toSeq
+      assert(out == Seq(1L))
+    } finally query.stop()
+  }
+
+  test("dedupToParquet: batch-local dups collapse, quality gate applies, parquet lands") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val query = StreamQuality
+      .dedupToParquet(input.toDF(), "text", "doc_id", out, ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        minQuality = 0.3)
+      .start()
+    try {
+      // doc 11/12 share content (one survives, smallest id), 13 fails quality
+      input.addData(
+        Doc(11, good, t(0)), Doc(12, good, t(1)), Doc(13, bad, t(2)))
+      query.awaitTermination(60000)
+      val written = spark.read.parquet(out).select($"doc_id").as[Long].collect().toSeq
+      assert(written == Seq(11L))
+    } finally query.stop()
+  }
+}

@@ -40,6 +40,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out("2023-09-23") == "1402-07-01") // first of Mehr
   }
 
+  test("jalaliToGregorian: inverse anchors and five-century round trip") {
+    val anchors = Seq("1403-01-01" -> "2024-03-20", "1378-10-11" -> "2000-01-01",
+      "1402-07-01" -> "2023-09-23")
+    val back = anchors.map(_._1).toDF("j")
+      .select($"j", jalaliToGregorian($"j").cast("string").as("g"))
+      .as[(String, String)].collect().toMap
+    anchors.foreach { case (j, g) => assert(back(j) == g, j) }
+    // Round trip: every day 1800-01-01 .. 2299-12-31 survives
+    // gregorian → jalali string → gregorian.
+    val days = spark.range(0, 182621).select(
+      date_add(to_date(lit("1800-01-01")), $"id".cast("int")).as("d"))
+    val bad = days
+      .withColumn("rt", jalaliToGregorian(jalaliDate($"d")))
+      .where($"rt" =!= $"d" || $"rt".isNull)
+      .count()
+    assert(bad == 0)
+  }
+
   test("jalaliDate: format tokens (names, persian digits, literals)") {
     val df = Seq("2024-03-20").toDF("d").select(to_date($"d").as("d"))
     val named = df.select(jalaliDate($"d", "%d %B %Y").as("j")).as[String].head()
