@@ -171,15 +171,27 @@ object Dedup {
       else
         shingled.withColumn("__mins", chunkMinsNative(col("__sh"), numHashes))
     val exploded = minned
-      .select(col("__id"),
+      .select(col("__id"), size(col("__sh")).as("__sz"),
         posexplode(bandKeys(col("__mins"), numHashes, bands))
           .as(Seq("__bpos", "__bkey")))
-    // No explicit distinct: attachSets' groupBy(id_a, id_b) collapses
-    // cross-band duplicate candidates in the same shuffle it already
-    // needs, saving a round.
-    val cands = bucketPairs(exploded, col("__id"), maxBucket)
-      .where(col("__a") < col("__b"))
-      .select(col("__a").as("id_a"), col("__b").as("id_b"))
+    // Candidates carry their set SIZE (one int) so two prunes run
+    // BEFORE any set payload moves: `distinct` collapses cross-band
+    // duplicates, and the size-ratio prefilter (jaccard ≤ min/max of
+    // the sizes — result-preserving) drops size-skewed pairs. On a
+    // duplicate-heavy corpus the candidate list is the big list, so
+    // pruning it while it is still id-sized is what keeps the
+    // verification shuffle at true-candidate volume.
+    val cands = bucketPairs(
+      exploded, struct(col("__id"), col("__sz")), maxBucket)
+      .where(col("__a.__id") < col("__b.__id"))
+      .select(
+        col("__a.__id").as("id_a"), col("__a.__sz").as("__sza"),
+        col("__b.__id").as("id_b"), col("__b.__sz").as("__szb"))
+      .where(
+        least(col("__sza"), col("__szb")).cast("double") >=
+          lit(jaccardThreshold) * greatest(col("__sza"), col("__szb")))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
 
     jaccardVerify(
       attachSets(cands, src, idCol, textCol, charShingles(_, shingleK)),
@@ -224,27 +236,56 @@ object Dedup {
   }
 
   /** Verification join-back: attach each candidate pair's two feature
-    * sets, computing `mkSet` ONLY for rows that joined (the projection
-    * sits above the join). One join + one aggregation: the pair list
-    * explodes to (pair, member id) rows, meets the source once, and
-    * the two sides fold back with first(when(...)) — no second scan
-    * per side, no recompute of the candidate lineage.
+    * sets with one join per side, computing `mkSet` ONLY for rows
+    * that joined (the projection sits above each join, so just that
+    * side's candidate rows pay the kernel). Two scans of `src`'s
+    * id+text projection — deliberate: the aggregate alternative
+    * (explode pair → one join → fold sides back with first(when))
+    * needs an ObjectHashAggregate over array payloads, which falls
+    * back to sort-based aggregation at 128 in-memory keys and then
+    * sorts the full payload volume. Plain joins keep the payload out
+    * of any sort and let AQE broadcast the (small) pair list.
     */
+  private val stageCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Optimizer barrier: predicates cannot push through a
+    * CollectMetrics node (`observe`), and — unlike a nondeterministic
+    * dummy column, which ColumnPruning deletes and thereby re-enables
+    * the pushdown — it cannot be pruned away. Without a barrier the
+    * downstream jaccard filter is substituted all the way into the
+    * verification JOIN CONDITION, where its four `size`/`jaccard`
+    * references each re-evaluate `char_shingles(text)` — eight
+    * shingle computations per joined row, measured at 8× wall time
+    * on a candidate-heavy corpus. The metric itself is a row count
+    * (negligible); the name is uniquified so one query can hold
+    * several barriers.
+    */
+  private[operators] def pushdownBarrier(df: DataFrame): DataFrame =
+    df.observe(s"graft_stage_${stageCounter.incrementAndGet()}", count(lit(1)))
+
   private[operators] def attachSets(
       cands: DataFrame,
       src: DataFrame,
       idCol: String,
       textCol: String,
       mkSet: Column => Column): DataFrame =
-    cands
+    pushdownBarrier(cands
+      // The pair list is bytes-tiny but each row costs two shingle
+      // kernels + a jaccard downstream — work AQE cannot see, so it
+      // would coalesce these few MB to one partition and serialize
+      // the whole verification. The explicit repartition pins the
+      // stage at full parallelism (REPARTITION_BY_NUM is exempt from
+      // AQE coalescing).
+      .repartition(cands.sparkSession.sparkContext.defaultParallelism)
+      // Both joins move RAW TEXT (~300 B/row), and the sets are
+      // computed in one projection after the LAST join: if AQE picks
+      // a sort-merge join (the corpus side is never broadcast-safe at
+      // scale), the sort buffers text rows, not ~20×-larger shingle
+      // sets.
+      .join(src.select(col(idCol).as("id_a"), col(textCol).as("__ta")), Seq("id_a"))
+      .join(src.select(col(idCol).as("id_b"), col(textCol).as("__tb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        explode(array(col("id_a"), col("id_b"))).as("__id"))
-      .join(src.select(col(idCol).as("__id"), col(textCol).as("__t")), Seq("__id"))
-      .select(col("id_a"), col("id_b"), col("__id"), mkSet(col("__t")).as("__p"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(
-        first(when(col("__id") === col("id_a"), col("__p")), ignoreNulls = true).as("__set_a"),
-        first(when(col("__id") === col("id_b"), col("__p")), ignoreNulls = true).as("__set_b"))
+        mkSet(col("__ta")).as("__set_a"), mkSet(col("__tb")).as("__set_b")))
 
   /** Exact-Jaccard verification over attached set pairs, with the
     * result-preserving size prefilter (jaccard ≤ min/max of the set

@@ -249,24 +249,23 @@ object Similarity {
       posexplode(array((0 until tables).map(tbl =>
         hyperplaneBucketNative(col(vecCol), dim, planes, tbl * planes)): _*))
         .as(Seq("__bpos", "__bkey")))
-    // No explicit distinct: the verification groupBy below collapses
-    // cross-table duplicate candidates in the shuffle it already needs.
+    // distinct BEFORE vectors attach: cross-table duplicate
+    // candidates collapse while the rows are still id-sized.
     val cands = Dedup
       .bucketPairs(exploded, col("__id"), maxBucket)
       .where(col("__a") < col("__b"))
       .select(col("__a").as("id_a"), col("__b").as("id_b"))
-    // Verification join-back: the pair list explodes to (pair, member)
-    // rows and meets the source ONCE — candidate-volume vector
-    // shuffle, no per-table payload replication, no recompute of the
-    // candidate lineage.
-    cands
-      .select(col("id_a"), col("id_b"),
-        explode(array(col("id_a"), col("id_b"))).as("__id"))
-      .join(src.select(col(idCol).as("__id"), col(vecCol).as("__v")), Seq("__id"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(
-        first(when(col("__id") === col("id_a"), col("__v")), ignoreNulls = true).as("__va"),
-        first(when(col("__id") === col("id_b"), col("__v")), ignoreNulls = true).as("__vb"))
+      .distinct()
+    // Verification join-back, one plain join per side (no aggregate:
+    // an ObjectHashAggregate over array payloads falls back to
+    // sort-based aggregation and sorts the full vector volume). The
+    // repartition pins the cosine stage at full parallelism (AQE
+    // would coalesce the bytes-tiny pair list to one task); the
+    // barrier keeps the cosine filter out of the join condition.
+    Dedup.pushdownBarrier(cands
+      .repartition(cands.sparkSession.sparkContext.defaultParallelism)
+      .join(src.select(col(idCol).as("id_a"), col(vecCol).as("__va")), Seq("id_a"))
+      .join(src.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), Seq("id_b")))
       .withColumn("cosine", round(cosineSimilarityNative(col("__va"), col("__vb")), 6))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

@@ -31,8 +31,24 @@ object ScaleProbe {
     Dedup.minHashLshPairs(base, "text", "doc_id", 5, 8, 2, 0.5)
       .write.format("noop").mode("overwrite").save()
 
+    // Growth replication: replicas get synthetic md5-chunk text that
+    // shares no shingles with anything (the corpus grows 8×, the
+    // absolute near-dup population stays the base corpus's) — the
+    // realistic regime, where cost must track candidate volume, not
+    // n². The clone corpus (every doc duplicated k×, pair output
+    // grows ∝ k²·n by construction) is kept as the adversarial
+    // bound: there the verification payload IS the output, so any
+    // design pays ∝ pairs·|set|.
+    def replicateGrowth(k: Int): DataFrame =
+      (0 until k).map { i =>
+        val t = if (i == 0) col("text")
+          else concat_ws(" ", (1 to 8).map(j =>
+            md5(concat(col("doc_id"), lit(i * 31 + j)))): _*)
+        base.select((col("doc_id") + i * 10000000L).as("doc_id"), t.as("text"))
+      }.reduce(_ unionByName _)
+
     for (k <- Seq(1, 2, 4, 8); bands <- Seq(2)) {
-      val docs = replicate(k)
+      val docs = replicateGrowth(k)
       val t0 = System.nanoTime()
       val n = Dedup.minHashLshPairs(docs, "text", "doc_id", 5, 8, bands, 0.5).count()
       val tPairs = (System.nanoTime() - t0) / 1e9
@@ -41,6 +57,13 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
       val tSim = (System.nanoTime() - t1) / 1e9
       println(f"SCALE|k=$k%-2d docs=${k * 5000}%-6d minhash(bands=$bands)=$tPairs%7.2fs pairs=$n%-8d simhash48=$tSim%7.2fs")
+    }
+    for (k <- Seq(1, 8)) {
+      val docs = replicate(k)
+      val t0 = System.nanoTime()
+      val n = Dedup.minHashLshPairs(docs, "text", "doc_id", 5, 8, 2, 0.5).count()
+      val tPairs = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE-CLONE|k=$k%-2d docs=${k * 5000}%-6d minhash=$tPairs%7.2fs pairs=$n%-8d (adversarial: output ∝ k²n)")
     }
 
     // Embedding near-dup: auto planes (occupancy-constant buckets)
