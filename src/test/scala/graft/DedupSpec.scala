@@ -126,6 +126,19 @@ class DedupSpec extends SparkSpec {
     assert(capped == 0L)
   }
 
+  test("minHashLshPairs: maxBucket (window-count path) drops degenerate band buckets") {
+    // 25 identical docs: both band buckets hold all 25 ids.
+    val clones = (1L to 25L).map(i => (i, "identical boilerplate body for every clone row"))
+      .toDF("id", "text")
+    val uncapped = Dedup.minHashLshPairs(clones, "text", "id").count()
+    val capped = Dedup.minHashLshPairs(clones, "text", "id", maxBucket = 10).count()
+    assert(uncapped == 25L * 24 / 2)
+    assert(capped == 0L)
+    // cap above the bucket size changes nothing
+    val roomy = Dedup.minHashLshPairs(clones, "text", "id", maxBucket = 100).count()
+    assert(roomy == uncapped)
+  }
+
   test("minHashLshDedup: end-to-end keeps one representative per dup cluster") {
     val kept = Dedup.minHashLshDedup(docs, "text", "id")
       .select($"id").as[Long].collect().sorted.toSeq

@@ -126,6 +126,15 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("autoTables: OR-amplification sized for the recall target") {
+    // s = 1 − arccos(0.9)/π ≈ 0.8564
+    assert(Similarity.autoTables(1, 0.9) == 2) // s > 0.9 is false → 2 tables
+    assert(Similarity.autoTables(8, 0.9) == 7) // s^8 ≈ 0.289 → 7 tables for R=0.9
+    assert(Similarity.autoTables(24, 0.9) == 64) // cap binds: honest low-recall signal
+    // higher per-table collision (lower planes or threshold→1) → fewer tables
+    assert(Similarity.autoTables(2, 0.999) == 1)
+  }
+
   test("autoPlanes: grows with log2(n), clamped to [8, 28]") {
     assert(Similarity.autoPlanes(1L) == 8)
     assert(Similarity.autoPlanes(1000L) == 8)
