@@ -187,6 +187,16 @@ object SparkEntry {
         .groupBy(jalaliDate(col("o_orderdate")).as("jdate"))
         .agg(sum(col("cnt")).as("cnt"))
     }),
+    "q_jalali_inverse" -> ((s, dir) => {
+      // Round trip against the oracle's FORWARD conversion: the
+      // inverse must return exactly the Gregorian date each Jalali
+      // string came from.
+      t(s, dir, "orders")
+        .select(to_date(col("o_orderdate")).as("gdate"))
+        .distinct()
+        .select(jalaliDate(col("gdate")).as("jdate"), col("gdate"))
+        .withColumn("gdate", jalaliToGregorian(col("jdate")))
+    }),
     // --------------------------------------------- §2.2 dataframe ops
     "q_is_null_or_in" -> ((s, dir) => {
       t(s, dir, "events")
@@ -332,6 +342,25 @@ object SparkEntry {
         |i AS (SELECT *, jdn - [0,31,62,93,124,155,186,216,246,276,306,336][jm] + 1 AS jd FROM h)
         |SELECT printf('%d-%02d-%02d', jy::BIGINT, jm::BIGINT, jd::BIGINT) AS jdate, count(*) AS cnt
         |FROM i GROUP BY 1""".stripMargin,
+    // The oracle runs only the FORWARD conversion (carrying the source
+    // date), so the compare proves the Spark inverse lands back on the
+    // exact original date for every distinct order date.
+    "q_jalali_inverse" ->
+      """WITH dd AS (SELECT DISTINCT o_orderdate::DATE AS d FROM orders),
+        |j AS (SELECT d, year(d) - 1600 AS gy, dayofyear(d) - 1 AS gdy FROM dd),
+        |e AS (SELECT *, 365 * gy + floor((gy + 3) / 4) - floor((gy + 99) / 100)
+        |  + floor((gy + 399) / 400) + gdy - 79 AS jdn0 FROM j),
+        |f AS (SELECT *, floor(jdn0 / 12053) AS jnp, jdn0 % 12053 AS jdn1 FROM e),
+        |g AS (SELECT *, 979 + 33 * jnp + 4 * floor(jdn1 / 1461) AS jy0, jdn1 % 1461 AS jdn2 FROM f),
+        |h AS (SELECT *, CASE WHEN jdn2 >= 366 THEN jy0 + floor((jdn2 - 1) / 365) ELSE jy0 END AS jy,
+        |  CASE WHEN jdn2 >= 366 THEN (jdn2 - 1) % 365 ELSE jdn2 END AS jdn FROM g),
+        |i AS (SELECT *, CASE WHEN jdn < 31 THEN 1 WHEN jdn < 62 THEN 2 WHEN jdn < 93 THEN 3
+        |  WHEN jdn < 124 THEN 4 WHEN jdn < 155 THEN 5 WHEN jdn < 186 THEN 6
+        |  WHEN jdn < 216 THEN 7 WHEN jdn < 246 THEN 8 WHEN jdn < 276 THEN 9
+        |  WHEN jdn < 306 THEN 10 WHEN jdn < 336 THEN 11 ELSE 12 END AS jm FROM h),
+        |k AS (SELECT *, jdn - [0,31,62,93,124,155,186,216,246,276,306,336][jm] + 1 AS jd FROM i)
+        |SELECT printf('%d-%02d-%02d', jy::BIGINT, jm::BIGINT, jd::BIGINT) AS jdate, d AS gdate
+        |FROM k""".stripMargin,
     "q_is_null_or_in" ->
       """WITH e AS (SELECT event_type,
         |  CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS et FROM events)

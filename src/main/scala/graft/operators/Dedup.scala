@@ -246,22 +246,15 @@ object Dedup {
     * sorts the full payload volume. Plain joins keep the payload out
     * of any sort and let AQE broadcast the (small) pair list.
     */
-  private val stageCounter = new java.util.concurrent.atomic.AtomicLong()
-
-  /** Optimizer barrier: predicates cannot push through a
-    * CollectMetrics node (`observe`), and — unlike a nondeterministic
-    * dummy column, which ColumnPruning deletes and thereby re-enables
-    * the pushdown — it cannot be pruned away. Without a barrier the
+  /** See [[Parallelism.pushdownBarrier]]. Without the barrier the
     * downstream jaccard filter is substituted all the way into the
     * verification JOIN CONDITION, where its four `size`/`jaccard`
     * references each re-evaluate `char_shingles(text)` — eight
     * shingle computations per joined row, measured at 8× wall time
-    * on a candidate-heavy corpus. The metric itself is a row count
-    * (negligible); the name is uniquified so one query can hold
-    * several barriers.
+    * on a candidate-heavy corpus.
     */
   private[operators] def pushdownBarrier(df: DataFrame): DataFrame =
-    df.observe(s"graft_stage_${stageCounter.incrementAndGet()}", count(lit(1)))
+    Parallelism.pushdownBarrier(df)
 
   private[operators] def attachSets(
       cands: DataFrame,

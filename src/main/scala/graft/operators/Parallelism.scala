@@ -32,4 +32,22 @@ object Parallelism {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (est < BigInt(bytesPerCore) * par) df.repartition(par) else df
   }
+
+  private val stageCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Optimizer barrier: predicates cannot push through a
+    * CollectMetrics node (`observe`), and — unlike a nondeterministic
+    * dummy column, which ColumnPruning deletes and thereby re-enables
+    * the pushdown — it cannot be pruned away. Use above a projection
+    * that stages EXPENSIVE per-row expressions a downstream filter
+    * references: without it, predicate pushdown substitutes the
+    * expression into the Filter (or a join condition), re-evaluating
+    * it once per reference per row. The metric itself is a row count
+    * (negligible); the name is uniquified so one query can hold
+    * several barriers. Works on batch and streaming frames.
+    */
+  def pushdownBarrier(df: DataFrame): DataFrame =
+    df.observe(s"graft_stage_${stageCounter.incrementAndGet()}",
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)))
 }

@@ -35,7 +35,11 @@ object StreamQuality {
       minQuality: Double = 0.5,
       minTokens: Int = 5,
       maxTokens: Int = 1 << 20): DataFrame =
-    withQualitySignals(df, textCol)
+    // The barrier keeps the filter referencing the staged quality /
+    // token columns; otherwise predicate pushdown substitutes the
+    // multi-regex scoring expressions into the Filter and every row
+    // pays them twice (once to filter, once for the output columns).
+    graft.operators.Parallelism.pushdownBarrier(withQualitySignals(df, textCol))
       .where(col("quality") >= minQuality &&
         col("n_tokens").between(minTokens, maxTokens))
 
