@@ -115,6 +115,26 @@ object HashKernels {
     while (i < nb) { if (set.contains(b.getUTF8String(i))) inter += 1; i += 1 }
     inter.toDouble / (na + nb - inter).toDouble
   }
+
+  /** Jaccard of two DISTINCT long arrays (hashed feature sets): sort
+    * both and merge-count the intersection — no boxing, no hash set.
+    * Same contract as [[jaccard]] over the hashed elements.
+    */
+  def jaccardLong(a: ArrayData, b: ArrayData): Double = {
+    val xs = a.toLongArray()
+    val ys = b.toLongArray()
+    java.util.Arrays.sort(xs)
+    java.util.Arrays.sort(ys)
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < xs.length && j < ys.length) {
+      if (xs(i) == ys(j)) { inter += 1; i += 1; j += 1 }
+      else if (xs(i) < ys(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (xs.length + ys.length - inter).toDouble
+  }
 }
 
 /** Distinct character k-shingles of a string (code-point semantics,
@@ -258,5 +278,24 @@ case class JaccardSim(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaccardSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native Jaccard similarity of two distinct long arrays (hashed
+  * feature sets — the `fast` family's verification payload).
+  */
+case class JaccardSimLong(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sim_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.jaccardLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.jaccardLong($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSimLong =
     copy(left = newLeft, right = newRight)
 }

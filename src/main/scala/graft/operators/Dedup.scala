@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{ChunkMinHash, JaccardSim, SimHash => SimHashExpr, CharShingles => CharShinglesExpr, WordNgrams}
+import graft.functions.{ChunkMinHash, JaccardSim, JaccardSimLong, SimHash => SimHashExpr, CharShingles => CharShinglesExpr, WordNgrams}
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -90,6 +90,14 @@ object Dedup {
   def jaccardSim(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       JaccardSim(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Native Jaccard of two distinct LONG arrays (hashed feature sets,
+    * the `fast` family's verification payload) — sort + merge-count,
+    * no boxing.
+    */
+  def jaccardSimLong(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      JaccardSimLong(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   /** MinHash signature via xxhash64 — the cheap hash for real scale
     * (not DuckDB-portable; verified by ScalaTest instead).
@@ -193,9 +201,17 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .distinct()
 
+    // fast family: verification sets are xxhash64-hashed longs — same
+    // cardinalities, so identical jaccard values (modulo 64-bit hash
+    // collisions), at ~3× less payload through the attach joins and a
+    // boxing-free merge-count intersection.
+    val mkSet: Column => Column =
+      if (fast) c => transform(charShingles(c, shingleK), xxhash64(_))
+      else charShingles(_, shingleK)
     jaccardVerify(
-      attachSets(cands, src, idCol, textCol, charShingles(_, shingleK)),
-      jaccardThreshold)
+      attachSets(cands, src, idCol, textCol, mkSet),
+      jaccardThreshold,
+      if (fast) jaccardSimLong else jaccardSim)
   }
 
   /** Within-bucket pair generation: group the (`__bpos`, `__bkey`)
@@ -286,12 +302,13 @@ object Dedup {
     */
   private[operators] def jaccardVerify(
       withSets: DataFrame,
-      threshold: Double): DataFrame =
+      threshold: Double,
+      sim: (Column, Column) => Column = jaccardSim): DataFrame =
     withSets
       .where(
         least(size(col("__set_a")), size(col("__set_b"))).cast("double") >=
           lit(threshold) * greatest(size(col("__set_a")), size(col("__set_b"))))
-      .withColumn("jaccard", jaccardSim(col("__set_a"), col("__set_b")))
+      .withColumn("jaccard", sim(col("__set_a"), col("__set_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
 

@@ -73,17 +73,33 @@ object Similarity {
       col(qIdCol).as("query_id"),
       col(vecCol).as("__qv"),
       hyperplaneBucketNative(col(vecCol), dim, numPlanes).as("__bucket"))
-    // Multi-probe: additionally search the buckets at Hamming
-    // distance 1 from the query's bucket (first `multiProbe` plane
-    // flips) — recall without more shuffle, only more broadcast rows.
+    // Query-directed multi-probe (Lv et al., VLDB 2007): additionally
+    // search the buckets at Hamming distance 1 from the query's
+    // bucket, flipping the `multiProbe` planes with the SMALLEST
+    // |dot| margin — the planes the query most nearly straddles, so
+    // each extra probe buys the most recall. Recall without more
+    // shuffle, only more broadcast rows; the margin computation runs
+    // on the (small, broadcast) query side only.
     val q =
       if (multiProbe <= 0) q0
-      else q0
-        .withColumn("__bucket",
-          explode(array(
-            (col("__bucket") +:
-              (0 until math.min(multiProbe, numPlanes)).map(p =>
-                col("__bucket").bitwiseXOR(lit(1 << p)))): _*)))
+      else {
+        val margins = array(
+          planeSigns(dim, numPlanes).zipWithIndex.map { case (signs, p) =>
+            val signArr = array(signs.map(s => lit(s.toDouble)): _*)
+            struct(
+              abs(dotProduct(col("__qv"), signArr)).as("m"),
+              lit(p).as("p"))
+          }: _*)
+        val flips = slice(
+          transform(array_sort(margins), x => x.getField("p")),
+          1, math.min(multiProbe, numPlanes))
+        q0.withColumn("__bucket",
+          explode(concat(
+            array(col("__bucket")),
+            transform(flips, f =>
+              col("__bucket").bitwiseXOR(
+                call_function("shiftleft", lit(1), f))))))
+      }
     val scored = c
       .join(broadcast(q), Seq("__bucket"))
       .withColumn("cosine", round(cosineSimilarityNative(col("__cv"), col("__qv")), 6))

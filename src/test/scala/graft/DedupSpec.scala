@@ -126,6 +126,25 @@ class DedupSpec extends SparkSpec {
     assert(capped == 0L)
   }
 
+  test("fast family: hashed-long verification matches the md5 family exactly") {
+    val md5Pairs = Dedup.minHashLshPairs(docs, "text", "id")
+      .as[(Long, Long, Double)].collect().toSet
+    val fastPairs = Dedup.minHashLshPairs(docs, "text", "id", fast = true)
+      .as[(Long, Long, Double)].collect().toSet
+    // same candidate semantics, same jaccard values: hashing the
+    // shingles to longs preserves set cardinalities
+    assert(fastPairs == md5Pairs)
+    assert(md5Pairs.map(p => (p._1, p._2)).contains((1L, 2L)))
+  }
+
+  test("jaccardSimLong: merge-count equals the string-set kernel") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d", "e"))).toDF("x", "y")
+    val s = df.select(Dedup.jaccardSim($"x", $"y")).as[Double].head()
+    val l = df.select(Dedup.jaccardSimLong(
+      transform($"x", xxhash64(_)), transform($"y", xxhash64(_)))).as[Double].head()
+    assert(s == l && s == 2.0 / 5.0)
+  }
+
   test("minHashLshPairs: maxBucket (window-count path) drops degenerate band buckets") {
     // 25 identical docs: both band buckets hold all 25 ids.
     val clones = (1L to 25L).map(i => (i, "identical boilerplate body for every clone row"))

@@ -56,6 +56,30 @@ class SimilaritySpec extends SparkSpec {
     assert(probed >= noProbe) // extra buckets can only add candidates
   }
 
+  test("lshTopK directed multi-probe: near-identical neighbour recovered across the straddled plane") {
+    import org.apache.spark.sql.functions._
+    // 40 deterministic pseudo-random vectors; queries are tiny
+    // perturbations of corpus vectors 5, 17, 29. A perturbed query
+    // whose bucket flipped did so on a plane it nearly straddles —
+    // exactly the plane directed probing flips first.
+    def vec(id: Long): Seq[Float] =
+      (1 to 8).map(j => (math.sin(id * 7.3 + j * 1.7) * 2 - 1).toFloat)
+    val corpus = (0L until 40L).map(i => (i, vec(i))).toDF("id", "vec")
+    val queries = Seq(5L, 17L, 29L)
+      .map(i => (i + 1000, vec(i).zipWithIndex.map { case (x, j) =>
+        if (j == 0) x + 1e-4f else x }.toSeq))
+      .toDF("id", "vec")
+    val found = Similarity
+      .lshTopK(corpus, queries, "vec", "id", "id", k = 3, dim = 8,
+        numPlanes = 5, multiProbe = 2)
+      .where(col("rank") === 1)
+      .select(col("query_id"), col("corpus_id"))
+      .as[(Long, Long)].collect().toMap
+    Seq(5L, 17L, 29L).foreach { i =>
+      assert(found.get(i + 1000).contains(i), s"query ${i + 1000} missed $i")
+    }
+  }
+
   test("ivfTopK: probes the right partition; self is rank 1") {
     // ids 0 and 3 are centroids (stride 3); query 1 should find itself
     val c = Seq(
