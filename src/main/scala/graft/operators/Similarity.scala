@@ -100,8 +100,12 @@ object Similarity {
               col("__bucket").bitwiseXOR(
                 call_function("shiftleft", lit(1), f))))))
       }
+    // No broadcast hint: the probe side scales with |queries| ×
+    // (1 + multiProbe) — unbounded by contract — so AQE decides at
+    // runtime (broadcast when it fits, bucket-key shuffle join when a
+    // corpus-sized query set would OOM the driver).
     val scored = c
-      .join(broadcast(q), Seq("__bucket"))
+      .join(q, Seq("__bucket"))
       .withColumn("cosine", round(cosineSimilarityNative(col("__cv"), col("__qv")), 6))
     val w = Window
       .partitionBy(col("query_id"))
@@ -166,8 +170,14 @@ object Similarity {
     val wRank = Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
+    // No broadcast hint on probes: it scales with |queries| × nprobe
+    // (unbounded by contract) — AQE broadcasts when it fits. The
+    // centroid broadcasts above stay hinted: nlist = n/stride is
+    // bounded by construction (the caller sizes stride so the
+    // centroid set is cluster-memory-small; that bound is the IVF
+    // design, not an optimizer guess).
     assigned
-      .join(broadcast(probes), Seq("__cid"))
+      .join(probes, Seq("__cid"))
       .withColumn("cosine", round(cosineSimilarityNative(col("__cv"), col("__qv")), 6))
       .withColumn("rank", row_number().over(wRank))
       .where(col("rank") <= k)
