@@ -165,10 +165,28 @@ object Dedup {
       jaccardThreshold: Double = 0.5,
       fast: Boolean = false,
       maxBucket: Int = 0): DataFrame = {
+    val src = Parallelism.spread(df)
+    verifyCandidates(
+      candidatePairs(
+        bandedSignatures(src, textCol, idCol, shingleK, numHashes, bands, fast),
+        jaccardThreshold, maxBucket),
+      src, textCol, idCol, shingleK, jaccardThreshold, fast)
+  }
+
+  /** The banded signature rows of [[minHashLshPairs]]'s candidate
+    * pass: (`__id`, `__sz` shingle-set size, `__bpos` band index,
+    * `__bkey` band key) — one row per (doc, band), id-sized.
+    */
+  private[operators] def bandedSignatures(
+      src: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleK: Int,
+      numHashes: Int,
+      bands: Int,
+      fast: Boolean): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     require(fast || numHashes <= 8, "portable (md5-chunk) minhash supports ≤ 8 hashes")
-    val src = Parallelism.spread(df)
-
     val shingled = src.select(col(idCol).as("__id"),
       charShingles(col(textCol), shingleK).as("__sh"))
     val minned =
@@ -178,19 +196,24 @@ object Dedup {
             array_min(transform(col("__sh"), s => xxhash64(s, lit(h)))).cast("string")): _*))
       else
         shingled.withColumn("__mins", chunkMinsNative(col("__sh"), numHashes))
-    val exploded = minned
-      .select(col("__id"), size(col("__sh")).as("__sz"),
-        posexplode(bandKeys(col("__mins"), numHashes, bands))
-          .as(Seq("__bpos", "__bkey")))
-    // Candidates carry their set SIZE (one int) so two prunes run
-    // BEFORE any set payload moves: `distinct` collapses cross-band
-    // duplicates, and the size-ratio prefilter (jaccard ≤ min/max of
-    // the sizes — result-preserving) drops size-skewed pairs. On a
-    // duplicate-heavy corpus the candidate list is the big list, so
-    // pruning it while it is still id-sized is what keeps the
-    // verification shuffle at true-candidate volume.
-    val cands = bucketPairs(
-      exploded, struct(col("__id"), col("__sz")), maxBucket)
+    minned.select(col("__id"), size(col("__sh")).as("__sz"),
+      posexplode(bandKeys(col("__mins"), numHashes, bands))
+        .as(Seq("__bpos", "__bkey")))
+  }
+
+  /** Candidates carry their set SIZE (one int) so two prunes run
+    * BEFORE any set payload moves: `distinct` collapses cross-band
+    * duplicates, and the size-ratio prefilter (jaccard ≤ min/max of
+    * the sizes — result-preserving) drops size-skewed pairs. On a
+    * duplicate-heavy corpus the candidate list is the big list, so
+    * pruning it while it is still id-sized is what keeps the
+    * verification shuffle at true-candidate volume.
+    */
+  private def candidatePairs(
+      exploded: DataFrame,
+      jaccardThreshold: Double,
+      maxBucket: Int): DataFrame =
+    bucketPairs(exploded, struct(col("__id"), col("__sz")), maxBucket)
       .where(col("__a.__id") < col("__b.__id"))
       .select(
         col("__a.__id").as("id_a"), col("__a.__sz").as("__sza"),
@@ -201,6 +224,14 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .distinct()
 
+  private def verifyCandidates(
+      cands: DataFrame,
+      src: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleK: Int,
+      jaccardThreshold: Double,
+      fast: Boolean): DataFrame = {
     // fast family: verification sets are xxhash64-hashed longs — same
     // cardinalities, so identical jaccard values (modulo 64-bit hash
     // collisions), at ~3× less payload through the attach joins and a
@@ -212,6 +243,54 @@ object Dedup {
       attachSets(cands, src, idCol, textCol, mkSet),
       jaccardThreshold,
       if (fast) jaccardSimLong else jaccardSim)
+  }
+
+  /** Persist the banded signature rows as a catalog table bucketed
+    * (and sorted) by the band grouping keys. Signature computation is
+    * the full-corpus pass of the dedup pipeline; repeated or
+    * incremental dedup over the same snapshot — re-tuned thresholds,
+    * different caps, downstream [[duplicateClusters]] runs — then
+    * regenerates candidates SHUFFLE-FREE: the bucketed scan already
+    * satisfies the (`__bpos`, `__bkey`) clustering that
+    * `bucketPairs`'s aggregation needs.
+    */
+  def writeMinHashSignatures(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      table: String,
+      shingleK: Int = 5,
+      numHashes: Int = 8,
+      bands: Int = 2,
+      fast: Boolean = false,
+      numBuckets: Int = 64): Unit =
+    bandedSignatures(Parallelism.spread(df), textCol, idCol,
+      shingleK, numHashes, bands, fast)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "__bpos", "__bkey")
+      .sortBy("__bpos", "__bkey")
+      .saveAsTable(table)
+
+  /** [[minHashLshPairs]] over a pre-bucketed signature table (see
+    * [[writeMinHashSignatures]]): skips the signature pass AND the
+    * candidate shuffle; only the (candidate-volume) verification
+    * touches `df`, which must be the same corpus the table was built
+    * from, with the same `shingleK` (the verification recomputes
+    * shingle sets from text).
+    */
+  def minHashLshPairsFromSignatures(
+      df: DataFrame,
+      sigTable: String,
+      textCol: String,
+      idCol: String,
+      shingleK: Int = 5,
+      jaccardThreshold: Double = 0.5,
+      fast: Boolean = false,
+      maxBucket: Int = 0): DataFrame = {
+    val exploded = df.sparkSession.table(sigTable)
+    verifyCandidates(
+      candidatePairs(exploded, jaccardThreshold, maxBucket),
+      Parallelism.spread(df), textCol, idCol, shingleK, jaccardThreshold, fast)
   }
 
   /** Within-bucket pair generation: group the (`__bpos`, `__bkey`)

@@ -6,6 +6,27 @@ import org.apache.spark.sql.functions._
 class BucketingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bucketed minhash signatures: identical pairs, shuffle-free candidate aggregation") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (4L, "completely different content about astronomy and the moons of jupiter"))
+      .toDF("id", "text")
+    try {
+      Dedup.writeMinHashSignatures(docs, "text", "id", "graft_b_sigs", numBuckets = 4)
+      val fromSigs = Dedup.minHashLshPairsFromSignatures(docs, "graft_b_sigs", "text", "id")
+      val direct = Dedup.minHashLshPairs(docs, "text", "id")
+      assert(fromSigs.as[(Long, Long, Double)].collect().toSet ==
+        direct.as[(Long, Long, Double)].collect().toSet)
+      // the bucketed path spends strictly fewer exchanges: the band
+      // aggregation reads pre-clustered buckets instead of shuffling
+      fromSigs.count(); direct.count()
+      assert(Bucketing.exchangeCount(fromSigs) < Bucketing.exchangeCount(direct))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_b_sigs")
+  }
+
   test("co-bucketed join plans without a shuffle exchange") {
     val facts = (1 to 1000).map(i => (i.toLong % 50, s"f$i")).toDF("k", "fv")
     val dims = (0 until 50).map(i => (i.toLong, s"d$i")).toDF("k", "dv")
