@@ -499,6 +499,86 @@ object Dedup {
     labels.select(col("id"), col("label"))
   }
 
+  /** Connected components via alternating large-star / small-star
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014) — the variant to use when components are
+    * pathological: per-round shuffle volume stays bounded by the
+    * (shrinking) edge list regardless of component diameter or degree
+    * skew, and convergence is O(log²) rounds. For ordinary dedup
+    * graphs (stars and short chains) [[duplicateClusters]]'s seeded
+    * min-label propagation converges in fewer, cheaper rounds — a
+    * property spec holds the two implementations identical over
+    * chains, cliques, stars and random graphs.
+    *
+    * Same contract as [[duplicateClusters]]: (id, label) with label =
+    * component minimum, one row per id appearing in `pairs`.
+    */
+  def duplicateClustersStar(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 50): DataFrame = {
+    var e = pairs
+      .select(col(idA).as("src"), col(idB).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val allIds = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    // Order-independent edge-set signature: stop when a full LS+SS
+    // round leaves the edge list unchanged.
+    def signature(d: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent and overflow-free (edges are
+      // distinct, so xor cancellation can't collide legitimately)
+      val r = d.agg(
+        count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(e)
+    var iter = 0
+    var stable = false
+    while (!stable && iter < maxIter) {
+      val next = starRound(starRound(e, large = true), large = false)
+        .localCheckpoint(true)
+      val nextSig = signature(next)
+      stable = nextSig == sig
+      sig = nextSig
+      e = next
+      iter += 1
+    }
+    if (!stable) throw new IllegalStateException(
+      s"duplicateClustersStar did not converge in $maxIter rounds")
+    allIds
+      .join(e.select(col("src").as("id"), col("dst").as("__l")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__l"), col("id")).as("label"))
+  }
+
+  /** One star round: every node u attaches (large) its strictly
+    * larger neighbours, or (small) its ≤ neighbours, to
+    * m = min(relevant neighbourhood ∪ {u}); u itself attaches to m.
+    */
+  private def starRound(e: DataFrame, large: Boolean): DataFrame = {
+    val nbrs = e
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val side = if (large) nbrs else nbrs.where(col("dst") <= col("src"))
+    val mTbl = side.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("__m"))
+    val mFull = nbrs.select(col("src")).distinct()
+      .join(mTbl, Seq("src"), "left")
+      .select(col("src"), coalesce(col("__m"), col("src")).as("__m"))
+    nbrs
+      .where(if (large) col("dst") > col("src") else col("dst") <= col("src"))
+      .join(mFull, Seq("src"))
+      .select(col("dst").as("src"), col("__m").as("dst"))
+      .unionByName(mFull.select(col("src"), col("__m").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
   /** Distinct character k-shingles (code-point semantics; shorter
     * input → the whole string). Native codegen expression — the
     * declarative twin (`array_distinct` over `transform(sequence)` of

@@ -158,6 +158,30 @@ class DedupSpec extends SparkSpec {
     assert(roomy == uncapped)
   }
 
+  test("duplicateClustersStar: identical components to min-label propagation") {
+    val rnd = new scala.util.Random(42)
+    val fixtures = Seq(
+      // long chain: diameter stresses both algorithms
+      (0L until 60L).sliding(2).map(w => (w(0), w(1))).toSeq,
+      // star with the max id at the centre
+      (0L until 20L).map(i => (99L, i)),
+      // two cliques bridged by one edge
+      (for (a <- 0L until 8L; b <- 0L until 8L if a < b) yield (a, b)) ++
+        (for (a <- 100L until 108L; b <- 100L until 108L if a < b) yield (a, b)) ++
+        Seq((7L, 100L)),
+      // random graph
+      (1 to 80).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b })
+    fixtures.zipWithIndex.foreach { case (edges, i) =>
+      val pairs = edges.toDF("id_a", "id_b")
+      val want = Dedup.duplicateClusters(pairs)
+        .as[(Long, Long)].collect().toMap
+      val got = Dedup.duplicateClustersStar(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"fixture $i")
+    }
+  }
+
   test("minHashLshDedup: end-to-end keeps one representative per dup cluster") {
     val kept = Dedup.minHashLshDedup(docs, "text", "id")
       .select($"id").as[Long].collect().sorted.toSeq
