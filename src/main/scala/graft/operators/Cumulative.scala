@@ -100,7 +100,18 @@ object Cumulative {
       outCol: String)(
       out: (Column, Column, Column) => Column): DataFrame = {
     val ord = if (ascending) onCol.asc else onCol.desc
-    val part = df.repartitionByRange(ord).withColumn("__pid", spark_partition_id())
+    // Lazy localCheckpoint: the offsets branch and the main branch
+    // both consume `part`, and `spark_partition_id()` is only
+    // meaningful if they see the SAME physical partitioning. Without
+    // the checkpoint the two branches are separately-optimized
+    // subtrees (column pruning gives them different projections, so
+    // ReuseExchange need not fire) and range-boundary SAMPLING can
+    // differ between the two executions once data outgrows the sample
+    // — silently mis-assigned offsets. The checkpoint pins one RDD
+    // (one exchange, one set of boundaries) shared by both branches.
+    val part = df.repartitionByRange(ord)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
     // The local window re-clusters by __pid (one hash exchange —
     // Catalyst can't see that range partitioning already co-locates
     // the id); parallelism is preserved: one task per range partition.
@@ -138,9 +149,15 @@ object Cumulative {
     *     compute the window locally, keep only the partition's own
     *     rows.
     *
-    * Assumes `period` ≪ rows per partition (halo copies reach only
-    * the adjacent partition); the practical regime for a 100 TB sort
-    * — a 7-row window over million-row partitions.
+    * Halo adjacency is only sufficient when every partition holds at
+    * least max(before, after) rows and no partition is empty; the
+    * operator VALIDATES that on the materialized partitioning
+    * (per-partition counts — ≤ numPartitions rows collected) and
+    * halves the partition count until it holds, down to a guaranteed-
+    * correct single partition. The practical 100 TB regime — a 7-row
+    * window over million-row range partitions — validates on the
+    * first attempt; the eager checkpoint also means the three halo
+    * branches share one computation of the sort.
     */
   def withMovingAverage(
       df: DataFrame,
@@ -161,22 +178,41 @@ object Cumulative {
     }
     val before = -s
     val after = e
-    val ranged = df.repartitionByRange(order.asc).withColumn("__pid", spark_partition_id())
-    val wAsc = Window.partitionBy(col("__pid")).orderBy(order.asc)
-    val wDesc = Window.partitionBy(col("__pid")).orderBy(order.desc)
-    val tagged = ranged
-      .withColumn("__rnA", row_number().over(wAsc))
-      .withColumn("__rnD", row_number().over(wDesc))
-    val own = tagged.withColumn("__tgt", col("__pid")).withColumn("__own", lit(true))
-    val toPrev = tagged.where(col("__rnA") <= after && col("__pid") > 0)
-      .withColumn("__tgt", col("__pid") - 1).withColumn("__own", lit(false))
-    val toNext = tagged.where(col("__rnD") <= before)
-      .withColumn("__tgt", col("__pid") + 1).withColumn("__own", lit(false))
-    val wFrame = Window.partitionBy(col("__tgt")).orderBy(order.asc).rowsBetween(s, e)
-    val mavg = avg(value).over(wFrame)
-    own.unionByName(toPrev).unionByName(toNext)
-      .withColumn(outCol, if (r >= 0) round(mavg, r) else mavg)
-      .where(col("__own"))
-      .drop("__pid", "__rnA", "__rnD", "__tgt", "__own")
+    val halo = math.max(math.max(before, after), 1)
+    val mavgOut = (c: Column) => if (r >= 0) round(c, r) else c
+
+    var parts = df.sparkSession.sparkContext.defaultParallelism
+    while (parts > 1) {
+      val ranged = df.repartitionByRange(parts, order.asc)
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint(true)
+      val counts = ranged.groupBy(col("__pid")).count().collect()
+      val thickEnough =
+        counts.length == parts && counts.forall(_.getLong(1) >= halo)
+      if (thickEnough) {
+        val wAsc = Window.partitionBy(col("__pid")).orderBy(order.asc)
+        val wDesc = Window.partitionBy(col("__pid")).orderBy(order.desc)
+        val tagged = ranged
+          .withColumn("__rnA", row_number().over(wAsc))
+          .withColumn("__rnD", row_number().over(wDesc))
+        val own = tagged.withColumn("__tgt", col("__pid")).withColumn("__own", lit(true))
+        val toPrev = tagged.where(col("__rnA") <= after && col("__pid") > 0)
+          .withColumn("__tgt", col("__pid") - 1).withColumn("__own", lit(false))
+        val toNext = tagged.where(col("__rnD") <= before)
+          .withColumn("__tgt", col("__pid") + 1).withColumn("__own", lit(false))
+        val wFrame = Window.partitionBy(col("__tgt")).orderBy(order.asc).rowsBetween(s, e)
+        return own.unionByName(toPrev).unionByName(toNext)
+          .withColumn(outCol, mavgOut(avg(value).over(wFrame)))
+          .where(col("__own"))
+          .drop("__pid", "__rnA", "__rnD", "__tgt", "__own")
+      }
+      parts /= 2
+    }
+    // Single partition: trivially exact (the window sees every row).
+    // The key is constant-VALUED but column-derived (not foldable),
+    // keeping the partition spec non-empty.
+    val w = Window.partitionBy(coalesce(length(order.cast("string")) * 0, lit(0)))
+      .orderBy(order.asc).rowsBetween(s, e)
+    df.withColumn(outCol, mavgOut(avg(value).over(w)))
   }
 }

@@ -239,10 +239,13 @@ object Dedup {
     val mkSet: Column => Column =
       if (fast) c => transform(charShingles(c, shingleK), xxhash64(_))
       else charShingles(_, shingleK)
+    // prefilter = false: candidatePairs already applied the size-ratio
+    // prune on the exact same |shingle set| values.
     jaccardVerify(
       attachSets(cands, src, idCol, textCol, mkSet),
       jaccardThreshold,
-      if (fast) jaccardSimLong else jaccardSim)
+      if (fast) jaccardSimLong else jaccardSim,
+      sizePrefilter = false)
   }
 
   /** Persist the banded signature rows as a catalog table bucketed
@@ -382,11 +385,13 @@ object Dedup {
   private[operators] def jaccardVerify(
       withSets: DataFrame,
       threshold: Double,
-      sim: (Column, Column) => Column = jaccardSim): DataFrame =
-    withSets
-      .where(
+      sim: (Column, Column) => Column = jaccardSim,
+      sizePrefilter: Boolean = true): DataFrame =
+    (if (sizePrefilter)
+      withSets.where(
         least(size(col("__set_a")), size(col("__set_b"))).cast("double") >=
           lit(threshold) * greatest(size(col("__set_a")), size(col("__set_b"))))
+    else withSets)
       .withColumn("jaccard", sim(col("__set_a"), col("__set_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -518,13 +523,18 @@ object Dedup {
       idA: String = "id_a",
       idB: String = "id_b",
       maxIter: Int = 50): DataFrame = {
-    var e = pairs
+    // allIds comes from the RAW pairs (before the self-loop filter) so
+    // an id appearing only in (x, x) pairs still gets its (x, x) row —
+    // the same contract as duplicateClusters.
+    val p0 = pairs
       .select(col(idA).as("src"), col(idB).as("dst"))
-      .where(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    val allIds = p0.select(col("src").as("id"))
+      .unionByName(p0.select(col("dst").as("id")))
       .distinct()
       .localCheckpoint(true)
-    val allIds = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id")))
+    var e = p0
+      .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
     // Order-independent edge-set signature: stop when a full LS+SS

@@ -72,9 +72,15 @@ object StreamQuality {
         write(deduped, batchId)
       }
 
-  /** Convenience: [[dedupSink]] wired to an append-mode parquet
-    * directory with processing-time triggers — the shape a training
-    * corpus ingestion job actually runs.
+  /** Convenience: [[dedupSink]] wired to a parquet directory with
+    * processing-time triggers — the shape a training corpus ingestion
+    * job actually runs. Each micro-batch lands in its own
+    * `batch_id=N` partition directory with OVERWRITE semantics, so a
+    * replayed batch (failure after write, before the checkpoint
+    * commit) rewrites the same directory instead of appending
+    * duplicates — that per-batch idempotence is what makes the sink
+    * exactly-once. Read the corpus with partition discovery
+    * (`spark.read.parquet(outDir)`); `batch_id` arrives as a column.
     */
   def dedupToParquet(
       stream: DataFrame,
@@ -84,8 +90,8 @@ object StreamQuality {
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("1 minute"),
       minQuality: Double = 0.5): DataStreamWriter[Row] =
-    dedupSink(stream, textCol, idCol, minQuality) { (batch, _) =>
-      batch.write.mode("append").parquet(outDir)
+    dedupSink(stream, textCol, idCol, minQuality) { (batch, batchId) =>
+      batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
     }
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)

@@ -82,6 +82,19 @@ class CumulativeSpec extends SparkSpec {
     }
   }
 
+  test("withMovingAverage: thin range partitions fall back to a thicker layout") {
+    // 10 rows over defaultParallelism(4) partitions → 2-3 rows each,
+    // below the before=3 halo of a centred 7-row frame: without the
+    // partition-count validation the frame silently truncates at the
+    // second partition boundary.
+    val thin = (1L to 10L).map(i => (i, i.toDouble * 3)).toDF("id", "v")
+    val want = sortedDoubles(
+      thin.withColumn("m", ColumnFunctions.movingAverage(col("v"), col("id"), 7, "center", 6)), "m")
+    val got = sortedDoubles(
+      Cumulative.withMovingAverage(thin, col("v"), col("id"), "m", 7, "center", 6), "m")
+    assert(got == want)
+  }
+
   test("withMovingAverage: frame clipped at the global edges") {
     val tiny = Seq((1, 2.0), (2, 4.0), (3, 6.0)).toDF("id", "v")
     val got = Cumulative
