@@ -582,6 +582,28 @@ object SparkEntry {
       graft.functions.TextAnalysis.tfIdfTopK(
         t(s, dir, "documents"), "text", "doc_id", k = 5)
     }),
+    "q_dedup_lines" -> ((s, dir) => {
+      // Synthesize within-doc repetition (the raw corpus has no
+      // newlines): doc = text + clone line + a prefix line.
+      Parallelism.spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          concat_ws("\n", col("text"), col("text"),
+            substring(col("text"), 1, 50)).as("t2"))
+        .select(
+          col("doc_id"),
+          md5(graft.functions.TextAnalysis.dedupLines(col("t2"))).as("cleaned_md5"),
+          (size(split(col("t2"), "\n")) -
+            size(array_distinct(split(col("t2"), "\n")))).cast("long").as("n_dropped"))
+    }),
+    "q_contamination" -> ((s, dir) => {
+      // Benchmark = the 13-gram sets of the original %100 docs; the
+      // injected clones (ids ≥ 1e6) must all be flagged.
+      val d = docsWithDups(s, dir)
+      val bench = d.where(col("doc_id") % 100 === 0 && col("doc_id") < 1000000)
+        .select(explode(Dedup.wordShingles(col("text"), 13)).as("gram"))
+      graft.functions.TextAnalysis.contaminationHits(
+        d.where(col("doc_id") >= 1000000), bench, "text", "doc_id", 13)
+    }),
     "q_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val clicks = ev.where(col("event_type") === "click")
@@ -784,6 +806,26 @@ object SparkEntry {
         |  FROM tfl JOIN dfq USING (term), n),
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM s)
         |SELECT doc_id, term, round(tfidf, 6) AS tfidf, rank FROM r WHERE rank <= 5""".stripMargin,
+    // list_filter((x, i) -> list_position(lines, x) = i) keeps first
+    // occurrences in order — exactly Spark's array_distinct.
+    "q_dedup_lines" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || chr(10) || text || chr(10) || substr(text, 1, 50) AS t2 FROM documents),
+        |s AS (SELECT doc_id, string_split(t2, chr(10)) AS lines FROM t)
+        |SELECT doc_id,
+        |  md5(array_to_string(list_filter(lines, (x, i) -> list_position(lines, x) = i), chr(10))) AS cleaned_md5,
+        |  (len(lines) - len(list_distinct(lines)))::BIGINT AS n_dropped
+        |FROM s""".stripMargin,
+    "q_contamination" ->
+      (s"""WITH $docsWithDupsSql,
+          |tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tks FROM docs),
+          |sh AS (SELECT doc_id, CASE WHEN len(tks) >= 13
+          |  THEN list_distinct(list_transform(range(0, len(tks) - 12),
+          |    i -> ${(1 to 13).map(j => s"tks[i + $j]").mkString(" || ' ' || ")}))
+          |  ELSE [array_to_string(tks, ' ')] END AS s FROM tk),
+          |b AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 100 = 0 AND doc_id < 1000000),
+          |d AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id >= 1000000)
+          |SELECT d.doc_id, count(*)::BIGINT AS n_hits FROM d JOIN b USING (gram) GROUP BY 1""".stripMargin),
     "q_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type, value FROM events),
         |c AS (SELECT event_id, user_id, ms, value FROM e WHERE event_type = 'click'),

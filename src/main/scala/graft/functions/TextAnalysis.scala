@@ -150,4 +150,42 @@ object TextAnalysis {
       lit(0L),
       (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch).cast("long"), lit(0L)), lit(m)))
   }
+
+  /** Remove repeated lines WITHIN a document, keeping first-occurrence
+    * order — the standard within-doc repetition-removal step of a
+    * training-data pipeline (navigation bars, cookie banners and
+    * boilerplate repeat inside one page). Pure `array_distinct` over
+    * the split (first occurrences, in order), codegen'd, row-local —
+    * scales trivially.
+    */
+  def dedupLines(c: Column, sep: String = "\n"): Column = {
+    val q = java.util.regex.Pattern.quote(sep)
+    array_join(array_distinct(split(c, q)), sep)
+  }
+
+  /** Benchmark-contamination hits: for every document sharing at
+    * least one word `n`-gram with the benchmark set, the number of
+    * distinct shared grams. n = 13 is the usual contamination window
+    * (long enough that chance collisions vanish).
+    *
+    * `benchmark` is a one-column `gram` DataFrame. It is broadcast by
+    * construction: evaluation sets are small and fixed — that bound
+    * is the contract, not an optimizer guess — so the corpus is
+    * scanned once with no shuffle of document n-grams; only the
+    * (tiny) hit counts aggregate.
+    */
+  def contaminationHits(
+      df: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 13): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      explode(graft.operators.Dedup.wordShingles(col(textCol), n)).as("gram"))
+      .join(broadcast(benchmark.select(col("gram")).distinct()), Seq("gram"))
+      // wordShingles emits DISTINCT grams per doc, so a plain count
+      // is already the distinct-gram hit count (cheaper than
+      // count_distinct's dedup state).
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
 }

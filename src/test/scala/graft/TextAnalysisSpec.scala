@@ -63,4 +63,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0) == out(1))
     assert(out(0) != out(2))
   }
+
+  test("dedupLines: first occurrence kept, order preserved, custom separator") {
+    val df = Seq("nav\nbody one\nnav\nbody two\nnav").toDF("t")
+    val out = df.select(dedupLines($"t").as("c")).as[String].head()
+    assert(out == "nav\nbody one\nbody two")
+    val custom = Seq("a|b|a|c").toDF("t")
+      .select(dedupLines($"t", "|").as("c")).as[String].head()
+    assert(custom == "a|b|c")
+  }
+
+  test("contaminationHits: shared 13-grams flagged, clean docs absent") {
+    val gram13 = (1 to 13).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"prefix words $gram13 suffix tail"), // contains the benchmark gram
+      (2L, "totally unrelated words that never overlap with anything here at all truly"))
+      .toDF("id", "text")
+    val bench = Seq(gram13).toDF("gram")
+    val hits = contaminationHits(docs, bench, "text", "id", 13)
+      .as[(Long, Long)].collect().toMap
+    assert(hits.contains(1L) && hits(1L) >= 1L)
+    assert(!hits.contains(2L))
+  }
 }
