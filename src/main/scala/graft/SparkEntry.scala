@@ -595,6 +595,26 @@ object SparkEntry {
           (size(split(col("t2"), "\n")) -
             size(array_distinct(split(col("t2"), "\n")))).cast("long").as("n_dropped"))
     }),
+    "q_redact" -> ((s, dir) => {
+      // The synthetic corpus has no URLs/addresses — inject one of
+      // each so the scrub is exercised on every row.
+      Parallelism.spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact team-a@example.org or https://ex.org/p?q=1 now")).as("t2"))
+        .select(
+          col("doc_id"),
+          md5(graft.functions.TextAnalysis.redact(col("t2"))).as("redacted_md5"),
+          size(regexp_extract_all(col("t2"), lit("https?://[^\\s]+"), lit(0)))
+            .cast("long").as("n_urls"))
+    }),
+    "q_quality_flags" -> ((s, dir) => {
+      Parallelism.spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.qualityFlags(col("text"), minWords = 20).as("q"))
+        .select(col("doc_id"), col("q.n_words"), col("q.mean_word_len"),
+          col("q.symbol_ratio"), col("q.pass"))
+    }),
     "q_contamination" -> ((s, dir) => {
       // Benchmark = the 13-gram sets of the original %100 docs; the
       // injected clones (ids ≥ 1e6) must all be flagged.
@@ -806,6 +826,28 @@ object SparkEntry {
         |  FROM tfl JOIN dfq USING (term), n),
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM s)
         |SELECT doc_id, term, round(tfidf, 6) AS tfidf, rank FROM r WHERE rank <= 5""".stripMargin,
+    "q_redact" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' contact team-a@example.org or https://ex.org/p?q=1 now' AS t2 FROM documents)
+        |SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(t2, 'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS redacted_md5,
+        |  len(regexp_extract_all(t2, 'https?://[^\s]+'))::BIGINT AS n_urls
+        |FROM t""".stripMargin,
+    "q_quality_flags" ->
+      """WITH tk AS (SELECT doc_id, text,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS tks FROM documents),
+        |s AS (SELECT doc_id, text,
+        |  CASE WHEN trim(text) = '' THEN 0 ELSE len(tks) END AS n_words,
+        |  length(array_to_string(tks, '')) AS alpha_len,
+        |  (length(text) - length(regexp_replace(text, '[#|{}\[\]<>]', '', 'g')))::DOUBLE
+        |    / length(text) AS sr FROM tk),
+        |m AS (SELECT doc_id, n_words,
+        |  CASE WHEN n_words > 0 THEN alpha_len::DOUBLE / n_words END AS ml, sr FROM s)
+        |SELECT doc_id, n_words::INT AS n_words, round(ml, 4) AS mean_word_len,
+        |  round(sr, 4) AS symbol_ratio,
+        |  (n_words BETWEEN 20 AND 100000 AND ml BETWEEN 3.0 AND 10.0 AND sr <= 0.1) AS pass
+        |FROM m""".stripMargin,
     // list_filter((x, i) -> list_position(lines, x) = i) keeps first
     // occurrences in order — exactly Spark's array_distinct.
     "q_dedup_lines" ->

@@ -151,6 +151,54 @@ object TextAnalysis {
       (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch).cast("long"), lit(0L)), lit(m)))
   }
 
+  /** Scrub URLs and e-mail addresses — the minimal PII pass a corpus
+    * runs before training — replacing each with a typed placeholder
+    * token so downstream token counts stay stable. URLs first (an
+    * address inside a URL must not leave a dangling `<EMAIL>` stub).
+    * Pure `regexp_replace`: codegen'd, row-local; the patterns stay
+    * inside the regex-dialect intersection of Java and RE2 so the
+    * DuckDB oracle replays them verbatim.
+    */
+  def redact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, "https?://[^\\s]+", "<URL>"),
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+
+  /** Gopher-style document quality gates (Rae et al., "Scaling
+    * Language Models: … Gopher", 2021 — the public heuristics):
+    * word-count bounds, mean-word-length band, and a symbol-character
+    * ratio cap, returned as a struct of the underlying stats plus the
+    * per-rule booleans and the overall `pass`. Mean word length is
+    * `length(concat of tokens) / n_words` — no interpreted
+    * higher-order aggregate in the hot path.
+    */
+  def qualityFlags(
+      c: Column,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1): Column = {
+    val toks = tokens(c)
+    val nWords = when(trim(c) === "" || c.isNull, 0).otherwise(size(toks))
+    val meanLen = when(nWords > 0,
+      length(array_join(toks, "")).cast("double") / nWords)
+    val symbolRatio = when(length(c) > 0,
+      (length(c) - length(regexp_replace(c, "[#\\|\\{\\}\\[\\]<>]", "")))
+        .cast("double") / length(c))
+    val wordsOk = nWords.between(minWords, maxWords)
+    val meanOk = meanLen.between(minMeanWordLen, maxMeanWordLen)
+    val symbolOk = coalesce(symbolRatio <= maxSymbolRatio, lit(false))
+    struct(
+      nWords.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(symbolRatio, 4).as("symbol_ratio"),
+      wordsOk.as("words_ok"),
+      coalesce(meanOk, lit(false)).as("mean_len_ok"),
+      symbolOk.as("symbol_ok"),
+      (wordsOk && coalesce(meanOk, lit(false)) && symbolOk).as("pass"))
+  }
+
   /** Remove repeated lines WITHIN a document, keeping first-occurrence
     * order — the standard within-doc repetition-removal step of a
     * training-data pipeline (navigation bars, cookie banners and

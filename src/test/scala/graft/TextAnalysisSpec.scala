@@ -64,6 +64,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0) != out(2))
   }
 
+  test("redact: URLs then emails replaced everywhere, clean text untouched") {
+    val df = Seq(
+      "mail a@b.co and c.d+x@e-f.org, see https://x.y/z?a=1 or http://p.q",
+      "nothing sensitive here").toDF("t")
+    val out = df.select(redact($"t").as("r")).as[String].collect().toSeq
+    assert(out(0) == "mail <EMAIL> and <EMAIL>, see <URL> or <URL>")
+    assert(out(1) == "nothing sensitive here")
+  }
+
+  test("qualityFlags: gates fire on short, symbol-heavy and long-word docs") {
+    val good = (1 to 60).map(_ => "plain").mkString(" ")
+    val df = Seq(
+      (1L, good),
+      (2L, "too short"),
+      (3L, good + " ##########################################"),
+      (4L, (1 to 60).map(_ => "hyperlongwordtokens").mkString(" ")))
+      .toDF("id", "t")
+    val out = df.select($"id",
+      qualityFlags($"t", minWords = 50).getField("pass").as("p"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(out(1L))
+    assert(!out(2L)) // n_words below the floor
+    assert(!out(3L)) // symbol ratio above the cap
+    assert(!out(4L)) // mean word length above the band
+  }
+
   test("dedupLines: first occurrence kept, order preserved, custom separator") {
     val df = Seq("nav\nbody one\nnav\nbody two\nnav").toDF("t")
     val out = df.select(dedupLines($"t").as("c")).as[String].head()
