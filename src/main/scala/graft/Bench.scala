@@ -34,7 +34,12 @@ object Bench {
     }
     def warm(df: => org.apache.spark.sql.DataFrame): Unit =
       try df.write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
+      catch { case e: Throwable =>
+        // Surface (don't swallow) breakage: an un-warmed family lands
+        // its JIT cost on its first measured query, invisibly.
+        System.err.println(
+          s"[bench] warm-up failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
     val wDocs = spark.range(200).select(col("id"),
       concat_ws(" ", md5(col("id").cast("string")),
         md5((col("id") * 7).cast("string"))).as("text"))
@@ -61,16 +66,26 @@ object Bench {
       wDocs, col("id"), col("id"), "m", 7))
     warm(graft.operators.Cumulative.withCumulativePercent(
       wDocs, col("id"), col("id"), "cp"))
+    // Noise robustness (round-3 verdict: one contended run produced a
+    // 3× outlier reading): measure each query `reps` times and report
+    // the MEDIAN per query (plus the min, as the low-noise floor).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      (name, times(times.length / 2), times.head)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
+      .mkString("{", ",", "}")
+    val qsMin = results.map { case (k, _, min) => "\"" + k + "\":" + min }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalMin = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"total_min":$totalMin,"queries_min":$qsMin,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -658,15 +658,31 @@ object SparkEntry {
           col("media_meta.checksum").as("checksum"))
     }),
     "q_multimodal_decode" -> ((s, dir) => {
-      // rows-only check: decode stub is JVM-side (not SQL-expressible).
-      // The raw array<float> is unhashable for the driver's pandas
-      // sorter, so project a stable digest of the vector instead.
-      val withBin = graft.multimodal.Multimodal
-        .attachBinary(t(s, dir, "documents"), "text")
-        .select("doc_id", "payload")
+      // REAL decode: synthesize PNG bytes (ImageIO encoder) from the
+      // doc_id, decode them back with ImageIO, emit geometry + exact
+      // channel means. The pixel pattern is wrap-free affine, so the
+      // oracle recomputes the identical doubles arithmetically.
+      val imgs = graft.multimodal.Multimodal
+        .synthesizePng(t(s, dir, "documents").select("doc_id"), "doc_id")
       graft.multimodal.Multimodal
-        .decodeStub(withBin, "payload", dim = 8)
-        .select(col("doc_id"), md5(to_json(col("features"))).as("features_digest"))
+        .decodeImage(imgs, "payload")
+        .select(
+          col("doc_id"), col("width"), col("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"))
+    }),
+    "q_multimodal_audio" -> ((s, dir) => {
+      // REAL WAV round trip via javax.sound.sampled; same closed-form
+      // oracle idea as q_multimodal_decode.
+      val wavs = graft.multimodal.Multimodal
+        .synthesizeWav(t(s, dir, "documents").select("doc_id"), "doc_id")
+      graft.multimodal.Multimodal
+        .decodeWav(wavs, "payload")
+        .select(
+          col("doc_id"), col("n_samples"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          round(col("mean_amp"), 4).as("mean_amp"))
     }))
 
   private def pipelineOracle: Map[String, String] = Map(
@@ -884,5 +900,25 @@ object SparkEntry {
     "q_multimodal_meta" ->
       """SELECT doc_id, 'image' AS kind, octet_length(encode(text))::BIGINT AS size_bytes,
         |  md5(text) AS checksum
+        |FROM documents""".stripMargin,
+    // Closed-form twin of the ImageIO round trip (Multimodal.scala:
+    // wrap-free affine pixels → exact integer channel sums):
+    //   sum_ch = W·H·base + a·H·W(W−1)/2 + b·W·H(H−1)/2
+    "q_multimodal_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 9 AS h
+        |  FROM documents)
+        |SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+        |  round((w*h*(doc_id % 128) + 3*h*(w*(w-1)//2) + 5*w*(h*(h-1)//2)) / (w*h)::DOUBLE, 4) AS mean_r,
+        |  round((w*h*((3*doc_id) % 100) + 2*h*(w*(w-1)//2) + 4*w*(h*(h-1)//2)) / (w*h)::DOUBLE, 4) AS mean_g,
+        |  round((w*h*((5*doc_id) % 150) + 1*h*(w*(w-1)//2) + 1*w*(h*(h-1)//2)) / (w*h)::DOUBLE, 4) AS mean_b
+        |FROM d""".stripMargin,
+    // WAV twin: s(i) = 4·(id%256) + 8·(i mod 16) − 512 over a
+    // multiple-of-16 sample count → mean = 4·(id%256) + 60 − 512.
+    "q_multimodal_audio" ->
+      """SELECT doc_id,
+        |  (160 + 16*(doc_id % 5))::BIGINT AS n_samples,
+        |  8000::BIGINT AS sample_rate,
+        |  round((4*(doc_id % 256) + 60 - 512)::DOUBLE, 4) AS mean_amp
         |FROM documents""".stripMargin)
 }

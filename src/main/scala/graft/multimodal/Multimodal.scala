@@ -1,5 +1,11 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
@@ -8,12 +14,20 @@ import org.apache.spark.sql.types._
 /** Multimodal (image/audio/video) column plumbing.
   *
   * Media payloads are opaque `binary` columns with a typed metadata
-  * struct alongside. The Spark-side shape — schema, batching,
-  * partition-parallel decode — is real and tested; the actual codec
-  * call is STUBBED (this container has no image/audio libraries)
-  * behind [[decodeStub]], a deterministic fake keyed on the payload
-  * bytes, so pipelines are end-to-end runnable and assertable today
-  * and swap in a real decoder by replacing one function.
+  * struct alongside. Decode is REAL: PNG via the JDK's
+  * `javax.imageio.ImageIO` and WAV via `javax.sound.sampled` — no
+  * external codec dependency. The partition shape is what a
+  * vectorized decoder needs at 100 TB: batched iteration (codec/model
+  * init amortized per batch), fixed-width output, null-safe,
+  * embarrassingly parallel (no shuffle).
+  *
+  * For test data the container has no media files, so
+  * [[synthesizePng]] / [[synthesizeWav]] generate real encoded bytes
+  * deterministically from a row id. The pixel/sample patterns are
+  * chosen wrap-free so the decoded statistics have closed forms — the
+  * DuckDB oracle recomputes them arithmetically, making the decode
+  * round trip (synthesize → encode → decode → stats) fully
+  * oracle-checked.
   */
 object Multimodal {
 
@@ -23,8 +37,8 @@ object Multimodal {
     StructField("checksum", StringType)))
 
   /** Attach a binary payload column + metadata struct derived from a
-    * source column (here: utf-8 bytes of text stand in for real media
-    * bytes — the schema and plumbing are what downstream code sees).
+    * source column (utf-8 bytes of text stand in for real media bytes
+    * where only the schema/plumbing is under test).
     */
   def attachBinary(df: DataFrame, srcCol: String, kind: String = "image"): DataFrame =
     df.withColumn("payload", encode(col(srcCol), "UTF-8").cast(BinaryType))
@@ -35,45 +49,225 @@ object Multimodal {
           octet_length(col("payload")).cast(LongType).as("size_bytes"),
           md5(col("payload")).as("checksum")))
 
-  /** STUB decode: deterministic fake feature vector from payload
-    * bytes. Replace the body with a real codec (JNI / jvm decoder)
-    * without touching the plumbing: batched iteration per partition,
-    * fixed-width float output, null-safe.
-    *
-    * Batch shape matters: a real decoder amortizes model/codec init
-    * per batch, so we iterate in `batchSize` groups exactly as a
-    * vectorized (Arrow/pandas-style) UDF would.
+  // ------------------------------------------------------------------
+  // Deterministic synthesis (real encoders, closed-form content)
+  // ------------------------------------------------------------------
+
+  /** Image geometry/pattern for id: sizes 8..16, channel values are
+    * wrap-free affine functions of (x, y) so every decoded statistic
+    * has an exact closed form:
+    *   width  = 8 + id mod 9,  height = 8 + (id div 9) mod 9
+    *   r(x,y) = (id mod 128)    + 3x + 5y   (max 127 + 45 + 75 = 247)
+    *   g(x,y) = (3·id mod 100)  + 2x + 4y   (max  99 + 30 + 60 = 189)
+    *   b(x,y) = (5·id mod 150)  +  x +  y   (max 149 + 15 + 15 = 179)
     */
-  def decodeStub(
+  private[graft] def imageGeometry(id: Long): (Int, Int) =
+    ((8 + Math.floorMod(id, 9L)).toInt, (8 + Math.floorMod(id / 9, 9L)).toInt)
+
+  private[graft] def pixel(id: Long, x: Int, y: Int): (Int, Int, Int) = (
+    Math.floorMod(id, 128L).toInt + 3 * x + 5 * y,
+    Math.floorMod(3 * id, 100L).toInt + 2 * x + 4 * y,
+    Math.floorMod(5 * id, 150L).toInt + x + y)
+
+  private[graft] def pngBytes(id: Long): Array[Byte] = {
+    val (w, h) = imageGeometry(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pixel(id, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream(1024)
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Add a `payload` column of REAL PNG bytes (ImageIO-encoded)
+    * deterministically derived from `idCol`. Row-local, no shuffle.
+    */
+  def synthesizePng(df: DataFrame, idCol: String, outCol: String = "payload"): DataFrame = {
+    val outSchema = df.schema.add(StructField(outCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes: Array[Byte] =
+          if (row.isNullAt(idIdx)) null else pngBytes(row.getLong(idIdx))
+        Row.fromSeq(row.toSeq :+ (bytes: Any))
+      }
+    }
+  }
+
+  /** REAL image decode: parse the payload with `javax.imageio`
+    * (PNG/JPEG/GIF/BMP — whatever the JDK readers accept) and emit
+    * `width`, `height` (long) and exact per-channel means
+    * `mean_r/mean_g/mean_b` (double = integer pixel sum / pixel
+    * count, so an arithmetic oracle can reproduce the doubles
+    * bit-exactly). Null/undecodable payloads yield null stats.
+    *
+    * Batched like a vectorized (Arrow-style) UDF: per-batch init
+    * amortizes codec/model setup when a heavier decoder is swapped in.
+    */
+  def decodeImage(
       df: DataFrame,
       payloadCol: String = "payload",
-      dim: Int = 8,
       batchSize: Int = 64): DataFrame = {
-    val outSchema = df.schema.add(StructField("features", ArrayType(FloatType)))
+    val outSchema = df.schema
+      .add(StructField("width", LongType))
+      .add(StructField("height", LongType))
+      .add(StructField("mean_r", DoubleType))
+      .add(StructField("mean_g", DoubleType))
+      .add(StructField("mean_b", DoubleType))
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     implicit val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // ---- per-batch init would go here (codec/model handle) ----
+        // ---- per-batch init for a heavier decoder goes here ----
         batch.map { row =>
           val bytes = row.get(payloadIdx).asInstanceOf[Array[Byte]]
-          val feats: Array[Float] =
-            if (bytes == null) null
+          val stats: Seq[Any] =
+            if (bytes == null) Seq(null, null, null, null, null)
             else {
-              // ??? real decoder goes here; deterministic fake below:
-              // feature i = normalized rolling byte-sum with stride i+1
-              Array.tabulate(dim) { i =>
-                var acc = 0L
-                var p = 0
-                while (p < bytes.length) { acc = acc * 31 + (bytes(p) & 0xff); p += i + 1 }
-                ((acc & 0xffffL).toFloat / 65535.0f)
+              val img = ImageIO.read(new ByteArrayInputStream(bytes))
+              if (img == null) Seq(null, null, null, null, null)
+              else {
+                val w = img.getWidth
+                val h = img.getHeight
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val rgb = img.getRGB(x, y)
+                    sr += (rgb >> 16) & 0xff
+                    sg += (rgb >> 8) & 0xff
+                    sb += rgb & 0xff
+                    x += 1
+                  }
+                  y += 1
+                }
+                val n = (w.toLong * h).toDouble
+                // explicit Seq[Any]: mixed Long/Double literals would
+                // otherwise weakly conform to Seq[Double]
+                Seq[Any](w.toLong, h.toLong, sr / n, sg / n, sb / n)
               }
             }
-          Row.fromSeq(row.toSeq :+ (feats: Any))
+          Row.fromSeq(row.toSeq ++ stats)
         }
       }
     }
   }
+
+  /** Audio synthesis pattern for id: 16-bit mono PCM, 8 kHz.
+    *   n       = 160 + 16·(id mod 5)          (multiple of 16)
+    *   s(i)    = 4·(id mod 256) + 8·(i mod 16) − 512
+    * Wrap-free in 16-bit range; mean over any multiple of 16 samples
+    * is exactly 4·(id mod 256) + 60 − 512 (Σ_{0..15} i = 120).
+    */
+  private[graft] def sampleCount(id: Long): Int =
+    160 + 16 * Math.floorMod(id, 5L).toInt
+
+  private[graft] def sampleAt(id: Long, i: Int): Int =
+    4 * Math.floorMod(id, 256L).toInt + 8 * (i % 16) - 512
+
+  private[graft] val WavRate = 8000f
+
+  private[graft] def wavBytes(id: Long): Array[Byte] = {
+    val n = sampleCount(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = sampleAt(id, i)
+      pcm(2 * i) = (s & 0xff).toByte          // little-endian 16-bit
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(WavRate, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream(1024)
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Add a `payload` column of REAL WAV bytes (RIFF container written
+    * by `javax.sound.sampled`) derived from `idCol`.
+    */
+  def synthesizeWav(df: DataFrame, idCol: String, outCol: String = "payload"): DataFrame = {
+    val outSchema = df.schema.add(StructField(outCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes: Array[Byte] =
+          if (row.isNullAt(idIdx)) null else wavBytes(row.getLong(idIdx))
+        Row.fromSeq(row.toSeq :+ (bytes: Any))
+      }
+    }
+  }
+
+  /** REAL audio decode: parse the WAV container with
+    * `javax.sound.sampled.AudioSystem`, emit `n_samples`,
+    * `sample_rate` and the exact mean sample value `mean_amp`
+    * (integer sum / count). Null/unparsable payloads yield nulls.
+    */
+  def decodeWav(
+      df: DataFrame,
+      payloadCol: String = "payload",
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = df.schema
+      .add(StructField("n_samples", LongType))
+      .add(StructField("sample_rate", DoubleType))
+      .add(StructField("mean_amp", DoubleType))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val bytes = row.get(payloadIdx).asInstanceOf[Array[Byte]]
+          val stats: Seq[Any] =
+            if (bytes == null) Seq(null, null, null)
+            else {
+              try {
+                val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+                val fmt = ais.getFormat
+                val n = ais.getFrameLength
+                val data = ais.readAllBytes()
+                var sum = 0L
+                var i = 0
+                while (i + 1 < data.length) {
+                  // little-endian signed 16-bit mono
+                  sum += ((data(i + 1).toInt << 8) | (data(i) & 0xff)).toShort.toLong
+                  i += 2
+                }
+                Seq[Any](n, fmt.getSampleRate.toDouble, sum.toDouble / n)
+              } catch {
+                case _: javax.sound.sampled.UnsupportedAudioFileException =>
+                  Seq(null, null, null)
+              }
+            }
+          Row.fromSeq(row.toSeq ++ stats)
+        }
+      }
+    }
+  }
+
+  /** Fixed-width feature vector from decoded image stats — real
+    * values (normalized geometry + channel means), declarative and
+    * codegen'd; stands where an embedding model's output would go.
+    */
+  def imageFeatures(df: DataFrame, outCol: String = "features"): DataFrame =
+    df.withColumn(outCol, array(
+      (col("width") / 16.0d).cast(FloatType),
+      (col("height") / 16.0d).cast(FloatType),
+      (col("mean_r") / 255.0d).cast(FloatType),
+      (col("mean_g") / 255.0d).cast(FloatType),
+      (col("mean_b") / 255.0d).cast(FloatType),
+      (col("width") / col("height")).cast(FloatType)))
 
   /** "Frame sampling": n evenly spaced byte-slices of the payload —
     * the access pattern of video frame extraction, minus the codec.

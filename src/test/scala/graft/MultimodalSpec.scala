@@ -19,24 +19,82 @@ class MultimodalSpec extends SparkSpec {
     assert(r._3.length == 32) // md5 hex
   }
 
-  test("decodeStub: fixed-width deterministic features, null-safe") {
-    val df = Seq((1L, "same"), (2L, "same"), (3L, "different"))
-      .toDF("id", "text")
-    val withBin = Multimodal.attachBinary(df, "text").select("id", "payload")
-    val out = Multimodal.decodeStub(withBin, "payload", dim = 8, batchSize = 2)
-    val feats = out.select($"id", $"features").collect()
-      .map(r => r.getLong(0) -> Option(r.getSeq[Float](1)))
-      .toMap
-    assert(feats(1L).get.length == 8)
-    assert(feats(1L) == feats(2L)) // deterministic per payload
-    assert(feats(1L) != feats(3L))
+  test("synthesizePng produces real PNG bytes; decodeImage round-trips exactly") {
+    val ids = Seq(0L, 1L, 7L, 8L, 9L, 80L, 81L, 12345L)
+    val df = ids.toDF("id")
+    val withPng = Multimodal.synthesizePng(df, "id")
 
-    val withNull = withBin.withColumn("payload",
-      when($"id" === 1L, $"payload")) // id 2,3 → null payload
-    val nf = Multimodal.decodeStub(withNull, "payload", dim = 4)
-      .select($"id", $"features").collect()
+    // real PNG container: magic bytes present, ImageIO parses it
+    val firstBytes = withPng.select($"payload").head().getAs[Array[Byte]](0)
+    assert(firstBytes.slice(1, 4).map(_.toChar).mkString == "PNG")
+
+    val out = Multimodal.decodeImage(withPng, "payload", batchSize = 3)
+      .select($"id", $"width", $"height", $"mean_r", $"mean_g", $"mean_b")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    ids.foreach { id =>
+      val (w, h) = Multimodal.imageGeometry(id)
+      val (gw, gh, mr, mg, mb) = out(id)
+      assert(gw == w && gh == h, s"geometry for $id")
+      // exact closed-form channel means (wrap-free affine pixels)
+      def mean(f: (Int, Int) => Int): Double = {
+        var s = 0L
+        for (y <- 0 until h; x <- 0 until w) s += f(x, y)
+        s.toDouble / (w * h)
+      }
+      assert(mr == mean((x, y) => Multimodal.pixel(id, x, y)._1), s"mean_r for $id")
+      assert(mg == mean((x, y) => Multimodal.pixel(id, x, y)._2), s"mean_g for $id")
+      assert(mb == mean((x, y) => Multimodal.pixel(id, x, y)._3), s"mean_b for $id")
+    }
+
+    // null payload → null stats
+    val withNull = withPng.withColumn("payload", when($"id" === 0L, $"payload"))
+    val nf = Multimodal.decodeImage(withNull, "payload")
+      .select($"id", $"width").collect()
       .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
-    assert(!nf(1L) && nf(2L) && nf(3L))
+    assert(!nf(0L) && nf(1L))
+
+    // undecodable bytes → null stats (not an exception)
+    val junk = Seq((1L, Array[Byte](1, 2, 3, 4))).toDF("id", "payload")
+    assert(Multimodal.decodeImage(junk, "payload").select($"width").head().isNullAt(0))
+  }
+
+  test("synthesizeWav produces a real RIFF/WAV; decodeWav recovers exact stats") {
+    val ids = Seq(0L, 1L, 4L, 255L, 256L, 999L)
+    val df = ids.toDF("id")
+    val withWav = Multimodal.synthesizeWav(df, "id")
+    val firstBytes = withWav.select($"payload").head().getAs[Array[Byte]](0)
+    assert(firstBytes.take(4).map(_.toChar).mkString == "RIFF")
+
+    val out = Multimodal.decodeWav(withWav, "payload", batchSize = 2)
+      .select($"id", $"n_samples", $"sample_rate", $"mean_amp")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    ids.foreach { id =>
+      val n = Multimodal.sampleCount(id)
+      val expMean = (0 until n).map(Multimodal.sampleAt(id, _).toLong).sum.toDouble / n
+      val (gn, rate, mean) = out(id)
+      assert(gn == n.toLong, s"n_samples for $id")
+      assert(rate == 8000.0, s"rate for $id")
+      assert(mean == expMean, s"mean_amp for $id")
+    }
+
+    // junk bytes → null stats
+    val junk = Seq((1L, Array[Byte](9, 9, 9, 9))).toDF("id", "payload")
+    assert(Multimodal.decodeWav(junk, "payload").select($"n_samples").head().isNullAt(0))
+  }
+
+  test("imageFeatures: fixed-width real features from decoded stats") {
+    val decoded = Multimodal.decodeImage(
+      Multimodal.synthesizePng(Seq(5L).toDF("id"), "id"), "payload")
+    val feats = Multimodal.imageFeatures(decoded)
+      .select($"features").head().getSeq[Float](0)
+    assert(feats.length == 6)
+    val (w, h) = Multimodal.imageGeometry(5L)
+    assert(feats(0) == w / 16.0f && feats(1) == h / 16.0f)
+    assert(feats.forall(f => !f.isNaN))
   }
 
   test("frameSample: n byte-slices per payload") {
