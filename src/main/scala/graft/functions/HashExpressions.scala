@@ -299,3 +299,64 @@ case class JaccardSimLong(left: Expression, right: Expression) extends BinaryExp
       newLeft: Expression, newRight: Expression): JaccardSimLong =
     copy(left = newLeft, right = newRight)
 }
+
+/** All-languages stopword hit counts in ONE token pass — the codegen
+  * replacement for per-language interpreted HOF `filter`s in
+  * `TextAnalysis.languageId`/`qualityScore` (4 interpreted array
+  * passes become one hash-probe loop). Output: array<int> of
+  * occurrence counts, one per [[StopwordHitsAll.Langs]] entry, same
+  * values as `size(filter(toks, array_contains(stopwords(lang), _)))`
+  * per language (the documented, oracle-portable twin).
+  */
+case class StopwordHitsAll(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "stopword_hits_all"
+
+  override def nullSafeEval(input: Any): Any =
+    StopwordHitsAll.hits(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StopwordHitsAll.hits($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordHitsAll =
+    copy(child = newChild)
+}
+
+object StopwordHitsAll {
+  /** Fixed language order of the output array. */
+  val Langs: Seq[String] = Seq("en", "es", "fr", "de")
+
+  // token → bitmask of languages containing it (a word can be a
+  // stopword in several languages, e.g. "de"/"la"/"que")
+  private val masks: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    Langs.zipWithIndex.foreach { case (l, i) =>
+      TextAnalysis.stopwords(l).foreach { w =>
+        val k = UTF8String.fromString(w)
+        m.put(k, Integer.valueOf(m.getOrDefault(k, Integer.valueOf(0)).intValue() | (1 << i)))
+      }
+    }
+    m
+  }
+
+  def hits(tokens: ArrayData): ArrayData = {
+    val counts = new Array[Int](Langs.length)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val mask = masks.get(tokens.getUTF8String(i))
+        if (mask != null) {
+          var mv = mask.intValue()
+          while (mv != 0) {
+            counts(java.lang.Integer.numberOfTrailingZeros(mv)) += 1
+            mv &= mv - 1
+          }
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(counts.map(c => c: Any))
+  }
+}

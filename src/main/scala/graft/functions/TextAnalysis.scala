@@ -34,9 +34,24 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "que"),
     "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"))
 
-  private def stopwordHits(toks: Column, lang: String): Column = {
+  /** HOF formulation of per-language stopword occurrence counts — the
+    * documented, oracle-portable semantics. Interpreted (HOFs don't
+    * codegen), so HOT paths use [[stopwordHitsAll]] instead; the two
+    * are asserted exactly equal in TextAnalysisSpec.
+    */
+  private[graft] def stopwordHitsHof(toks: Column, lang: String): Column = {
     val litArr = array(stopwords(lang).map(lit): _*)
     size(filter(toks, t => array_contains(litArr, t)))
+  }
+
+  /** Native one-pass kernel: occurrence counts for ALL languages of
+    * [[StopwordHitsAll.Langs]] as array<int> — one hash-probe loop
+    * under whole-stage codegen where the HOF twin pays one
+    * interpreted array pass per language.
+    */
+  private[graft] def stopwordHitsAll(toks: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(StopwordHitsAll(GraftSqlBridge.expression(toks)))
   }
 
   /** Heuristic language ID: script detection for CJK and
@@ -47,7 +62,11 @@ object TextAnalysis {
     val cjk = size(regexp_extract_all(c, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
     val arabicScript = size(regexp_extract_all(c, lit("[\\x{0600}-\\x{06ff}]"), lit(0)))
     val toks = tokens(c)
-    val scores = Seq("en", "es", "fr", "de").map(l => l -> stopwordHits(toks, l))
+    // one native pass for all 4 languages; the element_at references
+    // share the kernel evaluation under whole-stage codegen CSE
+    val hitsAll = stopwordHitsAll(toks)
+    val scores = StopwordHitsAll.Langs.zipWithIndex
+      .map { case (l, i) => l -> element_at(hitsAll, i + 1) }
     val best = scores
       .map(_._2)
       .reduce((a, b) => greatest(a, b))
@@ -69,7 +88,7 @@ object TextAnalysis {
     val nToks = size(toks).cast("double")
     val alpha = size(regexp_extract_all(c, lit("[A-Za-z]"), lit(0))).cast("double")
     val alphaRatio = when(nChars > 0, alpha / nChars).otherwise(lit(0.0))
-    val stopHits = stopwordHits(toks, "en").cast("double")
+    val stopHits = element_at(stopwordHitsAll(toks), 1).cast("double")
     val stopRatio = when(nToks > 0, stopHits / nToks).otherwise(lit(0.0))
     val meanWordLen = when(nToks > 0, (nChars - (nToks - 1)) / nToks).otherwise(lit(0.0))
 

@@ -31,6 +31,13 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO defaults to a FILE-backed stream cache — a temp file per
+  // encode/decode call, i.e. per row. In-memory streams are strictly
+  // better at our payload sizes (KBs) and remove temp-dir churn and
+  // contention across 32 executor threads. (Class-loads on first use
+  // per JVM, driver and executors alike.)
+  ImageIO.setUseCache(false)
+
   val metaSchema: StructType = StructType(Seq(
     StructField("kind", StringType),
     StructField("size_bytes", LongType),

@@ -150,14 +150,18 @@ object Cumulative {
     *     rows.
     *
     * Halo adjacency is only sufficient when every partition holds at
-    * least max(before, after) rows and no partition is empty; the
-    * operator VALIDATES that on the materialized partitioning
-    * (per-partition counts — ≤ numPartitions rows collected) and
-    * halves the partition count until it holds, down to a guaranteed-
-    * correct single partition. The practical 100 TB regime — a 7-row
-    * window over million-row range partitions — validates on the
-    * first attempt; the eager checkpoint also means the three halo
-    * branches share one computation of the sort.
+    * least max(before, after) rows and no partition is empty. The
+    * partition count is derived ONCE from a cheap row-count probe
+    * (`count()` — for a parquet scan that is footer metadata, no data
+    * read; order keys are unique by contract so rows = keys):
+    * parts = min(parallelism, n / 2·halo), the 2× margin covering
+    * range-sampler imbalance. The frame is then checkpointed ONCE
+    * (stable partition ids + the three halo branches share one sort)
+    * and VALIDATED on the materialized counts (≤ numPartitions rows
+    * collected); only a pathological sampling outcome re-enters the
+    * halving loop with another checkpoint. The practical 100 TB
+    * regime — a 7-row window over million-row range partitions —
+    * always takes exactly one checkpoint.
     */
   def withMovingAverage(
       df: DataFrame,
@@ -181,7 +185,13 @@ object Cumulative {
     val halo = math.max(math.max(before, after), 1)
     val mavgOut = (c: Column) => if (r >= 0) round(c, r) else c
 
-    var parts = df.sparkSession.sparkContext.defaultParallelism
+    // Thickness probe BEFORE any checkpoint: pick a partition count
+    // the validation below will accept on the first try, instead of
+    // materializing the input once per halving attempt.
+    val n = df.count()
+    var parts = math.min(
+      df.sparkSession.sparkContext.defaultParallelism.toLong,
+      n / (2L * halo)).toInt
     while (parts > 1) {
       val ranged = df.repartitionByRange(parts, order.asc)
         .withColumn("__pid", spark_partition_id())

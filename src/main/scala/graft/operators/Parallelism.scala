@@ -30,7 +30,17 @@ object Parallelism {
     val sc = df.sparkSession.sparkContext
     val par = sc.defaultParallelism
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est < BigInt(bytesPerCore) * par) df.repartition(par) else df
+    if (est >= BigInt(
+        org.apache.spark.sql.internal.SQLConf.get.defaultSizeInBytes)) {
+      // Plan leaves WITHOUT real statistics (LogicalRDD from
+      // localCheckpoint, in-memory/RDD-backed frames) report the
+      // defaultSizeInBytes sentinel (Long.MaxValue) — i.e. "huge" for
+      // exactly the small in-memory frames this operator exists to
+      // protect. Fall back to the physical partition count: thin
+      // layouts get spread, already-wide ones are left alone.
+      if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    } else if (est < BigInt(bytesPerCore) * par) df.repartition(par)
+    else df
   }
 
   private val stageCounter = new java.util.concurrent.atomic.AtomicLong()

@@ -137,9 +137,21 @@ object Similarity {
       qIdCol: String,
       k: Int,
       stride: Int = 100,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2,
+      numCentroids: Int = 0,
+      expectedRows: Long = 0L): DataFrame = {
+    // A FIXED stride means nlist = n/stride grows linearly with the
+    // corpus, eventually breaking the hinted centroid broadcast below.
+    // numCentroids > 0 bounds nlist instead: stride is derived via
+    // [[autoStride]] from `expectedRows` (pass it to skip the count
+    // job — same contract as nearDupPairs) or a corpus count.
+    val effStride =
+      if (numCentroids > 0)
+        autoStride(
+          if (expectedRows > 0) expectedRows else corpus.count(), numCentroids)
+      else stride
     val cen = corpus
-      .where(pmod(col(idCol), lit(stride)) === 0)
+      .where(pmod(col(idCol), lit(effStride)) === 0)
       .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"))
 
     // Corpus→centroid argmax as max(struct(cos, -cid, ...)) — a hash
@@ -182,6 +194,19 @@ object Similarity {
       .withColumn("rank", row_number().over(wRank))
       .where(col("rank") <= k)
       .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
+  /** Stride that keeps the deterministic centroid sample at
+    * ≈`targetNlist` members regardless of corpus size:
+    * stride = ⌈n / targetNlist⌉, so over dense ids the sample has
+    * ⌊(n−1)/stride⌋ + 1 ≤ targetNlist members. The centroid broadcast
+    * in [[ivfTopK]] then stays bounded across any corpus growth —
+    * the IVF analog of [[autoPlanes]]'s occupancy-constant sizing.
+    */
+  def autoStride(n: Long, targetNlist: Int = 1024): Int = {
+    require(targetNlist >= 1, "targetNlist must be >= 1")
+    val s = (math.max(n, 1L) + targetNlist - 1) / targetNlist
+    math.min(s, Int.MaxValue.toLong).toInt
   }
 
   /** Buckets needed so the EXPECTED bucket occupancy stays ~constant

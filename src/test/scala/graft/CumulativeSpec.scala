@@ -95,6 +95,23 @@ class CumulativeSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("withMovingAverage: at most one checkpoint (thickness probed before materializing)") {
+    // thin input: probe resolves parts=1 → exact single-partition
+    // window, ZERO checkpoints (pre-probe code paid up to
+    // log2(parallelism) full materializations here)
+    val thin = (1L to 10L).map(i => (i, i.toDouble * 3)).toDF("id", "v")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Cumulative.withMovingAverage(thin, col("v"), col("id"), "m", 7, "center", 6).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size - before == 0)
+
+    // thick input: probe accepts the full parallelism first try →
+    // exactly ONE checkpoint
+    val thick = (1L to 1000L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val before2 = spark.sparkContext.getPersistentRDDs.size
+    Cumulative.withMovingAverage(thick, col("v"), col("id"), "m", 7, "center", 6).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size - before2 == 1)
+  }
+
   test("withMovingAverage: frame clipped at the global edges") {
     val tiny = Seq((1, 2.0), (2, 4.0), (3, 6.0)).toDF("id", "v")
     val got = Cumulative

@@ -126,6 +126,23 @@ class DedupSpec extends SparkSpec {
     assert(capped == 0L)
   }
 
+  test("simHashPairs defaults (bits=48, maxBucket=1000): scale config still finds near-dups") {
+    // defaults are the at-scale configuration; verify the 48-bit
+    // chunk-blocked path end-to-end with no explicit overrides
+    val pairs = Dedup
+      .simHashPairs(docs, "text", "id", maxHamming = 2, ngram = 2)
+      .select($"id_a", $"id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+    // 48-bit signatures genuinely use the upper bit range
+    val sigs = docs.select(Dedup.simHash($"text").as("sig")).as[Long].collect()
+    assert(sigs.forall(s => s >= 0L && s < (1L << 48)))
+    assert(sigs.exists(_ >= (1L << 28)))
+  }
+
   test("fast family: hashed-long verification matches the md5 family exactly") {
     val md5Pairs = Dedup.minHashLshPairs(docs, "text", "id")
       .as[(Long, Long, Double)].collect().toSet
@@ -209,6 +226,17 @@ class DedupSpec extends SparkSpec {
     val labels = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toMap
     assert(labels.values.toSet == Set(1L))
     assert(labels.keySet == (1L to 8L).toSet)
+  }
+
+  test("ngramJaccardPairs: unblocked all-pairs baseline requires explicit opt-in") {
+    val tiny = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(tiny, "text", "id", n = 2)
+    }
+    val pairs = Dedup
+      .ngramJaccardPairs(tiny, "text", "id", n = 2, allowBruteForce = true)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
   }
 
   test("ngramJaccardPairs: blocked pairs above threshold") {

@@ -20,6 +20,35 @@ class ParallelismSpec extends SparkSpec {
     assert(out eq df)
   }
 
+  test("spread: stats-free (RDD-backed) thin frame still spreads") {
+    // An RDD-backed frame reports the defaultSizeInBytes sentinel
+    // ("huge"), so the size gate alone would skip exactly the small
+    // in-memory frames the operator protects — the partition-count
+    // fallback must catch them.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("v", IntegerType)))
+    val thin = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1), Row(2), Row(3)), 1), schema)
+    assert(thin.queryExecution.optimizedPlan.stats.sizeInBytes >=
+      BigInt(org.apache.spark.sql.internal.SQLConf.get.defaultSizeInBytes),
+      "premise: the frame must be stats-free for this test to bite")
+    val out = Parallelism.spread(thin)
+    assert(out.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    assert(out.as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("spread: stats-free frame already at full parallelism is untouched") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val par = spark.sparkContext.defaultParallelism
+    val schema = StructType(Seq(StructField("v", IntegerType)))
+    val wide = spark.createDataFrame(
+      spark.sparkContext.parallelize((1 to 100).map(Row(_)), par), schema)
+    val out = Parallelism.spread(wide)
+    assert(out eq wide)
+  }
+
   test("pushdownBarrier: filter stays above the staged projection") {
     val staged = Seq("a b c", "d").toDF("t")
       .select(col("t"), size(split(col("t"), " ")).as("n"))

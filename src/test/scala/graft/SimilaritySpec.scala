@@ -102,6 +102,46 @@ class SimilaritySpec extends SparkSpec {
     assert(out.values.toSet.subsetOf(Set(0L, 1L, 2L)))
   }
 
+  test("autoStride: nlist stays bounded by the target across 3 orders of n") {
+    val target = 64
+    Seq(1000L, 100000L, 10000000L).foreach { n =>
+      val stride = Similarity.autoStride(n, target)
+      // actual centroid count over dense ids (the sampling predicate
+      // ivfTopK uses: id % stride == 0)
+      val nlist = spark.range(n)
+        .where(org.apache.spark.sql.functions.pmod($"id",
+          org.apache.spark.sql.functions.lit(stride)) === 0)
+        .count()
+      assert(nlist <= target, s"n=$n stride=$stride nlist=$nlist")
+      assert(nlist >= target / 2, s"n=$n under-sampled: nlist=$nlist")
+    }
+    assert(Similarity.autoStride(0L, 10) == 1) // degenerate corpus
+  }
+
+  test("ivfTopK: numCentroids derives the stride (same results as the explicit stride)") {
+    val c = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Seq(0.95f, 0.05f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.9f, 0.1f, 0.0f)))
+      .toDF("id", "vec")
+    val q = c.where($"id" === 1L)
+    // n=5, numCentroids=2 → stride = ⌈5/2⌉ = 3, identical to stride=3
+    val viaCount = Similarity
+      .ivfTopK(c, q, "vec", "id", "id", k = 3, nprobe = 1, numCentroids = 2)
+      .select($"corpus_id", $"rank").as[(Long, Int)].collect().toSet
+    val viaExpected = Similarity
+      .ivfTopK(c, q, "vec", "id", "id", k = 3, nprobe = 1,
+        numCentroids = 2, expectedRows = 5L)
+      .select($"corpus_id", $"rank").as[(Long, Int)].collect().toSet
+    val explicit = Similarity
+      .ivfTopK(c, q, "vec", "id", "id", k = 3, stride = 3, nprobe = 1)
+      .select($"corpus_id", $"rank").as[(Long, Int)].collect().toSet
+    assert(viaCount == explicit)
+    assert(viaExpected == explicit)
+  }
+
   test("nearDupPairs: finds the planted pair only") {
     val pairs = Similarity
       .nearDupPairs(corpus, "vec", "id", dim = 4, threshold = 0.95, numPlanes = 3)

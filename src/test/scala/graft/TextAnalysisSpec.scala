@@ -30,6 +30,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq("en", "es", "zh", "fa", "und"))
   }
 
+  test("stopwordHitsAll native kernel == HOF twin, per language, on adversarial inputs") {
+    // occurrence counting (not distinct), multi-language words
+    // ("de"/"la"/"que" are stopwords in several lists), blanks,
+    // repeats, unicode, mixed junk
+    val texts = Seq(
+      "the the the of and to a in is it that for",
+      "el la de que y en un los una por de de",
+      "le la de et les des un une du que",
+      "der die das und in den von zu mit ist",
+      "de de de", // es+fr+de simultaneously
+      "", "   ", "zzz qqq", "میان متن فارسی the و la",
+      "the\tof\nand", "THE OF AND") // tokens() lowercases
+    val df = texts.toDF("s")
+    val toks = graft.functions.TextAnalysis.tokens($"s")
+    import graft.functions.{StopwordHitsAll, TextAnalysis => TA}
+    val nativeCols = StopwordHitsAll.Langs.zipWithIndex.map { case (_, i) =>
+      element_at(TA.stopwordHitsAll(toks), i + 1)
+    }
+    val hofCols = StopwordHitsAll.Langs.map(l => TA.stopwordHitsHof(toks, l))
+    val rows = df.select((nativeCols ++ hofCols).map(_.cast("int")): _*).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      val n = StopwordHitsAll.Langs.length
+      (0 until n).foreach { i =>
+        assert(r.getInt(i) == r.getInt(n + i),
+          s"lang=${StopwordHitsAll.Langs(i)} text='$t': native=${r.getInt(i)} hof=${r.getInt(n + i)}")
+      }
+    }
+  }
+
   test("qualityScore: in [0,1], longer clean English text scores higher") {
     val good = ("the quick brown fox jumps over the lazy dog and it is fine " * 5)
     val bad = "@@@@ #### !!!!"
