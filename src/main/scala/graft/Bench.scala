@@ -60,6 +60,13 @@ object Bench {
       graft.functions.TextAnalysis.tokenCountRegex(col("text")),
       graft.functions.TextAnalysis.fingerprint(col("text"))))
     warm(graft.functions.TextAnalysis.tfIdfTopK(wDocs, "text", "id", 2))
+    warm(wDocs.select(
+      graft.functions.TextAnalysis.repetitionSignals(col("text"))))
+    warm(wVecs.select(
+      graft.functions.VectorFunctions.quantize8(col("embedding"))))
+    warm(graft.multimodal.Multimodal.decodeImage(
+      graft.multimodal.Multimodal.synthesizePng(
+        spark.range(64).toDF("doc_id"), "doc_id")))
     warm(wDocs.select(graft.functions.TextFunctions.jalaliDate(
       date_add(to_date(lit("1995-01-01")), col("id").cast("int")))))
     warm(graft.operators.Cumulative.withMovingAverage(

@@ -576,6 +576,24 @@ object SparkEntry {
         Map("en" -> 0.5, "fr" -> 0.25, "zh" -> 1.0), "doc_id", seed = 7)
         .select("doc_id", "lang")
     }),
+    "q_quantize" -> ((s, dir) => {
+      // int8 embedding quantization, exploded to relational rows so
+      // the driver's hash compare sees scalars (arrays don't hash).
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.quantize8(col("embedding")).as("qs"))
+        .select(col("vec_id"), col("qs.scale").as("scale"),
+          posexplode(col("qs.q")).as(Seq("pos", "qv")))
+    }),
+    "q_rebalance" -> ((s, dir) => {
+      // Rebalance the corpus language mix to en:es:fr = 2:1:1 (zh/de
+      // dropped). Shares are binary-exact (0.5/0.25/0.25) so the
+      // oracle's double arithmetic reproduces the same thresholds.
+      graft.operators.Sampling.rebalanceToDistribution(
+        t(s, dir, "documents"), "lang",
+        Map("en" -> 2.0, "es" -> 1.0, "fr" -> 1.0), "doc_id")
+        .select("doc_id", "lang")
+    }),
     "q_profile" -> ((s, dir) => {
       graft.operators.Profile.profile(
         t(s, dir, "events").withColumn("et", expr("nullif(event_type, 'error')")),
@@ -650,6 +668,20 @@ object SparkEntry {
         .rangeJoin(views, windows, "ts_ms", "w_start", "w_end",
           Seq("user_id"), bucketWidth = 3600000L)
         .select("event_id", "user_id", "ts_ms", "w_start")
+    }),
+    "q_repetition" -> ((s, dir) => {
+      // Synthesize within-doc repetition as in q_dedup_lines (the raw
+      // corpus has no newlines): doc = text + clone line + prefix.
+      Parallelism.spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          concat_ws("\n", col("text"), col("text"),
+            substring(col("text"), 1, 50)).as("t2"))
+        .withColumn("r", graft.functions.TextAnalysis.repetitionSignals(col("t2")))
+        .select(
+          col("doc_id"),
+          round(col("r.dup_line_frac"), 4).as("dup_line_frac"),
+          round(col("r.dup_line_char_frac"), 4).as("dup_line_char_frac"),
+          round(col("r.top_ngram_char_frac"), 4).as("top_ngram_char_frac"))
     }),
     "q_salted_join" -> ((s, dir) => {
       // Salted equi-join (Skew.saltedJoin) must be value-identical to
@@ -730,6 +762,33 @@ object SparkEntry {
     "q_salted_join" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey AS suppkey, s_name
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
+    // mirrors TextAnalysis.repetitionSignals: line fractions over the
+    // synthesized 3-line doc; top-bigram fraction over lowercased
+    // whitespace tokens, ties broken to the binary-smallest gram
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || chr(10) || text || chr(10) || substr(text, 1, 50) AS t2 FROM documents),
+        |s AS (SELECT doc_id, string_split(t2, chr(10)) AS lines FROM t),
+        |lm AS (SELECT doc_id,
+        |  (len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines) AS dlf,
+        |  CASE WHEN length(array_to_string(lines, '')) = 0 THEN 0.0
+        |    ELSE (length(array_to_string(lines, '')) - length(array_to_string(list_distinct(lines), '')))::DOUBLE
+        |      / length(array_to_string(lines, '')) END AS dlcf
+        |  FROM s),
+        |tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(t2)), '\s+') AS w FROM t),
+        |tg AS (SELECT doc_id, unnest(list_transform(range(0, len(w) - 1), i -> w[i + 1] || ' ' || w[i + 2])) AS g
+        |  FROM tk WHERE len(w) >= 2),
+        |gc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+        |top1 AS (SELECT doc_id, g, c FROM (SELECT doc_id, g, c,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM gc)
+        |  WHERE rn = 1),
+        |tot AS (SELECT doc_id, length(array_to_string(w, '')) AS totchars FROM tk)
+        |SELECT lm.doc_id,
+        |  round(dlf, 4) AS dup_line_frac,
+        |  round(dlcf, 4) AS dup_line_char_frac,
+        |  round(CASE WHEN totchars = 0 THEN 0.0
+        |    ELSE coalesce(c * (length(g) - 1), 0)::DOUBLE / totchars END, 4) AS top_ngram_char_frac
+        |FROM lm JOIN tot USING (doc_id) LEFT JOIN top1 USING (doc_id)""".stripMargin,
     "q_dedup_apply" ->
       s"""WITH $minhashCtes,
          |pairs AS (SELECT id_a, id_b FROM mh WHERE jac >= 0.5)
@@ -859,6 +918,36 @@ object SparkEntry {
          |WHERE (lang = 'en' AND ${keep(0.5)})
          |   OR (lang = 'fr' AND ${keep(0.25)})
          |   OR (lang = 'zh' AND ${keep(1.0)})""".stripMargin
+    },
+    // mirrors VectorFunctions.quantize8: float max-abs scale, then
+    // round-half-away(127·v/scale) per component, same op order
+    "q_quantize" ->
+      """WITH m AS (SELECT vec_id,
+        |  list_max(list_transform(embedding, x -> abs(x))) AS scale, embedding
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, scale,
+        |  unnest(embedding) AS v, generate_subscripts(embedding, 1) - 1 AS pos FROM m)
+        |SELECT vec_id, scale, pos::INT AS pos,
+        |  (CASE WHEN scale = 0 THEN 0
+        |    ELSE round(v::DOUBLE * 127 / scale::DOUBLE) END)::TINYINT AS qv
+        |FROM e""".stripMargin,
+    // mirrors Sampling.rebalanceToDistribution: fractions computed IN
+    // SQL from the same counts, same expression order (n/s, then
+    // least(1, s·m/n), then floor(·65536)) for bit-identical doubles
+    "q_rebalance" -> {
+      val hex = "strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR || ':0'), %d, 1)) - 1"
+      val keepVal = s"(${hex.format(1)}) * 4096 + (${hex.format(2)}) * 256 + " +
+        s"(${hex.format(3)}) * 16 + (${hex.format(4)})"
+      s"""WITH sh(lang, s) AS (SELECT * FROM (VALUES
+         |    ('en', 0.5::DOUBLE), ('es', 0.25::DOUBLE), ('fr', 0.25::DOUBLE))),
+         |c AS (SELECT lang, count(*)::BIGINT AS n FROM documents
+         |  WHERE lang IN ('en', 'es', 'fr') GROUP BY 1),
+         |j AS (SELECT sh.lang, sh.s, c.n FROM sh JOIN c USING (lang)),
+         |m AS (SELECT min(n / s) AS m FROM j),
+         |f AS (SELECT lang,
+         |  floor(least(1.0::DOUBLE, s * (SELECT m FROM m) / n) * 65536)::INT AS thr FROM j)
+         |SELECT doc_id, lang FROM documents JOIN f USING (lang)
+         |WHERE $keepVal < thr""".stripMargin
     },
     "q_profile" ->
       """WITH e AS (SELECT user_id, nullif(event_type, 'error') AS et, value FROM events)

@@ -135,6 +135,42 @@ object HashKernels {
     }
     inter.toDouble / (xs.length + ys.length - inter).toDouble
   }
+
+  private val NGRAM_SPACE = UTF8String.fromString(" ")
+
+  /** See [[TopNgramCharFrac]]: maxCount × (gram chars − separators) /
+    * total token chars, NON-distinct grams, ties to the binary-smallest
+    * gram. Fewer than n tokens or zero token chars → 0.0.
+    */
+  def topNgramCharFrac(tokens: ArrayData, n: Int): Double = {
+    val nt = tokens.numElements()
+    val toks = new Array[UTF8String](nt)
+    var total = 0L
+    var i = 0
+    while (i < nt) {
+      val t = tokens.getUTF8String(i)
+      toks(i) = if (t == null) UTF8String.EMPTY_UTF8 else t
+      total += toks(i).numChars()
+      i += 1
+    }
+    if (nt < n || total == 0L) return 0.0
+    val counts = new java.util.HashMap[UTF8String, Integer](nt * 2)
+    var best: UTF8String = null
+    var bestCount = 0
+    i = 0
+    while (i <= nt - n) {
+      val slice = new Array[UTF8String](n)
+      System.arraycopy(toks, i, slice, 0, n)
+      val gram = UTF8String.concatWs(NGRAM_SPACE, slice: _*)
+      val c = counts.merge(gram, Integer.valueOf(1), (a, b) => Integer.valueOf(a.intValue() + b.intValue())).intValue()
+      if (c > bestCount || (c == bestCount && gram.compareTo(best) < 0)) {
+        best = gram
+        bestCount = c
+      }
+      i += 1
+    }
+    bestCount.toDouble * (best.numChars() - (n - 1)) / total.toDouble
+  }
 }
 
 /** Distinct character k-shingles of a string (code-point semantics,
@@ -359,4 +395,29 @@ object StopwordHitsAll {
     }
     new GenericArrayData(counts.map(c => c: Any))
   }
+}
+
+/** Fraction of token characters covered by occurrences of the MOST
+  * FREQUENT word `n`-gram (Rae et al. 2021's top-n-gram repetition
+  * signal): maxCount × gramChars / totalTokenChars, over NON-distinct
+  * grams. Ties break to the lexicographically (binary UTF-8 ==
+  * codepoint) smallest gram so the DuckDB oracle's
+  * `ORDER BY c DESC, g ASC` picks the identical winner. One pass, one
+  * hash map — the declarative formulation needs an explode + two
+  * aggregations per document.
+  */
+case class TopNgramCharFrac(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "ngram size must be >= 1")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "top_ngram_char_frac"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.topNgramCharFrac(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.topNgramCharFrac($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): TopNgramCharFrac =
+    copy(child = newChild)
 }

@@ -218,6 +218,42 @@ object TextAnalysis {
       (wordsOk && coalesce(meanOk, lit(false)) && symbolOk).as("pass"))
   }
 
+  /** Gopher-style WITHIN-document repetition signals (Rae et al.
+    * 2021, table A1: duplicate-line fraction, duplicate-line
+    * character fraction, top word-n-gram character fraction) as a
+    * struct of three doubles in [0,1]:
+    *
+    *  - `dup_line_frac`      = repeated line occurrences / lines
+    *  - `dup_line_char_frac` = chars in repeat occurrences beyond the
+    *                           first / all line chars
+    *  - `top_ngram_char_frac`= chars covered by the most frequent
+    *                           word n-gram / total token chars
+    *                           (native one-pass kernel; ties to the
+    *                           binary-smallest gram)
+    *
+    * Row-local, codegen'd end to end; the companion gate is
+    * [[qualityFlags]] and the removal operator is [[dedupLines]].
+    */
+  def repetitionSignals(c: Column, sep: String = "\n", ngram: Int = 2): Column = {
+    val q = java.util.regex.Pattern.quote(sep)
+    val lines = split(c, q)
+    val dLines = array_distinct(lines)
+    val nL = size(lines).cast("double")
+    val nD = size(dLines).cast("double")
+    val allChars = length(array_join(lines, "")).cast("double")
+    val dChars = length(array_join(dLines, "")).cast("double")
+    val topFrac = {
+      import org.apache.spark.sql.GraftSqlBridge
+      GraftSqlBridge.column(
+        TopNgramCharFrac(GraftSqlBridge.expression(tokens(c)), ngram))
+    }
+    struct(
+      when(nL > 0, (nL - nD) / nL).otherwise(0.0).as("dup_line_frac"),
+      when(allChars > 0, (allChars - dChars) / allChars).otherwise(0.0)
+        .as("dup_line_char_frac"),
+      topFrac.as("top_ngram_char_frac"))
+  }
+
   /** Remove repeated lines WITHIN a document, keeping first-occurrence
     * order — the standard within-doc repetition-removal step of a
     * training-data pipeline (navigation bars, cookie banners and

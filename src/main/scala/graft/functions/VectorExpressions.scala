@@ -184,3 +184,92 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
     copy(child = newChild)
 }
+
+/** Symmetric per-vector int8 quantization:
+  * scale = max|vᵢ| (float), qᵢ = round(127·vᵢ/scale) as tinyint
+  * (round half AWAY FROM ZERO — DuckDB `round` semantics, NOT
+  * `Math.rint`'s half-even). Zero vector → scale 0, all-zero codes.
+  * 4× smaller ANN shuffle/storage payloads; reconstruction error is
+  * bounded by scale/254 per component. Output struct(scale, q).
+  */
+case class QuantizeInt8(child: Expression) extends UnaryExpression {
+  import VectorExpressions._
+
+  override def dataType: DataType = QuantizeInt8.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "quantize_int8"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<float>/array<double> input")
+    }
+
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    QuantizeInt8.quantize(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val resTerm = ctx.freshName("qres")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $resTerm =
+         |  graft.functions.QuantizeInt8.quantize($c, $isFloat);
+         |if ($resTerm == null) { ${ev.isNull} = true; } else { ${ev.value} = $resTerm; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
+    copy(child = newChild)
+}
+
+object QuantizeInt8 {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  val schema: StructType = StructType(Seq(
+    StructField("scale", FloatType, nullable = false),
+    StructField("q", ArrayType(ByteType, containsNull = false), nullable = false)))
+
+  /** Null on a null element (mirrors the declarative twin's
+    * null-propagation through `transform`).
+    */
+  def quantize(arr: ArrayData, isFloat: Boolean): InternalRow = {
+    val n = arr.numElements()
+    var i = 0
+    // max|v| tracked at input precision so it equals
+    // array_max(transform(v, abs)) bit-for-bit on float inputs
+    var maxAbs = 0.0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val v = math.abs(
+        if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i))
+      if (v > maxAbs) maxAbs = v
+      i += 1
+    }
+    val scaleF = if (isFloat) maxAbs.toFloat else maxAbs.toFloat
+    val q = new Array[Byte](n)
+    if (maxAbs > 0.0) {
+      val denom = if (isFloat) scaleF.toDouble else maxAbs
+      i = 0
+      while (i < n) {
+        val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        val x = v * 127.0 / denom
+        // round half away from zero (DuckDB round / Spark round)
+        q(i) = (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toByte
+        i += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](scaleF, new GenericArrayData(q)))
+  }
+}

@@ -82,6 +82,38 @@ object VectorFunctions {
         planeSigns(dim, numPlanes, planeOffset).map(_.map(_.toDouble))))
   }
 
+  /** Symmetric per-vector int8 quantization (native, one pass):
+    * struct(`scale` = max|vᵢ| as float, `q` = round(127·vᵢ/scale) as
+    * array<tinyint>). 4× smaller embedding payloads for ANN
+    * shuffle/storage; invert with [[dequantize8]] (per-component
+    * error ≤ scale/254). Zero vectors quantize to all-zero codes.
+    */
+  def quantize8(vec: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(QuantizeInt8(GraftSqlBridge.expression(vec)))
+  }
+
+  /** Declarative twin of [[quantize8]] — the oracle-portable
+    * semantics (interpreted HOFs; max|v| re-derived per element, so
+    * use the native version in hot paths).
+    */
+  def quantize8Hof(vec: Column): Column = {
+    val maxAbs = array_max(transform(vec, v => abs(v)))
+    val q = transform(vec, v =>
+      when(maxAbs === 0.0f, lit(0).cast("tinyint"))
+        .otherwise(round(v.cast("double") * 127 / maxAbs.cast("double"))
+          .cast("tinyint")))
+    struct(maxAbs.as("scale"), q.as("q"))
+  }
+
+  /** Reconstruct `array<float>` from a [[quantize8]] struct:
+    * vᵢ ≈ qᵢ·scale/127.
+    */
+  def dequantize8(qs: Column): Column =
+    transform(qs.getField("q"), x =>
+      (x.cast("double") * qs.getField("scale").cast("double") / 127)
+        .cast("float"))
+
   /** Random-hyperplane (SimHash-for-vectors) LSH bucket id from
     * `numPlanes` sign bits. The planes are [[planeSigns]] literals
     * baked into the expression — constant-folded, one pass, no

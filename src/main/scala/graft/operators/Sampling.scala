@@ -33,6 +33,50 @@ object Sampling {
       seed: Int = 0): DataFrame =
     df.where(keepFlag(col(idCol), fraction, seed))
 
+  /** Largest deterministic subsample whose strata follow a TARGET
+    * distribution — the corpus-rebalancing step of a training-data
+    * pipeline (e.g. cap English at 50% of the mix). `targets` are
+    * relative shares (normalized internally); strata not listed are
+    * dropped.
+    *
+    * The output size M is the largest achievable under the targets:
+    * M = min_k n_k / share_k, giving per-stratum keep fractions
+    * share_k·M / n_k (the binding stratum keeps everything). One tiny
+    * aggregation (a row per stratum — never a data collect) feeds the
+    * closed-form fractions; row decisions are then the same
+    * content-hash keeps as [[stratifiedSample]], so the sample is
+    * reproducible under any partitioning and DuckDB-replayable.
+    * Expected counts are binomial around share_k·M, the usual hash-
+    * sampling tolerance.
+    */
+  def rebalanceToDistribution(
+      df: DataFrame,
+      strataCol: String,
+      targets: Map[String, Double],
+      idCol: String,
+      seed: Int = 0): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ >= 0) &&
+      targets.values.sum > 0, "targets must be non-negative with a positive sum")
+    val norm = targets.values.sum
+    val shares = targets.map { case (k, v) => k -> v / norm }
+    val counts = df
+      .where(col(strataCol).isin(targets.keys.toSeq: _*))
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = shares.foldLeft(Double.PositiveInfinity) { case (acc, (k, s)) =>
+      if (s == 0) acc
+      else math.min(acc, counts.getOrElse(k, 0L) / s)
+    }
+    if (m.isInfinity || m <= 0) df.where(lit(false))
+    else {
+      val fractions = shares.collect {
+        case (k, s) if s > 0 && counts.getOrElse(k, 0L) > 0 =>
+          k -> math.min(1.0, s * m / counts(k))
+      }
+      stratifiedSample(df, strataCol, fractions, idCol, seed)
+    }
+  }
+
   /** Per-stratum deterministic sampling: strata missing from
     * `fractions` are dropped (like `sampleBy`).
     */

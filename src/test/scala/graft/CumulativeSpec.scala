@@ -99,17 +99,23 @@ class CumulativeSpec extends SparkSpec {
     // thin input: probe resolves parts=1 → exact single-partition
     // window, ZERO checkpoints (pre-probe code paid up to
     // log2(parallelism) full materializations here)
+    // count ADDED persistent-RDD ids only: the ContextCleaner may
+    // concurrently unpersist unreachable checkpoints from earlier
+    // tests, so absolute sizes can shrink mid-test
     val thin = (1L to 10L).map(i => (i, i.toDouble * 3)).toDF("id", "v")
-    val before = spark.sparkContext.getPersistentRDDs.size
-    Cumulative.withMovingAverage(thin, col("v"), col("id"), "m", 7, "center", 6).collect()
-    assert(spark.sparkContext.getPersistentRDDs.size - before == 0)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val thinOut = Cumulative.withMovingAverage(thin, col("v"), col("id"), "m", 7, "center", 6)
+    thinOut.collect()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty)
 
     // thick input: probe accepts the full parallelism first try →
-    // exactly ONE checkpoint
+    // exactly ONE checkpoint (thickOut stays referenced so the
+    // cleaner can't collect it before the assertion)
     val thick = (1L to 1000L).map(i => (i, i.toDouble)).toDF("id", "v")
-    val before2 = spark.sparkContext.getPersistentRDDs.size
-    Cumulative.withMovingAverage(thick, col("v"), col("id"), "m", 7, "center", 6).collect()
-    assert(spark.sparkContext.getPersistentRDDs.size - before2 == 1)
+    val before2 = spark.sparkContext.getPersistentRDDs.keySet
+    val thickOut = Cumulative.withMovingAverage(thick, col("v"), col("id"), "m", 7, "center", 6)
+    thickOut.collect()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before2).size == 1)
   }
 
   test("withMovingAverage: frame clipped at the global edges") {

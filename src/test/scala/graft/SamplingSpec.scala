@@ -38,4 +38,32 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(byK("b") / 1000.0 - 0.3) < 0.06)
     assert(!byK.contains("c"))
   }
+
+  test("rebalanceToDistribution: output follows the target mix; binding stratum kept whole") {
+    // strata sizes: a=4000, b=500, c=1000, d=300 (d untargeted);
+    // targets a:b:c = 2:1:1 → shares 0.5/0.25/0.25; binding stratum is
+    // b (500/0.25 = 2000 = M) → b keeps ALL 500, a keeps ~1000 of
+    // 4000, c keeps ~500 of 1000, d dropped.
+    val df = (
+      (1 to 4000).map(i => (i.toLong, "a")) ++
+      (1 to 500).map(i => (10000L + i, "b")) ++
+      (1 to 1000).map(i => (20000L + i, "c")) ++
+      (1 to 300).map(i => (30000L + i, "d"))).toDF("id", "k")
+    val out = Sampling.rebalanceToDistribution(
+      df, "k", Map("a" -> 2.0, "b" -> 1.0, "c" -> 1.0), "id")
+    val byK = out.groupBy($"k").count().as[(String, Long)].collect().toMap
+    assert(byK("b") == 500L) // binding stratum: fraction exactly 1
+    assert(math.abs(byK("a") / 1000.0 - 1.0) < 0.12)
+    assert(math.abs(byK("c") / 500.0 - 1.0) < 0.15)
+    assert(!byK.contains("d"))
+    // deterministic: same result on a different partitioning
+    val again = Sampling.rebalanceToDistribution(
+      df.repartition(13), "k", Map("a" -> 2.0, "b" -> 1.0, "c" -> 1.0), "id")
+      .select($"id").as[Long].collect().toSet
+    assert(again == out.select($"id").as[Long].collect().toSet)
+    // degenerate: a zero-count targeted stratum zeroes the output
+    val noB = df.where($"k" =!= "b")
+    assert(Sampling.rebalanceToDistribution(
+      noB, "k", Map("a" -> 1.0, "b" -> 1.0), "id").count() == 0L)
+  }
 }

@@ -128,6 +128,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(custom == "a|b|c")
   }
 
+  test("repetitionSignals: hand-computed fractions, ties to smallest gram, edge cases") {
+    import graft.functions.TextAnalysis.repetitionSignals
+    // doc: 3 lines, one duplicated: "ab cd" x2 + "xy"
+    //   dup_line_frac = (3-2)/3; dup_line_char_frac = (12-7)/12
+    //   tokens: ab cd ab cd xy → bigrams: "ab cd"(2) "cd ab"(1) "cd xy"(1)
+    //   top frac = 2 * 4 / 10
+    val df = Seq("ab cd\nab cd\nxy").toDF("s")
+    val r = df.select(repetitionSignals($"s").as("r"))
+      .select($"r.dup_line_frac", $"r.dup_line_char_frac", $"r.top_ngram_char_frac")
+      .as[(Double, Double, Double)].head()
+    assert(r._1 == 1.0 / 3)
+    assert(r._2 == 5.0 / 12)
+    assert(r._3 == 8.0 / 10)
+
+    // tie between "b c" and "a b" (1 each... construct a real tie):
+    // "b a b a": bigrams "b a"(2) "a b"(1) → top = 2*2/4 = 1.0? chars:
+    // tokens b,a,b,a → total 4; "b a" count 2, gram chars 2 → 4/4
+    val tie = Seq("b a b a").toDF("s")
+    val t = tie.select(repetitionSignals($"s").as("r"))
+      .select($"r.top_ngram_char_frac").as[Double].head()
+    assert(t == 1.0)
+
+    // true tie: "a b c a b c" → "a b"(2) "b c"(2) "c a"(1); smallest
+    // gram "a b" wins (same value either way: 2*2/6)
+    val tie2 = Seq("a b c a b c").toDF("s")
+    val t2 = tie2.select(repetitionSignals($"s").as("r"))
+      .select($"r.top_ngram_char_frac").as[Double].head()
+    assert(t2 == 4.0 / 6)
+
+    // blank / single-token docs → all zeros, no NaN/exception
+    val edge = Seq("", "   ", "solo").toDF("s")
+    val e = edge.select(repetitionSignals($"s").as("r"))
+      .select($"r.dup_line_frac", $"r.dup_line_char_frac", $"r.top_ngram_char_frac")
+      .as[(Double, Double, Double)].collect()
+    assert(e.forall(x => !x._1.isNaN && !x._2.isNaN && !x._3.isNaN))
+    assert(e.forall(x => x._3 == 0.0))
+  }
+
   test("contaminationHits: shared 13-grams flagged, clean docs absent") {
     val gram13 = (1 to 13).map(i => s"w$i").mkString(" ")
     val docs = Seq(

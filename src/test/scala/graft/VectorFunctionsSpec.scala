@@ -90,4 +90,37 @@ class VectorFunctionsSpec extends SparkSpec {
       .toSeq
     assert(got == vecs.map(model).toSeq)
   }
+
+  test("quantize8: native == HOF twin; dequantize reconstructs within bound") {
+    val rnd = new scala.util.Random(42)
+    val vecs = Seq.fill(50)(Seq.fill(16)((rnd.nextFloat() - 0.5f) * 10f)) ++
+      Seq(
+        Seq.fill(16)(0.0f),                       // zero vector
+        Seq(1.0f, -1.0f, 0.5f, -0.5f),            // exact .5 codes
+        Seq(254.0f, 1.0f, -1.0f))                 // round-half boundary: 127/254 = .5
+    val df = vecs.toDF("v")
+    val rows = df.select(
+      quantize8($"v").as("n"), quantize8Hof($"v").as("h")).collect()
+    rows.foreach { r =>
+      assert(r.getStruct(0) == r.getStruct(1), s"native != hof: $r")
+    }
+    // round-half-away: 127*1/254 = 0.5 → 1 (half-even would give 0)
+    val half = Seq(Seq(254.0f, 1.0f)).toDF("v")
+      .select(quantize8($"v").getField("q")).head().getSeq[Byte](0)
+    assert(half == Seq[Byte](127, 1))
+
+    // reconstruction: cosine(original, dequantized) ≈ 1 for non-zero,
+    // per-component error ≤ scale/254 + float eps
+    val deq = df.where(size($"v") === 16)
+      .select($"v", dequantize8(quantize8($"v")).as("d"))
+      .select(cosineSimilarity($"v", $"d").as("c"),
+        quantize8($"v").getField("scale").as("s"),
+        zip_with($"v", $"d", (a, b) => abs(a - b)).as("err"))
+      .collect()
+    deq.foreach { r =>
+      if (!r.isNullAt(0)) assert(r.getDouble(0) > 0.999)
+      val bound = r.getFloat(1) / 254.0 + 1e-4
+      assert(r.getSeq[Float](2).forall(_ <= bound), s"err beyond bound: $r")
+    }
+  }
 }
