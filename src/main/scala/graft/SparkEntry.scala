@@ -539,6 +539,13 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5),
         "embedding", "vec_id", "vec_id", k = 10)
     }),
+    "q_ann_int8" -> ((s, dir) => {
+      // int8-quantized exact top-k: 4× less corpus payload per scan;
+      // the oracle recomputes the identical integer codes + cosine.
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopKInt8(e, e.where(col("vec_id") < 5),
+        "embedding", "vec_id", "vec_id", k = 10)
+    }),
     "q_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.where(col("vec_id") < 5),
@@ -844,6 +851,24 @@ object SparkEntry {
           |s AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine FROM c, q),
           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM s)
           |SELECT query_id, corpus_id, cosine, rank FROM r WHERE rank <= 10""".stripMargin),
+    // mirrors bruteForceTopKInt8: same integer codes as q_quantize,
+    // integer dot/norms are exact in doubles (≤ 127²·64 ≪ 2⁵³)
+    "q_ann_int8" ->
+      """WITH z AS (SELECT vec_id,
+        |  list_max(list_transform(embedding, x -> abs(x))) AS scale, embedding FROM embeddings),
+        |qz AS (SELECT vec_id, CASE WHEN scale = 0
+        |    THEN list_transform(embedding, x -> 0.0::DOUBLE)
+        |    ELSE list_transform(embedding, x -> round(x::DOUBLE * 127 / scale::DOUBLE)) END AS qv
+        |  FROM z),
+        |q AS (SELECT vec_id AS query_id, qv AS qq FROM qz WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS corpus_id, qv AS cq FROM qz),
+        |s AS (SELECT query_id, corpus_id,
+        |  CASE WHEN list_dot_product(cq, cq) = 0 OR list_dot_product(qq, qq) = 0 THEN NULL
+        |    ELSE round(list_dot_product(cq, qq) /
+        |      (sqrt(list_dot_product(cq, cq)) * sqrt(list_dot_product(qq, qq))), 6) END AS cosine
+        |  FROM c, q),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM s)
+        |SELECT query_id, corpus_id, cosine, rank FROM r WHERE rank <= 10""".stripMargin,
     "q_ann_lsh" ->
       (s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, ${bucketSql("embedding", 64, 6)} AS bucket
           |  FROM embeddings WHERE vec_id < 5),

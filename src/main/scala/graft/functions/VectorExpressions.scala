@@ -273,3 +273,65 @@ object QuantizeInt8 {
     new GenericInternalRow(Array[Any](scaleF, new GenericArrayData(q)))
   }
 }
+
+/** Cosine over int8 codes ([[QuantizeInt8]]'s `q` arrays). Cosine is
+  * scale-invariant, so the per-vector scales cancel and the whole
+  * similarity runs on integer dot/norm accumulators — ~4× less
+  * memory traffic than float vectors and no multiplies wider than
+  * 16-bit products. Null on length mismatch, null elements, or a
+  * zero-code vector (same contract as [[CosineSimilarity]]).
+  */
+case class CosineSimilarityInt8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_similarity_int8"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(ByteType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<tinyint> inputs (see quantize8)")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimilarityInt8.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("cres")
+      s"""
+         |Object $res = graft.functions.CosineSimilarityInt8.cosine($a, $b);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Double) $res).doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarityInt8 =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarityInt8 {
+  def cosine(x: ArrayData, y: ArrayData): java.lang.Double = {
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = x.getByte(i).toLong
+      val yv = y.getByte(i).toLong
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    if (na == 0L || nb == 0L) null
+    else java.lang.Double.valueOf(
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)))
+  }
+}

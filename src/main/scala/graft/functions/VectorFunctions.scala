@@ -106,6 +106,18 @@ object VectorFunctions {
     struct(maxAbs.as("scale"), q.as("q"))
   }
 
+  /** Cosine over int8 code arrays (the `q` field of [[quantize8]]):
+    * cosine is scale-invariant, so the similarity runs entirely on
+    * integer accumulators over 4×-smaller payloads. Approximation
+    * error vs float cosine is bounded by the quantization step
+    * (±1/254 per normalized component).
+    */
+  def cosineSimilarityInt8(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      CosineSimilarityInt8(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  }
+
   /** Reconstruct `array<float>` from a [[quantize8]] struct:
     * vᵢ ≈ qᵢ·scale/127.
     */

@@ -51,6 +51,38 @@ object Similarity {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
+  /** [[bruteForceTopK]] over int8-quantized vectors: both sides are
+    * quantized ([[graft.functions.VectorFunctions.quantize8]] —
+    * cosine is scale-invariant, so only the tinyint codes move) and
+    * scored with the integer-accumulator kernel. At 100 TB this is
+    * the memory-bandwidth-bound configuration: 4× less corpus payload
+    * per scan for a ±1/254-per-component similarity error. Ranks can
+    * differ from the float path only where cosines are within the
+    * quantization error.
+    */
+  def bruteForceTopKInt8(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      qIdCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      quantize8(col(vecCol)).getField("q").as("__cq"))
+    val q = queries.select(col(qIdCol).as("query_id"),
+      quantize8(col(vecCol)).getField("q").as("__qq"))
+    val scored = c
+      .join(broadcast(q))
+      .withColumn("cosine", round(cosineSimilarityInt8(col("__cq"), col("__qq")), 6))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
   /** Approximate top-k: candidates restricted to the query's
     * hyperplane bucket. Recall grows with fewer planes / multi-probe;
     * cost shrinks with more planes.

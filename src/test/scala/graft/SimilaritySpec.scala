@@ -102,6 +102,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out.values.toSet.subsetOf(Set(0L, 1L, 2L)))
   }
 
+  test("bruteForceTopKInt8: self is rank 1; high recall vs the float path") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 200L).map(i => (i, Seq.fill(32)(rnd.nextFloat() * 2 - 1)))
+    val c = vecs.toDF("id", "vec")
+    val q = c.where($"id" < 10)
+    def topSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val f = topSet(Similarity.bruteForceTopK(c, q, "vec", "id", "id", k = 10))
+    val i8 = topSet(Similarity.bruteForceTopKInt8(c, q, "vec", "id", "id", k = 10))
+    // exact self-match survives quantization at rank 1
+    val ranks1 = Similarity.bruteForceTopKInt8(c, q, "vec", "id", "id", k = 1)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect()
+    ranks1.foreach { case (qid, cid) => assert(qid == cid, s"self not rank1 for $qid") }
+    // overlap@10 ≥ 0.8 averaged over queries (quantization reorders
+    // only near-ties)
+    val overlap = f.keys.toSeq.map(k => (f(k) & i8(k)).size / 10.0).sum / f.size
+    assert(overlap >= 0.8, s"overlap@10 = $overlap")
+  }
+
   test("autoStride: nlist stays bounded by the target across 3 orders of n") {
     val target = 64
     Seq(1000L, 100000L, 10000000L).foreach { n =>
