@@ -741,6 +741,24 @@ object SparkEntry {
           round(col("mean_g"), 4).as("mean_g"),
           round(col("mean_b"), 4).as("mean_b"))
     }),
+    "q_multimodal_resize" -> ((s, dir) => {
+      // Full real-codec chain: synthesize PNG → decode → NN-resample
+      // to 8×8 → re-encode PNG → decode again. The NN mapping
+      // dst(x,y)=src(⌊x·w/8⌋,⌊y·h/8⌋) over the wrap-free pattern
+      // keeps the channel means closed-form for the oracle.
+      val imgs = graft.multimodal.Multimodal
+        .synthesizePng(t(s, dir, "documents").select("doc_id"), "doc_id")
+      val resized = graft.multimodal.Multimodal
+        .resizeImage(imgs, "payload", targetW = 8, targetH = 8)
+        .select("doc_id", "resized")
+      graft.multimodal.Multimodal
+        .decodeImage(resized, "resized")
+        .select(
+          col("doc_id"), col("width"), col("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"))
+    }),
     "q_multimodal_audio" -> ((s, dir) => {
       // REAL WAV round trip via javax.sound.sampled; same closed-form
       // oracle idea as q_multimodal_decode.
@@ -1065,6 +1083,21 @@ object SparkEntry {
         |  round((w*h*((3*doc_id) % 100) + 2*h*(w*(w-1)//2) + 4*w*(h*(h-1)//2)) / (w*h)::DOUBLE, 4) AS mean_g,
         |  round((w*h*((5*doc_id) % 150) + 1*h*(w*(w-1)//2) + 1*w*(h*(h-1)//2)) / (w*h)::DOUBLE, 4) AS mean_b
         |FROM d""".stripMargin,
+    // NN-resample twin: dst(x,y) = src(⌊x·w/8⌋, ⌊y·h/8⌋) over the
+    // wrap-free affine pattern; exact integer sums over the 8×8 grid
+    "q_multimodal_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 9 AS h
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |  (doc_id % 128) + 3 * ((x * w) // 8) + 5 * ((y * h) // 8) AS r,
+        |  ((3 * doc_id) % 100) + 2 * ((x * w) // 8) + 4 * ((y * h) // 8) AS gg,
+        |  ((5 * doc_id) % 150) + ((x * w) // 8) + ((y * h) // 8) AS b
+        |  FROM d, range(8) xs(x), range(8) ys(y))
+        |SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height,
+        |  round(avg(r), 4) AS mean_r, round(avg(gg), 4) AS mean_g,
+        |  round(avg(b), 4) AS mean_b
+        |FROM g GROUP BY 1""".stripMargin,
     // WAV twin: s(i) = 4·(id%256) + 8·(i mod 16) − 512 over a
     // multiple-of-16 sample count → mean = 4·(id%256) + 60 − 512.
     "q_multimodal_audio" ->

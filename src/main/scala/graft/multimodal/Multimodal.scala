@@ -263,6 +263,57 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize: decode the payload (ImageIO), nearest-
+    * neighbour resample to `targetW`×`targetH` — dst(x,y) =
+    * src(⌊x·sw/tw⌋, ⌊y·sh/th⌋), the standard NN mapping, written as
+    * an explicit loop so the semantics are engine-reproducible — and
+    * re-encode as PNG. Row-local, batched; null/undecodable payloads
+    * pass through as null.
+    */
+  def resizeImage(
+      df: DataFrame,
+      payloadCol: String = "payload",
+      targetW: Int = 8,
+      targetH: Int = 8,
+      outCol: String = "resized",
+      batchSize: Int = 64): DataFrame = {
+    require(targetW >= 1 && targetH >= 1, "target dims must be >= 1")
+    val outSchema = df.schema.add(StructField(outCol, BinaryType))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val bytes = row.get(payloadIdx).asInstanceOf[Array[Byte]]
+          val out: Array[Byte] =
+            if (bytes == null) null
+            else {
+              val img = ImageIO.read(new ByteArrayInputStream(bytes))
+              if (img == null) null
+              else {
+                val sw = img.getWidth
+                val sh = img.getHeight
+                val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+                var y = 0
+                while (y < targetH) {
+                  var x = 0
+                  while (x < targetW) {
+                    dst.setRGB(x, y, img.getRGB(x * sw / targetW, y * sh / targetH))
+                    x += 1
+                  }
+                  y += 1
+                }
+                val bos = new ByteArrayOutputStream(1024)
+                ImageIO.write(dst, "png", bos)
+                bos.toByteArray
+              }
+            }
+          Row.fromSeq(row.toSeq :+ (out: Any))
+        }
+      }
+    }
+  }
+
   /** Fixed-width feature vector from decoded image stats — real
     * values (normalized geometry + channel means), declarative and
     * codegen'd; stands where an embedding model's output would go.

@@ -86,6 +86,39 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWav(junk, "payload").select($"n_samples").head().isNullAt(0))
   }
 
+  test("resizeImage: exact nearest-neighbour resample, re-encoded as real PNG") {
+    val ids = Seq(0L, 5L, 80L, 12345L)
+    val withPng = Multimodal.synthesizePng(ids.toDF("id"), "id")
+    val resized = Multimodal.resizeImage(withPng, "payload", targetW = 4, targetH = 6)
+
+    // output is a real PNG again
+    val rb = resized.select($"resized").head().getAs[Array[Byte]](0)
+    assert(rb.slice(1, 4).map(_.toChar).mkString == "PNG")
+
+    val out = Multimodal.decodeImage(resized, "resized")
+      .select($"id", $"width", $"height", $"mean_r")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    ids.foreach { id =>
+      val (sw, sh) = Multimodal.imageGeometry(id)
+      // exact NN model: dst(x,y) = src(x*sw/4, y*sh/6)
+      var s = 0L
+      for (y <- 0 until 6; x <- 0 until 4)
+        s += Multimodal.pixel(id, x * sw / 4, y * sh / 6)._1
+      val (w, h, mr) = out(id)
+      assert(w == 4L && h == 6L, s"geometry for $id")
+      assert(mr == s.toDouble / 24, s"mean_r for $id")
+    }
+
+    // null payload passes through
+    val withNull = withPng.withColumn("payload", when($"id" === 0L, $"payload"))
+    val nf = Multimodal.resizeImage(withNull, "payload")
+      .select($"id", $"resized").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!nf(0L) && nf(5L))
+  }
+
   test("imageFeatures: fixed-width real features from decoded stats") {
     val decoded = Multimodal.decodeImage(
       Multimodal.synthesizePng(Seq(5L).toDF("id"), "id"), "payload")
