@@ -676,6 +676,35 @@ object SparkEntry {
           Seq("user_id"), bucketWidth = 3600000L)
         .select("event_id", "user_id", "ts_ms", "w_start")
     }),
+    "q_boilerplate" -> ((s, dir) => {
+      // Synthesize cross-doc boilerplate: every doc gets a shared
+      // footer; clones (doc_id % 100 == 0) double some body lines.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws("\n", col("text"), lit("(c) example corp - all rights reserved"),
+            substring(col("text"), 1, 40)).as("t2"))
+      graft.functions.TextAnalysis
+        .boilerplateLines(docs, "t2", "doc_id", minDocs = 50)
+        .select(md5(col("line")).as("line_md5"), col("n_docs"))
+    }),
+    "q_strip_boilerplate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws("\n", col("text"), lit("(c) example corp - all rights reserved"),
+            substring(col("text"), 1, 40)).as("t2"))
+      val boiler = graft.functions.TextAnalysis
+        .boilerplateLines(docs, "t2", "doc_id", minDocs = 50)
+      graft.functions.TextAnalysis
+        .stripBoilerplate(docs, boiler, "t2", "doc_id")
+        .select(col("doc_id"), md5(col("t2")).as("cleaned_md5"))
+    }),
+    "q_chunk" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextAnalysis.chunkTokens(col("text"), 40, 8))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx"), md5(col("chunk")).as("chunk_md5"))
+    }),
     "q_repetition" -> ((s, dir) => {
       // Synthesize within-doc repetition as in q_dedup_lines (the raw
       // corpus has no newlines): doc = text + clone line + prefix.
@@ -787,6 +816,34 @@ object SparkEntry {
     "q_salted_join" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey AS suppkey, s_name
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
+    "q_boilerplate" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || chr(10) || '(c) example corp - all rights reserved' || chr(10) || substr(text, 1, 40) AS t2
+        |  FROM documents),
+        |l AS (SELECT doc_id, unnest(list_distinct(string_split(t2, chr(10)))) AS line FROM t)
+        |SELECT md5(line) AS line_md5, count(*)::BIGINT AS n_docs
+        |FROM l WHERE trim(line) <> '' GROUP BY 1 HAVING count(*) >= 50""".stripMargin,
+    "q_strip_boilerplate" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || chr(10) || '(c) example corp - all rights reserved' || chr(10) || substr(text, 1, 40) AS t2
+        |  FROM documents),
+        |ld AS (SELECT doc_id, unnest(list_distinct(string_split(t2, chr(10)))) AS line FROM t),
+        |boiler AS (SELECT line FROM ld WHERE trim(line) <> '' GROUP BY 1 HAVING count(*) >= 50),
+        |ex AS (SELECT doc_id, unnest(string_split(t2, chr(10))) AS line,
+        |  generate_subscripts(string_split(t2, chr(10)), 1) AS pos FROM t)
+        |SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS cleaned_md5
+        |FROM ex WHERE line NOT IN (SELECT line FROM boiler)
+        |GROUP BY 1""".stripMargin,
+    // mirrors TextAnalysis.chunkTokens: stride 32 (= 40 − 8),
+    // nchunks = max(1, ceil((n − 8)/32)), slices clamp at the tail
+    "q_chunk" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        |c AS (SELECT doc_id,
+        |  list_transform(range(0, greatest(ceil((len(w) - 8)::DOUBLE / 32)::INT, 1)),
+        |    i -> array_to_string(w[(i * 32 + 1):(i * 32 + 40)], ' ')) AS chunks
+        |  FROM tk)
+        |SELECT doc_id, (generate_subscripts(chunks, 1) - 1)::INT AS chunk_idx,
+        |  md5(unnest(chunks)) AS chunk_md5 FROM c""".stripMargin,
     // mirrors TextAnalysis.repetitionSignals: line fractions over the
     // synthesized 3-line doc; top-bigram fraction over lowercased
     // whitespace tokens, ties broken to the binary-smallest gram

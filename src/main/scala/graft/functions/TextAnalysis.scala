@@ -266,6 +266,73 @@ object TextAnalysis {
     array_join(array_distinct(split(c, q)), sep)
   }
 
+  /** Overlapping token-window chunks — the document→passage step of
+    * an embedding/RAG/training pipeline. Chunk i covers tokens
+    * [i·stride, i·stride + maxTokens) with stride = maxTokens −
+    * overlap; every token is covered and the final chunk may be
+    * short. Row-local; explode the result to get one row per chunk.
+    */
+  def chunkTokens(c: Column, maxTokens: Int, overlap: Int = 0): Column = {
+    require(maxTokens >= 1, "maxTokens must be >= 1")
+    require(overlap >= 0 && overlap < maxTokens, "0 <= overlap < maxTokens")
+    val stride = maxTokens - overlap
+    val w = tokens(c)
+    val nChunks = greatest(
+      ceil((size(w) - lit(overlap)).cast("double") / stride).cast("int"), lit(1))
+    transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(w, i * stride + 1, lit(maxTokens)), " "))
+  }
+
+  /** CORPUS-level boilerplate lines: lines occurring (as a distinct
+    * line) in at least `minDocs` documents — navigation, cookie
+    * banners, footers repeated ACROSS pages, the complement of the
+    * within-doc [[dedupLines]]. One explode + one count aggregation
+    * (map-side combined; a line's count shuffles once per distinct
+    * (doc, line)). Blank lines are excluded.
+    *
+    * @return (line, n_docs) for lines above the threshold.
+    */
+  def boilerplateLines(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      minDocs: Long,
+      sep: String = "\n"): org.apache.spark.sql.DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2")
+    val q = java.util.regex.Pattern.quote(sep)
+    df.select(explode(array_distinct(split(col(textCol), q))).as("line"))
+      .where(trim(col("line")) =!= "")
+      .groupBy(col("line"))
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+  }
+
+  /** Remove the given boilerplate lines from every document, keeping
+    * the remaining lines in order. `lines` is a one-column `line`
+    * frame (typically [[boilerplateLines]] output) — broadcast by
+    * contract (boilerplate sets are small); documents explode to
+    * (id, pos, line), anti-join the boilerplate, and re-assemble via
+    * one groupBy(id) — the only shuffle, carrying each doc once.
+    */
+  def stripBoilerplate(
+      df: org.apache.spark.sql.DataFrame,
+      lines: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      sep: String = "\n"): org.apache.spark.sql.DataFrame = {
+    val q = java.util.regex.Pattern.quote(sep)
+    val exploded = df
+      .select(col(idCol), posexplode(split(col(textCol), q)).as(Seq("__pos", "__line")))
+    exploded
+      .join(broadcast(lines.select(col("line").as("__line"))), Seq("__line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line")),
+        sep).as(textCol))
+  }
+
   /** Benchmark-contamination hits: for every document sharing at
     * least one word `n`-gram with the benchmark set, the number of
     * distinct shared grams. n = 13 is the usual contamination window

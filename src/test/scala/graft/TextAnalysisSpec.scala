@@ -166,6 +166,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(e.forall(x => x._3 == 0.0))
   }
 
+  test("boilerplateLines + stripBoilerplate: shared footer found and removed in order") {
+    val docs = Seq(
+      (1L, "unique alpha\nFOOTER\nbody one"),
+      (2L, "unique beta\nFOOTER\nbody two"),
+      (3L, "unique gamma\nFOOTER\nbody three"),
+      (4L, "no footer here\nsomething else")).toDF("id", "text")
+    val boiler = boilerplateLines(docs, "text", "id", minDocs = 3)
+    val found = boiler.select($"line", $"n_docs").as[(String, Long)].collect().toMap
+    assert(found == Map("FOOTER" -> 3L))
+
+    val cleaned = stripBoilerplate(docs, boiler, "text", "id")
+      .select($"id", $"text").as[(Long, String)].collect().toMap
+    assert(cleaned(1L) == "unique alpha\nbody one") // order preserved
+    assert(cleaned(4L) == "no footer here\nsomething else") // untouched
+    // a line repeated WITHIN one doc counts once (array_distinct)
+    val within = Seq(
+      (1L, "x\nx\nx"), (2L, "y"), (3L, "z")).toDF("id", "text")
+    assert(boilerplateLines(within, "text", "id", minDocs = 2).count() == 0)
+  }
+
+  test("chunkTokens: stride coverage, overlap, short tails, tiny docs") {
+    val df = Seq("t1 t2 t3 t4 t5 t6 t7 t8 t9 t10").toDF("s")
+    // maxTokens=4, overlap=1 → stride 3 → starts 0,3,6 → 3 chunks
+    val chunks = df.select(chunkTokens($"s", 4, 1).as("c"))
+      .select($"c").head().getSeq[String](0)
+    assert(chunks == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    // every token covered; consecutive chunks share `overlap` tokens
+    assert(chunks.flatMap(_.split(" ")).toSet == (1 to 10).map("t" + _).toSet)
+
+    // doc shorter than maxTokens → one chunk, intact
+    val short = Seq("a b").toDF("s")
+      .select(chunkTokens($"s", 5).as("c")).head().getSeq[String](0)
+    assert(short == Seq("a b"))
+    // no overlap: exact partition
+    val part = Seq("a b c d e").toDF("s")
+      .select(chunkTokens($"s", 2).as("c")).head().getSeq[String](0)
+    assert(part == Seq("a b", "c d", "e"))
+  }
+
   test("contaminationHits: shared 13-grams flagged, clean docs absent") {
     val gram13 = (1 to 13).map(i => s"w$i").mkString(" ")
     val docs = Seq(
