@@ -76,7 +76,8 @@ object Bench {
     // Noise robustness (round-3 verdict: one contended run produced a
     // 3× outlier reading): measure each query `reps` times and report
     // the MEDIAN per query (plus the min, as the low-noise floor).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

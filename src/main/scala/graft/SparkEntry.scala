@@ -736,14 +736,18 @@ object SparkEntry {
       // regeneration path) — so the q_dedup_minhash oracle applies
       // verbatim.
       val docs = docsWithDups(s, dir)
-      // Write-once-per-session: the signature table is the amortized
-      // full-corpus pass; repeated invocations (bench reps, reruns)
-      // measure what the operator exists for — candidate regeneration
-      // from the bucketed scan, shuffle-free.
-      if (!s.catalog.tableExists("graft_sigs_verify"))
-        Dedup.writeMinHashSignatures(docs, "text", "doc_id", "graft_sigs_verify",
+      // Write-once-per-(session, corpus): the signature table is the
+      // amortized full-corpus pass; repeated invocations (bench reps,
+      // reruns) measure what the operator exists for — candidate
+      // regeneration from the bucketed scan, shuffle-free. The table
+      // name carries the corpus dir so a session touching a second
+      // scale factor can't silently reuse stale signatures.
+      val sigTable = "graft_sigs_verify_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      if (!s.catalog.tableExists(sigTable))
+        Dedup.writeMinHashSignatures(docs, "text", "doc_id", sigTable,
           shingleK = 5, numHashes = 8, bands = 2)
-      Dedup.minHashLshPairsFromSignatures(docs, "graft_sigs_verify", "text",
+      Dedup.minHashLshPairsFromSignatures(docs, sigTable, "text",
         "doc_id", shingleK = 5, jaccardThreshold = 0.5)
     }),
     "q_multimodal_meta" -> ((s, dir) => {
@@ -830,10 +834,11 @@ object SparkEntry {
         |ld AS (SELECT doc_id, unnest(list_distinct(string_split(t2, chr(10)))) AS line FROM t),
         |boiler AS (SELECT line FROM ld WHERE trim(line) <> '' GROUP BY 1 HAVING count(*) >= 50),
         |ex AS (SELECT doc_id, unnest(string_split(t2, chr(10))) AS line,
-        |  generate_subscripts(string_split(t2, chr(10)), 1) AS pos FROM t)
-        |SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS cleaned_md5
-        |FROM ex WHERE line NOT IN (SELECT line FROM boiler)
-        |GROUP BY 1""".stripMargin,
+        |  generate_subscripts(string_split(t2, chr(10)), 1) AS pos FROM t),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS c
+        |  FROM ex WHERE line NOT IN (SELECT line FROM boiler) GROUP BY 1)
+        |SELECT t.doc_id, md5(coalesce(agg.c, '')) AS cleaned_md5
+        |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
     // mirrors TextAnalysis.chunkTokens: stride 32 (= 40 − 8),
     // nchunks = max(1, ceil((n − 8)/32)), slices clamp at the tail
     "q_chunk" ->

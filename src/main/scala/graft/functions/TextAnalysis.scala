@@ -221,7 +221,10 @@ object TextAnalysis {
   /** Gopher-style WITHIN-document repetition signals (Rae et al.
     * 2021, table A1: duplicate-line fraction, duplicate-line
     * character fraction, top word-n-gram character fraction) as a
-    * struct of three doubles in [0,1]:
+    * struct of three doubles. The line fractions are in [0,1]; the
+    * top-n-gram fraction counts OVERLAPPING occurrences and can
+    * exceed 1 on degenerate self-repeating text ("a a a a" → 1.5) —
+    * gate on a threshold, not on "1.0 = fully repeated":
     *
     *  - `dup_line_frac`      = repeated line occurrences / lines
     *  - `dup_line_char_frac` = chars in repeat occurrences beyond the
@@ -308,11 +311,14 @@ object TextAnalysis {
   }
 
   /** Remove the given boilerplate lines from every document, keeping
-    * the remaining lines in order. `lines` is a one-column `line`
-    * frame (typically [[boilerplateLines]] output) — broadcast by
-    * contract (boilerplate sets are small); documents explode to
-    * (id, pos, line), anti-join the boilerplate, and re-assemble via
-    * one groupBy(id) — the only shuffle, carrying each doc once.
+    * the remaining lines in order and REPLACING `textCol` in place —
+    * all other columns survive, and a document whose every line is
+    * boilerplate comes back with an empty string (never silently
+    * dropped). `lines` is a one-column `line` frame (typically
+    * [[boilerplateLines]] output) — broadcast by contract
+    * (boilerplate sets are small); documents explode to
+    * (id, pos, line), anti-join the boilerplate, re-assemble via one
+    * groupBy(id), and join back on the id (ids must be unique).
     */
   def stripBoilerplate(
       df: org.apache.spark.sql.DataFrame,
@@ -323,14 +329,18 @@ object TextAnalysis {
     val q = java.util.regex.Pattern.quote(sep)
     val exploded = df
       .select(col(idCol), posexplode(split(col(textCol), q)).as(Seq("__pos", "__line")))
-    exploded
+    val cleaned = exploded
       .join(broadcast(lines.select(col("line").as("__line"))), Seq("__line"), "left_anti")
       .groupBy(col(idCol))
       .agg(array_join(
         transform(
           array_sort(collect_list(struct(col("__pos"), col("__line")))),
           s => s.getField("__line")),
-        sep).as(textCol))
+        sep).as("__cleaned"))
+    df.drop(textCol)
+      .join(cleaned, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__cleaned"), lit("")))
+      .drop("__cleaned")
   }
 
   /** Benchmark-contamination hits: for every document sharing at

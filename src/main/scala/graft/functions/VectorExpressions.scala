@@ -257,9 +257,12 @@ object QuantizeInt8 {
       if (v > maxAbs) maxAbs = v
       i += 1
     }
-    val scaleF = if (isFloat) maxAbs.toFloat else maxAbs.toFloat
+    val scaleF = maxAbs.toFloat
     val q = new Array[Byte](n)
     if (maxAbs > 0.0) {
+      // float inputs divide by the FLOAT scale (matching the oracle's
+      // scale::DOUBLE of a float column); double inputs keep full
+      // precision
       val denom = if (isFloat) scaleF.toDouble else maxAbs
       i = 0
       while (i < n) {

@@ -140,7 +140,12 @@ object Multimodal {
           val stats: Seq[Any] =
             if (bytes == null) Seq(null, null, null, null, null)
             else {
-              val img = ImageIO.read(new ByteArrayInputStream(bytes))
+              // a reader may CLAIM a stream (valid magic) and then
+              // throw on a truncated/corrupt body — that's still an
+              // undecodable payload, not a job-killer
+              val img =
+                try ImageIO.read(new ByteArrayInputStream(bytes))
+                catch { case scala.util.control.NonFatal(_) => null }
               if (img == null) Seq(null, null, null, null, null)
               else {
                 val w = img.getWidth
@@ -244,17 +249,21 @@ object Multimodal {
                 val fmt = ais.getFormat
                 val n = ais.getFrameLength
                 val data = ais.readAllBytes()
-                var sum = 0L
-                var i = 0
-                while (i + 1 < data.length) {
-                  // little-endian signed 16-bit mono
-                  sum += ((data(i + 1).toInt << 8) | (data(i) & 0xff)).toShort.toLong
-                  i += 2
+                if (n <= 0L) Seq(null, null, null) // 0-frame WAV: no mean
+                else {
+                  var sum = 0L
+                  var i = 0
+                  while (i + 1 < data.length) {
+                    // little-endian signed 16-bit mono
+                    sum += ((data(i + 1).toInt << 8) | (data(i) & 0xff)).toShort.toLong
+                    i += 2
+                  }
+                  Seq[Any](n, fmt.getSampleRate.toDouble, sum.toDouble / n)
                 }
-                Seq[Any](n, fmt.getSampleRate.toDouble, sum.toDouble / n)
               } catch {
-                case _: javax.sound.sampled.UnsupportedAudioFileException =>
-                  Seq(null, null, null)
+                // truncated RIFF bodies throw IOException after the
+                // container is claimed — same contract as image decode
+                case scala.util.control.NonFatal(_) => Seq(null, null, null)
               }
             }
           Row.fromSeq(row.toSeq ++ stats)
@@ -288,7 +297,9 @@ object Multimodal {
           val out: Array[Byte] =
             if (bytes == null) null
             else {
-              val img = ImageIO.read(new ByteArrayInputStream(bytes))
+              val img =
+                try ImageIO.read(new ByteArrayInputStream(bytes))
+                catch { case scala.util.control.NonFatal(_) => null }
               if (img == null) null
               else {
                 val sw = img.getWidth

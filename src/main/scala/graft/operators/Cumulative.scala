@@ -151,17 +151,18 @@ object Cumulative {
     *
     * Halo adjacency is only sufficient when every partition holds at
     * least max(before, after) rows and no partition is empty. The
-    * partition count is derived ONCE from a cheap row-count probe
-    * (`count()` — for a parquet scan that is footer metadata, no data
-    * read; order keys are unique by contract so rows = keys):
-    * parts = min(parallelism, n / 2·halo), the 2× margin covering
-    * range-sampler imbalance. The frame is then checkpointed ONCE
-    * (stable partition ids + the three halo branches share one sort)
-    * and VALIDATED on the materialized counts (≤ numPartitions rows
-    * collected); only a pathological sampling outcome re-enters the
-    * halving loop with another checkpoint. The practical 100 TB
-    * regime — a 7-row window over million-row range partitions —
-    * always takes exactly one checkpoint.
+    * frame is checkpointed at full parallelism (stable partition ids
+    * + the three halo branches share one sort) and VALIDATED on the
+    * materialized per-partition counts (≤ numPartitions rows
+    * collected). If a partition is too thin, the final layout is
+    * derived in closed form from those counts — parts = min(current−1,
+    * n / 2·halo), the 2× margin covering range-sampler imbalance —
+    * and the data is re-ranged FROM THE CHECKPOINTED BLOCKS, never
+    * from the original lineage, so a composed (join/filter) input is
+    * computed exactly once regardless of layout retries. The
+    * practical 100 TB regime — a 7-row window over million-row range
+    * partitions — always takes exactly one checkpoint; a thin corpus
+    * takes two (the probe + the derived layout).
     */
   def withMovingAverage(
       df: DataFrame,
@@ -185,15 +186,10 @@ object Cumulative {
     val halo = math.max(math.max(before, after), 1)
     val mavgOut = (c: Column) => if (r >= 0) round(c, r) else c
 
-    // Thickness probe BEFORE any checkpoint: pick a partition count
-    // the validation below will accept on the first try, instead of
-    // materializing the input once per halving attempt.
-    val n = df.count()
-    var parts = math.min(
-      df.sparkSession.sparkContext.defaultParallelism.toLong,
-      n / (2L * halo)).toInt
+    var base = df
+    var parts = df.sparkSession.sparkContext.defaultParallelism
     while (parts > 1) {
-      val ranged = df.repartitionByRange(parts, order.asc)
+      val ranged = base.repartitionByRange(parts, order.asc)
         .withColumn("__pid", spark_partition_id())
         .localCheckpoint(true)
       val counts = ranged.groupBy(col("__pid")).count().collect()
@@ -216,13 +212,19 @@ object Cumulative {
           .where(col("__own"))
           .drop("__pid", "__rnA", "__rnD", "__tgt", "__own")
       }
-      parts /= 2
+      // Derive the final layout in closed form from the counts the
+      // probe already collected (n is exact), and re-range from the
+      // CHECKPOINTED blocks — the original lineage never re-executes.
+      val n = counts.map(_.getLong(1)).sum
+      parts = math.min(parts - 1L, n / (2L * halo)).toInt
+      base = ranged.drop("__pid")
     }
     // Single partition: trivially exact (the window sees every row).
     // The key is constant-VALUED but column-derived (not foldable),
-    // keeping the partition spec non-empty.
+    // keeping the partition spec non-empty. `base` may be the probe's
+    // checkpoint — same rows, cheaper source.
     val w = Window.partitionBy(coalesce(length(order.cast("string")) * 0, lit(0)))
       .orderBy(order.asc).rowsBetween(s, e)
-    df.withColumn(outCol, mavgOut(avg(value).over(w)))
+    base.withColumn(outCol, mavgOut(avg(value).over(w)))
   }
 }

@@ -36,9 +36,12 @@ object Parallelism {
       // localCheckpoint, in-memory/RDD-backed frames) report the
       // defaultSizeInBytes sentinel (Long.MaxValue) — i.e. "huge" for
       // exactly the small in-memory frames this operator exists to
-      // protect. Fall back to the physical partition count: thin
-      // layouts get spread, already-wide ones are left alone.
-      if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+      // protect. Fall back to the LEAF RDDs' partition counts, read
+      // from plan metadata — `df.rdd` would materialize every AQE
+      // stage of a composed plan just to learn the count. Plans with
+      // no RDD leaf stay untouched (conservative no-op).
+      val leafParts = org.apache.spark.sql.GraftSqlBridge.leafRddPartitions(df)
+      if (leafParts.nonEmpty && leafParts.max < par) df.repartition(par) else df
     } else if (est < BigInt(bytesPerCore) * par) df.repartition(par)
     else df
   }

@@ -37,7 +37,8 @@ object Sampling {
     * distribution — the corpus-rebalancing step of a training-data
     * pipeline (e.g. cap English at 50% of the mix). `targets` are
     * relative shares (normalized internally); strata not listed are
-    * dropped.
+    * dropped, and targeted strata absent from the corpus are ignored
+    * (the achieved mix covers the observed strata).
     *
     * The output size M is the largest achievable under the targets:
     * M = min_k n_k / share_k, giving per-stratum keep fractions
@@ -63,9 +64,13 @@ object Sampling {
       .where(col(strataCol).isin(targets.keys.toSeq: _*))
       .groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Strata ABSENT from the corpus are ignored (like the SQL
+    // formulation's inner join on observed counts): the mix is
+    // computed over the strata that exist. A present-but-empty
+    // stratum cannot occur (count ≥ 1 by construction).
     val m = shares.foldLeft(Double.PositiveInfinity) { case (acc, (k, s)) =>
-      if (s == 0) acc
-      else math.min(acc, counts.getOrElse(k, 0L) / s)
+      if (s == 0 || !counts.contains(k)) acc
+      else math.min(acc, counts(k) / s)
     }
     if (m.isInfinity || m <= 0) df.where(lit(false))
     else {

@@ -12,6 +12,17 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Partition counts of the plan's RDD-backed leaves (LogicalRDD —
+    * localCheckpoint results, `createDataFrame(rdd)` frames), read
+    * from plan metadata WITHOUT executing anything. `df.rdd` on an
+    * AQE plan would call `getFinalPhysicalPlan` and materialize every
+    * intermediate stage just to learn a partition count.
+    */
+  def leafRddPartitions(df: Dataset[_]): Seq[Int] =
+    df.queryExecution.optimizedPlan.collectLeaves().collect {
+      case l: execution.LogicalRDD => l.rdd.getNumPartitions
+    }
+
   /** Register an Expression-backed SQL function on a live session
     * (the extensions path only applies at session build time).
     */

@@ -102,11 +102,16 @@ class CumulativeSpec extends SparkSpec {
     // count ADDED persistent-RDD ids only: the ContextCleaner may
     // concurrently unpersist unreachable checkpoints from earlier
     // tests, so absolute sizes can shrink mid-test
+    //
+    // thin input: the full-parallelism probe checkpoint fails
+    // validation, the final layout is derived from its counts and
+    // re-ranged from the checkpointed blocks → exactly ONE
+    // materialization of the input (pre-fix: up to log2(parallelism))
     val thin = (1L to 10L).map(i => (i, i.toDouble * 3)).toDF("id", "v")
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val thinOut = Cumulative.withMovingAverage(thin, col("v"), col("id"), "m", 7, "center", 6)
     thinOut.collect()
-    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).size <= 1)
 
     // thick input: probe accepts the full parallelism first try →
     // exactly ONE checkpoint (thickOut stays referenced so the

@@ -58,6 +58,12 @@ class MultimodalSpec extends SparkSpec {
     // undecodable bytes → null stats (not an exception)
     val junk = Seq((1L, Array[Byte](1, 2, 3, 4))).toDF("id", "payload")
     assert(Multimodal.decodeImage(junk, "payload").select($"width").head().isNullAt(0))
+
+    // valid PNG magic + truncated body: a reader CLAIMS the stream
+    // then throws — must still yield nulls, not kill the job
+    val truncated = Seq((1L, firstBytes.take(24))).toDF("id", "payload")
+    assert(Multimodal.decodeImage(truncated, "payload").select($"width").head().isNullAt(0))
+    assert(Multimodal.resizeImage(truncated, "payload").select($"resized").head().isNullAt(0))
   }
 
   test("synthesizeWav produces a real RIFF/WAV; decodeWav recovers exact stats") {
@@ -84,6 +90,10 @@ class MultimodalSpec extends SparkSpec {
     // junk bytes → null stats
     val junk = Seq((1L, Array[Byte](9, 9, 9, 9))).toDF("id", "payload")
     assert(Multimodal.decodeWav(junk, "payload").select($"n_samples").head().isNullAt(0))
+
+    // truncated RIFF (claimed container, then IOException) → nulls
+    val truncated = Seq((1L, firstBytes.take(20))).toDF("id", "payload")
+    assert(Multimodal.decodeWav(truncated, "payload").select($"n_samples").head().isNullAt(0))
   }
 
   test("resizeImage: exact nearest-neighbour resample, re-encoded as real PNG") {

@@ -61,9 +61,15 @@ class SamplingSpec extends SparkSpec {
       df.repartition(13), "k", Map("a" -> 2.0, "b" -> 1.0, "c" -> 1.0), "id")
       .select($"id").as[Long].collect().toSet
     assert(again == out.select($"id").as[Long].collect().toSet)
-    // degenerate: a zero-count targeted stratum zeroes the output
+    // a targeted stratum ABSENT from the corpus is ignored (the mix
+    // is computed over observed strata, matching the SQL oracle's
+    // inner join on counts): 'a' keeps everything, no 'b' rows appear
     val noB = df.where($"k" =!= "b")
+    val onlyA = Sampling.rebalanceToDistribution(
+      noB, "k", Map("a" -> 1.0, "b" -> 1.0), "id")
+    assert(onlyA.count() == 4000L)
+    // corpus with NO targeted strata at all → empty
     assert(Sampling.rebalanceToDistribution(
-      noB, "k", Map("a" -> 1.0, "b" -> 1.0), "id").count() == 0L)
+      df.where($"k" === "d"), "k", Map("a" -> 1.0), "id").count() == 0L)
   }
 }

@@ -176,10 +176,18 @@ class TextAnalysisSpec extends SparkSpec {
     val found = boiler.select($"line", $"n_docs").as[(String, Long)].collect().toMap
     assert(found == Map("FOOTER" -> 3L))
 
-    val cleaned = stripBoilerplate(docs, boiler, "text", "id")
-      .select($"id", $"text").as[(Long, String)].collect().toMap
+    val withExtra = docs.withColumn("lang", lit("en"))
+    val out = stripBoilerplate(withExtra, boiler, "text", "id")
+    // non-text columns survive, textCol replaced in place
+    assert(out.columns.toSet == Set("id", "text", "lang"))
+    val cleaned = out.select($"id", $"text").as[(Long, String)].collect().toMap
     assert(cleaned(1L) == "unique alpha\nbody one") // order preserved
     assert(cleaned(4L) == "no footer here\nsomething else") // untouched
+    // all-boilerplate doc survives as an empty string, never dropped
+    val allBoiler = Seq((9L, "FOOTER")).toDF("id", "text").unionByName(docs)
+    val stripped9 = stripBoilerplate(allBoiler, boiler, "text", "id")
+      .where($"id" === 9L).select($"text").as[String].collect()
+    assert(stripped9.toSeq == Seq(""))
     // a line repeated WITHIN one doc counts once (array_distinct)
     val within = Seq(
       (1L, "x\nx\nx"), (2L, "y"), (3L, "z")).toDF("id", "text")
