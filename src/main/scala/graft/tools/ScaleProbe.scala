@@ -95,6 +95,27 @@ object ScaleProbe {
       val tFixed = (System.nanoTime() - t1) / 1e9
       println(f"SCALE-EMB|k=$k%-2d vecs=$nRows%-7d auto(planes=$planes,tables=2)=$tAuto%7.2fs pairs=$nAuto%-6d fixed(planes=6)=$tFixed%7.2fs pairs=$nFixed%-6d")
     }
+
+    // Quantized vs float payloads: at cluster scale the int8 path's
+    // win is BYTES — every scan/shuffle/storage hop moves ~4× less
+    // vector data (the local-CPU kernel time is a wash at these row
+    // counts; the bandwidth advantage needs real IO to show). Measure
+    // the materialized sizes directly.
+    {
+      val e = replicateEmb(8)
+      def bytesOf(df: DataFrame): Long = {
+        val p = java.nio.file.Files.createTempDirectory("graft_int8_probe").toString
+        df.write.mode("overwrite").parquet(p)
+        val dir = new java.io.File(p)
+        val sz = dir.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+        org.apache.commons.io.FileUtils.deleteDirectory(dir)
+        sz
+      }
+      val floatBytes = bytesOf(e.select(col("vec_id"), col("embedding")))
+      val int8Bytes = bytesOf(e.select(col("vec_id"),
+        graft.functions.VectorFunctions.quantize8(col("embedding")).as("q8")))
+      println(f"SCALE-INT8|vecs=${e.count()}%-7d floatParquet=${floatBytes / 1024}%6d KiB int8Parquet=${int8Bytes / 1024}%6d KiB ratio=${floatBytes.toDouble / int8Bytes}%.2f")
+    }
     spark.stop()
   }
 }

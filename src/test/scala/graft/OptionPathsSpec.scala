@@ -123,4 +123,52 @@ class OptionPathsSpec extends SparkSpec {
     assert(!out.columns.contains("value_sum"))
     assert(out.columns.contains("n_events"))
   }
+
+  test("chunkTokens: maxTokens=1 emits one chunk per token; invalid overlap rejected") {
+    import graft.functions.TextAnalysis.chunkTokens
+    val chunks = Seq("a b c").toDF("s")
+      .select(chunkTokens($"s", 1).as("c")).head().getSeq[String](0)
+    assert(chunks == Seq("a", "b", "c"))
+    intercept[IllegalArgumentException] { chunkTokens($"s", 4, 4) }
+    intercept[IllegalArgumentException] { chunkTokens($"s", 0) }
+  }
+
+  test("resizeImage: upscaling and invalid dims") {
+    import graft.multimodal.Multimodal
+    val png = Multimodal.synthesizePng(Seq(3L).toDF("id"), "id")
+    // upscale PAST the source size: still exact NN (pixel replication)
+    val up = Multimodal.decodeImage(
+      Multimodal.resizeImage(png, "payload", targetW = 32, targetH = 2), "resized")
+      .select($"width", $"height").head()
+    assert(up.getLong(0) == 32L && up.getLong(1) == 2L)
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeImage(png, "payload", targetW = 0, targetH = 4)
+    }
+  }
+
+  test("rebalanceToDistribution: seed changes the kept set; bad targets rejected") {
+    import graft.operators.Sampling
+    val df = (1 to 400).map(i => (i.toLong, if (i % 2 == 0) "a" else "b")).toDF("id", "k")
+    val t = Map("a" -> 1.0, "b" -> 3.0) // b binds (200/0.75 < 200/0.25)
+    val s0 = Sampling.rebalanceToDistribution(df, "k", t, "id", seed = 0)
+      .select($"id").as[Long].collect().toSet
+    val s9 = Sampling.rebalanceToDistribution(df, "k", t, "id", seed = 9)
+      .select($"id").as[Long].collect().toSet
+    assert(s0 != s9) // different deterministic samples
+    intercept[IllegalArgumentException] {
+      Sampling.rebalanceToDistribution(df, "k", Map("a" -> -1.0), "id")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.rebalanceToDistribution(df, "k", Map.empty, "id")
+    }
+  }
+
+  test("quantize8: array<double> input uses full-precision scale") {
+    import graft.functions.VectorFunctions._
+    val df = Seq(Seq(0.5d, -1.0d, 0.25d)).toDF("v")
+    val r = df.select(quantize8($"v").as("q"))
+      .select($"q.scale", $"q.q").head()
+    assert(r.getFloat(0) == 1.0f)
+    assert(r.getSeq[Byte](1) == Seq[Byte](64, -127, 32))
+  }
 }

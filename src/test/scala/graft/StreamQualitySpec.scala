@@ -52,6 +52,26 @@ class StreamQualitySpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("chunk/repetition/redact compose on a streaming frame (row-local, stateless)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val chunked = input.toDF()
+      .withColumn("r", graft.functions.TextAnalysis.repetitionSignals($"text"))
+      .withColumn("clean", graft.functions.TextAnalysis.redact($"text"))
+      .select($"doc_id", $"r.top_ngram_char_frac".as("rep"),
+        posexplode(graft.functions.TextAnalysis.chunkTokens($"clean", 6, 2))
+          .as(Seq("idx", "chunk")))
+    val query = chunked.writeStream
+      .format("memory").queryName("graft_chunks").outputMode("append").start()
+    try {
+      input.addData(Doc(1, good, t(0)))
+      query.processAllAvailable()
+      val rows = spark.table("graft_chunks").collect()
+      assert(rows.length >= 2) // 14 tokens, stride 4 → 4 chunks
+      assert(rows.forall(!_.isNullAt(1)))
+    } finally query.stop()
+  }
+
   test("dedupToParquet: batch-local dups collapse, quality gate applies, parquet lands") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Doc]
