@@ -556,6 +556,18 @@ object SparkEntry {
       Similarity.ivfTopK(e, e.where(col("vec_id") < 5),
         "embedding", "vec_id", "vec_id", k = 10, stride = 100, nprobe = 2)
     }),
+    "q_ann_ivf_index" -> ((s, dir) => {
+      // The persisted-index path must reproduce ivfTopK exactly, so
+      // the q_ann_ivf oracle applies verbatim. Write-once per
+      // (session, corpus), like the minhash signature table.
+      val e = t(s, dir, "embeddings")
+      val ivfTable = "graft_ivf_verify_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      if (!s.catalog.tableExists(ivfTable))
+        Similarity.writeIvfIndex(e, "embedding", "vec_id", ivfTable, stride = 100)
+      Similarity.ivfTopKFromIndex(s, ivfTable, e.where(col("vec_id") < 5),
+        "embedding", "vec_id", k = 10, stride = 100, nprobe = 2)
+    }),
     "q_lang_id" -> ((s, dir) => {
       Parallelism.spread(t(s, dir, "documents")).select(
         col("doc_id"),
@@ -805,6 +817,21 @@ object SparkEntry {
           round(col("mean_amp"), 4).as("mean_amp"))
     }))
 
+  private lazy val ivfOracleSql: String =
+    s"""WITH cen AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 100 = 0),
+       |ca AS (SELECT vec_id AS corpus_id, embedding AS cv, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn
+       |  FROM embeddings, cen),
+       |caf AS (SELECT corpus_id, cv, cid FROM ca WHERE rn = 1),
+       |qa AS (SELECT vec_id AS query_id, embedding AS qv, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn
+       |  FROM embeddings, cen WHERE vec_id < 5),
+       |qaf AS (SELECT query_id, qv, cid FROM qa WHERE rn <= 2),
+       |s AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine
+       |  FROM caf JOIN qaf USING (cid)),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM s)
+       |SELECT query_id, corpus_id, cosine, rank FROM r WHERE rank <= 10""".stripMargin
+
   private def pipelineOracle: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_key, min(doc_id) AS keep_id, count(*) AS dup_count
@@ -956,20 +983,10 @@ object SparkEntry {
           |s AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine FROM c JOIN q USING (bucket)),
           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM s)
           |SELECT query_id, corpus_id, cosine, rank FROM r WHERE rank <= 10""".stripMargin),
-    "q_ann_ivf" ->
-      (s"""WITH cen AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 100 = 0),
-          |ca AS (SELECT vec_id AS corpus_id, embedding AS cv, cid,
-          |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn
-          |  FROM embeddings, cen),
-          |caf AS (SELECT corpus_id, cv, cid FROM ca WHERE rn = 1),
-          |qa AS (SELECT vec_id AS query_id, embedding AS qv, cid,
-          |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn
-          |  FROM embeddings, cen WHERE vec_id < 5),
-          |qaf AS (SELECT query_id, qv, cid FROM qa WHERE rn <= 2),
-          |s AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine
-          |  FROM caf JOIN qaf USING (cid)),
-          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM s)
-          |SELECT query_id, corpus_id, cosine, rank FROM r WHERE rank <= 10""".stripMargin),
+    "q_ann_ivf" -> ivfOracleSql,
+    // identical contract: the persisted-index path must reproduce
+    // ivfTopK exactly
+    "q_ann_ivf_index" -> ivfOracleSql,
     "q_lang_id" ->
       (s"""WITH s AS (SELECT doc_id,
           |  len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk,

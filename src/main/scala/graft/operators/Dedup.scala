@@ -267,22 +267,7 @@ object Dedup {
       bands: Int = 2,
       fast: Boolean = false,
       numBuckets: Int = 64): Unit = {
-    val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    // An in-memory catalog forgets tables across sessions while the
-    // warehouse directory survives, so a re-run would hit
-    // LOCATION_ALREADY_EXISTS on create. Clear the location ONLY when
-    // it is genuinely orphaned: simple (unqualified) table name, the
-    // session is in the default database (elsewhere the managed
-    // location is <db>.db/<table> — warehouse/<table> could be a
-    // DIFFERENT table's data), and no catalog entry survived the DROP.
-    if (!table.contains(".") && spark.catalog.currentDatabase == "default" &&
-        !spark.catalog.tableExists(table)) {
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
+    ManagedTables.dropAndClearOrphan(df.sparkSession, table)
     bandedSignatures(Parallelism.spread(df), textCol, idCol,
       shingleK, numHashes, bands, fast)
       .write.mode("overwrite").format("parquet")

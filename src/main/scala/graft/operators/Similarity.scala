@@ -182,16 +182,27 @@ object Similarity {
         autoStride(
           if (expectedRows > 0) expectedRows else corpus.count(), numCentroids)
       else stride
-    val cen = corpus
-      .where(pmod(col(idCol), lit(effStride)) === 0)
+    val cen = centroids(corpus, vecCol, idCol, effStride)
+    ivfSearch(ivfAssign(corpus, vecCol, idCol, cen), cen, queries, vecCol,
+      qIdCol, k, nprobe)
+  }
+
+  private def centroids(
+      corpus: DataFrame, vecCol: String, idCol: String, stride: Int): DataFrame =
+    corpus
+      .where(pmod(col(idCol), lit(stride)) === 0)
       .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"))
 
-    // Corpus→centroid argmax as max(struct(cos, -cid, ...)) — a hash
-    // aggregation with map-side partials, not a window (which would
-    // sort-shuffle the full corpus, the 100 TB side). The -cid field
-    // makes ties deterministic (highest cos, then lowest cid) exactly
-    // like the ORDER BY (cos DESC, cid) the oracle uses.
-    val assigned = corpus
+  /** Corpus→centroid argmax as max(struct(cos, -cid, ...)) — a hash
+    * aggregation with map-side partials, not a window (which would
+    * sort-shuffle the full corpus, the 100 TB side). The -cid field
+    * makes ties deterministic (highest cos, then lowest cid) exactly
+    * like the ORDER BY (cos DESC, cid) the oracle uses.
+    * @return (corpus_id, __cv vector, __cid assigned centroid)
+    */
+  private[operators] def ivfAssign(
+      corpus: DataFrame, vecCol: String, idCol: String, cen: DataFrame): DataFrame =
+    corpus
       .select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
       .join(broadcast(cen))
       .withColumn("__ccos", cosineSimilarityNative(col("__cv"), col("__cvec")))
@@ -200,6 +211,14 @@ object Similarity {
         col("__cid").as("__cid"), col("__cv").as("__cv"))).as("__m"))
       .select(col("corpus_id"), col("__m.__cv").as("__cv"), col("__m.__cid").as("__cid"))
 
+  private[operators] def ivfSearch(
+      assigned: DataFrame,
+      cen: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      qIdCol: String,
+      k: Int,
+      nprobe: Int): DataFrame = {
     val wProbe = Window
       .partitionBy(col("query_id"))
       .orderBy(col("__qcos").desc, col("__cid").asc)
@@ -226,6 +245,51 @@ object Similarity {
       .withColumn("rank", row_number().over(wRank))
       .where(col("rank") <= k)
       .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
+  /** Persist the IVF assignment as a catalog table bucketed (and
+    * sorted) by the centroid id — the "build the index once" step.
+    * [[ivfTopK]] shuffles the full corpus twice per call (assignment
+    * agg + the __cid search join); with the index persisted, repeated
+    * query batches touch the corpus only through the bucketed scan,
+    * whose clustering already satisfies the search join — the corpus
+    * never shuffles again (same pattern as
+    * [[Dedup.writeMinHashSignatures]]).
+    */
+  def writeIvfIndex(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      table: String,
+      stride: Int = 100,
+      numBuckets: Int = 64): Unit = {
+    ManagedTables.dropAndClearOrphan(corpus.sparkSession, table)
+    ivfAssign(corpus, vecCol, idCol, centroids(corpus, vecCol, idCol, stride))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "__cid")
+      .sortBy("__cid")
+      .saveAsTable(table)
+  }
+
+  /** [[ivfTopK]] over a persisted index (see [[writeIvfIndex]]).
+    * `stride` must match the build; the centroid set is re-derived
+    * from the index itself (rows whose corpus_id samples the stride),
+    * so no separate centroid table is needed.
+    */
+  def ivfTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      queries: DataFrame,
+      vecCol: String,
+      qIdCol: String,
+      k: Int,
+      stride: Int = 100,
+      nprobe: Int = 2): DataFrame = {
+    val assigned = spark.table(table)
+    val cen = assigned
+      .where(pmod(col("corpus_id"), lit(stride)) === 0)
+      .select(col("corpus_id").as("__cid"), col("__cv").as("__cvec"))
+    ivfSearch(assigned, cen, queries, vecCol, qIdCol, k, nprobe)
   }
 
   /** Stride that keeps the deterministic centroid sample at

@@ -122,6 +122,24 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= 0.8, s"overlap@10 = $overlap")
   }
 
+  test("ivfTopKFromIndex: identical results to ivfTopK, corpus side shuffle-free") {
+    val rnd = new scala.util.Random(11)
+    val c = (0L until 300L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "vec")
+    val q = c.where($"id" < 5)
+    val direct = Similarity.ivfTopK(c, q, "vec", "id", "id", k = 5, stride = 30, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    Similarity.writeIvfIndex(c, "vec", "id", "graft_ivf_test", stride = 30, numBuckets = 4)
+    val fromIndex = Similarity.ivfTopKFromIndex(
+      spark, "graft_ivf_test", q, "vec", "id", k = 5, stride = 30, nprobe = 2)
+    assert(fromIndex.collect().map(_.toSeq).toSet == direct)
+    // the indexed search plan needs strictly fewer exchanges than the
+    // direct path (no assignment agg, no corpus-side join shuffle)
+    val directPlan = Similarity.ivfTopK(c, q, "vec", "id", "id", 5, 30, 2)
+    assert(graft.sources.Bucketing.exchangeCount(fromIndex) <
+      graft.sources.Bucketing.exchangeCount(directPlan))
+  }
+
   test("autoStride: nlist stays bounded by the target across 3 orders of n") {
     val target = 64
     Seq(1000L, 100000L, 10000000L).foreach { n =>
