@@ -522,6 +522,13 @@ object SparkEntry {
         shingleK = 5, numHashes = 8, bands = 2, jaccardThreshold = 0.5)
       Dedup.duplicateClusters(pairs)
     }),
+    "q_dedup_clusters_star" -> ((s, dir) => {
+      // Alternating large-star/small-star components — same contract
+      // as q_dedup_clusters, so the same recursive-CTE oracle applies.
+      val pairs = Dedup.minHashLshPairs(docsWithDups(s, dir), "text", "doc_id",
+        shingleK = 5, numHashes = 8, bands = 2, jaccardThreshold = 0.5)
+      Dedup.duplicateClustersStar(pairs)
+    }),
     "q_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(
         docsWithDups(s, dir)
@@ -544,6 +551,13 @@ object SparkEntry {
       // the oracle recomputes the identical integer codes + cosine.
       val e = t(s, dir, "embeddings")
       Similarity.bruteForceTopKInt8(e, e.where(col("vec_id") < 5),
+        "embedding", "vec_id", "vec_id", k = 10)
+    }),
+    "q_ann_hamming" -> ((s, dir) => {
+      // Sign-bit codes: 64-dim → ONE bigint word per vector; the
+      // oracle replays the pack with a bit_or over unnested signs.
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopKHamming(e, e.where(col("vec_id") < 5),
         "embedding", "vec_id", "vec_id", k = 10)
     }),
     "q_ann_lsh" -> ((s, dir) => {
@@ -613,6 +627,21 @@ object SparkEntry {
         Map("en" -> 2.0, "es" -> 1.0, "fr" -> 1.0), "doc_id")
         .select("doc_id", "lang")
     }),
+    "q_split" -> ((s, dir) => {
+      // Binary-exact weights (0.75/0.125/0.125): the cumulative
+      // thresholds are exact in both engines' double arithmetic.
+      graft.operators.Sampling.splitByHash(
+        t(s, dir, "documents"),
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), "doc_id", seed = 7)
+        .select("doc_id", "split")
+    }),
+    "q_cap_stratum" -> ((s, dir) => {
+      // Per-language cap at 60 docs — the per-domain-cap shape of a
+      // web-corpus pipeline (compiles to WindowGroupLimit).
+      graft.operators.Sampling.capPerStratum(
+        t(s, dir, "documents"), "lang", maxRows = 60, "doc_id")
+        .select("doc_id", "lang")
+    }),
     "q_profile" -> ((s, dir) => {
       graft.operators.Profile.profile(
         t(s, dir, "events").withColumn("et", expr("nullif(event_type, 'error')")),
@@ -663,6 +692,36 @@ object SparkEntry {
         .select(explode(Dedup.wordShingles(col("text"), 13)).as("gram"))
       graft.functions.TextAnalysis.contaminationHits(
         d.where(col("doc_id") >= 1000000), bench, "text", "doc_id", 13)
+    }),
+    "q_decontaminate" -> ((s, dir) => {
+      // The APPLY step: the whole corpus (originals + clones) minus
+      // every doc sharing a 13-gram with the eval set — the %100
+      // originals flag themselves, their clones flag too.
+      val d = docsWithDups(s, dir)
+      val bench = d.where(col("doc_id") % 100 === 0 && col("doc_id") < 1000000)
+        .select(explode(Dedup.wordShingles(col("text"), 13)).as("gram"))
+      graft.functions.TextAnalysis.decontaminate(d, bench, "text", "doc_id", 13)
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+    "q_extract_urls" -> ((s, dir) => {
+      // The corpus has no URLs — inject a per-doc outlink pattern
+      // (two URLs on %3 docs, none on %5==4 docs) so extraction,
+      // multi-match, and the empty-array path are all exercised.
+      val injected = Parallelism.spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 4, col("text"))
+            .otherwise(concat(
+              col("text"), lit(" see https://ex.org/d/"), col("doc_id").cast("string"),
+              when(col("doc_id") % 3 === 0,
+                concat(lit(" and http://a.io/p?id="), col("doc_id").cast("string"), lit("&x=1")))
+                .otherwise(lit("")),
+              lit(" end"))).as("t2"))
+      injected
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.extractUrls(col("t2")).as("urls"))
+        .select(col("doc_id"),
+          size(col("urls")).cast("long").as("n_urls"),
+          array_join(col("urls"), "|").as("urls_joined"))
     }),
     "q_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -817,6 +876,17 @@ object SparkEntry {
           round(col("mean_amp"), 4).as("mean_amp"))
     }))
 
+  private lazy val clustersOracleSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS (SELECT id_a, id_b FROM mh WHERE jac >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+       |SELECT id, min(r) AS label FROM reach GROUP BY 1""".stripMargin
+
   private lazy val ivfOracleSql: String =
     s"""WITH cen AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 100 = 0),
        |ca AS (SELECT vec_id AS corpus_id, embedding AS cv, cid,
@@ -908,16 +978,10 @@ object SparkEntry {
          |pairs AS (SELECT id_a, id_b FROM mh WHERE jac >= 0.5)
          |SELECT doc_id, lang, source, n_chars FROM docs
          |WHERE doc_id NOT IN (SELECT id_b FROM pairs)""".stripMargin,
-    "q_dedup_clusters" ->
-      s"""WITH RECURSIVE $minhashCtes,
-         |pairs AS (SELECT id_a, id_b FROM mh WHERE jac >= 0.5),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION ALL SELECT id_b, id_a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
-         |SELECT id, min(r) AS label FROM reach GROUP BY 1""".stripMargin,
+    "q_dedup_clusters" -> clustersOracleSql,
+    // Same contract (component-min labels over the same pair list):
+    // the star-CC variant must agree with the min-label one exactly.
+    "q_dedup_clusters_star" -> clustersOracleSql,
     "q_dedup_simhash" ->
       (s"""WITH $docsWithDupsSql,
           |tk0 AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM docs),
@@ -976,6 +1040,23 @@ object SparkEntry {
         |  FROM c, q),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM s)
         |SELECT query_id, corpus_id, cosine, rank FROM r WHERE rank <= 10""".stripMargin,
+    // mirrors packSignBits: bit i set iff element i > 0 (bit 63 needs
+    // the MinValue literal — DuckDB parses -9223372036854775808 as
+    // HUGEINT-then-negate, and 1::BIGINT << 63 overflows)
+    "q_ann_hamming" ->
+      """WITH codes AS (SELECT vec_id,
+        |  bit_or(CASE WHEN x > 0 THEN
+        |    (CASE WHEN i - 1 = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |     ELSE 1::BIGINT << (i - 1) END)
+        |    ELSE 0 END) AS code
+        |  FROM (SELECT vec_id, unnest(embedding) AS x,
+        |        generate_subscripts(embedding, 1) AS i FROM embeddings)
+        |  GROUP BY 1),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |  bit_count(xor(c.code, q.code))::INT AS hamming
+        |  FROM codes c, (SELECT * FROM codes WHERE vec_id < 5) q),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, corpus_id) AS rank FROM s)
+        |SELECT query_id, corpus_id, hamming, rank FROM r WHERE rank <= 10""".stripMargin,
     "q_ann_lsh" ->
       (s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, ${bucketSql("embedding", 64, 6)} AS bucket
           |  FROM embeddings WHERE vec_id < 5),
@@ -1071,6 +1152,23 @@ object SparkEntry {
          |SELECT doc_id, lang FROM documents JOIN f USING (lang)
          |WHERE $keepVal < thr""".stripMargin
     },
+    "q_split" -> {
+      // 0.75/0.125/0.125 → exact cumulative thresholds 49152/57344.
+      val hex = "strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR || ':7'), %d, 1)) - 1"
+      val h = s"(${hex.format(1)}) * 4096 + (${hex.format(2)}) * 256 + " +
+        s"(${hex.format(3)}) * 16 + (${hex.format(4)})"
+      s"""SELECT doc_id,
+         |  CASE WHEN $h < 49152 THEN 'train'
+         |       WHEN $h < 57344 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin
+    },
+    "q_cap_stratum" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(doc_id::VARCHAR || ':0'), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rn <= 60""".stripMargin,
     "q_profile" ->
       """WITH e AS (SELECT user_id, nullif(event_type, 'error') AS et, value FROM events)
         |SELECT 'user_id' AS "column", count(*)::BIGINT AS n_rows,
@@ -1133,6 +1231,27 @@ object SparkEntry {
           |b AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 100 = 0 AND doc_id < 1000000),
           |d AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id >= 1000000)
           |SELECT d.doc_id, count(*)::BIGINT AS n_hits FROM d JOIN b USING (gram) GROUP BY 1""".stripMargin),
+    "q_decontaminate" ->
+      (s"""WITH $docsWithDupsSql,
+          |tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tks FROM docs),
+          |sh AS (SELECT doc_id, CASE WHEN len(tks) >= 13
+          |  THEN list_distinct(list_transform(range(0, len(tks) - 12),
+          |    i -> ${(1 to 13).map(j => s"tks[i + $j]").mkString(" || ' ' || ")}))
+          |  ELSE [array_to_string(tks, ' ')] END AS s FROM tk),
+          |b AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 100 = 0 AND doc_id < 1000000),
+          |hits AS (SELECT d.doc_id FROM (SELECT doc_id, unnest(s) AS gram FROM sh) d
+          |  JOIN b USING (gram) GROUP BY 1 HAVING count(*) >= 1)
+          |SELECT doc_id, lang, source, n_chars FROM docs
+          |WHERE doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin),
+    "q_extract_urls" ->
+      """WITH t AS (SELECT doc_id, CASE WHEN doc_id % 5 = 4 THEN text
+        |  ELSE text || ' see https://ex.org/d/' || doc_id::VARCHAR ||
+        |    (CASE WHEN doc_id % 3 = 0
+        |      THEN ' and http://a.io/p?id=' || doc_id::VARCHAR || '&x=1' ELSE '' END) ||
+        |    ' end' END AS t2 FROM documents),
+        |u AS (SELECT doc_id, regexp_extract_all(t2, 'https?://[^\s]+') AS urls FROM t)
+        |SELECT doc_id, len(urls)::BIGINT AS n_urls,
+        |  coalesce(array_to_string(urls, '|'), '') AS urls_joined FROM u""".stripMargin,
     "q_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type, value FROM events),
         |c AS (SELECT event_id, user_id, ms, value FROM e WHERE event_type = 'click'),

@@ -368,4 +368,36 @@ object TextAnalysis {
       // count_distinct's dedup state).
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
+
+  /** Decontamination APPLY: drop every document sharing at least
+    * `maxHits` distinct word `n`-grams with the benchmark set — the
+    * step that actually removes eval data from a training corpus.
+    * The flagged-id set is tiny (contaminated docs are rare by
+    * construction), so the anti-join broadcasts; the corpus text is
+    * never shuffled.
+    */
+  def decontaminate(
+      df: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 13,
+      maxHits: Long = 1): org.apache.spark.sql.DataFrame = {
+    require(maxHits >= 1, "maxHits must be >= 1")
+    val flagged = contaminationHits(df, benchmark, textCol, idCol, n)
+      .where(col("n_hits") >= maxHits)
+      .select(col("doc_id").as(idCol))
+    df.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  /** Every URL in a document, in order of appearance — the
+    * link-extraction step of a crawl pipeline (outlink graphs,
+    * domain statistics, URL-based filtering). Same pattern as
+    * [[redact]], inside the Java∩RE2 regex dialect so the oracle
+    * replays it verbatim; rows with no URL get an empty array.
+    */
+  def extractUrls(c: Column): Column =
+    coalesce(
+      regexp_extract_all(c, lit("https?://[^\\s]+"), lit(0)),
+      array().cast("array<string>"))
 }

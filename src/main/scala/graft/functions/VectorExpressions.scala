@@ -320,6 +320,128 @@ case class CosineSimilarityInt8(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-bit (1-bit) vector code: word j holds bits for elements
+  * 64j..64j+63, bit i set iff the element is strictly positive —
+  * 32× smaller than float payloads. Output `array<bigint>` of
+  * ceil(n/64) words (empty input → empty code); null on a null
+  * element. Pair with [[HammingDistance]]: for mean-centered
+  * embeddings, 1 − hamming/dim tracks cosine (the SimHash bound).
+  */
+case class PackSignBits(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pack_sign_bits"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<float>/array<double> input")
+    }
+
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PackSignBits.pack(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val res = ctx.freshName("packed")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $res =
+         |  graft.functions.PackSignBits.pack($c, $isFloat);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PackSignBits =
+    copy(child = newChild)
+}
+
+object PackSignBits {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def pack(arr: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = arr.numElements()
+    val words = new Array[Long]((n + 63) / 64)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      if (v > 0.0) words(i >> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    new GenericArrayData(words)
+  }
+}
+
+/** Hamming distance between two [[PackSignBits]] codes: Σ popcount
+  * of the word-wise XOR. Null on word-count mismatch or null words
+  * (same contract as [[CosineSimilarity]] on length mismatch).
+  */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hamming_distance"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> code inputs (see packSignBits)")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var d = 0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      d += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
+      i += 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) { ${ev.isNull} = true; } else {
+         |  int $d = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $d += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $d; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingDistance =
+    copy(left = newLeft, right = newRight)
+}
+
 object CosineSimilarityInt8 {
   def cosine(x: ArrayData, y: ArrayData): java.lang.Double = {
     val n = x.numElements()

@@ -126,6 +126,24 @@ object VectorFunctions {
       (x.cast("double") * qs.getField("scale").cast("double") / 127)
         .cast("float"))
 
+  /** Sign-bit (1-bit) vector code as `array<bigint>` words — 32×
+    * smaller than float payloads, 8× smaller than [[quantize8]]. For
+    * mean-centered embeddings 1 − hamming/dim tracks the angle
+    * (SimHash bound), so binary codes are the coarsest, cheapest
+    * rerank tier: scan binary → shortlist → rerank int8/float.
+    */
+  def packSignBits(vec: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(PackSignBits(GraftSqlBridge.expression(vec)))
+  }
+
+  /** Hamming distance between two [[packSignBits]] codes. */
+  def hammingDistance(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      HammingDistance(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  }
+
   /** Random-hyperplane (SimHash-for-vectors) LSH bucket id from
     * `numPlanes` sign bits. The planes are [[planeSigns]] literals
     * baked into the expression — constant-folded, one pass, no

@@ -82,6 +82,68 @@ object Sampling {
     }
   }
 
+  /** Deterministic train/val/test assignment: adds `outCol` holding
+    * the name of the split each row falls in. Weights are relative
+    * shares (normalized internally); the row's 16-bit content-hash
+    * value is matched against the cumulative thresholds, so splits
+    * are disjoint, exhaustive, reproducible under any partitioning,
+    * and STABLE UNDER RE-WEIGHTING of a prefix: growing `train` from
+    * 0.8 to 0.9 only moves rows out of the later splits, never
+    * shuffles rows between existing ones. Rows with a null id get a
+    * null split (they have no stable identity to assign).
+    */
+  def splitByHash(
+      df: DataFrame,
+      weights: Seq[(String, Double)],
+      idCol: String,
+      seed: Int = 0,
+      outCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0) &&
+      weights.map(_._2).sum > 0, "weights must be non-negative with a positive sum")
+    require(weights.map(_._1).distinct.size == weights.size, "duplicate split names")
+    val norm = weights.map(_._2).sum
+    // Integer thresholds in the 16-bit hash space; the LAST split's
+    // threshold is forced to 65536 so rounding never leaves a gap.
+    val cum = weights.map(_._2 / norm).scanLeft(0.0)(_ + _).tail
+    val thresholds = cum.init.map(c => math.floor(c * 65536).toInt) :+ 65536
+    val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + seed))), 1, 4), 16, 10)
+      .cast("int")
+    // Stage the hash as a real column: the when-chain references it
+    // once per split, and HOF-free or not, md5-per-reference is waste.
+    // A null hash (null id) falls through every `< t` predicate to
+    // the null default — no explicit isNotNull needed.
+    val label = weights.map(_._1).zip(thresholds).foldRight(lit(null).cast("string")) {
+      case ((name, t), rest) => when(col("__graft_h") < t, name).otherwise(rest)
+    }
+    df.withColumn("__graft_h", h)
+      .withColumn(outCol, label)
+      .drop("__graft_h")
+  }
+
+  /** Cap each stratum's contribution at `maxRows` rows (the
+    * per-domain/per-source cap of a web-corpus pipeline): rows within
+    * a stratum are ranked by a content hash of their id and the first
+    * `maxRows` kept — a deterministic uniform subsample of every
+    * oversized stratum, exact (not binomial) counts. The rank
+    * filter compiles to `WindowGroupLimit`, so each task pre-prunes
+    * to `maxRows` per stratum BEFORE the shuffle — a skewed domain
+    * never lands on one executor at full size.
+    */
+  def capPerStratum(
+      df: DataFrame,
+      strataCol: String,
+      maxRows: Long,
+      idCol: String,
+      seed: Int = 0): DataFrame = {
+    require(maxRows > 0, "maxRows must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val hash = md5(concat(col(idCol).cast("string"), lit(":" + seed)))
+    val w = Window.partitionBy(col(strataCol)).orderBy(hash, col(idCol))
+    df.withColumn("__graft_rn", row_number().over(w))
+      .where(col("__graft_rn") <= maxRows)
+      .drop("__graft_rn")
+  }
+
   /** Per-stratum deterministic sampling: strata missing from
     * `fractions` are dropped (like `sampleBy`).
     */

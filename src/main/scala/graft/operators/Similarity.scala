@@ -83,6 +83,40 @@ object Similarity {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
+  /** Exact Hamming top-k over sign-bit codes
+    * ([[graft.functions.VectorFunctions.packSignBits]]): the
+    * coarsest scan tier — 32× less corpus payload than float, the
+    * whole distance one XOR+popcount per 64 dims. For mean-centered
+    * embeddings Hamming order tracks angular order (the SimHash
+    * bound), so this is the candidate-generation scan of a
+    * binary → int8 → float rerank cascade at 100 TB.
+    *
+    * @return (query id, corpus id, hamming, rank) — rank 1..k,
+    *         ascending distance, deterministic tie-break on corpus id.
+    */
+  def bruteForceTopKHamming(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      qIdCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      packSignBits(col(vecCol)).as("__cc"))
+    val q = queries.select(col(qIdCol).as("query_id"),
+      packSignBits(col(vecCol)).as("__qc"))
+    val scored = c
+      .join(broadcast(q))
+      .withColumn("hamming", hammingDistance(col("__cc"), col("__qc")))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("corpus_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "hamming", "rank")
+  }
+
   /** Approximate top-k: candidates restricted to the query's
     * hyperplane bucket. Recall grows with fewer planes / multi-probe;
     * cost shrinks with more planes.

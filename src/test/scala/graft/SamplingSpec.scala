@@ -72,4 +72,62 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.rebalanceToDistribution(
       df.where($"k" === "d"), "k", Map("a" -> 1.0), "id").count() == 0L)
   }
+
+  test("splitByHash: disjoint, exhaustive, ~weights, partition-independent") {
+    val df = spark.range(20000).toDF("id")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.splitByHash(df, w, "id", seed = 3)
+    val byS = out.groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(byS.keySet == Set("train", "val", "test")) // exhaustive, no nulls
+    assert(byS.values.sum == 20000L)
+    assert(math.abs(byS("train") / 20000.0 - 0.8) < 0.01)
+    assert(math.abs(byS("val") / 20000.0 - 0.1) < 0.01)
+    val again = Sampling.splitByHash(df.repartition(17), w, "id", seed = 3)
+      .where($"split" === "val").select($"id").as[Long].collect().toSet
+    val valIds = out.where($"split" === "val").select($"id").as[Long].collect().toSet
+    assert(again == valIds)
+  }
+
+  test("splitByHash: growing a prefix split only absorbs rows from later splits") {
+    val df = spark.range(5000).toDF("id")
+    def trainIds(tw: Double) = Sampling.splitByHash(
+      df, Seq("train" -> tw, "val" -> ((1 - tw) / 2), "test" -> ((1 - tw) / 2)),
+      "id", seed = 1).where($"split" === "train").select($"id").as[Long].collect().toSet
+    assert(trainIds(0.6).subsetOf(trainIds(0.9)))
+  }
+
+  test("splitByHash: null id gets a null split; weights validated") {
+    val df = Seq(Some(1L), None, Some(2L)).toDF("id")
+    val out = Sampling.splitByHash(df, Seq("a" -> 1.0), "id")
+    assert(out.where($"id".isNull).select($"split").collect().head.isNullAt(0))
+    assert(out.where($"id".isNotNull && $"split" === "a").count() == 2)
+    intercept[IllegalArgumentException] {
+      Sampling.splitByHash(df, Seq("a" -> 0.5, "a" -> 0.5), "id")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitByHash(df, Seq("a" -> 0.0), "id")
+    }
+  }
+
+  test("capPerStratum: exact per-stratum counts, deterministic, rank-stable caps") {
+    val df = (
+      (1 to 300).map(i => (i.toLong, "big")) ++
+      (1 to 40).map(i => (1000L + i, "small"))).toDF("id", "k")
+    val out = Sampling.capPerStratum(df, "k", 100, "id")
+    val byK = out.groupBy($"k").count().as[(String, Long)].collect().toMap
+    assert(byK("big") == 100L)   // capped exactly
+    assert(byK("small") == 40L)  // under-cap stratum untouched
+    // deterministic under repartitioning
+    val again = Sampling.capPerStratum(df.repartition(7), "k", 100, "id")
+      .select($"id").as[Long].collect().toSet
+    assert(again == out.select($"id").as[Long].collect().toSet)
+    // a smaller cap is a prefix of a larger one (hash rank is stable)
+    val c50 = Sampling.capPerStratum(df, "k", 50, "id")
+      .select($"id").as[Long].collect().toSet
+    assert(c50.subsetOf(again))
+    // the rank filter compiles to WindowGroupLimit (map-side pre-prune
+    // BEFORE the stratum shuffle — the 100 TB skew guard)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
 }

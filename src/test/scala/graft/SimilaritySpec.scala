@@ -122,6 +122,33 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= 0.8, s"overlap@10 = $overlap")
   }
 
+  test("bruteForceTopKHamming: self at distance 0 rank 1; tracks the float ordering") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 200L).map(i => (i, Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val c = vecs.toDF("id", "vec")
+    val q = c.where($"id" < 10)
+    val out = Similarity.bruteForceTopKHamming(c, q, "vec", "id", "id", k = 10)
+    val r1 = out.where($"rank" === 1)
+      .select($"query_id", $"corpus_id", $"hamming").as[(Long, Long, Int)].collect()
+    r1.foreach { case (qid, cid, h) =>
+      assert(qid == cid && h == 0, s"self not rank-1/zero for $qid")
+    }
+    // sign codes are coarse but must still correlate with the exact
+    // ordering: hamming-top10 overlaps float-top10 well above chance
+    // (chance ≈ 10/200)
+    def topSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val f = topSet(Similarity.bruteForceTopK(c, q, "vec", "id", "id", k = 10))
+    val h = topSet(out)
+    val overlap = f.keys.toSeq.map(k => (f(k) & h(k)).size / 10.0).sum / f.size
+    assert(overlap >= 0.3, s"overlap@10 = $overlap")
+    // deterministic under repartitioning
+    val again = Similarity.bruteForceTopKHamming(
+      c.repartition(7), q, "vec", "id", "id", k = 10)
+    assert(topSet(again) == h)
+  }
+
   test("ivfTopKFromIndex: identical results to ivfTopK, corpus side shuffle-free") {
     val rnd = new scala.util.Random(11)
     val c = (0L until 300L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))

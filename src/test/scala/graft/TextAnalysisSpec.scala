@@ -225,4 +225,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(hits.contains(1L) && hits(1L) >= 1L)
     assert(!hits.contains(2L))
   }
+
+  test("decontaminate: flagged docs dropped, clean docs kept, maxHits respected") {
+    val gram13 = (1 to 13).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"prefix words $gram13 suffix tail"),
+      (2L, "totally unrelated words that never overlap with anything here at all truly"),
+      (3L, s"another copy here $gram13 trailing words end"))
+      .toDF("id", "text")
+    val bench = Seq(gram13).toDF("gram")
+    val kept = decontaminate(docs, bench, "text", "id", 13)
+      .select($"id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+    // a hit threshold above any doc's count keeps everything
+    val all = decontaminate(docs, bench, "text", "id", 13, maxHits = 99)
+      .select($"id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      decontaminate(docs, bench, "text", "id", 13, maxHits = 0)
+    }
+  }
+
+  test("extractUrls: multi-match in order, empty array when none, null-safe") {
+    val df = Seq(
+      (1L, "see https://a.io/x?q=1 and http://b.co/y then done"),
+      (2L, "no links at all here"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = df.select($"id", extractUrls($"text").as("u"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) == Seq("https://a.io/x?q=1", "http://b.co/y"))
+    assert(out(2L) == Seq.empty)
+    assert(out(3L) == Seq.empty)
+  }
 }

@@ -123,4 +123,36 @@ class VectorFunctionsSpec extends SparkSpec {
       assert(r.getSeq[Float](2).forall(_ <= bound), s"err beyond bound: $r")
     }
   }
+
+  test("packSignBits: agrees with the bit model; multi-word, empty, null element") {
+    val rnd = new scala.util.Random(5)
+    // lengths straddling the 64-bit word boundary, plus exact zeros
+    val vecs = Seq(3, 63, 64, 65, 130).flatMap { n =>
+      Seq.fill(10)(Seq.fill(n)(
+        if (rnd.nextInt(4) == 0) 0.0f else (rnd.nextFloat() - 0.5f) * 2f))
+    } :+ Seq.empty[Float]
+    def model(v: Seq[Float]): Seq[Long] = {
+      val w = new Array[Long]((v.length + 63) / 64)
+      v.zipWithIndex.foreach { case (x, i) => if (x > 0) w(i >> 6) |= 1L << (i & 63) }
+      w.toSeq
+    }
+    val got = vecs.toDF("v").select(packSignBits($"v")).collect()
+      .map(_.getSeq[Long](0).toSeq).toSeq
+    assert(got == vecs.map(model))
+    // a null element nulls the code (same contract as quantize8)
+    val withNull = Seq(Seq[java.lang.Float](1.0f, null, 2.0f)).toDF("v")
+    assert(withNull.select(packSignBits($"v")).head().isNullAt(0))
+  }
+
+  test("hammingDistance: popcount of xor; word-count mismatch → null") {
+    val df = Seq(
+      (Seq(0L), Seq(-1L), 64),                  // all 64 bits differ
+      (Seq(5L, 1L << 40), Seq(6L, 0L), 3),      // 101^110=011 → 2, +1
+      (Seq(7L), Seq(7L), 0))
+      .toDF("a", "b", "want")
+    df.select(hammingDistance($"a", $"b").as("got"), $"want").collect()
+      .foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    val mismatch = Seq((Seq(1L), Seq(1L, 2L))).toDF("a", "b")
+    assert(mismatch.select(hammingDistance($"a", $"b")).head().isNullAt(0))
+  }
 }
