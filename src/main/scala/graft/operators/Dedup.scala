@@ -560,10 +560,18 @@ object Dedup {
       // sets with equal (count, xor) — a hash collision or xor
       // cancellation across rounds — would otherwise stop iteration
       // with silently wrong labels. On the round the signature
-      // stabilizes, confirm with the exact set check (two anti-joins
-      // over the small, checkpointed final edge lists; runs once).
-      stable = nextSig == sig &&
-        next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      // stabilizes, confirm with an exact symmetric-difference check
+      // (one grouped job over the small, checkpointed edge lists;
+      // both sets are distinct so side-counts are 0/1 and a sum≠0
+      // pinpoints any asymmetry; runs once).
+      stable = nextSig == sig && {
+        next.select(col("src"), col("dst"), lit(1).as("__side"))
+          .unionByName(e.select(col("src"), col("dst"), lit(-1).as("__side")))
+          .groupBy(col("src"), col("dst"))
+          .agg(sum(col("__side")).as("__d"))
+          .where(col("__d") =!= 0)
+          .isEmpty
+      }
       sig = nextSig
       e = next
       iter += 1
@@ -580,15 +588,20 @@ object Dedup {
     * m = min(relevant neighbourhood ∪ {u}); u itself attaches to m.
     */
   private def starRound(e: DataFrame, large: Boolean): DataFrame = {
+    // No distinct on nbrs: duplicate (src,dst) rows can't change a
+    // min aggregation, and the round's trailing distinct() dedups the
+    // attach edges — dropping it saves one full shuffle per round.
     val nbrs = e
       .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-    val side = if (large) nbrs else nbrs.where(col("dst") <= col("src"))
-    val mTbl = side.groupBy(col("src"))
-      .agg(least(col("src"), min(col("dst"))).as("__m"))
-    val mFull = nbrs.select(col("src")).distinct()
-      .join(mTbl, Seq("src"), "left")
-      .select(col("src"), coalesce(col("__m"), col("src")).as("__m"))
+    // m(u) = min(relevant neighbourhood ∪ {u}) in ONE grouped pass:
+    // the conditional min is null when no neighbour qualifies and
+    // `least` skips nulls, so the old distinct-src + left-join
+    // fallback frame (two more shuffles) is unnecessary. The group-by
+    // covers every src in nbrs, so mFull is total by construction.
+    val relevant = if (large) col("dst")
+      else when(col("dst") <= col("src"), col("dst"))
+    val mFull = nbrs.groupBy(col("src"))
+      .agg(least(col("src"), min(relevant)).as("__m"))
     nbrs
       .where(if (large) col("dst") > col("src") else col("dst") <= col("src"))
       .join(mFull, Seq("src"))
