@@ -723,6 +723,34 @@ object SparkEntry {
           size(col("urls")).cast("long").as("n_urls"),
           array_join(col("urls"), "|").as("urls_joined"))
     }),
+    "q_domain_stats" -> ((s, dir) => {
+      // Inject a 50-host outlink population (d<k>.ex.org) so the
+      // extract→host→aggregate chain sees real cardinality; %5==4
+      // docs contribute nothing (the empty-array path).
+      val injected = Parallelism.spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 4, col("text"))
+            .otherwise(concat(
+              col("text"), lit(" via https://d"), (col("doc_id") % 50).cast("string"),
+              lit(".ex.org/p/"), col("doc_id").cast("string"), lit(" end"))).as("t2"))
+      injected
+        .select(col("doc_id"),
+          explode(graft.functions.TextAnalysis.extractUrls(col("t2"))).as("url"))
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.urlHost(col("url")).as("host"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_urls"),
+          count_distinct(col("doc_id")).as("n_docs"))
+    }),
+    "q_pack" -> ((s, dir) => {
+      // Fixed 512-token training sequences over the doc_id-ordered
+      // corpus: global offsets via the distributed prefix sum.
+      val d = Parallelism.spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"))
+      graft.functions.TextAnalysis.packingAssignment(d, col("tokens"), col("doc_id"), 512)
+        .select("doc_id", "tokens", "start_offset", "first_seq", "last_seq", "n_seqs")
+    }),
     "q_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val clicks = ev.where(col("event_type") === "click")
@@ -1252,6 +1280,27 @@ object SparkEntry {
         |u AS (SELECT doc_id, regexp_extract_all(t2, 'https?://[^\s]+') AS urls FROM t)
         |SELECT doc_id, len(urls)::BIGINT AS n_urls,
         |  coalesce(array_to_string(urls, '|'), '') AS urls_joined FROM u""".stripMargin,
+    "q_domain_stats" ->
+      """WITH t AS (SELECT doc_id, CASE WHEN doc_id % 5 = 4 THEN text
+        |  ELSE text || ' via https://d' || (doc_id % 50)::VARCHAR ||
+        |    '.ex.org/p/' || doc_id::VARCHAR || ' end' END AS t2 FROM documents),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(t2, 'https?://[^\s]+')) AS url FROM t),
+        |h AS (SELECT doc_id, regexp_extract(url, 'https?://([^/\s:?#]+)', 1) AS host FROM u)
+        |SELECT host, count(*)::BIGINT AS n_urls,
+        |  count(DISTINCT doc_id)::BIGINT AS n_docs FROM h GROUP BY 1""".stripMargin,
+    "q_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |    ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, tokens::BIGINT AS tokens,
+        |  sum(tokens) OVER (ORDER BY doc_id) AS cum FROM t)
+        |SELECT doc_id, tokens, (cum - tokens)::BIGINT AS start_offset,
+        |  (CASE WHEN tokens > 0 THEN (cum - tokens) // 512 END)::BIGINT AS first_seq,
+        |  (CASE WHEN tokens > 0 THEN (cum - 1) // 512 END)::BIGINT AS last_seq,
+        |  coalesce(CASE WHEN tokens > 0
+        |    THEN (cum - 1) // 512 - (cum - tokens) // 512 + 1 END, 0)::BIGINT AS n_seqs
+        |FROM c""".stripMargin,
     "q_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type, value FROM events),
         |c AS (SELECT event_id, user_id, ms, value FROM e WHERE event_type = 'click'),

@@ -400,4 +400,48 @@ object TextAnalysis {
     coalesce(
       regexp_extract_all(c, lit("https?://[^\\s]+"), lit(0)),
       array().cast("array<string>"))
+
+  /** Host part of an http(s) URL (domain statistics, per-domain
+    * caps, URL-based filtering). Same Java∩RE2-dialect regex idea as
+    * [[extractUrls]] — NOT `parse_url`, so the oracle replays the
+    * exact pattern. Non-URL input → empty string (regexp_extract's
+    * no-match contract).
+    */
+  def urlHost(c: Column): Column =
+    regexp_extract(c, "https?://([^/\\s:?#]+)", 1)
+
+  /** Concat-and-chunk packing assignment: lay documents out in
+    * `orderCol` order, concatenate their tokens into one stream, and
+    * cut fixed `seqLen`-token training sequences — sequence j holds
+    * tokens [j·seqLen, (j+1)·seqLen). Emits per document its global
+    * `start_offset` plus the `first_seq`/`last_seq` it lands in and
+    * the `n_seqs` spanned — the bookkeeping a sequence packer needs
+    * to build fixed-length examples. The offsets come from the
+    * distributed prefix sum
+    * ([[graft.operators.Cumulative.withCumulativeSum]]: range
+    * partitioning + per-partition offset exchange), so there is no
+    * global single-task window anywhere — this survives a 100 TB
+    * corpus. Zero-token docs get null sequence bounds and n_seqs = 0.
+    * `orderCol` must be unique (the usual determinism contract).
+    */
+  def packingAssignment(
+      df: org.apache.spark.sql.DataFrame,
+      tokens: Column,
+      orderCol: Column,
+      seqLen: Int): org.apache.spark.sql.DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val staged = df.withColumn("__tok", tokens.cast("long"))
+    graft.operators.Cumulative
+      .withCumulativeSum(staged, col("__tok"), orderCol, "__cum")
+      .withColumn("start_offset", col("__cum") - col("__tok"))
+      // integer `div`, not floor(double /): offsets are exact longs
+      // at any corpus size
+      .withColumn("first_seq",
+        when(col("__tok") > 0, expr(s"start_offset div $seqLen")))
+      .withColumn("last_seq",
+        when(col("__tok") > 0, expr(s"(__cum - 1) div $seqLen")))
+      .withColumn("n_seqs",
+        coalesce(col("last_seq") - col("first_seq") + 1, lit(0L)))
+      .drop("__cum", "__tok")
+  }
 }

@@ -258,4 +258,61 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == Seq.empty)
     assert(out(3L) == Seq.empty)
   }
+
+  test("urlHost: host without scheme/path/port/query, no-match → empty") {
+    val df = Seq(
+      "https://sub.ex.org/p/1?q=2",
+      "http://a.io:8080/x",
+      "https://plain.host",
+      "not a url").toDF("u")
+    val out = df.select(urlHost($"u").as("h")).as[String].collect().toSeq
+    assert(out == Seq("sub.ex.org", "a.io", "plain.host", ""))
+  }
+
+  test("packingAssignment: offsets, seq spans, zero-token docs, boundary fits") {
+    // seqLen 10; docs in id order: 4 + 0 + 10 + 7 + 12 tokens.
+    val df = Seq(
+      (1L, 4L),   // [0,4)   → seq 0 only
+      (2L, 0L),   // empty   → null bounds, 0 seqs
+      (3L, 10L),  // [4,14)  → seqs 0-1
+      (4L, 7L),   // [14,21) → seqs 1-2
+      (5L, 12L))  // [21,33) → seqs 2-3
+      .toDF("id", "tokens")
+    val out = packingAssignment(df, $"tokens", $"id", 10)
+      .select($"id", $"start_offset", $"first_seq", $"last_seq", $"n_seqs")
+      .as[(Long, Long, Option[Long], Option[Long], Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((0L, Some(0L), Some(0L), 1L)))
+    assert(out(2L) == ((4L, None, None, 0L)))
+    assert(out(3L) == ((4L, Some(0L), Some(1L), 2L)))
+    assert(out(4L) == ((14L, Some(1L), Some(2L), 2L)))
+    assert(out(5L) == ((21L, Some(2L), Some(3L), 2L)))
+    // exact-boundary fit: a doc ending exactly at a multiple of
+    // seqLen must NOT claim the next sequence
+    val fit = packingAssignment(Seq((1L, 10L)).toDF("id", "tokens"),
+      $"tokens", $"id", 10)
+      .select($"first_seq", $"last_seq").as[(Long, Long)].head()
+    assert(fit == ((0L, 0L)))
+    intercept[IllegalArgumentException] {
+      packingAssignment(df, $"tokens", $"id", 0)
+    }
+  }
+
+  test("packingAssignment: matches a single-window oracle on 500 rows") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(1, 501).toDF("id")
+      .withColumn("tokens", pmod(col("id") * 37 + 11, lit(93)).cast("long"))
+      .repartition(7)
+    val got = packingAssignment(df, $"tokens", $"id", 64)
+      .select($"id", $"start_offset", $"first_seq", $"last_seq", $"n_seqs")
+    val w = Window.orderBy($"id")
+    val want = df
+      .withColumn("cum", sum($"tokens").over(w))
+      .withColumn("start_offset", $"cum" - $"tokens")
+      .withColumn("first_seq", when($"tokens" > 0, expr("start_offset div 64")))
+      .withColumn("last_seq", when($"tokens" > 0, expr("(cum - 1) div 64")))
+      .withColumn("n_seqs", coalesce($"last_seq" - $"first_seq" + 1, lit(0L)))
+      .select($"id", $"start_offset", $"first_seq", $"last_seq", $"n_seqs")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
 }
