@@ -751,6 +751,23 @@ object SparkEntry {
       graft.functions.TextAnalysis.packingAssignment(d, col("tokens"), col("doc_id"), 512)
         .select("doc_id", "tokens", "start_offset", "first_seq", "last_seq", "n_seqs")
     }),
+    "q_upsample" -> ((s, dir) => {
+      // Epoch weights 0..3 from the id: %4==0 docs drop entirely
+      // (the zero-repetition path), the rest fan out in-task.
+      graft.operators.Sampling.upsample(
+        t(s, dir, "documents"), col("doc_id") % 4)
+        .select("doc_id", "lang", "rep")
+    }),
+    "q_center" -> ((s, dir) => {
+      // Transform side of mean-centering with a FIXED mean (exact
+      // 1/64 multiples — bit-identical literals in both engines);
+      // the fit (Similarity.meanVector) is spec-tested: a cross-row
+      // float sum has no deterministic bit pattern to hash.
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.subtractMean(
+            col("embedding"), centerMeans).as("centered"))
+    }),
     "q_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val clicks = ev.where(col("event_type") === "click")
@@ -903,6 +920,12 @@ object SparkEntry {
           col("sample_rate").cast("long").as("sample_rate"),
           round(col("mean_amp"), 4).as("mean_amp"))
     }))
+
+  /** Fixed centering mean for q_center: exact 1/64 multiples, so the
+    * decimal literals parse to bit-identical doubles in both engines.
+    */
+  private val centerMeans: Seq[Double] =
+    (0 until 64).map(i => (i % 7 - 3) / 64.0)
 
   private lazy val clustersOracleSql: String =
     s"""WITH RECURSIVE $minhashCtes,
@@ -1301,6 +1324,19 @@ object SparkEntry {
         |  coalesce(CASE WHEN tokens > 0
         |    THEN (cum - 1) // 512 - (cum - tokens) // 512 + 1 END, 0)::BIGINT AS n_seqs
         |FROM c""".stripMargin,
+    "q_upsample" ->
+      """SELECT doc_id, lang,
+        |  unnest(generate_series(0, (doc_id % 4)::BIGINT - 1)) AS rep
+        |FROM documents WHERE doc_id % 4 > 0""".stripMargin,
+    "q_center" -> {
+      val meanList = centerMeans.mkString(", ")
+      s"""WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         |  generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |mm AS (SELECT unnest([$meanList])::DOUBLE AS m,
+         |  generate_subscripts([$meanList], 1) AS i),
+         |c AS (SELECT vec_id, u.i, x - m AS y FROM u JOIN mm USING (i))
+         |SELECT vec_id, list(y ORDER BY i) AS centered FROM c GROUP BY 1""".stripMargin
+    },
     "q_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type, value FROM events),
         |c AS (SELECT event_id, user_id, ms, value FROM e WHERE event_type = 'click'),

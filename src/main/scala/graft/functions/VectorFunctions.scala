@@ -126,6 +126,19 @@ object VectorFunctions {
       (x.cast("double") * qs.getField("scale").cast("double") / 127)
         .cast("float"))
 
+  /** Element-wise subtraction of a fixed mean vector (row-local
+    * codegen-friendly `zip_with` against a literal array) — the
+    * centering transform that makes [[packSignBits]] codes track
+    * angular order (SimHash is tightest on zero-mean data). The mean
+    * comes from [[graft.operators.Similarity.meanVector]] (fit once,
+    * reuse everywhere); null on length mismatch is inherited from
+    * `zip_with`'s null-element contract.
+    */
+  def subtractMean(vec: Column, mean: Seq[Double]): Column =
+    zip_with(vec.cast("array<double>"),
+      array(mean.map(lit): _*),
+      (x, m) => x - m)
+
   /** Sign-bit (1-bit) vector code as `array<bigint>` words — 32×
     * smaller than float payloads, 8× smaller than [[quantize8]]. For
     * mean-centered embeddings 1 − hamming/dim tracks the angle

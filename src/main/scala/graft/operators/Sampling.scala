@@ -144,6 +144,22 @@ object Sampling {
       .drop("__graft_rn")
   }
 
+  /** Epoch-weighted upsampling: emit each row `times` times with a
+    * 0-based `outCol` repetition index (the mixture-weights step of a
+    * training run — high-quality sources repeated more epochs).
+    * `times ≤ 0` or null drops the row; the repetition index makes
+    * the output deterministic and gives downstream shuffles distinct
+    * keys (so repeated rows spread instead of clumping). The explode
+    * is row-local — no shuffle, no driver involvement; a row fans out
+    * inside its own task.
+    */
+  def upsample(df: DataFrame, times: Column, outCol: String = "rep"): DataFrame = {
+    // explicit empty-array branch: sequence(0, -1) would DESCEND
+    val reps = when(times > 0,
+      sequence(lit(0L), times.cast("long") - 1)).otherwise(array().cast("array<bigint>"))
+    df.withColumn(outCol, explode(reps))
+  }
+
   /** Per-stratum deterministic sampling: strata missing from
     * `fractions` are dropped (like `sampleBy`).
     */

@@ -25,6 +25,29 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Per-component mean of an embedding column — the FIT step of
+    * mean-centering (see
+    * [[graft.functions.VectorFunctions.subtractMean]]). One
+    * `posexplode` + grouped aggregation: hash aggregation partially
+    * combines per task, so the shuffle carries ≤ partitions·dim rows
+    * regardless of corpus size, and only `dim` scalars reach the
+    * driver. Ragged inputs average each position over the rows that
+    * have it; null elements are skipped (sum/count both null-aware).
+    */
+  def meanVector(df: DataFrame, vecCol: String): Array[Double] = {
+    val rows = df
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("__pos", "__x")))
+      .groupBy(col("__pos"))
+      .agg(sum(col("__x")).as("__s"), count(col("__x")).as("__n"))
+      .collect()
+    require(rows.nonEmpty, "meanVector of an empty/all-null column")
+    val out = new Array[Double](rows.map(_.getInt(0)).max + 1)
+    rows.foreach { r =>
+      out(r.getInt(0)) = if (r.getLong(2) == 0) 0.0 else r.getDouble(1) / r.getLong(2)
+    }
+    out
+  }
+
   /** Exact top-k cosine neighbours for each query vector.
     *
     * @return (query id, corpus id, cosine, rank) — rank 1..k,

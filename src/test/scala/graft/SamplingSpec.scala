@@ -130,4 +130,17 @@ class SamplingSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
+
+  test("upsample: times-many copies with 0-based rep; ≤0/null drop the row") {
+    val df = Seq(
+      (1L, 3L), (2L, 1L), (3L, 0L), (4L, -2L))
+      .toDF("id", "w")
+      .union(Seq((5L, null.asInstanceOf[java.lang.Long])).toDF("id", "w"))
+    val out = Sampling.upsample(df, $"w")
+      .select($"id", $"rep").as[(Long, Long)].collect().toSeq.sorted
+    assert(out == Seq((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L)))
+    // no shuffle: the fan-out is row-local inside the scan's task
+    val plan = Sampling.upsample(df, $"w").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
 }

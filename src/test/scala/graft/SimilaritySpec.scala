@@ -6,6 +6,19 @@ import org.apache.spark.sql.functions._
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("meanVector: per-position means, null elements skipped, ragged ok") {
+    val df = Seq(
+      Seq[java.lang.Float](1.0f, 2.0f),
+      Seq[java.lang.Float](3.0f, null),
+      Seq[java.lang.Float](5.0f, 4.0f, 9.0f))
+      .toDF("v")
+    val m = Similarity.meanVector(df.repartition(3), "v")
+    assert(m.toSeq == Seq(3.0, 3.0, 9.0))
+    intercept[IllegalArgumentException] {
+      Similarity.meanVector(df.where(lit(false)), "v")
+    }
+  }
+
   // Small corpus with a planted near-duplicate of vector 1.
   private def corpus = Seq(
     (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),

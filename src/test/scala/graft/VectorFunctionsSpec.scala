@@ -155,4 +155,15 @@ class VectorFunctionsSpec extends SparkSpec {
     val mismatch = Seq((Seq(1L), Seq(1L, 2L))).toDF("a", "b")
     assert(mismatch.select(hammingDistance($"a", $"b")).head().isNullAt(0))
   }
+
+  test("subtractMean: element-wise centering; float input widens exactly") {
+    val df = Seq(Seq(1.0f, 0.5f, -0.25f)).toDF("v")
+    val got = df.select(subtractMean($"v", Seq(0.5, 0.5, 0.5)).as("c"))
+      .as[Seq[Double]].head()
+    assert(got == Seq(0.5, 0.0, -0.75))
+    // centering flips sign bits: packSignBits sees the centered view
+    val code = df.select(packSignBits(subtractMean($"v", Seq(0.5, 0.5, 0.5))))
+      .as[Seq[Long]].head()
+    assert(code == Seq(1L)) // only element 0 stays positive
+  }
 }
