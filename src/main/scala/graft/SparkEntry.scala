@@ -579,8 +579,10 @@ object SparkEntry {
         java.lang.Integer.toHexString(dir.hashCode)
       if (!s.catalog.tableExists(ivfTable))
         Similarity.writeIvfIndex(e, "embedding", "vec_id", ivfTable, stride = 100)
+      // No stride argument: the read path takes it from the index's
+      // own table properties (self-describing — see writeIvfIndex).
       Similarity.ivfTopKFromIndex(s, ivfTable, e.where(col("vec_id") < 5),
-        "embedding", "vec_id", k = 10, stride = 100, nprobe = 2)
+        "embedding", "vec_id", k = 10, nprobe = 2)
     }),
     "q_lang_id" -> ((s, dir) => {
       Parallelism.spread(t(s, dir, "documents")).select(
@@ -762,11 +764,14 @@ object SparkEntry {
       // Transform side of mean-centering with a FIXED mean (exact
       // 1/64 multiples — bit-identical literals in both engines);
       // the fit (Similarity.meanVector) is spec-tested: a cross-row
-      // float sum has no deterministic bit pattern to hash.
+      // float sum has no deterministic bit pattern to hash. Exploded
+      // to (vec_id, pos, cv) scalars like q_quantize — arrays don't
+      // hash in the driver compare.
       t(s, dir, "embeddings")
         .select(col("vec_id"),
           graft.functions.VectorFunctions.subtractMean(
             col("embedding"), centerMeans).as("centered"))
+        .select(col("vec_id"), posexplode(col("centered")).as(Seq("pos", "cv")))
     }),
     "q_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -1331,11 +1336,11 @@ object SparkEntry {
     "q_center" -> {
       val meanList = centerMeans.mkString(", ")
       s"""WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
-         |  generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |  generate_subscripts(embedding, 1) - 1 AS pos FROM embeddings),
          |mm AS (SELECT unnest([$meanList])::DOUBLE AS m,
-         |  generate_subscripts([$meanList], 1) AS i),
-         |c AS (SELECT vec_id, u.i, x - m AS y FROM u JOIN mm USING (i))
-         |SELECT vec_id, list(y ORDER BY i) AS centered FROM c GROUP BY 1""".stripMargin
+         |  generate_subscripts([$meanList], 1) - 1 AS pos)
+         |SELECT vec_id, pos::INT AS pos, x - m AS cv
+         |FROM u JOIN mm USING (pos)""".stripMargin
     },
     "q_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type, value FROM events),

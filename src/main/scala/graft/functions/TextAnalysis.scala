@@ -327,20 +327,25 @@ object TextAnalysis {
       idCol: String,
       sep: String = "\n"): org.apache.spark.sql.DataFrame = {
     val q = java.util.regex.Pattern.quote(sep)
+    // Uniquified temp names: idCol (or another user column surviving
+    // the final join) may itself be called __pos/__line/__cleaned.
+    val posCol = graft.Cols.unique("__pos", df)
+    val lineCol = graft.Cols.unique("__line", df, lines)
+    val cleanCol = graft.Cols.unique("__cleaned", df)
     val exploded = df
-      .select(col(idCol), posexplode(split(col(textCol), q)).as(Seq("__pos", "__line")))
+      .select(col(idCol), posexplode(split(col(textCol), q)).as(Seq(posCol, lineCol)))
     val cleaned = exploded
-      .join(broadcast(lines.select(col("line").as("__line"))), Seq("__line"), "left_anti")
+      .join(broadcast(lines.select(col("line").as(lineCol))), Seq(lineCol), "left_anti")
       .groupBy(col(idCol))
       .agg(array_join(
         transform(
-          array_sort(collect_list(struct(col("__pos"), col("__line")))),
-          s => s.getField("__line")),
-        sep).as("__cleaned"))
+          array_sort(collect_list(struct(col(posCol), col(lineCol)))),
+          s => s.getField(lineCol)),
+        sep).as(cleanCol))
     df.drop(textCol)
       .join(cleaned, Seq(idCol), "left")
-      .withColumn(textCol, coalesce(col("__cleaned"), lit("")))
-      .drop("__cleaned")
+      .withColumn(textCol, coalesce(col(cleanCol), lit("")))
+      .drop(cleanCol)
   }
 
   /** Benchmark-contamination hits: for every document sharing at
@@ -430,18 +435,20 @@ object TextAnalysis {
       orderCol: Column,
       seqLen: Int): org.apache.spark.sql.DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    val staged = df.withColumn("__tok", tokens.cast("long"))
+    val tokCol = graft.Cols.unique("__tok", df)
+    val cumCol = graft.Cols.unique("__cum", df)
+    val staged = df.withColumn(tokCol, tokens.cast("long"))
     graft.operators.Cumulative
-      .withCumulativeSum(staged, col("__tok"), orderCol, "__cum")
-      .withColumn("start_offset", col("__cum") - col("__tok"))
+      .withCumulativeSum(staged, col(tokCol), orderCol, cumCol)
+      .withColumn("start_offset", col(cumCol) - col(tokCol))
       // integer `div`, not floor(double /): offsets are exact longs
       // at any corpus size
       .withColumn("first_seq",
-        when(col("__tok") > 0, expr(s"start_offset div $seqLen")))
+        when(col(tokCol) > 0, expr(s"start_offset div $seqLen")))
       .withColumn("last_seq",
-        when(col("__tok") > 0, expr(s"(__cum - 1) div $seqLen")))
+        when(col(tokCol) > 0, expr(s"(`$cumCol` - 1) div $seqLen")))
       .withColumn("n_seqs",
         coalesce(col("last_seq") - col("first_seq") + 1, lit(0L)))
-      .drop("__cum", "__tok")
+      .drop(cumCol, tokCol)
   }
 }

@@ -100,6 +100,11 @@ object Cumulative {
       outCol: String)(
       out: (Column, Column, Column) => Column): DataFrame = {
     val ord = if (ascending) onCol.asc else onCol.desc
+    // Uniquified temp names: the user's frame survives to the output,
+    // so a fixed __pid/__off/__tot would clobber same-named columns.
+    val pidCol = graft.Cols.unique("__pid", df)
+    val offCol = graft.Cols.unique("__off", df)
+    val totCol = graft.Cols.unique("__tot", df)
     // Lazy localCheckpoint: the offsets branch and the main branch
     // both consume `part`, and `spark_partition_id()` is only
     // meaningful if they see the SAME physical partitioning. Without
@@ -110,31 +115,31 @@ object Cumulative {
     // — silently mis-assigned offsets. The checkpoint pins one RDD
     // (one exchange, one set of boundaries) shared by both branches.
     val part = df.repartitionByRange(ord)
-      .withColumn("__pid", spark_partition_id())
+      .withColumn(pidCol, spark_partition_id())
       .localCheckpoint(false)
     // The local window re-clusters by __pid (one hash exchange —
     // Catalyst can't see that range partitioning already co-locates
     // the id); parallelism is preserved: one task per range partition.
-    val wLoc = Window.partitionBy(col("__pid")).orderBy(ord)
+    val wLoc = Window.partitionBy(col(pidCol)).orderBy(ord)
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     // Offsets: ≤ numPartitions aggregated rows; the constant-key
     // window is single-partition by construction on a bounded input.
     // pmod(__pid, 1) is constant-VALUED but not foldable, so the
     // planner keeps a real (single-group) partition spec instead of
     // warning about an undefined one.
-    val wOff = Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
+    val wOff = Window.partitionBy(pmod(col(pidCol), lit(1))).orderBy(col(pidCol))
     val offs = part
-      .groupBy(col("__pid"))
+      .groupBy(col(pidCol))
       .agg(sum(value).as("__ps"))
       .select(
-        col("__pid"),
-        sum(col("__ps")).over(wOff.rowsBetween(Window.unboundedPreceding, -1)).as("__off"),
+        col(pidCol),
+        sum(col("__ps")).over(wOff.rowsBetween(Window.unboundedPreceding, -1)).as(offCol),
         sum(col("__ps")).over(
-          wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("__tot"))
+          wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as(totCol))
     part
-      .join(broadcast(offs), Seq("__pid"))
-      .withColumn(outCol, out(sum(value).over(wLoc), col("__off"), col("__tot")))
-      .drop("__pid", "__off", "__tot")
+      .join(broadcast(offs), Seq(pidCol))
+      .withColumn(outCol, out(sum(value).over(wLoc), col(offCol), col(totCol)))
+      .drop(pidCol, offCol, totCol)
   }
 
   /** Global moving average over a ROWS frame of `period` rows ordered
@@ -186,38 +191,53 @@ object Cumulative {
     val halo = math.max(math.max(before, after), 1)
     val mavgOut = (c: Column) => if (r >= 0) round(c, r) else c
 
+    // Uniquified temp names: the user's frame survives to the output,
+    // so fixed __pid/__rnA/… would clobber same-named user columns.
+    val pidCol = graft.Cols.unique("__pid", df)
+    val rnACol = graft.Cols.unique("__rnA", df)
+    val rnDCol = graft.Cols.unique("__rnD", df)
+    val tgtCol = graft.Cols.unique("__tgt", df)
+    val ownCol = graft.Cols.unique("__own", df)
     var base = df
     var parts = df.sparkSession.sparkContext.defaultParallelism
+    var failures = 0
     while (parts > 1) {
       val ranged = base.repartitionByRange(parts, order.asc)
-        .withColumn("__pid", spark_partition_id())
+        .withColumn(pidCol, spark_partition_id())
         .localCheckpoint(true)
-      val counts = ranged.groupBy(col("__pid")).count().collect()
+      val counts = ranged.groupBy(col(pidCol)).count().collect()
       val thickEnough =
         counts.length == parts && counts.forall(_.getLong(1) >= halo)
       if (thickEnough) {
-        val wAsc = Window.partitionBy(col("__pid")).orderBy(order.asc)
-        val wDesc = Window.partitionBy(col("__pid")).orderBy(order.desc)
+        val wAsc = Window.partitionBy(col(pidCol)).orderBy(order.asc)
+        val wDesc = Window.partitionBy(col(pidCol)).orderBy(order.desc)
         val tagged = ranged
-          .withColumn("__rnA", row_number().over(wAsc))
-          .withColumn("__rnD", row_number().over(wDesc))
-        val own = tagged.withColumn("__tgt", col("__pid")).withColumn("__own", lit(true))
-        val toPrev = tagged.where(col("__rnA") <= after && col("__pid") > 0)
-          .withColumn("__tgt", col("__pid") - 1).withColumn("__own", lit(false))
-        val toNext = tagged.where(col("__rnD") <= before)
-          .withColumn("__tgt", col("__pid") + 1).withColumn("__own", lit(false))
-        val wFrame = Window.partitionBy(col("__tgt")).orderBy(order.asc).rowsBetween(s, e)
+          .withColumn(rnACol, row_number().over(wAsc))
+          .withColumn(rnDCol, row_number().over(wDesc))
+        val own = tagged.withColumn(tgtCol, col(pidCol)).withColumn(ownCol, lit(true))
+        val toPrev = tagged.where(col(rnACol) <= after && col(pidCol) > 0)
+          .withColumn(tgtCol, col(pidCol) - 1).withColumn(ownCol, lit(false))
+        val toNext = tagged.where(col(rnDCol) <= before)
+          .withColumn(tgtCol, col(pidCol) + 1).withColumn(ownCol, lit(false))
+        val wFrame = Window.partitionBy(col(tgtCol)).orderBy(order.asc).rowsBetween(s, e)
         return own.unionByName(toPrev).unionByName(toNext)
           .withColumn(outCol, mavgOut(avg(value).over(wFrame)))
-          .where(col("__own"))
-          .drop("__pid", "__rnA", "__rnD", "__tgt", "__own")
+          .where(col(ownCol))
+          .drop(pidCol, rnACol, rnDCol, tgtCol, ownCol)
       }
       // Derive the final layout in closed form from the counts the
       // probe already collected (n is exact), and re-range from the
       // CHECKPOINTED blocks — the original lineage never re-executes.
+      // First failure retries gently (−1, capped by the exact-n
+      // bound); a SECOND consecutive failure means the range
+      // partitioner keeps emitting thin/empty partitions (heavily
+      // duplicated order keys), so halve instead — O(log par) probes
+      // to the single-partition fallback, never O(par).
       val n = counts.map(_.getLong(1)).sum
-      parts = math.min(parts - 1L, n / (2L * halo)).toInt
-      base = ranged.drop("__pid")
+      failures += 1
+      val next = if (failures >= 2) parts / 2L else parts - 1L
+      parts = math.min(next, n / (2L * halo)).toInt
+      base = ranged.drop(pidCol)
     }
     // Single partition: trivially exact (the window sees every row).
     // The key is constant-VALUED but column-derived (not foldable),

@@ -42,9 +42,10 @@ object Dedup {
 
   def exact(df: DataFrame, cols: Seq[String], keepCol: String): DataFrame = {
     val w = Window.partitionBy(contentKey(cols)).orderBy(col(keepCol))
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__rn")
+    val rn = graft.Cols.unique("__rn", df)
+    df.withColumn(rn, row_number().over(w))
+      .where(col(rn) === 1)
+      .drop(rn)
   }
 
   /** Exact-dup group stats: (kept id, group size) per distinct

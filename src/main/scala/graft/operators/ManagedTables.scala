@@ -20,7 +20,28 @@ private[operators] object ManagedTables {
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      if (fs.exists(loc)) {
+        // The path is deleted only if NO catalog entry (any database,
+        // any table) claims it or a descendant — an external table
+        // parked at the default-warehouse path of a managed-table
+        // name must not have its data destroyed by name inference.
+        val target = fs.makeQualified(loc).toUri.getPath.stripSuffix("/")
+        val claimed = org.apache.spark.sql.GraftSqlBridge
+          .tableLocations(spark).exists { u =>
+            val p = new org.apache.hadoop.fs.Path(u)
+            val q = fs.makeQualified(p).toUri.getPath.stripSuffix("/")
+            q == target || q.startsWith(target + "/")
+          }
+        if (claimed)
+          System.err.println(
+            s"[graft] NOT clearing $loc: a catalog table claims that " +
+              s"location; `$table` will fail to save until it moves")
+        else {
+          System.err.println(s"[graft] clearing orphaned location $loc " +
+            s"before recreating managed table `$table`")
+          fs.delete(loc, true)
+        }
+      }
     }
   }
 }

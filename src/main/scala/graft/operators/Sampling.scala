@@ -63,7 +63,7 @@ object Sampling {
     val counts = df
       .where(col(strataCol).isin(targets.keys.toSeq: _*))
       .groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
     // Strata ABSENT from the corpus are ignored (like the SQL
     // formulation's inner join on observed counts): the mix is
     // computed over the strata that exist. A present-but-empty
@@ -112,12 +112,13 @@ object Sampling {
     // once per split, and HOF-free or not, md5-per-reference is waste.
     // A null hash (null id) falls through every `< t` predicate to
     // the null default — no explicit isNotNull needed.
+    val hCol = graft.Cols.unique("__graft_h", df)
     val label = weights.map(_._1).zip(thresholds).foldRight(lit(null).cast("string")) {
-      case ((name, t), rest) => when(col("__graft_h") < t, name).otherwise(rest)
+      case ((name, t), rest) => when(col(hCol) < t, name).otherwise(rest)
     }
-    df.withColumn("__graft_h", h)
+    df.withColumn(hCol, h)
       .withColumn(outCol, label)
-      .drop("__graft_h")
+      .drop(hCol)
   }
 
   /** Cap each stratum's contribution at `maxRows` rows (the
@@ -139,9 +140,10 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val hash = md5(concat(col(idCol).cast("string"), lit(":" + seed)))
     val w = Window.partitionBy(col(strataCol)).orderBy(hash, col(idCol))
-    df.withColumn("__graft_rn", row_number().over(w))
-      .where(col("__graft_rn") <= maxRows)
-      .drop("__graft_rn")
+    val rnCol = graft.Cols.unique("__graft_rn", df)
+    df.withColumn(rnCol, row_number().over(w))
+      .where(col(rnCol) <= maxRows)
+      .drop(rnCol)
   }
 
   /** Epoch-weighted upsampling: emit each row `times` times with a

@@ -320,18 +320,45 @@ object Similarity {
       table: String,
       stride: Int = 100,
       numBuckets: Int = 64): Unit = {
-    ManagedTables.dropAndClearOrphan(corpus.sparkSession, table)
+    val spark = corpus.sparkSession
+    ManagedTables.dropAndClearOrphan(spark, table)
     ivfAssign(corpus, vecCol, idCol, centroids(corpus, vecCol, idCol, stride))
       .write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, "__cid")
       .sortBy("__cid")
       .saveAsTable(table)
+    // Self-describing index: the build parameters ride in the table
+    // properties so the read path can't silently search with a
+    // mismatched stride (wrong centroid sample → wrong buckets → a
+    // plausible-looking but low-recall result).
+    spark.sql(
+      s"ALTER TABLE `$table` SET TBLPROPERTIES (" +
+        s"'graft.ivf.stride' = '$stride', " +
+        s"'graft.ivf.numBuckets' = '$numBuckets')")
+  }
+
+  /** Build parameters recorded by [[writeIvfIndex]] in the table
+    * properties, or None for a table without them (not a graft IVF
+    * index, or built before the properties existed).
+    */
+  def readIvfIndexMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String): Option[(Int, Int)] = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES `$table`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for {
+      s <- props.get("graft.ivf.stride")
+      b <- props.get("graft.ivf.numBuckets")
+    } yield (s.toInt, b.toInt)
   }
 
   /** [[ivfTopK]] over a persisted index (see [[writeIvfIndex]]).
-    * `stride` must match the build; the centroid set is re-derived
-    * from the index itself (rows whose corpus_id samples the stride),
-    * so no separate centroid table is needed.
+    * The stride is read from the index's own table properties; the
+    * centroid set is re-derived from the index itself (rows whose
+    * corpus_id samples the stride), so no separate centroid table is
+    * needed. Passing `stride` > 0 cross-checks it against the
+    * recorded value and fails fast on a mismatch — a wrong stride
+    * would not error, it would silently search the wrong buckets.
     */
   def ivfTopKFromIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -340,11 +367,25 @@ object Similarity {
       vecCol: String,
       qIdCol: String,
       k: Int,
-      stride: Int = 100,
+      stride: Int = 0,
       nprobe: Int = 2): DataFrame = {
+    val recorded = readIvfIndexMeta(spark, table).map(_._1)
+    val effective = (recorded, stride) match {
+      case (Some(r), s) if s > 0 =>
+        require(r == s,
+          s"ivfTopKFromIndex: caller stride $s != stride $r recorded " +
+            s"in `$table` table properties (graft.ivf.stride)")
+        r
+      case (Some(r), _) => r
+      case (None, s) if s > 0 => s
+      case (None, _) => throw new IllegalArgumentException(
+        s"ivfTopKFromIndex: `$table` records no graft.ivf.stride " +
+          "property and no stride was passed — rebuild the index with " +
+          "writeIvfIndex or pass the build stride explicitly")
+    }
     val assigned = spark.table(table)
     val cen = assigned
-      .where(pmod(col("corpus_id"), lit(stride)) === 0)
+      .where(pmod(col("corpus_id"), lit(effective)) === 0)
       .select(col("corpus_id").as("__cid"), col("__cv").as("__cvec"))
     ivfSearch(assigned, cen, queries, vecCol, qIdCol, k, nprobe)
   }

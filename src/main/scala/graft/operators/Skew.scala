@@ -33,12 +33,13 @@ object Skew {
     require(saltFactor >= 1, "saltFactor must be >= 1")
     require(Seq("inner", "left", "left_outer").contains(joinType),
       "salted join supports inner/left joins (the small side is replicated)")
+    val saltCol = graft.Cols.unique("__salt", large, small)
     val salted = large.withColumn(
-      "__salt",
+      saltCol,
       pmod(xxhash64(large.columns.map(col): _*), lit(saltFactor)).cast("int"))
     val replicated = small.withColumn(
-      "__salt",
+      saltCol,
       explode(sequence(lit(0), lit(saltFactor - 1))))
-    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+    salted.join(replicated, keys :+ saltCol, joinType).drop(saltCol)
   }
 }

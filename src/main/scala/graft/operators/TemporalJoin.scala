@@ -93,15 +93,16 @@ object TemporalJoin {
       keys: Seq[String],
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val p = points.withColumn("__b", floor(col(pointCol).cast("long") / bucketWidth))
+    val b = graft.Cols.unique("__b", points, intervals)
+    val p = points.withColumn(b, floor(col(pointCol).cast("long") / bucketWidth))
     val i = intervals.withColumn(
-      "__b",
+      b,
       explode(
         sequence(
           floor(col(startCol).cast("long") / bucketWidth),
           floor(col(endCol).cast("long") / bucketWidth))))
-    p.join(i, keys :+ "__b")
+    p.join(i, keys :+ b)
       .where(col(pointCol).between(col(startCol), col(endCol)))
-      .drop("__b")
+      .drop(b)
   }
 }

@@ -23,6 +23,21 @@ object GraftSqlBridge {
       case l: execution.LogicalRDD => l.rdd.getNumPartitions
     }
 
+  /** Locations of every table the session catalog knows about, across
+    * all databases (views and tables without a resolvable location are
+    * skipped). Used to verify a default-warehouse directory is truly
+    * ORPHANED before clearing it — a name-inferred path could be some
+    * other table's external data.
+    */
+  def tableLocations(spark: SparkSession): Seq[java.net.URI] = {
+    val cat = spark.sessionState.catalog
+    cat.listDatabases().flatMap { db =>
+      cat.listTables(db).flatMap { ti =>
+        scala.util.Try(cat.getTableMetadata(ti).location).toOption
+      }
+    }
+  }
+
   /** Register an Expression-backed SQL function on a live session
     * (the extensions path only applies at session build time).
     */

@@ -88,6 +88,35 @@ class SamplingSpec extends SparkSpec {
     assert(again == valIds)
   }
 
+  test("temp-column hygiene: poisoned __graft_h/__graft_rn user columns survive intact") {
+    // A user frame that already has the operators' old fixed temp
+    // names: outputs must match the clean-frame run AND keep the
+    // poisoned columns' values.
+    val clean = spark.range(2000).toDF("id")
+    val poisoned = clean
+      .withColumn("__graft_h", $"id" * 2)
+      .withColumn("__graft_rn", $"id" + 7)
+    val w = Seq("train" -> 0.8, "val" -> 0.2)
+    val cleanSplit = Sampling.splitByHash(clean, w, "id", seed = 3)
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    val out = Sampling.splitByHash(poisoned, w, "id", seed = 3)
+    assert(out.columns.toSeq ==
+      Seq("id", "__graft_h", "__graft_rn", "split"))
+    out.select($"id", $"__graft_h", $"__graft_rn", $"split")
+      .as[(Long, Long, Long, String)].collect().foreach {
+        case (id, h, rn, split) =>
+          assert(h == id * 2 && rn == id + 7 && split == cleanSplit(id))
+      }
+    val poisoned2 = (
+      (1 to 300).map(i => (i.toLong, "big")) ++
+      (1 to 40).map(i => (1000L + i, "small"))).toDF("id", "k")
+      .withColumn("__graft_rn", $"id" + 1)
+    val capped = Sampling.capPerStratum(poisoned2, "k", 100, "id")
+    val byK = capped.groupBy($"k").count().as[(String, Long)].collect().toMap
+    assert(byK == Map("big" -> 100L, "small" -> 40L))
+    assert(capped.where($"__graft_rn" =!= $"id" + 1).count() == 0)
+  }
+
   test("splitByHash: growing a prefix split only absorbs rows from later splits") {
     val df = spark.range(5000).toDF("id")
     def trainIds(tw: Double) = Sampling.splitByHash(

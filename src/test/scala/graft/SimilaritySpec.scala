@@ -178,6 +178,20 @@ class SimilaritySpec extends SparkSpec {
     val directPlan = Similarity.ivfTopK(c, q, "vec", "id", "id", 5, 30, 2)
     assert(graft.sources.Bucketing.exchangeCount(fromIndex) <
       graft.sources.Bucketing.exchangeCount(directPlan))
+    // the index is self-describing: build params live in table props…
+    assert(Similarity.readIvfIndexMeta(spark, "graft_ivf_test")
+      .contains((30, 4)))
+    // …the stride-less call reads them and reproduces the same result…
+    val noStride = Similarity.ivfTopKFromIndex(
+      spark, "graft_ivf_test", q, "vec", "id", k = 5, nprobe = 2)
+    assert(noStride.collect().map(_.toSeq).toSet == direct)
+    // …and a mismatched caller stride fails fast instead of silently
+    // searching the wrong buckets
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKFromIndex(
+        spark, "graft_ivf_test", q, "vec", "id", k = 5, stride = 31, nprobe = 2)
+    }
+    assert(ex.getMessage.contains("graft.ivf.stride"))
   }
 
   test("autoStride: nlist stays bounded by the target across 3 orders of n") {

@@ -194,6 +194,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(boilerplateLines(within, "text", "id", minDocs = 2).count() == 0)
   }
 
+  test("stripBoilerplate: poisoned __pos/__line/__cleaned user columns survive intact") {
+    val docs = Seq(
+      (1L, "unique alpha\nFOOTER\nbody one", 10L, "a", "b"),
+      (2L, "unique beta\nFOOTER\nbody two", 20L, "c", "d"),
+      (3L, "unique gamma\nFOOTER\nbody three", 30L, "e", "f"))
+      .toDF("id", "text", "__pos", "__line", "__cleaned")
+    val boiler = boilerplateLines(docs, "text", "id", minDocs = 3)
+    val out = stripBoilerplate(docs, boiler, "text", "id")
+    assert(out.columns.toSet == Set("id", "text", "__pos", "__line", "__cleaned"))
+    val rows = out.select($"id", $"text", $"__pos", $"__line", $"__cleaned")
+      .as[(Long, String, Long, String, String)].collect().sortBy(_._1)
+    assert(rows(0) == ((1L, "unique alpha\nbody one", 10L, "a", "b")))
+    assert(rows(1) == ((2L, "unique beta\nbody two", 20L, "c", "d")))
+    assert(rows(2) == ((3L, "unique gamma\nbody three", 30L, "e", "f")))
+  }
+
   test("chunkTokens: stride coverage, overlap, short tails, tiny docs") {
     val df = Seq("t1 t2 t3 t4 t5 t6 t7 t8 t9 t10").toDF("s")
     // maxTokens=4, overlap=1 → stride 3 → starts 0,3,6 → 3 chunks
