@@ -560,6 +560,14 @@ object SparkEntry {
       Similarity.bruteForceTopKHamming(e, e.where(col("vec_id") < 5),
         "embedding", "vec_id", "vec_id", k = 10)
     }),
+    "q_ann_cascade" -> ((s, dir) => {
+      // Full rerank cascade (Hamming shortlist → int8 rerank → float
+      // verify) in one call; all three kernels are oracle-expressed
+      // (rows 62/63/69), so the composition replays end-to-end.
+      val e = t(s, dir, "embeddings")
+      Similarity.cascadeTopK(e, e.where(col("vec_id") < 5),
+        "embedding", "vec_id", "vec_id", k = 10, shortlist = 50, rerank = 20)
+    }),
     "q_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.where(col("vec_id") < 5),
@@ -853,16 +861,28 @@ object SparkEntry {
     }),
     "q_dedup_from_signatures" -> ((s, dir) => {
       // Same output contract as q_dedup_minhash, but candidates come
-      // from the persisted bucketed signature table (shuffle-free
-      // regeneration path) — so the q_dedup_minhash oracle applies
-      // verbatim.
+      // from the persisted bucketed signature table — so the
+      // q_dedup_minhash oracle applies verbatim. This entry REBUILDS
+      // the table every call: it benches the one-time build+dedup
+      // path, which its _read twin amortizes away (the two bench rows
+      // together are the amortization claim, made measurable).
       val docs = docsWithDups(s, dir)
-      // Write-once-per-(session, corpus): the signature table is the
-      // amortized full-corpus pass; repeated invocations (bench reps,
-      // reruns) measure what the operator exists for — candidate
-      // regeneration from the bucketed scan, shuffle-free. The table
-      // name carries the corpus dir so a session touching a second
-      // scale factor can't silently reuse stale signatures.
+      // The table name carries the corpus dir so a session touching a
+      // second scale factor can't silently reuse stale signatures.
+      val sigTable = "graft_sigs_verify_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Dedup.writeMinHashSignatures(docs, "text", "doc_id", sigTable,
+        shingleK = 5, numHashes = 8, bands = 2)
+      Dedup.minHashLshPairsFromSignatures(docs, sigTable, "text",
+        "doc_id", shingleK = 5, jaccardThreshold = 0.5)
+    }),
+    "q_dedup_from_signatures_read" -> ((s, dir) => {
+      // The amortized path: dedup against an ALREADY-BUILT signature
+      // table (built at most once per (session, corpus) — in a bench
+      // run the alphabetically-earlier build twin has always built
+      // it). Candidates regenerate shuffle-free from the bucketed
+      // scan; only verification touches the corpus text.
+      val docs = docsWithDups(s, dir)
       val sigTable = "graft_sigs_verify_" +
         java.lang.Integer.toHexString(dir.hashCode)
       if (!s.catalog.tableExists(sigTable))
@@ -968,6 +988,9 @@ object SparkEntry {
     // identical contract to q_dedup_minhash — the signature-table path
     // must reproduce the direct path's pairs exactly
     "q_dedup_from_signatures" ->
+      s"""WITH $minhashCtes
+         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM mh WHERE jac >= 0.5""".stripMargin,
+    "q_dedup_from_signatures_read" ->
       s"""WITH $minhashCtes
          |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM mh WHERE jac >= 0.5""".stripMargin,
     "q_salted_join" ->
@@ -1113,6 +1136,45 @@ object SparkEntry {
         |  FROM codes c, (SELECT * FROM codes WHERE vec_id < 5) q),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, corpus_id) AS rank FROM s)
         |SELECT query_id, corpus_id, hamming, rank FROM r WHERE rank <= 10""".stripMargin,
+    // mirrors cascadeTopK: the q_ann_hamming codes CTE shortlists 50,
+    // the q_ann_int8 codes CTE reranks to 20, float cosine ranks the
+    // final 10 — each tier's kernel is bit-identical to its
+    // stand-alone oracle (rows 62/63/69)
+    "q_ann_cascade" ->
+      (s"""WITH codes AS (SELECT vec_id,
+          |  bit_or(CASE WHEN x > 0 THEN
+          |    (CASE WHEN i - 1 = 63 THEN (-9223372036854775807 - 1)::BIGINT
+          |     ELSE 1::BIGINT << (i - 1) END)
+          |    ELSE 0 END) AS code
+          |  FROM (SELECT vec_id, unnest(embedding) AS x,
+          |        generate_subscripts(embedding, 1) AS i FROM embeddings)
+          |  GROUP BY 1),
+          |hs AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          |  bit_count(xor(c.code, q.code))::INT AS hamming
+          |  FROM codes c, (SELECT * FROM codes WHERE vec_id < 5) q),
+          |hr AS (SELECT query_id, corpus_id,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY hamming, corpus_id) AS r FROM hs),
+          |short AS (SELECT query_id, corpus_id FROM hr WHERE r <= 50),
+          |z AS (SELECT vec_id,
+          |  list_max(list_transform(embedding, x -> abs(x))) AS scale, embedding FROM embeddings),
+          |qz AS (SELECT vec_id, CASE WHEN scale = 0
+          |    THEN list_transform(embedding, x -> 0.0::DOUBLE)
+          |    ELSE list_transform(embedding, x -> round(x::DOUBLE * 127 / scale::DOUBLE)) END AS qv
+          |  FROM z),
+          |i8 AS (SELECT s.query_id, s.corpus_id,
+          |  CASE WHEN list_dot_product(c.qv, c.qv) = 0 OR list_dot_product(q.qv, q.qv) = 0 THEN NULL
+          |    ELSE round(list_dot_product(c.qv, q.qv) /
+          |      (sqrt(list_dot_product(c.qv, c.qv)) * sqrt(list_dot_product(q.qv, q.qv))), 6) END AS cos8
+          |  FROM short s JOIN qz c ON c.vec_id = s.corpus_id JOIN qz q ON q.vec_id = s.query_id),
+          |ir AS (SELECT query_id, corpus_id,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY cos8 DESC, corpus_id) AS r FROM i8),
+          |keep AS (SELECT query_id, corpus_id FROM ir WHERE r <= 20),
+          |fv AS (SELECT s.query_id, s.corpus_id, c.embedding AS cv, q.embedding AS qv2
+          |  FROM keep s JOIN embeddings c ON c.vec_id = s.corpus_id
+          |  JOIN embeddings q ON q.vec_id = s.query_id),
+          |fs AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv2")}, 6) AS cosine FROM fv),
+          |fr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM fs)
+          |SELECT query_id, corpus_id, cosine, rank FROM fr WHERE rank <= 10""".stripMargin),
     "q_ann_lsh" ->
       (s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, ${bucketSql("embedding", 64, 6)} AS bucket
           |  FROM embeddings WHERE vec_id < 5),
@@ -1125,22 +1187,29 @@ object SparkEntry {
     // ivfTopK exactly
     "q_ann_ivf_index" -> ivfOracleSql,
     "q_lang_id" ->
-      (s"""WITH s AS (SELECT doc_id,
-          |  len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk,
-          |  len(regexp_extract_all(text, '[\\x{0600}-\\x{06ff}]')) AS arab,
-          |  regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents),
-          |v AS (SELECT doc_id, cjk, arab,
-          |  len(list_filter(tk, t -> list_contains(${swListSql("en")}, t))) AS s_en,
-          |  len(list_filter(tk, t -> list_contains(${swListSql("es")}, t))) AS s_es,
-          |  len(list_filter(tk, t -> list_contains(${swListSql("fr")}, t))) AS s_fr,
-          |  len(list_filter(tk, t -> list_contains(${swListSql("de")}, t))) AS s_de FROM s)
-          |SELECT doc_id, CASE WHEN cjk > 0 THEN 'zh' WHEN arab > 0 THEN 'fa'
-          |  WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
-          |  WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
-          |  WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
-          |  WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
-          |  WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
-          |  ELSE 'und' END AS lang_pred FROM v""".stripMargin),
+      {
+        // mirror of languageId: kana > hangul > cjk > arabic script,
+        // then the StopwordHitsAll.Langs vote in declaration order
+        val langs = graft.functions.StopwordHitsAll.Langs
+        val scoreCols = langs.map(l =>
+          s"  len(list_filter(tk, t -> list_contains(${swListSql(l)}, t))) AS s_$l")
+          .mkString(",\n|")
+        val gr = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+        val pick = langs.map(l => s"  WHEN s_$l = $gr THEN '$l'").mkString("\n|")
+        s"""WITH s AS (SELECT doc_id,
+           |  len(regexp_extract_all(text, '[\\x{3040}-\\x{30ff}]')) AS kana,
+           |  len(regexp_extract_all(text, '[\\x{ac00}-\\x{d7af}\\x{1100}-\\x{11ff}]')) AS hangul,
+           |  len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk,
+           |  len(regexp_extract_all(text, '[\\x{0600}-\\x{06ff}]')) AS arab,
+           |  regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents),
+           |v AS (SELECT doc_id, kana, hangul, cjk, arab,
+           |$scoreCols FROM s)
+           |SELECT doc_id, CASE WHEN kana > 0 THEN 'ja' WHEN hangul > 0 THEN 'ko'
+           |  WHEN cjk > 0 THEN 'zh' WHEN arab > 0 THEN 'fa'
+           |  WHEN $gr <= 0 THEN 'und'
+           |$pick
+           |  ELSE 'und' END AS lang_pred FROM v""".stripMargin
+      },
     "q_quality_score" ->
       (s"""WITH s AS (SELECT doc_id, length(text)::DOUBLE AS nc,
           |  regexp_split_to_array(trim(lower(text)), '\\s+') AS tk,

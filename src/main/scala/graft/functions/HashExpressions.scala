@@ -360,8 +360,11 @@ case class StopwordHitsAll(child: Expression) extends UnaryExpression {
 }
 
 object StopwordHitsAll {
-  /** Fixed language order of the output array. */
-  val Langs: Seq[String] = Seq("en", "es", "fr", "de")
+  /** Fixed language order of the output array. The first four
+    * positions are load-bearing (qualityScore reads position 1 = en);
+    * new languages append at the end.
+    */
+  val Langs: Seq[String] = Seq("en", "es", "fr", "de", "pt", "it", "nl", "ru")
 
   // token → bitmask of languages containing it (a word can be a
   // stopword in several languages, e.g. "de"/"la"/"que")

@@ -32,7 +32,11 @@ object TextAnalysis {
     "en" -> Seq("the", "of", "and", "to", "a", "in", "is", "it", "that", "for"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "una", "por"),
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "que"),
-    "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"))
+    "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"),
+    "pt" -> Seq("o", "de", "que", "e", "do", "da", "em", "um", "para", "com"),
+    "it" -> Seq("di", "che", "e", "il", "la", "per", "un", "in", "non", "una"),
+    "nl" -> Seq("de", "het", "een", "van", "en", "in", "is", "dat", "op", "te"),
+    "ru" -> Seq("и", "в", "не", "на", "я", "что", "он", "с", "как", "это"))
 
   /** HOF formulation of per-language stopword occurrence counts — the
     * documented, oracle-portable semantics. Interpreted (HOFs don't
@@ -54,16 +58,22 @@ object TextAnalysis {
     GraftSqlBridge.column(StopwordHitsAll(GraftSqlBridge.expression(toks)))
   }
 
-  /** Heuristic language ID: script detection for CJK and
-    * Arabic-script text, stopword voting among Latin languages,
-    * "und" (undetermined) when nothing scores.
+  /** Heuristic language ID: script detection for Japanese kana,
+    * Korean Hangul, CJK ideographs and Arabic-script text, stopword
+    * voting among the [[StopwordHitsAll.Langs]] alphabetic languages,
+    * "und" (undetermined) when nothing scores. Kana outranks the CJK
+    * check because Japanese text mixes kanji with kana — ideographs
+    * alone (no kana) read as Chinese.
     */
   def languageId(c: Column): Column = {
+    val kana = size(regexp_extract_all(c, lit("[\\x{3040}-\\x{30ff}]"), lit(0)))
+    val hangul = size(regexp_extract_all(
+      c, lit("[\\x{ac00}-\\x{d7af}\\x{1100}-\\x{11ff}]"), lit(0)))
     val cjk = size(regexp_extract_all(c, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
     val arabicScript = size(regexp_extract_all(c, lit("[\\x{0600}-\\x{06ff}]"), lit(0)))
     val toks = tokens(c)
-    // one native pass for all 4 languages; the element_at references
-    // share the kernel evaluation under whole-stage codegen CSE
+    // one native pass for all voting languages; the element_at
+    // references share the kernel evaluation under codegen CSE
     val hitsAll = stopwordHitsAll(toks)
     val scores = StopwordHitsAll.Langs.zipWithIndex
       .map { case (l, i) => l -> element_at(hitsAll, i + 1) }
@@ -73,7 +83,9 @@ object TextAnalysis {
     val latinPick = scores.foldLeft(when(best <= 0, "und")) {
       case (acc, (l, s)) => acc.when(s === best, l)
     }
-    when(cjk > 0, "zh")
+    when(kana > 0, "ja")
+      .when(hangul > 0, "ko")
+      .when(cjk > 0, "zh")
       .when(arabicScript > 0, "fa")
       .otherwise(latinPick.otherwise("und"))
   }

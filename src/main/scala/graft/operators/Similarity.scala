@@ -140,6 +140,73 @@ object Similarity {
       .select("query_id", "corpus_id", "hamming", "rank")
   }
 
+  /** The full rerank cascade in one call: Hamming shortlist → int8
+    * rerank → float verify. Centroid-free (no IVF state), so it works
+    * on any corpus as-is while still scanning 32×-smaller payloads in
+    * the only full-corpus pass:
+    *
+    *  1. sign-bit scan ([[bruteForceTopKHamming]]) keeps `shortlist`
+    *     candidates per query — the ONLY tier that touches every
+    *     corpus row, and it moves one bigint word per 64 dims;
+    *  2. int8 rerank: the candidate id list (|queries|·shortlist rows,
+    *     broadcast) joins a fresh corpus scan that projects only the
+    *     tinyint codes; integer cosine keeps `rerank` per query;
+    *  3. float verify: the survivors (|queries|·rerank rows,
+    *     broadcast) join a float-vector scan; exact cosine picks the
+    *     final k.
+    *
+    * Every shuffle carries ids and scalar scores — never vector
+    * payloads (the payload-through-sort hazard); each tier re-reads
+    * the corpus with column pruning instead of dragging wider codes
+    * through the previous tier's window. Recall is bounded by tier 1:
+    * size `shortlist` generously (it is cheap — scalar rows).
+    *
+    * @return (query id, corpus id, cosine, rank) — float cosine,
+    *         rank 1..k, deterministic tie-break on corpus id.
+    */
+  def cascadeTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      qIdCol: String,
+      k: Int,
+      shortlist: Int = 200,
+      rerank: Int = 0): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(shortlist >= k, "shortlist must be >= k")
+    val rr = if (rerank <= 0) math.max(k, shortlist / 4) else rerank
+    require(rr >= k && rr <= shortlist,
+      s"rerank must be in [k, shortlist], got $rr")
+    val short = bruteForceTopKHamming(
+      corpus, queries, vecCol, idCol, qIdCol, shortlist)
+      .select("query_id", "corpus_id")
+    val cq = corpus.select(col(idCol).as("corpus_id"),
+      quantize8(col(vecCol)).getField("q").as("__cq"))
+    val qq = queries.select(col(qIdCol).as("query_id"),
+      quantize8(col(vecCol)).getField("q").as("__qq"))
+    val w8 = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos8").desc, col("corpus_id").asc)
+    val survivors = cq
+      .join(broadcast(short), Seq("corpus_id"))
+      .join(broadcast(qq), Seq("query_id"))
+      .withColumn("__cos8", round(cosineSimilarityInt8(col("__cq"), col("__qq")), 6))
+      .withColumn("__r8", row_number().over(w8))
+      .where(col("__r8") <= rr)
+      .select("query_id", "corpus_id")
+    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+    val qv = queries.select(col(qIdCol).as("query_id"), col(vecCol).as("__qv"))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    cv
+      .join(broadcast(survivors), Seq("corpus_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine", round(cosineSimilarityNative(col("__cv"), col("__qv")), 6))
+      .withColumn("rank", row_number().over(wF))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
   /** Approximate top-k: candidates restricted to the query's
     * hyperplane bucket. Recall grows with fewer planes / multi-probe;
     * cost shrinks with more planes.

@@ -24,4 +24,42 @@ class ProfileSpec extends SparkSpec {
       }
     assert(dist > 80 && dist < 120)
   }
+
+  test("profile: 60-column corpus profile is one pass, no expand, no codegen blowup") {
+    import org.apache.spark.sql.functions._
+    // the realistic corpus-profile call: wide schema, approx distinct
+    val nCols = 60
+    val wide = spark.range(500).select(
+      (0 until nCols).map(i => (col("id") * (i + 1) % 37).as(s"c$i")): _*)
+    // fail instead of silently falling back if generated code breaks
+    // (the 64 KB Janino method-limit hazard documented in SURVEY §6a)
+    val prior = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = Profile.profile(wide, approx = true)
+      val rows = out.as[(String, Long, Long, Long)].collect()
+      assert(rows.length == nCols)
+      assert(rows.forall(_._2 == 500L)) // n_rows
+      assert(rows.forall(_._3 == 0L)) // n_nulls
+      // c0 = id % 37 has 37 distinct values; HLL at default precision
+      // is exact-ish at this cardinality
+      val d0 = rows.find(_._1 == "c0").get._4
+      assert(d0 >= 30 && d0 <= 44, s"c0 distinct estimate $d0")
+      val plan = out.queryExecution.executedPlan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val inner = plan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // approx path: single aggregation over a single leaf — no
+      // Expand (the exact multi-distinct rewrite would multiply every
+      // input row by the distinct-column count: a 60× blowup)
+      assert(inner.collectLeaves().size == 1, "profile must scan once")
+      assert(!inner.toString.contains("Expand"),
+        "approx profile must not use the expand-based distinct rewrite")
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
 }

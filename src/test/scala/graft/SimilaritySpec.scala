@@ -162,6 +162,39 @@ class SimilaritySpec extends SparkSpec {
     assert(topSet(again) == h)
   }
 
+  test("cascadeTopK: recall >= the straight int8 path; generous shortlist is exact") {
+    val rnd = new scala.util.Random(23)
+    val c = (0L until 200L).map(i => (i, Seq.fill(32)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "vec")
+    val q = c.where($"id" < 6)
+    def topSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val exact = topSet(Similarity.bruteForceTopK(c, q, "vec", "id", "id", k = 10))
+    def recall(m: Map[Long, Set[Long]]) =
+      exact.keys.toSeq.map(k => (exact(k) & m(k)).size / 10.0).sum / exact.size
+    val int8Recall = recall(topSet(
+      Similarity.bruteForceTopKInt8(c, q, "vec", "id", "id", k = 10)))
+    val cascadeRecall = recall(topSet(Similarity.cascadeTopK(
+      c, q, "vec", "id", "id", k = 10, shortlist = 120, rerank = 60)))
+    assert(cascadeRecall >= int8Recall,
+      s"cascade $cascadeRecall < int8 $int8Recall")
+    // shortlist = corpus → tier 1 prunes nothing, rerank = shortlist →
+    // tier 2 prunes nothing: the cascade degenerates to the exact scan
+    val full = topSet(Similarity.cascadeTopK(
+      c, q, "vec", "id", "id", k = 10, shortlist = 200, rerank = 200))
+    assert(full == exact)
+    // deterministic under repartitioning
+    val again = topSet(Similarity.cascadeTopK(
+      c.repartition(7), q, "vec", "id", "id", k = 10, shortlist = 120, rerank = 60))
+    assert(again == topSet(Similarity.cascadeTopK(
+      c, q, "vec", "id", "id", k = 10, shortlist = 120, rerank = 60)))
+    // parameter validation
+    intercept[IllegalArgumentException] {
+      Similarity.cascadeTopK(c, q, "vec", "id", "id", k = 10, shortlist = 5)
+    }
+  }
+
   test("ivfTopKFromIndex: identical results to ivfTopK, corpus side shuffle-free") {
     val rnd = new scala.util.Random(11)
     val c = (0L until 300L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))

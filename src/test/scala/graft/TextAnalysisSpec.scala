@@ -30,6 +30,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq("en", "es", "zh", "fa", "und"))
   }
 
+  test("languageId: widened coverage — pt/it/nl/ru voting, ja/ko scripts") {
+    val df = Seq(
+      // pt: "o/do/da/em/para/com" are pt-only among the lists
+      "o menino foi para casa com o livro do professor em silencio",
+      // it: "di/che/il/per/non" dominate
+      "il gatto che dorme per ore non ha fame di niente",
+      // nl: "het/een/van/dat/op/te" are nl-only
+      "het huis van een man dat op de hoek staat te koop",
+      // ru: Cyrillic stopwords vote (no script shortcut for Cyrillic)
+      "я не знаю что он думает на самом деле как это",
+      // ja: kana present (mixed kanji + kana reads as Japanese)
+      "これは日本語の文です",
+      // ko: Hangul syllables
+      "이것은 한국어 문장입니다",
+      // kanji ONLY (no kana) still reads as Chinese
+      "日本東京大学").toDF("s")
+    val out = df.select(languageId($"s").as("l")).as[String].collect().toSeq
+    assert(out == Seq("pt", "it", "nl", "ru", "ja", "ko", "zh"))
+  }
+
   test("stopwordHitsAll native kernel == HOF twin, per language, on adversarial inputs") {
     // occurrence counting (not distinct), multi-language words
     // ("de"/"la"/"que" are stopwords in several lists), blanks,
