@@ -17,15 +17,20 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   /** Read a test table. `events.ts` is a nanosecond parquet timestamp
-    * (unsupported natively) — read as long nanos and exposed as
-    * `ts_ms` (epoch millis, matching DuckDB's `epoch_ms(ts)`).
+    * in the driver's data (unsupported natively) — read as long nanos
+    * and exposed as `ts_ms` (epoch millis, matching DuckDB's
+    * `epoch_ms(ts)`). Derived datasets (tools/GenScale sf1) carry a
+    * micros timestamp instead, where `unix_millis` is the same floor.
     */
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read
-        .parquet(s"$dir/events.parquet")
-        .withColumn("ts_ms", expr("ts div 1000000"))
+      val df = spark.read.parquet(s"$dir/events.parquet")
+      val tsMs = df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+        case _ => expr("unix_millis(ts)")
+      }
+      df.withColumn("ts_ms", tsMs)
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Flagship query on sf=0.001: revenue per region — broadcast dim
@@ -573,6 +578,22 @@ object SparkEntry {
       Similarity.lshTopK(e, e.where(col("vec_id") < 5),
         "embedding", "vec_id", "vec_id", k = 10, dim = 64, numPlanes = 6)
     }),
+    "q_kmeans" -> ((s, dir) => {
+      // Spherical k-means, 2 Lloyd passes over the stride-sampled
+      // init; centroid means round to 6 dp at each update (see
+      // kmeansAssignments), so the SQL replay's argmax sees
+      // bit-identical centroids.
+      Similarity.kmeansAssignments(
+        t(s, dir, "embeddings"), "embedding", "vec_id", stride = 100, iters = 2)
+        .select(col("id").as("vec_id"), col("cluster"), col("cosine"))
+    }),
+    "q_semdedup" -> ((s, dir) => {
+      // Cluster-scoped near-dup (SemDeDup shape): one assignment
+      // pass, pairs only within a cluster, exact-cosine verify. The
+      // cloned corpus guarantees a true near-dup population.
+      Similarity.semanticNearDupPairs(embWithDups(s, dir),
+        "embedding", "vec_id", threshold = 0.9, stride = 100, iters = 1)
+    }),
     "q_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.where(col("vec_id") < 5),
@@ -660,6 +681,16 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) => {
       graft.functions.TextAnalysis.tfIdfTopK(
         t(s, dir, "documents"), "text", "doc_id", k = 5)
+    }),
+    "q_lm_score" -> ((s, dir) => {
+      // topV=20 on a ~31-token synthetic vocabulary, so the <unk>
+      // (OOV) path is genuinely exercised.
+      graft.functions.TextAnalysis.lmScore(
+        Parallelism.spread(t(s, dir, "documents")), "text", "doc_id", topV = 20)
+    }),
+    "q_dup_ngrams" -> ((s, dir) => {
+      graft.functions.TextAnalysis.dupNgramStats(
+        docsWithDups(s, dir), "text", "doc_id", n = 5)
     }),
     "q_dedup_lines" -> ((s, dir) => {
       // Synthesize within-doc repetition (the raw corpus has no
@@ -1303,6 +1334,67 @@ object SparkEntry {
         |  sum(CASE WHEN et IS NULL THEN 1 ELSE 0 END)::BIGINT, count(DISTINCT et)::BIGINT FROM e
         |UNION ALL SELECT 'value', count(*)::BIGINT,
         |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT, count(DISTINCT value)::BIGINT FROM e""".stripMargin,
+    // 2 Lloyd passes: assign to stride-sampled centroids, re-mean
+    // each cluster per position (rounded 6 dp, matching
+    // kmeansAssignments' update), re-assign. Argmax ties break to the
+    // lowest centroid id on both sides.
+    "q_kmeans" ->
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 100 = 0),
+         |a1 AS (SELECT vec_id, embedding, cid,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn
+         |  FROM embeddings, c0),
+         |a1f AS (SELECT vec_id, embedding, cid FROM a1 WHERE rn = 1),
+         |px AS (SELECT cid, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos FROM a1f),
+         |pm AS (SELECT cid, pos, round(avg(x::DOUBLE), 6) AS m FROM px GROUP BY 1, 2),
+         |c1 AS (SELECT cid, list(m ORDER BY pos) AS cvec FROM pm GROUP BY 1),
+         |a2 AS (SELECT vec_id, cid, round(${cosSql("embedding", "cvec")}, 6) AS cosine,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn
+         |  FROM embeddings, c1)
+         |SELECT vec_id, cid AS cluster, cosine FROM a2 WHERE rn = 1""".stripMargin,
+    "q_semdedup" ->
+      s"""WITH $embWithDupsSql,
+         |cen AS (SELECT vec_id AS cid, embedding AS cvec FROM emb WHERE vec_id % 100 = 0),
+         |a AS (SELECT vec_id, embedding, cid,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn
+         |  FROM emb, cen),
+         |af AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1),
+         |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |  round(${cosSql("x.embedding", "y.embedding")}, 6) AS cosine
+         |  FROM af x JOIN af y USING (cid) WHERE x.vec_id < y.vec_id)
+         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.9""".stripMargin,
+    // Mirrors TextAnalysis.lmScore (topV=20, addK=1): vocab cut by
+    // (count DESC, token ASC), OOV → '<unk>', V = |vocab| + 1.
+    "q_lm_score" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        |un AS (SELECT unnest(w) AS t FROM tk),
+        |uc AS (SELECT t, count(*) AS c FROM un GROUP BY 1),
+        |voc AS (SELECT t FROM uc ORDER BY c DESC, t LIMIT 20),
+        |vsz AS (SELECT (count(*) + 1)::DOUBLE AS v FROM voc),
+        |mu AS (SELECT CASE WHEN t IN (SELECT t FROM voc) THEN t ELSE '<unk>' END AS m1 FROM un),
+        |c1 AS (SELECT m1, count(*) AS cu FROM mu GROUP BY 1),
+        |bgx AS (SELECT doc_id, unnest(list_transform(range(0, len(w) - 1),
+        |    i -> {'a': w[i + 1], 'b': w[i + 2]})) AS p FROM tk WHERE len(w) >= 2),
+        |bg AS (SELECT doc_id,
+        |  CASE WHEN p.a IN (SELECT t FROM voc) THEN p.a ELSE '<unk>' END AS m1,
+        |  CASE WHEN p.b IN (SELECT t FROM voc) THEN p.b ELSE '<unk>' END AS m2 FROM bgx),
+        |c12 AS (SELECT m1, m2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, ln((cb + 1.0) / (cu + 1.0 * v)) AS lp
+        |  FROM bg JOIN c12 USING (m1, m2) JOIN c1 USING (m1), vsz),
+        |ag AS (SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS avg_logprob
+        |  FROM sc GROUP BY 1)
+        |SELECT d.doc_id, coalesce(ag.n_bigrams, 0)::BIGINT AS n_bigrams, ag.avg_logprob
+        |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin,
+    "q_dup_ngrams" ->
+      s"""WITH $docsWithDupsSql,
+         |tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM docs),
+         |gr AS (SELECT doc_id, md5(unnest(CASE WHEN len(w) >= 5
+         |  THEN list_distinct(list_transform(range(0, len(w) - 4),
+         |    i -> array_to_string(w[(i + 1):(i + 5)], ' ')))
+         |  ELSE [array_to_string(w, ' ')] END)) AS g FROM tk),
+         |gc AS (SELECT g, count(*) AS ndocs FROM gr GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  round(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS dup_ngram_frac
+         |FROM gr JOIN gc USING (g) GROUP BY 1""".stripMargin,
     "q_tfidf" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tc FROM tk GROUP BY 1, 2),

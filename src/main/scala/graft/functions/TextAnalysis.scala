@@ -170,6 +170,124 @@ object TextAnalysis {
         round(col("tfidf"), 6).as("tfidf"), col("rank"))
   }
 
+  /** Per-document bigram language-model score (corpus-level
+    * operator): the mean natural-log probability of each document's
+    * token bigrams under an add-k-smoothed bigram model fitted on the
+    * corpus itself — the KenLM-shaped quality signal (CCNet / Gopher
+    * pipelines score documents by LM perplexity and filter the tails;
+    * avg_logprob = −perplexity-per-token in nats, so MORE negative =
+    * more surprising text).
+    *
+    * Model: vocabulary = the `topV` most frequent tokens (ties to the
+    * lexicographically smaller, so the cut is deterministic);
+    * everything else maps to `<unk>`. P(w₂|w₁) = (c(w₁w₂) + k) /
+    * (c(w₁) + k·V) with V = |vocab| + 1 (the unk bucket).
+    *
+    * Scale shape: bigrams are built ROW-LOCALLY from each document's
+    * token array (no self-join, no per-doc window shuffle); vocab
+    * mapping is two broadcast joins against the (topV-bounded, by
+    * contract driver-small) vocabulary; the count tables shuffle one
+    * row per distinct mapped token/bigram — vocab-bounded, not
+    * corpus-bounded; scoring joins those aggregates back (AQE
+    * broadcasts them when they fit) and one groupBy(id) averages.
+    * The vocab cut compiles to TakeOrderedAndProject (per-partition
+    * top-V, then a V-bounded merge) — no global sort of the count
+    * table, no single-task window.
+    *
+    * @return (idCol, n_bigrams, avg_logprob) — one row per input
+    *         document; docs with < 2 tokens score (0, null);
+    *         avg_logprob rounded to 4 dp.
+    */
+  def lmScore(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      topV: Int = 1000,
+      addK: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    require(topV >= 1, "topV must be >= 1")
+    require(addK > 0, "addK must be > 0")
+    val tk = df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__w"))
+    val uni = tk.select(explode(col("__w")).as("__t"))
+    val voc = uni
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__t").asc)
+      .limit(topV)
+      .select(col("__t"))
+    val vsz = voc.select((count(lit(1)) + 1).cast("double").as("__v"))
+    val c1 = uni
+      .join(broadcast(voc.select(col("__t"), lit(1).as("__k"))), Seq("__t"), "left")
+      .select(when(col("__k").isNotNull, col("__t")).otherwise(lit("<unk>")).as("__m"))
+      .groupBy(col("__m")).agg(count(lit(1)).as("__c1"))
+      .withColumnRenamed("__m", "__m1")
+    val bg = tk
+      .where(size(col("__w")) >= 2)
+      .select(col("__id"), explode(expr(
+        "transform(sequence(0, size(__w) - 2), i -> struct(__w[i] AS w1, __w[i + 1] AS w2))")).as("__p"))
+      .select(col("__id"), col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
+      .join(broadcast(voc.select(col("__t").as("__w1"), lit(1).as("__k1"))), Seq("__w1"), "left")
+      .join(broadcast(voc.select(col("__t").as("__w2"), lit(1).as("__k2"))), Seq("__w2"), "left")
+      .select(col("__id"),
+        when(col("__k1").isNotNull, col("__w1")).otherwise(lit("<unk>")).as("__m1"),
+        when(col("__k2").isNotNull, col("__w2")).otherwise(lit("<unk>")).as("__m2"))
+    val c12 = bg.groupBy(col("__m1"), col("__m2")).agg(count(lit(1)).as("__c12"))
+    val scored = bg
+      .join(c12, Seq("__m1", "__m2"))
+      .join(c1, Seq("__m1"))
+      .crossJoin(broadcast(vsz))
+      .withColumn("__lp",
+        log((col("__c12") + addK) / (col("__c1") + lit(addK) * col("__v"))))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("__lp")), 4).as("avg_logprob"))
+    df.select(col(idCol).as("__id"))
+      .join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("avg_logprob"))
+  }
+
+  /** Cross-document duplicated-n-gram statistics (corpus-level
+    * operator): for each document, the fraction of its DISTINCT word
+    * n-grams that occur in at least one other document — the
+    * span-level near-dup signal of Lee et al. ("Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022), reduced
+    * to a per-document score. High dup_ngram_frac = the document is
+    * largely assembled from text that exists elsewhere in the corpus
+    * (mirror sites, templated spam, wholesale quotation) even when no
+    * single document is a near-duplicate of it.
+    *
+    * Scale shape: each document contributes its distinct n-grams ONCE
+    * (md5'd, so the shuffle carries 32-char keys, never text); one
+    * count aggregation keyed by gram (map-side partials), one
+    * join-back, one groupBy(id). Documents shorter than n tokens
+    * contribute their whole token join as a single gram, mirroring
+    * [[graft.operators.Dedup.ngramJaccardPairs]]'s convention.
+    *
+    * @return (idCol, n_grams, dup_ngram_frac) — distinct-gram count
+    *         and the shared fraction, rounded to 4 dp.
+    */
+  def dupNgramStats(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 5): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val tk = df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__w"))
+    val grams = tk
+      .select(col("__id"), explode(
+        when(size(col("__w")) >= n, array_distinct(expr(
+          s"transform(sequence(0, size(__w) - $n), i -> array_join(slice(__w, i + 1, $n), ' '))")))
+          .otherwise(array(array_join(col("__w"), " ")))).as("__g"))
+      .select(col("__id"), md5(col("__g")).as("__g"))
+    val gc = grams.groupBy(col("__g")).agg(count(lit(1)).as("__docs"))
+    grams
+      .join(gc, Seq("__g"))
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        round(sum(when(col("__docs") >= 2, 1).otherwise(0)).cast("double") /
+          count(lit(1)), 4).as("dup_ngram_frac"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Polynomial rolling hash of the raw text (base 31, mod 2^61-1),
     * computed with the incremental aggregate lambda — the
     * order-sensitive cousin of [[fingerprint]].

@@ -457,6 +457,114 @@ object Similarity {
     ivfSearch(assigned, cen, queries, vecCol, qIdCol, k, nprobe)
   }
 
+  /** Spherical k-means assignments after `iters` Lloyd passes
+    * (cosine argmax; the update step is the per-position mean of each
+    * cluster's members). Init is the same deterministic stride sample
+    * as [[ivfTopK]] — no RNG, no fitted model to ship — and cluster
+    * ids are the initial centroids' corpus ids, stable across
+    * iterations. The workhorse of cluster-based curation (SemDeDup
+    * pre-clustering, diversity-balanced sampling, topic browsing).
+    *
+    * Scale shape: each pass is one broadcast of the (bounded, ≤
+    * n/stride) centroid set against the corpus + one map-side-partial
+    * argmax agg — corpus rows shuffle by id once per pass, vectors
+    * never meet vectors. The update is a posexplode + grouped mean
+    * whose shuffle carries ≤ partitions·nlist·dim scalar rows, then a
+    * nlist-row regroup; nothing touches the driver. Centroid means
+    * are rounded to 6 dp at each update so the assignment argmax is
+    * reproducible bit-for-bit against a SQL replay (a cross-row float
+    * mean has no stable bit pattern; 6 dp is far above the ~1e-13
+    * summation-order jitter and far below any real angular margin).
+    *
+    * Empty clusters drop out (no member → no mean), matching the SQL
+    * replay exactly.
+    *
+    * @return (id, cluster, cosine) — cosine to the final assigned
+    *         centroid, rounded to 6 dp; ties break to the lowest
+    *         cluster id.
+    */
+  def kmeansAssignments(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      stride: Int = 100,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(stride >= 1, "stride must be >= 1")
+    val src = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__cv"))
+    var cen = src
+      .where(pmod(col("__id"), lit(stride)) === 0)
+      .select(col("__id").as("__cid"), col("__cv").as("__cvec"))
+    var assigned: DataFrame = null
+    for (i <- 1 to iters) {
+      assigned = src
+        .join(broadcast(cen))
+        .withColumn("__ccos", cosineSimilarityNative(col("__cv"), col("__cvec")))
+        .groupBy(col("__id"))
+        .agg(max(struct(col("__ccos"), (-col("__cid")).as("__negcid"),
+          col("__cid").as("__cid"), col("__cv").as("__cv"))).as("__m"))
+        .select(col("__id"), col("__m.__cv").as("__cv"),
+          col("__m.__cid").as("__cid"), col("__m.__ccos").as("__cos"))
+      if (i < iters) {
+        cen = assigned
+          .select(col("__cid"), posexplode(col("__cv")).as(Seq("__pos", "__x")))
+          .groupBy(col("__cid"), col("__pos"))
+          .agg(round(avg(col("__x")), 6).as("__mv"))
+          .groupBy(col("__cid"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("__pos"), col("__mv")))),
+            s => s.getField("__mv")).as("__cvec"))
+      }
+    }
+    assigned.select(col("__id").as("id"), col("__cid").as("cluster"),
+      round(col("__cos"), 6).as("cosine"))
+  }
+
+  /** Cluster-scoped embedding near-duplicates (the SemDeDup shape,
+    * Abbas et al. 2023: semantic dedup searches only within k-means
+    * clusters). Each vector is assigned to its nearest
+    * stride-sampled centroid after `iters` Lloyd passes
+    * ([[kmeansAssignments]]); candidate pairs form only within a
+    * cluster, then exact cosine verifies against `threshold`.
+    *
+    * vs [[nearDupPairs]] (hyperplane LSH): LSH candidates are
+    * recall-tuned per threshold and need L tables; cluster scoping
+    * gives ONE partition of the corpus (each vector scans one
+    * cluster), which is what you want when the clusters are reused
+    * for other curation steps anyway. `maxCluster` drops degenerate
+    * clusters (a hub cluster would otherwise emit O(members²) pairs)
+    * — the same cap-before-collect discipline as the LSH path; the
+    * candidate shuffle carries (id, cluster) rows only, vectors
+    * attach by join-back afterwards.
+    *
+    * @return (id_a, id_b, cosine) with id_a < id_b, cosine ≥
+    *         threshold rounded to 6 dp.
+    */
+  def semanticNearDupPairs(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      stride: Int = 100,
+      iters: Int = 1,
+      maxCluster: Int = 0): DataFrame = {
+    val src = Parallelism.spread(df)
+    val assigned = kmeansAssignments(src, vecCol, idCol, stride, iters)
+      .select(col("id").as("__id"), lit(0).as("__bpos"), col("cluster").as("__bkey"))
+    val cands = Dedup
+      .bucketPairs(assigned, col("__id"), maxCluster)
+      .where(col("__a") < col("__b"))
+      .select(col("__a").as("id_a"), col("__b").as("id_b"))
+      .distinct()
+    Dedup.pushdownBarrier(cands
+      .repartition(cands.sparkSession.sparkContext.defaultParallelism)
+      .join(src.select(col(idCol).as("id_a"), col(vecCol).as("__va")), Seq("id_a"))
+      .join(src.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), Seq("id_b")))
+      .withColumn("cosine", round(cosineSimilarityNative(col("__va"), col("__vb")), 6))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Stride that keeps the deterministic centroid sample at
     * ≈`targetNlist` members regardless of corpus size:
     * stride = ⌈n / targetNlist⌉, so over dense ids the sample has

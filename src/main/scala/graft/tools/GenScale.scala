@@ -83,9 +83,15 @@ object GenScale {
       .withColumn("l_partkey", off("l_partkey", 20000L))
       .withColumn("l_suppkey", off("l_suppkey", 1000L))
       .drop("__c"), "lineitem")
+    // The driver's events.ts is TIMESTAMP(NANOS) — readable only as
+    // long nanos, and Spark cannot write nanos back. Re-emit as a
+    // micros timestamp: `epoch_ms(ts)` (DuckDB oracle) and
+    // `unix_millis(ts)` (SparkEntry reader) floor to the same millis.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     writeOne(cloned("events")
       .withColumn("event_id", off("event_id", 100000L))
       .withColumn("user_id", off("user_id", 1500L))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .drop("__c"), "events")
     writeOne(cloned("documents")
       .withColumn("doc_id", off("doc_id", 5000L))

@@ -332,4 +332,69 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.autoPlanes((32L << 20) * 8) == 23)
     assert(Similarity.autoPlanes(Long.MaxValue / 2) == 28)
   }
+
+  // Two tight angular clusters around orthogonal axes; ids 0 and 3
+  // are the stride-3 seeds, one per cluster.
+  private def twoClusters = Seq(
+    (0L, Seq(1.0f, 0.05f, 0.0f, 0.0f)),
+    (1L, Seq(1.0f, -0.05f, 0.0f, 0.0f)),
+    (2L, Seq(0.98f, 0.02f, 0.0f, 0.0f)),
+    (3L, Seq(0.0f, 0.0f, 1.0f, 0.05f)),
+    (4L, Seq(0.0f, 0.0f, 0.97f, -0.03f)),
+    (5L, Seq(0.05f, 0.0f, 1.0f, 0.0f)))
+    .toDF("id", "vec")
+
+  test("kmeansAssignments: stride seeds, Lloyd pass, stable cluster ids") {
+    val out = Similarity
+      .kmeansAssignments(twoClusters, "vec", "id", stride = 3, iters = 2)
+      .select($"id", $"cluster").as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 3L))
+    // iters=1 (pure assignment, no update) agrees here — the seeds
+    // already sit inside their clusters
+    val one = Similarity
+      .kmeansAssignments(twoClusters, "vec", "id", stride = 3, iters = 1)
+      .select($"id", $"cluster").as[(Long, Long)].collect().toMap
+    assert(one == out)
+    // cosine to the final centroid is high within a tight cluster
+    val cos = Similarity
+      .kmeansAssignments(twoClusters, "vec", "id", stride = 3, iters = 2)
+      .select($"cosine").as[Double].collect()
+    assert(cos.forall(_ > 0.99))
+  }
+
+  test("kmeansAssignments: the update step moves a misassigned point over") {
+    // Seed 0 sits BETWEEN the x-cluster and a lone y-outlier; seed 4
+    // anchors the z-cluster. After one update the x-members pull
+    // centroid 0 toward x, keeping membership; z stays put.
+    val drift = Seq(
+      (0L, Seq(0.7f, 0.7f, 0.0f)), // seed A: x/y diagonal
+      (1L, Seq(1.0f, 0.1f, 0.0f)),
+      (2L, Seq(1.0f, -0.1f, 0.0f)),
+      (3L, Seq(0.95f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f)), // seed B: z axis
+      (5L, Seq(0.0f, 0.1f, 0.9f)))
+      .toDF("id", "vec")
+    val out = Similarity
+      .kmeansAssignments(drift, "vec", "id", stride = 4, iters = 2)
+      .select($"id", $"cluster").as[(Long, Long)].collect().toMap
+    assert(out.values.toSet == Set(0L, 4L))
+    assert(Seq(1L, 2L, 3L).forall(out(_) == 0L))
+    assert(out(5L) == 4L)
+  }
+
+  test("semanticNearDupPairs: finds within-cluster pairs, respects maxCluster") {
+    // near-dup pair (1,2) lives in the x-cluster; nothing in z is close
+    val pairs = Similarity
+      .semanticNearDupPairs(twoClusters, "vec", "id", threshold = 0.999,
+        stride = 3, iters = 1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 2L)) || pairs.contains((0L, 2L)))
+    assert(pairs.forall { case (a, b) => a < 3 == b < 3 }) // never cross-cluster
+    // a cap below the cluster size suppresses its pairs entirely
+    val capped = Similarity
+      .semanticNearDupPairs(twoClusters, "vec", "id", threshold = 0.9,
+        stride = 3, iters = 1, maxCluster = 2)
+      .count()
+    assert(capped == 0L)
+  }
 }

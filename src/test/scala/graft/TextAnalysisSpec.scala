@@ -351,4 +351,51 @@ class TextAnalysisSpec extends SparkSpec {
       .select($"id", $"start_offset", $"first_seq", $"last_seq", $"n_seqs")
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("lmScore: add-1 bigram model matches the hand-computed values") {
+    // corpus: d1 = "a b a b", d2 = "a b c", d3 = "x" (single token)
+    // topV=2 → vocab {a, b} (counts a:3 b:3 c:1 x:1; ties token-asc),
+    // V = 3 (with <unk>); mapped unigrams a:3 b:3 <unk>:2
+    // bigrams: (a,b):3  (b,a):1  (b,<unk>):1
+    val df = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("id", "text")
+    val out = lmScore(df, "text", "id", topV = 2)
+      .select($"id", $"n_bigrams", $"avg_logprob")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)))).toMap
+    val lpAB = math.log((3 + 1.0) / (3 + 3.0)) // c(a,b)=3, c(a)=3, kV=3
+    val lpBA = math.log((1 + 1.0) / (3 + 3.0))
+    val lpBU = math.log((1 + 1.0) / (3 + 3.0))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((3L, Some(r4((lpAB * 2 + lpBA) / 3)))))
+    assert(out(2L) == ((2L, Some(r4((lpAB + lpBU) / 2)))))
+    assert(out(3L) == ((0L, None))) // < 2 tokens: no bigrams, null score
+  }
+
+  test("lmScore: vocab cut is deterministic under count ties") {
+    // all counts equal → topV=2 keeps the lexicographically smallest
+    val df = Seq((1L, "d c b a")).toDF("id", "text")
+    val out = lmScore(df, "text", "id", topV = 2)
+      .select($"avg_logprob").as[Double].head()
+    // tokens a..d count 1 each → vocab {a, b}; V=3; mapped bigrams
+    // (<unk>,<unk>):1 (<unk>,b):1 (b,a):1 with c(<unk>)=2, c(b)=1, c(a)=1
+    val want = (math.log(2.0 / 5) + math.log(2.0 / 5) + math.log(2.0 / 4)) / 3
+    assert(math.abs(out - want) < 1e-4)
+  }
+
+  test("dupNgramStats: shared 5-gram fractions, short-doc whole-join") {
+    val df = Seq(
+      (1L, "x1 x2 x3 x4 x5 u1 u2"), // 3 grams, 1 shared
+      (2L, "x1 x2 x3 x4 x5 v1"), // 2 grams, 1 shared
+      (3L, "q1 q2 q3 q4 q5 q6"), // 2 grams, 0 shared
+      (4L, "tiny doc"), // < 5 tokens: whole join as 1 gram
+      (5L, "tiny doc")) // exact short dup of 4
+      .toDF("id", "text")
+    val out = dupNgramStats(df, "text", "id", n = 5)
+      .select($"id", $"n_grams", $"dup_ngram_frac")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((3L, 0.3333)))
+    assert(out(2L) == ((2L, 0.5)))
+    assert(out(3L) == ((2L, 0.0)))
+    assert(out(4L) == ((1L, 1.0)))
+    assert(out(5L) == ((1L, 1.0)))
+  }
 }
