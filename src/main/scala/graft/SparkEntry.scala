@@ -922,6 +922,23 @@ object SparkEntry {
       Dedup.minHashLshPairsFromSignatures(docs, sigTable, "text",
         "doc_id", shingleK = 5, jaccardThreshold = 0.5)
     }),
+    "q_dedup_incremental" -> ((s, dir) => {
+      // New-batch-vs-history dedup: history = plain documents,
+      // signed once per (session, corpus); the new batch is the
+      // clone slice under fresh ids, so every batch doc has a known
+      // jaccard-1.0 partner in the history. Only the batch pays a
+      // signature pass; the history side reads its bucketed table.
+      val hist = t(s, dir, "documents")
+      val batch = hist.where(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val sigTable = "graft_sigs_hist_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      if (!s.catalog.tableExists(sigTable))
+        Dedup.writeMinHashSignatures(hist, "text", "doc_id", sigTable,
+          shingleK = 5, numHashes = 8, bands = 2)
+      Dedup.minHashLshPairsIncremental(batch, hist, sigTable, "text",
+        "doc_id", jaccardThreshold = 0.5)
+    }),
     "q_multimodal_meta" -> ((s, dir) => {
       graft.multimodal.Multimodal
         .attachBinary(t(s, dir, "documents"), "text")
@@ -1009,7 +1026,42 @@ object SparkEntry {
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM s)
        |SELECT query_id, corpus_id, cosine, rank FROM r WHERE rank <= 10""".stripMargin
 
+  /** Incremental (new-batch-vs-history) minhash pairs: history =
+    * plain `documents`, batch = the clone slice under fresh ids.
+    * Mirrors Dedup.minHashLshPairsIncremental with the table-recorded
+    * build parameters (shingleK=5, numHashes=8, bands=2).
+    */
+  private lazy val incrementalCtes: String = {
+    val bands = 2
+    val rows = 8 / bands
+    val bandExprs = (0 until bands)
+      .map(b => "md5(" + (0 until rows).map(r => s"sig[${b * rows + r + 1}]")
+        .mkString(" || '|' || ") + ")")
+      .mkString("[", ", ", "]")
+    def shingleCase(src: String) =
+      s"""SELECT doc_id, CASE WHEN length(text) >= 5
+         |  THEN list_distinct(list_transform(range(0, length(text) - 4), i -> substr(text, i + 1, 5)))
+         |  ELSE [text] END AS s FROM $src""".stripMargin
+    s"""newdocs AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 100 = 0),
+       |sho AS (${shingleCase("documents")}),
+       |shn AS (${shingleCase("newdocs")}),
+       |sgo AS (SELECT doc_id, ${minhashSigSql("s", 8)} AS sig FROM sho),
+       |sgn AS (SELECT doc_id, ${minhashSigSql("s", 8)} AS sig FROM shn),
+       |bdo AS (SELECT doc_id, $bandExprs AS bands FROM sgo),
+       |bdn AS (SELECT doc_id, $bandExprs AS bands FROM sgn),
+       |exo AS (${(0 until bands).map(b => s"SELECT doc_id, $b AS bpos, bands[${b + 1}] AS bkey FROM bdo").mkString(" UNION ALL ")}),
+       |exn AS (${(0 until bands).map(b => s"SELECT doc_id, $b AS bpos, bands[${b + 1}] AS bkey FROM bdn").mkString(" UNION ALL ")}),
+       |cand AS (SELECT DISTINCT o.doc_id AS id_a, n.doc_id AS id_b
+       |  FROM exo o JOIN exn n ON o.bpos = n.bpos AND o.bkey = n.bkey),
+       |mh AS (SELECT id_a, id_b,
+       |  len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s))::DOUBLE AS jac
+       |  FROM cand JOIN sho sa ON sa.doc_id = cand.id_a JOIN shn sb ON sb.doc_id = cand.id_b)""".stripMargin
+  }
+
   private def pipelineOracle: Map[String, String] = Map(
+    "q_dedup_incremental" ->
+      s"""WITH $incrementalCtes
+         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM mh WHERE jac >= 0.5""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_key, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,

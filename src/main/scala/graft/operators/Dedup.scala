@@ -275,6 +275,33 @@ object Dedup {
       .bucketBy(numBuckets, "__bpos", "__bkey")
       .sortBy("__bpos", "__bkey")
       .saveAsTable(table)
+    // Self-describing signatures (same discipline as writeIvfIndex):
+    // the build parameters ride in the table properties so read paths
+    // can fail fast instead of silently verifying with a mismatched
+    // shingle size or hashing family.
+    df.sparkSession.sql(
+      s"ALTER TABLE `$table` SET TBLPROPERTIES (" +
+        s"'graft.minhash.shingleK' = '$shingleK', " +
+        s"'graft.minhash.numHashes' = '$numHashes', " +
+        s"'graft.minhash.bands' = '$bands', " +
+        s"'graft.minhash.fast' = '$fast')")
+  }
+
+  /** Build parameters recorded by [[writeMinHashSignatures]], or None
+    * for a table without them (not a graft signature table, or built
+    * before the properties existed).
+    */
+  def readMinHashSignatureMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String): Option[(Int, Int, Int, Boolean)] = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES `$table`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for {
+      k <- props.get("graft.minhash.shingleK")
+      h <- props.get("graft.minhash.numHashes")
+      b <- props.get("graft.minhash.bands")
+      f <- props.get("graft.minhash.fast")
+    } yield (k.toInt, h.toInt, b.toInt, f.toBoolean)
   }
 
   /** [[minHashLshPairs]] over a pre-bucketed signature table (see
@@ -293,10 +320,91 @@ object Dedup {
       jaccardThreshold: Double = 0.5,
       fast: Boolean = false,
       maxBucket: Int = 0): DataFrame = {
+    readMinHashSignatureMeta(df.sparkSession, sigTable).foreach {
+      case (k, _, _, f) =>
+        require(k == shingleK && f == fast,
+          s"minHashLshPairsFromSignatures: caller (shingleK=$shingleK, " +
+            s"fast=$fast) != (shingleK=$k, fast=$f) recorded in `$sigTable` " +
+            "table properties — verification would recompute different sets")
+    }
     val exploded = df.sparkSession.table(sigTable)
     verifyCandidates(
       candidatePairs(exploded, jaccardThreshold, maxBucket),
       Parallelism.spread(df), textCol, idCol, shingleK, jaccardThreshold, fast)
+  }
+
+  /** Incremental dedup: near-dup pairs between a NEW batch and an
+    * already-signed corpus (see [[writeMinHashSignatures]]) — the
+    * daily-crawl-vs-history shape. Only the new batch pays the
+    * signature pass; candidates come from joining its band rows
+    * against the bucketed signature table, whose clustering already
+    * satisfies the join — the indexed corpus never shuffles, and at
+    * a 100 TB history that is the whole game. Build parameters
+    * (shingle size, hash count, bands, hash family) are read from
+    * the table's own properties, so a drifted caller configuration
+    * cannot silently verify with different sets.
+    *
+    * `maxBucket` drops candidates from degenerate INDEX buckets
+    * (computed bucket-local on the clustered scan — no extra
+    * shuffle). Verification joins raw text back from `corpus` (the
+    * frame the table was built from) and `newDf`, exactly like the
+    * in-corpus paths. New-batch-internal pairs are out of scope by
+    * contract — run [[minHashLshPairs]] on the batch for those.
+    *
+    * @return (id_a, id_b, jaccard): id_a from the indexed corpus,
+    *         id_b from the new batch, jaccard ≥ threshold (4 dp).
+    */
+  def minHashLshPairsIncremental(
+      newDf: DataFrame,
+      corpus: DataFrame,
+      sigTable: String,
+      textCol: String,
+      idCol: String,
+      jaccardThreshold: Double = 0.5,
+      maxBucket: Int = 0): DataFrame = {
+    val spark = newDf.sparkSession
+    val (shingleK, numHashes, bands, fast) =
+      readMinHashSignatureMeta(spark, sigTable).getOrElse(
+        throw new IllegalArgumentException(
+          s"minHashLshPairsIncremental: `$sigTable` records no " +
+            "graft.minhash.* table properties — rebuild it with " +
+            "writeMinHashSignatures"))
+    val old0 = spark.table(sigTable)
+    val old =
+      if (maxBucket > 0) {
+        // bucket sizes aggregate on the table's own (__bpos, __bkey)
+        // clustering — zero exchange on the bucketed scan
+        val counts = old0.groupBy(col("__bpos"), col("__bkey"))
+          .agg(count(lit(1)).as("__bc"))
+          .where(col("__bc") <= maxBucket)
+          .select(col("__bpos"), col("__bkey"))
+        old0.join(counts, Seq("__bpos", "__bkey"))
+      } else old0
+    val newBands = bandedSignatures(Parallelism.spread(newDf), textCol, idCol,
+      shingleK, numHashes, bands, fast)
+    val cands = old
+      .select(col("__bpos"), col("__bkey"),
+        col("__id").as("id_a"), col("__sz").as("__sza"))
+      .join(newBands.select(col("__bpos"), col("__bkey"),
+        col("__id").as("id_b"), col("__sz").as("__szb")),
+        Seq("__bpos", "__bkey"))
+      .where(col("id_a") =!= col("id_b"))
+      .where(
+        least(col("__sza"), col("__szb")).cast("double") >=
+          lit(jaccardThreshold) * greatest(col("__sza"), col("__szb")))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val mkSet: Column => Column =
+      if (fast) c => transform(charShingles(c, shingleK), xxhash64(_))
+      else charShingles(_, shingleK)
+    val withSets = pushdownBarrier(cands
+      .repartition(cands.sparkSession.sparkContext.defaultParallelism)
+      .join(corpus.select(col(idCol).as("id_a"), col(textCol).as("__ta")), Seq("id_a"))
+      .join(newDf.select(col(idCol).as("id_b"), col(textCol).as("__tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        mkSet(col("__ta")).as("__set_a"), mkSet(col("__tb")).as("__set_b")))
+    jaccardVerify(withSets, jaccardThreshold,
+      if (fast) jaccardSimLong else jaccardSim, sizePrefilter = false)
   }
 
   /** Within-bucket pair generation: group the (`__bpos`, `__bkey`)

@@ -27,6 +27,65 @@ class BucketingSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_b_sigs")
   }
 
+  test("incremental pairs: batch-vs-history from the signature table, fail-fast meta") {
+    import graft.operators.Dedup
+    val hist = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about astronomy and the moons of jupiter"),
+      (3L, "a third history document about cooking pasta with garlic and olive oil"))
+      .toDF("id", "text")
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank today"), // dup of 1
+      (102L, "a brand new document about sailing across the southern ocean alone"))
+      .toDF("id", "text")
+    try {
+      Dedup.writeMinHashSignatures(hist, "text", "id", "graft_b_hist", numBuckets = 4)
+      // recorded build parameters round-trip
+      assert(Dedup.readMinHashSignatureMeta(spark, "graft_b_hist")
+        .contains((5, 8, 2, false)))
+      val pairs = Dedup
+        .minHashLshPairsIncremental(batch, hist, "graft_b_hist", "text", "id")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pairs == Set((1L, 101L, 1.0))) // dup found, novel doc clean
+      // a table without graft.minhash.* properties fails fast
+      hist.write.mode("overwrite").saveAsTable("graft_b_plain")
+      intercept[IllegalArgumentException] {
+        Dedup.minHashLshPairsIncremental(batch, hist, "graft_b_plain", "text", "id")
+      }
+      // a drifted caller configuration on the read path fails fast too
+      intercept[IllegalArgumentException] {
+        Dedup.minHashLshPairsFromSignatures(hist, "graft_b_hist", "text", "id",
+          shingleK = 7)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_b_hist")
+      spark.sql("DROP TABLE IF EXISTS graft_b_plain")
+    }
+  }
+
+  test("incremental pairs: maxBucket drops degenerate index buckets") {
+    import graft.operators.Dedup
+    // 30 identical history docs → every band bucket has 30 members
+    val hist = (1L to 30L)
+      .map(i => (i, "same boilerplate text repeated across the whole history corpus"))
+      .toDF("id", "text")
+    val batch = Seq(
+      (101L, "same boilerplate text repeated across the whole history corpus"))
+      .toDF("id", "text")
+    try {
+      Dedup.writeMinHashSignatures(hist, "text", "id", "graft_b_deg", numBuckets = 4)
+      val uncapped = Dedup
+        .minHashLshPairsIncremental(batch, hist, "graft_b_deg", "text", "id")
+        .count()
+      val capped = Dedup
+        .minHashLshPairsIncremental(batch, hist, "graft_b_deg", "text", "id",
+          maxBucket = 10)
+        .count()
+      assert(uncapped == 30L)
+      assert(capped == 0L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_b_deg")
+  }
+
   test("co-bucketed join plans without a shuffle exchange") {
     val facts = (1 to 1000).map(i => (i.toLong % 50, s"f$i")).toDF("k", "fv")
     val dims = (0 until 50).map(i => (i.toLong, s"d$i")).toDF("k", "dv")
