@@ -23,9 +23,12 @@ import org.apache.spark.sql.functions._
   *    Growth regime (pairs ∝ n), not the adversarial clone regime
   *    (pairs ∝ n·copies²) that `tools/ScaleProbe --clone` covers.
   *  - `embeddings.embedding` in copies > 0 gets hash-seeded noise in
-  *    [-0.05, 0.05) per component, so no vector acquires thousands of
-  *    cross-copy exact twins; query sets selected as `vec_id < 5`
-  *    stay fixed while the corpus grows 10×.
+  *    [-0.2, 0.2) per component. Source components average |x| ≈ 0.1
+  *    (σ² ≈ 0.013), so noise variance A²/12 ≈ 0.013 puts cross-copy
+  *    cosine at ≈ 1/√2 ≈ 0.7 — below every near-dup threshold in the
+  *    suite (growth regime: near-dup populations scale ∝ n, not
+  *    ∝ n·copies²); query sets selected as `vec_id < 5` stay fixed
+  *    while the corpus grows 10×.
   *
   * Each table lands as ONE `<table>.parquet` file (driver layout, so
   * `tools/check_oracle.py` views resolve identically).
@@ -108,7 +111,7 @@ object GenScale {
       .withColumn("embedding", expr(
         """CASE WHEN __c = 0 THEN embedding ELSE
           |  transform(embedding, (x, i) -> cast(x +
-          |    (pmod(hash(vec_id, i), 1000) / 1000.0 - 0.5) * 0.1 as float))
+          |    (pmod(hash(vec_id, i), 1000) / 1000.0 - 0.5) * 0.4 as float))
           |END""".stripMargin))
       .drop("__c"), "embeddings")
     spark.stop()
