@@ -15,6 +15,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Split single-file tables at row-group granularity: the sf1
+      // testdata is one multi-row-group file per table, and the
+      // default 128 MiB target would hand a whole table to one task.
+      // No effect on the driver's single-row-group sf≤0.1 files; at
+      // cluster scale tables arrive as many files and this just sets
+      // a reasonable per-task bite.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

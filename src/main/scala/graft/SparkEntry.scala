@@ -168,17 +168,20 @@ object SparkEntry {
     }),
     // ------------------------------------------------- §2.1 text functions
     "q_number_normalizer" -> ((s, dir) => {
-      t(s, dir, "orders").select(
+      // spread: translate-kernel chain over an unsplittable scan
+      Parallelism.spread(t(s, dir, "orders")).select(
         col("o_orderkey"),
         numberNormalizer(persianNumber(col("o_orderkey"))).as("normal"))
     }),
     "q_persian_number" -> ((s, dir) => {
-      t(s, dir, "orders").select(
+      Parallelism.spread(t(s, dir, "orders")).select(
         col("o_orderkey"),
         persianNumber(col("o_orderkey")).as("fa_num"))
     }),
     "q_text_cleaner" -> ((s, dir) => {
-      t(s, dir, "documents").select(
+      // spread: per-row regex/translate kernels over an unsplittable
+      // single-row-group scan would otherwise run on 1-2 cores
+      Parallelism.spread(t(s, dir, "documents")).select(
         col("doc_id"),
         textCleaner(concat(col("text"), lit(" ۱۲۳!!abc❤"))).as("cleaned"))
     }),
@@ -579,12 +582,16 @@ object SparkEntry {
         "embedding", "vec_id", "vec_id", k = 10, dim = 64, numPlanes = 6)
     }),
     "q_kmeans" -> ((s, dir) => {
-      // Spherical k-means, 2 Lloyd passes over the stride-sampled
-      // init; centroid means round to 6 dp at each update (see
+      // Spherical k-means, 2 Lloyd passes, k BOUNDED at 200 via
+      // autoStride (stride = ceil(n/200), which the oracle replays as
+      // a scalar subquery) — the at-scale configuration, not the
+      // fixed-stride one whose assignment cost turns quadratic.
+      // Centroid means round to 6 dp at each update (see
       // kmeansAssignments), so the SQL replay's argmax sees
       // bit-identical centroids.
       Similarity.kmeansAssignments(
-        t(s, dir, "embeddings"), "embedding", "vec_id", stride = 100, iters = 2)
+        t(s, dir, "embeddings"), "embedding", "vec_id", iters = 2,
+        numCentroids = 200)
         .select(col("id").as("vec_id"), col("cluster"), col("cosine"))
     }),
     "q_semdedup" -> ((s, dir) => {
@@ -1391,7 +1398,8 @@ object SparkEntry {
     // kmeansAssignments' update), re-assign. Argmax ties break to the
     // lowest centroid id on both sides.
     "q_kmeans" ->
-      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 100 = 0),
+      s"""WITH st AS (SELECT CAST(ceil(count(*) / 200.0) AS BIGINT) AS stride FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings, st WHERE vec_id % stride = 0),
          |a1 AS (SELECT vec_id, embedding, cid,
          |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn
          |  FROM embeddings, c0),

@@ -488,12 +488,25 @@ object Similarity {
       vecCol: String,
       idCol: String,
       stride: Int = 100,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2,
+      numCentroids: Int = 0,
+      expectedRows: Long = 0L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(stride >= 1, "stride must be >= 1")
+    // A FIXED stride means k = n/stride grows with the corpus, so the
+    // n·k assignment cost turns quadratic and the centroid broadcast
+    // unbounded. numCentroids > 0 bounds k instead, deriving stride
+    // via [[autoStride]] (pass expectedRows to skip the count job) —
+    // the same contract as ivfTopK.
+    val effStride =
+      if (numCentroids > 0)
+        autoStride(
+          if (expectedRows > 0) expectedRows else df.select(idCol).count(),
+          numCentroids)
+      else stride
     val src = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__cv"))
     var cen = src
-      .where(pmod(col("__id"), lit(stride)) === 0)
+      .where(pmod(col("__id"), lit(effStride)) === 0)
       .select(col("__id").as("__cid"), col("__cv").as("__cvec"))
     var assigned: DataFrame = null
     for (i <- 1 to iters) {
@@ -547,9 +560,12 @@ object Similarity {
       threshold: Double,
       stride: Int = 100,
       iters: Int = 1,
-      maxCluster: Int = 0): DataFrame = {
+      maxCluster: Int = 0,
+      numCentroids: Int = 0,
+      expectedRows: Long = 0L): DataFrame = {
     val src = Parallelism.spread(df)
-    val assigned = kmeansAssignments(src, vecCol, idCol, stride, iters)
+    val assigned = kmeansAssignments(src, vecCol, idCol, stride, iters,
+      numCentroids, expectedRows)
       .select(col("id").as("__id"), lit(0).as("__bpos"), col("cluster").as("__bkey"))
     val cands = Dedup
       .bucketPairs(assigned, col("__id"), maxCluster)

@@ -55,7 +55,14 @@ object GenScale {
 
     def writeOne(df: DataFrame, t: String): Unit = {
       val tmp = s"$outDir/__tmp_$t"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // 4 MiB row groups: a single-file table is only splittable at
+      // row-group boundaries — one giant row group (the parquet
+      // default) would serialize every sf1 scan onto one core, which
+      // is a data-layout artifact, not an engine property. Real
+      // cluster-scale tables arrive as many files/row groups.
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", 4 * 1024 * 1024)
+        .parquet(tmp)
       val dir = new java.io.File(tmp)
       val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
       val dst = new java.io.File(s"$outDir/$t.parquet")

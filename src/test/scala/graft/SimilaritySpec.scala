@@ -382,6 +382,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out(5L) == 4L)
   }
 
+  test("kmeansAssignments: numCentroids bounds k across corpus growth") {
+    def corpusN(n: Int) = (0L until n.toLong)
+      .map(i => (i, Seq((i % 7).toFloat + 1, (i % 3).toFloat, 1.0f)))
+      .toDF("id", "vec")
+    // k stays ≤ target as n grows 16×; fixed stride would grow k 16×
+    Seq(64, 256, 1024).foreach { n =>
+      val k = Similarity
+        .kmeansAssignments(corpusN(n), "vec", "id", iters = 1, numCentroids = 8)
+        .select($"cluster").distinct().count()
+      assert(k <= 8, s"n=$n k=$k")
+    }
+    // expectedRows skips the count job and matches the counted path
+    val a = Similarity.kmeansAssignments(corpusN(100), "vec", "id",
+      iters = 1, numCentroids = 8)
+    val b = Similarity.kmeansAssignments(corpusN(100), "vec", "id",
+      iters = 1, numCentroids = 8, expectedRows = 100)
+    assert(a.collect().toSet == b.collect().toSet)
+  }
+
   test("semanticNearDupPairs: finds within-cluster pairs, respects maxCluster") {
     // near-dup pair (1,2) lives in the x-cluster; nothing in z is close
     val pairs = Similarity
