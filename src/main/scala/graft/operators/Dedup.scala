@@ -284,7 +284,36 @@ object Dedup {
         s"'graft.minhash.shingleK' = '$shingleK', " +
         s"'graft.minhash.numHashes' = '$numHashes', " +
         s"'graft.minhash.bands' = '$bands', " +
-        s"'graft.minhash.fast' = '$fast')")
+        s"'graft.minhash.fast' = '$fast', " +
+        s"'graft.minhash.numBuckets' = '$numBuckets')")
+  }
+
+  /** Append a new batch's signatures to an existing signature table,
+    * with every build parameter (including the bucket spec) read from
+    * the table's own properties — the growth step of an incremental
+    * dedup pipeline: after [[minHashLshPairsIncremental]] filters a
+    * batch against history, appending the survivors' signatures makes
+    * them part of the history the NEXT batch dedups against. Each
+    * append writes its own bucketed files; the table's clustering
+    * contract is preserved, so candidate generation stays
+    * shuffle-free on the history side.
+    */
+  def appendMinHashSignatures(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      table: String): Unit = {
+    val spark = df.sparkSession
+    val m = readMinHashSignatureMeta(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"appendMinHashSignatures: `$table` records no graft.minhash.* " +
+          "table properties — create it with writeMinHashSignatures"))
+    bandedSignatures(Parallelism.spread(df), textCol, idCol,
+      m.shingleK, m.numHashes, m.bands, m.fast)
+      .write.mode("append").format("parquet")
+      .bucketBy(m.numBuckets, "__bpos", "__bkey")
+      .sortBy("__bpos", "__bkey")
+      .saveAsTable(table)
   }
 
   /** Build parameters recorded by [[writeMinHashSignatures]], or None
@@ -293,7 +322,7 @@ object Dedup {
     */
   def readMinHashSignatureMeta(
       spark: org.apache.spark.sql.SparkSession,
-      table: String): Option[(Int, Int, Int, Boolean)] = {
+      table: String): Option[MinHashSignatureMeta] = {
     val props = spark.sql(s"SHOW TBLPROPERTIES `$table`")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     for {
@@ -301,8 +330,15 @@ object Dedup {
       h <- props.get("graft.minhash.numHashes")
       b <- props.get("graft.minhash.bands")
       f <- props.get("graft.minhash.fast")
-    } yield (k.toInt, h.toInt, b.toInt, f.toBoolean)
+    } yield MinHashSignatureMeta(k.toInt, h.toInt, b.toInt, f.toBoolean,
+      props.get("graft.minhash.numBuckets").map(_.toInt).getOrElse(64))
   }
+
+  /** Build parameters of a persisted signature table (see
+    * [[writeMinHashSignatures]]).
+    */
+  case class MinHashSignatureMeta(
+      shingleK: Int, numHashes: Int, bands: Int, fast: Boolean, numBuckets: Int)
 
   /** [[minHashLshPairs]] over a pre-bucketed signature table (see
     * [[writeMinHashSignatures]]): skips the signature pass AND the
@@ -320,12 +356,12 @@ object Dedup {
       jaccardThreshold: Double = 0.5,
       fast: Boolean = false,
       maxBucket: Int = 0): DataFrame = {
-    readMinHashSignatureMeta(df.sparkSession, sigTable).foreach {
-      case (k, _, _, f) =>
-        require(k == shingleK && f == fast,
-          s"minHashLshPairsFromSignatures: caller (shingleK=$shingleK, " +
-            s"fast=$fast) != (shingleK=$k, fast=$f) recorded in `$sigTable` " +
-            "table properties — verification would recompute different sets")
+    readMinHashSignatureMeta(df.sparkSession, sigTable).foreach { m =>
+      require(m.shingleK == shingleK && m.fast == fast,
+        s"minHashLshPairsFromSignatures: caller (shingleK=$shingleK, " +
+          s"fast=$fast) != (shingleK=${m.shingleK}, fast=${m.fast}) recorded " +
+          s"in `$sigTable` table properties — verification would recompute " +
+          "different sets")
     }
     val exploded = df.sparkSession.table(sigTable)
     verifyCandidates(
@@ -363,12 +399,13 @@ object Dedup {
       jaccardThreshold: Double = 0.5,
       maxBucket: Int = 0): DataFrame = {
     val spark = newDf.sparkSession
+    val meta = readMinHashSignatureMeta(spark, sigTable).getOrElse(
+      throw new IllegalArgumentException(
+        s"minHashLshPairsIncremental: `$sigTable` records no " +
+          "graft.minhash.* table properties — rebuild it with " +
+          "writeMinHashSignatures"))
     val (shingleK, numHashes, bands, fast) =
-      readMinHashSignatureMeta(spark, sigTable).getOrElse(
-        throw new IllegalArgumentException(
-          s"minHashLshPairsIncremental: `$sigTable` records no " +
-            "graft.minhash.* table properties — rebuild it with " +
-            "writeMinHashSignatures"))
+      (meta.shingleK, meta.numHashes, meta.bands, meta.fast)
     val old0 = spark.table(sigTable)
     val old =
       if (maxBucket > 0) {

@@ -42,7 +42,7 @@ class BucketingSpec extends SparkSpec {
       Dedup.writeMinHashSignatures(hist, "text", "id", "graft_b_hist", numBuckets = 4)
       // recorded build parameters round-trip
       assert(Dedup.readMinHashSignatureMeta(spark, "graft_b_hist")
-        .contains((5, 8, 2, false)))
+        .contains(Dedup.MinHashSignatureMeta(5, 8, 2, false, 4)))
       val pairs = Dedup
         .minHashLshPairsIncremental(batch, hist, "graft_b_hist", "text", "id")
         .as[(Long, Long, Double)].collect().toSet
