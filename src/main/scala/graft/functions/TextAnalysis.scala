@@ -229,9 +229,15 @@ object TextAnalysis {
       .select(col("__id"),
         when(col("__k1").isNotNull, col("__w1")).otherwise(lit("<unk>")).as("__m1"),
         when(col("__k2").isNotNull, col("__w2")).otherwise(lit("<unk>")).as("__m2"))
-    val c12 = bg.groupBy(col("__m1"), col("__m2")).agg(count(lit(1)).as("__c12"))
+    // bigram counts as a window over the SAME rows being scored (one
+    // exchange on (m1,m2), one computation of the bigram lineage) — a
+    // groupBy+join would rebuild the tokenize/explode/vocab-map chain
+    // on the aggregate side too (observed as doubled scans in the
+    // physical plan)
+    import org.apache.spark.sql.expressions.Window
     val scored = bg
-      .join(c12, Seq("__m1", "__m2"))
+      .withColumn("__c12",
+        count(lit(1)).over(Window.partitionBy(col("__m1"), col("__m2"))))
       .join(c1, Seq("__m1"))
       .crossJoin(broadcast(vsz))
       .withColumn("__lp",
@@ -255,10 +261,13 @@ object TextAnalysis {
     * single document is a near-duplicate of it.
     *
     * Scale shape: each document contributes its distinct n-grams ONCE
-    * (md5'd, so the shuffle carries 32-char keys, never text); one
-    * count aggregation keyed by gram (map-side partials), one
-    * join-back, one groupBy(id). Documents shorter than n tokens
-    * contribute their whole token join as a single gram, mirroring
+    * (md5'd, so the shuffle carries 32-char keys, never text); the
+    * per-gram document count is a window over the same rows — one
+    * exchange on the gram key, ONE computation of the
+    * tokenize/explode/md5 lineage (a groupBy+join-back rebuilds that
+    * lineage on the aggregate side too) — then one groupBy(id).
+    * Documents shorter than n tokens contribute their whole token
+    * join as a single gram, mirroring
     * [[graft.operators.Dedup.ngramJaccardPairs]]'s convention.
     *
     * @return (idCol, n_grams, dup_ngram_frac) — distinct-gram count
@@ -277,9 +286,9 @@ object TextAnalysis {
           s"transform(sequence(0, size(__w) - $n), i -> array_join(slice(__w, i + 1, $n), ' '))")))
           .otherwise(array(array_join(col("__w"), " ")))).as("__g"))
       .select(col("__id"), md5(col("__g")).as("__g"))
-    val gc = grams.groupBy(col("__g")).agg(count(lit(1)).as("__docs"))
+    import org.apache.spark.sql.expressions.Window
     grams
-      .join(gc, Seq("__g"))
+      .withColumn("__docs", count(lit(1)).over(Window.partitionBy(col("__g"))))
       .groupBy(col("__id"))
       .agg(
         count(lit(1)).as("n_grams"),
