@@ -685,6 +685,14 @@ object SparkEntry {
         t(s, dir, "events").withColumn("et", expr("nullif(event_type, 'error')")),
         Seq("user_id", "et", "value"))
     }),
+    "q_quantiles" -> ((s, dir) => {
+      // Exact path (percentile = DuckDB quantile_cont, both on the
+      // p·(n−1) interpolation); the approx t-digest twin is
+      // spec-bounded against this.
+      graft.operators.Profile.quantiles(
+        t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+    }),
     "q_tfidf" -> ((s, dir) => {
       graft.functions.TextAnalysis.tfIdfTopK(
         t(s, dir, "documents"), "text", "doc_id", k = 5)
@@ -1384,6 +1392,13 @@ object SparkEntry {
         |    ORDER BY md5(doc_id::VARCHAR || ':0'), doc_id) AS rn
         |  FROM documents)
         |SELECT doc_id, lang FROM r WHERE rn <= 60""".stripMargin,
+    "q_quantiles" ->
+      """SELECT 'l_quantity' AS "column", unnest([0.25, 0.5, 0.75, 0.95]::DOUBLE[]) AS prob,
+        |  round(unnest(quantile_cont(l_quantity::DOUBLE, [0.25, 0.5, 0.75, 0.95])), 4) AS quantile FROM lineitem
+        |UNION ALL SELECT 'l_extendedprice', unnest([0.25, 0.5, 0.75, 0.95]::DOUBLE[]),
+        |  round(unnest(quantile_cont(l_extendedprice::DOUBLE, [0.25, 0.5, 0.75, 0.95])), 4) FROM lineitem
+        |UNION ALL SELECT 'l_discount', unnest([0.25, 0.5, 0.75, 0.95]::DOUBLE[]),
+        |  round(unnest(quantile_cont(l_discount::DOUBLE, [0.25, 0.5, 0.75, 0.95])), 4) FROM lineitem""".stripMargin,
     "q_profile" ->
       """WITH e AS (SELECT user_id, nullif(event_type, 'error') AS et, value FROM events)
         |SELECT 'user_id' AS "column", count(*)::BIGINT AS n_rows,

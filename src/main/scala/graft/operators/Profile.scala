@@ -40,4 +40,49 @@ object Profile {
             col(s"__dist_$c").as("n_distinct"))): _*)).as("p"))
       .select("p.*")
   }
+
+  /** Per-column distribution quantiles — the length/token/size
+    * distribution look every curation decision starts from (where to
+    * put the Gopher word-count gates, the chunking seqLen, the
+    * per-domain caps).
+    *
+    * One aggregation job for ALL (column × prob) pairs, exploded to
+    * one row each. `approx = false` uses exact `percentile`
+    * (sort-based within the aggregation — fine to a few hundred
+    * million rows per executor); at 100 TB pass `approx = true`:
+    * `approx_percentile` t-digests merge map-side in one pass with
+    * bounded memory at `accuracy`. Both paths interpolate on the
+    * p·(n−1) convention, so the exact path replays in DuckDB as
+    * `quantile_cont` and the approx path is spec-bounded against the
+    * exact one.
+    *
+    * @return one row per (column, prob): (column, prob, quantile) —
+    *         quantile rounded to 4 dp.
+    */
+  def quantiles(
+      df: DataFrame,
+      cols: Seq[String],
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+      approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(cols.nonEmpty, "nothing to profile")
+    require(probs.nonEmpty, "no probabilities given")
+    require(probs.forall(p => p >= 0.0 && p <= 1.0), "probs must be in [0, 1]")
+    val probArr = array(probs.map(lit): _*)
+    val aggs = cols.map { c =>
+      (if (approx)
+        approx_percentile(col(c).cast("double"), probArr, lit(accuracy))
+      else
+        percentile(col(c).cast("double"), probArr)).as(s"__q_$c")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col(s"__q_$c").as("__qs"))): _*)).as("p"))
+      .select(col("p.column").as("column"),
+        posexplode(col("p.__qs")).as(Seq("__i", "__q")))
+      .select(
+        col("column"),
+        element_at(typedLit(probs), col("__i") + 1).as("prob"),
+        round(col("__q"), 4).as("quantile"))
+  }
 }

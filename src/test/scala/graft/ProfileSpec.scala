@@ -62,4 +62,39 @@ class ProfileSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.codegen.fallback")
     }
   }
+
+  test("quantiles: exact values on a known distribution, approx within tolerance") {
+    import graft.operators.Profile
+    // values 1..101 → p·(n−1) interpolation lands exactly on
+    // 1 + 100p for every p
+    val df = spark.range(1, 102).toDF("v")
+      .withColumn("w", $"v" * 2)
+      .repartition(7)
+    val exact = Profile
+      .quantiles(df, Seq("v", "w"), Seq(0.0, 0.25, 0.5, 0.95, 1.0))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    assert(exact(("v", 0.0)) == 1.0)
+    assert(exact(("v", 0.25)) == 26.0)
+    assert(exact(("v", 0.5)) == 51.0)
+    assert(exact(("v", 0.95)) == 96.0)
+    assert(exact(("v", 1.0)) == 101.0)
+    assert(exact(("w", 0.5)) == 102.0)
+    // approx t-digest stays within 1% of exact at default accuracy
+    val approx = Profile
+      .quantiles(df, Seq("v"), Seq(0.25, 0.5, 0.95), approx = true)
+      .collect()
+      .map(r => r.getDouble(1) -> r.getDouble(2))
+      .toMap
+    Seq(0.25 -> 26.0, 0.5 -> 51.0, 0.95 -> 96.0).foreach { case (p, want) =>
+      assert(math.abs(approx(p) - want) <= 1.0, s"p=$p got ${approx(p)}")
+    }
+    intercept[IllegalArgumentException] {
+      Profile.quantiles(df, Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.quantiles(df, Seq("v"), Seq(1.5))
+    }
+  }
 }
