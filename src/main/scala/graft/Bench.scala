@@ -100,7 +100,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalMin = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"total_min":$totalMin,"queries_min":$qsMin,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"total_min":$totalMin,"queries_min":$qsMin,"sf":"$sfDir"}"""
+    println(json)
+    // The driver keeps only the stdout tail, which truncates the full
+    // query map (round-5 BENCH artifact parsed as null). Also write
+    // the same JSON to a file when asked.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 }

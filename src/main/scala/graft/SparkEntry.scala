@@ -414,6 +414,32 @@ object SparkEntry {
           col("lang"), col("source"), col("n_chars")))
   }
 
+  /** Build (or reuse) a per-(session, corpus) signature table for the
+    * verify/bench board. The table name hashes the corpus dir; the
+    * FULL dir is recorded as a table property and validated on reuse,
+    * so a hashCode collision or a renamed warehouse can never hand a
+    * query stale signatures — on mismatch the table is rebuilt from
+    * the current corpus.
+    */
+  private def ensureSigTable(
+      s: SparkSession,
+      dir: String,
+      prefix: String,
+      corpus: => DataFrame,
+      alwaysRebuild: Boolean = false): String = {
+    val table = prefix + java.lang.Integer.toHexString(dir.hashCode)
+    val srcKey = "graft.verify.srcDir"
+    val current = !alwaysRebuild && s.catalog.tableExists(table) &&
+      s.sql(s"SHOW TBLPROPERTIES `$table`").collect()
+        .exists(r => r.getString(0) == srcKey && r.getString(1) == dir)
+    if (!current) {
+      Dedup.writeMinHashSignatures(corpus, "text", "doc_id", table,
+        shingleK = 5, numHashes = 8, bands = 2)
+      s.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES ('$srcKey' = '$dir')")
+    }
+    table
+  }
+
   private val docsWithDupsSql =
     """docs AS (SELECT doc_id, text, lang, source, n_chars FROM documents
       |  UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars
@@ -913,12 +939,9 @@ object SparkEntry {
       // path, which its _read twin amortizes away (the two bench rows
       // together are the amortization claim, made measurable).
       val docs = docsWithDups(s, dir)
-      // The table name carries the corpus dir so a session touching a
-      // second scale factor can't silently reuse stale signatures.
-      val sigTable = "graft_sigs_verify_" +
-        java.lang.Integer.toHexString(dir.hashCode)
-      Dedup.writeMinHashSignatures(docs, "text", "doc_id", sigTable,
-        shingleK = 5, numHashes = 8, bands = 2)
+      // Measures the BUILD + dedup path: always rebuilds.
+      val sigTable = ensureSigTable(s, dir, "graft_sigs_verify_", docs,
+        alwaysRebuild = true)
       Dedup.minHashLshPairsFromSignatures(docs, sigTable, "text",
         "doc_id", shingleK = 5, jaccardThreshold = 0.5)
     }),
@@ -926,14 +949,11 @@ object SparkEntry {
       // The amortized path: dedup against an ALREADY-BUILT signature
       // table (built at most once per (session, corpus) — in a bench
       // run the alphabetically-earlier build twin has always built
-      // it). Candidates regenerate shuffle-free from the bucketed
-      // scan; only verification touches the corpus text.
+      // it; ensureSigTable validates the recorded corpus dir before
+      // reusing). Candidates regenerate shuffle-free from the
+      // bucketed scan; only verification touches the corpus text.
       val docs = docsWithDups(s, dir)
-      val sigTable = "graft_sigs_verify_" +
-        java.lang.Integer.toHexString(dir.hashCode)
-      if (!s.catalog.tableExists(sigTable))
-        Dedup.writeMinHashSignatures(docs, "text", "doc_id", sigTable,
-          shingleK = 5, numHashes = 8, bands = 2)
+      val sigTable = ensureSigTable(s, dir, "graft_sigs_verify_", docs)
       Dedup.minHashLshPairsFromSignatures(docs, sigTable, "text",
         "doc_id", shingleK = 5, jaccardThreshold = 0.5)
     }),
@@ -946,11 +966,7 @@ object SparkEntry {
       val hist = t(s, dir, "documents")
       val batch = hist.where(col("doc_id") % 100 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
-      val sigTable = "graft_sigs_hist_" +
-        java.lang.Integer.toHexString(dir.hashCode)
-      if (!s.catalog.tableExists(sigTable))
-        Dedup.writeMinHashSignatures(hist, "text", "doc_id", sigTable,
-          shingleK = 5, numHashes = 8, bands = 2)
+      val sigTable = ensureSigTable(s, dir, "graft_sigs_hist_", hist)
       Dedup.minHashLshPairsIncremental(batch, hist, sigTable, "text",
         "doc_id", jaccardThreshold = 0.5)
     }),

@@ -186,13 +186,21 @@ object TextAnalysis {
     * Scale shape: bigrams are built ROW-LOCALLY from each document's
     * token array (no self-join, no per-doc window shuffle); vocab
     * mapping is two broadcast joins against the (topV-bounded, by
-    * contract driver-small) vocabulary; the count tables shuffle one
-    * row per distinct mapped token/bigram — vocab-bounded, not
-    * corpus-bounded; scoring joins those aggregates back (AQE
-    * broadcasts them when they fit) and one groupBy(id) averages.
-    * The vocab cut compiles to TakeOrderedAndProject (per-partition
-    * top-V, then a V-bounded merge) — no global sort of the count
-    * table, no single-task window.
+    * contract driver-small) vocabulary; the mapped-bigram frame is
+    * staged ONCE (`localCheckpoint`, the trick
+    * [[graft.operators.Cumulative]] uses) so the bigram counts and
+    * the scoring pass share a single computation of the
+    * tokenize/explode/vocab-map lineage; the counts are a groupBy
+    * with MAP-SIDE partial aggregation — one row per distinct mapped
+    * bigram reaches the reducer, so the `(<unk>,<unk>)` bucket (which
+    * can be 10–30 % of a web corpus's bigrams) never lands on a
+    * single task the way a `count over (partition by m1,m2)` window
+    * would; the join back on (m1,m2) is AQE-skew-splittable. Scoring
+    * then joins the unigram counts (AQE broadcasts them when they
+    * fit) and one groupBy(id) averages. The vocab cut compiles to
+    * TakeOrderedAndProject (per-partition top-V, then a V-bounded
+    * merge) — no global sort of the count table, no single-task
+    * window anywhere in the plan.
     *
     * @return (idCol, n_bigrams, avg_logprob) — one row per input
     *         document; docs with < 2 tokens score (0, null);
@@ -229,15 +237,17 @@ object TextAnalysis {
       .select(col("__id"),
         when(col("__k1").isNotNull, col("__w1")).otherwise(lit("<unk>")).as("__m1"),
         when(col("__k2").isNotNull, col("__w2")).otherwise(lit("<unk>")).as("__m2"))
-    // bigram counts as a window over the SAME rows being scored (one
-    // exchange on (m1,m2), one computation of the bigram lineage) — a
-    // groupBy+join would rebuild the tokenize/explode/vocab-map chain
-    // on the aggregate side too (observed as doubled scans in the
-    // physical plan)
-    import org.apache.spark.sql.expressions.Window
-    val scored = bg
-      .withColumn("__c12",
-        count(lit(1)).over(Window.partitionBy(col("__m1"), col("__m2"))))
+    // Stage the mapped-bigram frame once: the counts and the scoring
+    // pass both read the checkpointed blocks (one computation of the
+    // tokenize/explode/vocab-map lineage) and the count is a groupBy
+    // with map-side partial aggregation — never a window, whose
+    // single-task-per-key partitions melt down on the (<unk>,<unk>)
+    // bucket at corpus scale.
+    val staged = bg.localCheckpoint(true)
+    val c12 = staged
+      .groupBy(col("__m1"), col("__m2")).agg(count(lit(1)).as("__c12"))
+    val scored = staged
+      .join(c12, Seq("__m1", "__m2"))
       .join(c1, Seq("__m1"))
       .crossJoin(broadcast(vsz))
       .withColumn("__lp",
@@ -262,12 +272,17 @@ object TextAnalysis {
     *
     * Scale shape: each document contributes its distinct n-grams ONCE
     * (md5'd, so the shuffle carries 32-char keys, never text); the
-    * per-gram document count is a window over the same rows — one
-    * exchange on the gram key, ONE computation of the
-    * tokenize/explode/md5 lineage (a groupBy+join-back rebuilds that
-    * lineage on the aggregate side too) — then one groupBy(id).
-    * Documents shorter than n tokens contribute their whole token
-    * join as a single gram, mirroring
+    * gram frame is staged ONCE (`localCheckpoint`, as
+    * [[graft.operators.Cumulative]] does) so the per-gram document
+    * count and the join-back share a single computation of the
+    * tokenize/explode/md5 lineage; the count is a groupBy with
+    * MAP-SIDE partial aggregation — a boilerplate 5-gram present in a
+    * million-doc template cluster contributes one row per map task to
+    * the reducer, not a million rows to one task the way a
+    * `count over (partition by gram)` window would — and the
+    * join-back on the gram key is AQE-skew-splittable; then one
+    * groupBy(id). Documents shorter than n tokens contribute their
+    * whole token join as a single gram, mirroring
     * [[graft.operators.Dedup.ngramJaccardPairs]]'s convention.
     *
     * @return (idCol, n_grams, dup_ngram_frac) — distinct-gram count
@@ -286,9 +301,13 @@ object TextAnalysis {
           s"transform(sequence(0, size(__w) - $n), i -> array_join(slice(__w, i + 1, $n), ' '))")))
           .otherwise(array(array_join(col("__w"), " ")))).as("__g"))
       .select(col("__id"), md5(col("__g")).as("__g"))
-    import org.apache.spark.sql.expressions.Window
+      // Staged once: doc counts + join-back share one lineage
+      // computation, and the count aggregates map-side — no
+      // single-task hot-gram window partition.
+      .localCheckpoint(true)
+    val docs = grams.groupBy(col("__g")).agg(count(lit(1)).as("__docs"))
     grams
-      .withColumn("__docs", count(lit(1)).over(Window.partitionBy(col("__g"))))
+      .join(docs, Seq("__g"))
       .groupBy(col("__id"))
       .agg(
         count(lit(1)).as("n_grams"),

@@ -38,10 +38,13 @@ object DataFrameOps {
     * trip) — output schema depends on data. Guarded by `maxRows`.
     */
   def transpose(df: DataFrame, keyCol: String, maxRows: Int = 10000): DataFrame = {
-    val rows = df.collect()
+    // Guard BEFORE materializing: limit(maxRows + 1) bounds what the
+    // driver pulls, so an oversized frame fails fast instead of
+    // OOMing the driver on a full collect.
+    val rows = df.limit(maxRows + 1).collect()
     require(
       rows.length <= maxRows,
-      s"transpose is a small-data operator; got ${rows.length} rows > $maxRows")
+      s"transpose is a small-data operator; got > $maxRows rows")
     val spark = df.sparkSession
     val otherCols = df.columns.filterNot(_ == keyCol)
     val keyIdx = df.columns.indexOf(keyCol)

@@ -325,13 +325,18 @@ object Dedup {
       table: String): Option[MinHashSignatureMeta] = {
     val props = spark.sql(s"SHOW TBLPROPERTIES `$table`")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // numBuckets is as load-bearing as the hash parameters: guessing a
+    // default here would let appendMinHashSignatures write files
+    // bucketed with the WRONG spec into the table, silently corrupting
+    // the shuffle-free clustering contract. Missing ⇒ None, like the
+    // other properties.
     for {
       k <- props.get("graft.minhash.shingleK")
       h <- props.get("graft.minhash.numHashes")
       b <- props.get("graft.minhash.bands")
       f <- props.get("graft.minhash.fast")
-    } yield MinHashSignatureMeta(k.toInt, h.toInt, b.toInt, f.toBoolean,
-      props.get("graft.minhash.numBuckets").map(_.toInt).getOrElse(64))
+      nb <- props.get("graft.minhash.numBuckets")
+    } yield MinHashSignatureMeta(k.toInt, h.toInt, b.toInt, f.toBoolean, nb.toInt)
   }
 
   /** Build parameters of a persisted signature table (see

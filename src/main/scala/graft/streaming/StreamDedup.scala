@@ -59,7 +59,9 @@ object StreamDedup {
     * not the history.
     *
     * Idempotence: the data write overwrites its own `batch_id`
-    * partition, so a replayed batch rewrites rather than duplicates.
+    * partition, so a replayed batch rewrites rather than duplicates —
+    * and the history read EXCLUDES the in-flight `batch_id`, so a
+    * replayed batch never flags itself against its own first write.
     * A replay DOES append its signature rows a second time — harmless
     * to results (candidate pairs are `distinct` and verification is
     * driven by the pair list) but it grows the table; compact by
@@ -85,26 +87,52 @@ object StreamDedup {
       bootstrapNumBuckets: Int = 64): DataStreamWriter[Row] =
     stream.writeStream
       .foreachBatch { (b: Dataset[Row], batchId: Long) =>
-        import graft.operators.Dedup
-        val spark = b.sparkSession
-        val batch = Dedup.exact(b.toDF(), Seq(textCol), idCol)
-        val survivors =
-          (if (spark.catalog.tableExists(sigTable)) {
-            val history = spark.read.parquet(outDir)
-            val flagged = Dedup
-              .minHashLshPairsIncremental(batch, history, sigTable,
-                textCol, idCol, jaccardThreshold, maxBucket)
-              .select(col("id_b").as(idCol))
-              .distinct()
-            batch.join(flagged, Seq(idCol), "left_anti")
-          } else batch).localCheckpoint() // two consumers: data + signatures
-        survivors.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-        if (spark.catalog.tableExists(sigTable))
-          Dedup.appendMinHashSignatures(survivors, textCol, idCol, sigTable)
-        else
-          Dedup.writeMinHashSignatures(survivors, textCol, idCol, sigTable,
-            numBuckets = bootstrapNumBuckets)
+        processIncrementalBatch(b.toDF(), batchId, textCol, idCol, outDir,
+          sigTable, jaccardThreshold, maxBucket, bootstrapNumBuckets)
       }
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
+
+  /** One micro-batch of [[incrementalToParquet]] — public so the
+    * replay path (foreachBatch re-invoked with the same `batchId`
+    * after checkpoint recovery) is directly testable.
+    */
+  def processIncrementalBatch(
+      b: DataFrame,
+      batchId: Long,
+      textCol: String,
+      idCol: String,
+      outDir: String,
+      sigTable: String,
+      jaccardThreshold: Double = 0.5,
+      maxBucket: Int = 0,
+      bootstrapNumBuckets: Int = 64): Unit = {
+    import graft.operators.Dedup
+    val spark = b.sparkSession
+    val batch = Dedup.exact(b, Seq(textCol), idCol)
+    val survivors =
+      (if (spark.catalog.tableExists(sigTable)) {
+        // Exclude the in-flight batch's own partition: on replay
+        // (checkpoint recovery) outDir already holds this batch's
+        // previous write, and near-dup pairs WITHIN the batch would
+        // flag each other against "history", silently shrinking the
+        // rewritten partition. Candidate rows from the batch's
+        // replayed signature rows drop out in the verification join
+        // against this filtered corpus.
+        val history = spark.read.parquet(outDir)
+          .where(col("batch_id") =!= batchId)
+        val flagged = Dedup
+          .minHashLshPairsIncremental(batch, history, sigTable,
+            textCol, idCol, jaccardThreshold, maxBucket)
+          .select(col("id_b").as(idCol))
+          .distinct()
+        batch.join(flagged, Seq(idCol), "left_anti")
+      } else batch).localCheckpoint() // two consumers: data + signatures
+    survivors.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    if (spark.catalog.tableExists(sigTable))
+      Dedup.appendMinHashSignatures(survivors, textCol, idCol, sigTable)
+    else
+      Dedup.writeMinHashSignatures(survivors, textCol, idCol, sigTable,
+        numBuckets = bootstrapNumBuckets)
+  }
 }

@@ -57,6 +57,14 @@ class BucketingSpec extends SparkSpec {
         Dedup.minHashLshPairsFromSignatures(hist, "graft_b_hist", "text", "id",
           shingleK = 7)
       }
+      // a table missing ONLY numBuckets must not default-guess: an
+      // append bucketed with a guessed spec corrupts the clustering
+      // contract, so the meta read treats it like any missing property
+      spark.sql("ALTER TABLE graft_b_hist UNSET TBLPROPERTIES ('graft.minhash.numBuckets')")
+      assert(Dedup.readMinHashSignatureMeta(spark, "graft_b_hist").isEmpty)
+      intercept[IllegalArgumentException] {
+        Dedup.appendMinHashSignatures(batch, "text", "id", "graft_b_hist")
+      }
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_b_hist")
       spark.sql("DROP TABLE IF EXISTS graft_b_plain")

@@ -33,6 +33,17 @@ class DataFrameOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](DataFrameOps.transpose(big.toDF(), "id", maxRows = 10))
   }
 
+  test("transpose: guard fires before a full collect (bounded fetch)") {
+    // 100M rows would OOM the driver if transpose collected before
+    // guarding; the limit(maxRows + 1) fetch makes the failure
+    // instant. Finishing at all (within the suite timeout) IS the
+    // assertion that only maxRows + 1 rows crossed to the driver.
+    val huge = spark.range(100000000L).withColumn("v", $"id" * 2)
+    val start = System.nanoTime()
+    intercept[IllegalArgumentException](DataFrameOps.transpose(huge.toDF(), "id", maxRows = 10))
+    assert((System.nanoTime() - start) < 30e9)
+  }
+
   test("unionAll: pads missing columns with typed nulls") {
     val a = Seq((1, "x")).toDF("id", "name")
     val b = Seq((2, 3.5)).toDF("id", "score")

@@ -49,4 +49,36 @@ class StreamDedupSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_stream_sigs")
     }
   }
+
+  test("processIncrementalBatch: replayed batch is idempotent — no self-flagging") {
+    val out = Files.createTempDirectory("graft_rep_out").toString
+    val sig = "graft_stream_sigs_replay"
+    val tA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    // two WITHIN-batch near-dups (not exact): one token differs, so
+    // exact dedup keeps both and only the replay hazard could drop one
+    val tC1 = "a third new document about cooking pasta with garlic and olive oil"
+    val tC2 = "a third new document about cooking pasta with garlic and olive butter"
+    try {
+      StreamDedup.processIncrementalBatch(
+        Seq(SDDoc(1, tA)).toDF(), 0L, "text", "doc_id", out, sig,
+        bootstrapNumBuckets = 4)
+      StreamDedup.processIncrementalBatch(
+        Seq(SDDoc(101, tC1), SDDoc(102, tC2)).toDF(), 1L, "text", "doc_id",
+        out, sig, bootstrapNumBuckets = 4)
+      val first = spark.read.parquet(out)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(first == Set(1L, 101L, 102L)) // within-batch near-dups out of scope
+      // REPLAY batch 1 (checkpoint recovery): its own previous write
+      // must not act as history — 101/102 would flag each other and
+      // the partition would shrink.
+      StreamDedup.processIncrementalBatch(
+        Seq(SDDoc(101, tC1), SDDoc(102, tC2)).toDF(), 1L, "text", "doc_id",
+        out, sig, bootstrapNumBuckets = 4)
+      val replayed = spark.read.parquet(out)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(replayed == Set(1L, 101L, 102L))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $sig")
+    }
+  }
 }

@@ -398,4 +398,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == ((1L, 1.0)))
     assert(out(5L) == ((1L, 1.0)))
   }
+
+  private def windowNodes(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.size
+
+  test("dupNgramStats: hot gram in every doc — correct, and no window over the gram key") {
+    // one 5-gram shared by ALL docs: a window partitioned on the gram
+    // would put every doc's row on one task; the groupBy+join shape
+    // must not contain a Window node at all.
+    val hot = "h1 h2 h3 h4 h5"
+    val df = (1L to 40L).map(i => (i, s"$hot u${i}a u${i}b u${i}c u${i}d")).toDF("id", "text")
+    val out = dupNgramStats(df, "text", "id", n = 5)
+    assert(windowNodes(out) == 0)
+    val got = out.select($"id", $"n_grams", $"dup_ngram_frac")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    // each doc: 5 distinct grams, exactly 1 (the hot one) shared
+    assert(got == Set((5L, 0.2)))
+  }
+
+  test("lmScore: OOV-dominated corpus — correct, and no window over the bigram key") {
+    // topV=1 keeps only "a"; every other token maps to <unk>, so the
+    // (<unk>,<unk>) bigram bucket holds most of the corpus — the
+    // pathological key a window partition would serialize.
+    val df = (1L to 30L).map(i => (i, s"a a z${i}p z${i}q z${i}r")).toDF("id", "text")
+    val out = lmScore(df, "text", "id", topV = 1)
+    assert(windowNodes(out) == 0)
+    // per doc: bigrams (a,a) (a,u) (u,u) (u,u); c(a,a)=30, c(a,u)=30,
+    // c(u,u)=60; c1: a=60, unk=90; V=2
+    val lpAA = math.log((30 + 1.0) / (60 + 2.0))
+    val lpAU = math.log((30 + 1.0) / (60 + 2.0))
+    val lpUU = math.log((60 + 1.0) / (90 + 2.0))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = r4((lpAA + lpAU + lpUU * 2) / 4)
+    val got = out.select($"n_bigrams", $"avg_logprob")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((4L, want)))
+  }
 }
