@@ -646,6 +646,24 @@ object SparkEntry {
       Similarity.ivfTopKFromIndex(s, ivfTable, e.where(col("vec_id") < 5),
         "embedding", "vec_id", k = 10, nprobe = 2)
     }),
+    "q_ann_ivf_append" -> ((s, dir) => {
+      // Incremental growth: build over most of the corpus, append the
+      // rest against the FROZEN build-time centroid set, search the
+      // combined index. The batch slice (vec_id % 300 = 0) is chosen
+      // centroid-ELIGIBLE on purpose: every batch id satisfies the
+      // stride filter, so any implementation that re-derives centroids
+      // from the appended table (instead of honoring the __cen
+      // marker) hashes differently and fails the oracle.
+      val e = t(s, dir, "embeddings")
+      val ivfTable = "graft_ivf_app_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Similarity.writeIvfIndex(e.where(col("vec_id") % 300 =!= 0),
+        "embedding", "vec_id", ivfTable, stride = 100)
+      Similarity.appendIvfIndex(e.where(col("vec_id") % 300 === 0),
+        "embedding", "vec_id", ivfTable)
+      Similarity.ivfTopKFromIndex(s, ivfTable, e.where(col("vec_id") < 5),
+        "embedding", "vec_id", k = 10, nprobe = 2)
+    }),
     "q_lang_id" -> ((s, dir) => {
       Parallelism.spread(t(s, dir, "documents")).select(
         col("doc_id"),
@@ -1042,8 +1060,13 @@ object SparkEntry {
        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
        |SELECT id, min(r) AS label FROM reach GROUP BY 1""".stripMargin
 
-  private lazy val ivfOracleSql: String =
-    s"""WITH cen AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 100 = 0),
+  /** IVF search oracle with a parameterized centroid predicate:
+    * `q_ann_ivf`/`q_ann_ivf_index` sample the full corpus; the append
+    * twin freezes the centroid set to the BUILD slice (appended rows
+    * are searchable but never centroids — the `__cen` marker).
+    */
+  private def ivfOracle(cenWhere: String): String =
+    s"""WITH cen AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE $cenWhere),
        |ca AS (SELECT vec_id AS corpus_id, embedding AS cv, cid,
        |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn
        |  FROM embeddings, cen),
@@ -1056,6 +1079,8 @@ object SparkEntry {
        |  FROM caf JOIN qaf USING (cid)),
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM s)
        |SELECT query_id, corpus_id, cosine, rank FROM r WHERE rank <= 10""".stripMargin
+
+  private lazy val ivfOracleSql: String = ivfOracle("vec_id % 100 = 0")
 
   /** Incremental (new-batch-vs-history) minhash pairs: history =
     * plain `documents`, batch = the clone slice under fresh ids.
@@ -1300,6 +1325,9 @@ object SparkEntry {
     // identical contract: the persisted-index path must reproduce
     // ivfTopK exactly
     "q_ann_ivf_index" -> ivfOracleSql,
+    // centroids frozen to the build slice: appended (vec_id % 300 = 0)
+    // rows are searchable but never centroids
+    "q_ann_ivf_append" -> ivfOracle("vec_id % 100 = 0 AND vec_id % 300 <> 0"),
     "q_lang_id" ->
       {
         // mirror of languageId: kana > hangul > cjk > arabic script,

@@ -316,6 +316,45 @@ object Dedup {
       .saveAsTable(table)
   }
 
+  /** Compact a signature table in place: collapse exactly-duplicated
+    * rows (the growth left behind by replayed appends — a recovered
+    * [[graft.streaming.StreamDedup.incrementalToParquet]] micro-batch
+    * re-appends its signature rows) while preserving the bucket spec,
+    * the sort order, and every `graft.*` table property.
+    *
+    * Safe rewrite shape: the distinct rows land in a sibling bucketed
+    * table first, properties are copied, and only then is the
+    * original dropped and the sibling renamed over it — the source is
+    * never read-and-overwritten in one job, and a crash mid-compact
+    * leaves either the original or a complete sibling, never a
+    * half-written table. The distinct is bucket-local-able (the scan
+    * is already clustered by the bucket keys) and the rewrite
+    * re-buckets with the SAME spec, so repeat dedup stays
+    * candidate-shuffle-free afterwards.
+    */
+  def compactMinHashSignatures(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val m = readMinHashSignatureMeta(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"compactMinHashSignatures: `$table` records no graft.minhash.* " +
+          "table properties — not a graft signature table"))
+    val props = spark.sql(s"SHOW TBLPROPERTIES `$table`")
+      .collect().map(r => r.getString(0) -> r.getString(1))
+      .filter(_._1.startsWith("graft.")).toMap
+    val tmp = table + "__compact"
+    ManagedTables.dropAndClearOrphan(spark, tmp)
+    spark.table(table).distinct()
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(m.numBuckets, "__bpos", "__bkey")
+      .sortBy("__bpos", "__bkey")
+      .saveAsTable(tmp)
+    val kv = props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
+    spark.sql(s"ALTER TABLE `$tmp` SET TBLPROPERTIES ($kv)")
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+  }
+
   /** Build parameters recorded by [[writeMinHashSignatures]], or None
     * for a table without them (not a graft signature table, or built
     * before the properties existed).

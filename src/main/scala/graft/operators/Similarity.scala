@@ -389,7 +389,13 @@ object Similarity {
       numBuckets: Int = 64): Unit = {
     val spark = corpus.sparkSession
     ManagedTables.dropAndClearOrphan(spark, table)
+    // __cen marks the rows whose vectors ARE the centroid set — the
+    // build-time stride sample. [[appendIvfIndex]] writes false for
+    // every appended row, so the centroid set is frozen structurally:
+    // an appended id that happens to satisfy the stride filter can
+    // never silently join the centroid set on later reads.
     ivfAssign(corpus, vecCol, idCol, centroids(corpus, vecCol, idCol, stride))
+      .withColumn("__cen", pmod(col("corpus_id"), lit(stride)) === 0)
       .write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, "__cid")
       .sortBy("__cid")
@@ -451,10 +457,54 @@ object Similarity {
           "writeIvfIndex or pass the build stride explicitly")
     }
     val assigned = spark.table(table)
-    val cen = assigned
-      .where(pmod(col("corpus_id"), lit(effective)) === 0)
+    // Prefer the structural __cen marker (append-safe, see
+    // writeIvfIndex); fall back to the stride filter for indexes
+    // written before the marker existed.
+    val cen = (if (assigned.columns.contains("__cen"))
+        assigned.where(col("__cen"))
+      else assigned.where(pmod(col("corpus_id"), lit(effective)) === 0))
       .select(col("corpus_id").as("__cid"), col("__cv").as("__cvec"))
     ivfSearch(assigned, cen, queries, vecCol, qIdCol, k, nprobe)
+  }
+
+  /** Append a new batch of vectors to a persisted IVF index (see
+    * [[writeIvfIndex]]) WITHOUT re-clustering — the growth step of an
+    * embedded-corpus pipeline (mirror of
+    * [[Dedup.appendMinHashSignatures]]): the batch is assigned to the
+    * index's EXISTING (build-time, `__cen`-marked) centroid set and
+    * its rows land as additional bucketed files under the same bucket
+    * spec, so search never re-shuffles the corpus and the index never
+    * re-pays the full build. Appended rows are searchable but are
+    * never centroids — even when their ids satisfy the build stride
+    * filter — keeping search results identical to "assign everything
+    * to the original centroids".
+    */
+  def appendIvfIndex(
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      table: String): Unit = {
+    val spark = batch.sparkSession
+    val (_, numBuckets) = readIvfIndexMeta(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"appendIvfIndex: `$table` records no graft.ivf.* table " +
+          "properties — create it with writeIvfIndex"))
+    val existing = spark.table(table)
+    require(existing.columns.contains("__cen"),
+      s"appendIvfIndex: `$table` predates the __cen centroid marker — " +
+        "rebuild it with writeIvfIndex before appending")
+    // Materialize the (bounded, broadcast-sized) centroid set BEFORE
+    // the append job: the write must not lazily re-read the table it
+    // is appending to.
+    val cen = existing.where(col("__cen"))
+      .select(col("corpus_id").as("__cid"), col("__cv").as("__cvec"))
+      .localCheckpoint(true)
+    ivfAssign(batch, vecCol, idCol, cen)
+      .withColumn("__cen", lit(false))
+      .write.mode("append").format("parquet")
+      .bucketBy(numBuckets, "__cid")
+      .sortBy("__cid")
+      .saveAsTable(table)
   }
 
   /** Spherical k-means assignments after `iters` Lloyd passes

@@ -64,8 +64,9 @@ object StreamDedup {
     * replayed batch never flags itself against its own first write.
     * A replay DOES append its signature rows a second time — harmless
     * to results (candidate pairs are `distinct` and verification is
-    * driven by the pair list) but it grows the table; compact by
-    * rebuilding with `writeMinHashSignatures` if replays are common.
+    * driven by the pair list) but it grows the table; run
+    * [[graft.operators.Dedup.compactMinHashSignatures]] periodically
+    * if replays are common.
     * Within-batch NEAR-dups (two new near-identical docs in one
     * trigger) are out of scope here, as in the batch operator — both
     * survive vs history; run `minHashLshPairs` over `outDir`

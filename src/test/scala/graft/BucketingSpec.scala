@@ -27,6 +27,46 @@ class BucketingSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_b_sigs")
   }
 
+  test("compactMinHashSignatures: replay growth collapsed, meta and results intact") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (3L, "completely different content about astronomy and the moons of jupiter"))
+      .toDF("id", "text")
+    val batch = Seq(
+      (101L, "a brand new document about sailing across the southern ocean alone"))
+      .toDF("id", "text")
+    try {
+      Dedup.writeMinHashSignatures(docs, "text", "id", "graft_b_cmp", numBuckets = 4)
+      spark.sql(
+        "ALTER TABLE graft_b_cmp SET TBLPROPERTIES ('graft.verify.srcDir' = '/x')")
+      Dedup.appendMinHashSignatures(batch, "text", "id", "graft_b_cmp")
+      val clean = spark.table("graft_b_cmp").count()
+      // a REPLAYED append duplicates its rows exactly
+      Dedup.appendMinHashSignatures(batch, "text", "id", "graft_b_cmp")
+      assert(spark.table("graft_b_cmp").count() > clean)
+      Dedup.compactMinHashSignatures(spark, "graft_b_cmp")
+      assert(spark.table("graft_b_cmp").count() == clean)
+      // meta (incl. bucket spec) and extra graft.* properties survive
+      assert(Dedup.readMinHashSignatureMeta(spark, "graft_b_cmp")
+        .contains(Dedup.MinHashSignatureMeta(5, 8, 2, false, 4)))
+      val props = spark.sql("SHOW TBLPROPERTIES graft_b_cmp")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("graft.verify.srcDir").contains("/x"))
+      // the compacted table still serves dedup, shuffle-free
+      val corpus = docs.unionByName(batch)
+      val pairs = Dedup
+        .minHashLshPairsFromSignatures(corpus, "graft_b_cmp", "text", "id")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pairs == Dedup.minHashLshPairs(corpus, "text", "id")
+        .as[(Long, Long, Double)].collect().toSet)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_b_cmp")
+      spark.sql("DROP TABLE IF EXISTS graft_b_cmp__compact")
+    }
+  }
+
   test("incremental pairs: batch-vs-history from the signature table, fail-fast meta") {
     import graft.operators.Dedup
     val hist = Seq(

@@ -227,6 +227,55 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("graft.ivf.stride"))
   }
 
+  test("appendIvfIndex: build+append == fresh full build; centroid set frozen") {
+    val rnd = new scala.util.Random(23)
+    val all = (0L until 300L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "vec")
+    // batch ids avoid the stride grid (none ≡ 0 mod 30), so a fresh
+    // full build has the SAME centroid set and must agree exactly
+    val batch = all.where($"id" % 10 === 7)
+    val build = all.where($"id" % 10 =!= 7)
+    val q = all.where($"id" < 5)
+    try {
+      Similarity.writeIvfIndex(build, "vec", "id", "graft_ivf_app", stride = 30, numBuckets = 4)
+      Similarity.appendIvfIndex(batch, "vec", "id", "graft_ivf_app")
+      val appended = Similarity.ivfTopKFromIndex(
+        spark, "graft_ivf_app", q, "vec", "id", k = 5, nprobe = 2)
+        .collect().map(_.toSeq).toSet
+      Similarity.writeIvfIndex(all, "vec", "id", "graft_ivf_full", stride = 30, numBuckets = 4)
+      val fresh = Similarity.ivfTopKFromIndex(
+        spark, "graft_ivf_full", q, "vec", "id", k = 5, nprobe = 2)
+        .collect().map(_.toSeq).toSet
+      assert(appended == fresh)
+      // properties unchanged by the append
+      assert(Similarity.readIvfIndexMeta(spark, "graft_ivf_app").contains((30, 4)))
+      // a batch whose ids DO satisfy the stride filter must still not
+      // join the centroid set: the __cen marker freezes it
+      val gridBatch = (1000L to 1090L by 30L)
+        .map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("id", "vec")
+      val cenBefore = spark.table("graft_ivf_app").where($"__cen").count()
+      Similarity.appendIvfIndex(gridBatch, "vec", "id", "graft_ivf_app")
+      assert(spark.table("graft_ivf_app").where($"__cen").count() == cenBefore)
+      // …while its rows are searchable (self-query finds itself at rank 1)
+      val self = Similarity.ivfTopKFromIndex(
+        spark, "graft_ivf_app", gridBatch.where($"id" === 1000L), "vec", "id",
+        k = 1, nprobe = 1).collect()
+      assert(self.length == 1 && self.head.getLong(1) == 1000L)
+      // an index without the marker refuses appends
+      spark.table("graft_ivf_app").drop("__cen").write
+        .mode("overwrite").saveAsTable("graft_ivf_old")
+      spark.sql("ALTER TABLE graft_ivf_old SET TBLPROPERTIES (" +
+        "'graft.ivf.stride' = '30', 'graft.ivf.numBuckets' = '4')")
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.appendIvfIndex(batch, "vec", "id", "graft_ivf_old")
+      }
+      assert(ex.getMessage.contains("__cen"))
+    } finally {
+      Seq("graft_ivf_app", "graft_ivf_full", "graft_ivf_old")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("autoStride: nlist stays bounded by the target across 3 orders of n") {
     val target = 64
     Seq(1000L, 100000L, 10000000L).foreach { n =>
