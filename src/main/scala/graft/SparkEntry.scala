@@ -751,6 +751,14 @@ object SparkEntry {
       graft.functions.TextAnalysis.dupNgramStats(
         docsWithDups(s, dir), "text", "doc_id", n = 5)
     }),
+    "q_remove_spans" -> ((s, dir) => {
+      // The APPLY step of the dup-n-gram signal: clones lose every
+      // span their original (lower id) already carries; base docs
+      // lose cross-doc template spans.
+      graft.functions.TextAnalysis.removeSharedSpans(
+        docsWithDups(s, dir), "text", "doc_id", n = 5, minDocs = 2)
+        .select(col("doc_id"), col("text"))
+    }),
     "q_dedup_lines" -> ((s, dir) => {
       // Synthesize within-doc repetition (the raw corpus has no
       // newlines): doc = text + clone line + a prefix line.
@@ -1514,6 +1522,29 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_grams,
          |  round(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS dup_ngram_frac
          |FROM gr JOIN gc USING (g) GROUP BY 1""".stripMargin,
+    // Span-removal apply: RAW (case-preserving) tokens; a token is cut
+    // iff covered by a shared-gram occurrence whose keeper (min doc
+    // id) is another document; untouched docs keep text verbatim.
+    "q_remove_spans" ->
+      s"""WITH $docsWithDupsSql,
+         |tk AS (SELECT doc_id, text,
+         |  list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS w FROM docs),
+         |oc AS (SELECT doc_id, unnest(range(0, len(w) - 4)) AS s, w FROM tk WHERE len(w) >= 5),
+         |occ AS (SELECT doc_id, s, array_to_string(w[(s + 1):(s + 5)], ' ') AS g FROM oc),
+         |st AS (SELECT g, count(DISTINCT doc_id) AS nd, min(doc_id) AS keeper FROM occ GROUP BY 1),
+         |cuts AS (SELECT o.doc_id, o.s FROM occ o JOIN st USING (g)
+         |  WHERE st.nd >= 2 AND o.doc_id <> st.keeper),
+         |cd AS (SELECT DISTINCT doc_id FROM cuts),
+         |tok AS (SELECT doc_id, unnest(range(0, len(w))) AS i, w FROM tk
+         |  WHERE doc_id IN (SELECT doc_id FROM cd)),
+         |kept AS (SELECT t.doc_id, t.i, t.w[t.i + 1] AS tkn FROM tok t
+         |  WHERE NOT EXISTS (SELECT 1 FROM cuts c
+         |    WHERE c.doc_id = t.doc_id AND t.i >= c.s AND t.i < c.s + 5)),
+         |reb AS (SELECT doc_id, string_agg(tkn, ' ' ORDER BY i) AS text FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CASE WHEN cd.doc_id IS NOT NULL THEN coalesce(r.text, '') ELSE d.text END AS text
+         |FROM docs d LEFT JOIN cd ON d.doc_id = cd.doc_id
+         |LEFT JOIN reb r ON d.doc_id = r.doc_id""".stripMargin,
     "q_tfidf" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tc FROM tk GROUP BY 1, 2),

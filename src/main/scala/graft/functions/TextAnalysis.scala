@@ -353,6 +353,87 @@ object TextAnalysis {
           .as("dup_ngram_frac"))
   }
 
+  /** Cross-document exact-substring span REMOVAL — the APPLY step for
+    * [[dupNgramStats]]'s signal (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022, the word-n-gram
+    * reduction): every word-n-gram span occurring in ≥ `minDocs`
+    * documents is CUT from every document except the one with the
+    * lowest id containing it (the canonical first occurrence, which
+    * keeps all of its occurrences). A token is cut iff at least one
+    * flagged span occurrence covers it, so overlapping shared spans
+    * merge into one cut, exactly like substring dedup.
+    *
+    * Tokens are RAW whitespace tokens (no lowercasing — removal must
+    * preserve the surviving text verbatim); a document with at least
+    * one cut has its remaining tokens re-joined with single spaces,
+    * an untouched document keeps its text byte-for-byte. Documents
+    * shorter than n tokens are never cut. `textCol` is replaced in
+    * place; all other columns survive (ids must be unique).
+    *
+    * Scale shape: span occurrences are keyed by a 128-bit xxhash64
+    * pair computed over the token tuple in place (no gram-string
+    * allocation — same kernel as [[dupNgramStats]]) and staged once
+    * (`localCheckpoint`); the per-gram (distinct-doc count, keeper)
+    * aggregation is map-side combined — never a window, so a
+    * million-doc boilerplate span cannot serialize onto one task;
+    * only SHARED occurrences survive the inner join against the
+    * (usually small, AQE-broadcastable) flagged set; cut starts
+    * collapse row-locally to one per-doc list (bounded by the doc's
+    * own length) and the rebuild is one indexed-lambda filter.
+    */
+  def removeSharedSpans(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 5,
+      minDocs: Long = 2): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(minDocs >= 2, "minDocs must be >= 2")
+    val idTmp = graft.Cols.unique("__id", df)
+    val wCol = graft.Cols.unique("__w", df)
+    val oCol = graft.Cols.unique("__o", df)
+    val sCol = graft.Cols.unique("__s", df)
+    val h1Col = graft.Cols.unique("__h1", df)
+    val h2Col = graft.Cols.unique("__h2", df)
+    val ndCol = graft.Cols.unique("__nd", df)
+    val keepCol = graft.Cols.unique("__keep", df)
+    val startsCol = graft.Cols.unique("__starts", df)
+    // Raw tokens, empty strings dropped (an all-whitespace doc → [])
+    def rawTokens(c: Column): Column =
+      filter(split(trim(c), "\\s+"), t => t =!= "")
+    val tk = graft.operators.Parallelism.spread(df)
+      .select(col(idCol).as(idTmp), rawTokens(col(textCol)).as(wCol))
+    val hashArgs = (0 until n).map(j => s"`$wCol`[i + $j]").mkString(", ")
+    val occ = tk
+      .where(size(col(wCol)) >= n)
+      .select(col(idTmp), explode(expr(
+        s"transform(sequence(0, size(`$wCol`) - $n), " +
+          s"i -> struct(i AS s, xxhash64($hashArgs) AS h1, xxhash64(1, $hashArgs) AS h2))"))
+        .as(oCol))
+      .select(col(idTmp), col(s"$oCol.s").as(sCol),
+        col(s"$oCol.h1").as(h1Col), col(s"$oCol.h2").as(h2Col))
+      // Staged once: the gram stats and the flagged join-back share
+      // one computation of the tokenize/explode/hash lineage.
+      .localCheckpoint(true)
+    val shared = occ
+      .groupBy(col(h1Col), col(h2Col))
+      .agg(countDistinct(col(idTmp)).as(ndCol), min(col(idTmp)).as(keepCol))
+      .where(col(ndCol) >= minDocs)
+      .select(col(h1Col), col(h2Col), col(keepCol))
+    val starts = occ
+      .join(shared, Seq(h1Col, h2Col))
+      .where(col(idTmp) =!= col(keepCol))
+      .groupBy(col(idTmp))
+      .agg(collect_list(col(sCol)).as(startsCol))
+    df
+      .join(starts, col(idCol) === col(idTmp), "left")
+      .withColumn(textCol,
+        when(col(startsCol).isNull, col(textCol)).otherwise(expr(
+          s"array_join(filter(filter(split(trim(`$textCol`), '\\\\s+'), t -> t != ''), " +
+            s"(t, i) -> NOT exists(`$startsCol`, s -> i >= s AND i < s + $n)), ' ')")))
+      .drop(idTmp, startsCol)
+  }
+
   /** Polynomial rolling hash of the raw text (base 31, mod 2^61-1),
     * computed with the incremental aggregate lambda — the
     * order-sensitive cousin of [[fingerprint]].

@@ -418,6 +418,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Set((5L, 0.2)))
   }
 
+  test("removeSharedSpans: lowest-id doc keeps, others cut covered tokens") {
+    val df = Seq(
+      (1L, "a b c d e x y"), // keeper of "a b c d e"
+      (2L, "p q a b c d e z"), // cuts idx 2..6 → "p q z"
+      (3L, "m n o p q r"), // no shared grams
+      (4L, "tiny doc"), // shorter than n tokens: never cut
+      (5L, "p q a b c d e z")) // every gram kept by 1 or 2 → fully cut
+      .toDF("id", "text")
+    val out = removeSharedSpans(df, "text", "id", n = 5, minDocs = 2)
+    assert(windowNodes(out) == 0)
+    val got = out.select($"id", $"text").as[(Long, String)].collect().toMap
+    assert(got(1L) == "a b c d e x y") // untouched, byte-for-byte
+    assert(got(2L) == "p q z")
+    assert(got(3L) == "m n o p q r")
+    assert(got(4L) == "tiny doc")
+    assert(got(5L) == "")
+    // all non-text columns survive, schema order intact
+    assert(out.columns.toSeq == Seq("id", "text"))
+  }
+
+  test("removeSharedSpans: overlapping shared spans merge; poisoned column names survive") {
+    // doc 11/12 share BOTH "a b c" and "b c d" (overlapping): doc 12
+    // cuts the union of covered tokens, not twice
+    val df = Seq(
+      (11L, "a b c d", "x"),
+      (12L, "z a b c d", "y"))
+      .toDF("id", "text", "__starts") // poisoned user column
+    val out = removeSharedSpans(df, "text", "id", n = 3, minDocs = 2)
+    val got = out.select($"id", $"text", $"__starts")
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(11L) == (("a b c d", "x")))
+    assert(got(12L) == (("z", "y")))
+  }
+
   test("lmScore: OOV-dominated corpus — correct, and no window over the bigram key") {
     // topV=1 keeps only "a"; every other token maps to <unk>, so the
     // (<unk>,<unk>) bigram bucket holds most of the corpus — the
