@@ -859,6 +859,18 @@ object SparkEntry {
       graft.functions.TextAnalysis.packingAssignment(d, col("tokens"), col("doc_id"), 512)
         .select("doc_id", "tokens", "start_offset", "first_seq", "last_seq", "n_seqs")
     }),
+    "q_pack_bpe" -> ((s, dir) => {
+      // q_pack on REAL subword counts: the shipped BPE fixture
+      // (GPT-2 merges format) sizes every document exactly as a
+      // trainer's tokenizer would.
+      val spec = graft.functions.Bpe.testFixture
+      val d = Parallelism.spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          graft.functions.Bpe.bpeTokenCount(col("text"), spec)
+            .cast("long").as("tokens"))
+      graft.functions.TextAnalysis.packingAssignment(d, col("tokens"), col("doc_id"), 512)
+        .select("doc_id", "tokens", "start_offset", "first_seq", "last_seq", "n_seqs")
+    }),
     "q_upsample" -> ((s, dir) => {
       // Epoch weights 0..3 from the id: %4==0 docs drop entirely
       // (the zero-repetition path), the rest fan out in-task.
@@ -1089,6 +1101,45 @@ object SparkEntry {
        |SELECT query_id, corpus_id, cosine, rank FROM r WHERE rank <= 10""".stripMargin
 
   private lazy val ivfOracleSql: String = ivfOracle("vec_id % 100 = 0")
+
+  /** ALGORITHMIC byte-level BPE replay for the oracle: per distinct
+    * (word, space-prefixed?) unit, 12 unrolled lowest-rank merge
+    * steps over the fixture's merge table (enough for the corpus's
+    * ≤ 11-symbol units — each step merges at least one pair or the
+    * unit is final). The single-space corpus contract (validated: no
+    * doubled/leading/trailing whitespace) makes the pre-tokenizer
+    * exactly "first word bare, later words Ġ-prefixed", and the
+    * fixture contains no self-pair merges, so one merge step is the
+    * independent-position rewrite below (a self-pair would need the
+    * left-to-right scan GPT-2 defines — covered in BpeSpec, excluded
+    * from the fixture by construction).
+    */
+  private lazy val bpeOracleCtes: String = {
+    val merges = graft.functions.Bpe.testFixture.merges
+    def esc(s: String) = s.replace("'", "''")
+    val values = merges.zipWithIndex.map { case ((f, s), r) =>
+      s"($r, '${esc(f)}', '${esc(s)}', '${esc(f + " " + s)}')"
+    }.mkString(", ")
+    val steps = (1 to 12).map { k =>
+      s"""s$k AS (SELECT unit, CASE WHEN b.mf IS NULL THEN q.l ELSE
+         |  list_filter(list_transform(range(1, len(q.l) + 1), i ->
+         |    CASE WHEN i < len(q.l) AND q.l[i] = b.mf AND q.l[i + 1] = b.ms THEN b.mf || b.ms
+         |         WHEN i > 1 AND q.l[i - 1] = b.mf AND q.l[i] = b.ms THEN NULL
+         |         ELSE q.l[i] END), x -> x IS NOT NULL) END AS l
+         |  FROM (SELECT unit, l, (SELECT min(m.rnk) FROM bpe_merges m
+         |    WHERE list_contains(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1]), m.pair)) AS r
+         |    FROM s${k - 1}) q LEFT JOIN bpe_merges b ON b.rnk = q.r)""".stripMargin
+    }.mkString(",\n")
+    s"""bpe_merges(rnk, mf, ms, pair) AS (VALUES $values),
+       |btk AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+       |bpos AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS i, ws FROM btk),
+       |bu AS (SELECT DISTINCT CASE WHEN i = 1 THEN ws[i] ELSE 'Ġ' || ws[i] END AS unit FROM bpos),
+       |s0 AS (SELECT unit, list_transform(range(1, length(unit) + 1), i -> unit[i]) AS l FROM bu),
+       |$steps,
+       |bucnt AS (SELECT unit, len(l) AS n FROM s12),
+       |bdtok AS (SELECT p.doc_id, sum(c.n) AS tokens FROM bpos p JOIN bucnt c
+       |  ON c.unit = CASE WHEN p.i = 1 THEN p.ws[p.i] ELSE 'Ġ' || p.ws[p.i] END GROUP BY 1)""".stripMargin
+  }
 
   /** Incremental (new-batch-vs-history) minhash pairs: history =
     * plain `documents`, batch = the clone slice under fresh ids.
@@ -1640,6 +1691,17 @@ object SparkEntry {
         |  coalesce(CASE WHEN tokens > 0
         |    THEN (cum - 1) // 512 - (cum - tokens) // 512 + 1 END, 0)::BIGINT AS n_seqs
         |FROM c""".stripMargin,
+    "q_pack_bpe" ->
+      s"""WITH $bpeOracleCtes,
+         |t AS (SELECT d.doc_id, coalesce(k.tokens, 0)::BIGINT AS tokens
+         |  FROM documents d LEFT JOIN bdtok k USING (doc_id)),
+         |c AS (SELECT doc_id, tokens, sum(tokens) OVER (ORDER BY doc_id) AS cum FROM t)
+         |SELECT doc_id, tokens, (cum - tokens)::BIGINT AS start_offset,
+         |  (CASE WHEN tokens > 0 THEN (cum - tokens) // 512 END)::BIGINT AS first_seq,
+         |  (CASE WHEN tokens > 0 THEN (cum - 1) // 512 END)::BIGINT AS last_seq,
+         |  coalesce(CASE WHEN tokens > 0
+         |    THEN (cum - 1) // 512 - (cum - tokens) // 512 + 1 END, 0)::BIGINT AS n_seqs
+         |FROM c""".stripMargin,
     "q_upsample" ->
       """SELECT doc_id, lang,
         |  unnest(generate_series(0, (doc_id % 4)::BIGINT - 1)) AS rep

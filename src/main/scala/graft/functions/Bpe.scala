@@ -1,0 +1,296 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-level BPE tokenization in the public GPT-2 file format
+  * (`merges.txt` + `vocab.json`, the OpenAI gpt-2 `encoder.py`
+  * algorithm): regex pre-tokenization, byte→unicode symbol mapping,
+  * then iterated lowest-rank pair merges per pre-token. Training
+  * pipelines size sequences in SUBWORD tokens — whitespace counts
+  * under-estimate (and differ per tokenizer), so packing / chunking /
+  * budget accounting take a [[Bpe.Spec]] and count exactly what the
+  * trainer will see.
+  *
+  * The expression ships its merge table inside the serialized plan
+  * (`addReferenceObj`), builds the rank map once per executor JVM,
+  * caches per-pre-token merge results (Zipf-distributed corpora hit
+  * the cache almost always), and stays inside WholeStageCodegen via a
+  * generated call into the bound instance — no UDF, no broadcast
+  * plumbing for the caller.
+  */
+object Bpe {
+
+  /** The public GPT-2 byte→unicode mapping: printable latin-1 bytes
+    * map to themselves, the rest shift to U+0100.. so every byte has
+    * a visible, merge-safe symbol (0x20 → 'Ġ').
+    */
+  lazy val byteToChar: Array[Char] = {
+    val visible = (('!'.toInt to '~'.toInt) ++ (0xa1 to 0xac) ++ (0xae to 0xff)).toSet
+    val out = new Array[Char](256)
+    var shift = 0
+    (0 until 256).foreach { b =>
+      if (visible(b)) out(b) = b.toChar
+      else { out(b) = (256 + shift).toChar; shift += 1 }
+    }
+    out
+  }
+
+  lazy val charToByte: Map[Char, Byte] =
+    byteToChar.zipWithIndex.map { case (c, b) => c -> b.toByte }.toMap
+
+  /** GPT-2 pre-tokenizer (contractions, ` ?letters`, ` ?digits`,
+    * ` ?other`, trailing/inner whitespace).
+    */
+  val PreTokenPattern: java.util.regex.Pattern = java.util.regex.Pattern.compile(
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
+  /** A loaded tokenizer: ordered merge pairs (rank = position) and an
+    * optional token→id vocabulary (required only for id output).
+    */
+  case class Spec(merges: Seq[(String, String)], vocab: Map[String, Int] = Map.empty)
+
+  /** Parse a GPT-2-format `merges.txt` (optional `#version` header,
+    * one `first second` pair per line, rank = line order) from a
+    * filesystem path or, with a `classpath:` prefix, a resource.
+    */
+  def loadMerges(path: String): Seq[(String, String)] = {
+    val lines = readAll(path)
+    lines.iterator
+      .map(_.stripLineEnd)
+      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .map { l =>
+        val sp = l.indexOf(' ')
+        require(sp > 0 && l.indexOf(' ', sp + 1) < 0,
+          s"malformed merges line (want 'first second'): $l")
+        (l.substring(0, sp), l.substring(sp + 1))
+      }
+      .toVector
+  }
+
+  /** Parse a GPT-2-format `vocab.json` ({"token": id, ...}) — flat
+    * string→int object with standard JSON string escapes.
+    */
+  def loadVocab(path: String): Map[String, Int] = {
+    val s = readAll(path).mkString("\n")
+    val out = Map.newBuilder[String, Int]
+    var i = s.indexOf('{') + 1
+    require(i > 0, s"vocab file $path is not a JSON object")
+    while ({ while (i < s.length && (s(i).isWhitespace || s(i) == ',')) i += 1
+             i < s.length && s(i) == '"' }) {
+      val (key, next) = parseJsonString(s, i)
+      i = next
+      while (i < s.length && (s(i).isWhitespace || s(i) == ':')) i += 1
+      val numStart = i
+      while (i < s.length && (s(i) == '-' || s(i).isDigit)) i += 1
+      out += key -> s.substring(numStart, i).toInt
+    }
+    out.result()
+  }
+
+  private def parseJsonString(s: String, start: Int): (String, Int) = {
+    val sb = new StringBuilder
+    var i = start + 1 // past the opening quote
+    while (s(i) != '"') {
+      if (s(i) == '\\') {
+        s(i + 1) match {
+          case 'u' =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case c => sb.append(c); i += 2
+        }
+      } else { sb.append(s(i)); i += 1 }
+    }
+    (sb.toString, i + 1)
+  }
+
+  private def readAll(path: String): Seq[String] = {
+    if (path.startsWith("classpath:")) {
+      val res = path.stripPrefix("classpath:")
+      val in = getClass.getClassLoader.getResourceAsStream(res)
+      require(in != null, s"classpath resource not found: $res")
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    } else {
+      val src = scala.io.Source.fromFile(path, "UTF-8")
+      try src.getLines().toVector finally src.close()
+    }
+  }
+
+  /** The authored test fixture shipped with the library (GPT-2 file
+    * format; 45 merges over the bench corpus's letter distribution).
+    * Swap for a real published merges/vocab pair in production.
+    */
+  lazy val testFixture: Spec = Spec(
+    loadMerges("classpath:graft/bpe/test_merges.txt"),
+    loadVocab("classpath:graft/bpe/test_vocab.json"))
+
+  // ---- column API -------------------------------------------------
+
+  import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+
+  /** BPE tokens (byte-unicode symbol strings) of `c`. */
+  def bpeTokens(c: Column, spec: Spec): Column =
+    column(BpeEncode(expression(c), spec.merges, Map.empty, "tokens"))
+
+  /** Exact BPE token count of `c` (what a trainer's tokenizer sees). */
+  def bpeTokenCount(c: Column, spec: Spec): Column =
+    column(BpeEncode(expression(c), spec.merges, Map.empty, "count"))
+
+  /** BPE token ids of `c` per the spec's vocab. Unknown tokens (text
+    * outside the vocab's closure) become -1 — fail loudly downstream
+    * rather than silently skewing id streams.
+    */
+  def bpeTokenIds(c: Column, spec: Spec): Column = {
+    require(spec.vocab.nonEmpty, "bpeTokenIds needs a vocab (vocab.json)")
+    column(BpeEncode(expression(c), spec.merges, spec.vocab, "ids"))
+  }
+
+  /** Overlapping BPE-token-window chunks DECODED back to text — the
+    * subword twin of [[TextAnalysis.chunkTokens]]: chunk i covers
+    * tokens [i·stride, i·stride + maxTokens), stride = maxTokens −
+    * overlap, final chunk may be short, blank text → one empty chunk.
+    */
+  def bpeChunks(c: Column, spec: Spec, maxTokens: Int, overlap: Int = 0): Column = {
+    require(maxTokens >= 1, "maxTokens must be >= 1")
+    require(overlap >= 0 && overlap < maxTokens, "0 <= overlap < maxTokens")
+    column(BpeEncode(expression(c), spec.merges, Map.empty, "chunks",
+      maxTokens, overlap))
+  }
+
+  /** Decode a sequence of byte-unicode symbol tokens back to text. */
+  def decode(tokens: Seq[String]): String = {
+    val bytes = tokens.flatMap(_.map(charToByte))
+    new String(bytes.toArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+}
+
+/** The tokenizer expression (see [[Bpe]]). `mode`: "tokens" →
+  * array<string>, "count" → int, "ids" → array<int>, "chunks" →
+  * array<string> of decoded chunk texts.
+  */
+case class BpeEncode(
+    child: Expression,
+    merges: Seq[(String, String)],
+    vocab: Map[String, Int],
+    mode: String,
+    maxTokens: Int = 0,
+    overlap: Int = 0) extends UnaryExpression {
+
+  override def dataType: DataType = mode match {
+    case "count" => IntegerType
+    case "ids" => ArrayType(IntegerType, containsNull = false)
+    case _ => ArrayType(StringType, containsNull = false)
+  }
+  override def prettyName: String = s"bpe_$mode"
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((f, s), r) =>
+      m.put(f + " " + s, Integer.valueOf(r))
+    }
+    m
+  }
+
+  // per-pre-token merge results; Zipfian corpora repeat pre-tokens
+  // constantly, so this turns the merge loop into a hash probe. Size
+  // bound keeps a pathological corpus (all-unique words) from
+  // retaining every entry.
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+
+  private def bpeUnit(unit: String): Array[String] = {
+    val hit = cache.get(unit)
+    if (hit != null) return hit
+    var word: Array[String] = unit.map(_.toString).toArray
+    var done = word.length < 2
+    while (!done) {
+      var bestRank = Integer.MAX_VALUE
+      var bf: String = null
+      var bs: String = null
+      var i = 0
+      while (i < word.length - 1) {
+        val r = ranks.get(word(i) + " " + word(i + 1))
+        if (r != null && r.intValue() < bestRank) {
+          bestRank = r.intValue(); bf = word(i); bs = word(i + 1)
+        }
+        i += 1
+      }
+      if (bf == null) done = true
+      else {
+        val out = new scala.collection.mutable.ArrayBuffer[String](word.length)
+        var j = 0
+        while (j < word.length) {
+          if (j < word.length - 1 && word(j) == bf && word(j + 1) == bs) {
+            out += bf + bs; j += 2
+          } else { out += word(j); j += 1 }
+        }
+        word = out.toArray
+        done = word.length < 2
+      }
+    }
+    if (cache.size > 100000) cache.clear()
+    cache.put(unit, word)
+    word
+  }
+
+  /** Full encode: pre-tokenize, byte-map, merge. */
+  private def encode(text: String): scala.collection.mutable.ArrayBuffer[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    val m = Bpe.PreTokenPattern.matcher(text)
+    while (m.find()) {
+      val bytes = m.group().getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val sb = new StringBuilder(bytes.length)
+      bytes.foreach(b => sb.append(Bpe.byteToChar(b & 0xff)))
+      out ++= bpeUnit(sb.toString)
+    }
+    out
+  }
+
+  /** Called from both interpreted eval and generated code. */
+  def doEval(input: UTF8String): Any = {
+    val toks = encode(input.toString)
+    mode match {
+      case "count" => toks.length
+      case "ids" =>
+        new GenericArrayData(toks.map(t =>
+          Int.box(vocab.getOrElse(t, -1))).toArray[Any])
+      case "chunks" =>
+        val stride = maxTokens - overlap
+        val n = math.max(1,
+          math.ceil((toks.length - overlap).toDouble / stride).toInt)
+        new GenericArrayData((0 until n).map(i =>
+          UTF8String.fromString(
+            Bpe.decode(toks.slice(i * stride, i * stride + maxTokens).toSeq)))
+          .toArray[Any])
+      case _ =>
+        new GenericArrayData(toks.map(t =>
+          UTF8String.fromString(t)).toArray[Any])
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    doEval(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpe", this, classOf[BpeEncode].getName)
+    if (mode == "count")
+      defineCodeGen(ctx, ev, c => s"((Integer) $ref.doEval($c)).intValue()")
+    else
+      defineCodeGen(ctx, ev,
+        c => s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.doEval($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}

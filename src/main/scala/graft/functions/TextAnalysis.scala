@@ -25,6 +25,13 @@ object TextAnalysis {
   def tokenCountRegex(c: Column): Column =
     size(regexp_extract_all(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** REAL subword token count under a loaded BPE tokenizer (GPT-2
+    * merges/vocab format — see [[Bpe]]): what the trainer's tokenizer
+    * will actually see, for packing / budget accounting.
+    */
+  def tokenCount(c: Column, tokenizer: Bpe.Spec): Column =
+    Bpe.bpeTokenCount(c, tokenizer)
+
   /** Tiny per-language stopword lists for the heuristics below (also
     * consumed by the oracle-SQL generator in SparkEntry).
     */
@@ -562,6 +569,12 @@ object TextAnalysis {
       i => array_join(slice(w, i * stride + 1, lit(maxTokens)), " "))
   }
 
+  /** [[chunkTokens]] on REAL subword boundaries: windows of BPE
+    * tokens, decoded back to text (see [[Bpe.bpeChunks]]).
+    */
+  def chunkTokens(c: Column, maxTokens: Int, overlap: Int, tokenizer: Bpe.Spec): Column =
+    Bpe.bpeChunks(c, tokenizer, maxTokens, overlap)
+
   /** CORPUS-level boilerplate lines: lines occurring (as a distinct
     * line) in at least `minDocs` documents — navigation, cookie
     * banners, footers repeated ACROSS pages, the complement of the
@@ -727,4 +740,16 @@ object TextAnalysis {
         coalesce(col("last_seq") - col("first_seq") + 1, lit(0L)))
       .drop(cumCol, tokCol)
   }
+
+  /** [[packingAssignment]] sized in REAL subword tokens: counts come
+    * from the loaded BPE tokenizer, so offsets are directly usable as
+    * trainer sequence boundaries.
+    */
+  def packingAssignment(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      tokenizer: Bpe.Spec,
+      orderCol: Column,
+      seqLen: Int): org.apache.spark.sql.DataFrame =
+    packingAssignment(df, Bpe.bpeTokenCount(col(textCol), tokenizer), orderCol, seqLen)
 }

@@ -1,0 +1,128 @@
+package graft
+
+import graft.functions.Bpe
+import org.apache.spark.sql.functions._
+
+/** Parity fixtures for the byte-level BPE tokenizer: expected values
+  * computed with an independent reference implementation of the
+  * public GPT-2 algorithm (encoder.py semantics) over the shipped
+  * test_merges.txt / test_vocab.json fixture.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val spec = Bpe.testFixture
+
+  test("fixture loads: 45 ordered merges, 301-entry vocab") {
+    assert(spec.merges.size == 45)
+    assert(spec.merges.head == (("t", "h")))
+    assert(spec.merges.last == (("Ġke", "y")))
+    assert(spec.vocab.size == 301)
+    assert(spec.vocab("the") == 257) // 256 byte symbols + rank 1
+  }
+
+  test("parity: reference-computed tokenizations over the fixture") {
+    val cases = Seq(
+      ("the table", Seq("the", "Ġtable")),
+      ("scan value data key",
+        Seq("scan", "Ġ", "value", "Ġd", "at", "a", "Ġ", "key")),
+      ("a batch window query",
+        Seq("a", "Ġ", "b", "at", "c", "h", "Ġw", "in", "d", "ow", "Ġ",
+          "q", "u", "er", "y")),
+      ("value~3 the", Seq("value", "~", "3", "Ġ", "the")),
+      ("  the", Seq("Ġ", "Ġ", "the")),
+      ("", Seq.empty[String]),
+      ("the the the", Seq("the", "Ġ", "the", "Ġ", "the")))
+    val df = cases.map(_._1).toDF("s")
+    val got = df.select(Bpe.bpeTokens($"s", spec).as("t"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == cases.map(_._2))
+    val counts = df.select(Bpe.bpeTokenCount($"s", spec).as("n"))
+      .as[Int].collect().toSeq
+    assert(counts == cases.map(_._2.length))
+  }
+
+  test("ids per vocab.json; unknown text maps to -1, never silently drops") {
+    val got = Seq("the table").toDF("s")
+      .select(Bpe.bpeTokenIds($"s", spec).as("i")).as[Seq[Int]].head()
+    assert(got == Seq(257, 281)) // reference: vocab['the'], vocab['Ġtable']
+    // 'Z' is a byte symbol (in vocab); 'é' is a 2-byte char whose
+    // symbols exist but whose merge product doesn't — still ids ≥ 0
+    // per symbol; a symbol ABSENT from vocab is impossible with a
+    // complete byte vocab, so force one with a truncated vocab
+    val tiny = Bpe.Spec(spec.merges, Map("the" -> 7))
+    val ids = Seq("the Z").toDF("s")
+      .select(Bpe.bpeTokenIds($"s", tiny).as("i")).as[Seq[Int]].head()
+    assert(ids == Seq(7, -1, -1)) // the, Ġ, Z
+  }
+
+  test("decode round-trips the byte mapping") {
+    val texts = Seq("the table", "value~3 the", "  the", "héllo wörld")
+    texts.foreach { t =>
+      val toks = Seq(t).toDF("s")
+        .select(Bpe.bpeTokens($"s", spec).as("t")).as[Seq[String]].head()
+      assert(Bpe.decode(toks) == t, s"round trip failed for: $t")
+    }
+  }
+
+  test("self-pair merges are non-overlapping left-to-right (GPT-2 semantics)") {
+    val selfSpec = Bpe.Spec(Seq(("a", "a")))
+    val got = Seq("aaa", "aaaa", "aaaaa").toDF("s")
+      .select(Bpe.bpeTokens($"s", selfSpec).as("t")).as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("aa", "a"), Seq("aa", "aa"), Seq("aa", "aa", "a")))
+  }
+
+  test("lowest rank wins regardless of position") {
+    // rank 0 pair sits RIGHT of rank 1 pair: must merge first anyway
+    val s2 = Bpe.Spec(Seq(("c", "d"), ("a", "b"), ("ab", "cd")))
+    val got = Seq("abcd").toDF("s")
+      .select(Bpe.bpeTokens($"s", s2).as("t")).as[Seq[String]].head()
+    assert(got == Seq("abcd")) // cd first, then ab, then ab+cd
+  }
+
+  test("chunks: BPE windows decode to exact text slices") {
+    val got = Seq("the the the").toDF("s")
+      .select(Bpe.bpeChunks($"s", spec, maxTokens = 2).as("c"))
+      .as[Seq[String]].head()
+    // tokens [the, Ġ, the, Ġ, the] → windows of 2 decode with the
+    // space attached to the FOLLOWING token (byte-level BPE property)
+    assert(got == Seq("the ", "the ", "the"))
+    val overlapped = Seq("the the the").toDF("s")
+      .select(Bpe.bpeChunks($"s", spec, maxTokens = 3, overlap = 1).as("c"))
+      .as[Seq[String]].head()
+    assert(overlapped == Seq("the the", "the the")) // strides of 2
+    // blank → one empty chunk (mirror of chunkTokens)
+    assert(Seq("").toDF("s")
+      .select(Bpe.bpeChunks($"s", spec, maxTokens = 2).as("c"))
+      .as[Seq[String]].head() == Seq(""))
+  }
+
+  test("loader rejects malformed merges lines") {
+    val f = java.nio.file.Files.createTempFile("merges", ".txt")
+    java.nio.file.Files.writeString(f, "#version: 0.2\na b c\n")
+    intercept[IllegalArgumentException](Bpe.loadMerges(f.toString))
+  }
+
+  test("tokenizer= options: count, chunking and packing agree with the kernel") {
+    import graft.functions.TextAnalysis
+    val df = Seq((1L, "the table"), (2L, "scan value data key"), (3L, ""))
+      .toDF("id", "text")
+    val counts = df.select($"id",
+      TextAnalysis.tokenCount($"text", spec).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(counts == Map(1L -> 2, 2L -> 8, 3L -> 0))
+    val packed = TextAnalysis
+      .packingAssignment(df, "text", spec, $"id", seqLen = 4)
+      .select($"id", $"start_offset", $"n_seqs")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // cum: 2, 10, 10 → doc1 [0,2) seq0; doc2 [2,10) seqs 0..2; doc3 none
+    assert(packed(1L) == ((0L, 1L)))
+    assert(packed(2L) == ((2L, 3L)))
+    assert(packed(3L) == ((10L, 0L)))
+    val chunk = df.where($"id" === 2L)
+      .select(TextAnalysis.chunkTokens($"text", 4, 0, spec).as("c"))
+      .as[Seq[String]].head()
+    assert(chunk.mkString == "scan value data key")
+  }
+}
