@@ -731,11 +731,23 @@ object SparkEntry {
     }),
     "q_quantiles" -> ((s, dir) => {
       // Exact path (percentile = DuckDB quantile_cont, both on the
-      // p·(n−1) interpolation); the approx t-digest twin is
+      // p·(n−1) interpolation); the approx sketch twin is
       // spec-bounded against this.
       graft.operators.Profile.quantiles(
         t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"))
+    }),
+    "q_quantiles_approx" -> ((s, dir) => {
+      // The 100 TB configuration: one-pass mergeable quantile
+      // sketches with bounded memory. Sketch outputs pick actual data
+      // elements (no interpolation), so there is no exact SQL replay
+      // — rows-only by declared design (SURVEY §4); accuracy is
+      // spec-bounded against the exact path at sf1 (±1%,
+      // ProfileSpec).
+      graft.operators.Profile.quantiles(
+        t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        approx = true)
     }),
     "q_tfidf" -> ((s, dir) => {
       graft.functions.TextAnalysis.tfIdfTopK(

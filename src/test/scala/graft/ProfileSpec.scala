@@ -97,4 +97,41 @@ class ProfileSpec extends SparkSpec {
       Profile.quantiles(df, Seq("v"), Seq(1.5))
     }
   }
+
+  test("quantiles: approx within 1% of exact at sf1 (the 100 TB configuration)") {
+    // Empirical accuracy bound at REAL scale: 6M-row sf1 lineitem,
+    // the same (column × prob) grid the q_quantiles board row uses.
+    // Cancels (doesn't silently pass) when the generated sf1 data is
+    // absent — regenerate with graft.tools.GenScale.
+    import graft.operators.Profile
+    val dir = "/root/repo/testdata-sf1"
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists(),
+      s"sf1 data not generated at $dir")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val probs = Seq(0.25, 0.5, 0.75, 0.95)
+    def grid(approx: Boolean): Map[(String, Double), Double] =
+      Profile.quantiles(li, cols, probs, approx = approx)
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+        .toMap
+    val exact = grid(approx = false)
+    val sketch = grid(approx = true)
+    val n = li.count().toDouble
+    sketch.foreach { case ((c, p), got) =>
+      // Quantile sketches guarantee RANK error (value error is
+      // meaningless on discrete columns like integer l_quantity,
+      // where adjacent values sit 4% apart): the returned element's
+      // CDF bracket [P(X < got), P(X <= got)] must cover p to within
+      // 1% of rank.
+      import org.apache.spark.sql.functions.{sum, when, col}
+      val Seq(below, atOrBelow) = li
+        .agg(sum(when(col(c) < got, 1L).otherwise(0L)),
+          sum(when(col(c) <= got, 1L).otherwise(0L)))
+        .collect().head.toSeq.map(_.asInstanceOf[Long].toDouble / n)
+      assert(below <= p + 0.01 && atOrBelow >= p - 0.01,
+        s"$c p=$p: approx $got has CDF bracket [$below, $atOrBelow] " +
+          s"(exact ${exact((c, p))})")
+    }
+  }
 }
