@@ -871,6 +871,17 @@ object SparkEntry {
       graft.functions.TextAnalysis.packingAssignment(d, col("tokens"), col("doc_id"), 512)
         .select("doc_id", "tokens", "start_offset", "first_seq", "last_seq", "n_seqs")
     }),
+    "q_bpe_train" -> ((s, dir) => {
+      // Learn 16 merges from the corpus: one distributed unit-count
+      // aggregation, then the driver merge loop over the
+      // vocabulary-bounded table. The oracle replays the training
+      // loop itself (16 unrolled weighted-argmax steps).
+      val spec = graft.functions.Bpe.train(
+        t(s, dir, "documents"), "text", numMerges = 16)
+      s.createDataFrame(spec.merges.zipWithIndex.map {
+        case ((f, sec), r) => (r, f, sec)
+      }).toDF("merge_rank", "lhs", "rhs")
+    }),
     "q_pack_bpe" -> ((s, dir) => {
       // q_pack on REAL subword counts: the shipped BPE fixture
       // (GPT-2 merges format) sizes every document exactly as a
@@ -1151,6 +1162,49 @@ object SparkEntry {
        |bucnt AS (SELECT unit, len(l) AS n FROM s12),
        |bdtok AS (SELECT p.doc_id, sum(c.n) AS tokens FROM bpos p JOIN bucnt c
        |  ON c.unit = CASE WHEN p.i = 1 THEN p.ws[p.i] ELSE 'Ġ' || p.ws[p.i] END GROUP BY 1)""".stripMargin
+  }
+
+  /** ALGORITHMIC replay of the BPE TRAINER for the oracle: `k`
+    * unrolled steps, each aggregating weighted adjacent-pair counts
+    * over the evolving unit states, picking the max (ties to the
+    * byte-lexicographically smallest pair — identical to Scala's
+    * UTF-16 ordering below U+10000), excluding already-learned pairs,
+    * and rewriting states with the independent-position formula (the
+    * corpus never elects a self-pair — validated at every SF; the
+    * left-to-right scan a self-pair needs is spec'd in BpeSpec).
+    */
+  private def bpeTrainOracle(k: Int): String = {
+    val steps = (1 to k).map { n =>
+      // symbols never contain a raw space (0x20 maps to Ġ), so the
+      // space-joined pair key is collision-free
+      val excl =
+        if (n == 1) ""
+        else "WHERE f2 || ' ' || s2 NOT IN (" +
+          (1 until n).map(j => s"SELECT f2 || ' ' || s2 FROM p$j").mkString(" UNION ALL ") + ")"
+      // MATERIALIZED: each step reads its predecessor twice (pair
+      // counts + rewrite); default CTE inlining would expand the
+      // 16-step chain exponentially
+      s"""pr$n AS (SELECT l[i] AS f2, l[i + 1] AS s2, sum(c) AS pc
+         |  FROM (SELECT c, l, unnest(range(1, len(l))) AS i FROM t${n - 1})
+         |  GROUP BY 1, 2),
+         |p$n AS MATERIALIZED (SELECT f2, s2 FROM pr$n $excl ORDER BY pc DESC, f2, s2 LIMIT 1),
+         |t$n AS MATERIALIZED (SELECT unit, c, CASE WHEN b.f2 IS NULL THEN q.l ELSE
+         |  list_filter(list_transform(range(1, len(q.l) + 1), i ->
+         |    CASE WHEN i < len(q.l) AND q.l[i] = b.f2 AND q.l[i + 1] = b.s2 THEN b.f2 || b.s2
+         |         WHEN i > 1 AND q.l[i - 1] = b.f2 AND q.l[i] = b.s2 THEN NULL
+         |         ELSE q.l[i] END), x -> x IS NOT NULL) END AS l
+         |  FROM t${n - 1} q LEFT JOIN p$n b ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    val winners = (1 to k)
+      .map(n => s"SELECT ${n - 1} AS merge_rank, f2 AS lhs, s2 AS rhs FROM p$n")
+      .mkString("\nUNION ALL ")
+    s"""WITH tk AS (SELECT list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+       |pos AS (SELECT unnest(range(1, len(ws) + 1)) AS i, ws FROM tk),
+       |uc AS (SELECT CASE WHEN i = 1 THEN ws[i] ELSE 'Ġ' || ws[i] END AS unit, count(*) AS c
+       |  FROM pos GROUP BY 1),
+       |t0 AS (SELECT unit, c, list_transform(range(1, length(unit) + 1), i -> unit[i]) AS l FROM uc),
+       |$steps
+       |$winners""".stripMargin
   }
 
   /** Incremental (new-batch-vs-history) minhash pairs: history =
@@ -1703,6 +1757,7 @@ object SparkEntry {
         |  coalesce(CASE WHEN tokens > 0
         |    THEN (cum - 1) // 512 - (cum - tokens) // 512 + 1 END, 0)::BIGINT AS n_seqs
         |FROM c""".stripMargin,
+    "q_bpe_train" -> bpeTrainOracle(16),
     "q_pack_bpe" ->
       s"""WITH $bpeOracleCtes,
          |t AS (SELECT d.doc_id, coalesce(k.tokens, 0)::BIGINT AS tokens

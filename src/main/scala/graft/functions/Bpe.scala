@@ -173,6 +173,88 @@ object Bpe {
     val bytes = tokens.flatMap(_.map(charToByte))
     new String(bytes.toArray, java.nio.charset.StandardCharsets.UTF_8)
   }
+
+  /** Byte-mapped PRE-TOKEN units of `c` (no merging) — the corpus
+    * side of [[train]].
+    */
+  def preTokenUnits(c: Column): Column =
+    column(BpeEncode(expression(c), Nil, Map.empty, "units"))
+
+  /** TRAIN a BPE merge list from a corpus — the standard two-phase
+    * architecture every production tokenizer trainer uses: the only
+    * corpus-scale pass is a DISTRIBUTED pre-token count (map-side
+    * combined groupBy; at 100 TB this is one aggregation whose
+    * output is VOCABULARY-bounded — distinct pre-tokens, not rows);
+    * the merge loop then runs on the driver over that (unit, count)
+    * table. Each step picks the adjacent symbol pair with the
+    * highest weighted count (ties to the lexicographically smallest
+    * pair; pairs already learned are excluded, so ranks stay unique
+    * even when a later merge re-creates an old adjacency) and
+    * rewrites all unit states left-to-right non-overlapping — the
+    * exact inverse of [[BpeEncode]]'s encode loop, so
+    * `encode(train(corpus))` round-trips frequent words to single
+    * tokens.
+    *
+    * `maxUnits` is the driver-safety contract: training fails fast if
+    * the corpus has more distinct pre-tokens (raise it deliberately,
+    * or pre-truncate the corpus's long tail).
+    *
+    * @return a [[Spec]] with the learned merges and a GPT-2-shaped
+    *         vocab (256 byte symbols in codepoint order, then merge
+    *         products in rank order).
+    */
+  def train(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxUnits: Int = 1000000): Spec = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    import org.apache.spark.sql.functions.{col, count, explode, lit}
+    val counted = graft.operators.Parallelism.spread(df)
+      .select(explode(preTokenUnits(col(textCol))).as("__u"))
+      .groupBy(col("__u")).agg(count(lit(1)).as("__c"))
+    val rows = counted.limit(maxUnits + 1).collect()
+    require(rows.length <= maxUnits,
+      s"train: corpus has more than $maxUnits distinct pre-tokens — " +
+        "raise maxUnits deliberately or pre-truncate the tail")
+    var states: Array[(Array[String], Long)] =
+      rows.map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val learned = scala.collection.mutable.HashSet.empty[(String, String)]
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      states.foreach { case (st, c) =>
+        var i = 0
+        while (i < st.length - 1) {
+          val p = (st(i), st(i + 1))
+          if (!learned(p)) pairCounts(p) = pairCounts.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val best = pairCounts.toSeq.minBy { case ((f, s), c) => (-c, f, s) }._1
+        merges += best
+        learned += best
+        val (f, s) = best
+        states = states.map { case (st, c) =>
+          val out = new scala.collection.mutable.ArrayBuffer[String](st.length)
+          var i = 0
+          while (i < st.length) {
+            if (i < st.length - 1 && st(i) == f && st(i + 1) == s) {
+              out += f + s; i += 2
+            } else { out += st(i); i += 1 }
+          }
+          (out.toArray, c)
+        }
+      }
+    }
+    val byteSyms = byteToChar.map(_.toString).sorted
+    val vocab = byteSyms.zipWithIndex.toMap ++
+      merges.zipWithIndex.map { case ((f, s), r) => (f + s) -> (256 + r) }
+    Spec(merges.toVector, vocab)
+  }
 }
 
 /** The tokenizer expression (see [[Bpe]]). `mode`: "tokens" →
@@ -244,22 +326,27 @@ case class BpeEncode(
     word
   }
 
-  /** Full encode: pre-tokenize, byte-map, merge. */
-  private def encode(text: String): scala.collection.mutable.ArrayBuffer[String] = {
+  /** Full encode: pre-tokenize, byte-map, merge (or just the
+    * byte-mapped units when `merge = false` — the trainer's corpus
+    * pass).
+    */
+  private def encode(
+      text: String,
+      merge: Boolean = true): scala.collection.mutable.ArrayBuffer[String] = {
     val out = new scala.collection.mutable.ArrayBuffer[String]()
     val m = Bpe.PreTokenPattern.matcher(text)
     while (m.find()) {
       val bytes = m.group().getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val sb = new StringBuilder(bytes.length)
       bytes.foreach(b => sb.append(Bpe.byteToChar(b & 0xff)))
-      out ++= bpeUnit(sb.toString)
+      if (merge) out ++= bpeUnit(sb.toString) else out += sb.toString
     }
     out
   }
 
   /** Called from both interpreted eval and generated code. */
   def doEval(input: UTF8String): Any = {
-    val toks = encode(input.toString)
+    val toks = encode(input.toString, merge = mode != "units")
     mode match {
       case "count" => toks.length
       case "ids" =>

@@ -103,6 +103,31 @@ class BpeSpec extends SparkSpec {
     intercept[IllegalArgumentException](Bpe.loadMerges(f.toString))
   }
 
+  test("train: reference-computed merges, count ties break lexicographically") {
+    // reference (independent implementation of the public algorithm):
+    // (l,o) ties (o,w) at 7 → smaller pair wins; (s,low) ties (Ġ,low)
+    // at 2 → 's' < 'Ġ' (U+0120) wins — both tie rules exercised
+    val df = Seq("low low low", "slow flow", "low slow").toDF("text")
+    val spec = Bpe.train(df, "text", numMerges = 5)
+    assert(spec.merges == Seq(
+      ("l", "o"), ("lo", "w"), ("s", "low"), ("Ġ", "low"), ("f", "low")))
+    // GPT-2-shaped vocab: byte symbols then merge products
+    assert(spec.vocab("low") == 257 && spec.vocab("Ġlow") == 259)
+    // round trip: the trained tokenizer collapses frequent words
+    val toks = Seq("low slow flow").toDF("s")
+      .select(Bpe.bpeTokens($"s", spec).as("t")).as[Seq[String]].head()
+    assert(toks == Seq("low", "Ġ", "slow", "Ġ", "flow"))
+    // deterministic under repartitioning (distributed count, driver loop)
+    assert(Bpe.train(df.repartition(7), "text", numMerges = 5).merges == spec.merges)
+    // numMerges beyond exhaustion stops cleanly
+    val tiny = Bpe.train(Seq("ab").toDF("text"), "text", numMerges = 50)
+    assert(tiny.merges == Seq(("a", "b")))
+    // driver-safety contract fails fast
+    intercept[IllegalArgumentException] {
+      Bpe.train(df, "text", numMerges = 2, maxUnits = 2)
+    }
+  }
+
   test("tokenizer= options: count, chunking and packing agree with the kernel") {
     import graft.functions.TextAnalysis
     val df = Seq((1L, "the table"), (2L, "scan value data key"), (3L, ""))
