@@ -871,6 +871,15 @@ object SparkEntry {
       graft.functions.TextAnalysis.packingAssignment(d, col("tokens"), col("doc_id"), 512)
         .select("doc_id", "tokens", "start_offset", "first_seq", "last_seq", "n_seqs")
     }),
+    "q_chunk_bpe" -> ((s, dir) => {
+      // Subword chunking end-to-end: 8-token BPE windows decoded back
+      // to text. The oracle rebuilds each doc's full token stream
+      // from the per-unit merge replay and re-decodes the windows.
+      graft.operators.Parallelism.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), posexplode(graft.functions.Bpe.bpeChunks(
+          col("text"), graft.functions.Bpe.testFixture, maxTokens = 8))
+          .as(Seq("chunk_idx", "chunk_text")))
+    }),
     "q_bpe_train" -> ((s, dir) => {
       // Learn 16 merges from the corpus: one distributed unit-count
       // aggregation, then the driver merge loop over the
@@ -1758,6 +1767,19 @@ object SparkEntry {
         |    THEN (cum - 1) // 512 - (cum - tokens) // 512 + 1 END, 0)::BIGINT AS n_seqs
         |FROM c""".stripMargin,
     "q_bpe_train" -> bpeTrainOracle(16),
+    // chunk text decode: symbols are identity on this ASCII corpus
+    // except Ġ (the byte-level space marker)
+    "q_chunk_bpe" ->
+      s"""WITH $bpeOracleCtes,
+         |btoks AS (SELECT p.doc_id, flatten(list(c.l ORDER BY p.i)) AS toks
+         |  FROM bpos p JOIN s12 c
+         |  ON c.unit = CASE WHEN p.i = 1 THEN p.ws[p.i] ELSE 'Ġ' || p.ws[p.i] END
+         |  GROUP BY 1),
+         |bch AS (SELECT doc_id, toks,
+         |  unnest(range(0, greatest(1, ceil(len(toks) / 8.0)::INT))) AS chunk_idx FROM btoks)
+         |SELECT doc_id, chunk_idx,
+         |  replace(array_to_string(toks[(chunk_idx * 8 + 1):(chunk_idx * 8 + 8)], ''), 'Ġ', ' ') AS chunk_text
+         |FROM bch""".stripMargin,
     "q_pack_bpe" ->
       s"""WITH $bpeOracleCtes,
          |t AS (SELECT d.doc_id, coalesce(k.tokens, 0)::BIGINT AS tokens
