@@ -339,20 +339,8 @@ object Dedup {
       throw new IllegalArgumentException(
         s"compactMinHashSignatures: `$table` records no graft.minhash.* " +
           "table properties — not a graft signature table"))
-    val props = spark.sql(s"SHOW TBLPROPERTIES `$table`")
-      .collect().map(r => r.getString(0) -> r.getString(1))
-      .filter(_._1.startsWith("graft.")).toMap
-    val tmp = table + "__compact"
-    ManagedTables.dropAndClearOrphan(spark, tmp)
-    spark.table(table).distinct()
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(m.numBuckets, "__bpos", "__bkey")
-      .sortBy("__bpos", "__bkey")
-      .saveAsTable(tmp)
-    val kv = props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
-    spark.sql(s"ALTER TABLE `$tmp` SET TBLPROPERTIES ($kv)")
-    spark.sql(s"DROP TABLE `$table`")
-    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    ManagedTables.rewriteBucketed(spark, table,
+      spark.table(table).distinct(), m.numBuckets, Seq("__bpos", "__bkey"))
   }
 
   /** Build parameters recorded by [[writeMinHashSignatures]], or None

@@ -13,6 +13,40 @@ import org.apache.spark.sql.SparkSession
   * the caller's to manage.
   */
 private[operators] object ManagedTables {
+
+  /** Rewrite a bucketed catalog table in place from `df` (typically a
+    * transform of the table itself): the rows land in a `__compact`
+    * sibling bucketed with the SAME spec, every `graft.*` table
+    * property is copied over, and only then is the original dropped
+    * and the sibling renamed over it — a crash mid-rewrite leaves
+    * either the original or a complete sibling, never half a table.
+    * `df` must be safe to evaluate while the original still exists
+    * (it is: the sibling write reads the original).
+    */
+  def rewriteBucketed(
+      spark: SparkSession,
+      table: String,
+      df: org.apache.spark.sql.DataFrame,
+      numBuckets: Int,
+      bucketSortCols: Seq[String]): Unit = {
+    require(bucketSortCols.nonEmpty, "need at least one bucket column")
+    val props = spark.sql(s"SHOW TBLPROPERTIES `$table`")
+      .collect().map(r => r.getString(0) -> r.getString(1))
+      .filter(_._1.startsWith("graft.")).toMap
+    val tmp = table + "__compact"
+    dropAndClearOrphan(spark, tmp)
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketSortCols.head, bucketSortCols.tail: _*)
+      .sortBy(bucketSortCols.head, bucketSortCols.tail: _*)
+      .saveAsTable(tmp)
+    if (props.nonEmpty) {
+      val kv = props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
+      spark.sql(s"ALTER TABLE `$tmp` SET TBLPROPERTIES ($kv)")
+    }
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+  }
+
   def dropAndClearOrphan(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     if (!table.contains(".") && spark.catalog.currentDatabase == "default" &&

@@ -507,6 +507,25 @@ object Similarity {
       .saveAsTable(table)
   }
 
+  /** Compact an IVF index after appends: every [[appendIvfIndex]]
+    * call lands one more bucketed file set, and a long-lived index
+    * accumulates small files per bucket (more scan tasks, more
+    * footer reads). One sibling rewrite (same bucket spec, same
+    * properties, same `__cen` markers — see
+    * `ManagedTables.rewriteBucketed` for the crash contract) folds
+    * them back to a single file set; search results are unchanged.
+    */
+  def compactIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val (_, numBuckets) = readIvfIndexMeta(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"compactIvfIndex: `$table` records no graft.ivf.* table " +
+          "properties — create it with writeIvfIndex"))
+    ManagedTables.rewriteBucketed(spark, table,
+      spark.table(table), numBuckets, Seq("__cid"))
+  }
+
   /** Spherical k-means assignments after `iters` Lloyd passes
     * (cosine argmax; the update step is the per-position mean of each
     * cluster's members). Init is the same deterministic stride sample

@@ -276,6 +276,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("compactIvfIndex: append file growth folded, results/meta/markers intact") {
+    val rnd = new scala.util.Random(31)
+    def vecs(ids: Range) = ids.map(i => (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "vec")
+    val q = vecs(0 until 3)
+    try {
+      Similarity.writeIvfIndex(vecs(0 until 120), "vec", "id", "graft_ivf_cmp",
+        stride = 30, numBuckets = 4)
+      Similarity.appendIvfIndex(vecs(200 until 260), "vec", "id", "graft_ivf_cmp")
+      Similarity.appendIvfIndex(vecs(300 until 360), "vec", "id", "graft_ivf_cmp")
+      val before = Similarity.ivfTopKFromIndex(
+        spark, "graft_ivf_cmp", q, "vec", "id", k = 5, nprobe = 2)
+        .collect().map(_.toSeq).toSet
+      val filesBefore = spark.table("graft_ivf_cmp").inputFiles.length
+      val cenBefore = spark.table("graft_ivf_cmp").where($"__cen").count()
+      Similarity.compactIvfIndex(spark, "graft_ivf_cmp")
+      assert(spark.table("graft_ivf_cmp").inputFiles.length < filesBefore)
+      assert(spark.table("graft_ivf_cmp").where($"__cen").count() == cenBefore)
+      assert(Similarity.readIvfIndexMeta(spark, "graft_ivf_cmp").contains((30, 4)))
+      val after = Similarity.ivfTopKFromIndex(
+        spark, "graft_ivf_cmp", q, "vec", "id", k = 5, nprobe = 2)
+        .collect().map(_.toSeq).toSet
+      assert(after == before)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_cmp")
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_cmp__compact")
+    }
+  }
+
   test("autoStride: nlist stays bounded by the target across 3 orders of n") {
     val target = 64
     Seq(1000L, 100000L, 10000000L).foreach { n =>
