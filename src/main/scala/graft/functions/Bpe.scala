@@ -217,37 +217,88 @@ object Bpe {
     require(rows.length <= maxUnits,
       s"train: corpus has more than $maxUnits distinct pre-tokens — " +
         "raise maxUnits deliberately or pre-truncate the tail")
-    var states: Array[(Array[String], Long)] =
-      rows.map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    // Incremental trainer (the standard production-trainer shape):
+    // pair counts update by DELTA on only the units containing the
+    // merged pair, and selection pops a lazy max-heap — per step
+    // O(affected units · their length · log P), not O(corpus). A
+    // naive full rescan per step is O(units × symbols × numMerges),
+    // which dies at a real 30k-merge vocabulary even on a
+    // vocabulary-bounded table.
+    val states: Array[Array[String]] =
+      rows.map(r => r.getString(0).map(_.toString).toArray)
+    val weights: Array[Long] = rows.map(_.getLong(1))
+    val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val pairUnits = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.BitSet]
+    // heap entries are (count, pair) snapshots; stale ones (count no
+    // longer current) are discarded on pop. Order: count DESC, then
+    // pair ASC — the exact tie-break of the documented algorithm.
+    case class Entry(c: Long, f: String, s: String)
+    val heap = new java.util.PriorityQueue[Entry](11,
+      new java.util.Comparator[Entry] {
+        def compare(a: Entry, b: Entry): Int = {
+          if (a.c != b.c) java.lang.Long.compare(b.c, a.c)
+          else {
+            val cf = a.f.compareTo(b.f)
+            if (cf != 0) cf else a.s.compareTo(b.s)
+          }
+        }
+      })
+    def bump(p: (String, String), delta: Long, unit: Int): Unit = {
+      val nc = pairCounts.getOrElse(p, 0L) + delta
+      if (nc <= 0L) pairCounts.remove(p) else pairCounts(p) = nc
+      if (delta > 0 && unit >= 0)
+        pairUnits.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty) += unit
+      if (nc > 0L) heap.add(Entry(nc, p._1, p._2))
+    }
+    states.indices.foreach { u =>
+      val st = states(u)
+      var i = 0
+      while (i < st.length - 1) {
+        bump((st(i), st(i + 1)), weights(u), u); i += 1
+      }
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val learned = scala.collection.mutable.HashSet.empty[(String, String)]
     var exhausted = false
     while (merges.size < numMerges && !exhausted) {
-      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      states.foreach { case (st, c) =>
-        var i = 0
-        while (i < st.length - 1) {
-          val p = (st(i), st(i + 1))
-          if (!learned(p)) pairCounts(p) = pairCounts.getOrElse(p, 0L) + c
-          i += 1
-        }
+      var best: (String, String) = null
+      while (best == null && !heap.isEmpty) {
+        val e = heap.poll()
+        val p = (e.f, e.s)
+        // current, positive, and not yet learned → the true argmax
+        if (!learned(p) && pairCounts.getOrElse(p, 0L) == e.c) best = p
       }
-      if (pairCounts.isEmpty) exhausted = true
+      if (best == null) exhausted = true
       else {
-        val best = pairCounts.toSeq.minBy { case ((f, s), c) => (-c, f, s) }._1
         merges += best
         learned += best
         val (f, s) = best
-        states = states.map { case (st, c) =>
-          val out = new scala.collection.mutable.ArrayBuffer[String](st.length)
-          var i = 0
-          while (i < st.length) {
-            if (i < st.length - 1 && st(i) == f && st(i + 1) == s) {
-              out += f + s; i += 2
-            } else { out += st(i); i += 1 }
+        pairUnits.getOrElse(best, scala.collection.mutable.BitSet.empty)
+          .foreach { u =>
+            val st = states(u)
+            var contains = false
+            var i = 0
+            while (!contains && i < st.length - 1) {
+              contains = st(i) == f && st(i + 1) == s; i += 1
+            }
+            if (contains) { // pairUnits sets are lazily stale
+              val w = weights(u)
+              i = 0
+              while (i < st.length - 1) { bump((st(i), st(i + 1)), -w, -1); i += 1 }
+              val out = new scala.collection.mutable.ArrayBuffer[String](st.length)
+              i = 0
+              while (i < st.length) {
+                if (i < st.length - 1 && st(i) == f && st(i + 1) == s) {
+                  out += f + s; i += 2
+                } else { out += st(i); i += 1 }
+              }
+              states(u) = out.toArray
+              val ns = states(u)
+              i = 0
+              while (i < ns.length - 1) { bump((ns(i), ns(i + 1)), w, u); i += 1 }
+            }
           }
-          (out.toArray, c)
-        }
       }
     }
     val byteSyms = byteToChar.map(_.toString).sorted
