@@ -109,12 +109,17 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"total_min":$totalMin,"queries_min":$qsMin,"sf":"$sfDir"}"""
     println(json)
     // The driver keeps only the stdout tail, which truncates the full
-    // query map (round-5 BENCH artifact parsed as null). Also write
-    // the same JSON to a file when asked.
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
-      java.nio.file.Files.write(
+    // query map (round-5 BENCH artifact parsed as null). Always write
+    // the same JSON to a file: SPARK_GRAFT_BENCH_OUT when set, and
+    // BENCH_LAST.json in the working directory as the standing copy.
+    val outs = sys.env.get("SPARK_GRAFT_BENCH_OUT").toSeq :+ "BENCH_LAST.json"
+    outs.foreach { path =>
+      try java.nio.file.Files.write(
         java.nio.file.Paths.get(path),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $path: ${e.getMessage}")
+      }
     }
     spark.stop()
   }
