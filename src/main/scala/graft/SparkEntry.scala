@@ -3,7 +3,7 @@ package graft
 import graft.functions.ColumnFunctions._
 import graft.functions.TextFunctions._
 import graft.implicits._
-import graft.operators.{Cumulative, DataFrameOps, Dedup, Parallelism, Similarity, TrendLine}
+import graft.operators.{Cumulative, DataFrameOps, Dedup, Parallelism, Selection, Similarity, TrendLine}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -526,6 +526,22 @@ object SparkEntry {
   }
 
   private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir" -> ((s, dir) => {
+      // DSIR toward the English slice: raw pool = the whole corpus,
+      // target = lang='en'; Gumbel-top-100 importance resample.
+      // numBuckets=64 forces real hash collisions on this vocabulary.
+      val docs = Parallelism.spread(t(s, dir, "documents"))
+      Selection.dsirResample(docs, docs.where(col("lang") === "en"),
+        "text", "doc_id", k = 100, numBuckets = 64)
+    }),
+    "q_nb_quality" -> ((s, dir) => {
+      // Naive-Bayes quality filter: train lang='en' vs rest on the
+      // corpus itself, score every doc (the CCNet-style seed-filter
+      // shape; held-out application is covered in SelectionSpec).
+      val docs = Parallelism.spread(t(s, dir, "documents"))
+      val model = Selection.nbTrain(docs, "text", col("lang") === "en", numBuckets = 64)
+      Selection.nbScore(docs, model, "text", "doc_id", numBuckets = 64)
+    }),
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exactStats(t(s, dir, "documents"), Seq("text"), "doc_id")
     }),
@@ -1248,7 +1264,65 @@ object SparkEntry {
        |  FROM cand JOIN sho sa ON sa.doc_id = cand.id_a JOIN shn sb ON sb.doc_id = cand.id_b)""".stripMargin
   }
 
+  /** 16-bit integer from the first four md5 nibbles of `e` — the
+    * DuckDB replay of graft's md5 hash bucket/keep-flag convention.
+    */
+  private def h16Sql(e: String): String =
+    s"((strpos('0123456789abcdef', substr(md5($e), 1, 1)) - 1) * 4096 + " +
+      s"(strpos('0123456789abcdef', substr(md5($e), 2, 1)) - 1) * 256 + " +
+      s"(strpos('0123456789abcdef', substr(md5($e), 3, 1)) - 1) * 16 + " +
+      s"(strpos('0123456789abcdef', substr(md5($e), 4, 1)) - 1))"
+
+  /** Shared feature CTEs for the Selection oracles: word unigram +
+    * bigram occurrences of each document, hashed to 64 md5 buckets
+    * (mirrors Selection.unigramsAndBigrams + gramBucket exactly).
+    */
+  private lazy val gramBucketCtes: String =
+    s"""tk AS (SELECT doc_id, lang,
+       |  list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '') AS w
+       |  FROM documents),
+       |oc AS (SELECT doc_id, lang, unnest(w) AS g FROM tk
+       |  UNION ALL
+       |  SELECT doc_id, lang, w[i + 1] || ' ' || w[i + 2] AS g
+       |  FROM (SELECT doc_id, lang, unnest(range(0, len(w) - 1)) AS i, w FROM tk
+       |        WHERE len(w) >= 2)),
+       |ob AS (SELECT doc_id, lang, ${h16Sql("g")} % 64 AS b FROM oc)""".stripMargin
+
   private def pipelineOracle: Map[String, String] = Map(
+    // DSIR replay: smoothed bucket log-ratios (6 dp) -> per-doc sums
+    // (4 dp) -> hash-Gumbel top-100. alpha=1, B=64 => the +64.0 terms.
+    "q_dsir" ->
+      s"""WITH $gramBucketCtes,
+         |cr AS (SELECT b, count(*) AS rc FROM ob GROUP BY 1),
+         |ct AS (SELECT b, count(*) AS tc FROM ob WHERE lang = 'en' GROUP BY 1),
+         |nr AS (SELECT sum(rc)::DOUBLE AS nr FROM cr),
+         |nt AS (SELECT coalesce(sum(tc), 0)::DOUBLE AS nt FROM ct),
+         |rt AS (SELECT b, round(ln((coalesce(ct.tc, 0) + 1.0) / (nt.nt + 64.0)) -
+         |    ln((cr.rc + 1.0) / (nr.nr + 64.0)), 6) AS lr
+         |  FROM cr LEFT JOIN ct USING (b), nr, nt),
+         |wsum AS (SELECT doc_id, round(sum(lr::DECIMAL(18,6)), 4)::DOUBLE AS lw
+         |  FROM ob JOIN rt USING (b) GROUP BY 1),
+         |ww AS (SELECT d.doc_id, coalesce(w.lw, 0.0) AS dsir_logw
+         |  FROM documents d LEFT JOIN wsum w USING (doc_id)),
+         |ky AS (SELECT doc_id, dsir_logw, dsir_logw +
+         |  (-ln(-ln((${h16Sql("doc_id::VARCHAR || ':0'")} + 0.5) / 65536.0))) AS k FROM ww)
+         |SELECT doc_id, dsir_logw FROM ky ORDER BY k DESC, doc_id LIMIT 100""".stripMargin,
+    // Naive-Bayes replay: conditional bucket counts -> smoothed
+    // log-odds (6 dp) -> per-doc sums (4 dp) over all documents.
+    "q_nb_quality" ->
+      s"""WITH $gramBucketCtes,
+         |cc AS (SELECT b, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cp,
+         |  sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS cn
+         |  FROM ob WHERE lang IS NOT NULL GROUP BY 1),
+         |tot AS (SELECT sum(cp)::DOUBLE AS np, sum(cn)::DOUBLE AS nn FROM cc),
+         |md AS (SELECT b, round(ln((cp + 1.0) / (np + 64.0)) -
+         |  ln((cn + 1.0) / (nn + 64.0)), 6) AS lo FROM cc, tot),
+         |sc AS (SELECT doc_id, round(sum(lo::DECIMAL(18,6)), 4)::DOUBLE AS nb_score,
+         |  count(*) AS n_grams
+         |  FROM ob JOIN md USING (b) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(sc.nb_score, 0.0) AS nb_score,
+         |  coalesce(sc.n_grams, 0)::BIGINT AS n_grams
+         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
     "q_dedup_incremental" ->
       s"""WITH $incrementalCtes
          |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM mh WHERE jac >= 0.5""".stripMargin,

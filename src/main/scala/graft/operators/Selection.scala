@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-light data selection for training corpora: DSIR importance
+  * resampling (Xie et al., "Data Selection for Language Models via
+  * Importance Resampling", NeurIPS 2023) and a multinomial
+  * Naive-Bayes quality classifier (the closed-form cousin of the
+  * fastText linear filter used by the GPT-3/CCNet pipelines).
+  *
+  * Both operate on HASHED n-gram bag features (word unigrams +
+  * bigrams → md5 bucket), so the model side is bounded by
+  * `numBuckets` regardless of corpus size:
+  *
+  *  - fitting is one counted aggregation per corpus (map-side
+  *    combined; output ≤ numBuckets rows — never corpus-sized);
+  *  - the fitted table broadcasts by construction (`numBuckets` ≤
+  *    65536), so scoring is explode → broadcast join → one
+  *    per-doc sum with map-side partial aggregation. The only
+  *    shuffle carries (doc id, partial sum) pairs.
+  *
+  * Hashing is md5-based (first 16 bits) like every other graft
+  * sampler, so the DuckDB oracle replays bucket assignment, fitted
+  * log-ratios, and the final per-doc sums bit-for-bit (log-ratio
+  * rounded at 6 dp before the sum, sums rounded at the query
+  * boundary — the determinism discipline of SURVEY §4).
+  */
+object Selection {
+
+  /** Word unigram + bigram occurrences (with multiplicity) of the
+    * lowercased text — the DSIR paper's feature set. Row-local; empty
+    * or null text yields an empty/null array, which downstream
+    * explodes drop.
+    */
+  def unigramsAndBigrams(c: Column): Column = {
+    val toks = filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+    // sequence(1, 0) would DESCEND — guard the bigram branch.
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    concat(toks, bigrams)
+  }
+
+  /** Feature bucket of one gram: the first 16 bits of md5, mod
+    * `numBuckets` — replayable in any engine with md5.
+    */
+  def gramBucket(gram: Column, numBuckets: Int): Column =
+    pmod(conv(substring(md5(gram), 1, 4), 16, 10).cast("int"), lit(numBuckets))
+
+  /** (doc, bucket) occurrence frame used by the scoring paths. */
+  private def occurrences(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numBuckets: Int): DataFrame =
+    df.select(col(idCol).as("__doc"),
+      explode(unigramsAndBigrams(col(textCol))).as("__gram"))
+      .select(col("__doc"), gramBucket(col("__gram"), numBuckets).as("bucket"))
+
+  /** Bucket occurrences alone (fit paths — no doc id carried). */
+  private def bucketsOnly(df: DataFrame, textCol: String, numBuckets: Int): DataFrame =
+    df.select(explode(unigramsAndBigrams(col(textCol))).as("__gram"))
+      .select(gramBucket(col("__gram"), numBuckets).as("bucket"))
+
+  /** Smoothed per-bucket log importance ratio
+    * `ln p_target(b) − ln p_raw(b)` fitted over the RAW-observed
+    * buckets (add-`alpha` smoothing on both sides, so target-absent
+    * buckets get the smoothing floor instead of −∞). Output ≤
+    * `numBuckets` rows — bounded at any corpus size; rounded at 6 dp
+    * so the ratio table is engine-portable.
+    */
+  def dsirLogRatios(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      numBuckets: Int = 4096,
+      alpha: Double = 1.0): DataFrame = {
+    require(numBuckets > 0 && numBuckets <= 65536,
+      "numBuckets must be in (0, 65536] (16-bit md5 bucket space)")
+    require(alpha > 0, "alpha must be positive (zero-count buckets need mass)")
+    val rawCounts = bucketsOnly(raw, textCol, numBuckets)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val tgtCounts = bucketsOnly(target, textCol, numBuckets)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    // Grand totals: one-row aggregates, broadcast to the (bounded)
+    // bucket table — the same scalar-broadcast shape as Cumulative.
+    val nr = rawCounts.agg(sum(col("cr")).as("nr"))
+    val nt = tgtCounts.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
+    rawCounts
+      .join(tgtCounts, Seq("bucket"), "left")
+      .crossJoin(broadcast(nr))
+      .crossJoin(broadcast(nt))
+      .select(col("bucket"),
+        round(
+          log((coalesce(col("ct"), lit(0L)) + alpha) / (col("nt") + alpha * numBuckets)) -
+            log((col("cr") + alpha) / (col("nr") + alpha * numBuckets)),
+          6).as("log_ratio"))
+  }
+
+  /** DSIR importance log-weight per document of `df`: the sum over
+    * the doc's gram occurrences of the fitted bucket log-ratio. `df`
+    * is BOTH the scored corpus and the raw-distribution source (the
+    * DSIR setting: select from the raw pool toward `target`'s
+    * distribution). Docs with no tokens weigh 0 (no evidence either
+    * way). Output: (`idCol`, `dsir_logw` rounded 4 dp).
+    *
+    * Scale shape: the ratio table (≤ numBuckets rows) broadcasts;
+    * the occurrence explode is row-local; the per-doc sum partial-
+    * aggregates map-side, so the one shuffle carries a row per
+    * (doc, mapper) — never a row per gram.
+    */
+  def dsirWeights(
+      df: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      idCol: String,
+      numBuckets: Int = 4096,
+      alpha: Double = 1.0): DataFrame = {
+    val ratios = dsirLogRatios(df, target, textCol, numBuckets, alpha)
+    val occ = occurrences(df, textCol, idCol, numBuckets)
+    // The 6-dp ratios are summed as DECIMALs: a double sum is
+    // order-dependent in its last ulp, which flips 4-dp rounding on
+    // boundary values — decimal sums are exact under any partial-
+    // aggregation order (and any engine).
+    val sums = occ.join(broadcast(ratios), Seq("bucket"))
+      .groupBy(col("__doc"))
+      .agg(round(sum(col("log_ratio").cast("decimal(18,6)")), 4)
+        .cast("double").as("dsir_logw"))
+    df.select(col(idCol))
+      .join(sums, df(idCol) === sums("__doc"), "left")
+      .select(col(idCol), coalesce(col("dsir_logw"), lit(0.0)).as("dsir_logw"))
+  }
+
+  /** Deterministic Gumbel-top-`k` importance resample: keeps the `k`
+    * docs maximizing `dsir_logw + G(id)`, where `G` is a Gumbel
+    * variate derived from the row's 16-bit content hash — the
+    * standard Gumbel-max trick for sampling WITHOUT replacement with
+    * probability ∝ exp(logw), made reproducible under any
+    * partitioning (and engine-replayable) by hashing instead of
+    * drawing. The top-k compiles to `TakeOrderedAndProject` — each
+    * task keeps k rows, no global sort.
+    */
+  def dsirResample(
+      df: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      numBuckets: Int = 4096,
+      alpha: Double = 1.0,
+      seed: Int = 0): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = dsirWeights(df, target, textCol, idCol, numBuckets, alpha)
+    // (h + 0.5) / 65536: uniform in (0,1), never 0 or 1 — both ln
+    // calls stay finite.
+    val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + seed))), 1, 4), 16, 10)
+      .cast("double")
+    val gumbel = -log(-log((h + 0.5) / 65536.0))
+    w.withColumn("__key", col("dsir_logw") + gumbel)
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .drop("__key")
+  }
+
+  /** Multinomial Naive-Bayes quality model over hashed gram buckets:
+    * per bucket `ln p(b|pos) − ln p(b|neg)` with add-`alpha`
+    * smoothing, fitted from a labeled frame (`labelCol` boolean;
+    * null labels are excluded from BOTH classes). The class prior is
+    * deliberately omitted — it is a per-corpus constant absorbed by
+    * the caller's decision threshold, and leaving it out keeps the
+    * model a pure (bucket, log_odds) table that applies to any frame.
+    * Output ≤ `numBuckets` rows, rounded 6 dp.
+    *
+    * This is the closed-form stand-in for the fastText linear quality
+    * filter (GPT-3, CCNet): same hashed bag-of-ngrams features, same
+    * linear per-doc score, but the weights come from one counted
+    * aggregation instead of SGD — trainable in a single Spark job at
+    * any corpus size.
+    */
+  def nbTrain(
+      labeled: DataFrame,
+      textCol: String,
+      labelCol: Column,
+      numBuckets: Int = 4096,
+      alpha: Double = 1.0): DataFrame = {
+    require(numBuckets > 0 && numBuckets <= 65536,
+      "numBuckets must be in (0, 65536] (16-bit md5 bucket space)")
+    require(alpha > 0, "alpha must be positive")
+    val lblCol = graft.Cols.unique("__lbl", labeled)
+    val occ = labeled
+      .withColumn(lblCol, labelCol.cast("boolean"))
+      .where(col(lblCol).isNotNull)
+      .select(col(lblCol),
+        explode(unigramsAndBigrams(col(textCol))).as("__gram"))
+      .select(col(lblCol), gramBucket(col("__gram"), numBuckets).as("bucket"))
+    // One counted agg for both classes: conditional counts partial-
+    // aggregate map-side; output bounded by numBuckets.
+    val counts = occ.groupBy(col("bucket")).agg(
+      sum(when(col(lblCol), 1L).otherwise(0L)).as("cp"),
+      sum(when(!col(lblCol), 1L).otherwise(0L)).as("cn"))
+    val totals = counts.agg(
+      coalesce(sum(col("cp")), lit(0L)).as("np"),
+      coalesce(sum(col("cn")), lit(0L)).as("nn"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(
+          log((col("cp") + alpha) / (col("np") + alpha * numBuckets)) -
+            log((col("cn") + alpha) / (col("nn") + alpha * numBuckets)),
+          6).as("log_odds"))
+  }
+
+  /** Score any frame under a fitted [[nbTrain]] model: per-doc sum of
+    * bucket log-odds over gram occurrences (`nb_score`, rounded 4 dp;
+    * higher = more positive-class-like) plus the occurrence count
+    * (`n_grams` — callers often length-normalize or gate on it).
+    * Docs with no tokens score 0 with 0 grams. Same broadcast-join +
+    * map-side-combined sum shape as [[dsirWeights]]; grams absent
+    * from the model (bucket never seen in training) contribute
+    * nothing, matching the smoothed-equal-likelihood limit.
+    */
+  def nbScore(
+      df: DataFrame,
+      model: DataFrame,
+      textCol: String,
+      idCol: String,
+      numBuckets: Int = 4096): DataFrame = {
+    val occ = occurrences(df, textCol, idCol, numBuckets)
+    // Decimal sum for the same order-independence reason as
+    // [[dsirWeights]].
+    val sums = occ.join(broadcast(model), Seq("bucket"))
+      .groupBy(col("__doc"))
+      .agg(round(sum(col("log_odds").cast("decimal(18,6)")), 4)
+        .cast("double").as("nb_score"),
+        count(lit(1)).as("n_grams"))
+    df.select(col(idCol))
+      .join(sums, df(idCol) === sums("__doc"), "left")
+      .select(col(idCol),
+        coalesce(col("nb_score"), lit(0.0)).as("nb_score"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"))
+  }
+}
