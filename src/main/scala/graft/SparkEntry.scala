@@ -545,6 +545,21 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exactStats(t(s, dir, "documents"), Seq("text"), "doc_id")
     }),
+    "q_shuffle_order" -> ((s, dir) => {
+      graft.operators.Sampling.shuffleForTraining(
+        Parallelism.spread(t(s, dir, "documents")).select(col("doc_id")),
+        "doc_id", seed = 3)
+    }),
+    "q_mix" -> ((s, dir) => {
+      // wiki-×1.5 / web-×0.75-style mixing over the lang slices: one
+      // full epoch + a 0.5 sample of 'en', a 0.75 sample of 'fr',
+      // globally shuffled into a contiguous training order.
+      val docs = Parallelism.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"))
+      val en = docs.where(col("lang") === "en").drop("lang")
+      val fr = docs.where(col("lang") === "fr").drop("lang")
+      graft.operators.Sampling.mixCorpora(Seq((en, 1.5), (fr, 0.75)), "doc_id", seed = 2)
+    }),
     "q_dedup_minhash" -> ((s, dir) => {
       // bands=2 (rows of 4): this synthetic corpus has ~0.17 baseline
       // shingle Jaccard, so 2-row bands candidate-explode (E ∝ J²);
@@ -1307,6 +1322,29 @@ object SparkEntry {
          |ky AS (SELECT doc_id, dsir_logw, dsir_logw +
          |  (-ln(-ln((${h16Sql("doc_id::VARCHAR || ':0'")} + 0.5) / 65536.0))) AS k FROM ww)
          |SELECT doc_id, dsir_logw FROM ky ORDER BY k DESC, doc_id LIMIT 100""".stripMargin,
+    // Global shuffle replay: the distributed prefix-sum rank equals
+    // ROW_NUMBER over the md5 key (id tie-break concatenated).
+    "q_shuffle_order" ->
+      """SELECT doc_id, row_number() OVER (ORDER BY
+        |  md5(doc_id::VARCHAR || ':3') || ':' || doc_id::VARCHAR) - 1 AS order_id
+        |FROM documents""".stripMargin,
+    // Corpus-mix replay: epoch union + per-source keep-flag samples
+    // (derived seeds 2*131+i), then the same md5-key global order.
+    "q_mix" ->
+      s"""WITH s AS (
+         |  SELECT 0::INTEGER AS source_idx, doc_id, 0::BIGINT AS rep
+         |  FROM documents WHERE lang = 'en'
+         |  UNION ALL
+         |  SELECT 0::INTEGER, doc_id, 1::BIGINT FROM documents
+         |  WHERE lang = 'en' AND ${h16Sql("doc_id::VARCHAR || ':262'")} < 32768
+         |  UNION ALL
+         |  SELECT 1::INTEGER, doc_id, 0::BIGINT FROM documents
+         |  WHERE lang = 'fr' AND ${h16Sql("doc_id::VARCHAR || ':263'")} < 49152)
+         |SELECT source_idx, doc_id, rep, row_number() OVER (ORDER BY
+         |  md5(source_idx::VARCHAR || ':' || doc_id::VARCHAR || ':' || rep::VARCHAR || ':2')
+         |    || ':' || source_idx::VARCHAR || ':' || doc_id::VARCHAR || ':' || rep::VARCHAR) - 1
+         |  AS order_id
+         |FROM s""".stripMargin,
     // Naive-Bayes replay: conditional bucket counts -> smoothed
     // log-odds (6 dp) -> per-doc sums (4 dp) over all documents.
     "q_nb_quality" ->

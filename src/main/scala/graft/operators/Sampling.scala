@@ -162,6 +162,94 @@ object Sampling {
     df.withColumn(outCol, explode(reps))
   }
 
+  /** Global deterministic training-order shuffle: adds `outCol`, a
+    * contiguous 0-based order index assigned by content hash — the
+    * "global shuffle" step before sequence packing / sharded export,
+    * reproducible under any partitioning, any cluster size, any
+    * engine (the oracle replays it as `ORDER BY md5(...)`).
+    *
+    * The rank comes from the distributed prefix sum
+    * ([[Cumulative.withCumulativeSum]]: range partitioning by the
+    * hash key + a per-partition offset exchange), so there is no
+    * single-task global window at any corpus size. `idCol` must be
+    * unique and non-null (the usual determinism contract); the md5
+    * key carries the id as an explicit tie-break so even a hash
+    * collision stays deterministic.
+    */
+  def shuffleForTraining(
+      df: DataFrame,
+      idCol: String,
+      seed: Int = 0,
+      outCol: String = "order_id"): DataFrame =
+    rankByHash(df,
+      concat(col(idCol).cast("string"), lit(":" + seed)),
+      col(idCol).cast("string"), outCol)
+
+  /** Deterministic corpus mixing: each `(frame, weight)` source
+    * contributes ~`weight × |source|` rows — `floor(weight)` full
+    * epochs (0-based `repCol` index, like [[upsample]]) plus a
+    * deterministic `weight − floor(weight)` fractional sample at the
+    * next epoch index — tagged with its 0-based `srcCol`, unioned,
+    * and globally shuffled into a contiguous `outCol` training order
+    * keyed on (source, id, rep). This is the mixture-weights step of
+    * training-data prep (e.g. wiki ×2.4, web ×0.6) as ONE
+    * reproducible operator: per-row hash decisions + the distributed
+    * prefix-sum rank — no shuffle anywhere except the final range
+    * partitioning, no randomness, engine-replayable.
+    *
+    * All sources must share a schema (`unionByName`); the fractional
+    * sample of source `i` uses seed `seed * 131 + i` so sources draw
+    * independently. `idCol` must be unique and non-null within each
+    * source.
+    */
+  def mixCorpora(
+      sources: Seq[(DataFrame, Double)],
+      idCol: String,
+      seed: Int = 0,
+      srcCol: String = "source_idx",
+      repCol: String = "rep",
+      outCol: String = "order_id"): DataFrame = {
+    require(sources.nonEmpty, "no sources given")
+    require(sources.forall(_._2 >= 0), "weights must be non-negative")
+    require(sources.map(_._2).sum > 0, "at least one weight must be positive")
+    val tagged = sources.zipWithIndex.flatMap { case ((src, weight), i) =>
+      val fullEpochs = math.floor(weight).toLong
+      val frac = weight - fullEpochs
+      val epochs =
+        if (fullEpochs > 0) Some(upsample(src, lit(fullEpochs), repCol)) else None
+      val fractional =
+        if (frac > 0)
+          Some(deterministicSample(src, idCol, frac, seed * 131 + i)
+            .withColumn(repCol, lit(fullEpochs)))
+        else None
+      (epochs.toSeq ++ fractional.toSeq).map(_.withColumn(srcCol, lit(i)))
+    }
+    val unioned = tagged.reduce(_.unionByName(_))
+    rankByHash(unioned,
+      concat_ws(":", col(srcCol).cast("string"), col(idCol).cast("string"),
+        col(repCol).cast("string"), lit(seed.toString)),
+      concat_ws(":", col(srcCol).cast("string"), col(idCol).cast("string"),
+        col(repCol).cast("string")),
+      outCol)
+  }
+
+  /** Contiguous 0-based rank by `md5(hashInput)` (tie-broken by
+    * `tieBreak`, ASCII string order — identical across engines) via
+    * the distributed prefix sum. Shared by [[shuffleForTraining]] and
+    * [[mixCorpora]].
+    */
+  private def rankByHash(
+      df: DataFrame,
+      hashInput: Column,
+      tieBreak: Column,
+      outCol: String): DataFrame = {
+    val keyCol = graft.Cols.unique("__graft_key", df)
+    val staged = df.withColumn(keyCol, concat(md5(hashInput), lit(":"), tieBreak))
+    Cumulative.withCumulativeSum(staged, lit(1L), col(keyCol), outCol)
+      .withColumn(outCol, col(outCol) - 1)
+      .drop(keyCol)
+  }
+
   /** Per-stratum deterministic sampling: strata missing from
     * `fractions` are dropped (like `sampleBy`).
     */

@@ -172,4 +172,75 @@ class SamplingSpec extends SparkSpec {
     val plan = Sampling.upsample(df, $"w").queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("shuffleForTraining: contiguous permutation matching the md5 order") {
+    val n = 2000
+    val df = spark.range(n).toDF("id")
+    val out = Sampling.shuffleForTraining(df, "id", seed = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(out.length == n)
+    assert(out.map(_._2).sorted == (0L until n.toLong))
+    // matches the reference rank: ORDER BY md5(id || ':3') || ':' || id
+    val expected = (0L until n.toLong)
+      .sortBy(i => md5Hex(s"$i:3") + ":" + i)
+      .zipWithIndex.map { case (id, r) => id -> r.toLong }.toMap
+    out.foreach { case (id, r) => assert(r == expected(id), s"id $id") }
+  }
+
+  test("shuffleForTraining: reproducible under repartitioning; seed changes the order") {
+    val df = spark.range(5000).toDF("id")
+    val a = Sampling.shuffleForTraining(df, "id", seed = 1)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val b = Sampling.shuffleForTraining(df.repartition(17), "id", seed = 1)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    val c = Sampling.shuffleForTraining(df, "id", seed = 2)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a != c)
+  }
+
+  test("mixCorpora: epochs + fractional sample per source, contiguous global order") {
+    val a = spark.range(1000).toDF("id")   // weight 2.5 -> 2 epochs + ~500
+    val b = spark.range(1000, 1800).toDF("id") // weight 0.25 -> ~200
+    val out = Sampling.mixCorpora(Seq((a, 2.5), (b, 0.25)), "id", seed = 5)
+    val rows = out.select($"source_idx", $"id", $"rep", $"order_id")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    // contiguous permutation across the whole mix
+    assert(rows.map(_._4).sorted == (0L until rows.length.toLong))
+    val bySrc = rows.groupBy(_._1)
+    // source 0: every id appears at rep 0 and 1; rep 2 is the ~0.5 sample
+    val s0 = bySrc(0)
+    assert(s0.count(_._3 == 0L) == 1000)
+    assert(s0.count(_._3 == 1L) == 1000)
+    val s0frac = s0.count(_._3 == 2L)
+    assert(math.abs(s0frac - 500) < 80, s"frac epoch size $s0frac")
+    // source 1: single fractional epoch at rep 0
+    val s1 = bySrc(1)
+    assert(s1.forall(_._3 == 0L))
+    assert(math.abs(s1.length - 200) < 60, s"source-1 size ${s1.length}")
+  }
+
+  test("mixCorpora: reproducible under repartitioning; fractional picks nest in the source sample") {
+    val a = spark.range(500).toDF("id")
+    val b = spark.range(500, 900).toDF("id")
+    val m1 = Sampling.mixCorpora(Seq((a, 0.4), (b, 1.0)), "id", seed = 9)
+      .select($"source_idx", $"id", $"rep", $"order_id")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._4).toSeq
+    val m2 = Sampling.mixCorpora(Seq((a.repartition(7), 0.4), (b.repartition(3), 1.0)),
+      "id", seed = 9)
+      .select($"source_idx", $"id", $"rep", $"order_id")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._4).toSeq
+    assert(m1 == m2)
+    // the 0.4 sample of source 0 equals deterministicSample at the derived seed
+    val expect = Sampling.deterministicSample(a, "id", 0.4, seed = 9 * 131)
+      .as[Long].collect().toSet
+    assert(m1.filter(_._1 == 0).map(_._2).toSet == expect)
+    // weight 1.0 = exactly one full epoch, no fractional rows
+    assert(m1.filter(_._1 == 1).forall(_._3 == 0L))
+    assert(m1.count(_._1 == 1) == 400)
+  }
 }
