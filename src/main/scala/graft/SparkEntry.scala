@@ -528,19 +528,19 @@ object SparkEntry {
   private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dsir" -> ((s, dir) => {
       // DSIR toward the English slice: raw pool = the whole corpus,
-      // target = lang='en'; Gumbel-top-100 importance resample.
-      // numBuckets=64 forces real hash collisions on this vocabulary.
-      val docs = Parallelism.spread(t(s, dir, "documents"))
-      Selection.dsirResample(docs, docs.where(col("lang") === "en"),
-        "text", "doc_id", k = 100, numBuckets = 64)
+      // target = the lang='en' rows (one staged pass — the self/flag
+      // shape); Gumbel-top-100 importance resample. numBuckets=64
+      // forces real hash collisions on this vocabulary.
+      Selection.dsirSelfResample(Parallelism.spread(t(s, dir, "documents")),
+        "text", col("lang") === "en", "doc_id", k = 100, numBuckets = 64)
     }),
     "q_nb_quality" -> ((s, dir) => {
       // Naive-Bayes quality filter: train lang='en' vs rest on the
       // corpus itself, score every doc (the CCNet-style seed-filter
-      // shape; held-out application is covered in SelectionSpec).
-      val docs = Parallelism.spread(t(s, dir, "documents"))
-      val model = Selection.nbTrain(docs, "text", col("lang") === "en", numBuckets = 64)
-      Selection.nbScore(docs, model, "text", "doc_id", numBuckets = 64)
+      // shape, one staged pass; held-out nbTrain→nbScore is covered
+      // in SelectionSpec).
+      Selection.nbSelfScore(Parallelism.spread(t(s, dir, "documents")),
+        "text", col("lang") === "en", "doc_id", numBuckets = 64)
     }),
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exactStats(t(s, dir, "documents"), Seq("text"), "doc_id")

@@ -77,15 +77,29 @@ object Selection {
       textCol: String,
       numBuckets: Int = 4096,
       alpha: Double = 1.0): DataFrame = {
-    require(numBuckets > 0 && numBuckets <= 65536,
-      "numBuckets must be in (0, 65536] (16-bit md5 bucket space)")
-    require(alpha > 0, "alpha must be positive (zero-count buckets need mass)")
+    requireBuckets(numBuckets, alpha)
     val rawCounts = bucketsOnly(raw, textCol, numBuckets)
       .groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
     val tgtCounts = bucketsOnly(target, textCol, numBuckets)
       .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
-    // Grand totals: one-row aggregates, broadcast to the (bounded)
-    // bucket table — the same scalar-broadcast shape as Cumulative.
+    ratioTable(rawCounts, tgtCounts, numBuckets, alpha)
+  }
+
+  private def requireBuckets(numBuckets: Int, alpha: Double): Unit = {
+    require(numBuckets > 0 && numBuckets <= 65536,
+      "numBuckets must be in (0, 65536] (16-bit md5 bucket space)")
+    require(alpha > 0, "alpha must be positive (zero-count buckets need mass)")
+  }
+
+  /** (bucket, log_ratio) from the two count frames. Grand totals are
+    * one-row aggregates broadcast to the (bounded) bucket table — the
+    * same scalar-broadcast shape as Cumulative.
+    */
+  private def ratioTable(
+      rawCounts: DataFrame,
+      tgtCounts: DataFrame,
+      numBuckets: Int,
+      alpha: Double): DataFrame = {
     val nr = rawCounts.agg(sum(col("cr")).as("nr"))
     val nt = tgtCounts.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
     rawCounts
@@ -118,8 +132,17 @@ object Selection {
       idCol: String,
       numBuckets: Int = 4096,
       alpha: Double = 1.0): DataFrame = {
-    val ratios = dsirLogRatios(df, target, textCol, numBuckets, alpha)
-    val occ = occurrences(df, textCol, idCol, numBuckets)
+    requireBuckets(numBuckets, alpha)
+    // Stage the occurrence frame ONCE (spread first — checkpoint
+    // blocks inherit the upstream layout): the raw-count fit and the
+    // scoring sum below share one explode+md5 pass over the corpus
+    // instead of two.
+    val base = Parallelism.spread(df)
+    val occ = occurrences(base, textCol, idCol, numBuckets).localCheckpoint(true)
+    val rawCounts = occ.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val tgtCounts = bucketsOnly(target, textCol, numBuckets)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val ratios = ratioTable(rawCounts, tgtCounts, numBuckets, alpha)
     // The 6-dp ratios are summed as DECIMALs: a double sum is
     // order-dependent in its last ulp, which flips 4-dp rounding on
     // boundary values — decimal sums are exact under any partial-
@@ -128,8 +151,8 @@ object Selection {
       .groupBy(col("__doc"))
       .agg(round(sum(col("log_ratio").cast("decimal(18,6)")), 4)
         .cast("double").as("dsir_logw"))
-    df.select(col(idCol))
-      .join(sums, df(idCol) === sums("__doc"), "left")
+    base.select(col(idCol))
+      .join(sums, base(idCol) === sums("__doc"), "left")
       .select(col(idCol), coalesce(col("dsir_logw"), lit(0.0)).as("dsir_logw"))
   }
 
@@ -152,16 +175,79 @@ object Selection {
       alpha: Double = 1.0,
       seed: Int = 0): DataFrame = {
     require(k > 0, "k must be positive")
-    val w = dsirWeights(df, target, textCol, idCol, numBuckets, alpha)
-    // (h + 0.5) / 65536: uniform in (0,1), never 0 or 1 — both ln
-    // calls stay finite.
+    gumbelTopK(dsirWeights(df, target, textCol, idCol, numBuckets, alpha), idCol, k, seed)
+  }
+
+  /** Gumbel-top-k over a (`idCol`, `dsir_logw`) weight frame.
+    * `(h + 0.5) / 65536` is uniform in (0,1), never 0 or 1 — both ln
+    * calls stay finite.
+    */
+  private def gumbelTopK(w: DataFrame, idCol: String, k: Int, seed: Int): DataFrame = {
     val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + seed))), 1, 4), 16, 10)
       .cast("double")
     val gumbel = -log(-log((h + 0.5) / 65536.0))
-    w.withColumn("__key", col("dsir_logw") + gumbel)
-      .orderBy(col("__key").desc, col(idCol))
+    val keyCol = graft.Cols.unique("__key", w)
+    w.withColumn(keyCol, col("dsir_logw") + gumbel)
+      .orderBy(col(keyCol).desc, col(idCol))
       .limit(k)
-      .drop("__key")
+      .drop(keyCol)
+  }
+
+  /** [[dsirWeights]] for the target-is-a-slice setting (`targetFlag`
+    * marks the target rows of `df` itself, e.g. a trusted source
+    * column): the flagged occurrence frame is staged ONCE and both
+    * count fits and the scoring sum read the staged blocks — one
+    * explode+md5 pass over the corpus total, vs two when the target
+    * is a separate frame. Null flags count as non-target (like a
+    * `where`). Semantics are exactly
+    * `dsirWeights(df, df.where(targetFlag), ...)`.
+    */
+  def dsirSelfWeights(
+      df: DataFrame,
+      textCol: String,
+      targetFlag: Column,
+      idCol: String,
+      numBuckets: Int = 4096,
+      alpha: Double = 1.0): DataFrame = {
+    requireBuckets(numBuckets, alpha)
+    val base = Parallelism.spread(df)
+    val flagCol = graft.Cols.unique("__tgt", base)
+    val occ = base
+      .withColumn(flagCol, coalesce(targetFlag.cast("boolean"), lit(false)))
+      .select(col(idCol).as("__doc"), col(flagCol),
+        explode(unigramsAndBigrams(col(textCol))).as("__gram"))
+      .select(col("__doc"), col(flagCol),
+        gramBucket(col("__gram"), numBuckets).as("bucket"))
+      .localCheckpoint(true)
+    val rawCounts = occ.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val tgtCounts = occ.where(col(flagCol))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val ratios = ratioTable(rawCounts, tgtCounts, numBuckets, alpha)
+    val sums = occ.join(broadcast(ratios), Seq("bucket"))
+      .groupBy(col("__doc"))
+      .agg(round(sum(col("log_ratio").cast("decimal(18,6)")), 4)
+        .cast("double").as("dsir_logw"))
+    base.select(col(idCol))
+      .join(sums, base(idCol) === sums("__doc"), "left")
+      .select(col(idCol), coalesce(col("dsir_logw"), lit(0.0)).as("dsir_logw"))
+  }
+
+  /** [[dsirResample]] over [[dsirSelfWeights]] — Gumbel-top-`k` with
+    * the one-pass staged fit.
+    */
+  def dsirSelfResample(
+      df: DataFrame,
+      textCol: String,
+      targetFlag: Column,
+      idCol: String,
+      k: Int,
+      numBuckets: Int = 4096,
+      alpha: Double = 1.0,
+      seed: Int = 0): DataFrame = {
+    require(k > 0, "k must be positive")
+    gumbelTopK(
+      dsirSelfWeights(df, textCol, targetFlag, idCol, numBuckets, alpha),
+      idCol, k, seed)
   }
 
   /** Multinomial Naive-Bayes quality model over hashed gram buckets:
@@ -195,11 +281,23 @@ object Selection {
       .select(col(lblCol),
         explode(unigramsAndBigrams(col(textCol))).as("__gram"))
       .select(col(lblCol), gramBucket(col("__gram"), numBuckets).as("bucket"))
-    // One counted agg for both classes: conditional counts partial-
-    // aggregate map-side; output bounded by numBuckets.
-    val counts = occ.groupBy(col("bucket")).agg(
-      sum(when(col(lblCol), 1L).otherwise(0L)).as("cp"),
-      sum(when(!col(lblCol), 1L).otherwise(0L)).as("cn"))
+    oddsTable(occ, lblCol, numBuckets, alpha)
+  }
+
+  /** (bucket, log_odds) from a (label, bucket) occurrence frame: one
+    * counted agg for both classes (conditional counts partial-
+    * aggregate map-side; output bounded by numBuckets), totals as a
+    * broadcast one-row aggregate.
+    */
+  private def oddsTable(
+      occ: DataFrame,
+      lblCol: String,
+      numBuckets: Int,
+      alpha: Double): DataFrame = {
+    val counts = occ.where(col(lblCol).isNotNull)
+      .groupBy(col("bucket")).agg(
+        sum(when(col(lblCol), 1L).otherwise(0L)).as("cp"),
+        sum(when(!col(lblCol), 1L).otherwise(0L)).as("cn"))
     val totals = counts.agg(
       coalesce(sum(col("cp")), lit(0L)).as("np"),
       coalesce(sum(col("cn")), lit(0L)).as("nn"))
@@ -236,6 +334,45 @@ object Selection {
         count(lit(1)).as("n_grams"))
     df.select(col(idCol))
       .join(sums, df(idCol) === sums("__doc"), "left")
+      .select(col(idCol),
+        coalesce(col("nb_score"), lit(0.0)).as("nb_score"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"))
+  }
+
+  /** Train-and-score in one pass over ONE corpus — the seed-filter
+    * shape (labels and scored docs from the same frame, e.g.
+    * "known-good source vs rest"): the labeled occurrence frame is
+    * staged once (spread first, per the checkpoint-layout rule) and
+    * both the conditional counts and the per-doc sums read the staged
+    * blocks, halving the explode+md5 work vs [[nbTrain]] +
+    * [[nbScore]]. Semantics are exactly nbTrain→nbScore: null-label
+    * docs are excluded from the fit but still scored.
+    */
+  def nbSelfScore(
+      df: DataFrame,
+      textCol: String,
+      labelCol: Column,
+      idCol: String,
+      numBuckets: Int = 4096,
+      alpha: Double = 1.0): DataFrame = {
+    requireBuckets(numBuckets, alpha)
+    val base = Parallelism.spread(df)
+    val lblCol = graft.Cols.unique("__lbl", base)
+    val occ = base
+      .withColumn(lblCol, labelCol.cast("boolean"))
+      .select(col(idCol).as("__doc"), col(lblCol),
+        explode(unigramsAndBigrams(col(textCol))).as("__gram"))
+      .select(col("__doc"), col(lblCol),
+        gramBucket(col("__gram"), numBuckets).as("bucket"))
+      .localCheckpoint(true)
+    val model = oddsTable(occ, lblCol, numBuckets, alpha)
+    val sums = occ.join(broadcast(model), Seq("bucket"))
+      .groupBy(col("__doc"))
+      .agg(round(sum(col("log_odds").cast("decimal(18,6)")), 4)
+        .cast("double").as("nb_score"),
+        count(lit(1)).as("n_grams"))
+    base.select(col(idCol))
+      .join(sums, base(idCol) === sums("__doc"), "left")
       .select(col(idCol),
         coalesce(col("nb_score"), lit(0.0)).as("nb_score"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"))

@@ -90,6 +90,21 @@ class SelectionSpec extends SparkSpec {
     assert(picks.intersect(Set(1L, 2L, 3L, 6L)).size >= 3)
   }
 
+  test("dsirSelfWeights/dsirSelfResample: identical to the two-frame forms") {
+    val raw = (targetish.map { case (i, t) => (i, t, "good") } ++
+      rawExtra.map { case (i, t) => (i, t, "other") }).toDF("doc_id", "text", "src")
+    val twoFrame = Selection.dsirWeights(raw, raw.where(col("src") === "good"),
+      "text", "doc_id", numBuckets = 256).as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val oneFrame = Selection.dsirSelfWeights(raw, "text", col("src") === "good",
+      "doc_id", numBuckets = 256).as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(oneFrame == twoFrame)
+    val selA = Selection.dsirResample(raw, raw.where(col("src") === "good"),
+      "text", "doc_id", k = 4, numBuckets = 256).as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val selB = Selection.dsirSelfResample(raw, "text", col("src") === "good",
+      "doc_id", k = 4, numBuckets = 256).as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(selA == selB)
+  }
+
   test("nbTrain: hand-computed log-odds on a tiny labeled set; null labels excluded") {
     val labeled = Seq(
       (1L, "good good", Some(true)),
@@ -125,6 +140,21 @@ class SelectionSpec extends SparkSpec {
     assert(s(101L)._1 < 0, s"finance doc should score negative: ${s(101L)}")
     assert(s(102L) == ((0.0, 0L)))
     assert(s(100L)._2 == 5L) // 3 unigrams + 2 bigrams
+  }
+
+  test("nbSelfScore: identical to nbTrain -> nbScore, nulls fit-excluded but scored") {
+    val labeled = (targetish.map { case (i, t) => (i, t, Some(true)) } ++
+      rawExtra.map { case (i, t) => (i, t, Some(false)) } :+
+      ((99L, "the cat earnings", Option.empty[Boolean])))
+      .toDF("doc_id", "text", "label")
+    val model = Selection.nbTrain(labeled, "text", col("label"), numBuckets = 128)
+    val twoStep = Selection.nbScore(labeled, model, "text", "doc_id", numBuckets = 128)
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    val oneStep = Selection.nbSelfScore(labeled, "text", col("label"), "doc_id",
+      numBuckets = 128).as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(oneStep == twoStep)
+    // the null-label doc is scored (present) with nonzero grams
+    assert(oneStep.exists(r => r._1 == 99L && r._3 > 0))
   }
 
   test("nbScore: reproducible under repartitioning, grams absent from model ignored") {
