@@ -545,6 +545,31 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exactStats(t(s, dir, "documents"), Seq("text"), "doc_id")
     }),
+    "q_url_dedup" -> ((s, dir) => {
+      // The corpus has no URLs — synthesize tracking-noisy mixed-case
+      // variants (20 paths × 3 real ids, coprime moduli = 60
+      // canonical URLs), then normalize + exact-dedup by canon form.
+      val docs = Parallelism.spread(t(s, dir, "documents"))
+        .withColumn("url", concat(
+          lit("HTTPS://Example.COM/Path"), pmod(col("doc_id"), lit(20)).cast("string"),
+          lit("/?utm_source=feed&id="), pmod(col("doc_id"), lit(3)).cast("string"),
+          lit("&utm_campaign=x#sec"), col("doc_id").cast("string")))
+      docs.select(col("doc_id"),
+        graft.functions.TextAnalysis.normalizeUrl(col("url")).as("norm_url"))
+        .groupBy(col("norm_url"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+    }),
+    "q_quantiles_by_group" -> ((s, dir) => {
+      graft.operators.Profile.quantilesByGroup(
+        t(s, dir, "documents"), "lang", Seq("n_chars"), Seq(0.25, 0.5, 0.9))
+    }),
+    "q_quantile_gate" -> ((s, dir) => {
+      // "keep each language's top 75% by length" — the per-domain
+      // relative gate.
+      graft.operators.Profile.dropBelowGroupQuantile(
+        t(s, dir, "documents"), "n_chars", "lang", 0.25)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
     "q_shuffle_order" -> ((s, dir) => {
       graft.operators.Sampling.shuffleForTraining(
         Parallelism.spread(t(s, dir, "documents")).select(col("doc_id")),
@@ -1322,6 +1347,34 @@ object SparkEntry {
          |ky AS (SELECT doc_id, dsir_logw, dsir_logw +
          |  (-ln(-ln((${h16Sql("doc_id::VARCHAR || ':0'")} + 0.5) / 65536.0))) AS k FROM ww)
          |SELECT doc_id, dsir_logw FROM ky ORDER BY k DESC, doc_id LIMIT 100""".stripMargin,
+    // normalizeUrl replay: the exact regex chain, DuckDB's RE2 ('g'
+    // everywhere Spark's always-global replace could multi-match;
+    // backrefs are \1 in DuckDB vs $1 in Spark).
+    "q_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |  'HTTPS://Example.COM/Path' || (doc_id % 20) || '/?utm_source=feed&id=' ||
+        |    (doc_id % 3) || '&utm_campaign=x#sec' || doc_id AS url FROM documents),
+        |n1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS u FROM u),
+        |n2 AS (SELECT doc_id, regexp_replace(u,
+        |  '[?&](utm_[A-Za-z0-9_]+|fbclid|gclid|mc_cid|mc_eid)=[^&]*', '', 'g') AS u FROM n1),
+        |n3 AS (SELECT doc_id, regexp_replace(u, '^([^?]*)&', '\1?') AS u FROM n2),
+        |n4 AS (SELECT doc_id, regexp_replace(u, '[?&]$', '', 'g') AS u FROM n3),
+        |n5 AS (SELECT doc_id, CASE WHEN regexp_extract(u, '(?i)^(https?://[^/?#]+)', 1) <> ''
+        |    THEN lower(regexp_extract(u, '(?i)^(https?://[^/?#]+)', 1)) ||
+        |      regexp_replace(u, '(?i)^https?://[^/?#]+', '')
+        |    ELSE u END AS u FROM n4),
+        |n6 AS (SELECT doc_id, regexp_replace(u, '/$', '', 'g') AS u FROM n5)
+        |SELECT u AS norm_url, min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM n6 GROUP BY 1""".stripMargin,
+    "q_quantiles_by_group" ->
+      """SELECT lang, 'n_chars' AS "column", unnest([0.25, 0.5, 0.9]::DOUBLE[]) AS prob,
+        |  round(unnest(quantile_cont(n_chars::DOUBLE, [0.25, 0.5, 0.9])), 4) AS quantile
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q_quantile_gate" ->
+      """WITH thr AS (SELECT lang, round(quantile_cont(n_chars::DOUBLE, 0.25), 6) AS t
+        |  FROM documents GROUP BY 1)
+        |SELECT doc_id, lang, n_chars FROM documents JOIN thr USING (lang)
+        |WHERE n_chars::DOUBLE >= t""".stripMargin,
     // Global shuffle replay: the distributed prefix-sum rank equals
     // ROW_NUMBER over the md5 key (id tie-break concatenated).
     "q_shuffle_order" ->

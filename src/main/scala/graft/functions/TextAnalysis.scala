@@ -704,6 +704,31 @@ object TextAnalysis {
   def urlHost(c: Column): Column =
     regexp_extract(c, "https?://([^/\\s:?#]+)", 1)
 
+  /** Canonical URL form for URL-level dedup (the FIRST dedup stage of
+    * a crawl pipeline — identical pages refetched under trackingly-
+    * different URLs): drops the `#fragment`, strips tracking
+    * parameters (utm_*, fbclid, gclid, mc_cid/mc_eid) with query-
+    * string repair, lowercases scheme+host (paths stay case-
+    * sensitive), and trims a trailing slash. Every step is one
+    * `regexp_replace`/`regexp_extract` in the Java∩RE2 dialect, so
+    * the oracle replays the exact chain; non-URL input passes through
+    * the no-match contract mostly untouched. Row-local, codegen'd.
+    */
+  def normalizeUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*", "")
+    val noTrack = regexp_replace(noFrag,
+      "[?&](utm_[A-Za-z0-9_]+|fbclid|gclid|mc_cid|mc_eid)=[^&]*", "")
+    // if the '?' was stripped with the first param, promote the first
+    // '&' (anchored: at most one match in any engine)
+    val fixQ = regexp_replace(noTrack, "^([^?]*)&", "$1?")
+    val noTail = regexp_replace(fixQ, "[?&]$", "")
+    val head = lower(regexp_extract(noTail, "(?i)^(https?://[^/?#]+)", 1))
+    val lowered = when(head =!= "",
+      concat(head, regexp_replace(noTail, "(?i)^https?://[^/?#]+", "")))
+      .otherwise(noTail)
+    regexp_replace(lowered, "/$", "")
+  }
+
   /** Concat-and-chunk packing assignment: lay documents out in
     * `orderCol` order, concatenate their tokens into one stream, and
     * cut fixed `seqLen`-token training sequences — sequence j holds

@@ -85,4 +85,75 @@ object Profile {
         element_at(typedLit(probs), col("__i") + 1).as("prob"),
         round(col("__q"), 4).as("quantile"))
   }
+
+  /** [[quantiles]] per group — the per-domain/per-source distribution
+    * look (where does THIS domain's length distribution sit?) that
+    * per-stratum gates and caps are tuned from. Still ONE aggregation
+    * job: the percentile (or t-digest, `approx = true`) states
+    * partial-aggregate map-side per group, and the output is bounded
+    * by |groups| × |cols| × |probs| — never corpus-sized.
+    *
+    * @return one row per (group, column, prob):
+    *         (`groupCol`, column, prob, quantile rounded 4 dp).
+    */
+  def quantilesByGroup(
+      df: DataFrame,
+      groupCol: String,
+      cols: Seq[String],
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+      approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(cols.nonEmpty, "nothing to profile")
+    require(probs.nonEmpty, "no probabilities given")
+    require(probs.forall(p => p >= 0.0 && p <= 1.0), "probs must be in [0, 1]")
+    val probArr = array(probs.map(lit): _*)
+    val aggs = cols.map { c =>
+      (if (approx)
+        approx_percentile(col(c).cast("double"), probArr, lit(accuracy))
+      else
+        percentile(col(c).cast("double"), probArr)).as(s"__q_$c")
+    }
+    df.groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol), explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col(s"__q_$c").as("__qs"))): _*)).as("p"))
+      .select(col(groupCol), col("p.column").as("column"),
+        posexplode(col("p.__qs")).as(Seq("__i", "__q")))
+      .select(
+        col(groupCol),
+        col("column"),
+        element_at(typedLit(probs), col("__i") + 1).as("prob"),
+        round(col("__q"), 4).as("quantile"))
+  }
+
+  /** Per-group quantile GATE: drop every row whose `valueCol` falls
+    * below its own group's `prob`-quantile — "keep each domain's top
+    * 75 % by quality score", the relative-threshold filter that
+    * absolute gates can't express when distributions differ per
+    * domain. The per-group thresholds are one bounded aggregation
+    * (≤ |groups| rows, AQE-broadcast on the join back); the
+    * threshold is rounded to 6 dp so the kept set is engine-portable
+    * (raw interpolated doubles differ in the last ulp across
+    * engines). Rows in a group too small for interpolation still get
+    * the exact percentile semantics; ties at the threshold are kept.
+    * `approx = true` switches the threshold fit to t-digests for the
+    * 100 TB configuration.
+    */
+  def dropBelowGroupQuantile(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      prob: Double,
+      approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(prob >= 0.0 && prob <= 1.0, "prob must be in [0, 1]")
+    val thrCol = graft.Cols.unique("__thr", df)
+    val q =
+      if (approx) approx_percentile(col(valueCol).cast("double"), lit(prob), lit(accuracy))
+      else percentile(col(valueCol).cast("double"), lit(prob))
+    val thresholds = df.groupBy(col(groupCol)).agg(round(q, 6).as(thrCol))
+    df.join(thresholds, Seq(groupCol))
+      .where(col(valueCol).cast("double") >= col(thrCol))
+      .drop(thrCol)
+  }
 }

@@ -134,4 +134,41 @@ class ProfileSpec extends SparkSpec {
           s"(exact ${exact((c, p))})")
     }
   }
+
+  test("quantilesByGroup: equals per-group Profile.quantiles, one row per cell") {
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 300).map(i => (i.toLong, if (i % 3 == 0) "a" else "b", (i * 7 % 100).toDouble))
+      .toDF("id", "g", "v")
+    val probs = Seq(0.25, 0.5, 0.9)
+    val grouped = graft.operators.Profile.quantilesByGroup(df, "g", Seq("v"), probs)
+      .as[(String, String, Double, Double)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    assert(grouped.size == 2 * probs.size)
+    for (g <- Seq("a", "b"); p <- probs) {
+      val solo = graft.operators.Profile.quantiles(df.where(col("g") === g), Seq("v"), Seq(p))
+        .select("quantile").as[Double].head()
+      assert(grouped((g, p)) == solo, s"group $g p $p")
+    }
+  }
+
+  test("dropBelowGroupQuantile: per-group thresholds, ties kept, null values dropped") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "a", Some(10.0)), (2L, "a", Some(20.0)), (3L, "a", Some(30.0)),
+      (4L, "a", Some(40.0)), (5L, "a", Some(50.0)),
+      (6L, "b", Some(100.0)), (7L, "b", Some(200.0)), (8L, "b", Some(300.0)),
+      (9L, "b", None)).toDF("id", "g", "v")
+    // group a: p50 of {10..50} = 30 -> keep 3,4,5 (tie at 30 kept)
+    // group b: p50 of {100,200,300} = 200 -> keep 7,8; null v dropped
+    val kept = graft.operators.Profile.dropBelowGroupQuantile(df, "v", "g", 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 5L, 7L, 8L))
+    // p0 keeps everything non-null; p1 keeps only each group's max
+    val all = graft.operators.Profile.dropBelowGroupQuantile(df, "v", "g", 0.0)
+      .select("id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L))
+    val top = graft.operators.Profile.dropBelowGroupQuantile(df, "v", "g", 1.0)
+      .select("id").as[Long].collect().toSet
+    assert(top == Set(5L, 8L))
+  }
 }

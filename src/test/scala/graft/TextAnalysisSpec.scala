@@ -295,6 +295,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == Seq.empty)
   }
 
+  test("normalizeUrl: fragment, tracking params, case, trailing slash") {
+    val cases = Seq(
+      // tracking param first: '?' repaired onto the surviving param
+      "https://a.com/p?utm_source=x&id=3" -> "https://a.com/p?id=3",
+      // tracking param in the middle
+      "https://a.com/p?id=3&utm_campaign=y&z=1" -> "https://a.com/p?id=3&z=1",
+      // only tracking params: query gone entirely
+      "https://a.com/p?utm_source=x&fbclid=abc" -> "https://a.com/p",
+      // fragment dropped, scheme+host lowercased, path case KEPT
+      "HTTPS://Ex.COM/PaTh#frag" -> "https://ex.com/PaTh",
+      // trailing slash trimmed (host-only and path forms)
+      "http://a.com/" -> "http://a.com",
+      "http://a.com/p/" -> "http://a.com/p",
+      // non-URL text passes through
+      "not a url" -> "not a url")
+    val out = cases.map(_._1).toDF("u")
+      .select(graft.functions.TextAnalysis.normalizeUrl($"u")).as[String].collect().toSeq
+    out.zip(cases).foreach { case (got, (in, want)) =>
+      assert(got == want, s"normalizeUrl($in)")
+    }
+  }
+
   test("urlHost: host without scheme/path/port/query, no-match → empty") {
     val df = Seq(
       "https://sub.ex.org/p/1?q=2",
