@@ -545,6 +545,21 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exactStats(t(s, dir, "documents"), Seq("text"), "doc_id")
     }),
+    "q_dedup_keep_best" -> ((s, dir) => {
+      // Same pair list as q_dedup_apply, but keep each cluster's
+      // LONGEST doc (ties to the smaller id) instead of the smallest
+      // id — the quality-ranked apply.
+      val docs = docsWithDups(s, dir)
+      val pairs = Dedup.minHashLshPairs(docs, "text", "doc_id",
+        shingleK = 5, numHashes = 8, bands = 2, jaccardThreshold = 0.5)
+      Dedup.dropNearDuplicatesBy(docs, pairs, "doc_id", col("n_chars"))
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+    "q_shards" -> ((s, dir) => {
+      graft.sources.ShardExport.shardAssignment(
+        Parallelism.spread(t(s, dir, "documents")).select(col("doc_id")),
+        "doc_id", rowsPerShard = 64, seed = 3)
+    }),
     "q_url_dedup" -> ((s, dir) => {
       // The corpus has no URLs — synthesize tracking-noisy mixed-case
       // variants (20 paths × 3 real ids, coprime moduli = 60
@@ -1347,6 +1362,31 @@ object SparkEntry {
          |ky AS (SELECT doc_id, dsir_logw, dsir_logw +
          |  (-ln(-ln((${h16Sql("doc_id::VARCHAR || ':0'")} + 0.5) / 65536.0))) AS k FROM ww)
          |SELECT doc_id, dsir_logw FROM ky ORDER BY k DESC, doc_id LIMIT 100""".stripMargin,
+    // Keep-best apply: clusters via the same recursive-CTE reach as
+    // q_dedup_clusters, singletons self-clustered, argmax(n_chars,
+    // min doc_id) per cluster.
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |prs AS (SELECT id_a, id_b FROM mh WHERE jac >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION ALL SELECT id_b, id_a FROM prs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY 1),
+         |m AS (SELECT d.doc_id, d.lang, d.source, d.n_chars,
+         |  coalesce(l.label, d.doc_id) AS ck
+         |  FROM docs d LEFT JOIN lab l ON d.doc_id = l.id),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY ck
+         |  ORDER BY n_chars DESC, doc_id) AS rn FROM m)
+         |SELECT doc_id, lang, source, n_chars FROM rk WHERE rn = 1""".stripMargin,
+    "q_shards" ->
+      """WITH r AS (SELECT doc_id, row_number() OVER (ORDER BY
+        |  md5(doc_id::VARCHAR || ':3') || ':' || doc_id::VARCHAR) - 1 AS order_id
+        |  FROM documents)
+        |SELECT doc_id, order_id, order_id // 64 AS shard, order_id % 64 AS shard_pos
+        |FROM r""".stripMargin,
     // normalizeUrl replay: the exact regex chain, DuckDB's RE2 ('g'
     // everywhere Spark's always-global replace could multi-match;
     // backrefs are \1 in DuckDB vs $1 in Spark).

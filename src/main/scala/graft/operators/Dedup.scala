@@ -615,6 +615,38 @@ object Dedup {
       pairs.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Quality-ranked dedup apply: keep the BEST row of every duplicate
+    * cluster by `rank` (highest by default; ties break to the
+    * smallest id) instead of [[dropNearDuplicates]]'s keep-smallest-
+    * id — what a curation pipeline actually wants ("keep the longest
+    * / highest-quality copy"). Clusters come from
+    * [[duplicateClusters]] over the pair list; rows in no pair are
+    * their own cluster and always survive. The per-cluster argmax is
+    * a `row_number() = 1` filter, which compiles to
+    * `WindowGroupLimit`: each task pre-prunes to one row per cluster
+    * BEFORE the shuffle, so even a degenerate million-doc boilerplate
+    * cluster never lands whole on one executor.
+    */
+  def dropNearDuplicatesBy(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      rank: Column,
+      keepHighest: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ckCol = graft.Cols.unique("__ck", df)
+    val rnCol = graft.Cols.unique("__rn", df)
+    val clusters = duplicateClusters(pairs)
+      .select(col("id").as(idCol), col("label").as(ckCol))
+    val member = df.join(clusters, Seq(idCol), "left")
+      .withColumn(ckCol, coalesce(col(ckCol), col(idCol)))
+    val ord = if (keepHighest) rank.desc else rank.asc
+    val w = Window.partitionBy(col(ckCol)).orderBy(ord, col(idCol))
+    member.withColumn(rnCol, row_number().over(w))
+      .where(col(rnCol) === 1)
+      .drop(rnCol, ckCol)
+  }
+
   /** Duplicate clusters from a near-dup pair list: (id, cluster_id)
     * where cluster_id is the minimum id in the pair-connected
     * component. Iterative min-label propagation run to fixpoint (the

@@ -213,6 +213,26 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 3L, 4L))
   }
 
+  test("dropNearDuplicatesBy: keeps the best-ranked row per cluster; singletons survive") {
+    // cluster {1,2,3} via chain; {7,9}; 4 and 5 untouched
+    val df = Seq(
+      (1L, 10.0), (2L, 30.0), (3L, 20.0),
+      (4L, 1.0), (5L, 99.0),
+      (7L, 5.0), (9L, 5.0)).toDF("id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val best = Dedup.dropNearDuplicatesBy(df, pairs, "id", $"quality")
+      .select($"id").as[Long].collect().sorted.toSeq
+    // {1,2,3} -> 2 (max quality); {7,9} -> 7 (tie, smaller id); singletons kept
+    assert(best == Seq(2L, 4L, 5L, 7L))
+    val worst = Dedup.dropNearDuplicatesBy(df, pairs, "id", $"quality", keepHighest = false)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(worst == Seq(1L, 4L, 5L, 7L))
+    // per-cluster argmax pre-prunes map-side (WindowGroupLimit)
+    val plan = Dedup.dropNearDuplicatesBy(df, pairs, "id", $"quality")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
   test("duplicateClusters: min-label propagation over pair chains") {
     // chain 1-2, 2-3 plus isolated pair 7-9: clusters {1,2,3}->1, {7,9}->7
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
