@@ -171,4 +171,69 @@ class OptionPathsSpec extends SparkSpec {
     assert(r.getFloat(0) == 1.0f)
     assert(r.getSeq[Byte](1) == Seq[Byte](64, -127, 32))
   }
+
+  test("dsirResample: k larger than the corpus returns every row") {
+    import graft.operators.Selection
+    val raw = Seq((1L, "aa bb"), (2L, "cc dd"), (3L, "aa cc")).toDF("doc_id", "text")
+    val sel = Selection.dsirResample(raw, raw.where($"doc_id" === 1), "text", "doc_id",
+      k = 100, numBuckets = 64)
+    assert(sel.count() == 3)
+  }
+
+  test("nbScore: empty model (no labeled rows) scores every doc 0 with 0 grams") {
+    import graft.operators.Selection
+    val labeled = Seq((1L, "text here", Option.empty[Boolean])).toDF("doc_id", "text", "lbl")
+    val model = Selection.nbTrain(labeled, "text", $"lbl", numBuckets = 64)
+    assert(model.count() == 0)
+    val out = Selection.nbScore(Seq((5L, "some words")).toDF("doc_id", "text"),
+      model, "text", "doc_id", numBuckets = 64)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(out == Seq((5L, 0.0, 0L)))
+  }
+
+  test("mixCorpora: zero-weight sources contribute nothing; all-zero weights rejected") {
+    import graft.operators.Sampling
+    val a = spark.range(10).toDF("id")
+    val b = spark.range(10, 20).toDF("id")
+    val out = Sampling.mixCorpora(Seq((a, 0.0), (b, 1.0)), "id")
+      .select($"source_idx").as[Int].collect().toSet
+    assert(out == Set(1))
+    intercept[IllegalArgumentException] {
+      Sampling.mixCorpora(Seq((a, 0.0), (b, 0.0)), "id")
+    }
+  }
+
+  test("shardAssignment: rowsPerShard beyond the corpus yields a single shard") {
+    import graft.sources.ShardExport
+    val out = ShardExport.shardAssignment(spark.range(5).toDF("id"), "id", 1000)
+      .select($"shard", $"shard_pos").as[(Long, Long)].collect()
+    assert(out.forall(_._1 == 0L))
+    assert(out.map(_._2).sorted.toSeq == (0L until 5L))
+  }
+
+  test("dropNearDuplicatesBy: empty pair list keeps every row") {
+    val df = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "q")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDuplicatesBy(df, pairs, "id", $"q")
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L))
+  }
+
+  test("quantilesByGroup approx: within 1% rank error of exact per group") {
+    val df = (1 to 4000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b",
+      (i * 13 % 997).toDouble)).toDF("id", "g", "v")
+    val probs = Seq(0.5, 0.9)
+    val exact = graft.operators.Profile.quantilesByGroup(df, "g", Seq("v"), probs)
+      .as[(String, String, Double, Double)].collect().map(r => (r._1, r._3) -> r._4).toMap
+    val approx = graft.operators.Profile.quantilesByGroup(df, "g", Seq("v"), probs,
+      approx = true).as[(String, String, Double, Double)].collect()
+    approx.foreach { case (g, _, p, got) =>
+      val grp = df.where($"g" === g)
+      val n = grp.count().toDouble
+      val below = grp.where($"v" < got).count() / n
+      val atOrBelow = grp.where($"v" <= got).count() / n
+      assert(below <= p + 0.01 && atOrBelow >= p - 0.01,
+        s"group $g p=$p: approx $got bracket [$below, $atOrBelow] exact ${exact((g, p))}")
+    }
+  }
 }
