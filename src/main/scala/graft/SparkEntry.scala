@@ -574,6 +574,23 @@ object SparkEntry {
         .groupBy(col("norm_url"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
     }),
+    "q_top_values" -> ((s, dir) => {
+      // vocabulary head: top-10 words of the corpus
+      graft.operators.Profile.topValues(
+        Parallelism.spread(t(s, dir, "documents"))
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+          .where(col("word") =!= ""),
+        "word", 10)
+    }),
+    "q_top_values_by_group" -> ((s, dir) => {
+      // each language's top-3 words (WindowGroupLimit pre-prune)
+      graft.operators.Profile.topValuesByGroup(
+        Parallelism.spread(t(s, dir, "documents"))
+          .select(col("lang"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+          .where(col("word") =!= ""),
+        "lang", "word", 3)
+    }),
     "q_quantiles_by_group" -> ((s, dir) => {
       graft.operators.Profile.quantilesByGroup(
         t(s, dir, "documents"), "lang", Seq("n_chars"), Seq(0.25, 0.5, 0.9))
@@ -1406,6 +1423,18 @@ object SparkEntry {
         |n6 AS (SELECT doc_id, regexp_replace(u, '/$', '', 'g') AS u FROM n5)
         |SELECT u AS norm_url, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM n6 GROUP BY 1""".stripMargin,
+    "q_top_values" ->
+      """WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |  FROM documents)
+        |SELECT word, count(*) AS n FROM w WHERE word <> ''
+        |GROUP BY 1 ORDER BY n DESC, word LIMIT 10""".stripMargin,
+    "q_top_values_by_group" ->
+      """WITH w AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |  FROM documents),
+        |c AS (SELECT lang, word, count(*) AS n FROM w WHERE word <> '' GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |  ORDER BY n DESC, word) AS rank FROM c)
+        |SELECT lang, word, n, rank FROM r WHERE rank <= 3""".stripMargin,
     "q_quantiles_by_group" ->
       """SELECT lang, 'n_chars' AS "column", unnest([0.25, 0.5, 0.9]::DOUBLE[]) AS prob,
         |  round(unnest(quantile_cont(n_chars::DOUBLE, [0.25, 0.5, 0.9])), 4) AS quantile

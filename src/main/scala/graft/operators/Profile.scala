@@ -156,4 +156,39 @@ object Profile {
       .where(col(valueCol).cast("double") >= col(thrCol))
       .drop(thrCol)
   }
+
+  /** Heavy hitters: the `k` most frequent values of a column (top
+    * domains, top hosts, vocabulary head, …). One counted aggregation
+    * (map-side combine) + `TakeOrderedAndProject` — each task keeps k
+    * rows, no global sort, any corpus size. Ties break to the
+    * smallest value so the result is deterministic and replayable.
+    */
+  def topValues(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.groupBy(col(valueCol)).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(valueCol).asc)
+      .limit(k)
+  }
+
+  /** [[topValues]] per group — "each language's top words", "each
+    * source's top domains". The per-group rank compiles to
+    * `WindowGroupLimit`, so every task pre-prunes to k rows per group
+    * BEFORE the shuffle (the same skew guard as `capPerStratum`):
+    * a group with a billion distinct values never lands whole on one
+    * executor.
+    */
+  def topValuesByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val rnCol = graft.Cols.unique("__rn", df)
+    val counts = df.groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("n").desc, col(valueCol).asc)
+    counts.withColumn(rnCol, row_number().over(w))
+      .where(col(rnCol) <= k)
+      .withColumnRenamed(rnCol, "rank")
+  }
 }

@@ -339,6 +339,57 @@ object Selection {
         coalesce(col("n_grams"), lit(0L)).as("n_grams"))
   }
 
+  /** Collect a fitted [[nbTrain]] model to a driver map — BOUNDED by
+    * contract (≤ `numBuckets` ≤ 65536 rows, never corpus-sized), the
+    * precondition for the shuffle-free serving path below.
+    */
+  def collectNbModel(model: DataFrame): Map[Int, Double] =
+    model.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
+  /** ROW-LOCAL Naive-Bayes score: the model ships as a literal map in
+    * the plan (like the BPE merge table), the gram walk is a HOF
+    * chain, and the decimal sum happens inside the row — no explode,
+    * no join, NO SHUFFLE. This is the serving shape: score a live
+    * stream (stateless — see graft.streaming.StreamQuality) or a
+    * batch frame at scan speed with a model trained elsewhere.
+    * Returns a struct (nb_score, n_grams) identical to [[nbScore]]'s
+    * columns (same rounding, same matched-gram count).
+    */
+  def nbScoreColumn(
+      model: Map[Int, Double],
+      text: Column,
+      numBuckets: Int = 4096): Column = {
+    requireBuckets(numBuckets, 1.0)
+    val lookup = typedLit(model)
+    val matched = filter(
+      transform(unigramsAndBigrams(text),
+        g => element_at(lookup, gramBucket(g, numBuckets))),
+      v => v.isNotNull)
+    val zero = lit(new java.math.BigDecimal(0)).cast("decimal(38,6)")
+    val score = round(
+      aggregate(matched, zero, (acc, x) => acc + x.cast("decimal(38,6)")), 4)
+      .cast("double")
+    struct(
+      coalesce(score, lit(0.0)).as("nb_score"),
+      coalesce(size(matched), lit(0)).cast("long").as("n_grams"))
+  }
+
+  /** [[nbScore]] via the row-local column — zero shuffles, identical
+    * output (spec-asserted). Null texts score 0 with 0 grams, like
+    * the join path.
+    */
+  def nbScoreLocal(
+      df: DataFrame,
+      model: Map[Int, Double],
+      textCol: String,
+      idCol: String,
+      numBuckets: Int = 4096): DataFrame = {
+    val sCol = graft.Cols.unique("__s", df)
+    df.withColumn(sCol, nbScoreColumn(model, col(textCol), numBuckets))
+      .select(col(idCol), col(s"$sCol.nb_score").as("nb_score"),
+        col(s"$sCol.n_grams").as("n_grams"))
+  }
+
   /** Train-and-score in one pass over ONE corpus — the seed-filter
     * shape (labels and scored docs from the same frame, e.g.
     * "known-good source vs rest"): the labeled occurrence frame is

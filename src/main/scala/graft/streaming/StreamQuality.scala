@@ -26,6 +26,29 @@ object StreamQuality {
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
 
+  /** Attach a trained Naive-Bayes quality score (+ matched-gram
+    * count) to a streaming or batch frame — the serving side of
+    * `graft.operators.Selection`: the model (trained offline with
+    * `nbTrain`, collected via `collectNbModel` — bounded by
+    * numBuckets) ships as a literal map, so scoring is a pure
+    * row-local map over the stream: no state, no watermark, no
+    * shuffle in the micro-batch plan.
+    */
+  def withNbScore(
+      df: DataFrame,
+      model: Map[Int, Double],
+      textCol: String,
+      numBuckets: Int = 4096,
+      outCol: String = "nb_score",
+      gramsCol: String = "nb_grams"): DataFrame = {
+    val sCol = graft.Cols.unique("__nb", df)
+    df.withColumn(sCol,
+      graft.operators.Selection.nbScoreColumn(model, col(textCol), numBuckets))
+      .withColumn(outCol, col(s"$sCol.nb_score"))
+      .withColumn(gramsCol, col(s"$sCol.n_grams"))
+      .drop(sCol)
+  }
+
   /** Quality gate: keep rows whose score clears `minQuality` and
     * whose token count is in [minTokens, maxTokens]. Stateless.
     */

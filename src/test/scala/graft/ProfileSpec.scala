@@ -151,6 +151,29 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("topValues / topValuesByGroup: counts, deterministic ties, WindowGroupLimit") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("a", "x"), ("a", "x"), ("a", "y"), ("a", "z"), ("a", "z"),
+      ("b", "p"), ("b", "p"), ("b", "p"), ("b", "q"))
+      .toDF("g", "v")
+    val top = graft.operators.Profile.topValues(df, "v", 2)
+      .as[(String, Long)].collect().toSeq
+    // p:3, then x:2 vs z:2 tie -> x (smaller value)
+    assert(top == Seq(("p", 3L), ("x", 2L)))
+    val byG = graft.operators.Profile.topValuesByGroup(df, "g", "v", 2)
+      .as[(String, String, Long, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(byG == Seq(
+      ("a", "x", 2L, 1), ("a", "z", 2L, 2),
+      ("b", "p", 3L, 1), ("b", "q", 1L, 2)))
+    val plan = graft.operators.Profile.topValuesByGroup(df, "g", "v", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+    val planTop = graft.operators.Profile.topValues(df, "v", 2)
+      .queryExecution.executedPlan.toString
+    assert(planTop.contains("TakeOrderedAndProject"), s"expected TakeOrdered in:\n$planTop")
+  }
+
   test("dropBelowGroupQuantile: per-group thresholds, ties kept, null values dropped") {
     import org.apache.spark.sql.functions.col
     val df = Seq(

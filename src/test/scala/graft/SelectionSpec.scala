@@ -157,6 +157,23 @@ class SelectionSpec extends SparkSpec {
     assert(oneStep.exists(r => r._1 == 99L && r._3 > 0))
   }
 
+  test("nbScoreLocal: identical to nbScore, zero shuffles in the plan") {
+    val labeled = (targetish.map { case (i, t) => (i, t, true) } ++
+      rawExtra.filter(_._2.nonEmpty).map { case (i, t) => (i, t, false) })
+      .toDF("doc_id", "text", "label")
+    val model = Selection.nbTrain(labeled, "text", col("label"), numBuckets = 256)
+    val docs = (targetish ++ rawExtra :+ ((50L, null.asInstanceOf[String])))
+      .toDF("doc_id", "text")
+    val viaJoin = Selection.nbScore(docs, model, "text", "doc_id", numBuckets = 256)
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    val local = Selection.nbScoreLocal(docs,
+      Selection.collectNbModel(model), "text", "doc_id", numBuckets = 256)
+    val viaMap = local.as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(viaMap == viaJoin)
+    val plan = local.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"serving path must not shuffle:\n$plan")
+  }
+
   test("nbScore: reproducible under repartitioning, grams absent from model ignored") {
     val labeled = Seq((1L, "alpha beta", true), (2L, "gamma delta", false))
       .toDF("doc_id", "text", "label")

@@ -91,4 +91,37 @@ class StreamQualitySpec extends SparkSpec {
       assert(written == Seq(11L))
     } finally query.stop()
   }
+
+  test("withNbScore: streamed scores equal the batch nbScore join path") {
+    import graft.operators.Selection
+    val labeled = Seq(
+      (1L, "the cat sat on the mat", true),
+      (2L, "the dog sat on the rug", true),
+      (3L, "stock prices fell sharply", false),
+      (4L, "earnings beat forecasts", false)).toDF("doc_id", "text", "label")
+    val modelDf = Selection.nbTrain(labeled, "text", col("label"), numBuckets = 128)
+    val model = Selection.collectNbModel(modelDf)
+    val heldOut = Seq(
+      Doc(10, "the cat sat", t(0)),
+      Doc(11, "earnings fell sharply", t(1)),
+      Doc(12, "", t(2)))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val scored = StreamQuality.withNbScore(input.toDF(), model, "text", numBuckets = 128)
+    val query = scored.writeStream
+      .format("memory").queryName("graft_nb_stream").outputMode("append").start()
+    try {
+      input.addData(heldOut: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("graft_nb_stream")
+        .select($"doc_id", $"nb_score", $"nb_grams")
+        .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+      val batch = Selection.nbScore(heldOut.toDF(), modelDf, "text", "doc_id",
+        numBuckets = 128).as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+      assert(streamed == batch)
+      // the class separation survives serving
+      val byId = streamed.map(r => r._1 -> r._2).toMap
+      assert(byId(10L) > 0 && byId(11L) < 0 && byId(12L) == 0.0)
+    } finally query.stop()
+  }
 }
