@@ -346,6 +346,36 @@ object Selection {
   def collectNbModel(model: DataFrame): Map[Int, Double] =
     model.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
 
+  /** Collect a fitted [[dsirLogRatios]] table — same bounded-by-
+    * numBuckets contract as [[collectNbModel]].
+    */
+  def collectDsirRatios(ratios: DataFrame): Map[Int, Double] =
+    ratios.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
+  /** ROW-LOCAL DSIR importance log-weight from a collected ratio
+    * table — the serving twin of [[dsirWeights]] (score a NEW crawl
+    * batch or a live stream against ratios fitted offline): literal-
+    * map lookup + in-row decimal sum, no explode, no join, no
+    * shuffle. Same rounding as the join path; buckets absent from
+    * the table (never seen in the raw fit) contribute nothing.
+    */
+  def dsirWeightColumn(
+      ratios: Map[Int, Double],
+      text: Column,
+      numBuckets: Int = 4096): Column = {
+    requireBuckets(numBuckets, 1.0)
+    val lookup = typedLit(ratios)
+    val matched = filter(
+      transform(unigramsAndBigrams(text),
+        g => element_at(lookup, gramBucket(g, numBuckets))),
+      v => v.isNotNull)
+    val zero = lit(new java.math.BigDecimal(0)).cast("decimal(38,6)")
+    coalesce(
+      round(aggregate(matched, zero, (acc, x) => acc + x.cast("decimal(38,6)")), 4)
+        .cast("double"),
+      lit(0.0))
+  }
+
   /** ROW-LOCAL Naive-Bayes score: the model ships as a literal map in
     * the plan (like the BPE merge table), the gram walk is a HOF
     * chain, and the decimal sum happens inside the row — no explode,

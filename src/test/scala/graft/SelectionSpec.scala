@@ -157,6 +157,21 @@ class SelectionSpec extends SparkSpec {
     assert(oneStep.exists(r => r._1 == 99L && r._3 > 0))
   }
 
+  test("dsirWeightColumn: identical to dsirWeights via the collected ratio table") {
+    val raw = (targetish ++ rawExtra).toDF("doc_id", "text")
+    val target = targetish.toDF("doc_id", "text")
+    val viaJoin = Selection.dsirWeights(raw, target, "text", "doc_id", numBuckets = 256)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val ratios = Selection.collectDsirRatios(
+      Selection.dsirLogRatios(raw, target, "text", numBuckets = 256))
+    val local = raw.select(col("doc_id"),
+      Selection.dsirWeightColumn(ratios, col("text"), numBuckets = 256).as("dsir_logw"))
+    val viaMap = local.as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(viaMap == viaJoin)
+    val plan = local.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"serving path must not shuffle:\n$plan")
+  }
+
   test("nbScoreLocal: identical to nbScore, zero shuffles in the plan") {
     val labeled = (targetish.map { case (i, t) => (i, t, true) } ++
       rawExtra.filter(_._2.nonEmpty).map { case (i, t) => (i, t, false) })

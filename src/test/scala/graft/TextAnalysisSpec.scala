@@ -317,6 +317,21 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("normalizeUrl: idempotent (canonical forms are fixed points)") {
+    val inputs = Seq(
+      "https://a.com/p?utm_source=x&id=3",
+      "HTTPS://Ex.COM/PaTh#frag",
+      "http://a.com/?fbclid=z",
+      "http://U.com/p/?utm_a=1&utm_b=2",
+      "ftp://odd.scheme/x/", // non-http scheme: host untouched, slash trimmed
+      "plain text, no url")
+    val once = inputs.toDF("u")
+      .select(graft.functions.TextAnalysis.normalizeUrl($"u")).as[String].collect().toSeq
+    val twice = once.toDF("u")
+      .select(graft.functions.TextAnalysis.normalizeUrl($"u")).as[String].collect().toSeq
+    assert(twice == once, s"not idempotent: $once -> $twice")
+  }
+
   test("urlHost: host without scheme/path/port/query, no-match → empty") {
     val df = Seq(
       "https://sub.ex.org/p/1?q=2",
