@@ -602,6 +602,51 @@ object SparkEntry {
         t(s, dir, "documents"), "n_chars", "lang", 0.25)
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
+    "q_key_skew" -> ((s, dir) => {
+      // the salting decision report over the language key
+      graft.operators.Profile.keySkew(
+        t(s, dir, "documents"), "lang", topK = 2)
+    }),
+    "q_funnel" -> ((s, dir) => {
+      // four curation gates, every count from ONE scan
+      val text = trim(col("text"))
+      graft.operators.Profile.stageFunnel(
+        Parallelism.spread(t(s, dir, "documents")),
+        Seq(
+          "nonempty" -> (text =!= ""),
+          "min_chars" -> (col("n_chars") >= 200),
+          "known_lang" -> col("lang").isin("en", "fr", "de"),
+          "min_tokens" -> (size(split(text, "\\s+")) >= 30)))
+    }),
+    "q_snapshot_diff" -> ((s, dir) => {
+      // yesterday = documents; today = 10% removed, 10% edited, 10%
+      // re-ingested under new ids — the daily-crawl diff shape.
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val m = pmod(col("doc_id"), lit(10))
+      val today = docs.where(m =!= 3 && m =!= 4)
+        .unionByName(docs.where(m === 4)
+          .withColumn("text", concat(col("text"), lit(" v2"))))
+        .unionByName(docs.where(m === 5)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            col("text"), col("lang")))
+      graft.operators.Versioning.snapshotDiff(
+        docs, today, "doc_id", Seq("text", "lang"))
+    }),
+    "q_norm_dedup" -> ((s, dir) => {
+      // case/punct/digit-noisy clones of every 7th doc fold onto
+      // their originals under the normalization hash.
+      val base = Parallelism.spread(t(s, dir, "documents"))
+        .select("doc_id", "text")
+      val noisy = base.where(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + lit(20000000L)).as("doc_id"),
+          concat(upper(col("text")), lit(" !!")).as("text"))
+      base.unionByName(noisy)
+        .select(col("doc_id"),
+          md5(graft.functions.TextAnalysis.normalizeText(col("text")))
+            .as("norm_hash"))
+        .groupBy(col("norm_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+    }),
     "q_shuffle_order" -> ((s, dir) => {
       graft.operators.Sampling.shuffleForTraining(
         Parallelism.spread(t(s, dir, "documents")).select(col("doc_id")),
@@ -1444,6 +1489,60 @@ object SparkEntry {
         |  FROM documents GROUP BY 1)
         |SELECT doc_id, lang, n_chars FROM documents JOIN thr USING (lang)
         |WHERE n_chars::DOUBLE >= t""".stripMargin,
+    "q_key_skew" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |o AS (SELECT sum(n)::BIGINT AS total_rows, count(*) AS distinct_keys,
+        |  max(n) AS max_count FROM c),
+        |t AS (SELECT coalesce(sum(n), 0)::BIGINT AS top_n
+        |  FROM (SELECT n FROM c ORDER BY n DESC, lang LIMIT 2))
+        |SELECT total_rows, distinct_keys, max_count,
+        |  round(total_rows::DOUBLE / distinct_keys, 4) AS avg_count,
+        |  round(max_count / (total_rows::DOUBLE / distinct_keys), 4) AS skew_factor,
+        |  round(top_n / total_rows::DOUBLE, 6) AS top_share
+        |FROM o, t""".stripMargin,
+    "q_funnel" ->
+      """WITH a AS (SELECT count(*) AS total,
+        |  sum(CASE WHEN trim(text) <> '' THEN 1 ELSE 0 END)::BIGINT AS p0,
+        |  sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)::BIGINT AS p1,
+        |  sum(CASE WHEN lang IN ('en','fr','de') THEN 1 ELSE 0 END)::BIGINT AS p2,
+        |  sum(CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 30
+        |    THEN 1 ELSE 0 END)::BIGINT AS p3,
+        |  sum(CASE WHEN trim(text) <> '' THEN 1 ELSE 0 END)::BIGINT AS c0,
+        |  sum(CASE WHEN trim(text) <> '' AND n_chars >= 200
+        |    THEN 1 ELSE 0 END)::BIGINT AS c1,
+        |  sum(CASE WHEN trim(text) <> '' AND n_chars >= 200
+        |    AND lang IN ('en','fr','de') THEN 1 ELSE 0 END)::BIGINT AS c2,
+        |  sum(CASE WHEN trim(text) <> '' AND n_chars >= 200
+        |    AND lang IN ('en','fr','de')
+        |    AND len(string_split_regex(trim(text), '\s+')) >= 30
+        |    THEN 1 ELSE 0 END)::BIGINT AS c3
+        |  FROM documents)
+        |SELECT 0 AS stage_idx, 'nonempty' AS stage, p0 AS pass_count,
+        |  c0 AS cum_count, round(c0 / total::DOUBLE, 6) AS cum_share FROM a
+        |UNION ALL SELECT 1, 'min_chars', p1, c1, round(c1 / total::DOUBLE, 6) FROM a
+        |UNION ALL SELECT 2, 'known_lang', p2, c2, round(c2 / total::DOUBLE, 6) FROM a
+        |UNION ALL SELECT 3, 'min_tokens', p3, c3, round(c3 / total::DOUBLE, 6) FROM a""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(concat_ws(chr(1), coalesce(text, chr(0)),
+        |    coalesce(lang, chr(0)))) AS fp FROM documents),
+        |n0 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 10 NOT IN (3, 4)
+        |  UNION ALL SELECT doc_id, text || ' v2', lang FROM documents WHERE doc_id % 10 = 4
+        |  UNION ALL SELECT doc_id + 10000000, text, lang FROM documents WHERE doc_id % 10 = 5),
+        |n AS (SELECT doc_id, md5(concat_ws(chr(1), coalesce(text, chr(0)),
+        |    coalesce(lang, chr(0)))) AS fp FROM n0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.fp <> n.fp THEN 'changed' ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+    "q_norm_dedup" ->
+      """WITH a AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 20000000, upper(text) || ' !!'
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |n AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+        |  '\p{N}', '0', 'g'), '[^\p{L}\p{N}]+', ' ', 'g'))) AS norm_hash FROM a)
+        |SELECT norm_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM n GROUP BY 1""".stripMargin,
     // Global shuffle replay: the distributed prefix-sum rank equals
     // ROW_NUMBER over the md5 key (id tie-break concatenated).
     "q_shuffle_order" ->

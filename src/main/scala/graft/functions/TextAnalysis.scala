@@ -729,6 +729,22 @@ object TextAnalysis {
     regexp_replace(lowered, "/$", "")
   }
 
+  /** Aggressive content fold for FUZZY exact-dedup (the CCNet/Gopher
+    * normalization step before hashing: near-identical pages differ
+    * only in case, punctuation, digits, and whitespace): lowercase,
+    * digits → `0`, every non-letter/digit run → one space, trim. Each
+    * step is a Java∩RE2 regex (`\p{L}`/`\p{N}` are Unicode categories
+    * in both), so the oracle replays the chain; dedup on
+    * `md5(normalizeText(text))` catches the re-rendered duplicates a
+    * raw-byte hash misses. Row-local, codegen'd, idempotent.
+    */
+  def normalizeText(c: Column): Column = {
+    val lowered = lower(c)
+    val digitsFolded = regexp_replace(lowered, "\\p{N}", "0")
+    val punctFolded = regexp_replace(digitsFolded, "[^\\p{L}\\p{N}]+", " ")
+    trim(punctFolded)
+  }
+
   /** Concat-and-chunk packing assignment: lay documents out in
     * `orderCol` order, concatenate their tokens into one stream, and
     * cut fixed `seqLen`-token training sequences — sequence j holds

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data profiling: per-column stats for pipeline health checks.
@@ -155,6 +155,76 @@ object Profile {
     df.join(thresholds, Seq(groupCol))
       .where(col(valueCol).cast("double") >= col(thrCol))
       .drop(thrCol)
+  }
+
+  /** Key-skew diagnostic — the numbers a salting / AQE-skew-join
+    * decision is made from: how many rows, how many distinct keys,
+    * how big is the biggest key, how far above average is it
+    * (`skew_factor`), and what share of all rows the `topK` hottest
+    * keys hold (`top_share`). One map-side-combined count per key,
+    * staged once (`localCheckpoint` — the overall stats and the
+    * bounded top-k read the SAME materialized counts, not two scans
+    * of the corpus); the top-k side is `TakeOrderedAndProject`, so
+    * nothing key-count-sized ever sorts globally or reaches the
+    * driver.
+    *
+    * @return one row: (total_rows, distinct_keys, max_count,
+    *         avg_count 4 dp, skew_factor = max/avg 4 dp,
+    *         top_share = topK rows / total 6 dp).
+    */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
+    val overall = counts.agg(
+      sum(col("__n")).as("total_rows"),
+      count(lit(1)).as("distinct_keys"),
+      max(col("__n")).as("max_count"))
+    val top = counts.orderBy(col("__n").desc, col(keyCol).asc).limit(topK)
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("__top_n"))
+    val avg = col("total_rows").cast("double") / col("distinct_keys")
+    overall.crossJoin(broadcast(top))
+      .select(
+        col("total_rows"), col("distinct_keys"), col("max_count"),
+        round(avg, 4).as("avg_count"),
+        round(col("max_count") / avg, 4).as("skew_factor"),
+        round(col("__top_n") / col("total_rows").cast("double"), 6).as("top_share"))
+  }
+
+  /** One-scan curation funnel: every quality gate's independent pass
+    * count AND the cumulative survivor count (gate 1 ∧ … ∧ gate i) in
+    * a SINGLE aggregation over a SINGLE scan — at 100 TB the naïve
+    * "filter, count, filter, count" loop pays one full pass per gate;
+    * this pays one total. All counts are map-side partial sums; the
+    * result is |stages| rows, never corpus-sized.
+    *
+    * @param stages ordered (name, predicate) gates.
+    * @return one row per stage, in order: (stage_idx, stage,
+    *         pass_count — rows passing THIS gate alone,
+    *         cum_count — rows passing every gate up to and including
+    *         this one, cum_share of total rows, 6 dp).
+    */
+  def stageFunnel(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "no stages given")
+    val cums = stages.scanLeft(lit(true))((acc, s) => acc && s._2).tail
+    val aggs = count(lit(1)).as("__total") +:
+      stages.zipWithIndex.flatMap { case ((_, cond), i) =>
+        Seq(
+          coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as(s"__pass_$i"),
+          coalesce(sum(when(cums(i), 1L).otherwise(0L)), lit(0L)).as(s"__cum_$i"))
+      }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(stages.zipWithIndex.map { case ((name, _), i) =>
+        struct(
+          lit(i).as("stage_idx"),
+          lit(name).as("stage"),
+          col(s"__pass_$i").as("pass_count"),
+          col(s"__cum_$i").as("cum_count"),
+          round(when(col("__total") > 0,
+            col(s"__cum_$i") / col("__total").cast("double")), 6)
+            .as("cum_share"))
+      }: _*)).as("f"))
+      .select("f.*")
   }
 
   /** Heavy hitters: the `k` most frequent values of a column (top

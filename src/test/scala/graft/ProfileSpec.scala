@@ -194,4 +194,52 @@ class ProfileSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(top == Set(5L, 8L))
   }
+
+  test("keySkew: hand-computed stats, hot key dominates top_share") {
+    // key a: 6 rows, b: 2, c: 1, d: 1 → total 10, distinct 4, max 6
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d")).toDF("k")
+    val r = Profile.keySkew(df, "k", topK = 2)
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(r == ((10L, 4L, 6L, 2.5, 2.4, 0.8)))
+    // topK larger than the key count: share caps at 1.0
+    val all = Profile.keySkew(df, "k", topK = 100)
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(all._6 == 1.0)
+  }
+
+  test("keySkew: uniform keys give skew_factor 1") {
+    val df = (1 to 40).map(i => s"k${i % 8}").toDF("k")
+    val r = Profile.keySkew(df, "k", topK = 3)
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(r._5 == 1.0)
+    assert(r._6 == 0.375) // 3 of 8 equal keys
+  }
+
+  test("stageFunnel: independent vs cumulative counts, order matters, one agg job") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1, 10, "x"), (2, 20, "x"), (3, 30, "y"), (4, 40, "y"), (5, 50, "z"))
+      .toDF("id", "v", "g")
+    val out = Profile.stageFunnel(df, Seq(
+      "v_min" -> (col("v") >= 20), // passes: 2,3,4,5 → 4
+      "not_z" -> (col("g") =!= "z"), // alone: 1,2,3,4 → 4; cum: 2,3,4 → 3
+      "big" -> (col("v") >= 40))) // alone: 4,5 → 2; cum: 4 → 1
+      .as[(Int, String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0, "v_min", 4L, 4L, 0.8),
+      (1, "not_z", 4L, 3L, 0.6),
+      (2, "big", 2L, 1L, 0.2)))
+    // single aggregation: exactly one Aggregate above the scan, no join
+    val plan = Profile.stageFunnel(df, Seq("a" -> (col("v") > 0)))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), s"funnel must be one scan:\n$plan")
+  }
+
+  test("stageFunnel: empty frame yields zero counts and null-safe shares") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0).toDF("id")
+    val out = Profile.stageFunnel(df, Seq("pos" -> (col("id") > 0)))
+      .selectExpr("pass_count", "cum_count").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((0L, 0L)))
+  }
 }

@@ -317,6 +317,30 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("normalizeText: case/digit/punct folds, idempotent, nulls pass through") {
+    val inputs = Seq(
+      "Hello,  World! 123",
+      "hello world 000",          // same fold as above
+      "  spaced\t\nout  ",
+      "déjà-vu: Déjà  vu 9",
+      "",
+      null)
+    val out = inputs.toDF("t")
+      .select(graft.functions.TextAnalysis.normalizeText($"t")).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(out(0) == "hello world 000")
+    assert(out(0) == out(1))
+    assert(out(2) == "spaced out")
+    assert(out(3) == "déjà vu déjà vu 0")
+    assert(out(4) == "")
+    assert(out(5) == null)
+    // idempotent: a second pass is the identity
+    val again = out.filter(_ != null).toDF("t")
+      .select(graft.functions.TextAnalysis.normalizeText($"t"))
+      .as[String].collect().toSeq
+    assert(again == out.filter(_ != null).toSeq)
+  }
+
   test("normalizeUrl: idempotent (canonical forms are fixed points)") {
     val inputs = Seq(
       "https://a.com/p?utm_source=x&id=3",
