@@ -720,6 +720,16 @@ object SparkEntry {
       Similarity.bruteForceTopKInt8(e, e.where(col("vec_id") < 5),
         "embedding", "vec_id", "vec_id", k = 10)
     }),
+    "q_ann_recall" -> ((s, dir) => {
+      // recall@10 of the int8 tier against the float path — both
+      // sides DuckDB-replayable, so the METRIC itself is oracle-
+      // checked end to end.
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      Similarity.annRecall(
+        Similarity.bruteForceTopKInt8(e, q, "embedding", "vec_id", "vec_id", k = 10),
+        Similarity.bruteForceTopK(e, q, "embedding", "vec_id", "vec_id", k = 10))
+    }),
     "q_ann_hamming" -> ((s, dir) => {
       // Sign-bit codes: 64-dim → ONE bigint word per vector; the
       // oracle replays the pack with a bit_or over unnested signs.
@@ -944,6 +954,16 @@ object SparkEntry {
       val bench = d.where(col("doc_id") % 100 === 0 && col("doc_id") < 1000000)
         .select(explode(Dedup.wordShingles(col("text"), 13)).as("gram"))
       graft.functions.TextAnalysis.contaminationHits(
+        d.where(col("doc_id") >= 1000000), bench, "text", "doc_id", 13)
+    }),
+    "q_contamination_bloom" -> ((s, dir) => {
+      // the Bloom-prefiltered scale path — IDENTICAL output (and
+      // oracle) to q_contamination: the filter has no false
+      // negatives and the verify join kills the false positives.
+      val d = docsWithDups(s, dir)
+      val bench = d.where(col("doc_id") % 100 === 0 && col("doc_id") < 1000000)
+        .select(explode(Dedup.wordShingles(col("text"), 13)).as("gram"))
+      graft.functions.TextAnalysis.contaminationHitsBloom(
         d.where(col("doc_id") >= 1000000), bench, "text", "doc_id", 13)
     }),
     "q_decontaminate" -> ((s, dir) => {
@@ -1725,6 +1745,34 @@ object SparkEntry {
         |  FROM c, q),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM s)
         |SELECT query_id, corpus_id, cosine, rank FROM r WHERE rank <= 10""".stripMargin,
+    // both tiers' CTEs composed, then the recall metric itself
+    "q_ann_recall" ->
+      (s"""WITH fq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+          |fc AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+          |fs AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine FROM fc, fq),
+          |fr AS (SELECT query_id, corpus_id,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM fs),
+          |exact AS (SELECT query_id, corpus_id FROM fr WHERE rank <= 10),
+          |z AS (SELECT vec_id,
+          |  list_max(list_transform(embedding, x -> abs(x))) AS scale, embedding FROM embeddings),
+          |qz AS (SELECT vec_id, CASE WHEN scale = 0
+          |    THEN list_transform(embedding, x -> 0.0::DOUBLE)
+          |    ELSE list_transform(embedding, x -> round(x::DOUBLE * 127 / scale::DOUBLE)) END AS qv
+          |  FROM z),
+          |iq AS (SELECT vec_id AS query_id, qv AS qq FROM qz WHERE vec_id < 5),
+          |ic AS (SELECT vec_id AS corpus_id, qv AS cq FROM qz),
+          |s8 AS (SELECT query_id, corpus_id,
+          |  CASE WHEN list_dot_product(cq, cq) = 0 OR list_dot_product(qq, qq) = 0 THEN NULL
+          |    ELSE round(list_dot_product(cq, qq) /
+          |      (sqrt(list_dot_product(cq, cq)) * sqrt(list_dot_product(qq, qq))), 6) END AS cosine
+          |  FROM ic, iq),
+          |r8 AS (SELECT query_id, corpus_id,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM s8),
+          |approx AS (SELECT query_id, corpus_id FROM r8 WHERE rank <= 10),
+          |tot AS (SELECT count(DISTINCT query_id) AS n_queries, count(*)::BIGINT AS n_exact FROM exact),
+          |mt AS (SELECT count(*)::BIGINT AS n_matched FROM exact JOIN approx USING (query_id, corpus_id))
+          |SELECT n_queries, n_exact, n_matched,
+          |  round(n_matched / n_exact::DOUBLE, 6) AS recall FROM tot, mt""".stripMargin),
     // mirrors packSignBits: bit i set iff element i > 0 (bit 63 needs
     // the MinValue literal — DuckDB parses -9223372036854775808 as
     // HUGEINT-then-negate, and 1::BIGINT << 63 overflows)
@@ -2048,6 +2096,16 @@ object SparkEntry {
         |  (len(lines) - len(list_distinct(lines)))::BIGINT AS n_dropped
         |FROM s""".stripMargin,
     "q_contamination" ->
+      (s"""WITH $docsWithDupsSql,
+          |tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tks FROM docs),
+          |sh AS (SELECT doc_id, CASE WHEN len(tks) >= 13
+          |  THEN list_distinct(list_transform(range(0, len(tks) - 12),
+          |    i -> ${(1 to 13).map(j => s"tks[i + $j]").mkString(" || ' ' || ")}))
+          |  ELSE [array_to_string(tks, ' ')] END AS s FROM tk),
+          |b AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 100 = 0 AND doc_id < 1000000),
+          |d AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id >= 1000000)
+          |SELECT d.doc_id, count(*)::BIGINT AS n_hits FROM d JOIN b USING (gram) GROUP BY 1""".stripMargin),
+    "q_contamination_bloom" ->
       (s"""WITH $docsWithDupsSql,
           |tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tks FROM docs),
           |sh AS (SELECT doc_id, CASE WHEN len(tks) >= 13

@@ -684,6 +684,56 @@ object TextAnalysis {
     df.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** [[contaminationHits]] with a Bloom-filter candidate pass — the
+    * 100 TB configuration when the benchmark gram set is too large to
+    * broadcast-JOIN (100 M grams ≈ GBs as a hash relation, ~tens of
+    * MB as a Bloom filter): every corpus gram is probed row-locally
+    * against the broadcast filter (no false negatives), and only the
+    * surviving sliver of candidate (doc, gram) rows pays the exact
+    * verification join that removes the false positives. The result
+    * is IDENTICAL to the exact path — same oracle — at a fraction of
+    * the shuffle. `fpp` trades filter size against candidate volume.
+    */
+  def contaminationHitsBloom(
+      df: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 13,
+      fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    val bench = benchmark.select(col("gram")).distinct()
+    val grams = df.select(col(idCol).as("doc_id"),
+      explode(graft.operators.Dedup.wordShingles(col(textCol), n)).as("gram"))
+    Bloom.build(bench, "gram", math.max(bench.count(), 1L), fpp) match {
+      case None => // empty benchmark: nothing can hit
+        grams.select(col("doc_id"), lit(0L).as("n_hits")).where(lit(false))
+      case Some(filter) =>
+        grams.where(Bloom.mightContain(filter, col("gram")))
+          .join(bench, Seq("gram"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_hits"))
+    }
+  }
+
+  /** [[decontaminate]] on the [[contaminationHitsBloom]] candidate
+    * pass — same dropped set as the exact path, Bloom-sized instead
+    * of benchmark-sized broadcast.
+    */
+  def decontaminateBloom(
+      df: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 13,
+      maxHits: Long = 1,
+      fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    require(maxHits >= 1, "maxHits must be >= 1")
+    val flagged = contaminationHitsBloom(df, benchmark, textCol, idCol, n, fpp)
+      .where(col("n_hits") >= maxHits)
+      .select(col("doc_id").as(idCol))
+    df.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Every URL in a document, in order of appearance — the
     * link-extraction step of a crawl pipeline (outlink graphs,
     * domain statistics, URL-based filtering). Same pattern as

@@ -207,6 +207,33 @@ object Similarity {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
+  /** Recall@k of an approximate top-k result against the exact one —
+    * the eval that turns "the LSH/IVF/cascade path is good enough"
+    * from a claim into a measured number, run on a sampled query set
+    * before committing an index configuration to a 100 TB corpus.
+    * Both inputs are (query_id, corpus_id, …) frames as returned by
+    * every `*TopK` here; the comparison joins two bounded
+    * (queries × k)-row frames, so the eval costs nothing beyond the
+    * two searches themselves.
+    *
+    * @return one row: (n_queries, n_exact, n_matched,
+    *         recall = matched/exact rounded 6 dp, null if no exact
+    *         rows).
+    */
+  def annRecall(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("corpus_id"))
+    val e = exact.select(col("query_id"), col("corpus_id"))
+    val totals = e.agg(
+      countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_exact"))
+    val m = e.join(a, Seq("query_id", "corpus_id"))
+      .agg(count(lit(1)).as("n_matched"))
+    totals.crossJoin(broadcast(m)).select(
+      col("n_queries"), col("n_exact"), col("n_matched"),
+      round(when(col("n_exact") > 0,
+        col("n_matched") / col("n_exact").cast("double")), 6).as("recall"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's
     * hyperplane bucket. Recall grows with fewer planes / multi-probe;
     * cost shrinks with more planes.

@@ -118,4 +118,28 @@ object StreamQuality {
     }
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
+
+  /** Live quality monitoring: run the one-scan gate funnel
+    * ([[graft.operators.Profile.stageFunnel]]) over every micro-batch
+    * and append the |stages|-row report to `outDir/batch_id=N` — the
+    * feed a crawl-health dashboard reads (is the new source suddenly
+    * failing `known_lang`? did `min_tokens` survivors crater this
+    * hour?). Same idempotent per-batch-directory OVERWRITE contract
+    * as [[dedupToParquet]]; the sink stores counts only, so it stays
+    * byte-tiny at any stream volume.
+    */
+  def funnelToParquet(
+      stream: DataFrame,
+      stages: Seq[(String, org.apache.spark.sql.Column)],
+      outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 minute")): DataStreamWriter[Row] =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.operators.Profile.stageFunnel(batch.toDF(), stages)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
 }

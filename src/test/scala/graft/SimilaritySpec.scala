@@ -195,6 +195,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annRecall: hand-checkable counts; degenerate cascade scores 1.0; empty exact is null") {
+    val rnd = new scala.util.Random(29)
+    val c = (0L until 150L).map(i => (i, Seq.fill(32)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "vec")
+    val q = c.where($"id" < 4)
+    val exact = Similarity.bruteForceTopK(c, q, "vec", "id", "id", k = 8)
+    // identical inputs → full recall, counts = queries × k
+    val self = Similarity.annRecall(exact, exact)
+      .as[(Long, Long, Long, Double)].head()
+    assert(self == ((4L, 32L, 32L, 1.0)))
+    // prune-nothing cascade degenerates to the exact scan → 1.0
+    val full = Similarity.cascadeTopK(
+      c, q, "vec", "id", "id", k = 8, shortlist = 150, rerank = 150)
+    assert(Similarity.annRecall(full, exact)
+      .select($"recall").as[Double].head() == 1.0)
+    // int8 tier: imperfect but measured — in (0, 1]
+    val int8 = Similarity.bruteForceTopKInt8(c, q, "vec", "id", "id", k = 8)
+    val r8 = Similarity.annRecall(int8, exact)
+      .as[(Long, Long, Long, Double)].head()
+    assert(r8._1 == 4L && r8._2 == 32L)
+    assert(r8._3 >= 1L && r8._3 <= 32L && r8._4 == r8._3 / 32.0)
+    // no exact rows → null recall, zero counts
+    val empty = Similarity.annRecall(exact, exact.where(lit(false)))
+    val row = empty.select($"n_exact", $"recall").collect().head
+    assert(row.getLong(0) == 0L && row.isNullAt(1))
+  }
+
   test("ivfTopKFromIndex: identical results to ivfTopK, corpus side shuffle-free") {
     val rnd = new scala.util.Random(11)
     val c = (0L until 300L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))

@@ -124,4 +124,35 @@ class StreamQualitySpec extends SparkSpec {
       assert(byId(10L) > 0 && byId(11L) < 0 && byId(12L) == 0.0)
     } finally query.stop()
   }
+
+  test("funnelToParquet: per-batch funnel rows match the batch operator, batch_id lands") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val out = Files.createTempDirectory("graft_funnel_out").toString
+    val ckpt = Files.createTempDirectory("graft_funnel_ckpt").toString
+    val stages = Seq(
+      "nonempty" -> (trim(col("text")) =!= ""),
+      "longish" -> (length(col("text")) >= 20))
+    val docs = Seq(Doc(1, good, t(0)), Doc(2, bad, t(1)), Doc(3, "", t(2)))
+    val query = StreamQuality
+      .funnelToParquet(input.toDF(), stages, out, ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      input.addData(docs: _*)
+      query.awaitTermination(60000)
+      val written = spark.read.parquet(out)
+        .select($"batch_id", $"stage", $"pass_count", $"cum_count")
+        .as[(Long, String, Long, Long)].collect().sortBy(_._2).toSeq
+      val expected = graft.operators.Profile
+        .stageFunnel(docs.toDF(), stages)
+        .select($"stage", $"pass_count", $"cum_count")
+        .as[(String, Long, Long)].collect().sortBy(_._1)
+        .map { case (s, p, c) => (0L, s, p, c) }.toSeq
+      assert(written == expected)
+      // good + bad pass nonempty (2); only good survives longish cum (1)
+      assert(written.map(r => r._2 -> r._4).toMap ==
+        Map("nonempty" -> 2L, "longish" -> 1L))
+    } finally query.stop()
+  }
 }
