@@ -162,8 +162,11 @@ object Selection {
     * standard Gumbel-max trick for sampling WITHOUT replacement with
     * probability ∝ exp(logw), made reproducible under any
     * partitioning (and engine-replayable) by hashing instead of
-    * drawing. The top-k compiles to `TakeOrderedAndProject` — each
-    * task keeps k rows, no global sort.
+    * drawing.
+    *
+    * `exactMergeLimit` picks the physical shape of the selection
+    * tail (both shapes keep the IDENTICAL row set — spec-asserted):
+    * see [[gumbelTopK]].
     */
   def dsirResample(
       df: DataFrame,
@@ -173,24 +176,75 @@ object Selection {
       k: Int,
       numBuckets: Int = 4096,
       alpha: Double = 1.0,
-      seed: Int = 0): DataFrame = {
+      seed: Int = 0,
+      exactMergeLimit: Int = defaultExactMergeLimit): DataFrame = {
     require(k > 0, "k must be positive")
-    gumbelTopK(dsirWeights(df, target, textCol, idCol, numBuckets, alpha), idCol, k, seed)
+    gumbelTopK(dsirWeights(df, target, textCol, idCol, numBuckets, alpha),
+      idCol, k, seed, exactMergeLimit)
   }
+
+  /** Largest `k` for which the single-task merge of a global
+    * `limit(k)` is acceptable: `TakeOrderedAndProject` merges
+    * numPartitions·k rows into ONE task, so at the default the merge
+    * is a few hundred thousand skinny (id, weight, key) rows — cheap
+    * — while a corpus-fraction k (DSIR's production regime: hundreds
+    * of millions of rows at 100 TB) routes to the distributed
+    * rank-filter path instead.
+    */
+  val defaultExactMergeLimit: Int = 10000
 
   /** Gumbel-top-k over a (`idCol`, `dsir_logw`) weight frame.
     * `(h + 0.5) / 65536` is uniform in (0,1), never 0 or 1 — both ln
     * calls stay finite.
+    *
+    * Two physical shapes behind one contract, switched on `k`:
+    *
+    *  - `k ≤ exactMergeLimit`: `orderBy(...).limit(k)` compiles to
+    *    `TakeOrderedAndProject` — each task keeps k rows and the
+    *    merge touches numPartitions·k rows. Right for "give me the
+    *    top 10k docs".
+    *  - larger k (selecting a corpus FRACTION — the realistic DSIR
+    *    setting): that merge would be a single-task bottleneck
+    *    exactly where scale matters, so instead each row's exact
+    *    rank under the same (key desc, id asc) total order comes
+    *    from the distributed prefix sum
+    *    ([[Cumulative.withCumulativeSum]]: range partitioning by the
+    *    order key + a per-partition offset exchange bounded by the
+    *    cluster's partition count, never by n) and the selection is
+    *    a FILTER `rank ≤ k` — no global sort, no single-partition
+    *    merge anywhere in the plan.
+    *
+    * Both shapes select the same rows: the rank path's order key is
+    * `struct(-key, id)` ascending = (key desc, id asc), the limit
+    * path's explicit sort. Ranks are unique (id is the tie-break),
+    * so `rank ≤ k` keeps exactly k rows when the corpus has them.
     */
-  private def gumbelTopK(w: DataFrame, idCol: String, k: Int, seed: Int): DataFrame = {
+  private def gumbelTopK(
+      w: DataFrame,
+      idCol: String,
+      k: Int,
+      seed: Int,
+      exactMergeLimit: Int = defaultExactMergeLimit): DataFrame = {
     val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + seed))), 1, 4), 16, 10)
       .cast("double")
     val gumbel = -log(-log((h + 0.5) / 65536.0))
     val keyCol = graft.Cols.unique("__key", w)
-    w.withColumn(keyCol, col("dsir_logw") + gumbel)
-      .orderBy(col(keyCol).desc, col(idCol))
-      .limit(k)
-      .drop(keyCol)
+    val keyed = w.withColumn(keyCol, col("dsir_logw") + gumbel)
+    if (k <= exactMergeLimit) {
+      keyed.orderBy(col(keyCol).desc, col(idCol))
+        .limit(k)
+        .drop(keyCol)
+    } else {
+      // Negating the (finite by construction) double key turns the
+      // desc order into the struct's natural asc lexicographic order.
+      val ordCol = graft.Cols.unique("__ord", w)
+      val rankCol = graft.Cols.unique("__rank", w)
+      val staged = keyed.withColumn(ordCol,
+        struct((-col(keyCol)).as("k"), col(idCol).as("i")))
+      Cumulative.withCumulativeSum(staged, lit(1L), col(ordCol), rankCol)
+        .where(col(rankCol) <= k)
+        .drop(keyCol, ordCol, rankCol)
+    }
   }
 
   /** [[dsirWeights]] for the target-is-a-slice setting (`targetFlag`
@@ -233,7 +287,8 @@ object Selection {
   }
 
   /** [[dsirResample]] over [[dsirSelfWeights]] — Gumbel-top-`k` with
-    * the one-pass staged fit.
+    * the one-pass staged fit. `exactMergeLimit` switches the
+    * selection tail exactly as in [[dsirResample]].
     */
   def dsirSelfResample(
       df: DataFrame,
@@ -243,11 +298,12 @@ object Selection {
       k: Int,
       numBuckets: Int = 4096,
       alpha: Double = 1.0,
-      seed: Int = 0): DataFrame = {
+      seed: Int = 0,
+      exactMergeLimit: Int = defaultExactMergeLimit): DataFrame = {
     require(k > 0, "k must be positive")
     gumbelTopK(
       dsirSelfWeights(df, textCol, targetFlag, idCol, numBuckets, alpha),
-      idCol, k, seed)
+      idCol, k, seed, exactMergeLimit)
   }
 
   /** Multinomial Naive-Bayes quality model over hashed gram buckets:
