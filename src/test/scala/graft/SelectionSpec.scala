@@ -105,6 +105,38 @@ class SelectionSpec extends SparkSpec {
     assert(selA == selB)
   }
 
+  test("dsirResample: corpus-fraction k takes the rank path — same rows, no global limit") {
+    // 200 docs, k = 40% of the corpus: the regime where a global
+    // orderBy().limit(k) would merge numPartitions*k rows into one
+    // task. exactMergeLimit=10 forces the distributed rank path;
+    // Int.MaxValue forces the TakeOrdered path; both must pick the
+    // IDENTICAL row set.
+    val words = Seq("cat", "dog", "mat", "stock", "bond", "rug", "sat", "news")
+    val raw = (1L to 200L).map { i =>
+      (i, s"the ${words((i % 8).toInt)} ${words(((i / 8) % 8).toInt)} sat")
+    }.toDF("doc_id", "text").repartition(8)
+    val target = targetish.toDF("doc_id", "text")
+    val k = 80
+    val viaRank = Selection.dsirResample(raw, target, "text", "doc_id",
+      k = k, numBuckets = 256, exactMergeLimit = 10)
+    val viaLimit = Selection.dsirResample(raw, target, "text", "doc_id",
+      k = k, numBuckets = 256, exactMergeLimit = Int.MaxValue)
+    val a = viaRank.as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val b = viaLimit.as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(a.length == k)
+    assert(a == b, "rank-filter path must select exactly the limit path's rows")
+    val plan = viaRank.queryExecution.executedPlan.toString
+    assert(!plan.contains("TakeOrderedAndProject"),
+      s"large-k path must not single-task merge:\n$plan")
+    assert(!plan.contains("GlobalLimit"),
+      s"large-k path must not global-limit:\n$plan")
+    // and the small-k default still compiles to the cheap merge
+    val small = Selection.dsirResample(raw, target, "text", "doc_id",
+      k = 5, numBuckets = 256)
+    assert(small.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    assert(small.count() == 5)
+  }
+
   test("nbTrain: hand-computed log-odds on a tiny labeled set; null labels excluded") {
     val labeled = Seq(
       (1L, "good good", Some(true)),
