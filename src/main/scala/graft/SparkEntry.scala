@@ -860,6 +860,18 @@ object SparkEntry {
         Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), "doc_id", seed = 7)
         .select("doc_id", "split")
     }),
+    "q_split_cluster" -> ((s, dir) => {
+      // Leakage-safe split: near-dup clusters (the q_dedup_minhash
+      // pair graph) assigned to ONE split by hashing the cluster
+      // label; singletons hash their own id — so the assignment
+      // degrades to q_split exactly where no duplicate exists.
+      val docs = docsWithDups(s, dir)
+      val pairs = Dedup.minHashLshPairs(docs, "text", "doc_id",
+        shingleK = 5, numHashes = 8, bands = 2, jaccardThreshold = 0.5)
+      graft.operators.Sampling.splitByCluster(docs, pairs,
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), "doc_id", seed = 7)
+        .select("doc_id", "split")
+    }),
     "q_cap_stratum" -> ((s, dir) => {
       // Per-language cap at 60 docs — the per-domain-cap shape of a
       // web-corpus pipeline (compiles to WindowGroupLimit).
@@ -1944,6 +1956,28 @@ object SparkEntry {
          |       WHEN $h < 57344 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin
+    },
+    "q_split_cluster" -> {
+      // Clusters via the same recursive-CTE reach as q_dedup_clusters
+      // (singletons self-keyed), then the q_split hash thresholds
+      // applied to the CLUSTER label instead of the doc id.
+      val h = h16Sql("ck::VARCHAR || ':7'")
+      s"""WITH RECURSIVE $minhashCtes,
+         |prs AS (SELECT id_a, id_b FROM mh WHERE jac >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION ALL SELECT id_b, id_a FROM prs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY 1),
+         |m AS (SELECT d.doc_id, coalesce(l.label, d.doc_id) AS ck
+         |  FROM docs d LEFT JOIN lab l ON d.doc_id = l.id)
+         |SELECT doc_id,
+         |  CASE WHEN $h < 49152 THEN 'train'
+         |       WHEN $h < 57344 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM m""".stripMargin
     },
     "q_cap_stratum" ->
       """WITH r AS (SELECT doc_id, lang,

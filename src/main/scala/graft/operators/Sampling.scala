@@ -121,6 +121,42 @@ object Sampling {
       .drop(hCol)
   }
 
+  /** Leakage-safe train/val/test assignment: like [[splitByHash]],
+    * but every NEAR-DUPLICATE CLUSTER lands in exactly one split.
+    * [[splitByHash]] hashes ids independently of the dedup machinery,
+    * so two near-duplicate docs can straddle train and test — exactly
+    * the contamination the dedup stack exists to stop. Here the hash
+    * key is the duplicate-cluster label ([[Dedup.duplicateClusters]]
+    * over `pairs`; docs in no pair form singleton clusters keyed by
+    * their own id), so near-dups move between splits TOGETHER.
+    *
+    * Scale shape: the cluster frame is bounded by the ids appearing
+    * in `pairs` (the duplicates — a small fraction of the corpus),
+    * joined to the corpus on its id key; the split decision itself is
+    * the same row-local 16-bit content hash as [[splitByHash]], so
+    * the assignment stays reproducible under any partitioning and
+    * engine-replayable. Rows with a null id get a null split.
+    */
+  def splitByCluster(
+      df: DataFrame,
+      pairs: DataFrame,
+      weights: Seq[(String, Double)],
+      idCol: String,
+      seed: Int = 0,
+      outCol: String = "split",
+      idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    val clusters = Dedup.duplicateClusters(pairs, idA, idB)
+    val cidCol = graft.Cols.unique("__graft_cid", df)
+    val ckCol = graft.Cols.unique("__graft_ck", df)
+    val keyed = df
+      .join(clusters.select(col("id").as(cidCol), col("label").as(ckCol)),
+        df(idCol) === col(cidCol), "left")
+      .drop(cidCol)
+      .withColumn(ckCol, coalesce(col(ckCol), col(idCol)))
+    splitByHash(keyed, weights, ckCol, seed, outCol).drop(ckCol)
+  }
+
   /** Cap each stratum's contribution at `maxRows` rows (the
     * per-domain/per-source cap of a web-corpus pipeline): rows within
     * a stratum are ranked by a content hash of their id and the first

@@ -224,6 +224,30 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(s1.length - 200) < 60, s"source-1 size ${s1.length}")
   }
 
+  test("splitByCluster: no cluster straddles splits; singletons match splitByHash") {
+    val df = spark.range(1000).toDF("id")
+    // chain 0-1-2, pair 10-11, star 20-{21,22,23}: clusters of
+    // diameter > 1 included on purpose
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L), (20L, 21L), (20L, 22L), (20L, 23L))
+      .toDF("id_a", "id_b")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.splitByCluster(df, pairs, w, "id", seed = 3)
+      .as[(Long, String)].collect().toMap
+    assert(out.size == 1000)
+    // every clustered doc shares its cluster-min's split
+    for (grp <- Seq(Seq(0L, 1L, 2L), Seq(10L, 11L), Seq(20L, 21L, 22L, 23L)))
+      assert(grp.map(out).distinct.size == 1, s"cluster $grp straddles splits")
+    // unclustered docs get exactly their splitByHash assignment
+    val byHash = Sampling.splitByHash(df, w, "id", seed = 3)
+      .as[(Long, String)].collect().toMap
+    val clustered = Set(0L, 1L, 2L, 10L, 11L, 20L, 21L, 22L, 23L)
+    for (i <- 0L until 1000L if !clustered(i)) assert(out(i) == byHash(i))
+    // and reproducible under repartitioning
+    val again = Sampling.splitByCluster(df.repartition(13), pairs.repartition(2),
+      w, "id", seed = 3).as[(Long, String)].collect().toMap
+    assert(again == out)
+  }
+
   test("mixCorpora: reproducible under repartitioning; fractional picks nest in the source sample") {
     val a = spark.range(500).toDF("id")
     val b = spark.range(500, 900).toDF("id")
