@@ -90,23 +90,48 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      (name, times(times.length / 2), times.head)
+    // A failed query must surface as FAILED — recording its wall time
+    // would report time-to-exception as a (fake) speedup. Its entry
+    // becomes {"err": "..."} and it is excluded from the totals.
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
-    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
-      .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, _, min) => "\"" + k + "\":" + min }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val totalMin = results.map(_._3).sum
+    val results = selected.map { case (name, fn) =>
+      val runs: Seq[Either[String, Double]] = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
+        }
+      }
+      val err = runs.collectFirst { case Left(m) => m }
+      val times = runs.collect { case Right(s) => s }.sorted
+      (name, err, times)
+    }
+    val failed = results.filter(_._2.nonEmpty)
+    if (failed.nonEmpty) System.err.println(
+      s"[bench] ${failed.length} queries FAILED: ${failed.map(_._1).mkString(", ")}")
+    def cell(err: Option[String], t: Seq[Double], pick: Seq[Double] => Double) =
+      err match {
+        case Some(m) => s"""{"err":"${esc(m)}"}"""
+        case None    => pick(t).toString
+      }
+    val qs = results.map { case (k, err, t) =>
+      "\"" + k + "\":" + cell(err, t, ts => ts(ts.length / 2))
+    }.mkString("{", ",", "}")
+    val qsMin = results.map { case (k, err, t) =>
+      "\"" + k + "\":" + cell(err, t, _.head)
+    }.mkString("{", ",", "}")
+    val ok = results.filter(_._2.isEmpty)
+    val total = ok.map { case (_, _, t) => t(t.length / 2) }.sum
+    val totalMin = ok.map(_._3.head).sum
+    val failedJson = failed.map(f => "\"" + f._1 + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"total_min":$totalMin,"queries_min":$qsMin,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failedJson,"queries":$qs,"total_min":$totalMin,"queries_min":$qsMin,"sf":"$sfDir"}"""
     println(json)
     // The driver keeps only the stdout tail, which truncates the full
     // query map (round-5 BENCH artifact parsed as null). Always write

@@ -16,18 +16,26 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  /** Read a test table. `events.ts` is a nanosecond parquet timestamp
-    * in the driver's data (unsupported natively) — read as long nanos
-    * and exposed as `ts_ms` (epoch millis, matching DuckDB's
-    * `epoch_ms(ts)`). Derived datasets (tools/GenScale sf1) carry a
-    * micros timestamp instead, where `unix_millis` is the same floor.
+  /** Read a test table. `events.ts` has changed physical type across
+    * driver testdata generations, so normalize every shape to one
+    * `ts_ms` epoch-millis column (matching DuckDB's `epoch_ms(ts)`):
+    *  - nanos INT64 (no logical type) → read as long via
+    *    `nanosAsLong`, floor-divide to millis;
+    *  - micros `isAdjustedToUTC=false` → Spark `TIMESTAMP_NTZ`; the
+    *    NTZ→LTZ cast is an identity epoch map because every session
+    *    pins `spark.sql.session.timeZone=UTC` (Verify/Bench/specs),
+    *    so `unix_millis(cast(..))` equals DuckDB's naive epoch;
+    *  - tz-adjusted micros (tools/GenScale output) → plain
+    *    `unix_millis(ts)`.
     */
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  private[graft] def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/events.parquet")
       val tsMs = df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          expr("unix_millis(cast(ts as timestamp))")
         case _ => expr("unix_millis(ts)")
       }
       df.withColumn("ts_ms", tsMs)

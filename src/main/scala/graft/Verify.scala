@@ -20,13 +20,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // Reconcile: every query key must yield a result dir. A failure is
+    // recorded in errors.json and listed loudly — 6 queries silently
+    // absent from the round-7 artifact read as "missing", not "red".
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}"
+          System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -45,6 +50,20 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // Final reconciliation: a key with neither a result dir nor an
+    // error entry means the loop itself was skipped — make that loud.
+    val expected = SparkEntry.queries.keySet
+      .filter(k => only.isEmpty || only.contains(k))
+    val missing = expected.filter(k =>
+      !new java.io.File(s"$outDir/$k").exists() && !errors.contains(k))
+    if (errors.nonEmpty) System.err.println(
+      s"[verify] ${errors.size} queries FAILED (see errors.json): ${errors.keys.mkString(", ")}")
+    if (missing.nonEmpty) System.err.println(
+      s"[verify] ${missing.size} queries produced NO result and NO error: ${missing.toSeq.sorted.mkString(", ")}")
+    if (errors.isEmpty && missing.isEmpty) System.err.println(
+      s"[verify] all ${expected.size} query keys accounted for")
     spark.stop()
   }
 }
