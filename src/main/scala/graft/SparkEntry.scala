@@ -960,6 +960,25 @@ object SparkEntry {
           size(regexp_extract_all(col("t2"), lit("https?://[^\\s]+"), lit(0)))
             .cast("long").as("n_urls"))
     }),
+    "q_html_text" -> ((s, dir) => {
+      // Wrap every doc in crawl-style HTML noise (head/script/style,
+      // a comment, entity-encoded punctuation) and assert extraction
+      // recovers the text: md5 + length of the full cleaned string.
+      val cleaned = graft.functions.TextAnalysis.stripHtml(col("html"))
+      Parallelism.spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          concat(
+            lit("<!DOCTYPE html><html><head><style>p{color:red}</style>"),
+            lit("<script>var x = 1 < 2 && 3 > 2;</script></head><body><h1>T&amp;C "),
+            col("doc_id").cast("string"),
+            lit("</h1><!-- hidden --><p>"),
+            col("text"),
+            lit(" &lt;tag&gt; &quot;q&quot; &#39;a&#39;&nbsp;end</p></body></html>"))
+            .as("html"))
+        .select(col("doc_id"),
+          md5(cleaned).as("text_md5"),
+          length(cleaned).cast("long").as("n_chars"))
+    }),
     "q_quality_flags" -> ((s, dir) => {
       Parallelism.spread(t(s, dir, "documents"))
         .select(col("doc_id"),
@@ -2113,6 +2132,27 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS redacted_md5,
         |  len(regexp_extract_all(t2, 'https?://[^\s]+'))::BIGINT AS n_urls
         |FROM t""".stripMargin,
+    // Exact stripHtml chain replay: same RE2∩Java regexes, same
+    // literal entity replaces in the same order (&amp; last).
+    "q_html_text" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<!DOCTYPE html><html><head><style>p{color:red}</style>' ||
+        |  '<script>var x = 1 < 2 && 3 > 2;</script></head><body><h1>T&amp;C ' ||
+        |  doc_id::VARCHAR || '</h1><!-- hidden --><p>' || text ||
+        |  ' &lt;tag&gt; &quot;q&quot; &#39;a&#39;&nbsp;end</p></body></html>' AS html
+        |  FROM documents),
+        |x AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |  '(?s)<!--.*?-->', ' ', 'g'),
+        |  '(?s)<[A-Za-z!/][^>]*>', ' ', 'g') AS t1 FROM h),
+        |e AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(
+        |  replace(replace(t1, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |  '&apos;', ''''), '&#39;', ''''), '&#34;', '"'), '&nbsp;', ' '),
+        |  '&amp;', '&') AS t2 FROM x),
+        |c AS (SELECT doc_id, trim(regexp_replace(t2, '\s+', ' ', 'g')) AS t3 FROM e)
+        |SELECT doc_id, md5(t3) AS text_md5, length(t3)::BIGINT AS n_chars
+        |FROM c""".stripMargin,
     "q_quality_flags" ->
       """WITH tk AS (SELECT doc_id, text,
         |  regexp_split_to_array(trim(lower(text)), '\s+') AS tks FROM documents),

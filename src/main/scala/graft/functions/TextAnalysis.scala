@@ -795,6 +795,35 @@ object TextAnalysis {
     trim(punctFolded)
   }
 
+  /** HTML→text extraction — the step a real crawl pipeline runs
+    * before any of the text operators (the corpus model elsewhere in
+    * this library starts at clean text; a crawl starts at markup):
+    * drop `<script>`/`<style>` blocks WITH their content, drop
+    * comments, strip remaining tags (each replaced by one space so
+    * `</p><p>` never fuses words), decode the common named/numeric
+    * entities (`&amp;` LAST, so `&amp;lt;` yields the literal
+    * `&lt;`), and collapse whitespace. Every step is a
+    * `regexp_replace` in the Java∩RE2 dialect intersection (inline
+    * `(?is)` flags, non-greedy `.*?` — both engines) or a literal
+    * `replace`, so the DuckDB oracle replays the exact chain.
+    * Row-local, codegen'd; unclosed script/style blocks degrade to
+    * tag-stripping (the non-greedy body match requires the closer).
+    */
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    // `</?[A-Za-z!/]` anchors on real markup: "x < 3" survives
+    val noTags = regexp_replace(noComment, "(?s)<[A-Za-z!/][^>]*>", " ")
+    val entities = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'",
+      "&#39;" -> "'", "&#34;" -> "\"", "&nbsp;" -> " ", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (acc, (k, v)) =>
+      replace(acc, lit(k), lit(v))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Concat-and-chunk packing assignment: lay documents out in
     * `orderCol` order, concatenate their tokens into one stream, and
     * cut fixed `seqLen`-token training sequences — sequence j holds

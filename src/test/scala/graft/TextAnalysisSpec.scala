@@ -341,6 +341,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again == out.filter(_ != null).toSeq)
   }
 
+  test("stripHtml: blocks dropped, tags stripped, entities decoded, ws collapsed") {
+    val inputs = Seq(
+      "<html><head><title>T</title><style>p { color: red; }</style>" +
+        "<script type=\"text/javascript\">if (1 < 2 && 3 > 2) { x(); }</script>" +
+        "</head><body><h1>Head</h1><!-- note --><p>one</p><p>two</p></body></html>",
+      "a &lt;b&gt; &quot;c&quot; &apos;d&apos; &#39;e&#39; &amp;amp; f&nbsp;g",
+      "plain text with math: x < 3 and y > 4",   // bare < > survive
+      "<p>unclosed <script>tag only",            // no closer: tags stripped
+      "<br/><BR><img src=\"x.png\" alt=\"A > B\">after",
+      "",
+      null)
+    val out = inputs.toDF("t")
+      .select(graft.functions.TextAnalysis.stripHtml($"t")).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(out(0) == "T Head one two")
+    // &amp;amp; → "&amp;" literal (single decode pass, & last)
+    assert(out(1) == "a <b> \"c\" 'd' 'e' &amp; f g")
+    assert(out(2) == "plain text with math: x < 3 and y > 4")
+    assert(out(3) == "unclosed tag only")
+    // attribute value contains '>': the tag match stops there — the
+    // documented plain-regex tradeoff ("A " survives as text)
+    assert(out(4) == "B\">after" || out(4) == "after",
+      s"img-with-gt-attr: got '${out(4)}'")
+    assert(out(5) == "")
+    assert(out(6) == null)
+  }
+
   test("normalizeUrl: idempotent (canonical forms are fixed points)") {
     val inputs = Seq(
       "https://a.com/p?utm_source=x&id=3",
