@@ -616,7 +616,9 @@ object SparkEntry {
         t(s, dir, "documents"), "lang", topK = 2)
     }),
     "q_funnel" -> ((s, dir) => {
-      // four curation gates, every count from ONE scan
+      // five curation gates, every count from ONE scan; the entropy
+      // gate compares the exact micro-unit sum (no rounding), so both
+      // engines agree on the ≥ boundary.
       val text = trim(col("text"))
       graft.operators.Profile.stageFunnel(
         Parallelism.spread(t(s, dir, "documents")),
@@ -624,7 +626,15 @@ object SparkEntry {
           "nonempty" -> (text =!= ""),
           "min_chars" -> (col("n_chars") >= 200),
           "known_lang" -> col("lang").isin("en", "fr", "de"),
-          "min_tokens" -> (size(split(text, "\\s+")) >= 30)))
+          "min_tokens" -> (size(split(text, "\\s+")) >= 30),
+          "min_entropy" ->
+            (graft.functions.TextAnalysis.charEntropy(col("text")) >= 4.0)))
+    }),
+    "q_entropy" -> ((s, dir) => {
+      val sig = graft.functions.TextAnalysis.entropySignals(col("text"))
+      Parallelism.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), sig.as("e"))
+        .select(col("doc_id"), col("e.char_entropy"), col("e.printable_ratio"))
     }),
     "q_snapshot_diff" -> ((s, dir) => {
       // yesterday = documents; today = 10% removed, 10% edited, 10%
@@ -1560,12 +1570,18 @@ object SparkEntry {
         |  round(top_n / total_rows::DOUBLE, 6) AS top_share
         |FROM o, t""".stripMargin,
     "q_funnel" ->
-      """WITH a AS (SELECT count(*) AS total,
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        |cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS n FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(n) AS t FROM cnt GROUP BY 1),
+        |ent AS (SELECT doc_id, sum(round(-(n/t) * log2(n/t), 6)::DECIMAL(18,6)) AS e
+        |  FROM cnt JOIN tot USING (doc_id) GROUP BY doc_id),
+        |a AS (SELECT count(*) AS total,
         |  sum(CASE WHEN trim(text) <> '' THEN 1 ELSE 0 END)::BIGINT AS p0,
         |  sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)::BIGINT AS p1,
         |  sum(CASE WHEN lang IN ('en','fr','de') THEN 1 ELSE 0 END)::BIGINT AS p2,
         |  sum(CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 30
         |    THEN 1 ELSE 0 END)::BIGINT AS p3,
+        |  sum(CASE WHEN coalesce(e, 0) >= 4.0 THEN 1 ELSE 0 END)::BIGINT AS p4,
         |  sum(CASE WHEN trim(text) <> '' THEN 1 ELSE 0 END)::BIGINT AS c0,
         |  sum(CASE WHEN trim(text) <> '' AND n_chars >= 200
         |    THEN 1 ELSE 0 END)::BIGINT AS c1,
@@ -1574,13 +1590,31 @@ object SparkEntry {
         |  sum(CASE WHEN trim(text) <> '' AND n_chars >= 200
         |    AND lang IN ('en','fr','de')
         |    AND len(string_split_regex(trim(text), '\s+')) >= 30
-        |    THEN 1 ELSE 0 END)::BIGINT AS c3
-        |  FROM documents)
+        |    THEN 1 ELSE 0 END)::BIGINT AS c3,
+        |  sum(CASE WHEN trim(text) <> '' AND n_chars >= 200
+        |    AND lang IN ('en','fr','de')
+        |    AND len(string_split_regex(trim(text), '\s+')) >= 30
+        |    AND coalesce(e, 0) >= 4.0 THEN 1 ELSE 0 END)::BIGINT AS c4
+        |  FROM documents LEFT JOIN ent USING (doc_id))
         |SELECT 0 AS stage_idx, 'nonempty' AS stage, p0 AS pass_count,
         |  c0 AS cum_count, round(c0 / total::DOUBLE, 6) AS cum_share FROM a
         |UNION ALL SELECT 1, 'min_chars', p1, c1, round(c1 / total::DOUBLE, 6) FROM a
         |UNION ALL SELECT 2, 'known_lang', p2, c2, round(c2 / total::DOUBLE, 6) FROM a
-        |UNION ALL SELECT 3, 'min_tokens', p3, c3, round(c3 / total::DOUBLE, 6) FROM a""".stripMargin,
+        |UNION ALL SELECT 3, 'min_tokens', p3, c3, round(c3 / total::DOUBLE, 6) FROM a
+        |UNION ALL SELECT 4, 'min_entropy', p4, c4, round(c4 / total::DOUBLE, 6) FROM a""".stripMargin,
+    // Entropy replay: grouped code-point counts → 6 dp HALF_UP terms
+    // → exact DECIMAL sum (the kernel's micro-unit sum), 4 dp out.
+    "q_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        |cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS n FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(n) AS t FROM cnt GROUP BY 1),
+        |ent AS (SELECT doc_id, round(sum(round(-(n/t) * log2(n/t), 6)::DECIMAL(18,6)), 4)::DOUBLE AS e
+        |  FROM cnt JOIN tot USING (doc_id) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(ent.e, 0.0) AS char_entropy,
+        |  round(CASE WHEN length(text) > 0
+        |    THEN length(regexp_replace(text, '[\x00-\x1f\x7f]', '', 'g'))::DOUBLE / length(text)
+        |    ELSE 1.0 END, 4) AS printable_ratio
+        |FROM documents d LEFT JOIN ent USING (doc_id)""".stripMargin,
     "q_snapshot_diff" ->
       """WITH o AS (SELECT doc_id, md5(concat_ws(chr(1), coalesce(text, chr(0)),
         |    coalesce(lang, chr(0)))) AS fp FROM documents),

@@ -171,6 +171,52 @@ object HashKernels {
     }
     bestCount.toDouble * (best.numChars() - (n - 1)) / total.toDouble
   }
+
+  /** See [[CharEntropy]]. Terms rounded to 6 dp HALF_UP via the
+    * shortest-decimal BigDecimal (matching Spark's own `round` on
+    * doubles and DuckDB's `round(x, 6)::DECIMAL`), summed exactly in
+    * long micro-units — order-independent by construction.
+    */
+  def charEntropy(s: UTF8String): Double = {
+    val str = s.toString
+    val len = str.length
+    if (len == 0) return 0.0
+    val counts = new java.util.HashMap[Integer, Array[Int]]()
+    var n = 0
+    var i = 0
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      counts.computeIfAbsent(Integer.valueOf(cp), _ => new Array[Int](1))(0) += 1
+      n += 1
+      i += Character.charCount(cp)
+    }
+    val invLn2 = 1.0 / math.log(2.0)
+    var micros = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next()(0).toDouble / n
+      val term = -(p * (math.log(p) * invLn2))
+      micros += java.math.BigDecimal.valueOf(term)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .movePointRight(6).longValueExact()
+    }
+    micros / 1e6
+  }
+
+  /** See [[DeflateRatio]]. */
+  def deflateRatio(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    if (bytes.length == 0) return 1.0
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / bytes.length
+    } finally d.end()
+  }
 }
 
 /** Distinct character k-shingles of a string (code-point semantics,
@@ -422,5 +468,49 @@ case class TopNgramCharFrac(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.topNgramCharFrac($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): TopNgramCharFrac =
+    copy(child = newChild)
+}
+
+/** Shannon entropy (bits per character) over the per-document
+  * code-point histogram — the cheap "too repetitive / binary junk"
+  * quality proxy. Each histogram term `-p·log2(p)` is rounded to 6 dp
+  * HALF_UP and summed EXACTLY in micro-units, so the result is
+  * independent of iteration order and bit-replayable by the DuckDB
+  * oracle's grouped-count + `DECIMAL(18,6)` term-sum formulation
+  * (the same determinism device as the Naive-Bayes log-odds sums).
+  * One pass, one hash map; the declarative formulation needs a
+  * per-row explode + two aggregations.
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.charEntropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.charEntropy($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
+/** Deflate compression ratio (compressed bytes / original bytes,
+  * zlib level 6, raw stream): the classic "compresses too well =
+  * repetitive" signal. The exact ratio depends on the zlib encoder,
+  * so this has no SQL-replayable oracle — ScalaTest-only by declared
+  * design (SURVEY §4); empty input reports 1.0.
+  */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "deflate_ratio"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.deflateRatio(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.deflateRatio($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
     copy(child = newChild)
 }

@@ -824,6 +824,53 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Character-level quality signals — the cheapest repetition/junk
+    * proxies, complementing [[qualityFlags]] (word-level) and
+    * [[repetitionSignals]] (line/n-gram-level):
+    *
+    *  - `char_entropy`    Shannon entropy (bits/char) of the
+    *                      code-point histogram ([[CharEntropy]]
+    *                      native kernel; ~4.1–4.3 for English prose,
+    *                      near 0 for degenerate repetition, high for
+    *                      random bytes), 4 dp;
+    *  - `printable_ratio` fraction of characters outside the C0/DEL
+    *                      control range, 4 dp (empty → 1.0).
+    *
+    * Row-local, codegen'd; both fields replay in the oracle (grouped
+    * char counts + exact DECIMAL term-sum for the entropy, one
+    * Java∩RE2 `regexp_replace` for the ratio). The non-replayable
+    * cousin is [[deflateRatio]].
+    */
+  def entropySignals(c: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val ent = GraftSqlBridge.column(CharEntropy(GraftSqlBridge.expression(c)))
+    val printable = when(c.isNull, lit(null).cast("double"))
+      .when(length(c) > 0,
+        length(regexp_replace(c, "[\\x00-\\x1f\\x7f]", "")).cast("double") / length(c))
+      .otherwise(1.0)
+    struct(
+      round(ent, 4).as("char_entropy"),
+      round(printable, 4).as("printable_ratio"))
+  }
+
+  /** Raw [[CharEntropy]] (unrounded micro-unit sum) — for exact
+    * threshold gates where both engines must agree on ≥ comparisons.
+    */
+  def charEntropy(c: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(CharEntropy(GraftSqlBridge.expression(c)))
+  }
+
+  /** Deflate compression ratio (compressed/original bytes, zlib
+    * level 6): repetitive or low-entropy text compresses far below
+    * ~0.6, random text sits near 1. Encoder-dependent → ScalaTest-
+    * only by declared design (no SQL oracle can replay zlib).
+    */
+  def deflateRatio(c: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(DeflateRatio(GraftSqlBridge.expression(c)))
+  }
+
   /** Concat-and-chunk packing assignment: lay documents out in
     * `orderCol` order, concatenate their tokens into one stream, and
     * cut fixed `seqLen`-token training sequences — sequence j holds

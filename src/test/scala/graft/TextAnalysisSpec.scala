@@ -368,6 +368,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(6) == null)
   }
 
+  test("entropySignals: histogram entropy + printable ratio") {
+    val inputs = Seq(
+      "aaaaaaaa",           // single symbol: entropy 0
+      "abababab",           // two equiprobable symbols: entropy 1
+      "abcdabcd",           // four equiprobable: entropy 2
+      "The quick brown fox jumps over the lazy dog.",
+      "ctl\u0001\u0002chars",
+      "",
+      null)
+    val out = inputs.toDF("t")
+      .select(graft.functions.TextAnalysis.entropySignals($"t").as("e"))
+      .select($"e.char_entropy", $"e.printable_ratio").collect()
+    assert(out(0).getDouble(0) == 0.0 && out(0).getDouble(1) == 1.0)
+    assert(out(1).getDouble(0) == 1.0)
+    assert(out(2).getDouble(0) == 2.0)
+    // real prose sits in the 3.5-5 band
+    assert(out(3).getDouble(0) > 3.5 && out(3).getDouble(0) < 5.0)
+    // 2 control chars out of 10
+    assert(out(4).getDouble(1) == 0.8)
+    assert(out(5).getDouble(0) == 0.0 && out(5).getDouble(1) == 1.0)
+    assert(out(6).isNullAt(0) && out(6).isNullAt(1))
+    // surrogate-pair sanity: an astral-plane char is ONE symbol
+    val astral = Seq("😀😀").toDF("t")
+      .select(graft.functions.TextAnalysis.entropySignals($"t")("char_entropy"))
+      .head().getDouble(0)
+    assert(astral == 0.0, s"astral: $astral")
+  }
+
+  test("deflateRatio: repetitive text compresses far below random") {
+    val rep = "spam ham " * 500
+    val rnd = (1 to 500).map(i =>
+      java.util.UUID.nameUUIDFromBytes(Array(i.toByte, (i >> 8).toByte)))
+      .mkString(" ")
+    val out = Seq(rep, rnd, "", null).toDF("t")
+      .select(graft.functions.TextAnalysis.deflateRatio($"t")).collect()
+    assert(out(0).getDouble(0) < 0.1, s"repetitive: ${out(0).getDouble(0)}")
+    assert(out(1).getDouble(0) > 0.3, s"random-ish: ${out(1).getDouble(0)}")
+    assert(out(0).getDouble(0) < out(1).getDouble(0))
+    assert(out(2).getDouble(0) == 1.0)
+    assert(out(3).isNullAt(0))
+  }
+
   test("normalizeUrl: idempotent (canonical forms are fixed points)") {
     val inputs = Seq(
       "https://a.com/p?utm_source=x&id=3",
