@@ -958,12 +958,14 @@ object SparkEntry {
             size(array_distinct(split(col("t2"), "\n")))).cast("long").as("n_dropped"))
     }),
     "q_redact" -> ((s, dir) => {
-      // The synthetic corpus has no URLs/addresses — inject one of
-      // each so the scrub is exercised on every row.
+      // The synthetic corpus has no URLs/addresses/phones/IPs —
+      // inject one of each class so the scrub is exercised per row.
       Parallelism.spread(t(s, dir, "documents"))
         .select(col("doc_id"),
           concat(col("text"),
-            lit(" contact team-a@example.org or https://ex.org/p?q=1 now")).as("t2"))
+            lit(" contact team-a@example.org or https://ex.org/p?q=1"),
+            lit(" call +1 555-123-4567 or (415) 555.0100 from 10.0.0.1 now"))
+            .as("t2"))
         .select(
           col("doc_id"),
           md5(graft.functions.TextAnalysis.redact(col("t2"))).as("redacted_md5"),
@@ -2160,10 +2162,15 @@ object SparkEntry {
         |SELECT doc_id, term, round(tfidf, 6) AS tfidf, rank FROM r WHERE rank <= 5""".stripMargin,
     "q_redact" ->
       """WITH t AS (SELECT doc_id,
-        |  text || ' contact team-a@example.org or https://ex.org/p?q=1 now' AS t2 FROM documents)
+        |  text || ' contact team-a@example.org or https://ex.org/p?q=1' ||
+        |  ' call +1 555-123-4567 or (415) 555.0100 from 10.0.0.1 now' AS t2 FROM documents)
         |SELECT doc_id,
-        |  md5(regexp_replace(regexp_replace(t2, 'https?://[^\s]+', '<URL>', 'g'),
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS redacted_md5,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t2,
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '(\+\d{1,2}[ .-]?)?(\(\d{3}\)[ .-]?|\b\d{3}[ .-])\d{3}[ .-]\d{4}\b', '<PHONE>', 'g'))
+        |    AS redacted_md5,
         |  len(regexp_extract_all(t2, 'https?://[^\s]+'))::BIGINT AS n_urls
         |FROM t""".stripMargin,
     // Exact stripHtml chain replay: same RE2∩Java regexes, same

@@ -453,18 +453,33 @@ object TextAnalysis {
       (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch).cast("long"), lit(0L)), lit(m)))
   }
 
-  /** Scrub URLs and e-mail addresses — the minimal PII pass a corpus
-    * runs before training — replacing each with a typed placeholder
-    * token so downstream token counts stay stable. URLs first (an
-    * address inside a URL must not leave a dangling `<EMAIL>` stub).
-    * Pure `regexp_replace`: codegen'd, row-local; the patterns stay
-    * inside the regex-dialect intersection of Java and RE2 so the
-    * DuckDB oracle replays them verbatim.
+  /** Scrub URLs, e-mail addresses, IPv4 addresses, and
+    * separator-structured phone numbers — the standard PII pass a
+    * corpus runs before training — replacing each with a typed
+    * placeholder token so downstream token counts stay stable. Order
+    * matters: URLs first (an address inside a URL must not leave a
+    * dangling `<EMAIL>` stub), then emails, then IPs (so dotted quads
+    * can't be half-eaten by the phone pass), then phones. The phone
+    * class is deliberately conservative — NANP-shaped 3-3-4 with
+    * separators, optional `+CC` prefix and parenthesized area code
+    * (`\b` anchors only before a DIGIT area code; a `(` is its own
+    * hard delimiter, and `\b` before `\+` or `(` would never match) —
+    * so prose digit runs ("1995 to 2000") survive. Pure
+    * `regexp_replace`: codegen'd, row-local; every pattern stays
+    * inside the regex-dialect intersection of Java and RE2 (`\b`,
+    * `\d`, bounded repeats — no lookaround) so the DuckDB oracle
+    * replays the chain verbatim.
     */
-  def redact(c: Column): Column =
-    regexp_replace(
-      regexp_replace(c, "https?://[^\\s]+", "<URL>"),
+  def redact(c: Column): Column = {
+    val url = regexp_replace(c, "https?://[^\\s]+", "<URL>")
+    val email = regexp_replace(url,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip,
+      "(\\+\\d{1,2}[ .-]?)?(\\(\\d{3}\\)[ .-]?|\\b\\d{3}[ .-])\\d{3}[ .-]\\d{4}\\b",
+      "<PHONE>")
+  }
 
   /** Gopher-style document quality gates (Rae et al., "Scaling
     * Language Models: … Gopher", 2021 — the public heuristics):

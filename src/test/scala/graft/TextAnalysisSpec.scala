@@ -113,13 +113,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0) != out(2))
   }
 
-  test("redact: URLs then emails replaced everywhere, clean text untouched") {
+  test("redact: URL/email/IP/phone classes, clean text untouched") {
     val df = Seq(
       "mail a@b.co and c.d+x@e-f.org, see https://x.y/z?a=1 or http://p.q",
-      "nothing sensitive here").toDF("t")
+      "nothing sensitive here",
+      "call 555-123-4567 or +1 555 123 4567 or (415) 555.0100 today",
+      "host 10.0.0.1 and 192.168.255.254, v1.2.3 stays, 1.2.3.4.5 eats the quad",
+      // digit runs that must SURVIVE the conservative phone class
+      "from 1995 to 2000, ids 12345678901, page 123-45, x555-123-4567").toDF("t")
     val out = df.select(redact($"t").as("r")).as[String].collect().toSeq
     assert(out(0) == "mail <EMAIL> and <EMAIL>, see <URL> or <URL>")
     assert(out(1) == "nothing sensitive here")
+    assert(out(2) == "call <PHONE> or <PHONE> or <PHONE> today")
+    assert(out(3) == "host <IP> and <IP>, v1.2.3 stays, <IP>.5 eats the quad")
+    // "x555-..." has no word boundary before the area code: untouched
+    assert(out(4) == "from 1995 to 2000, ids 12345678901, page 123-45, x555-123-4567")
   }
 
   test("qualityFlags: gates fire on short, symbol-heavy and long-word docs") {
