@@ -336,11 +336,24 @@ case class BpeEncode(
   }
 
   // per-pre-token merge results; Zipfian corpora repeat pre-tokens
-  // constantly, so this turns the merge loop into a hash probe. Size
-  // bound keeps a pathological corpus (all-unique words) from
-  // retaining every entry.
+  // constantly, so this turns the merge loop into a hash probe. The
+  // access-order LRU bound evicts one cold entry per insert once the
+  // cap is hit, so a pathological corpus (all-unique words) can't
+  // retain every entry AND the hot head is never thrown away (the
+  // previous wholesale clear() dropped the Zipf head with it). The
+  // synchronizedMap mutex also guards the access-order relink on get.
+  private[graft] val CacheCap = 100000
+
+  // test hook: the LRU bound is invisible from the outside otherwise
+  private[graft] def cacheSize: Int = cache.size
+
   @transient private lazy val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Array[String]](1 << 14, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[String]]): Boolean =
+          size() > CacheCap
+      })
 
   private def bpeUnit(unit: String): Array[String] = {
     val hit = cache.get(unit)
@@ -372,7 +385,6 @@ case class BpeEncode(
         done = word.length < 2
       }
     }
-    if (cache.size > 100000) cache.clear()
     cache.put(unit, word)
     word
   }

@@ -150,4 +150,22 @@ class BpeSpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(chunk.mkString == "scan value data key")
   }
+
+  test("bpeUnit cache: LRU bound holds under over-cap unique-unit churn") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val enc = graft.functions.BpeEncode(Literal("x"), spec.merges, spec.vocab, "count")
+    // GPT-2 pre-tokenization splits number runs from letters, so
+    // 110k distinct numbers = 110k distinct merge units — enough to
+    // overflow the cap; the old wholesale clear() emptied the map
+    // here, the LRU must instead sit exactly AT the cap.
+    val churn = (0 until 110000).map(i => "w" + i).mkString(" ")
+    enc.doEval(UTF8String.fromString(churn))
+    assert(enc.cacheSize == enc.CacheCap,
+      s"cache size ${enc.cacheSize} != cap ${enc.CacheCap}")
+    // eviction never changes results: a fresh instance agrees
+    val fresh = graft.functions.BpeEncode(Literal("x"), spec.merges, spec.vocab, "count")
+    val probe = UTF8String.fromString("the table w42 w109999")
+    assert(enc.doEval(probe) == fresh.doEval(probe))
+  }
 }
