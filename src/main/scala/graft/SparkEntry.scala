@@ -1305,16 +1305,25 @@ object SparkEntry {
   private val centerMeans: Seq[Double] =
     (0 until 64).map(i => (i % 7 - 3) / 64.0)
 
+  /** Shared component-labeling CTE chain (threshold pairs →
+    * bidirectional edges → recursive reach → min-label `lab`), used
+    * by both the clusters oracles and the cluster-split oracle so
+    * the two replays of the dedup contract can never drift.
+    */
+  private lazy val clusterLabelCtes: String =
+    """pairs AS (SELECT id_a, id_b FROM mh WHERE jac >= 0.5),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY 1)""".stripMargin
+
   private lazy val clustersOracleSql: String =
     s"""WITH RECURSIVE $minhashCtes,
-       |pairs AS (SELECT id_a, id_b FROM mh WHERE jac >= 0.5),
-       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-       |  UNION ALL SELECT id_b, id_a FROM pairs),
-       |reach(id, r) AS (
-       |  SELECT src, src FROM edges
-       |  UNION
-       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
-       |SELECT id, min(r) AS label FROM reach GROUP BY 1""".stripMargin
+       |$clusterLabelCtes
+       |SELECT id, label FROM lab""".stripMargin
 
   /** IVF search oracle with a parameterized centroid predicate:
     * `q_ann_ivf`/`q_ann_ivf_index` sample the full corpus; the append
@@ -2021,19 +2030,12 @@ object SparkEntry {
          |FROM documents""".stripMargin
     },
     "q_split_cluster" -> {
-      // Clusters via the same recursive-CTE reach as q_dedup_clusters
-      // (singletons self-keyed), then the q_split hash thresholds
-      // applied to the CLUSTER label instead of the doc id.
+      // Clusters via the SHARED clusterLabelCtes chain (identical to
+      // q_dedup_clusters, singletons self-keyed), then the q_split
+      // hash thresholds applied to the CLUSTER label, not the doc id.
       val h = h16Sql("ck::VARCHAR || ':7'")
       s"""WITH RECURSIVE $minhashCtes,
-         |prs AS (SELECT id_a, id_b FROM mh WHERE jac >= 0.5),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
-         |  UNION ALL SELECT id_b, id_a FROM prs),
-         |reach(id, r) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
-         |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY 1),
+         |$clusterLabelCtes,
          |m AS (SELECT d.doc_id, coalesce(l.label, d.doc_id) AS ck
          |  FROM docs d LEFT JOIN lab l ON d.doc_id = l.id)
          |SELECT doc_id,

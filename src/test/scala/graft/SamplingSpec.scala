@@ -231,8 +231,12 @@ class SamplingSpec extends SparkSpec {
     val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L), (20L, 21L), (20L, 22L), (20L, 23L))
       .toDF("id_a", "id_b")
     val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
-    val out = Sampling.splitByCluster(df, pairs, w, "id", seed = 3)
-      .as[(Long, String)].collect().toMap
+    val rows = Sampling.splitByCluster(df, pairs, w, "id", seed = 3)
+      .as[(Long, String)].collect()
+    // row count BEFORE the Map conversion: toMap would silently
+    // dedup a multi-row-per-id regression
+    assert(rows.length == 1000)
+    val out = rows.toMap
     assert(out.size == 1000)
     // every clustered doc shares its cluster-min's split
     for (grp <- Seq(Seq(0L, 1L, 2L), Seq(10L, 11L), Seq(20L, 21L, 22L, 23L)))

@@ -25,6 +25,10 @@ def main(small_path, big_path):
     qs, qb = small["queries"], big["queries"]
     rows = []
     for name in sorted(set(qs) & set(qb)):
+        # a failed query is {"err": ...} instead of seconds — report it
+        if not isinstance(qs[name], (int, float)) or not isinstance(qb[name], (int, float)):
+            print(f"FAILED {name}: sf0.1={qs[name]} sf1={qb[name]}", file=sys.stderr)
+            continue
         ratio = qb[name] / qs[name] if qs[name] > 0 else float("inf")
         rows.append((ratio, name, qs[name], qb[name]))
     rows.sort(reverse=True)

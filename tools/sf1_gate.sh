@@ -1,0 +1,46 @@
+#!/usr/bin/env bash
+# One-command sf1 (10x) gate: derive sf1 from the driver's sf0.1,
+# run the full Verify board there, replay the DuckDB oracles, bench
+# sf0.1 vs sf1 into a scaling table, and probe the dsirResample
+# corpus-fraction rank path (40% of the sf1 corpus, plan-asserted).
+#
+# Usage: tools/sf1_gate.sh [sf1-dir]      (default /root/repo/testdata-sf1)
+# Env:   GRAFT_SF1_SKIP_ORACLE=1  skip the DuckDB replay (it is the
+#        slow half: the n-gram-jaccard oracle alone builds tens of
+#        millions of candidate pairs single-threaded in DuckDB).
+#        SPARK_GRAFT_BENCH_REPS   bench repetitions (default 3).
+#
+# Artifacts land in tmp/: verify_sf1/, bench_sf0.1.json,
+# bench_sf1.json, scale_report.md (paste into BENCH_SF1.md).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF1=${1:-/root/repo/testdata-sf1}
+mkdir -p tmp
+
+if [ ! -f "$SF1/documents.parquet" ]; then
+  echo "[sf1_gate] generating $SF1 from /root/testdata/sf0.1"
+  sbt -batch "runMain graft.tools.GenScale /root/testdata/sf0.1 $SF1"
+fi
+
+echo "[sf1_gate] Verify at sf1"
+rm -rf tmp/verify_sf1
+sbt -batch "runMain graft.Verify $SF1 tmp/verify_sf1"
+
+if [ "${GRAFT_SF1_SKIP_ORACLE:-0}" != "1" ]; then
+  echo "[sf1_gate] DuckDB oracle replay at sf1 (slow)"
+  python3 tools/check_oracle.py "$SF1" tmp/verify_sf1
+fi
+
+echo "[sf1_gate] bench sf0.1"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  SPARK_GRAFT_BENCH_OUT=tmp/bench_sf0.1.json sbt -batch "runMain graft.Bench"
+echo "[sf1_gate] bench sf1"
+SPARK_GRAFT_SF_DIR=$SF1 \
+  SPARK_GRAFT_BENCH_OUT=tmp/bench_sf1.json sbt -batch "runMain graft.Bench"
+python3 tools/scale_report.py tmp/bench_sf0.1.json tmp/bench_sf1.json \
+  | tee tmp/scale_report.md
+
+echo "[sf1_gate] dsirResample rank-path probe (k = 40% of sf1 corpus)"
+SPARK_GRAFT_SF_DIR=$SF1 sbt -batch "runMain graft.tools.RankProbe"
+
+echo "[sf1_gate] done - tmp/scale_report.md has the per-query table"
