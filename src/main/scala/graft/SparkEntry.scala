@@ -680,6 +680,12 @@ object SparkEntry {
       val fr = docs.where(col("lang") === "fr").drop("lang")
       graft.operators.Sampling.mixCorpora(Seq((en, 1.5), (fr, 0.75)), "doc_id", seed = 2)
     }),
+    "q_temperature" -> ((s, dir) => {
+      // UniMax alpha=0.5 rates over the lang sources: the weight
+      // frame a user hands to mixCorpora (rates >1 = upsampled).
+      graft.operators.Sampling.temperatureWeights(
+        Parallelism.spread(t(s, dir, "documents")), "lang", 0.5)
+    }),
     "q_dedup_minhash" -> ((s, dir) => {
       // bands=2 (rows of 4): this synthetic corpus has ~0.17 baseline
       // shingle Jaccard, so 2-row bands candidate-explode (E ∝ J²);
@@ -1670,6 +1676,15 @@ object SparkEntry {
          |    || ':' || source_idx::VARCHAR || ':' || doc_id::VARCHAR || ':' || rep::VARCHAR) - 1
          |  AS order_id
          |FROM s""".stripMargin,
+    // Temperature-weighting replay: per-source counts → n^alpha
+    // shares → rates, 6 dp (pow/round double parity, the standing
+    // discipline).
+    "q_temperature" ->
+      """WITH c AS (SELECT lang, count(*)::BIGINT AS n_rows FROM documents GROUP BY 1),
+        |t AS (SELECT sum(pow(n_rows, 0.5)) AS ta, sum(n_rows)::BIGINT AS total FROM c)
+        |SELECT lang, n_rows,
+        |  round(pow(n_rows, 0.5) / ta * total / n_rows, 6) AS rate
+        |FROM c, t""".stripMargin,
     // Naive-Bayes replay: conditional bucket counts -> smoothed
     // log-odds (6 dp) -> per-doc sums (4 dp) over all documents.
     "q_nb_quality" ->

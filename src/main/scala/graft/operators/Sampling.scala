@@ -269,6 +269,63 @@ object Sampling {
       outCol)
   }
 
+  /** UniMax-style "temperature" source weighting: the per-source
+    * sampling RATES that make source s contribute ∝ n_s^alpha of a
+    * `totalRows` budget (default: the corpus size). alpha = 1 is the
+    * natural mix, alpha = 0 uniform across sources; the usual LLM
+    * training setting (≈ 0.3–0.7) upsamples low-resource sources
+    * without letting any source dominate. Rate_s = p_s·total/n_s
+    * with p_s = n_s^alpha / Σ n_t^alpha, rounded to 6 dp (the
+    * cross-engine determinism discipline) — exactly the weight
+    * [[mixCorpora]] expects (>1 → full epochs + fractional tail).
+    *
+    * One tiny per-source aggregation + a broadcast single-row total —
+    * no data collect, no window; any corpus size.
+    */
+  def temperatureWeights(
+      df: DataFrame,
+      srcCol: String,
+      alpha: Double,
+      totalRows: Option[Long] = None): DataFrame = {
+    require(alpha >= 0, "alpha must be non-negative")
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n_rows"))
+    val totals = counts.agg(
+      sum(pow(col("n_rows"), lit(alpha))).as("__ta"),
+      sum(col("n_rows")).as("__tn"))
+    val budget = totalRows.map(lit(_)).getOrElse(col("__tn"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("rate",
+        round(pow(col("n_rows"), lit(alpha)) / col("__ta")
+          * budget / col("n_rows"), 6))
+      .drop("__ta", "__tn")
+  }
+
+  /** [[mixCorpora]] driven by [[temperatureWeights]]: splits the
+    * corpus by `srcCol`, computes the temperature rates, and mixes —
+    * the one-call "α-sample my sources into a training order" step.
+    * The weight frame collect is bounded by the number of DISTINCT
+    * SOURCES (the usual bounded-metadata contract, like
+    * [[rebalanceToDistribution]]'s strata map — tens, not rows);
+    * sources are indexed in value order so `source_idx` is stable.
+    * Each source is a filter of `df`, so a corpus stored partitioned
+    * by source prunes instead of rescanning.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      srcCol: String,
+      idCol: String,
+      alpha: Double,
+      seed: Int = 0): DataFrame = {
+    val rates = temperatureWeights(df, srcCol, alpha)
+      .select(col(srcCol), col("rate")).collect()
+      .map(r => (r.get(0), r.getDouble(1)))
+      .sortBy(r => String.valueOf(r._1))
+    val sources = rates.map { case (src, rate) =>
+      (df.where(col(srcCol) <=> lit(src)), rate)
+    }
+    mixCorpora(sources.toSeq, idCol, seed)
+  }
+
   /** Contiguous 0-based rank by `md5(hashInput)` (tie-broken by
     * `tieBreak`, ASCII string order — identical across engines) via
     * the distributed prefix sum. Shared by [[shuffleForTraining]] and

@@ -93,15 +93,23 @@ object GenScale {
       .withColumn("l_partkey", off("l_partkey", 20000L))
       .withColumn("l_suppkey", off("l_suppkey", 1000L))
       .drop("__c"), "lineitem")
-    // The driver's events.ts is TIMESTAMP(NANOS) — readable only as
-    // long nanos, and Spark cannot write nanos back. Re-emit as a
-    // micros timestamp: `epoch_ms(ts)` (DuckDB oracle) and
-    // `unix_millis(ts)` (SparkEntry reader) floor to the same millis.
+    // events.ts has drifted across driver testdata generations
+    // (nanos INT64 → naive micros); normalize every shape to ONE
+    // output type, tz-adjusted micros (identity epoch map under the
+    // pinned UTC session tz), which both `epoch_ms(ts)` (DuckDB
+    // oracle) and SparkEntry's `unix_millis(ts)` fallback floor to
+    // the same millis.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    writeOne(cloned("events")
+    val ev = cloned("events")
+    val tsMicros = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
+      case org.apache.spark.sql.types.TimestampNTZType => expr("cast(ts as timestamp)")
+      case _ => col("ts")
+    }
+    writeOne(ev
       .withColumn("event_id", off("event_id", 100000L))
       .withColumn("user_id", off("user_id", 1500L))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", tsMicros)
       .drop("__c"), "events")
     writeOne(cloned("documents")
       .withColumn("doc_id", off("doc_id", 5000L))

@@ -271,4 +271,37 @@ class SamplingSpec extends SparkSpec {
     assert(m1.filter(_._1 == 1).forall(_._3 == 0L))
     assert(m1.count(_._1 == 1) == 400)
   }
+
+  test("temperatureWeights/Mix: natural identity, alpha=0 equalizes, composition") {
+    val df = spark.range(400).select(
+      when($"id" < 100, "a").otherwise("b").as("src"), $"id")
+    def rates(alpha: Double): Map[String, Double] =
+      Sampling.temperatureWeights(df, "src", alpha).collect()
+        .map(r => (r.getString(0), r.getDouble(2))).toMap
+    // alpha = 1: the natural mix — every source rate exactly 1
+    assert(rates(1.0) == Map("a" -> 1.0, "b" -> 1.0))
+    // alpha = 0: equal budgets (200 each) — a upsampled 2x, b 2/3
+    val w0 = rates(0.0)
+    assert(w0("a") == 2.0)
+    assert(w0("b") == 0.666667)
+    // monotone: 0 < alpha < 1 sits between the two regimes
+    val wh = rates(0.5)
+    assert(wh("a") > 1.0 && wh("a") < 2.0)
+    assert(wh("b") < 1.0 && wh("b") > 0.666667)
+
+    val mixed = Sampling.temperatureMix(df, "src", "id", alpha = 0.0, seed = 1)
+    val counts = mixed.groupBy("src").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // a: rate 2.0 = exactly two full epochs; b: 2/3 hash sample
+    assert(counts("a") == 200)
+    assert(counts("b") > 150 && counts("b") < 250, s"b=${counts("b")}")
+    // contiguous global training order
+    val n = mixed.count()
+    val mm = mixed.agg(min($"order_id"), max($"order_id")).head()
+    assert(mm.getLong(0) == 0 && mm.getLong(1) == n - 1)
+    // alpha = 1 on equal-weight sources: every row exactly once
+    val nat = Sampling.temperatureMix(df, "src", "id", alpha = 1.0)
+    assert(nat.count() == 400)
+    assert(nat.select($"src", $"id").distinct().count() == 400)
+  }
 }
