@@ -1292,6 +1292,16 @@ object SparkEntry {
           round(col("mean_g"), 4).as("mean_g"),
           round(col("mean_b"), 4).as("mean_b"))
     }),
+    "q_multimodal_dhash" -> ((s, dir) => {
+      // Full real-codec perceptual-hash chain: synthesize PNG →
+      // ImageIO decode → 9×8 floor-NN luma grid → 64 gradient bits
+      // as hex. Every bit is closed-form over the affine pixel
+      // pattern, so the oracle rebuilds the identical code.
+      val imgs = graft.multimodal.Multimodal
+        .synthesizePng(t(s, dir, "documents").select("doc_id"), "doc_id")
+      graft.multimodal.Multimodal.dHash(imgs, "payload")
+        .select("doc_id", "dhash")
+    }),
     "q_multimodal_audio" -> ((s, dir) => {
       // REAL WAV round trip via javax.sound.sampled; same closed-form
       // oracle idea as q_multimodal_decode.
@@ -2364,6 +2374,28 @@ object SparkEntry {
         |  round((w*h*((3*doc_id) % 100) + 2*h*(w*(w-1)//2) + 4*w*(h*(h-1)//2)) / (w*h)::DOUBLE, 4) AS mean_g,
         |  round((w*h*((5*doc_id) % 150) + 1*h*(w*(w-1)//2) + 1*w*(h*(h-1)//2)) / (w*h)::DOUBLE, 4) AS mean_b
         |FROM d""".stripMargin,
+    // dHash twin: per (y, x) grid cell the floor-NN luma is
+    // closed-form over the affine pixels; adjacent-cell compare gives
+    // bit i = y·8+x, summed into two 32-bit halves → hex. Identical
+    // integer arithmetic to Multimodal.dHash.
+    "q_multimodal_dhash" ->
+      """WITH g AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 9 AS h
+        |  FROM documents),
+        |l AS (SELECT doc_id, x, y,
+        |    (299*(doc_id % 128 + 3*((x*w)//9) + 5*((y*h)//8)) +
+        |     587*((3*doc_id) % 100 + 2*((x*w)//9) + 4*((y*h)//8)) +
+        |     114*((5*doc_id) % 150 + ((x*w)//9) + ((y*h)//8))) // 1000 AS lum
+        |  FROM g, range(0, 8) ty(y), range(0, 9) tx(x)),
+        |d AS (SELECT a.doc_id, (a.y*8 + a.x)::INT AS i,
+        |    CASE WHEN b.lum > a.lum THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        |  FROM l a JOIN l b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |agg AS (SELECT doc_id,
+        |    sum(CASE WHEN i >= 32 THEN bit << (i - 32) ELSE 0 END)::BIGINT AS hi,
+        |    sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END)::BIGINT AS lo
+        |  FROM d GROUP BY 1)
+        |SELECT doc_id, printf('%08x%08x', hi, lo) AS dhash FROM agg""".stripMargin,
     // NN-resample twin: dst(x,y) = src(⌊x·w/8⌋, ⌊y·h/8⌋) over the
     // wrap-free affine pattern; exact integer sums over the 8×8 grid
     "q_multimodal_resize" ->

@@ -175,6 +175,74 @@ object Multimodal {
     }
   }
 
+  /** Perceptual difference hash (dHash) of the image payload — the
+    * standard cheap near-dup signature for images: REAL decode
+    * (ImageIO), floor-NN resample to a 9×8 luma grid, and 64
+    * horizontal-gradient bits (`lum(x+1) > lum(x)`), emitted as a
+    * 16-hex-char string (two 32-bit halves — no signed-shift
+    * arithmetic anywhere, so the DuckDB oracle's BIGINT sums replay
+    * it exactly). Identical images hash equal; small perturbations
+    * flip few bits — compare codes by Hamming distance, or group by
+    * the code for exact visual dedup. Integer luma
+    * `(299r + 587g + 114b) / 1000` and the floor sample
+    * `sx = x·w/9, sy = y·h/8` keep every bit an exact closed form
+    * over the synthesized test images. Null/undecodable → null.
+    * Row-local, no shuffle, batched like [[decodeImage]].
+    */
+  def dHash(
+      df: DataFrame,
+      payloadCol: String = "payload",
+      outCol: String = "dhash",
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = df.schema.add(StructField(outCol, StringType))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val bytes = row.get(payloadIdx).asInstanceOf[Array[Byte]]
+          val code: Any =
+            if (bytes == null) null
+            else {
+              val img =
+                try ImageIO.read(new ByteArrayInputStream(bytes))
+                catch { case scala.util.control.NonFatal(_) => null }
+              if (img == null) null
+              else {
+                val w = img.getWidth
+                val h = img.getHeight
+                var hi = 0L
+                var lo = 0L
+                var y = 0
+                while (y < 8) {
+                  val sy = y * h / 8
+                  var prev = 0
+                  var x = 0
+                  while (x < 9) {
+                    val sx = x * w / 9
+                    val rgb = img.getRGB(sx, sy)
+                    val lum = (299 * ((rgb >> 16) & 0xff) +
+                      587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+                    if (x > 0) {
+                      val i = y * 8 + (x - 1)
+                      if (lum > prev) {
+                        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+                      }
+                    }
+                    prev = lum
+                    x += 1
+                  }
+                  y += 1
+                }
+                f"$hi%08x$lo%08x"
+              }
+            }
+          Row.fromSeq(row.toSeq :+ code)
+        }
+      }
+    }
+  }
+
   /** Audio synthesis pattern for id: 16-bit mono PCM, 8 kHz.
     *   n       = 160 + 16·(id mod 5)          (multiple of 16)
     *   s(i)    = 4·(id mod 256) + 8·(i mod 16) − 512

@@ -159,4 +159,47 @@ class MultimodalSpec extends SparkSpec {
     assert(m(1L) == Seq(1.0f, 2.0f, 3.0f, 4.0f))
     assert(m(2L) == Seq(1.0f, 2.0f, 0.0f, 0.0f))
   }
+
+  test("dHash: matches independent closed-form bits; null/corrupt payloads -> null") {
+    import graft.multimodal.Multimodal
+    val ids = (0L to 40L) ++ Seq(81L, 1234L, 99999L)
+    val out = Multimodal.dHash(
+      Multimodal.synthesizePng(ids.toDF("id"), "id"), "payload")
+      .select($"id", $"dhash").as[(Long, String)].collect().toMap
+    // independent recomputation straight from the pixel formula
+    // (no ImageIO anywhere on this side)
+    def expected(id: Long): String = {
+      val (w, h) = Multimodal.imageGeometry(id)
+      var hi = 0L; var lo = 0L
+      for (y <- 0 until 8) {
+        val sy = y * h / 8
+        var prev = 0
+        for (x <- 0 until 9) {
+          val sx = x * w / 9
+          val (r, g, b) = Multimodal.pixel(id, sx, sy)
+          val lum = (299 * r + 587 * g + 114 * b) / 1000
+          if (x > 0 && lum > prev) {
+            val i = y * 8 + (x - 1)
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+          }
+          prev = lum
+        }
+      }
+      f"$hi%08x$lo%08x"
+    }
+    ids.foreach(id => assert(out(id) == expected(id), s"id=$id"))
+    assert(out.values.forall(_.length == 16))
+    // same id -> same code (determinism through the real codec)
+    val again = Multimodal.dHash(
+      Multimodal.synthesizePng(Seq(7L).toDF("id"), "id"), "payload")
+      .select($"dhash").as[String].head()
+    assert(again == expected(7L))
+    // null and corrupt payloads
+    val junk = Seq(
+      (1L, null.asInstanceOf[Array[Byte]]),
+      (2L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val nulls = Multimodal.dHash(junk, "payload")
+      .select($"dhash").collect().map(_.isNullAt(0)).toSeq
+    assert(nulls == Seq(true, true))
+  }
 }
