@@ -69,6 +69,12 @@ object Bench {
     warm(graft.functions.TextAnalysis.tfIdfTopK(wDocs, "text", "id", 2))
     warm(wDocs.select(
       graft.functions.TextAnalysis.repetitionSignals(col("text"))))
+    warm(wDocs.select(
+      graft.functions.TextAnalysis.entropySignals(col("text")),
+      graft.functions.TextAnalysis.stripHtml(col("text"))))
+    warm(graft.multimodal.Multimodal.dHash(
+      graft.multimodal.Multimodal.synthesizePng(
+        spark.range(64).toDF("doc_id"), "doc_id")))
     warm(wVecs.select(
       graft.functions.VectorFunctions.quantize8(col("embedding"))))
     warm(graft.multimodal.Multimodal.decodeImage(
