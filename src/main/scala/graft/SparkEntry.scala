@@ -1302,6 +1302,16 @@ object SparkEntry {
       graft.multimodal.Multimodal.dHash(imgs, "payload")
         .select("doc_id", "dhash")
     }),
+    "q_multimodal_dhash_pairs" -> ((s, dir) => {
+      // End-to-end image near-dup: synthesize → real decode → dHash
+      // → chunk-blocked Hamming pairing. Geometry classes repeat
+      // every 81 ids, so visually-identical gradients pair up.
+      val imgs = graft.multimodal.Multimodal
+        .synthesizePng(t(s, dir, "documents").select("doc_id"), "doc_id")
+      val codes = graft.multimodal.Multimodal.dHash(imgs, "payload")
+        .select("doc_id", "dhash")
+      Dedup.hammingPairs64(codes, "dhash", "doc_id", maxHamming = 2)
+    }),
     "q_multimodal_audio" -> ((s, dir) => {
       // REAL WAV round trip via javax.sound.sampled; same closed-form
       // oracle idea as q_multimodal_decode.
@@ -1335,6 +1345,29 @@ object SparkEntry {
       |  UNION
       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
       |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY 1)""".stripMargin
+
+  /** Shared dHash replay: closed-form floor-NN luma over the affine
+    * synthesized pixels → 64 gradient bits → two 32-bit halves
+    * `agg(doc_id, hi, lo)`. Used by `q_multimodal_dhash` (hex code)
+    * and `q_multimodal_dhash_pairs` (chunk-blocked Hamming join).
+    */
+  private lazy val dhashCtes: String =
+    """g AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 9 AS h
+      |  FROM documents),
+      |l AS (SELECT doc_id, x, y,
+      |    (299*(doc_id % 128 + 3*((x*w)//9) + 5*((y*h)//8)) +
+      |     587*((3*doc_id) % 100 + 2*((x*w)//9) + 4*((y*h)//8)) +
+      |     114*((5*doc_id) % 150 + ((x*w)//9) + ((y*h)//8))) // 1000 AS lum
+      |  FROM g, range(0, 8) ty(y), range(0, 9) tx(x)),
+      |d AS (SELECT a.doc_id, (a.y*8 + a.x)::INT AS i,
+      |    CASE WHEN b.lum > a.lum THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      |  FROM l a JOIN l b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+      |  WHERE a.x < 8),
+      |agg AS (SELECT doc_id,
+      |    sum(CASE WHEN i >= 32 THEN bit << (i - 32) ELSE 0 END)::BIGINT AS hi,
+      |    sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END)::BIGINT AS lo
+      |  FROM d GROUP BY 1)""".stripMargin
 
   private lazy val clustersOracleSql: String =
     s"""WITH RECURSIVE $minhashCtes,
@@ -2377,25 +2410,34 @@ object SparkEntry {
     // dHash twin: per (y, x) grid cell the floor-NN luma is
     // closed-form over the affine pixels; adjacent-cell compare gives
     // bit i = y·8+x, summed into two 32-bit halves → hex. Identical
-    // integer arithmetic to Multimodal.dHash.
+    // integer arithmetic to Multimodal.dHash. (Shared CTE chain:
+    // dhashCtes, also the base of q_multimodal_dhash_pairs.)
     "q_multimodal_dhash" ->
-      """WITH g AS (
-        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 9 AS h
-        |  FROM documents),
-        |l AS (SELECT doc_id, x, y,
-        |    (299*(doc_id % 128 + 3*((x*w)//9) + 5*((y*h)//8)) +
-        |     587*((3*doc_id) % 100 + 2*((x*w)//9) + 4*((y*h)//8)) +
-        |     114*((5*doc_id) % 150 + ((x*w)//9) + ((y*h)//8))) // 1000 AS lum
-        |  FROM g, range(0, 8) ty(y), range(0, 9) tx(x)),
-        |d AS (SELECT a.doc_id, (a.y*8 + a.x)::INT AS i,
-        |    CASE WHEN b.lum > a.lum THEN 1::BIGINT ELSE 0::BIGINT END AS bit
-        |  FROM l a JOIN l b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
-        |  WHERE a.x < 8),
-        |agg AS (SELECT doc_id,
-        |    sum(CASE WHEN i >= 32 THEN bit << (i - 32) ELSE 0 END)::BIGINT AS hi,
-        |    sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END)::BIGINT AS lo
-        |  FROM d GROUP BY 1)
-        |SELECT doc_id, printf('%08x%08x', hi, lo) AS dhash FROM agg""".stripMargin,
+      s"""WITH $dhashCtes
+         |SELECT doc_id, printf('%08x%08x', hi, lo) AS dhash FROM agg""".stripMargin,
+    // hammingPairs64 twin: 4×16-bit chunk blocking with the 2..1000
+    // bucket-size keep window, pairs verified by exact two-half
+    // Hamming — the same arithmetic as Dedup.hammingPairs64.
+    "q_multimodal_dhash_pairs" ->
+      s"""WITH $dhashCtes,
+         |ch AS (SELECT doc_id, hi, lo, p.pos AS bpos,
+         |    CASE p.pos WHEN 0 THEN lo & 65535
+         |         WHEN 1 THEN (lo >> 16) & 65535
+         |         WHEN 2 THEN hi & 65535
+         |         ELSE (hi >> 16) & 65535 END AS bkey
+         |  FROM agg, range(0, 4) p(pos)),
+         |kept AS (SELECT bpos, bkey FROM ch GROUP BY 1, 2
+         |  HAVING count(*) BETWEEN 2 AND 1000),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.hi AS ha, a.lo AS la, b.hi AS hb, b.lo AS lb
+         |  FROM ch a
+         |  JOIN kept k ON a.bpos = k.bpos AND a.bkey = k.bkey
+         |  JOIN ch b ON b.bpos = a.bpos AND b.bkey = a.bkey
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  (bit_count(xor(ha, hb)) + bit_count(xor(la, lb)))::INT AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 2""".stripMargin,
     // NN-resample twin: dst(x,y) = src(⌊x·w/8⌋, ⌊y·h/8⌋) over the
     // wrap-free affine pattern; exact integer sums over the 8×8 grid
     "q_multimodal_resize" ->

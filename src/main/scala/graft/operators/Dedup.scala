@@ -909,6 +909,56 @@ object Dedup {
       .distinct()
   }
 
+  /** Hamming near-dup pairs over 64-bit hex CODES — the pairing step
+    * for [[graft.multimodal.Multimodal.dHash]] image codes (or any
+    * 16-hex-char binary sketch): emits pairs whose codes differ in ≤
+    * `maxHamming` bits, blocked by the code's four disjoint 16-bit
+    * chunks (pigeonhole: two codes within Hamming 3 share at least
+    * one chunk — so the join is chunk equality, never all-pairs; the
+    * same LSH-on-the-signature device as [[simHashPairs]]). The code
+    * is handled as two 32-bit halves, so no signed 64-bit arithmetic
+    * appears on either engine (matching the dHash emitter), and
+    * `maxBucket` drops degenerate chunk buckets (flat images share
+    * chunks with everything) exactly like the text signatures. Null
+    * codes (undecodable payloads) drop out before pairing.
+    */
+  def hammingPairs64(
+      df: DataFrame,
+      codeCol: String,
+      idCol: String,
+      maxHamming: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 3,
+      "maxHamming must be in [1, 3]: the 4×16-bit chunk blocking " +
+        "guarantees recall only up to Hamming 3")
+    val src = Parallelism.spread(df)
+      .where(col(codeCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        conv(substring(col(codeCol), 1, 8), 16, 10).cast("long").as("__hi"),
+        conv(substring(col(codeCol), 9, 8), 16, 10).cast("long").as("__lo"))
+    val chunked = src.select(
+      col("__id"), col("__hi"), col("__lo"),
+      posexplode(array(
+        col("__lo").bitwiseAND(0xffffL),
+        shiftright(col("__lo"), 16).bitwiseAND(0xffffL),
+        col("__hi").bitwiseAND(0xffffL),
+        shiftright(col("__hi"), 16).bitwiseAND(0xffffL)))
+        .as(Seq("__bpos", "__bkey")))
+    bucketPairs(chunked, struct(col("__id"), col("__hi"), col("__lo")), maxBucket)
+      .select(
+        col("__a.__id").as("id_a"), col("__a.__hi").as("__ha"),
+        col("__a.__lo").as("__la"),
+        col("__b.__id").as("id_b"), col("__b.__hi").as("__hb"),
+        col("__b.__lo").as("__lb"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        (bit_count(col("__ha").bitwiseXOR(col("__hb"))) +
+          bit_count(col("__la").bitwiseXOR(col("__lb")))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .distinct()
+  }
+
   // ------------------------------------------------------- n-gram jaccard
 
   /** Word n-gram Jaccard similarity pairs within `blockBy` groups

@@ -271,4 +271,41 @@ class DedupSpec extends SparkSpec {
     assert(byPair.contains((1L, 3L))) // one-word difference, high n-gram overlap
     assert(!byPair.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
+
+  test("hammingPairs64: chunk-blocked pairing, exact distances, caps and nulls") {
+    // codes: a == b (hamming 0), c = a with 1 low bit flipped,
+    // d = a with 3 bits flipped (beyond maxHamming=2),
+    // e = far from everything, f = null (undecodable)
+    val codes = Seq(
+      (1L, "00000000000000ff"), // a
+      (2L, "00000000000000ff"), // b == a
+      (3L, "00000000000000fe"), // c: 1 bit from a
+      (4L, "00000000000000f8"), // d: 3 bits from a (f8 vs ff)
+      (5L, "ffffffff00000000"), // e: far
+      (6L, null.asInstanceOf[String])).toDF("id", "code")
+    val pairs = Dedup.hammingPairs64(codes, "code", "id", maxHamming = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    // ff↔fe = 1 bit, ff↔f8 = 3 bits (excluded), fe↔f8 = 2 bits
+    assert(pairs == Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1), (3L, 4L, 2)))
+    // maxHamming=3 admits d's remaining pairs too
+    val p3 = Dedup.hammingPairs64(codes, "code", "id", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(p3 == pairs ++ Set((1L, 4L, 3), (2L, 4L, 3)))
+    // degenerate-bucket cap: many identical codes beyond the cap are
+    // dropped rather than exploding into O(k^2) pairs
+    val flood = (1 to 50).map(i => (i.toLong, "0000000000000001")).toDF("id", "code")
+    assert(Dedup.hammingPairs64(flood, "code", "id", maxBucket = 10).count() == 0)
+    assert(Dedup.hammingPairs64(flood, "code", "id", maxBucket = 0).count() == 50L * 49 / 2)
+    // pigeonhole recall guarantee: ANY 2-bit perturbation of a base
+    // code is always found (bits spread across halves included)
+    val base = java.lang.Long.parseUnsignedLong("123456789abcdef0", 16)
+    val perturbed = Seq(0, 17, 33, 48, 63).combinations(2).zipWithIndex.map {
+      case (bits, i) =>
+        val v = bits.foldLeft(base)((acc, b) => acc ^ (1L << b))
+        (100L + i, f"$v%016x")
+    }.toSeq :+ (99L, f"$base%016x")
+    val found = Dedup.hammingPairs64(perturbed.toDF("id", "code"), "code", "id",
+      maxHamming = 2).where($"id_a" === 99L || $"id_b" === 99L).count()
+    assert(found == 10, s"pigeonhole recall: $found of 10")
+  }
 }
