@@ -142,8 +142,11 @@ object Bench {
     // The driver keeps only the stdout tail, which truncates the full
     // query map (round-5 BENCH artifact parsed as null). Always write
     // the same JSON to a file: SPARK_GRAFT_BENCH_OUT when set, and
-    // BENCH_LAST.json in the working directory as the standing copy.
-    val outs = sys.env.get("SPARK_GRAFT_BENCH_OUT").toSeq :+ "BENCH_LAST.json"
+    // BENCH_LAST.json as the standing FULL-BOARD copy — a targeted
+    // SPARK_GRAFT_BENCH_ONLY run must not clobber it (it would leave
+    // a 1-query artifact where the driver expects the whole board).
+    val outs = sys.env.get("SPARK_GRAFT_BENCH_OUT").toSeq ++
+      (if (only.isEmpty) Seq("BENCH_LAST.json") else Nil)
     outs.foreach { path =>
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(path),
