@@ -680,6 +680,9 @@ object SparkEntry {
       val fr = docs.where(col("lang") === "fr").drop("lang")
       graft.operators.Sampling.mixCorpora(Seq((en, 1.5), (fr, 0.75)), "doc_id", seed = 2)
     }),
+    "q_histogram" -> ((s, dir) => {
+      graft.operators.Profile.histogram(t(s, dir, "lineitem"), "l_quantity", bins = 20)
+    }),
     "q_temperature" -> ((s, dir) => {
       // UniMax alpha=0.5 rates over the lang sources: the weight
       // frame a user hands to mixCorpora (rates >1 = upsampled).
@@ -1719,6 +1722,19 @@ object SparkEntry {
          |    || ':' || source_idx::VARCHAR || ':' || doc_id::VARCHAR || ':' || rep::VARCHAR) - 1
          |  AS order_id
          |FROM s""".stripMargin,
+    // Histogram replay: same left-associative double arithmetic →
+    // identical IEEE results → identical bucketing at bin edges.
+    "q_histogram" ->
+      """WITH b AS (SELECT min(l_quantity::DOUBLE) AS mn, max(l_quantity::DOUBLE) AS mx
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |x AS (SELECT CASE WHEN mx = mn THEN 0
+        |    ELSE least(19, floor((l_quantity::DOUBLE - mn) / (mx - mn) * 20))::INT END AS bin,
+        |    mn, mx
+        |  FROM lineitem, b WHERE l_quantity IS NOT NULL)
+        |SELECT bin, round(mn + bin * (mx - mn) / 20, 4) AS lo,
+        |  round(mn + (bin + 1) * (mx - mn) / 20, 4) AS hi,
+        |  count(*)::BIGINT AS n_rows
+        |FROM x GROUP BY bin, mn, mx""".stripMargin,
     // Temperature-weighting replay: per-source counts → n^alpha
     // shares → rates, 6 dp (pow/round double parity, the standing
     // discipline).

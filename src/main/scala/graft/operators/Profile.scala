@@ -261,4 +261,37 @@ object Profile {
       .where(col(rnCol) <= k)
       .withColumnRenamed(rnCol, "rank")
   }
+
+  /** Equi-width histogram of a numeric column — the mass-per-range
+    * distribution view [[quantiles]] doesn't give (that is
+    * range-per-mass): `bins` buckets over the observed [min, max],
+    * the max closing into the last bin. Two aggregations, the 1-row
+    * bounds frame broadcast back (no collect, no window); nulls
+    * dropped; a constant column lands whole in bin 0; empty input →
+    * empty output. The bin expression is plain left-associative
+    * double arithmetic, identical in the oracle — same IEEE ops in
+    * the same order, so edge values bucket identically. Output:
+    * (bin, lo, hi — 4 dp, n_rows).
+    */
+  def histogram(df: DataFrame, valueCol: String, bins: Int = 20): DataFrame = {
+    require(bins >= 1, "bins must be positive")
+    val v = col(valueCol).cast("double")
+    val mnCol = graft.Cols.unique("__mn", df)
+    val mxCol = graft.Cols.unique("__mx", df)
+    val bounds = df.where(v.isNotNull).agg(min(v).as(mnCol), max(v).as(mxCol))
+    val mn = col(mnCol)
+    val mx = col(mxCol)
+    df.where(v.isNotNull).crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        when(mx === mn, lit(0))
+          .otherwise(least(lit(bins - 1), floor((v - mn) / (mx - mn) * bins)))
+          .cast("int"))
+      .groupBy(col("bin"), mn, mx)
+      .agg(count(lit(1)).as("n_rows"))
+      .select(
+        col("bin"),
+        round(mn + col("bin") * (mx - mn) / bins, 4).as("lo"),
+        round(mn + (col("bin") + 1) * (mx - mn) / bins, 4).as("hi"),
+        col("n_rows"))
+  }
 }

@@ -242,4 +242,31 @@ class ProfileSpec extends SparkSpec {
       .selectExpr("pass_count", "cum_count").as[(Long, Long)].collect()
     assert(out.toSeq == Seq((0L, 0L)))
   }
+
+  test("histogram: equi-width bins, max closes last bin, constants, nulls, empty") {
+    import graft.operators.Profile
+    // 0..9 into 5 bins of width 2: exactly 2 per bin; 9 (the max)
+    // closes into bin 4
+    val out = Profile.histogram(spark.range(10).toDF("v"), "v", bins = 5)
+      .orderBy($"bin")
+      .select($"bin", $"lo", $"hi", $"n_rows")
+      .as[(Int, Double, Double, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(0, 1, 2, 3, 4))
+    assert(out.map(_._4) == Seq(2L, 2L, 2L, 2L, 2L))
+    assert(out.head == ((0, 0.0, 1.8, 2L)))
+    assert(out.last == ((4, 7.2, 9.0, 2L)))
+    // constant column: everything in bin 0, lo == hi
+    val const = Profile.histogram(
+      Seq(5.0, 5.0, 5.0).toDF("v"), "v", bins = 4)
+      .as[(Int, Double, Double, Long)].collect().toSeq
+    assert(const == Seq((0, 5.0, 5.0, 3L)))
+    // nulls dropped
+    val withNulls = Profile.histogram(
+      Seq(Some(1.0), None, Some(3.0)).toDF("v"), "v", bins = 2)
+      .as[(Int, Double, Double, Long)].collect().toSeq
+    assert(withNulls.map(_._4).sum == 2L)
+    // empty input -> empty histogram
+    assert(Profile.histogram(
+      spark.range(5).toDF("v").where($"v" < 0), "v").count() == 0)
+  }
 }
