@@ -683,6 +683,10 @@ object SparkEntry {
     "q_histogram" -> ((s, dir) => {
       graft.operators.Profile.histogram(t(s, dir, "lineitem"), "l_quantity", bins = 20)
     }),
+    "q_histogram_by_group" -> ((s, dir) => {
+      graft.operators.Profile.histogramByGroup(
+        t(s, dir, "documents"), "lang", "n_chars", bins = 10)
+    }),
     "q_temperature" -> ((s, dir) => {
       // UniMax alpha=0.5 rates over the lang sources: the weight
       // frame a user hands to mixCorpora (rates >1 = upsampled).
@@ -1735,6 +1739,17 @@ object SparkEntry {
         |  round(mn + (bin + 1) * (mx - mn) / 20, 4) AS hi,
         |  count(*)::BIGINT AS n_rows
         |FROM x GROUP BY bin, mn, mx""".stripMargin,
+    "q_histogram_by_group" ->
+      """WITH b AS (SELECT lang, min(n_chars::DOUBLE) AS mn, max(n_chars::DOUBLE) AS mx
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |x AS (SELECT d.lang, CASE WHEN mx = mn THEN 0
+        |    ELSE least(9, floor((n_chars::DOUBLE - mn) / (mx - mn) * 10))::INT END AS bin,
+        |    mn, mx
+        |  FROM documents d JOIN b ON d.lang = b.lang WHERE n_chars IS NOT NULL)
+        |SELECT lang, bin, round(mn + bin * (mx - mn) / 10, 4) AS lo,
+        |  round(mn + (bin + 1) * (mx - mn) / 10, 4) AS hi,
+        |  count(*)::BIGINT AS n_rows
+        |FROM x GROUP BY lang, bin, mn, mx""".stripMargin,
     // Temperature-weighting replay: per-source counts → n^alpha
     // shares → rates, 6 dp (pow/round double parity, the standing
     // discipline).

@@ -281,17 +281,54 @@ object Profile {
     val bounds = df.where(v.isNotNull).agg(min(v).as(mnCol), max(v).as(mxCol))
     val mn = col(mnCol)
     val mx = col(mxCol)
-    df.where(v.isNotNull).crossJoin(broadcast(bounds))
+    binCounts(df.where(v.isNotNull).crossJoin(broadcast(bounds)),
+      v, mn, mx, bins, Nil)
+  }
+
+  /** Per-group [[histogram]]: each group gets `bins` buckets over ITS
+    * observed [min, max] (the per-domain length-distribution view).
+    * The bounds frame is one row per group — broadcast-joined back on
+    * the group key (AQE; bounded by group cardinality like
+    * [[quantilesByGroup]]), everything else identical to the global
+    * histogram.
+    */
+  def histogramByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      bins: Int = 20): DataFrame = {
+    require(bins >= 1, "bins must be positive")
+    val v = col(valueCol).cast("double")
+    val mnCol = graft.Cols.unique("__mn", df)
+    val mxCol = graft.Cols.unique("__mx", df)
+    val bounds = df.where(v.isNotNull)
+      .groupBy(col(groupCol)).agg(min(v).as(mnCol), max(v).as(mxCol))
+    binCounts(
+      df.where(v.isNotNull).join(broadcast(bounds), groupCol),
+      v, col(mnCol), col(mxCol), bins, Seq(col(groupCol)))
+  }
+
+  /** Shared bin/count/edge arithmetic of the two histograms: plain
+    * left-associative double expressions, replicated verbatim in the
+    * oracle so both engines bucket edge values identically.
+    */
+  private def binCounts(
+      staged: DataFrame,
+      v: Column,
+      mn: Column,
+      mx: Column,
+      bins: Int,
+      keys: Seq[Column]): DataFrame =
+    staged
       .withColumn("bin",
         when(mx === mn, lit(0))
           .otherwise(least(lit(bins - 1), floor((v - mn) / (mx - mn) * bins)))
           .cast("int"))
-      .groupBy(col("bin"), mn, mx)
+      .groupBy(keys :+ col("bin") :+ mn :+ mx: _*)
       .agg(count(lit(1)).as("n_rows"))
-      .select(
+      .select(keys ++ Seq(
         col("bin"),
         round(mn + col("bin") * (mx - mn) / bins, 4).as("lo"),
         round(mn + (col("bin") + 1) * (mx - mn) / bins, 4).as("hi"),
-        col("n_rows"))
-  }
+        col("n_rows")): _*)
 }

@@ -269,4 +269,19 @@ class ProfileSpec extends SparkSpec {
     assert(Profile.histogram(
       spark.range(5).toDF("v").where($"v" < 0), "v").count() == 0)
   }
+
+  test("histogramByGroup: per-group bounds; null groups dropped") {
+    import graft.operators.Profile
+    val df = ((0 until 10).map(v => (Some("a"), v.toDouble)) ++
+      (0 until 4).map(v => (Some("b"), 100.0 + v)) ++
+      Seq((Option.empty[String], 5.0))).toDF("g", "v")
+    val out = Profile.histogramByGroup(df, "g", "v", bins = 2)
+      .orderBy($"g", $"bin")
+      .as[(String, Int, Double, Double, Long)].collect().toSeq
+    // group a: [0,9] in 2 bins of width 4.5 -> 5 and 5
+    // group b: [100,103] -> 2 and 2; the null group vanishes
+    assert(out == Seq(
+      ("a", 0, 0.0, 4.5, 5L), ("a", 1, 4.5, 9.0, 5L),
+      ("b", 0, 100.0, 101.5, 2L), ("b", 1, 101.5, 103.0, 2L)))
+  }
 }
