@@ -630,6 +630,16 @@ object SparkEntry {
           "min_entropy" ->
             (graft.functions.TextAnalysis.charEntropy(col("text")) >= 4.0)))
     }),
+    "q_funnel_by_group" -> ((s, dir) => {
+      // the per-source crawl-health view: three gates per lang
+      val text = trim(col("text"))
+      graft.operators.Profile.stageFunnelByGroup(
+        Parallelism.spread(t(s, dir, "documents")), "lang",
+        Seq(
+          "nonempty" -> (text =!= ""),
+          "min_chars" -> (col("n_chars") >= 200),
+          "min_tokens" -> (size(split(text, "\\s+")) >= 30)))
+    }),
     "q_entropy" -> ((s, dir) => {
       val sig = graft.functions.TextAnalysis.entropySignals(col("text"))
       Parallelism.spread(t(s, dir, "documents"))
@@ -1669,6 +1679,23 @@ object SparkEntry {
         |UNION ALL SELECT 2, 'known_lang', p2, c2, round(c2 / total::DOUBLE, 6) FROM a
         |UNION ALL SELECT 3, 'min_tokens', p3, c3, round(c3 / total::DOUBLE, 6) FROM a
         |UNION ALL SELECT 4, 'min_entropy', p4, c4, round(c4 / total::DOUBLE, 6) FROM a""".stripMargin,
+    "q_funnel_by_group" ->
+      """WITH a AS (SELECT lang, count(*) AS total,
+        |  sum(CASE WHEN trim(text) <> '' THEN 1 ELSE 0 END)::BIGINT AS p0,
+        |  sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)::BIGINT AS p1,
+        |  sum(CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 30
+        |    THEN 1 ELSE 0 END)::BIGINT AS p2,
+        |  sum(CASE WHEN trim(text) <> '' THEN 1 ELSE 0 END)::BIGINT AS c0,
+        |  sum(CASE WHEN trim(text) <> '' AND n_chars >= 200
+        |    THEN 1 ELSE 0 END)::BIGINT AS c1,
+        |  sum(CASE WHEN trim(text) <> '' AND n_chars >= 200
+        |    AND len(string_split_regex(trim(text), '\s+')) >= 30
+        |    THEN 1 ELSE 0 END)::BIGINT AS c2
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, 0 AS stage_idx, 'nonempty' AS stage, p0 AS pass_count,
+        |  c0 AS cum_count, round(c0 / total::DOUBLE, 6) AS cum_share FROM a
+        |UNION ALL SELECT lang, 1, 'min_chars', p1, c1, round(c1 / total::DOUBLE, 6) FROM a
+        |UNION ALL SELECT lang, 2, 'min_tokens', p2, c2, round(c2 / total::DOUBLE, 6) FROM a""".stripMargin,
     // Entropy replay: grouped code-point counts → 6 dp HALF_UP terms
     // → exact DECIMAL sum (the kernel's micro-unit sum), 4 dp out.
     "q_entropy" ->

@@ -227,6 +227,42 @@ object Profile {
       .select("f.*")
   }
 
+  /** Per-group [[stageFunnel]]: the same ordered gate funnel computed
+    * for every group in ONE scan (pass/cumulative counts + share per
+    * (group, stage)) — the per-source crawl-health view ("which
+    * domain loses its documents at which gate"). Output rows =
+    * groups × stages, grouped aggregation with map-side combine; any
+    * corpus size. Null groups aggregate under a null group row (SQL
+    * GROUP BY semantics).
+    */
+  def stageFunnelByGroup(
+      df: DataFrame,
+      groupCol: String,
+      stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "no stages given")
+    val cums = stages.scanLeft(lit(true))((acc, s) => acc && s._2).tail
+    val aggs = count(lit(1)).as("__total") +:
+      stages.zipWithIndex.flatMap { case ((_, cond), i) =>
+        Seq(
+          coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as(s"__pass_$i"),
+          coalesce(sum(when(cums(i), 1L).otherwise(0L)), lit(0L)).as(s"__cum_$i"))
+      }
+    df.groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol),
+        explode(array(stages.zipWithIndex.map { case ((name, _), i) =>
+          struct(
+            lit(i).as("stage_idx"),
+            lit(name).as("stage"),
+            col(s"__pass_$i").as("pass_count"),
+            col(s"__cum_$i").as("cum_count"),
+            round(when(col("__total") > 0,
+              col(s"__cum_$i") / col("__total").cast("double")), 6)
+              .as("cum_share"))
+        }: _*)).as("f"))
+      .select(col(groupCol), col("f.*"))
+  }
+
   /** Heavy hitters: the `k` most frequent values of a column (top
     * domains, top hosts, vocabulary head, …). One counted aggregation
     * (map-side combine) + `TakeOrderedAndProject` — each task keeps k

@@ -284,4 +284,29 @@ class ProfileSpec extends SparkSpec {
       ("a", 0, 0.0, 4.5, 5L), ("a", 1, 4.5, 9.0, 5L),
       ("b", 0, 100.0, 101.5, 2L), ("b", 1, 101.5, 103.0, 2L)))
   }
+
+  test("stageFunnelByGroup: per-group pass/cum counts match per-group stageFunnel") {
+    import graft.operators.Profile
+    val df = ((1 to 10).map(i => ("a", i)) ++ (1 to 4).map(i => ("b", i)))
+      .toDF("g", "v")
+    val stages = Seq("ge2" -> ($"v" >= 2), "even" -> ($"v" % 2 === 0))
+    val out = Profile.stageFunnelByGroup(df, "g", stages)
+      .select($"g", $"stage_idx", $"pass_count", $"cum_count", $"cum_share")
+      .as[(String, Int, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // group a: 10 rows, ge2 -> 9, even -> 5, cum(ge2, even) -> 5
+    assert(out(("a", 0)) == ((9L, 9L, 0.9)))
+    assert(out(("a", 1)) == ((5L, 5L, 0.5)))
+    // group b: 4 rows, ge2 -> 3, even -> 2, cum -> 2
+    assert(out(("b", 0)) == ((3L, 3L, 0.75)))
+    assert(out(("b", 1)) == ((2L, 2L, 0.5)))
+    // parity with the global funnel applied per slice
+    for (g <- Seq("a", "b")) {
+      val solo = Profile.stageFunnel(df.where($"g" === g), stages)
+        .select($"stage_idx", $"pass_count", $"cum_count", $"cum_share")
+        .as[(Int, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      for (i <- stages.indices) assert(solo(i) == out((g, i)), s"$g stage $i")
+    }
+  }
 }
