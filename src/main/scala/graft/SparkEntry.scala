@@ -1130,6 +1130,20 @@ object SparkEntry {
       graft.functions.TextAnalysis.packingAssignment(d, col("tokens"), col("doc_id"), 512)
         .select("doc_id", "tokens", "start_offset", "first_seq", "last_seq", "n_seqs")
     }),
+    "q_pack_shards" -> ((s, dir) => {
+      // The MATERIALIZED final pipeline step: actual 512-token
+      // `input_ids` sequences under the shipped BPE fixture, docs
+      // split across boundaries exactly as packingAssignment
+      // dictates, trailing partial dropped, shard = seq_id div 64.
+      // Arrays don't hash in the driver compare → ids space-joined.
+      val seqs = graft.functions.TextAnalysis.packToShards(
+        Parallelism.spread(t(s, dir, "documents")),
+        "text", graft.functions.Bpe.testFixture, col("doc_id"), seqLen = 512)
+      seqs.select(col("seq_id"),
+        expr("seq_id div 64").as("shard"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        array_join(col("input_ids").cast("array<string>"), " ").as("ids_joined"))
+    }),
     "q_upsample" -> ((s, dir) => {
       // Epoch weights 0..3 from the id: %4==0 docs drop entirely
       // (the zero-repetition path), the rest fan out in-task.
@@ -1450,6 +1464,18 @@ object SparkEntry {
        |bucnt AS (SELECT unit, len(l) AS n FROM s12),
        |bdtok AS (SELECT p.doc_id, sum(c.n) AS tokens FROM bpos p JOIN bucnt c
        |  ON c.unit = CASE WHEN p.i = 1 THEN p.ws[p.i] ELSE 'Ġ' || p.ws[p.i] END GROUP BY 1)""".stripMargin
+  }
+
+  /** The fixture vocab as a VALUES table for the [[bpeOracleCtes]]
+    * consumers that need token IDS (q_pack_shards): symbol → id,
+    * the same mapping [[graft.functions.Bpe.bpeTokenIds]] applies.
+    */
+  private lazy val bpeVocabCte: String = {
+    val vocab = graft.functions.Bpe.testFixture.vocab
+    def esc(s: String) = s.replace("'", "''")
+    val values = vocab.toSeq.sortBy(_._2)
+      .map { case (sym, id) => s"('${esc(sym)}', $id)" }.mkString(", ")
+    s"bpe_vocab(sym, id) AS (VALUES $values)"
   }
 
   /** ALGORITHMIC replay of the BPE TRAINER for the oracle: `k`
@@ -2423,6 +2449,25 @@ object SparkEntry {
          |  coalesce(CASE WHEN tokens > 0
          |    THEN (cum - 1) // 512 - (cum - tokens) // 512 + 1 END, 0)::BIGINT AS n_seqs
          |FROM c""".stripMargin,
+    // full id-stream replay: symbols → vocab ids per doc in order,
+    // cumulative offsets over doc_id order, tokens regrouped by
+    // global-offset // 512, partial tail dropped — div/mod rebuild
+    "q_pack_shards" ->
+      s"""WITH $bpeOracleCtes,
+         |$bpeVocabCte,
+         |dtoks AS (SELECT p.doc_id, p.i, c.l FROM bpos p JOIN s12 c
+         |  ON c.unit = CASE WHEN p.i = 1 THEN p.ws[p.i] ELSE 'Ġ' || p.ws[p.i] END),
+         |dsym AS (SELECT doc_id, i, unnest(l) AS sym, generate_subscripts(l, 1) AS j FROM dtoks),
+         |dids AS (SELECT doc_id, list(coalesce(v.id, -1) ORDER BY i, j) AS ids
+         |  FROM dsym LEFT JOIN bpe_vocab v ON v.sym = dsym.sym GROUP BY 1),
+         |c AS (SELECT doc_id, ids, len(ids)::BIGINT AS tokens,
+         |  sum(len(ids)) OVER (ORDER BY doc_id) AS cum FROM dids),
+         |g AS (SELECT cum - tokens + generate_subscripts(ids, 1) - 1 AS goff,
+         |  unnest(ids) AS tid FROM c),
+         |sq AS (SELECT goff // 512 AS seq_id, list(tid ORDER BY goff) AS tids FROM g GROUP BY 1)
+         |SELECT seq_id, seq_id // 64 AS shard, len(tids)::BIGINT AS n_tokens,
+         |  array_to_string(list_transform(tids, x -> x::VARCHAR), ' ') AS ids_joined
+         |FROM sq WHERE len(tids) = 512""".stripMargin,
     "q_upsample" ->
       """SELECT doc_id, lang,
         |  unnest(generate_series(0, (doc_id % 4)::BIGINT - 1)) AS rep

@@ -934,4 +934,64 @@ object TextAnalysis {
       orderCol: Column,
       seqLen: Int): org.apache.spark.sql.DataFrame =
     packingAssignment(df, Bpe.bpeTokenCount(col(textCol), tokenizer), orderCol, seqLen)
+
+  /** MATERIALIZE the packed training sequences — the last pipeline
+    * step: where [[packingAssignment]] only computes each document's
+    * sequence bookkeeping, this emits the actual fixed-`seqLen`
+    * examples `(seq_id, input_ids)` a trainer reads, with documents
+    * split across sequence boundaries exactly as the assignment
+    * dictates (token at global offset g lands in sequence
+    * g div seqLen at position g mod seqLen; offsets from the same
+    * distributed prefix sum).
+    *
+    * Scale shape: tokenization stays in-task; each document then
+    * emits one FRAGMENT row per sequence it touches (`n_seqs` rows,
+    * almost always 1-2 — never per-token rows), and one shuffle
+    * keyed by dense `seq_id` assembles fragments into sequences.
+    * Moving every token id across the wire once is the irreducible
+    * cost of materialization; nothing here is quadratic, windowed, or
+    * driver-side. The trailing partial sequence (fewer than `seqLen`
+    * tokens) is dropped when `dropPartial` (trainer convention);
+    * zero-token docs vanish in the assignment.
+    *
+    * Returns `(seq_id long, input_ids array<int>, n_tokens int)`.
+    */
+  def packToShards(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      tokenizer: Bpe.Spec,
+      orderCol: Column,
+      seqLen: Int,
+      dropPartial: Boolean = true): org.apache.spark.sql.DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val idsCol = graft.Cols.unique("__ids", df)
+    val staged = df.withColumn(idsCol, Bpe.bpeTokenIds(col(textCol), tokenizer))
+    val assigned = packingAssignment(
+      staged, size(col(idsCol)).cast("long"), orderCol, seqLen)
+    val L = lit(seqLen.toLong)
+    val frags = assigned
+      .where(col("n_seqs") > 0)
+      .select(col(idsCol), col("start_offset"),
+        (col("start_offset") + size(col(idsCol)).cast("long")).as("__doc_end"),
+        explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"))
+      // fragment = this doc's slice of [seq_id·L, (seq_id+1)·L)
+      .select(col("seq_id"),
+        struct(
+          (greatest(col("start_offset"), col("seq_id") * L) - col("seq_id") * L)
+            .cast("int").as("pos"),
+          slice(col(idsCol),
+            (greatest(col("start_offset"), col("seq_id") * L)
+              - col("start_offset") + 1).cast("int"),
+            (least(col("__doc_end"), (col("seq_id") + 1) * L)
+              - greatest(col("start_offset"), col("seq_id") * L)).cast("int"))
+            .as("frag")).as("f"))
+    val seqs = frags
+      .groupBy(col("seq_id"))
+      // array_sort on array<struct> orders by the leading `pos` field,
+      // so fragments reassemble in stream order
+      .agg(flatten(transform(array_sort(collect_list(col("f"))),
+        f => f.getField("frag"))).as("input_ids"))
+      .withColumn("n_tokens", size(col("input_ids")))
+    if (dropPartial) seqs.where(col("n_tokens") === seqLen) else seqs
+  }
 }

@@ -67,4 +67,35 @@ object ShardExport {
         min(col("order_id")).as("first_order"),
         max(col("order_id")).as("last_order"))
   }
+
+  /** Write PACKED TRAINING SEQUENCES ([[graft.functions.TextAnalysis
+    * .packToShards]] output: `(seq_id, input_ids, …)`) as
+    * `shard=N/` parquet directories, one file each, and return the
+    * manifest. Sequences are already globally ordered by `seq_id`
+    * (the packing stream), so shard assignment is plain
+    * `seq_id div seqsPerShard` — contiguous token ranges per shard,
+    * reproducible on any cluster, no extra shuffle beyond the
+    * one-task-per-shard clustering write.
+    */
+  def writeSequences(
+      seqs: DataFrame,
+      outDir: String,
+      seqsPerShard: Long,
+      seqIdCol: String = "seq_id"): DataFrame = {
+    require(seqsPerShard > 0, "seqsPerShard must be positive")
+    val assigned = seqs.withColumn("shard", expr(s"`$seqIdCol` div $seqsPerShard"))
+    assigned
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(seqIdCol))
+      .write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(outDir)
+    assigned
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_seqs"),
+        min(col(seqIdCol)).as("first_seq"),
+        max(col(seqIdCol)).as("last_seq"))
+  }
 }

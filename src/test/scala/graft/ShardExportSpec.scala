@@ -60,4 +60,85 @@ class ShardExportSpec extends SparkSpec {
       rm(new java.io.File(dir))
     }
   }
+
+  test("packToShards: sequences equal the concatenated id stream cut at seqLen") {
+    import graft.functions.{Bpe, TextAnalysis}
+    val spec = Bpe.testFixture
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog ran over the hill"),
+      (2L, ""), // zero tokens: must vanish from the stream
+      (3L, "a quick brown fox jumps over the lazy dog again and again"),
+      (4L, "some more text to push the stream across a sequence boundary"),
+      (5L, "tail words that end up in the dropped partial sequence maybe"))
+      .toDF("doc_id", "text")
+    val seqLen = 16
+    // expected: per-doc ids in doc_id order, concatenated, chunked
+    val perDoc = docs
+      .select($"doc_id", Bpe.bpeTokenIds($"text", spec).as("ids"))
+      .as[(Long, Seq[Int])].collect().sortBy(_._1)
+    val stream = perDoc.flatMap(_._2)
+    val full = stream.grouped(seqLen).zipWithIndex
+      .collect { case (chunk, i) if chunk.length == seqLen => i.toLong -> chunk.toSeq }
+      .toMap
+    assert(full.nonEmpty, "fixture corpus must fill at least one sequence")
+    assert(stream.length % seqLen != 0, "test needs a partial tail to exercise the drop")
+
+    val got = TextAnalysis.packToShards(docs, "text", spec, $"doc_id", seqLen)
+      .select($"seq_id", $"input_ids", $"n_tokens")
+      .as[(Long, Seq[Int], Int)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == full.keys.toSeq.sorted)
+    got.foreach { case (sid, ids, n) =>
+      assert(n == seqLen)
+      assert(ids == full(sid), s"seq $sid content mismatch")
+    }
+    // dropPartial=false keeps the tail with the leftover tokens
+    val withTail = TextAnalysis
+      .packToShards(docs, "text", spec, $"doc_id", seqLen, dropPartial = false)
+      .select($"seq_id", $"input_ids")
+      .as[(Long, Seq[Int])].collect().sortBy(_._1)
+    assert(withTail.length == full.size + 1)
+    assert(withTail.last._2 == stream.drop(full.size * seqLen).toSeq)
+    // reproducible under repartitioning (fragment shuffle is keyed)
+    val again = TextAnalysis
+      .packToShards(docs.repartition(5), "text", spec, $"doc_id", seqLen)
+      .select($"seq_id", $"input_ids")
+      .as[(Long, Seq[Int])].collect().sortBy(_._1)
+    assert(again.map(t => t._1 -> t._2).toSeq == got.map(t => t._1 -> t._2).toSeq)
+  }
+
+  test("writeSequences: one file per shard dir, contiguous manifest, round trip") {
+    import graft.functions.{Bpe, TextAnalysis}
+    val dir = java.nio.file.Files.createTempDirectory("graft-seqshards").toString
+    try {
+      val docs = spark.range(40)
+        .select($"id".as("doc_id"),
+          concat(lit("word number "), $"id".cast("string"),
+            lit(" and some filler text for packing")).as("text"))
+      val seqs = TextAnalysis.packToShards(docs, "text", Bpe.testFixture, $"doc_id", 32)
+      val manifest = ShardExport.writeSequences(seqs, dir, seqsPerShard = 3)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(manifest.nonEmpty)
+      manifest.foreach { case (shard, n, first, last) =>
+        assert(first == shard * 3 && last == first + n - 1 && n <= 3)
+      }
+      val shardDirs = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      assert(shardDirs.length == manifest.length)
+      shardDirs.foreach { d =>
+        assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+          s"${d.getName} must hold exactly one file")
+      }
+      val back = spark.read.parquet(dir)
+        .select($"seq_id", $"input_ids").as[(Long, Seq[Int])].collect().toSet
+      val expect = seqs.select($"seq_id", $"input_ids")
+        .as[(Long, Seq[Int])].collect().toSet
+      assert(back == expect)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
