@@ -1014,6 +1014,31 @@ object SparkEntry {
           md5(cleaned).as("text_md5"),
           length(cleaned).cast("long").as("n_chars"))
     }),
+    "q_fix_encoding" -> ((s, dir) => {
+      // Corpus text is clean ASCII — append the crafted crawl damage
+      // (every mojibake key once, CRLF, stray C0/DEL controls; built
+      // from mojibakePairs so injection and repair can't drift) and
+      // assert the repair: md5 + length of the fixed string.
+      val fixed = graft.functions.TextAnalysis.fixEncoding(
+        concat(col("text"), lit(dirtySuffix)))
+      Parallelism.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), md5(fixed).as("text_md5"),
+          length(fixed).cast("long").as("n_chars"))
+    }),
+    "q_crawl_clean" -> ((s, dir) => {
+      // The crawl entry chain in PIPELINE ORDER: encoding repair
+      // FIRST, then HTML extraction — one composed expression, one
+      // scan, fully codegen'd.
+      val html = concat(
+        lit("<html><head><script>if (1 < 2) x();</script></head><body><p>"),
+        col("text"), lit(dirtySuffix),
+        lit(" &amp; <!-- c --> tail</p></body></html>"))
+      val cleaned = graft.functions.TextAnalysis.stripHtml(
+        graft.functions.TextAnalysis.fixEncoding(html))
+      Parallelism.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), md5(cleaned).as("text_md5"),
+          length(cleaned).cast("long").as("n_chars"))
+    }),
     "q_quality_flags" -> ((s, dir) => {
       Parallelism.spread(t(s, dir, "documents"))
         .select(col("doc_id"),
@@ -1464,6 +1489,46 @@ object SparkEntry {
        |bucnt AS (SELECT unit, len(l) AS n FROM s12),
        |bdtok AS (SELECT p.doc_id, sum(c.n) AS tokens FROM bpos p JOIN bucnt c
        |  ON c.unit = CASE WHEN p.i = 1 THEN p.ws[p.i] ELSE 'Ġ' || p.ws[p.i] END GROUP BY 1)""".stripMargin
+  }
+
+  /** Crafted crawl damage for q_fix_encoding / q_crawl_clean: every
+    * mojibake key once (space-separated), a CRLF, and stray C0/DEL
+    * controls. Derived from [[graft.functions.TextAnalysis
+    * .mojibakePairs]] so the injection and the repair chain can never
+    * drift apart.
+    */
+  private lazy val dirtySuffix: String =
+    " " + graft.functions.TextAnalysis.mojibakePairs.map(_._1).mkString(" ") +
+      "\r\n\u0001mid\u0007line\u007f end"
+
+  private def sqlQ(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** DuckDB replay of [[graft.functions.TextAnalysis.fixEncoding]]:
+    * the identical literal replace chain (generated from the same
+    * pair list), CRLF fold, and control-class strip.
+    */
+  private def fixEncodingSqlChain(inner: String): String = {
+    val chain = graft.functions.TextAnalysis.mojibakePairs.foldLeft(inner) {
+      case (acc, (k, v)) => s"replace($acc, ${sqlQ(k)}, ${sqlQ(v)})"
+    }
+    val lf = s"replace(replace($chain, chr(13) || chr(10), chr(10)), chr(13), chr(10))"
+    s"regexp_replace($lf, '${graft.functions.TextAnalysis.controlCharClass}', '', 'g')"
+  }
+
+  /** DuckDB replay of [[graft.functions.TextAnalysis.stripHtml]] —
+    * the q_html_text chain as a composable helper (tag strip, entity
+    * decode in the exact Scala order, whitespace collapse).
+    */
+  private def stripHtmlSqlChain(inner: String): String = {
+    val t1 = s"regexp_replace(regexp_replace(regexp_replace(regexp_replace($inner, " +
+      "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), " +
+      "'(?is)<style[^>]*>.*?</style>', ' ', 'g'), " +
+      "'(?s)<!--.*?-->', ' ', 'g'), " +
+      "'(?s)<[A-Za-z!/][^>]*>', ' ', 'g')"
+    val t2 = s"replace(replace(replace(replace(replace(replace(replace(replace($t1, " +
+      "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&apos;', ''''), " +
+      "'&#39;', ''''), '&#34;', '\"'), '&nbsp;', ' '), '&amp;', '&')"
+    s"trim(regexp_replace($t2, '\\s+', ' ', 'g'))"
   }
 
   /** The fixture vocab as a VALUES table for the [[bpeOracleCtes]]
@@ -2338,6 +2403,20 @@ object SparkEntry {
         |c AS (SELECT doc_id, trim(regexp_replace(t2, '\s+', ' ', 'g')) AS t3 FROM e)
         |SELECT doc_id, md5(t3) AS text_md5, length(t3)::BIGINT AS n_chars
         |FROM c""".stripMargin,
+    "q_fix_encoding" -> {
+      val fixed = fixEncodingSqlChain(s"text || ${sqlQ(dirtySuffix)}")
+      s"""WITH f AS (SELECT doc_id, $fixed AS t FROM documents)
+         |SELECT doc_id, md5(t) AS text_md5, length(t)::BIGINT AS n_chars
+         |FROM f""".stripMargin
+    },
+    "q_crawl_clean" -> {
+      val html = "'<html><head><script>if (1 < 2) x();</script></head><body><p>' || " +
+        s"text || ${sqlQ(dirtySuffix)} || ' &amp; <!-- c --> tail</p></body></html>'"
+      val cleaned = stripHtmlSqlChain(fixEncodingSqlChain(html))
+      s"""WITH f AS (SELECT doc_id, $cleaned AS t FROM documents)
+         |SELECT doc_id, md5(t) AS text_md5, length(t)::BIGINT AS n_chars
+         |FROM f""".stripMargin
+    },
     "q_quality_flags" ->
       """WITH tk AS (SELECT doc_id, text,
         |  regexp_split_to_array(trim(lower(text)), '\s+') AS tks FROM documents),

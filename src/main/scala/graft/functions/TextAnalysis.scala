@@ -824,6 +824,71 @@ object TextAnalysis {
     * Row-local, codegen'd; unclosed script/style blocks degrade to
     * tag-stripping (the non-greedy body match requires the closer).
     */
+  /** The common Windows-1252 mojibake sequences (UTF-8 bytes of a
+    * code point re-decoded as cp1252) and their repairs — shared with
+    * the oracle-SQL generator so both engines run the identical
+    * literal chain. Written as unicode escapes: several sequences
+    * contain C1 controls (0x9D/0x9F have no cp1252 glyph) that an
+    * editor would mangle. Three-char punctuation sequences first,
+    * then the two-char Ã/Â letter pairs (disjoint lead chars, so
+    * order only matters for double-encoded garbage — where the
+    * sequential chain performs the standard iterative decode).
+    */
+  val mojibakePairs: Seq[(String, String)] = Seq(
+    "â€“" -> "–", // – en dash
+    "â€”" -> "—", // — em dash
+    "â€™" -> "’", // ’ right single quote
+    "â€˜" -> "‘", // ‘ left single quote
+    "â€œ" -> "“", // “ left double quote
+    "â€" -> "”", // ” right double quote
+    "â€¦" -> "…", // … ellipsis
+    "â€¢" -> "•", // • bullet
+    "Ã©" -> "é", // é
+    "Ã¨" -> "è", // è
+    "Ã§" -> "ç", // ç
+    "Ã±" -> "ñ", // ñ
+    "Ã¼" -> "ü", // ü
+    "Ã¶" -> "ö", // ö
+    "Ã¤" -> "ä", // ä
+    "Ã¡" -> "á", // á
+    "Ã­" -> "í", // í
+    "Ã³" -> "ó", // ó
+    "Ãº" -> "ú", // ú
+    "Ã¯" -> "ï", // ï
+    "Ã" -> "ß", // ß
+    "Ã " -> "à", // à
+    "Â " -> " ", // nbsp
+    "Â·" -> "·", // ·
+    "Â«" -> "«", // «
+    "Â»" -> "»", // »
+    "Â°" -> "°") // °
+
+  /** Control characters [[fixEncoding]] strips: C0 except tab/LF,
+    * DEL, and the C1 block (U+0080–U+009F — never legitimate text;
+    * the mojibake repairs that need 0x9D/0x9F run first). Identical
+    * byte-for-byte in Java regex and RE2, so the DuckDB oracle
+    * replays it verbatim.
+    */
+  val controlCharClass: String =
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]"
+
+  /** Encoding repair — the ftfy-style first step of a crawl pipeline,
+    * BEFORE [[stripHtml]]: (1) undo the common Windows-1252 mojibake
+    * sequences ([[mojibakePairs]], a literal replace chain —
+    * codegen'd, replayable); (2) normalize CRLF/CR line endings to
+    * LF; (3) strip remaining control characters
+    * ([[controlCharClass]]). Whitespace is NOT collapsed here — that
+    * is [[stripHtml]]/cleaners' job downstream.
+    */
+  def fixEncoding(c: Column): Column = {
+    val repaired = mojibakePairs.foldLeft(c) { case (acc, (k, v)) =>
+      replace(acc, lit(k), lit(v))
+    }
+    val lf = replace(replace(repaired, lit("\r\n"), lit("\n")),
+      lit("\r"), lit("\n"))
+    regexp_replace(lf, controlCharClass, "")
+  }
+
   def stripHtml(c: Column): Column = {
     val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")

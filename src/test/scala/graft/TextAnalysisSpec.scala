@@ -609,4 +609,22 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(got == Set((4L, want)))
   }
+
+  test("fixEncoding: mojibake repaired, CRLF folded, controls stripped, tab/LF kept") {
+    def fix(s: String): String =
+      Seq(Tuple1(s)).toDF("t").select(fixEncoding($"t").as("f"))
+        .as[String].collect().head
+    // every pair repairs to its target
+    mojibakePairs.foreach { case (k, v) =>
+      assert(fix(s"x${k}y") == s"x${v}y", s"pair $k")
+    }
+    // CRLF and bare CR fold to LF; LF and tab survive
+    assert(fix("a\r\nb\rc\nd\te") == "a\nb\nc\nd\te")
+    // C0 (except \t\n), DEL, and C1 controls are stripped
+    assert(fix("a\u0000b\u0007c\u000bd\u007fe\u009bf") == "abcdef")
+    // clean ASCII is untouched
+    assert(fix("plain text stays") == "plain text stays")
+    // pipeline composition: repair before stripHtml keeps entities intact
+    assert(fix("itâ€™s &amp; fine") == "it’s &amp; fine")
+  }
 }
