@@ -1368,6 +1368,25 @@ object SparkEntry {
         .select("doc_id", "dhash")
       Dedup.hammingPairs64(codes, "dhash", "doc_id", maxHamming = 2)
     }),
+    "q_audio_hash" -> ((s, dir) => {
+      // Audio perceptual hash end-to-end: synthesize WAV → real
+      // javax.sound decode → 64 window-energy threshold bits as hex.
+      // The integer-exact bit rule makes every bit closed-form over
+      // the periodic sample pattern.
+      val wavs = graft.multimodal.Multimodal
+        .synthesizeWav(t(s, dir, "documents").select("doc_id"), "doc_id")
+      graft.multimodal.Multimodal.aHash(wavs, "payload")
+        .select("doc_id", "ahash")
+    }),
+    "q_audio_hash_pairs" -> ((s, dir) => {
+      // Audio near-dup: aHash codes through the UNCHANGED 64-bit
+      // Hamming pairing — the same chunk-blocked join images use.
+      val wavs = graft.multimodal.Multimodal
+        .synthesizeWav(t(s, dir, "documents").select("doc_id"), "doc_id")
+      val codes = graft.multimodal.Multimodal.aHash(wavs, "payload")
+        .select("doc_id", "ahash")
+      Dedup.hammingPairs64(codes, "ahash", "doc_id", maxHamming = 2)
+    }),
     "q_multimodal_audio" -> ((s, dir) => {
       // REAL WAV round trip via javax.sound.sampled; same closed-form
       // oracle idea as q_multimodal_decode.
@@ -1424,6 +1443,55 @@ object SparkEntry {
       |    sum(CASE WHEN i >= 32 THEN bit << (i - 32) ELSE 0 END)::BIGINT AS hi,
       |    sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END)::BIGINT AS lo
       |  FROM d GROUP BY 1)""".stripMargin
+
+  /** Shared aHash replay: the periodic WAV sample pattern is
+    * closed-form, so window-energy sums are exact integer aggregates
+    * and the bit rule (sum_j·n > S·cnt_j) replays verbatim →
+    * `agg(doc_id, hi, lo)`, same two-half packing as [[dhashCtes]].
+    */
+  private lazy val ahashCtes: String =
+    """ac AS (SELECT doc_id, 160 + 16 * (doc_id % 5) AS n,
+      |    4 * (doc_id % 256) AS base FROM documents),
+      |sm AS (SELECT doc_id, n, (i * 64) // n AS w,
+      |    abs(base + 8 * (i % 16) - 512) AS a
+      |  FROM ac, range(0, 224) t(i) WHERE i < n),
+      |wn AS (SELECT doc_id, n, w, sum(a) AS sw, count(*) AS cw
+      |  FROM sm GROUP BY 1, 2, 3),
+      |tot AS (SELECT doc_id, sum(sw) AS s FROM wn GROUP BY 1),
+      |bits AS (SELECT wn.doc_id, w::INT AS i,
+      |    CASE WHEN sw * n > s * cw THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      |  FROM wn JOIN tot USING (doc_id)),
+      |agg AS (SELECT doc_id,
+      |    sum(CASE WHEN i >= 32 THEN bit << (i - 32) ELSE 0 END)::BIGINT AS hi,
+      |    sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END)::BIGINT AS lo
+      |  FROM bits GROUP BY 1)""".stripMargin
+
+  /** hammingPairs64 replay over any `agg(doc_id, hi, lo)` CTE chain:
+    * 4×16-bit chunk blocking with the 2..1000 bucket-size keep
+    * window, candidates verified by exact two-half Hamming — the
+    * same arithmetic as Dedup.hammingPairs64. Shared by the image
+    * (dHash) and audio (aHash) pairing oracles.
+    */
+  private def hamming64PairsSql(ctes: String): String =
+    s"""WITH $ctes,
+       |ch AS (SELECT doc_id, hi, lo, p.pos AS bpos,
+       |    CASE p.pos WHEN 0 THEN lo & 65535
+       |         WHEN 1 THEN (lo >> 16) & 65535
+       |         WHEN 2 THEN hi & 65535
+       |         ELSE (hi >> 16) & 65535 END AS bkey
+       |  FROM agg, range(0, 4) p(pos)),
+       |kept AS (SELECT bpos, bkey FROM ch GROUP BY 1, 2
+       |  HAVING count(*) BETWEEN 2 AND 1000),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.hi AS ha, a.lo AS la, b.hi AS hb, b.lo AS lb
+       |  FROM ch a
+       |  JOIN kept k ON a.bpos = k.bpos AND a.bkey = k.bkey
+       |  JOIN ch b ON b.bpos = a.bpos AND b.bkey = a.bkey
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  (bit_count(xor(ha, hb)) + bit_count(xor(la, lb)))::INT AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 2""".stripMargin
 
   private lazy val clustersOracleSql: String =
     s"""WITH RECURSIVE $minhashCtes,
@@ -2600,26 +2668,11 @@ object SparkEntry {
     // hammingPairs64 twin: 4×16-bit chunk blocking with the 2..1000
     // bucket-size keep window, pairs verified by exact two-half
     // Hamming — the same arithmetic as Dedup.hammingPairs64.
-    "q_multimodal_dhash_pairs" ->
-      s"""WITH $dhashCtes,
-         |ch AS (SELECT doc_id, hi, lo, p.pos AS bpos,
-         |    CASE p.pos WHEN 0 THEN lo & 65535
-         |         WHEN 1 THEN (lo >> 16) & 65535
-         |         WHEN 2 THEN hi & 65535
-         |         ELSE (hi >> 16) & 65535 END AS bkey
-         |  FROM agg, range(0, 4) p(pos)),
-         |kept AS (SELECT bpos, bkey FROM ch GROUP BY 1, 2
-         |  HAVING count(*) BETWEEN 2 AND 1000),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    a.hi AS ha, a.lo AS la, b.hi AS hb, b.lo AS lb
-         |  FROM ch a
-         |  JOIN kept k ON a.bpos = k.bpos AND a.bkey = k.bkey
-         |  JOIN ch b ON b.bpos = a.bpos AND b.bkey = a.bkey
-         |  WHERE a.doc_id < b.doc_id)
-         |SELECT id_a, id_b,
-         |  (bit_count(xor(ha, hb)) + bit_count(xor(la, lb)))::INT AS hamming
-         |FROM cand
-         |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 2""".stripMargin,
+    "q_multimodal_dhash_pairs" -> hamming64PairsSql(dhashCtes),
+    "q_audio_hash" ->
+      s"""WITH $ahashCtes
+         |SELECT doc_id, printf('%08x%08x', hi, lo) AS ahash FROM agg""".stripMargin,
+    "q_audio_hash_pairs" -> hamming64PairsSql(ahashCtes),
     // NN-resample twin: dst(x,y) = src(⌊x·w/8⌋, ⌊y·h/8⌋) over the
     // wrap-free affine pattern; exact integer sums over the 8×8 grid
     "q_multimodal_resize" ->

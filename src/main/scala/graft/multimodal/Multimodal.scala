@@ -340,6 +340,74 @@ object Multimodal {
     }
   }
 
+  /** Perceptual AUDIO hash — the audio twin of [[dHash]]: decode the
+    * WAV (real `javax.sound.sampled` parse), split the signal into 64
+    * equal windows (window j covers frames i with ⌊i·64/n⌋ = j),
+    * and threshold each window's mean |amplitude| against the global
+    * mean — bit j = 1 iff sum_j·n > S·cnt_j, an EXACT integer
+    * comparison (no float means), so the closed-form oracle replays
+    * every bit. Output is the same `%08x%08x` 64-bit hex format as
+    * [[dHash]], so [[graft.operators.Dedup.hammingPairs64]] pairs
+    * audio near-dups completely unchanged. Null/unparsable/empty
+    * payloads yield null. Products stay inside Long up to n ≈ 1.3e8
+    * frames (4.5 h at 8 kHz) — beyond that, chunk the stream first.
+    */
+  def aHash(
+      df: DataFrame,
+      payloadCol: String = "payload",
+      outCol: String = "ahash",
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = df.schema.add(StructField(outCol, StringType))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val bytes = row.get(payloadIdx).asInstanceOf[Array[Byte]]
+          val code: Any =
+            if (bytes == null) null
+            else {
+              try {
+                val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+                val n = ais.getFrameLength
+                val data = ais.readAllBytes()
+                if (n <= 0L) null
+                else {
+                  val sums = new Array[Long](64)
+                  val cnts = new Array[Long](64)
+                  var total = 0L
+                  var i = 0L
+                  while (i < n && 2 * i + 1 < data.length) {
+                    val s = (((data(2 * i.toInt + 1).toInt << 8) |
+                      (data(2 * i.toInt) & 0xff)).toShort).toLong
+                    val a = math.abs(s)
+                    val w = ((i * 64) / n).toInt
+                    sums(w) += a
+                    cnts(w) += 1
+                    total += a
+                    i += 1
+                  }
+                  var hi = 0L
+                  var lo = 0L
+                  var j = 0
+                  while (j < 64) {
+                    if (sums(j) * n > total * cnts(j)) {
+                      if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+                    }
+                    j += 1
+                  }
+                  f"$hi%08x$lo%08x"
+                }
+              } catch {
+                case scala.util.control.NonFatal(_) => null
+              }
+            }
+          Row.fromSeq(row.toSeq :+ code)
+        }
+      }
+    }
+  }
+
   /** REAL image resize: decode the payload (ImageIO), nearest-
     * neighbour resample to `targetW`×`targetH` — dst(x,y) =
     * src(⌊x·sw/tw⌋, ⌊y·sh/th⌋), the standard NN mapping, written as

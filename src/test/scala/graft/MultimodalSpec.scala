@@ -202,4 +202,43 @@ class MultimodalSpec extends SparkSpec {
       .select($"dhash").collect().map(_.isNullAt(0)).toSeq
     assert(nulls == Seq(true, true))
   }
+
+  test("aHash: matches independent closed-form bits; edge payloads -> null") {
+    import graft.multimodal.Multimodal
+    val ids = (0L to 40L) ++ Seq(98L, 127L, 255L, 1280L, 99999L)
+    val out = Multimodal.aHash(
+      Multimodal.synthesizeWav(ids.toDF("id"), "id"), "payload")
+      .select($"id", $"ahash").as[(Long, String)].collect().toMap
+    // independent recomputation straight from the sample formula
+    // (no javax.sound anywhere on this side)
+    def expected(id: Long): String = {
+      val n = Multimodal.sampleCount(id)
+      val sums = new Array[Long](64)
+      val cnts = new Array[Long](64)
+      var total = 0L
+      for (i <- 0 until n) {
+        val a = math.abs(Multimodal.sampleAt(id, i)).toLong
+        val w = (i.toLong * 64 / n).toInt
+        sums(w) += a; cnts(w) += 1; total += a
+      }
+      var hi = 0L; var lo = 0L
+      for (j <- 0 until 64 if sums(j) * n > total * cnts(j)) {
+        if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+      }
+      f"$hi%08x$lo%08x"
+    }
+    ids.foreach(id => assert(out(id) == expected(id), s"id=$id"))
+    assert(out.values.forall(_.length == 16))
+    // signal classes repeat every 1280 ids -> identical hash
+    assert(out(0L) == out(1280L))
+    // not all codes degenerate to one value (pairing has real work)
+    assert(out.values.toSet.size > 1)
+    // null and corrupt payloads
+    val junk = Seq(
+      (1L, null.asInstanceOf[Array[Byte]]),
+      (2L, Array[Byte](82, 73, 70, 70))).toDF("id", "payload")
+    val nulls = Multimodal.aHash(junk, "payload")
+      .select($"ahash").collect().map(_.isNullAt(0)).toSeq
+    assert(nulls == Seq(true, true))
+  }
 }
