@@ -955,6 +955,12 @@ object SparkEntry {
       graft.functions.TextAnalysis.lmScore(
         Parallelism.spread(t(s, dir, "documents")), "text", "doc_id", topV = 20)
     }),
+    "q_lm_score3" -> ((s, dir) => {
+      // Trigram order with bigram backoff (λ=0.5), same topV=20
+      // vocab — the sharper quality signal at the same table shapes.
+      graft.functions.TextAnalysis.lmScore3(
+        Parallelism.spread(t(s, dir, "documents")), "text", "doc_id", topV = 20)
+    }),
     "q_dup_ngrams" -> ((s, dir) => {
       graft.functions.TextAnalysis.dupNgramStats(
         docsWithDups(s, dir), "text", "doc_id", n = 5)
@@ -2391,6 +2397,40 @@ object SparkEntry {
         |ag AS (SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS avg_logprob
         |  FROM sc GROUP BY 1)
         |SELECT d.doc_id, coalesce(ag.n_bigrams, 0)::BIGINT AS n_bigrams, ag.avg_logprob
+        |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin,
+    // trigram twin: same vocab/count tables, interpolated
+    // λ·P3 + (1−λ)·P2 per trigram position, λ = 0.5
+    "q_lm_score3" ->
+      """WITH tk AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        |un AS (SELECT unnest(w) AS t FROM tk),
+        |uc AS (SELECT t, count(*) AS c FROM un GROUP BY 1),
+        |voc AS MATERIALIZED (SELECT t FROM uc ORDER BY c DESC, t LIMIT 20),
+        |vsz AS (SELECT (count(*) + 1)::DOUBLE AS v FROM voc),
+        |mu AS (SELECT CASE WHEN t IN (SELECT t FROM voc) THEN t ELSE '<unk>' END AS m1 FROM un),
+        |c1 AS MATERIALIZED (SELECT m1, count(*) AS cu FROM mu GROUP BY 1),
+        |bgx AS (SELECT unnest(list_transform(range(0, len(w) - 1),
+        |    i -> {'a': w[i + 1], 'b': w[i + 2]})) AS p FROM tk WHERE len(w) >= 2),
+        |bg AS (SELECT
+        |  CASE WHEN p.a IN (SELECT t FROM voc) THEN p.a ELSE '<unk>' END AS m1,
+        |  CASE WHEN p.b IN (SELECT t FROM voc) THEN p.b ELSE '<unk>' END AS m2 FROM bgx),
+        |c12 AS MATERIALIZED (SELECT m1, m2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |tgx AS (SELECT doc_id, unnest(list_transform(range(0, len(w) - 2),
+        |    i -> {'a': w[i + 1], 'b': w[i + 2], 'c': w[i + 3]})) AS p FROM tk WHERE len(w) >= 3),
+        |tg AS MATERIALIZED (SELECT doc_id,
+        |  CASE WHEN p.a IN (SELECT t FROM voc) THEN p.a ELSE '<unk>' END AS m1,
+        |  CASE WHEN p.b IN (SELECT t FROM voc) THEN p.b ELSE '<unk>' END AS m2,
+        |  CASE WHEN p.c IN (SELECT t FROM voc) THEN p.c ELSE '<unk>' END AS m3 FROM tgx),
+        |c123 AS MATERIALIZED (SELECT m1, m2, m3, count(*) AS ct FROM tg GROUP BY 1, 2, 3),
+        |sc AS (SELECT tg.doc_id,
+        |    ln(0.5 * (ct + 1.0) / (b12.cb + 1.0 * v) +
+        |       0.5 * (b23.cb + 1.0) / (c1.cu + 1.0 * v)) AS lp
+        |  FROM tg JOIN c123 USING (m1, m2, m3)
+        |  JOIN c12 b12 ON b12.m1 = tg.m1 AND b12.m2 = tg.m2
+        |  JOIN c12 b23 ON b23.m1 = tg.m2 AND b23.m2 = tg.m3
+        |  JOIN c1 ON c1.m1 = tg.m2, vsz),
+        |ag AS (SELECT doc_id, count(*) AS n_trigrams, round(avg(lp), 4) AS avg_logprob
+        |  FROM sc GROUP BY 1)
+        |SELECT d.doc_id, coalesce(ag.n_trigrams, 0)::BIGINT AS n_trigrams, ag.avg_logprob
         |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin,
     "q_dup_ngrams" ->
       s"""WITH $docsWithDupsSql,

@@ -278,6 +278,105 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("avg_logprob"))
   }
 
+  /** TRIGRAM-order twin of [[lmScore]]: per trigram position the
+    * score is the INTERPOLATED probability
+    * `λ·(c123+k)/(c12+k·V) + (1−λ)·(c23+k)/(c2+k·V)` (add-k trigram
+    * backed off onto the add-k bigram — the standard Jelinek–Mercer
+    * two-order mix), averaged in log space per document. Same
+    * architecture as the bigram scorer: the only corpus-scale state
+    * is vocab-bounded or n-gram-count tables keyed by 128-bit hashes
+    * (two xxhash64 longs — fixed-width shuffle keys, no string
+    * tuples); counts are map-side-combined groupBys, never windows,
+    * so the (<unk>,<unk>,<unk>) bucket can't serialize a task. The
+    * bigram/unigram tables are counted over ALL adjacent positions
+    * (n−1 per doc), not just trigram contexts — the conventional
+    * count tables a backoff LM shares across orders.
+    */
+  def lmScore3(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      topV: Int = 1000,
+      addK: Double = 1.0,
+      lambda: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    require(topV >= 1, "topV must be >= 1")
+    require(addK > 0, "addK must be > 0")
+    require(lambda >= 0 && lambda <= 1, "lambda must be in [0, 1]")
+    val tk = graft.operators.Parallelism.spread(df)
+      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__w"))
+    val uni = tk.select(explode(col("__w")).as("__t"))
+    val voc = uni
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__t").asc)
+      .limit(topV)
+      .select(col("__t"))
+    val vsz = voc.select((count(lit(1)) + 1).cast("double").as("__v"))
+    val vocB = broadcast(voc.select(col("__t"), lit(1).as("__k")))
+    def mapped(c: Column, k: Column): Column =
+      when(k.isNotNull, c).otherwise(lit("<unk>"))
+    // unigram counts over mapped tokens
+    val c1 = uni
+      .join(vocB, Seq("__t"), "left")
+      .select(mapped(col("__t"), col("__k")).as("__m"))
+      .groupBy(col("__m")).agg(count(lit(1)).as("__c1"))
+    // bigram counts over ALL adjacent positions, 128-bit keys
+    val bgm = tk
+      .where(size(col("__w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(__w) - 2), i -> struct(__w[i] AS w1, __w[i + 1] AS w2))")).as("__p"))
+      .select(col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
+      .join(broadcast(voc.select(col("__t").as("__w1"), lit(1).as("__k1"))), Seq("__w1"), "left")
+      .join(broadcast(voc.select(col("__t").as("__w2"), lit(1).as("__k2"))), Seq("__w2"), "left")
+      .select(
+        mapped(col("__w1"), col("__k1")).as("__m1"),
+        mapped(col("__w2"), col("__k2")).as("__m2"))
+    val c12 = bgm
+      .select(xxhash64(col("__m1"), col("__m2")).as("__ha"),
+        xxhash64(lit(1), col("__m1"), col("__m2")).as("__hb"))
+      .groupBy(col("__ha"), col("__hb")).agg(count(lit(1)).as("__cb"))
+    // trigram positions, mapped, with the three lookup keys
+    val tg = tk
+      .where(size(col("__w")) >= 3)
+      .select(col("__id"), explode(expr(
+        "transform(sequence(0, size(__w) - 3), i -> struct(__w[i] AS w1, __w[i + 1] AS w2, __w[i + 2] AS w3))")).as("__p"))
+      .select(col("__id"), col("__p.w1").as("__w1"), col("__p.w2").as("__w2"), col("__p.w3").as("__w3"))
+      .join(broadcast(voc.select(col("__t").as("__w1"), lit(1).as("__k1"))), Seq("__w1"), "left")
+      .join(broadcast(voc.select(col("__t").as("__w2"), lit(1).as("__k2"))), Seq("__w2"), "left")
+      .join(broadcast(voc.select(col("__t").as("__w3"), lit(1).as("__k3"))), Seq("__w3"), "left")
+      .select(col("__id"),
+        mapped(col("__w1"), col("__k1")).as("__m1"),
+        mapped(col("__w2"), col("__k2")).as("__m2"),
+        mapped(col("__w3"), col("__k3")).as("__m3"))
+      .select(col("__id"), col("__m2"),
+        xxhash64(col("__m1"), col("__m2"), col("__m3")).as("__t1"),
+        xxhash64(lit(1), col("__m1"), col("__m2"), col("__m3")).as("__t2"),
+        xxhash64(col("__m1"), col("__m2")).as("__p1"),
+        xxhash64(lit(1), col("__m1"), col("__m2")).as("__p2"),
+        xxhash64(col("__m2"), col("__m3")).as("__s1"),
+        xxhash64(lit(1), col("__m2"), col("__m3")).as("__s2"))
+    // one computation of the tokenize/map lineage for both passes
+    val staged = tg.localCheckpoint(true)
+    val c123 = staged
+      .groupBy(col("__t1"), col("__t2")).agg(count(lit(1)).as("__ct"))
+    val scored = staged
+      .join(c123, Seq("__t1", "__t2"))
+      .join(c12.select(col("__ha").as("__p1"), col("__hb").as("__p2"),
+        col("__cb").as("__c12")), Seq("__p1", "__p2"))
+      .join(c12.select(col("__ha").as("__s1"), col("__hb").as("__s2"),
+        col("__cb").as("__c23")), Seq("__s1", "__s2"))
+      .join(c1.withColumnRenamed("__m", "__m2"), Seq("__m2"))
+      .crossJoin(broadcast(vsz))
+      .withColumn("__lp", log(
+        lit(lambda) * (col("__ct") + addK) / (col("__c12") + lit(addK) * col("__v")) +
+        lit(1 - lambda) * (col("__c23") + addK) / (col("__c1") + lit(addK) * col("__v"))))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_trigrams"), round(avg(col("__lp")), 4).as("avg_logprob"))
+    df.select(col(idCol).as("__id"))
+      .join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"), col("avg_logprob"))
+  }
+
   /** Cross-document duplicated-n-gram statistics (corpus-level
     * operator): for each document, the fraction of its DISTINCT word
     * n-grams that occur in at least one other document — the

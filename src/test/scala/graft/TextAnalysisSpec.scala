@@ -610,6 +610,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Set((4L, want)))
   }
 
+  test("lmScore3: hand-computed interpolated trigram scores, no window in the plan") {
+    // 10 docs "a a b z{i}": voc(topV=2) = {a, b}, V = 3;
+    // c1: a=20 b=10 unk=10; c12: (a,a)=10 (a,b)=10 (b,u)=10;
+    // c123: (a,a,b)=10 (a,b,u)=10
+    val df = (1L to 10L).map(i => (i, s"a a b z${i}")).toDF("id", "text")
+    val out = lmScore3(df, "text", "id", topV = 2)
+    assert(windowNodes(out) == 0)
+    val lp1 = math.log(0.5 * 11.0 / 13 + 0.5 * 11.0 / 23) // (a,a,b)
+    val lp2 = math.log(11.0 / 13)                         // (a,b,u): both halves 11/13
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = out.select($"n_trigrams", $"avg_logprob")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((2L, r4((lp1 + lp2) / 2))))
+    // a 2-token doc scores 0 trigrams with null avg
+    val tiny = lmScore3(Seq((1L, "a b"), (2L, "a a b c")).toDF("id", "text"), "text", "id", topV = 2)
+      .select($"id", $"n_trigrams").as[(Long, Long)].collect().toMap
+    assert(tiny(1L) == 0L && tiny(2L) == 2L)
+  }
+
   test("fixEncoding: mojibake repaired, CRLF folded, controls stripped, tab/LF kept") {
     def fix(s: String): String =
       Seq(Tuple1(s)).toDF("t").select(fixEncoding($"t").as("f"))
