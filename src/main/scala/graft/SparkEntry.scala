@@ -693,6 +693,19 @@ object SparkEntry {
     "q_histogram" -> ((s, dir) => {
       graft.operators.Profile.histogram(t(s, dir, "lineitem"), "l_quantity", bins = 20)
     }),
+    "q_funnel_histogram" -> ((s, dir) => {
+      // Profiling rows COMPOSE: the q_funnel survivor set (all five
+      // gates as one pushed filter) feeds the per-group histogram
+      // directly — no materialization between the steps, the gates
+      // ride along into the histogram's own scans.
+      val text = trim(col("text"))
+      val survivors = Parallelism.spread(t(s, dir, "documents"))
+        .where(text =!= "" && col("n_chars") >= 200 &&
+          col("lang").isin("en", "fr", "de") &&
+          size(split(text, "\\s+")) >= 30 &&
+          graft.functions.TextAnalysis.charEntropy(col("text")) >= 4.0)
+      graft.operators.Profile.histogramByGroup(survivors, "lang", "n_chars", bins = 10)
+    }),
     "q_histogram_by_group" -> ((s, dir) => {
       graft.operators.Profile.histogramByGroup(
         t(s, dir, "documents"), "lang", "n_chars", bins = 10)
@@ -1239,6 +1252,22 @@ object SparkEntry {
         .boilerplateLines(docs, "t2", "doc_id", minDocs = 50)
       graft.functions.TextAnalysis
         .stripBoilerplate(docs, boiler, "t2", "doc_id")
+        .select(col("doc_id"), md5(col("t2")).as("cleaned_md5"))
+    }),
+    "q_boilerplate_para" -> ((s, dir) => {
+      // PARAGRAPH granularity (RefinedWeb-style): sep = "\n\n", and
+      // the shared footer is a MULTI-LINE paragraph — line mode
+      // would split it, paragraph mode detects and strips it whole.
+      // Same operators, different separator: zero new code.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws("\n\n", col("text"),
+            lit("legal notice\n(c) example corp"),
+            substring(col("text"), 1, 40)).as("t2"))
+      val boiler = graft.functions.TextAnalysis
+        .boilerplateLines(docs, "t2", "doc_id", minDocs = 50, sep = "\n\n")
+      graft.functions.TextAnalysis
+        .stripBoilerplate(docs, boiler, "t2", "doc_id", sep = "\n\n")
         .select(col("doc_id"), md5(col("t2")).as("cleaned_md5"))
     }),
     "q_chunk" -> ((s, dir) => {
@@ -1942,6 +1971,30 @@ object SparkEntry {
         |  round(mn + (bin + 1) * (mx - mn) / 10, 4) AS hi,
         |  count(*)::BIGINT AS n_rows
         |FROM x GROUP BY lang, bin, mn, mx""".stripMargin,
+    // the q_funnel gate conjunction as the survivor filter, then the
+    // q_histogram_by_group arithmetic over the survivors
+    "q_funnel_histogram" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        |cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS n FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(n) AS t FROM cnt GROUP BY 1),
+        |ent AS (SELECT doc_id, sum(round(-(n/t) * log2(n/t), 6)::DECIMAL(18,6)) AS e
+        |  FROM cnt JOIN tot USING (doc_id) GROUP BY doc_id),
+        |sv AS (SELECT d.lang, d.n_chars
+        |  FROM documents d LEFT JOIN ent USING (doc_id)
+        |  WHERE trim(text) <> '' AND n_chars >= 200
+        |    AND lang IN ('en','fr','de')
+        |    AND len(string_split_regex(trim(text), '\s+')) >= 30
+        |    AND coalesce(e, 0) >= 4.0),
+        |b AS (SELECT lang, min(n_chars::DOUBLE) AS mn, max(n_chars::DOUBLE) AS mx
+        |  FROM sv WHERE n_chars IS NOT NULL GROUP BY 1),
+        |x AS (SELECT s.lang, CASE WHEN mx = mn THEN 0
+        |    ELSE least(9, floor((n_chars::DOUBLE - mn) / (mx - mn) * 10))::INT END AS bin,
+        |    mn, mx
+        |  FROM sv s JOIN b ON s.lang = b.lang WHERE n_chars IS NOT NULL)
+        |SELECT lang, bin, round(mn + bin * (mx - mn) / 10, 4) AS lo,
+        |  round(mn + (bin + 1) * (mx - mn) / 10, 4) AS hi,
+        |  count(*)::BIGINT AS n_rows
+        |FROM x GROUP BY lang, bin, mn, mx""".stripMargin,
     // Temperature-weighting replay: per-source counts → n^alpha
     // shares → rates, 6 dp (pow/round double parity, the standing
     // discipline).
@@ -2003,6 +2056,21 @@ object SparkEntry {
         |ex AS (SELECT doc_id, unnest(string_split(t2, chr(10))) AS line,
         |  generate_subscripts(string_split(t2, chr(10)), 1) AS pos FROM t),
         |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS c
+        |  FROM ex WHERE line NOT IN (SELECT line FROM boiler) GROUP BY 1)
+        |SELECT t.doc_id, md5(coalesce(agg.c, '')) AS cleaned_md5
+        |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
+    // paragraph mode: split on the blank-line separator; the
+    // two-line footer paragraph survives as ONE strip unit
+    "q_boilerplate_para" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || chr(10) || chr(10) || 'legal notice' || chr(10) || '(c) example corp'
+        |    || chr(10) || chr(10) || substr(text, 1, 40) AS t2
+        |  FROM documents),
+        |ld AS (SELECT doc_id, unnest(list_distinct(string_split(t2, chr(10) || chr(10)))) AS line FROM t),
+        |boiler AS (SELECT line FROM ld WHERE trim(line) <> '' GROUP BY 1 HAVING count(*) >= 50),
+        |ex AS (SELECT doc_id, unnest(string_split(t2, chr(10) || chr(10))) AS line,
+        |  generate_subscripts(string_split(t2, chr(10) || chr(10)), 1) AS pos FROM t),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) || chr(10) ORDER BY pos) AS c
         |  FROM ex WHERE line NOT IN (SELECT line FROM boiler) GROUP BY 1)
         |SELECT t.doc_id, md5(coalesce(agg.c, '')) AS cleaned_md5
         |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
