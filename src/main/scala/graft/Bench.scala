@@ -142,11 +142,15 @@ object Bench {
     // The driver keeps only the stdout tail, which truncates the full
     // query map (round-5 BENCH artifact parsed as null). Always write
     // the same JSON to a file: SPARK_GRAFT_BENCH_OUT when set, and
-    // BENCH_LAST.json as the standing FULL-BOARD copy — a targeted
-    // SPARK_GRAFT_BENCH_ONLY run must not clobber it (it would leave
-    // a 1-query artifact where the driver expects the whole board).
+    // BENCH_LAST.json as the standing FULL-BOARD copy. Neither a
+    // targeted SPARK_GRAFT_BENCH_ONLY run nor a non-default-SF run
+    // (sf1_gate's final sf1 bench) may clobber it — the driver reads
+    // BENCH_LAST.json as the full sf0.1 board; non-default-SF runs
+    // route through SPARK_GRAFT_BENCH_OUT instead.
+    val defaultSf = sys.env.contains("SPARK_GRAFT_SF_DIR") == false ||
+      sfDir == "/root/testdata/sf0.1"
     val outs = sys.env.get("SPARK_GRAFT_BENCH_OUT").toSeq ++
-      (if (only.isEmpty) Seq("BENCH_LAST.json") else Nil)
+      (if (only.isEmpty && defaultSf) Seq("BENCH_LAST.json") else Nil)
     outs.foreach { path =>
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(path),

@@ -1394,11 +1394,15 @@ object SparkEntry {
         .select("doc_id", "dhash")
     }),
     "q_multimodal_dhash_pairs" -> ((s, dir) => {
-      // End-to-end image near-dup: synthesize → real decode → dHash
-      // → chunk-blocked Hamming pairing. Geometry classes repeat
-      // every 81 ids, so visually-identical gradients pair up.
+      // End-to-end image near-dup over the DIVERSE synthesis:
+      // near-dup groups of 3 byte-identical PNGs (pair population
+      // linear in corpus size) with LCG-striped content (hash
+      // diversity grows with the corpus, chunk buckets stay under
+      // the cap at sf1) → real decode → dHash → chunk-blocked
+      // Hamming pairing. The smooth-gradient corpus (q_multimodal_
+      // dhash) and the DedupSpec flood case keep the cap covered.
       val imgs = graft.multimodal.Multimodal
-        .synthesizePng(t(s, dir, "documents").select("doc_id"), "doc_id")
+        .synthesizePngDiverse(t(s, dir, "documents").select("doc_id"), "doc_id")
       val codes = graft.multimodal.Multimodal.dHash(imgs, "payload")
         .select("doc_id", "dhash")
       Dedup.hammingPairs64(codes, "dhash", "doc_id", maxHamming = 2)
@@ -1500,6 +1504,31 @@ object SparkEntry {
       |    sum(CASE WHEN i >= 32 THEN bit << (i - 32) ELSE 0 END)::BIGINT AS hi,
       |    sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END)::BIGINT AS lo
       |  FROM bits GROUP BY 1)""".stripMargin
+
+  /** Shared DIVERSE-pattern dHash replay (q_multimodal_dhash_pairs):
+    * group seed g = doc_id div 3, LCG stripe bit per pixel column on
+    * the R channel, same floor-NN luma sampling and two-half packing
+    * as [[dhashCtes]].
+    */
+  private lazy val dhashDiverseCtes: String =
+    """gs AS (
+      |  SELECT doc_id, doc_id // 3 AS g FROM documents),
+      |gg0 AS (SELECT doc_id, g, 8 + g % 9 AS w, 8 + (g // 9) % 9 AS h,
+      |    (g * 1103515245 + 12345) % 2147483648 AS h0 FROM gs),
+      |gg AS (SELECT doc_id, g, w, h, xor(h0, h0 >> 16) AS hh FROM gg0),
+      |l AS (SELECT doc_id, x, y,
+      |    (299*(g % 96 + 3*((x*w)//9) + 5*((y*h)//8) + 40*((hh >> ((((x*w)//9) + ((y*h)//8)) % 31)) & 1)) +
+      |     587*((3*g) % 100 + 2*((x*w)//9) + 4*((y*h)//8)) +
+      |     114*((5*g) % 150 + ((x*w)//9) + ((y*h)//8))) // 1000 AS lum
+      |  FROM gg, range(0, 8) ty(y), range(0, 9) tx(x)),
+      |d AS (SELECT a.doc_id, (a.y*8 + a.x)::INT AS i,
+      |    CASE WHEN b.lum > a.lum THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      |  FROM l a JOIN l b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+      |  WHERE a.x < 8),
+      |agg AS (SELECT doc_id,
+      |    sum(CASE WHEN i >= 32 THEN bit << (i - 32) ELSE 0 END)::BIGINT AS hi,
+      |    sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END)::BIGINT AS lo
+      |  FROM d GROUP BY 1)""".stripMargin
 
   /** hammingPairs64 replay over any `agg(doc_id, hi, lo)` CTE chain:
     * 4×16-bit chunk blocking with the 2..1000 bucket-size keep
@@ -1898,10 +1927,13 @@ object SparkEntry {
         |tot AS (SELECT doc_id, sum(n) AS t FROM cnt GROUP BY 1),
         |ent AS (SELECT doc_id, round(sum(round(-(n/t) * log2(n/t), 6)::DECIMAL(18,6)), 4)::DOUBLE AS e
         |  FROM cnt JOIN tot USING (doc_id) GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(ent.e, 0.0) AS char_entropy,
-        |  round(CASE WHEN length(text) > 0
-        |    THEN length(regexp_replace(text, '[\x00-\x1f\x7f]', '', 'g'))::DOUBLE / length(text)
-        |    ELSE 1.0 END, 4) AS printable_ratio
+        |SELECT d.doc_id,
+        |  CASE WHEN text IS NULL THEN NULL
+        |    ELSE coalesce(ent.e, 0.0) END AS char_entropy,
+        |  CASE WHEN text IS NULL THEN NULL
+        |    WHEN length(text) > 0
+        |    THEN round(length(regexp_replace(text, '[\x00-\x1f\x7f]', '', 'g'))::DOUBLE / length(text), 4)
+        |    ELSE 1.0 END AS printable_ratio
         |FROM documents d LEFT JOIN ent USING (doc_id)""".stripMargin,
     "q_snapshot_diff" ->
       """WITH o AS (SELECT doc_id, md5(concat_ws(chr(1), coalesce(text, chr(0)),
@@ -2776,7 +2808,7 @@ object SparkEntry {
     // hammingPairs64 twin: 4×16-bit chunk blocking with the 2..1000
     // bucket-size keep window, pairs verified by exact two-half
     // Hamming — the same arithmetic as Dedup.hammingPairs64.
-    "q_multimodal_dhash_pairs" -> hamming64PairsSql(dhashCtes),
+    "q_multimodal_dhash_pairs" -> hamming64PairsSql(dhashDiverseCtes),
     "q_audio_hash" ->
       s"""WITH $ahashCtes
          |SELECT doc_id, printf('%08x%08x', hi, lo) AS ahash FROM agg""".stripMargin,

@@ -110,6 +110,90 @@ object Multimodal {
     }
   }
 
+  // ---- diverse image synthesis (perceptual-hash test corpus) -----
+  //
+  // The smooth affine pattern above is wrap-free and closed-form for
+  // decode/resize means, but its gradients are MONOTONE: every dHash
+  // bit reduces to "did the sampled column advance", i.e. a function
+  // of the width alone — ≤ 9 distinct codes at any corpus size, so
+  // at sf1 every 16-bit chunk bucket blows past the pairing cap and
+  // the near-dup query only exercises the guard. The diverse pattern
+  // fixes the TEST CORPUS (the operator is untouched): ids come in
+  // near-dup groups of 3 (byte-identical PNGs — the pair population
+  // stays LINEAR in corpus size at every SF), and each group gets an
+  // LCG-seeded ±40 R-channel stripe per pixel column that flips luma
+  // gradients pseudo-randomly — hash diversity grows with the
+  // corpus, buckets stay bounded, and every bit is still closed-form
+  // (the LCG is plain integer arithmetic the oracle replays).
+
+  private[graft] def diverseSeed(id: Long): Long = Math.floorDiv(id, 3L)
+
+  /** Classic 31-bit LCG with one xor-fold of the high half into the
+    * low — plain integer arithmetic any engine replays. The fold
+    * matters: raw LCG low bits are short-period (bit k has period
+    * 2^(k+1)), which manufactures structured cross-group hash
+    * collisions; xoring in the high bits gives every stripe index
+    * high-period entropy.
+    */
+  private[graft] def diverseHash(g: Long): Long = {
+    val h0 = Math.floorMod(g * 1103515245L + 12345L, 2147483648L)
+    h0 ^ (h0 >> 16)
+  }
+
+  /** Wrap-free: 95 + 3·15 + 5·15 + 40 = 255 exactly on R. The
+    * stripe bit is indexed by (x + y) % 31, not x alone: an x-only
+    * stripe would repeat one 8-bit pattern across all 8 dHash rows
+    * (≤ 256 codes per geometry → quadratic cross-group hash-equal
+    * pairs); the diagonal index spreads the full 31-bit seed across
+    * the grid, so codes are effectively unique per group and the
+    * pair population stays within-group, i.e. linear.
+    */
+  private[graft] def pixelDiverse(id: Long, x: Int, y: Int): (Int, Int, Int) = {
+    val g = diverseSeed(id)
+    val h = diverseHash(g)
+    (Math.floorMod(g, 96L).toInt + 3 * x + 5 * y +
+      40 * ((h >> ((x + y) % 31)) & 1L).toInt,
+      Math.floorMod(3 * g, 100L).toInt + 2 * x + 4 * y,
+      Math.floorMod(5 * g, 150L).toInt + x + y)
+  }
+
+  private[graft] def imageGeometryDiverse(id: Long): (Int, Int) =
+    imageGeometry(diverseSeed(id))
+
+  private[graft] def pngBytesDiverse(id: Long): Array[Byte] = {
+    val (w, h) = imageGeometryDiverse(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pixelDiverse(id, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream(1024)
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** [[synthesizePng]] with the DIVERSE pattern — the test corpus for
+    * perceptual-hash PAIRING at scale (see block comment above).
+    */
+  def synthesizePngDiverse(df: DataFrame, idCol: String, outCol: String = "payload"): DataFrame = {
+    val outSchema = df.schema.add(StructField(outCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes: Array[Byte] =
+          if (row.isNullAt(idIdx)) null else pngBytesDiverse(row.getLong(idIdx))
+        Row.fromSeq(row.toSeq :+ (bytes: Any))
+      }
+    }
+  }
+
   /** REAL image decode: parse the payload with `javax.imageio`
     * (PNG/JPEG/GIF/BMP — whatever the JDK readers accept) and emit
     * `width`, `height` (long) and exact per-channel means

@@ -203,6 +203,22 @@ class MultimodalSpec extends SparkSpec {
     assert(nulls == Seq(true, true))
   }
 
+  test("synthesizePngDiverse: 3-id near-dup groups, scaling hash diversity") {
+    import graft.multimodal.Multimodal
+    val ids = (0L until 120L).toDF("id")
+    val codes = Multimodal.dHash(
+      Multimodal.synthesizePngDiverse(ids, "id"), "payload")
+      .select($"id", $"dhash").as[(Long, String)].collect().toMap
+    // ids in the same div-3 group are byte-identical -> same code
+    (0L until 120L by 3).foreach { g =>
+      assert(codes(g) == codes(g + 1) && codes(g) == codes(g + 2), s"group $g")
+    }
+    // across groups codes diversify (the smooth pattern gives <= 9
+    // distinct codes on any id range; diverse must beat that easily)
+    val distinct = (0L until 120L by 3).map(codes).toSet
+    assert(distinct.size > 20, s"only ${distinct.size} distinct codes")
+  }
+
   test("aHash: matches independent closed-form bits; edge payloads -> null") {
     import graft.multimodal.Multimodal
     val ids = (0L to 40L) ++ Seq(98L, 127L, 255L, 1280L, 99999L)

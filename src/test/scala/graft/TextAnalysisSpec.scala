@@ -610,6 +610,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Set((4L, want)))
   }
 
+  test("entropySignals: null text -> null fields; empty -> (0.0, 1.0)") {
+    val df = Seq(
+      (1L, null.asInstanceOf[String]),
+      (2L, ""),
+      (3L, "aabb")).toDF("id", "t")
+    val out = df.select($"id", entropySignals($"t").as("e"))
+      .select($"id", $"e.char_entropy", $"e.printable_ratio")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(out(1L) == ((None, None)))
+    assert(out(2L) == ((Some(0.0), Some(1.0))))
+    assert(out(3L) == ((Some(1.0), Some(1.0)))) // two equiprobable chars
+  }
+
   test("lmScore3: hand-computed interpolated trigram scores, no window in the plan") {
     // 10 docs "a a b z{i}": voc(topV=2) = {a, b}, V = 3;
     // c1: a=20 b=10 unk=10; c12: (a,a)=10 (a,b)=10 (b,u)=10;
