@@ -693,6 +693,29 @@ object SparkEntry {
     "q_histogram" -> ((s, dir) => {
       graft.operators.Profile.histogram(t(s, dir, "lineitem"), "l_quantity", bins = 20)
     }),
+    "q_gate_sweep" -> ((s, dir) => {
+      // Threshold tuning for the entropy gate: pass rate at five
+      // candidate cutoffs from ONE scan. The comparisons ride the
+      // exact micro-unit entropy sum, so both engines agree on ≥.
+      val d = Parallelism.spread(t(s, dir, "documents"))
+        .select(graft.functions.TextAnalysis.charEntropy(col("text")).as("e"))
+      graft.operators.Profile.gateSweep(d, "e", Seq(3.5, 3.8, 4.0, 4.2, 4.5))
+    }),
+    "q_bpe_fertility" -> ((s, dir) => {
+      // Tokenizer-eval fertility (BPE tokens per whitespace word) by
+      // language — the standard "how well does this vocab fit this
+      // corpus slice" diagnostic; exact integer sums, one scan.
+      val spec = graft.functions.Bpe.testFixture
+      val d = Parallelism.spread(t(s, dir, "documents"))
+        .select(col("lang"),
+          graft.functions.TextAnalysis.tokenCount(col("text")).cast("long").as("w"),
+          graft.functions.Bpe.bpeTokenCount(col("text"), spec).cast("long").as("tk"))
+      d.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"),
+        sum(col("tk")).as("n_tokens"),
+        round(sum(col("tk")).cast("double") / sum(col("w")), 4).as("fertility"))
+    }),
     "q_funnel_histogram" -> ((s, dir) => {
       // Profiling rows COMPOSE: the q_funnel survivor set (all five
       // gates as one pushed filter) feeds the per-group histogram
@@ -2003,6 +2026,42 @@ object SparkEntry {
         |  round(mn + (bin + 1) * (mx - mn) / 10, 4) AS hi,
         |  count(*)::BIGINT AS n_rows
         |FROM x GROUP BY lang, bin, mn, mx""".stripMargin,
+    // the funnel's exact micro-unit entropy feeding five CASE-sum
+    // counters in one aggregate
+    "q_gate_sweep" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        |cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS n FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(n) AS t FROM cnt GROUP BY 1),
+        |ent AS (SELECT doc_id, sum(round(-(n/t) * log2(n/t), 6)::DECIMAL(18,6)) AS e
+        |  FROM cnt JOIN tot USING (doc_id) GROUP BY doc_id),
+        |base AS (SELECT coalesce(ent.e, 0) AS e
+        |  FROM documents d LEFT JOIN ent USING (doc_id)),
+        |a AS (SELECT count(*) AS total,
+        |  sum(CASE WHEN e >= 3.5 THEN 1 ELSE 0 END)::BIGINT AS p0,
+        |  sum(CASE WHEN e >= 3.8 THEN 1 ELSE 0 END)::BIGINT AS p1,
+        |  sum(CASE WHEN e >= 4.0 THEN 1 ELSE 0 END)::BIGINT AS p2,
+        |  sum(CASE WHEN e >= 4.2 THEN 1 ELSE 0 END)::BIGINT AS p3,
+        |  sum(CASE WHEN e >= 4.5 THEN 1 ELSE 0 END)::BIGINT AS p4
+        |  FROM base)
+        |SELECT 3.5::DOUBLE AS threshold, p0 AS pass_count,
+        |  round(p0 / total::DOUBLE, 6) AS pass_share FROM a
+        |UNION ALL SELECT 3.8::DOUBLE, p1, round(p1 / total::DOUBLE, 6) FROM a
+        |UNION ALL SELECT 4.0::DOUBLE, p2, round(p2 / total::DOUBLE, 6) FROM a
+        |UNION ALL SELECT 4.2::DOUBLE, p3, round(p3 / total::DOUBLE, 6) FROM a
+        |UNION ALL SELECT 4.5::DOUBLE, p4, round(p4 / total::DOUBLE, 6) FROM a""".stripMargin,
+    // whitespace word counts vs the BPE replay's per-doc token
+    // counts, aggregated per language with exact integer sums
+    "q_bpe_fertility" ->
+      s"""WITH $bpeOracleCtes,
+         |wt AS (SELECT doc_id, lang, CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+         |  ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS w
+         |  FROM documents),
+         |j AS (SELECT wt.lang, wt.w, coalesce(k.tokens, 0) AS tk
+         |  FROM wt LEFT JOIN bdtok k USING (doc_id))
+         |SELECT lang, count(*)::BIGINT AS n_docs, sum(w)::BIGINT AS n_words,
+         |  sum(tk)::BIGINT AS n_tokens,
+         |  round(sum(tk)::DOUBLE / sum(w), 4) AS fertility
+         |FROM j GROUP BY 1""".stripMargin,
     // the q_funnel gate conjunction as the survivor filter, then the
     // q_histogram_by_group arithmetic over the survivors
     "q_funnel_histogram" ->

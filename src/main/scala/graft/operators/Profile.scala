@@ -263,6 +263,37 @@ object Profile {
       .select(col(groupCol), col("f.*"))
   }
 
+  /** One-scan THRESHOLD SWEEP over a numeric signal — the tuning
+    * view for picking a quality-gate cutoff ([[stageFunnel]] answers
+    * "how many survive THESE gates"; this answers "how would the
+    * pass rate move as the threshold slides"): for each candidate
+    * threshold, the count and share of rows with value ≥ t, all from
+    * ONE aggregation (thresholds are a handful of literals — the agg
+    * row is bounded, nothing re-scans per candidate). Output rows =
+    * |thresholds|.
+    */
+  def gateSweep(
+      df: DataFrame,
+      valueCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "no thresholds given")
+    val v = col(valueCol).cast("double")
+    val aggs = count(lit(1)).as("__total") +:
+      thresholds.zipWithIndex.map { case (t, i) =>
+        coalesce(sum(when(v >= t, 1L).otherwise(0L)), lit(0L)).as(s"__p_$i")
+      }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(thresholds.zipWithIndex.map { case (t, i) =>
+        struct(
+          lit(t).as("threshold"),
+          col(s"__p_$i").as("pass_count"),
+          round(when(col("__total") > 0,
+            col(s"__p_$i") / col("__total").cast("double")), 6)
+            .as("pass_share"))
+      }: _*)).as("f"))
+      .select("f.*")
+  }
+
   /** Heavy hitters: the `k` most frequent values of a column (top
     * domains, top hosts, vocabulary head, …). One counted aggregation
     * (map-side combine) + `TakeOrderedAndProject` — each task keeps k

@@ -309,4 +309,22 @@ class ProfileSpec extends SparkSpec {
       for (i <- stages.indices) assert(solo(i) == out((g, i)), s"$g stage $i")
     }
   }
+
+  test("gateSweep: hand-computed pass counts/shares, one row per threshold") {
+    import graft.operators.Profile
+    val df = Seq[java.lang.Double](1.0, 2.0, 2.0, 3.5, 4.0, 5.0, null)
+      .toDF("v")
+    val out = Profile.gateSweep(df, "v", Seq(2.0, 3.5, 4.5))
+      .select($"threshold", $"pass_count", $"pass_share")
+      .as[(Double, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // 7 rows total (null counts in the denominator, never passes)
+    assert(out(2.0) == ((5L, math.rint(5.0 / 7 * 1e6) / 1e6)))
+    assert(out(3.5) == ((3L, math.rint(3.0 / 7 * 1e6) / 1e6)))
+    assert(out(4.5) == ((1L, math.rint(1.0 / 7 * 1e6) / 1e6)))
+    assert(out.size == 3)
+    // empty input: zero counts, null shares
+    val empty = Profile.gateSweep(df.where($"v" > 100), "v", Seq(1.0))
+      .select($"pass_count", $"pass_share").collect().head
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1))
+  }
 }
