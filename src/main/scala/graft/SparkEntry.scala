@@ -646,6 +646,21 @@ object SparkEntry {
         .select(col("doc_id"), sig.as("e"))
         .select(col("doc_id"), col("e.char_entropy"), col("e.printable_ratio"))
     }),
+    "q_script" -> ((s, dir) => {
+      // Script-mix signal over a synthesized multi-script corpus:
+      // the testdata text is ASCII-only, so each doc gets a repeated
+      // snippet in a rotating script appended — counts, ratio, and
+      // the dominant CASE chain all exercise every class.
+      val snippet = expr(
+        "repeat(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'Привет мир' " +
+          "WHEN 1 THEN 'مرحبا بالعالم' WHEN 2 THEN '你好世界' " +
+          "ELSE '안녕하세요' END, CAST(doc_id % 3 AS INT) + 1)")
+      Parallelism.spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.scriptSignals(
+            concat(col("text"), lit(" "), snippet)).as("sc"))
+        .select(col("doc_id"), col("sc.*"))
+    }),
     "q_snapshot_diff" -> ((s, dir) => {
       // yesterday = documents; today = 10% removed, 10% edited, 10%
       // re-ingested under new ids — the daily-crawl diff shape.
@@ -692,6 +707,15 @@ object SparkEntry {
     }),
     "q_histogram" -> ((s, dir) => {
       graft.operators.Profile.histogram(t(s, dir, "lineitem"), "l_quantity", bins = 20)
+    }),
+    "q_padding" -> ((s, dir) => {
+      // Bucketed-batching padding audit over whitespace token
+      // counts: what fraction of padded positions each length bucket
+      // wastes at these boundaries.
+      val d = Parallelism.spread(t(s, dir, "documents"))
+        .select(graft.functions.TextAnalysis.tokenCount(col("text"))
+          .cast("long").as("n_tok"))
+      graft.operators.Profile.paddingStats(d, "n_tok", Seq(32, 64, 128, 256))
     }),
     "q_gate_sweep" -> ((s, dir) => {
       // Threshold tuning for the entropy gate: pass rate at five
@@ -997,6 +1021,21 @@ object SparkEntry {
       graft.functions.TextAnalysis.lmScore3(
         Parallelism.spread(t(s, dir, "documents")), "text", "doc_id", topV = 20)
     }),
+    "q_ccnet_buckets" -> ((s, dir) => {
+      // CCNet perplexity buckets (Wenzek et al. 2020): LM-score every
+      // doc, then tag head/middle/tail PER LANGUAGE by that lang's
+      // own score terciles — high avg_logprob (low perplexity) =
+      // head. Composes rows 81 (lmScore) and 126
+      // (bucketByGroupQuantiles) in the canonical configuration.
+      val docs = Parallelism.spread(t(s, dir, "documents"))
+      val scored = graft.functions.TextAnalysis
+        .lmScore(docs, "text", "doc_id", topV = 20)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("avg_logprob"))
+      graft.operators.Profile.bucketByGroupQuantiles(
+        scored, "avg_logprob", "lang",
+        labels = Seq("tail", "middle", "head"))
+    }),
     "q_dup_ngrams" -> ((s, dir) => {
       graft.functions.TextAnalysis.dupNgramStats(
         docsWithDups(s, dir), "text", "doc_id", n = 5)
@@ -1036,6 +1075,20 @@ object SparkEntry {
           md5(graft.functions.TextAnalysis.redact(col("t2"))).as("redacted_md5"),
           size(regexp_extract_all(col("t2"), lit("https?://[^\\s]+"), lit(0)))
             .cast("long").as("n_urls"))
+    }),
+    "q_redact_stats" -> ((s, dir) => {
+      // PII prevalence report over a variably-injected corpus:
+      // doc_id % 3 copies of a snippet holding one of each class, so
+      // counts differ per row and % 3 == 0 rows exercise has_pii =
+      // false. Counts follow redact's ladder (URL first, then
+      // email/IP/phone on the already-replaced text).
+      val snip = expr("repeat(' ping admin@ex.org or https://ex.org/d?x=2 " +
+        "from 10.1.2.3 call (415) 555.0100', CAST(doc_id % 3 AS INT))")
+      Parallelism.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), concat(col("text"), snip).as("t2"))
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.piiCounts(col("t2")).as("p"))
+        .select(col("doc_id"), col("p.*"))
     }),
     "q_html_text" -> ((s, dir) => {
       // Wrap every doc in crawl-style HTML noise (head/script/style,
@@ -1958,6 +2011,38 @@ object SparkEntry {
         |    THEN round(length(regexp_replace(text, '[\x00-\x1f\x7f]', '', 'g'))::DOUBLE / length(text), 4)
         |    ELSE 1.0 END AS printable_ratio
         |FROM documents d LEFT JOIN ent USING (doc_id)""".stripMargin,
+    // Script-signal replay: same synthesized multi-script text, same
+    // remove-and-diff range-class counts, same argmax CASE chain.
+    "q_script" ->
+      """WITH a AS (SELECT doc_id,
+        |  text || ' ' || repeat(CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'Привет мир' WHEN 1 THEN 'مرحبا بالعالم'
+        |    WHEN 2 THEN '你好世界' ELSE '안녕하세요' END,
+        |    CAST(doc_id % 3 AS INT) + 1) AS t FROM documents),
+        |c AS (SELECT doc_id,
+        |  length(t) - length(regexp_replace(t, '[A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{024F}]', '', 'g')) AS n_latin,
+        |  length(t) - length(regexp_replace(t, '[\x{0400}-\x{04FF}]', '', 'g')) AS n_cyrillic,
+        |  length(t) - length(regexp_replace(t, '[\x{0600}-\x{06FF}]', '', 'g')) AS n_arabic,
+        |  length(t) - length(regexp_replace(t, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS n_han,
+        |  length(t) - length(regexp_replace(t, '[\x{AC00}-\x{D7AF}]', '', 'g')) AS n_hangul,
+        |  length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS n_digit,
+        |  length(t) - length(regexp_replace(t, '[\p{L}]', '', 'g')) AS n_letters
+        |  FROM a)
+        |SELECT doc_id, n_latin::BIGINT AS n_latin, n_cyrillic::BIGINT AS n_cyrillic,
+        |  n_arabic::BIGINT AS n_arabic, n_han::BIGINT AS n_han,
+        |  n_hangul::BIGINT AS n_hangul, n_digit::BIGINT AS n_digit,
+        |  n_letters::BIGINT AS n_letters,
+        |  round(n_latin::DOUBLE / nullif(n_letters, 0), 4) AS latin_ratio,
+        |  CASE WHEN n_letters = 0 THEN NULL
+        |    WHEN n_latin > 0 AND n_latin >= n_cyrillic AND n_latin >= n_arabic
+        |      AND n_latin >= n_han AND n_latin >= n_hangul THEN 'latin'
+        |    WHEN n_cyrillic > 0 AND n_cyrillic >= n_arabic
+        |      AND n_cyrillic >= n_han AND n_cyrillic >= n_hangul THEN 'cyrillic'
+        |    WHEN n_arabic > 0 AND n_arabic >= n_han AND n_arabic >= n_hangul THEN 'arabic'
+        |    WHEN n_han > 0 AND n_han >= n_hangul THEN 'han'
+        |    WHEN n_hangul > 0 THEN 'hangul'
+        |    ELSE NULL END AS dominant
+        |FROM c""".stripMargin,
     "q_snapshot_diff" ->
       """WITH o AS (SELECT doc_id, md5(concat_ws(chr(1), coalesce(text, chr(0)),
         |    coalesce(lang, chr(0)))) AS fp FROM documents),
@@ -2026,6 +2111,21 @@ object SparkEntry {
         |  round(mn + (bin + 1) * (mx - mn) / 10, 4) AS hi,
         |  count(*)::BIGINT AS n_rows
         |FROM x GROUP BY lang, bin, mn, mx""".stripMargin,
+    // padding audit replay: same CASE bucket assignment, grouped
+    // integer sums, cap = boundary (overflow pads to its own max)
+    "q_padding" ->
+      """WITH tk AS (SELECT CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS l FROM documents),
+        |b AS (SELECT CASE WHEN l <= 32 THEN 0 WHEN l <= 64 THEN 1
+        |    WHEN l <= 128 THEN 2 WHEN l <= 256 THEN 3 ELSE 4 END AS bucket, l FROM tk),
+        |g AS (SELECT bucket, count(*) AS n_rows, sum(l) AS sum_len, max(l) AS max_len
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT bucket, CASE bucket WHEN 0 THEN 32 WHEN 1 THEN 64
+        |    WHEN 2 THEN 128 WHEN 3 THEN 256 ELSE max_len END::BIGINT AS cap,
+        |  n_rows, sum_len::BIGINT AS sum_len, max_len::BIGINT AS max_len FROM g)
+        |SELECT bucket, cap, n_rows, sum_len, max_len,
+        |  round(1 - sum_len::DOUBLE / (n_rows * cap), 6) AS waste_ratio
+        |FROM c""".stripMargin,
     // the funnel's exact micro-unit entropy feeding five CASE-sum
     // counters in one aggregate
     "q_gate_sweep" ->
@@ -2557,6 +2657,38 @@ object SparkEntry {
         |  FROM sc GROUP BY 1)
         |SELECT d.doc_id, coalesce(ag.n_bigrams, 0)::BIGINT AS n_bigrams, ag.avg_logprob
         |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin,
+    // CCNet bucket replay: the q_lm_score chain, then per-lang
+    // tercile thresholds (6 dp) and the same ascending CASE chain.
+    // Cut-point literals are the exact Scala doubles 1.0/3 and 2.0/3.
+    "q_ccnet_buckets" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        |un AS (SELECT unnest(w) AS t FROM tk),
+        |uc AS (SELECT t, count(*) AS c FROM un GROUP BY 1),
+        |voc AS (SELECT t FROM uc ORDER BY c DESC, t LIMIT 20),
+        |vsz AS (SELECT (count(*) + 1)::DOUBLE AS v FROM voc),
+        |mu AS (SELECT CASE WHEN t IN (SELECT t FROM voc) THEN t ELSE '<unk>' END AS m1 FROM un),
+        |c1 AS (SELECT m1, count(*) AS cu FROM mu GROUP BY 1),
+        |bgx AS (SELECT doc_id, unnest(list_transform(range(0, len(w) - 1),
+        |    i -> {'a': w[i + 1], 'b': w[i + 2]})) AS p FROM tk WHERE len(w) >= 2),
+        |bg AS (SELECT doc_id,
+        |  CASE WHEN p.a IN (SELECT t FROM voc) THEN p.a ELSE '<unk>' END AS m1,
+        |  CASE WHEN p.b IN (SELECT t FROM voc) THEN p.b ELSE '<unk>' END AS m2 FROM bgx),
+        |c12 AS (SELECT m1, m2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, ln((cb + 1.0) / (cu + 1.0 * v)) AS lp
+        |  FROM bg JOIN c12 USING (m1, m2) JOIN c1 USING (m1), vsz),
+        |ag AS (SELECT doc_id, round(avg(lp), 4) AS avg_logprob FROM sc GROUP BY 1),
+        |s AS (SELECT d.doc_id, d.lang, ag.avg_logprob AS lp
+        |  FROM documents d LEFT JOIN ag USING (doc_id)),
+        |thr AS (SELECT lang,
+        |  round(quantile_cont(lp, 0.3333333333333333), 6) AS t1,
+        |  round(quantile_cont(lp, 0.6666666666666666), 6) AS t2
+        |  FROM s GROUP BY 1)
+        |SELECT s.doc_id, s.lang, s.lp AS avg_logprob,
+        |  CASE WHEN s.lp IS NULL THEN NULL
+        |    WHEN s.lp <= t1 THEN 'tail'
+        |    WHEN s.lp <= t2 THEN 'middle'
+        |    ELSE 'head' END AS bucket
+        |FROM s JOIN thr USING (lang)""".stripMargin,
     // trigram twin: same vocab/count tables, interpolated
     // λ·P3 + (1−λ)·P2 per trigram position, λ = 0.5
     "q_lm_score3" ->
@@ -2670,6 +2802,23 @@ object SparkEntry {
         |c AS (SELECT doc_id, trim(regexp_replace(t2, '\s+', ' ', 'g')) AS t3 FROM e)
         |SELECT doc_id, md5(t3) AS text_md5, length(t3)::BIGINT AS n_chars
         |FROM c""".stripMargin,
+    // PII-count replay: same injected snippet, same redact ladder —
+    // count each class with regexp_extract_all on the text with the
+    // earlier classes already replaced.
+    "q_redact_stats" ->
+      """WITH a AS (SELECT doc_id, text || repeat(' ping admin@ex.org or https://ex.org/d?x=2 from 10.1.2.3 call (415) 555.0100', CAST(doc_id % 3 AS INT)) AS t FROM documents),
+        |r0 AS (SELECT doc_id, len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_url,
+        |  regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g') AS t1 FROM a),
+        |r1 AS (SELECT doc_id, n_url, len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2 FROM r0),
+        |r2 AS (SELECT doc_id, n_url, n_email, len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |  regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t3 FROM r1),
+        |r3 AS (SELECT doc_id, n_url, n_email, n_ip,
+        |  len(regexp_extract_all(t3, '(\+\d{1,2}[ .-]?)?(\(\d{3}\)[ .-]?|\b\d{3}[ .-])\d{3}[ .-]\d{4}\b')) AS n_phone FROM r2)
+        |SELECT doc_id, n_url::BIGINT AS n_url, n_email::BIGINT AS n_email,
+        |  n_ip::BIGINT AS n_ip, n_phone::BIGINT AS n_phone,
+        |  (n_url + n_email + n_ip + n_phone) > 0 AS has_pii
+        |FROM r3""".stripMargin,
     "q_fix_encoding" -> {
       val fixed = fixEncodingSqlChain(s"text || ${sqlQ(dirtySuffix)}")
       s"""WITH f AS (SELECT doc_id, $fixed AS t FROM documents)

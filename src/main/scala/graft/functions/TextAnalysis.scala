@@ -569,15 +569,43 @@ object TextAnalysis {
     * `\d`, bounded repeats — no lookaround) so the DuckDB oracle
     * replays the chain verbatim.
     */
+  private[graft] val urlRe = "https?://[^\\s]+"
+  private[graft] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val phoneRe =
+    "(\\+\\d{1,2}[ .-]?)?(\\(\\d{3}\\)[ .-]?|\\b\\d{3}[ .-])\\d{3}[ .-]\\d{4}\\b"
+
   def redact(c: Column): Column = {
-    val url = regexp_replace(c, "https?://[^\\s]+", "<URL>")
-    val email = regexp_replace(url,
-      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    val ip = regexp_replace(email,
-      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
-    regexp_replace(ip,
-      "(\\+\\d{1,2}[ .-]?)?(\\(\\d{3}\\)[ .-]?|\\b\\d{3}[ .-])\\d{3}[ .-]\\d{4}\\b",
-      "<PHONE>")
+    val url = regexp_replace(c, urlRe, "<URL>")
+    val email = regexp_replace(url, emailRe, "<EMAIL>")
+    val ip = regexp_replace(email, ipRe, "<IP>")
+    regexp_replace(ip, phoneRe, "<PHONE>")
+  }
+
+  /** Per-class PII/URL match counts — the prevalence report a
+    * redaction decision (and its before/after audit) is made from.
+    * Counts follow [[redact]]'s ladder exactly: URLs are counted on
+    * the raw text, then each later class on the text with the
+    * earlier classes already replaced, so a URL-embedded email or a
+    * dotted quad inside a URL is attributed to ONE class — the same
+    * one `redact` scrubs it as. Non-overlapping left-to-right
+    * `regexp_count` in both engines; row-local, codegen'd.
+    * @return struct (n_url, n_email, n_ip, n_phone, has_pii).
+    */
+  def piiCounts(c: Column): Column = {
+    val nUrl = regexp_count(c, lit(urlRe))
+    val t1 = regexp_replace(c, urlRe, "<URL>")
+    val nEmail = regexp_count(t1, lit(emailRe))
+    val t2 = regexp_replace(t1, emailRe, "<EMAIL>")
+    val nIp = regexp_count(t2, lit(ipRe))
+    val t3 = regexp_replace(t2, ipRe, "<IP>")
+    val nPhone = regexp_count(t3, lit(phoneRe))
+    struct(
+      nUrl.cast("long").as("n_url"),
+      nEmail.cast("long").as("n_email"),
+      nIp.cast("long").as("n_ip"),
+      nPhone.cast("long").as("n_phone"),
+      (nUrl + nEmail + nIp + nPhone > 0).as("has_pii"))
   }
 
   /** Gopher-style document quality gates (Rae et al., "Scaling
@@ -1048,6 +1076,61 @@ object TextAnalysis {
   def deflateRatio(c: Column): Column = {
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.column(DeflateRatio(GraftSqlBridge.expression(c)))
+  }
+
+  /** The script classes [[scriptSignals]] counts, each an explicit
+    * BMP code-point range class (NOT `\p{script=...}` — the two
+    * engines ship different Unicode table versions, a literal range
+    * cannot drift): Latin letters (ASCII + Latin-1/Extended-A/B,
+    * excluding ×/÷), Cyrillic, Arabic, CJK Unified Ideographs,
+    * Hangul syllables, ASCII digits. `\x{h..h}` escapes sit in the
+    * Java∩RE2 intersection, so the oracle replays the classes
+    * verbatim.
+    */
+  private[graft] val scriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z\\x{00C0}-\\x{00D6}\\x{00D8}-\\x{00F6}\\x{00F8}-\\x{024F}",
+    "cyrillic" -> "\\x{0400}-\\x{04FF}",
+    "arabic" -> "\\x{0600}-\\x{06FF}",
+    "han" -> "\\x{4E00}-\\x{9FFF}",
+    "hangul" -> "\\x{AC00}-\\x{D7AF}",
+    "digit" -> "0-9")
+
+  /** Per-script character counts + dominant script — the signal that
+    * catches what [[languageId]]'s stopword vote cannot: mixed-script
+    * spam, wrong-script contamination inside a claimed-language
+    * slice, and transliteration artifacts. Counts use the
+    * remove-and-diff device (`length(c) − length(regexp_replace(c,
+    * "[class]", ""))`): each removed BMP char shrinks BOTH engines'
+    * length by exactly 1 (UTF-16 units vs code points only diverge
+    * on astral chars, which no class matches), so every count —
+    * hence the whole struct — replays verbatim in the oracle.
+    * `n_letters` is the `\p{L}` count (same device); `latin_ratio` =
+    * latin/letters, 4 dp. `dominant` is the first class in
+    * [[scriptClasses]] order (digits excluded) whose count is ≥ all
+    * later ones — a deterministic argmax both engines express as one
+    * CASE chain; all-zero letter counts → null. Row-local,
+    * codegen'd, null/empty degrade to null/zero fields.
+    */
+  def scriptSignals(c: Column): Column = {
+    def cnt(cls: String): Column =
+      (length(c) - length(regexp_replace(c, s"[$cls]", ""))).cast("long")
+    val counts = scriptClasses.map { case (nm, cls) => nm -> cnt(cls) }.toMap
+    val letters = cnt("\\p{L}")
+    val scriptNames = scriptClasses.map(_._1).filterNot(_ == "digit")
+    // First name whose count is >= every later name's count; the
+    // CASE order itself is the tie-break.
+    val dominant = scriptNames.zipWithIndex.foldLeft(
+      when(letters === 0L, lit(null).cast("string"))) { case (acc, (nm, i)) =>
+      val later = scriptNames.drop(i + 1)
+      val isMax = later.foldLeft(counts(nm) > 0L) { (e, o) => e && counts(nm) >= counts(o) }
+      acc.when(isMax, lit(nm))
+    }.otherwise(lit(null).cast("string"))
+    struct(
+      (scriptClasses.map { case (nm, _) => counts(nm).as(s"n_$nm") } ++ Seq(
+        letters.as("n_letters"),
+        round(counts("latin").cast("double") / nullif(letters, lit(0L)), 4)
+          .as("latin_ratio"),
+        dominant.as("dominant"))): _*)
   }
 
   /** Concat-and-chunk packing assignment: lay documents out in

@@ -157,6 +157,96 @@ object Profile {
       .drop(thrCol)
   }
 
+  /** Per-group quantile BUCKETING — tag every row with which slice of
+    * its own group's distribution it falls in ("head/middle/tail" per
+    * language, the CCNet perplexity-bucket device of Wenzek et al.
+    * 2020): `probs` ascending cut points → `labels` (one more label
+    * than probs), row r gets the first label whose group-threshold is
+    * ≥ its value. Same scale shape as [[dropBelowGroupQuantile]]: the
+    * thresholds are ONE bounded aggregation (|groups| × |probs| —
+    * AQE-broadcast on the join back), the tag itself is a row-local
+    * CASE chain, and each threshold is rounded to 6 dp so the bucket
+    * assignment is engine-portable. Null values tag null; rows with a
+    * null group drop (inner join, as in the gate). `approx = true`
+    * switches the threshold fit to one-pass sketches for 100 TB.
+    */
+  def bucketByGroupQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      probs: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+      labels: Seq[String] = Seq("head", "middle", "tail"),
+      outCol: String = "bucket",
+      approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(probs.nonEmpty && probs == probs.sorted, "probs must be ascending")
+    require(probs.forall(p => p >= 0.0 && p <= 1.0), "probs must be in [0, 1]")
+    require(labels.length == probs.length + 1,
+      s"need ${probs.length + 1} labels for ${probs.length} cut points")
+    val v = col(valueCol).cast("double")
+    val thrCols = probs.indices.map(i => graft.Cols.unique(s"__thr$i", df))
+    val aggs = probs.zip(thrCols).map { case (p, tc) =>
+      val q =
+        if (approx) approx_percentile(v, lit(p), lit(accuracy))
+        else percentile(v, lit(p))
+      round(q, 6).as(tc)
+    }
+    val thresholds = df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val bucket = probs.indices.foldLeft(
+      when(v.isNull, lit(null).cast("string"))) { (acc, i) =>
+      acc.when(v <= col(thrCols(i)), lit(labels(i)))
+    }.otherwise(lit(labels.last))
+    df.join(thresholds, Seq(groupCol))
+      .withColumn(outCol, bucket)
+      .drop(thrCols: _*)
+  }
+
+  /** Length-bucket padding audit — the numbers behind a bucketed-
+    * batching decision (inference/training batches pad every row to
+    * the batch max; bucketing by length is what keeps that waste
+    * down): rows are assigned to the first ascending `boundaries`
+    * cut ≥ their length (one overflow bucket above the last cut),
+    * and each bucket reports rows, summed length, observed max, its
+    * padding target `cap` (the boundary; the overflow bucket pads to
+    * its own max) and `waste_ratio` = 1 − sum/(rows·cap) — the
+    * fraction of padded positions that are padding. ONE map-side-
+    * combined aggregation over one scan, output = |boundaries|+1
+    * rows; null lengths drop. Pair with [[histogram]] to pick the
+    * boundaries, then this to cost them.
+    */
+  def paddingStats(
+      df: DataFrame,
+      lenCol: String,
+      boundaries: Seq[Int]): DataFrame = {
+    require(boundaries.nonEmpty, "no boundaries given")
+    require(boundaries == boundaries.sorted && boundaries.distinct == boundaries,
+      "boundaries must be strictly ascending")
+    require(boundaries.head > 0, "boundaries must be positive")
+    val len = col(lenCol).cast("long")
+    val idx = boundaries.zipWithIndex.foldLeft(
+      when(len.isNull, lit(null).cast("int"))) { case (acc, (b, i)) =>
+      acc.when(len <= b, lit(i))
+    }.otherwise(lit(boundaries.length))
+    val capArr = typedLit(boundaries.map(_.toLong))
+    df.select(idx.as("bucket"), len.as("__l"))
+      .where(col("bucket").isNotNull)
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("__l")).as("sum_len"),
+        max(col("__l")).as("max_len"))
+      .select(
+        col("bucket"),
+        // in-range buckets pad to their boundary; overflow to its max
+        when(col("bucket") < boundaries.length,
+          element_at(capArr, col("bucket") + 1))
+          .otherwise(col("max_len")).as("cap"),
+        col("n_rows"), col("sum_len"), col("max_len"))
+      .withColumn("waste_ratio",
+        round(lit(1.0) - col("sum_len").cast("double") /
+          (col("n_rows") * col("cap")), 6))
+  }
+
   /** Key-skew diagnostic — the numbers a salting / AQE-skew-join
     * decision is made from: how many rows, how many distinct keys,
     * how big is the biggest key, how far above average is it

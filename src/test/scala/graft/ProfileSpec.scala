@@ -195,6 +195,61 @@ class ProfileSpec extends SparkSpec {
     assert(top == Set(5L, 8L))
   }
 
+  test("bucketByGroupQuantiles: per-group terciles, null value tags null") {
+    val df = Seq(
+      (1L, "a", Some(1.0)), (2L, "a", Some(2.0)), (3L, "a", Some(3.0)),
+      (4L, "a", Some(4.0)), (5L, "a", Some(5.0)), (6L, "a", Some(6.0)),
+      (7L, "a", Some(7.0)), (8L, "a", Some(8.0)), (9L, "a", Some(9.0)),
+      (10L, "b", Some(10.0)), (11L, "b", Some(20.0)), (12L, "b", None))
+      .toDF("id", "g", "v")
+    // group a terciles over 1..9: t1 = 3.666667, t2 = 6.333333
+    // group b median split (single prob): exercised separately below
+    val out = graft.operators.Profile
+      .bucketByGroupQuantiles(df, "v", "g")
+      .select("id", "bucket").as[(Long, Option[String])].collect().toMap
+    assert((1L to 3L).forall(out(_).contains("head")))
+    assert((4L to 6L).forall(out(_).contains("middle")))
+    assert((7L to 9L).forall(out(_).contains("tail")))
+    // group b with default terciles: 10 -> head, 20 -> tail, null -> null
+    assert(out(10L).contains("head") && out(11L).contains("tail"))
+    assert(out(12L).isEmpty)
+    // single cut point, custom labels: median split, ties keep the lower label
+    val halves = graft.operators.Profile
+      .bucketByGroupQuantiles(df, "v", "g", probs = Seq(0.5),
+        labels = Seq("lo", "hi"), outCol = "half")
+      .select("id", "half").as[(Long, Option[String])].collect().toMap
+    assert(halves(5L).contains("lo") && halves(6L).contains("hi"))
+    assert(halves(10L).contains("lo") && halves(11L).contains("hi"))
+    // bad shapes fail fast
+    intercept[IllegalArgumentException] {
+      graft.operators.Profile.bucketByGroupQuantiles(
+        df, "v", "g", probs = Seq(0.5), labels = Seq("only"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Profile.bucketByGroupQuantiles(
+        df, "v", "g", probs = Seq(0.7, 0.3), labels = Seq("a", "b", "c"))
+    }
+  }
+
+  test("paddingStats: bucket caps, overflow pads to own max, nulls drop") {
+    val df = Seq(Some(1L), Some(4L), Some(5L), Some(8L), Some(9L), Some(20L), None)
+      .toDF("l")
+    val out = graft.operators.Profile.paddingStats(df, "l", Seq(4, 8))
+      .orderBy("bucket")
+      .as[(Int, Long, Long, Long, Long, Double)].collect()
+    // bucket 0 (cap 4): {1,4} -> waste 1 - 5/8; bucket 1 (cap 8): {5,8};
+    // overflow (cap = own max 20): {9,20}
+    assert(out(0) == ((0, 4L, 2L, 5L, 4L, 0.375)))
+    assert(out(1) == ((1, 8L, 2L, 13L, 8L, 0.1875)))
+    assert(out(2) == ((2, 20L, 2L, 29L, 20L, 0.275)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Profile.paddingStats(df, "l", Seq(8, 4))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Profile.paddingStats(df, "l", Seq())
+    }
+  }
+
   test("keySkew: hand-computed stats, hot key dominates top_share") {
     // key a: 6 rows, b: 2, c: 1, d: 1 → total 10, distinct 4, max 6
     val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d")).toDF("k")

@@ -404,6 +404,61 @@ class TextAnalysisSpec extends SparkSpec {
     assert(astral == 0.0, s"astral: $astral")
   }
 
+  test("piiCounts: per-class counts follow the redact ladder") {
+    val inputs = Seq(
+      // email INSIDE a URL attributes to the URL class only
+      "see https://ex.org/u?mail=a@b.co for a@b.co and 10.0.0.1",
+      "call +1 555-123-4567 or (415) 555.0100",
+      "nothing personal here, 1995 to 2000",
+      null)
+    val out = inputs.toDF("t")
+      .select(piiCounts($"t").as("p"))
+      .select($"p.n_url", $"p.n_email", $"p.n_ip", $"p.n_phone", $"p.has_pii")
+      .collect()
+    assert(out(0).getLong(0) == 1 && out(0).getLong(1) == 1 &&
+      out(0).getLong(2) == 1 && out(0).getLong(3) == 0 && out(0).getBoolean(4))
+    assert(out(1).getLong(3) == 2 && out(1).getLong(0) == 0 && out(1).getBoolean(4))
+    assert(out(2).getLong(0) == 0 && out(2).getLong(1) == 0 &&
+      out(2).getLong(2) == 0 && out(2).getLong(3) == 0 && !out(2).getBoolean(4))
+    assert(out(3).isNullAt(0) && out(3).isNullAt(4))
+  }
+
+  test("scriptSignals: per-script counts, ratio, dominant argmax") {
+    val inputs = Seq(
+      "abc Привет",       // 3 latin, 6 cyrillic -> cyrillic dominates
+      "ab Пр",            // 2 vs 2 tie -> earlier class (latin) wins
+      "123",              // digits only: no letters -> null dominant
+      "你好世界",          // han only
+      "안녕 abc1",         // hangul 2, latin 3 -> latin
+      "αβγ",              // Greek: letters but no counted class
+      "",
+      null)
+    val out = inputs.toDF("t")
+      .select(scriptSignals($"t").as("s"))
+      .select($"s.n_latin", $"s.n_cyrillic", $"s.n_han", $"s.n_hangul",
+        $"s.n_digit", $"s.n_letters", $"s.latin_ratio", $"s.dominant")
+      .collect()
+    assert(out(0).getLong(0) == 3 && out(0).getLong(1) == 6 &&
+      out(0).getLong(5) == 9 && out(0).getString(7) == "cyrillic")
+    assert(out(0).getDouble(6) == 0.3333)
+    assert(out(1).getLong(0) == 2 && out(1).getLong(1) == 2 &&
+      out(1).getString(7) == "latin")
+    assert(out(2).getLong(4) == 3 && out(2).getLong(5) == 0 &&
+      out(2).isNullAt(7) && out(2).isNullAt(6))
+    assert(out(3).getLong(2) == 4 && out(3).getString(7) == "han" &&
+      out(3).getDouble(6) == 0.0)
+    assert(out(4).getLong(3) == 2 && out(4).getLong(0) == 3 &&
+      out(4).getLong(4) == 1 && out(4).getString(7) == "latin")
+    // letters outside every counted class: counts 0, dominant null
+    assert(out(5).getLong(5) == 3 && out(5).getLong(0) == 0 && out(5).isNullAt(7))
+    assert(out(6).getLong(0) == 0 && out(6).isNullAt(6) && out(6).isNullAt(7))
+    assert(out(7).isNullAt(0) && out(7).isNullAt(5) && out(7).isNullAt(7))
+    // Latin-1 letters count as latin; × (00D7) excluded from the range
+    val l1 = Seq("café ×").toDF("t")
+      .select(scriptSignals($"t")("n_latin")).head().getLong(0)
+    assert(l1 == 4)
+  }
+
   test("deflateRatio: repetitive text compresses far below random") {
     val rep = "spam ham " * 500
     val rnd = (1 to 500).map(i =>
