@@ -771,6 +771,26 @@ object SparkEntry {
       Dedup.minHashLshPairs(docsWithDups(s, dir), "text", "doc_id",
         shingleK = 5, numHashes = 8, bands = 2, jaccardThreshold = 0.5)
     }),
+    "q_minhash_estimate" -> ((s, dir) => {
+      // Banding-config eval: signature-estimated Jaccard next to the
+      // exact one for every LSH candidate pair — the measured answer
+      // to "is numHashes=8, bands=2 good enough for this corpus".
+      Dedup.minHashEstimatePairs(docsWithDups(s, dir), "text", "doc_id",
+        shingleK = 5, numHashes = 8, bands = 2)
+    }),
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      // JSON interchange round trip: serialize each doc to a JSONL
+      // line and parse it back against the explicit schema with
+      // quarantine capture — the oracle is the identity (a round
+      // trip must preserve every value exactly, and nothing may
+      // quarantine).
+      val docs = Parallelism.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("text"))
+      graft.sources.Jsonl.parseJsonLines(
+        graft.sources.Jsonl.toJsonLines(docs), "json", docs.schema)
+        .where(col(graft.sources.Jsonl.corruptCol).isNull)
+        .drop(graft.sources.Jsonl.corruptCol)
+    }),
     "q_dedup_simhash" -> ((s, dir) => {
       // Library DEFAULTS (bits=48, maxBucket=1000): the oracle models
       // the 48-bit signature exactly; the 1000-cap never binds on
@@ -2220,6 +2240,22 @@ object SparkEntry {
     "q_dedup_minhash" ->
       s"""WITH $minhashCtes
          |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM mh WHERE jac >= 0.5""".stripMargin,
+    // estimate eval replay: matching-component fraction over the
+    // replayed signatures next to the exact shingle jaccard, for the
+    // SAME band-bucket candidate set (no threshold, no size prune)
+    "q_minhash_estimate" ->
+      s"""WITH $minhashCtes,
+         |est AS (SELECT id_a, id_b,
+         |  len(list_filter(range(1, 9), i -> ga.sig[i] = gb.sig[i]))::DOUBLE / 8 AS e
+         |  FROM cand JOIN sg ga ON ga.doc_id = cand.id_a
+         |  JOIN sg gb ON gb.doc_id = cand.id_b)
+         |SELECT est.id_a, est.id_b, round(est.e, 4) AS est_jaccard,
+         |  round(mh.jac, 4) AS jaccard,
+         |  round(abs(est.e - round(mh.jac, 4)), 4) AS abs_err
+         |FROM est JOIN mh ON est.id_a = mh.id_a AND est.id_b = mh.id_b""".stripMargin,
+    // round trip is the contract: parsed output must equal the input
+    "q_jsonl_roundtrip" ->
+      "SELECT doc_id, lang, text FROM documents",
     // identical contract to q_dedup_minhash — the signature-table path
     // must reproduce the direct path's pairs exactly
     "q_dedup_from_signatures" ->

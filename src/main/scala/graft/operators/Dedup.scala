@@ -959,6 +959,71 @@ object Dedup {
       .distinct()
   }
 
+
+  /** Banding-configuration EVAL — the dedup twin of
+    * [[graft.operators.Similarity.annRecall]]: for every LSH
+    * candidate pair, the signature-ESTIMATED Jaccard (fraction of
+    * matching minhash components — what the banding decision is
+    * implicitly thresholding) next to the exact shingle-set Jaccard
+    * and the absolute error. This is the measurement that turns
+    * "numHashes=8, bands=2 is probably fine" into a number before a
+    * configuration is committed to the full corpus. Candidates are
+    * the same chunk-blocked band buckets as [[minHashLshPairs]]
+    * (never all-pairs; `maxBucket` caps degenerate buckets); the
+    * estimate join moves only (id, signature) rows; the exact side
+    * pays the usual verification join. No threshold is applied — the
+    * whole candidate set IS the eval set.
+    */
+  def minHashEstimatePairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleK: Int = 5,
+      numHashes: Int = 8,
+      bands: Int = 2,
+      fast: Boolean = false,
+      maxBucket: Int = 0): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    require(fast || numHashes <= 8, "portable (md5-chunk) minhash supports ≤ 8 hashes")
+    val src = Parallelism.spread(df)
+    val shingled = src.select(col(idCol).as("__id"),
+      charShingles(col(textCol), shingleK).as("__sh"))
+    val minned =
+      if (fast)
+        shingled.withColumn("__mins",
+          array((0 until numHashes).map(h =>
+            array_min(transform(col("__sh"), s => xxhash64(s, lit(h)))).cast("string")): _*))
+      else
+        shingled.withColumn("__mins", chunkMinsNative(col("__sh"), numHashes))
+    val sigs = minned.select(col("__id"), col("__mins"))
+    val exploded = minned.select(col("__id"),
+      posexplode(bandKeys(col("__mins"), numHashes, bands))
+        .as(Seq("__bpos", "__bkey")))
+    val cands = bucketPairs(exploded, col("__id"), maxBucket)
+      .where(col("__a") < col("__b"))
+      .select(col("__a").as("id_a"), col("__b").as("id_b"))
+      .distinct()
+    val est = cands
+      .join(sigs.select(col("__id").as("id_a"), col("__mins").as("__ma")), Seq("id_a"))
+      .join(sigs.select(col("__id").as("id_b"), col("__mins").as("__mb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("__ma"), col("__mb"), (x, y) => x === y),
+          b => b)).cast("double") / numHashes).as("__est"))
+    val mkSet: Column => Column =
+      if (fast) c => transform(charShingles(c, shingleK), xxhash64(_))
+      else charShingles(_, shingleK)
+    val exact = jaccardVerify(
+      attachSets(cands, src, idCol, textCol, mkSet),
+      0.0,
+      if (fast) jaccardSimLong else jaccardSim,
+      sizePrefilter = false)
+    est.join(exact, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("__est"), 4).as("est_jaccard"),
+        col("jaccard"),
+        round(abs(col("__est") - col("jaccard")), 4).as("abs_err"))
+  }
+
   // ------------------------------------------------------- n-gram jaccard
 
   /** Word n-gram Jaccard similarity pairs within `blockBy` groups

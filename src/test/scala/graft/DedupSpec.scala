@@ -308,4 +308,49 @@ class DedupSpec extends SparkSpec {
       maxHamming = 2).where($"id_a" === 99L || $"id_b" === 99L).count()
     assert(found == 10, s"pigeonhole recall: $found of 10")
   }
+
+  test("minHashEstimatePairs: clones estimate 1.0; estimate = matching fraction") {
+    import org.apache.spark.sql.functions.col
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                  // exact clone of 1
+      (3L, base + " with a small tail change"),    // near-dup of 1
+      (4L, "completely different content that shares nothing at all xyzzy"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .minHashEstimatePairs(docs, "text", "doc_id", shingleK = 5,
+        numHashes = 8, bands = 2)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // exact clones: every component matches, exact jaccard 1.0, no error
+    assert(out((1L, 2L)) == ((1.0, 1.0, 0.0)))
+    // every pair's estimate is a multiple of 1/8 in [0, 1], and the
+    // error column is |est - exact| rounded
+    out.values.foreach { case (est, jac, err) =>
+      assert(est >= 0.0 && est <= 1.0 && (est * 8) == math.round(est * 8).toDouble)
+      assert(math.abs(err - BigDecimal(math.abs(est - jac))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    // independent recomputation of every pair's estimate from the
+    // public signature primitive
+    val sigs = docs
+      .select(col("doc_id"), graft.operators.Dedup.minHashSignature(
+        graft.operators.Dedup.charShingles(col("text"), 5), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    out.foreach { case ((a, b), (est, _, _)) =>
+      val matches = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }
+      assert(est == matches.toDouble / 8, s"pair ($a,$b)")
+    }
+    // bands=8 (one row per band): ANY matching component makes a
+    // candidate, so the near-dup pair (1,3) must surface too
+    val loose = graft.operators.Dedup
+      .minHashEstimatePairs(docs, "text", "doc_id", shingleK = 5,
+        numHashes = 8, bands = 8)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val matches13 = sigs(1L).zip(sigs(3L)).count { case (x, y) => x == y }
+    if (matches13 > 0) assert(loose((1L, 3L)) == matches13.toDouble / 8)
+  }
 }
