@@ -661,6 +661,22 @@ object SparkEntry {
             concat(col("text"), lit(" "), snippet)).as("sc"))
         .select(col("doc_id"), col("sc.*"))
     }),
+    "q_script_mismatch" -> ((s, dir) => {
+      // Wrong-script contamination detector — scriptSignals composed
+      // into the flag a crawl-health pipeline acts on: docs whose
+      // DOMINANT script contradicts their claimed (Latin-script)
+      // language. doc_id % 7 == 0 rows are flooded with Cyrillic
+      // prose sized ~1.5x the doc's own length, so dominance
+      // provably flips regardless of the doc's length.
+      val flood = expr("CASE WHEN doc_id % 7 = 0 THEN ' ' || " +
+        "repeat('Пример текста на русском языке ', CAST(n_chars / 20 AS INT) + 40) " +
+        "ELSE '' END")
+      Parallelism.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"),
+          graft.functions.TextAnalysis.scriptSignals(
+            concat(col("text"), flood))("dominant").as("dominant"))
+        .where(col("dominant").isNotNull && col("dominant") =!= "latin")
+    }),
     "q_snapshot_diff" -> ((s, dir) => {
       // yesterday = documents; today = 10% removed, 10% edited, 10%
       // re-ingested under new ids — the daily-crawl diff shape.
@@ -2063,6 +2079,33 @@ object SparkEntry {
         |    WHEN n_hangul > 0 THEN 'hangul'
         |    ELSE NULL END AS dominant
         |FROM c""".stripMargin,
+    // mismatch replay: same Cyrillic flood, same count exprs, same
+    // argmax CASE — filtered to the non-latin dominants
+    "q_script_mismatch" ->
+      """WITH a AS (SELECT doc_id, lang,
+        |  text || CASE WHEN doc_id % 7 = 0 THEN ' ' ||
+        |    repeat('Пример текста на русском языке ', CAST(n_chars / 20 AS INT) + 40)
+        |    ELSE '' END AS t FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |  length(t) - length(regexp_replace(t, '[A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{024F}]', '', 'g')) AS n_latin,
+        |  length(t) - length(regexp_replace(t, '[\x{0400}-\x{04FF}]', '', 'g')) AS n_cyrillic,
+        |  length(t) - length(regexp_replace(t, '[\x{0600}-\x{06FF}]', '', 'g')) AS n_arabic,
+        |  length(t) - length(regexp_replace(t, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS n_han,
+        |  length(t) - length(regexp_replace(t, '[\x{AC00}-\x{D7AF}]', '', 'g')) AS n_hangul,
+        |  length(t) - length(regexp_replace(t, '[\p{L}]', '', 'g')) AS n_letters
+        |  FROM a),
+        |d AS (SELECT doc_id, lang,
+        |  CASE WHEN n_letters = 0 THEN NULL
+        |    WHEN n_latin > 0 AND n_latin >= n_cyrillic AND n_latin >= n_arabic
+        |      AND n_latin >= n_han AND n_latin >= n_hangul THEN 'latin'
+        |    WHEN n_cyrillic > 0 AND n_cyrillic >= n_arabic
+        |      AND n_cyrillic >= n_han AND n_cyrillic >= n_hangul THEN 'cyrillic'
+        |    WHEN n_arabic > 0 AND n_arabic >= n_han AND n_arabic >= n_hangul THEN 'arabic'
+        |    WHEN n_han > 0 AND n_han >= n_hangul THEN 'han'
+        |    WHEN n_hangul > 0 THEN 'hangul'
+        |    ELSE NULL END AS dominant FROM c)
+        |SELECT doc_id, lang, dominant FROM d
+        |WHERE dominant IS NOT NULL AND dominant <> 'latin'""".stripMargin,
     "q_snapshot_diff" ->
       """WITH o AS (SELECT doc_id, md5(concat_ws(chr(1), coalesce(text, chr(0)),
         |    coalesce(lang, chr(0)))) AS fp FROM documents),
