@@ -477,6 +477,36 @@ object SparkEntry {
   private def cosSql(a: String, b: String): String =
     s"(CASE WHEN ${normSql(a)} * ${normSql(b)} > 0 THEN ${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}) END)"
 
+  /** [[graft.operators.Profile.corrMatrix]] replay, GENERATED from
+    * the same column list so the moment names and the
+    * left-associative Pearson formula cannot drift from the Spark
+    * side: exact DECIMAL(18,scale) sums, one double conversion per
+    * moment, identical expression text per pair.
+    */
+  private def corrOracleSql(table: String, cs: Seq[String], scale: Int): String = {
+    // DECIMAL(19,·): DuckDB only widens a decimal product when
+    // p1+p2 ≤ 38 — 19+19 lands exactly on DECIMAL(38,2·scale),
+    // matching Spark's auto-widened decimal(37,2·scale) values
+    val sums = cs.zipWithIndex.map { case (c, i) =>
+      s"sum($c::DECIMAL(19,$scale))::DOUBLE AS s$i" }
+    val prods = for {
+      (ci, i) <- cs.zipWithIndex
+      (cj, j) <- cs.zipWithIndex if j >= i
+    } yield s"sum($ci::DECIMAL(19,$scale) * $cj::DECIMAL(19,$scale))::DOUBLE AS p${i}_$j"
+    val pairs = for {
+      (ci, i) <- cs.zipWithIndex
+      (cj, j) <- cs.zipWithIndex if j > i
+    } yield {
+      val den = s"sqrt((n * p${i}_$i - s$i * s$i) * (n * p${j}_$j - s$j * s$j))"
+      s"SELECT '$ci' AS col_x, '$cj' AS col_y, n_rows, " +
+        s"round(CASE WHEN $den > 0 THEN (n * p${i}_$j - s$i * s$j) / $den END, 6) AS pearson FROM m"
+    }
+    s"WITH m AS (SELECT count(*)::BIGINT AS n_rows, count(*)::DOUBLE AS n, " +
+      (sums ++ prods).mkString(", ") +
+      s" FROM $table WHERE ${cs.map(c => s"$c IS NOT NULL").mkString(" AND ")})\n" +
+      pairs.mkString("\nUNION ALL ")
+  }
+
   private def bucketSql(
       vecExpr: String, dim: Int, numPlanes: Int, planeOffset: Int = 0): String =
     graft.functions.VectorFunctions
@@ -806,6 +836,68 @@ object SparkEntry {
         graft.sources.Jsonl.toJsonLines(docs), "json", docs.schema)
         .where(col(graft.sources.Jsonl.corruptCol).isNull)
         .drop(graft.sources.Jsonl.corruptCol)
+    }),
+    "q_event_funnel" -> ((s, dir) => {
+      // Ordered-step conversion funnel (view → click → purchase) with
+      // strict time progression: greedy earliest-transition per user,
+      // one user-keyed shuffle of (user, ts, step) triples only.
+      graft.operators.Events.eventFunnel(
+        Parallelism.spread(t(s, dir, "events")),
+        "user_id", "ts_ms", "event_type",
+        Seq("view", "click", "purchase"))
+    }),
+    "q_retention" -> ((s, dir) => {
+      // Weekly cohort retention over epoch-aligned integer periods:
+      // the corpus collapses to the distinct (user, week) set in the
+      // first exchange; cells are bounded by cohorts × offsets.
+      graft.operators.Events.retentionCohorts(
+        Parallelism.spread(t(s, dir, "events")),
+        "user_id", "ts_ms", maxOffset = 8)
+    }),
+    "q_tumbling" -> ((s, dir) => {
+      // Daily tumbling rollup: integer-divided epoch windows, exact
+      // DECIMAL value sums (order-independent), one aggregation.
+      graft.operators.Events.tumblingRollup(
+        Parallelism.spread(t(s, dir, "events")),
+        "ts_ms", "value", "user_id", widthMs = 86400000L)
+    }),
+    "q_corr" -> ((s, dir) => {
+      // Pairwise Pearson over the lineitem measures: every moment
+      // from ONE exact-decimal aggregation, formula on the bounded
+      // agg row — never a pass per pair.
+      graft.operators.Profile.corrMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    }),
+    "q_mad" -> ((s, dir) => {
+      // Robust per-language length outliers: median + MAD (two rank
+      // passes) and the > 3-MAD flag count; thresholds rounded 6 dp
+      // so the flagged set is engine-portable.
+      graft.operators.Profile.madOutliers(
+        Parallelism.spread(t(s, dir, "documents")), "lang", "n_chars")
+    }),
+    "q_ann_matryoshka" -> ((s, dir) => {
+      // Top-k over the 16-dim matryoshka prefix: 4× less vector
+      // payload per corpus scan; cosine is scale-invariant so the
+      // slice needs no renorm.
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        graft.functions.VectorFunctions.truncate(col("embedding"), 16)
+          .as("embedding"))
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5),
+        "embedding", "vec_id", "vec_id", k = 10)
+    }),
+    "q_matryoshka_recall" -> ((s, dir) => {
+      // The truncation-quality eval: recall@10 of the 16-dim prefix
+      // against the full 64-dim ranking — both sides replayable, so
+      // the metric itself is oracle-checked.
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      val te = e.select(col("vec_id"),
+        graft.functions.VectorFunctions.truncate(col("embedding"), 16)
+          .as("embedding"))
+      val tq = te.where(col("vec_id") < 5)
+      Similarity.annRecall(
+        Similarity.bruteForceTopK(te, tq, "embedding", "vec_id", "vec_id", k = 10),
+        Similarity.bruteForceTopK(e, q, "embedding", "vec_id", "vec_id", k = 10))
     }),
     "q_dedup_simhash" -> ((s, dir) => {
       // Library DEFAULTS (bits=48, maxBucket=1000): the oracle models
@@ -2299,6 +2391,86 @@ object SparkEntry {
     // round trip is the contract: parsed output must equal the input
     "q_jsonl_roundtrip" ->
       "SELECT doc_id, lang, text FROM documents",
+    // greedy earliest-transition funnel = chained conditional minima:
+    // t_i = min ts of step i STRICTLY AFTER t_{i-1}; share is over
+    // all users with any step-typed event
+    "q_event_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |tot AS (SELECT count(DISTINCT user_id) AS n FROM e),
+        |s0 AS (SELECT user_id, min(ms) AS t0 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(ms) AS t1 FROM e JOIN s0 USING (user_id)
+        |  WHERE event_type = 'click' AND ms > t0 GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ms) AS t2 FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ms > t1 GROUP BY 1),
+        |c AS (SELECT (SELECT count(*) FROM s0) AS c0,
+        |  (SELECT count(*) FROM s1) AS c1,
+        |  (SELECT count(*) FROM s2) AS c2, n FROM tot)
+        |SELECT 0 AS step_idx, 'view' AS step, c0::BIGINT AS n_users,
+        |  round(c0 / n::DOUBLE, 6) AS share FROM c
+        |UNION ALL SELECT 1, 'click', c1::BIGINT, round(c1 / n::DOUBLE, 6) FROM c
+        |UNION ALL SELECT 2, 'purchase', c2::BIGINT, round(c2 / n::DOUBLE, 6) FROM c""".stripMargin,
+    // epoch-aligned integer weeks (ms div 7·86400000) — no calendar
+    // functions on either side
+    "q_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS p FROM events),
+        |coh AS (SELECT user_id, min(p) AS c FROM act GROUP BY 1),
+        |cells AS (SELECT c AS cohort_period, (p - c)::INT AS period_offset,
+        |    count(*)::BIGINT AS n_users
+        |  FROM act JOIN coh USING (user_id) WHERE p - c <= 8 GROUP BY 1, 2),
+        |base AS (SELECT cohort_period, n_users AS b FROM cells WHERE period_offset = 0)
+        |SELECT cohort_period, period_offset, n_users,
+        |  round(n_users / b::DOUBLE, 6) AS retention
+        |FROM cells JOIN base USING (cohort_period)""".stripMargin,
+    // integer-divided daily windows; the value sum rides an exact
+    // DECIMAL(18,6) accumulator on both sides
+    "q_tumbling" ->
+      """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS window_start_ms,
+        |  count(*)::BIGINT AS n_events,
+        |  count(DISTINCT user_id)::BIGINT AS n_users,
+        |  round((sum(value::DECIMAL(18,6)))::DOUBLE, 4) AS sum_value,
+        |  round((sum(value::DECIMAL(18,6)))::DOUBLE / count(value), 4) AS avg_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_corr" -> corrOracleSql("lineitem",
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), 4),
+    // exact grouped medians interpolate half-integers on integer
+    // lengths — both engines land on the same doubles; thresholds
+    // rounded 6 dp before the strict > compare
+    "q_mad" ->
+      """WITH base AS (SELECT lang, n_chars::DOUBLE AS v FROM documents WHERE n_chars IS NOT NULL),
+        |med AS (SELECT lang, round(quantile_cont(v, 0.5), 6) AS median FROM base GROUP BY 1),
+        |dev AS (SELECT b.lang, abs(v - median) AS dev, median FROM base b JOIN med USING (lang)),
+        |mad AS (SELECT lang, round(quantile_cont(dev, 0.5), 6) AS mad FROM dev GROUP BY 1)
+        |SELECT d.lang, median, mad, count(*)::BIGINT AS n_rows,
+        |  sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+        |  round(sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6) AS outlier_share
+        |FROM dev d JOIN mad USING (lang) GROUP BY 1, 2, 3""".stripMargin,
+    // the 16-dim prefix slice, then the shared cosine replay
+    "q_ann_matryoshka" ->
+      (s"""WITH q AS (SELECT vec_id AS query_id, embedding[1:16] AS qv FROM embeddings WHERE vec_id < 5),
+          |c AS (SELECT vec_id AS corpus_id, embedding[1:16] AS cv FROM embeddings),
+          |s AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine FROM c, q),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM s)
+          |SELECT query_id, corpus_id, cosine, rank FROM r WHERE rank <= 10""".stripMargin),
+    // full-dim exact set vs the 16-dim prefix set, recall metric
+    // replayed end to end
+    "q_matryoshka_recall" ->
+      (s"""WITH fq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+          |fc AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+          |fs AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine FROM fc, fq),
+          |fr AS (SELECT query_id, corpus_id,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM fs),
+          |exact AS (SELECT query_id, corpus_id FROM fr WHERE rank <= 10),
+          |mq AS (SELECT vec_id AS query_id, embedding[1:16] AS qv FROM embeddings WHERE vec_id < 5),
+          |mc AS (SELECT vec_id AS corpus_id, embedding[1:16] AS cv FROM embeddings),
+          |ms AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine FROM mc, mq),
+          |mr AS (SELECT query_id, corpus_id,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM ms),
+          |approx AS (SELECT query_id, corpus_id FROM mr WHERE rank <= 10),
+          |tot AS (SELECT count(DISTINCT query_id) AS n_queries, count(*)::BIGINT AS n_exact FROM exact),
+          |mt AS (SELECT count(*)::BIGINT AS n_matched FROM exact JOIN approx USING (query_id, corpus_id))
+          |SELECT n_queries, n_exact, n_matched,
+          |  round(n_matched / n_exact::DOUBLE, 6) AS recall FROM tot, mt""".stripMargin),
     // identical contract to q_dedup_minhash — the signature-table path
     // must reproduce the direct path's pairs exactly
     "q_dedup_from_signatures" ->

@@ -27,6 +27,31 @@ object VectorFunctions {
     when(denom > 0, dotProduct(a, b) / denom)
   }
 
+  /** Matryoshka prefix truncation (MRL, Kusupati et al. 2022,
+    * arXiv:2205.13147): the first `dim` components of an
+    * MRL-trained embedding are themselves a usable lower-dimensional
+    * embedding — the standard storage/bandwidth lever for
+    * billion-vector serving (4× fewer floats moved per scan at
+    * dim/4). Pure `slice`, row-local, codegen'd; cosine ranking
+    * needs no renorm (cosine is scale-invariant), use
+    * [[truncateNormalize]] when dot-product serving expects unit
+    * vectors.
+    */
+  def truncate(vec: Column, dim: Int): Column = {
+    require(dim > 0, "dim must be positive")
+    slice(vec, 1, dim)
+  }
+
+  /** [[truncate]] + L2 renormalization to a unit `array<double>`
+    * (zero prefixes → null, same null-safety as
+    * [[cosineSimilarity]]).
+    */
+  def truncateNormalize(vec: Column, dim: Int): Column = {
+    val tv = truncate(vec, dim)
+    val n = l2Norm(tv)
+    when(n > 0, transform(tv, x => x.cast("double") / n))
+  }
+
   /** Squared euclidean distance. */
   def squaredL2Distance(a: Column, b: Column): Column =
     aggregate(

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics: ordered-step conversion funnels and
+  * cohort retention over an event log (the `events` table shape:
+  * one row per user action with a millisecond timestamp).
+  *
+  * Complements [[Profile.stageFunnel]] (which gates ROWS of one scan
+  * on predicates): these operators reason about ORDER and TIME
+  * across many rows of the same user, so their unit of shuffle is
+  * the user key, never the raw event volume beyond one pass.
+  *
+  * Reference scope: kolang's `session_id` (column_functions.py:281)
+  * is the only sequential-events device in the reference; funnels
+  * and retention are the beyond-reference analytics a pipeline over
+  * the same event log asks for next.
+  */
+object Events {
+
+  /** Ordered-step conversion funnel with strict time progression:
+    * a user REACHES step i when an event of type `steps(i)` exists
+    * STRICTLY AFTER the (earliest-transition) time at which they
+    * reached step i-1; step 0 is the user's earliest `steps(0)`
+    * event. Greedy earliest-transition over the time-sorted stream
+    * is optimal (each step's reach time is the minimum possible), so
+    * the result is order-deterministic and engine-replayable.
+    *
+    * Scale shape: events are FILTERED to the step types at the scan
+    * (predicate pushdown), only `(user, ts, step_idx)` triples
+    * shuffle ONCE keyed by user, and the per-user funnel is a
+    * row-local fold over that user's sorted step events (bounded by
+    * events-per-user, the standard funnel assumption — never
+    * corpus-sized). Output is |steps| rows from one bounded
+    * aggregation.
+    *
+    * @param tsMsCol epoch-millisecond LONG column (integer
+    *                comparisons are engine-portable; no timestamp
+    *                arithmetic).
+    * @return one row per step, in order: (step_idx, step, n_users —
+    *         users reaching this step, share — of all users with ANY
+    *         step-typed event, 6 dp).
+    */
+  def eventFunnel(
+      df: DataFrame,
+      userCol: String,
+      tsMsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "no steps given")
+    require(steps.distinct == steps, "steps must be distinct")
+    val stepIdx = steps.tail.zipWithIndex.foldLeft(
+      when(col(typeCol) === steps.head, lit(0))) { case (acc, (s, i)) =>
+      acc.when(col(typeCol) === s, lit(i + 1))
+    }
+    val perUser = df
+      .where(col(typeCol).isin(steps: _*))
+      .select(
+        col(userCol).as("__u"),
+        col(tsMsCol).cast("long").as("__ts"),
+        stepIdx.as("__i"))
+      .groupBy(col("__u"))
+      .agg(sort_array(collect_list(struct(col("__ts"), col("__i")))).as("__ev"))
+      .select(
+        aggregate(
+          col("__ev"),
+          struct(lit(0).as("r"), lit(0L).as("t")),
+          (acc, e) =>
+            when(
+              e("__i") === acc("r") &&
+                (acc("r") === 0 || e("__ts") > acc("t")),
+              struct((acc("r") + 1).as("r"), e("__ts").as("t")))
+              .otherwise(acc)).getField("r").as("__reached"))
+    val aggs = count(lit(1)).as("__total") +:
+      steps.indices.map(i =>
+        coalesce(sum(when(col("__reached") >= i + 1, 1L).otherwise(0L)), lit(0L))
+          .as(s"__c_$i"))
+    perUser.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(steps.zipWithIndex.map { case (name, i) =>
+        struct(
+          lit(i).as("step_idx"),
+          lit(name).as("step"),
+          col(s"__c_$i").as("n_users"),
+          round(when(col("__total") > 0,
+            col(s"__c_$i") / col("__total").cast("double")), 6)
+            .as("share"))
+      }: _*)).as("f"))
+      .select("f.*")
+  }
+
+  /** Cohort retention: users are cohorted by the epoch-aligned
+    * period (`periodDays`, default weekly) of their FIRST activity,
+    * and each (cohort, offset) cell counts the cohort's users active
+    * `offset` periods later. Periods are pure integer arithmetic on
+    * the epoch-millisecond column (`ts_ms div periodMs`) — no
+    * calendar functions, so both engines bucket identically.
+    *
+    * Scale shape: the corpus collapses to the DISTINCT
+    * (user, period) activity set in the first exchange (map-side
+    * partial dedup); everything after is bounded by users × periods,
+    * and the final retention join is against the ≤|cohorts| offset-0
+    * row set, broadcast. The cohort min rides the same user-keyed
+    * partitioning as the distinct.
+    *
+    * @return (cohort_period — epoch period index BIGINT,
+    *         period_offset 0..maxOffset, n_users, retention — share
+    *         of the cohort's offset-0 users, 6 dp; offset 0 is 1.0
+    *         by construction).
+    */
+  def retentionCohorts(
+      df: DataFrame,
+      userCol: String,
+      tsMsCol: String,
+      maxOffset: Int = 8,
+      periodDays: Int = 7): DataFrame = {
+    require(maxOffset >= 0, "maxOffset must be non-negative")
+    require(periodDays > 0, "periodDays must be positive")
+    val periodMs = periodDays.toLong * 86400000L
+    val act = df
+      .select(
+        col(userCol).as("__u"),
+        expr(s"cast($tsMsCol as bigint) div ${periodMs}L").as("__p"))
+      .distinct()
+    val cohort = act.groupBy(col("__u")).agg(min(col("__p")).as("__c"))
+    val cells = act.join(cohort, "__u")
+      .select(
+        col("__c").as("cohort_period"),
+        (col("__p") - col("__c")).cast("int").as("period_offset"))
+      .where(col("period_offset") <= maxOffset)
+      .groupBy(col("cohort_period"), col("period_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .localCheckpoint()
+    val base = cells.where(col("period_offset") === 0)
+      .select(col("cohort_period"), col("n_users").as("__base"))
+    cells.join(broadcast(base), "cohort_period")
+      .select(
+        col("cohort_period"),
+        col("period_offset"),
+        col("n_users"),
+        round(col("n_users") / col("__base").cast("double"), 6)
+          .as("retention"))
+  }
+
+  /** Tumbling-window rollup: fixed-width aggregate buckets over the
+    * epoch-millisecond column (`width` integer-divides the epoch, so
+    * windows are engine-portable and never overlap). The per-window
+    * measures are one map-side-combined aggregation over one scan;
+    * output is |windows| rows.
+    *
+    * The value sums ride an exact DECIMAL(18,6) accumulator
+    * (order-independent — double sums drift with partitioning), then
+    * convert once for the 4 dp report.
+    *
+    * @return (window_start_ms, n_events, n_users — distinct users in
+    *         the window, sum_value/avg_value over `valueCol` 4 dp).
+    */
+  def tumblingRollup(
+      df: DataFrame,
+      tsMsCol: String,
+      valueCol: String,
+      userCol: String,
+      widthMs: Long): DataFrame = {
+    require(widthMs > 0, "widthMs must be positive")
+    df.groupBy(
+        (expr(s"cast($tsMsCol as bigint) div ${widthMs}L") * widthMs)
+          .as("window_start_ms"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col(userCol)).as("n_users"),
+        sum(col(valueCol).cast("decimal(18,6)")).as("__sv"),
+        count(col(valueCol)).as("__nv"))
+      .select(
+        col("window_start_ms"), col("n_events"), col("n_users"),
+        round(col("__sv").cast("double"), 4).as("sum_value"),
+        round(col("__sv").cast("double") / col("__nv"), 4).as("avg_value"))
+  }
+}

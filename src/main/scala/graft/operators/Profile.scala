@@ -488,4 +488,118 @@ object Profile {
         round(mn + col("bin") * (mx - mn) / bins, 4).as("lo"),
         round(mn + (col("bin") + 1) * (mx - mn) / bins, 4).as("hi"),
         col("n_rows")): _*)
+
+  /** Pairwise Pearson correlation over numeric columns — the
+    * feature-redundancy view a signal-selection decision (and a
+    * quality-score design) is made from. ONE map-side-combined
+    * aggregation computes every sum/square/cross-product moment
+    * (k + k + k·(k+1)/2 accumulators over one scan, never a pass per
+    * pair); the accumulators are exact DECIMAL(18,`scale`) sums —
+    * order-independent, so the result is partition-deterministic —
+    * and the Pearson formula runs once per pair on the single
+    * bounded agg row (an `inline` over the pair structs, no second
+    * scan, no checkpoint).
+    *
+    * Rows with a null in ANY of `cols` are dropped first (listwise
+    * completion — one shared n keeps the moment matrix consistent).
+    *
+    * @param scale decimal accumulator scale; inputs must fit
+    *              DECIMAL(18,scale) (defaults cover currency-style
+    *              measures).
+    * @return one row per unordered pair, in `cols` order:
+    *         (col_x, col_y, n_rows, pearson 6 dp — null when either
+    *         variance is zero).
+    */
+  def corrMatrix(
+      df: DataFrame,
+      cols: Seq[String],
+      scale: Int = 4): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.distinct == cols, "columns must be distinct")
+    val proj = df
+      .select(cols.map(c => col(c).cast(s"decimal(18,$scale)").as(c)): _*)
+      .na.drop()
+    val moments = count(lit(1)).as("__n") +:
+      (cols.map(c => sum(col(c)).as(s"__s_$c")) ++
+        (for {
+          (ci, i) <- cols.zipWithIndex
+          (cj, j) <- cols.zipWithIndex if j >= i
+        } yield sum(col(ci) * col(cj)).as(s"__p_${i}_$j")))
+    val n = col("__n").cast("double")
+    def s(c: String) = col(s"__s_$c").cast("double")
+    def p(i: Int, j: Int) = col(s"__p_${i}_$j").cast("double")
+    val pairs = for {
+      (ci, i) <- cols.zipWithIndex
+      (cj, j) <- cols.zipWithIndex if j > i
+    } yield {
+      // (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)·(n·Syy − Sy²)) — written
+      // left-associatively and replicated verbatim in the oracle so
+      // the one double rounding per term agrees across engines
+      val den = sqrt((n * p(i, i) - s(ci) * s(ci)) *
+        (n * p(j, j) - s(cj) * s(cj)))
+      struct(
+        lit(ci).as("col_x"),
+        lit(cj).as("col_y"),
+        col("__n").as("n_rows"),
+        round(when(den > 0,
+          (n * p(i, j) - s(ci) * s(cj)) / den), 6).as("pearson"))
+    }
+    proj.agg(moments.head, moments.tail: _*)
+      .select(explode(array(pairs: _*)).as("c"))
+      .select("c.*")
+  }
+
+  /** Robust per-group outlier profile: median + MAD (median absolute
+    * deviation) per group, and how many rows sit more than
+    * `k` MADs from their group's median — the outlier view that
+    * mean/stddev gates get wrong on the heavy-tailed distributions
+    * corpora actually have (one mega-doc drags a stddev gate wide
+    * open; it moves a median by one rank).
+    *
+    * Cost shape: exact medians are rank statistics, so this is two
+    * grouped `percentile` passes (value, then deviation) plus one
+    * flag pass — three scans, inherent to exact MAD; `approx = true`
+    * switches both levels to t-digest sketches (one pass each, no
+    * sort) for the 100 TB configuration. Both per-group statistics
+    * are bounded frames (≤ |groups| rows) broadcast back; the flag
+    * count is one map-side-combined aggregation. Medians/MADs are
+    * rounded to 6 dp before the comparison so the flagged set is
+    * engine-portable.
+    *
+    * @return per group: (group, n_rows — non-null values, median,
+    *         mad, n_outliers — |v − median| > k·mad, outlier_share
+    *         6 dp).
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Double = 3.0,
+      approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(k > 0, "k must be positive")
+    val v = col(valueCol).cast("double")
+    def med(c: Column) =
+      if (approx) approx_percentile(c, lit(0.5), lit(accuracy))
+      else percentile(c, lit(0.5))
+    val base = df.where(v.isNotNull)
+      .select(col(groupCol), v.as("__v"))
+    val medians = base.groupBy(col(groupCol))
+      .agg(round(med(col("__v")), 6).as("__med"))
+    val devs = base.join(broadcast(medians), groupCol)
+      .select(col(groupCol), col("__v"),
+        abs(col("__v") - col("__med")).as("__dev"), col("__med"))
+    val mads = devs.groupBy(col(groupCol))
+      .agg(round(med(col("__dev")), 6).as("__mad"))
+    devs.join(broadcast(mads), groupCol)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        first(col("__med")).as("median"),
+        first(col("__mad")).as("mad"),
+        coalesce(sum(when(col("__dev") > lit(k) * col("__mad"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_outliers"))
+      .withColumn("outlier_share",
+        round(col("n_outliers") / col("n_rows").cast("double"), 6))
+  }
 }

@@ -382,4 +382,67 @@ class ProfileSpec extends SparkSpec {
       .select($"pass_count", $"pass_share").collect().head
     assert(empty.getLong(0) == 0L && empty.isNullAt(1))
   }
+
+  test("corrMatrix: hand-computed pairs, listwise null drop, zero variance") {
+    import graft.operators.Profile
+    // y = 2x (r = 1), z anti-monotone with x on the complete rows,
+    // c constant (zero variance -> null), one row with a null y
+    // drops listwise everywhere
+    val df = Seq(
+      (Some(1.0), Some(2.0), Some(3.0), Some(5.0)),
+      (Some(2.0), Some(4.0), Some(2.0), Some(5.0)),
+      (Some(3.0), Some(6.0), Some(1.0), Some(5.0)),
+      (Some(9.0), None, Some(9.0), Some(5.0)))
+      .toDF("x", "y", "z", "c")
+    val out = Profile.corrMatrix(df, Seq("x", "y", "z", "c"), scale = 6)
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out.size == 6)
+    assert(out(("x", "y")) == ((3L, Some(1.0))))
+    assert(out(("x", "z")) == ((3L, Some(-1.0))))
+    assert(out(("y", "z")) == ((3L, Some(-1.0))))
+    assert(out(("x", "c")) == ((3L, None)))
+    assert(out(("y", "c")) == ((3L, None)))
+    assert(out(("z", "c")) == ((3L, None)))
+  }
+
+  test("corrMatrix: reproducible under repartitioning (exact decimal moments)") {
+    import graft.operators.Profile
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1000).select(
+      (col("id") % 37).cast("double").as("a"),
+      ((col("id") * 7) % 11).cast("double").as("b"))
+    val one = Profile.corrMatrix(df, Seq("a", "b")).collect().toSeq
+    val other = Profile.corrMatrix(df.repartition(13), Seq("a", "b"))
+      .collect().toSeq
+    assert(one == other && one.size == 1)
+  }
+
+  test("madOutliers: hand-computed median/MAD/flags per group") {
+    import graft.operators.Profile
+    // g1 values 1..5 + far outlier 100: med 3.5, devs
+    // {2.5,1.5,0.5,0.5,1.5,96.5} -> MAD 1.5, k=3 cutoff 4.5 -> only
+    // 100 flagged. g2 constant: MAD 0, any deviation flags.
+    val df = Seq(
+      ("g1", 1.0), ("g1", 2.0), ("g1", 3.0), ("g1", 4.0), ("g1", 5.0),
+      ("g1", 100.0),
+      ("g2", 7.0), ("g2", 7.0), ("g2", 7.0))
+      .toDF("g", "v")
+    val out = Profile.madOutliers(df, "g", "v")
+      .as[(String, Long, Double, Double, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out("g1") == ((6L, 3.5, 1.5, 1L, math.rint(1.0 / 6 * 1e6) / 1e6)))
+    assert(out("g2") == ((3L, 7.0, 0.0, 0L, 0.0)))
+  }
+
+  test("madOutliers: null values drop; approx mode plausible") {
+    import graft.operators.Profile
+    val df = (Seq.tabulate(200)(i => ("a", Some(i.toDouble))) :+
+      (("a", None: Option[Double]))).toDF("g", "v")
+    val exact = Profile.madOutliers(df, "g", "v").collect().head
+    assert(exact.getLong(1) == 200L) // null dropped
+    val approx = Profile.madOutliers(df, "g", "v", approx = true)
+      .collect().head
+    assert(math.abs(approx.getDouble(2) - exact.getDouble(2)) <= 2.0)
+  }
 }

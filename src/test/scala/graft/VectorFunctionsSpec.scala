@@ -166,4 +166,25 @@ class VectorFunctionsSpec extends SparkSpec {
       .as[Seq[Long]].head()
     assert(code == Seq(1L)) // only element 0 stays positive
   }
+
+  test("truncate: prefix slice; cosine of prefixes matches hand math") {
+    val df = Seq((Seq(3.0f, 4.0f, 100.0f, -7.0f), Seq(4.0f, 3.0f, -50.0f, 2.0f)))
+      .toDF("a", "b")
+    assert(df.select(truncate($"a", 2)).as[Seq[Float]].head() == Seq(3.0f, 4.0f))
+    // cos of the 2-prefix: (12+12)/(5*5) = 0.96 — scale-invariant,
+    // no renorm needed
+    val cos = df.select(cosineSimilarity(truncate($"a", 2), truncate($"b", 2)))
+      .as[Double].head()
+    assert(math.abs(cos - 0.96) < 1e-12)
+    // dim beyond length degrades to the full vector (slice semantics)
+    assert(df.select(truncate($"a", 99)).as[Seq[Float]].head().size == 4)
+  }
+
+  test("truncateNormalize: unit norm, zero prefix -> null") {
+    val df = Seq(Seq(3.0f, 4.0f, 9.0f)).toDF("v")
+    val got = df.select(truncateNormalize($"v", 2).as("u")).as[Seq[Double]].head()
+    assert(got == Seq(0.6, 0.8))
+    val zero = Seq(Seq(0.0f, 0.0f, 5.0f)).toDF("v")
+    assert(zero.select(truncateNormalize($"v", 2)).head().isNullAt(0))
+  }
 }
