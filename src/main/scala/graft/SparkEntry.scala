@@ -837,6 +837,18 @@ object SparkEntry {
         .where(col(graft.sources.Jsonl.corruptCol).isNull)
         .drop(graft.sources.Jsonl.corruptCol)
     }),
+    "q_csv_roundtrip" -> ((s, dir) => {
+      // CSV interchange round trip under the pinned null/empty
+      // contract; the oracle is the identity — every value preserved,
+      // nothing quarantined (doc text carries newlines/quotes, so
+      // this exercises the full quoting path).
+      val docs = Parallelism.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("text"))
+      graft.sources.Csv.parseCsvLines(
+        graft.sources.Csv.toCsvLines(docs), "csv", docs.schema)
+        .where(col(graft.sources.Csv.corruptCol).isNull)
+        .drop(graft.sources.Csv.corruptCol)
+    }),
     "q_event_funnel" -> ((s, dir) => {
       // Ordered-step conversion funnel (view → click → purchase) with
       // strict time progression: greedy earliest-transition per user,
@@ -2390,6 +2402,8 @@ object SparkEntry {
          |FROM est JOIN mh ON est.id_a = mh.id_a AND est.id_b = mh.id_b""".stripMargin,
     // round trip is the contract: parsed output must equal the input
     "q_jsonl_roundtrip" ->
+      "SELECT doc_id, lang, text FROM documents",
+    "q_csv_roundtrip" ->
       "SELECT doc_id, lang, text FROM documents",
     // greedy earliest-transition funnel = chained conditional minima:
     // t_i = min ts of step i STRICTLY AFTER t_{i-1}; share is over
