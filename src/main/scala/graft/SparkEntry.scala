@@ -887,6 +887,24 @@ object SparkEntry {
       graft.operators.Profile.madOutliers(
         Parallelism.spread(t(s, dir, "documents")), "lang", "n_chars")
     }),
+    "q_cov" -> ((s, dir) => {
+      // Embedding covariance from ONE exact-decimal moment scan
+      // (order-independent sums; the reshape joins run on the
+      // bounded 4161-row moment frame).
+      graft.operators.Pca.covarianceMatrix(
+        t(s, dir, "embeddings"), "embedding", dim = 64)
+    }),
+    "q_pca" -> ((s, dir) => {
+      // PCA projection (fit = same moment scan + driver-side Jacobi
+      // on the 64x64 matrix; project = 8 row-local dots). Rows-only
+      // by declared design: no SQL engine replays an
+      // eigendecomposition — the covariance input is the
+      // oracle-checked q_cov, and PcaSpec pins the algebra.
+      val e = t(s, dir, "embeddings")
+      val m = graft.operators.Pca.fit(e, "embedding", dim = 64, k = 8)
+      graft.operators.Pca.project(e, "embedding", m)
+        .select(col("vec_id"), col("pca"))
+    }),
     "q_ann_matryoshka" -> ((s, dir) => {
       // Top-k over the 16-dim matryoshka prefix: 4× less vector
       // payload per corpus scan; cosine is scale-invariant so the
@@ -2459,6 +2477,18 @@ object SparkEntry {
         |  sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
         |  round(sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6) AS outlier_share
         |FROM dev d JOIN mad USING (lang) GROUP BY 1, 2, 3""".stripMargin,
+    // exact DECIMAL(19,9) moment sums (19: DuckDB only widens a
+    // product when p1+p2 <= 38), then the identical double formula
+    "q_cov" ->
+      """WITH u AS (SELECT vec_id, g.i::INT - 1 AS i, embedding[g.i]::DOUBLE::DECIMAL(19,9) AS a
+        |  FROM embeddings, generate_series(1, 64) AS g(i)
+        |  WHERE embedding IS NOT NULL),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings WHERE embedding IS NOT NULL),
+        |s AS (SELECT i, sum(a)::DOUBLE AS s FROM u GROUP BY 1),
+        |p AS (SELECT u1.i AS i, u2.i AS j, sum(u1.a * u2.a)::DOUBLE AS pp
+        |  FROM u u1 JOIN u u2 USING (vec_id) GROUP BY 1, 2)
+        |SELECT p.i, p.j, round((pp - s1.s * s2.s / n) / (n - 1), 6) + 0 AS cov
+        |FROM p JOIN s s1 ON p.i = s1.i JOIN s s2 ON p.j = s2.i, nn""".stripMargin,
     // the 16-dim prefix slice, then the shared cosine replay
     "q_ann_matryoshka" ->
       (s"""WITH q AS (SELECT vec_id AS query_id, embedding[1:16] AS qv FROM embeddings WHERE vec_id < 5),
