@@ -858,6 +858,17 @@ object SparkEntry {
         "user_id", "ts_ms", "event_type",
         Seq("view", "click", "purchase"))
     }),
+    "q_event_funnel_seg" -> ((s, dir) => {
+      // The same funnel per market segment: a broadcast dim join
+      // tags each event with its user's segment, which then rides
+      // the user-keyed shuffle as part of the key.
+      val seg = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      val ev = Parallelism.spread(t(s, dir, "events"))
+        .join(broadcast(seg), "user_id")
+      graft.operators.Events.eventFunnelByGroup(ev, "segment",
+        "user_id", "ts_ms", "event_type", Seq("view", "click", "purchase"))
+    }),
     "q_retention" -> ((s, dir) => {
       // Weekly cohort retention over epoch-aligned integer periods:
       // the corpus collapses to the distinct (user, week) set in the
@@ -2442,6 +2453,30 @@ object SparkEntry {
         |  round(c0 / n::DOUBLE, 6) AS share FROM c
         |UNION ALL SELECT 1, 'click', c1::BIGINT, round(c1 / n::DOUBLE, 6) FROM c
         |UNION ALL SELECT 2, 'purchase', c2::BIGINT, round(c2 / n::DOUBLE, 6) FROM c""".stripMargin,
+    // the same chained minima carried per segment; shares are per
+    // group
+    "q_event_funnel_seg" ->
+      """WITH e AS (SELECT user_id, c_mktsegment AS segment, epoch_ms(ts) AS ms, event_type
+        |  FROM events JOIN customer ON user_id = c_custkey
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |tot AS (SELECT segment, count(DISTINCT user_id) AS n FROM e GROUP BY 1),
+        |s0 AS (SELECT user_id, segment, min(ms) AS t0 FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+        |s1 AS (SELECT e.user_id, e.segment, min(ms) AS t1 FROM e JOIN s0 USING (user_id)
+        |  WHERE event_type = 'click' AND ms > t0 GROUP BY 1, 2),
+        |s2 AS (SELECT e.user_id, e.segment, min(ms) AS t2 FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ms > t1 GROUP BY 1, 2),
+        |c0 AS (SELECT segment, count(*)::BIGINT AS c FROM s0 GROUP BY 1),
+        |c1 AS (SELECT segment, count(*)::BIGINT AS c FROM s1 GROUP BY 1),
+        |c2 AS (SELECT segment, count(*)::BIGINT AS c FROM s2 GROUP BY 1)
+        |SELECT t.segment, 0 AS step_idx, 'view' AS step, coalesce(c0.c, 0) AS n_users,
+        |  round(coalesce(c0.c, 0) / n::DOUBLE, 6) AS share
+        |FROM tot t LEFT JOIN c0 ON t.segment = c0.segment
+        |UNION ALL SELECT t.segment, 1, 'click', coalesce(c1.c, 0),
+        |  round(coalesce(c1.c, 0) / n::DOUBLE, 6)
+        |FROM tot t LEFT JOIN c1 ON t.segment = c1.segment
+        |UNION ALL SELECT t.segment, 2, 'purchase', coalesce(c2.c, 0),
+        |  round(coalesce(c2.c, 0) / n::DOUBLE, 6)
+        |FROM tot t LEFT JOIN c2 ON t.segment = c2.segment""".stripMargin,
     // epoch-aligned integer weeks (ms div 7·86400000) — no calendar
     // functions on either side
     "q_retention" ->

@@ -89,6 +89,71 @@ object Events {
       .select("f.*")
   }
 
+  /** Per-group [[eventFunnel]]: the same strict ordered-step funnel
+    * computed for every segment (the "which cohort converts where"
+    * view — typically composed with a broadcast dim join that tags
+    * each event with its user's segment). The group is assumed
+    * constant per user (a user attribute); it rides the user-keyed
+    * shuffle as part of the key, so the plan shape is identical to
+    * the global funnel plus one bounded grouped aggregation. Shares
+    * are per group.
+    *
+    * @return groups × steps rows: (group, step_idx, step, n_users,
+    *         share — of the GROUP's users with any step-typed event,
+    *         6 dp).
+    */
+  def eventFunnelByGroup(
+      df: DataFrame,
+      groupCol: String,
+      userCol: String,
+      tsMsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "no steps given")
+    require(steps.distinct == steps, "steps must be distinct")
+    val stepIdx = steps.tail.zipWithIndex.foldLeft(
+      when(col(typeCol) === steps.head, lit(0))) { case (acc, (s, i)) =>
+      acc.when(col(typeCol) === s, lit(i + 1))
+    }
+    val perUser = df
+      .where(col(typeCol).isin(steps: _*))
+      .select(
+        col(groupCol),
+        col(userCol).as("__u"),
+        col(tsMsCol).cast("long").as("__ts"),
+        stepIdx.as("__i"))
+      .groupBy(col(groupCol), col("__u"))
+      .agg(sort_array(collect_list(struct(col("__ts"), col("__i")))).as("__ev"))
+      .select(
+        col(groupCol),
+        aggregate(
+          col("__ev"),
+          struct(lit(0).as("r"), lit(0L).as("t")),
+          (acc, e) =>
+            when(
+              e("__i") === acc("r") &&
+                (acc("r") === 0 || e("__ts") > acc("t")),
+              struct((acc("r") + 1).as("r"), e("__ts").as("t")))
+              .otherwise(acc)).getField("r").as("__reached"))
+    val aggs = count(lit(1)).as("__total") +:
+      steps.indices.map(i =>
+        coalesce(sum(when(col("__reached") >= i + 1, 1L).otherwise(0L)), lit(0L))
+          .as(s"__c_$i"))
+    perUser.groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol),
+        explode(array(steps.zipWithIndex.map { case (name, i) =>
+          struct(
+            lit(i).as("step_idx"),
+            lit(name).as("step"),
+            col(s"__c_$i").as("n_users"),
+            round(when(col("__total") > 0,
+              col(s"__c_$i") / col("__total").cast("double")), 6)
+              .as("share"))
+        }: _*)).as("f"))
+      .select(col(groupCol), col("f.*"))
+  }
+
   /** Cohort retention: users are cohorted by the epoch-aligned
     * period (`periodDays`, default weekly) of their FIRST activity,
     * and each (cohort, offset) cell counts the cohort's users active

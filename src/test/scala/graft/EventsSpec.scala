@@ -105,6 +105,29 @@ class EventsSpec extends SparkSpec {
     assert(out(d) == ((1L, 1L, 4.0, 4.0)))
   }
 
+  test("eventFunnelByGroup: per-slice parity with the global funnel") {
+    val rnd = new scala.util.Random(19)
+    val rows = (1 to 500).map { _ =>
+      val u = rnd.nextInt(30).toLong
+      (u, if (u % 3 == 0) "a" else "b", rnd.nextInt(100000).toLong,
+        Seq("view", "click", "purchase", "error")(rnd.nextInt(4)))
+    }
+    val df = rows.toDF("user_id", "seg", "ts_ms", "event_type")
+    val steps = Seq("view", "click", "purchase")
+    val byGroup = Events.eventFunnelByGroup(df, "seg", "user_id", "ts_ms",
+      "event_type", steps)
+      .as[(String, Int, String, Long, Double)].collect()
+      .groupBy(_._1).map { case (g, rs) =>
+        g -> rs.sortBy(_._2).map(r => (r._2, r._3, r._4, r._5)).toSeq
+      }
+    for (g <- Seq("a", "b")) {
+      val slice = Events.eventFunnel(df.where($"seg" === g), "user_id",
+        "ts_ms", "event_type", steps)
+        .as[(Int, String, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(byGroup(g) == slice, s"group $g")
+    }
+  }
+
   test("eventFunnel/retention: reproducible under repartitioning") {
     val rnd = new scala.util.Random(7)
     val rows = (1 to 400).map { i =>
