@@ -837,6 +837,15 @@ object SparkEntry {
         .where(col(graft.sources.Jsonl.corruptCol).isNull)
         .drop(graft.sources.Jsonl.corruptCol)
     }),
+    "q_weighted_sample" -> ((s, dir) => {
+      // Weight-proportional selection: P(doc) ∝ n_chars via the
+      // Gumbel-top-k identity on the content-hash uniform — no RNG
+      // state, reproducible under any partitioning.
+      graft.operators.Selection.weightedSample(
+        Parallelism.spread(t(s, dir, "documents"))
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", "n_chars", k = 100, seed = 11)
+    }),
     "q_csv_roundtrip" -> ((s, dir) => {
       // CSV interchange round trip under the pinned null/empty
       // contract; the oracle is the identity — every value preserved,
@@ -2038,6 +2047,14 @@ object SparkEntry {
          |ky AS (SELECT doc_id, dsir_logw, dsir_logw +
          |  (-ln(-ln((${h16Sql("doc_id::VARCHAR || ':0'")} + 0.5) / 65536.0))) AS k FROM ww)
          |SELECT doc_id, dsir_logw FROM ky ORDER BY k DESC, doc_id LIMIT 100""".stripMargin,
+    // generic Gumbel-top-k: 6 dp log-weight + the same hash-Gumbel
+    // noise as q_dsir
+    "q_weighted_sample" ->
+      (s"""WITH w AS (SELECT doc_id, lang, n_chars, round(ln(n_chars::DOUBLE), 6) AS lw
+          |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+          |ky AS (SELECT doc_id, lang, n_chars,
+          |  lw + (-ln(-ln((${h16Sql("doc_id::VARCHAR || ':11'")} + 0.5) / 65536.0))) AS k FROM w)
+          |SELECT doc_id, lang, n_chars FROM ky ORDER BY k DESC, doc_id LIMIT 100""".stripMargin),
     // Keep-best apply: clusters via the same recursive-CTE reach as
     // q_dedup_clusters, singletons self-clustered, argmax(n_chars,
     // min doc_id) per cluster.
@@ -2512,10 +2529,13 @@ object SparkEntry {
         |  sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
         |  round(sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6) AS outlier_share
         |FROM dev d JOIN mad USING (lang) GROUP BY 1, 2, 3""".stripMargin,
-    // exact DECIMAL(19,9) moment sums (19: DuckDB only widens a
-    // product when p1+p2 <= 38), then the identical double formula
+    // exact DECIMAL(19,6) moment sums (matching the compact-decimal
+    // scale-6 contract; 19: DuckDB only widens a product when
+    // p1+p2 <= 38; the float cast routes through DOUBLE — DuckDB's
+    // direct float->decimal keeps only float precision), then the
+    // identical double formula
     "q_cov" ->
-      """WITH u AS (SELECT vec_id, g.i::INT - 1 AS i, embedding[g.i]::DOUBLE::DECIMAL(19,9) AS a
+      """WITH u AS (SELECT vec_id, g.i::INT - 1 AS i, embedding[g.i]::DOUBLE::DECIMAL(19,6) AS a
         |  FROM embeddings, generate_series(1, 64) AS g(i)
         |  WHERE embedding IS NOT NULL),
         |nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings WHERE embedding IS NOT NULL),

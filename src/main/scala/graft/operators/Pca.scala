@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** PCA over embedding columns — the whitening/decorrelation step in
@@ -9,13 +9,14 @@ import org.apache.spark.sql.functions._
   * MRL-trained).
   *
   * Scale design: the ONLY corpus pass computes the exact second
-  * moments (n, Σx, Σxxᵀ) in one explode-aggregate — elements are
-  * cast ONCE to `DECIMAL(18,scale)`, so every accumulator is an
-  * EXACT decimal sum: order-independent, partition-deterministic,
-  * and replayable in another engine (the same device as the
-  * entropy/NB-score sums). The generated (d²+d+1)-element rows are
-  * pipelined into a partial hash aggregate, so the shuffle carries
-  * ≤ partitions·(d²+d+1) rows regardless of corpus size, and only
+  * moments (n, Σx, upper-triangle Σxxᵀ) in one explode-aggregate —
+  * elements are cast ONCE to a compact decimal, so every
+  * accumulator is an EXACT decimal sum: order-independent,
+  * partition-deterministic, and replayable in another engine (the
+  * same device as the entropy/NB-score sums). The generated
+  * (d(d+1)/2+d+1)-element rows are pipelined into a partial hash
+  * aggregate, so the shuffle carries ≤ partitions·that regardless
+  * of corpus size, and only
   * that bounded moment set reaches the driver. The d×d
   * eigendecomposition (cyclic Jacobi) is driver-side — d is a model
   * dimension (64–4096), never data-sized. Projection is a row-local
@@ -36,32 +37,56 @@ object Pca {
   }
 
   /** The one-scan moment frame: position 0 = n, positions 1..d = Σxᵢ,
-    * positions d+1..d+d² = Σxᵢxⱼ (row-major), every sum an exact
-    * decimal. Null vectors are skipped; elements are assumed dense
-    * (embedding contract).
+    * positions d+1.. = the UPPER-TRIANGLE Σxᵢxⱼ (j ≥ i, row-major —
+    * covariance is symmetric, so half the multiplies buy the whole
+    * matrix), every sum an exact decimal. Two deliberate type
+    * choices keep the hot multiply on Spark's COMPACT-LONG decimal
+    * path (`Decimal` stays long-backed while precision ≤ 18, ~an
+    * order of magnitude faster than the BigDecimal fallback):
+    * elements are DECIMAL(intDigits+scale, scale) and the default
+    * contract (`intDigits = 2`, `scale = 6`) makes every product
+    * DECIMAL(17, 2·scale). Inputs must satisfy |x| < 10^intDigits
+    * (the embedding contract by a wide margin); raise `intDigits`
+    * for wider data and pay the BigDecimal path. Null vectors are
+    * skipped; elements are assumed dense.
     */
   private[graft] def momentFrame(
       df: DataFrame,
       vecCol: String,
       dim: Int,
-      scale: Int): DataFrame = {
-    val prodType = s"decimal(37,${2 * scale})"
-    val dec = transform(col(vecCol), x => x.cast(s"decimal(18,$scale)"))
+      scale: Int,
+      intDigits: Int = 2): DataFrame = {
+    require(scale >= 1 && intDigits >= 1, "scale/intDigits must be positive")
+    val elemP = intDigits + scale
+    val prodType = s"decimal(${2 * elemP + 1},${2 * scale})"
+    val dec = transform(col(vecCol), x => x.cast(s"decimal($elemP,$scale)"))
     val withOne = concat(
       array(lit(1).cast(prodType)),
       transform(dec, x => x.cast(prodType)),
-      flatten(transform(dec, xi => transform(dec, xj => xi * xj))))
+      flatten(transform(dec, (x, i) =>
+        transform(slice(dec, i + 1, lit(dim) - i), y => x * y))))
     df.where(col(vecCol).isNotNull)
       .select(posexplode(withOne).as(Seq("__pos", "__v")))
       .groupBy(col("__pos"))
       .agg(sum(col("__v")).as("__s"))
   }
 
+  /** 0-based row index i of 0-based triangle offset `p0` (the
+    * inverse of offset(i) = i·d − i(i−1)/2): the discriminant is the
+    * EXACT perfect square (2d+1−2i)² at each row start, so the
+    * floor can never flip — all intermediates < 2⁵³.
+    */
+  private def triRow(p0: Column, dim: Int): Column =
+    floor((lit(2 * dim + 1) -
+      sqrt(lit((2L * dim + 1) * (2L * dim + 1)).cast("double") -
+        p0.cast("double") * 8)) / 2).cast("int")
+
   /** Sample covariance matrix of the embedding column, computed from
     * the exact-decimal moments: `cov(i,j) = (Σxᵢxⱼ − Σxᵢ·Σxⱼ/n)/(n−1)`
     * (that exact association order, replicated in the oracle), 6 dp.
-    * One corpus scan; the reshape joins run on the bounded
-    * (d²+d+1)-row moment frame.
+    * One corpus scan computes the upper triangle; the reshape joins
+    * run on the bounded moment frame and the strict triangle mirrors
+    * to the full symmetric output.
     *
     * @return d² rows (i, j, cov).
     */
@@ -69,18 +94,23 @@ object Pca {
       df: DataFrame,
       vecCol: String,
       dim: Int,
-      scale: Int = 9): DataFrame = {
+      scale: Int = 6,
+      intDigits: Int = 2): DataFrame = {
     require(dim > 0, "dim must be positive")
-    val m = momentFrame(df, vecCol, dim, scale).localCheckpoint()
+    val m = momentFrame(df, vecCol, dim, scale, intDigits).localCheckpoint()
     val nRow = m.where(col("__pos") === 0)
       .select(col("__s").cast("double").as("__n"))
     val sx = m.where(col("__pos").between(1, dim))
       .select((col("__pos") - 1).cast("int").as("__i"),
         col("__s").cast("double").as("__sx"))
-    m.where(col("__pos") > dim)
+    val p0 = col("__pos") - dim - 1
+    val iCol = triRow(p0, dim)
+    // offset(i) = i·d − i(i−1)/2 — i(i−1) is always even, the /2 exact
+    val offI = iCol * dim - (iCol * (iCol - 1)).cast("long") / 2
+    val tri = m.where(col("__pos") > dim)
       .select(
-        floor((col("__pos") - dim - 1) / dim).cast("int").as("i"),
-        pmod(col("__pos") - dim - 1, lit(dim)).cast("int").as("j"),
+        iCol.as("i"),
+        (iCol + (p0 - offI)).cast("int").as("j"),
         col("__s").cast("double").as("__p"))
       .join(broadcast(sx.select(col("__i").as("i"), col("__sx").as("__si"))), Seq("i"))
       .join(broadcast(sx.select(col("__i").as("j"), col("__sx").as("__sj"))), Seq("j"))
@@ -88,6 +118,15 @@ object Pca {
       .select(col("i"), col("j"),
         round((col("__p") - col("__si") * col("__sj") / col("__n")) /
           (col("__n") - 1), 6).as("cov"))
+    // mirror the strict upper triangle to the full symmetric matrix
+    tri.select(explode(
+      when(col("i") === col("j"),
+        array(struct(col("i"), col("j"), col("cov"))))
+        .otherwise(array(
+          struct(col("i"), col("j"), col("cov")),
+          struct(col("j").as("i"), col("i").as("j"), col("cov")))))
+      .as("c"))
+      .select("c.*")
   }
 
   /** Fit: one moment scan + driver-side Jacobi on the d×d matrix.
@@ -99,15 +138,18 @@ object Pca {
       vecCol: String,
       dim: Int,
       k: Int,
-      scale: Int = 9): PcaModel = {
+      scale: Int = 6,
+      intDigits: Int = 2): PcaModel = {
     require(k > 0 && k <= dim, "need 0 < k <= dim")
-    val rows = momentFrame(df, vecCol, dim, scale).collect()
+    val rows = momentFrame(df, vecCol, dim, scale, intDigits).collect()
     val byPos = rows.map(r => r.getInt(0) -> r.getDecimal(1)).toMap
     val n = byPos(0).doubleValue()
     require(n > 1, "need at least two vectors to fit")
     val sx = Array.tabulate(dim)(i => byPos(i + 1).doubleValue())
-    val cov = Array.tabulate(dim, dim) { (i, j) =>
-      (byPos(dim + 1 + i * dim + j).doubleValue() - sx(i) * sx(j) / n) / (n - 1)
+    def triPos(i: Int, j: Int): Int = dim + 1 + i * dim - i * (i - 1) / 2 + (j - i)
+    val cov = Array.tabulate(dim, dim) { (a, b) =>
+      val (i, j) = if (a <= b) (a, b) else (b, a)
+      (byPos(triPos(i, j)).doubleValue() - sx(i) * sx(j) / n) / (n - 1)
     }
     val (evals, evecs) = jacobiEigen(cov)
     val order = evals.indices.sortBy(i => -evals(i)).take(k)

@@ -180,7 +180,7 @@ object Selection {
       exactMergeLimit: Int = defaultExactMergeLimit): DataFrame = {
     require(k > 0, "k must be positive")
     gumbelTopK(dsirWeights(df, target, textCol, idCol, numBuckets, alpha),
-      idCol, k, seed, exactMergeLimit)
+      idCol, "dsir_logw", k, seed, exactMergeLimit)
   }
 
   /** Largest `k` for which the single-task merge of a global
@@ -222,6 +222,7 @@ object Selection {
   private def gumbelTopK(
       w: DataFrame,
       idCol: String,
+      logwCol: String,
       k: Int,
       seed: Int,
       exactMergeLimit: Int = defaultExactMergeLimit): DataFrame = {
@@ -229,7 +230,7 @@ object Selection {
       .cast("double")
     val gumbel = -log(-log((h + 0.5) / 65536.0))
     val keyCol = graft.Cols.unique("__key", w)
-    val keyed = w.withColumn(keyCol, col("dsir_logw") + gumbel)
+    val keyed = w.withColumn(keyCol, col(logwCol) + gumbel)
     if (k <= exactMergeLimit) {
       keyed.orderBy(col(keyCol).desc, col(idCol))
         .limit(k)
@@ -303,7 +304,37 @@ object Selection {
     require(k > 0, "k must be positive")
     gumbelTopK(
       dsirSelfWeights(df, textCol, targetFlag, idCol, numBuckets, alpha),
-      idCol, k, seed, exactMergeLimit)
+      idCol, "dsir_logw", k, seed, exactMergeLimit)
+  }
+
+  /** Weight-proportional WITHOUT-replacement top-k over ANY positive
+    * weight column (a quality score, a fertility ratio, a dedup
+    * cluster size — [[dsirResample]] is this with the DSIR weight):
+    * the Gumbel-top-k identity (Efraimidis–Spirakis A-ES, reshaped
+    * as log-weight + Gumbel noise) makes P(row selected) ∝ weight
+    * with NO per-row RNG state — the noise is the same content-hash
+    * uniform as every sampler here, so the pick is reproducible
+    * under any partitioning and replayable in SQL. Log-weights are
+    * rounded to 6 dp by contract (cross-engine `ln` drift dies at
+    * the boundary, same discipline as the DSIR log-ratios). Rows
+    * with null or non-positive weight carry zero mass and are
+    * excluded. Same two physical shapes as [[dsirResample]]:
+    * `TakeOrderedAndProject` for bounded k, the distributed
+    * prefix-sum rank filter for corpus-fraction k.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: Int = 0,
+      exactMergeLimit: Int = defaultExactMergeLimit): DataFrame = {
+    require(k > 0, "k must be positive")
+    val lw = graft.Cols.unique("__logw", df)
+    val w = df
+      .where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn(lw, round(log(col(weightCol).cast("double")), 6))
+    gumbelTopK(w, idCol, lw, k, seed, exactMergeLimit).drop(lw)
   }
 
   /** Multinomial Naive-Bayes quality model over hashed gram buckets:

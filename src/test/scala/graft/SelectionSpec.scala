@@ -235,4 +235,38 @@ class SelectionSpec extends SparkSpec {
     // collision) hits the model — n_grams counts MATCHED grams only
     assert(a.head._3 >= 1L)
   }
+
+  test("weightedSample: k rows, reproducible, proportional-ish bias, zero-mass rows excluded") {
+    val df = (1L to 400L).map(i =>
+      (i, if (i <= 200) 1.0 else 9.0)) // heavy rows 9x the mass
+      .toDF("doc_id", "w")
+      .union(Seq((401L, 0.0), (402L, -1.0)).toDF("doc_id", "w"))
+      .union(Seq((403L, Option.empty[Double])).toDF("doc_id", "w"))
+    val sel = Selection.weightedSample(df, "doc_id", "w", k = 100, seed = 5)
+      .as[(Long, Double)].collect()
+    assert(sel.length == 100)
+    assert(sel.forall(r => r._1 <= 400L), "zero/negative/null mass must never select")
+    // expected heavy share = 200*9/(200*1+200*9) = 0.9; hash noise band
+    val heavy = sel.count(_._1 > 200L)
+    assert(heavy > 75 && heavy <= 100, s"heavy=$heavy")
+    val again = Selection.weightedSample(df.repartition(7), "doc_id", "w",
+      k = 100, seed = 5).as[(Long, Double)].collect()
+    assert(sel.map(_._1).toSet == again.map(_._1).toSet)
+    // different seed -> (almost surely) different pick
+    val other = Selection.weightedSample(df, "doc_id", "w", k = 100, seed = 6)
+      .as[(Long, Double)].collect()
+    assert(other.map(_._1).toSet != sel.map(_._1).toSet)
+  }
+
+  test("weightedSample: rank path selects the same rows as the limit path") {
+    val df = (1L to 300L).map(i => (i, (i % 7 + 1).toDouble)).toDF("doc_id", "w")
+    val lim = Selection.weightedSample(df, "doc_id", "w", k = 120, seed = 2)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val rank = Selection.weightedSample(df, "doc_id", "w", k = 120, seed = 2,
+      exactMergeLimit = 10).as[(Long, Double)].collect().map(_._1).toSet
+    assert(lim == rank)
+    val plan = Selection.weightedSample(df, "doc_id", "w", k = 120, seed = 2,
+      exactMergeLimit = 10).queryExecution.executedPlan.toString
+    assert(!plan.contains("TakeOrderedAndProject"), "rank path must not global-limit")
+  }
 }
