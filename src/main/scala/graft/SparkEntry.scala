@@ -477,6 +477,42 @@ object SparkEntry {
   private def cosSql(a: String, b: String): String =
     s"(CASE WHEN ${normSql(a)} * ${normSql(b)} > 0 THEN ${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}) END)"
 
+  private def l2Sql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)), (x, y) -> x + y)"
+
+  /** [[graft.operators.Pq]] replay, GENERATED from the same (m,
+    * subDim, stride) so the codebook fit (stride init → argmin →
+    * 6 dp Lloyd means → argmin), the code assignment, and the
+    * DECIMAL-summed ADC distances cannot drift from the Spark side.
+    * Ends with `pqr` = (query_id, corpus_id, adist, rank).
+    */
+  private def pqCtes(m: Int, subDim: Int, stride: Int): String =
+    s"""sub AS (SELECT vec_id AS id, g.s::INT AS s,
+       |  list_transform(embedding[(g.s*$subDim+1):((g.s+1)*$subDim)], x -> x::DOUBLE) AS v
+       |  FROM embeddings, generate_series(0, ${m - 1}) AS g(s)
+       |  WHERE embedding IS NOT NULL),
+       |cen0 AS (SELECT s, id AS cid, v AS cv FROM sub WHERE id % $stride = 0),
+       |d1 AS (SELECT sub.id, sub.s, cen0.cid, round(${l2Sql("sub.v", "cen0.cv")}, 6) AS d
+       |  FROM sub JOIN cen0 USING (s)),
+       |a1 AS (SELECT id, s, cid FROM (SELECT id, s, cid,
+       |    row_number() OVER (PARTITION BY id, s ORDER BY d, cid) AS rn FROM d1) WHERE rn = 1),
+       |e1 AS (SELECT a1.s, a1.cid, g.i AS pos, sub.v[g.i] AS x
+       |  FROM a1 JOIN sub USING (id, s), generate_series(1, $subDim) AS g(i)),
+       |cm AS (SELECT s, cid, pos, round(avg(x), 6) AS mx FROM e1 GROUP BY 1, 2, 3),
+       |cen1 AS (SELECT s, cid, list(mx ORDER BY pos) AS cv FROM cm GROUP BY 1, 2),
+       |d2 AS (SELECT sub.id, sub.s, cen1.cid, round(${l2Sql("sub.v", "cen1.cv")}, 6) AS d
+       |  FROM sub JOIN cen1 USING (s)),
+       |codes AS (SELECT id, s, cid FROM (SELECT id, s, cid,
+       |    row_number() OVER (PARTITION BY id, s ORDER BY d, cid) AS rn FROM d2) WHERE rn = 1),
+       |qsub AS (SELECT id AS query_id, s, v FROM sub WHERE id < 5),
+       |lut AS (SELECT q.query_id, c.s, c.cid, round(${l2Sql("q.v", "c.cv")}, 6)::DECIMAL(18,6) AS d
+       |  FROM qsub q JOIN cen1 c ON q.s = c.s),
+       |ad AS (SELECT l.query_id, codes.id AS corpus_id, (sum(l.d))::DOUBLE AS adist
+       |  FROM codes JOIN lut l ON codes.s = l.s AND codes.cid = l.cid
+       |  GROUP BY 1, 2),
+       |pqr AS (SELECT query_id, corpus_id, adist,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY adist, corpus_id) AS rank FROM ad)""".stripMargin
+
   /** [[graft.operators.Profile.corrMatrix]] replay, GENERATED from
     * the same column list so the moment names and the
     * left-associative Pearson formula cannot drift from the Spark
@@ -924,6 +960,25 @@ object SparkEntry {
       val m = graft.operators.Pca.fit(e, "embedding", dim = 64, k = 8)
       graft.operators.Pca.project(e, "embedding", m)
         .select(col("vec_id"), col("pca"))
+    }),
+    "q_ann_pq" -> ((s, dir) => {
+      // Product-quantized ADC top-k: 20-centroid codebooks per 8-dim
+      // subspace (stride 25), 2 Lloyd passes; corpus floats are read
+      // once at encode, the search sums m LUT lookups per code row.
+      val e = t(s, dir, "embeddings")
+      graft.operators.Pq.pqTopK(e, e.where(col("vec_id") < 5),
+        "embedding", "vec_id", "vec_id", k = 10, dim = 64, m = 8, stride = 25)
+    }),
+    "q_pq_recall" -> ((s, dir) => {
+      // The PQ-quality eval: recall@10 of the ADC ranking vs the
+      // exact float path — both sides replayable, the metric itself
+      // oracle-checked (same contract as q_ann_recall).
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      Similarity.annRecall(
+        graft.operators.Pq.pqTopK(e, q, "embedding", "vec_id", "vec_id",
+          k = 10, dim = 64, m = 8, stride = 25),
+        Similarity.bruteForceTopK(e, q, "embedding", "vec_id", "vec_id", k = 10))
     }),
     "q_ann_matryoshka" -> ((s, dir) => {
       // Top-k over the 16-dim matryoshka prefix: 4× less vector
@@ -2544,6 +2599,23 @@ object SparkEntry {
         |  FROM u u1 JOIN u u2 USING (vec_id) GROUP BY 1, 2)
         |SELECT p.i, p.j, round((pp - s1.s * s2.s / n) / (n - 1), 6) + 0 AS cov
         |FROM p JOIN s s1 ON p.i = s1.i JOIN s s2 ON p.j = s2.i, nn""".stripMargin,
+    "q_ann_pq" ->
+      (s"""WITH ${pqCtes(m = 8, subDim = 8, stride = 25)}
+          |SELECT query_id, corpus_id, adist, rank FROM pqr WHERE rank <= 10""".stripMargin),
+    // the ADC ranking CTEs + the float-exact CTEs + the recall join
+    "q_pq_recall" ->
+      (s"""WITH ${pqCtes(m = 8, subDim = 8, stride = 25)},
+          |fq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+          |fc AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+          |fs AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine FROM fc, fq),
+          |fr AS (SELECT query_id, corpus_id,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM fs),
+          |exact AS (SELECT query_id, corpus_id FROM fr WHERE rank <= 10),
+          |approx AS (SELECT query_id, corpus_id FROM pqr WHERE rank <= 10),
+          |tot AS (SELECT count(DISTINCT query_id) AS n_queries, count(*)::BIGINT AS n_exact FROM exact),
+          |mt AS (SELECT count(*)::BIGINT AS n_matched FROM exact JOIN approx USING (query_id, corpus_id))
+          |SELECT n_queries, n_exact, n_matched,
+          |  round(n_matched / n_exact::DOUBLE, 6) AS recall FROM tot, mt""".stripMargin),
     // the 16-dim prefix slice, then the shared cosine replay
     "q_ann_matryoshka" ->
       (s"""WITH q AS (SELECT vec_id AS query_id, embedding[1:16] AS qv FROM embeddings WHERE vec_id < 5),

@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.functions.VectorFunctions.squaredL2Distance
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., "Product quantization for
+  * nearest neighbor search", TPAMI 2011) — the compression half the
+  * IVF design here deliberately left out ([[Similarity]] stores
+  * exact vectors per list): each vector splits into `m` subvectors,
+  * each subvector quantizes to its subspace's nearest codebook
+  * centroid, and a vector becomes `m` small code ids. Search is
+  * asymmetric distance computation (ADC): the query builds one
+  * lookup table of (subspace, centroid) → exact subdistance, and a
+  * corpus vector's approximate distance is the SUM of m table
+  * lookups — the corpus float vectors are read exactly once (at
+  * encode time), never per query.
+  *
+  * Scale shape: codebooks are stride-sampled then Lloyd-refined with
+  * 6 dp-rounded means (the [[Similarity.kmeansAssignments]]
+  * replay discipline, L2 instead of cosine) — bounded by
+  * m·(n/stride), broadcast. Encoding shuffles only (id, s, cid)
+  * triples (one grouped argmin with map-side partials — never a
+  * window over the corpus). The ADC pass joins id-sized code rows
+  * against the broadcast LUT and partial-sums map-side; per-query
+  * subdistances accumulate in exact DECIMAL(18,6) (order-independent
+  * — m rounded doubles summed in shuffle order would drift), and
+  * the top-k is a `WindowGroupLimit`-pruned rank per query.
+  */
+object Pq {
+
+  /** (id, s, subvec as array<double>) — one row per subspace. */
+  private def subFrame(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      m: Int): DataFrame = {
+    val subDim = dim / m
+    val subs = array((0 until m).map(s =>
+      slice(col(vecCol), s * subDim + 1, subDim).cast("array<double>")): _*)
+    df.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), posexplode(subs).as(Seq("__s", "__sub")))
+  }
+
+  /** Per-subspace argmin assignment against the broadcast codebooks:
+    * min(struct(dist, cid)) = (dist asc, cid asc), a hash aggregate
+    * with map-side partials. Distances round to 6 dp so the argmin
+    * (and every replay) is engine-portable.
+    */
+  private def assign(sub: DataFrame, cen: DataFrame): DataFrame =
+    sub.join(broadcast(cen), Seq("__s"))
+      .withColumn("__d",
+        round(squaredL2Distance(col("__sub"), col("__cvec")), 6))
+      .groupBy(col("__id"), col("__s"))
+      .agg(min(struct(col("__d"), col("__cid"), col("__sub"))).as("__m"))
+      .select(col("__id"), col("__s"), col("__m.__cid").as("__cid"),
+        col("__m.__sub").as("__sub"))
+
+  /** Fit the m per-subspace codebooks: stride-sampled init (the same
+    * sampled ids in every subspace — no fitted state to ship, any
+    * engine regenerates them), then `iters − 1` Lloyd updates with
+    * 6 dp-rounded means. Codebook size per subspace is n/stride —
+    * the caller bounds it like IVF's nlist.
+    *
+    * @return (s, cid, centroid array<double>).
+    */
+  def fitCodebooks(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      m: Int,
+      stride: Int,
+      iters: Int = 2): DataFrame = {
+    require(m >= 1 && dim % m == 0, "dim must divide into m subspaces")
+    require(stride >= 1 && iters >= 1, "stride/iters must be positive")
+    val sub = subFrame(corpus, vecCol, idCol, dim, m)
+    var cen = sub.where(pmod(col("__id"), lit(stride)) === 0)
+      .select(col("__s"), col("__id").as("__cid"), col("__sub").as("__cvec"))
+    for (_ <- 2 to iters) {
+      cen = assign(sub, cen)
+        .select(col("__s"), col("__cid"),
+          posexplode(col("__sub")).as(Seq("__pos", "__x")))
+        .groupBy(col("__s"), col("__cid"), col("__pos"))
+        .agg(round(avg(col("__x")), 6).as("__mx"))
+        .groupBy(col("__s"), col("__cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__mx")))),
+          e => e.getField("__mx")).as("__cvec"))
+    }
+    cen.select(col("__s").as("s"), col("__cid").as("cid"), col("__cvec").as("centroid"))
+  }
+
+  /** Encode every vector to its m-code array (code position s =
+    * nearest centroid id in subspace s). Only (id, s, cid) triples
+    * shuffle; the output is one id-sized row per vector.
+    *
+    * @return (id, code array<long> of length m).
+    */
+  def encode(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      m: Int,
+      codebooks: DataFrame): DataFrame = {
+    val cen = codebooks.select(col("s").as("__s"), col("cid").as("__cid"),
+      col("centroid").as("__cvec"))
+    assign(subFrame(corpus, vecCol, idCol, dim, m), cen)
+      .groupBy(col("__id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__s"), col("__cid")))),
+        e => e.getField("__cid")).as("code"))
+      .select(col("__id").as("id"), col("code"))
+  }
+
+  /** ADC top-k: fit + encode + the LUT-sum search in one call.
+    * Approximate by construction — ranks follow the quantized
+    * distances; measure with [[Similarity.annRecall]] against
+    * [[Similarity.bruteForceTopK]].
+    *
+    * @return (query_id, corpus_id, adist — approximate squared L2,
+    *         6 dp, rank 1..k ascending distance).
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      qIdCol: String,
+      k: Int,
+      dim: Int,
+      m: Int,
+      stride: Int,
+      iters: Int = 2): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val books = fitCodebooks(corpus, vecCol, idCol, dim, m, stride, iters)
+      .localCheckpoint()
+    val codes = encode(corpus, vecCol, idCol, dim, m, books)
+    val lut = subFrame(queries, vecCol, qIdCol, dim, m)
+      .join(broadcast(books.select(col("s").as("__s"), col("cid").as("__cid"),
+        col("centroid").as("__cvec"))), Seq("__s"))
+      .select(col("__id").as("query_id"), col("__s"), col("__cid"),
+        round(squaredL2Distance(col("__sub"), col("__cvec")), 6)
+          .cast("decimal(18,6)").as("__d"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("corpus_id").asc)
+    codes
+      .select(col("id").as("corpus_id"),
+        posexplode(col("code")).as(Seq("__s", "__cid")))
+      .join(broadcast(lut), Seq("__s", "__cid"))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(sum(col("__d")).cast("double").as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "adist", "rank")
+  }
+}
