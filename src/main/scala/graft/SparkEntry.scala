@@ -922,6 +922,13 @@ object SparkEntry {
         Parallelism.spread(t(s, dir, "events")),
         "user_id", "ts_ms", maxOffset = 8)
     }),
+    "q_transitions" -> ((s, dir) => {
+      // Markov (prev → next) transition matrix: one user-keyed
+      // window with an event-id tiebreak, one bounded aggregation.
+      graft.operators.Events.transitionMatrix(
+        Parallelism.spread(t(s, dir, "events")),
+        "user_id", "ts_ms", "event_type", "event_id")
+    }),
     "q_tumbling" -> ((s, dir) => {
       // Daily tumbling rollup: integer-divided epoch windows, exact
       // DECIMAL value sums (order-independent), one aggregation.
@@ -935,6 +942,12 @@ object SparkEntry {
       // agg row — never a pass per pair.
       graft.operators.Profile.corrMatrix(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    }),
+    "q_crosstab" -> ((s, dir) => {
+      // source × lang independence check: one corpus aggregation,
+      // marginals derived from the staged bounded cell frame.
+      graft.operators.Profile.crossTab(
+        Parallelism.spread(t(s, dir, "documents")), "source", "lang")
     }),
     "q_mad" -> ((s, dir) => {
       // Robust per-language length outliers: median + MAD (two rank
@@ -2561,6 +2574,17 @@ object SparkEntry {
         |SELECT cohort_period, period_offset, n_users,
         |  round(n_users / b::DOUBLE, 6) AS retention
         |FROM cells JOIN base USING (cohort_period)""".stripMargin,
+    // the same lag over the same (ts, event_id) total order
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
+        |l AS (SELECT event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS from_type
+        |  FROM e),
+        |c AS (SELECT from_type, to_type, count(*)::BIGINT AS n_transitions
+        |  FROM l WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_transitions,
+        |  round(n_transitions / (sum(n_transitions) OVER (PARTITION BY from_type))::DOUBLE, 6) AS prob
+        |FROM c""".stripMargin,
     // integer-divided daily windows; the value sum rides an exact
     // DECIMAL(18,6) accumulator on both sides
     "q_tumbling" ->
@@ -2572,6 +2596,17 @@ object SparkEntry {
         |FROM events GROUP BY 1""".stripMargin,
     "q_corr" -> corrOracleSql("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), 4),
+    // identical marginal products and the left-associative
+    // (o−e)²/e — counts are exact longs, one double rounding per term
+    "q_crosstab" ->
+      """WITH c AS (SELECT source, lang, count(*)::BIGINT AS n_obs FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT source, sum(n_obs) AS r FROM c GROUP BY 1),
+        |cb AS (SELECT lang, sum(n_obs) AS cl FROM c GROUP BY 1),
+        |nn AS (SELECT sum(n_obs)::DOUBLE AS n FROM c)
+        |SELECT source, lang, n_obs,
+        |  round(r * cl / n, 6) AS expected,
+        |  round((n_obs - r * cl / n) * (n_obs - r * cl / n) / (r * cl / n), 6) AS contrib
+        |FROM c JOIN ra USING (source) JOIN cb USING (lang), nn""".stripMargin,
     // exact grouped medians interpolate half-integers on integer
     // lengths — both engines land on the same doubles; thresholds
     // rounded 6 dp before the strict > compare

@@ -207,15 +207,50 @@ object Events {
           .as("retention"))
   }
 
-  /** Tumbling-window rollup: fixed-width aggregate buckets over the
-    * epoch-millisecond column (`width` integer-divides the epoch, so
-    * windows are engine-portable and never overlap). The per-window
-    * measures are one map-side-combined aggregation over one scan;
-    * output is |windows| rows.
+  /** Markov transition matrix of the event stream: counts and
+    * row-normalized probabilities of (previous type → type) within
+    * each user's time-ordered stream — the "what do users do next"
+    * view, and the input to funnel-step selection. One user-keyed
+    * window (per-user sort bounded by events-per-user, never a
+    * global sort) feeds one bounded grouped aggregation (output =
+    * |types|²). `tieCol` breaks equal-timestamp order
+    * deterministically (an event id); without a total order the lag
+    * pairs would be partition-dependent.
     *
-    * The value sums ride an exact DECIMAL(18,6) accumulator
-    * (order-independent — double sums drift with partitioning), then
-    * convert once for the 4 dp report.
+    * @return (from_type, to_type, n_transitions, prob — share of
+    *         from_type's outgoing transitions, 6 dp).
+    */
+  def transitionMatrix(
+      df: DataFrame,
+      userCol: String,
+      tsMsCol: String,
+      typeCol: String,
+      tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsMsCol).asc, col(tieCol).asc)
+    val withPrev = df
+      .select(col(userCol), col(tsMsCol), col(tieCol), col(typeCol))
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .where(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    withPrev
+      .withColumn("prob",
+        round(col("n_transitions") /
+          sum(col("n_transitions")).over(totals).cast("double"), 6))
+  }
+
+  /** Tumbling-window rollup: fixed-width aggregate buckets over the
+    * epoch-millisecond column (`widthMs` integer-divides the epoch,
+    * so windows are engine-portable and never overlap). The
+    * per-window measures are one map-side-combined aggregation over
+    * one scan; output is |windows| rows. The value sums ride an
+    * exact DECIMAL(18,6) accumulator (order-independent — double
+    * sums drift with partitioning), then convert once for the 4 dp
+    * report.
     *
     * @return (window_start_ms, n_events, n_users — distinct users in
     *         the window, sum_value/avg_value over `valueCol` 4 dp).

@@ -549,6 +549,38 @@ object Profile {
       .select("c.*")
   }
 
+  /** Contingency table with χ²-of-independence contributions — the
+    * confound check a corpus-mixing decision needs ("is source
+    * independent of language, or does dropping a source silently
+    * skew the language mix"). ONE corpus aggregation produces the
+    * cell counts; marginals and the total derive from the STAGED
+    * cell frame (bounded by |A|·|B| — categorical contract), so the
+    * corpus is scanned once. `expected = rowTotal·colTotal/n` and
+    * `contrib = (obs − expected)²/expected` are written
+    * left-associatively and replicated verbatim in the oracle;
+    * χ² = Σ contrib, dof = (|A|−1)(|B|−1) — both derivable from the
+    * output, pinned in the spec.
+    *
+    * @return one row per observed cell: (colA, colB, n_obs,
+    *         expected 6 dp, contrib 6 dp).
+    */
+  def crossTab(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA), col(colB))
+      .agg(count(lit(1)).as("n_obs"))
+      .localCheckpoint()
+    val ra = cells.groupBy(col(colA)).agg(sum(col("n_obs")).as("__ra"))
+    val cb = cells.groupBy(col(colB)).agg(sum(col("n_obs")).as("__cb"))
+    val nn = cells.agg(sum(col("n_obs")).cast("double").as("__n"))
+    val e = col("__ra") * col("__cb") / col("__n")
+    cells
+      .join(broadcast(ra), Seq(colA))
+      .join(broadcast(cb), Seq(colB))
+      .crossJoin(broadcast(nn))
+      .select(col(colA), col(colB), col("n_obs"),
+        round(e, 6).as("expected"),
+        round((col("n_obs") - e) * (col("n_obs") - e) / e, 6).as("contrib"))
+  }
+
   /** Robust per-group outlier profile: median + MAD (median absolute
     * deviation) per group, and how many rows sit more than
     * `k` MADs from their group's median — the outlier view that

@@ -105,6 +105,32 @@ class EventsSpec extends SparkSpec {
     assert(out(d) == ((1L, 1L, 4.0, 4.0)))
   }
 
+  test("transitionMatrix: hand-computed counts and row-normalized probs") {
+    // u1: a->b->a->c ; u2: b->a — transitions: a->b, b->a(x2), a->c
+    val df = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "a"), (1L, 40L, 4L, "c"),
+      (2L, 5L, 5L, "b"), (2L, 6L, 6L, "a"))
+      .toDF("user_id", "ts_ms", "event_id", "event_type")
+    val out = graft.operators.Events.transitionMatrix(df, "user_id", "ts_ms",
+      "event_type", "event_id")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out.size == 3)
+    assert(out(("a", "b")) == ((1L, 0.5)))
+    assert(out(("a", "c")) == ((1L, 0.5)))
+    assert(out(("b", "a")) == ((2L, 1.0)))
+  }
+
+  test("transitionMatrix: equal timestamps break on the tie column deterministically") {
+    val df = Seq(
+      (1L, 10L, 2L, "b"), (1L, 10L, 1L, "a"), (1L, 10L, 3L, "c"))
+      .toDF("user_id", "ts_ms", "event_id", "event_type")
+    val out = graft.operators.Events.transitionMatrix(df, "user_id", "ts_ms",
+      "event_type", "event_id")
+      .as[(String, String, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(out == Set(("a", "b"), ("b", "c"))) // order by event_id: a,b,c
+  }
+
   test("eventFunnelByGroup: per-slice parity with the global funnel") {
     val rnd = new scala.util.Random(19)
     val rows = (1 to 500).map { _ =>

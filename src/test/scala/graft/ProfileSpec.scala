@@ -418,6 +418,29 @@ class ProfileSpec extends SparkSpec {
     assert(one == other && one.size == 1)
   }
 
+  test("crossTab: hand-computed expected/contrib; chi2 and dof derive") {
+    import graft.operators.Profile
+    // 2x2 with a known dependence: a->x 30, a->y 10, b->x 10, b->y 30
+    val df = (Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(30)(("b", "y"))).toDF("s", "l")
+    val out = Profile.crossTab(df, "s", "l")
+      .as[(String, String, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out.size == 4)
+    // all marginals 40, n=80 -> expected 20 everywhere
+    assert(out(("a", "x")) == ((30L, 20.0, 5.0))) // (30-20)^2/20
+    assert(out(("b", "y")) == ((30L, 20.0, 5.0)))
+    assert(out(("a", "y")) == ((10L, 20.0, 5.0)))
+    val chi2 = out.values.map(_._3).sum
+    assert(chi2 == 20.0) // textbook 2x2 chi2 for this table
+    // independent table -> zero contributions
+    val ind = (Seq.fill(20)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(20)(("b", "y"))).toDF("s", "l")
+    val ic = Profile.crossTab(ind, "s", "l")
+      .as[(String, String, Long, Double, Double)].collect()
+    assert(ic.forall(_._5 == 0.0))
+  }
+
   test("madOutliers: hand-computed median/MAD/flags per group") {
     import graft.operators.Profile
     // g1 values 1..5 + far outlier 100: med 3.5, devs
