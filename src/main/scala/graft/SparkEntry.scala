@@ -481,17 +481,22 @@ object SparkEntry {
     s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)), (x, y) -> x + y)"
 
   /** [[graft.operators.Pq]] replay, GENERATED from the same (m,
-    * subDim, stride) so the codebook fit (stride init → argmin →
-    * 6 dp Lloyd means → argmin), the code assignment, and the
-    * DECIMAL-summed ADC distances cannot drift from the Spark side.
+    * subDim, numCentroids) so the codebook fit (autoStride-bounded
+    * stride init → argmin → 6 dp Lloyd means → argmin), the code
+    * assignment, and the DECIMAL-summed ADC distances cannot drift
+    * from the Spark side. The stride is the same scalar the Spark
+    * side derives: ceil(non-null count / numCentroids) — integer
+    * ceil-division equals autoStride's (n + k − 1) / k exactly.
     * Ends with `pqr` = (query_id, corpus_id, adist, rank).
     */
-  private def pqCtes(m: Int, subDim: Int, stride: Int): String =
-    s"""sub AS (SELECT vec_id AS id, g.s::INT AS s,
+  private def pqCtes(m: Int, subDim: Int, numCentroids: Int): String =
+    s"""st AS (SELECT CAST(ceil(count(*) / $numCentroids.0) AS BIGINT) AS stride
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |sub AS (SELECT vec_id AS id, g.s::INT AS s,
        |  list_transform(embedding[(g.s*$subDim+1):((g.s+1)*$subDim)], x -> x::DOUBLE) AS v
        |  FROM embeddings, generate_series(0, ${m - 1}) AS g(s)
        |  WHERE embedding IS NOT NULL),
-       |cen0 AS (SELECT s, id AS cid, v AS cv FROM sub WHERE id % $stride = 0),
+       |cen0 AS (SELECT s, id AS cid, v AS cv FROM sub, st WHERE id % stride = 0),
        |d1 AS (SELECT sub.id, sub.s, cen0.cid, round(${l2Sql("sub.v", "cen0.cv")}, 6) AS d
        |  FROM sub JOIN cen0 USING (s)),
        |a1 AS (SELECT id, s, cid FROM (SELECT id, s, cid,
@@ -975,12 +980,17 @@ object SparkEntry {
         .select(col("vec_id"), col("pca"))
     }),
     "q_ann_pq" -> ((s, dir) => {
-      // Product-quantized ADC top-k: 20-centroid codebooks per 8-dim
-      // subspace (stride 25), 2 Lloyd passes; corpus floats are read
-      // once at encode, the search sums m LUT lookups per code row.
+      // Product-quantized ADC top-k: codebooks BOUNDED at 64
+      // centroids per 8-dim subspace via autoStride
+      // (stride = ceil(n/64), which the oracle replays as a scalar
+      // subquery — the at-scale configuration, not the fixed-stride
+      // one whose assignment cost turns quadratic), 2 Lloyd passes;
+      // corpus floats are read once at encode, the search sums m LUT
+      // lookups per code row.
       val e = t(s, dir, "embeddings")
       graft.operators.Pq.pqTopK(e, e.where(col("vec_id") < 5),
-        "embedding", "vec_id", "vec_id", k = 10, dim = 64, m = 8, stride = 25)
+        "embedding", "vec_id", "vec_id", k = 10, dim = 64, m = 8,
+        numCentroids = 64)
     }),
     "q_pq_recall" -> ((s, dir) => {
       // The PQ-quality eval: recall@10 of the ADC ranking vs the
@@ -990,7 +1000,7 @@ object SparkEntry {
       val q = e.where(col("vec_id") < 5)
       Similarity.annRecall(
         graft.operators.Pq.pqTopK(e, q, "embedding", "vec_id", "vec_id",
-          k = 10, dim = 64, m = 8, stride = 25),
+          k = 10, dim = 64, m = 8, numCentroids = 64),
         Similarity.bruteForceTopK(e, q, "embedding", "vec_id", "vec_id", k = 10))
     }),
     "q_ann_matryoshka" -> ((s, dir) => {
@@ -2635,11 +2645,11 @@ object SparkEntry {
         |SELECT p.i, p.j, round((pp - s1.s * s2.s / n) / (n - 1), 6) + 0 AS cov
         |FROM p JOIN s s1 ON p.i = s1.i JOIN s s2 ON p.j = s2.i, nn""".stripMargin,
     "q_ann_pq" ->
-      (s"""WITH ${pqCtes(m = 8, subDim = 8, stride = 25)}
+      (s"""WITH ${pqCtes(m = 8, subDim = 8, numCentroids = 64)}
           |SELECT query_id, corpus_id, adist, rank FROM pqr WHERE rank <= 10""".stripMargin),
     // the ADC ranking CTEs + the float-exact CTEs + the recall join
     "q_pq_recall" ->
-      (s"""WITH ${pqCtes(m = 8, subDim = 8, stride = 25)},
+      (s"""WITH ${pqCtes(m = 8, subDim = 8, numCentroids = 64)},
           |fq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
           |fc AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
           |fs AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine FROM fc, fq),

@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: codebooks are stride-sampled then Lloyd-refined with
   * 6 dp-rounded means (the [[Similarity.kmeansAssignments]]
-  * replay discipline, L2 instead of cosine) — bounded by
-  * m·(n/stride), broadcast. Encoding shuffles only (id, s, cid)
+  * replay discipline, L2 instead of cosine) — `numCentroids` bounds
+  * the per-subspace codebook via [[Similarity.autoStride]]
+  * (stride = ⌈n/numCentroids⌉) so the broadcast stays ≤ m·numCentroids
+  * and the n·k assignment cost stays linear in the corpus at any
+  * scale; a caller-fixed `stride` is the spec/calibration path. Encoding shuffles only (id, s, cid)
   * triples (one grouped argmin with map-side partials — never a
   * window over the corpus). The ADC pass joins id-sized code rows
   * against the broadcast LUT and partial-sums map-side; per-query
@@ -72,12 +75,29 @@ object Pq {
       idCol: String,
       dim: Int,
       m: Int,
-      stride: Int,
-      iters: Int = 2): DataFrame = {
+      stride: Int = 0,
+      iters: Int = 2,
+      numCentroids: Int = 0,
+      expectedRows: Long = 0L): DataFrame = {
     require(m >= 1 && dim % m == 0, "dim must divide into m subspaces")
-    require(stride >= 1 && iters >= 1, "stride/iters must be positive")
+    require(iters >= 1, "iters must be positive")
+    require(stride >= 1 || numCentroids >= 1,
+      "pass stride >= 1 or numCentroids >= 1")
+    // A FIXED stride means the per-subspace codebook (n/stride
+    // centroids) grows with the corpus, so the n·k assignment cost
+    // turns quadratic and the codebook broadcast unbounded.
+    // numCentroids > 0 bounds k instead, deriving stride via
+    // [[Similarity.autoStride]] (pass expectedRows to skip the count
+    // job) — the same contract as ivfTopK / kmeansAssignments.
+    val effStride =
+      if (numCentroids > 0)
+        Similarity.autoStride(
+          if (expectedRows > 0) expectedRows
+          else corpus.where(col(vecCol).isNotNull).count(),
+          numCentroids)
+      else stride
     val sub = subFrame(corpus, vecCol, idCol, dim, m)
-    var cen = sub.where(pmod(col("__id"), lit(stride)) === 0)
+    var cen = sub.where(pmod(col("__id"), lit(effStride)) === 0)
       .select(col("__s"), col("__id").as("__cid"), col("__sub").as("__cvec"))
     for (_ <- 2 to iters) {
       cen = assign(sub, cen)
@@ -133,10 +153,13 @@ object Pq {
       k: Int,
       dim: Int,
       m: Int,
-      stride: Int,
-      iters: Int = 2): DataFrame = {
+      stride: Int = 0,
+      iters: Int = 2,
+      numCentroids: Int = 0,
+      expectedRows: Long = 0L): DataFrame = {
     require(k >= 1, "k must be positive")
-    val books = fitCodebooks(corpus, vecCol, idCol, dim, m, stride, iters)
+    val books = fitCodebooks(corpus, vecCol, idCol, dim, m, stride, iters,
+      numCentroids, expectedRows)
       .localCheckpoint()
     val codes = encode(corpus, vecCol, idCol, dim, m, books)
     val lut = subFrame(queries, vecCol, qIdCol, dim, m)

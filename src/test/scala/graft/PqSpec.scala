@@ -58,6 +58,29 @@ class PqSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("numCentroids bounds the codebook via autoStride; equals the explicit-stride fit") {
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 100).map(i =>
+      (i.toLong, Seq.fill(4)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    // 100 rows, numCentroids = 10 -> stride 10 -> ids 0,10,...,90
+    val bounded = Pq.fitCodebooks(df, "embedding", "vec_id", dim = 4, m = 2,
+      numCentroids = 10, iters = 2)
+    assert(bounded.select("cid").distinct().count() == 10)
+    val explicit = Pq.fitCodebooks(df, "embedding", "vec_id", dim = 4, m = 2,
+      stride = Similarity.autoStride(100, 10), iters = 2)
+    assert(bounded.collect().toSet == explicit.collect().toSet)
+    // expectedRows skips the count job and derives the same stride
+    val viaExpected = Pq.fitCodebooks(df, "embedding", "vec_id", dim = 4,
+      m = 2, numCentroids = 10, iters = 2, expectedRows = 100L)
+    assert(viaExpected.collect().toSet == explicit.collect().toSet)
+  }
+
+  test("fitCodebooks requires a stride or a centroid bound") {
+    intercept[IllegalArgumentException] {
+      Pq.fitCodebooks(tiny, "embedding", "vec_id", dim = 4, m = 2)
+    }
+  }
+
   test("pqTopK: reasonable recall vs brute force on structured data") {
     val rnd = new scala.util.Random(23)
     // 10 anchor directions, 20 jittered members each -> PQ with a
