@@ -954,6 +954,15 @@ object SparkEntry {
       graft.operators.Profile.crossTab(
         Parallelism.spread(t(s, dir, "documents")), "source", "lang")
     }),
+    "q_drift" -> ((s, dir) => {
+      // What the length gate did to the language mix: per-lang
+      // KL/JS contributions between the full corpus and the
+      // n_chars >= 200 survivor slice (Laplace-smoothed shares, one
+      // aggregation per side, 6 dp ln-boundary rounding).
+      val d = Parallelism.spread(t(s, dir, "documents"))
+      graft.operators.Profile.distributionDrift(
+        d, d.where(col("n_chars") >= 200), "lang")
+    }),
     "q_mad" -> ((s, dir) => {
       // Robust per-language length outliers: median + MAD (two rank
       // passes) and the > 3-MAD flag count; thresholds rounded 6 dp
@@ -2617,6 +2626,25 @@ object SparkEntry {
         |  round(r * cl / n, 6) AS expected,
         |  round((n_obs - r * cl / n) * (n_obs - r * cl / n) / (r * cl / n), 6) AS contrib
         |FROM c JOIN ra USING (source) JOIN cb USING (lang), nn""".stripMargin,
+    // Laplace-smoothed shares (exact-long counts, one double division
+    // each), every ln rounded 6 dp before its product (the
+    // weightedSample ln-boundary discipline), identical
+    // left-associative products
+    "q_drift" ->
+      """WITH ca AS (SELECT lang, count(*)::BIGINT AS n_a FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |cb AS (SELECT lang, count(*)::BIGINT AS n_b FROM documents WHERE lang IS NOT NULL AND n_chars >= 200 GROUP BY 1),
+        |cells AS (SELECT lang, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |  FROM ca FULL OUTER JOIN cb USING (lang)),
+        |tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS k FROM cells),
+        |p AS (SELECT lang, n_a, n_b,
+        |  round((n_a + 1)::DOUBLE / (ta + k), 6) AS p_a,
+        |  round((n_b + 1)::DOUBLE / (tb + k), 6) AS p_b FROM cells, tot),
+        |l AS (SELECT *, round(ln(p_a / p_b), 6) AS lab, round(ln(p_b / p_a), 6) AS lba,
+        |  round(ln(p_a / ((p_a + p_b) / 2)), 6) AS lam,
+        |  round(ln(p_b / ((p_a + p_b) / 2)), 6) AS lbm FROM p)
+        |SELECT lang, n_a, n_b, p_a, p_b,
+        |  round(p_a * lab, 6) AS kl_ab, round(p_b * lba, 6) AS kl_ba,
+        |  round(0.5 * p_a * lam + 0.5 * p_b * lbm, 6) AS js FROM l""".stripMargin,
     // exact grouped medians interpolate half-integers on integer
     // lengths — both engines land on the same doubles; thresholds
     // rounded 6 dp before the strict > compare

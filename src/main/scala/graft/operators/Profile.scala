@@ -581,6 +581,60 @@ object Profile {
         round((col("n_obs") - e) * (col("n_obs") - e) / e, 6).as("contrib"))
   }
 
+  /** Distribution drift between two corpus slices: per-category
+    * shares of `keyCol` in A and B, per-key KL contributions (both
+    * directions) and Jensen-Shannon contributions — the corpus-mix
+    * monitoring view ("what did this filter / new crawl / rebalance
+    * do to the language mix"). Sum a column over the output for the
+    * scalar divergence.
+    *
+    * Shares are Laplace-smoothed — p = (n + 1) / (N + K) with K the
+    * union key count — so a key absent on one side stays finite
+    * instead of sending KL to infinity. Cost shape: ONE aggregation
+    * per input (two scans, two exchanges of (key, count) rows), a
+    * bounded ≤ |keys| cell frame staged once, totals derived from it
+    * (no second corpus scan), everything after row-local. Null keys
+    * are excluded by contract (cross-engine null-join semantics
+    * differ). Determinism: counts are exact longs; each share, each
+    * log-ratio, and each product rounds to 6 dp (the
+    * `weightedSample` ln-boundary discipline — cross-engine libm
+    * drift dies at the rounding).
+    *
+    * @return per key: (key, n_a, n_b, p_a, p_b, kl_ab — p_a·ln(p_a/
+    *         p_b), kl_ba, js — ½p_a·ln(p_a/m) + ½p_b·ln(p_b/m),
+    *         m = (p_a+p_b)/2).
+    */
+  def distributionDrift(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      keyCol: String): DataFrame = {
+    val ca = dfA.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n_a"))
+    val cb = dfB.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n_b"))
+    val cells = ca.join(cb, Seq(keyCol), "full_outer")
+      .select(col(keyCol), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .localCheckpoint()
+    val tot = cells.agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"),
+      count(lit(1)).as("__k"))
+    val pA = round((col("n_a") + 1).cast("double") / (col("__ta") + col("__k")), 6)
+    val pB = round((col("n_b") + 1).cast("double") / (col("__tb") + col("__k")), 6)
+    cells.crossJoin(broadcast(tot))
+      .withColumn("p_a", pA)
+      .withColumn("p_b", pB)
+      .withColumn("__m", (col("p_a") + col("p_b")) / 2)
+      .withColumn("__lab", round(log(col("p_a") / col("p_b")), 6))
+      .withColumn("__lba", round(log(col("p_b") / col("p_a")), 6))
+      .withColumn("__lam", round(log(col("p_a") / col("__m")), 6))
+      .withColumn("__lbm", round(log(col("p_b") / col("__m")), 6))
+      .select(col(keyCol), col("n_a"), col("n_b"), col("p_a"), col("p_b"),
+        round(col("p_a") * col("__lab"), 6).as("kl_ab"),
+        round(col("p_b") * col("__lba"), 6).as("kl_ba"),
+        round(lit(0.5) * col("p_a") * col("__lam")
+          + lit(0.5) * col("p_b") * col("__lbm"), 6).as("js"))
+  }
+
   /** Robust per-group outlier profile: median + MAD (median absolute
     * deviation) per group, and how many rows sit more than
     * `k` MADs from their group's median — the outlier view that

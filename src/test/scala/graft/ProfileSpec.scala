@@ -458,6 +458,38 @@ class ProfileSpec extends SparkSpec {
     assert(out("g2") == ((3L, 7.0, 0.0, 0L, 0.0)))
   }
 
+  test("distributionDrift: hand-computed smoothed shares and divergence contributions") {
+    import graft.operators.Profile
+    // A: {x:3, y:1}; B: {x:1, z:1}. Union keys K=3.
+    // p_a = (n_a+1)/(4+3), p_b = (n_b+1)/(2+3)
+    val a = Seq("x", "x", "x", "y").toDF("k")
+    val b = Seq("x", "z").toDF("k")
+    val out = Profile.distributionDrift(a, b, "k")
+      .as[(String, Long, Long, Double, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    val (paX, pbX) = (r6(4.0 / 7), r6(2.0 / 5))
+    assert(out("x")._2 == 3L && out("x")._3 == 1L)
+    assert(out("x")._4 == paX && out("x")._5 == pbX)
+    assert(out("x")._6 == r6(paX * r6(math.log(paX / pbX))))
+    val mX = (paX + pbX) / 2
+    assert(out("x")._8 == r6(0.5 * paX * r6(math.log(paX / mX))
+      + 0.5 * pbX * r6(math.log(pbX / mX))))
+    // y absent in B, z absent in A — smoothing keeps both finite
+    assert(out("y")._3 == 0L && out("y")._5 == r6(1.0 / 5))
+    assert(out("z")._2 == 0L && !out("z")._6.isNaN && !out("z")._6.isInfinite)
+  }
+
+  test("distributionDrift: identical slices have zero divergence; null keys drop") {
+    import graft.operators.Profile
+    val a = Seq(Some("x"), Some("x"), Some("y"), None).toDF("k")
+    val out = Profile.distributionDrift(a, a, "k").collect()
+    assert(out.length == 2) // null key excluded
+    out.foreach { r =>
+      assert(r.getDouble(5) == 0.0 && r.getDouble(6) == 0.0 && r.getDouble(7) == 0.0)
+    }
+  }
+
   test("madOutliers: null values drop; approx mode plausible") {
     import graft.operators.Profile
     val df = (Seq.tabulate(200)(i => ("a", Some(i.toDouble))) :+
