@@ -941,6 +941,15 @@ object SparkEntry {
         Parallelism.spread(t(s, dir, "events")),
         "ts_ms", "value", "user_id", widthMs = 86400000L)
     }),
+    "q_hopping" -> ((s, dir) => {
+      // 24h windows sliding every 8h: each event explodes into its 3
+      // covering windows (closed-form starts, no range filter), then
+      // the same one map-side-combined aggregation as tumbling.
+      graft.operators.Events.hoppingRollup(
+        Parallelism.spread(t(s, dir, "events")),
+        "ts_ms", "value", "user_id",
+        widthMs = 86400000L, slideMs = 28800000L)
+    }),
     "q_corr" -> ((s, dir) => {
       // Pairwise Pearson over the lineitem measures: every moment
       // from ONE exact-decimal aggregation, formula on the bounded
@@ -2613,6 +2622,15 @@ object SparkEntry {
         |  round((sum(value::DECIMAL(18,6)))::DOUBLE, 4) AS sum_value,
         |  round((sum(value::DECIMAL(18,6)))::DOUBLE / count(value), 4) AS avg_value
         |FROM events GROUP BY 1""".stripMargin,
+    // identical closed-form covering-window starts (integer div on
+    // non-negative epoch ms), same DECIMAL sum + one 4 dp rounding
+    "q_hopping" ->
+      """SELECT ((epoch_ms(ts) // 28800000) - g.i) * 28800000 AS window_start_ms,
+        |  count(*)::BIGINT AS n_events,
+        |  count(DISTINCT user_id)::BIGINT AS n_users,
+        |  round((sum(value::DECIMAL(18,6)))::DOUBLE, 4) AS sum_value,
+        |  round((sum(value::DECIMAL(18,6)))::DOUBLE / count(value), 4) AS avg_value
+        |FROM events, generate_series(0, 2) AS g(i) GROUP BY 1""".stripMargin,
     "q_corr" -> corrOracleSql("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), 4),
     // identical marginal products and the left-associative

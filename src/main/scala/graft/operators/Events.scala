@@ -275,4 +275,50 @@ object Events {
         round(col("__sv").cast("double"), 4).as("sum_value"),
         round(col("__sv").cast("double") / col("__nv"), 4).as("avg_value"))
   }
+
+  /** Hopping (sliding) window rollup: the overlapping-window twin of
+    * [[tumblingRollup]] — every event lands in the `widthMs/slideMs`
+    * windows covering it, so the rollup smooths bucket-boundary
+    * artifacts a tumbling report shows (`widthMs` must be an integer
+    * multiple of `slideMs`; equal width/slide degenerates to
+    * tumbling). The covering window starts for an event are
+    * `(ts div slide − i) · slide, i ∈ [0, k)` — all k candidates lie
+    * in `(ts − width, ts]` exactly, so the explode is a closed form
+    * with no range filter, engine-portable on non-negative epoch
+    * millis.
+    *
+    * Cost shape: ONE scan, a bounded k-way row multiplication
+    * (`posexplode` of the offset array, k = width/slide is a small
+    * constant), then the same single map-side-combined aggregation
+    * as tumbling — no window function, no self-join, |windows| output
+    * rows. Value sums ride the exact DECIMAL(18,6) accumulator.
+    *
+    * @return (window_start_ms, n_events, n_users, sum_value/avg_value
+    *         4 dp) — one row per (window, data present).
+    */
+  def hoppingRollup(
+      df: DataFrame,
+      tsMsCol: String,
+      valueCol: String,
+      userCol: String,
+      widthMs: Long,
+      slideMs: Long): DataFrame = {
+    require(slideMs > 0 && widthMs > 0, "width/slide must be positive")
+    require(widthMs % slideMs == 0, "widthMs must be a multiple of slideMs")
+    val k = widthMs / slideMs
+    df.select(col(tsMsCol), col(valueCol), col(userCol),
+        explode(sequence(lit(0L), lit(k - 1))).as("__i"))
+      .groupBy(
+        ((expr(s"cast($tsMsCol as bigint) div ${slideMs}L") - col("__i"))
+          * slideMs).as("window_start_ms"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col(userCol)).as("n_users"),
+        sum(col(valueCol).cast("decimal(18,6)")).as("__sv"),
+        count(col(valueCol)).as("__nv"))
+      .select(
+        col("window_start_ms"), col("n_events"), col("n_users"),
+        round(col("__sv").cast("double"), 4).as("sum_value"),
+        round(col("__sv").cast("double") / col("__nv"), 4).as("avg_value"))
+  }
 }

@@ -105,6 +105,26 @@ class EventsSpec extends SparkSpec {
     assert(out(d) == ((1L, 1L, 4.0, 4.0)))
   }
 
+  test("hoppingRollup: every event lands in width/slide covering windows") {
+    // width 10, slide 5 -> k=2. Event at ts=12 covers starts {10, 5};
+    // ts=3 covers {0, -5}.
+    val df = Seq((1L, 12L, 2.0), (2L, 3L, 1.0)).toDF("user_id", "ts_ms", "value")
+    val out = Events.hoppingRollup(df, "ts_ms", "value", "user_id",
+      widthMs = 10L, slideMs = 5L)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet == Set(-5L, 0L, 5L, 10L))
+    assert(out(5L) == ((1L, 1L, 2.0)) && out(10L) == ((1L, 1L, 2.0)))
+    assert(out(0L) == ((1L, 1L, 1.0)) && out(-5L) == ((1L, 1L, 1.0)))
+    // width == slide degenerates to tumbling
+    val hop = Events.hoppingRollup(df, "ts_ms", "value", "user_id", 10L, 10L)
+    val tum = Events.tumblingRollup(df, "ts_ms", "value", "user_id", 10L)
+    assert(hop.collect().toSet == tum.collect().toSet)
+    intercept[IllegalArgumentException] {
+      Events.hoppingRollup(df, "ts_ms", "value", "user_id", 10L, 3L)
+    }
+  }
+
   test("transitionMatrix: hand-computed counts and row-normalized probs") {
     // u1: a->b->a->c ; u2: b->a — transitions: a->b, b->a(x2), a->c
     val df = Seq(
