@@ -827,6 +827,27 @@ object SparkEntry {
         sum(col("tk")).as("n_tokens"),
         round(sum(col("tk")).cast("double") / sum(col("w")), 4).as("fertility"))
     }),
+    "q_bpe_stress" -> ((s, dir) => {
+      // PRODUCTION-SIZE tokenizer stress: the same one-scan count as
+      // q_bpe_fertility's token half, under the 50,000-merge /
+      // 50,256-token Bpe.productionScaleSpec (GPT-2 scale) instead
+      // of the 45-merge fixture — this is the row that proves the
+      // serialized merge table, the per-JVM rank-map build, and the
+      // LRU pre-token cache hold at real vocab scale (per-token cost
+      // vs q_bpe_fertility is the A/B). Rows-only by declared design
+      // (SURVEY §4): no SQL engine replays a 50k-rank BPE merge
+      // loop; BpeSpec pins the algebra on hand-checked words.
+      val spec = graft.functions.Bpe.productionScaleSpec
+      Parallelism.spread(t(s, dir, "documents"))
+        .select(col("lang"),
+          graft.functions.TextAnalysis.tokenCount(col("text")).cast("long").as("w"),
+          graft.functions.Bpe.bpeTokenCount(col("text"), spec).cast("long").as("tk"))
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("w")).as("n_words"),
+          sum(col("tk")).as("n_tokens"),
+          round(sum(col("tk")).cast("double") / sum(col("w")), 4).as("fertility"))
+    }),
     "q_funnel_histogram" -> ((s, dir) => {
       // Profiling rows COMPOSE: the q_funnel survivor set (all five
       // gates as one pushed filter) feeds the per-group histogram
@@ -995,7 +1016,8 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val m = graft.operators.Pca.fit(e, "embedding", dim = 64, k = 8)
       graft.operators.Pca.project(e, "embedding", m)
-        .select(col("vec_id"), col("pca"))
+        .select(col("vec_id"), posexplode(col("pca")).as(Seq("pos", "pc")))
+        .select(col("vec_id"), col("pos"), round(col("pc"), 6).as("pc"))
     }),
     "q_ann_pq" -> ((s, dir) => {
       // Product-quantized ADC top-k: codebooks BOUNDED at 64
@@ -1013,13 +1035,16 @@ object SparkEntry {
     "q_pq_recall" -> ((s, dir) => {
       // The PQ-quality eval: recall@10 of the ADC ranking vs the
       // exact float path — both sides replayable, the metric itself
-      // oracle-checked (same contract as q_ann_recall).
+      // oracle-checked (same contract as q_ann_recall). The baseline
+      // is metric-matched squared L2 (pqTopK scores squared L2; a
+      // cosine baseline would conflate metric disagreement on these
+      // non-unit-norm vectors with quantization loss).
       val e = t(s, dir, "embeddings")
       val q = e.where(col("vec_id") < 5)
       Similarity.annRecall(
         graft.operators.Pq.pqTopK(e, q, "embedding", "vec_id", "vec_id",
           k = 10, dim = 64, m = 8, numCentroids = 64),
-        Similarity.bruteForceTopK(e, q, "embedding", "vec_id", "vec_id", k = 10))
+        Similarity.bruteForceTopKL2(e, q, "embedding", "vec_id", "vec_id", k = 10))
     }),
     "q_ann_matryoshka" -> ((s, dir) => {
       // Top-k over the 16-dim matryoshka prefix: 4× less vector
@@ -1691,6 +1716,36 @@ object SparkEntry {
       Dedup.minHashLshPairsIncremental(batch, hist, sigTable, "text",
         "doc_id", jaccardThreshold = 0.5)
     }),
+    "q_incremental_refresh" -> ((s, dir) => {
+      // The weekly-recrawl COMPOSITION: snapshotDiff isolates the
+      // new crawl's added/changed slice, the quality gate trims it,
+      // and only that gated delta pays a signature pass against the
+      // persisted history signature table — the history side reads
+      // its bucketed clustering shuffle-free (spec-asserted in
+      // DedupSpec), so a 100 TB history costs zero data movement per
+      // weekly refresh. Output = near-dup pairs (history id, delta
+      // id) the refresh must reconcile before ingesting.
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val m = pmod(col("doc_id"), lit(10))
+      val today = docs.where(m =!= 3 && m =!= 4)
+        .unionByName(docs.where(m === 4)
+          .withColumn("text", concat(col("text"), lit(" v2"))))
+        .unionByName(docs.where(m === 5)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            col("text"), col("lang")))
+      val delta = graft.operators.Versioning
+        .snapshotDiff(docs, today, "doc_id", Seq("text", "lang"))
+        .where(col("status").isin("added", "changed"))
+        .select("doc_id")
+        .join(today.select("doc_id", "text"), "doc_id")
+      val gated = delta.where(
+        graft.functions.TextAnalysis.tokenCount(col("text")) >= 5 &&
+          length(col("text")) <= 20000)
+      val hist = t(s, dir, "documents")
+      val sigTable = ensureSigTable(s, dir, "graft_sigs_hist_", hist)
+      Dedup.minHashLshPairsIncremental(gated, hist, sigTable, "text",
+        "doc_id", jaccardThreshold = 0.5)
+    }),
     "q_multimodal_meta" -> ((s, dir) => {
       graft.multimodal.Multimodal
         .attachBinary(t(s, dir, "documents"), "text")
@@ -1775,6 +1830,39 @@ object SparkEntry {
       val codes = graft.multimodal.Multimodal.aHash(wavs, "payload")
         .select("doc_id", "ahash")
       Dedup.hammingPairs64(codes, "ahash", "doc_id", maxHamming = 2)
+    }),
+    "q_audio_resample" -> ((s, dir) => {
+      // Audio transform step 1: REAL WAV → 8 kHz → 12 kHz linear
+      // resample in exact integer arithmetic → REAL WAV → decode.
+      // Every output sample is the closed form
+      // s(i0) + ⌊(s(i1)−s(i0))·frac/12000⌋ over the periodic synth
+      // pattern, so the oracle replays the full resampled stream.
+      val wavs = graft.multimodal.Multimodal
+        .synthesizeWav(t(s, dir, "documents").select("doc_id"), "doc_id")
+      val rs = graft.multimodal.Multimodal
+        .resampleWav(wavs, "payload", targetRate = 12000)
+      graft.multimodal.Multimodal
+        .decodeWav(rs, "resampled")
+        .select(
+          col("doc_id"), col("n_samples"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          round(col("mean_amp"), 6).as("mean_amp"))
+    }),
+    "q_audio_normalize" -> ((s, dir) => {
+      // Audio transform step 2: REAL WAV → peak-normalize to ±30000
+      // via exact floor division → REAL WAV → decode. peak has a
+      // closed form over the synth pattern (max(|base|, |base+120|)),
+      // so every scaled sample — and the decoded mean — replays.
+      val wavs = graft.multimodal.Multimodal
+        .synthesizeWav(t(s, dir, "documents").select("doc_id"), "doc_id")
+      val nz = graft.multimodal.Multimodal
+        .peakNormalizeWav(wavs, "payload", targetPeak = 30000)
+      graft.multimodal.Multimodal
+        .decodeWav(nz, "normalized")
+        .select(
+          col("doc_id"), col("n_samples"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          round(col("mean_amp"), 6).as("mean_amp"))
     }),
     "q_multimodal_audio" -> ((s, dir) => {
       // REAL WAV round trip via javax.sound.sampled; same closed-form
@@ -1930,7 +2018,7 @@ object SparkEntry {
        |s AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine
        |  FROM caf JOIN qaf USING (cid)),
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM s)
-       |SELECT query_id, corpus_id, cosine, rank FROM r WHERE rank <= 10""".stripMargin
+       |SELECT query_id, corpus_id, cosine, rank::INT AS rank FROM r WHERE rank <= 10""".stripMargin
 
   private lazy val ivfOracleSql: String = ivfOracle("vec_id % 100 = 0")
 
@@ -2068,12 +2156,17 @@ object SparkEntry {
        |$winners""".stripMargin
   }
 
-  /** Incremental (new-batch-vs-history) minhash pairs: history =
-    * plain `documents`, batch = the clone slice under fresh ids.
+  /** Incremental (new-batch-vs-history) minhash pairs, GENERATED
+    * from the SQL defining the new batch: history = plain
+    * `documents`, batch = `newdocsSql`'s (doc_id, text) rows.
     * Mirrors Dedup.minHashLshPairsIncremental with the table-recorded
-    * build parameters (shingleK=5, numHashes=8, bands=2).
+    * build parameters (shingleK=5, numHashes=8, bands=2). The
+    * candidate join excludes same-id pairs (the Spark side's
+    * id_a =!= id_b — a changed doc is not a near-dup of its own
+    * previous version); the size prune is NOT replayed, it only
+    * discards pairs whose jaccard bound is already < threshold.
     */
-  private lazy val incrementalCtes: String = {
+  private def incrementalCtesFor(newdocsSql: String): String = {
     val bands = 2
     val rows = 8 / bands
     val bandExprs = (0 until bands)
@@ -2084,7 +2177,7 @@ object SparkEntry {
       s"""SELECT doc_id, CASE WHEN length(text) >= 5
          |  THEN list_distinct(list_transform(range(0, length(text) - 4), i -> substr(text, i + 1, 5)))
          |  ELSE [text] END AS s FROM $src""".stripMargin
-    s"""newdocs AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 100 = 0),
+    s"""newdocs AS ($newdocsSql),
        |sho AS (${shingleCase("documents")}),
        |shn AS (${shingleCase("newdocs")}),
        |sgo AS (SELECT doc_id, ${minhashSigSql("s", 8)} AS sig FROM sho),
@@ -2094,11 +2187,28 @@ object SparkEntry {
        |exo AS (${(0 until bands).map(b => s"SELECT doc_id, $b AS bpos, bands[${b + 1}] AS bkey FROM bdo").mkString(" UNION ALL ")}),
        |exn AS (${(0 until bands).map(b => s"SELECT doc_id, $b AS bpos, bands[${b + 1}] AS bkey FROM bdn").mkString(" UNION ALL ")}),
        |cand AS (SELECT DISTINCT o.doc_id AS id_a, n.doc_id AS id_b
-       |  FROM exo o JOIN exn n ON o.bpos = n.bpos AND o.bkey = n.bkey),
+       |  FROM exo o JOIN exn n ON o.bpos = n.bpos AND o.bkey = n.bkey AND o.doc_id <> n.doc_id),
        |mh AS (SELECT id_a, id_b,
        |  len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(sa.s || sb.s))::DOUBLE AS jac
        |  FROM cand JOIN sho sa ON sa.doc_id = cand.id_a JOIN shn sb ON sb.doc_id = cand.id_b)""".stripMargin
   }
+
+  private lazy val incrementalCtes: String = incrementalCtesFor(
+    "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 100 = 0")
+
+  /** The weekly-recrawl delta for q_incremental_refresh: the
+    * snapshotDiff added/changed slice of the q_snapshot_diff "today"
+    * construction (m=5 re-ingests under +10M ids → added; m=4 " v2"
+    * edits → changed), then the quality gate (≥5 whitespace tokens,
+    * ≤20000 chars — the q_token_count replica).
+    */
+  private lazy val refreshDeltaSql: String =
+    """SELECT doc_id, text FROM (
+      |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 5
+      |  UNION ALL SELECT doc_id, text || ' v2' AS text FROM documents WHERE doc_id % 10 = 4)
+      |WHERE (CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+      |    ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END) >= 5
+      |  AND length(text) <= 20000""".stripMargin
 
   /** 16-bit integer from the first four md5 nibbles of `e` — the
     * DuckDB replay of graft's md5 hash bucket/keep-flag convention.
@@ -2206,7 +2316,7 @@ object SparkEntry {
         |c AS (SELECT lang, word, count(*) AS n FROM w WHERE word <> '' GROUP BY 1, 2),
         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
         |  ORDER BY n DESC, word) AS rank FROM c)
-        |SELECT lang, word, n, rank FROM r WHERE rank <= 3""".stripMargin,
+        |SELECT lang, word, n, rank::INT AS rank FROM r WHERE rank <= 3""".stripMargin,
     "q_quantiles_by_group" ->
       """SELECT lang, 'n_chars' AS "column", unnest([0.25, 0.5, 0.9]::DOUBLE[]) AS prob,
         |  round(unnest(quantile_cont(n_chars::DOUBLE, [0.25, 0.5, 0.9])), 4) AS quantile
@@ -2523,6 +2633,12 @@ object SparkEntry {
     "q_dedup_incremental" ->
       s"""WITH $incrementalCtes
          |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM mh WHERE jac >= 0.5""".stripMargin,
+    // the same incremental replay over the snapshotDiff added/changed
+    // delta (diff replayed closed-form: m=5 → added under +10M ids,
+    // m=4 " v2" → changed) behind the q_token_count-replica gate
+    "q_incremental_refresh" ->
+      s"""WITH ${incrementalCtesFor(refreshDeltaSql)}
+         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM mh WHERE jac >= 0.5""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_key, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
@@ -2692,15 +2808,17 @@ object SparkEntry {
         |FROM p JOIN s s1 ON p.i = s1.i JOIN s s2 ON p.j = s2.i, nn""".stripMargin,
     "q_ann_pq" ->
       (s"""WITH ${pqCtes(m = 8, subDim = 8, numCentroids = 64)}
-          |SELECT query_id, corpus_id, adist, rank FROM pqr WHERE rank <= 10""".stripMargin),
-    // the ADC ranking CTEs + the float-exact CTEs + the recall join
+          |SELECT query_id, corpus_id, adist, rank::INT AS rank FROM pqr WHERE rank <= 10""".stripMargin),
+    // the ADC ranking CTEs + the metric-matched exact-L2 CTEs + the
+    // recall join (cosine here would grade metric disagreement, not
+    // quantization loss)
     "q_pq_recall" ->
       (s"""WITH ${pqCtes(m = 8, subDim = 8, numCentroids = 64)},
           |fq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
           |fc AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
-          |fs AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine FROM fc, fq),
+          |fs AS (SELECT query_id, corpus_id, round(${l2Sql("cv", "qv")}, 6) AS dist FROM fc, fq),
           |fr AS (SELECT query_id, corpus_id,
-          |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM fs),
+          |  row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, corpus_id) AS rank FROM fs),
           |exact AS (SELECT query_id, corpus_id FROM fr WHERE rank <= 10),
           |approx AS (SELECT query_id, corpus_id FROM pqr WHERE rank <= 10),
           |tot AS (SELECT count(DISTINCT query_id) AS n_queries, count(*)::BIGINT AS n_exact FROM exact),
@@ -2713,7 +2831,7 @@ object SparkEntry {
           |c AS (SELECT vec_id AS corpus_id, embedding[1:16] AS cv FROM embeddings),
           |s AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine FROM c, q),
           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM s)
-          |SELECT query_id, corpus_id, cosine, rank FROM r WHERE rank <= 10""".stripMargin),
+          |SELECT query_id, corpus_id, cosine, rank::INT AS rank FROM r WHERE rank <= 10""".stripMargin),
     // full-dim exact set vs the 16-dim prefix set, recall metric
     // replayed end to end
     "q_matryoshka_recall" ->
@@ -2863,7 +2981,7 @@ object SparkEntry {
           |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
           |s AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine FROM c, q),
           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM s)
-          |SELECT query_id, corpus_id, cosine, rank FROM r WHERE rank <= 10""".stripMargin),
+          |SELECT query_id, corpus_id, cosine, rank::INT AS rank FROM r WHERE rank <= 10""".stripMargin),
     // mirrors bruteForceTopKInt8: same integer codes as q_quantize,
     // integer dot/norms are exact in doubles (≤ 127²·64 ≪ 2⁵³)
     "q_ann_int8" ->
@@ -2881,7 +2999,7 @@ object SparkEntry {
         |      (sqrt(list_dot_product(cq, cq)) * sqrt(list_dot_product(qq, qq))), 6) END AS cosine
         |  FROM c, q),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM s)
-        |SELECT query_id, corpus_id, cosine, rank FROM r WHERE rank <= 10""".stripMargin,
+        |SELECT query_id, corpus_id, cosine, rank::INT AS rank FROM r WHERE rank <= 10""".stripMargin,
     // both tiers' CTEs composed, then the recall metric itself
     "q_ann_recall" ->
       (s"""WITH fq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
@@ -2926,7 +3044,7 @@ object SparkEntry {
         |  bit_count(xor(c.code, q.code))::INT AS hamming
         |  FROM codes c, (SELECT * FROM codes WHERE vec_id < 5) q),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, corpus_id) AS rank FROM s)
-        |SELECT query_id, corpus_id, hamming, rank FROM r WHERE rank <= 10""".stripMargin,
+        |SELECT query_id, corpus_id, hamming, rank::INT AS rank FROM r WHERE rank <= 10""".stripMargin,
     // mirrors cascadeTopK: the q_ann_hamming codes CTE shortlists 50,
     // the q_ann_int8 codes CTE reranks to 20, float cosine ranks the
     // final 10 — each tier's kernel is bit-identical to its
@@ -2965,14 +3083,14 @@ object SparkEntry {
           |  JOIN embeddings q ON q.vec_id = s.query_id),
           |fs AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv2")}, 6) AS cosine FROM fv),
           |fr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM fs)
-          |SELECT query_id, corpus_id, cosine, rank FROM fr WHERE rank <= 10""".stripMargin),
+          |SELECT query_id, corpus_id, cosine, rank::INT AS rank FROM fr WHERE rank <= 10""".stripMargin),
     "q_ann_lsh" ->
       (s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, ${bucketSql("embedding", 64, 6)} AS bucket
           |  FROM embeddings WHERE vec_id < 5),
           |c AS (SELECT vec_id AS corpus_id, embedding AS cv, ${bucketSql("embedding", 64, 6)} AS bucket FROM embeddings),
           |s AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine FROM c JOIN q USING (bucket)),
           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM s)
-          |SELECT query_id, corpus_id, cosine, rank FROM r WHERE rank <= 10""".stripMargin),
+          |SELECT query_id, corpus_id, cosine, rank::INT AS rank FROM r WHERE rank <= 10""".stripMargin),
     "q_ann_ivf" -> ivfOracleSql,
     // identical contract: the persisted-index path must reproduce
     // ivfTopK exactly
@@ -3021,9 +3139,9 @@ object SparkEntry {
           |FROM w""".stripMargin),
     "q_token_count" ->
       """SELECT doc_id,
-        |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-        |    ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS n_ws,
-        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+        |  (CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |    ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END)::INT AS n_ws,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))::INT AS n_bpe
         |FROM documents""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id,
@@ -3280,7 +3398,7 @@ object SparkEntry {
         |  (tc::DOUBLE / dlen) * (ln((nd + 1)::DOUBLE / (dfc + 1)) + 1) AS tfidf
         |  FROM tfl JOIN dfq USING (term), n),
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM s)
-        |SELECT doc_id, term, round(tfidf, 6) AS tfidf, rank FROM r WHERE rank <= 5""".stripMargin,
+        |SELECT doc_id, term, round(tfidf, 6) AS tfidf, rank::INT AS rank FROM r WHERE rank <= 5""".stripMargin,
     "q_redact" ->
       """WITH t AS (SELECT doc_id,
         |  text || ' contact team-a@example.org or https://ex.org/p?q=1' ||
@@ -3443,7 +3561,7 @@ object SparkEntry {
          |  GROUP BY 1),
          |bch AS (SELECT doc_id, toks,
          |  unnest(range(0, greatest(1, ceil(len(toks) / 8.0)::INT))) AS chunk_idx FROM btoks)
-         |SELECT doc_id, chunk_idx,
+         |SELECT doc_id, chunk_idx::INT AS chunk_idx,
          |  replace(array_to_string(toks[(chunk_idx * 8 + 1):(chunk_idx * 8 + 8)], ''), 'Ġ', ' ') AS chunk_text
          |FROM bch""".stripMargin,
     "q_pack_bpe" ->
@@ -3472,8 +3590,8 @@ object SparkEntry {
          |  sum(len(ids)) OVER (ORDER BY doc_id) AS cum FROM dids),
          |g AS (SELECT cum - tokens + generate_subscripts(ids, 1) - 1 AS goff,
          |  unnest(ids) AS tid FROM c),
-         |sq AS (SELECT goff // 512 AS seq_id, list(tid ORDER BY goff) AS tids FROM g GROUP BY 1)
-         |SELECT seq_id, seq_id // 64 AS shard, len(tids)::BIGINT AS n_tokens,
+         |sq AS (SELECT (goff // 512)::BIGINT AS seq_id, list(tid ORDER BY goff) AS tids FROM g GROUP BY 1)
+         |SELECT seq_id, (seq_id // 64)::BIGINT AS shard, len(tids)::BIGINT AS n_tokens,
          |  array_to_string(list_transform(tids, x -> x::VARCHAR), ' ') AS ids_joined
          |FROM sq WHERE len(tids) = 512""".stripMargin,
     "q_upsample" ->
@@ -3549,6 +3667,41 @@ object SparkEntry {
         |  round(avg(r), 4) AS mean_r, round(avg(gg), 4) AS mean_g,
         |  round(avg(b), 4) AS mean_b
         |FROM g GROUP BY 1""".stripMargin,
+    // full resampled-stream replay: m = ⌈n·12000/8000⌉ output
+    // samples, each the integer linear interpolation
+    // s(i0) + ⌊8·((i1%16)−(i0%16))·frac/12000⌋ with i0 = ⌊j·8000/
+    // 12000⌋ and i1 clamped to n−1. DuckDB integer `//` TRUNCATES
+    // toward zero (−7//2 = −3), so Math.floorDiv is spelled out as
+    // (num − pmod(num, den)) // den on the possibly-negative term
+    "q_audio_resample" ->
+      """WITH par AS (SELECT doc_id, 4*(doc_id % 256) - 512 AS base,
+        |    160 + 16*(doc_id % 5) AS n FROM documents),
+        |idx AS (SELECT doc_id, base, n, (n * 12000 + 7999) // 8000 AS m FROM par),
+        |js AS (SELECT doc_id, base, n, m, unnest(generate_series(0, m - 1)) AS j FROM idx),
+        |p AS (SELECT doc_id, base, n, m, (j*8000) // 12000 AS i0, (j*8000) % 12000 AS fr FROM js),
+        |nm AS (SELECT doc_id, base, m, i0,
+        |    8*((least(i0 + 1, n - 1) % 16) - (i0 % 16)) * fr AS num FROM p),
+        |v AS (SELECT doc_id, m,
+        |    base + 8*(i0 % 16) + (num - ((num % 12000 + 12000) % 12000)) // 12000 AS val
+        |  FROM nm)
+        |SELECT doc_id, m::BIGINT AS n_samples, 12000::BIGINT AS sample_rate,
+        |  round(sum(val)::DOUBLE / m, 6) AS mean_amp
+        |FROM v GROUP BY doc_id, m""".stripMargin,
+    // peak = max(|base|, |base+120|) in closed form; each of the 16
+    // sample residues scales by ⌊s·30000/peak⌋ and appears n/16
+    // times — the 16-row replay is exact. Same spelled-out floor
+    // division (DuckDB `//` truncates on negatives)
+    "q_audio_normalize" ->
+      """WITH par AS (SELECT doc_id, 4*(doc_id % 256) - 512 AS base,
+        |    160 + 16*(doc_id % 5) AS n FROM documents),
+        |pk AS (SELECT doc_id, base, n,
+        |    greatest(abs(base), abs(base + 120)) AS peak FROM par),
+        |r AS (SELECT doc_id, base, n, peak, unnest(generate_series(0, 15)) AS rr FROM pk),
+        |nm AS (SELECT doc_id, n, peak, (base + 8*rr) * 30000 AS num FROM r),
+        |v AS (SELECT doc_id, n, (num - ((num % peak + peak) % peak)) // peak AS val FROM nm)
+        |SELECT doc_id, n::BIGINT AS n_samples, 8000::BIGINT AS sample_rate,
+        |  round((sum(val) * (n // 16))::DOUBLE / n, 6) AS mean_amp
+        |FROM v GROUP BY doc_id, n""".stripMargin,
     // WAV twin: s(i) = 4·(id%256) + 8·(i mod 16) − 512 over a
     // multiple-of-16 sample count → mean = 4·(id%256) + 60 − 512.
     "q_multimodal_audio" ->

@@ -135,6 +135,56 @@ object Bpe {
     loadMerges("classpath:graft/bpe/test_merges.txt"),
     loadVocab("classpath:graft/bpe/test_vocab.json"))
 
+  /** Deterministic PRODUCTION-SCALE tokenizer (50,000 merges /
+    * 50,256-token vocab — the GPT-2 shape) for stress-validating the
+    * serialized merge-table plan size, the per-JVM rank-map build,
+    * and the LRU pre-token cache at real vocab scale without any
+    * network fetch. Merges are layered so every operand exists
+    * before it is used and real lowercase text actually fires deep
+    * ranks: Ġ+letter (26), letter bigrams (676), Ġ-bigrams (676),
+    * left-heavy trigrams (17,576), Ġ-trigrams (17,576), then the
+    * first 13,470 left-heavy 4-grams — 50,000 exactly. Vocab = the
+    * 256 byte symbols + every merge output, ids in that order
+    * (50,256 — coincidentally exactly GPT-2's vocab size).
+    */
+  lazy val productionScaleSpec: Spec = syntheticSpec(50000)
+
+  /** See [[productionScaleSpec]]; `targetMerges` truncates the level
+    * stream for smaller stress points.
+    */
+  def syntheticSpec(targetMerges: Int): Spec = {
+    val letters = ('a' to 'z').map(_.toString)
+    val levels: Iterator[(String, String)] =
+      letters.iterator.map(l => ("Ġ", l)) ++
+        (for { a <- letters.iterator; b <- letters } yield (a, b)) ++
+        (for { a <- letters.iterator; b <- letters } yield ("Ġ" + a, b)) ++
+        (for { a <- letters.iterator; b <- letters; c <- letters } yield (a + b, c)) ++
+        (for { a <- letters.iterator; b <- letters; c <- letters } yield ("Ġ" + a + b, c)) ++
+        (for { a <- letters.iterator; b <- letters; c <- letters; d <- letters } yield (a + b + c, d))
+    val merges = levels.take(targetMerges).toVector
+    val vocab = ((0 until 256).map(b => byteToChar(b).toString) ++
+      merges.map { case (f, s) => f + s }).distinct.zipWithIndex.toMap
+    Spec(merges, vocab)
+  }
+
+  /** Render a [[Spec]] back to GPT-2 file format —
+    * (merges.txt content, vocab.json content) — so specs can
+    * round-trip the production-size loaders without shipping a 50k
+    * fixture file. The 256 base byte symbols include `"` and `\`,
+    * which JSON-escape; everything else in a synthetic spec is
+    * letters/Ġ and passes through raw (as real vocab.json files do).
+    */
+  def renderSpecFiles(spec: Spec): (String, String) = {
+    val mergesTxt = ("#version: 0.2" +: spec.merges.map { case (f, s) => s"$f $s" })
+      .mkString("", "\n", "\n")
+    def esc(t: String): String =
+      t.replace("\\", "\\\\").replace("\"", "\\\"")
+    val vocabJson = spec.vocab.toSeq.sortBy(_._2)
+      .map { case (t, i) => s""""${esc(t)}": $i""" }
+      .mkString("{", ", ", "}")
+    (mergesTxt, vocabJson)
+  }
+
   // ---- column API -------------------------------------------------
 
   import org.apache.spark.sql.GraftSqlBridge.{column, expression}

@@ -492,6 +492,166 @@ object Multimodal {
     }
   }
 
+  /** Parse a WAV payload to (16-bit signed samples, sample rate);
+    * null for unparsable/empty payloads. The read side of the audio
+    * transform steps ([[resampleWav]] / [[peakNormalizeWav]]) —
+    * little-endian mono 16-bit, the same frame walk as [[decodeWav]].
+    */
+  private def readPcm16(bytes: Array[Byte]): (Array[Int], Float) = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val n = ais.getFrameLength
+    val data = ais.readAllBytes()
+    if (n <= 0L) null
+    else {
+      val m = math.min(n, data.length / 2).toInt
+      val out = new Array[Int](m)
+      var i = 0
+      while (i < m) {
+        out(i) = (((data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)).toShort).toInt
+        i += 1
+      }
+      (out, ais.getFormat.getSampleRate)
+    }
+  }
+
+  /** Re-encode 16-bit mono samples as a RIFF/WAV payload at `rate` —
+    * the write side of the audio transform steps, the exact inverse
+    * of [[readPcm16]] (same container writer as [[wavBytes]]).
+    */
+  private def writePcm16(samples: Array[Int], rate: Float): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new ByteArrayOutputStream(1024)
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Shared shape of the audio transform steps: decode WAV →
+    * row-local sample transform → re-encode WAV. Batched
+    * mapPartitions like [[resizeImage]]; null/unparsable/empty
+    * payloads pass through as null. No shuffle — the partition is
+    * the unit of parallelism, exactly what a fleet of stateless
+    * audio workers needs at 100 TB.
+    */
+  private def transformWav(
+      df: DataFrame,
+      payloadCol: String,
+      outCol: String,
+      batchSize: Int)(f: (Array[Int], Float) => (Array[Int], Float)): DataFrame = {
+    val outSchema = df.schema.add(StructField(outCol, BinaryType))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val bytes = row.get(payloadIdx).asInstanceOf[Array[Byte]]
+          val out: Array[Byte] =
+            if (bytes == null) null
+            else {
+              val decoded =
+                try readPcm16(bytes)
+                catch { case scala.util.control.NonFatal(_) => null }
+              if (decoded == null) null
+              else {
+                val (samples, rate) = f(decoded._1, decoded._2)
+                writePcm16(samples, rate)
+              }
+            }
+          Row.fromSeq(row.toSeq :+ (out: Any))
+        }
+      }
+    }
+  }
+
+  /** REAL audio resample — the transform a multimodal corpus prep
+    * runs before hashing/featurizing (models expect one fixed rate;
+    * crawled audio arrives at many): linear interpolation from the
+    * container's rate to `targetRate`, in EXACT integer arithmetic
+    * so every output sample has a closed form any engine replays.
+    * Output length m = ⌈n·target/src⌉ (duration-preserving); output
+    * j reads source position j·src/target as the rational
+    * (i0 = ⌊j·src/target⌋, frac = (j·src) mod target) and emits
+    * s(i0) + ⌊(s(i0+1) − s(i0))·frac / target⌋ (FLOOR division —
+    * `Math.floorDiv`; DuckDB's integer `//` truncates, so the oracle
+    * spells floor out as (num − pmod) // den. The last position
+    * clamps to s(n−1)).
+    * Interpolation between in-range 16-bit samples stays in range —
+    * no clipping step. Null/unparsable payloads pass through null.
+    */
+  def resampleWav(
+      df: DataFrame,
+      payloadCol: String = "payload",
+      targetRate: Int = 16000,
+      outCol: String = "resampled",
+      batchSize: Int = 64): DataFrame = {
+    require(targetRate >= 1, "targetRate must be positive")
+    transformWav(df, payloadCol, outCol, batchSize) { (s, rate) =>
+      val n = s.length
+      val sr = math.round(rate).toLong
+      val tr = targetRate.toLong
+      val m = ((n.toLong * tr + sr - 1) / sr).toInt
+      val out = new Array[Int](m)
+      var j = 0
+      while (j < m) {
+        val num = j.toLong * sr
+        val i0 = (num / tr).toInt
+        val frac = num % tr
+        out(j) =
+          if (i0 >= n - 1) s(n - 1)
+          else s(i0) + Math.floorDiv((s(i0 + 1) - s(i0)).toLong * frac, tr).toInt
+        j += 1
+      }
+      (out, targetRate.toFloat)
+    }
+  }
+
+  /** REAL audio peak normalization — the level-equalization step
+    * before perceptual hashing or training (crawled audio spans
+    * wildly different gains): scale every sample by
+    * targetPeak/max|s| in exact integer arithmetic,
+    * out = ⌊s·targetPeak / peak⌋ (FLOOR division — the oracle spells
+    * it out as (num − pmod) // den since DuckDB `//` truncates on
+    * negatives), so the loudest sample lands exactly on ±targetPeak and
+    * the closed-form oracle replays every output sample. An all-zero
+    * signal passes through unchanged (no peak to normalize); rate
+    * and length are preserved. Null/unparsable payloads yield null.
+    */
+  def peakNormalizeWav(
+      df: DataFrame,
+      payloadCol: String = "payload",
+      targetPeak: Int = 30000,
+      outCol: String = "normalized",
+      batchSize: Int = 64): DataFrame = {
+    require(targetPeak >= 1 && targetPeak <= 32767, "targetPeak must be in [1, 32767]")
+    transformWav(df, payloadCol, outCol, batchSize) { (s, rate) =>
+      var peak = 0
+      var i = 0
+      while (i < s.length) {
+        val a = math.abs(s(i))
+        if (a > peak) peak = a
+        i += 1
+      }
+      if (peak == 0) (s, rate)
+      else {
+        val out = new Array[Int](s.length)
+        var k = 0
+        while (k < s.length) {
+          out(k) = Math.floorDiv(s(k).toLong * targetPeak, peak.toLong).toInt
+          k += 1
+        }
+        (out, rate)
+      }
+    }
+  }
+
   /** REAL image resize: decode the payload (ImageIO), nearest-
     * neighbour resample to `targetW`×`targetH` — dst(x,y) =
     * src(⌊x·sw/tw⌋, ⌊y·sh/th⌋), the standard NN mapping, written as

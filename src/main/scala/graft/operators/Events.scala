@@ -19,6 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** Exact integer FLOOR division of the epoch-ms column by a
+    * positive width — `a − pmod(a, b)` is the largest multiple of b
+    * ≤ a, so the quotient floors for negative (pre-1970) epochs too:
+    * a pre-epoch event lands in the window that COVERS it, where
+    * truncation (Spark `div`, and DuckDB's integer `//` — both
+    * truncate toward zero) would shift it one bucket late. This pins
+    * every Events bucketing to floor explicitly; the DuckDB oracles
+    * replay with `//` over the testdata's non-negative epochs, where
+    * floor and truncation coincide — an oracle over pre-1970 data
+    * would need the same spelled-out floor
+    * (`(a - ((a % b + b) % b)) // b`).
+    */
+  private def floorDivMs(tsMsCol: String, widthMs: Long): Column =
+    expr(s"(cast($tsMsCol as bigint) - pmod(cast($tsMsCol as bigint), ${widthMs}L)) div ${widthMs}L")
+
   /** Ordered-step conversion funnel with strict time progression:
     * a user REACHES step i when an event of type `steps(i)` exists
     * STRICTLY AFTER the (earliest-transition) time at which they
@@ -158,8 +173,9 @@ object Events {
     * period (`periodDays`, default weekly) of their FIRST activity,
     * and each (cohort, offset) cell counts the cohort's users active
     * `offset` periods later. Periods are pure integer arithmetic on
-    * the epoch-millisecond column (`ts_ms div periodMs`) — no
-    * calendar functions, so both engines bucket identically.
+    * the epoch-millisecond column (floor `ts_ms // periodMs`, see
+    * [[floorDivMs]]) — no calendar functions, so both engines bucket
+    * identically, pre-1970 timestamps included.
     *
     * Scale shape: the corpus collapses to the DISTINCT
     * (user, period) activity set in the first exchange (map-side
@@ -185,7 +201,7 @@ object Events {
     val act = df
       .select(
         col(userCol).as("__u"),
-        expr(s"cast($tsMsCol as bigint) div ${periodMs}L").as("__p"))
+        floorDivMs(tsMsCol, periodMs).as("__p"))
       .distinct()
     val cohort = act.groupBy(col("__u")).agg(min(col("__p")).as("__c"))
     val cells = act.join(cohort, "__u")
@@ -244,8 +260,9 @@ object Events {
   }
 
   /** Tumbling-window rollup: fixed-width aggregate buckets over the
-    * epoch-millisecond column (`widthMs` integer-divides the epoch,
-    * so windows are engine-portable and never overlap). The
+    * epoch-millisecond column (`widthMs` FLOOR-divides the epoch via
+    * [[floorDivMs]], so windows are engine-portable — negative
+    * epochs included — and never overlap). The
     * per-window measures are one map-side-combined aggregation over
     * one scan; output is |windows| rows. The value sums ride an
     * exact DECIMAL(18,6) accumulator (order-independent — double
@@ -263,8 +280,7 @@ object Events {
       widthMs: Long): DataFrame = {
     require(widthMs > 0, "widthMs must be positive")
     df.groupBy(
-        (expr(s"cast($tsMsCol as bigint) div ${widthMs}L") * widthMs)
-          .as("window_start_ms"))
+        (floorDivMs(tsMsCol, widthMs) * widthMs).as("window_start_ms"))
       .agg(
         count(lit(1)).as("n_events"),
         count_distinct(col(userCol)).as("n_users"),
@@ -282,10 +298,10 @@ object Events {
     * artifacts a tumbling report shows (`widthMs` must be an integer
     * multiple of `slideMs`; equal width/slide degenerates to
     * tumbling). The covering window starts for an event are
-    * `(ts div slide − i) · slide, i ∈ [0, k)` — all k candidates lie
-    * in `(ts − width, ts]` exactly, so the explode is a closed form
-    * with no range filter, engine-portable on non-negative epoch
-    * millis.
+    * `(ts floordiv slide − i) · slide, i ∈ [0, k)` — with FLOOR
+    * division ([[floorDivMs]]) all k candidates lie in
+    * `(ts − width, ts]` exactly for any sign of ts, so the explode
+    * is a closed form with no range filter, engine-portable.
     *
     * Cost shape: ONE scan, a bounded k-way row multiplication
     * (`posexplode` of the offset array, k = width/slide is a small
@@ -309,7 +325,7 @@ object Events {
     df.select(col(tsMsCol), col(valueCol), col(userCol),
         explode(sequence(lit(0L), lit(k - 1))).as("__i"))
       .groupBy(
-        ((expr(s"cast($tsMsCol as bigint) div ${slideMs}L") - col("__i"))
+        ((floorDivMs(tsMsCol, slideMs) - col("__i"))
           * slideMs).as("window_start_ms"))
       .agg(
         count(lit(1)).as("n_events"),

@@ -51,15 +51,32 @@ object Pq {
     * min(struct(dist, cid)) = (dist asc, cid asc), a hash aggregate
     * with map-side partials. Distances round to 6 dp so the argmin
     * (and every replay) is engine-portable.
+    *
+    * `carrySub` keeps the subvector in the argmin struct — needed
+    * ONLY by the Lloyd mean update in [[fitCodebooks]]. The encode
+    * path passes false so its per-(id, s) shuffle really moves just
+    * (id, s, cid) triples, not the float subvectors (`__cid` is
+    * unique per codebook row, so the extra struct field never breaks
+    * a tie — dropping it cannot change the argmin).
     */
-  private def assign(sub: DataFrame, cen: DataFrame): DataFrame =
-    sub.join(broadcast(cen), Seq("__s"))
+  private def assign(
+      sub: DataFrame,
+      cen: DataFrame,
+      carrySub: Boolean = true): DataFrame = {
+    val joined = sub.join(broadcast(cen), Seq("__s"))
       .withColumn("__d",
         round(squaredL2Distance(col("__sub"), col("__cvec")), 6))
       .groupBy(col("__id"), col("__s"))
-      .agg(min(struct(col("__d"), col("__cid"), col("__sub"))).as("__m"))
-      .select(col("__id"), col("__s"), col("__m.__cid").as("__cid"),
-        col("__m.__sub").as("__sub"))
+    if (carrySub)
+      joined
+        .agg(min(struct(col("__d"), col("__cid"), col("__sub"))).as("__m"))
+        .select(col("__id"), col("__s"), col("__m.__cid").as("__cid"),
+          col("__m.__sub").as("__sub"))
+    else
+      joined
+        .agg(min(struct(col("__d"), col("__cid"))).as("__m"))
+        .select(col("__id"), col("__s"), col("__m.__cid").as("__cid"))
+  }
 
   /** Fit the m per-subspace codebooks: stride-sampled init (the same
     * sampled ids in every subspace — no fitted state to ship, any
@@ -128,7 +145,7 @@ object Pq {
       codebooks: DataFrame): DataFrame = {
     val cen = codebooks.select(col("s").as("__s"), col("cid").as("__cid"),
       col("centroid").as("__cvec"))
-    assign(subFrame(corpus, vecCol, idCol, dim, m), cen)
+    assign(subFrame(corpus, vecCol, idCol, dim, m), cen, carrySub = false)
       .groupBy(col("__id"))
       .agg(transform(
         array_sort(collect_list(struct(col("__s"), col("__cid")))),

@@ -571,7 +571,13 @@ object Profile {
     val ra = cells.groupBy(col(colA)).agg(sum(col("n_obs")).as("__ra"))
     val cb = cells.groupBy(col(colB)).agg(sum(col("n_obs")).as("__cb"))
     val nn = cells.agg(sum(col("n_obs")).cast("double").as("__n"))
-    val e = col("__ra") * col("__cb") / col("__n")
+    // the marginal product widens to DECIMAL(38,0) BEFORE multiplying
+    // — long·long silently wraps (non-ANSI) once marginals pass ~3e9,
+    // i.e. exactly the 100 TB regime; DuckDB's oracle widens the same
+    // product to HUGEINT, so decimal keeps the two engines' expected/
+    // contrib identical (the /n division then lands in double)
+    val e = col("__ra").cast("decimal(19,0)") *
+      col("__cb").cast("decimal(19,0)") / col("__n")
     cells
       .join(broadcast(ra), Seq(colA))
       .join(broadcast(cb), Seq(colB))

@@ -74,6 +74,38 @@ object Similarity {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
+  /** Exact squared-L2 top-k — the metric-matched baseline for the
+    * PQ/ADC ranking ([[graft.operators.Pq.pqTopK]] scores squared
+    * L2): recall against the cosine [[bruteForceTopK]] would
+    * conflate L2-vs-cosine ranking disagreement (the corpus vectors
+    * are not unit-norm) with quantization loss. Same plan shape:
+    * broadcast queries, one corpus scan, WindowGroupLimit top-k.
+    *
+    * @return (query id, corpus id, dist — squared L2, 6 dp, rank
+    *         1..k ascending distance, tie-break on corpus id).
+    */
+  def bruteForceTopKL2(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      qIdCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(qIdCol).as("query_id"), col(vecCol).as("__qv"))
+    val scored = c
+      .join(broadcast(q))
+      .withColumn("dist",
+        round(squaredL2Distance(col("__cv"), col("__qv")), 6))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("corpus_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "dist", "rank")
+  }
+
   /** [[bruteForceTopK]] over int8-quantized vectors: both sides are
     * quantized ([[graft.functions.VectorFunctions.quantize8]] —
     * cosine is scale-invariant, so only the tinyint codes move) and

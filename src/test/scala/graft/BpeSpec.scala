@@ -168,4 +168,68 @@ class BpeSpec extends SparkSpec {
     val probe = UTF8String.fromString("the table w42 w109999")
     assert(enc.doEval(probe) == fresh.doEval(probe))
   }
+
+  test("production-scale spec: 50k merges load, rank algebra, GPT-2 file round trip") {
+    import graft.functions.Bpe
+    val big = Bpe.productionScaleSpec
+    assert(big.merges.size == 50000)
+    assert(big.vocab.size == 50256) // 256 byte symbols + 50k merge outputs
+    // merges are layered: every operand is a base symbol or an
+    // earlier merge's output — all 50k ranks are reachable
+    val produced = scala.collection.mutable.HashSet[String]()
+    produced ++= (0 until 256).map(b => Bpe.byteToChar(b).toString)
+    big.merges.foreach { case (f, s) =>
+      assert(produced(f) && produced(s), s"unreachable merge ($f, $s)")
+      produced += f + s
+    }
+    // hand-checked rank algebra: lowest rank first means "abc"
+    // merges (a,b) [rank 27] before (b,c) [rank 54], then the
+    // trigram; " quick" = Ġ+q first, then bare bigrams beat
+    // Ġ-bigrams (ui=554, ck=88 < Ġq,u=1138) → [Ġq, ui, ck]
+    val out = Seq("abc quick").toDF("text")
+      .select(Bpe.bpeTokens(col("text"), big).as("t"),
+        Bpe.bpeTokenIds(col("text"), big).as("ids"))
+      .as[(Seq[String], Seq[Int])].head()
+    assert(out._1 == Seq("abc", "Ġq", "ui", "ck"), out._1)
+    assert(out._2.forall(_ >= 0), s"unknown id in ${out._2}") // vocab covers every output
+    assert(out._2 == out._1.map(big.vocab), "ids = vocab lookups")
+    // GPT-2 file-format round trip at full size: render → write →
+    // load through the production loaders → identical spec
+    val (mergesTxt, vocabJson) = Bpe.renderSpecFiles(big)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_stress")
+    val mp = dir.resolve("merges.txt"); val vp = dir.resolve("vocab.json")
+    try {
+      java.nio.file.Files.writeString(mp, mergesTxt)
+      java.nio.file.Files.writeString(vp, vocabJson)
+      assert(Bpe.loadMerges(mp.toString) == big.merges)
+      assert(Bpe.loadVocab(vp.toString) == big.vocab)
+    } finally {
+      java.nio.file.Files.deleteIfExists(mp)
+      java.nio.file.Files.deleteIfExists(vp)
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+    // the 50k rank map must not be catastrophically slower per token
+    // than the 45-merge fixture (hash probes are O(1); the loop depth
+    // grows only with merges that actually fire). This is a LOOSE
+    // sanity bound — the 2× per-token target is recorded and judged
+    // from the bench rows (q_bpe_stress vs q_bpe_fertility).
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val corpus = (0 until 2000)
+      .map(i => s"some fairly regular words number $i with letters abcdef")
+      .mkString(" ")
+    def timeOf(s: Bpe.Spec): (Long, Int) = {
+      val e = graft.functions.BpeEncode(Literal("x"), s.merges, s.vocab, "count")
+      e.doEval(UTF8String.fromString("warm up the rank map"))
+      val t0 = System.nanoTime()
+      val n = e.doEval(UTF8String.fromString(corpus)).asInstanceOf[Int]
+      (System.nanoTime() - t0, n)
+    }
+    val (tFix, nFix) = timeOf(Bpe.testFixture)
+    val (tBig, nBig) = timeOf(big)
+    assert(nBig > 0 && nFix > 0)
+    val perTokRatio = (tBig.toDouble / nBig) / (tFix.toDouble / nFix)
+    assert(perTokRatio < 25.0,
+      f"50k-merge per-token cost $perTokRatio%.1f× the fixture's — rank map regressed")
+  }
 }

@@ -111,6 +111,53 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("incremental pairs: the history side joins shuffle-free from its buckets") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val hist = (1L to 40L)
+      .map(i => (i, s"history document number $i about topic ${i % 7} with enough words"))
+      .toDF("id", "text")
+    val batch = Seq(
+      (101L, "history document number 3 about topic 3 with enough words"))
+      .toDF("id", "text")
+    // walk through every AQE wrapper so subtree checks see real nodes
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: nodes(a.executedPlan)
+      case q: QueryStageExec => p +: nodes(q.plan)
+      case r: ReusedExchangeExec => p +: nodes(r.child)
+      case o => p +: o.children.flatMap(nodes)
+    }
+    try {
+      Dedup.writeMinHashSignatures(hist, "text", "id", "graft_b_sf", numBuckets = 4)
+      val pairs = Dedup
+        .minHashLshPairsIncremental(batch, hist, "graft_b_sf", "text", "id")
+      pairs.count() // finalize the adaptive plan
+      val all = nodes(pairs.queryExecution.executedPlan)
+      assert(all.exists(n => n.children.isEmpty && n.toString.contains("graft_b_sf")),
+        "sig-table scan not found in plan")
+      // VIOLATION = an exchange with a PATH down to the sig-table
+      // scan that never passes a join: that would mean the candidate
+      // join re-shuffled the bucketed history side — the exact cost
+      // the bucketing exists to avoid at a 100 TB history
+      def reachesScanNoJoin(p: SparkPlan): Boolean = p match {
+        case _: BaseJoinExec => false
+        case a: AdaptiveSparkPlanExec => reachesScanNoJoin(a.executedPlan)
+        case q: QueryStageExec => reachesScanNoJoin(q.plan)
+        case r: ReusedExchangeExec => reachesScanNoJoin(r.child)
+        case o if o.children.isEmpty => o.toString.contains("graft_b_sf")
+        case o => o.children.exists(reachesScanNoJoin)
+      }
+      val violations = all.collect {
+        case e: ShuffleExchangeLike if e.children.exists(reachesScanNoJoin) => e
+      }
+      assert(violations.isEmpty,
+        s"history side shuffled before its first join:\n${violations.headOption}")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_b_sf")
+  }
+
   test("incremental pairs: maxBucket drops degenerate index buckets") {
     import graft.operators.Dedup
     // 30 identical history docs → every band bucket has 30 members

@@ -257,4 +257,67 @@ class MultimodalSpec extends SparkSpec {
       .select($"ahash").collect().map(_.isNullAt(0)).toSeq
     assert(nulls == Seq(true, true))
   }
+
+  test("resampleWav: exact integer linear interpolation, real WAV out") {
+    import graft.multimodal.Multimodal
+    val ids = Seq(0L, 1L, 4L, 255L, 256L, 999L)
+    val tr = 12000
+    val out = Multimodal.decodeWav(
+      Multimodal.resampleWav(
+        Multimodal.synthesizeWav(ids.toDF("id"), "id"), "payload",
+        targetRate = tr, batchSize = 2), "resampled")
+      .select($"id", $"n_samples", $"sample_rate", $"mean_amp")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // independent recomputation straight from the synth formula
+    ids.foreach { id =>
+      val n = Multimodal.sampleCount(id)
+      val m = ((n.toLong * tr + 8000 - 1) / 8000).toInt
+      val vals = (0 until m).map { j =>
+        val num = j.toLong * 8000
+        val i0 = (num / tr).toInt
+        val fr = num % tr
+        if (i0 >= n - 1) Multimodal.sampleAt(id, n - 1).toLong
+        else Multimodal.sampleAt(id, i0) + Math.floorDiv(
+          (Multimodal.sampleAt(id, i0 + 1) - Multimodal.sampleAt(id, i0)).toLong * fr, tr)
+      }
+      val (gn, rate, mean) = out(id)
+      assert(gn == m.toLong, s"n_samples for $id")
+      assert(rate == tr.toDouble, s"rate for $id")
+      assert(mean == vals.sum.toDouble / m, s"mean_amp for $id")
+    }
+    // null and corrupt payloads pass through null
+    val junk = Seq(
+      (1L, null.asInstanceOf[Array[Byte]]),
+      (2L, Array[Byte](82, 73, 70, 70))).toDF("id", "payload")
+    val nulls = Multimodal.resampleWav(junk, "payload")
+      .select($"resampled").collect().map(_.isNullAt(0)).toSeq
+    assert(nulls == Seq(true, true))
+  }
+
+  test("peakNormalizeWav: loudest sample lands on ±target, floor-div scaling") {
+    import graft.multimodal.Multimodal
+    val ids = Seq(0L, 1L, 128L, 255L, 256L, 999L)
+    val target = 30000
+    val out = Multimodal.decodeWav(
+      Multimodal.peakNormalizeWav(
+        Multimodal.synthesizeWav(ids.toDF("id"), "id"), "payload",
+        targetPeak = target, batchSize = 2), "normalized")
+      .select($"id", $"n_samples", $"sample_rate", $"mean_amp")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    ids.foreach { id =>
+      val n = Multimodal.sampleCount(id)
+      val src = (0 until n).map(Multimodal.sampleAt(id, _))
+      val peak = src.map(math.abs).max
+      val vals = src.map(s => Math.floorDiv(s.toLong * target, peak.toLong))
+      val (gn, rate, mean) = out(id)
+      assert(gn == n.toLong, s"n preserved for $id")
+      assert(rate == 8000.0, s"rate preserved for $id")
+      assert(mean == vals.sum.toDouble / n, s"mean_amp for $id")
+      assert(vals.map(math.abs).max == target.toLong, s"peak hits target for $id")
+    }
+  }
 }

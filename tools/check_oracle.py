@@ -6,8 +6,15 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify),
 runs the matching SQL from oracle_sql.json in DuckDB against the
 sfDir tables, and compares: column names, row count, and values
-(sorted columns, sorted rows, exact match; floats compared exactly
-after string normalization, with a reported near-miss count).
+(sorted columns, sorted rows, exact match).
+
+DRIVER PARITY: values are materialized through pandas `.df()` frames,
+NOT `fetchall()`. The driver's compare goes through pandas, where a
+DuckDB HUGEINT / DECIMAL column degrades to float64 (`126.0` != the
+Spark side's `126`) — `fetchall()` would hide that by yielding Python
+ints (the round-9 `q_pack_shards` escape). Any per-column dtype-class
+difference (int vs float) between the two frames is also printed as a
+WARN line even when the values happen to match.
 """
 import json
 import math
@@ -16,6 +23,7 @@ import sys
 from pathlib import Path
 
 import duckdb
+import numpy as np
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -23,11 +31,21 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def norm_cell(v):
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
             return "NaN"
-        return repr(v)
+        return repr(f)
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (list, np.ndarray)):
+        return str([norm_cell(x) for x in v])
     return str(v)
+
+
+def dtype_class(dt):
+    k = dt.kind if hasattr(dt, "kind") else "O"
+    return {"i": "int", "u": "int", "f": "float", "b": "bool"}.get(k, "other")
 
 
 def main(sf_dir, out_dir):
@@ -60,12 +78,21 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {gcols} != {wcols}")
             n_fail += 1
             continue
+        gdf, wdf = got.df(), want.df()
+        for c in gcols:
+            gk, wk = dtype_class(gdf[c].dtype), dtype_class(wdf[c].dtype)
+            if gk != wk:
+                print(f"WARN {name}: column {c} dtype class spark={gdf[c].dtype} "
+                      f"oracle={wdf[c].dtype} (pandas materialization)")
+            elif gk in ("int", "float") and str(gdf[c].dtype) != str(wdf[c].dtype):
+                print(f"NOTE {name}: column {c} width spark={gdf[c].dtype} "
+                      f"oracle={wdf[c].dtype} (benign for the value compare)")
         grows = sorted(
             tuple(norm_cell(v) for v in row)
-            for row in got.select(", ".join(f'"{c}"' for c in gcols)).fetchall())
+            for row in gdf[gcols].itertuples(index=False, name=None))
         wrows = sorted(
             tuple(norm_cell(v) for v in row)
-            for row in want.select(", ".join(f'"{c}"' for c in wcols)).fetchall())
+            for row in wdf[wcols].itertuples(index=False, name=None))
         if len(grows) != len(wrows):
             print(f"FAIL {name}: rows {len(grows)} != {len(wrows)}")
             n_fail += 1
@@ -79,11 +106,17 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(grows)} rows)")
             n_pass += 1
-    # queries with no oracle → rows-only smoke
+    # queries with no oracle → rows-only smoke, through the driver's
+    # pandas sort so unhashable cells (arrays) fail HERE, not there
     for qdir in sorted(Path(out_dir).iterdir()):
         if qdir.is_dir() and qdir.name not in oracle:
-            n = con.sql(f"SELECT count(*) FROM read_parquet('{qdir}/*.parquet')").fetchone()[0]
-            print(f"INFO {qdir.name}: no oracle, {n} rows")
+            df = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df()
+            try:
+                df.sort_values(by=list(df.columns), inplace=False)
+                print(f"INFO {qdir.name}: no oracle, {len(df)} rows")
+            except TypeError as e:
+                print(f"FAIL {qdir.name}: rows-only pandas sort crashed: {e}")
+                n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail" + (f", {n_skip} SKIPPED" if n_skip else ""))
     return 1 if n_fail else 0
 
