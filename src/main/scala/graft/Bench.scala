@@ -80,6 +80,21 @@ object Bench {
     warm(graft.multimodal.Multimodal.decodeImage(
       graft.multimodal.Multimodal.synthesizePng(
         spark.range(64).toDF("doc_id"), "doc_id")))
+    // the javax.sound WAV family: container parse + PCM transform +
+    // re-encode + re-decode — without this the alphabetically-first
+    // audio query absorbs the whole codec JIT (round-10 observation:
+    // q_audio_normalize vs q_audio_resample order artifact)
+    warm(graft.multimodal.Multimodal.decodeWav(
+      graft.multimodal.Multimodal.peakNormalizeWav(
+        graft.multimodal.Multimodal.resampleWav(
+          graft.multimodal.Multimodal.synthesizeWav(
+            spark.range(64).toDF("doc_id"), "doc_id"),
+          "payload", targetRate = 12000),
+        "resampled", targetPeak = 30000),
+      "normalized"))
+    warm(graft.multimodal.Multimodal.aHash(
+      graft.multimodal.Multimodal.synthesizeWav(
+        spark.range(64).toDF("doc_id"), "doc_id"), "payload"))
     warm(wDocs.select(graft.functions.TextFunctions.jalaliDate(
       date_add(to_date(lit("1995-01-01")), col("id").cast("int")))))
     warm(graft.operators.Cumulative.withMovingAverage(

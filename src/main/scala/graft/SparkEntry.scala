@@ -1761,7 +1761,8 @@ object SparkEntry {
       // channel means. The pixel pattern is wrap-free affine, so the
       // oracle recomputes the identical doubles arithmetically.
       val imgs = graft.multimodal.Multimodal
-        .synthesizePng(t(s, dir, "documents").select("doc_id"), "doc_id")
+        .synthesizePng(
+          Parallelism.spread(t(s, dir, "documents").select("doc_id")), "doc_id")
       graft.multimodal.Multimodal
         .decodeImage(imgs, "payload")
         .select(
@@ -1776,7 +1777,8 @@ object SparkEntry {
       // dst(x,y)=src(⌊x·w/8⌋,⌊y·h/8⌋) over the wrap-free pattern
       // keeps the channel means closed-form for the oracle.
       val imgs = graft.multimodal.Multimodal
-        .synthesizePng(t(s, dir, "documents").select("doc_id"), "doc_id")
+        .synthesizePng(
+          Parallelism.spread(t(s, dir, "documents").select("doc_id")), "doc_id")
       val resized = graft.multimodal.Multimodal
         .resizeImage(imgs, "payload", targetW = 8, targetH = 8)
         .select("doc_id", "resized")
@@ -1794,7 +1796,8 @@ object SparkEntry {
       // as hex. Every bit is closed-form over the affine pixel
       // pattern, so the oracle rebuilds the identical code.
       val imgs = graft.multimodal.Multimodal
-        .synthesizePng(t(s, dir, "documents").select("doc_id"), "doc_id")
+        .synthesizePng(
+          Parallelism.spread(t(s, dir, "documents").select("doc_id")), "doc_id")
       graft.multimodal.Multimodal.dHash(imgs, "payload")
         .select("doc_id", "dhash")
     }),
@@ -1807,7 +1810,8 @@ object SparkEntry {
       // Hamming pairing. The smooth-gradient corpus (q_multimodal_
       // dhash) and the DedupSpec flood case keep the cap covered.
       val imgs = graft.multimodal.Multimodal
-        .synthesizePngDiverse(t(s, dir, "documents").select("doc_id"), "doc_id")
+        .synthesizePngDiverse(
+          Parallelism.spread(t(s, dir, "documents").select("doc_id")), "doc_id")
       val codes = graft.multimodal.Multimodal.dHash(imgs, "payload")
         .select("doc_id", "dhash")
       Dedup.hammingPairs64(codes, "dhash", "doc_id", maxHamming = 2)
@@ -1818,7 +1822,8 @@ object SparkEntry {
       // The integer-exact bit rule makes every bit closed-form over
       // the periodic sample pattern.
       val wavs = graft.multimodal.Multimodal
-        .synthesizeWav(t(s, dir, "documents").select("doc_id"), "doc_id")
+        .synthesizeWav(
+          Parallelism.spread(t(s, dir, "documents").select("doc_id")), "doc_id")
       graft.multimodal.Multimodal.aHash(wavs, "payload")
         .select("doc_id", "ahash")
     }),
@@ -1826,7 +1831,8 @@ object SparkEntry {
       // Audio near-dup: aHash codes through the UNCHANGED 64-bit
       // Hamming pairing — the same chunk-blocked join images use.
       val wavs = graft.multimodal.Multimodal
-        .synthesizeWav(t(s, dir, "documents").select("doc_id"), "doc_id")
+        .synthesizeWav(
+          Parallelism.spread(t(s, dir, "documents").select("doc_id")), "doc_id")
       val codes = graft.multimodal.Multimodal.aHash(wavs, "payload")
         .select("doc_id", "ahash")
       Dedup.hammingPairs64(codes, "ahash", "doc_id", maxHamming = 2)
@@ -1838,7 +1844,8 @@ object SparkEntry {
       // s(i0) + ⌊(s(i1)−s(i0))·frac/12000⌋ over the periodic synth
       // pattern, so the oracle replays the full resampled stream.
       val wavs = graft.multimodal.Multimodal
-        .synthesizeWav(t(s, dir, "documents").select("doc_id"), "doc_id")
+        .synthesizeWav(
+          Parallelism.spread(t(s, dir, "documents").select("doc_id")), "doc_id")
       val rs = graft.multimodal.Multimodal
         .resampleWav(wavs, "payload", targetRate = 12000)
       graft.multimodal.Multimodal
@@ -1854,7 +1861,8 @@ object SparkEntry {
       // closed form over the synth pattern (max(|base|, |base+120|)),
       // so every scaled sample — and the decoded mean — replays.
       val wavs = graft.multimodal.Multimodal
-        .synthesizeWav(t(s, dir, "documents").select("doc_id"), "doc_id")
+        .synthesizeWav(
+          Parallelism.spread(t(s, dir, "documents").select("doc_id")), "doc_id")
       val nz = graft.multimodal.Multimodal
         .peakNormalizeWav(wavs, "payload", targetPeak = 30000)
       graft.multimodal.Multimodal
@@ -1864,11 +1872,30 @@ object SparkEntry {
           col("sample_rate").cast("long").as("sample_rate"),
           round(col("mean_amp"), 6).as("mean_amp"))
     }),
+    "q_audio_pipeline" -> ((s, dir) => {
+      // The full audio prep COMPOSITION: synthesize → resample to
+      // the model rate → peak-normalize → perceptual aHash — the
+      // chain a multimodal corpus prep actually runs before
+      // near-dup pairing/training, every stage the REAL codec path.
+      // Each intermediate is integer-exact, so the oracle replays
+      // resampled samples → per-doc peak → scaled samples → all 64
+      // window-energy bits → the hex code, end to end.
+      val wavs = graft.multimodal.Multimodal
+        .synthesizeWav(
+          Parallelism.spread(t(s, dir, "documents").select("doc_id")), "doc_id")
+      val rs = graft.multimodal.Multimodal
+        .resampleWav(wavs, "payload", targetRate = 12000)
+      val nz = graft.multimodal.Multimodal
+        .peakNormalizeWav(rs, "resampled", targetPeak = 30000)
+      graft.multimodal.Multimodal.aHash(nz, "normalized")
+        .select("doc_id", "ahash")
+    }),
     "q_multimodal_audio" -> ((s, dir) => {
       // REAL WAV round trip via javax.sound.sampled; same closed-form
       // oracle idea as q_multimodal_decode.
       val wavs = graft.multimodal.Multimodal
-        .synthesizeWav(t(s, dir, "documents").select("doc_id"), "doc_id")
+        .synthesizeWav(
+          Parallelism.spread(t(s, dir, "documents").select("doc_id")), "doc_id")
       graft.multimodal.Multimodal
         .decodeWav(wavs, "payload")
         .select(
@@ -3702,6 +3729,35 @@ object SparkEntry {
         |SELECT doc_id, n::BIGINT AS n_samples, 8000::BIGINT AS sample_rate,
         |  round((sum(val) * (n // 16))::DOUBLE / n, 6) AS mean_amp
         |FROM v GROUP BY doc_id, n""".stripMargin,
+    // the resample replay chained through per-doc peak → spelled-out
+    // floor-div scaling → the aHash window-energy bit rule over the
+    // m resampled frames → the same two-half hex packing
+    "q_audio_pipeline" ->
+      """WITH par AS (SELECT doc_id, 4*(doc_id % 256) - 512 AS base,
+        |    160 + 16*(doc_id % 5) AS n FROM documents),
+        |idx AS (SELECT doc_id, base, n, (n * 12000 + 7999) // 8000 AS m FROM par),
+        |js AS (SELECT doc_id, base, n, m, unnest(generate_series(0, m - 1)) AS j FROM idx),
+        |p AS (SELECT doc_id, base, n, m, j, (j*8000) // 12000 AS i0, (j*8000) % 12000 AS fr FROM js),
+        |nm AS (SELECT doc_id, base, m, j, i0,
+        |    8*((least(i0 + 1, n - 1) % 16) - (i0 % 16)) * fr AS num FROM p),
+        |rv AS (SELECT doc_id, m, j,
+        |    base + 8*(i0 % 16) + (num - ((num % 12000 + 12000) % 12000)) // 12000 AS val
+        |  FROM nm),
+        |pk AS (SELECT doc_id, max(abs(val)) AS peak FROM rv GROUP BY 1),
+        |nz AS (SELECT rv.doc_id, m, j,
+        |    (val * 30000 - (((val * 30000) % peak + peak) % peak)) // peak AS val
+        |  FROM rv JOIN pk USING (doc_id)),
+        |sm AS (SELECT doc_id, m, (j * 64) // m AS w, abs(val) AS a FROM nz),
+        |wn AS (SELECT doc_id, m, w, sum(a) AS sw, count(*) AS cw FROM sm GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, sum(sw) AS s FROM wn GROUP BY 1),
+        |bits AS (SELECT wn.doc_id, w::INT AS i,
+        |    CASE WHEN sw * m > s * cw THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        |  FROM wn JOIN tot USING (doc_id)),
+        |agg AS (SELECT doc_id,
+        |    sum(CASE WHEN i >= 32 THEN bit << (i - 32) ELSE 0 END)::BIGINT AS hi,
+        |    sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END)::BIGINT AS lo
+        |  FROM bits GROUP BY 1)
+        |SELECT doc_id, printf('%08x%08x', hi, lo) AS ahash FROM agg""".stripMargin,
     // WAV twin: s(i) = 4·(id%256) + 8·(i mod 16) − 512 over a
     // multiple-of-16 sample count → mean = 4·(id%256) + 60 − 512.
     "q_multimodal_audio" ->

@@ -177,6 +177,40 @@ object HashKernels {
     * doubles and DuckDB's `round(x, 6)::DECIMAL`), summed exactly in
     * long micro-units — order-independent by construction.
     */
+  /** ONE-pass per-script character counts — the native twin of the
+    * remove-and-diff regex device in
+    * [[TextAnalysis.scriptSignals]], bit-identical by construction:
+    * [latin, cyrillic, arabic, han, hangul, digit, letters], each
+    * matched code point contributing `Character.charCount` UTF-16
+    * units (the script classes are BMP-only → always 1; `\p{L}`
+    * matches astral letters → 2, exactly what the regex device's
+    * `length − length(removed)` reports). The regex formulation runs
+    * SEVEN full regexp_replace passes, each allocating a rebuilt
+    * string — on payload-heavy rows that was the whole cost of
+    * q_script_mismatch.
+    */
+  def scriptCounts(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val out = new Array[Long](7)
+    val len = str.length
+    var i = 0
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      val w = Character.charCount(cp)
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+          (cp >= 0xC0 && cp <= 0xD6) || (cp >= 0xD8 && cp <= 0xF6) ||
+          (cp >= 0xF8 && cp <= 0x24F)) out(0) += w
+      else if (cp >= 0x400 && cp <= 0x4FF) out(1) += w
+      else if (cp >= 0x600 && cp <= 0x6FF) out(2) += w
+      else if (cp >= 0x4E00 && cp <= 0x9FFF) out(3) += w
+      else if (cp >= 0xAC00 && cp <= 0xD7AF) out(4) += w
+      else if (cp >= '0' && cp <= '9') out(5) += w
+      if (Character.isLetter(cp)) out(6) += w
+      i += w
+    }
+    new GenericArrayData(out.map(Long.box).toArray[Any])
+  }
+
   def charEntropy(s: UTF8String): Double = {
     val str = s.toString
     val len = str.length
@@ -481,6 +515,27 @@ case class TopNgramCharFrac(child: Expression, n: Int) extends UnaryExpression {
   * One pass, one hash map; the declarative formulation needs a
   * per-row explode + two aggregations.
   */
+/** One-pass [latin, cyrillic, arabic, han, hangul, digit, letters]
+  * character counts (see [[HashKernels.scriptCounts]]) — feeds
+  * [[TextAnalysis.scriptSignals]]; deterministic, so Spark's
+  * subexpression elimination evaluates it once per row however many
+  * struct fields read from it.
+  */
+case class ScriptCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "script_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.scriptCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"(org.apache.spark.sql.catalyst.util.ArrayData) graft.functions.HashKernels.scriptCounts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ScriptCounts =
+    copy(child = newChild)
+}
+
 case class CharEntropy(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "char_entropy"

@@ -1112,10 +1112,17 @@ object TextAnalysis {
     * codegen'd, null/empty degrade to null/zero fields.
     */
   def scriptSignals(c: Column): Column = {
-    def cnt(cls: String): Column =
-      (length(c) - length(regexp_replace(c, s"[$cls]", ""))).cast("long")
-    val counts = scriptClasses.map { case (nm, cls) => nm -> cnt(cls) }.toMap
-    val letters = cnt("\\p{L}")
+    // ONE native pass over the string ([[ScriptCounts]]) instead of
+    // seven regexp_replace passes each allocating a rebuilt string —
+    // same counts by construction (the kernel replicates the
+    // remove-and-diff device code point by code point), so the
+    // regex-device oracle replays unchanged. Subexpression
+    // elimination evaluates the array once per row.
+    import org.apache.spark.sql.GraftSqlBridge
+    val arr = GraftSqlBridge.column(ScriptCounts(GraftSqlBridge.expression(c)))
+    val counts = scriptClasses.map(_._1).zipWithIndex
+      .map { case (nm, i) => nm -> arr.getItem(i) }.toMap
+    val letters = arr.getItem(scriptClasses.size)
     val scriptNames = scriptClasses.map(_._1).filterNot(_ == "digit")
     // First name whose count is >= every later name's count; the
     // CASE order itself is the tie-break.

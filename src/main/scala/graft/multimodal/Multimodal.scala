@@ -76,6 +76,63 @@ object Multimodal {
     Math.floorMod(3 * id, 100L).toInt + 2 * x + 4 * y,
     Math.floorMod(5 * id, 150L).toInt + x + y)
 
+  // Per-thread PNG codec instances: ImageIO.read/write run a
+  // reader/writer REGISTRY scan per call, measured 3.6× contention
+  // overhead across 32 executor threads (graft.tools.ImageProbe:
+  // 8.12 µs/row aggregate vs the 2.25 ideal); the codec objects
+  // themselves (same JDK PNGImageReader/Writer classes) are reusable
+  // via setInput/setOutput. Non-PNG payloads still route through
+  // ImageIO.read — the general decoder stays the real JDK registry.
+  private val localPngReader = new ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader =
+      ImageIO.getImageReadersByFormatName("png").next()
+  }
+  private val localPngWriter = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter =
+      ImageIO.getImageWritersByFormatName("png").next()
+  }
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+
+  /** Decode an image payload: PNG via the per-thread cached reader
+    * (lock-free hot path), anything else via `ImageIO.read`'s full
+    * registry. Same exception contract as `ImageIO.read` — corrupt
+    * bodies throw, unclaimed formats return null.
+    */
+  private def readImageCodec(bytes: Array[Byte]): BufferedImage =
+    if (!isPng(bytes)) ImageIO.read(new ByteArrayInputStream(bytes))
+    else {
+      val r = localPngReader.get()
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        r.setInput(iis, true, true)
+        r.read(0)
+      } catch {
+        case e: Throwable =>
+          // a failed read can leave reader state dirty — rebuild lazily
+          r.dispose(); localPngReader.remove(); throw e
+      } finally iis.close()
+    }
+
+  /** Encode a BufferedImage as PNG via the per-thread cached writer
+    * (the bytes are the same JDK PNG encoder's output).
+    */
+  private def writePngCodec(img: BufferedImage): Array[Byte] = {
+    val w = localPngWriter.get()
+    val bos = new ByteArrayOutputStream(1024)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      w.setOutput(ios)
+      w.write(img)
+      ios.flush()
+    } catch {
+      case e: Throwable => w.dispose(); localPngWriter.remove(); throw e
+    } finally ios.close()
+    bos.toByteArray
+  }
+
   private[graft] def pngBytes(id: Long): Array[Byte] = {
     val (w, h) = imageGeometry(id)
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
@@ -89,9 +146,7 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new ByteArrayOutputStream(1024)
-    ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    writePngCodec(img)
   }
 
   /** Add a `payload` column of REAL PNG bytes (ImageIO-encoded)
@@ -173,9 +228,7 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new ByteArrayOutputStream(1024)
-    ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    writePngCodec(img)
   }
 
   /** [[synthesizePng]] with the DIVERSE pattern — the test corpus for
@@ -228,7 +281,7 @@ object Multimodal {
               // throw on a truncated/corrupt body — that's still an
               // undecodable payload, not a job-killer
               val img =
-                try ImageIO.read(new ByteArrayInputStream(bytes))
+                try readImageCodec(bytes)
                 catch { case scala.util.control.NonFatal(_) => null }
               if (img == null) Seq(null, null, null, null, null)
               else {
@@ -289,7 +342,7 @@ object Multimodal {
             if (bytes == null) null
             else {
               val img =
-                try ImageIO.read(new ByteArrayInputStream(bytes))
+                try readImageCodec(bytes)
                 catch { case scala.util.control.NonFatal(_) => null }
               if (img == null) null
               else {
@@ -343,19 +396,13 @@ object Multimodal {
 
   private[graft] def wavBytes(id: Long): Array[Byte] = {
     val n = sampleCount(id)
-    val pcm = new Array[Byte](n * 2)
+    val samples = new Array[Int](n)
     var i = 0
-    while (i < n) {
-      val s = sampleAt(id, i)
-      pcm(2 * i) = (s & 0xff).toByte          // little-endian 16-bit
-      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
-      i += 1
-    }
-    val fmt = new AudioFormat(WavRate, 16, 1, true, false)
-    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
-    val bos = new ByteArrayOutputStream(1024)
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    while (i < n) { samples(i) = sampleAt(id, i); i += 1 }
+    // canonical lock-free writer — AudioSystem.write's provider path
+    // serializes executor threads (see [[parseWavPcm16Fast]]); the
+    // bytes are identical for this format
+    writeWavPcm16(samples, WavRate)
   }
 
   /** Add a `payload` column of REAL WAV bytes (RIFF container written
@@ -393,9 +440,22 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         batch.map { row =>
           val bytes = row.get(payloadIdx).asInstanceOf[Array[Byte]]
+          val fast = parseWavPcm16Fast(bytes)
           val stats: Seq[Any] =
             if (bytes == null) Seq(null, null, null)
-            else {
+            else if (fast != null) {
+              // canonical PCM: lock-free path (the at-scale one —
+              // AudioSystem below serializes executor threads)
+              val (samples, rate) = fast
+              if (samples.length == 0) Seq(null, null, null)
+              else {
+                var sum = 0L
+                var i = 0
+                while (i < samples.length) { sum += samples(i); i += 1 }
+                Seq[Any](samples.length.toLong, rate.toDouble,
+                  sum.toDouble / samples.length)
+              }
+            } else {
               try {
                 val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
                 val fmt = ais.getFormat
@@ -448,39 +508,48 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         batch.map { row =>
           val bytes = row.get(payloadIdx).asInstanceOf[Array[Byte]]
+          def hashSamples(sampleAt: Int => Long, n: Long): String = {
+            val sums = new Array[Long](64)
+            val cnts = new Array[Long](64)
+            var total = 0L
+            var i = 0L
+            while (i < n) {
+              val a = math.abs(sampleAt(i.toInt))
+              val w = ((i * 64) / n).toInt
+              sums(w) += a
+              cnts(w) += 1
+              total += a
+              i += 1
+            }
+            var hi = 0L
+            var lo = 0L
+            var j = 0
+            while (j < 64) {
+              if (sums(j) * n > total * cnts(j)) {
+                if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+              }
+              j += 1
+            }
+            f"$hi%08x$lo%08x"
+          }
+          val fast = parseWavPcm16Fast(bytes)
           val code: Any =
             if (bytes == null) null
-            else {
+            else if (fast != null) {
+              // canonical PCM: lock-free path (see [[parseWavPcm16Fast]])
+              val samples = fast._1
+              if (samples.length == 0) null
+              else hashSamples(i => samples(i).toLong, samples.length.toLong)
+            } else {
               try {
                 val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
                 val n = ais.getFrameLength
                 val data = ais.readAllBytes()
                 if (n <= 0L) null
                 else {
-                  val sums = new Array[Long](64)
-                  val cnts = new Array[Long](64)
-                  var total = 0L
-                  var i = 0L
-                  while (i < n && 2 * i + 1 < data.length) {
-                    val s = (((data(2 * i.toInt + 1).toInt << 8) |
-                      (data(2 * i.toInt) & 0xff)).toShort).toLong
-                    val a = math.abs(s)
-                    val w = ((i * 64) / n).toInt
-                    sums(w) += a
-                    cnts(w) += 1
-                    total += a
-                    i += 1
-                  }
-                  var hi = 0L
-                  var lo = 0L
-                  var j = 0
-                  while (j < 64) {
-                    if (sums(j) * n > total * cnts(j)) {
-                      if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
-                    }
-                    j += 1
-                  }
-                  f"$hi%08x$lo%08x"
+                  val m = math.min(n, data.length / 2L)
+                  hashSamples(i => (((data(2 * i + 1).toInt << 8) |
+                    (data(2 * i) & 0xff)).toShort).toLong, m)
                 }
               } catch {
                 case scala.util.control.NonFatal(_) => null
@@ -492,12 +561,103 @@ object Multimodal {
     }
   }
 
+  /** Lock-free parse of a CANONICAL little-endian 16-bit mono PCM
+    * RIFF/WAV — (samples, rate), or null when the payload is not
+    * that shape (callers fall back to the javax.sound general
+    * decoder). WHY THIS EXISTS: `AudioSystem.getAudioInputStream` /
+    * `AudioSystem.write` run per-call provider discovery behind a
+    * shared lock, which SERIALIZES an executor's threads — measured
+    * on this container: 32 threads aggregate 2× SLOWER than one
+    * thread (`graft.tools.AudioProbe`), i.e. the general decoder
+    * cannot scale on a multi-core executor at all. Real corpora are
+    * overwhelmingly canonical PCM, which this path decodes with
+    * plain byte arithmetic — embarrassingly parallel; anything else
+    * (compressed encodings, multi-channel, odd containers) still
+    * routes through javax.sound.
+    */
+  private[graft] def parseWavPcm16Fast(bytes: Array[Byte]): (Array[Int], Float) = {
+    if (bytes == null || bytes.length < 44) return null
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = u16(o).toLong | (u16(o + 2).toLong << 16)
+    if (bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
+        bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E')
+      return null
+    var off = 12
+    var rate = -1f
+    var dataOff = -1
+    var dataLen = -1
+    while (off + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
+      val isFmt = bytes(off) == 'f' && bytes(off + 1) == 'm' &&
+        bytes(off + 2) == 't' && bytes(off + 3) == ' '
+      val isData = bytes(off) == 'd' && bytes(off + 1) == 'a' &&
+        bytes(off + 2) == 't' && bytes(off + 3) == 'a'
+      val sz = u32(off + 4)
+      if (sz < 0 || sz > Int.MaxValue - 8) return null
+      if (isFmt) {
+        if (off + 8 + 16 > bytes.length) return null
+        val audioFormat = u16(off + 8)
+        val channels = u16(off + 10)
+        val bits = u16(off + 22)
+        if (audioFormat != 1 || channels != 1 || bits != 16) return null
+        rate = u32(off + 12).toFloat
+      } else if (isData) {
+        dataOff = off + 8
+        dataLen = sz.toInt
+      }
+      off += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+    }
+    if (rate < 0 || dataOff < 0) return null
+    if (dataOff.toLong + dataLen > bytes.length) return null // truncated body
+    val n = dataLen / 2
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (((bytes(dataOff + 2 * i + 1).toInt << 8) |
+        (bytes(dataOff + 2 * i) & 0xff)).toShort).toInt
+      i += 1
+    }
+    (out, rate)
+  }
+
+  /** Lock-free canonical 44-byte-header PCM WAV writer — the same
+    * bytes `AudioSystem.write` emits for this format, without the
+    * serialized provider path (see [[parseWavPcm16Fast]]).
+    */
+  private[graft] def writeWavPcm16(samples: Array[Int], rate: Float): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def tag(o: Int, s: String): Unit = {
+      var i = 0; while (i < 4) { out(o + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def p16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def p32(o: Int, v: Long): Unit = {
+      p16(o, (v & 0xffff).toInt); p16(o + 2, ((v >> 16) & 0xffff).toInt)
+    }
+    val r = math.round(rate)
+    tag(0, "RIFF"); p32(4, 36L + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); p32(16, 16L); p16(20, 1); p16(22, 1)
+    p32(24, r.toLong); p32(28, r.toLong * 2); p16(32, 2); p16(34, 16)
+    tag(36, "data"); p32(40, dataLen.toLong)
+    var i = 0
+    while (i < samples.length) {
+      out(44 + 2 * i) = (samples(i) & 0xff).toByte
+      out(44 + 2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
   /** Parse a WAV payload to (16-bit signed samples, sample rate);
-    * null for unparsable/empty payloads. The read side of the audio
-    * transform steps ([[resampleWav]] / [[peakNormalizeWav]]) —
-    * little-endian mono 16-bit, the same frame walk as [[decodeWav]].
+    * null for unparsable/empty payloads. Canonical PCM takes the
+    * lock-free [[parseWavPcm16Fast]] path; anything else falls back
+    * to the javax.sound general decoder (same frame walk as
+    * [[decodeWav]]).
     */
   private def readPcm16(bytes: Array[Byte]): (Array[Int], Float) = {
+    val fast = parseWavPcm16Fast(bytes)
+    if (fast != null) return fast
     val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
     val n = ais.getFrameLength
     val data = ais.readAllBytes()
@@ -516,23 +676,10 @@ object Multimodal {
 
   /** Re-encode 16-bit mono samples as a RIFF/WAV payload at `rate` —
     * the write side of the audio transform steps, the exact inverse
-    * of [[readPcm16]] (same container writer as [[wavBytes]]).
+    * of [[readPcm16]] (canonical writer, see [[writeWavPcm16]]).
     */
-  private def writePcm16(samples: Array[Int], rate: Float): Array[Byte] = {
-    val pcm = new Array[Byte](samples.length * 2)
-    var i = 0
-    while (i < samples.length) {
-      pcm(2 * i) = (samples(i) & 0xff).toByte
-      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
-      i += 1
-    }
-    val fmt = new AudioFormat(rate, 16, 1, true, false)
-    val ais = new AudioInputStream(
-      new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
-    val bos = new ByteArrayOutputStream(1024)
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
-  }
+  private def writePcm16(samples: Array[Int], rate: Float): Array[Byte] =
+    writeWavPcm16(samples, rate)
 
   /** Shared shape of the audio transform steps: decode WAV →
     * row-local sample transform → re-encode WAV. Batched
@@ -678,7 +825,7 @@ object Multimodal {
             if (bytes == null) null
             else {
               val img =
-                try ImageIO.read(new ByteArrayInputStream(bytes))
+                try readImageCodec(bytes)
                 catch { case scala.util.control.NonFatal(_) => null }
               if (img == null) null
               else {
@@ -694,9 +841,7 @@ object Multimodal {
                   }
                   y += 1
                 }
-                val bos = new ByteArrayOutputStream(1024)
-                ImageIO.write(dst, "png", bos)
-                bos.toByteArray
+                writePngCodec(dst)
               }
             }
           Row.fromSeq(row.toSeq :+ (out: Any))
