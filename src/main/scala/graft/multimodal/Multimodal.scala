@@ -592,7 +592,10 @@ object Multimodal {
       val isData = bytes(off) == 'd' && bytes(off + 1) == 'a' &&
         bytes(off + 2) == 't' && bytes(off + 3) == 'a'
       val sz = u32(off + 4)
-      if (sz < 0 || sz > Int.MaxValue - 8) return null
+      // a chunk larger than the whole payload is a lie — and the
+      // bound keeps `off` from ever overflowing Int (callers invoke
+      // this OUTSIDE their try blocks; it must be total)
+      if (sz < 0 || sz > bytes.length) return null
       if (isFmt) {
         if (off + 8 + 16 > bytes.length) return null
         val audioFormat = u16(off + 8)

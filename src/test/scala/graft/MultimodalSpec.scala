@@ -296,6 +296,23 @@ class MultimodalSpec extends SparkSpec {
     assert(nulls == Seq(true, true))
   }
 
+  test("WAV fast path is total: lying chunk sizes degrade to null, never throw") {
+    import graft.multimodal.Multimodal
+    // valid RIFF/WAVE magic, then a chunk whose declared size is
+    // ~4 GB — the lock-free parser must reject it (and the javax
+    // fallback's failure must surface as null stats, not a crash)
+    val evil = new Array[Byte](32)
+    "RIFF".getBytes.copyToArray(evil, 0)
+    "WAVE".getBytes.copyToArray(evil, 8)
+    "fmt ".getBytes.copyToArray(evil, 12)
+    evil(16) = 0xf0.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0xff.toByte
+    val df = Seq((1L, evil)).toDF("id", "payload")
+    assert(Multimodal.decodeWav(df, "payload").select($"n_samples").head().isNullAt(0))
+    assert(Multimodal.aHash(df, "payload").select($"ahash").head().isNullAt(0))
+    assert(Multimodal.resampleWav(df, "payload").select($"resampled").head().isNullAt(0))
+  }
+
   test("peakNormalizeWav: loudest sample lands on ±target, floor-div scaling") {
     import graft.multimodal.Multimodal
     val ids = Seq(0L, 1L, 128L, 255L, 256L, 999L)
