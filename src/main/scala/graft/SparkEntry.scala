@@ -1113,6 +1113,16 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5),
         "embedding", "vec_id", "vec_id", k = 10)
     }),
+    "q_ann_filtered" -> ((s, dir) => {
+      // Attribute-FILTERED exact top-k: neighbours restricted to the
+      // query's own `label` (the multi-tenant / category-scoped
+      // search shape). The filter is the join key, so selectivity
+      // prunes the score product BEFORE ranking — post-filtering a
+      // global top-k would silently under-fill selective queries.
+      val e = t(s, dir, "embeddings")
+      Similarity.filteredTopK(e, e.where(col("vec_id") < 5),
+        "embedding", "vec_id", "vec_id", k = 10, matchCols = Seq("label"))
+    }),
     "q_ann_int8" -> ((s, dir) => {
       // int8-quantized exact top-k: 4× less corpus payload per scan;
       // the oracle recomputes the identical integer codes + cosine.
@@ -3003,6 +3013,14 @@ object SparkEntry {
           |  round(${cosSql("a.embedding", "b2.embedding")}, 6) AS cosine
           |  FROM b a JOIN b b2 USING (tbl, bucket) WHERE a.vec_id < b2.vec_id)
           |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.9""".stripMargin),
+    // the same cosine ranking with the label equi-join replayed —
+    // candidates exist only inside the query's own label partition
+    "q_ann_filtered" ->
+      (s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings WHERE vec_id < 5),
+          |c AS (SELECT vec_id AS corpus_id, embedding AS cv, label FROM embeddings),
+          |s AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine FROM c JOIN q USING (label)),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM s)
+          |SELECT query_id, corpus_id, cosine, rank::INT AS rank FROM r WHERE rank <= 10""".stripMargin),
     "q_ann_topk" ->
       (s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
           |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),

@@ -74,6 +74,50 @@ object Similarity {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
+  /** FILTERED exact top-k: each query only ranks corpus rows whose
+    * `matchCols` values equal the query's own — the
+    * attribute-scoped search every multi-tenant / category-scoped
+    * vector store needs ("nearest neighbours WITHIN my tenant /
+    * label / language"). Post-filtering a global top-k instead is
+    * WRONG at any scale (a selective filter can empty the window);
+    * this ranks inside the filter. Plan shape: the filter IS the
+    * join key — corpus scans once and hash-probes the broadcast
+    * query set per row, so selectivity prunes the score product
+    * before any ranking, and the per-query top-k stays a
+    * WindowGroupLimit window. No shuffle of the corpus beyond the
+    * rank exchange.
+    *
+    * @return (query id, corpus id, cosine, rank 1..k, tie-break on
+    *         corpus id) — only same-`matchCols` candidates appear.
+    */
+  def filteredTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      qIdCol: String,
+      k: Int,
+      matchCols: Seq[String]): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(matchCols.nonEmpty, "filteredTopK needs at least one match column")
+    val c = corpus.select(
+      (col(idCol).as("corpus_id") +: col(vecCol).as("__cv") +:
+        matchCols.map(col)): _*)
+    val q = queries.select(
+      (col(qIdCol).as("query_id") +: col(vecCol).as("__qv") +:
+        matchCols.map(col)): _*)
+    val scored = c
+      .join(broadcast(q), matchCols)
+      .withColumn("cosine", round(cosineSimilarityNative(col("__cv"), col("__qv")), 6))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
   /** Exact squared-L2 top-k — the metric-matched baseline for the
     * PQ/ADC ranking ([[graft.operators.Pq.pqTopK]] scores squared
     * L2): recall against the cosine [[bruteForceTopK]] would

@@ -43,6 +43,25 @@ class SimilaritySpec extends SparkSpec {
     assert(byRank(2) == 2L)
   }
 
+  test("filteredTopK: candidates never cross the match column; sparse groups under-fill") {
+    // two tenants: A = {1, 2, 3}, B = {4}; vec 2 is vec 1's near-dup
+    val tagged = corpus.withColumn("tenant",
+      when($"id" <= 3L, "A").when($"id" === 4L, "B").otherwise("C"))
+    val q = tagged.where($"id" === 1L || $"id" === 4L)
+    val out = Similarity
+      .filteredTopK(tagged, q, "vec", "id", "id", k = 3, matchCols = Seq("tenant"))
+      .select($"query_id", $"corpus_id", $"rank")
+      .as[(Long, Long, Int)].collect()
+    val byQuery = out.groupBy(_._1)
+    // query 1 ranks ONLY tenant-A rows: self first, near-dup second
+    assert(byQuery(1L).map(_._2).toSet.subsetOf(Set(1L, 2L, 3L)))
+    assert(byQuery(1L).find(_._3 == 1).get._2 == 1L)
+    assert(byQuery(1L).find(_._3 == 2).get._2 == 2L)
+    // query 4's tenant has one row — the result UNDER-FILLS to 1
+    // (a post-filtered global top-k would have dropped it entirely)
+    assert(byQuery(4L).map(_._2).toSeq == Seq(4L))
+  }
+
   test("lshTopK: self and near-dup land in the query's bucket") {
     val q = corpus.where($"id" === 1L)
     val out = Similarity
