@@ -177,6 +177,32 @@ object HashKernels {
     * doubles and DuckDB's `round(x, 6)::DECIMAL`), summed exactly in
     * long micro-units — order-independent by construction.
     */
+  def charEntropy(s: UTF8String): Double = {
+    val str = s.toString
+    val len = str.length
+    if (len == 0) return 0.0
+    val counts = new java.util.HashMap[Integer, Array[Int]]()
+    var n = 0
+    var i = 0
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      counts.computeIfAbsent(Integer.valueOf(cp), _ => new Array[Int](1))(0) += 1
+      n += 1
+      i += Character.charCount(cp)
+    }
+    val invLn2 = 1.0 / math.log(2.0)
+    var micros = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next()(0).toDouble / n
+      val term = -(p * (math.log(p) * invLn2))
+      micros += java.math.BigDecimal.valueOf(term)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .movePointRight(6).longValueExact()
+    }
+    micros / 1e6
+  }
+
   /** ONE-pass per-script character counts — the native twin of the
     * remove-and-diff regex device in
     * [[TextAnalysis.scriptSignals]], bit-identical by construction:
@@ -209,32 +235,6 @@ object HashKernels {
       i += w
     }
     new GenericArrayData(out.map(Long.box).toArray[Any])
-  }
-
-  def charEntropy(s: UTF8String): Double = {
-    val str = s.toString
-    val len = str.length
-    if (len == 0) return 0.0
-    val counts = new java.util.HashMap[Integer, Array[Int]]()
-    var n = 0
-    var i = 0
-    while (i < len) {
-      val cp = str.codePointAt(i)
-      counts.computeIfAbsent(Integer.valueOf(cp), _ => new Array[Int](1))(0) += 1
-      n += 1
-      i += Character.charCount(cp)
-    }
-    val invLn2 = 1.0 / math.log(2.0)
-    var micros = 0L
-    val it = counts.values().iterator()
-    while (it.hasNext) {
-      val p = it.next()(0).toDouble / n
-      val term = -(p * (math.log(p) * invLn2))
-      micros += java.math.BigDecimal.valueOf(term)
-        .setScale(6, java.math.RoundingMode.HALF_UP)
-        .movePointRight(6).longValueExact()
-    }
-    micros / 1e6
   }
 
   /** See [[DeflateRatio]]. */
@@ -515,6 +515,20 @@ case class TopNgramCharFrac(child: Expression, n: Int) extends UnaryExpression {
   * One pass, one hash map; the declarative formulation needs a
   * per-row explode + two aggregations.
   */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.charEntropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.charEntropy($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
 /** One-pass [latin, cyrillic, arabic, han, hangul, digit, letters]
   * character counts (see [[HashKernels.scriptCounts]]) — feeds
   * [[TextAnalysis.scriptSignals]]; deterministic, so Spark's
@@ -533,20 +547,6 @@ case class ScriptCounts(child: Expression) extends UnaryExpression {
       c => s"(org.apache.spark.sql.catalyst.util.ArrayData) graft.functions.HashKernels.scriptCounts($c)")
 
   override protected def withNewChildInternal(newChild: Expression): ScriptCounts =
-    copy(child = newChild)
-}
-
-case class CharEntropy(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = DoubleType
-  override def prettyName: String = "char_entropy"
-
-  override def nullSafeEval(input: Any): Any =
-    HashKernels.charEntropy(input.asInstanceOf[UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.charEntropy($c)")
-
-  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
     copy(child = newChild)
 }
 

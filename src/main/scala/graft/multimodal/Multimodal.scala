@@ -582,41 +582,46 @@ object Multimodal {
     if (bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
         bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E')
       return null
-    var off = 12
+    // Long offset walk: callers invoke this OUTSIDE their try blocks,
+    // so it must be TOTAL — with Int, a >= 1 GiB payload whose chunk
+    // size approaches the payload length could wrap `off` negative
+    // and index out of bounds
+    var off = 12L
     var rate = -1f
-    var dataOff = -1
+    var dataOff = -1L
     var dataLen = -1
     while (off + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
-      val isFmt = bytes(off) == 'f' && bytes(off + 1) == 'm' &&
-        bytes(off + 2) == 't' && bytes(off + 3) == ' '
-      val isData = bytes(off) == 'd' && bytes(off + 1) == 'a' &&
-        bytes(off + 2) == 't' && bytes(off + 3) == 'a'
-      val sz = u32(off + 4)
-      // a chunk larger than the whole payload is a lie — and the
-      // bound keeps `off` from ever overflowing Int (callers invoke
-      // this OUTSIDE their try blocks; it must be total)
+      val o = off.toInt
+      val isFmt = bytes(o) == 'f' && bytes(o + 1) == 'm' &&
+        bytes(o + 2) == 't' && bytes(o + 3) == ' '
+      val isData = bytes(o) == 'd' && bytes(o + 1) == 'a' &&
+        bytes(o + 2) == 't' && bytes(o + 3) == 'a'
+      val sz = u32(o + 4)
+      // a chunk larger than the whole payload is a lie
       if (sz < 0 || sz > bytes.length) return null
       if (isFmt) {
         if (off + 8 + 16 > bytes.length) return null
-        val audioFormat = u16(off + 8)
-        val channels = u16(off + 10)
-        val bits = u16(off + 22)
+        val audioFormat = u16(o + 8)
+        val channels = u16(o + 10)
+        val bits = u16(o + 22)
         if (audioFormat != 1 || channels != 1 || bits != 16) return null
-        rate = u32(off + 12).toFloat
+        val r = u32(o + 12)
+        if (r <= 0) return null // a zero/absurd rate is not canonical
+        rate = r.toFloat
       } else if (isData) {
         dataOff = off + 8
         dataLen = sz.toInt
       }
-      off += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+      off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
     }
     if (rate < 0 || dataOff < 0) return null
-    if (dataOff.toLong + dataLen > bytes.length) return null // truncated body
+    if (dataOff + dataLen > bytes.length) return null // truncated body
     val n = dataLen / 2
     val out = new Array[Int](n)
     var i = 0
     while (i < n) {
-      out(i) = (((bytes(dataOff + 2 * i + 1).toInt << 8) |
-        (bytes(dataOff + 2 * i) & 0xff)).toShort).toInt
+      val o = dataOff.toInt + 2 * i
+      out(i) = (((bytes(o + 1).toInt << 8) | (bytes(o) & 0xff)).toShort).toInt
       i += 1
     }
     (out, rate)
@@ -662,6 +667,18 @@ object Multimodal {
     val fast = parseWavPcm16Fast(bytes)
     if (fast != null) return fast
     val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    // the byte walk below reinterprets frames as 16-bit LE signed
+    // mono — any other decoded shape (8-bit, stereo, u-law,
+    // big-endian) would be silently transformed as garbage samples;
+    // those payloads degrade to null instead (the transform steps
+    // support the 16-bit mono contract, not arbitrary re-sampling
+    // of multi-channel audio)
+    val canonicalShape =
+      fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian && fmt.getSampleRate > 0
+    if (!canonicalShape) return null
     val n = ais.getFrameLength
     val data = ais.readAllBytes()
     if (n <= 0L) null
@@ -673,7 +690,7 @@ object Multimodal {
         out(i) = (((data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)).toShort).toInt
         i += 1
       }
-      (out, ais.getFormat.getSampleRate)
+      (out, fmt.getSampleRate)
     }
   }
 
@@ -706,14 +723,18 @@ object Multimodal {
           val out: Array[Byte] =
             if (bytes == null) null
             else {
-              val decoded =
-                try readPcm16(bytes)
-                catch { case scala.util.control.NonFatal(_) => null }
-              if (decoded == null) null
-              else {
-                val (samples, rate) = f(decoded._1, decoded._2)
-                writePcm16(samples, rate)
-              }
+              // the transform closure is INSIDE the try: a payload
+              // that decodes but then breaks the transform's
+              // arithmetic must degrade to null like any other
+              // undecodable input, never kill the task
+              try {
+                val decoded = readPcm16(bytes)
+                if (decoded == null) null
+                else {
+                  val (samples, rate) = f(decoded._1, decoded._2)
+                  writePcm16(samples, rate)
+                }
+              } catch { case scala.util.control.NonFatal(_) => null }
             }
           Row.fromSeq(row.toSeq :+ (out: Any))
         }
@@ -747,7 +768,13 @@ object Multimodal {
       val n = s.length
       val sr = math.round(rate).toLong
       val tr = targetRate.toLong
-      val m = ((n.toLong * tr + sr - 1) / sr).toInt
+      require(sr > 0, s"non-positive source rate $sr")
+      val mL = (n.toLong * tr + sr - 1) / sr
+      // a tiny declared rate against a big payload would ask for an
+      // absurd output — degrade (via the transform try) rather than
+      // allocate gigabytes or overflow the Int below
+      require(mL <= Int.MaxValue / 4, s"resample output $mL samples")
+      val m = mL.toInt
       val out = new Array[Int](m)
       var j = 0
       while (j < m) {

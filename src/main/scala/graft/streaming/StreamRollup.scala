@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * Differences from the batch twin, by streaming contract:
   *   - windows come from the native `window()` expression over a
   *     TIMESTAMP column (batch uses integer epoch-ms floor division;
-  *     both floor — `window()` is epoch-anchored), emitted as
-  *     `window_start_ms` for schema parity;
+  *     both floor — `window()` is epoch-anchored), emitted as exact
+  *     `window_start_ms` (`unix_millis`, so sub-second widths label
+  *     correctly) for schema parity;
   *   - `n_users` is `approx_count_distinct` — exact distinct inside
   *     an incremental aggregation would need unbounded per-window
   *     user sets in the state store, exactly what a stream must not
@@ -27,6 +28,30 @@ import org.apache.spark.sql.functions._
   * parquet/metrics sink wants.
   */
 object StreamRollup {
+
+  /** Shared agg/report body — tumbling is exactly hopping with
+    * slide == width, so both surfaces delegate here and a future
+    * change has ONE site.
+    */
+  private def rollup(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      userCol: String,
+      win: Column,
+      delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(win.as("__w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(userCol).as("n_users_approx"),
+        sum(col(valueCol).cast("decimal(18,6)")).as("__sv"),
+        count(col(valueCol)).as("__nv"))
+      .select(
+        unix_millis(col("__w.start")).as("window_start_ms"),
+        col("n_events"), col("n_users_approx"),
+        round(col("__sv").cast("double"), 4).as("sum_value"),
+        round(col("__sv").cast("double") / col("__nv"), 4).as("avg_value"))
 
   /** Tumbling-window rollup over a streaming (or batch) frame.
     *
@@ -43,18 +68,7 @@ object StreamRollup {
       userCol: String,
       width: String,
       delay: String): DataFrame =
-    df.withWatermark(tsCol, delay)
-      .groupBy(window(col(tsCol), width).as("__w"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        approx_count_distinct(userCol).as("n_users_approx"),
-        sum(col(valueCol).cast("decimal(18,6)")).as("__sv"),
-        count(col(valueCol)).as("__nv"))
-      .select(
-        (unix_timestamp(col("__w.start")) * 1000L).as("window_start_ms"),
-        col("n_events"), col("n_users_approx"),
-        round(col("__sv").cast("double"), 4).as("sum_value"),
-        round(col("__sv").cast("double") / col("__nv"), 4).as("avg_value"))
+    rollup(df, tsCol, valueCol, userCol, window(col(tsCol), width), delay)
 
   /** Hopping (sliding) twin — same contract with `slide` < `width`
     * via the native `window(ts, width, slide)` covering windows
@@ -68,16 +82,5 @@ object StreamRollup {
       width: String,
       slide: String,
       delay: String): DataFrame =
-    df.withWatermark(tsCol, delay)
-      .groupBy(window(col(tsCol), width, slide).as("__w"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        approx_count_distinct(userCol).as("n_users_approx"),
-        sum(col(valueCol).cast("decimal(18,6)")).as("__sv"),
-        count(col(valueCol)).as("__nv"))
-      .select(
-        (unix_timestamp(col("__w.start")) * 1000L).as("window_start_ms"),
-        col("n_events"), col("n_users_approx"),
-        round(col("__sv").cast("double"), 4).as("sum_value"),
-        round(col("__sv").cast("double") / col("__nv"), 4).as("avg_value"))
+    rollup(df, tsCol, valueCol, userCol, window(col(tsCol), width, slide), delay)
 }

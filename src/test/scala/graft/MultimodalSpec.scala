@@ -311,6 +311,14 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWav(df, "payload").select($"n_samples").head().isNullAt(0))
     assert(Multimodal.aHash(df, "payload").select($"ahash").head().isNullAt(0))
     assert(Multimodal.resampleWav(df, "payload").select($"resampled").head().isNullAt(0))
+
+    // an otherwise-canonical container claiming SAMPLE RATE 0 must
+    // degrade to null too, not divide the resampler by zero
+    val rate0 = Multimodal.wavBytes(7L).clone()
+    rate0(24) = 0; rate0(25) = 0; rate0(26) = 0; rate0(27) = 0
+    val df0 = Seq((1L, rate0)).toDF("id", "payload")
+    assert(Multimodal.resampleWav(df0, "payload").select($"resampled").head().isNullAt(0))
+    assert(Multimodal.peakNormalizeWav(df0, "payload").select($"normalized").head().isNullAt(0))
   }
 
   test("peakNormalizeWav: loudest sample lands on ±target, floor-div scaling") {

@@ -114,7 +114,11 @@ def main(sf_dir, out_dir):
             try:
                 df.sort_values(by=list(df.columns), inplace=False)
                 print(f"INFO {qdir.name}: no oracle, {len(df)} rows")
-            except TypeError as e:
+            # multi-column frames with array cells raise TypeError,
+            # SINGLE-column ones raise ValueError ("truth value of an
+            # array is ambiguous") — catch both so one bad query can
+            # never abort the whole checker
+            except (TypeError, ValueError) as e:
                 print(f"FAIL {qdir.name}: rows-only pandas sort crashed: {e}")
                 n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail" + (f", {n_skip} SKIPPED" if n_skip else ""))
