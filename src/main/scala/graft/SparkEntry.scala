@@ -1499,6 +1499,23 @@ object SparkEntry {
           size(col("urls")).cast("long").as("n_urls"),
           array_join(col("urls"), "|").as("urls_joined"))
     }),
+    "q_pagerank" -> ((s, dir) => {
+      // Domain-authority PageRank: doc i contributes the link
+      // d{i%50}.ex.org → d{(7i+13)%50}.ex.org (%5==4 docs link
+      // nothing), a 50-node multigraph with skewed in-degrees. The
+      // corpus-sized edge list aggregates once; 5 fixed iterations
+      // run on the bounded weighted graph, every update rounded 6 dp
+      // with DECIMAL-exact contribution sums — the oracle unrolls
+      // the identical 5 iterations.
+      val d = Parallelism.spread(t(s, dir, "documents"))
+        .where(col("doc_id") % 5 =!= 4)
+      val edges = d.select(
+        concat(lit("d"), (col("doc_id") % 50).cast("string"),
+          lit(".ex.org")).as("src_host"),
+        concat(lit("d"), ((col("doc_id") * 7 + 13) % 50).cast("string"),
+          lit(".ex.org")).as("dst_host"))
+      graft.operators.Graph.pageRank(edges, "src_host", "dst_host", iters = 5)
+    }),
     "q_domain_stats" -> ((s, dir) => {
       // Inject a 50-host outlink population (d<k>.ex.org) so the
       // extract→host→aggregate chain sees real cardinality; %5==4
@@ -2191,6 +2208,38 @@ object SparkEntry {
        |t0 AS (SELECT unit, c, list_transform(range(1, length(unit) + 1), i -> unit[i]) AS l FROM uc),
        |$steps
        |$winners""".stripMargin
+  }
+
+  /** ALGORITHMIC replay of [[graft.operators.Graph.pageRank]] over
+    * the q_pagerank injected host graph: `iters` unrolled
+    * iterations, each computing 6 dp-rounded per-edge contributions
+    * summed in exact DECIMAL(18,6), the DECIMAL-exact dangling mass,
+    * and the damped update with (1.0 − 0.85) spelled as the same
+    * double subtraction the Scala side performs.
+    */
+  private def pageRankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS (SELECT ew.dst AS node,
+         |    sum(round(r.rank * ew.w / ow.ow, 6)::DECIMAL(18,6)) AS cs
+         |  FROM ew JOIN r${k - 1} r ON r.node = ew.src
+         |  JOIN ow ON ow.src = ew.src GROUP BY 1),
+         |d$k AS (SELECT coalesce(sum(r.rank::DECIMAL(18,6)), 0::DECIMAL(18,6)) AS dang
+         |  FROM r${k - 1} r WHERE r.node NOT IN (SELECT src FROM ow)),
+         |r$k AS MATERIALIZED (SELECT nodes.node,
+         |    round((1.0 - 0.85) / n + 0.85 * (coalesce(cs::DOUBLE, 0) + dang::DOUBLE / n), 6) AS rank
+         |  FROM nodes LEFT JOIN c$k ON nodes.node = c$k.node, d$k, nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT 'd' || (doc_id % 50)::VARCHAR || '.ex.org' AS src,
+       |    'd' || ((doc_id * 7 + 13) % 50)::VARCHAR || '.ex.org' AS dst
+       |  FROM documents WHERE doc_id % 5 <> 4),
+       |ew AS (SELECT src, dst, count(*)::DOUBLE AS w FROM e GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM ew UNION ALL SELECT dst FROM ew)),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+       |ow AS (SELECT src, sum(w) AS ow FROM ew GROUP BY 1),
+       |r0 AS (SELECT node, round(1.0 / n, 6) AS rank FROM nodes, nn),
+       |$steps
+       |SELECT node, rank FROM r$iters""".stripMargin
   }
 
   /** Incremental (new-batch-vs-history) minhash pairs, GENERATED
@@ -3574,6 +3623,12 @@ object SparkEntry {
         |u AS (SELECT doc_id, regexp_extract_all(t2, 'https?://[^\s]+') AS urls FROM t)
         |SELECT doc_id, len(urls)::BIGINT AS n_urls,
         |  coalesce(array_to_string(urls, '|'), '') AS urls_joined FROM u""".stripMargin,
+    // the identical 5 unrolled PageRank iterations: 6 dp-rounded
+    // per-edge contributions summed in DECIMAL(18,6), uniform
+    // dangling redistribution, (1.0 − 0.85) spelled as the SAME
+    // double subtraction Scala computes (a 0.15 literal parses to a
+    // different ulp)
+    "q_pagerank" -> pageRankOracle(iters = 5),
     "q_domain_stats" ->
       """WITH t AS (SELECT doc_id, CASE WHEN doc_id % 5 = 4 THEN text
         |  ELSE text || ' via https://d' || (doc_id % 50)::VARCHAR ||

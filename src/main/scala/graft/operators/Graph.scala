@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded-node graph analytics over corpus-derived link edges — the
+  * domain-authority view a crawl-curation pipeline ranks sources by
+  * (PageRank over the host/domain link graph is the classic crawl
+  * prioritization and source-quality signal; see Page et al., "The
+  * PageRank citation ranking", 1999).
+  *
+  * Scale contract: the EDGE input is corpus-sized (one row per
+  * observed link) and is aggregated ONCE to weighted (src, dst)
+  * pairs; everything after — the iterations — runs on that
+  * aggregated frame, bounded by |nodes|·avg-degree (domains, not
+  * documents: ≤ millions at 100 TB, not billions). No collect: the
+  * dangling-mass scalar rides a broadcast 1-row frame each
+  * iteration.
+  *
+  * Determinism (the oracle replays every iteration): ranks round to
+  * 6 dp after every update; per-edge contributions round to 6 dp and
+  * accumulate in exact DECIMAL(18,6) (a raw double sum would depend
+  * on partitioning); fixed iteration count, no convergence test.
+  */
+object Graph {
+
+  /** PageRank with uniform dangling-mass redistribution.
+    *
+    * r₀ = round(1/N, 6); each iteration
+    * r'(v) = round((1−d)/N + d·(Σ_{u→v} round(r(u)·w(u,v)/out(u), 6)
+    *         + dang/N), 6)
+    * where w is the aggregated edge weight (link count), out(u) the
+    * sum of u's outgoing weights, and dang the DECIMAL-exact rank
+    * mass of nodes with no outgoing edges.
+    *
+    * @param edges one row per observed link (self-loops allowed;
+    *              parallel links aggregate into the weight).
+    * @return (node, rank 6 dp) for every node appearing as src or dst.
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    val e = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+      .localCheckpoint() // the corpus-sized aggregation runs ONCE
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count() // bounded by the domain-node contract
+    require(n > 0, "pageRank over an empty edge set")
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      .localCheckpoint()
+    var rank = nodes.withColumn("rank",
+      round(lit(1.0) / n, 6))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .join(outw, "src")
+        .select(col("dst").as("node"),
+          round(col("rank") * col("w") / col("ow"), 6)
+            .cast("decimal(18,6)").as("__c"))
+        .groupBy(col("node"))
+        .agg(sum(col("__c")).as("__cs"))
+      val dangling = rank
+        .join(outw.select(col("src").as("node")), Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank").cast("decimal(18,6)")),
+          lit(0).cast("decimal(18,6)")).as("__dang"))
+      rank = nodes
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          round(lit(1.0 - damping) / n + lit(damping) *
+            (coalesce(col("__cs").cast("double"), lit(0.0)) +
+              col("__dang").cast("double") / n), 6).as("rank"))
+      // each iteration's frame is bounded by |nodes|; checkpoint so
+      // the lineage (and replanning) does not grow with iters
+      rank = rank.localCheckpoint()
+    }
+    rank
+  }
+}
