@@ -448,6 +448,28 @@ object SparkEntry {
     table
   }
 
+  /** Session-cached persisted PQ index over the dir's embeddings —
+    * the [[ensureSigTable]] discipline: rebuilt only when the table
+    * is absent or was built from a different sf dir.
+    */
+  private def ensurePqIndex(
+      s: SparkSession,
+      dir: String,
+      prefix: String,
+      corpus: => DataFrame): String = {
+    val table = prefix + java.lang.Integer.toHexString(dir.hashCode)
+    val srcKey = "graft.verify.srcDir"
+    val current = s.catalog.tableExists(table) &&
+      s.sql(s"SHOW TBLPROPERTIES `$table`").collect()
+        .exists(r => r.getString(0) == srcKey && r.getString(1) == dir)
+    if (!current) {
+      graft.operators.Pq.writePqIndex(corpus, "embedding", "vec_id", table,
+        dim = 64, m = 8, numCentroids = 64)
+      s.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES ('$srcKey' = '$dir')")
+    }
+    table
+  }
+
   private val docsWithDupsSql =
     """docs AS (SELECT doc_id, text, lang, source, n_chars FROM documents
       |  UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars
@@ -1031,6 +1053,17 @@ object SparkEntry {
       graft.operators.Pq.pqTopK(e, e.where(col("vec_id") < 5),
         "embedding", "vec_id", "vec_id", k = 10, dim = 64, m = 8,
         numCentroids = 64)
+    }),
+    "q_ann_pq_index" -> ((s, dir) => {
+      // Identical contract to q_ann_pq: the PERSISTED-index path
+      // (code rows + codebooks built once into catalog tables,
+      // geometry in table properties) must reproduce pqTopK exactly —
+      // the same fail-fast parity the IVF and signature tables keep.
+      // A query batch here never touches the corpus floats.
+      val e = t(s, dir, "embeddings")
+      val table = ensurePqIndex(s, dir, "graft_pq_idx_", e)
+      graft.operators.Pq.pqTopKFromIndex(s, table,
+        e.where(col("vec_id") < 5), "embedding", "vec_id", k = 10)
     }),
     "q_pq_recall" -> ((s, dir) => {
       // The PQ-quality eval: recall@10 of the ADC ranking vs the
@@ -2893,6 +2926,11 @@ object SparkEntry {
         |SELECT p.i, p.j, round((pp - s1.s * s2.s / n) / (n - 1), 6) + 0 AS cov
         |FROM p JOIN s s1 ON p.i = s1.i JOIN s s2 ON p.j = s2.i, nn""".stripMargin,
     "q_ann_pq" ->
+      (s"""WITH ${pqCtes(m = 8, subDim = 8, numCentroids = 64)}
+          |SELECT query_id, corpus_id, adist, rank::INT AS rank FROM pqr WHERE rank <= 10""".stripMargin),
+    // identical contract: the persisted-index path must reproduce
+    // pqTopK exactly (same replay)
+    "q_ann_pq_index" ->
       (s"""WITH ${pqCtes(m = 8, subDim = 8, numCentroids = 64)}
           |SELECT query_id, corpus_id, adist, rank::INT AS rank FROM pqr WHERE rank <= 10""".stripMargin),
     // the ADC ranking CTEs + the metric-matched exact-L2 CTEs + the

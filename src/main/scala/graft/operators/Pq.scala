@@ -153,10 +153,41 @@ object Pq {
       .select(col("__id").as("id"), col("code"))
   }
 
+  /** The ADC search half: per-query LUT over the broadcast
+    * codebooks, LUT-sum over EXPLODED code rows (corpus_id, s, cid),
+    * WindowGroupLimit top-k. Shared by [[pqTopK]] (in-flight codes)
+    * and [[pqTopKFromIndex]] (persisted codes).
+    */
+  private def adcSearch(
+      codeRows: DataFrame,
+      books: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      qIdCol: String,
+      k: Int,
+      dim: Int,
+      m: Int): DataFrame = {
+    val lut = subFrame(queries, vecCol, qIdCol, dim, m)
+      .join(broadcast(books.select(col("s").as("__s"), col("cid").as("__cid"),
+        col("centroid").as("__cvec"))), Seq("__s"))
+      .select(col("__id").as("query_id"), col("__s"), col("__cid"),
+        round(squaredL2Distance(col("__sub"), col("__cvec")), 6)
+          .cast("decimal(18,6)").as("__d"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("corpus_id").asc)
+    codeRows
+      .join(broadcast(lut), Seq("__s", "__cid"))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(sum(col("__d")).cast("double").as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "adist", "rank")
+  }
+
   /** ADC top-k: fit + encode + the LUT-sum search in one call.
     * Approximate by construction — ranks follow the quantized
     * distances; measure with [[Similarity.annRecall]] against
-    * [[Similarity.bruteForceTopK]].
+    * [[Similarity.bruteForceTopKL2]].
     *
     * @return (query_id, corpus_id, adist — approximate squared L2,
     *         6 dp, rank 1..k ascending distance).
@@ -179,22 +210,88 @@ object Pq {
       numCentroids, expectedRows)
       .localCheckpoint()
     val codes = encode(corpus, vecCol, idCol, dim, m, books)
-    val lut = subFrame(queries, vecCol, qIdCol, dim, m)
-      .join(broadcast(books.select(col("s").as("__s"), col("cid").as("__cid"),
-        col("centroid").as("__cvec"))), Seq("__s"))
-      .select(col("__id").as("query_id"), col("__s"), col("__cid"),
-        round(squaredL2Distance(col("__sub"), col("__cvec")), 6)
-          .cast("decimal(18,6)").as("__d"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("corpus_id").asc)
-    codes
+    adcSearch(
+      codes.select(col("id").as("corpus_id"),
+        posexplode(col("code")).as(Seq("__s", "__cid"))),
+      books, queries, vecCol, qIdCol, k, dim, m)
+  }
+
+  /** Persist a PQ index: fit + encode ONCE, store the exploded code
+    * rows (corpus_id, s, cid — the only corpus-sized state; 2 ints +
+    * an id per subspace, ~64× smaller than the float vectors) as
+    * `table` and the bounded codebooks as `table__codebooks`. Build
+    * parameters ride the table properties so the read path cannot
+    * silently search with a mismatched geometry — the same
+    * self-describing discipline as [[Similarity.writeIvfIndex]] and
+    * the minhash signature tables. This is the index lifecycle the
+    * ADC design exists for: the corpus floats are read once at build
+    * time, then EVERY query batch pays only LUT-build + code-join.
+    */
+  def writePqIndex(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      table: String,
+      dim: Int,
+      m: Int,
+      numCentroids: Int = 64,
+      iters: Int = 2,
+      expectedRows: Long = 0L): Unit = {
+    val spark = corpus.sparkSession
+    val books = fitCodebooks(corpus, vecCol, idCol, dim, m, stride = 0,
+      iters, numCentroids, expectedRows).localCheckpoint()
+    graft.operators.ManagedTables.dropAndClearOrphan(spark, table)
+    graft.operators.ManagedTables.dropAndClearOrphan(spark, s"${table}__codebooks")
+    books.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}__codebooks")
+    encode(corpus, vecCol, idCol, dim, m, books)
       .select(col("id").as("corpus_id"),
         posexplode(col("code")).as(Seq("__s", "__cid")))
-      .join(broadcast(lut), Seq("__s", "__cid"))
-      .groupBy(col("query_id"), col("corpus_id"))
-      .agg(sum(col("__d")).cast("double").as("adist"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "corpus_id", "adist", "rank")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(table)
+    spark.sql(
+      s"ALTER TABLE `$table` SET TBLPROPERTIES (" +
+        s"'graft.pq.dim' = '$dim', 'graft.pq.m' = '$m', " +
+        s"'graft.pq.numCentroids' = '$numCentroids', " +
+        s"'graft.pq.iters' = '$iters')")
+  }
+
+  /** Build parameters recorded by [[writePqIndex]], or None for a
+    * table without them.
+    */
+  def readPqIndexMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String): Option[(Int, Int, Int, Int)] = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES `$table`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for {
+      d <- props.get("graft.pq.dim")
+      mm <- props.get("graft.pq.m")
+      c <- props.get("graft.pq.numCentroids")
+      i <- props.get("graft.pq.iters")
+    } yield (d.toInt, mm.toInt, c.toInt, i.toInt)
+  }
+
+  /** [[pqTopK]] over a persisted index (see [[writePqIndex]]): reads
+    * the stored code rows and codebooks, so a query batch never
+    * touches the corpus floats and never re-pays the fit. Geometry
+    * (dim, m) comes from the index's own table properties — a
+    * mismatched caller assumption fails fast instead of producing a
+    * plausible-looking wrong ranking.
+    */
+  def pqTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      queries: DataFrame,
+      vecCol: String,
+      qIdCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val (dim, m, _, _) = readPqIndexMeta(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"pqTopKFromIndex: `$table` records no graft.pq.* table " +
+          "properties — rebuild it with writePqIndex"))
+    adcSearch(spark.table(table), spark.table(s"${table}__codebooks"),
+      queries, vecCol, qIdCol, k, dim, m)
   }
 }

@@ -99,4 +99,35 @@ class PqSpec extends SparkSpec {
       .select($"recall").as[Double].head()
     assert(recall >= 0.5, s"recall $recall")
   }
+
+  test("persisted index: pqTopKFromIndex reproduces pqTopK exactly; fail-fast meta") {
+    val rows = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(16)(j => ((i * 13 + j * 7) % 29 / 29.0f)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" < 3)
+    try {
+      Pq.writePqIndex(df, "embedding", "vec_id", "graft_pq_t",
+        dim = 16, m = 4, numCentroids = 8)
+      // geometry round-trips through the table properties
+      assert(Pq.readPqIndexMeta(spark, "graft_pq_t").contains((16, 4, 8, 2)))
+      val fromIdx = Pq.pqTopKFromIndex(spark, "graft_pq_t", q,
+        "embedding", "vec_id", k = 5)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val direct = Pq.pqTopK(df, q, "embedding", "vec_id", "vec_id", k = 5,
+        dim = 16, m = 4, numCentroids = 8, expectedRows = 40)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(fromIdx == direct)
+      // a table without graft.pq.* properties fails fast — searching
+      // with guessed geometry would return a plausible wrong ranking
+      df.write.mode("overwrite").saveAsTable("graft_pq_plain")
+      intercept[IllegalArgumentException] {
+        Pq.pqTopKFromIndex(spark, "graft_pq_plain", q, "embedding", "vec_id", 5)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_pq_t")
+      spark.sql("DROP TABLE IF EXISTS graft_pq_t__codebooks")
+      spark.sql("DROP TABLE IF EXISTS graft_pq_plain")
+    }
+  }
 }
