@@ -1130,10 +1130,20 @@ object SparkEntry {
       Dedup.duplicateClustersStar(pairs)
     }),
     "q_ngram_jaccard" -> ((s, dir) => {
+      // maxBlock = 500 bounds the coarse (lang, len_bin) blocks:
+      // each surviving block emits ≤ 500² carried-set pairs, so the
+      // row stays scale-linear (blocks that outgrow the cap are
+      // dropped whole — the oracle mirrors the cap via a block-count
+      // CTE). Uncapped, block sizes grow with the corpus and the K²
+      // pair volume measured 30.7× wall for 10× data at sf1; this is
+      // a calibration baseline for q_dedup_minhash, not a row that
+      // may go quadratic. The cap never binds below sf1 (max block
+      // 458 at sf0.1), so small-SF output is unchanged.
       Dedup.ngramJaccardPairs(
         docsWithDups(s, dir)
           .withColumn("len_bin", floor(length(col("text")) / 100)),
-        "text", "doc_id", n = 3, threshold = 0.5, blockBy = Seq("lang", "len_bin"))
+        "text", "doc_id", n = 3, threshold = 0.5,
+        blockBy = Seq("lang", "len_bin"), maxBlock = 500)
     }),
     "q_embedding_neardup" -> ((s, dir) => {
       // Exercises the banded multi-table path (2 tables × 8 planes) —
@@ -2247,8 +2257,11 @@ object SparkEntry {
     * the q_pagerank injected host graph: `iters` unrolled
     * iterations, each computing 6 dp-rounded per-edge contributions
     * summed in exact DECIMAL(18,6), the DECIMAL-exact dangling mass,
-    * and the damped update with (1.0 − 0.85) spelled as the same
-    * double subtraction the Scala side performs.
+    * and the damped update with the teleport term spelled as a
+    * DOUBLE subtraction (`1.0::DOUBLE - 0.85::DOUBLE`) so DuckDB
+    * reproduces the JVM's 0.0030000000000000005 bit pattern —
+    * DECIMAL literals would subtract exactly and could flip a rank
+    * sitting on a 6 dp rounding boundary.
     */
   private def pageRankOracle(iters: Int): String = {
     val steps = (1 to iters).map { k =>
@@ -2259,7 +2272,7 @@ object SparkEntry {
          |d$k AS (SELECT coalesce(sum(r.rank::DECIMAL(18,6)), 0::DECIMAL(18,6)) AS dang
          |  FROM r${k - 1} r WHERE r.node NOT IN (SELECT src FROM ow)),
          |r$k AS MATERIALIZED (SELECT nodes.node,
-         |    round((1.0 - 0.85) / n + 0.85 * (coalesce(cs::DOUBLE, 0) + dang::DOUBLE / n), 6) AS rank
+         |    round((1.0::DOUBLE - 0.85::DOUBLE) / n + 0.85 * (coalesce(cs::DOUBLE, 0) + dang::DOUBLE / n), 6) AS rank
          |  FROM nodes LEFT JOIN c$k ON nodes.node = c$k.node, d$k, nn)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (SELECT 'd' || (doc_id % 50)::VARCHAR || '.ex.org' AS src,
@@ -3086,9 +3099,12 @@ object SparkEntry {
           |  THEN list_distinct(list_transform(range(0, len(tks) - 2),
           |    i -> tks[i + 1] || ' ' || tks[i + 2] || ' ' || tks[i + 3]))
           |  ELSE [array_to_string(tks, ' ')] END AS s FROM tk),
+          |bc AS (SELECT lang, len_bin FROM sh GROUP BY 1, 2
+          |  HAVING count(*) BETWEEN 2 AND 500),
+          |shc AS (SELECT sh.* FROM sh JOIN bc USING (lang, len_bin)),
           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           |  len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE AS jac
-          |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.len_bin = b.len_bin
+          |  FROM shc a JOIN shc b ON a.lang = b.lang AND a.len_bin = b.len_bin
           |  WHERE a.doc_id < b.doc_id)
           |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM p WHERE jac >= 0.5""".stripMargin),
     "q_embedding_neardup" ->

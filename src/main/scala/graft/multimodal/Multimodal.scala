@@ -76,34 +76,58 @@ object Multimodal {
     Math.floorMod(3 * id, 100L).toInt + 2 * x + 4 * y,
     Math.floorMod(5 * id, 150L).toInt + x + y)
 
-  // Per-thread PNG codec instances: ImageIO.read/write run a
+  // Per-thread codec instances: ImageIO.read/write run a
   // reader/writer REGISTRY scan per call, measured 3.6× contention
   // overhead across 32 executor threads (graft.tools.ImageProbe:
   // 8.12 µs/row aggregate vs the 2.25 ideal); the codec objects
-  // themselves (same JDK PNGImageReader/Writer classes) are reusable
-  // via setInput/setOutput. Non-PNG payloads still route through
-  // ImageIO.read — the general decoder stays the real JDK registry.
-  private val localPngReader = new ThreadLocal[javax.imageio.ImageReader] {
-    override def initialValue(): javax.imageio.ImageReader =
-      ImageIO.getImageReadersByFormatName("png").next()
+  // themselves (same JDK reader/writer classes) are reusable via
+  // setInput/setOutput. The cache covers every magic-sniffable JDK
+  // format (PNG/JPEG/GIF/BMP/TIFF — a JPEG-heavy corpus must not pay
+  // the registry contention PNG was measured to pay); payloads whose
+  // magic we don't recognize still route through ImageIO.read's full
+  // registry.
+  private val localReaders =
+    new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] {
+      override def initialValue() = new java.util.HashMap[String, javax.imageio.ImageReader]
+    }
+  private def cachedReader(fmt: String): javax.imageio.ImageReader = {
+    val m = localReaders.get()
+    var r = m.get(fmt)
+    if (r == null) {
+      r = ImageIO.getImageReadersByFormatName(fmt).next()
+      m.put(fmt, r)
+    }
+    r
   }
   private val localPngWriter = new ThreadLocal[javax.imageio.ImageWriter] {
     override def initialValue(): javax.imageio.ImageWriter =
       ImageIO.getImageWritersByFormatName("png").next()
   }
 
-  private def isPng(b: Array[Byte]): Boolean =
-    b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
-
-  /** Decode an image payload: PNG via the per-thread cached reader
-    * (lock-free hot path), anything else via `ImageIO.read`'s full
-    * registry. Same exception contract as `ImageIO.read` — corrupt
-    * bodies throw, unclaimed formats return null.
+  /** ImageIO format name from the payload's magic bytes, or null when
+    * unrecognized (caller falls back to the full registry).
     */
-  private def readImageCodec(bytes: Array[Byte]): BufferedImage =
-    if (!isPng(bytes)) ImageIO.read(new ByteArrayInputStream(bytes))
+  private def sniffFormat(b: Array[Byte]): String =
+    if (b.length < 8) null
+    else if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) "jpeg"
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "gif"
+    else if (b(0) == 'B' && b(1) == 'M') "bmp"
+    else if ((b(0) == 'I' && b(1) == 'I' && (b(2) & 0xff) == 42 && b(3) == 0) ||
+      (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && (b(3) & 0xff) == 42)) "tiff"
+    else null
+
+  /** Decode an image payload: magic-recognized formats via the
+    * per-thread cached reader (lock-free hot path), anything else via
+    * `ImageIO.read`'s full registry. Same exception contract as
+    * `ImageIO.read` — corrupt bodies throw, unclaimed formats return
+    * null.
+    */
+  private[graft] def readImageCodec(bytes: Array[Byte]): BufferedImage = {
+    val fmt = sniffFormat(bytes)
+    if (fmt == null) ImageIO.read(new ByteArrayInputStream(bytes))
     else {
-      val r = localPngReader.get()
+      val r = cachedReader(fmt)
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new ByteArrayInputStream(bytes))
       try {
@@ -112,9 +136,10 @@ object Multimodal {
       } catch {
         case e: Throwable =>
           // a failed read can leave reader state dirty — rebuild lazily
-          r.dispose(); localPngReader.remove(); throw e
+          r.dispose(); localReaders.get().remove(fmt); throw e
       } finally iis.close()
     }
+  }
 
   /** Encode a BufferedImage as PNG via the per-thread cached writer
     * (the bytes are the same JDK PNG encoder's output).
@@ -493,8 +518,10 @@ object Multimodal {
     * every bit. Output is the same `%08x%08x` 64-bit hex format as
     * [[dHash]], so [[graft.operators.Dedup.hammingPairs64]] pairs
     * audio near-dups completely unchanged. Null/unparsable/empty
-    * payloads yield null. Products stay inside Long up to n ≈ 1.3e8
-    * frames (4.5 h at 8 kHz) — beyond that, chunk the stream first.
+    * payloads yield null. The window-energy bit rule compares the
+    * two 128-bit products exactly (multiplyHigh + unsigned low
+    * word), so arbitrarily long streams hash correctly — no Long
+    * overflow ceiling.
     */
   def aHash(
       df: DataFrame,
@@ -525,7 +552,21 @@ object Multimodal {
             var lo = 0L
             var j = 0
             while (j < 64) {
-              if (sums(j) * n > total * cnts(j)) {
+              // Exact 128-bit compare of sums(j)*n vs total*cnts(j):
+              // with |sample| ≤ 32767 the 64-bit products overflow
+              // once n exceeds ~1.3e8 samples (~50 min at 44.1 kHz),
+              // silently flipping bits. All operands are
+              // non-negative, so the signed multiplyHigh IS the
+              // unsigned high word, and the low words compare
+              // unsigned. Bit-identical to the old Long compare
+              // whenever both products fit in 63 bits — the oracle
+              // contract is unchanged.
+              val h1 = Math.multiplyHigh(sums(j), n)
+              val h2 = Math.multiplyHigh(total, cnts(j))
+              val gt =
+                if (h1 != h2) h1 > h2
+                else java.lang.Long.compareUnsigned(sums(j) * n, total * cnts(j)) > 0
+              if (gt) {
                 if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
               }
               j += 1
@@ -600,6 +641,11 @@ object Multimodal {
       // a chunk larger than the whole payload is a lie
       if (sz < 0 || sz > bytes.length) return null
       if (isFmt) {
+        // a canonical PCM fmt chunk declares ≥ 16 bytes; a smaller
+        // declared size would have us read rate/bits from the NEXT
+        // chunk's bytes — bounds-safe but wrong, so route such
+        // containers to the javax.sound fallback instead
+        if (sz < 16) return null
         if (off + 8 + 16 > bytes.length) return null
         val audioFormat = u16(o + 8)
         val channels = u16(o + 10)

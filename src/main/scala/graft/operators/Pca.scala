@@ -9,15 +9,17 @@ import org.apache.spark.sql.functions._
   * MRL-trained).
   *
   * Scale design: the ONLY corpus pass computes the exact second
-  * moments (n, Σx, upper-triangle Σxxᵀ) in one explode-aggregate —
-  * elements are cast ONCE to a compact decimal, so every
-  * accumulator is an EXACT decimal sum: order-independent,
-  * partition-deterministic, and replayable in another engine (the
-  * same device as the entropy/NB-score sums). The generated
-  * (d(d+1)/2+d+1)-element rows are pipelined into a partial hash
-  * aggregate, so the shuffle carries ≤ partitions·that regardless
-  * of corpus size, and only
-  * that bounded moment set reaches the driver. The d×d
+  * moments (n, Σx, upper-triangle Σxxᵀ) — elements are cast ONCE to
+  * a compact decimal, so every accumulator is an EXACT decimal sum:
+  * order-independent, partition-deterministic, and replayable in
+  * another engine (the same device as the entropy/NB-score sums).
+  * The default path is [[graft.functions.DecimalMomentAggregate]]:
+  * one flat 128-bit buffer per partition doing the multiplies as
+  * exact unscaled-long arithmetic, so the shuffle carries ≤
+  * partitions · one buffer regardless of corpus size and only the
+  * bounded moment set reaches the driver (the
+  * (d(d+1)/2+d+1)-row explode-aggregate survives as the wide-element
+  * fallback, value-identical by randomized test). The d×d
   * eigendecomposition (cyclic Jacobi) is driver-side — d is a model
   * dimension (64–4096), never data-sized. Projection is a row-local
   * codegen'd dot per component.
@@ -58,17 +60,37 @@ object Pca {
       intDigits: Int = 2): DataFrame = {
     require(scale >= 1 && intDigits >= 1, "scale/intDigits must be positive")
     val elemP = intDigits + scale
-    val prodType = s"decimal(${2 * elemP + 1},${2 * scale})"
     val dec = transform(col(vecCol), x => x.cast(s"decimal($elemP,$scale)"))
-    val withOne = concat(
-      array(lit(1).cast(prodType)),
-      transform(dec, x => x.cast(prodType)),
-      flatten(transform(dec, (x, i) =>
-        transform(slice(dec, i + 1, lit(dim) - i), y => x * y))))
-    df.where(col(vecCol).isNotNull)
-      .select(posexplode(withOne).as(Seq("__pos", "__v")))
-      .groupBy(col("__pos"))
-      .agg(sum(col("__v")).as("__s"))
+    if (elemP <= 9) {
+      // Native kernel: the same pre-cast decimals multiplied/summed as
+      // exact unscaled longs into ONE buffer per partition — no
+      // 2,145-generated-rows-per-vector explode, no hash aggregate
+      // over position keys. Value-identical to the explode path below
+      // (randomized-equality test in PcaSpec); the empty-corpus filter
+      // restores its zero-rows-in → zero-rows-out contract.
+      import org.apache.spark.sql.GraftSqlBridge
+      val agg = GraftSqlBridge.column(
+        graft.functions.DecimalMomentAggregate(
+          GraftSqlBridge.expression(dec), dim, scale, intDigits)
+          .toAggregateExpression())
+      df.where(col(vecCol).isNotNull)
+        .select(agg.as("__m"))
+        .where(element_at(col("__m"), 1) =!= 0)
+        .select(posexplode(col("__m")).as(Seq("__pos", "__s")))
+    } else {
+      // Wide elements (elemP > 9): products exceed exact-long range,
+      // so keep the decimal explode-aggregate (BigDecimal path).
+      val prodType = s"decimal(${2 * elemP + 1},${2 * scale})"
+      val withOne = concat(
+        array(lit(1).cast(prodType)),
+        transform(dec, x => x.cast(prodType)),
+        flatten(transform(dec, (x, i) =>
+          transform(slice(dec, i + 1, lit(dim) - i), y => x * y))))
+      df.where(col(vecCol).isNotNull)
+        .select(posexplode(withOne).as(Seq("__pos", "__v")))
+        .groupBy(col("__pos"))
+        .agg(sum(col("__v")).as("__s"))
+    }
   }
 
   /** 0-based row index i of 0-based triangle offset `p0` (the

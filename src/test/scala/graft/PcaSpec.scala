@@ -70,6 +70,77 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  /** The pre-kernel posexplode moment aggregation, kept as the test
+    * reference: generated decimal rows summed by Spark's decimal sum.
+    */
+  private def explodeMoments(
+      df: org.apache.spark.sql.DataFrame,
+      vecCol: String,
+      dim: Int,
+      scale: Int,
+      intDigits: Int): Map[Int, java.math.BigDecimal] = {
+    val elemP = intDigits + scale
+    val prodType = s"decimal(${2 * elemP + 1},${2 * scale})"
+    val dec = transform(col(vecCol), x => x.cast(s"decimal($elemP,$scale)"))
+    val withOne = concat(
+      array(lit(1).cast(prodType)),
+      transform(dec, x => x.cast(prodType)),
+      flatten(transform(dec, (x, i) =>
+        transform(slice(dec, i + 1, lit(dim) - i), y => x * y))))
+    df.where(col(vecCol).isNotNull)
+      .select(posexplode(withOne).as(Seq("__pos", "__v")))
+      .groupBy(col("__pos"))
+      .agg(sum(col("__v")).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+  }
+
+  test("moment kernel equals the decimal explode path on random vectors (nulls included)") {
+    val rnd = new scala.util.Random(7)
+    def randVec(dim: Int): Seq[Option[Float]] =
+      Seq.fill(dim) {
+        if (rnd.nextInt(20) == 0) None
+        else Some(((rnd.nextGaussian() * 30).toFloat))
+      }
+    for (dim <- Seq(1, 3, 8)) {
+      val rows = Seq.fill(120)(
+        if (rnd.nextInt(25) == 0) None else Some(randVec(dim))) :+
+        Some(Seq.fill(dim)(Option(99.9f))) // near the intDigits=2 edge
+      val df = rows.toDF("v").repartition(7)
+      val got = Pca.momentFrame(df, "v", dim, scale = 6, intDigits = 2)
+        .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+      val want = explodeMoments(df, "v", dim, scale = 6, intDigits = 2)
+      assert(got.keySet == want.keySet, s"dim=$dim")
+      for ((k, w) <- want)
+        assert(got(k).compareTo(w) == 0, s"dim=$dim pos=$k: ${got(k)} vs $w")
+    }
+  }
+
+  test("moment kernel 128-bit slots: sums past Long range match the BigDecimal path") {
+    // elemP = 9 values near ±999: each product's unscaled magnitude is
+    // ~1e18, so a handful of rows pushes a slot past 2^63 and through
+    // the hi/lo carry path
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(40)(Seq.fill(2)(
+      Option(((rnd.nextBoolean().compare(false) * 2 - 1) * (990 + rnd.nextInt(10)) +
+        rnd.nextDouble()).toFloat)))
+    val df = rows.toDF("v").repartition(5)
+    val got = Pca.momentFrame(df, "v", dim = 2, scale = 6, intDigits = 3)
+      .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+    val want = explodeMoments(df, "v", dim = 2, scale = 6, intDigits = 3)
+    assert(got.keySet == want.keySet)
+    for ((k, w) <- want) assert(got(k).compareTo(w) == 0, s"pos=$k: ${got(k)} vs $w")
+    // and the triangle sums really did exceed Long range in unscaled units
+    val maxAbs = want.values.map(_.unscaledValue.abs).max
+    assert(maxAbs.compareTo(java.math.BigInteger.valueOf(Long.MaxValue)) > 0,
+      s"test did not exercise the 128-bit path (max unscaled $maxAbs)")
+  }
+
+  test("momentFrame: empty corpus yields zero rows on both paths") {
+    val df = Seq.empty[Option[Seq[Option[Float]]]].toDF("v")
+    assert(Pca.momentFrame(df, "v", 3, scale = 6, intDigits = 2).count() == 0)
+    assert(Pca.momentFrame(df, "v", 3, scale = 6, intDigits = 5).count() == 0)
+  }
+
   test("fit is bit-deterministic under repartitioning (exact decimal moments)") {
     val rnd = new scala.util.Random(3)
     val df = Seq.fill(200)(Seq.fill(4)(rnd.nextGaussian().toFloat)).toDF("v")
