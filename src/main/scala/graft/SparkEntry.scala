@@ -1242,6 +1242,21 @@ object SparkEntry {
       Similarity.ivfTopKFromIndex(s, ivfTable, e.where(col("vec_id") < 5),
         "embedding", "vec_id", k = 10, nprobe = 2)
     }),
+    "q_ann_filtered_ivf" -> ((s, dir) => {
+      // The SCALE path for q_ann_filtered: candidates must match both
+      // the probed centroid bucket AND the query's label, so a hot
+      // label costs bucket∩label, not the label's full partition. One
+      // index serves filtered and unfiltered search (label is carried
+      // payload) — built once per (session, corpus) like the others.
+      val e = t(s, dir, "embeddings")
+      val ivfTable = "graft_ivff_verify_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      if (!s.catalog.tableExists(ivfTable))
+        Similarity.writeIvfIndex(e, "embedding", "vec_id", ivfTable,
+          stride = 100, matchCols = Seq("label"))
+      Similarity.filteredTopKFromIndex(s, ivfTable, e.where(col("vec_id") < 5),
+        "embedding", "vec_id", k = 10, matchCols = Seq("label"), nprobe = 2)
+    }),
     "q_ann_ivf_append" -> ((s, dir) => {
       // Incremental growth: build over most of the corpus, append the
       // rest against the FROZEN build-time centroid set, search the
@@ -2102,20 +2117,26 @@ object SparkEntry {
     * twin freezes the centroid set to the BUILD slice (appended rows
     * are searchable but never centroids — the `__cen` marker).
     */
-  private def ivfOracle(cenWhere: String): String =
+  private def ivfOracle(cenWhere: String, matchCols: Seq[String] = Nil): String = {
+    // matchCols replay filteredTopKFromIndex: the attribute columns
+    // ride the assignment/query rows as payload and join as EXTRA
+    // equality keys on the candidate join — probes stay global.
+    val mc = matchCols.map(c => s", $c").mkString
+    val using = ("cid" +: matchCols).mkString(", ")
     s"""WITH cen AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE $cenWhere),
-       |ca AS (SELECT vec_id AS corpus_id, embedding AS cv, cid,
+       |ca AS (SELECT vec_id AS corpus_id, embedding AS cv, cid$mc,
        |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn
        |  FROM embeddings, cen),
-       |caf AS (SELECT corpus_id, cv, cid FROM ca WHERE rn = 1),
-       |qa AS (SELECT vec_id AS query_id, embedding AS qv, cid,
+       |caf AS (SELECT corpus_id, cv, cid$mc FROM ca WHERE rn = 1),
+       |qa AS (SELECT vec_id AS query_id, embedding AS qv, cid$mc,
        |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn
        |  FROM embeddings, cen WHERE vec_id < 5),
-       |qaf AS (SELECT query_id, qv, cid FROM qa WHERE rn <= 2),
+       |qaf AS (SELECT query_id, qv, cid$mc FROM qa WHERE rn <= 2),
        |s AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine
-       |  FROM caf JOIN qaf USING (cid)),
+       |  FROM caf JOIN qaf USING ($using)),
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM s)
        |SELECT query_id, corpus_id, cosine, rank::INT AS rank FROM r WHERE rank <= 10""".stripMargin
+  }
 
   private lazy val ivfOracleSql: String = ivfOracle("vec_id % 100 = 0")
 
@@ -3243,6 +3264,7 @@ object SparkEntry {
     // identical contract: the persisted-index path must reproduce
     // ivfTopK exactly
     "q_ann_ivf_index" -> ivfOracleSql,
+    "q_ann_filtered_ivf" -> ivfOracle("vec_id % 100 = 0", Seq("label")),
     // centroids frozen to the build slice: appended (vec_id % 300 = 0)
     // rows are searchable but never centroids
     "q_ann_ivf_append" -> ivfOracle("vec_id % 100 = 0 AND vec_id % 300 <> 0"),

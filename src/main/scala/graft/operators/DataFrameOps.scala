@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types._
 
 /** DataFrame-level operators.
   *
@@ -109,4 +109,58 @@ object DataFrameOps {
     */
   def localToDf(spark: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+  /** Schema-INFERRING overload — the reference's `pandas_to_spark`
+    * ergonomic (dataframe_functions.py:109-135 `equivalent_type`):
+    * each column's Spark type comes from its first non-null value's
+    * runtime class (the reference sniffs pandas dtypes; local Scala
+    * rows carry the same information in their values). Unrecognized
+    * classes and all-null columns fall back to StringType exactly
+    * like the reference's catch-all, with nulls preserved and other
+    * values stringified via toString. Columns are nullable.
+    */
+  def localToDf(
+      spark: SparkSession,
+      rows: Seq[Row],
+      colNames: Seq[String]): DataFrame = {
+    require(rows.forall(_.length == colNames.length),
+      s"every row must have ${colNames.length} values (one per column name)")
+    def inferred(i: Int): DataType =
+      rows.iterator.map(_.get(i)).collectFirst {
+        case v if v != null => v
+      } match {
+        case Some(_: String) => StringType
+        case Some(_: java.lang.Integer) => IntegerType
+        case Some(_: java.lang.Long) => LongType
+        case Some(_: java.lang.Double) => DoubleType
+        case Some(_: java.lang.Float) => FloatType
+        case Some(_: java.lang.Short) => ShortType
+        case Some(_: java.lang.Byte) => ByteType
+        case Some(_: java.lang.Boolean) => BooleanType
+        case Some(_: java.sql.Timestamp) => TimestampType
+        case Some(_: java.time.Instant) => TimestampType
+        case Some(_: java.sql.Date) => DateType
+        case Some(_: java.time.LocalDate) => DateType
+        case Some(_: java.math.BigDecimal) => DecimalType.SYSTEM_DEFAULT
+        case Some(_: scala.math.BigDecimal) => DecimalType.SYSTEM_DEFAULT
+        case Some(_: Array[Byte]) => BinaryType
+        case _ => StringType // all-null or unrecognized: reference catch-all
+      }
+    val types = colNames.indices.map(inferred)
+    // stringify values landing in a fallback StringType column whose
+    // runtime class isn't String (mixed/unrecognized) so createDataFrame
+    // can't throw on them
+    val coerced = rows.map { r =>
+      Row.fromSeq(r.toSeq.zipWithIndex.map {
+        case (null, _) => null
+        case (v, i) if types(i) == StringType && !v.isInstanceOf[String] =>
+          v.toString
+        case (v, _) => v
+      })
+    }
+    val schema = StructType(colNames.zip(types).map {
+      case (n, t) => StructField(n, t, nullable = true)
+    })
+    localToDf(spark, coerced, schema)
+  }
 }

@@ -12,16 +12,11 @@ import org.apache.spark.sql.SparkSession
   * catalog entry — anything else may be another table's data and is
   * the caller's to manage.
   */
-private[operators] object ManagedTables {
+private[graft] object ManagedTables {
 
   /** Rewrite a bucketed catalog table in place from `df` (typically a
-    * transform of the table itself): the rows land in a `__compact`
-    * sibling bucketed with the SAME spec, every `graft.*` table
-    * property is copied over, and only then is the original dropped
-    * and the sibling renamed over it — a crash mid-rewrite leaves
-    * either the original or a complete sibling, never half a table.
-    * `df` must be safe to evaluate while the original still exists
-    * (it is: the sibling write reads the original).
+    * transform of the table itself) — see [[rewriteTable]] for the
+    * crash contract.
     */
   def rewriteBucketed(
       spark: SparkSession,
@@ -30,20 +25,71 @@ private[operators] object ManagedTables {
       numBuckets: Int,
       bucketSortCols: Seq[String]): Unit = {
     require(bucketSortCols.nonEmpty, "need at least one bucket column")
-    val props = spark.sql(s"SHOW TBLPROPERTIES `$table`")
-      .collect().map(r => r.getString(0) -> r.getString(1))
-      .filter(_._1.startsWith("graft.")).toMap
+    rewriteTable(spark, table, df, Some((numBuckets, bucketSortCols)))
+  }
+
+  /** THE sibling-rewrite crash contract, shared by every operator
+    * that replaces a persisted table (IVF compaction, signature-table
+    * compaction, PQ index rebuild): the rows land in a `__compact`
+    * sibling first (bucketed with `bucketSpec` when given), every
+    * existing `graft.*` table property plus `extraProps` is set on
+    * the sibling, and only then is the original dropped and the
+    * sibling renamed over it — a crash mid-rewrite leaves either the
+    * untouched original or a complete sibling, never half a table.
+    * `df` must be safe to evaluate while the original still exists
+    * (compactions read the original; rebuilds read the corpus). The
+    * original not existing yet is fine — this is then a crash-safe
+    * first build.
+    */
+  def rewriteTable(
+      spark: SparkSession,
+      table: String,
+      df: org.apache.spark.sql.DataFrame,
+      bucketSpec: Option[(Int, Seq[String])] = None,
+      extraProps: Map[String, String] = Map.empty): Unit =
+    rewriteTableImpl(spark, table, df, bucketSpec, extraProps,
+      failBeforeSwap = false)
+
+  /** [[rewriteTable]] with a test-only crash injection point:
+    * `failBeforeSwap` throws after the sibling is complete but before
+    * the drop/rename swap — the state a real crash would leave. The
+    * crash-contract spec drives all three call-site shapes through
+    * this.
+    */
+  private[graft] def rewriteTableImpl(
+      spark: SparkSession,
+      table: String,
+      df: org.apache.spark.sql.DataFrame,
+      bucketSpec: Option[(Int, Seq[String])],
+      extraProps: Map[String, String],
+      failBeforeSwap: Boolean): Unit = {
+    val existing = spark.catalog.tableExists(table)
+    val props = (if (existing)
+        spark.sql(s"SHOW TBLPROPERTIES `$table`")
+          .collect().map(r => r.getString(0) -> r.getString(1))
+          .filter(_._1.startsWith("graft.")).toMap
+      else Map.empty[String, String]) ++ extraProps
     val tmp = table + "__compact"
+    // a sibling left by a previous crash is superseded state
     dropAndClearOrphan(spark, tmp)
-    df.write.mode("overwrite").format("parquet")
-      .bucketBy(numBuckets, bucketSortCols.head, bucketSortCols.tail: _*)
-      .sortBy(bucketSortCols.head, bucketSortCols.tail: _*)
-      .saveAsTable(tmp)
+    val w = df.write.mode("overwrite").format("parquet")
+    bucketSpec match {
+      case Some((n, cols)) =>
+        w.bucketBy(n, cols.head, cols.tail: _*)
+          .sortBy(cols.head, cols.tail: _*)
+          .saveAsTable(tmp)
+      case None => w.saveAsTable(tmp)
+    }
     if (props.nonEmpty) {
       val kv = props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
       spark.sql(s"ALTER TABLE `$tmp` SET TBLPROPERTIES ($kv)")
     }
-    spark.sql(s"DROP TABLE `$table`")
+    if (failBeforeSwap)
+      throw new IllegalStateException(
+        s"injected crash before swapping `$tmp` over `$table`")
+    // dropAndClearOrphan (not plain DROP) so a catalog-lost-but-
+    // directory-surviving original can't fail the rename
+    dropAndClearOrphan(spark, table)
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
   }
 

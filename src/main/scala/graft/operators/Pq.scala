@@ -240,20 +240,27 @@ object Pq {
     val spark = corpus.sparkSession
     val books = fitCodebooks(corpus, vecCol, idCol, dim, m, stride = 0,
       iters, numCentroids, expectedRows).localCheckpoint()
-    graft.operators.ManagedTables.dropAndClearOrphan(spark, table)
-    graft.operators.ManagedTables.dropAndClearOrphan(spark, s"${table}__codebooks")
-    books.write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${table}__codebooks")
-    encode(corpus, vecCol, idCol, dim, m, books)
-      .select(col("id").as("corpus_id"),
-        posexplode(col("code")).as(Seq("__s", "__cid")))
-      .write.mode("overwrite").format("parquet")
-      .saveAsTable(table)
-    spark.sql(
-      s"ALTER TABLE `$table` SET TBLPROPERTIES (" +
-        s"'graft.pq.dim' = '$dim', 'graft.pq.m' = '$m', " +
-        s"'graft.pq.numCentroids' = '$numCentroids', " +
-        s"'graft.pq.iters' = '$iters')")
+    // Both tables go through the sibling-rewrite crash contract
+    // (ManagedTables.rewriteTable): a rebuild over a live index keeps
+    // the old one queryable until each swap, and a crash leaves whole
+    // tables, never halves. The two swaps can't be atomic TOGETHER,
+    // so a shared buildId ties them: a crash BETWEEN the swaps leaves
+    // mismatched ids and [[pqTopKFromIndex]] fails fast instead of
+    // searching new codes against old codebooks (or vice versa).
+    val buildId = java.util.UUID.randomUUID().toString
+    graft.operators.ManagedTables.rewriteTable(
+      spark, s"${table}__codebooks", books,
+      extraProps = Map("graft.pq.buildId" -> buildId))
+    graft.operators.ManagedTables.rewriteTable(
+      spark, table,
+      encode(corpus, vecCol, idCol, dim, m, books)
+        .select(col("id").as("corpus_id"),
+          posexplode(col("code")).as(Seq("__s", "__cid"))),
+      extraProps = Map(
+        "graft.pq.dim" -> dim.toString, "graft.pq.m" -> m.toString,
+        "graft.pq.numCentroids" -> numCentroids.toString,
+        "graft.pq.iters" -> iters.toString,
+        "graft.pq.buildId" -> buildId))
   }
 
   /** Build parameters recorded by [[writePqIndex]], or None for a
@@ -291,6 +298,23 @@ object Pq {
       throw new IllegalArgumentException(
         s"pqTopKFromIndex: `$table` records no graft.pq.* table " +
           "properties — rebuild it with writePqIndex"))
+    // buildId consistency: a crash between writePqIndex's two table
+    // swaps leaves codes and codebooks from different builds — a
+    // silent wrong ranking if searched. Fail fast instead.
+    def buildIdOf(t: String): Option[String] =
+      spark.sql(s"SHOW TBLPROPERTIES `$t`")
+        .collect().collectFirst {
+          case r if r.getString(0) == "graft.pq.buildId" => r.getString(1)
+        }
+    (buildIdOf(table), buildIdOf(s"${table}__codebooks")) match {
+      case (Some(a), Some(b)) if a != b =>
+        throw new IllegalStateException(
+          s"pqTopKFromIndex: `$table` and `${table}__codebooks` record " +
+            s"different graft.pq.buildId values ($a vs $b) — an " +
+            "interrupted writePqIndex left them from different builds; " +
+            "rerun writePqIndex")
+      case _ => ()
+    }
     adcSearch(spark.table(table), spark.table(s"${table}__codebooks"),
       queries, vecCol, qIdCol, k, dim, m)
   }

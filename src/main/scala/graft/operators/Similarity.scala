@@ -428,15 +428,27 @@ object Similarity {
     * @return (corpus_id, __cv vector, __cid assigned centroid)
     */
   private[operators] def ivfAssign(
-      corpus: DataFrame, vecCol: String, idCol: String, cen: DataFrame): DataFrame =
+      corpus: DataFrame, vecCol: String, idCol: String, cen: DataFrame,
+      extraCols: Seq[String] = Nil): DataFrame = {
+    // extraCols ride in the argmax struct BEHIND the (__ccos,
+    // __negcid) total order, so they can never influence which
+    // centroid wins — they are payload (e.g. the attribute columns a
+    // filtered index carries), not ordering.
+    val payload = struct(
+      (col("__ccos") +: (-col("__cid")).as("__negcid") +:
+        col("__cid").as("__cid") +: col("__cv").as("__cv") +:
+        extraCols.map(c => col(c).as(c))): _*)
     corpus
-      .select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+      .select((col(idCol).as("corpus_id") +: col(vecCol).as("__cv") +:
+        extraCols.map(col)): _*)
       .join(broadcast(cen))
       .withColumn("__ccos", cosineSimilarityNative(col("__cv"), col("__cvec")))
       .groupBy(col("corpus_id"))
-      .agg(max(struct(col("__ccos"), (-col("__cid")).as("__negcid"),
-        col("__cid").as("__cid"), col("__cv").as("__cv"))).as("__m"))
-      .select(col("corpus_id"), col("__m.__cv").as("__cv"), col("__m.__cid").as("__cid"))
+      .agg(max(payload).as("__m"))
+      .select((col("corpus_id") +: col("__m.__cv").as("__cv") +:
+        col("__m.__cid").as("__cid") +:
+        extraCols.map(c => col(s"__m.$c").as(c))): _*)
+  }
 
   private[operators] def ivfSearch(
       assigned: DataFrame,
@@ -445,17 +457,26 @@ object Similarity {
       vecCol: String,
       qIdCol: String,
       k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int,
+      matchCols: Seq[String] = Nil): DataFrame = {
     val wProbe = Window
       .partitionBy(col("query_id"))
       .orderBy(col("__qcos").desc, col("__cid").asc)
+    // matchCols narrow the CANDIDATES, not the probes: rows are
+    // assigned to their globally-nearest centroid regardless of
+    // attribute, so a query must probe the globally-nearest buckets
+    // and apply the attribute filter inside them — probing only
+    // same-attribute centroids would miss matching rows that live in
+    // other buckets.
     val probes = queries
-      .select(col(qIdCol).as("query_id"), col(vecCol).as("__qv"))
+      .select((col(qIdCol).as("query_id") +: col(vecCol).as("__qv") +:
+        matchCols.map(col)): _*)
       .join(broadcast(cen))
       .withColumn("__qcos", cosineSimilarityNative(col("__qv"), col("__cvec")))
       .withColumn("__rn", row_number().over(wProbe))
       .where(col("__rn") <= nprobe)
-      .select("query_id", "__qv", "__cid")
+      .select((col("query_id") +: col("__qv") +: col("__cid") +:
+        matchCols.map(col)): _*)
 
     val wRank = Window
       .partitionBy(col("query_id"))
@@ -467,7 +488,7 @@ object Similarity {
     // centroid set is cluster-memory-small; that bound is the IVF
     // design, not an optimizer guess).
     assigned
-      .join(probes, Seq("__cid"))
+      .join(probes, "__cid" +: matchCols)
       .withColumn("cosine", round(cosineSimilarityNative(col("__cv"), col("__qv")), 6))
       .withColumn("rank", row_number().over(wRank))
       .where(col("rank") <= k)
@@ -489,7 +510,8 @@ object Similarity {
       idCol: String,
       table: String,
       stride: Int = 100,
-      numBuckets: Int = 64): Unit = {
+      numBuckets: Int = 64,
+      matchCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
     ManagedTables.dropAndClearOrphan(spark, table)
     // __cen marks the rows whose vectors ARE the centroid set — the
@@ -497,7 +519,10 @@ object Similarity {
     // every appended row, so the centroid set is frozen structurally:
     // an appended id that happens to satisfy the stride filter can
     // never silently join the centroid set on later reads.
-    ivfAssign(corpus, vecCol, idCol, centroids(corpus, vecCol, idCol, stride))
+    // matchCols are carried as plain columns so ONE index serves both
+    // unfiltered search and [[filteredTopKFromIndex]].
+    ivfAssign(corpus, vecCol, idCol, centroids(corpus, vecCol, idCol, stride),
+      matchCols)
       .withColumn("__cen", pmod(col("corpus_id"), lit(stride)) === 0)
       .write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, "__cid")
@@ -536,15 +561,13 @@ object Similarity {
     * recorded value and fails fast on a mismatch — a wrong stride
     * would not error, it would silently search the wrong buckets.
     */
-  def ivfTopKFromIndex(
+  /** The persisted index's (full assignment table, centroid set) with
+    * the stride cross-check shared by every FromIndex read path.
+    */
+  private def indexAndCentroids(
       spark: org.apache.spark.sql.SparkSession,
       table: String,
-      queries: DataFrame,
-      vecCol: String,
-      qIdCol: String,
-      k: Int,
-      stride: Int = 0,
-      nprobe: Int = 2): DataFrame = {
+      stride: Int): (DataFrame, DataFrame) = {
     val recorded = readIvfIndexMeta(spark, table).map(_._1)
     val effective = (recorded, stride) match {
       case (Some(r), s) if s > 0 =>
@@ -567,7 +590,58 @@ object Similarity {
         assigned.where(col("__cen"))
       else assigned.where(pmod(col("corpus_id"), lit(effective)) === 0))
       .select(col("corpus_id").as("__cid"), col("__cv").as("__cvec"))
+    (assigned, cen)
+  }
+
+  def ivfTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      queries: DataFrame,
+      vecCol: String,
+      qIdCol: String,
+      k: Int,
+      stride: Int = 0,
+      nprobe: Int = 2): DataFrame = {
+    val (assigned, cen) = indexAndCentroids(spark, table, stride)
     ivfSearch(assigned, cen, queries, vecCol, qIdCol, k, nprobe)
+  }
+
+  /** Attribute-FILTERED top-k over a persisted IVF index — the scale
+    * path for [[filteredTopK]], whose exact ranking scans every
+    * corpus row sharing the query's attributes (a hot label
+    * degenerates to full brute force). Here candidates must match
+    * BOTH the probed centroid bucket AND the query's `matchCols`
+    * values, so the scored set is the bucket∩attribute intersection:
+    * the bucketed scan prunes by geometry, the attribute equi-join
+    * prunes by tenancy, and neither re-shuffles the corpus. The index
+    * must have been built with the same `matchCols` carried
+    * ([[writeIvfIndex]]'s matchCols parameter). Approximate exactly
+    * like [[ivfTopKFromIndex]]: a same-attribute neighbour outside
+    * the probed buckets is missed — recall/nprobe trade as usual.
+    *
+    * @return (query id, corpus id, cosine, rank 1..k) — only
+    *         same-`matchCols` candidates appear.
+    */
+  def filteredTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      queries: DataFrame,
+      vecCol: String,
+      qIdCol: String,
+      k: Int,
+      matchCols: Seq[String],
+      stride: Int = 0,
+      nprobe: Int = 2): DataFrame = {
+    require(matchCols.nonEmpty,
+      "filteredTopKFromIndex needs at least one match column — " +
+        "use ivfTopKFromIndex for unfiltered search")
+    val (assigned, cen) = indexAndCentroids(spark, table, stride)
+    val missing = matchCols.filterNot(assigned.columns.contains)
+    require(missing.isEmpty,
+      s"filteredTopKFromIndex: index `$table` does not carry " +
+        s"column(s) ${missing.mkString(", ")} — rebuild with " +
+        s"writeIvfIndex(..., matchCols = Seq(${matchCols.mkString(", ")}))")
+    ivfSearch(assigned, cen, queries, vecCol, qIdCol, k, nprobe, matchCols)
   }
 
   /** Append a new batch of vectors to a persisted IVF index (see
@@ -602,7 +676,17 @@ object Similarity {
     val cen = existing.where(col("__cen"))
       .select(col("corpus_id").as("__cid"), col("__cv").as("__cvec"))
       .localCheckpoint(true)
-    ivfAssign(batch, vecCol, idCol, cen)
+    // An index built with matchCols carries them as plain columns —
+    // the appended batch must supply and carry the same ones or the
+    // bucketed append would be a schema mismatch.
+    val carried = existing.columns.toSeq
+      .filterNot(Set("corpus_id", "__cv", "__cid", "__cen"))
+    val missing = carried.filterNot(batch.columns.contains)
+    require(missing.isEmpty,
+      s"appendIvfIndex: `$table` carries column(s) " +
+        s"${carried.mkString(", ")} but the batch lacks " +
+        s"${missing.mkString(", ")}")
+    ivfAssign(batch, vecCol, idCol, cen, carried)
       .withColumn("__cen", lit(false))
       .write.mode("append").format("parquet")
       .bucketBy(numBuckets, "__cid")

@@ -14,6 +14,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ParquetCache {
 
+  /** Per-call cache observability (the reference logs hits/misses via
+    * its module logger, dataframe_functions.py:326 — this returns the
+    * same facts as data): which parameter combinations loaded from an
+    * existing partition, which were (re)built, and which failed under
+    * `error = "ignore"`.
+    */
+  case class CacheReport(
+      loaded: Seq[Map[String, Any]],
+      built: Seq[Map[String, Any]],
+      failed: Seq[(Map[String, Any], String)]) {
+    def hits: Int = loaded.size
+    def rebuilds: Int = built.size
+  }
+
   /** Runs `func` for every combination in `rangeParams` whose
     * partition dir doesn't exist yet (or all, when `overwrite`),
     * writes each result, then returns the unioned partitioned read.
@@ -30,7 +44,23 @@ object ParquetCache {
       overwrite: Boolean = false,
       partitionSize: Int = 1,
       log: Boolean = true,
-      error: String = "ignore"): DataFrame = {
+      error: String = "ignore"): DataFrame =
+    loadOrCalculateWithReport(spark, func, path, rangeParams,
+      constantParams, overwrite, partitionSize, log, error)._1
+
+  /** [[loadOrCalculate]] plus the [[CacheReport]] of what each
+    * combination did (hit / rebuild / failure) this call.
+    */
+  def loadOrCalculateWithReport(
+      spark: SparkSession,
+      func: Map[String, Any] => DataFrame,
+      path: String,
+      rangeParams: Seq[(String, Seq[Any])],
+      constantParams: Map[String, Any] = Map.empty,
+      overwrite: Boolean = false,
+      partitionSize: Int = 1,
+      log: Boolean = true,
+      error: String = "ignore"): (DataFrame, CacheReport) = {
 
     def logger(msg: => String): Unit = if (log) println(msg)
 
@@ -44,6 +74,9 @@ object ParquetCache {
     def productPath(product: Seq[(String, Any)]): Path =
       new Path((path +: product.map { case (k, v) => s"$k=$v" }).mkString("/"))
 
+    val loaded = Seq.newBuilder[Map[String, Any]]
+    val built = Seq.newBuilder[Map[String, Any]]
+    val failed = Seq.newBuilder[(Map[String, Any], String)]
     products.foreach { product =>
       val dir = productPath(product)
       // A bare directory left by a failed/killed write must NOT count
@@ -51,6 +84,7 @@ object ParquetCache {
       val exists = fs.exists(new Path(dir, "_SUCCESS"))
       if (exists && !overwrite) {
         logger(s"load ${product.toMap}")
+        loaded += product.toMap
       } else {
         try {
           val df = func(product.toMap ++ constantParams)
@@ -58,15 +92,18 @@ object ParquetCache {
             .write.mode("overwrite")
             .parquet(dir.toString)
           logger(s"calculate ${product.toMap}")
+          built += product.toMap
         } catch {
           case e: Exception if error == "ignore" =>
             logger(s"error on calculate ${product.toMap}: ${e.getMessage}")
+            failed += ((product.toMap, String.valueOf(e.getMessage)))
           case e: Exception =>
             throw e
         }
       }
     }
 
-    spark.read.option("basePath", path).parquet(path)
+    (spark.read.option("basePath", path).parquet(path),
+      CacheReport(loaded.result(), built.result(), failed.result()))
   }
 }

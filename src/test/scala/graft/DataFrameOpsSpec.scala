@@ -70,6 +70,37 @@ class DataFrameOpsSpec extends SparkSpec {
     assert(out.schema == schema)
   }
 
+  test("localToDf: inferred schema follows the reference type table") {
+    // the reference equivalent_type mapping: string/int/long/double/
+    // float/bool/timestamp, catch-all → string
+    val ts = java.sql.Timestamp.valueOf("2024-02-29 12:34:56")
+    val rows = Seq(
+      Row("a", 1, 2L, 3.5, 4.5f, true, ts, null),
+      Row(null, 7, 8L, 9.5, 0.5f, false, ts, null))
+    val out = DataFrameOps.localToDf(spark, rows,
+      Seq("s", "i", "l", "d", "f", "b", "t", "allnull"))
+    val types = out.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("s") == StringType)
+    assert(types("i") == IntegerType)
+    assert(types("l") == LongType)
+    assert(types("d") == DoubleType)
+    assert(types("f") == FloatType)
+    assert(types("b") == BooleanType)
+    assert(types("t") == TimestampType)
+    assert(types("allnull") == StringType) // reference catch-all
+    assert(out.schema.fields.forall(_.nullable))
+    assert(out.count() == 2)
+    // first-non-null wins: a leading null doesn't force the fallback
+    val out2 = DataFrameOps.localToDf(spark,
+      Seq(Row(null), Row(42)), Seq("x"))
+    assert(out2.schema("x").dataType == IntegerType)
+    // unrecognized runtime class → stringified, not a crash
+    val out3 = DataFrameOps.localToDf(spark,
+      Seq(Row(new java.net.URI("http://h/p"))), Seq("u"))
+    assert(out3.schema("u").dataType == StringType)
+    assert(out3.select($"u").as[String].head() == "http://h/p")
+  }
+
   test("isNullOrIn: implicit column extension") {
     val df = Seq(Some("a"), Some("b"), None).toDF("v")
     val out = df.where($"v".isNullOrIn("a")).count()

@@ -35,6 +35,37 @@ class ParquetCacheSpec extends SparkSpec {
     assert(third.count() == 9)
   }
 
+  test("loadOrCalculateWithReport: hit/rebuild/failure counts per call") {
+    val dir = Files.createTempDirectory("graft_pcr").toString + "/cache"
+    def func(params: Map[String, Any]) = {
+      val m = params("month").toString.toInt
+      if (m == 9) throw new RuntimeException("boom")
+      spark.range(2).select($"id", lit(m).as("v"))
+    }
+    val (_, r1) = ParquetCache.loadOrCalculateWithReport(
+      spark, func, dir, Seq("month" -> Seq(1, 2)), log = false)
+    assert(r1.hits == 0 && r1.rebuilds == 2 && r1.failed.isEmpty)
+    assert(r1.built.toSet == Set(Map("month" -> 1), Map("month" -> 2)))
+
+    val (_, r2) = ParquetCache.loadOrCalculateWithReport(
+      spark, func, dir, Seq("month" -> Seq(1, 2, 3)), log = false)
+    assert(r2.hits == 2 && r2.rebuilds == 1 && r2.failed.isEmpty)
+    assert(r2.loaded.toSet == Set(Map("month" -> 1), Map("month" -> 2)))
+    assert(r2.built == Seq(Map("month" -> 3)))
+
+    // error=ignore failures are reported, not silent
+    val (_, r3) = ParquetCache.loadOrCalculateWithReport(
+      spark, func, dir, Seq("month" -> Seq(1, 9)), log = false)
+    assert(r3.hits == 1 && r3.rebuilds == 0 && r3.failed.size == 1)
+    assert(r3.failed.head._1 == Map("month" -> 9))
+    assert(r3.failed.head._2.contains("boom"))
+
+    // overwrite reports rebuilds, not hits
+    val (_, r4) = ParquetCache.loadOrCalculateWithReport(
+      spark, func, dir, Seq("month" -> Seq(1)), overwrite = true, log = false)
+    assert(r4.hits == 0 && r4.rebuilds == 1)
+  }
+
   test("loadOrCalculate: partition filters prune to one directory") {
     val dir = Files.createTempDirectory("graft_pc2").toString + "/cache"
     def func(params: Map[String, Any]) =

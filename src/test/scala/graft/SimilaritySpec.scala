@@ -273,6 +273,101 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("graft.ivf.stride"))
   }
 
+  test("filteredTopKFromIndex: bucket∩label candidates, model-exact, fewer scanned rows") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0L until 240L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1), s"t${i % 3}"))
+    val c = rows.toDF("id", "vec", "tenant")
+    val q = c.where($"id" < 6)
+    Similarity.writeIvfIndex(c, "vec", "id", "graft_ivf_filt",
+      stride = 24, numBuckets = 4, matchCols = Seq("tenant"))
+    val got = Similarity.filteredTopKFromIndex(
+      spark, "graft_ivf_filt", q, "vec", "id", k = 4,
+      matchCols = Seq("tenant"), nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+
+    // driver-side model: global stride centroids, per-row global
+    // argmax assignment, global top-2 probes, candidates =
+    // probed-bucket ∩ same-tenant, rank by (cos desc, id)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val cen = rows.filter(_._1 % 24 == 0)
+    def assign(v: Seq[Float]): Long =
+      cen.map(ct => (cos(v, ct._2), -ct._1)).max match {
+        case (_, negId) => -negId
+      }
+    val assigned = rows.map(r => (r._1, assign(r._2)))
+    val want = rows.filter(_._1 < 6).flatMap { qr =>
+      val probes = cen.map(ct => (cos(qr._2, ct._2), -ct._1))
+        .sorted(Ordering[(Double, Long)].reverse).take(2).map(-_._2).toSet
+      rows
+        .filter(cr => probes.contains(assigned.find(_._1 == cr._1).get._2) &&
+          cr._3 == qr._3)
+        .map(cr => (cr._1,
+          BigDecimal(cos(cr._2, qr._2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
+        .sortBy { case (cid, cs) => (-cs, cid) }
+        .take(4).zipWithIndex
+        .map { case ((cid, cs), i) => (qr._1, cid, cs, i + 1) }
+    }.toSet
+    assert(got == want)
+    // every neighbour shares the query's tenant
+    val tenantOf = rows.map(r => r._1 -> r._3).toMap
+    assert(got.forall { case (qid, cid, _, _) => tenantOf(qid) == tenantOf(cid) })
+
+    // the scale claim: the bucket∩label candidate space is strictly
+    // smaller than the exact path's full same-label partition scan
+    val idx = spark.table("graft_ivf_filt")
+    val probeSet = rows.filter(_._1 < 6).flatMap { qr =>
+      cen.map(ct => (cos(qr._2, ct._2), -ct._1))
+        .sorted(Ordering[(Double, Long)].reverse).take(2)
+        .map(p => (qr._1, -p._2, qr._3))
+    }.toDF("query_id", "__cid", "tenant")
+    val bucketAndLabel = idx.join(probeSet, Seq("__cid", "tenant")).count()
+    val labelOnly = idx.join(probeSet.select("query_id", "tenant").distinct(),
+      Seq("tenant")).count()
+    assert(bucketAndLabel < labelOnly,
+      s"expected bucket∩label ($bucketAndLabel) < label-only ($labelOnly)")
+
+    // an index built WITHOUT the column refuses filtered search
+    Similarity.writeIvfIndex(c, "vec", "id", "graft_ivf_nofilt",
+      stride = 24, numBuckets = 4)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.filteredTopKFromIndex(
+        spark, "graft_ivf_nofilt", q, "vec", "id", k = 4,
+        matchCols = Seq("tenant"), nprobe = 2)
+    }
+    assert(ex.getMessage.contains("tenant"))
+  }
+
+  test("appendIvfIndex: carries matchCols columns; refuses a batch lacking them") {
+    val rnd = new scala.util.Random(37)
+    def mk(ids: Seq[Long]) =
+      ids.map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1), s"t${i % 2}"))
+        .toDF("id", "vec", "tenant")
+    val build = mk(0L until 96L)
+    val batch = mk(200L until 210L)
+    Similarity.writeIvfIndex(build, "vec", "id", "graft_ivf_filt_app",
+      stride = 24, numBuckets = 4, matchCols = Seq("tenant"))
+    Similarity.appendIvfIndex(batch, "vec", "id", "graft_ivf_filt_app")
+    // appended rows are filter-searchable: self-query finds itself
+    val self = Similarity.filteredTopKFromIndex(
+      spark, "graft_ivf_filt_app", batch.where($"id" === 200L),
+      "vec", "id", k = 1, matchCols = Seq("tenant"), nprobe = 1).collect()
+    assert(self.length == 1 && self.head.getLong(1) == 200L)
+    // a batch without the carried column fails fast, not at write time
+    val bare = batch.drop("tenant")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndex(bare, "vec", "id", "graft_ivf_filt_app")
+    }
+    assert(ex.getMessage.contains("tenant"))
+  }
+
   test("appendIvfIndex: build+append == fresh full build; centroid set frozen") {
     val rnd = new scala.util.Random(23)
     val all = (0L until 300L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))

@@ -48,6 +48,43 @@ def dtype_class(dt):
     return {"i": "int", "u": "int", "f": "float", "b": "bool"}.get(k, "other")
 
 
+def dtype_sweep(sf_dir, out_dir):
+    """LIMIT-0 dtype sweep: compare every query's Spark output column
+    dtype CLASSES against its oracle's, without materializing either
+    side — the cheap board-wide guard that a HUGEINT/float64 drift
+    (the round-9 q_pack_shards escape) can never reach the driver's
+    hash compare, runnable even when the expensive value replay is
+    skipped. Exit 1 on any class mismatch."""
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    n_bad = 0
+    for name in sorted(oracle):
+        qdir = Path(out_dir) / name
+        if not qdir.exists():
+            print(f"FAIL {name}: no spark output")
+            n_bad += 1
+            continue
+        got = con.sql(
+            f"SELECT * FROM read_parquet('{qdir}/*.parquet') LIMIT 0").df()
+        want = con.sql(f"SELECT * FROM ({oracle[name]}) __q LIMIT 0").df()
+        if sorted(got.columns) != sorted(want.columns):
+            print(f"FAIL {name}: columns {sorted(got.columns)} != {sorted(want.columns)}")
+            n_bad += 1
+            continue
+        for c in sorted(got.columns):
+            gk, wk = dtype_class(got[c].dtype), dtype_class(want[c].dtype)
+            if gk != wk:
+                print(f"FAIL {name}: column {c} dtype class spark={got[c].dtype} "
+                      f"oracle={want[c].dtype}")
+                n_bad += 1
+    print(f"\ndtype sweep: {len(oracle)} queries, {n_bad} mismatches")
+    return 1 if n_bad else 0
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -126,4 +163,6 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
+    if "--dtypes-only" in sys.argv:
+        sys.exit(dtype_sweep(sys.argv[1], sys.argv[2]))
     sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -26,6 +26,13 @@ echo "[sf1_gate] Verify at sf1"
 rm -rf tmp/verify_sf1
 sbt -batch "runMain graft.Verify $SF1 tmp/verify_sf1"
 
+# ALWAYS run the LIMIT-0 dtype sweep — it is cheap and runs even when
+# the value replay below is skipped, so a HUGEINT/float64 drift can
+# never reach the driver's hash compare unnoticed.
+echo "[sf1_gate] board-wide LIMIT-0 dtype sweep"
+python3 tools/check_oracle.py "$SF1" tmp/verify_sf1 --dtypes-only \
+  | tee tmp/dtype_sweep_sf1.txt
+
 if [ "${GRAFT_SF1_SKIP_ORACLE:-0}" != "1" ]; then
   echo "[sf1_gate] DuckDB oracle replay at sf1 (slow)"
   python3 tools/check_oracle.py "$SF1" tmp/verify_sf1
