@@ -692,6 +692,20 @@ object SparkEntry {
           .where(col("word") =!= ""),
         "lang", "word", 3)
     }),
+    "q_distinct_kmv" -> ((s, dir) => {
+      // vocabulary size per language from a bounded KMV sketch:
+      // exact count(DISTINCT word) shuffles the whole vocabulary to
+      // each language's reducer; the sketch ships ≤ 2 KiB per
+      // language regardless of corpus size and still answers within
+      // ~1/√k. k = 256 never fills at sf0.01 (exact there) and
+      // binds at sf0.1+ — both branches oracle-replayed.
+      graft.operators.Profile.distinctKmv(
+        Parallelism.spread(t(s, dir, "documents"))
+          .select(col("lang"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+          .where(col("word") =!= ""),
+        "lang", "word", k = 256)
+    }),
     "q_quantiles_by_group" -> ((s, dir) => {
       graft.operators.Profile.quantilesByGroup(
         t(s, dir, "documents"), "lang", Seq("n_chars"), Seq(0.25, 0.5, 0.9))
@@ -1155,6 +1169,16 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5),
         "embedding", "vec_id", "vec_id", k = 10)
+    }),
+    "q_bitext_margin" -> ((s, dir) => {
+      // margin-normalized best-pair mining (LASER objective): the
+      // ~6% "source" side mined against the rest; raw cosine is
+      // hub-corrected by both endpoints' k=8 neighborhood average.
+      val e = t(s, dir, "embeddings")
+      Similarity.marginMine(
+        e.where(pmod(col("vec_id"), lit(17)) === 0),
+        e.where(pmod(col("vec_id"), lit(17)) =!= 0),
+        "embedding", "vec_id", "vec_id", k = 8, minMargin = 1.0)
     }),
     "q_ann_filtered" -> ((s, dir) => {
       // Attribute-FILTERED exact top-k: neighbours restricted to the
@@ -2372,6 +2396,16 @@ object SparkEntry {
       s"(strpos('0123456789abcdef', substr(md5($e), 3, 1)) - 1) * 16 + " +
       s"(strpos('0123456789abcdef', substr(md5($e), 4, 1)) - 1))"
 
+  /** 60-bit integer from the first 15 md5 nibbles of `e` — the
+    * DuckDB replay of the KMV sketch's hash
+    * (Profile.distinctKmv's `conv(substring(md5(v), 1, 15), 16, 10)`).
+    */
+  private def h60Sql(e: String): String =
+    (0 until 15).map { i =>
+      val pow = java.math.BigInteger.valueOf(16L).pow(14 - i)
+      s"(strpos('0123456789abcdef', substr(md5($e), ${i + 1}, 1)) - 1) * $pow"
+    }.mkString("(", " + ", ")")
+
   /** Shared feature CTEs for the Selection oracles: word unigram +
     * bigram occurrences of each document, hashed to 64 md5 buckets
     * (mirrors Selection.unigramsAndBigrams + gramBucket exactly).
@@ -2470,6 +2504,21 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
         |  ORDER BY n DESC, word) AS rank FROM c)
         |SELECT lang, word, n, rank::INT AS rank FROM r WHERE rank <= 3""".stripMargin,
+    "q_distinct_kmv" ->
+      // The sketch state is the k smallest distinct 60-bit md5
+      // hashes per group — replayed exactly by a window rank over
+      // the same hashes; (k−1)·2⁶⁰ is exact in double, so the
+      // estimate is one identically-rounded IEEE division.
+      s"""WITH w AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+        |  FROM documents),
+        |t AS (SELECT DISTINCT lang, ${h60Sql("word")} AS h FROM w WHERE word <> ''),
+        |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM t),
+        |g AS (SELECT lang, count(*) AS nd FROM t GROUP BY 1),
+        |kv AS (SELECT lang, h AS hk FROM r WHERE rn = 256)
+        |SELECT g.lang, LEAST(g.nd, 256)::INT AS n_kept,
+        |  CASE WHEN g.nd < 256 THEN g.nd::DOUBLE
+        |       ELSE round(255.0 * 1152921504606846976.0 / kv.hk, 4) END AS est_distinct
+        |FROM g LEFT JOIN kv ON g.lang = kv.lang""".stripMargin,
     "q_quantiles_by_group" ->
       """SELECT lang, 'n_chars' AS "column", unnest([0.25, 0.5, 0.9]::DOUBLE[]) AS prob,
         |  round(unnest(quantile_cont(n_chars::DOUBLE, [0.25, 0.5, 0.9])), 4) AS quantile
@@ -3151,6 +3200,25 @@ object SparkEntry {
           |s AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine FROM c, q),
           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM s)
           |SELECT query_id, corpus_id, cosine, rank::INT AS rank FROM r WHERE rank <= 10""".stripMargin),
+    // mirrors marginMine: neighborhood sums of the 6-dp-rounded
+    // cosines accumulate as exact DECIMAL (order-independent), the
+    // margin is one double expression on those sums in both engines
+    "q_bitext_margin" ->
+      (s"""WITH x AS (SELECT vec_id AS src_id, embedding AS xv FROM embeddings WHERE vec_id % 17 = 0),
+          |y AS (SELECT vec_id AS tgt_id, embedding AS yv FROM embeddings WHERE vec_id % 17 <> 0),
+          |f0 AS (SELECT src_id, tgt_id, round(${cosSql("yv", "xv")}, 6) AS cosine FROM y, x),
+          |fr AS (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, tgt_id) AS rank FROM f0),
+          |fwd AS (SELECT src_id, tgt_id, cosine FROM fr WHERE rank <= 8),
+          |b0 AS (SELECT tgt_id, src_id, round(${cosSql("xv", "yv")}, 6) AS cosine FROM x, y),
+          |br AS (SELECT *, row_number() OVER (PARTITION BY tgt_id ORDER BY cosine DESC, src_id) AS rank FROM b0),
+          |bwd AS (SELECT tgt_id, cosine FROM br WHERE rank <= 8),
+          |sn AS (SELECT src_id, sum(cosine::DECIMAL(10,6)) AS ssum, count(*) AS nx FROM fwd GROUP BY 1),
+          |tn AS (SELECT tgt_id, sum(cosine::DECIMAL(10,6)) AS tsum, count(*) AS ny FROM bwd GROUP BY 1),
+          |m AS (SELECT f.src_id, f.tgt_id, f.cosine,
+          |  round(f.cosine / ((sn.ssum::DOUBLE / nx + tn.tsum::DOUBLE / ny) / 2.0), 6) AS margin
+          |  FROM fwd f JOIN sn USING (src_id) JOIN tn USING (tgt_id)),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rank FROM m)
+          |SELECT src_id, tgt_id, cosine, margin FROM r WHERE rank = 1 AND margin >= 1.0""".stripMargin),
     // mirrors bruteForceTopKInt8: same integer codes as q_quantize,
     // integer dot/norms are exact in doubles (≤ 127²·64 ≪ 2⁵³)
     "q_ann_int8" ->

@@ -694,4 +694,51 @@ object Profile {
       .withColumn("outlier_share",
         round(col("n_outliers") / col("n_rows").cast("double"), 6))
   }
+
+  /** Per-group distinct-count estimate from a KMV (k-minimum-values)
+    * sketch — "distinct tokens per language", "unique URLs per
+    * domain" — WITHOUT the exact-distinct shuffle: exact
+    * `count(DISTINCT v)` moves every distinct value to its group's
+    * reducer (the value set IS the shuffle payload — unbounded at
+    * 100 TB), while the KMV buffer is ≤ 8·k bytes per group,
+    * partial-aggregates map-side, and merges associatively
+    * ([[graft.functions.KmvSketchAggregate]]).
+    *
+    * The value is hashed to the first 60 bits of md5 (the board's
+    * engine-portable hash family — same contract as
+    * [[Sampling.splitDeterministic]]), so the sketch state depends
+    * only on the value SET: partitioning, insertion order, and merge
+    * order are immaterial, and the DuckDB oracle replays the result
+    * exactly with a window rank over the same hashes. Estimator
+    * (Beyer et al., SIGMOD 2007): exact size while the buffer is not
+    * full, else `(k−1)/U₍k₎` with `U₍k₎ = h₍k₎ / 2⁶⁰`; the division
+    * is one IEEE double op, identical in the oracle.
+    *
+    * @return (groupCol, n_kept = min(k, distinct), est_distinct).
+    */
+  def distinctKmv(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int = 256): DataFrame = {
+    require(k > 1, "k must be > 1 (the estimator needs k-1)")
+    import org.apache.spark.sql.GraftSqlBridge
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val sketch = GraftSqlBridge.column(
+      graft.functions.KmvSketchAggregate(GraftSqlBridge.expression(h), k)
+        .toAggregateExpression())
+    // (k−1)·2⁶⁰ is exact in double (2⁶⁰ is a power of two), so the
+    // whole estimate is a single rounded IEEE division — replayable.
+    val num = (k - 1).toDouble * 1152921504606846976.0
+    df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(sketch.as("__kmv"))
+      .select(
+        col(groupCol),
+        size(col("__kmv")).as("n_kept"),
+        when(size(col("__kmv")) < k, size(col("__kmv")).cast("double"))
+          .otherwise(round(lit(num) / element_at(col("__kmv"), k), 4))
+          .as("est_distinct"))
+  }
 }

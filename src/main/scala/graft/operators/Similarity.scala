@@ -962,4 +962,63 @@ object Similarity {
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Margin-based bitext / parallel-pair mining (Artetxe & Schwenk,
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings", ACL 2019 — the LASER mining objective): raw cosine
+    * over-pairs "hub" vectors that are close to EVERYTHING, so each
+    * candidate's cosine is normalized by its two endpoints' average
+    * neighborhood cosine —
+    * `margin(x,y) = cos(x,y) / ((avgNN_k(x) + avgNN_k(y)) / 2)`
+    * (the paper's "ratio" margin) — and each source keeps its best
+    * target by margin, thresholded.
+    *
+    * Distributed shape: two [[bruteForceTopK]] passes (forward
+    * x→Y, backward y→X — each a broadcast of the query side over one
+    * corpus scan, no corpus shuffle), then the per-endpoint
+    * neighborhood sums are GROUP-SIZED frames broadcast back onto
+    * the forward candidates. Nothing in the plan scales with
+    * |X|×|Y|; at index scale, swap `bruteForceTopK` for the IVF/PQ
+    * top-k — the margin algebra is unchanged.
+    *
+    * Determinism/replay: candidate cosines are 6-dp-rounded, the
+    * neighborhood sums accumulate those rounded values as exact
+    * decimals (order-independent — double summation would be
+    * partition-ordered), and the margin is one double expression on
+    * the decimal sums, identical in the DuckDB oracle.
+    *
+    * @return one row per source with a surviving best target:
+    *         (src_id, tgt_id, cosine, margin), margin ≥ `minMargin`.
+    */
+  def marginMine(
+      src: DataFrame,
+      tgt: DataFrame,
+      vecCol: String,
+      srcIdCol: String,
+      tgtIdCol: String,
+      k: Int = 8,
+      minMargin: Double = 1.0): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val fwd = bruteForceTopK(tgt, src, vecCol, tgtIdCol, srcIdCol, k)
+      .select(col("query_id").as("src_id"), col("corpus_id").as("tgt_id"),
+        col("cosine"))
+    val bwd = bruteForceTopK(src, tgt, vecCol, srcIdCol, tgtIdCol, k)
+    val dec = (c: Column) => c.cast("decimal(10,6)")
+    val srcNn = fwd.groupBy(col("src_id"))
+      .agg(sum(dec(col("cosine"))).as("__ssum"), count(lit(1)).as("__sn"))
+    val tgtNn = bwd.groupBy(col("query_id").as("tgt_id"))
+      .agg(sum(dec(col("cosine"))).as("__tsum"), count(lit(1)).as("__tn"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin").desc, col("tgt_id").asc)
+    fwd
+      .join(broadcast(srcNn), "src_id")
+      .join(broadcast(tgtNn), "tgt_id")
+      .withColumn("margin",
+        round(col("cosine") /
+          ((col("__ssum").cast("double") / col("__sn") +
+            col("__tsum").cast("double") / col("__tn")) / lit(2.0)), 6))
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") === 1 && col("margin") >= minMargin)
+      .select("src_id", "tgt_id", "cosine", "margin")
+  }
 }

@@ -635,4 +635,51 @@ class SimilaritySpec extends SparkSpec {
       .count()
     assert(capped == 0L)
   }
+
+  test("marginMine: hub-corrected best pair per source, thresholded") {
+    // src 10 has a clean match (20); src 11 is a "hub-ish" vector
+    // whose best cosine matches its whole neighborhood -> margin ~1.
+    val src = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Seq(0.5f, 0.5f, 0.5f, 0.5f)))
+      .toDF("id", "vec")
+    val tgt = Seq(
+      (20L, Seq(0.99f, 0.05f, 0.0f, 0.0f)), // clean match for 10
+      (21L, Seq(0.4f, 0.45f, 0.5f, 0.55f)),
+      (22L, Seq(0.45f, 0.5f, 0.55f, 0.4f)),
+      (23L, Seq(0.5f, 0.55f, 0.4f, 0.45f)))
+      .toDF("id", "vec")
+    val out = Similarity
+      .marginMine(src, tgt, "vec", "id", "id", k = 3, minMargin = 0.0)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // exactly one row per source (rank-1 by margin)
+    assert(out.size == 2)
+    assert(out(10L)._2 == 20L)
+    // 10's match stands far above its neighborhood -> margin > 1;
+    // 11's neighborhood is uniformly similar -> margin stays ~1
+    assert(out(10L)._4 > out(11L)._4)
+    assert(out(10L)._4 > 1.05)
+    assert(math.abs(out(11L)._4 - 1.0) < 0.2)
+    // thresholding drops the hub row
+    val mined = Similarity
+      .marginMine(src, tgt, "vec", "id", "id", k = 3,
+        minMargin = (out(11L)._4 + out(10L)._4) / 2)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(mined.map(_._1).toSeq == Seq(10L))
+  }
+
+  test("marginMine: deterministic under repartitioning") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 7 + j * 3).toFloat))
+    }.toDF("id", "vec")
+    val src = vecs.where($"id" % 5 === 0)
+    val tgt = vecs.where($"id" % 5 =!= 0)
+    val a = Similarity.marginMine(src, tgt, "vec", "id", "id", k = 4)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val b = Similarity
+      .marginMine(src.repartition(7), tgt.repartition(5), "vec", "id", "id", k = 4)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
