@@ -692,6 +692,20 @@ object SparkEntry {
           .where(col("word") =!= ""),
         "lang", "word", 3)
     }),
+    "q_cms" -> ((s, dir) => {
+      // Count-Min estimate next to the exact count for the corpus
+      // top-10 words — the eval that shows the d=4 × w=4096 sketch
+      // (bounded at 16,384 rows forever) answers head frequencies
+      // with collision error ≤ 2N/w. est ≥ exact by construction.
+      val words = Parallelism.spread(t(s, dir, "documents"))
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .where(col("word") =!= "")
+      val sketch = graft.operators.Profile.cmsSketch(words, "word")
+      val top = graft.operators.Profile.topValues(words, "word", 10)
+      graft.operators.Profile.cmsLookup(sketch, top, "word")
+        .join(top.withColumnRenamed("n", "n_exact"), Seq("word"))
+        .select(col("word"), col("n_exact"), col("est_count"))
+    }),
     "q_distinct_kmv" -> ((s, dir) => {
       // vocabulary size per language from a bounded KMV sketch:
       // exact count(DISTINCT word) shuffles the whole vocabulary to
@@ -2396,15 +2410,20 @@ object SparkEntry {
       s"(strpos('0123456789abcdef', substr(md5($e), 3, 1)) - 1) * 16 + " +
       s"(strpos('0123456789abcdef', substr(md5($e), 4, 1)) - 1))"
 
-  /** 60-bit integer from the first 15 md5 nibbles of `e` — the
-    * DuckDB replay of the KMV sketch's hash
-    * (Profile.distinctKmv's `conv(substring(md5(v), 1, 15), 16, 10)`).
+  /** Integer from the first `nibbles` md5 hex digits of `e` — the
+    * DuckDB replay of graft's `conv(substring(md5(v), 1, n), 16, 10)`
+    * hash convention at any nibble width.
     */
-  private def h60Sql(e: String): String =
-    (0 until 15).map { i =>
-      val pow = java.math.BigInteger.valueOf(16L).pow(14 - i)
+  private def hNibSql(e: String, nibbles: Int): String =
+    (0 until nibbles).map { i =>
+      val pow = java.math.BigInteger.valueOf(16L).pow(nibbles - 1 - i)
       s"(strpos('0123456789abcdef', substr(md5($e), ${i + 1}, 1)) - 1) * $pow"
     }.mkString("(", " + ", ")")
+
+  /** 60-bit variant of [[hNibSql]] — the KMV sketch's hash
+    * (Profile.distinctKmv's `conv(substring(md5(v), 1, 15), 16, 10)`).
+    */
+  private def h60Sql(e: String): String = hNibSql(e, 15)
 
   /** Shared feature CTEs for the Selection oracles: word unigram +
     * bigram occurrences of each document, hashed to 64 md5 buckets
@@ -2504,6 +2523,24 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
         |  ORDER BY n DESC, word) AS rank FROM c)
         |SELECT lang, word, n, rank::INT AS rank FROM r WHERE rank <= 3""".stripMargin,
+    "q_cms" ->
+      // mirrors cmsSketch + cmsLookup: bucket ids are the same
+      // 3-nibble md5 values, sketch counts sum occurrences (not
+      // distinct words), the estimate is the min over d=4 rows
+      s"""WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+        |  FROM documents),
+        |c AS (SELECT word, count(*) AS n FROM w WHERE word <> '' GROUP BY 1),
+        |top AS (SELECT word, n FROM c ORDER BY n DESC, word LIMIT 10),
+        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |g AS (SELECT js.j AS rj, ${hNibSql("c.word || ':' || js.j::VARCHAR", 3)} AS bucket,
+        |    sum(c.n)::BIGINT AS cnt
+        |  FROM c, js GROUP BY 1, 2),
+        |l AS (SELECT t.word, t.n AS n_exact, js.j AS rj,
+        |    ${hNibSql("t.word || ':' || js.j::VARCHAR", 3)} AS bucket
+        |  FROM top t, js)
+        |SELECT l.word, l.n_exact, min(coalesce(g.cnt, 0))::BIGINT AS est_count
+        |FROM l LEFT JOIN g ON g.rj = l.rj AND g.bucket = l.bucket
+        |GROUP BY 1, 2""".stripMargin,
     "q_distinct_kmv" ->
       // The sketch state is the k smallest distinct 60-bit md5
       // hashes per group — replayed exactly by a window rank over

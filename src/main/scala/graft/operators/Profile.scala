@@ -716,6 +716,67 @@ object Profile {
     *
     * @return (groupCol, n_kept = min(k, distinct), est_distinct).
     */
+  private val cmsWidths = Set(16, 256, 4096, 65536)
+
+  /** Count-Min frequency sketch (Cormode & Muthukrishnan, J.
+    * Algorithms 2005) as a BOUNDED (row, bucket, cnt) table — point
+    * frequency estimates ("how often does this token/URL/domain
+    * occur?") whose state is ≤ `d·w` rows at ANY corpus size, vs an
+    * exact value-count table that grows with the vocabulary. Each
+    * occurrence increments one bucket per hash row (`d` independent
+    * 4-bit-aligned md5 buckets — the board's portable hash family);
+    * the grouped count map-side-combines, so the shuffle carries at
+    * most `d·w` rows per task, and sketches of different shards
+    * union by summing counts (same hash family, no rescan).
+    *
+    * Estimates from [[cmsLookup]] are upper bounds (collisions only
+    * ADD), within `2N/w` of truth with probability `1 − 2⁻ᵈ`.
+    * `w` must be a whole number of md5 nibbles (16/256/4096/65536)
+    * so the DuckDB oracle replays bucket ids exactly.
+    */
+  def cmsSketch(
+      df: DataFrame,
+      valueCol: String,
+      d: Int = 4,
+      w: Int = 4096): DataFrame = {
+    require(d >= 1 && d <= 8, "d must be in [1, 8]")
+    require(cmsWidths.contains(w), s"w must be one of $cmsWidths")
+    val nib = Integer.numberOfTrailingZeros(w) / 4
+    df.where(col(valueCol).isNotNull)
+      .select(posexplode(array((0 until d).map(j =>
+        conv(substring(md5(concat(col(valueCol).cast("string"), lit(s":$j"))),
+          1, nib), 16, 10).cast("int")): _*)).as(Seq("row", "bucket")))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point lookups against a [[cmsSketch]]: each item's estimate is
+    * the MIN of its `d` bucket counts (the count-min estimator). The
+    * sketch is ≤ `d·w` rows — broadcast onto the item set, so a
+    * lookup never shuffles the sketch or the items.
+    *
+    * @return (itemCol, est_count) — `est_count ≥` the item's true
+    *         occurrence count, 0 for items never seen.
+    */
+  def cmsLookup(
+      sketch: DataFrame,
+      items: DataFrame,
+      itemCol: String,
+      d: Int = 4,
+      w: Int = 4096): DataFrame = {
+    require(d >= 1 && d <= 8, "d must be in [1, 8]")
+    require(cmsWidths.contains(w), s"w must be one of $cmsWidths")
+    val nib = Integer.numberOfTrailingZeros(w) / 4
+    items
+      .select(col(itemCol),
+        posexplode(array((0 until d).map(j =>
+          conv(substring(md5(concat(col(itemCol).cast("string"), lit(s":$j"))),
+            1, nib), 16, 10).cast("int")): _*)).as(Seq("row", "bucket")))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(col(itemCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
+
   def distinctKmv(
       df: DataFrame,
       groupCol: String,

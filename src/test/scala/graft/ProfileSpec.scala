@@ -500,4 +500,40 @@ class ProfileSpec extends SparkSpec {
       .collect().head
     assert(math.abs(approx.getDouble(2) - exact.getDouble(2)) <= 2.0)
   }
+
+  test("cmsSketch/cmsLookup: upper-bound estimates, exact without collisions") {
+    import graft.operators.Profile
+    import org.apache.spark.sql.functions._
+    val occ = (1 to 40).flatMap(i => Seq.fill(i)(s"w$i"))
+    val df = occ.toDF("v")
+    val sketch = Profile.cmsSketch(df, "v", d = 4, w = 4096)
+    // bounded state: at most d*w rows; total mass = d * occurrences
+    assert(sketch.count() <= 4L * 4096)
+    assert(sketch.agg(sum("cnt")).head.getLong(0) == 4L * occ.size)
+    val items = (1 to 40).map(i => s"w$i").toDF("v")
+    val est = Profile.cmsLookup(sketch, items, "v")
+      .as[(String, Long)].collect().toMap
+    (1 to 40).foreach { i =>
+      assert(est(s"w$i") >= i, s"w$i: ${est(s"w$i")} < $i (CMS never undercounts)")
+      // 40 values in 4096 buckets: collisions essentially impossible
+      assert(est(s"w$i") == i, s"w$i: ${est(s"w$i")} != $i")
+    }
+    // unseen item -> 0 (tiny w forces every bucket to exist check)
+    val unseen = Profile.cmsLookup(sketch, Seq("nope").toDF("v"), "v")
+      .as[(String, Long)].head()
+    assert(unseen._2 >= 0)
+  }
+
+  test("cmsSketch: shard sketches union by summing counts") {
+    import graft.operators.Profile
+    import org.apache.spark.sql.functions._
+    val a = Seq("x", "x", "y").toDF("v")
+    val b = Seq("x", "z").toDF("v")
+    val merged = Profile.cmsSketch(a, "v").union(Profile.cmsSketch(b, "v"))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+    val whole = Profile.cmsSketch(a.union(b), "v")
+    val m = merged.as[(Int, Int, Long)].collect().toSet
+    val w = whole.as[(Int, Int, Long)].collect().toSet
+    assert(m == w)
+  }
 }
