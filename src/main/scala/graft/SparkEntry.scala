@@ -720,6 +720,49 @@ object SparkEntry {
           .where(col("word") =!= ""),
         "lang", "word", k = 256)
     }),
+    "q_fuzzy_join" -> ((s, dir) => {
+      // "Which entity names are one typo apart" — deletion-
+      // neighborhood blocking (linear candidate generation, never an
+      // all-pairs scan) over the customer-name key space; the
+      // completeness guarantee means the oracle's blocked replay
+      // finds exactly the same pairs.
+      graft.operators.Fuzzy.editDistancePairs(
+        t(s, dir, "customer"), "c_name",
+        minLen = 4, maxLen = 64, maxBucket = 500)
+    }),
+    "q_compaction_plan" -> ((s, dir) => {
+      // Small-file compaction binning over a per-source "file"
+      // listing (size = total chars): next-fit-decreasing bins at a
+      // 100 KB target — the plan an automated table-maintenance job
+      // executes one task per bin.
+      graft.operators.Layout.compactionPlan(
+        t(s, dir, "documents").groupBy(col("source").as("file"))
+          .agg(sum(col("n_chars")).as("size_bytes")),
+        "file", "size_bytes", targetBytes = 100000L)
+    }),
+    "q_zorder" -> ((s, dir) => {
+      // The Morton key that drives layoutZOrder's clustered write:
+      // doc length (clamped to 16 bits) interleaved with the 16-bit
+      // source hash bucket — pure shift/and arithmetic, mirrored
+      // term-for-term by the oracle.
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        graft.operators.Layout.zorderValue(
+          Seq(least(col("n_chars"), lit(65535L)),
+            conv(substring(md5(col("source")), 1, 4), 16, 10).cast("long")),
+          bits = 16).as("z"))
+    }),
+    "q_kmv_overlap" -> ((s, dir) => {
+      // "how many customers do the two order streams share" from two
+      // bounded sketches — k=256 binds on both slices at sf0.01
+      // already, so the estimator (not the exact fallback) is what
+      // the oracle replays.
+      val o = t(s, dir, "orders")
+      graft.operators.Profile.overlapKmv(
+        o.where(pmod(col("o_orderkey"), lit(2)) === 0),
+        o.where(pmod(col("o_orderkey"), lit(2)) === 1),
+        "o_custkey", k = 256)
+    }),
     "q_quantiles_by_group" -> ((s, dir) => {
       graft.operators.Profile.quantilesByGroup(
         t(s, dir, "documents"), "lang", Seq("n_chars"), Seq(0.25, 0.5, 0.9))
@@ -1020,6 +1063,56 @@ object SparkEntry {
         Parallelism.spread(t(s, dir, "events")),
         "ts_ms", "value", "user_id",
         widthMs = 86400000L, slideMs = 28800000L)
+    }),
+    "q_event_paths" -> ((s, dir) => {
+      // "what do users actually do, in order?" — top 20 type
+      // trigrams over the time-ordered per-user streams.
+      graft.operators.Events.topPaths(
+        Parallelism.spread(t(s, dir, "events")),
+        "user_id", "ts_ms", "event_type", n = 3, topK = 20)
+    }),
+    "q_anomaly" -> ((s, dir) => {
+      // Rolling z-score over each sparse user's gap-filled daily
+      // series: the silent-day-aware alerting shape. z = 2.5 so the
+      // synthetic series actually trips flags.
+      graft.operators.Events.anomalies(
+        Parallelism.spread(t(s, dir, "events"))
+          .where(pmod(col("user_id"), lit(23)) === 0),
+        "ts_ms", "user_id", "value", stepMs = 86400000L,
+        trailing = 7, z = 2.5)
+    }),
+    "q_upsert" -> ((s, dir) => {
+      // CDC apply over two change versions: v1 deletes m=3, edits
+      // m=4, inserts m=5 under +10M ids; v2 re-edits a third of the
+      // m=4 edits and deletes a third of the inserts — latest-wins
+      // must pick v2 where present.
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val m = pmod(col("doc_id"), lit(10))
+      val m3 = pmod(col("doc_id"), lit(3))
+      def ch(df: DataFrame, text: org.apache.spark.sql.Column,
+          id: org.apache.spark.sql.Column, v: Long, op: String) =
+        df.select(id.as("doc_id"), text.as("text"), col("lang"),
+          lit(v).as("version"), lit(op).as("op"))
+      val changes = ch(docs.where(m === 3), col("text"), col("doc_id"), 1L, "delete")
+        .unionByName(ch(docs.where(m === 4),
+          concat(col("text"), lit(" v2")), col("doc_id"), 1L, "upsert"))
+        .unionByName(ch(docs.where(m === 5),
+          col("text"), col("doc_id") + 10000000L, 1L, "upsert"))
+        .unionByName(ch(docs.where(m === 4 && m3 === 0),
+          concat(col("text"), lit(" v3")), col("doc_id"), 2L, "upsert"))
+        .unionByName(ch(docs.where(m === 5 && m3 === 0),
+          col("text"), col("doc_id") + 10000000L, 2L, "delete"))
+      graft.operators.Versioning.applyChanges(
+        docs, changes, "doc_id", "version", "op")
+    }),
+    "q_gapfill" -> ((s, dir) => {
+      // Per-user daily series with the silent days materialized and
+      // forward-filled: the model-feature / dashboard series shape.
+      // Sparse users (id % 37 = 0) guarantee real gaps to fill.
+      graft.operators.Events.gapFill(
+        Parallelism.spread(t(s, dir, "events"))
+          .where(pmod(col("user_id"), lit(37)) === 0),
+        "ts_ms", "user_id", "value", stepMs = 86400000L)
     }),
     "q_corr" -> ((s, dir) => {
       // Pairwise Pearson over the lineitem measures: every moment
@@ -2425,6 +2518,15 @@ object SparkEntry {
     */
   private def h60Sql(e: String): String = hNibSql(e, 15)
 
+  /** Morton/Z-value of the (already-quantized) expressions `xs` —
+    * the DuckDB replay of [[graft.operators.Layout.zorderValue]]:
+    * the identical shift/mask/shift terms, summed.
+    */
+  private def zorderSql(xs: Seq[String], bits: Int): String =
+    (for { b <- 0 until bits; (x, j) <- xs.zipWithIndex }
+      yield s"(((($x) >> $b) & 1) << ${b * xs.size + j})")
+      .mkString("(", " + ", ")")
+
   /** Shared feature CTEs for the Selection oracles: word unigram +
     * bigram occurrences of each document, hashed to 64 md5 buckets
     * (mirrors Selection.unigramsAndBigrams + gramBucket exactly).
@@ -2556,6 +2658,65 @@ object SparkEntry {
         |  CASE WHEN g.nd < 256 THEN g.nd::DOUBLE
         |       ELSE round(255.0 * 1152921504606846976.0 / kv.hk, 4) END AS est_distinct
         |FROM g LEFT JOIN kv ON g.lang = kv.lang""".stripMargin,
+    // the two slice sketches + the union sketch replayed as window
+    // ranks over the same 60-bit hashes; est_union is rounded FIRST
+    // (4 dp), then est_inter multiplies the rounded value — the
+    // identical IEEE op order as overlapKmv's column graph
+    "q_kmv_overlap" ->
+      s"""WITH ea AS (SELECT DISTINCT ${h60Sql("o_custkey::VARCHAR")} AS h
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_custkey IS NOT NULL),
+        |eb AS (SELECT DISTINCT ${h60Sql("o_custkey::VARCHAR")} AS h
+        |  FROM orders WHERE o_orderkey % 2 = 1 AND o_custkey IS NOT NULL),
+        |ka AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ea) WHERE rn <= 256),
+        |kb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM eb) WHERE rn <= 256),
+        |ku AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+        |  FROM (SELECT h FROM ka UNION SELECT h FROM kb)) WHERE rn <= 256),
+        |s AS (SELECT
+        |  (SELECT count(*) FROM ka) AS na, (SELECT count(*) FROM kb) AS nb,
+        |  (SELECT count(*) FROM ku) AS nu,
+        |  (SELECT max(h) FROM ka) AS ma, (SELECT max(h) FROM kb) AS mb,
+        |  (SELECT max(h) FROM ku) AS mu,
+        |  (SELECT count(*) FROM ku JOIN ka USING (h) JOIN kb USING (h)) AS c),
+        |e AS (SELECT *,
+        |  CASE WHEN na < 256 THEN na::DOUBLE ELSE round(255.0 * 1152921504606846976.0 / ma, 4) END AS ea_,
+        |  CASE WHEN nb < 256 THEN nb::DOUBLE ELSE round(255.0 * 1152921504606846976.0 / mb, 4) END AS eb_,
+        |  CASE WHEN nu < 256 THEN nu::DOUBLE ELSE round(255.0 * 1152921504606846976.0 / mu, 4) END AS eu_
+        |  FROM s)
+        |SELECT na::INT AS n_a_kept, nb::INT AS n_b_kept, nu::INT AS n_union_kept,
+        |  ea_ AS est_a, eb_ AS est_b, eu_ AS est_union, c::INT AS inter_kept,
+        |  CASE WHEN nu = 0 THEN 0.0 ELSE round(c::DOUBLE * eu_ / nu, 4) END AS est_inter,
+        |  CASE WHEN nu = 0 THEN 0.0 ELSE round(c::DOUBLE / nu, 6) END AS jaccard_kmv
+        |FROM e""".stripMargin,
+    // deletion-neighborhood blocking replayed exactly: {v} ∪ the
+    // single-char deletions, the same HAVING <= 500 bucket cap, the
+    // same levenshtein verify — completeness makes blocked == exact
+    "q_fuzzy_join" ->
+      """WITH v AS (SELECT DISTINCT c_name AS v FROM customer
+        |  WHERE length(c_name) BETWEEN 4 AND 64),
+        |k0 AS (
+        |  SELECT v, v AS key FROM v
+        |  UNION ALL
+        |  SELECT v, substr(v, 1, i) || substr(v, i + 2) AS key
+        |  FROM (SELECT v, unnest(range(0, length(v))) AS i FROM v)),
+        |kc AS (SELECT key FROM k0 GROUP BY key HAVING count(*) <= 500),
+        |k AS (SELECT k0.v, k0.key FROM k0 JOIN kc USING (key)),
+        |p AS (SELECT DISTINCT a.v AS a, b.v AS b
+        |  FROM k a JOIN k b USING (key) WHERE a.v < b.v)
+        |SELECT a, b, levenshtein(a, b)::INT AS dist FROM p
+        |WHERE levenshtein(a, b) <= 1""".stripMargin,
+    // identical next-fit-decreasing rule: cum-before window over the
+    // same (size DESC, file) order, integer floor division
+    "q_compaction_plan" ->
+      """WITH f AS (SELECT source AS file, sum(n_chars)::BIGINT AS size_bytes
+        |  FROM documents GROUP BY 1),
+        |c AS (SELECT file, size_bytes,
+        |  coalesce(sum(size_bytes) OVER (ORDER BY size_bytes DESC, file
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM f)
+        |SELECT file, size_bytes, (cb // 100000)::INT AS bin FROM c""".stripMargin,
+    "q_zorder" ->
+      s"""SELECT doc_id, ${zorderSql(
+        Seq("least(n_chars, 65535)", hNibSql("source", 4)), 16)}::BIGINT AS z
+        |FROM documents""".stripMargin,
     "q_quantiles_by_group" ->
       """SELECT lang, 'n_chars' AS "column", unnest([0.25, 0.5, 0.9]::DOUBLE[]) AS prob,
         |  round(unnest(quantile_cont(n_chars::DOUBLE, [0.25, 0.5, 0.9])), 4) AS quantile
@@ -2986,6 +3147,84 @@ object SparkEntry {
         |  round((sum(value::DECIMAL(18,6)))::DOUBLE, 4) AS sum_value,
         |  round((sum(value::DECIMAL(18,6)))::DOUBLE / count(value), 4) AS avg_value
         |FROM events, generate_series(0, 2) AS g(i) GROUP BY 1""".stripMargin,
+    // identical per-user (ts, type) lead windows; the global rank
+    // runs over the bounded distinct-path set
+    "q_event_paths" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
+        |s AS (SELECT user_id, event_type AS s0,
+        |  lead(event_type, 1) OVER pw AS s1,
+        |  lead(event_type, 2) OVER pw AS s2
+        |  FROM e WINDOW pw AS (PARTITION BY user_id ORDER BY ts_ms, event_type)),
+        |c AS (SELECT s0 || '>' || s1 || '>' || s2 AS path, count(*) AS n
+        |  FROM s WHERE s0 IS NOT NULL AND s1 IS NOT NULL AND s2 IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT path, n, rank::INT AS rank
+        |FROM (SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rank FROM c)
+        |WHERE rank <= 20""".stripMargin,
+    // the q_gapfill pipeline + two trailing-window DECIMAL moment
+    // sums; mean/sd/z each round once, so every boundary compare is
+    // on identically-rounded doubles
+    "q_anomaly" ->
+      """WITH dd AS (SELECT user_id, epoch_ms(ts) // 86400000 AS d,
+        |    sum(value::DECIMAL(18,6)) AS sv
+        |  FROM events WHERE user_id % 23 = 0 GROUP BY 1, 2),
+        |sp AS (SELECT user_id, min(d) AS mn, max(d) AS mx FROM dd GROUP BY 1),
+        |s AS (SELECT user_id, unnest(range(mn, mx + 1)) AS d FROM sp),
+        |j AS (SELECT s.user_id, s.d, dd.sv FROM s LEFT JOIN dd USING (user_id, d)),
+        |g AS (SELECT user_id, d * 86400000 AS bucket_ms,
+        |  round((last_value(sv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE, 4) AS vf
+        |  FROM j),
+        |wnd AS (SELECT user_id, bucket_ms, vf,
+        |  count(*) OVER tw AS n,
+        |  sum(vf::DECIMAL(18,4)) OVER tw AS wsv,
+        |  sum(vf::DECIMAL(18,4) * vf::DECIMAL(18,4)) OVER tw AS wsq
+        |  FROM g WINDOW tw AS (PARTITION BY user_id ORDER BY bucket_ms
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |m AS (SELECT *, round(wsv::DOUBLE / n, 6) AS mean FROM wnd),
+        |sd AS (SELECT *, round(sqrt(greatest(0.0, wsq::DOUBLE / n - mean * mean)), 6) AS sdev FROM m),
+        |zz AS (SELECT *, CASE WHEN n >= 7 AND sdev > 0
+        |    THEN round(abs(vf - mean) / sdev, 4) END AS zscore FROM sd)
+        |SELECT user_id, bucket_ms, vf AS value_filled, zscore,
+        |  coalesce(zscore > 2.5, false) AS is_anomaly
+        |FROM zz""".stripMargin,
+    // latest-wins replayed with the same (version desc, op desc)
+    // window; the base is an anti-join + union, exactly the operator
+    "q_upsert" ->
+      """WITH base AS (SELECT doc_id, text, lang FROM documents),
+        |ch AS (
+        |  SELECT doc_id, text, lang, 1 AS version, 'delete' AS op
+        |    FROM documents WHERE doc_id % 10 = 3
+        |  UNION ALL SELECT doc_id, text || ' v2', lang, 1, 'upsert'
+        |    FROM documents WHERE doc_id % 10 = 4
+        |  UNION ALL SELECT doc_id + 10000000, text, lang, 1, 'upsert'
+        |    FROM documents WHERE doc_id % 10 = 5
+        |  UNION ALL SELECT doc_id, text || ' v3', lang, 2, 'upsert'
+        |    FROM documents WHERE doc_id % 10 = 4 AND doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id + 10000000, text, lang, 2, 'delete'
+        |    FROM documents WHERE doc_id % 10 = 5 AND doc_id % 3 = 0),
+        |latest AS (SELECT doc_id, text, lang, op FROM (
+        |  SELECT ch.*, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY version DESC, op DESC) AS rn FROM ch) WHERE rn = 1)
+        |SELECT b.doc_id, b.text, b.lang FROM base b
+        |  LEFT JOIN latest l ON b.doc_id = l.doc_id WHERE l.doc_id IS NULL
+        |UNION ALL
+        |SELECT doc_id, text, lang FROM latest WHERE op <> 'delete'""".stripMargin,
+    // same DECIMAL bucket sums as the rollups; the spine is
+    // range(min, max+1), the fill one IGNORE NULLS window — post-1970
+    // epochs, so `//` == floor like q_tumbling
+    "q_gapfill" ->
+      """WITH dd AS (SELECT user_id, epoch_ms(ts) // 86400000 AS d,
+        |    sum(value::DECIMAL(18,6)) AS sv
+        |  FROM events WHERE user_id % 37 = 0 GROUP BY 1, 2),
+        |sp AS (SELECT user_id, min(d) AS mn, max(d) AS mx FROM dd GROUP BY 1),
+        |s AS (SELECT user_id, unnest(range(mn, mx + 1)) AS d FROM sp),
+        |j AS (SELECT s.user_id, s.d, dd.sv FROM s LEFT JOIN dd USING (user_id, d))
+        |SELECT user_id, d * 86400000 AS bucket_ms,
+        |  round((last_value(sv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE, 4) AS value_filled,
+        |  sv IS NULL AS is_gap
+        |FROM j""".stripMargin,
     "q_corr" -> corrOracleSql("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), 4),
     // identical marginal products and the left-associative

@@ -337,4 +337,141 @@ object Events {
         round(col("__sv").cast("double"), 4).as("sum_value"),
         round(col("__sv").cast("double") / col("__nv"), 4).as("avg_value"))
   }
+
+  /** Per-key time-series gap fill with forward fill: bucket each
+    * key's events into `stepMs` windows, materialize EVERY bucket in
+    * the key's own [min, max] span (a dashboard/model-feature series
+    * must show the silent days, not skip them), and carry the last
+    * observed value into the gaps.
+    *
+    * Scale shape: the bucket rollup map-side-combines to one row per
+    * (key, bucket); the spine is a closed-form `sequence` explode
+    * bounded by span/step (never a calendar-table join); the fill is
+    * one window per key over the ALREADY-AGGREGATED series — the
+    * raw event volume never enters the window. Everything downstream
+    * of the first aggregation is |keys × buckets|-sized, independent
+    * of corpus row count. Value sums ride the exact DECIMAL(18,6)
+    * accumulator (order-independent), rounded once at the edge.
+    *
+    * Forward fill is total: a key's first bucket is by construction
+    * observed, so `value_filled` is never null.
+    *
+    * @return (keyCol, bucket_ms, value_filled, is_gap) — one row per
+    *         key per step in the key's observed span.
+    */
+  /** Top event-type paths: each user's time-ordered event stream is
+    * decomposed into its length-`n` sliding type sequences
+    * ("view>click>purchase"), counted globally, top `topK` returned —
+    * the sequence-mining report behind "what do users actually do
+    * before converting?" (the n-gram special case of PrefixSpan-style
+    * mining, which is what production funnels use).
+    *
+    * Scale shape: one window per user over (ts, type) — the stream is
+    * consumed ONCE; the path count map-side-combines; the global
+    * top-k ranks the DISTINCT path set (≤ |types|ⁿ, a small constant,
+    * never corpus-sized). Ordering ties (same user, same timestamp)
+    * break on the type string, so the paths are deterministic.
+    *
+    * @return (path, n, rank) — topK rows, rank 1-based by
+    *         (count desc, path).
+    */
+  def topPaths(
+      df: DataFrame,
+      userCol: String,
+      tsMsCol: String,
+      typeCol: String,
+      n: Int = 3,
+      topK: Int = 20): DataFrame = {
+    require(n >= 2, "paths need at least 2 steps")
+    require(topK >= 1, "topK must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsMsCol), col("__s0"))
+    val steps = (1 until n).foldLeft(
+      df.select(col(userCol), col(tsMsCol), col(typeCol).as("__s0"))) {
+      case (acc, i) => acc.withColumn(s"__s$i", lead(col("__s0"), i).over(w))
+    }
+    val counted = steps
+      .where((0 until n).map(i => col(s"__s$i").isNotNull).reduce(_ && _))
+      .select(concat_ws(">", (0 until n).map(i => col(s"__s$i")): _*).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("path"))
+    counted
+      .withColumn("rank", row_number().over(rankW))
+      .where(col("rank") <= topK)
+  }
+
+  /** Rolling z-score anomaly flags over each key's gap-filled series:
+    * [[gapFill]] first (so silent buckets participate — a crashed
+    * pipeline's zero-filled day IS the anomaly), then each bucket's
+    * value is scored against the TRAILING `trailing`-bucket window
+    * (strictly before the current bucket — the score never sees the
+    * value it judges). Mean/stddev come from exact DECIMAL window
+    * sums of the 4 dp-rounded filled values, combined in double with
+    * one rounding per output (6 dp moments, 4 dp z) — every boundary
+    * compare is on identically-rounded values, engine-replayable.
+    *
+    * Scale shape: everything downstream of gapFill's first
+    * aggregation is |keys × buckets|-sized; the two window passes
+    * share one (key, bucket) sort.
+    *
+    * @return (keyCol, bucket_ms, value_filled, zscore, is_anomaly) —
+    *         zscore null until a full trailing window with nonzero
+    *         spread exists; is_anomaly = zscore > `z`.
+    */
+  def anomalies(
+      df: DataFrame,
+      tsMsCol: String,
+      keyCol: String,
+      valueCol: String,
+      stepMs: Long,
+      trailing: Int = 7,
+      z: Double = 3.0): DataFrame = {
+    require(trailing >= 2, "trailing window must hold at least 2 buckets")
+    val filled = gapFill(df, tsMsCol, keyCol, valueCol, stepMs)
+    val dec = col("value_filled").cast("decimal(18,4)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("bucket_ms"))
+      .rowsBetween(-trailing, -1)
+    val scored = filled
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sv", sum(dec).over(w))
+      .withColumn("__sq", sum(dec * dec).over(w))
+      .withColumn("__mean", round(col("__sv").cast("double") / col("__n"), 6))
+      .withColumn("__sd", round(sqrt(greatest(lit(0.0),
+        col("__sq").cast("double") / col("__n") - col("__mean") * col("__mean"))), 6))
+      .withColumn("zscore",
+        when(col("__n") >= trailing && col("__sd") > 0,
+          round(abs(col("value_filled") - col("__mean")) / col("__sd"), 4)))
+    scored.select(
+      col(keyCol), col("bucket_ms"), col("value_filled"),
+      col("zscore"),
+      coalesce(col("zscore") > z, lit(false)).as("is_anomaly"))
+  }
+
+  def gapFill(
+      df: DataFrame,
+      tsMsCol: String,
+      keyCol: String,
+      valueCol: String,
+      stepMs: Long): DataFrame = {
+    require(stepMs > 0, "stepMs must be positive")
+    val daily = df
+      .groupBy(col(keyCol), floorDivMs(tsMsCol, stepMs).as("__d"))
+      .agg(sum(col(valueCol).cast("decimal(18,6)")).as("__sv"))
+    val spine = daily
+      .groupBy(col(keyCol))
+      .agg(min(col("__d")).as("__mn"), max(col("__d")).as("__mx"))
+      .select(col(keyCol), explode(sequence(col("__mn"), col("__mx"))).as("__d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__d"))
+      .rowsBetween(Long.MinValue, 0)
+    spine.join(daily, Seq(keyCol, "__d"), "left")
+      .select(
+        col(keyCol),
+        (col("__d") * stepMs).as("bucket_ms"),
+        round(last(col("__sv"), ignoreNulls = true).over(w).cast("double"), 4)
+          .as("value_filled"),
+        col("__sv").isNull.as("is_gap"))
+  }
 }

@@ -777,6 +777,75 @@ object Profile {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
 
+  /** Set-operation estimates between two corpus slices from KMV
+    * sketches — "how many customers/tokens/URLs do slice A and B
+    * share?" WITHOUT materializing either distinct set (the
+    * theta-sketch intersection idea, Dasgupta et al., "Theta
+    * sketches", 2016-style, on the KMV state of [[distinctKmv]]):
+    * each slice reduces to its k smallest distinct 60-bit md5 hashes
+    * (≤ 8·k bytes, map-side combined), and every output — per-slice
+    * distinct estimates, union estimate, intersection estimate,
+    * Jaccard — is arithmetic on the two bounded arrays. The exact
+    * answer would shuffle both full distinct sets; this ships 2·k
+    * longs regardless of corpus size.
+    *
+    * Soundness of the membership trick: the k smallest union hashes
+    * are all ≤ each side's own kth minimum, so "h ∈ sketch(A)" is
+    * exact for every union-sketch element — the intersection count
+    * over the union sketch is an unbiased |A∩B|/|A∪B| sample.
+    *
+    * Determinism: outputs depend only on the two hash SETS (same
+    * contract as [[distinctKmv]]), so the DuckDB oracle replays them
+    * with window ranks. Estimates round once, at 4 dp (ratios 6 dp).
+    *
+    * @return one row: (n_a_kept, n_b_kept, n_union_kept, est_a,
+    *         est_b, est_union, inter_kept, est_inter, jaccard_kmv).
+    */
+  def overlapKmv(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      valueCol: String,
+      k: Int = 256): DataFrame = {
+    require(k > 1, "k must be > 1 (the estimator needs k-1)")
+    import org.apache.spark.sql.GraftSqlBridge
+    def sketchOf(df: DataFrame, name: String): DataFrame = {
+      val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      val sk = GraftSqlBridge.column(
+        graft.functions.KmvSketchAggregate(GraftSqlBridge.expression(h), k)
+          .toAggregateExpression())
+      df.where(col(valueCol).isNotNull).agg(sk.as(name))
+    }
+    val num = (k - 1).toDouble * 1152921504606846976.0
+    def estOf(arr: Column): Column =
+      when(size(arr) < k, size(arr).cast("double"))
+        .otherwise(round(lit(num) / element_at(arr, k), 4))
+    // two 1-row frames; the cross join is a broadcast of one row
+    val joined = sketchOf(dfA, "__a").crossJoin(broadcast(sketchOf(dfB, "__b")))
+    // union sketch: k smallest of the merged hash SETS (each side is
+    // already sorted+distinct; the merge is 2k elements)
+    val u = slice(array_sort(array_distinct(concat(col("__a"), col("__b")))), 1, k)
+    joined
+      .withColumn("__u", u)
+      .withColumn("__estu", estOf(col("__u")))
+      .withColumn("__c",
+        size(array_intersect(array_intersect(col("__u"), col("__a")), col("__b"))))
+      .select(
+        size(col("__a")).as("n_a_kept"),
+        size(col("__b")).as("n_b_kept"),
+        size(col("__u")).as("n_union_kept"),
+        estOf(col("__a")).as("est_a"),
+        estOf(col("__b")).as("est_b"),
+        col("__estu").as("est_union"),
+        col("__c").as("inter_kept"),
+        when(size(col("__u")) === 0, lit(0.0))
+          .otherwise(round(col("__c").cast("double") * col("__estu") / size(col("__u")), 4))
+          .as("est_inter"),
+        when(size(col("__u")) === 0, lit(0.0))
+          .otherwise(round(col("__c").cast("double") / size(col("__u")), 6))
+          .as("jaccard_kmv"))
+  }
+
   def distinctKmv(
       df: DataFrame,
       groupCol: String,

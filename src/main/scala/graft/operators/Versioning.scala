@@ -61,4 +61,51 @@ object Versioning {
       compareCols: Seq[String]): DataFrame =
     snapshotDiff(oldDf, newDf, idCol, compareCols)
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
+
+  /** Apply a CDC change stream to a base snapshot — the MERGE /
+    * upsert-apply primitive behind incremental table maintenance:
+    * `changes` carries base-shaped payload rows plus a version and an
+    * op (`"upsert"` or `"delete"`; anything else fails the job via
+    * `raise_error` — silent tolerance of a typo'd op corrupts the
+    * table). Per key, the LATEST change wins (version desc; ties
+    * break on op desc then payload fingerprint desc, so the result
+    * is deterministic even on degenerate duplicate versions); a
+    * winning upsert replaces the base row, a winning delete removes
+    * it, keys without changes pass through untouched.
+    *
+    * Scale shape: the latest-wins window shuffles only the CHANGE
+    * stream (delta-sized, not table-sized); the base is touched by
+    * ONE left-anti join on the key (AQE broadcasts the delta's key
+    * set in the usual small-delta case) plus a union — the base is
+    * never windowed, fingerprinted, or re-sorted. Output schema =
+    * base schema.
+    */
+  def applyChanges(
+      base: DataFrame,
+      changes: DataFrame,
+      idCol: String,
+      versionCol: String,
+      opCol: String): DataFrame = {
+    val baseCols = base.columns.toSeq
+    require(baseCols.contains(idCol), s"base must carry $idCol")
+    require(!baseCols.contains(versionCol) && !baseCols.contains(opCol),
+      "base must not carry the version/op bookkeeping columns")
+    val payload = baseCols.filterNot(_ == idCol)
+    require(payload.forall(changes.columns.contains),
+      s"changes must carry the base payload columns $payload")
+    val opGuard = when(col(opCol).isin("upsert", "delete"), col(opCol))
+      .otherwise(raise_error(concat(lit("applyChanges: unknown op "), col(opCol))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col(versionCol).desc, col(opCol).desc,
+        fingerprint(payload).desc)
+    val latest = changes
+      .withColumn(opCol, opGuard)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+    val untouched = base.join(latest.select(col(idCol)), Seq(idCol), "left_anti")
+    val upserted = latest.where(col(opCol) === "upsert")
+      .select(baseCols.map(col): _*)
+    untouched.unionByName(upserted)
+  }
 }

@@ -78,4 +78,51 @@ class KmvSketchSpec extends SparkSpec {
     assert(n == 2 && e == 2.0)
     assert(Profile.distinctKmv(df.limit(0), "g", "v", k = 8).count() == 0)
   }
+
+  test("overlapKmv: exact branch below k — identical, disjoint, partial") {
+    def row(a: Seq[String], b: Seq[String]) =
+      Profile.overlapKmv(a.toDF("v"), b.toDF("v"), "v", k = 64)
+        .select(col("n_union_kept"), col("est_a"), col("est_b"),
+          col("est_union"), col("inter_kept"), col("est_inter"),
+          col("jaccard_kmv"))
+        .as[(Int, Double, Double, Double, Int, Double, Double)].head()
+    // identical 10-element sets: everything exact, jaccard 1
+    val same = (1 to 10).map("x" + _)
+    assert(row(same, same) == ((10, 10.0, 10.0, 10.0, 10, 10.0, 1.0)))
+    // disjoint sets
+    val (n1, _, _, eu1, c1, ei1, j1) = row((1 to 10).map("a" + _), (1 to 5).map("b" + _))
+    assert(n1 == 15 && eu1 == 15.0 && c1 == 0 && ei1 == 0.0 && j1 == 0.0)
+    // half overlap: A = 1..10, B = 6..15 -> union 15, inter 5
+    val (n2, ea2, eb2, eu2, c2, ei2, j2) =
+      row((1 to 10).map("t" + _), (6 to 15).map("t" + _))
+    assert(n2 == 15 && ea2 == 10.0 && eb2 == 10.0 && eu2 == 15.0)
+    assert(c2 == 5 && ei2 == 5.0 && math.abs(j2 - 5.0 / 15) < 1e-6)
+  }
+
+  test("overlapKmv: sketch-branch estimates track truth within ~4/sqrt(k)") {
+    // |A| = 12k, |B| = 10k, |A ∩ B| = 4k (ids 8000..11999)
+    val a = (0 until 12000).map(i => "id" + i)
+    val b = (8000 until 18000).map(i => "id" + i)
+    val k = 1024
+    val (estA, estB, estU, estI) =
+      Profile.overlapKmv(a.toDF("v"), b.toDF("v"), "v", k = k)
+        .select(col("est_a"), col("est_b"), col("est_union"), col("est_inter"))
+        .as[(Double, Double, Double, Double)].head()
+    val tol = 4.0 / math.sqrt(k)
+    assert(math.abs(estA - 12000) / 12000 < tol, s"est_a $estA")
+    assert(math.abs(estB - 10000) / 10000 < tol, s"est_b $estB")
+    assert(math.abs(estU - 18000) / 18000 < tol, s"est_union $estU")
+    // intersection variance is higher (ratio of two estimates)
+    assert(math.abs(estI - 4000) / 4000 < 3 * tol, s"est_inter $estI")
+  }
+
+  test("overlapKmv: partitioning-invariant and null-safe") {
+    val a = (0 until 3000).map(i => Option("k" + i)) :+ None
+    val b = (1500 until 4500).map(i => Option("k" + i)) :+ None
+    val r1 = Profile.overlapKmv(a.toDF("v"), b.toDF("v"), "v", k = 128).collect().toSeq
+    val r2 = Profile.overlapKmv(
+      a.toDF("v").repartition(11), b.toDF("v").repartition(7), "v", k = 128)
+      .collect().toSeq
+    assert(r1 == r2)
+  }
 }

@@ -49,4 +49,57 @@ class VersioningSpec extends SparkSpec {
     assert(statuses(Nil, s).values.toSet == Set("added"))
     assert(statuses(s, Nil).values.toSet == Set("removed"))
   }
+
+  test("applyChanges: upsert/delete/insert with latest-wins") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+    val changes = Seq(
+      (2L, "b2", 1L, "upsert"),  // update
+      (3L, "c", 1L, "delete"),   // delete
+      (5L, "e", 1L, "upsert"),   // insert
+      (2L, "b3", 2L, "upsert"),  // later version wins
+      (5L, "e", 2L, "delete"),   // insert then delete -> gone
+      (4L, "dX", 1L, "delete"),  // delete then later re-upsert
+      (4L, "d2", 3L, "upsert"))
+      .toDF("id", "v", "version", "op")
+    val out = Versioning.applyChanges(base, changes, "id", "version", "op")
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a"), (2L, "b3"), (4L, "d2")))
+  }
+
+  test("applyChanges: same-version ties break deterministically (op desc)") {
+    val base = Seq((1L, "a")).toDF("id", "v")
+    val changes = Seq((1L, "a2", 1L, "upsert"), (1L, "zzz", 1L, "delete"))
+      .toDF("id", "v", "version", "op")
+    // 'upsert' > 'delete' lexically -> the upsert wins the tie
+    val out = Versioning.applyChanges(base, changes, "id", "version", "op")
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a2")))
+  }
+
+  test("applyChanges: unknown op fails the job; bad shapes rejected") {
+    val base = Seq((1L, "a")).toDF("id", "v")
+    val bad = Seq((1L, "x", 1L, "uspert")).toDF("id", "v", "version", "op")
+    val e = intercept[Exception](
+      Versioning.applyChanges(base, bad, "id", "version", "op").collect())
+    assert(e.getMessage.contains("unknown op") ||
+      e.getCause != null && e.getCause.getMessage.contains("unknown op"))
+    intercept[IllegalArgumentException](Versioning.applyChanges(
+      base.withColumnRenamed("id", "k"), bad, "id", "version", "op"))
+    intercept[IllegalArgumentException](Versioning.applyChanges(
+      base.withColumn("op", lit("x")), bad, "id", "version", "op"))
+  }
+
+  test("applyChanges: partitioning-invariant") {
+    val rnd = new scala.util.Random(3)
+    val base = (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v")
+    val changes = Seq.fill(300)((rnd.nextInt(250).toLong + 1, s"c${rnd.nextInt(1000)}",
+      rnd.nextInt(5).toLong, if (rnd.nextBoolean()) "upsert" else "delete"))
+      .toDF("id", "v", "version", "op")
+    val a = Versioning.applyChanges(base, changes, "id", "version", "op")
+      .collect().toSet
+    val b = Versioning.applyChanges(
+      base.repartition(7), changes.repartition(11), "id", "version", "op")
+      .collect().toSet
+    assert(a == b)
+  }
 }
