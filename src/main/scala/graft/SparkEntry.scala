@@ -1064,6 +1064,46 @@ object SparkEntry {
         "ts_ms", "value", "user_id",
         widthMs = 86400000L, slideMs = 28800000L)
     }),
+    "q_orc_roundtrip" -> ((s, dir) => {
+      // Columnar interchange: write the doc slice as zstd ORC, read
+      // it back under the explicit schema — identity oracle, newline/
+      // null-bearing text exercises the value path end to end.
+      val docs = Parallelism.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.sources.Orc.writeOrc(docs, path)
+      graft.sources.Orc.readOrc(s, path, docs.schema)
+    }),
+    "q_heavy_mg" -> ((s, dir) => {
+      // The MG presence GUARANTEE is the oracle contract: every
+      // exact top-10 word's count far exceeds N/(k+1) at k=64 (the
+      // vocab is ~31 near-uniform words), so in_sketch is
+      // deterministically true however partitions merged — while the
+      // sketch itself stayed ≤ 64 entries.
+      val words = Parallelism.spread(t(s, dir, "documents"))
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .where(col("word") =!= "")
+      val sketch = graft.operators.Profile.mgHeavyHitters(words, "word", k = 64)
+      graft.operators.Profile.topValues(words, "word", 10)
+        .withColumnRenamed("n", "n_exact")
+        .join(sketch.select(col("item").as("word"), lit(true).as("in_sketch")),
+          Seq("word"), "left")
+        .select(col("word"), col("n_exact"),
+          coalesce(col("in_sketch"), lit(false)).as("in_sketch"))
+    }),
+    "q_inverted_index" -> ((s, dir) => {
+      // search/retrieval handoff: token → capped ascending posting
+      // list; df gates prune hapaxes BEFORE any list is built.
+      // Arrays don't hash in the driver compare → postings
+      // space-joined (the q_pack_shards convention).
+      graft.functions.TextAnalysis.postingLists(
+        t(s, dir, "documents"), "text", "doc_id",
+        minDf = 2L, maxPostings = 100)
+        .select(col("token"), col("df_count"), col("n_postings"),
+          array_join(col("postings").cast("array<string>"), " ")
+            .as("postings_joined"))
+    }),
     "q_event_paths" -> ((s, dir) => {
       // "what do users actually do, in order?" — top 20 type
       // trigrams over the time-ordered per-user streams.
@@ -3147,6 +3187,33 @@ object SparkEntry {
         |  round((sum(value::DECIMAL(18,6)))::DOUBLE, 4) AS sum_value,
         |  round((sum(value::DECIMAL(18,6)))::DOUBLE / count(value), 4) AS avg_value
         |FROM events, generate_series(0, 2) AS g(i) GROUP BY 1""".stripMargin,
+    "q_orc_roundtrip" ->
+      "SELECT doc_id, lang, text, n_chars FROM documents",
+    // the MG presence guarantee makes in_sketch a deterministic
+    // TRUE for every top-10 word (counts >> N/(k+1)); the oracle is
+    // the exact top-10 with the guaranteed flag
+    "q_heavy_mg" ->
+      """WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |  FROM documents),
+        |c AS (SELECT word, count(*) AS n_exact FROM w WHERE word <> '' GROUP BY 1)
+        |SELECT word, n_exact, true AS in_sketch
+        |FROM c ORDER BY n_exact DESC, word LIMIT 10""".stripMargin,
+    // identical (doc, token) distinct pairs; the cap is the same
+    // rank-before-collect, df_count counts ALL docs
+    "q_inverted_index" ->
+      """WITH p AS (SELECT DISTINCT doc_id AS id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |p2 AS (SELECT * FROM p WHERE token <> ''),
+        |e AS (SELECT token, count(*) AS df_count FROM p2
+        |  GROUP BY 1 HAVING count(*) >= 2),
+        |r AS (SELECT token, id,
+        |  row_number() OVER (PARTITION BY token ORDER BY id) AS rn FROM p2),
+        |x AS (SELECT token, list(id ORDER BY id) AS postings
+        |  FROM r WHERE rn <= 100 GROUP BY token)
+        |SELECT e.token, e.df_count, len(x.postings)::INT AS n_postings,
+        |  array_to_string(x.postings, ' ') AS postings_joined
+        |FROM x JOIN e USING (token)""".stripMargin,
     // identical per-user (ts, type) lead windows; the global rank
     // runs over the bounded distinct-path set
     "q_event_paths" ->

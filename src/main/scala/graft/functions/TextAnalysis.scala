@@ -1248,4 +1248,55 @@ object TextAnalysis {
       .withColumn("n_tokens", size(col("input_ids")))
     if (dropPartial) seqs.where(col("n_tokens") === seqLen) else seqs
   }
+
+  /** Inverted-index export: token → sorted doc-id posting list —
+    * the search/retrieval handoff ("which docs mention X?") and the
+    * substrate of BM25-style scoring. Shape at 100 TB:
+    *
+    *  - document frequencies aggregate FIRST (map-side combined, one
+    *    bounded row per vocab entry), and the `[minDf, maxDf]` gate
+    *    prunes stopwords and hapaxes BEFORE any posting list exists —
+    *    a stopword's corpus-sized posting list is never collected;
+    *  - the gate is applied by an equi-join on the token (co-
+    *    partitioned with the posting aggregation — one exchange
+    *    feeds both), so the vocab table is never broadcast (it is
+    *    vocabulary-sized, not small);
+    *  - `maxPostings` ranks doc-ids per token BEFORE `collect_list`,
+    *    so executor memory holds at most `maxPostings` entries per
+    *    token even when `maxDf` is left open.
+    *
+    * Postings are ascending doc-ids (deterministic; the rank window
+    * orders by doc-id), `df_count` counts ALL matching docs even
+    * when the emitted list is capped.
+    *
+    * @return (token, df_count, n_postings, postings).
+    */
+  def postingLists(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      minDf: Long = 1L,
+      maxDf: Long = Long.MaxValue,
+      maxPostings: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf, "need 1 <= minDf <= maxDf")
+    val pairs = graft.operators.Parallelism.spread(df)
+      .select(col(idCol).as("__id"),
+        explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .where(col("token") =!= "")
+    val eligible = pairs.groupBy(col("token"))
+      .agg(count(lit(1)).as("df_count"))
+      .where(col("df_count") >= minDf && col("df_count") <= maxDf)
+    val ranked =
+      if (maxPostings > 0) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("token")).orderBy(col("__id"))
+        pairs.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= maxPostings)
+      } else pairs
+    ranked.join(eligible, Seq("token"))
+      .groupBy(col("token"), col("df_count"))
+      .agg(sort_array(collect_list(col("__id"))).as("postings"))
+      .select(col("token"), col("df_count"),
+        size(col("postings")).as("n_postings"), col("postings"))
+  }
 }

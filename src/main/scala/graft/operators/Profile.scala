@@ -846,6 +846,38 @@ object Profile {
           .as("jaccard_kmv"))
   }
 
+  /** Misra–Gries heavy-hitter candidates from a bounded sketch —
+    * "the frequent tokens/domains/keys" WITHOUT a vocabulary-sized
+    * count table: per-partition state is ≤ k (item, counter) pairs
+    * (a `TypedImperativeAggregate`, map-side combined, merges by the
+    * mergeable-summaries rule), and the output is the ≤ k surviving
+    * candidates. THE GUARANTEE: every item whose true count exceeds
+    * N/(k+1) is present; kept counters underestimate by ≤ N/(k+1).
+    * Which OTHER items survive — and the counter values — are
+    * arrival/merge-order-dependent, so downstream queries should
+    * consume membership (e.g. [[topValues]]∩sketch, which the
+    * oracle-checked board row does) or re-count the candidate set
+    * exactly in a second cheap pass (the classic two-pass exact
+    * heavy-hitters plan, candidates already in hand).
+    *
+    * @return (item, cnt) — at most k rows, the sketch's surviving
+    *         candidates with their (lower-bound) counters.
+    */
+  def mgHeavyHitters(
+      df: DataFrame,
+      valueCol: String,
+      k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val sk = GraftSqlBridge.column(
+      graft.functions.MgSketchAggregate(
+        GraftSqlBridge.expression(col(valueCol).cast("string")), k)
+        .toAggregateExpression())
+    df.where(col(valueCol).isNotNull)
+      .agg(sk.as("__mg"))
+      .select(explode(col("__mg")).as("__e"))
+      .select(col("__e.item").as("item"), col("__e.cnt").as("cnt"))
+  }
+
   def distinctKmv(
       df: DataFrame,
       groupCol: String,

@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.TextAnalysis
 import graft.functions.TextAnalysis._
 import org.apache.spark.sql.functions._
 
@@ -715,5 +716,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fix("plain text stays") == "plain text stays")
     // pipeline composition: repair before stripHtml keeps entities intact
     assert(fix("itâ€™s &amp; fine") == "it’s &amp; fine")
+  }
+
+  test("postingLists: df gates, ascending postings, cap keeps smallest ids") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (10L, "alpha beta beta gamma"),
+      (3L, "alpha gamma"),
+      (7L, "alpha delta"),
+      (5L, "epsilon")).toDF("doc_id", "text")
+    val out = TextAnalysis.postingLists(df, "text", "doc_id", minDf = 2)
+      .select(col("token"), col("df_count"), col("n_postings"), col("postings"))
+      .as[(String, Long, Int, Seq[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    // hapaxes (beta counts once per doc; delta/epsilon df=1) gated out
+    assert(out.keySet == Set("alpha", "gamma"))
+    assert(out("alpha") == (("alpha", 3L, 3, Seq(3L, 7L, 10L))))
+    assert(out("gamma") == (("gamma", 2L, 2, Seq(3L, 10L))))
+    // cap: emitted list truncates to the smallest ids, df stays full
+    val capped = TextAnalysis.postingLists(df, "text", "doc_id",
+      minDf = 2, maxPostings = 2)
+      .select(col("token"), col("df_count"), col("postings"))
+      .as[(String, Long, Seq[Long])].collect().map(r => r._1 -> r).toMap
+    assert(capped("alpha") == (("alpha", 3L, Seq(3L, 7L))))
+  }
+
+  test("postingLists: maxDf drops stopwords before any list; partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 50L).map(i =>
+      (i, "the common" + (if (i <= 5) " rare" else ""))).toDF("doc_id", "text")
+    val out = TextAnalysis.postingLists(docs, "text", "doc_id",
+      minDf = 2, maxDf = 10)
+      .select(col("token"), col("df_count")).as[(String, Long)].collect().toMap
+    assert(out == Map("rare" -> 5L)) // the/common at df=50 gated out
+    val a = TextAnalysis.postingLists(docs, "text", "doc_id", minDf = 2, maxDf = 10)
+      .collect().toSet
+    val b = TextAnalysis.postingLists(docs.repartition(13), "text", "doc_id",
+      minDf = 2, maxDf = 10).collect().toSet
+    assert(a == b)
   }
 }
