@@ -875,6 +875,12 @@ object SparkEntry {
         Parallelism.spread(t(s, dir, "documents")).select(col("doc_id")),
         "doc_id", seed = 3)
     }),
+    "q_negatives" -> ((s, dir) => {
+      // contrastive-training negatives: 4 deterministic uniform
+      // non-self draws per anchor, no cross join, no rand().
+      graft.operators.Sampling.negativeSample(
+        Parallelism.spread(t(s, dir, "documents")), "doc_id", k = 4, seed = 5)
+    }),
     "q_mix" -> ((s, dir) => {
       // wiki-×1.5 / web-×0.75-style mixing over the lang slices: one
       // full epoch + a 0.5 sample of 'en', a 0.75 sample of 'fr',
@@ -1063,6 +1069,14 @@ object SparkEntry {
         Parallelism.spread(t(s, dir, "events")),
         "ts_ms", "value", "user_id",
         widthMs = 86400000L, slideMs = 28800000L)
+    }),
+    "q_bm25" -> ((s, dir) => {
+      // Ranked retrieval over the corpus frame: Okapi BM25 for a
+      // 4-term query, shuffle-free scoring (HOF term counts + one
+      // broadcast stats row), global top-50.
+      graft.functions.TextAnalysis.bm25TopK(
+        t(s, dir, "documents"), "text", "doc_id",
+        Seq("spark", "data", "query", "window"), k = 50)
     }),
     "q_orc_roundtrip" -> ((s, dir) => {
       // Columnar interchange: write the doc slice as zstd ORC, read
@@ -2929,6 +2943,18 @@ object SparkEntry {
       """SELECT doc_id, row_number() OVER (ORDER BY
         |  md5(doc_id::VARCHAR || ':3') || ':' || doc_id::VARCHAR) - 1 AS order_id
         |FROM documents""".stripMargin,
+    // same md5-order ranks (one window), same 60-bit offsets, same
+    // (rank+1+off) mod N probe — the rank join replays as a self-join
+    "q_negatives" ->
+      s"""WITH r AS (SELECT doc_id, row_number() OVER (ORDER BY
+        |    md5(doc_id::VARCHAR || ':5') || ':' || doc_id::VARCHAR) - 1 AS rk
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM r),
+        |p AS (SELECT r.doc_id, g.j,
+        |    (r.rk + 1 + (${h60Sql("r.doc_id::VARCHAR || ':5:' || g.j::VARCHAR")} % (n.n - 1))) % n.n AS nrk
+        |  FROM r, n, generate_series(0, 3) AS g(j))
+        |SELECT p.doc_id, p.j::INT AS j, r2.doc_id AS neg_id
+        |FROM p JOIN r r2 ON p.nrk = r2.rk""".stripMargin,
     // Corpus-mix replay: epoch union + per-source keep-flag samples
     // (derived seeds 2*131+i), then the same md5-key global order.
     "q_mix" ->
@@ -3187,6 +3213,30 @@ object SparkEntry {
         |  round((sum(value::DECIMAL(18,6)))::DOUBLE, 4) AS sum_value,
         |  round((sum(value::DECIMAL(18,6)))::DOUBLE / count(value), 4) AS avg_value
         |FROM events, generate_series(0, 2) AS g(i) GROUP BY 1""".stripMargin,
+    // identical fixed-order contribution sum (never a data-ordered
+    // aggregation), idf/contribution 6 dp, total 4 dp
+    "q_bm25" -> {
+      val terms = Seq("spark", "data", "query", "window")
+      val tfCols = terms.zipWithIndex.map { case (t, j) =>
+        s"len(list_filter(w, x -> x = '$t'))::DOUBLE AS tf$j"
+      }.mkString(",\n        |  ")
+      val dfCols = terms.indices.map(j =>
+        s"sum(CASE WHEN tf$j > 0 THEN 1 ELSE 0 END)::DOUBLE AS df$j")
+        .mkString(", ")
+      val contribs = terms.indices.map(j =>
+        s"round(round(ln(1.0 + (n - df$j + 0.5) / (df$j + 0.5)), 6) * tf$j * 2.2" +
+          s" / (tf$j + 1.2 * (0.25 + 0.75 * l / (sl / n))), 6)")
+        .mkString(" + ")
+      s"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+        |  FROM documents),
+        |base AS (SELECT doc_id, len(w) AS l,
+        |  $tfCols
+        |  FROM tk),
+        |s AS (SELECT count(*)::DOUBLE AS n, sum(l)::DOUBLE AS sl, $dfCols FROM base),
+        |sc AS (SELECT doc_id, round($contribs, 4) AS bm25 FROM base, s)
+        |SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+        |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin
+    },
     "q_orc_roundtrip" ->
       "SELECT doc_id, lang, text, n_chars FROM documents",
     // the MG presence guarantee makes in_sketch a deterministic

@@ -1249,6 +1249,68 @@ object TextAnalysis {
     if (dropPartial) seqs.where(col("n_tokens") === seqLen) else seqs
   }
 
+  /** BM25 ranked retrieval for a fixed query-term set (Robertson &
+    * Walker's Okapi BM25, with the Lucene `ln(1 + (N−df+0.5)/(df+0.5))`
+    * idf): the scoring half of the row-164 inverted-index story,
+    * runnable directly over the corpus frame.
+    *
+    * Shuffle-free by construction: per-term tf comes from a
+    * row-local HOF (`size(filter(tokens, = term))` — no explode, no
+    * (doc, term) shuffle), corpus stats (N, Σlen, per-term df) are
+    * ONE map-side-combined aggregation into ONE row broadcast back,
+    * and the score is a fixed-order expression sum over the ≤ m
+    * query terms — deterministic without decimal accumulators
+    * because it is never a data-ordered aggregation. The only
+    * distributed work beyond the scan is the global top-k
+    * (TakeOrderedAndProject — per-partition k rows to the driver).
+    *
+    * Rounding contract: idf and each term contribution round to
+    * 6 dp, the total to 4 dp — every value the oracle compares is
+    * identically rounded. Ties break on id ascending.
+    *
+    * @return (idCol, bm25) — the top `k` scoring docs among those
+    *         matching ≥ 1 term.
+    */
+  def bm25TopK(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      queryTerms: Seq[String],
+      k: Int = 50,
+      k1: Double = 1.2,
+      b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    require(queryTerms.distinct.size == queryTerms.size, "duplicate query terms")
+    val base = graft.operators.Parallelism.spread(df)
+      .select(col(idCol), tokens(col(textCol)).as("__w"))
+      .withColumn("__len", size(col("__w")))
+    def tf(term: String): Column =
+      size(filter(col("__w"), w => w === lit(term))).cast("double")
+    val withTf = queryTerms.zipWithIndex.foldLeft(base) {
+      case (acc, (term, j)) => acc.withColumn(s"__tf$j", tf(term))
+    }
+    val aggs = Seq(
+      count(lit(1)).cast("double").as("__n"),
+      sum(col("__len").cast("long")).cast("double").as("__sl")) ++
+      queryTerms.indices.map(j =>
+        sum(when(col(s"__tf$j") > 0, 1L).otherwise(0L)).cast("double").as(s"__df$j"))
+    val stats = withTf.agg(aggs.head, aggs.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+      .withColumn("__avgdl", col("__sl") / col("__n"))
+    val contrib = queryTerms.indices.map { j =>
+      val idf = round(log(lit(1.0) +
+        (col("__n") - col(s"__df$j") + 0.5) / (col(s"__df$j") + 0.5)), 6)
+      round(idf * col(s"__tf$j") * (k1 + 1) /
+        (col(s"__tf$j") + lit(k1) * (lit(1 - b) + lit(b) * col("__len") / col("__avgdl"))), 6)
+    }
+    scored
+      .withColumn("bm25", round(contrib.reduce(_ + _), 4))
+      .where(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("bm25"))
+  }
+
   /** Inverted-index export: token → sorted doc-id posting list —
     * the search/retrieval handoff ("which docs mention X?") and the
     * substrate of BM25-style scoring. Shape at 100 TB:

@@ -331,6 +331,45 @@ object Sampling {
     * the distributed prefix sum. Shared by [[shuffleForTraining]] and
     * [[mixCorpora]].
     */
+  /** Deterministic uniform negative sampling — the contrastive-
+    * training pair generator ("for every anchor, k random non-self
+    * rows") WITHOUT a cross join and WITHOUT `rand()`: rows get the
+    * deterministic global hash order of [[shuffleForTraining]]
+    * (distributed prefix sum — no single-partition window), each
+    * anchor derives k offsets from md5(id, seed, j), and the j-th
+    * negative is the row at rank `(rank + 1 + offset_j) mod N` —
+    * the `+1 … mod (N−1)` construction can never draw the anchor
+    * itself. One rank equi-join fetches the negatives: everything is
+    * linear in N·k, reproducible across retries/partitionings, and
+    * engine-replayable (the oracle replays ranks with one window and
+    * the same 60-bit md5 offsets).
+    *
+    * @return (idCol, j, negCol) — k rows per anchor, j = 0..k−1.
+    */
+  def negativeSample(
+      df: DataFrame,
+      idCol: String,
+      k: Int,
+      seed: Int = 0,
+      negCol: String = "neg_id"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val ranked = shuffleForTraining(df.select(col(idCol)), idCol, seed, "__rk")
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    val probes = ranked.crossJoin(broadcast(n))
+      .select(col(idCol), col("__rk"), col("__n"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .withColumn("__off",
+        pmod(conv(substring(md5(concat(col(idCol).cast("string"),
+          lit(s":$seed:"), col("j"))), 1, 15), 16, 10).cast("long"),
+          col("__n") - 1))
+      .select(col(idCol), col("j"),
+        pmod(col("__rk") + 1 + col("__off"), col("__n")).as("__nrk"))
+    probes.join(
+      ranked.select(col("__rk").as("__nrk"), col(idCol).as(negCol)),
+      Seq("__nrk"))
+      .select(col(idCol), col("j"), col(negCol))
+  }
+
   private def rankByHash(
       df: DataFrame,
       hashInput: Column,

@@ -304,4 +304,33 @@ class SamplingSpec extends SparkSpec {
     assert(nat.count() == 400)
     assert(nat.select($"src", $"id").distinct().count() == 400)
   }
+
+  test("negativeSample: k non-self negatives per anchor, deterministic") {
+    val df = (1L to 200L).map(i => (i, s"payload$i")).toDF("id", "v")
+    val out = Sampling.negativeSample(df, "id", k = 3, seed = 7)
+      .as[(Long, Int, Long)].collect()
+    assert(out.length == 600)
+    // never self, j complete per anchor
+    assert(out.forall { case (a, _, n) => a != n })
+    val perAnchor = out.groupBy(_._1)
+    assert(perAnchor.size == 200 && perAnchor.values.forall(_.map(_._2).sorted.toSeq == Seq(0, 1, 2)))
+    // reproducible across partitionings
+    val again = Sampling.negativeSample(df.repartition(13), "id", k = 3, seed = 7)
+      .as[(Long, Int, Long)].collect()
+    assert(out.toSet == again.toSet)
+    // a different seed draws a different assignment
+    val other = Sampling.negativeSample(df, "id", k = 3, seed = 8)
+      .as[(Long, Int, Long)].collect()
+    assert(other.toSet != out.toSet)
+  }
+
+  test("negativeSample: draws are roughly uniform over the corpus") {
+    val df = (1L to 500L).map(i => (i, i)).toDF("id", "v")
+    val out = Sampling.negativeSample(df, "id", k = 8, seed = 1)
+      .select($"neg_id").as[Long].collect()
+    val counts = out.groupBy(identity).view.mapValues(_.size).toMap
+    // 4000 draws over 500 ids: E = 8; no id should be wildly hot or absent
+    assert(counts.size > 450, s"only ${counts.size} distinct negatives drawn")
+    assert(counts.values.max <= 30, s"hottest negative drawn ${counts.values.max}x")
+  }
 }

@@ -718,6 +718,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fix("itâ€™s &amp; fine") == "it’s &amp; fine")
   }
 
+  test("bm25TopK: ranking follows tf, idf and length normalization") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "zebra common filler filler filler"),        // rare term
+      (2L, "common filler filler filler filler"),       // common only
+      (3L, "zebra zebra common filler filler"),         // rare term twice
+      (4L, "zebra " + Seq.fill(50)("filler").mkString(" ")), // rare, long doc
+      (5L, "nothing relevant here at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(df, "text", "doc_id",
+      Seq("zebra", "common"), k = 10)
+      .select(col("doc_id"), col("bm25")).as[(Long, Double)].collect()
+    val score = out.toMap
+    assert(!score.contains(5L)) // no query term -> excluded
+    assert(score(3L) > score(1L), "higher tf must outrank")
+    assert(score(1L) > score(2L), "rare term must outrank common-only")
+    assert(score(1L) > score(4L), "same tf, shorter doc must outrank")
+    // top-1 is the double-zebra doc
+    assert(out.maxBy(_._2)._1 == 3L)
+  }
+
+  test("bm25TopK: partition-invariant, k truncates, ties break on id") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 100L).map(i => (i, if (i % 2 == 0) "hit text" else "miss text"))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.bm25TopK(docs, "text", "doc_id", Seq("hit"), k = 7)
+      .as[(Long, Double)].collect().toSeq
+    val b = TextAnalysis.bm25TopK(docs.repartition(13), "text", "doc_id",
+      Seq("hit"), k = 7).as[(Long, Double)].collect().toSeq
+    assert(a == b)
+    assert(a.length == 7)
+    // all matching docs tie on score -> smallest ids win
+    assert(a.map(_._1) == Seq(2L, 4L, 6L, 8L, 10L, 12L, 14L))
+  }
+
   test("postingLists: df gates, ascending postings, cap keeps smallest ids") {
     import org.apache.spark.sql.functions.col
     val df = Seq(
