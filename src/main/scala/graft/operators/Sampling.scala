@@ -353,7 +353,11 @@ object Sampling {
       seed: Int = 0,
       negCol: String = "neg_id"): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // staged: both the probe side and the rank join read this frame —
+    // without the checkpoint the whole prefix-sum chain re-executes
+    // per use (8 shuffles measured vs 4 staged)
     val ranked = shuffleForTraining(df.select(col(idCol)), idCol, seed, "__rk")
+      .localCheckpoint()
     val n = ranked.agg(count(lit(1)).as("__n"))
     val probes = ranked.crossJoin(broadcast(n))
       .select(col(idCol), col("__rk"), col("__n"),
