@@ -730,6 +730,28 @@ object SparkEntry {
         t(s, dir, "customer"), "c_name",
         minLen = 4, maxLen = 64, maxBucket = 500)
     }),
+    "q_entity_resolution" -> ((s, dir) => {
+      // The full record-linkage composition over typo-noisy entity
+      // names (12 companies × {base, suffix-typo, leading-typo}):
+      // row-156 fuzzy pairs → row-41 connected components →
+      // min-name canonical; singletons canonicalize to themselves.
+      // Variant selector rides div 12 — INDEPENDENT of the company
+      // residue, so every company emits all three forms.
+      val m3 = pmod(expr("doc_id div 12"), lit(3))
+      val base = concat(lit("company-"),
+        (pmod(col("doc_id"), lit(12)) * 7919).cast("string"))
+      val names = Parallelism.spread(t(s, dir, "documents"))
+        .select(
+          when(m3 === 0, concat(base, lit("x")))
+            .when(m3 === 1, concat(lit("k"), substring(base, 2, 100)))
+            .otherwise(base).as("name"))
+        .distinct()
+      val pairs = graft.operators.Fuzzy.editDistancePairs(names, "name")
+        .select(col("a").as("id_a"), col("b").as("id_b"))
+      val clusters = Dedup.duplicateClusters(pairs)
+      names.join(clusters.withColumnRenamed("id", "name"), Seq("name"), "left")
+        .select(col("name"), coalesce(col("label"), col("name")).as("canon"))
+    }),
     "q_compaction_plan" -> ((s, dir) => {
       // Small-file compaction binning over a per-source "file"
       // listing (size = total chars): next-fit-decreasing bins at a
@@ -2758,6 +2780,29 @@ object SparkEntry {
         |  FROM k a JOIN k b USING (key) WHERE a.v < b.v)
         |SELECT a, b, levenshtein(a, b)::INT AS dist FROM p
         |WHERE levenshtein(a, b) <= 1""".stripMargin,
+    // the fuzzy-pair CTE (deletion blocking + levenshtein verify)
+    // feeds the same recursive reachability closure as the dedup
+    // cluster oracles; singletons canonicalize to themselves
+    "q_entity_resolution" ->
+      """WITH RECURSIVE nm AS (SELECT DISTINCT
+        |    CASE WHEN (doc_id // 12) % 3 = 0 THEN 'company-' || (doc_id % 12 * 7919)::VARCHAR || 'x'
+        |         WHEN (doc_id // 12) % 3 = 1 THEN 'k' || substr('company-' || (doc_id % 12 * 7919)::VARCHAR, 2)
+        |         ELSE 'company-' || (doc_id % 12 * 7919)::VARCHAR END AS name
+        |  FROM documents),
+        |k0 AS (SELECT name AS v, name AS key FROM nm
+        |  UNION ALL SELECT name, substr(name, 1, i) || substr(name, i + 2)
+        |  FROM (SELECT name, unnest(range(0, length(name))) AS i FROM nm)),
+        |p AS (SELECT DISTINCT a.v AS id_a, b.v AS id_b FROM k0 a JOIN k0 b USING (key)
+        |  WHERE a.v < b.v AND levenshtein(a.v, b.v) <= 1),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY 1)
+        |SELECT nm.name, coalesce(lab.label, nm.name) AS canon
+        |FROM nm LEFT JOIN lab ON nm.name = lab.id""".stripMargin,
     // identical next-fit-decreasing rule: cum-before window over the
     // same (size DESC, file) order, integer floor division
     "q_compaction_plan" ->
