@@ -752,6 +752,76 @@ object SparkEntry {
       names.join(clusters.withColumnRenamed("id", "name"), Seq("name"), "left")
         .select(col("name"), coalesce(col("label"), col("name")).as("canon"))
     }),
+    "q_expectations" -> ((s, dir) => {
+      // Ingest-gate contract audit over a deliberately corrupted
+      // orders snapshot: m=3 nulls the fk, m=5 orphans it (+10M),
+      // m=4 negates the price, m=7 lower-cases the status, m=6 rows
+      // are re-emitted as exact duplicates. Five declarative rules,
+      // one scan + one broadcast key-set join.
+      import graft.operators.Expectations
+      import graft.operators.Expectations._
+      val m = pmod(col("o_orderkey"), lit(10))
+      val corrupted = t(s, dir, "orders")
+        .withColumn("o_custkey",
+          when(m === 3, lit(null).cast("long"))
+            .when(m === 5, col("o_custkey") + 10000000L)
+            .otherwise(col("o_custkey")))
+        .withColumn("o_totalprice",
+          when(m === 4, -col("o_totalprice")).otherwise(col("o_totalprice")))
+        .withColumn("o_orderstatus",
+          when(m === 7, lower(col("o_orderstatus"))).otherwise(col("o_orderstatus")))
+      val withDups = corrupted.unionByName(corrupted.where(m === 6))
+      Expectations.validate(Parallelism.spread(withDups), Seq(
+        NotNull("o_custkey"),
+        InRange("o_totalprice", 0.0, 1000000.0),
+        MatchesRegex("o_orderstatus", "^[A-Z]$"),
+        Unique(Seq("o_orderkey")),
+        RefIntegrity("o_custkey", t(s, dir, "customer"), "c_custkey")))
+    }),
+    "q_auc" -> ((s, dir) => {
+      // Tie-aware ROC AUC of a synthetic quality gate: label = every
+      // 4th doc, score = 10-bit md5 noise (1024 dyadic levels — ties
+      // guaranteed) shifted +0.25 for positives. Dyadic construction
+      // is bit-exact in both engines: no rounding anywhere upstream
+      // of the one output division.
+      val label = pmod(col("doc_id"), lit(4)) === 0
+      val noise = pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":auc"))), 1, 4), 16, 10).cast("long"), lit(1024))
+      val scored = Parallelism.spread(t(s, dir, "documents"))
+        .select((noise / 1024.0 + when(label, 0.25).otherwise(0.0)).as("score"),
+          label.as("label"))
+      graft.operators.Eval.rocAuc(scored, "score", "label")
+    }),
+    "q_calibration" -> ((s, dir) => {
+      // Reliability bins over the same synthetic gate: scores reach
+      // 1.25 − ε, so the top bin's clamp is exercised on real rows.
+      val label = pmod(col("doc_id"), lit(4)) === 0
+      val noise = pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":auc"))), 1, 4), 16, 10).cast("long"), lit(1024))
+      val scored = Parallelism.spread(t(s, dir, "documents"))
+        .select((noise / 1024.0 + when(label, 0.25).otherwise(0.0)).as("score"),
+          label.as("label"))
+      graft.operators.Eval.calibrationBins(scored, "score", "label", bins = 10)
+    }),
+    "q_scd2" -> ((s, dir) => {
+      // Type-2 dimension history from a 3-version change log: m=4
+      // docs edited at v2 (a third re-edited at v3), m=7 docs
+      // re-asserted UNCHANGED at v2 — the no-op must collapse into
+      // the open [1, null) interval, not split it.
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val m = pmod(col("doc_id"), lit(10))
+      val m3 = pmod(col("doc_id"), lit(3))
+      def v(df: DataFrame, text: org.apache.spark.sql.Column, ver: Long) =
+        df.select(col("doc_id"), text.as("text"), col("lang"),
+          lit(ver).as("version"))
+      val changes = v(docs, col("text"), 1L)
+        .unionByName(v(docs.where(m === 4), concat(col("text"), lit(" v2")), 2L))
+        .unionByName(v(docs.where(m === 7), col("text"), 2L))
+        .unionByName(v(docs.where(m === 4 && m3 === 0),
+          concat(col("text"), lit(" v3")), 3L))
+      graft.operators.Versioning.scd2History(
+        Parallelism.spread(changes), "doc_id", "version", Seq("text", "lang"))
+    }),
     "q_compaction_plan" -> ((s, dir) => {
       // Small-file compaction binning over a per-source "file"
       // listing (size = total chars): next-fit-decreasing bins at a
@@ -2803,6 +2873,91 @@ object SparkEntry {
         |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY 1)
         |SELECT nm.name, coalesce(lab.label, nm.name) AS canon
         |FROM nm LEFT JOIN lab ON nm.name = lab.id""".stripMargin,
+    // same corrupted snapshot; each rule is a CASE-indicator sum over
+    // it, uniqueness a count-minus-distinct, ref-integrity an
+    // anti-join count — all mirrored per rule row
+    "q_expectations" ->
+      """WITH tt0 AS (SELECT
+        |    CASE WHEN o_orderkey % 10 = 3 THEN NULL
+        |         WHEN o_orderkey % 10 = 5 THEN o_custkey + 10000000
+        |         ELSE o_custkey END AS o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 4 THEN -o_totalprice
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    CASE WHEN o_orderkey % 10 = 7 THEN lower(o_orderstatus)
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    o_orderkey
+        |  FROM orders),
+        |tt AS (SELECT * FROM tt0
+        |  UNION ALL SELECT * FROM tt0 WHERE o_orderkey % 10 = 6),
+        |m AS (SELECT count(*)::BIGINT AS total,
+        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_null,
+        |    sum(CASE WHEN o_totalprice IS NOT NULL
+        |          AND (o_totalprice < 0 OR o_totalprice > 1000000)
+        |        THEN 1 ELSE 0 END)::BIGINT AS v_range,
+        |    sum(CASE WHEN o_orderstatus IS NOT NULL
+        |          AND NOT regexp_matches(o_orderstatus, '^[A-Z]$')
+        |        THEN 1 ELSE 0 END)::BIGINT AS v_regex,
+        |    (count(*) - count(DISTINCT coalesce(o_orderkey::VARCHAR, chr(0))))::BIGINT AS v_uniq,
+        |    sum(CASE WHEN o_custkey IS NOT NULL
+        |          AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |        THEN 1 ELSE 0 END)::BIGINT AS v_ref
+        |  FROM tt)
+        |SELECT 'not_null' AS rule, 'o_custkey' AS target,
+        |  v_null AS violations, total, v_null = 0 AS pass FROM m
+        |UNION ALL SELECT 'in_range', 'o_totalprice', v_range, total, v_range = 0 FROM m
+        |UNION ALL SELECT 'regex', 'o_orderstatus', v_regex, total, v_regex = 0 FROM m
+        |UNION ALL SELECT 'unique', 'o_orderkey', v_uniq, total, v_uniq = 0 FROM m
+        |UNION ALL SELECT 'ref_integrity', 'o_custkey', v_ref, total, v_ref = 0 FROM m""".stripMargin,
+    // same dyadic score; grouped Mann-Whitney with the identical
+    // doubled-numerator integer arithmetic, one double division
+    "q_auc" ->
+      s"""WITH d AS (SELECT (doc_id % 4 = 0) AS label,
+        |    (${h16Sql("doc_id::VARCHAR || ':auc'")} % 1024) / 1024.0
+        |      + CASE WHEN doc_id % 4 = 0 THEN 0.25 ELSE 0 END AS score
+        |  FROM documents),
+        |g AS (SELECT score AS s,
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS p,
+        |    sum(CASE WHEN label THEN 0 ELSE 1 END)::BIGINT AS n
+        |  FROM d GROUP BY 1),
+        |c AS (SELECT *, sum(n) OVER (ORDER BY s) AS cn FROM g),
+        |t AS (SELECT sum(p)::BIGINT AS pp, sum(n)::BIGINT AS nn FROM g)
+        |SELECT round(sum(p * (2 * cn - n))::DOUBLE
+        |    / (pp::DOUBLE * nn::DOUBLE * 2.0), 6) AS auc,
+        |  pp AS positives, nn AS negatives
+        |FROM c, t GROUP BY pp, nn""".stripMargin,
+    // identical clamped binning; mean over the exact 10-digit decimal
+    // sum (the dyadic 1/1024 scores are exactly DECIMAL(28,10))
+    "q_calibration" ->
+      s"""WITH d AS (SELECT (doc_id % 4 = 0) AS label,
+        |    (${h16Sql("doc_id::VARCHAR || ':auc'")} % 1024) / 1024.0
+        |      + CASE WHEN doc_id % 4 = 0 THEN 0.25 ELSE 0 END AS score
+        |  FROM documents)
+        |SELECT least(greatest(floor(score * 10), 0), 9)::BIGINT AS bin,
+        |  count(*)::BIGINT AS n,
+        |  round(sum(score::DECIMAL(28,10))::DOUBLE / count(*), 6) AS mean_score,
+        |  round(sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+        |    AS pos_rate
+        |FROM d GROUP BY 1""".stripMargin,
+    // identical dedup/collapse rule: fingerprint equality over the
+    // (doc_id, version) order, intervals from lead()
+    "q_scd2" ->
+      """WITH ch AS (
+        |  SELECT doc_id, text, lang, 1::BIGINT AS version FROM documents
+        |  UNION ALL SELECT doc_id, text || ' v2', lang, 2 FROM documents
+        |    WHERE doc_id % 10 = 4
+        |  UNION ALL SELECT doc_id, text, lang, 2 FROM documents
+        |    WHERE doc_id % 10 = 7
+        |  UNION ALL SELECT doc_id, text || ' v3', lang, 3 FROM documents
+        |    WHERE doc_id % 10 = 4 AND doc_id % 3 = 0),
+        |f AS (SELECT *, md5(concat_ws(chr(1), coalesce(text, chr(0)),
+        |    coalesce(lang, chr(0)))) AS fp FROM ch),
+        |k AS (SELECT * FROM (SELECT f.*, lag(fp) OVER
+        |    (PARTITION BY doc_id ORDER BY version) AS pfp FROM f)
+        |  WHERE pfp IS NULL OR pfp <> fp)
+        |SELECT doc_id, text, lang, version AS valid_from,
+        |  lead(version) OVER (PARTITION BY doc_id ORDER BY version) AS valid_to,
+        |  lead(version) OVER (PARTITION BY doc_id ORDER BY version) IS NULL AS is_current
+        |FROM k""".stripMargin,
     // identical next-fit-decreasing rule: cum-before window over the
     // same (size DESC, file) order, integer floor division
     "q_compaction_plan" ->

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations — the ingest-gate contract
+  * check every pipeline swap should run before a snapshot goes live
+  * (the Great-Expectations / dbt-test shape, re-expressed as ONE
+  * Spark aggregation pass).
+  *
+  * Each rule reduces to a violation-indicator column; all row-local
+  * rules (not-null, range, regex, foreign-key membership) are summed
+  * in a SINGLE `agg` over ONE scan of the fact table — adding a rule
+  * adds a codegen'd indicator, never a pass. Referential rules chain
+  * a broadcast-ranged left join of the dim's distinct key set in
+  * front of the same agg (AQE broadcasts the key set; the fact is
+  * still scanned once). Uniqueness needs the key's distinct count —
+  * expressed as `count_distinct` over a null-tagged fingerprint in
+  * the same agg (Spark plans it as one expand over the shared scan).
+  * The result is one bounded row per rule, unpivoted from the single
+  * aggregated row with `stack` — no collect, no driver loop.
+  */
+object Expectations {
+
+  /** One declarative check. `name` and `target` identify the result
+    * row; `violated` flags a failing fact row (null-safe: a rule only
+    * fires on the condition it owns — range/regex rules skip nulls,
+    * which are [[NotNull]]'s job).
+    */
+  sealed trait Expectation {
+    def name: String
+    def target: String
+  }
+
+  /** Fails rows where `column` is null. */
+  final case class NotNull(column: String) extends Expectation {
+    def name = "not_null"; def target = column
+  }
+
+  /** Fails rows where the non-null numeric value falls outside
+    * [lo, hi].
+    */
+  final case class InRange(column: String, lo: Double, hi: Double)
+      extends Expectation {
+    def name = "in_range"; def target = column
+  }
+
+  /** Fails rows where the non-null string value has no match for
+    * `pattern` (search semantics — anchor with ^…$ for full-match;
+    * keep to the regex subset Java and RE2 agree on).
+    */
+  final case class MatchesRegex(column: String, pattern: String)
+      extends Expectation {
+    def name = "regex"; def target = column
+  }
+
+  /** Fails duplicate key tuples: violations = rows − distinct keys,
+    * with nulls key-tagged so (NULL) duplicates count like any other
+    * repeated key.
+    */
+  final case class Unique(columns: Seq[String]) extends Expectation {
+    def name = "unique"; def target = columns.mkString(",")
+  }
+
+  /** Fails rows whose non-null `column` value has no partner in
+    * `dim`'s `dimKey` — the orphaned-foreign-key audit.
+    */
+  final case class RefIntegrity(column: String, dim: DataFrame, dimKey: String)
+      extends Expectation {
+    def name = "ref_integrity"; def target = column
+  }
+
+  /** Null-tagged fingerprint making NULL a distinct-countable key
+    * value (SURVEY §4 md5-only hashing; mirrors the DuckDB
+    * `md5(concat_ws(chr(1), coalesce(c::VARCHAR, chr(0)), …))`).
+    */
+  private def keyFp(cols: Seq[String]): Column =
+    md5(concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+
+  /** Validate `df` against `rules`.
+    *
+    * @return one row per rule:
+    *         (rule, target, violations, total, pass) — bounded by the
+    *         rule count, computed from one scan of `df` (plus one
+    *         broadcast key-set join per [[RefIntegrity]] rule).
+    */
+  def validate(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
+    require(rules.nonEmpty, "no expectations given")
+
+    // Chain the dim key-set joins in front of the shared agg; each
+    // marker column is non-null iff the fact's fk has a dim partner.
+    var staged = df
+    val refMarker = scala.collection.mutable.Map.empty[Int, String]
+    rules.zipWithIndex.foreach {
+      case (RefIntegrity(c, dim, dimKey), i) =>
+        val m = s"__ref_$i"
+        refMarker(i) = m
+        staged = staged.join(
+          broadcast(dim.select(col(dimKey).as(c)).distinct()
+            .withColumn(m, lit(1))),
+          Seq(c), "left")
+      case _ => ()
+    }
+
+    val aggs: Seq[Column] = count(lit(1)).as("__total") +: rules.zipWithIndex.map {
+      case (NotNull(c), i) =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__v_$i")
+      case (InRange(c, lo, hi), i) =>
+        sum(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1L)
+          .otherwise(0L)).as(s"__v_$i")
+      case (MatchesRegex(c, p), i) =>
+        sum(when(col(c).isNotNull && !col(c).rlike(p), 1L)
+          .otherwise(0L)).as(s"__v_$i")
+      case (Unique(cs), i) =>
+        (count(lit(1)) - countDistinct(keyFp(cs))).as(s"__v_$i")
+      case (RefIntegrity(c, _, _), i) =>
+        sum(when(col(c).isNotNull && col(refMarker(i)).isNull, 1L)
+          .otherwise(0L)).as(s"__v_$i")
+    }
+
+    val one = staged.agg(aggs.head, aggs.tail: _*)
+    // Unpivot the single aggregated row into one row per rule.
+    val stackArgs = rules.zipWithIndex.flatMap { case (r, i) =>
+      Seq(lit(r.name), lit(r.target), col(s"__v_$i"))
+    }
+    one.select(col("__total"),
+        stack(Seq(lit(rules.size)) ++ stackArgs: _*).as(Seq("rule", "target", "violations")))
+      .select(col("rule"), col("target"),
+        // sum over zero rows is null — an empty table violates nothing
+        coalesce(col("violations").cast("long"), lit(0L)).as("violations"),
+        col("__total").as("total"),
+        coalesce(col("violations") === 0L, lit(true)).as("pass"))
+  }
+}

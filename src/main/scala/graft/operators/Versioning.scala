@@ -80,6 +80,55 @@ object Versioning {
     * never windowed, fingerprinted, or re-sorted. Output schema =
     * base schema.
     */
+  /** Build a type-2 slowly-changing-dimension history from a change
+    * log — the "what did this record look like at version v?"
+    * primitive behind point-in-time training-data reconstruction and
+    * dimension auditing.
+    *
+    * Each input row asserts the record's payload as of `versionCol`.
+    * Per key: duplicate versions collapse deterministically (payload
+    * fingerprint desc — the [[applyChanges]] discipline), consecutive
+    * no-op re-assertions of the SAME payload collapse into the open
+    * interval (a crawler re-emitting an unchanged doc must not split
+    * its validity), and each surviving change opens an interval
+    * [valid_from, valid_to) closed by the next REAL change
+    * (valid_to null + is_current on the last).
+    *
+    * Scale shape: everything is windows over ONE hash partitioning on
+    * the key (Spark reuses the exchange across the three window
+    * specs; the sorts share the (key, version) order) — no joins, no
+    * driver state, output ≤ input rows.
+    */
+  def scd2History(
+      changes: DataFrame,
+      idCol: String,
+      versionCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "no payload columns given")
+    import org.apache.spark.sql.expressions.Window
+    val fp = fingerprint(payloadCols)
+    val order = Window.partitionBy(col(idCol)).orderBy(col(versionCol))
+    // Same-version dedup WITHOUT a second partitioning: ordered by
+    // (version, fp desc), the first row of each version run is the
+    // deterministic winner — lag(version) detects the run boundary on
+    // the same (key)-hash exchange every later window reuses.
+    val dedupOrder = Window.partitionBy(col(idCol))
+      .orderBy(col(versionCol), col("__fp").desc)
+    val one = changes
+      .withColumn("__fp", fp)
+      .withColumn("__pv", lag(col(versionCol), 1).over(dedupOrder))
+      .where(col("__pv").isNull || col("__pv") =!= col(versionCol))
+    val kept = one
+      .withColumn("__pfp", lag(col("__fp"), 1).over(order))
+      .where(col("__pfp").isNull || col("__pfp") =!= col("__fp"))
+    kept
+      .withColumn("valid_to", lead(col(versionCol), 1).over(order))
+      .select((Seq(col(idCol)) ++ payloadCols.map(col) ++ Seq(
+        col(versionCol).as("valid_from"),
+        col("valid_to"),
+        col("valid_to").isNull.as("is_current"))): _*)
+  }
+
   def applyChanges(
       base: DataFrame,
       changes: DataFrame,

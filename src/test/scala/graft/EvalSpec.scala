@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.Eval
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def auc(rows: Seq[(Double, Boolean)]): (Double, Long, Long) =
+    Eval.rocAuc(rows.toDF("score", "label"), "score", "label")
+      .as[(Double, Long, Long)].collect().head
+
+  test("rocAuc: perfect separation is 1.0, inverted is 0.0") {
+    val sep = Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))
+    assert(auc(sep) == ((1.0, 2L, 2L)))
+    assert(auc(sep.map { case (s, l) => (s, !l) }) == ((0.0, 2L, 2L)))
+  }
+
+  test("rocAuc: hand-computed value with ties matches the average-rank convention") {
+    // scores: pos {0.5, 0.5, 0.3}, neg {0.5, 0.2}
+    // pairs: each pos vs each neg — wins: (0.5>0.2)x2, (0.3>0.2);
+    // ties at 0.5: 2 pos x 1 neg = 2 half-credits → (3 + 1) / 6
+    val rows = Seq((0.5, true), (0.5, true), (0.3, true), (0.5, false), (0.2, false))
+    val (a, p, n) = auc(rows)
+    assert(p == 3L && n == 2L)
+    assert(math.abs(a - 4.0 / 6.0) < 1e-6)
+  }
+
+  test("rocAuc: all-tied scores give 0.5; single-class gives NaN") {
+    assert(auc(Seq((0.7, true), (0.7, false), (0.7, true)))._1 == 0.5)
+    assert(auc(Seq((0.7, true), (0.3, true)))._1.isNaN)
+  }
+
+  test("rocAuc: complement symmetry and partitioning invariance on random data") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(500)((rnd.nextInt(40) / 40.0, rnd.nextBoolean()))
+    val (a, p, n) = auc(rows)
+    // reversing score order flips every win/loss, keeps half-credits
+    val (ar, _, _) = auc(rows.map { case (s, l) => (-s, l) })
+    assert(math.abs(a + ar - 1.0) < 1e-5)
+    val repart = Eval.rocAuc(
+      rows.toDF("score", "label").repartition(13), "score", "label")
+      .as[(Double, Long, Long)].collect().head
+    assert(repart == ((a, p, n)))
+  }
+
+  test("rocAuc: ignores null scores and labels") {
+    val df = Seq[(java.lang.Double, java.lang.Boolean)](
+      (0.9, true), (0.1, false), (null, true), (0.5, null))
+      .toDF("score", "label")
+    val out = Eval.rocAuc(df, "score", "label")
+      .as[(Double, Long, Long)].collect().head
+    assert(out == ((1.0, 1L, 1L)))
+  }
+
+  private def calib(rows: Seq[(Double, Boolean)], bins: Int) =
+    Eval.calibrationBins(rows.toDF("score", "label"), "score", "label", bins)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("calibrationBins: bin assignment, exact means, positive rates") {
+    val rows = Seq(
+      (0.05, false), (0.15, true), (0.18, false),  // bins 0, 1, 1
+      (0.95, true), (0.99, true))                  // bin 9
+    val out = calib(rows, 10)
+    assert(out.keySet == Set(0L, 1L, 9L))
+    assert(out(0L) == ((1L, 0.05, 0.0)))
+    assert(out(1L) == ((2L, 0.165, 0.5)))
+    assert(out(9L) == ((2L, 0.97, 1.0)))
+  }
+
+  test("calibrationBins: out-of-range scores clamp into the edge bins") {
+    val out = calib(Seq((-0.3, false), (1.7, true), (1.0, true)), 10)
+    assert(out.keySet == Set(0L, 9L))
+    assert(out(0L)._1 == 1L && out(9L)._1 == 2L)
+  }
+
+  test("calibrationBins: a well-calibrated score has mean_score near pos_rate") {
+    // label true iff a deterministic 'coin' below the score
+    val rows = for (i <- 0 until 2000) yield {
+      val s = (i % 100) / 100.0
+      (s, (i * 2654435761L % 1000) / 1000.0 < s)
+    }
+    val out = calib(rows, 5)
+    out.values.foreach { case (_, ms, pr) => assert(math.abs(ms - pr) < 0.06) }
+  }
+}

@@ -102,4 +102,59 @@ class VersioningSpec extends SparkSpec {
       .collect().toSet
     assert(a == b)
   }
+
+  private def scd2(rows: Seq[(Long, String, Long)]) =
+    Versioning.scd2History(rows.toDF("id", "v", "ver"), "id", "ver", Seq("v"))
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+
+  test("scd2History: intervals chain, last is current") {
+    val out = scd2(Seq((1L, "a", 1L), (1L, "b", 3L), (1L, "c", 7L), (2L, "x", 2L)))
+    assert(out == Set(
+      (1L, "a", 1L, Some(3L), false),
+      (1L, "b", 3L, Some(7L), false),
+      (1L, "c", 7L, None, true),
+      (2L, "x", 2L, None, true)))
+  }
+
+  test("scd2History: consecutive no-op re-assertions collapse into the open interval") {
+    val out = scd2(Seq(
+      (1L, "a", 1L), (1L, "a", 2L), (1L, "b", 3L), (1L, "a", 4L), (1L, "a", 5L)))
+    // a@2 collapses into [1,3); a re-appearing at 4 is a REAL change
+    // (non-consecutive), a@5 collapses into it.
+    assert(out == Set(
+      (1L, "a", 1L, Some(3L), false),
+      (1L, "b", 3L, Some(4L), false),
+      (1L, "a", 4L, None, true)))
+  }
+
+  test("scd2History: duplicate versions pick the fingerprint-desc winner deterministically") {
+    val rows = Seq((1L, "a", 1L), (1L, "z", 1L), (1L, "m", 1L))
+    val out = scd2(rows)
+    assert(out.size == 1)
+    val winner = out.head._2
+    // md5-desc winner of {"a","z","m"} — stable across runs and shuffles
+    assert(scd2(scala.util.Random.shuffle(rows)) == out)
+    assert(Set("a", "z", "m").contains(winner))
+  }
+
+  test("scd2History: null payloads fingerprint distinctly from empty strings") {
+    val df = Seq[(Long, String, Long)]((1L, null, 1L), (1L, "", 2L))
+      .toDF("id", "v", "ver")
+    val out = Versioning.scd2History(df, "id", "ver", Seq("v"))
+      .as[(Long, Option[String], Long, Option[Long], Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, None, 1L, Some(2L), false),
+      (1L, Some(""), 2L, None, true)))
+  }
+
+  test("scd2History: partitioning-invariant") {
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.fill(400)((rnd.nextInt(40).toLong,
+      s"p${rnd.nextInt(6)}", rnd.nextInt(20).toLong))
+    val a = scd2(rows)
+    val b = Versioning.scd2History(
+      rows.toDF("id", "v", "ver").repartition(13), "id", "ver", Seq("v"))
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(a == b)
+  }
 }
