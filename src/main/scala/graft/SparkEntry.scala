@@ -803,6 +803,20 @@ object SparkEntry {
           label.as("label"))
       graft.operators.Eval.calibrationBins(scored, "score", "label", bins = 10)
     }),
+    "q_pmi" -> ((s, dir) => {
+      // Top-50 PMI collocations over the doc corpus at min pair
+      // count 5 — row-local bigrams, two map-side count tables, a
+      // TakeOrderedAndProject top-k.
+      graft.functions.TextAnalysis.pmiCollocations(
+        t(s, dir, "documents"), "text", minCount = 5L, k = 50)
+    }),
+    "q_class_terms" -> ((s, dir) => {
+      // Per-language distinctive vocabulary (c-TF-IDF shape): top-10
+      // terms whose within-class rate most exceeds corpus
+      // availability.
+      graft.functions.TextAnalysis.classTopTerms(
+        t(s, dir, "documents"), "text", "lang", k = 10)
+    }),
     "q_scd2" -> ((s, dir) => {
       // Type-2 dimension history from a 3-version change log: m=4
       // docs edited at v2 (a third re-edited at v3), m=7 docs
@@ -2938,6 +2952,41 @@ object SparkEntry {
         |  round(sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
         |    AS pos_rate
         |FROM d GROUP BY 1""".stripMargin,
+    // same row-local bigrams (the q_lm_score list_transform shape),
+    // identical probability-ratio arithmetic order, 6 dp before the
+    // ordered top-50 cut
+    "q_pmi" ->
+      """WITH tk AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        |un AS (SELECT unnest(w) AS t FROM tk),
+        |uc AS (SELECT t, count(*)::BIGINT AS cu FROM un GROUP BY 1),
+        |ut AS (SELECT sum(cu)::BIGINT AS u FROM uc),
+        |bgx AS (SELECT unnest(list_transform(range(0, len(w) - 1),
+        |    i -> {'a': w[i + 1], 'b': w[i + 2]})) AS p FROM tk WHERE len(w) >= 2),
+        |bc AS (SELECT p.a AS w1, p.b AS w2, count(*)::BIGINT AS n_pair
+        |  FROM bgx GROUP BY 1, 2),
+        |bt AS (SELECT sum(n_pair)::BIGINT AS bto FROM bc)
+        |SELECT w1, w2, n_pair,
+        |  round(ln((n_pair::DOUBLE / bto) / ((c1.cu::DOUBLE / u) * (c2.cu::DOUBLE / u))), 6) AS pmi
+        |FROM bc JOIN uc c1 ON bc.w1 = c1.t JOIN uc c2 ON bc.w2 = c2.t, ut, bt
+        |WHERE n_pair >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+    // same two count tables; score ranks on the ROUNDED value in
+    // both engines, ties to the smaller term
+    "q_class_terms" ->
+      """WITH tk AS (SELECT lang AS cls,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |ct AS (SELECT cls, t, count(*)::BIGINT AS ctc FROM tk GROUP BY 1, 2),
+        |cn AS (SELECT cls, sum(ctc)::BIGINT AS n FROM ct GROUP BY 1),
+        |a AS (SELECT sum(n)::DOUBLE / count(*) AS av FROM cn),
+        |ft AS (SELECT t, sum(ctc)::BIGINT AS ftc FROM ct GROUP BY 1),
+        |sc AS (SELECT cls, t,
+        |    round((ctc::DOUBLE / n) * ln(1.0 + av / ftc), 6) AS score
+        |  FROM ct JOIN cn USING (cls) JOIN ft USING (t), a),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY cls
+        |    ORDER BY score DESC, t) AS rank FROM sc)
+        |SELECT cls AS lang, t AS term, score, rank::INT AS rank
+        |FROM r WHERE rank <= 10""".stripMargin,
     // identical dedup/collapse rule: fingerprint equality over the
     // (doc_id, version) order, intervals from lead()
     "q_scd2" ->

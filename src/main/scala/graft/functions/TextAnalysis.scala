@@ -177,6 +177,103 @@ object TextAnalysis {
         round(col("tfidf"), 6).as("tfidf"), col("rank"))
   }
 
+  /** Corpus-level PMI collocation mining — the top-k token bigrams
+    * whose co-occurrence most exceeds independence, the classic
+    * association-mining signal (Church & Hanks 1990) for tokenizer
+    * vocab curation and template/boilerplate discovery.
+    *
+    * PMI(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) ) with bigram
+    * probability from the corpus bigram total T and unigram
+    * probabilities from the token total U. `minCount` gates rare
+    * pairs (PMI is maximal for hapax pairs — ungated output is
+    * noise).
+    *
+    * Scale shape: bigrams are built ROW-LOCALLY from each document's
+    * token array (no self-join); both count tables are
+    * map-side-combined groupBys; the totals are scalar aggregates
+    * broadcast back; the final top-k compiles to
+    * TakeOrderedAndProject (per-partition top-k, k-bounded merge) —
+    * no global sort, no driver loop.
+    *
+    * @return ≤ k rows (w1, w2, n_pair, pmi), pmi 6 dp, ties broken
+    *         on (w1, w2).
+    */
+  def pmiCollocations(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      minCount: Long = 5L,
+      k: Int = 50): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    val tk = graft.operators.Parallelism.spread(df)
+      .select(tokens(col(textCol)).as("__w"))
+    val uc = tk.select(explode(col("__w")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__cu"))
+    val utot = uc.agg(sum(col("__cu")).as("__u"))
+    val bc = tk
+      .where(size(col("__w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(__w) - 2), i -> struct(__w[i] AS w1, __w[i + 1] AS w2))")).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    val btot = bc.agg(sum(col("n_pair")).as("__t"))
+    bc.where(col("n_pair") >= minCount)
+      .join(uc.select(col("__t").as("w1"), col("__cu").as("__c1")), Seq("w1"))
+      .join(uc.select(col("__t").as("w2"), col("__cu").as("__c2")), Seq("w2"))
+      .crossJoin(broadcast(utot))
+      .crossJoin(broadcast(btot))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log((col("n_pair").cast("double") / col("__t")) /
+          ((col("__c1").cast("double") / col("__u")) *
+            (col("__c2").cast("double") / col("__u")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  /** Class-distinctive terms (the BERTopic c-TF-IDF shape): per
+    * class label, the k terms whose within-class rate most exceeds
+    * their corpus-wide availability — "what vocabulary makes this
+    * source/language/cluster itself?".
+    *
+    * score(t, c) = tf_c(t)·ln(1 + A / f_t) with tf_c = class term
+    * count / class token count, f_t = corpus count of t, A = mean
+    * tokens per class. Rounded 6 dp, ties to the smaller term.
+    *
+    * Scale shape: one explode feeds both count tables
+    * (map-side-combined groupBys); the per-class totals frame is
+    * bounded by the class count and broadcast; ranking is a window
+    * partitioned BY CLASS (parallel across classes — never a global
+    * sort). The corpus term table joins on the term key (AQE handles
+    * the skew; no broadcast assumption on a corpus-sized table).
+    */
+  def classTopTerms(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      classCol: String,
+      k: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val tk = graft.operators.Parallelism.spread(df)
+      .select(col(classCol).as("__cls"), explode(tokens(col(textCol))).as("__t"))
+    val ct = tk.groupBy(col("__cls"), col("__t")).agg(count(lit(1)).as("__ct"))
+    val clsTot = ct.groupBy(col("__cls")).agg(sum(col("__ct")).as("__n"))
+    val avgTok = clsTot.agg((sum(col("__n")).cast("double") /
+      count(lit(1))).as("__a"))
+    val ft = ct.groupBy(col("__t")).agg(sum(col("__ct")).as("__ft"))
+    val w = Window.partitionBy(col("__cls"))
+      .orderBy(col("score").desc, col("__t").asc)
+    ct.join(broadcast(clsTot), Seq("__cls"))
+      .join(ft, Seq("__t"))
+      .crossJoin(broadcast(avgTok))
+      .withColumn("score",
+        round((col("__ct").cast("double") / col("__n")) *
+          log(lit(1.0) + col("__a") / col("__ft")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("__cls").as(classCol), col("__t").as("term"),
+        col("score"), col("rank"))
+  }
+
   /** Per-document bigram language-model score (corpus-level
     * operator): the mean natural-log probability of each document's
     * token bigrams under an add-k-smoothed bigram model fitted on the

@@ -790,4 +790,52 @@ class TextAnalysisSpec extends SparkSpec {
       minDf = 2, maxDf = 10).collect().toSet
     assert(a == b)
   }
+
+  test("pmiCollocations: hand-computed values, tie-break, minCount gate") {
+    val df = Seq("a b a b", "a b c").toDF("text")
+    val out = TextAnalysis.pmiCollocations(df, "text", minCount = 1L, k = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    // U=7 (a:3 b:3 c:1), T=5: (a,b):3, (b,a):1, (b,c):1
+    // pmi(a,b) = ln((3/5)/((3/7)^2)) = pmi(b,c) — a genuine tie,
+    // broken on w1; (b,a) trails.
+    assert(out.map(r => (r._1, r._2)) == Seq(("a", "b"), ("b", "c"), ("b", "a")))
+    assert(math.abs(out(0)._4 - math.log((3.0 / 5) / ((3.0 / 7) * (3.0 / 7)))) < 1e-6)
+    assert(out(0)._4 == out(1)._4)
+    assert(out(0)._3 == 3L && out(1)._3 == 1L)
+    val gated = TextAnalysis.pmiCollocations(df, "text", minCount = 2L, k = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(gated.map(r => (r._1, r._2)) == Seq(("a", "b")))
+  }
+
+  test("pmiCollocations: k truncation and partitioning invariance") {
+    val rnd = new scala.util.Random(7)
+    val docs = Seq.fill(60)(Seq.fill(12)(s"w${rnd.nextInt(9)}").mkString(" "))
+    val df = docs.toDF("text")
+    val a = TextAnalysis.pmiCollocations(df, "text", 2L, 5).collect().toSeq
+    assert(a.size == 5)
+    val b = TextAnalysis.pmiCollocations(df.repartition(13), "text", 2L, 5)
+      .collect().toSeq
+    assert(a == b)
+  }
+
+  test("classTopTerms: distinctive vocabulary outranks shared vocabulary") {
+    val df = Seq(("X", "x x shared"), ("Y", "y shared")).toDF("cls", "text")
+    val out = TextAnalysis.classTopTerms(df, "text", "cls", k = 10)
+      .as[(String, String, Double, Int)].collect()
+      .map(r => (r._1, r._4) -> ((r._2, r._3))).toMap
+    // X: x:2 shared:1 (n=3); Y: y:1 shared:1 (n=2); A=2.5; ft x=2 shared=2 y=1
+    assert(out(("X", 1))._1 == "x" && out(("Y", 1))._1 == "y")
+    assert(out(("X", 2))._1 == "shared" && out(("Y", 2))._1 == "shared")
+    assert(math.abs(out(("X", 1))._2 - (2.0 / 3) * math.log(1 + 2.5 / 2)) < 1e-6)
+    assert(math.abs(out(("Y", 1))._2 - 0.5 * math.log(1 + 2.5 / 1)) < 1e-6)
+  }
+
+  test("classTopTerms: k bound per class and deterministic term tie-break") {
+    val df = Seq(("X", "a b c d e"), ("Y", "a b c d e")).toDF("cls", "text")
+    val out = TextAnalysis.classTopTerms(df, "text", "cls", k = 3)
+      .as[(String, String, Double, Int)].collect().toSeq
+    assert(out.count(_._1 == "X") == 3 && out.count(_._1 == "Y") == 3)
+    // all scores tie → alphabetic ranks
+    assert(out.filter(_._1 == "X").sortBy(_._4).map(_._2) == Seq("a", "b", "c"))
+  }
 }
