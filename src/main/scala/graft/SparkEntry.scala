@@ -803,6 +803,27 @@ object SparkEntry {
           label.as("label"))
       graft.operators.Eval.calibrationBins(scored, "score", "label", bins = 10)
     }),
+    "q_kanon" -> ((s, dir) => {
+      // Release-gate k-anonymity audit over (nation, segment) — at
+      // k=10 a real mix of safe and at-risk groups (35/125 small at
+      // sf0.01), so both branches of the audit carry weight.
+      graft.operators.Profile.kAnonymity(
+        t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 10L)
+    }),
+    "q_kanon_flags" -> ((s, dir) => {
+      // Per-row suppression frame for the same quasi tuple.
+      graft.operators.Profile.kAnonymityFlags(
+          t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 10L)
+        .select(col("c_custkey"), col("group_size"), col("at_risk"))
+    }),
+    "q_sentences" -> ((s, dir) => {
+      // Row-local sentence segmentation — no shuffle anywhere. The
+      // synthetic corpus has no terminators, so inject them
+      // deterministically (both engines: plain literal replaces).
+      val punct = t(s, dir, "documents").select(col("doc_id"),
+        expr("replace(replace(text, 'e ', 'e. '), 'w ', 'w! ')").as("text"))
+      graft.functions.TextAnalysis.splitSentences(punct, "text", "doc_id")
+    }),
     "q_pmi" -> ((s, dir) => {
       // Top-50 PMI collocations over the doc corpus at min pair
       // count 5 — row-local bigrams, two map-side count tables, a
@@ -2952,6 +2973,37 @@ object SparkEntry {
         |  round(sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
         |    AS pos_rate
         |FROM d GROUP BY 1""".stripMargin,
+    // same quasi grouping (floor-binned balance), bounded stats over
+    // the group-size table
+    "q_kanon" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |    count(*)::BIGINT AS n FROM customer GROUP BY 1, 2)
+        |SELECT 10::BIGINT AS k, sum(n)::BIGINT AS n_rows,
+        |  count(*)::BIGINT AS n_groups,
+        |  sum(CASE WHEN n < 10 THEN 1 ELSE 0 END)::BIGINT AS n_small_groups,
+        |  sum(CASE WHEN n < 10 THEN n ELSE 0 END)::BIGINT AS rows_at_risk,
+        |  min(n)::BIGINT AS min_group_size
+        |FROM g""".stripMargin,
+    "q_kanon_flags" ->
+      """SELECT c_custkey,
+        |  (count(*) OVER (PARTITION BY c_nationkey, c_mktsegment))::BIGINT
+        |    AS group_size,
+        |  (count(*) OVER (PARTITION BY c_nationkey, c_mktsegment)) < 10
+        |    AS at_risk
+        |FROM customer""".stripMargin,
+    // identical Java∩RE2 pattern over the same literal-replace
+    // punctuation injection, trim+drop-empty, zipped unnest
+    // ordinality for the 0-based index
+    "q_sentences" ->
+      """WITH l AS (SELECT doc_id,
+        |    list_filter(list_transform(regexp_extract_all(
+        |      replace(replace(text, 'e ', 'e. '), 'w ', 'w! '),
+        |      '[^.!?]+[.!?]*'),
+        |      s -> trim(s)), s -> s <> '') AS sents
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(sents) AS sentence,
+        |    unnest(range(0, len(sents))) AS sent_idx FROM l)
+        |SELECT doc_id, sent_idx::INT AS sent_idx, sentence FROM u""".stripMargin,
     // same row-local bigrams (the q_lm_score list_transform shape),
     // identical probability-ratio arithmetic order, 6 dp before the
     // ordered top-50 cut

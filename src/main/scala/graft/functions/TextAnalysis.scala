@@ -230,6 +230,32 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Sentence segmentation — the unit-of-work change behind
+    * sentence-level filtering, alignment, and dedup: each document
+    * splits into terminator-delimited sentences ((.!?)-runs end a
+    * sentence; the trailing un-terminated fragment is kept). The
+    * pattern is deliberately in the Java∩RE2 regex subset (no
+    * lookaround) so the DuckDB oracle replays it verbatim;
+    * abbreviation-aware splitting is a model, not a regex, and out
+    * of scope by design.
+    *
+    * Entirely ROW-LOCAL (one regexp_extract_all + posexplode — no
+    * shuffle at all); docs with null/empty text yield no rows.
+    *
+    * @return (idCol, sent_idx, sentence) — sent_idx 0-based in
+    *         document order, sentences trimmed, empties dropped.
+    */
+  def splitSentences(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val sents = expr(
+      s"filter(transform(regexp_extract_all(`$textCol`, '[^.!?]+[.!?]*', 0), " +
+        "s -> trim(s)), s -> s != '')")
+    graft.operators.Parallelism.spread(df)
+      .select(col(idCol), posexplode(sents).as(Seq("sent_idx", "sentence")))
+  }
+
   /** Class-distinctive terms (the BERTopic c-TF-IDF shape): per
     * class label, the k terms whose within-class rate most exceeds
     * their corpus-wide availability — "what vocabulary makes this

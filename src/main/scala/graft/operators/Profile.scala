@@ -903,4 +903,54 @@ object Profile {
           .otherwise(round(lit(num) / element_at(col("__kmv"), k), 4))
           .as("est_distinct"))
   }
+
+  /** k-anonymity audit over a quasi-identifier tuple — the
+    * re-identification-risk gate a dataset must clear before release
+    * (Sweeney's k-anonymity: every quasi-identifier combination must
+    * be shared by ≥ k rows). Nulls are their own quasi value (a null
+    * ZIP is as linkable as a real one).
+    *
+    * One map-side-combined groupBy over the quasi tuple, then one
+    * bounded aggregation of the group-size table — never a window
+    * over the raw rows.
+    *
+    * @return one row: (k, n_rows, n_groups, n_small_groups,
+    *         rows_at_risk, min_group_size) — rows_at_risk is the
+    *         count of rows living in a group smaller than k.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "no quasi-identifier columns given")
+    require(k >= 2, "k must be >= 2")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(
+        sum(col("__n")).as("__rows"),
+        count(lit(1)).as("__groups"),
+        sum(when(col("__n") < k, 1L).otherwise(0L)).as("__small"),
+        sum(when(col("__n") < k, col("__n")).otherwise(0L)).as("__at_risk"),
+        min(col("__n")).as("__min"))
+      .select(lit(k).as("k"),
+        coalesce(col("__rows"), lit(0L)).as("n_rows"),
+        col("__groups").as("n_groups"),
+        coalesce(col("__small"), lit(0L)).as("n_small_groups"),
+        coalesce(col("__at_risk"), lit(0L)).as("rows_at_risk"),
+        col("__min").as("min_group_size"))
+  }
+
+  /** Per-row twin of [[kAnonymity]]: the input plus its group's size
+    * and an `at_risk` flag — the frame a suppression/generalization
+    * step filters on. One window count over the quasi partitioning
+    * (hash-partitioned by the tuple — parallel across groups).
+    */
+  def kAnonymityFlags(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "no quasi-identifier columns given")
+    require(k >= 2, "k must be >= 2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*)
+    df.withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("at_risk", col("group_size") < k)
+  }
 }

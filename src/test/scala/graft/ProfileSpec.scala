@@ -536,4 +536,30 @@ class ProfileSpec extends SparkSpec {
     val w = whole.as[(Int, Int, Long)].collect().toSet
     assert(m == w)
   }
+
+  test("kAnonymity: counts small groups and rows at risk; nulls are a quasi value") {
+    // groups: (a,1)x3, (a,null)x2, (b,1)x1 → k=3: two small groups, 3 rows
+    val df = Seq(("a", Some(1)), ("a", Some(1)), ("a", Some(1)),
+      ("a", None), ("a", None), ("b", Some(1)))
+      .toDF("q1", "q2")
+    val out = Profile.kAnonymity(df, Seq("q1", "q2"), k = 3L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(out == ((3L, 6L, 3L, 2L, 3L, 1L)))
+  }
+
+  test("kAnonymityFlags: per-row group sizes and risk flags match the audit") {
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 2)).toDF("q1", "q2")
+    val out = Profile.kAnonymityFlags(df, Seq("q1", "q2"), k = 2L)
+      .select("q1", "group_size", "at_risk")
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(out == Set(("a", 3L, false), ("b", 1L, true)))
+  }
+
+  test("kAnonymity: empty input gives a zero report") {
+    val df = Seq.empty[(String, Int)].toDF("q1", "q2")
+    val out = Profile.kAnonymity(df, Seq("q1"), k = 5L)
+      .select("n_rows", "n_groups", "rows_at_risk").as[(Long, Long, Long)]
+      .collect().head
+    assert(out == ((0L, 0L, 0L)))
+  }
 }

@@ -818,6 +818,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("splitSentences: terminator runs, trailing fragment, trim, empties dropped") {
+    val df = Seq(
+      (1L, "One. Two!! Three? tail"),
+      (2L, "...???"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.splitSentences(df, "text", "doc_id")
+      .as[(Long, Int, String)].collect().toSet
+    // doc 2 is pure punctuation — the pattern needs at least one
+    // non-terminator char, so it yields no sentences (like 3 and 4)
+    assert(out == Set(
+      (1L, 0, "One."), (1L, 1, "Two!!"), (1L, 2, "Three?"), (1L, 3, "tail")))
+  }
+
+  test("splitSentences: indexes follow document order after repartition") {
+    val text = (1 to 30).map(i => s"s$i.").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text").repartition(7)
+    val out = TextAnalysis.splitSentences(df, "text", "doc_id")
+      .as[(Long, Int, String)].collect().sortBy(_._2)
+    assert(out.map(_._3).toSeq == (1 to 30).map(i => s"s$i."))
+  }
+
   test("classTopTerms: distinctive vocabulary outranks shared vocabulary") {
     val df = Seq(("X", "x x shared"), ("Y", "y shared")).toDF("cls", "text")
     val out = TextAnalysis.classTopTerms(df, "text", "cls", k = 10)
