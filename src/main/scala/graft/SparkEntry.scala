@@ -1886,6 +1886,46 @@ object SparkEntry {
           lit(".ex.org")).as("dst_host"))
       graft.operators.Graph.pageRank(edges, "src_host", "dst_host", iters = 5)
     }),
+    "q_label_propagate" -> ((s, dir) => {
+      // Semi-supervised label spread over a 120-node link graph: doc
+      // i contributes the undirected edge n{i%120} — n{(3i+7)%120}
+      // (%7==6 docs link nothing); every 10th doc seeds its node
+      // with one of 3 labels (consistent per node — the conflicting-
+      // seed collapse is spec-covered). 3 clamped-seed iterations,
+      // majority vote, ties to the smaller label — the oracle
+      // unrolls the identical 3 rounds.
+      val d = Parallelism.spread(t(s, dir, "documents"))
+      val edges = d.where(col("doc_id") % 7 =!= 6).select(
+        concat(lit("n"), (col("doc_id") % 120).cast("string")).as("s"),
+        concat(lit("n"), ((col("doc_id") * 3 + 7) % 120).cast("string")).as("d"))
+      val seeds = d.where(col("doc_id") % 10 === 0).select(
+        concat(lit("n"), (col("doc_id") % 120).cast("string")).as("node_id"),
+        concat(lit("l"), (expr("(doc_id % 120) div 10") % 3).cast("string"))
+          .as("label"))
+      graft.operators.Graph.labelPropagate(
+        edges, "s", "d", seeds, "node_id", "label", iters = 3)
+    }),
+    "q_snapshot_asof" -> ((s, dir) => {
+      // Point-in-time reconstruction: the q_scd2 3-version change
+      // log builds the SCD2 history, then snapshotAsOf(2) filters to
+      // the intervals covering version 2 — the v3 re-edit must NOT
+      // leak in, the v2 no-op re-assertions must resolve to their
+      // still-open v1 interval.
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val m = pmod(col("doc_id"), lit(10))
+      val m3 = pmod(col("doc_id"), lit(3))
+      def v(df: DataFrame, text: org.apache.spark.sql.Column, ver: Long) =
+        df.select(col("doc_id"), text.as("text"), col("lang"),
+          lit(ver).as("version"))
+      val changes = v(docs, col("text"), 1L)
+        .unionByName(v(docs.where(m === 4), concat(col("text"), lit(" v2")), 2L))
+        .unionByName(v(docs.where(m === 7), col("text"), 2L))
+        .unionByName(v(docs.where(m === 4 && m3 === 0),
+          concat(col("text"), lit(" v3")), 3L))
+      val hist = graft.operators.Versioning.scd2History(
+        Parallelism.spread(changes), "doc_id", "version", Seq("text", "lang"))
+      graft.operators.Versioning.snapshotAsOf(hist, asOf = 2L)
+    }),
     "q_domain_stats" -> ((s, dir) => {
       // Inject a 50-host outlink population (d<k>.ex.org) so the
       // extract→host→aggregate chain sees real cardinality; %5==4
@@ -2212,6 +2252,51 @@ object SparkEntry {
       val codes = graft.multimodal.Multimodal.dHash(imgs, "payload")
         .select("doc_id", "dhash")
       Dedup.hammingPairs64(codes, "dhash", "doc_id", maxHamming = 2)
+    }),
+    "q_video_meta" -> ((s, dir) => {
+      // Video container audit: synthesize GVID (real PNG frames
+      // inside) → full-directory-walk decode. n_frames comes from
+      // the WALK (every declared frame must fit), not a header
+      // echo; the oracle replays the deterministic synthesis
+      // arithmetic.
+      val vids = graft.multimodal.Multimodal.synthesizeVideo(
+        Parallelism.spread(t(s, dir, "documents").select("doc_id")), "doc_id")
+      graft.multimodal.Multimodal.decodeVideoMeta(vids, "payload")
+        .select(col("doc_id"), col("n_frames"), col("fps"))
+    }),
+    "q_video_frames" -> ((s, dir) => {
+      // Frame-sampling handoff to the real image path: GVID → every
+      // 2nd frame exploded to its PNG bytes → the UNCHANGED ImageIO
+      // decodeImage → per-frame geometry + exact channel means. The
+      // per-frame affine pattern keeps every mean closed-form.
+      val vids = graft.multimodal.Multimodal.synthesizeVideo(
+        Parallelism.spread(t(s, dir, "documents").select("doc_id")), "doc_id")
+      val frames = graft.multimodal.Multimodal.sampleFrames(
+        vids, "payload", every = 2).drop("payload")
+      graft.multimodal.Multimodal.decodeImage(frames, "frame")
+        .select(
+          col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"))
+    }),
+    "q_video_scenes" -> ((s, dir) => {
+      // Shot-boundary detection end-to-end: all frames → real decode
+      // → Rec.601 luma per frame → per-video lag window → |Δluma| >
+      // 40 cuts (the synthetic per-frame base advance wraps its
+      // channel modulus at deterministic frames — those wraps ARE
+      // the scene cuts; min margin to the threshold ≈ 7 luma units,
+      // so double-rounding can never flip a flag). Bounded output:
+      // one row per video.
+      val vids = graft.multimodal.Multimodal.synthesizeVideo(
+        Parallelism.spread(t(s, dir, "documents").select("doc_id")), "doc_id")
+      val frames = graft.multimodal.Multimodal.sampleFrames(
+        vids, "payload", every = 1).drop("payload")
+      val stats = graft.multimodal.Multimodal.decodeImage(frames, "frame")
+      graft.multimodal.Multimodal.sceneCuts(stats, "doc_id")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("is_cut"), 1L).otherwise(0L)).as("n_cuts"))
     }),
     "q_audio_hash" -> ((s, dir) => {
       // Audio perceptual hash end-to-end: synthesize WAV → real
@@ -2619,6 +2704,38 @@ object SparkEntry {
        |r0 AS (SELECT node, round(1.0 / n, 6) AS rank FROM nodes, nn),
        |$steps
        |SELECT node, rank FROM r$iters""".stripMargin
+  }
+
+  /** ALGORITHMIC replay of [[graft.operators.Graph.labelPropagate]]
+    * over the q_label_propagate injected graph: `iters` unrolled
+    * clamped-seed rounds, each a vote count over the distinct
+    * undirected edge set joined to the previous label frame, argmax
+    * by (count desc, label asc), seeds always winning.
+    */
+  private def labelPropOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""v$k AS (SELECT und.d AS id, l.lab, count(*) AS c
+         |  FROM und JOIN l${k - 1} l ON l.id = und.s GROUP BY 1, 2),
+         |b$k AS (SELECT id, lab FROM (SELECT id, lab, row_number() OVER
+         |    (PARTITION BY id ORDER BY c DESC, lab ASC) AS rn FROM v$k)
+         |  WHERE rn = 1),
+         |l$k AS MATERIALIZED (SELECT id, lab FROM seed UNION ALL
+         |  SELECT b.id, b.lab FROM b$k b
+         |  WHERE b.id NOT IN (SELECT id FROM seed))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT 'n' || (doc_id % 120)::VARCHAR AS s,
+       |    'n' || ((doc_id * 3 + 7) % 120)::VARCHAR AS d
+       |  FROM documents WHERE doc_id % 7 <> 6),
+       |und AS (SELECT DISTINCT s, d FROM
+       |  (SELECT s, d FROM e0 UNION ALL SELECT d, s FROM e0)),
+       |seed AS (SELECT 'n' || (doc_id % 120)::VARCHAR AS id,
+       |    min('l' || (((doc_id % 120) // 10) % 3)::VARCHAR) AS lab
+       |  FROM documents WHERE doc_id % 10 = 0 GROUP BY 1),
+       |l0 AS (SELECT id, lab FROM seed),
+       |$steps
+       |SELECT l.id AS node_id, l.lab AS label,
+       |  (s.id IS NOT NULL) AS seeded
+       |FROM l$iters l LEFT JOIN seed s ON s.id = l.id""".stripMargin
   }
 
   /** Incremental (new-batch-vs-history) minhash pairs, GENERATED
@@ -4467,6 +4584,27 @@ object SparkEntry {
     // double subtraction Scala computes (a 0.15 literal parses to a
     // different ulp)
     "q_pagerank" -> pageRankOracle(iters = 5),
+    "q_label_propagate" -> labelPropOracle(iters = 3),
+    // the q_scd2 history CTEs + the covering-interval filter at v2
+    "q_snapshot_asof" ->
+      """WITH ch AS (
+        |  SELECT doc_id, text, lang, 1::BIGINT AS version FROM documents
+        |  UNION ALL SELECT doc_id, text || ' v2', lang, 2 FROM documents
+        |    WHERE doc_id % 10 = 4
+        |  UNION ALL SELECT doc_id, text, lang, 2 FROM documents
+        |    WHERE doc_id % 10 = 7
+        |  UNION ALL SELECT doc_id, text || ' v3', lang, 3 FROM documents
+        |    WHERE doc_id % 10 = 4 AND doc_id % 3 = 0),
+        |f AS (SELECT *, md5(concat_ws(chr(1), coalesce(text, chr(0)),
+        |    coalesce(lang, chr(0)))) AS fp FROM ch),
+        |k AS (SELECT * FROM (SELECT f.*, lag(fp) OVER
+        |    (PARTITION BY doc_id ORDER BY version) AS pfp FROM f)
+        |  WHERE pfp IS NULL OR pfp <> fp),
+        |h AS (SELECT doc_id, text, lang, version AS valid_from,
+        |    lead(version) OVER (PARTITION BY doc_id ORDER BY version) AS valid_to
+        |  FROM k)
+        |SELECT doc_id, text, lang FROM h
+        |WHERE valid_from <= 2 AND (valid_to IS NULL OR valid_to > 2)""".stripMargin,
     "q_domain_stats" ->
       """WITH t AS (SELECT doc_id, CASE WHEN doc_id % 5 = 4 THEN text
         |  ELSE text || ' via https://d' || (doc_id % 50)::VARCHAR ||
@@ -4574,6 +4712,42 @@ object SparkEntry {
         |  round((w*h*((3*doc_id) % 100) + 2*h*(w*(w-1)//2) + 4*w*(h*(h-1)//2)) / (w*h)::DOUBLE, 4) AS mean_g,
         |  round((w*h*((5*doc_id) % 150) + 1*h*(w*(w-1)//2) + 1*w*(h*(h-1)//2)) / (w*h)::DOUBLE, 4) AS mean_b
         |FROM d""".stripMargin,
+    // GVID directory-walk twin: the synthesis arithmetic is the
+    // contract (a walk that miscounts or a header echo of a
+    // truncated file goes red)
+    "q_video_meta" ->
+      """SELECT doc_id, (3 + doc_id % 4)::BIGINT AS n_frames,
+        |  (2 + doc_id % 29)::BIGINT AS fps FROM documents""".stripMargin,
+    // per-frame twin of q_multimodal_decode: the channel bases
+    // advance inside their modulus per frame (wrap-free pixels), so
+    // each sampled frame's exact mean is the same closed form with
+    // the f-offset base
+    "q_video_frames" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 9 AS h,
+        |    3 + doc_id % 4 AS nf FROM documents),
+        |fr AS (SELECT doc_id, w, h, unnest(range(0, nf, 2)) AS f FROM d)
+        |SELECT doc_id, f::BIGINT AS frame_idx, w::BIGINT AS width, h::BIGINT AS height,
+        |  round((w*h*((doc_id + 17*f) % 128) + 3*h*(w*(w-1)//2) + 5*w*(h*(h-1)//2)) / (w*h)::DOUBLE, 4) AS mean_r,
+        |  round((w*h*((3*doc_id + 29*f) % 100) + 2*h*(w*(w-1)//2) + 4*w*(h*(h-1)//2)) / (w*h)::DOUBLE, 4) AS mean_g,
+        |  round((w*h*((5*doc_id + 31*f) % 150) + 1*h*(w*(w-1)//2) + 1*w*(h*(h-1)//2)) / (w*h)::DOUBLE, 4) AS mean_b
+        |FROM fr""".stripMargin,
+    // scene-cut twin in EXACT integer milli-luma: the gradient terms
+    // cancel in the frame-to-frame delta, leaving only the modular
+    // base advances; |delta| lands in {8.5..33.1} (no cut) or
+    // {50.2..88.3} (cut) — ≥ 7 luma units from the 40 threshold, so
+    // the Spark side's double luma diff can never disagree
+    "q_video_scenes" ->
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 4 AS nf FROM documents),
+        |fr AS (SELECT doc_id, unnest(range(1, nf)) AS f FROM d),
+        |del AS (SELECT doc_id,
+        |    299*(((doc_id + 17*f) % 128) - ((doc_id + 17*(f-1)) % 128))
+        |  + 587*(((3*doc_id + 29*f) % 100) - ((3*doc_id + 29*(f-1)) % 100))
+        |  + 114*(((5*doc_id + 31*f) % 150) - ((5*doc_id + 31*(f-1)) % 150)) AS dmilli
+        |  FROM fr)
+        |SELECT d.doc_id, d.nf::BIGINT AS n_frames,
+        |  coalesce(sum(CASE WHEN abs(dmilli) > 40000 THEN 1 ELSE 0 END), 0)::BIGINT AS n_cuts
+        |FROM d LEFT JOIN del ON d.doc_id = del.doc_id
+        |GROUP BY 1, 2""".stripMargin,
     // dHash twin: per (y, x) grid cell the floor-NN luma is
     // closed-form over the affine pixels; adjacent-cell compare gives
     // bit i = y·8+x, summed into two 32-bit halves → hex. Identical

@@ -939,6 +939,201 @@ object Multimodal {
       (col("mean_b") / 255.0d).cast(FloatType),
       (col("width") / col("height")).cast(FloatType)))
 
+  // ---- video: GVID container of real PNG frames ------------------
+  //
+  // No video codec ships in the JDK, so the CONTAINER is ours (the
+  // task contract: stub the codec, make the Spark-side plumbing
+  // real): magic "GVID" | n_frames u32 LE | fps u32 LE | per frame
+  // (u32 LE byte length + a REAL JDK-PNG-encoded frame). Everything
+  // downstream of sampleFrames is the existing real-codec image
+  // path — decodeImage, dHash, resize all run unchanged on the
+  // extracted frames, which is the point: one image toolchain
+  // serves both modalities.
+
+  private[graft] def videoFrameCount(id: Long): Int =
+    3 + Math.floorMod(id, 4L).toInt
+
+  private[graft] def videoFps(id: Long): Int =
+    2 + Math.floorMod(id, 29L).toInt
+
+  /** Frame f's wrap-free affine pixel pattern: the [[pixel]] bases
+    * advance per frame INSIDE their channel modulus (so values never
+    * exceed 255 at the ≤16×16 geometry) — closed-form for the
+    * oracles, and the occasional modular wrap is the synthetic
+    * "scene cut" [[sceneCuts]] detects.
+    */
+  private[graft] def framePixel(id: Long, f: Int, x: Int, y: Int): (Int, Int, Int) = (
+    Math.floorMod(id + 17L * f, 128L).toInt + 3 * x + 5 * y,
+    Math.floorMod(3 * id + 29L * f, 100L).toInt + 2 * x + 4 * y,
+    Math.floorMod(5 * id + 31L * f, 150L).toInt + x + y)
+
+  private def putU32(b: ByteArrayOutputStream, v: Long): Unit = {
+    b.write((v & 0xff).toInt); b.write(((v >> 8) & 0xff).toInt)
+    b.write(((v >> 16) & 0xff).toInt); b.write(((v >> 24) & 0xff).toInt)
+  }
+
+  private[graft] def videoBytes(id: Long): Array[Byte] = {
+    val (w, h) = imageGeometry(id)
+    val nf = videoFrameCount(id)
+    val out = new ByteArrayOutputStream(1024)
+    out.write('G'); out.write('V'); out.write('I'); out.write('D')
+    putU32(out, nf)
+    putU32(out, videoFps(id))
+    var f = 0
+    while (f < nf) {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = framePixel(id, f, x, y)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val png = writePngCodec(img)
+      putU32(out, png.length)
+      out.write(png, 0, png.length)
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Add a `payload` column of GVID bytes (real PNG frames inside)
+    * deterministically derived from `idCol`. Row-local, no shuffle.
+    */
+  def synthesizeVideo(df: DataFrame, idCol: String, outCol: String = "payload"): DataFrame = {
+    val outSchema = df.schema.add(StructField(outCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes: Array[Byte] =
+          if (row.isNullAt(idIdx)) null else videoBytes(row.getLong(idIdx))
+        Row.fromSeq(row.toSeq :+ (bytes: Any))
+      }
+    }
+  }
+
+  private def u32le(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  /** Walk a GVID payload: (frame offsets, fps), or null when the
+    * magic is wrong or any declared frame overruns the payload — a
+    * container whose directory lies is undecodable, not
+    * partially-decodable (the parseWavPcm16Fast strictness).
+    */
+  private[graft] def walkVideo(bytes: Array[Byte]): (Array[(Int, Int)], Long) = {
+    if (bytes == null || bytes.length < 12 ||
+      bytes(0) != 'G' || bytes(1) != 'V' || bytes(2) != 'I' || bytes(3) != 'D')
+      return null
+    val nf = u32le(bytes, 4)
+    if (nf < 0 || nf > Int.MaxValue) return null
+    val frames = new Array[(Int, Int)](nf.toInt)
+    var o = 12
+    var f = 0
+    while (f < nf) {
+      if (o + 4 > bytes.length) return null
+      val len = u32le(bytes, o)
+      if (len < 0 || o + 4 + len > bytes.length) return null
+      frames(f) = (o + 4, len.toInt)
+      o += 4 + len.toInt
+      f += 1
+    }
+    (frames, u32le(bytes, 8))
+  }
+
+  /** Container audit: (n_frames, fps, n_bytes) per payload from a
+    * FULL directory walk (every declared frame must fit — a header
+    * echo would accept a truncated file). Undecodable → nulls; the
+    * row count is preserved, making this the audit twin of
+    * [[sampleFrames]]'s drop-corrupt contract. Row-local, batched.
+    */
+  def decodeVideoMeta(
+      df: DataFrame,
+      payloadCol: String = "payload",
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = df.schema
+      .add(StructField("n_frames", LongType))
+      .add(StructField("fps", LongType))
+      .add(StructField("n_bytes", LongType))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val bytes = row.get(payloadIdx).asInstanceOf[Array[Byte]]
+          val walked = walkVideo(bytes)
+          val stats: Seq[Any] =
+            if (walked == null) Seq(null, null, null)
+            else Seq[Any](walked._1.length.toLong, walked._2, bytes.length.toLong)
+          Row.fromSeq(row.toSeq ++ stats)
+        }
+      }
+    }
+  }
+
+  /** Explode a GVID payload into one row per sampled frame
+    * (`frame_idx % every == 0`): all input columns + (frame_idx,
+    * `outCol` = the frame's PNG bytes) — the handoff to the image
+    * operators (decodeImage/dHash/resizeImage run unchanged on the
+    * output). Null/undecodable payloads emit ZERO rows by contract
+    * ([[decodeVideoMeta]] is the audit that counts them). Row-local
+    * flatMap — no shuffle; output size = Σ n_frames / every.
+    */
+  def sampleFrames(
+      df: DataFrame,
+      payloadCol: String = "payload",
+      every: Int = 1,
+      outCol: String = "frame"): DataFrame = {
+    require(every >= 1, "every must be positive")
+    val outSchema = df.schema
+      .add(StructField("frame_idx", LongType))
+      .add(StructField(outCol, BinaryType))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        val walked = walkVideo(row.get(payloadIdx).asInstanceOf[Array[Byte]])
+        if (walked == null) Iterator.empty
+        else {
+          val bytes = row.get(payloadIdx).asInstanceOf[Array[Byte]]
+          Iterator.range(0, walked._1.length, every).map { f =>
+            val (off, len) = walked._1(f)
+            Row.fromSeq(row.toSeq ++ Seq(f.toLong,
+              java.util.Arrays.copyOfRange(bytes, off, off + len)))
+          }
+        }
+      }
+    }
+  }
+
+  /** Shot-boundary (scene-cut) detection over DECODED frame stats
+    * (a [[sampleFrames]] → [[decodeImage]] output): per frame the
+    * Rec.601 luma of the channel means, per video one lag window on
+    * the frame order (parallel across videos — raw pixel data never
+    * enters the window, only the per-frame stat rows), cut =
+    * |Δluma| > threshold; a video's first frame is never a cut.
+    */
+  def sceneCuts(
+      frames: DataFrame,
+      idCol: String,
+      frameIdxCol: String = "frame_idx",
+      threshold: Double = 40.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val luma = (lit(299) * col("mean_r") + lit(587) * col("mean_g") +
+      lit(114) * col("mean_b")) / lit(1000)
+    val w = Window.partitionBy(col(idCol)).orderBy(col(frameIdxCol))
+    frames
+      .withColumn("luma", luma)
+      .withColumn("__prev", lag(col("luma"), 1).over(w))
+      .withColumn("is_cut",
+        col("__prev").isNotNull && abs(col("luma") - col("__prev")) > threshold)
+      .drop("__prev")
+  }
+
   /** "Frame sampling": n evenly spaced byte-slices of the payload —
     * the access pattern of video frame extraction, minus the codec.
     */

@@ -86,4 +86,72 @@ object Graph {
     }
     rank
   }
+
+  /** Semi-supervised label propagation over an undirected edge set
+    * (Zhu & Ghahramani 2002; the Raghavan et al. community variant)
+    * — spread a sparse set of trusted labels (human quality ratings,
+    * known-spam domains, topic tags) across the near-dup/link graph:
+    * seeds are CLAMPED (they never change), every other node takes
+    * the most frequent label among its labeled neighbors, ties to
+    * the smaller label, for a fixed number of synchronous iterations
+    * (no convergence test — determinism over elegance, the pageRank
+    * discipline).
+    *
+    * Scale shape: per iteration ONE join of the edge frame against
+    * the current label frame (shuffle on the node key), one
+    * map-side-combined (node, label) count, and a per-node window
+    * (parallel across nodes) for the argmax; frames are
+    * localCheckpoint'd per iteration so lineage/replanning does not
+    * grow with `iters`. Nodes never reached by a label stay absent
+    * from the output (no null-label rows to carry).
+    *
+    * @param edges undirected pairs (each row links both ways;
+    *              parallel edges count once).
+    * @return (id, label, seeded) — every node that holds a label
+    *         after `iters` rounds.
+    */
+  def labelPropagate(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      idCol: String,
+      labelCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val und = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .union(edges.select(col(dstCol).as("__s"), col(srcCol).as("__d")))
+      .distinct()
+      .localCheckpoint() // corpus-sized normalization runs ONCE
+    val seed = seeds
+      .where(col(idCol).isNotNull && col(labelCol).isNotNull)
+      // duplicate seed rows for one id collapse to the min label —
+      // deterministic, and keeps every labels frame unique per id
+      .groupBy(col(idCol).as("__id"))
+      .agg(min(col(labelCol)).as("__lab"))
+      .localCheckpoint()
+    var labels = seed
+    for (_ <- 1 to iters) {
+      val votes = und
+        .join(labels.withColumnRenamed("__id", "__s"), "__s")
+        .groupBy(col("__d").as("__id"), col("__lab"))
+        .agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(col("__id"))
+        .orderBy(col("__c").desc, col("__lab").asc)
+      val best = votes
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("__id"), col("__lab"))
+      labels = seed
+        .unionByName(best.join(seed.select("__id"), Seq("__id"), "left_anti"))
+        .localCheckpoint()
+    }
+    labels
+      .join(seed.select(col("__id"), lit(true).as("seeded")), Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("__lab").as(labelCol),
+        coalesce(col("seeded"), lit(false)).as("seeded"))
+  }
 }

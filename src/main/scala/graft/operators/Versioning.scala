@@ -129,6 +129,27 @@ object Versioning {
         col("valid_to").isNull.as("is_current"))): _*)
   }
 
+  /** Point-in-time snapshot from a [[scd2History]] frame: the table
+    * as of version `asOf` — rows whose interval covers it
+    * (`valid_from <= asOf < valid_to`, open intervals included),
+    * interval bookkeeping dropped. Inserted-later keys are simply
+    * absent; a key whose first change is later than `asOf` did not
+    * exist yet.
+    *
+    * Scale shape: a pure row-local filter + projection over the
+    * history scan — zero shuffles, and both predicates push down to
+    * the (typically partitioned/bucketed) history store.
+    */
+  def snapshotAsOf(history: DataFrame, asOf: Long): DataFrame = {
+    val cols = history.columns.toSeq
+    require(Seq("valid_from", "valid_to", "is_current").forall(cols.contains),
+      "snapshotAsOf expects an scd2History frame (valid_from/valid_to/is_current)")
+    history
+      .where(col("valid_from") <= asOf &&
+        (col("valid_to").isNull || col("valid_to") > asOf))
+      .drop("valid_from", "valid_to", "is_current")
+  }
+
   def applyChanges(
       base: DataFrame,
       changes: DataFrame,

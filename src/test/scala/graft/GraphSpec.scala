@@ -61,4 +61,62 @@ class GraphSpec extends SparkSpec {
       Graph.pageRank(Seq(("A", "B")).toDF("s", "t"), "s", "t", damping = 1.0)
     }
   }
+
+  private def lp(
+      edges: Seq[(String, String)],
+      seeds: Seq[(String, String)],
+      iters: Int): Map[String, (String, Boolean)] =
+    Graph.labelPropagate(edges.toDF("s", "d"), "s", "d",
+        seeds.toDF("id", "lab"), "id", "lab", iters)
+      .as[(String, String, Boolean)].collect()
+      .map { case (id, l, sd) => id -> ((l, sd)) }.toMap
+
+  test("labelPropagate: majority vote, tie to smaller label, clamped seeds, reach") {
+    // A='spam', B='good' seeds; C ties (1 spam + 1 good -> 'good');
+    // D is 2 hops out (labeled only from iter 2); H sees a 2-spam
+    // majority; A's only neighbor votes good but A is CLAMPED.
+    val edges = Seq(
+      ("A", "C"), ("B", "C"), ("C", "D"), ("B", "E"),
+      ("F", "H"), ("G", "H"), ("B", "H"),
+      ("X", "Y")) // no labeled node ever reaches X/Y
+    val seeds = Seq(
+      ("A", "spam"), ("B", "good"), ("F", "spam"), ("G", "spam"))
+    val out = lp(edges, seeds, iters = 3)
+    assert(out("A") == ("spam", true), "seed clamped against its neighborhood")
+    assert(out("B") == ("good", true))
+    assert(out("C") == ("good", false), "1-1 tie breaks to the smaller label")
+    assert(out("D") == ("good", false), "2-hop node labeled on iteration 2")
+    assert(out("E") == ("good", false))
+    assert(out("H") == ("spam", false), "2-1 spam majority")
+    assert(!out.contains("X") && !out.contains("Y"), "unreached nodes stay absent")
+  }
+
+  test("labelPropagate: one iteration labels only direct neighbors") {
+    val out = lp(Seq(("A", "C"), ("C", "D")), Seq(("A", "x")), iters = 1)
+    assert(out == Map("A" -> (("x", true)), "C" -> (("x", false))))
+  }
+
+  test("labelPropagate: conflicting duplicate seeds collapse to the min label") {
+    val out = lp(Seq(("A", "B")), Seq(("A", "z"), ("A", "a")), iters = 1)
+    assert(out("A") == ("a", true))
+    assert(out("B") == ("a", false))
+  }
+
+  test("labelPropagate: partitioning-invariant and validates iters") {
+    val edges = (0L until 400L)
+      .map(i => (s"n${i % 40}", s"n${(i * 3 + 7) % 40}"))
+    val seeds = Seq(("n0", "l0"), ("n13", "l1"), ("n27", "l2"))
+    val base = lp(edges, seeds, iters = 3)
+    val shuffled = Graph.labelPropagate(
+        edges.toDF("s", "d").repartition(13), "s", "d",
+        seeds.toDF("id", "lab").repartition(5), "id", "lab", 3)
+      .as[(String, String, Boolean)].collect()
+      .map { case (id, l, sd) => id -> ((l, sd)) }.toMap
+    assert(base == shuffled)
+    assert(base.values.exists(!_._2), "propagation reached unseeded nodes")
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagate(edges.toDF("s", "d"), "s", "d",
+        seeds.toDF("id", "lab"), "id", "lab", iters = 0)
+    }
+  }
 }

@@ -140,6 +140,101 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.forall(f => !f.isNaN))
   }
 
+  test("synthesizeVideo: GVID walk, frame sampling, real-PNG frames decode exactly") {
+    val ids = Seq(0L, 1L, 5L, 9L, 80L, 12345L)
+    val vids = Multimodal.synthesizeVideo(ids.toDF("id"), "id")
+
+    // container magic + meta from the full walk
+    val first = vids.select($"payload").head().getAs[Array[Byte]](0)
+    assert(first.take(4).map(_.toChar).mkString == "GVID")
+    val meta = Multimodal.decodeVideoMeta(vids, "payload")
+      .select($"id", $"n_frames", $"fps", $"n_bytes").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    ids.foreach { id =>
+      assert(meta(id)._1 == Multimodal.videoFrameCount(id).toLong, s"n_frames $id")
+      assert(meta(id)._2 == Multimodal.videoFps(id).toLong, s"fps $id")
+      assert(meta(id)._3 > 12, s"n_bytes $id")
+    }
+
+    // every=2 keeps frame indexes 0,2,4; every=1 keeps all
+    val idx2 = Multimodal.sampleFrames(vids, "payload", every = 2)
+      .where($"id" === 12345L).select($"frame_idx").as[Long].collect().sorted
+    val nf = Multimodal.videoFrameCount(12345L)
+    assert(idx2.toSeq == (0 until nf by 2).map(_.toLong))
+    assert(Multimodal.sampleFrames(vids, "payload").count() ==
+      ids.map(Multimodal.videoFrameCount(_).toLong).sum)
+
+    // sampled frames are REAL PNGs: the unchanged image path decodes
+    // them to the per-frame closed-form means
+    val frames = Multimodal.sampleFrames(vids, "payload").drop("payload")
+    val out = Multimodal.decodeImage(frames, "frame", batchSize = 3)
+      .select($"id", $"frame_idx", $"width", $"height", $"mean_r", $"mean_g", $"mean_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    ids.foreach { id =>
+      val (w, h) = Multimodal.imageGeometry(id)
+      for (f <- 0 until Multimodal.videoFrameCount(id)) {
+        val (gw, gh, mr, mg, mb) = out((id, f.toLong))
+        assert(gw == w && gh == h, s"geometry $id/$f")
+        def mean(c: (Int, Int, Int) => Int): Double = {
+          var s = 0L
+          for (y <- 0 until h; x <- 0 until w) {
+            val p = Multimodal.framePixel(id, f, x, y)
+            s += c(p._1, p._2, p._3)
+          }
+          s.toDouble / (w * h)
+        }
+        assert(mr == mean((r, _, _) => r), s"mean_r $id/$f")
+        assert(mg == mean((_, g, _) => g), s"mean_g $id/$f")
+        assert(mb == mean((_, _, b) => b), s"mean_b $id/$f")
+      }
+    }
+
+    // corrupt containers: bad magic / truncated frame / lying
+    // directory → meta nulls AND zero sampled frames, never a throw
+    val bad = Seq(
+      (1L, Array[Byte](1, 2, 3, 4, 5)), // wrong magic
+      (2L, first.take(20)), // truncated mid-frame
+      (3L, { val b = first.clone(); b(4) = 99; b }), // lying n_frames
+      (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val badMeta = Multimodal.decodeVideoMeta(bad, "payload")
+      .select($"id", $"n_frames").collect()
+    assert(badMeta.forall(_.isNullAt(1)))
+    assert(Multimodal.sampleFrames(bad, "payload").count() == 0)
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(vids, "payload", every = 0)
+    }
+  }
+
+  test("sceneCuts: luma-delta flags over decoded frames; first frame never cuts") {
+    // hand-built frame stats: video A jumps at frame 2 (luma delta
+    // 299·120/1000 = 35.88 < 40? no — use a 200-step: 59.8), video B flat
+    val stats = Seq(
+      ("A", 0L, 10.0, 10.0, 10.0),
+      ("A", 1L, 12.0, 11.0, 10.0), // |delta| small
+      ("A", 2L, 212.0, 11.0, 10.0), // mean_r +200 -> delta 59.8 > 40
+      ("B", 0L, 50.0, 50.0, 50.0),
+      ("B", 1L, 50.0, 50.0, 50.0))
+      .toDF("vid", "frame_idx", "mean_r", "mean_g", "mean_b")
+    val out = Multimodal.sceneCuts(stats, "vid")
+      .select($"vid", $"frame_idx", $"is_cut")
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      ("A", 0L, false), ("A", 1L, false), ("A", 2L, true),
+      ("B", 0L, false), ("B", 1L, false)))
+    // synthetic wraps: every flagged cut in the synthesized corpus
+    // corresponds to a modular base wrap (|delta| >= 50.16)
+    val vids = Multimodal.synthesizeVideo((0L until 128L).toDF("id"), "id")
+    val dec = Multimodal.decodeImage(
+      Multimodal.sampleFrames(vids, "payload").drop("payload"), "frame")
+    val flagged = Multimodal.sceneCuts(dec, "id")
+      .where($"is_cut").count()
+    assert(flagged > 0, "the 128-id sweep must contain real wraps")
+  }
+
   test("frameSample: n byte-slices per payload") {
     val df = Seq((1L, "0123456789abcdef0123456789abcdef")).toDF("id", "text")
     val withBin = Multimodal.attachBinary(df, "text")

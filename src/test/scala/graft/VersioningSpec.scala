@@ -147,6 +147,30 @@ class VersioningSpec extends SparkSpec {
       (1L, Some(""), 2L, None, true)))
   }
 
+  test("snapshotAsOf: covering intervals only; later inserts and edits invisible") {
+    val hist = Versioning.scd2History(Seq(
+      (1L, "a", 1L), (1L, "b", 3L), (1L, "c", 7L), // edits around asOf
+      (2L, "x", 5L), // inserted AFTER asOf=4 — must be absent
+      (3L, "m", 2L), (3L, "m", 4L), // no-op keeps [2, null) open
+      (4L, "q", 4L)) // valid_from == asOf is included
+      .toDF("id", "v", "ver"), "id", "ver", Seq("v"))
+    val at4 = Versioning.snapshotAsOf(hist, asOf = 4L)
+      .as[(Long, String)].collect().toSet
+    assert(at4 == Set((1L, "b"), (3L, "m"), (4L, "q")))
+    // asOf at the far future = the is_current rows
+    val at99 = Versioning.snapshotAsOf(hist, asOf = 99L)
+      .as[(Long, String)].collect().toSet
+    assert(at99 == Set((1L, "c"), (2L, "x"), (3L, "m"), (4L, "q")))
+    // before every change: empty table
+    assert(Versioning.snapshotAsOf(hist, asOf = 0L).count() == 0)
+    // bookkeeping columns are dropped
+    assert(Versioning.snapshotAsOf(hist, 4L).columns.toSeq == Seq("id", "v"))
+    // non-history frames are rejected
+    intercept[IllegalArgumentException] {
+      Versioning.snapshotAsOf(Seq((1L, "a")).toDF("id", "v"), 4L)
+    }
+  }
+
   test("scd2History: partitioning-invariant") {
     val rnd = new scala.util.Random(5)
     val rows = Seq.fill(400)((rnd.nextInt(40).toLong,
