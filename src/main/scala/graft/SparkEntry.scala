@@ -581,6 +581,19 @@ object SparkEntry {
       }
       .mkString("(", " + ", ")")
 
+  /** Mirrors [[graft.functions.VectorFunctions.randomProject]]: each
+    * component = left-to-right fold of vᵢ·(±1) (the same md5-parity
+    * signs, baked as literals) times the single 1/√k multiply.
+    */
+  private def rpSql(vecExpr: String, dim: Int, outDim: Int): String = {
+    val inv = 1.0 / math.sqrt(outDim.toDouble)
+    graft.functions.VectorFunctions.planeSigns(dim, outDim)
+      .map { signs =>
+        val litList = signs.map(s => s"$s.0").mkString("[", ", ", "]")
+        s"${dotSql(vecExpr, litList)} * $inv"
+      }.mkString("[", ", ", "]")
+  }
+
   // Chunk minhash (mirrors Dedup.chunkMin): hash h of a shingle is
   // hex chars [4h+1, 4h+4] of its single md5.
   private def minhashSigSql(setExpr: String, numHashes: Int): String =
@@ -901,6 +914,15 @@ object SparkEntry {
         t(s, dir, "documents"), "n_chars", "lang", 0.25)
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
+    "q_winsorize" -> ((s, dir) => {
+      // cap each language's length outliers at its own 5th/95th
+      // percentile — the keep-the-row outlier treatment next to the
+      // gate's drop-the-row.
+      graft.operators.Profile.winsorize(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "n_chars", "lang", pLo = 0.05, pHi = 0.95)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("n_chars_w"))
+    }),
     "q_key_skew" -> ((s, dir) => {
       // the salting decision report over the language key
       graft.operators.Profile.keySkew(
@@ -1145,6 +1167,26 @@ object SparkEntry {
         graft.sources.Csv.toCsvLines(docs), "csv", docs.schema)
         .where(col(graft.sources.Csv.corruptCol).isNull)
         .drop(graft.sources.Csv.corruptCol)
+    }),
+    "q_attribution" -> ((s, dir) => {
+      // Interval-join attribution (the batch replay of the
+      // StreamJoin stream-stream operator — same body, watermarks
+      // are no-ops on batch): every click within 4 h after a view
+      // by the same user. Both sides shuffle once on user_id.
+      val ev = t(s, dir, "events")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          timestamp_millis(col("ts_ms")).as("view_ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          timestamp_millis(col("ts_ms")).as("click_ts"))
+      graft.streaming.StreamJoin.intervalJoin(
+        Parallelism.spread(views), clicks, "user_id",
+        "view_ts", "click_ts",
+        maxDelay = "4 hours", watermarkDelay = "1 hour")
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          unix_millis(col("view_ts")).as("view_ts_ms"),
+          unix_millis(col("click_ts")).as("click_ts_ms"))
     }),
     "q_event_funnel" -> ((s, dir) => {
       // Ordered-step conversion funnel (view → click → purchase) with
@@ -1403,6 +1445,31 @@ object SparkEntry {
       val tq = te.where(col("vec_id") < 5)
       Similarity.annRecall(
         Similarity.bruteForceTopK(te, tq, "embedding", "vec_id", "vec_id", k = 10),
+        Similarity.bruteForceTopK(e, q, "embedding", "vec_id", "vec_id", k = 10))
+    }),
+    "q_ann_rp" -> ((s, dir) => {
+      // Top-k over the 16-dim Johnson–Lindenstrauss projection: like
+      // the matryoshka prefix but model-free — the ±1/√k Rademacher
+      // matrix comes from the deterministic md5 generator, so it
+      // works on embeddings that were never trained nested.
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        graft.functions.VectorFunctions.randomProject(col("embedding"), 64, 16)
+          .as("embedding"))
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5),
+        "embedding", "vec_id", "vec_id", k = 10)
+    }),
+    "q_rp_recall" -> ((s, dir) => {
+      // The projection-quality eval: recall@10 of the 16-dim JL
+      // space against the full 64-dim ranking — the matryoshka
+      // eval's model-free twin.
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      val pe = e.select(col("vec_id"),
+        graft.functions.VectorFunctions.randomProject(col("embedding"), 64, 16)
+          .as("embedding"))
+      val pq = pe.where(col("vec_id") < 5)
+      Similarity.annRecall(
+        Similarity.bruteForceTopK(pe, pq, "embedding", "vec_id", "vec_id", k = 10),
         Similarity.bruteForceTopK(e, q, "embedding", "vec_id", "vec_id", k = 10))
     }),
     "q_dedup_simhash" -> ((s, dir) => {
@@ -3189,6 +3256,16 @@ object SparkEntry {
       s"""SELECT doc_id, ${zorderSql(
         Seq("least(n_chars, 65535)", hNibSql("source", 4)), 16)}::BIGINT AS z
         |FROM documents""".stripMargin,
+    // same 6 dp-rounded thresholds as the gate; the clip itself is
+    // exact double least/greatest in both engines
+    "q_winsorize" ->
+      """WITH thr AS (SELECT lang,
+        |    round(quantile_cont(n_chars::DOUBLE, 0.05), 6) AS lo,
+        |    round(quantile_cont(n_chars::DOUBLE, 0.95), 6) AS hi
+        |  FROM documents GROUP BY 1)
+        |SELECT doc_id, lang, n_chars,
+        |  least(greatest(n_chars::DOUBLE, lo), hi) AS n_chars_w
+        |FROM documents JOIN thr USING (lang)""".stripMargin,
     "q_quantiles_by_group" ->
       """SELECT lang, 'n_chars' AS "column", unnest([0.25, 0.5, 0.9]::DOUBLE[]) AS prob,
         |  round(unnest(quantile_cont(n_chars::DOUBLE, [0.25, 0.5, 0.9])), 4) AS quantile
@@ -3550,6 +3627,16 @@ object SparkEntry {
     // greedy earliest-transition funnel = chained conditional minima:
     // t_i = min ts of step i STRICTLY AFTER t_{i-1}; share is over
     // all users with any step-typed event
+    // interval semantics replayed literally: every (view, click)
+    // pair per user with click in [view, view + 4h]
+    "q_attribution" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, epoch_ms(ts) AS vm
+        |    FROM events WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS click_id, user_id, epoch_ms(ts) AS cm
+        |    FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, view_id, click_id, vm AS view_ts_ms, cm AS click_ts_ms
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND cm >= vm AND cm <= vm + 14400000""".stripMargin,
     "q_event_funnel" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events
         |  WHERE event_type IN ('view', 'click', 'purchase')),
@@ -3861,6 +3948,31 @@ object SparkEntry {
           |exact AS (SELECT query_id, corpus_id FROM fr WHERE rank <= 10),
           |mq AS (SELECT vec_id AS query_id, embedding[1:16] AS qv FROM embeddings WHERE vec_id < 5),
           |mc AS (SELECT vec_id AS corpus_id, embedding[1:16] AS cv FROM embeddings),
+          |ms AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine FROM mc, mq),
+          |mr AS (SELECT query_id, corpus_id,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM ms),
+          |approx AS (SELECT query_id, corpus_id FROM mr WHERE rank <= 10),
+          |tot AS (SELECT count(DISTINCT query_id) AS n_queries, count(*)::BIGINT AS n_exact FROM exact),
+          |mt AS (SELECT count(*)::BIGINT AS n_matched FROM exact JOIN approx USING (query_id, corpus_id))
+          |SELECT n_queries, n_exact, n_matched,
+          |  round(n_matched / n_exact::DOUBLE, 6) AS recall FROM tot, mt""".stripMargin),
+    // JL twin of q_ann_matryoshka: qv/cv are the replayed 16-dim
+    // Rademacher projections (literal sign lists, same fold order)
+    "q_ann_rp" ->
+      (s"""WITH q AS (SELECT vec_id AS query_id, ${rpSql("embedding", 64, 16)} AS qv FROM embeddings WHERE vec_id < 5),
+          |c AS (SELECT vec_id AS corpus_id, ${rpSql("embedding", 64, 16)} AS cv FROM embeddings),
+          |s AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine FROM c, q),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM s)
+          |SELECT query_id, corpus_id, cosine, rank::INT AS rank FROM r WHERE rank <= 10""".stripMargin),
+    "q_rp_recall" ->
+      (s"""WITH fq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+          |fc AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+          |fs AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine FROM fc, fq),
+          |fr AS (SELECT query_id, corpus_id,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM fs),
+          |exact AS (SELECT query_id, corpus_id FROM fr WHERE rank <= 10),
+          |mq AS (SELECT vec_id AS query_id, ${rpSql("embedding", 64, 16)} AS qv FROM embeddings WHERE vec_id < 5),
+          |mc AS (SELECT vec_id AS corpus_id, ${rpSql("embedding", 64, 16)} AS cv FROM embeddings),
           |ms AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine FROM mc, mq),
           |mr AS (SELECT query_id, corpus_id,
           |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM ms),

@@ -277,6 +277,93 @@ object QuantizeInt8 {
   }
 }
 
+/** Rademacher (±1/√k) random projection — the Johnson–Lindenstrauss
+  * dimensionality-reduction tier (Achlioptas 2003, "database-friendly
+  * random projections"): out(p) = (Σᵢ signs(p)(i)·vᵢ) / √k with the
+  * same deterministic md5-parity signs as the LSH planes
+  * ([[VectorFunctions.planeSigns]]) — no fitted model to ship, any
+  * engine regenerates the matrix. Distances/inner products are
+  * preserved within 1±ε, so the projected vectors drop into every
+  * downstream ANN operator at k/d of the scan+shuffle payload.
+  * Null on length mismatch or a null element; sequential index-order
+  * accumulation keeps the doubles engine-replayable.
+  */
+case class RademacherProject(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  private lazy val planeArr: Array[Array[Double]] = planes.map(_.toArray).toArray
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "rademacher_project"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<float>/array<double> input")
+    }
+
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    RademacherProject.project(input.asInstanceOf[ArrayData], isFloat, planeArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val resTerm = ctx.freshName("rpres")
+    val pRef = ctx.addReferenceObj("planes", planeArr, "double[][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |org.apache.spark.sql.catalyst.util.GenericArrayData $resTerm =
+         |  graft.functions.RademacherProject.project($c, $isFloat, $pRef);
+         |if ($resTerm == null) { ${ev.isNull} = true; } else { ${ev.value} = $resTerm; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RademacherProject =
+    copy(child = newChild)
+}
+
+object RademacherProject {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def project(
+      arr: ArrayData,
+      isFloat: Boolean,
+      planes: Array[Array[Double]]): GenericArrayData = {
+    val k = planes.length
+    if (k == 0) return null
+    val n = arr.numElements()
+    if (n != planes(0).length) return null
+    var i = 0
+    while (i < n) { if (arr.isNullAt(i)) return null; i += 1 }
+    // 1/√k: one multiply per component AFTER the fold, so the oracle
+    // replays it as `dot * (1/sqrt(k))` with the same single rounding
+    val inv = 1.0 / math.sqrt(k.toDouble)
+    val out = new Array[Double](k)
+    var p = 0
+    while (p < k) {
+      val row = planes(p)
+      var dot = 0.0
+      i = 0
+      while (i < n) {
+        dot += (if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)) * row(i)
+        i += 1
+      }
+      out(p) = dot * inv
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Cosine over int8 codes ([[QuantizeInt8]]'s `q` arrays). Cosine is
   * scale-invariant, so the per-vector scales cancel and the whole
   * similarity runs on integer dot/norm accumulators — ~4× less

@@ -107,6 +107,25 @@ object VectorFunctions {
         planeSigns(dim, numPlanes, planeOffset).map(_.map(_.toDouble))))
   }
 
+  /** Johnson–Lindenstrauss projection to `outDim` dims (native, one
+    * pass): Rademacher ±1/√k matrix from the SAME deterministic
+    * md5-parity generator as the LSH planes ([[planeSigns]] — use
+    * `planeOffset` to pick an independent slice). The projected
+    * `array<double>` drops into every downstream ANN operator at
+    * outDim/dim of the scan+shuffle payload with 1±ε distance
+    * distortion. Null on length mismatch or null elements.
+    */
+  def randomProject(
+      vec: Column, dim: Int, outDim: Int, planeOffset: Int = 0): Column = {
+    require(outDim >= 1 && outDim <= dim,
+      s"outDim must be in [1, $dim], got $outDim")
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      RademacherProject(
+        GraftSqlBridge.expression(vec),
+        planeSigns(dim, outDim, planeOffset).map(_.map(_.toDouble))))
+  }
+
   /** Symmetric per-vector int8 quantization (native, one pass):
     * struct(`scale` = max|vᵢ| as float, `q` = round(127·vᵢ/scale) as
     * array<tinyint>). 4× smaller embedding payloads for ANN

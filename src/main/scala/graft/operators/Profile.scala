@@ -157,6 +157,47 @@ object Profile {
       .drop(thrCol)
   }
 
+  /** Per-group WINSORIZATION — clip `valueCol` into its own group's
+    * [pLo, pHi] quantile range ("cap each language's length outliers
+    * at its 5th/95th percentile"), the outlier treatment that keeps
+    * the row (unlike [[dropBelowGroupQuantile]]) while bounding the
+    * leverage a tail value has on downstream means/regressions.
+    * Same scale shape as the gate: thresholds are ONE bounded
+    * aggregation (≤ |groups| rows, AQE-broadcast on the join back),
+    * the clip itself is a row-local least/greatest, and both
+    * thresholds round to 6 dp so the clipped values are
+    * engine-portable. Null values clip to null; null-group rows drop
+    * (inner join, the gate's convention). Output = input columns +
+    * `outCol` (the clipped double). `approx = true` switches the
+    * threshold fit to one-pass sketches for the 100 TB configuration.
+    */
+  def winsorize(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      pLo: Double = 0.05,
+      pHi: Double = 0.95,
+      outCol: String = null,
+      approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(pLo >= 0.0 && pHi <= 1.0 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
+    val out = Option(outCol).getOrElse(s"${valueCol}_w")
+    val lo = graft.Cols.unique("__lo", df)
+    val hi = graft.Cols.unique("__hi", df)
+    def q(p: Double) =
+      if (approx) approx_percentile(col(valueCol).cast("double"), lit(p), lit(accuracy))
+      else percentile(col(valueCol).cast("double"), lit(p))
+    val thresholds = df.groupBy(col(groupCol))
+      .agg(round(q(pLo), 6).as(lo), round(q(pHi), 6).as(hi))
+    df.join(thresholds, Seq(groupCol))
+      // least/greatest SKIP nulls (a null value would clip to the lo
+      // bound) — gate the clip on non-null explicitly
+      .withColumn(out, when(col(valueCol).isNotNull,
+        least(greatest(col(valueCol).cast("double"), col(lo)), col(hi))))
+      .drop(lo, hi)
+  }
+
   /** Per-group quantile BUCKETING — tag every row with which slice of
     * its own group's distribution it falls in ("head/middle/tail" per
     * language, the CCNet perplexity-bucket device of Wenzek et al.

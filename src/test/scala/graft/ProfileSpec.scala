@@ -195,6 +195,29 @@ class ProfileSpec extends SparkSpec {
     assert(top == Set(5L, 8L))
   }
 
+  test("winsorize: per-group clip at [pLo, pHi], nulls stay null, validation") {
+    // group a = {0..10}: p10 -> 1.0, p90 -> 9.0 (exact interpolation
+    // indexes); group b shifted by 100 gets its OWN bounds
+    val df = ((0 to 10).map(v => (v.toLong, "a", Some(v.toDouble))) ++
+      (0 to 10).map(v => (100L + v, "b", Some(100.0 + v))) :+
+      (99L, "a", None: Option[Double]))
+      .toDF("id", "g", "v")
+    val out = graft.operators.Profile.winsorize(df, "v", "g", 0.1, 0.9)
+      .select($"id", $"v_w").as[(Long, Option[Double])].collect().toMap
+    assert(out(0L).contains(1.0) && out(10L).contains(9.0), "edges clip")
+    assert(out(5L).contains(5.0) && out(9L).contains(9.0), "interior unchanged")
+    assert(out(100L).contains(101.0) && out(110L).contains(109.0), "own group bounds")
+    assert(out(99L).isEmpty, "null value clips to null")
+    // p0/p1 clip nothing
+    val id = graft.operators.Profile.winsorize(df, "v", "g", 0.0, 1.0)
+      .where($"v".isNotNull)
+      .select(($"v" === $"v_w").as[Boolean]).collect()
+    assert(id.forall(identity))
+    intercept[IllegalArgumentException] {
+      graft.operators.Profile.winsorize(df, "v", "g", 0.9, 0.1)
+    }
+  }
+
   test("bucketByGroupQuantiles: per-group terciles, null value tags null") {
     val df = Seq(
       (1L, "a", Some(1.0)), (2L, "a", Some(2.0)), (3L, "a", Some(3.0)),

@@ -187,4 +187,50 @@ class VectorFunctionsSpec extends SparkSpec {
     val zero = Seq(Seq(0.0f, 0.0f, 5.0f)).toDF("v")
     assert(zero.select(truncateNormalize($"v", 2)).head().isNullAt(0))
   }
+
+  test("randomProject: matches the sign-fold reference; JL distance preservation") {
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val vecs = Seq.fill(30)(Seq.fill(dim)(rnd.nextFloat() * 2 - 1))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val out = df.select($"id", randomProject($"v", dim, 16).as("p"))
+      .as[(Long, Seq[Double])].collect().toMap
+
+    // exact reference: same signs, same left-to-right fold, one 1/√k multiply
+    val signs = planeSigns(dim, 16)
+    def ref(v: Seq[Float]): Seq[Double] = signs.map { row =>
+      var dot = 0.0
+      var i = 0
+      while (i < dim) { dot += v(i).toDouble * row(i); i += 1 }
+      dot * (1.0 / math.sqrt(16.0))
+    }
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      assert(out(i.toLong) == ref(v), s"vector $i")
+    }
+
+    // JL property (loose — ε ~ √(ln n / k) is wide at k=16): every
+    // pairwise squared distance survives within 3x, and the MEDIAN
+    // distortion is tight
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val pairs = for (i <- 0 until 10; j <- (i + 1) until 10) yield (i, j)
+    val ratios = pairs.map { case (i, j) =>
+      val full = d2(vecs(i).map(_.toDouble), vecs(j).map(_.toDouble))
+      val proj = d2(out(i.toLong), out(j.toLong))
+      assert(proj > full / 3 && proj < full * 3,
+        s"distortion $i-$j: $proj vs $full")
+      proj / full
+    }.sorted
+    val median = ratios(ratios.size / 2)
+    assert(median > 0.7 && median < 1.4, s"median distortion $median")
+
+    // null element / length mismatch -> null; outDim validated
+    val bad = Seq(
+      (1L, Seq.fill(dim)(Some(1.0f)).updated(3, None)),
+      (2L, Seq(Some(1.0f), Some(2.0f)))).toDF("id", "v")
+    val nulls = bad.select($"id", randomProject($"v", dim, 16).as("p"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(nulls(1L) && nulls(2L))
+    intercept[IllegalArgumentException] { randomProject($"v", 64, 65) }
+  }
 }
