@@ -2365,6 +2365,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_frames"),
           sum(when(col("is_cut"), 1L).otherwise(0L)).as("n_cuts"))
     }),
+    "q_video_dhash_pairs" -> ((s, dir) => {
+      // End-to-end VIDEO near-dup: DIVERSE GVID synthesis (byte-
+      // identical groups of 3, per-(group, frame) unique codes) →
+      // real frame decode → per-frame dHash → position-aligned
+      // signature pairing. The composition point: video dedup is the
+      // image path plus ONE positioned pairing operator.
+      val vids = graft.multimodal.Multimodal.synthesizeVideoDiverse(
+        Parallelism.spread(t(s, dir, "documents").select("doc_id")), "doc_id")
+      val frames = graft.multimodal.Multimodal.sampleFrames(
+        vids, "payload", every = 1).drop("payload")
+      val codes = graft.multimodal.Multimodal.dHash(frames, "frame")
+        .select(col("doc_id"), col("frame_idx"), col("dhash"))
+      Dedup.alignedSignaturePairs(
+        codes, "doc_id", "frame_idx", "dhash", minMatchFrac = 0.5)
+    }),
     "q_audio_hash" -> ((s, dir) => {
       // Audio perceptual hash end-to-end: synthesize WAV → real
       // javax.sound decode → 64 window-energy threshold bits as hex.
@@ -2496,6 +2511,34 @@ object SparkEntry {
       |    sum(CASE WHEN i >= 32 THEN bit << (i - 32) ELSE 0 END)::BIGINT AS hi,
       |    sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END)::BIGINT AS lo
       |  FROM d GROUP BY 1)""".stripMargin
+
+  /** Frame-level DIVERSE dHash replay (q_video_dhash_pairs):
+    * [[dhashDiverseCtes]] with the per-frame base advances and the
+    * g·7+f stripe re-seed, one (doc_id, f) hash row per frame →
+    * `hx(doc_id, f, sig)` + `nf(doc_id, nf)`.
+    */
+  private lazy val videoDhashDiverseCtes: String =
+    """gs AS (SELECT doc_id, doc_id // 3 AS g FROM documents),
+      |gf AS (SELECT doc_id, g, unnest(range(0, 3 + g % 4)) AS f FROM gs),
+      |gg0 AS (SELECT doc_id, g, f, 8 + g % 9 AS w, 8 + (g // 9) % 9 AS h,
+      |    ((g * 7 + f) * 1103515245 + 12345) % 2147483648 AS h0 FROM gf),
+      |gg AS (SELECT doc_id, g, f, w, h, xor(h0, h0 >> 16) AS hh FROM gg0),
+      |l AS (SELECT doc_id, f, x, y,
+      |    (299*((g + 17*f) % 96 + 3*((x*w)//9) + 5*((y*h)//8) + 40*((hh >> ((((x*w)//9) + ((y*h)//8)) % 31)) & 1)) +
+      |     587*((3*g + 29*f) % 100 + 2*((x*w)//9) + 4*((y*h)//8)) +
+      |     114*((5*g + 31*f) % 150 + ((x*w)//9) + ((y*h)//8))) // 1000 AS lum
+      |  FROM gg, range(0, 8) ty(y), range(0, 9) tx(x)),
+      |d AS (SELECT a.doc_id, a.f, (a.y*8 + a.x)::INT AS i,
+      |    CASE WHEN b.lum > a.lum THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      |  FROM l a JOIN l b ON b.doc_id = a.doc_id AND b.f = a.f
+      |    AND b.y = a.y AND b.x = a.x + 1
+      |  WHERE a.x < 8),
+      |agg AS (SELECT doc_id, f,
+      |    sum(CASE WHEN i >= 32 THEN bit << (i - 32) ELSE 0 END)::BIGINT AS hi,
+      |    sum(CASE WHEN i < 32 THEN bit << i ELSE 0 END)::BIGINT AS lo
+      |  FROM d GROUP BY 1, 2),
+      |hx AS (SELECT doc_id, f, printf('%08x%08x', hi, lo) AS sig FROM agg),
+      |nf AS (SELECT doc_id, count(*) AS n FROM hx GROUP BY 1)""".stripMargin
 
   /** Shared aHash replay: the periodic WAV sample pattern is
     * closed-form, so window-energy sums are exact integer aggregates
@@ -4872,6 +4915,21 @@ object SparkEntry {
     // bucket-size keep window, pairs verified by exact two-half
     // Hamming — the same arithmetic as Dedup.hammingPairs64.
     "q_multimodal_dhash_pairs" -> hamming64PairsSql(dhashDiverseCtes),
+    // aligned-pairing replay over the frame-level diverse hashes:
+    // one row per matched (position, sig), counted per pair
+    "q_video_dhash_pairs" ->
+      (s"""WITH $videoDhashDiverseCtes,
+          |bk AS (SELECT f, sig FROM hx GROUP BY 1, 2
+          |  HAVING count(*) BETWEEN 2 AND 1000),
+          |hk AS (SELECT hx.* FROM hx JOIN bk USING (f, sig)),
+          |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS matched
+          |  FROM hk a JOIN hk b ON a.f = b.f AND a.sig = b.sig
+          |    AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT id_a, id_b, na.n AS n_a, nb.n AS n_b, matched,
+          |  round(matched / greatest(na.n, nb.n)::DOUBLE, 4) AS match_frac
+          |FROM m JOIN nf na ON na.doc_id = id_a JOIN nf nb ON nb.doc_id = id_b
+          |WHERE round(matched / greatest(na.n, nb.n)::DOUBLE, 4) >= 0.5""".stripMargin),
     "q_audio_hash" ->
       s"""WITH $ahashCtes
          |SELECT doc_id, printf('%08x%08x', hi, lo) AS ahash FROM agg""".stripMargin,

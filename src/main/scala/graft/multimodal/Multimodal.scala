@@ -1016,6 +1016,69 @@ object Multimodal {
     }
   }
 
+  /** DIVERSE per-frame pixels (the video near-dup test corpus —
+    * [[pixelDiverse]]'s rationale): ids come in byte-identical
+    * groups of 3 (seed g = id div 3), each frame advances the
+    * channel bases INSIDE their modulus and re-seeds the R stripe
+    * (hash of g·7+f), so frame codes are effectively unique per
+    * (group, frame) and the pair population stays linear. Wrap-free:
+    * 95 + 3·15 + 5·15 + 40 = 255 on R.
+    */
+  private[graft] def framePixelDiverse(id: Long, f: Int, x: Int, y: Int): (Int, Int, Int) = {
+    val g = diverseSeed(id)
+    val h = diverseHash(g * 7 + f)
+    (Math.floorMod(g + 17L * f, 96L).toInt + 3 * x + 5 * y +
+      40 * ((h >> ((x + y) % 31)) & 1L).toInt,
+      Math.floorMod(3 * g + 29L * f, 100L).toInt + 2 * x + 4 * y,
+      Math.floorMod(5 * g + 31L * f, 150L).toInt + x + y)
+  }
+
+  private[graft] def videoBytesDiverse(id: Long): Array[Byte] = {
+    val g = diverseSeed(id)
+    val (w, h) = imageGeometry(g)
+    val nf = videoFrameCount(g)
+    val out = new ByteArrayOutputStream(1024)
+    out.write('G'); out.write('V'); out.write('I'); out.write('D')
+    putU32(out, nf)
+    putU32(out, videoFps(g))
+    var f = 0
+    while (f < nf) {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, gc, b) = framePixelDiverse(id, f, x, y)
+          img.setRGB(x, y, (r << 16) | (gc << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val png = writePngCodec(img)
+      putU32(out, png.length)
+      out.write(png, 0, png.length)
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** [[synthesizeVideo]] with the DIVERSE pattern — the test corpus
+    * for VIDEO near-dup pairing (byte-identical groups of 3,
+    * per-(group, frame) unique codes at any corpus size).
+    */
+  def synthesizeVideoDiverse(df: DataFrame, idCol: String, outCol: String = "payload"): DataFrame = {
+    val outSchema = df.schema.add(StructField(outCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes: Array[Byte] =
+          if (row.isNullAt(idIdx)) null else videoBytesDiverse(row.getLong(idIdx))
+        Row.fromSeq(row.toSeq :+ (bytes: Any))
+      }
+    }
+  }
+
   private def u32le(b: Array[Byte], o: Int): Long =
     (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
       ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)

@@ -960,6 +960,59 @@ object Dedup {
   }
 
 
+  /** Position-ALIGNED signature pairing — near-dup detection over
+    * per-position perceptual signatures (video frame dHashes, audio
+    * chunk aHashes, any (id, position, signature) sequence): two ids
+    * pair when ≥ `minMatchFrac` of their positions carry the SAME
+    * signature at the SAME position (temporal alignment — a shuffled
+    * frame set is a different video). This is how video dedup
+    * composes from the image path: sampleFrames → dHash → one
+    * positioned pairing.
+    *
+    * Scale shape: candidates come from (position, signature) buckets
+    * — the [[bucketPairs]] grouped-bucket device, never a self-join;
+    * a pair is emitted once per matched position, so ONE
+    * map-side-combined count over the candidate rows IS the match
+    * count (no verification join); per-id position counts ride the
+    * bucket rows as struct payload (no join-back). `maxBucket` drops
+    * degenerate buckets (an all-black frame shared by everything)
+    * deterministically.
+    *
+    * @return (id_a, id_b, n_a, n_b, matched, match_frac 4 dp) for
+    *         pairs at match_frac ≥ minMatchFrac; frac is over the
+    *         LARGER sequence (a short clip inside a long video does
+    *         not pair at frac 1).
+    */
+  def alignedSignaturePairs(
+      df: DataFrame,
+      idCol: String,
+      posCol: String,
+      sigCol: String,
+      minMatchFrac: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    require(minMatchFrac > 0.0 && minMatchFrac <= 1.0,
+      s"minMatchFrac must be in (0, 1], got $minMatchFrac")
+    val w = Window.partitionBy(col("__id"))
+    val sigs = Parallelism.spread(df)
+      .where(col(sigCol).isNotNull && col(posCol).isNotNull)
+      .select(col(idCol).as("__id"), col(posCol).as("__bpos"),
+        col(sigCol).as("__bkey"))
+      .distinct()
+      // per-id position count rides each bucket row (window over the
+      // bounded per-id sequence) — no join-back later
+      .withColumn("__n", count(lit(1)).over(w))
+    bucketPairs(sigs, struct(col("__id"), col("__n")), maxBucket)
+      .where(col("__a.__id") < col("__b.__id"))
+      .groupBy(
+        col("__a.__id").as("id_a"), col("__b.__id").as("id_b"),
+        col("__a.__n").as("n_a"), col("__b.__n").as("n_b"))
+      .agg(count(lit(1)).as("matched"))
+      .withColumn("match_frac",
+        round(col("matched") / greatest(col("n_a"), col("n_b")), 4))
+      .where(col("match_frac") >= minMatchFrac)
+      .select("id_a", "id_b", "n_a", "n_b", "matched", "match_frac")
+  }
+
   /** Banding-configuration EVAL — the dedup twin of
     * [[graft.operators.Similarity.annRecall]]: for every LSH
     * candidate pair, the signature-ESTIMATED Jaccard (fraction of

@@ -309,6 +309,39 @@ class DedupSpec extends SparkSpec {
     assert(found == 10, s"pigeonhole recall: $found of 10")
   }
 
+  test("alignedSignaturePairs: positioned matches, frac over the longer side, cap") {
+    // A/B: 4 frames, 3 equal at the same position + one mismatch ->
+    // 0.75; C: A's signatures SHUFFLED in position -> no pair (the
+    // temporal-alignment contract); D: 2-frame clip = A's prefix ->
+    // frac 2/4 = 0.5 over the LONGER side (boundary kept)
+    val sigs = Seq(
+      ("A", 0L, "h0"), ("A", 1L, "h1"), ("A", 2L, "h2"), ("A", 3L, "h3"),
+      ("B", 0L, "h0"), ("B", 1L, "h1"), ("B", 2L, "h2"), ("B", 3L, "hX"),
+      ("C", 0L, "h1"), ("C", 1L, "h2"), ("C", 2L, "h3"), ("C", 3L, "h0"),
+      ("D", 0L, "h0"), ("D", 1L, "h1"),
+      ("E", 0L, null.asInstanceOf[String]))
+      .toDF("vid", "f", "sig")
+    val out = Dedup.alignedSignaturePairs(sigs, "vid", "f", "sig", 0.5)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out.keySet == Set(("A", "B"), ("A", "D"), ("B", "D")))
+    assert(out(("A", "B")) == ("A", "B", 4L, 4L, 3L, 0.75))
+    assert(out(("A", "D")) == ("A", "D", 4L, 2L, 2L, 0.5), "frac over the longer side")
+    // raise the threshold past the boundary: only A-B survives
+    val strict = Dedup.alignedSignaturePairs(sigs, "vid", "f", "sig", 0.6)
+      .select($"id_a", $"id_b").as[(String, String)].collect().toSet
+    assert(strict == Set(("A", "B")))
+    // degenerate bucket (one signature shared by 50 videos at pos 0)
+    // is dropped wholesale under the cap
+    val flood = (1 to 50).flatMap(i => Seq((s"v$i", 0L, "same"), (s"v$i", 1L, s"u$i")))
+      .toDF("vid", "f", "sig")
+    assert(Dedup.alignedSignaturePairs(flood, "vid", "f", "sig", 0.5, maxBucket = 10)
+      .count() == 0)
+    intercept[IllegalArgumentException] {
+      Dedup.alignedSignaturePairs(sigs, "vid", "f", "sig", 0.0)
+    }
+  }
+
   test("minHashEstimatePairs: clones estimate 1.0; estimate = matching fraction") {
     import org.apache.spark.sql.functions.col
     val base = "the quick brown fox jumps over the lazy dog again and again"

@@ -209,6 +209,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("synthesizeVideoDiverse: byte-identical groups of 3, distinct frame codes") {
+    val vids = Multimodal.synthesizeVideoDiverse((0L until 12L).toDF("id"), "id")
+    val payloads = vids.select($"id", $"payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    // ids 0,1,2 share seed 0 -> byte-identical; different groups differ
+    assert(payloads(0L).sameElements(payloads(1L)))
+    assert(payloads(1L).sameElements(payloads(2L)))
+    assert(!payloads(2L).sameElements(payloads(3L)))
+    // per-frame dHash: same code inside a group at each position;
+    // frames of one video are NOT all equal (the stripe re-seeds per
+    // frame), so position alignment carries signal
+    val codes = Multimodal.dHash(
+      Multimodal.sampleFrames(vids, "payload").drop("payload"), "frame")
+      .select($"id", $"frame_idx", $"dhash")
+      .as[(Long, Long, String)].collect()
+    val byVid = codes.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byVid(0L) == byVid(1L) && byVid(1L) == byVid(2L))
+    assert(byVid(0L).distinct.size > 1, "frames differ within a video")
+    // end to end: the aligned pairing recovers exactly the 3 pairs
+    // per group at frac 1.0
+    val pairs = graft.operators.Dedup.alignedSignaturePairs(
+      codes.toSeq.toDF("id", "frame_idx", "dhash"), "id", "frame_idx", "dhash", 0.5)
+      .select($"id_a", $"id_b", $"match_frac")
+      .as[(Long, Long, Double)].collect()
+    val perfect = pairs.filter(_._3 == 1.0).map(p => (p._1, p._2)).toSet
+    val expected = (0L until 12L by 3).flatMap(g =>
+      Seq((g, g + 1), (g, g + 2), (g + 1, g + 2))).toSet
+    assert(expected.subsetOf(perfect), s"missing: ${expected -- perfect}")
+  }
+
   test("sceneCuts: luma-delta flags over decoded frames; first frame never cuts") {
     // hand-built frame stats: video A jumps at frame 2 (luma delta
     // 299·120/1000 = 35.88 < 40? no — use a 200-step: 59.8), video B flat
