@@ -914,6 +914,20 @@ object SparkEntry {
         t(s, dir, "documents"), "n_chars", "lang", 0.25)
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
+    "q_pct_rank" -> ((s, dir) => {
+      // rank-normalize each doc's length within its language — the
+      // cross-group score calibration step before a global gate.
+      graft.operators.Profile.percentileRank(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "n_chars", "lang")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("n_chars_pct"))
+    }),
+    "q_zipf" -> ((s, dir) => {
+      // corpus-health: the log-log rank-frequency slope of the top
+      // 1000 terms (natural text ≈ −1).
+      graft.functions.TextAnalysis.zipfFit(
+        t(s, dir, "documents"), "text", topN = 1000, minCount = 2L)
+    }),
     "q_winsorize" -> ((s, dir) => {
       // cap each language's length outliers at its own 5th/95th
       // percentile — the keep-the-row outlier treatment next to the
@@ -3299,6 +3313,31 @@ object SparkEntry {
       s"""SELECT doc_id, ${zorderSql(
         Seq("least(n_chars, 65535)", hNibSql("source", 4)), 16)}::BIGINT AS z
         |FROM documents""".stripMargin,
+    // percent_rank shares the (rank-1)/(n-1) definition and the
+    // tie-sharing rule in both engines; one 6 dp round
+    "q_pct_rank" ->
+      """SELECT doc_id, lang, n_chars,
+        |  round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars), 6) AS n_chars_pct
+        |FROM documents""".stripMargin,
+    // identical decimal-moment least squares: 6 dp ln values and
+    // products, DECIMAL(18,6) sums, one double solve, same rounding
+    "q_zipf" ->
+      """WITH tk AS (SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS t FROM documents),
+        |c0 AS (SELECT t, count(*) AS c FROM tk GROUP BY 1 HAVING count(*) >= 2),
+        |top AS (SELECT t, c FROM c0 ORDER BY c DESC, t LIMIT 1000),
+        |xy AS (SELECT round(ln(row_number() OVER (ORDER BY c DESC, t)::DOUBLE), 6) AS x,
+        |    round(ln(c::DOUBLE), 6) AS y FROM top),
+        |s AS (SELECT count(*)::BIGINT AS n_terms,
+        |    sum(x::DECIMAL(18,6)) AS sx, sum(y::DECIMAL(18,6)) AS sy,
+        |    sum(round(x*x, 6)::DECIMAL(18,6)) AS sxx,
+        |    sum(round(x*y, 6)::DECIMAL(18,6)) AS sxy FROM xy),
+        |d AS (SELECT n_terms, n_terms::DOUBLE AS n, sx::DOUBLE AS sxd,
+        |    sy::DOUBLE AS syd, sxx::DOUBLE AS sxxd, sxy::DOUBLE AS sxyd FROM s),
+        |e AS (SELECT n_terms, n, sxd, syd,
+        |    CASE WHEN n_terms >= 2 AND n*sxxd - sxd*sxd <> 0
+        |      THEN (n*sxyd - sxd*syd) / (n*sxxd - sxd*sxd) END AS sl FROM d)
+        |SELECT n_terms, round(sl, 6) AS slope,
+        |  round((syd - sl*sxd) / n, 6) AS intercept FROM e""".stripMargin,
     // same 6 dp-rounded thresholds as the gate; the clip itself is
     // exact double least/greatest in both engines
     "q_winsorize" ->

@@ -230,6 +230,64 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Zipf rank-frequency fit — the corpus-health diagnostic behind
+    * "is this crawl slice natural language or generated/boilerplate
+    * spam": natural text follows count ∝ rank^s with s ≈ −1 (Zipf
+    * 1949); template-heavy or synthetic corpora bend the log-log
+    * line. One least-squares line through (ln rank, ln count) of the
+    * top `topN` terms: counts map-side-combine, the top-N is a
+    * distributed TakeOrderedAndProject (never a vocab-sized sort),
+    * the rank window runs on the ≤ topN survivors (bounded single
+    * partition by construction), and the moment sums follow the
+    * decimal discipline — 6 dp-rounded ln values and products summed
+    * in exact DECIMAL(18,6), ONE double solve at the boundary — so
+    * the slope is order-independent and engine-replayable.
+    *
+    * @return one row: (n_terms, slope 6 dp, intercept 6 dp) — slope
+    *         null when fewer than 2 terms survive.
+    */
+  def zipfFit(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      topN: Int = 1000,
+      minCount: Long = 2L): org.apache.spark.sql.DataFrame = {
+    require(topN >= 2, "topN must be >= 2")
+    require(minCount >= 1, "minCount must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val tk = graft.operators.Parallelism.spread(df)
+      .select(tokens(col(textCol)).as("__w"))
+    val top = tk.select(explode(col("__w")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minCount)
+      .orderBy(col("__c").desc, col("__t").asc)
+      .limit(topN)
+    val w = Window.orderBy(col("__c").desc, col("__t").asc)
+    val xy = top
+      .withColumn("__r", row_number().over(w))
+      .select(
+        round(log(col("__r").cast("double")), 6).as("__x"),
+        round(log(col("__c").cast("double")), 6).as("__y"))
+    val s = xy.agg(
+      count(lit(1)).as("n_terms"),
+      sum(col("__x").cast("decimal(18,6)")).as("__sx"),
+      sum(col("__y").cast("decimal(18,6)")).as("__sy"),
+      sum(round(col("__x") * col("__x"), 6).cast("decimal(18,6)")).as("__sxx"),
+      sum(round(col("__x") * col("__y"), 6).cast("decimal(18,6)")).as("__sxy"))
+    val n = col("n_terms").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    val sxx = col("__sxx").cast("double")
+    val sxy = col("__sxy").cast("double")
+    val den = n * sxx - sx * sx
+    s.withColumn("__slope_raw",
+      when(col("n_terms") >= 2 && den =!= 0.0,
+        (n * sxy - sx * sy) / den))
+      .select(
+        col("n_terms"),
+        round(col("__slope_raw"), 6).as("slope"),
+        round((sy - col("__slope_raw") * sx) / n, 6).as("intercept"))
+  }
+
   /** Sentence segmentation — the unit-of-work change behind
     * sentence-level filtering, alignment, and dedup: each document
     * splits into terminator-delimited sentences ((.!?)-runs end a

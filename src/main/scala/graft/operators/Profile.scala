@@ -198,6 +198,30 @@ object Profile {
       .drop(lo, hi)
   }
 
+  /** Per-group PERCENTILE-RANK normalization — replace a raw score
+    * with its within-group rank position ("this doc is at the 93rd
+    * percentile of its language's quality distribution"), the
+    * calibration step that makes scores COMPARABLE across groups
+    * whose raw distributions differ before any global gate applies.
+    * `percent_rank` = (rank−1)/(n−1): tie rows share a rank (no
+    * unique tiebreak needed — deterministic by value equality), a
+    * group's minimum is 0 and maximum is 1, a singleton group is 0.
+    * One window per group partitioning (parallel across groups, the
+    * only shuffle); null scores drop (the gate convention — a null
+    * has no rank). Rounded 6 dp for engine portability.
+    */
+  def percentileRank(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      outCol: String = null): DataFrame = {
+    val out = Option(outCol).getOrElse(s"${valueCol}_pct")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol))
+    df.where(col(valueCol).isNotNull)
+      .withColumn(out, round(percent_rank().over(w), 6))
+  }
+
   /** Per-group quantile BUCKETING — tag every row with which slice of
     * its own group's distribution it falls in ("head/middle/tail" per
     * language, the CCNet perplexity-bucket device of Wenzek et al.

@@ -218,6 +218,21 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("percentileRank: tie-sharing ranks per group, singleton 0, nulls drop") {
+    val df = Seq(
+      (1L, "a", Some(10.0)), (2L, "a", Some(20.0)), (3L, "a", Some(20.0)),
+      (4L, "a", Some(40.0)),
+      (5L, "b", Some(7.0)), // singleton group
+      (6L, "a", None)).toDF("id", "g", "v")
+    val out = graft.operators.Profile.percentileRank(df, "v", "g")
+      .select($"id", $"v_pct").as[(Long, Double)].collect().toMap
+    // (rank-1)/(n-1) over n=4: 0, 1/3, 1/3, 1
+    assert(out(1L) == 0.0 && out(4L) == 1.0)
+    assert(out(2L) == out(3L) && out(2L) == 0.333333, "ties share the rank")
+    assert(out(5L) == 0.0, "singleton group is 0")
+    assert(!out.contains(6L), "null scores drop")
+  }
+
   test("bucketByGroupQuantiles: per-group terciles, null value tags null") {
     val df = Seq(
       (1L, "a", Some(1.0)), (2L, "a", Some(2.0)), (3L, "a", Some(3.0)),

@@ -791,6 +791,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("zipfFit: matches the decimal-moment reference; gates and degenerate cases") {
+    // counts: a=8, b=4, c=2 (ranks 1, 2, 3); d appears once -> gated
+    val docs = Seq(
+      "a a a a a a a a b b",
+      "b b c c d").toDF("text")
+    val out = graft.functions.TextAnalysis.zipfFit(docs, "text", topN = 1000, minCount = 2L)
+      .as[(Long, Option[Double], Option[Double])].head()
+    assert(out._1 == 3L, "d gated by minCount")
+    // reference: same 6 dp rounds, exact micro-unit sums, one solve
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pts = Seq((1, 8), (2, 4), (3, 2)).map { case (r, c) =>
+      (r6(math.log(r.toDouble)), r6(math.log(c.toDouble)))
+    }
+    def dsum(vs: Seq[Double]) = vs.map(v => math.round(v * 1e6)).sum / 1e6
+    val (n, sx, sy) = (3.0, dsum(pts.map(_._1)), dsum(pts.map(_._2)))
+    val sxx = dsum(pts.map(p => r6(p._1 * p._1)))
+    val sxy = dsum(pts.map(p => r6(p._1 * p._2)))
+    val sl = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(out._2.contains(r6(sl)), s"slope ${out._2} vs ${r6(sl)}")
+    assert(out._3.contains(r6((sy - sl * sx) / n)))
+    // near -1 for the geometric counts (sanity of the sign convention)
+    assert(out._2.get < -0.9 && out._2.get > -1.6, out._2)
+    // topN truncation: with topN=2 only a and b fit
+    assert(graft.functions.TextAnalysis.zipfFit(docs, "text", topN = 2, minCount = 1L)
+      .as[(Long, Option[Double], Option[Double])].head()._1 == 2L)
+    // fewer than 2 surviving terms -> null slope, not a crash
+    val one = Seq("z z z").toDF("text")
+    val deg = graft.functions.TextAnalysis.zipfFit(one, "text", topN = 10, minCount = 2L)
+      .as[(Long, Option[Double], Option[Double])].head()
+    assert(deg._1 == 1L && deg._2.isEmpty && deg._3.isEmpty)
+    intercept[IllegalArgumentException] {
+      graft.functions.TextAnalysis.zipfFit(docs, "text", topN = 1)
+    }
+  }
+
   test("pmiCollocations: hand-computed values, tie-break, minCount gate") {
     val df = Seq("a b a b", "a b c").toDF("text")
     val out = TextAnalysis.pmiCollocations(df, "text", minCount = 1L, k = 10)
