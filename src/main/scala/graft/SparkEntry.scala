@@ -837,6 +837,15 @@ object SparkEntry {
         expr("replace(replace(text, 'e ', 'e. '), 'w ', 'w! ')").as("text"))
       graft.functions.TextAnalysis.splitSentences(punct, "text", "doc_id")
     }),
+    "q_readability" -> ((s, dir) => {
+      // Flesch proxy over the terminator-injected corpus (the
+      // q_sentences literal replaces, so n_sents carries signal) —
+      // three row-local regexp counts, zero shuffles.
+      val punct = t(s, dir, "documents").select(col("doc_id"),
+        expr("replace(replace(text, 'e ', 'e. '), 'w ', 'w! ')").as("text"))
+      graft.functions.TextAnalysis.readability(punct, "text")
+        .select("doc_id", "n_words", "n_sents", "n_vowel_groups", "flesch")
+    }),
     "q_pmi" -> ((s, dir) => {
       // Top-50 PMI collocations over the doc corpus at min pair
       // count 5 — row-local bigrams, two map-side count tables, a
@@ -3245,6 +3254,21 @@ object SparkEntry {
         |u AS (SELECT doc_id, unnest(sents) AS sentence,
         |    unnest(range(0, len(sents))) AS sent_idx FROM l)
         |SELECT doc_id, sent_idx::INT AS sent_idx, sentence FROM u""".stripMargin,
+    // identical three regexp counts + the same double formula order
+    "q_readability" ->
+      """WITH p AS (SELECT doc_id,
+        |    replace(replace(text, 'e ', 'e. '), 'w ', 'w! ') AS t2
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    len(list_filter(string_split(t2, ' '), w -> w <> ''))::BIGINT AS n_words,
+        |    greatest(len(regexp_extract_all(t2, '[.!?]+')), 1)::BIGINT AS n_sents,
+        |    len(regexp_extract_all(lower(t2), '[aeiouy]+'))::BIGINT AS n_vowel_groups
+        |  FROM p)
+        |SELECT doc_id, n_words, n_sents, n_vowel_groups,
+        |  CASE WHEN n_words > 0 THEN
+        |    round(206.835 - 1.015 * (n_words::DOUBLE / n_sents)
+        |      - 84.6 * (n_vowel_groups::DOUBLE / n_words), 4) END AS flesch
+        |FROM c""".stripMargin,
     // same row-local bigrams (the q_lm_score list_transform shape),
     // identical probability-ratio arithmetic order, 6 dp before the
     // ordered top-50 cut

@@ -230,6 +230,34 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Flesch-style readability proxy — the classic per-document
+    * quality feature (Flesch 1948) on deterministic, engine-portable
+    * counting rules: words = whitespace tokens, sentences =
+    * `[.!?]+` terminator runs floored at 1, syllables = `[aeiouy]+`
+    * vowel groups over the lowercased text (runs cannot span
+    * whitespace, so this equals the per-word sum; consonant-only
+    * words contribute 0 by declared proxy contract). Score =
+    * 206.835 − 1.015·(words/sentences) − 84.6·(vowelGroups/words),
+    * 4 dp; null text or zero words → null score. Entirely row-local
+    * (three regexp counts), zero shuffles; both patterns sit in the
+    * Java∩RE2 subset so the oracle replays them verbatim.
+    */
+  def readability(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val words = size(filter(split(col(textCol), " "), w => w =!= ""))
+    val sents = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))), lit(1))
+    val vowels = size(regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"), lit(0)))
+    df.withColumn("n_words", when(col(textCol).isNotNull, words.cast("long")))
+      .withColumn("n_sents", when(col(textCol).isNotNull, sents.cast("long")))
+      .withColumn("n_vowel_groups", when(col(textCol).isNotNull, vowels.cast("long")))
+      .withColumn("flesch", when(col(textCol).isNotNull && col("n_words") > 0,
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") / col("n_sents")) -
+          lit(84.6) * (col("n_vowel_groups").cast("double") / col("n_words")), 4)))
+  }
+
   /** Zipf rank-frequency fit — the corpus-health diagnostic behind
     * "is this crawl slice natural language or generated/boilerplate
     * spam": natural text follows count ∝ rank^s with s ≈ −1 (Zipf

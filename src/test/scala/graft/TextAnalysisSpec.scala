@@ -791,6 +791,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("readability: hand-computed counts and score; null/empty/degenerate") {
+    val docs = Seq(
+      (1L, "The cat sat. It ran!"), // 5 words, 2 sents, 5 vowel groups
+      (2L, "zzz brr"), // consonant-only: 0 vowel groups, sents floor 1
+      (3L, ""), // empty: 0 words -> null score
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = graft.functions.TextAnalysis.readability(docs, "text")
+      .select($"id", $"n_words", $"n_sents", $"n_vowel_groups", $"flesch")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == (1L, Some(5L), Some(2L), Some(5L), Some(119.6975)))
+    assert(out(2L)._3.contains(1L) && out(2L)._4.contains(0L), "floor + no vowels")
+    assert(out(2L)._5.contains(
+      BigDecimal(206.835 - 1.015 * 2.0).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(out(3L)._2.contains(0L) && out(3L)._5.isEmpty, "empty -> null score")
+    assert(out(4L)._2.isEmpty && out(4L)._5.isEmpty, "null text -> nulls")
+  }
+
   test("zipfFit: matches the decimal-moment reference; gates and degenerate cases") {
     // counts: a=8, b=4, c=2 (ranks 1, 2, 3); d appears once -> gated
     val docs = Seq(
