@@ -1549,13 +1549,21 @@ object SparkEntry {
         "embedding", "vec_id", "vec_id", k = 10)
     }),
     "q_bitext_margin" -> ((s, dir) => {
-      // margin-normalized best-pair mining (LASER objective): the
-      // ~6% "source" side mined against the rest; raw cosine is
-      // hub-corrected by both endpoints' k=8 neighborhood average.
+      // margin-normalized best-pair mining (LASER objective): a
+      // BOUNDED source batch (vec_id < 300 — "mine this batch of new
+      // sentences against the corpus") against the rest; raw cosine
+      // is hub-corrected by both endpoints' k=8 neighborhood
+      // average. The batch bound is the scale contract: both
+      // brute-force passes are |batch|×N, i.e. linear in the corpus
+      // (the round-11 sf1 gate measured the earlier %17 fraction
+      // source side at 70× for 10× data — a corpus-fraction batch
+      // makes brute-force mining quadratic by construction; at full
+      // corpus-vs-corpus scale the same algebra runs over the
+      // IVF/PQ top-k instead).
       val e = t(s, dir, "embeddings")
       Similarity.marginMine(
-        e.where(pmod(col("vec_id"), lit(17)) === 0),
-        e.where(pmod(col("vec_id"), lit(17)) =!= 0),
+        e.where(col("vec_id") < 300),
+        e.where(col("vec_id") >= 300),
         "embedding", "vec_id", "vec_id", k = 8, minMargin = 1.0)
     }),
     "q_ann_filtered" -> ((s, dir) => {
@@ -3263,12 +3271,18 @@ object SparkEntry {
         |    len(list_filter(string_split(t2, ' '), w -> w <> ''))::BIGINT AS n_words,
         |    greatest(len(regexp_extract_all(t2, '[.!?]+')), 1)::BIGINT AS n_sents,
         |    len(regexp_extract_all(lower(t2), '[aeiouy]+'))::BIGINT AS n_vowel_groups
-        |  FROM p)
+        |  FROM p),
+        |c2 AS (SELECT *,
+        |    2068350 * n_sents * n_words - 10150 * n_words * n_words
+        |      - 846000 * n_vowel_groups * n_sents AS rn,
+        |    n_sents * n_words AS rd
+        |  FROM c)
         |SELECT doc_id, n_words, n_sents, n_vowel_groups,
         |  CASE WHEN n_words > 0 THEN
-        |    round(206.835 - 1.015 * (n_words::DOUBLE / n_sents)
-        |      - 84.6 * (n_vowel_groups::DOUBLE / n_words), 4) END AS flesch
-        |FROM c""".stripMargin,
+        |    (CASE WHEN rn >= 0 THEN (rn * 2 + rd) // (rd * 2)
+        |      ELSE -(((-rn) * 2 + rd) // (rd * 2)) END)::DOUBLE / 10000.0
+        |  END AS flesch
+        |FROM c2""".stripMargin,
     // same row-local bigrams (the q_lm_score list_transform shape),
     // identical probability-ratio arithmetic order, 6 dp before the
     // ordered top-50 cut
@@ -4233,8 +4247,8 @@ object SparkEntry {
     // cosines accumulate as exact DECIMAL (order-independent), the
     // margin is one double expression on those sums in both engines
     "q_bitext_margin" ->
-      (s"""WITH x AS (SELECT vec_id AS src_id, embedding AS xv FROM embeddings WHERE vec_id % 17 = 0),
-          |y AS (SELECT vec_id AS tgt_id, embedding AS yv FROM embeddings WHERE vec_id % 17 <> 0),
+      (s"""WITH x AS (SELECT vec_id AS src_id, embedding AS xv FROM embeddings WHERE vec_id < 300),
+          |y AS (SELECT vec_id AS tgt_id, embedding AS yv FROM embeddings WHERE vec_id >= 300),
           |f0 AS (SELECT src_id, tgt_id, round(${cosSql("yv", "xv")}, 6) AS cosine FROM y, x),
           |fr AS (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, tgt_id) AS rank FROM f0),
           |fwd AS (SELECT src_id, tgt_id, cosine FROM fr WHERE rank <= 8),

@@ -241,6 +241,15 @@ object TextAnalysis {
     * 4 dp; null text or zero words → null score. Entirely row-local
     * (three regexp counts), zero shuffles; both patterns sit in the
     * Java∩RE2 subset so the oracle replays them verbatim.
+    *
+    * The 4 dp score is EXACT INTEGER arithmetic (the formula is
+    * rational, so real documents land on exact half-boundaries — the
+    * sf1 gate caught one at flesch = 91.01865, where Spark's
+    * string-based round and a binary-double round disagree):
+    * e4 = half-away-from-zero of 10·(206835·s·w − 1015·w² −
+    * 84600·v·s) / (s·w) in longs, ONE identical double division by
+    * 10000 at the boundary. Long-exact for documents up to ~10⁶
+    * words (2·num10 < 2⁶³).
     */
   def readability(
       df: org.apache.spark.sql.DataFrame,
@@ -252,10 +261,17 @@ object TextAnalysis {
     df.withColumn("n_words", when(col(textCol).isNotNull, words.cast("long")))
       .withColumn("n_sents", when(col(textCol).isNotNull, sents.cast("long")))
       .withColumn("n_vowel_groups", when(col(textCol).isNotNull, vowels.cast("long")))
+      .withColumn("__rn",
+        lit(2068350L) * col("n_sents") * col("n_words") -
+          lit(10150L) * col("n_words") * col("n_words") -
+          lit(846000L) * col("n_vowel_groups") * col("n_sents"))
+      .withColumn("__rd", col("n_sents") * col("n_words"))
       .withColumn("flesch", when(col(textCol).isNotNull && col("n_words") > 0,
-        round(lit(206.835) -
-          lit(1.015) * (col("n_words").cast("double") / col("n_sents")) -
-          lit(84.6) * (col("n_vowel_groups").cast("double") / col("n_words")), 4)))
+        when(col("__rn") >= 0,
+          expr("(__rn * 2 + __rd) div (__rd * 2)"))
+          .otherwise(-expr("((-__rn) * 2 + __rd) div (__rd * 2)"))
+          .cast("double") / lit(10000.0)))
+      .drop("__rn", "__rd")
   }
 
   /** Zipf rank-frequency fit — the corpus-health diagnostic behind

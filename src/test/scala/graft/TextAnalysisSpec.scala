@@ -804,9 +804,26 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r._1 -> r).toMap
     assert(out(1L) == (1L, Some(5L), Some(2L), Some(5L), Some(119.6975)))
     assert(out(2L)._3.contains(1L) && out(2L)._4.contains(0L), "floor + no vowels")
-    assert(out(2L)._5.contains(
-      BigDecimal(206.835 - 1.015 * 2.0).setScale(4,
-        BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(out(2L)._5.contains(204.805))
+    // exact-integer rule (the sf1 gate caught flesch = 91.01865 — a
+    // TRUE 4 dp half-boundary where double rounds disagree across
+    // engines): operator == the long-arithmetic reference on random
+    // word/terminator mixes, incl. boundary-prone count triples
+    val rnd = new scala.util.Random(3)
+    val docs2 = (0 until 40).map { i =>
+      val body = Seq.fill(3 + rnd.nextInt(60))(
+        Seq("cat", "zz", "idea", "brr!", "so.", "aa")(rnd.nextInt(6))).mkString(" ")
+      (i.toLong, body)
+    }
+    val got = graft.functions.TextAnalysis.readability(docs2.toDF("id", "text"), "text")
+      .select($"id", $"n_words", $"n_sents", $"n_vowel_groups", $"flesch")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    got.foreach { case (id, w, s, v, f) =>
+      val rn = 2068350L * s * w - 10150L * w * w - 846000L * v * s
+      val e4 = if (rn >= 0) (rn * 2 + s * w) / (s * w * 2)
+        else -(((-rn) * 2 + s * w) / (s * w * 2))
+      assert(f == e4.toDouble / 10000.0, s"doc $id ($w/$s/$v)")
+    }
     assert(out(3L)._2.contains(0L) && out(3L)._5.isEmpty, "empty -> null score")
     assert(out(4L)._2.isEmpty && out(4L)._5.isEmpty, "null text -> nulls")
   }
