@@ -823,6 +823,15 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(
         t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 10L)
     }),
+    "q_ldiv" -> ((s, dir) => {
+      // l-diversity refinement over the same quasi tuple: sensitive
+      // = the account-balance band (6 bands), l=4 — k-anonymous
+      // groups can still be homogeneous in the sensitive value.
+      val c = t(s, dir, "customer")
+        .withColumn("bal_band", floor(col("c_acctbal") / 2000.0).cast("long"))
+      graft.operators.Profile.lDiversity(
+        c, Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 4L)
+    }),
     "q_kanon_flags" -> ((s, dir) => {
       // Per-row suppression frame for the same quasi tuple.
       graft.operators.Profile.kAnonymityFlags(
@@ -3241,6 +3250,20 @@ object SparkEntry {
         |  sum(CASE WHEN n < 10 THEN 1 ELSE 0 END)::BIGINT AS n_small_groups,
         |  sum(CASE WHEN n < 10 THEN n ELSE 0 END)::BIGINT AS rows_at_risk,
         |  min(n)::BIGINT AS min_group_size
+        |FROM g""".stripMargin,
+    "q_ldiv" ->
+      """WITH s AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band,
+        |    count(*)::BIGINT AS n
+        |  FROM customer GROUP BY 1, 2, 3),
+        |g AS (SELECT c_nationkey, c_mktsegment, sum(n)::BIGINT AS rows_,
+        |    sum(CASE WHEN band IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS div
+        |  FROM s GROUP BY 1, 2)
+        |SELECT 4::BIGINT AS l, sum(rows_)::BIGINT AS n_rows,
+        |  count(*)::BIGINT AS n_groups,
+        |  sum(CASE WHEN div < 4 THEN 1 ELSE 0 END)::BIGINT AS n_low_diversity_groups,
+        |  sum(CASE WHEN div < 4 THEN rows_ ELSE 0 END)::BIGINT AS rows_at_risk,
+        |  min(div)::BIGINT AS min_diversity
         |FROM g""".stripMargin,
     "q_kanon_flags" ->
       """SELECT c_custkey,

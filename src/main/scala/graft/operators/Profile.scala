@@ -1002,6 +1002,46 @@ object Profile {
         col("__min").as("min_group_size"))
   }
 
+  /** l-diversity audit (Machanavajjhala et al., ICDE 2006) — the
+    * refinement [[kAnonymity]] misses: a quasi-group can be large
+    * (k-anonymous) yet reveal everyone's sensitive value because the
+    * group holds only ONE of them (the homogeneity attack). Per
+    * quasi-group, diversity = distinct non-null sensitive values;
+    * the report counts groups (and their rows) below `l`. Null
+    * sensitive values do not contribute diversity but their rows
+    * still count as exposed. Same scale shape as the k-audit: one
+    * map-side-combined groupBy over (quasi..., sensitive), one
+    * bounded roll-up — no distinct-set state.
+    */
+  def lDiversity(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "no quasi-identifier columns given")
+    require(!quasiCols.contains(sensitiveCol),
+      "the sensitive column cannot be a quasi-identifier")
+    require(l >= 2, "l must be >= 2")
+    df.groupBy((quasiCols.map(col) :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(
+        sum(col("__n")).as("__rows"),
+        sum(when(col(sensitiveCol).isNotNull, 1L).otherwise(0L)).as("__div"))
+      .agg(
+        sum(col("__rows")).as("__all"),
+        count(lit(1)).as("__groups"),
+        sum(when(col("__div") < l, 1L).otherwise(0L)).as("__low"),
+        sum(when(col("__div") < l, col("__rows")).otherwise(0L)).as("__at_risk"),
+        min(col("__div")).as("__min"))
+      .select(lit(l).as("l"),
+        coalesce(col("__all"), lit(0L)).as("n_rows"),
+        col("__groups").as("n_groups"),
+        coalesce(col("__low"), lit(0L)).as("n_low_diversity_groups"),
+        coalesce(col("__at_risk"), lit(0L)).as("rows_at_risk"),
+        col("__min").as("min_diversity"))
+  }
+
   /** Per-row twin of [[kAnonymity]]: the input plus its group's size
     * and an `at_risk` flag — the frame a suppression/generalization
     * step filters on. One window count over the quasi partitioning

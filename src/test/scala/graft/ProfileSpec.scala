@@ -218,6 +218,31 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("lDiversity: homogeneity attack flagged, nulls add no diversity, validation") {
+    // group (a): 6 rows but ONE sensitive value — k-anonymous yet
+    // fully exposed; group (b): 3 rows / 3 values — diverse;
+    // group (c): 2 rows, one null sensitive -> diversity 1
+    val df = (Seq.fill(6)(("a", Some("s1"))) ++
+      Seq(("b", Some("s1")), ("b", Some("s2")), ("b", Some("s3")),
+        ("c", Some("s9")), ("c", None)))
+      .toDF("g", "sv")
+    val out = graft.operators.Profile.lDiversity(df, Seq("g"), "sv", l = 2L)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    // (l, n_rows, n_groups, n_low, rows_at_risk, min_div)
+    assert(out == (2L, 11L, 3L, 2L, 8L, 1L), out)
+    // the k-audit at k=2 sees NO risk in group a — the attack
+    // l-diversity exists to catch
+    val k = graft.operators.Profile.kAnonymity(df, Seq("g"), k = 2L)
+      .select($"n_small_groups").as[Long].head()
+    assert(k == 0L)
+    intercept[IllegalArgumentException] {
+      graft.operators.Profile.lDiversity(df, Seq("sv"), "sv", 2L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Profile.lDiversity(df, Seq("g"), "sv", 1L)
+    }
+  }
+
   test("percentileRank: tie-sharing ranks per group, singleton 0, nulls drop") {
     val df = Seq(
       (1L, "a", Some(10.0)), (2L, "a", Some(20.0)), (3L, "a", Some(20.0)),
