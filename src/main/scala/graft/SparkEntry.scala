@@ -823,6 +823,12 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(
         t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 10L)
     }),
+    "q_corpus_card" -> ((s, dir) => {
+      // Per-language release data card over the clone-injected
+      // corpus (so dup_rate carries real signal): docs, exact
+      // mean/median length, exact byte-dup rate — one groupBy pass.
+      graft.operators.Profile.corpusCard(docsWithDups(s, dir), "lang", "text")
+    }),
     "q_ldiv" -> ((s, dir) => {
       // l-diversity refinement over the same quasi tuple: sensitive
       // = the account-balance band (6 bands), l=4 — k-anonymous
@@ -3251,6 +3257,13 @@ object SparkEntry {
         |  sum(CASE WHEN n < 10 THEN n ELSE 0 END)::BIGINT AS rows_at_risk,
         |  min(n)::BIGINT AS min_group_size
         |FROM g""".stripMargin,
+    "q_corpus_card" ->
+      (s"""WITH $docsWithDupsSql
+          |SELECT lang, count(*)::BIGINT AS n_docs,
+          |  round(sum(length(text)::DECIMAL(28,0))::DOUBLE / count(text), 4) AS mean_chars,
+          |  round(median(length(text)::DOUBLE), 4) AS p50_chars,
+          |  round(1.0 - count(DISTINCT md5(text))::DOUBLE / count(text), 6) AS dup_rate
+          |FROM docs GROUP BY 1""".stripMargin),
     "q_ldiv" ->
       """WITH s AS (SELECT c_nationkey, c_mktsegment,
         |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band,

@@ -1002,6 +1002,40 @@ object Profile {
         col("__min").as("min_group_size"))
   }
 
+  /** Per-group corpus DATA CARD — the one-frame release summary a
+    * dataset card quotes per language/source slice: document count,
+    * exact mean/median length, and the exact byte-identical
+    * duplicate rate (1 − distinct fingerprints / docs — the row-27
+    * exact-dedup measure as a rate). Output is bounded by |groups|.
+    * Scale shape: ONE groupBy pass — mean from an exact DECIMAL sum
+    * (order-independent), median from `percentile`, and the dup
+    * rate from count(DISTINCT md5(text)), the same key shuffle the
+    * exact-dedup pass itself pays (the KMV sketch row 153 is the
+    * bounded-state estimate when exactness isn't required). Null
+    * texts count as docs, contribute no fingerprint, and length
+    * stats skip them.
+    */
+  def corpusCard(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col(textCol)).as("__nt"),
+        sum(length(col(textCol)).cast("decimal(28,0)")).as("__chars"),
+        round(percentile(length(col(textCol)).cast("double"), lit(0.5)), 4)
+          .as("p50_chars"),
+        countDistinct(md5(col(textCol))).as("__uniq"))
+      .select(
+        col(groupCol),
+        col("n_docs"),
+        round(col("__chars").cast("double") / col("__nt"), 4).as("mean_chars"),
+        col("p50_chars"),
+        when(col("__nt") > 0,
+          round(lit(1.0) - col("__uniq").cast("double") / col("__nt"), 6))
+          .otherwise(lit(null)).as("dup_rate"))
+
   /** l-diversity audit (Machanavajjhala et al., ICDE 2006) — the
     * refinement [[kAnonymity]] misses: a quasi-group can be large
     * (k-anonymous) yet reveal everyone's sensitive value because the

@@ -218,6 +218,21 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("corpusCard: hand-computed per-group stats; null texts counted, not measured") {
+    val df = Seq(
+      ("en", "aaaa"), ("en", "aaaa"), ("en", "bb"), // dup pair + unique
+      ("en", null.asInstanceOf[String]), // doc counted, no fp/length
+      ("de", "xyz"))
+      .toDF("lang", "text")
+    val out = graft.operators.Profile.corpusCard(df, "lang", "text")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // en: 4 docs, 3 texts; mean = 10/3; p50 of {2,4,4} = 4;
+    // dup = 1 - 2/3
+    assert(out("en") == ("en", 4L, 3.3333, 4.0, 0.333333), out("en"))
+    assert(out("de") == ("de", 1L, 3.0, 3.0, 0.0))
+  }
+
   test("lDiversity: homogeneity attack flagged, nulls add no diversity, validation") {
     // group (a): 6 rows but ONE sensitive value — k-anonymous yet
     // fully exposed; group (b): 3 rows / 3 values — diverse;
