@@ -1206,6 +1206,23 @@ object SparkEntry {
         .where(col(graft.sources.Csv.corruptCol).isNull)
         .drop(graft.sources.Csv.corruptCol)
     }),
+    "q_survival" -> ((s, dir) => {
+      // Kaplan–Meier purchase-lifetime curve: per user the span
+      // from first to last purchase (day buckets); users whose last
+      // purchase is > 7 days before corpus end count as churn
+      // EVENTS, the rest are CENSORED (still alive at observation
+      // end) — 8/150 real events at sf0.01, so both branches carry
+      // weight.
+      val ev = t(s, dir, "events").where(col("event_type") === "purchase")
+      val mx = ev.agg(max(col("ts_ms")).as("__mx"))
+      val subj = ev.groupBy(col("user_id"))
+        .agg(min(col("ts_ms")).as("__first"), max(col("ts_ms")).as("__last"))
+        .crossJoin(broadcast(mx))
+        .select(
+          expr("(__last - __first) div 86400000").as("dur_days"),
+          (col("__last") < col("__mx") - lit(7L * 86400000L)).as("churned"))
+      graft.operators.Events.survivalCurve(subj, "dur_days", "churned")
+    }),
     "q_attribution" -> ((s, dir) => {
       // Interval-join attribution (the batch replay of the
       // StreamJoin stream-stream operator — same body, watermarks
@@ -3783,6 +3800,34 @@ object SparkEntry {
     // greedy earliest-transition funnel = chained conditional minima:
     // t_i = min ts of step i STRICTLY AFTER t_{i-1}; share is over
     // all users with any step-typed event
+    // KM replay: same integer micro-unit hazard (the double round
+    // hits true half-boundaries when n divides 2e6 but not 1e6),
+    // same DECIMAL prefix of 6 dp ln terms, one exp at the boundary
+    "q_survival" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events
+        |  WHERE event_type = 'purchase'),
+        |mx AS (SELECT max(ms) AS m FROM e),
+        |subj AS (SELECT (max(ms) - min(ms)) // 86400000 AS t0,
+        |    max(ms) < m - 604800000 AS ev
+        |  FROM e, mx GROUP BY user_id, m),
+        |byT AS (SELECT t0 AS t, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN ev THEN 1 ELSE 0 END)::BIGINT AS n_events
+        |  FROM subj GROUP BY 1),
+        |w AS (SELECT *, sum(n) OVER () - coalesce(sum(n) OVER
+        |    (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+        |  FROM byT),
+        |h AS (SELECT *, (n_events * 2000000 + n_at_risk) // (n_at_risk * 2) AS h6 FROM w),
+        |l AS (SELECT *, h6::DOUBLE / 1e6 AS hazard,
+        |    CASE WHEN h6 < 1000000 THEN round(ln(1 - h6::DOUBLE / 1e6), 6) END AS lnt,
+        |    max(CASE WHEN h6 >= 1000000 THEN 1 ELSE 0 END) OVER
+        |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        |  FROM h)
+        |SELECT t, n_at_risk::BIGINT AS n_at_risk, n_events,
+        |  (n - n_events)::BIGINT AS n_censored, hazard,
+        |  CASE WHEN dead = 1 THEN 0.0 ELSE round(exp((sum(lnt::DECIMAL(18,6)) OVER
+        |    (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE), 6)
+        |  END AS survival
+        |FROM l""".stripMargin,
     // interval semantics replayed literally: every (view, click)
     // pair per user with click in [view, view + 4h]
     "q_attribution" ->

@@ -474,4 +474,66 @@ object Events {
           .as("value_filled"),
         col("__sv").isNull.as("is_gap"))
   }
+
+  /** Kaplan–Meier survival curve (Kaplan & Meier 1958) — "what
+    * fraction of users/documents/crawl sources survives past
+    * duration t", with CENSORING done right: a subject still alive
+    * at observation end contributes to the risk sets it was observed
+    * through but is never counted as an event (naively dropping
+    * censored rows biases survival down; counting them as events
+    * biases it further).
+    *
+    * Input: one row per subject — (duration bucket ≥ 0, event flag:
+    * true = the event happened at that duration, false = censored
+    * there). Output: one row per OBSERVED duration (bounded by the
+    * horizon, e.g. ≤ 365 day buckets) — (t, n_at_risk, n_events,
+    * n_censored, hazard 6 dp, survival 6 dp).
+    *
+    * Scale shape: ONE map-side-combined groupBy collapses the
+    * subject table to the bounded per-duration frame; everything
+    * after (risk-set suffix counts, the cumulative-hazard prefix)
+    * is windows over that bounded frame — the documented
+    * single-partition-on-bounded-data exception (§5), same as the
+    * funnel/topPaths report frames. Determinism: the hazard is
+    * EXACT integer micro-units (half-away-from-zero of d·10⁶/n — a
+    * double round hits true half-boundaries whenever n divides
+    * 2·10⁶ but not 10⁶), survival = exp of the DECIMAL(18,6) prefix
+    * sum of 6 dp-rounded ln(1−h) terms, one exp at the output
+    * boundary; a hazard of exactly 1 zeroes survival from that
+    * duration on (ln would be −∞).
+    */
+  def survivalCurve(
+      df: DataFrame,
+      durationCol: String,
+      eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byT = df
+      .where(col(durationCol).isNotNull && col(durationCol) >= 0)
+      .groupBy(col(durationCol).cast("long").as("t"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(when(col(eventCol), 1L).otherwise(0L)).as("n_events"))
+    val ord = Window.orderBy(col("t"))
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byT
+      .withColumn("n_at_risk",
+        sum(col("__n")).over(all) - coalesce(sum(col("__n")).over(before), lit(0L)))
+      // exact micro-unit hazard: half-away-from-zero of d·10⁶ / n
+      .withColumn("__h6",
+        expr("(n_events * 2000000 + n_at_risk) div (n_at_risk * 2)"))
+      .withColumn("hazard", col("__h6").cast("double") / lit(1e6))
+      .withColumn("__ln",
+        when(col("__h6") < 1000000L, round(log(lit(1.0) - col("hazard")), 6)))
+      .withColumn("__dead",
+        max(when(col("__h6") >= 1000000L, 1).otherwise(0)).over(prefix))
+      .withColumn("survival",
+        when(col("__dead") === 1, lit(0.0)).otherwise(
+          round(exp(sum(col("__ln").cast("decimal(18,6)")).over(prefix)
+            .cast("double")), 6)))
+      .select(col("t"), col("n_at_risk"), col("n_events"),
+        (col("__n") - col("n_events")).as("n_censored"),
+        col("hazard"), col("survival"))
+  }
 }

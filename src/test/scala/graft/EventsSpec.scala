@@ -298,4 +298,34 @@ class EventsSpec extends SparkSpec {
       .collect().toSet
     assert(a == b)
   }
+
+  test("survivalCurve: hand-computed KM with censoring, hazard-1 zeroing, drops") {
+    // A dies t1, B censored t1, C dies t2, D censored t3
+    val subj = Seq((1L, true), (1L, false), (2L, true), (3L, false))
+      .toDF("dur", "ev")
+    val out = Events.survivalCurve(subj, "dur", "ev")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // risk sets 4 -> 2 -> 1; S = 0.75 -> 0.375 -> 0.375 (censoring
+    // consumes risk-set members without dropping survival)
+    assert(out(1L) == (1L, 4L, 1L, 1L, 0.25, 0.75), out(1L))
+    assert(out(2L) == (2L, 2L, 1L, 0L, 0.5, 0.375), out(2L))
+    assert(out(3L) == (3L, 1L, 0L, 1L, 0.0, 0.375), out(3L))
+
+    // hazard exactly 1 (the whole remaining risk set dies — only
+    // possible at the last observed duration, since a longer-lived
+    // subject would sit in the risk set): survival hits exact 0, no
+    // ln(0) blowup
+    val dead = Seq((0L, false), (0L, false), (1L, true), (1L, true))
+      .toDF("dur", "ev")
+    val d = Events.survivalCurve(dead, "dur", "ev")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(d(1L)._5 == 1.0 && d(1L)._6 == 0.0, d(1L))
+    assert(d(0L)._6 == 1.0, "pure censoring leaves survival at 1")
+
+    // null / negative durations drop; empty input yields empty curve
+    val messy = Seq((Some(-1L), true), (None, true)).toDF("dur", "ev")
+    assert(Events.survivalCurve(messy, "dur", "ev").count() == 0)
+  }
 }
