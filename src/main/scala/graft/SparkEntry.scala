@@ -2443,6 +2443,22 @@ object SparkEntry {
       Dedup.alignedSignaturePairs(
         codes, "doc_id", "frame_idx", "dhash", minMatchFrac = 0.5)
     }),
+    "q_video_dedup_apply" -> ((s, dir) => {
+      // The full video dedup pipeline: detect (row 184's aligned
+      // pairing) AND apply (row 40's keep-smallest anti-join) — the
+      // corpus that ships. One surviving video per 3-clone group.
+      val docs = t(s, dir, "documents")
+      val vids = graft.multimodal.Multimodal.synthesizeVideoDiverse(
+        Parallelism.spread(docs.select("doc_id")), "doc_id")
+      val frames = graft.multimodal.Multimodal.sampleFrames(
+        vids, "payload", every = 1).drop("payload")
+      val codes = graft.multimodal.Multimodal.dHash(frames, "frame")
+        .select(col("doc_id"), col("frame_idx"), col("dhash"))
+      val pairs = Dedup.alignedSignaturePairs(
+        codes, "doc_id", "frame_idx", "dhash", minMatchFrac = 0.5)
+      Dedup.dropNearDuplicates(
+        docs.select("doc_id", "lang", "source"), pairs, "doc_id")
+    }),
     "q_audio_hash" -> ((s, dir) => {
       // Audio perceptual hash end-to-end: synthesize WAV → real
       // javax.sound decode → 64 window-energy threshold bits as hex.
@@ -5061,6 +5077,21 @@ object SparkEntry {
         |  coalesce(sum(CASE WHEN abs(dmilli) > 40000 THEN 1 ELSE 0 END), 0)::BIGINT AS n_cuts
         |FROM d LEFT JOIN del ON d.doc_id = del.doc_id
         |GROUP BY 1, 2""".stripMargin,
+    // the pairing CTEs + the keep-smallest anti-join
+    "q_video_dedup_apply" ->
+      (s"""WITH $videoDhashDiverseCtes,
+          |bk AS (SELECT f, sig FROM hx GROUP BY 1, 2
+          |  HAVING count(*) BETWEEN 2 AND 1000),
+          |hk AS (SELECT hx.* FROM hx JOIN bk USING (f, sig)),
+          |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS matched
+          |  FROM hk a JOIN hk b ON a.f = b.f AND a.sig = b.sig
+          |    AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |p AS (SELECT id_b FROM m
+          |  JOIN nf na ON na.doc_id = id_a JOIN nf nb ON nb.doc_id = id_b
+          |  WHERE round(matched / greatest(na.n, nb.n)::DOUBLE, 4) >= 0.5)
+          |SELECT doc_id, lang, source FROM documents
+          |WHERE doc_id NOT IN (SELECT id_b FROM p)""".stripMargin),
     // dHash twin: per (y, x) grid cell the floor-NN luma is
     // closed-form over the affine pixels; adjacent-cell compare gives
     // bit i = y·8+x, summed into two 32-bit halves → hex. Identical
