@@ -231,6 +231,14 @@ class ProfileSpec extends SparkSpec {
     // dup = 1 - 2/3
     assert(out("en") == ("en", 4L, 3.3333, 4.0, 0.333333), out("en"))
     assert(out("de") == ("de", 1L, 3.0, 3.0, 0.0))
+    // a group whose texts are ALL null: counted docs, null stats —
+    // and no ANSI divide-by-zero job kill
+    val allNull = Seq(("fr", null.asInstanceOf[String]), ("fr", null.asInstanceOf[String]))
+      .toDF("lang", "text")
+    val fr = graft.operators.Profile.corpusCard(allNull, "lang", "text")
+      .select($"n_docs", $"mean_chars", $"p50_chars", $"dup_rate")
+      .collect().head
+    assert(fr.getLong(0) == 2L && fr.isNullAt(1) && fr.isNullAt(2) && fr.isNullAt(3), fr)
   }
 
   test("lDiversity: homogeneity attack flagged, nulls add no diversity, validation") {
