@@ -1206,6 +1206,15 @@ object SparkEntry {
         .where(col(graft.sources.Csv.corruptCol).isNull)
         .drop(graft.sources.Csv.corruptCol)
     }),
+    "q_bootstrap_ci" -> ((s, dir) => {
+      // Error bars on a corpus statistic: deterministic Poisson-
+      // bootstrap 95% CI for mean document length — 64 replicates
+      // from md5 draws, so the WHOLE resampling replays in the
+      // oracle.
+      graft.operators.Eval.bootstrapMeanCI(
+        Parallelism.spread(t(s, dir, "documents").select("doc_id", "n_chars")),
+        "doc_id", "n_chars", replicates = 64, seed = 0L, alpha = 0.05)
+    }),
     "q_survival" -> ((s, dir) => {
       // Kaplan–Meier purchase-lifetime curve: per user the span
       // from first to last purchase (day buckets); users whose last
@@ -3816,6 +3825,27 @@ object SparkEntry {
     // greedy earliest-transition funnel = chained conditional minima:
     // t_i = min ts of step i STRICTLY AFTER t_{i-1}; share is over
     // all users with any step-typed event
+    // every Poisson draw replayed from the same 60-bit md5 uniform
+    // and the same 10 dp CDF literals; decimal replicate sums
+    "q_bootstrap_ci" ->
+      (s"""WITH r AS (SELECT doc_id, n_chars, unnest(range(0, 64)) AS b FROM documents),
+          |u AS (SELECT b, n_chars,
+          |    ${h60Sql("doc_id::VARCHAR || ':0:' || b::VARCHAR")}::DOUBLE
+          |      / 1152921504606846976.0 AS uu FROM r),
+          |w AS (SELECT b, n_chars, CASE WHEN uu < 0.3678794412 THEN 0
+          |    WHEN uu < 0.7357588823 THEN 1 WHEN uu < 0.9196986029 THEN 2
+          |    WHEN uu < 0.9810118431 THEN 3 WHEN uu < 0.9963401532 THEN 4
+          |    ELSE 5 END AS w FROM u),
+          |m AS (SELECT b, CASE WHEN sum(w) > 0 THEN
+          |    round(sum((w * n_chars::DOUBLE)::DECIMAL(28,10))::DOUBLE / sum(w), 6)
+          |  END AS m FROM w GROUP BY 1),
+          |ci AS (SELECT count(m)::BIGINT AS n_replicates,
+          |    round(quantile_cont(m, 0.025), 6) AS ci_lo,
+          |    round(quantile_cont(m, 0.975), 6) AS ci_hi FROM m),
+          |p AS (SELECT count(*)::BIGINT AS n_rows,
+          |    round(sum(n_chars::DECIMAL(28,10))::DOUBLE / count(*), 6) AS mean
+          |  FROM documents)
+          |SELECT n_rows, n_replicates, mean, ci_lo, ci_hi FROM p, ci""".stripMargin),
     // KM replay: same integer micro-unit hazard (the double round
     // hits true half-boundaries when n divides 2e6 but not 1e6),
     // same DECIMAL prefix of 6 dp ln terms, one exp at the boundary

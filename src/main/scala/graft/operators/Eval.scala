@@ -80,4 +80,70 @@ object Eval {
         round(sum(when(col(labelCol), 1L).otherwise(0L)).cast("double") /
           count(lit(1)), 6).as("pos_rate"))
   }
+
+  /** Cumulative Poisson(1) inverse-CDF thresholds (10 dp literals —
+    * BOTH engines compare against the same decimal constants; a
+    * computed e^-1 would differ in the last ulp), weights capped at
+    * 5 (P(X>5) ≈ 0.06%).
+    */
+  private val poissonCdf =
+    Seq(0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431, 0.9963401532)
+
+  /** DETERMINISTIC Poisson-bootstrap confidence interval for the
+    * mean of `valueCol` — the error bar an eval report puts on
+    * "mean quality score went from 0.62 to 0.64" before anyone acts
+    * on it. Replicate b draws each row's weight from a truncated
+    * Poisson(1) via the inverse CDF on u = md5(id, seed, b)/2⁶⁰ —
+    * the [[graft.operators.Sampling]] hash-draw discipline: no
+    * `rand()`, reproducible across retries and partitionings, and
+    * the oracle replays every draw.
+    *
+    * Scale shape: ONE explode of the bounded replicate range (b× row
+    * factor — b is a constant, 64 by default), one map-side-combined
+    * (replicate) aggregation with exact DECIMAL sums, then the CI
+    * percentiles over the b-row frame (bounded single aggregation).
+    * Rows with null id or value drop.
+    *
+    * @return one row: (n_rows, n_replicates, mean 6 dp, ci_lo,
+    *         ci_hi) — point estimate from the unweighted mean, CI
+    *         from the [alpha/2, 1−alpha/2] replicate quantiles.
+    */
+  def bootstrapMeanCI(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      replicates: Int = 64,
+      seed: Long = 0L,
+      alpha: Double = 0.05): DataFrame = {
+    require(replicates >= 8, "need at least 8 replicates")
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    val u = conv(substring(md5(concat_ws(":",
+      col(idCol).cast("string"), lit(seed.toString), col("__b").cast("string"))),
+      1, 15), 16, 10).cast("long").cast("double") / lit(1.152921504606846976e18)
+    val w = poissonCdf.zipWithIndex.foldRight(lit(5): org.apache.spark.sql.Column) {
+      case ((c, k), rest) => when(u < lit(c), lit(k)).otherwise(rest)
+    }
+    val base = df.where(col(idCol).isNotNull && col(valueCol).isNotNull)
+    val reps = base
+      .select(col(idCol), col(valueCol),
+        explode(sequence(lit(0), lit(replicates - 1))).as("__b"))
+      .select(col("__b"), (w * col(valueCol).cast("double")).as("__wx"),
+        w.as("__w"))
+      .groupBy(col("__b"))
+      .agg(sum(col("__wx").cast("decimal(28,10)")).as("__sx"),
+        sum(col("__w")).as("__n"))
+      .select(when(col("__n") > 0,
+        round(col("__sx").cast("double") / col("__n"), 6)).as("__m"))
+    val ci = reps.agg(
+      count(col("__m")).as("n_replicates"),
+      round(percentile(col("__m"), lit(alpha / 2)), 6).as("ci_lo"),
+      round(percentile(col("__m"), lit(1.0 - alpha / 2)), 6).as("ci_hi"))
+    val point = base.agg(
+      count(lit(1)).as("n_rows"),
+      round(sum(col(valueCol).cast("decimal(28,10)")).cast("double") /
+        count(lit(1)), 6).as("mean"))
+    point.crossJoin(broadcast(ci))
+      .select(col("n_rows"), col("n_replicates"), col("mean"),
+        col("ci_lo"), col("ci_hi"))
+  }
 }

@@ -83,4 +83,31 @@ class EvalSpec extends SparkSpec {
     val out = calib(rows, 5)
     out.values.foreach { case (_, ms, pr) => assert(math.abs(ms - pr) < 0.06) }
   }
+
+  test("bootstrapMeanCI: brackets the mean, deterministic, seed-sensitive") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 400).map(i => (i.toLong, 50.0 + rnd.nextGaussian() * 10))
+    val df = rows.toDF("id", "v")
+    def run(d: org.apache.spark.sql.DataFrame, seed: Long = 0L) =
+      graft.operators.Eval.bootstrapMeanCI(d, "id", "v", replicates = 64, seed = seed)
+        .as[(Long, Long, Double, Double, Double)].head()
+    val (n, b, mean, lo, hi) = run(df)
+    assert(n == 400L && b == 64L)
+    assert(lo < mean && mean < hi, s"CI [$lo, $hi] must bracket $mean")
+    // sane width for sd=10, n=400: ~2x 1.96·10/20 = ~2; allow slack
+    assert(hi - lo > 0.5 && hi - lo < 5.0, s"width ${hi - lo}")
+    // hash draws make the whole resampling partitioning-invariant
+    assert(run(df.repartition(13)) == (n, b, mean, lo, hi))
+    // a different seed redraws every replicate
+    val other = run(df, seed = 99L)
+    assert(other._3 == mean && (other._4 != lo || other._5 != hi))
+    // null ids/values drop from both the point estimate and the draws
+    val withNulls = (rows.map { case (i, v) => (Some(i), Some(v)) } :+
+      ((None: Option[Long], Some(1e9))) :+ ((Some(9999L), None: Option[Double])))
+      .toDF("id", "v")
+    assert(run(withNulls)._1 == 400L)
+    intercept[IllegalArgumentException] {
+      graft.operators.Eval.bootstrapMeanCI(df, "id", "v", replicates = 4)
+    }
+  }
 }
