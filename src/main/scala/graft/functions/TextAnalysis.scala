@@ -258,20 +258,22 @@ object TextAnalysis {
     val sents = greatest(
       size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))), lit(1))
     val vowels = size(regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"), lit(0)))
+    val rn = graft.Cols.unique("__rn", df)
+    val rd = graft.Cols.unique("__rd", df)
     df.withColumn("n_words", when(col(textCol).isNotNull, words.cast("long")))
       .withColumn("n_sents", when(col(textCol).isNotNull, sents.cast("long")))
       .withColumn("n_vowel_groups", when(col(textCol).isNotNull, vowels.cast("long")))
-      .withColumn("__rn",
+      .withColumn(rn,
         lit(2068350L) * col("n_sents") * col("n_words") -
           lit(10150L) * col("n_words") * col("n_words") -
           lit(846000L) * col("n_vowel_groups") * col("n_sents"))
-      .withColumn("__rd", col("n_sents") * col("n_words"))
+      .withColumn(rd, col("n_sents") * col("n_words"))
       .withColumn("flesch", when(col(textCol).isNotNull && col("n_words") > 0,
-        when(col("__rn") >= 0,
-          expr("(__rn * 2 + __rd) div (__rd * 2)"))
-          .otherwise(-expr("((-__rn) * 2 + __rd) div (__rd * 2)"))
+        when(col(rn) >= 0,
+          expr(s"($rn * 2 + $rd) div ($rd * 2)"))
+          .otherwise(-expr(s"((-$rn) * 2 + $rd) div ($rd * 2)"))
           .cast("double") / lit(10000.0)))
-      .drop("__rn", "__rd")
+      .drop(rn, rd)
   }
 
   /** Zipf rank-frequency fit — the corpus-health diagnostic behind

@@ -1093,7 +1093,11 @@ object Multimodal {
       bytes(0) != 'G' || bytes(1) != 'V' || bytes(2) != 'I' || bytes(3) != 'D')
       return null
     val nf = u32le(bytes, 4)
-    if (nf < 0 || nf > Int.MaxValue) return null
+    // bound the directory BEFORE allocating it: every frame needs at
+    // least its 4-byte length prefix, so a lying header (declared
+    // n_frames in the billions on a 1 KB payload) is rejected here
+    // rather than OOM-ing the executor on the Array allocation
+    if (nf < 0 || nf > (bytes.length - 12L) / 4L) return null
     val frames = new Array[(Int, Int)](nf.toInt)
     var o = 12
     var f = 0

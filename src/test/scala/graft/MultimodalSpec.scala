@@ -198,7 +198,11 @@ class MultimodalSpec extends SparkSpec {
       (1L, Array[Byte](1, 2, 3, 4, 5)), // wrong magic
       (2L, first.take(20)), // truncated mid-frame
       (3L, { val b = first.clone(); b(4) = 99; b }), // lying n_frames
-      (4L, null.asInstanceOf[Array[Byte]]))
+      (4L, null.asInstanceOf[Array[Byte]]),
+      // header declaring ~4e9 frames on a tiny payload: must be
+      // rejected BEFORE the directory allocation, not OOM
+      (5L, { val b = first.clone()
+        b(4) = -1; b(5) = -1; b(6) = -1; b(7) = -1; b }))
       .toDF("id", "payload")
     val badMeta = Multimodal.decodeVideoMeta(bad, "payload")
       .select($"id", $"n_frames").collect()
