@@ -1193,12 +1193,13 @@ object Multimodal {
     val luma = (lit(299) * col("mean_r") + lit(587) * col("mean_g") +
       lit(114) * col("mean_b")) / lit(1000)
     val w = Window.partitionBy(col(idCol)).orderBy(col(frameIdxCol))
+    val prev = graft.Cols.unique("__prev", frames)
     frames
       .withColumn("luma", luma)
-      .withColumn("__prev", lag(col("luma"), 1).over(w))
+      .withColumn(prev, lag(col("luma"), 1).over(w))
       .withColumn("is_cut",
-        col("__prev").isNotNull && abs(col("luma") - col("__prev")) > threshold)
-      .drop("__prev")
+        col(prev).isNotNull && abs(col("luma") - col(prev)) > threshold)
+      .drop(prev)
   }
 
   /** "Frame sampling": n evenly spaced byte-slices of the payload —

@@ -117,8 +117,9 @@ object Eval {
       alpha: Double = 0.05): DataFrame = {
     require(replicates >= 8, "need at least 8 replicates")
     require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    val b = graft.Cols.unique("__b", df)
     val u = conv(substring(md5(concat_ws(":",
-      col(idCol).cast("string"), lit(seed.toString), col("__b").cast("string"))),
+      col(idCol).cast("string"), lit(seed.toString), col(b).cast("string"))),
       1, 15), 16, 10).cast("long").cast("double") / lit(1.152921504606846976e18)
     val w = poissonCdf.zipWithIndex.foldRight(lit(5): org.apache.spark.sql.Column) {
       case ((c, k), rest) => when(u < lit(c), lit(k)).otherwise(rest)
@@ -126,8 +127,8 @@ object Eval {
     val base = df.where(col(idCol).isNotNull && col(valueCol).isNotNull)
     val reps = base
       .select(col(idCol), col(valueCol),
-        explode(sequence(lit(0), lit(replicates - 1))).as("__b"))
-      .select(col("__b"), (w * col(valueCol).cast("double")).as("__wx"),
+        explode(sequence(lit(0), lit(replicates - 1))).as(b))
+      .select(col(b).as("__b"), (w * col(valueCol).cast("double")).as("__wx"),
         w.as("__w"))
       .groupBy(col("__b"))
       .agg(sum(col("__wx").cast("decimal(28,10)")).as("__sx"),
