@@ -1206,6 +1206,12 @@ object SparkEntry {
         .where(col(graft.sources.Csv.corruptCol).isNull)
         .drop(graft.sources.Csv.corruptCol)
     }),
+    "q_dau_mau" -> ((s, dir) => {
+      // Daily engagement report: exact distinct actives per UTC day
+      // vs their calendar month — the stickiness ratio.
+      graft.operators.Events.dauMau(
+        Parallelism.spread(t(s, dir, "events")), "ts_ms", "user_id")
+    }),
     "q_bootstrap_ci" -> ((s, dir) => {
       // Error bars on a corpus statistic: deterministic Poisson-
       // bootstrap 95% CI for mean document length — 64 replicates
@@ -3825,6 +3831,16 @@ object SparkEntry {
     // greedy earliest-transition funnel = chained conditional minima:
     // t_i = min ts of step i STRICTLY AFTER t_{i-1}; share is over
     // all users with any step-typed event
+    "q_dau_mau" ->
+      """WITH e AS (SELECT ts::DATE AS day,
+        |    date_trunc('month', ts::DATE)::DATE AS month, user_id
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |d AS (SELECT day, month, count(DISTINCT user_id)::BIGINT AS dau
+        |  FROM e GROUP BY 1, 2),
+        |m AS (SELECT month, count(DISTINCT user_id)::BIGINT AS mau
+        |  FROM e GROUP BY 1)
+        |SELECT day, dau, mau, round(dau::DOUBLE / mau, 6) AS stickiness
+        |FROM d JOIN m USING (month)""".stripMargin,
     // every Poisson draw replayed from the same 60-bit md5 uniform
     // and the same 10 dp CDF literals; decimal replicate sums
     "q_bootstrap_ci" ->

@@ -475,6 +475,31 @@ object Events {
         col("__sv").isNull.as("is_gap"))
   }
 
+  /** DAU/MAU stickiness — the product-analytics engagement ratio
+    * ("what fraction of the month's actives show up on a given
+    * day"): per UTC calendar day, exact distinct actives; per
+    * calendar month, exact distinct actives; stickiness = dau/mau.
+    * Output bounded by the day count. The exact distincts are the
+    * report contract (this is a bounded-bucket daily report, not a
+    * per-key corpus scan); at sketch scale the row-153 KMV /
+    * approx_count_distinct twins stand in.
+    */
+  def dauMau(df: DataFrame, tsMsCol: String, userCol: String): DataFrame = {
+    val withDay = df
+      .where(col(tsMsCol).isNotNull && col(userCol).isNotNull)
+      .select(
+        to_date(timestamp_millis(col(tsMsCol))).as("day"),
+        trunc(to_date(timestamp_millis(col(tsMsCol))), "month").as("month"),
+        col(userCol).as("__u"))
+    val dau = withDay.groupBy(col("day"), col("month"))
+      .agg(countDistinct(col("__u")).as("dau"))
+    val mau = withDay.groupBy(col("month"))
+      .agg(countDistinct(col("__u")).as("mau"))
+    dau.join(mau, Seq("month"))
+      .select(col("day"), col("dau"), col("mau"),
+        round(col("dau").cast("double") / col("mau"), 6).as("stickiness"))
+  }
+
   /** Kaplan–Meier survival curve (Kaplan & Meier 1958) — "what
     * fraction of users/documents/crawl sources survives past
     * duration t", with CENSORING done right: a subject still alive

@@ -299,6 +299,25 @@ class EventsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("dauMau: exact per-day/per-month distincts, month boundary, null drops") {
+    val jan1 = 1704067200000L // 2024-01-01T00:00Z
+    val day = 86400000L
+    val rows = Seq[(Option[Long], Option[Long])](
+      (Some(1L), Some(jan1)), (Some(2L), Some(jan1)),
+      (Some(1L), Some(jan1 + 1000)), // day 1: users {1,2}
+      (Some(1L), Some(jan1 + day)), (Some(3L), Some(jan1 + day)), // day 2: {1,3}
+      (Some(1L), Some(jan1 + 31 * day)), // Feb 1: {1} -> feb MAU {1}
+      (None, Some(jan1)), (Some(9L), None)) // nulls drop
+    val df = rows.toDF("user_id", "ts_ms")
+    val out = graft.operators.Events.dauMau(df, "ts_ms", "user_id")
+      .select($"day".cast("string"), $"dau", $"mau", $"stickiness")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("2024-01-01") == ("2024-01-01", 2L, 3L, 0.666667), out)
+    assert(out("2024-01-02") == ("2024-01-02", 2L, 3L, 0.666667))
+    assert(out("2024-02-01") == ("2024-02-01", 1L, 1L, 1.0))
+    assert(out.size == 3)
+  }
+
   test("survivalCurve: hand-computed KM with censoring, hazard-1 zeroing, drops") {
     // A dies t1, B censored t1, C dies t2, D censored t3
     val subj = Seq((1L, true), (1L, false), (2L, true), (3L, false))
