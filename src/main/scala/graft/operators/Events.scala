@@ -426,9 +426,10 @@ object Events {
       valueCol: String,
       stepMs: Long,
       trailing: Int = 7,
-      z: Double = 3.0): DataFrame = {
+      z: Double = 3.0,
+      maxBuckets: Long = 10L * 1000 * 1000): DataFrame = {
     require(trailing >= 2, "trailing window must hold at least 2 buckets")
-    val filled = gapFill(df, tsMsCol, keyCol, valueCol, stepMs)
+    val filled = gapFill(df, tsMsCol, keyCol, valueCol, stepMs, maxBuckets)
     val dec = col("value_filled").cast("decimal(18,4)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col("bucket_ms"))
@@ -454,15 +455,43 @@ object Events {
       tsMsCol: String,
       keyCol: String,
       valueCol: String,
-      stepMs: Long): DataFrame = {
+      stepMs: Long,
+      maxBuckets: Long = 10L * 1000 * 1000): DataFrame = {
     require(stepMs > 0, "stepMs must be positive")
+    require(maxBuckets >= 1, "maxBuckets must be positive")
+    // Spine discipline: a key's [min, max] bucket span is data-driven,
+    // so a naive per-key `sequence` is an unbounded array in ONE row
+    // (3 years at stepMs=1000 ≈ 95M elements → executor OOM, not a
+    // slowdown). Two defenses, both in-plan so they hold per key at
+    // runtime: (1) spans over `maxBuckets` raise a clear error from
+    // the tiny per-key min/max agg — the caller coarsens stepMs or
+    // raises the cap deliberately; (2) the spine explodes in two
+    // levels (coarse 4096-bucket blocks, then ≤4096 fine buckets per
+    // block), so no single row ever materializes more than
+    // max(maxBuckets/4096, 4096) elements.
+    val blk = 4096L
     val daily = df
       .groupBy(col(keyCol), floorDivMs(tsMsCol, stepMs).as("__d"))
       .agg(sum(col(valueCol).cast("decimal(18,6)")).as("__sv"))
+    // Floor-divide a (possibly negative) bucket id by blk: subtract
+    // pmod first so the division is exact and truncation == floor.
+    val floorBlk = (c: Column) => ((c - pmod(c, lit(blk))) / lit(blk)).cast("long")
     val spine = daily
       .groupBy(col(keyCol))
       .agg(min(col("__d")).as("__mn"), max(col("__d")).as("__mx"))
-      .select(col(keyCol), explode(sequence(col("__mn"), col("__mx"))).as("__d"))
+      .withColumn("__mn",
+        when(col("__mx") - col("__mn") >= maxBuckets,
+          raise_error(format_string(
+            s"gapFill: a '$keyCol' key spans %s buckets at stepMs=$stepMs, over " +
+              s"maxBuckets=$maxBuckets - coarsen stepMs or raise maxBuckets explicitly",
+            col("__mx") - col("__mn") + lit(1L))).cast("long"))
+          .otherwise(col("__mn")))
+      .select(col(keyCol), col("__mn"), col("__mx"),
+        explode(sequence(floorBlk(col("__mn")), floorBlk(col("__mx")))).as("__b"))
+      .select(col(keyCol),
+        explode(sequence(
+          greatest(col("__mn"), col("__b") * lit(blk)),
+          least(col("__mx"), (col("__b") + lit(1L)) * lit(blk) - lit(1L)))).as("__d"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col("__d"))
       .rowsBetween(Long.MinValue, 0)

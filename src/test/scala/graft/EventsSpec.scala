@@ -299,6 +299,42 @@ class EventsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("gapFill: pathological span trips the maxBuckets guard with a clear error") {
+    // one key observed 3 years apart at stepMs=1000 → ~95M buckets;
+    // without the guard this is a single ~95M-element array in one
+    // task. The guard must fire lazily, per key, from inside the plan.
+    val df = Seq((1L, 0L, 1.0), (1L, 3L * 365 * 86400000, 2.0))
+      .toDF("user_id", "ts_ms", "value")
+    val ex = intercept[Exception] {
+      Events.gapFill(df, "ts_ms", "user_id", "value", stepMs = 1000L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("maxBuckets")), msgs(ex).mkString(" | "))
+    // anomalies inherits the same guard
+    val ex2 = intercept[Exception] {
+      Events.anomalies(df, "ts_ms", "user_id", "value", stepMs = 1000L).count()
+    }
+    assert(msgs(ex2).exists(_.contains("maxBuckets")))
+    // an explicit larger cap lets the caller opt in
+    val n = Events.gapFill(df, "ts_ms", "user_id", "value",
+      stepMs = 86400000L, maxBuckets = 2000L).count()
+    assert(n == 3L * 365 + 1)
+  }
+
+  test("gapFill: chunked spine is seamless across 4096-bucket block boundaries") {
+    // span of 10000 buckets crosses two block boundaries; every
+    // bucket must appear exactly once with the carried value.
+    val df = Seq((1L, 0L, 3.0), (1L, 9999L * 1000, 4.0))
+      .toDF("user_id", "ts_ms", "value")
+    val out = Events.gapFill(df, "ts_ms", "user_id", "value", stepMs = 1000L)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._2)
+    assert(out.length == 10000)
+    assert(out.map(_._2).toSeq == (0L until 10000L).map(_ * 1000))
+    assert(out.head._3 == 3.0 && out.last._3 == 4.0)
+    assert(out.init.tail.forall(r => r._3 == 3.0 && r._4))
+  }
+
   test("dauMau: exact per-day/per-month distincts, month boundary, null drops") {
     val jan1 = 1704067200000L // 2024-01-01T00:00Z
     val day = 86400000L
