@@ -1613,6 +1613,23 @@ object SparkEntry {
         e.where(col("vec_id") >= 300),
         "embedding", "vec_id", "vec_id", k = 8, minMargin = 1.0)
     }),
+    "q_bitext_ivf" -> ((s, dir) => {
+      // Corpus-vs-corpus mining: BOTH sides are corpus HALVES — the
+      // shape q_bitext_margin's bounded-batch contract cannot take.
+      // Candidates come from a per-direction IVF (deterministic
+      // stride=100 centroids, nprobe=2) so each pass scores
+      // ~|side|·nprobe/nlist instead of |X|×|Y|; the margin algebra
+      // on top is bit-identical to q_bitext_margin. The half-split
+      // literal is a 1-row agg read (bounded driver state) replayed
+      // by the oracle as a scalar subquery.
+      val e = t(s, dir, "embeddings")
+      val mid = e.agg(max(col("vec_id"))).head.getLong(0) / 2
+      Similarity.marginMineTopK(
+        e.where(col("vec_id") < mid),
+        e.where(col("vec_id") >= mid),
+        "embedding", "vec_id", "vec_id", k = 8, minMargin = 1.0,
+        stride = 100, nprobe = 2)
+    }),
     "q_ann_filtered" -> ((s, dir) => {
       // Attribute-FILTERED exact top-k: neighbours restricted to the
       // query's own `label` (the multi-tenant / category-scoped
@@ -4397,6 +4414,42 @@ object SparkEntry {
           |fwd AS (SELECT src_id, tgt_id, cosine FROM fr WHERE rank <= 8),
           |b0 AS (SELECT tgt_id, src_id, round(${cosSql("xv", "yv")}, 6) AS cosine FROM x, y),
           |br AS (SELECT *, row_number() OVER (PARTITION BY tgt_id ORDER BY cosine DESC, src_id) AS rank FROM b0),
+          |bwd AS (SELECT tgt_id, cosine FROM br WHERE rank <= 8),
+          |sn AS (SELECT src_id, sum(cosine::DECIMAL(10,6)) AS ssum, count(*) AS nx FROM fwd GROUP BY 1),
+          |tn AS (SELECT tgt_id, sum(cosine::DECIMAL(10,6)) AS tsum, count(*) AS ny FROM bwd GROUP BY 1),
+          |m AS (SELECT f.src_id, f.tgt_id, f.cosine,
+          |  round(f.cosine / ((sn.ssum::DOUBLE / nx + tn.tsum::DOUBLE / ny) / 2.0), 6) AS margin
+          |  FROM fwd f JOIN sn USING (src_id) JOIN tn USING (tgt_id)),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rank FROM m)
+          |SELECT src_id, tgt_id, cosine, margin FROM r WHERE rank = 1 AND margin >= 1.0""".stripMargin),
+    // q_bitext_margin's margin algebra verbatim, but each direction's
+    // candidate set is the q_ann_ivf replay (stride-100 centroids per
+    // side, raw-cosine argmax assignment, nprobe=2, k=8); the
+    // half-split is the same scalar subquery both engines floor-divide
+    "q_bitext_ivf" ->
+      (s"""WITH x AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < (SELECT max(vec_id) // 2 FROM embeddings)),
+          |y AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= (SELECT max(vec_id) // 2 FROM embeddings)),
+          |ycen AS (SELECT vec_id AS cid, embedding AS cvec FROM y WHERE vec_id % 100 = 0),
+          |yca AS (SELECT vec_id AS corpus_id, embedding AS cv, cid,
+          |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn FROM y, ycen),
+          |ycaf AS (SELECT corpus_id, cv, cid FROM yca WHERE rn = 1),
+          |xqa AS (SELECT vec_id AS query_id, embedding AS qv, cid,
+          |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn FROM x, ycen),
+          |xqaf AS (SELECT query_id, qv, cid FROM xqa WHERE rn <= 2),
+          |fs AS (SELECT query_id AS src_id, corpus_id AS tgt_id, round(${cosSql("cv", "qv")}, 6) AS cosine
+          |  FROM ycaf JOIN xqaf USING (cid)),
+          |fr AS (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, tgt_id) AS rank FROM fs),
+          |fwd AS (SELECT src_id, tgt_id, cosine FROM fr WHERE rank <= 8),
+          |xcen AS (SELECT vec_id AS cid, embedding AS cvec FROM x WHERE vec_id % 100 = 0),
+          |xca AS (SELECT vec_id AS corpus_id, embedding AS cv, cid,
+          |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn FROM x, xcen),
+          |xcaf AS (SELECT corpus_id, cv, cid FROM xca WHERE rn = 1),
+          |yqa AS (SELECT vec_id AS query_id, embedding AS qv, cid,
+          |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn FROM y, xcen),
+          |yqaf AS (SELECT query_id, qv, cid FROM yqa WHERE rn <= 2),
+          |bs AS (SELECT query_id AS tgt_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine
+          |  FROM xcaf JOIN yqaf USING (cid)),
+          |br AS (SELECT *, row_number() OVER (PARTITION BY tgt_id ORDER BY cosine DESC, corpus_id) AS rank FROM bs),
           |bwd AS (SELECT tgt_id, cosine FROM br WHERE rank <= 8),
           |sn AS (SELECT src_id, sum(cosine::DECIMAL(10,6)) AS ssum, count(*) AS nx FROM fwd GROUP BY 1),
           |tn AS (SELECT tgt_id, sum(cosine::DECIMAL(10,6)) AS tsum, count(*) AS ny FROM bwd GROUP BY 1),

@@ -1000,19 +1000,81 @@ object Similarity {
       minMargin: Double = 1.0): DataFrame = {
     require(k >= 1, "k must be positive")
     val fwd = bruteForceTopK(tgt, src, vecCol, tgtIdCol, srcIdCol, k)
+    val bwd = bruteForceTopK(src, tgt, vecCol, srcIdCol, tgtIdCol, k)
+    // The batch contract bounds both neighborhood frames (srcNn is
+    // |batch|-sized; tgtNn rows outside fwd's candidate set never
+    // survive the join), so the hints are safe here.
+    marginFromCandidates(fwd, bwd, minMargin, hintBroadcast = true)
+  }
+
+  /** Corpus-vs-corpus margin mining: the [[marginMine]] algebra run
+    * over [[ivfTopK]] candidate sets instead of brute-force scores —
+    * the at-scale composition BENCH_SF1.md's design note calls for.
+    * [[marginMine]]'s batch contract makes brute force linear only
+    * while ONE side is a bounded batch; mining corpus X against
+    * corpus Y (the real parallel-text shape) is |X|×|Y| by
+    * construction. Here each direction builds its own IVF (bounded
+    * deterministic stride centroids, argmax assignment), so the
+    * forward pass scores ~|X|·nprobe/nlist of Y and the backward
+    * pass the mirror — linear in both corpora at fixed nlist ratio.
+    *
+    * Differences from the batch path, both deliberate:
+    * - no broadcast hints: the neighborhood frames scale with |X|
+    *   and |Y|, so AQE picks the join strategy at runtime;
+    * - a pair whose endpoint has an EMPTY candidate set in the
+    *   opposite direction (its probed buckets held no rows) is
+    *   dropped — its margin denominator is undefined. Raise
+    *   `nprobe` to shrink that set; brute force never hits it.
+    *
+    * Determinism/replay: identical to [[marginMine]] (6-dp candidate
+    * cosines, exact-decimal neighborhood sums, one double margin
+    * expression) on top of [[ivfTopK]]'s replayable candidates.
+    */
+  def marginMineTopK(
+      src: DataFrame,
+      tgt: DataFrame,
+      vecCol: String,
+      srcIdCol: String,
+      tgtIdCol: String,
+      k: Int = 8,
+      minMargin: Double = 1.0,
+      stride: Int = 100,
+      nprobe: Int = 2,
+      numCentroids: Int = 0,
+      expectedSrcRows: Long = 0L,
+      expectedTgtRows: Long = 0L): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val fwd = ivfTopK(tgt, src, vecCol, tgtIdCol, srcIdCol, k,
+      stride, nprobe, numCentroids, expectedTgtRows)
+    val bwd = ivfTopK(src, tgt, vecCol, srcIdCol, tgtIdCol, k,
+      stride, nprobe, numCentroids, expectedSrcRows)
+    marginFromCandidates(fwd, bwd, minMargin, hintBroadcast = false)
+  }
+
+  /** The Artetxe–Schwenk ratio-margin algebra over two candidate
+    * frames shaped like the top-k kernels' output — forward
+    * (query = src) and backward (query = tgt) — shared by the
+    * brute-force batch path and the IVF corpus path.
+    */
+  private def marginFromCandidates(
+      fwd0: DataFrame,
+      bwd: DataFrame,
+      minMargin: Double,
+      hintBroadcast: Boolean): DataFrame = {
+    val fwd = fwd0
       .select(col("query_id").as("src_id"), col("corpus_id").as("tgt_id"),
         col("cosine"))
-    val bwd = bruteForceTopK(src, tgt, vecCol, srcIdCol, tgtIdCol, k)
     val dec = (c: Column) => c.cast("decimal(10,6)")
     val srcNn = fwd.groupBy(col("src_id"))
       .agg(sum(dec(col("cosine"))).as("__ssum"), count(lit(1)).as("__sn"))
     val tgtNn = bwd.groupBy(col("query_id").as("tgt_id"))
       .agg(sum(dec(col("cosine"))).as("__tsum"), count(lit(1)).as("__tn"))
+    val hint = (df: DataFrame) => if (hintBroadcast) broadcast(df) else df
     val w = Window.partitionBy(col("src_id"))
       .orderBy(col("margin").desc, col("tgt_id").asc)
     fwd
-      .join(broadcast(srcNn), "src_id")
-      .join(broadcast(tgtNn), "tgt_id")
+      .join(hint(srcNn), "src_id")
+      .join(hint(tgtNn), "tgt_id")
       .withColumn("margin",
         round(col("cosine") /
           ((col("__ssum").cast("double") / col("__sn") +

@@ -682,4 +682,40 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("marginMineTopK: IVF-candidate mining matches brute force when IVF is exhaustive") {
+    // With every corpus vector a centroid (stride=1) and nprobe
+    // covering all buckets, the IVF candidate set IS the brute-force
+    // top-k, so the margin algebra must produce identical rows.
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.cos(i * 5 + j * 2).toFloat))
+    }.toDF("id", "vec")
+    val src = vecs.where($"id" < 30)
+    val tgt = vecs.where($"id" >= 30)
+    val bf = Similarity.marginMine(src, tgt, "vec", "id", "id", k = 4)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val ivf = Similarity.marginMineTopK(src, tgt, "vec", "id", "id", k = 4,
+      stride = 1, nprobe = 30)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(ivf == bf && ivf.nonEmpty)
+  }
+
+  test("marginMineTopK: deterministic under repartitioning at sparse nprobe") {
+    val vecs = (0 until 80).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 11 + j * 3).toFloat))
+    }.toDF("id", "vec")
+    val src = vecs.where($"id" < 40)
+    val tgt = vecs.where($"id" >= 40)
+    val a = Similarity.marginMineTopK(src, tgt, "vec", "id", "id", k = 4,
+      stride = 10, nprobe = 2)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val b = Similarity.marginMineTopK(src.repartition(7), tgt.repartition(5),
+      "vec", "id", "id", k = 4, stride = 10, nprobe = 2)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b && a.nonEmpty)
+    // every surviving pair respects the margin threshold and is
+    // unique per source
+    assert(a.map(_._1).distinct.size == a.size)
+    assert(a.forall(_._4 >= 1.0))
+  }
 }
