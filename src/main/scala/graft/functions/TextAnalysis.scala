@@ -232,7 +232,10 @@ object TextAnalysis {
 
   /** Flesch-style readability proxy — the classic per-document
     * quality feature (Flesch 1948) on deterministic, engine-portable
-    * counting rules: words = whitespace tokens, sentences =
+    * counting rules: words = SINGLE-SPACE-delimited tokens (the
+    * split is the literal `" "`, not `\s+` — tab/newline-delimited
+    * words count as one token by declared proxy contract, and the
+    * oracle mirrors the same split), sentences =
     * `[.!?]+` terminator runs floored at 1, syllables = `[aeiouy]+`
     * vowel groups over the lowercased text (runs cannot span
     * whitespace, so this equals the per-word sum; consonant-only

@@ -581,6 +581,18 @@ object Dedup {
     * smallest id. Transitive, unlike the greedy
     * [[dropNearDuplicates]]: in a chain a~b~c (a<b<c) exactly `a`
     * survives even though (a,c) was never a direct pair.
+    *
+    * The one-call path defaults to the bounded-rounds
+    * [[duplicateClustersStar]] components (`star = true`): a caller
+    * who reaches for the convenience wrapper has not inspected their
+    * dup-graph shape, and the star rounds stay bounded on the
+    * pathological chain/high-diameter graphs where the min-label
+    * fixpoint's round count grows with diameter (the round-11 sf1
+    * gate measured the fixpoint at 8.1x for 10x data on chain-heavy
+    * testdata vs 3.3x for star). Both produce identical labels (a
+    * property spec holds them equal over chains, cliques, stars,
+    * random graphs); pass `star = false` to pick the fixpoint when
+    * the graph is known to be shallow.
     */
   def minHashLshDedup(
       df: DataFrame,
@@ -591,10 +603,13 @@ object Dedup {
       bands: Int = 2,
       jaccardThreshold: Double = 0.5,
       fast: Boolean = false,
-      maxBucket: Int = 0): DataFrame = {
+      maxBucket: Int = 0,
+      star: Boolean = true): DataFrame = {
     val pairs = minHashLshPairs(df, textCol, idCol, shingleK, numHashes,
       bands, jaccardThreshold, fast, maxBucket)
-    val losers = duplicateClusters(pairs)
+    val clusters =
+      if (star) duplicateClustersStar(pairs) else duplicateClusters(pairs)
+    val losers = clusters
       .where(col("id") =!= col("label"))
       .select(col("id").as(idCol))
     // No broadcast hint: the loser set grows with the corpus (billions
@@ -632,11 +647,16 @@ object Dedup {
       pairs: DataFrame,
       idCol: String,
       rank: Column,
-      keepHighest: Boolean = true): DataFrame = {
+      keepHighest: Boolean = true,
+      star: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ckCol = graft.Cols.unique("__ck", df)
     val rnCol = graft.Cols.unique("__rn", df)
-    val clusters = duplicateClusters(pairs)
+    // Same default as minHashLshDedup: the convenience path takes the
+    // diameter-bounded star components.
+    val clusterOf =
+      if (star) duplicateClustersStar(pairs) else duplicateClusters(pairs)
+    val clusters = clusterOf
       .select(col("id").as(idCol), col("label").as(ckCol))
     val member = df.join(clusters, Seq(idCol), "left")
       .withColumn(ckCol, coalesce(col(ckCol), col(idCol)))
@@ -997,7 +1017,15 @@ object Dedup {
       .where(col(sigCol).isNotNull && col(posCol).isNotNull)
       .select(col(idCol).as("__id"), col(posCol).as("__bpos"),
         col(sigCol).as("__bkey"))
-      .distinct()
+      // One signature per (id, position), enforced deterministically
+      // (min signature wins): an input carrying several signatures at
+      // the same position would otherwise inflate both the per-id
+      // counts and `matched` with (position, signature) pairs, bending
+      // the "frac of POSITIONS matched" contract the minMatchFrac gate
+      // assumes. Single-signature inputs (the video/image hash paths)
+      // pass through unchanged.
+      .groupBy(col("__id"), col("__bpos"))
+      .agg(min(col("__bkey")).as("__bkey"))
       // per-id position count rides each bucket row (window over the
       // bounded per-id sequence) — no join-back later
       .withColumn("__n", count(lit(1)).over(w))

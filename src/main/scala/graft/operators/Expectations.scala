@@ -88,13 +88,24 @@ object Expectations {
   def validate(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
     require(rules.nonEmpty, "no expectations given")
 
+    // Temp-name hygiene (the Cols.unique discipline, prefix form): the
+    // marker/agg names are a generated FAMILY (__v_0, __v_1, …), so
+    // pick a prefix no input column starts with — then every derived
+    // name is collision-free against a fact table that happens to
+    // carry e.g. a __ref_0 column.
+    val pfx = Iterator.from(0)
+      .map(i => if (i == 0) "__exp" else s"__exp$i")
+      .find(p => !df.columns.exists(_.startsWith(p))).get
+    def vCol(i: Int) = s"${pfx}_v_$i"
+    val totalCol = s"${pfx}_total"
+
     // Chain the dim key-set joins in front of the shared agg; each
     // marker column is non-null iff the fact's fk has a dim partner.
     var staged = df
     val refMarker = scala.collection.mutable.Map.empty[Int, String]
     rules.zipWithIndex.foreach {
       case (RefIntegrity(c, dim, dimKey), i) =>
-        val m = s"__ref_$i"
+        val m = s"${pfx}_ref_$i"
         refMarker(i) = m
         staged = staged.join(
           broadcast(dim.select(col(dimKey).as(c)).distinct()
@@ -103,33 +114,33 @@ object Expectations {
       case _ => ()
     }
 
-    val aggs: Seq[Column] = count(lit(1)).as("__total") +: rules.zipWithIndex.map {
+    val aggs: Seq[Column] = count(lit(1)).as(totalCol) +: rules.zipWithIndex.map {
       case (NotNull(c), i) =>
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__v_$i")
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(vCol(i))
       case (InRange(c, lo, hi), i) =>
         sum(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1L)
-          .otherwise(0L)).as(s"__v_$i")
+          .otherwise(0L)).as(vCol(i))
       case (MatchesRegex(c, p), i) =>
         sum(when(col(c).isNotNull && !col(c).rlike(p), 1L)
-          .otherwise(0L)).as(s"__v_$i")
+          .otherwise(0L)).as(vCol(i))
       case (Unique(cs), i) =>
-        (count(lit(1)) - countDistinct(keyFp(cs))).as(s"__v_$i")
+        (count(lit(1)) - countDistinct(keyFp(cs))).as(vCol(i))
       case (RefIntegrity(c, _, _), i) =>
         sum(when(col(c).isNotNull && col(refMarker(i)).isNull, 1L)
-          .otherwise(0L)).as(s"__v_$i")
+          .otherwise(0L)).as(vCol(i))
     }
 
     val one = staged.agg(aggs.head, aggs.tail: _*)
     // Unpivot the single aggregated row into one row per rule.
     val stackArgs = rules.zipWithIndex.flatMap { case (r, i) =>
-      Seq(lit(r.name), lit(r.target), col(s"__v_$i"))
+      Seq(lit(r.name), lit(r.target), col(vCol(i)))
     }
-    one.select(col("__total"),
+    one.select(col(totalCol),
         stack(Seq(lit(rules.size)) ++ stackArgs: _*).as(Seq("rule", "target", "violations")))
       .select(col("rule"), col("target"),
         // sum over zero rows is null — an empty table violates nothing
         coalesce(col("violations").cast("long"), lit(0L)).as("violations"),
-        col("__total").as("total"),
+        col(totalCol).as("total"),
         coalesce(col("violations") === 0L, lit(true)).as("pass"))
   }
 }

@@ -60,10 +60,11 @@ object Layout {
       path: String,
       numFiles: Int): Unit = {
     require(numFiles >= 1, "numFiles must be >= 1")
-    df.withColumn("__z", zorderValue(zCols, bits))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    val zCol = graft.Cols.unique("__z", df)
+    df.withColumn(zCol, zorderValue(zCols, bits))
+      .repartitionByRange(numFiles, col(zCol))
+      .sortWithinPartitions(col(zCol))
+      .drop(zCol)
       .write.mode("overwrite").parquet(path)
   }
 

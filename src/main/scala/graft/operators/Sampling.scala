@@ -365,7 +365,14 @@ object Sampling {
       .withColumn("__off",
         pmod(conv(substring(md5(concat(col(idCol).cast("string"),
           lit(s":$seed:"), col("j"))), 1, 15), 16, 10).cast("long"),
-          col("__n") - 1))
+          // N=1 would make the divisor 0: pmod yields null and the
+          // operator silently returns zero rows, breaking the
+          // k-rows-per-anchor contract — fail loudly instead (the
+          // count is data-dependent, so the guard lives in-plan).
+          when(col("__n") < 2,
+            raise_error(lit("negativeSample: needs at least 2 rows " +
+              "to draw a negative per anchor")).cast("long"))
+            .otherwise(col("__n") - 1)))
       .select(col(idCol), col("j"),
         pmod(col("__rk") + 1 + col("__off"), col("__n")).as("__nrk"))
     probes.join(

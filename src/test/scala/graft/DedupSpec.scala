@@ -206,6 +206,25 @@ class DedupSpec extends SparkSpec {
     assert(kept.contains(1L) && !kept.contains(2L) && kept.contains(4L))
   }
 
+  test("one-call wrappers default to the star components and agree with the fixpoint") {
+    // the convenience paths must ride the diameter-bounded star CC by
+    // default; both component implementations label identically, so
+    // the mode flag can never change the result
+    val starKept = Dedup.minHashLshDedup(docs, "text", "id")
+      .select($"id").as[Long].collect().sorted.toSeq
+    val fixKept = Dedup.minHashLshDedup(docs, "text", "id", star = false)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(starKept == fixKept && starKept.nonEmpty)
+    val df = Seq((1L, 10.0), (2L, 30.0), (3L, 20.0), (7L, 5.0), (9L, 5.0))
+      .toDF("id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val a = Dedup.dropNearDuplicatesBy(df, pairs, "id", $"quality")
+      .select($"id").as[Long].collect().sorted.toSeq
+    val b = Dedup.dropNearDuplicatesBy(df, pairs, "id", $"quality", star = false)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(a == b && a == Seq(2L, 7L))
+  }
+
   test("dropNearDuplicates: removes the larger id of each pair") {
     val pairs = Seq((1L, 2L, 1.0)).toDF("id_a", "id_b", "jaccard")
     val kept = Dedup.dropNearDuplicates(docs, pairs, "id")
