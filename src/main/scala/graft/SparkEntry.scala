@@ -791,6 +791,35 @@ object SparkEntry {
         Unique(Seq("o_orderkey")),
         RefIntegrity("o_custkey", t(s, dir, "customer"), "c_custkey")))
     }),
+    "q_expectations_samples" -> ((s, dir) => {
+      // validate's counts say WHAT failed; the gate operator needs
+      // the "show me 5 bad rows" view. Same corrupted snapshot +
+      // rules as q_expectations, capped 5 samples per rule by lowest
+      // o_orderkey. o_totalprice rides as DECIMAL(18,2) so the
+      // sampled value strings are engine-exact (double→string
+      // formatting is not a portable contract).
+      import graft.operators.Expectations
+      import graft.operators.Expectations._
+      val m = pmod(col("o_orderkey"), lit(10))
+      val corrupted = t(s, dir, "orders")
+        .withColumn("o_custkey",
+          when(m === 3, lit(null).cast("long"))
+            .when(m === 5, col("o_custkey") + 10000000L)
+            .otherwise(col("o_custkey")))
+        .withColumn("o_totalprice",
+          when(m === 4, -col("o_totalprice")).otherwise(col("o_totalprice"))
+            .cast("decimal(18,2)"))
+        .withColumn("o_orderstatus",
+          when(m === 7, lower(col("o_orderstatus"))).otherwise(col("o_orderstatus")))
+      val withDups = corrupted.unionByName(corrupted.where(m === 6))
+      Expectations.failingSamples(Parallelism.spread(withDups), Seq(
+        NotNull("o_custkey"),
+        InRange("o_totalprice", 0.0, 1000000.0),
+        MatchesRegex("o_orderstatus", "^[A-Z]$"),
+        Unique(Seq("o_orderkey")),
+        RefIntegrity("o_custkey", t(s, dir, "customer"), "c_custkey")),
+        orderCol = "o_orderkey", maxPerRule = 5)
+    }),
     "q_auc" -> ((s, dir) => {
       // Tie-aware ROC AUC of a synthetic quality gate: label = every
       // 4th doc, score = 10-bit md5 noise (1024 dyadic levels — ties
@@ -3281,6 +3310,44 @@ object SparkEntry {
         |UNION ALL SELECT 'regex', 'o_orderstatus', v_regex, total, v_regex = 0 FROM m
         |UNION ALL SELECT 'unique', 'o_orderkey', v_uniq, total, v_uniq = 0 FROM m
         |UNION ALL SELECT 'ref_integrity', 'o_custkey', v_ref, total, v_ref = 0 FROM m""".stripMargin,
+    // the same corrupted snapshot, but per-rule offending-row samples:
+    // 5 lowest keys per rule; duplicate copies are interchangeable
+    // under the cap so key ties cannot change the result set
+    "q_expectations_samples" ->
+      """WITH tt0 AS (SELECT
+        |    CASE WHEN o_orderkey % 10 = 3 THEN NULL
+        |         WHEN o_orderkey % 10 = 5 THEN o_custkey + 10000000
+        |         ELSE o_custkey END AS o_custkey,
+        |    (CASE WHEN o_orderkey % 10 = 4 THEN -o_totalprice
+        |         ELSE o_totalprice END)::DECIMAL(18,2) AS o_totalprice,
+        |    CASE WHEN o_orderkey % 10 = 7 THEN lower(o_orderstatus)
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    o_orderkey
+        |  FROM orders),
+        |tt AS (SELECT * FROM tt0
+        |  UNION ALL SELECT * FROM tt0 WHERE o_orderkey % 10 = 6),
+        |uc AS (SELECT *, count(*) OVER (
+        |    PARTITION BY md5(coalesce(o_orderkey::VARCHAR, chr(0)))) AS ucnt FROM tt),
+        |e AS (
+        |  SELECT 'not_null' AS rule, 'o_custkey' AS target,
+        |      o_orderkey AS sample_id, o_custkey::VARCHAR AS value
+        |    FROM uc WHERE o_custkey IS NULL
+        |  UNION ALL SELECT 'in_range', 'o_totalprice', o_orderkey, o_totalprice::VARCHAR
+        |    FROM uc WHERE o_totalprice IS NOT NULL
+        |      AND (o_totalprice < 0 OR o_totalprice > 1000000)
+        |  UNION ALL SELECT 'regex', 'o_orderstatus', o_orderkey, o_orderstatus
+        |    FROM uc WHERE o_orderstatus IS NOT NULL
+        |      AND NOT regexp_matches(o_orderstatus, '^[A-Z]$')
+        |  UNION ALL SELECT 'unique', 'o_orderkey', o_orderkey,
+        |      md5(coalesce(o_orderkey::VARCHAR, chr(0)))
+        |    FROM uc WHERE ucnt > 1
+        |  UNION ALL SELECT 'ref_integrity', 'o_custkey', o_orderkey, o_custkey::VARCHAR
+        |    FROM uc WHERE o_custkey IS NOT NULL
+        |      AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY rule, target ORDER BY sample_id) AS sample_rank FROM e)
+        |SELECT rule, target, sample_rank::INT AS sample_rank, sample_id, value
+        |FROM r WHERE sample_rank <= 5""".stripMargin,
     // same dyadic score; grouped Mann-Whitney with the identical
     // doubled-numerator integer arithmetic, one double division
     "q_auc" ->

@@ -143,4 +143,96 @@ object Expectations {
         col(totalCol).as("total"),
         coalesce(col("violations") === 0L, lit(true)).as("pass"))
   }
+
+  /** Capped per-rule samples of OFFENDING rows — the "show me 5 bad
+    * rows" ergonomic a real ingest gate pairs with [[validate]]'s
+    * counts (a violation count alone sends the operator digging with
+    * ad-hoc queries).
+    *
+    * `orderCol` should be a unique row key (SURVEY §4 window
+    * discipline): samples are the `maxPerRule` LOWEST keys per rule,
+    * so the result is deterministic and engine-replayable. (Exact
+    * duplicate rows — the Unique-rule case — are interchangeable
+    * under the cap, so key ties between them cannot change the
+    * result set.)
+    *
+    * Scale shape: ONE scan builds every rule's violation indicator
+    * (with the same broadcast dim key-set joins as [[validate]];
+    * each Unique rule adds one window count over its key
+    * fingerprint — the audit's irreducible shuffle), an explode
+    * unpivots to (rule, row) candidates, and the per-rule cap is a
+    * `row_number() <= maxPerRule` filter that compiles to
+    * `WindowGroupLimit`: every task pre-prunes to maxPerRule rows
+    * per rule BEFORE the shuffle, so a 100%-violating corpus still
+    * moves only rules × maxPerRule × tasks rows.
+    *
+    * @return (rule, target, sample_rank 1..maxPerRule, sample_id =
+    *         the row's `orderCol`, value = the offending column's
+    *         value as string — null for NotNull violations, the key
+    *         fingerprint for Unique rules)
+    */
+  def failingSamples(
+      df: DataFrame,
+      rules: Seq[Expectation],
+      orderCol: String,
+      maxPerRule: Int = 5): DataFrame = {
+    require(rules.nonEmpty, "no expectations given")
+    require(maxPerRule >= 1, "maxPerRule must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+
+    val pfx = Iterator.from(0)
+      .map(i => if (i == 0) "__exps" else s"__exps$i")
+      .find(p => !df.columns.exists(_.startsWith(p))).get
+
+    var staged = df
+    val refMarker = scala.collection.mutable.Map.empty[Int, String]
+    val uniqCount = scala.collection.mutable.Map.empty[Int, String]
+    rules.zipWithIndex.foreach {
+      case (RefIntegrity(c, dim, dimKey), i) =>
+        val m = s"${pfx}_ref_$i"
+        refMarker(i) = m
+        staged = staged.join(
+          broadcast(dim.select(col(dimKey).as(c)).distinct()
+            .withColumn(m, lit(1))),
+          Seq(c), "left")
+      case (Unique(cs), i) =>
+        val m = s"${pfx}_uc_$i"
+        uniqCount(i) = m
+        staged = staged.withColumn(m,
+          count(lit(1)).over(Window.partitionBy(keyFp(cs))))
+      case _ => ()
+    }
+
+    val entries = rules.zipWithIndex.map { case (r, i) =>
+      val (bad, value) = r match {
+        case NotNull(c) =>
+          (col(c).isNull, col(c).cast("string"))
+        case InRange(c, lo, hi) =>
+          (col(c).isNotNull && (col(c) < lo || col(c) > hi),
+            col(c).cast("string"))
+        case MatchesRegex(c, p) =>
+          (col(c).isNotNull && !col(c).rlike(p), col(c).cast("string"))
+        case Unique(cs) =>
+          (col(uniqCount(i)) > 1, keyFp(cs))
+        case RefIntegrity(c, _, _) =>
+          (col(c).isNotNull && col(refMarker(i)).isNull,
+            col(c).cast("string"))
+      }
+      struct(lit(r.name).as("rule"), lit(r.target).as("target"),
+        bad.as("bad"), value.as("value"))
+    }
+
+    val eCol = s"${pfx}_e"
+    val w = Window.partitionBy(col("rule"), col("target"))
+      .orderBy(col("sample_id"))
+    staged
+      .select(col(orderCol).as("sample_id"),
+        explode(array(entries: _*)).as(eCol))
+      .where(col(s"$eCol.bad"))
+      .select(col(s"$eCol.rule").as("rule"), col(s"$eCol.target").as("target"),
+        col("sample_id"), col(s"$eCol.value").as("value"))
+      .withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= maxPerRule)
+      .select("rule", "target", "sample_rank", "sample_id", "value")
+  }
 }

@@ -78,4 +78,57 @@ class ExpectationsSpec extends SparkSpec {
       Seq.empty[(java.lang.Long, java.lang.Double, String)])
     assert(out.values.toSet == Set((0L, 0L, true)))
   }
+
+  test("failingSamples: each rule samples exactly its own offenders with values") {
+    val dim = Seq(1L, 2L).toDF("dk")
+    val rows: Seq[(java.lang.Long, java.lang.Double, String, Long)] = Seq(
+      (1L, 1.0, "A", 10L),
+      (null, -5.0, "bb", 11L),  // null key, below range, regex fail
+      (2L, 99.0, "C", 12L),     // above range
+      (2L, 2.0, "D", 13L),      // duplicate key (with row 12)
+      (7L, 3.0, "E", 14L))      // orphan fk
+    val df = rows.toDF("k", "x", "s", "rid")
+    val out = Expectations.failingSamples(df, Seq(
+      NotNull("k"), InRange("x", 0, 10), MatchesRegex("s", "^[A-Z]$"),
+      Unique(Seq("k")), RefIntegrity("k", dim, "dk")),
+      orderCol = "rid", maxPerRule = 5)
+      .as[(String, String, Int, Long, Option[String])].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).toSeq).toMap
+    assert(out("not_null").map(r => (r._4, r._5)) == Seq((11L, None)))
+    assert(out("in_range").map(r => (r._4, r._5.get)) ==
+      Seq((11L, "-5.0"), (12L, "99.0")))
+    assert(out("regex").map(r => (r._4, r._5.get)) == Seq((11L, "bb")))
+    // BOTH copies of the duplicated key sample (ranked by rid)
+    assert(out("unique").map(_._4) == Seq(12L, 13L))
+    assert(out("ref_integrity").map(r => (r._4, r._5.get)) == Seq((14L, "7")))
+  }
+
+  test("failingSamples: the cap binds per rule and compiles to WindowGroupLimit") {
+    val rows = (0L until 100L).map(i => (null: java.lang.Long, i))
+    val df = rows.toDF("k", "rid")
+    val q = Expectations.failingSamples(df, Seq(NotNull("k")), "rid",
+      maxPerRule = 3)
+    val got = q.as[(String, String, Int, Long, Option[String])].collect()
+      .sortBy(_._3)
+    // exactly 3 samples: the LOWEST keys, ranked 1..3
+    assert(got.map(r => (r._3, r._4)).toSeq == Seq((1, 0L), (2, 1L), (3, 2L)))
+    // map-side pre-pruning before the rule-partitioned shuffle
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+    // deterministic under repartitioning
+    val again = Expectations.failingSamples(df.repartition(7),
+      Seq(NotNull("k")), "rid", maxPerRule = 3)
+      .as[(String, String, Int, Long, Option[String])].collect().sortBy(_._3)
+    assert(got.toSeq == again.toSeq)
+  }
+
+  test("failingSamples: temp-name family survives adversarial input columns") {
+    val dim = Seq(1L).toDF("dk")
+    val df = Seq((2L, 5L, "x", 7L))
+      .toDF("k", "__exps_ref_4", "__exps_e", "rid")
+    val out = Expectations.failingSamples(df,
+      Seq(RefIntegrity("k", dim, "dk"), Unique(Seq("k"))), "rid")
+      .as[(String, String, Int, Long, Option[String])].collect()
+    assert(out.map(_._1).toSet == Set("ref_integrity"))
+  }
 }
