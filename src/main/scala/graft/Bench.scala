@@ -9,6 +9,40 @@ import org.apache.spark.sql.SparkSession
   * under-measure narrow projections.
   */
 object Bench {
+
+  /** Fixed-cost calibration probe: a small deterministic aggregation
+    * whose wall time depends only on scheduler + CPU availability —
+    * the same work every call, so an inflated reading means the BOX
+    * was loaded during that rep, not the query. Interleaved after
+    * every measured rep (round-11 verdict: board-context noise was
+    * the dominant error bar — q_ann_pq read 12.2 s mean vs 7.0 s min
+    * on identical code — and the bench could not defend itself).
+    */
+  def probeOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(500000).selectExpr("sum(id * 7 % 13)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Drop reps whose interleaved probe inflated past
+    * `factor × baseline` — the box was contended, the reading is not
+    * the query's. If EVERY rep is flagged the readings are kept (a
+    * uniformly loaded box is still internally comparable, and
+    * reporting nothing would hide the query entirely) — the flag
+    * count in the JSON is the tell.
+    *
+    * @param reps (querySeconds, probeSeconds) per successful rep
+    * @return (kept query times, flagged-rep count)
+    */
+  def filterFlagged(
+      reps: Seq[(Double, Double)],
+      baseline: Double,
+      factor: Double): (Seq[Double], Int) = {
+    val (flagged, kept) = reps.partition(_._2 > baseline * factor)
+    if (kept.isEmpty) (reps.map(_._1), flagged.length)
+    else (kept.map(_._1), flagged.length)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -118,20 +152,35 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
+    // Self-defense against board-context noise: establish a quiet-box
+    // probe baseline (median of 7 — the probe itself JIT-warms during
+    // the first runs), then interleave one probe after every measured
+    // rep and drop reps whose probe inflated past the factor.
+    val flagFactor = sys.env.get("SPARK_GRAFT_PROBE_FACTOR")
+      .flatMap(_.toDoubleOption).getOrElse(2.0)
+    val probeBaseline = {
+      val ps = (1 to 7).map(_ => probeOnce(spark)).sorted
+      ps(ps.length / 2)
+    }
     val results = selected.map { case (name, fn) =>
-      val runs: Seq[Either[String, Double]] = (1 to reps).map { _ =>
+      val runs: Seq[Either[String, (Double, Double)]] = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Right((System.nanoTime() - t0) / 1e9)
+          val q = (System.nanoTime() - t0) / 1e9
+          Right((q, probeOnce(spark)))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: $e")
           Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
         }
       }
       val err = runs.collectFirst { case Left(m) => m }
-      val times = runs.collect { case Right(s) => s }.sorted
-      (name, err, times)
+      val pairs = runs.collect { case Right(p) => p }
+      val (keptTimes, flagged) = filterFlagged(pairs, probeBaseline, flagFactor)
+      if (flagged > 0) System.err.println(
+        s"[bench] $name: $flagged/$reps reps flagged (probe > " +
+          f"$flagFactor%.1fx baseline ${probeBaseline}%.3fs)")
+      (name, err, keptTimes.sorted, flagged, pairs.map(_._2))
     }
     val failed = results.filter(_._2.nonEmpty)
     if (failed.nonEmpty) System.err.println(
@@ -141,18 +190,22 @@ object Bench {
         case Some(m) => s"""{"err":"${esc(m)}"}"""
         case None    => pick(t).toString
       }
-    val qs = results.map { case (k, err, t) =>
+    val qs = results.map { case (k, err, t, _, _) =>
       "\"" + k + "\":" + cell(err, t, ts => ts(ts.length / 2))
     }.mkString("{", ",", "}")
-    val qsMin = results.map { case (k, err, t) =>
+    val qsMin = results.map { case (k, err, t, _, _) =>
       "\"" + k + "\":" + cell(err, t, _.head)
     }.mkString("{", ",", "}")
     val ok = results.filter(_._2.isEmpty)
-    val total = ok.map { case (_, _, t) => t(t.length / 2) }.sum
+    val total = ok.map { case (_, _, t, _, _) => t(t.length / 2) }.sum
     val totalMin = ok.map(_._3.head).sum
     val failedJson = failed.map(f => "\"" + f._1 + "\"").mkString("[", ",", "]")
+    val flaggedReps = results.map(_._4).sum
+    val allProbes = results.flatMap(_._5).sorted
+    val probeMedian =
+      if (allProbes.isEmpty) probeBaseline else allProbes(allProbes.length / 2)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failedJson,"queries":$qs,"total_min":$totalMin,"queries_min":$qsMin,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failedJson,"queries":$qs,"total_min":$totalMin,"queries_min":$qsMin,"probe_baseline":$probeBaseline,"probe_median":$probeMedian,"probe_flag_factor":$flagFactor,"flagged_reps":$flaggedReps,"sf":"$sfDir"}"""
     println(json)
     // The driver keeps only the stdout tail, which truncates the full
     // query map (round-5 BENCH artifact parsed as null). Always write
