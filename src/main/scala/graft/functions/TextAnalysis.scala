@@ -300,7 +300,12 @@ object TextAnalysis {
       textCol: String,
       topN: Int = 1000,
       minCount: Long = 2L): org.apache.spark.sql.DataFrame = {
-    require(topN >= 2, "topN must be >= 2")
+    // topN bounds the single-partition rank window below BY
+    // CONSTRUCTION (limit(topN) precedes it); the cap turns the
+    // documented report bound into a checked one — a caller asking
+    // for a million-term "head" is not fitting a Zipf line any more.
+    require(topN >= 2 && topN <= 100000,
+      s"topN must be in [2, 100000] (a rank-frequency FIT, not a vocab dump), got $topN")
     require(minCount >= 1, "minCount must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val tk = graft.operators.Parallelism.spread(df)

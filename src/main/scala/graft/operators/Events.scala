@@ -383,7 +383,13 @@ object Events {
       n: Int = 3,
       topK: Int = 20): DataFrame = {
     require(n >= 2, "paths need at least 2 steps")
-    require(topK >= 1, "topK must be >= 1")
+    // topK bounds the final single-partition rank frame: the
+    // row_number() <= topK filter compiles to WindowGroupLimit, so
+    // each task pre-prunes to topK paths before the shuffle — the
+    // one sorted partition sees at most topK rows per upstream task.
+    // The cap turns that documented bound into a checked one.
+    require(topK >= 1 && topK <= 100000,
+      s"topK must be in [1, 100000] (a top-paths REPORT, not a path dump), got $topK")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(userCol)).orderBy(col(tsMsCol), col("__s0"))
     val steps = (1 until n).foldLeft(
@@ -559,8 +565,10 @@ object Events {
   def survivalCurve(
       df: DataFrame,
       durationCol: String,
-      eventCol: String): DataFrame = {
+      eventCol: String,
+      maxDurations: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(maxDurations >= 1, "maxDurations must be positive")
     val byT = df
       .where(col(durationCol).isNotNull && col(durationCol) >= 0)
       .groupBy(col(durationCol).cast("long").as("t"))
@@ -572,8 +580,21 @@ object Events {
     val prefix = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     byT
+      // The single-partition windows below are the documented
+      // bounded-report exception (§5): the frame is one row per
+      // OBSERVED duration. That bound was a contract, not a check —
+      // enforce it in-plan, fused into the `all` window the risk-set
+      // total already pays for (zero extra shuffle): a duration
+      // cardinality over `maxDurations` (raw event timestamps passed
+      // as durations, say) errors instead of sorting an unbounded
+      // frame on one task.
       .withColumn("n_at_risk",
-        sum(col("__n")).over(all) - coalesce(sum(col("__n")).over(before), lit(0L)))
+        when(count(lit(1)).over(all) > maxDurations,
+          raise_error(lit(s"survivalCurve: more than $maxDurations distinct " +
+            "durations - bucket durations coarser (days, not ms) or raise " +
+            "maxDurations explicitly")).cast("long"))
+          .otherwise(
+            sum(col("__n")).over(all) - coalesce(sum(col("__n")).over(before), lit(0L))))
       // exact micro-unit hazard: half-away-from-zero of d·10⁶ / n
       .withColumn("__h6",
         expr("(n_events * 2000000 + n_at_risk) div (n_at_risk * 2)"))

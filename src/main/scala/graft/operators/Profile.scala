@@ -360,7 +360,8 @@ object Profile {
     *         this one, cum_share of total rows, 6 dp).
     */
   def stageFunnel(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
-    require(stages.nonEmpty, "no stages given")
+    require(stages.nonEmpty && stages.size <= 1000,
+      s"stages must be 1..1000 literal gates (the report frame is 2x|stages| agg columns), got ${stages.size}")
     val cums = stages.scanLeft(lit(true))((acc, s) => acc && s._2).tail
     val aggs = count(lit(1)).as("__total") +:
       stages.zipWithIndex.flatMap { case ((_, cond), i) =>
@@ -394,7 +395,8 @@ object Profile {
       df: DataFrame,
       groupCol: String,
       stages: Seq[(String, Column)]): DataFrame = {
-    require(stages.nonEmpty, "no stages given")
+    require(stages.nonEmpty && stages.size <= 1000,
+      s"stages must be 1..1000 literal gates (the report frame is 2x|stages| agg columns), got ${stages.size}")
     val cums = stages.scanLeft(lit(true))((acc, s) => acc && s._2).tail
     val aggs = count(lit(1)).as("__total") +:
       stages.zipWithIndex.flatMap { case ((_, cond), i) =>
@@ -431,7 +433,8 @@ object Profile {
       df: DataFrame,
       valueCol: String,
       thresholds: Seq[Double]): DataFrame = {
-    require(thresholds.nonEmpty, "no thresholds given")
+    require(thresholds.nonEmpty && thresholds.size <= 1000,
+      s"thresholds must be 1..1000 literals (one agg column each), got ${thresholds.size}")
     val v = col(valueCol).cast("double")
     val aggs = count(lit(1)).as("__total") +:
       thresholds.zipWithIndex.map { case (t, i) =>

@@ -322,6 +322,29 @@ class EventsSpec extends SparkSpec {
     assert(n == 3L * 365 + 1)
   }
 
+  test("bounded-report caps: survivalCurve maxDurations fires in-plan; topPaths topK is range-checked") {
+    // 150 distinct durations against a cap of 100 → the in-plan guard
+    // (fused into the risk-set window) must error, not sort unbounded
+    val wide = (0 until 150).map(i => (i.toLong, i % 2 == 0))
+      .toDF("dur", "ev")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    val ex = intercept[Exception] {
+      // collect, not count: count() prunes every column including the
+      // guarded one — any real consumer reads the curve columns
+      Events.survivalCurve(wide, "dur", "ev", maxDurations = 100).collect()
+    }
+    assert(msgs(ex).exists(_.contains("maxDurations")), msgs(ex).mkString(" | "))
+    // under the cap the same frame computes fine
+    assert(Events.survivalCurve(wide, "dur", "ev", maxDurations = 150).count() == 150)
+    // topK upper bound is a loud require, not a silent giant window
+    val df = Seq((1L, 1L, "a")).toDF("user_id", "ts_ms", "event_type")
+    val e2 = intercept[IllegalArgumentException] {
+      Events.topPaths(df, "user_id", "ts_ms", "event_type", n = 2, topK = 1000001)
+    }
+    assert(e2.getMessage.contains("topK"))
+  }
+
   test("gapFill: chunked spine is seamless across 4096-bucket block boundaries") {
     // span of 10000 buckets crosses two block boundaries; every
     // bucket must appear exactly once with the carried value.

@@ -376,6 +376,21 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"funnel must be one scan:\n$plan")
   }
 
+  test("funnel/sweep report frames: stage and threshold counts are capped loudly") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1, 10)).toDF("id", "v")
+    val tooMany = (0 to 1000).map(i => s"s$i" -> (col("v") > i))
+    assert(intercept[IllegalArgumentException] {
+      Profile.stageFunnel(df, tooMany)
+    }.getMessage.contains("1000"))
+    assert(intercept[IllegalArgumentException] {
+      Profile.stageFunnelByGroup(df, "id", tooMany)
+    }.getMessage.contains("1000"))
+    assert(intercept[IllegalArgumentException] {
+      Profile.gateSweep(df, "v", (0 to 1000).map(_.toDouble))
+    }.getMessage.contains("1000"))
+  }
+
   test("stageFunnel: empty frame yields zero counts and null-safe shares") {
     import org.apache.spark.sql.functions._
     val df = spark.range(0).toDF("id")

@@ -861,6 +861,11 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.functions.TextAnalysis.zipfFit(docs, "text", topN = 1)
     }
+    // the rank window's report bound is checked, not just documented
+    val cap = intercept[IllegalArgumentException] {
+      graft.functions.TextAnalysis.zipfFit(docs, "text", topN = 100001)
+    }
+    assert(cap.getMessage.contains("topN"))
   }
 
   test("pmiCollocations: hand-computed values, tie-break, minCount gate") {
