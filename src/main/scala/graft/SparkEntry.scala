@@ -464,7 +464,7 @@ object SparkEntry {
         .exists(r => r.getString(0) == srcKey && r.getString(1) == dir)
     if (!current) {
       graft.operators.Pq.writePqIndex(corpus, "embedding", "vec_id", table,
-        dim = 64, m = 8, numCentroids = 64)
+        dim = 64, m = 8, numCentroids = 64, fitSampleStride = 4)
       s.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES ('$srcKey' = '$dir')")
     }
     table
@@ -511,20 +511,22 @@ object SparkEntry {
     * ceil-division equals autoStride's (n + k − 1) / k exactly.
     * Ends with `pqr` = (query_id, corpus_id, adist, rank).
     */
-  private def pqCtes(m: Int, subDim: Int, numCentroids: Int): String =
+  private def pqCtes(
+      m: Int, subDim: Int, numCentroids: Int, fitStride: Int = 1): String =
     s"""st AS (SELECT CAST(ceil(count(*) / $numCentroids.0) AS BIGINT) AS stride
        |  FROM embeddings WHERE embedding IS NOT NULL),
        |sub AS (SELECT vec_id AS id, g.s::INT AS s,
        |  list_transform(embedding[(g.s*$subDim+1):((g.s+1)*$subDim)], x -> x::DOUBLE) AS v
        |  FROM embeddings, generate_series(0, ${m - 1}) AS g(s)
        |  WHERE embedding IS NOT NULL),
+       |fsub AS (SELECT * FROM sub WHERE id % $fitStride = 0),
        |cen0 AS (SELECT s, id AS cid, v AS cv FROM sub, st WHERE id % stride = 0),
-       |d1 AS (SELECT sub.id, sub.s, cen0.cid, round(${l2Sql("sub.v", "cen0.cv")}, 6) AS d
-       |  FROM sub JOIN cen0 USING (s)),
+       |d1 AS (SELECT fsub.id, fsub.s, cen0.cid, round(${l2Sql("fsub.v", "cen0.cv")}, 6) AS d
+       |  FROM fsub JOIN cen0 USING (s)),
        |a1 AS (SELECT id, s, cid FROM (SELECT id, s, cid,
        |    row_number() OVER (PARTITION BY id, s ORDER BY d, cid) AS rn FROM d1) WHERE rn = 1),
-       |e1 AS (SELECT a1.s, a1.cid, g.i AS pos, sub.v[g.i] AS x
-       |  FROM a1 JOIN sub USING (id, s), generate_series(1, $subDim) AS g(i)),
+       |e1 AS (SELECT a1.s, a1.cid, g.i AS pos, fsub.v[g.i] AS x
+       |  FROM a1 JOIN fsub USING (id, s), generate_series(1, $subDim) AS g(i)),
        |cm AS (SELECT s, cid, pos, round(avg(x), 6) AS mx FROM e1 GROUP BY 1, 2, 3),
        |cen1 AS (SELECT s, cid, list(mx ORDER BY pos) AS cv FROM cm GROUP BY 1, 2),
        |d2 AS (SELECT sub.id, sub.s, cen1.cid, round(${l2Sql("sub.v", "cen1.cv")}, 6) AS d
@@ -1495,7 +1497,7 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       graft.operators.Pq.pqTopK(e, e.where(col("vec_id") < 5),
         "embedding", "vec_id", "vec_id", k = 10, dim = 64, m = 8,
-        numCentroids = 64)
+        numCentroids = 64, fitSampleStride = 4)
     }),
     "q_ann_pq_index" -> ((s, dir) => {
       // Identical contract to q_ann_pq: the PERSISTED-index path
@@ -1504,7 +1506,10 @@ object SparkEntry {
       // the same fail-fast parity the IVF and signature tables keep.
       // A query batch here never touches the corpus floats.
       val e = t(s, dir, "embeddings")
-      val table = ensurePqIndex(s, dir, "graft_pq_idx_", e)
+      // prefix versioned with the fit recipe: a pre-round-12 index in
+      // the warehouse was fit on the full corpus and must not be
+      // reused against the sampled-fit oracle
+      val table = ensurePqIndex(s, dir, "graft_pq_idx_s4_", e)
       graft.operators.Pq.pqTopKFromIndex(s, table,
         e.where(col("vec_id") < 5), "embedding", "vec_id", k = 10)
     }),
@@ -1519,7 +1524,7 @@ object SparkEntry {
       val q = e.where(col("vec_id") < 5)
       Similarity.annRecall(
         graft.operators.Pq.pqTopK(e, q, "embedding", "vec_id", "vec_id",
-          k = 10, dim = 64, m = 8, numCentroids = 64),
+          k = 10, dim = 64, m = 8, numCentroids = 64, fitSampleStride = 4),
         Similarity.bruteForceTopKL2(e, q, "embedding", "vec_id", "vec_id", k = 10))
     }),
     "q_ann_matryoshka" -> ((s, dir) => {
@@ -4254,18 +4259,18 @@ object SparkEntry {
         |SELECT p.i, p.j, round((pp - s1.s * s2.s / n) / (n - 1), 6) + 0 AS cov
         |FROM p JOIN s s1 ON p.i = s1.i JOIN s s2 ON p.j = s2.i, nn""".stripMargin,
     "q_ann_pq" ->
-      (s"""WITH ${pqCtes(m = 8, subDim = 8, numCentroids = 64)}
+      (s"""WITH ${pqCtes(m = 8, subDim = 8, numCentroids = 64, fitStride = 4)}
           |SELECT query_id, corpus_id, adist, rank::INT AS rank FROM pqr WHERE rank <= 10""".stripMargin),
     // identical contract: the persisted-index path must reproduce
     // pqTopK exactly (same replay)
     "q_ann_pq_index" ->
-      (s"""WITH ${pqCtes(m = 8, subDim = 8, numCentroids = 64)}
+      (s"""WITH ${pqCtes(m = 8, subDim = 8, numCentroids = 64, fitStride = 4)}
           |SELECT query_id, corpus_id, adist, rank::INT AS rank FROM pqr WHERE rank <= 10""".stripMargin),
     // the ADC ranking CTEs + the metric-matched exact-L2 CTEs + the
     // recall join (cosine here would grade metric disagreement, not
     // quantization loss)
     "q_pq_recall" ->
-      (s"""WITH ${pqCtes(m = 8, subDim = 8, numCentroids = 64)},
+      (s"""WITH ${pqCtes(m = 8, subDim = 8, numCentroids = 64, fitStride = 4)},
           |fq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
           |fc AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
           |fs AS (SELECT query_id, corpus_id, round(${l2Sql("cv", "qv")}, 6) AS dist FROM fc, fq),

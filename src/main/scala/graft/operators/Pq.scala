@@ -95,11 +95,13 @@ object Pq {
       stride: Int = 0,
       iters: Int = 2,
       numCentroids: Int = 0,
-      expectedRows: Long = 0L): DataFrame = {
+      expectedRows: Long = 0L,
+      fitSampleStride: Int = 1): DataFrame = {
     require(m >= 1 && dim % m == 0, "dim must divide into m subspaces")
     require(iters >= 1, "iters must be positive")
     require(stride >= 1 || numCentroids >= 1,
       "pass stride >= 1 or numCentroids >= 1")
+    require(fitSampleStride >= 1, "fitSampleStride must be >= 1")
     // A FIXED stride means the per-subspace codebook (n/stride
     // centroids) grows with the corpus, so the n·k assignment cost
     // turns quadratic and the codebook broadcast unbounded.
@@ -114,10 +116,22 @@ object Pq {
           numCentroids)
       else stride
     val sub = subFrame(corpus, vecCol, idCol, dim, m)
+    // Lloyd refinement trains on a deterministic stride SAMPLE of the
+    // corpus (every fitSampleStride-th id — the kmeans-init pattern,
+    // so any engine regenerates the same sample): codebook quality
+    // needs a representative sample, not every vector, and the full
+    // n·k assignment belongs to encode (paid once), not to iters-1
+    // fit rounds (round-11 bench: the fit dominated pqTopK's wall).
+    // A centroid left with no sampled assignees drops out — both
+    // engines replay that identically.
+    val fitSub =
+      if (fitSampleStride > 1)
+        sub.where(pmod(col("__id"), lit(fitSampleStride)) === 0)
+      else sub
     var cen = sub.where(pmod(col("__id"), lit(effStride)) === 0)
       .select(col("__s"), col("__id").as("__cid"), col("__sub").as("__cvec"))
     for (_ <- 2 to iters) {
-      cen = assign(sub, cen)
+      cen = assign(fitSub, cen)
         .select(col("__s"), col("__cid"),
           posexplode(col("__sub")).as(Seq("__pos", "__x")))
         .groupBy(col("__s"), col("__cid"), col("__pos"))
@@ -204,10 +218,11 @@ object Pq {
       stride: Int = 0,
       iters: Int = 2,
       numCentroids: Int = 0,
-      expectedRows: Long = 0L): DataFrame = {
+      expectedRows: Long = 0L,
+      fitSampleStride: Int = 1): DataFrame = {
     require(k >= 1, "k must be positive")
     val books = fitCodebooks(corpus, vecCol, idCol, dim, m, stride, iters,
-      numCentroids, expectedRows)
+      numCentroids, expectedRows, fitSampleStride)
       .localCheckpoint()
     val codes = encode(corpus, vecCol, idCol, dim, m, books)
     adcSearch(
@@ -236,10 +251,11 @@ object Pq {
       m: Int,
       numCentroids: Int = 64,
       iters: Int = 2,
-      expectedRows: Long = 0L): Unit = {
+      expectedRows: Long = 0L,
+      fitSampleStride: Int = 1): Unit = {
     val spark = corpus.sparkSession
     val books = fitCodebooks(corpus, vecCol, idCol, dim, m, stride = 0,
-      iters, numCentroids, expectedRows).localCheckpoint()
+      iters, numCentroids, expectedRows, fitSampleStride).localCheckpoint()
     // Both tables go through the sibling-rewrite crash contract
     // (ManagedTables.rewriteTable): a rebuild over a live index keeps
     // the old one queryable until each swap, and a crash leaves whole
