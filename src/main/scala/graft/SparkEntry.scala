@@ -2101,6 +2101,22 @@ object SparkEntry {
       graft.operators.Graph.labelPropagate(
         edges, "s", "d", seeds, "node_id", "label", iters = 3)
     }),
+    "q_triangles" -> ((s, dir) => {
+      // Graph-health diagnostic over an injected 40-node host graph
+      // with TWO modular edge generators (one family alone closes no
+      // triangles): degree-ordered orientation bounds the wedge
+      // join's fan-out at O(√m) per node (Suri–Vassilvitskii), each
+      // triangle counted once at its unique two-out-edge root. All
+      // integer counts; the clustering ratio rounds at the boundary.
+      val d = Parallelism.spread(t(s, dir, "documents"))
+      val e1 = d.select(
+        concat(lit("h"), (col("doc_id") % 40).cast("string")).as("s"),
+        concat(lit("h"), ((col("doc_id") * 3 + 7) % 40).cast("string")).as("d"))
+      val e2 = d.where(col("doc_id") % 2 === 0).select(
+        concat(lit("h"), (col("doc_id") % 40).cast("string")).as("s"),
+        concat(lit("h"), ((col("doc_id") * 7 + 11) % 40).cast("string")).as("d"))
+      graft.operators.Graph.triangleStats(e1.unionByName(e2), "s", "d")
+    }),
     "q_snapshot_asof" -> ((s, dir) => {
       // Point-in-time reconstruction: the q_scd2 3-version change
       // log builds the SCD2 history, then snapshotAsOf(2) filters to
@@ -5084,6 +5100,36 @@ object SparkEntry {
     // double subtraction Scala computes (a 0.15 literal parses to a
     // different ulp)
     "q_pagerank" -> pageRankOracle(iters = 5),
+    // triangleStats replay: same canonical edges, same (degree, id)
+    // row-value orientation, same root-wedge closure; row comparisons
+    // are the struct order both engines share
+    "q_triangles" ->
+      """WITH raw AS (
+        |  SELECT 'h' || (doc_id % 40)::VARCHAR AS s,
+        |         'h' || ((doc_id * 3 + 7) % 40)::VARCHAR AS d FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || (doc_id % 40)::VARCHAR,
+        |         'h' || ((doc_id * 7 + 11) % 40)::VARCHAR
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        |  FROM raw WHERE s <> d AND s IS NOT NULL AND d IS NOT NULL),
+        |deg AS (SELECT n, count(*)::BIGINT AS dg FROM (
+        |    SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        |wd AS (SELECT und.a, und.b, da.dg AS da, db.dg AS db
+        |  FROM und JOIN deg da ON da.n = und.a JOIN deg db ON db.n = und.b),
+        |ori AS (SELECT CASE WHEN (da, a) < (db, b) THEN a ELSE b END AS u,
+        |               CASE WHEN (da, a) < (db, b) THEN b ELSE a END AS v FROM wd),
+        |tri AS (SELECT count(*)::BIGINT AS n_triangles FROM (
+        |    SELECT least(e1.v, e2.v) AS a, greatest(e1.v, e2.v) AS b
+        |    FROM ori e1 JOIN ori e2 ON e1.u = e2.u AND e1.v < e2.v) w
+        |  JOIN und USING (a, b)),
+        |base AS (SELECT count(*)::BIGINT AS n_edges FROM und),
+        |nn AS (SELECT count(*)::BIGINT AS n_nodes,
+        |  coalesce(sum(dg * (dg - 1) // 2), 0)::BIGINT AS n_wedges FROM deg)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  round(CASE WHEN n_wedges > 0
+        |    THEN 3.0::DOUBLE * n_triangles / n_wedges END, 6) AS global_clustering
+        |FROM nn, base, tri""".stripMargin,
     "q_label_propagate" -> labelPropOracle(iters = 3),
     // the q_scd2 history CTEs + the covering-interval filter at v2
     "q_snapshot_asof" ->

@@ -119,4 +119,45 @@ class GraphSpec extends SparkSpec {
         seeds.toDF("id", "lab"), "id", "lab", iters = 0)
     }
   }
+
+  test("triangleStats: K4, star, and path hand-counts; normalization; determinism") {
+    // K4: 4 nodes, 6 edges, 4 triangles, wedges = 4*C(3,2) = 12,
+    // clustering = 3*4/12 = 1.0. Input deliberately dirty: reversed
+    // duplicates, parallel edges, one self-loop.
+    val k4 = (for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a != b
+    } yield (a, b)) ++ Seq(("a", "b"), ("c", "c"))
+    val got = Graph.triangleStats(k4.toDF("s", "d"), "s", "d")
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(got == ((4L, 6L, 12L, 4L, Some(1.0))))
+    // star: hub with 5 leaves — C(5,2) = 10 wedges, 0 triangles
+    val star = (1 to 5).map(i => ("hub", s"l$i"))
+    val s5 = Graph.triangleStats(star.toDF("s", "d"), "s", "d").as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(s5 == ((6L, 5L, 10L, 0L, Some(0.0))))
+    // path a-b-c: 1 wedge, 0 triangles
+    val p = Graph.triangleStats(Seq(("a", "b"), ("b", "c")).toDF("s", "d"),
+      "s", "d").as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(p == ((3L, 2L, 1L, 0L, Some(0.0))))
+    // only self-loops -> empty graph, null clustering
+    val e = Graph.triangleStats(Seq(("x", "x")).toDF("s", "d"), "s", "d")
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(e == ((0L, 0L, 0L, 0L, None)))
+    // determinism under repartitioning on a hub-skewed random graph
+    val rnd = new scala.util.Random(3)
+    val big = Seq.fill(600)((s"n${rnd.nextInt(25)}", s"n${rnd.nextInt(25)}")) ++
+      (1 to 100).map(i => ("hubby", s"n${i % 25}")) // degree-skew stressor
+    val x = Graph.triangleStats(big.toDF("s", "d"), "s", "d").as[(Long, Long, Long, Long, Option[Double])].head()
+    val y = Graph.triangleStats(big.toDF("s", "d").repartition(17), "s", "d")
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(x == y)
+    // cross-check the triangle count against a brute-force model
+    val undSet = big.filter(t => t._1 != t._2)
+      .map(t => (Seq(t._1, t._2).min, Seq(t._1, t._2).max)).toSet
+    val ns = undSet.flatMap(t => Seq(t._1, t._2)).toSeq.sorted
+    val brute = (for {
+      i <- ns.indices; j <- (i + 1) until ns.size; k <- (j + 1) until ns.size
+      if undSet((ns(i), ns(j))) && undSet((ns(j), ns(k))) && undSet((ns(i), ns(k)))
+    } yield 1).size.toLong
+    assert(x._4 == brute, s"triangles ${x._4} vs brute $brute")
+  }
 }
