@@ -1664,6 +1664,22 @@ object SparkEntry {
         "embedding", "vec_id", "vec_id", k = 8, minMargin = 1.0,
         stride = 100, nprobe = 2)
     }),
+    "q_hard_negatives" -> ((s, dir) => {
+      // DPR-style hard-negative mining: per anchor, the 10 most
+      // similar corpus vectors that are NOT positives — positives
+      // here are every same-label row (the in-batch-positive shape),
+      // plus the anchor itself. IVF fetches 30 candidates (the
+      // positive-density budget), one anti-join, one
+      // WindowGroupLimit re-rank.
+      val e = t(s, dir, "embeddings")
+      val anchors = e.where(col("vec_id") < 5)
+      val positives = anchors.select(col("vec_id").as("anchor_id"), col("label"))
+        .join(e.select(col("vec_id").as("pos_id"), col("label")), "label")
+        .select("anchor_id", "pos_id")
+      Similarity.hardNegatives(e, anchors, positives,
+        "embedding", "vec_id", "vec_id", "anchor_id", "pos_id",
+        k = 10, fetchK = 30, stride = 100, nprobe = 2)
+    }),
     "q_ann_filtered" -> ((s, dir) => {
       // Attribute-FILTERED exact top-k: neighbours restricted to the
       // query's own `label` (the multi-tenant / category-scoped
@@ -4656,6 +4672,31 @@ object SparkEntry {
           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM s)
           |SELECT query_id, corpus_id, cosine, rank::INT AS rank FROM r WHERE rank <= 10""".stripMargin),
     "q_ann_ivf" -> ivfOracleSql,
+    // the q_ann_ivf replay at fetchK=30, then the DPR exclusion:
+    // self + same-label pairs anti-joined out, re-ranked to 10
+    "q_hard_negatives" ->
+      (s"""WITH cen AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 100 = 0),
+          |ca AS (SELECT vec_id AS corpus_id, embedding AS cv, cid,
+          |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn
+          |  FROM embeddings, cen),
+          |caf AS (SELECT corpus_id, cv, cid FROM ca WHERE rn = 1),
+          |qa AS (SELECT vec_id AS query_id, embedding AS qv, cid,
+          |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn
+          |  FROM embeddings, cen WHERE vec_id < 5),
+          |qaf AS (SELECT query_id, qv, cid FROM qa WHERE rn <= 2),
+          |s AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine
+          |  FROM caf JOIN qaf USING (cid)),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM s),
+          |cand AS (SELECT query_id, corpus_id, cosine FROM r WHERE rank <= 30),
+          |pos AS (SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS corpus_id
+          |  FROM embeddings a JOIN embeddings c ON a.label = c.label
+          |  WHERE a.vec_id < 5),
+          |neg AS (SELECT query_id, corpus_id, cosine FROM cand
+          |  WHERE query_id <> corpus_id
+          |    AND NOT EXISTS (SELECT 1 FROM pos
+          |      WHERE pos.query_id = cand.query_id AND pos.corpus_id = cand.corpus_id)),
+          |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM neg)
+          |SELECT query_id, corpus_id, cosine, rank::INT AS rank FROM rr WHERE rank <= 10""".stripMargin),
     // identical contract: the persisted-index path must reproduce
     // ivfTopK exactly
     "q_ann_ivf_index" -> ivfOracleSql,

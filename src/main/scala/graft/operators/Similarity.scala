@@ -1051,6 +1051,62 @@ object Similarity {
     marginFromCandidates(fwd, bwd, minMargin, hintBroadcast = false)
   }
 
+  /** Hard-negative mining for contrastive training (the DPR recipe,
+    * Karpukhin et al., "Dense Passage Retrieval", EMNLP 2020: hard
+    * negatives — close to the anchor but NOT positive — train far
+    * better encoders than random negatives): for each anchor, the
+    * top `k` most-similar corpus rows AFTER excluding the anchor
+    * itself and its declared positives.
+    *
+    * Shape: [[ivfTopK]] fetches `fetchK` candidates per anchor
+    * (fetch MORE than k — exclusion eats into the shortlist; fetchK
+    * − k is the positive-density budget), one anti-join against the
+    * distinct positive pairs, one WindowGroupLimit re-rank. Work is
+    * |anchors|·fetchK candidate rows past the IVF probe — linear in
+    * both corpora at fixed nlist ratio, same as the mining path.
+    *
+    * An anchor whose entire shortlist is positives emits fewer than
+    * k rows (raise fetchK or nprobe) — silently padding with random
+    * ids would poison the training signal.
+    *
+    * @param positives (posAnchorCol, posIdCol) pairs to exclude;
+    *                  duplicates fine.
+    * @return (query_id, corpus_id, cosine, rank 1..k) — the mined
+    *         negatives, hardest first.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      anchors: DataFrame,
+      positives: DataFrame,
+      vecCol: String,
+      idCol: String,
+      anchorIdCol: String,
+      posAnchorCol: String,
+      posIdCol: String,
+      k: Int,
+      fetchK: Int = 0,
+      stride: Int = 100,
+      nprobe: Int = 2,
+      numCentroids: Int = 0,
+      expectedRows: Long = 0L): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val eff = if (fetchK > 0) fetchK else 3 * k
+    require(eff >= k, s"fetchK must be >= k, got $eff < $k")
+    val cand = ivfTopK(corpus, anchors, vecCol, idCol, anchorIdCol, eff,
+      stride, nprobe, numCentroids, expectedRows)
+    val pos = positives
+      .select(col(posAnchorCol).as("query_id"), col(posIdCol).as("corpus_id"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    cand
+      .where(col("query_id") =!= col("corpus_id"))
+      .join(pos, Seq("query_id", "corpus_id"), "left_anti")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
   /** The Artetxe–Schwenk ratio-margin algebra over two candidate
     * frames shaped like the top-k kernels' output — forward
     * (query = src) and backward (query = tgt) — shared by the

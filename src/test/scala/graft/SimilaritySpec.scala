@@ -683,6 +683,41 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("hardNegatives: positives and self excluded, hardest-first, underfill is honest") {
+    // anchor 0 at e1; 1,2 near it (2 is a declared positive); 3 far
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.95f, 0.3f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.1f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.9f, 0.4f, 0.1f, 0.0f)))
+      .toDF("id", "vec")
+    val anchors = vecs.where($"id" === 0)
+    val pos = Seq((0L, 2L)).toDF("aid", "pid")
+    // stride=1/nprobe=5 -> exhaustive candidates; exclusion is the test
+    val out = Similarity.hardNegatives(vecs, anchors, pos,
+      "vec", "id", "id", "aid", "pid", k = 2, fetchK = 5,
+      stride = 1, nprobe = 5)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(out.map(_._2).toSeq == Seq(1L, 4L), out.mkString(","))
+    assert(out.map(_._4).toSeq == Seq(1, 2))
+    // all-positive shortlist -> fewer than k rows, never padded
+    val allPos = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("aid", "pid")
+    assert(Similarity.hardNegatives(vecs, anchors, allPos,
+      "vec", "id", "id", "aid", "pid", k = 2, fetchK = 5,
+      stride = 1, nprobe = 5).count() == 0)
+    // determinism under repartitioning
+    val a = Similarity.hardNegatives(vecs.repartition(3), anchors, pos,
+      "vec", "id", "id", "aid", "pid", k = 2, fetchK = 5,
+      stride = 1, nprobe = 5)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4).toSeq
+    assert(a == out.toSeq)
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(vecs, anchors, pos, "vec", "id", "id",
+        "aid", "pid", k = 10, fetchK = 5)
+    }
+  }
+
   test("marginMineTopK: IVF-candidate mining matches brute force when IVF is exhaustive") {
     // With every corpus vector a centroid (stride=1) and nprobe
     // covering all buckets, the IVF candidate set IS the brute-force
