@@ -1309,6 +1309,15 @@ object SparkEntry {
       graft.operators.Events.eventFunnelByGroup(ev, "segment",
         "user_id", "ts_ms", "event_type", Seq("view", "click", "purchase"))
     }),
+    "q_funnel_time" -> ((s, dir) => {
+      // Time-to-convert quantiles over the SAME greedy funnel
+      // semantics as q_event_funnel (the two reports cannot disagree
+      // about who converted): converting users' reach(purchase) −
+      // reach(view), exact p25/p50/p75/p90.
+      graft.operators.Events.timeToConvert(
+        Parallelism.spread(t(s, dir, "events")),
+        "user_id", "ts_ms", "event_type", Seq("view", "click", "purchase"))
+    }),
     "q_retention" -> ((s, dir) => {
       // Weekly cohort retention over epoch-aligned integer periods:
       // the corpus collapses to the distinct (user, week) set in the
@@ -4037,6 +4046,19 @@ object SparkEntry {
         |  round(c0 / n::DOUBLE, 6) AS share FROM c
         |UNION ALL SELECT 1, 'click', c1::BIGINT, round(c1 / n::DOUBLE, 6) FROM c
         |UNION ALL SELECT 2, 'purchase', c2::BIGINT, round(c2 / n::DOUBLE, 6) FROM c""".stripMargin,
+    // the q_event_funnel chained minima, then per-convert durations
+    // (t2 - t0) through the q_quantiles quantile_cont replay
+    "q_funnel_time" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |s0 AS (SELECT user_id, min(ms) AS t0 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(ms) AS t1 FROM e JOIN s0 USING (user_id)
+        |  WHERE event_type = 'click' AND ms > t0 GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ms) AS t2 FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ms > t1 GROUP BY 1),
+        |d AS (SELECT (s2.t2 - s0.t0)::DOUBLE AS dur FROM s2 JOIN s0 USING (user_id))
+        |SELECT 'duration_ms' AS "column", unnest([0.25, 0.5, 0.75, 0.9]::DOUBLE[]) AS prob,
+        |  round(unnest(quantile_cont(dur, [0.25, 0.5, 0.75, 0.9])), 4) AS quantile FROM d""".stripMargin,
     // the same chained minima carried per segment; shares are per
     // group
     "q_event_funnel_seg" ->

@@ -104,6 +104,60 @@ object Events {
       .select("f.*")
   }
 
+  /** Funnel TIME-TO-CONVERT distribution — the question a conversion
+    * count can't answer ("half convert inside an hour, the rest take
+    * a week" vs "everyone takes three days" demand different product
+    * responses): for each user who completes EVERY step of the
+    * [[eventFunnel]] (same greedy earliest-transition semantics, so
+    * the two reports cannot disagree about who converted), duration
+    * = reach(last step) − reach(step 0), and the output is the exact
+    * quantile report over those durations via
+    * [[Profile.quantiles]].
+    *
+    * Scale shape: identical to [[eventFunnel]] (one user-keyed
+    * shuffle of step-typed triples, row-local fold) plus one
+    * quantile aggregation over the |converts| durations.
+    *
+    * @return one row per prob: (column = "duration_ms", prob,
+    *         quantile 4 dp) — empty when nobody converts.
+    */
+  def timeToConvert(
+      df: DataFrame,
+      userCol: String,
+      tsMsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)): DataFrame = {
+    require(steps.size >= 2, "time-to-convert needs at least 2 steps")
+    require(steps.distinct == steps, "steps must be distinct")
+    val stepIdx = steps.tail.zipWithIndex.foldLeft(
+      when(col(typeCol) === steps.head, lit(0))) { case (acc, (s, i)) =>
+      acc.when(col(typeCol) === s, lit(i + 1))
+    }
+    val durations = df
+      .where(col(typeCol).isin(steps: _*))
+      .select(
+        col(userCol).as("__u"),
+        col(tsMsCol).cast("long").as("__ts"),
+        stepIdx.as("__i"))
+      .groupBy(col("__u"))
+      .agg(sort_array(collect_list(struct(col("__ts"), col("__i")))).as("__ev"))
+      .select(
+        aggregate(
+          col("__ev"),
+          struct(lit(0).as("r"), lit(0L).as("t"), lit(0L).as("t0")),
+          (acc, e) =>
+            when(
+              e("__i") === acc("r") &&
+                (acc("r") === 0 || e("__ts") > acc("t")),
+              struct((acc("r") + 1).as("r"), e("__ts").as("t"),
+                when(acc("r") === 0, e("__ts")).otherwise(acc("t0")).as("t0")))
+              .otherwise(acc)).as("__f"))
+      .where(col("__f.r") === steps.size)
+      .select((col("__f.t") - col("__f.t0")).as("duration_ms"))
+    Profile.quantiles(durations, Seq("duration_ms"), probs)
+  }
+
   /** Per-group [[eventFunnel]]: the same strict ordered-step funnel
     * computed for every segment (the "which cohort converts where"
     * view — typically composed with a broadcast dim join that tags

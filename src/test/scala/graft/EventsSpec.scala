@@ -212,6 +212,42 @@ class EventsSpec extends SparkSpec {
       (2L, 2 * d, 9.0, false)))
   }
 
+  test("timeToConvert: funnel-consistent durations, interpolated quantiles, non-converts excluded") {
+    // user 1: view@10 click@20 purchase@110 → duration 100
+    // user 2: view@0 click@5 purchase@205 → duration 205... but use
+    //   200: view@0, click@100, purchase@200 → duration 200
+    // user 3: view then purchase WITHOUT click → never converts
+    // user 4: purchase before view → never converts
+    val rows = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 110L, "purchase"),
+      (2L, 0L, "view"), (2L, 100L, "click"), (2L, 200L, "purchase"),
+      (3L, 0L, "view"), (3L, 50L, "purchase"),
+      (4L, 0L, "purchase"), (4L, 10L, "view"))
+      .toDF("user_id", "ts_ms", "event_type")
+    val out = Events.timeToConvert(rows, "user_id", "ts_ms", "event_type",
+      Seq("view", "click", "purchase"), probs = Seq(0.25, 0.5, 0.9))
+      .as[(String, Double, Double)].collect().sortBy(_._2)
+    // durations {100, 200}: p·(n−1) interpolation
+    assert(out.toSeq == Seq(
+      ("duration_ms", 0.25, 125.0),
+      ("duration_ms", 0.5, 150.0),
+      ("duration_ms", 0.9, 190.0)))
+    // nobody converts -> empty report, not nulls
+    val none = Events.timeToConvert(
+      rows.where($"user_id" === 3), "user_id", "ts_ms", "event_type",
+      Seq("view", "click", "purchase"))
+    assert(none.count() == 0)
+    // partitioning-invariant
+    val again = Events.timeToConvert(rows.repartition(7), "user_id",
+      "ts_ms", "event_type", Seq("view", "click", "purchase"),
+      probs = Seq(0.25, 0.5, 0.9))
+      .as[(String, Double, Double)].collect().sortBy(_._2)
+    assert(again.toSeq == out.toSeq)
+    intercept[IllegalArgumentException] {
+      Events.timeToConvert(rows, "user_id", "ts_ms", "event_type", Seq("view"))
+    }
+  }
+
   test("topPaths: hand-computed trigrams, ties deterministic") {
     val df = Seq(
       (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "d"),
