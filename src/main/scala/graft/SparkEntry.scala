@@ -1309,6 +1309,18 @@ object SparkEntry {
       graft.operators.Events.eventFunnelByGroup(ev, "segment",
         "user_id", "ts_ms", "event_type", Seq("view", "click", "purchase"))
     }),
+    "q_ewma" -> ((s, dir) => {
+      // Trend smoothing: pandas-convention (adjust=true) EWMA over a
+      // 20-observation trailing window per user, α=0.25 so the decay
+      // 0.75^age is bit-identical across engines; the weighted sums
+      // are sequential left folds in frame order (same IEEE adds on
+      // both sides), one rounding at the output.
+      graft.operators.Events.withEwma(
+        Parallelism.spread(t(s, dir, "events")),
+        "user_id", Seq("ts_ms", "event_id"), "value",
+        alpha = 0.25, window = 20)
+        .select("user_id", "event_id", "value", "ewma")
+    }),
     "q_funnel_time" -> ((s, dir) => {
       // Time-to-convert quantiles over the SAME greedy funnel
       // semantics as q_event_funnel (the two reports cannot disagree
@@ -4046,6 +4058,19 @@ object SparkEntry {
         |  round(c0 / n::DOUBLE, 6) AS share FROM c
         |UNION ALL SELECT 1, 'click', c1::BIGINT, round(c1 / n::DOUBLE, 6) FROM c
         |UNION ALL SELECT 2, 'purchase', c2::BIGINT, round(c2 / n::DOUBLE, 6) FROM c""".stripMargin,
+    // sequential left folds over the same frame-ordered list; 1-based
+    // lambda index (len - i = age, newest age 0); dyadic 0.75^age is
+    // pow-exact on both engines
+    "q_ewma" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, value
+        |  FROM events WHERE value IS NOT NULL),
+        |l AS (SELECT user_id, event_id, value,
+        |  list(value::DOUBLE) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vs FROM e)
+        |SELECT user_id, event_id, value,
+        |  round(list_reduce(list_transform(vs, (x, i) -> x * pow(0.75, len(vs) - i)), (a, b) -> a + b) /
+        |        list_reduce(list_transform(vs, (x, i) -> pow(0.75, len(vs) - i)), (a, b) -> a + b), 6) AS ewma
+        |FROM l""".stripMargin,
     // the q_event_funnel chained minima, then per-convert durations
     // (t2 - t0) through the q_quantiles quantile_cont replay
     "q_funnel_time" ->

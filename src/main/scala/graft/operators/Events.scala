@@ -510,6 +510,59 @@ object Events {
       coalesce(col("zscore") > z, lit(false)).as("is_anomaly"))
   }
 
+  /** Exponentially-weighted moving average over each key's ordered
+    * series — the standard trend-smoothing signal (the pandas
+    * `ewm(adjust=True)` convention, truncated to a bounded window):
+    * ewma_t = Σᵢ (1−α)^age·x / Σᵢ (1−α)^age over the trailing
+    * `window` observations, so early rows normalize over what exists
+    * instead of decaying toward a fake zero history.
+    *
+    * Determinism/replay contract: the weighted sums are SEQUENTIAL
+    * left folds over the frame-ordered value list — both engines add
+    * the same doubles in the same order, so no decimal staging is
+    * needed; weights come from `pow(1−α, age)`, which is
+    * bit-identical across engines when 1−α is dyadic (0.5, 0.75,
+    * 0.25 — the recommended decays) and window ≤ 33 (3^age fits the
+    * mantissa); ONE rounding at the output. `orderCols` must be a
+    * unique key per partition (SURVEY §4 window discipline). Rows
+    * with null `valueCol` are dropped (mirror of collect_list's null
+    * skip — a silent weight misalignment otherwise).
+    *
+    * Scale shape: one window pass per key (the same (key, order)
+    * sort every rolling signal pays); the fold is row-local over a
+    * ≤ `window`-element list.
+    */
+  def withEwma(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      valueCol: String,
+      alpha: Double,
+      window: Int = 20,
+      outCol: String = "ewma"): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
+    require(window >= 1 && window <= 33,
+      s"window must be in [1, 33] (dyadic-decay weights stay exact), got $window")
+    require(orderCols.nonEmpty, "orderCols must not be empty")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(window - 1), 0)
+    val valsCol = graft.Cols.unique("__ewma_vals", df)
+    val decay = lit(1.0 - alpha)
+    val d = df
+      .where(col(valueCol).isNotNull)
+      .withColumn(valsCol, collect_list(col(valueCol).cast("double")).over(w))
+    val n = size(col(valsCol))
+    val terms = transform(col(valsCol),
+      (v, i) => v * pow(decay, (n - lit(1) - i).cast("double")))
+    val wts = transform(col(valsCol),
+      (v, i) => pow(decay, (n - lit(1) - i).cast("double")))
+    d.withColumn(outCol, round(
+        aggregate(terms, lit(0.0), (a, b) => a + b) /
+          aggregate(wts, lit(0.0), (a, b) => a + b), 6))
+      .drop(valsCol)
+  }
+
   def gapFill(
       df: DataFrame,
       tsMsCol: String,

@@ -212,6 +212,43 @@ class EventsSpec extends SparkSpec {
       (2L, 2 * d, 9.0, false)))
   }
 
+  test("withEwma: hand-computed adjust-convention values, null drop, determinism") {
+    // key 1 values 8, 4, 2 in time order, alpha=0.5 (decay 0.5):
+    //   t0: 8
+    //   t1: (0.5*8 + 4) / 1.5 = 16/3
+    //   t2: (0.25*8 + 0.5*4 + 2) / 1.75 = 6/1.75
+    val df = Seq(
+      (1L, 1L, Some(8.0)), (1L, 2L, Some(4.0)), (1L, 3L, Some(2.0)),
+      (1L, 4L, None), // dropped
+      (2L, 1L, Some(5.0)))
+      .toDF("k", "o", "v")
+    val out = Events.withEwma(df, "k", Seq("o"), "v", alpha = 0.5, window = 20)
+      .as[(Long, Long, Double, Double)].collect().sortBy(r => (r._1, r._2))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(_._4).toSeq ==
+      Seq(8.0, r6(16.0 / 3), r6(6.0 / 1.75), 5.0))
+    assert(out.length == 4, "null value row dropped")
+    // the window truncates: only the last `window` observations count
+    val flat = (1L to 30L).map(i => (9L, i, Some(if (i <= 28) 0.0 else 100.0)))
+      .toDF("k", "o", "v")
+    val w2 = Events.withEwma(flat, "k", Seq("o"), "v", alpha = 0.5, window = 2)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._2)
+    // at o=30: window holds {100, 100} -> 100; at o=29: {0, 100} ->
+    // (0.5*0 + 100)/1.5
+    assert(w2.last._4 == 100.0 && w2(28)._4 == r6(100.0 / 1.5))
+    // partitioning-invariant
+    val a = Events.withEwma(df.repartition(5), "k", Seq("o"), "v", 0.5)
+      .collect().toSet
+    assert(a == Events.withEwma(df, "k", Seq("o"), "v", 0.5).collect().toSet)
+    intercept[IllegalArgumentException] {
+      Events.withEwma(df, "k", Seq("o"), "v", alpha = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Events.withEwma(df, "k", Seq("o"), "v", alpha = 0.5, window = 34)
+    }
+  }
+
   test("timeToConvert: funnel-consistent durations, interpolated quantiles, non-converts excluded") {
     // user 1: view@10 click@20 purchase@110 → duration 100
     // user 2: view@0 click@5 purchase@205 → duration 205... but use
