@@ -1309,6 +1309,24 @@ object SparkEntry {
       graft.operators.Events.eventFunnelByGroup(ev, "segment",
         "user_id", "ts_ms", "event_type", Seq("view", "click", "purchase"))
     }),
+    "q_session_stats" -> ((s, dir) => {
+      // Per-session engagement report sharing row 9's 30-min gap
+      // rule: (user, ts) pre-collapse makes the session window's
+      // order key unique, so no tiebreak column is needed.
+      graft.operators.Events.sessionStats(
+        Parallelism.spread(t(s, dir, "events")),
+        "user_id", "ts_ms", gapMinutes = 30)
+    }),
+    "q_standardize" -> ((s, dir) => {
+      // Per-language z-score of doc length: one grouped moment agg
+      // (exact DECIMAL sums), broadcast-ranged join back — the
+      // parametric sibling of q_pct_rank.
+      graft.operators.Profile.standardizeByGroup(
+        Parallelism.spread(t(s, dir, "documents"))
+          .select("doc_id", "lang", "n_chars"),
+        "n_chars", "lang")
+        .select("doc_id", "lang", "n_chars", "n_chars_z")
+    }),
     "q_ewma" -> ((s, dir) => {
       // Trend smoothing: pandas-convention (adjust=true) EWMA over a
       // 20-observation trailing window per user, α=0.25 so the decay
@@ -4058,6 +4076,36 @@ object SparkEntry {
         |  round(c0 / n::DOUBLE, 6) AS share FROM c
         |UNION ALL SELECT 1, 'click', c1::BIGINT, round(c1 / n::DOUBLE, 6) FROM c
         |UNION ALL SELECT 2, 'purchase', c2::BIGINT, round(c2 / n::DOUBLE, 6) FROM c""".stripMargin,
+    // the (user, ts) pre-collapse makes the session window's order
+    // key unique; same start-flag running count as the row-9 rule
+    "q_session_stats" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts, count(*)::BIGINT AS n FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT *, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > 1800000
+        |    THEN 1 ELSE 0 END AS st FROM e),
+        |g AS (SELECT *, sum(st) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM f)
+        |SELECT user_id, user_id::VARCHAR || '#' || sess::VARCHAR AS session_id,
+        |  min(ts) AS start_ms, max(ts) AS end_ms,
+        |  max(ts) - min(ts) AS duration_ms,
+        |  sum(n)::BIGINT AS n_events, sum(n) = 1 AS is_bounce
+        |FROM g GROUP BY user_id, sess""".stripMargin,
+    // exact DECIMAL moment sums, mean rounded 6 dp BEFORE the
+    // variance subtraction (the anomalies discipline), z 4 dp
+    "q_standardize" ->
+      """WITH m0 AS (SELECT lang, count(*)::BIGINT AS cnt,
+        |    sum(n_chars::DECIMAL(18,6)) AS sv,
+        |    sum(n_chars::DECIMAL(18,6) * n_chars::DECIMAL(18,6)) AS sq
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |m AS (SELECT lang, round(sv::DOUBLE / cnt, 6) AS mean,
+        |  round(sqrt(greatest(0.0::DOUBLE,
+        |    sq::DOUBLE / cnt - round(sv::DOUBLE / cnt, 6) * round(sv::DOUBLE / cnt, 6))), 6) AS sd
+        |  FROM m0)
+        |SELECT doc_id, lang, n_chars,
+        |  CASE WHEN n_chars IS NOT NULL AND sd > 0
+        |    THEN round((n_chars - mean) / sd, 4) END AS n_chars_z
+        |FROM documents LEFT JOIN m USING (lang)""".stripMargin,
     // sequential left folds over the same frame-ordered list; 1-based
     // lambda index (len - i = age, newest age 0); dyadic 0.75^age is
     // pow-exact on both engines

@@ -510,6 +510,60 @@ object Events {
       coalesce(col("zscore") > z, lit(false)).as("is_anomaly"))
   }
 
+  /** Per-session engagement stats over inactivity-gap sessionization
+    * — the report behind bounce rate / session duration dashboards,
+    * sharing row 9's session rule (a session breaks when the gap
+    * between consecutive events exceeds `gapMinutes`) so the two
+    * surfaces can never disagree about what a session is.
+    *
+    * Determinism without a tiebreak column: same-timestamp events
+    * always share a session (gap 0 can't break), so the frame first
+    * collapses to distinct (user, ts) with counts — the session
+    * window then orders by a UNIQUE key per user, and the per-session
+    * stats (min/max/sum) are order-independent.
+    *
+    * Scale shape: one (user, ts) pre-aggregation with map-side
+    * combine, one user-keyed window over the collapsed frame, one
+    * grouped aggregation — all far smaller than the raw event scan.
+    *
+    * @return one row per session: (userCol, session_id
+    *         "<user>#<n>", start_ms, end_ms, duration_ms, n_events,
+    *         is_bounce = single-event session).
+    */
+  def sessionStats(
+      df: DataFrame,
+      userCol: String,
+      tsMsCol: String,
+      gapMinutes: Int = 30): DataFrame = {
+    require(gapMinutes >= 1, "gapMinutes must be positive")
+    val gapMs = gapMinutes * 60000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col("__ts"))
+    val byTs = df
+      .where(col(userCol).isNotNull && col(tsMsCol).isNotNull)
+      .groupBy(col(userCol), col(tsMsCol).cast("long").as("__ts"))
+      .agg(count(lit(1)).as("__n"))
+    val prev = lag(col("__ts"), 1).over(w)
+    byTs
+      .withColumn("__start",
+        (prev.isNull || (col("__ts") - prev > gapMs)).cast("long"))
+      .withColumn("__sess", sum(col("__start")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(userCol), col("__sess"))
+      .agg(
+        min(col("__ts")).as("start_ms"),
+        max(col("__ts")).as("end_ms"),
+        sum(col("__n")).as("n_events"))
+      .select(
+        col(userCol),
+        concat(col(userCol).cast("string"), lit("#"),
+          col("__sess").cast("string")).as("session_id"),
+        col("start_ms"), col("end_ms"),
+        (col("end_ms") - col("start_ms")).as("duration_ms"),
+        col("n_events"),
+        (col("n_events") === 1).as("is_bounce"))
+  }
+
   /** Exponentially-weighted moving average over each key's ordered
     * series — the standard trend-smoothing signal (the pandas
     * `ewm(adjust=True)` convention, truncated to a bounded window):

@@ -198,6 +198,49 @@ object Profile {
       .drop(lo, hi)
   }
 
+  /** Per-group Z-SCORE standardization — the parametric sibling of
+    * [[percentileRank]] ("this doc is 1.8 group-standard-deviations
+    * above its language's mean length"): z = (x − mean) / sd with
+    * per-group moments, making raw signals comparable across groups
+    * while PRESERVING distance information rank normalization throws
+    * away.
+    *
+    * Scale shape: one map-side-combined grouped aggregation for the
+    * moments (never a window sort over the corpus), broadcast-ranged
+    * join back (AQE sizes it). Determinism: exact DECIMAL(18,6) value
+    * and DECIMAL(38,12) square sums, mean/sd rounded 6 dp, z rounded
+    * 4 dp at the boundary — the [[graft.operators.Events.anomalies]]
+    * moment discipline. A zero-spread or singleton group yields null
+    * z (no information, not zero); null values pass through with
+    * null z.
+    */
+  def standardizeByGroup(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      outCol: String = null): DataFrame = {
+    val out = Option(outCol).getOrElse(s"${valueCol}_z")
+    val mCol = graft.Cols.unique("__mean", df)
+    val sCol = graft.Cols.unique("__sd", df)
+    val dec = col(valueCol).cast("decimal(18,6)")
+    val moments = df
+      .where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("__cnt"),
+        sum(dec).as("__sv"),
+        sum(dec * dec).as("__sq"))
+      .withColumn(mCol, round(col("__sv").cast("double") / col("__cnt"), 6))
+      .withColumn(sCol, round(sqrt(greatest(lit(0.0),
+        col("__sq").cast("double") / col("__cnt") - col(mCol) * col(mCol))), 6))
+      .select(col(groupCol), col(mCol), col(sCol))
+    df.join(moments, Seq(groupCol), "left")
+      .withColumn(out,
+        when(col(valueCol).isNotNull && col(sCol) > 0,
+          round((col(valueCol) - col(mCol)) / col(sCol), 4)))
+      .drop(mCol, sCol)
+  }
+
   /** Per-group PERCENTILE-RANK normalization — replace a raw score
     * with its within-group rank position ("this doc is at the 93rd
     * percentile of its language's quality distribution"), the

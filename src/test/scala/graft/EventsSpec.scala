@@ -212,6 +212,30 @@ class EventsSpec extends SparkSpec {
       (2L, 2 * d, 9.0, false)))
   }
 
+  test("sessionStats: gap rule, bounce flag, same-ts events share a session") {
+    val m = 60000L
+    val rows = Seq(
+      // user 1: session 1 = events at 0, 10m, 10m (same ts twice);
+      // 31-min gap; session 2 = single event (bounce)
+      (1L, 0L), (1L, 10 * m), (1L, 10 * m),
+      (1L, 41 * m + 1),
+      // user 2: one session of two events exactly 30m apart (gap not
+      // exceeded — boundary is strict >)
+      (2L, 0L), (2L, 30 * m))
+      .toDF("user_id", "ts_ms")
+    val out = Events.sessionStats(rows, "user_id", "ts_ms", gapMinutes = 30)
+      .as[(Long, String, Long, Long, Long, Long, Boolean)].collect()
+      .sortBy(r => (r._1, r._3))
+    assert(out.length == 3)
+    assert(out(0) == ((1L, "1#1", 0L, 10 * m, 10 * m, 3L, false)))
+    assert(out(1) == ((1L, "1#2", 41 * m + 1, 41 * m + 1, 0L, 1L, true)))
+    assert(out(2) == ((2L, "2#1", 0L, 30 * m, 30 * m, 2L, false)))
+    // partitioning-invariant
+    val again = Events.sessionStats(rows.repartition(7), "user_id", "ts_ms", 30)
+      .collect().toSet
+    assert(again == Events.sessionStats(rows, "user_id", "ts_ms", 30).collect().toSet)
+  }
+
   test("withEwma: hand-computed adjust-convention values, null drop, determinism") {
     // key 1 values 8, 4, 2 in time order, alpha=0.5 (decay 0.5):
     //   t0: 8

@@ -376,6 +376,34 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"funnel must be one scan:\n$plan")
   }
 
+  test("standardizeByGroup: hand moments, zero-spread and null handling, name hygiene") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(3.0)), ("a", Some(5.0)), // mean 3, sd sqrt(8/3)
+      ("b", Some(7.0)), ("b", Some(7.0)),                   // zero spread
+      ("c", Some(9.0)),                                     // singleton
+      ("a", None))
+      .toDF("g", "v")
+    val out = Profile.standardizeByGroup(df, "v", "g")
+      .as[(String, Option[Double], Option[Double])].collect()
+    val byKey = out.groupBy(_._1)
+    def r(x: Double, dp: Int) = BigDecimal(x)
+      .setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sd = r(math.sqrt(8.0 / 3), 6)
+    val aZ = byKey("a").flatMap(_._3).sorted
+    assert(aZ.toSeq == Seq(r(-2.0 / sd, 4), 0.0, r(2.0 / sd, 4)))
+    // zero-spread and singleton groups: null z, not zero or NaN
+    assert(byKey("b").forall(_._3.isEmpty))
+    assert(byKey("c").forall(_._3.isEmpty))
+    // null value passes through with null z
+    assert(byKey("a").exists(r => r._2.isEmpty && r._3.isEmpty))
+    // temp-name hygiene: a __mean input column survives untouched
+    val tricky = Seq(("a", 1.0, 99.0), ("a", 2.0, 98.0))
+      .toDF("g", "v", "__mean")
+    val t2 = Profile.standardizeByGroup(tricky, "v", "g")
+    assert(t2.columns.count(_ == "__mean") == 1 &&
+      t2.select("__mean").as[Double].collect().sorted.toSeq == Seq(98.0, 99.0))
+  }
+
   test("funnel/sweep report frames: stage and threshold counts are capped loudly") {
     import org.apache.spark.sql.functions._
     val df = Seq((1, 10)).toDF("id", "v")
