@@ -1657,6 +1657,24 @@ object SparkEntry {
         "text", "doc_id", n = 3, threshold = 0.5,
         blockBy = Seq("lang", "len_bin"), maxBlock = 500)
     }),
+    "q_containment" -> ((s, dir) => {
+      // Quote/subset detection via prefix filtering: every 100th doc
+      // re-appears as a half-length "quote" (first ⌈tokens/2⌉ tokens,
+      // so its shingle set is a strict subset — containment exactly
+      // 1.0 where Jaccard would sit near 0.5 and length-binned
+      // blocking would separate the pair entirely). Candidates come
+      // from each doc's rarest shingles (global df order), not K²
+      // blocks.
+      val d = Parallelism.spread(t(s, dir, "documents"))
+        .select("doc_id", "text")
+      val toks = split(trim(col("text")), "\\s+")
+      val half = greatest(ceil(size(toks) / lit(2.0)).cast("int"), lit(3))
+      val quotes = d.where(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1), half)).as("text"))
+      Dedup.containmentPairs(d.unionByName(quotes), "text", "doc_id",
+        n = 3, threshold = 0.9, maxShingleDocs = 10000)
+    }),
     "q_embedding_neardup" -> ((s, dir) => {
       // Exercises the banded multi-table path (2 tables × 8 planes) —
       // the 100 TB shape — with the oracle mirroring both tables.
@@ -4579,6 +4597,42 @@ object SparkEntry {
           |  FROM shc a JOIN shc b ON a.lang = b.lang AND a.len_bin = b.len_bin
           |  WHERE a.doc_id < b.doc_id)
           |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM p WHERE jac >= 0.5""".stripMargin),
+    // prefix-filter replay: same global (df, shingle) rarity order,
+    // same ceil(0.9::DOUBLE * sz) prefix length (spelled ::DOUBLE so
+    // DuckDB's DECIMAL 0.9 cannot ceil differently at exact tenths),
+    // same cap, same verification intersection
+    "q_containment" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |q0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tks
+        |  FROM base WHERE doc_id % 100 = 0),
+        |quotes AS (SELECT doc_id + 1000000 AS doc_id,
+        |  array_to_string(tks[1:greatest(ceil(len(tks) / 2.0), 3)::INT], ' ') AS text FROM q0),
+        |alld AS (SELECT * FROM base UNION ALL SELECT * FROM quotes),
+        |tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tks FROM alld),
+        |sh AS (SELECT doc_id, CASE WHEN len(tks) >= 3
+        |  THEN list_distinct(list_transform(range(0, len(tks) - 2),
+        |    i -> tks[i + 1] || ' ' || tks[i + 2] || ' ' || tks[i + 3]))
+        |  ELSE [array_to_string(tks, ' ')] END AS s FROM tk),
+        |shf AS (SELECT * FROM sh WHERE len(s) > 0),
+        |r AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM shf),
+        |freq AS (SELECT sg, count(*)::BIGINT AS df FROM r GROUP BY 1
+        |  HAVING count(*) <= 10000),
+        |ix AS (SELECT r.doc_id, r.sz, r.sg, df FROM r JOIN freq USING (sg)),
+        |pre AS (SELECT * FROM (SELECT *, row_number()
+        |    OVER (PARTITION BY doc_id ORDER BY df, sg) AS rk FROM ix)
+        |  WHERE rk <= sz - ceil(0.9::DOUBLE * sz) + 1),
+        |cand AS (SELECT DISTINCT least(p.doc_id, q.doc_id) AS id_a,
+        |    greatest(p.doc_id, q.doc_id) AS id_b
+        |  FROM pre p JOIN ix q USING (sg) WHERE p.doc_id <> q.doc_id),
+        |v AS (SELECT id_a, id_b, a.s AS sa, b.s AS sb FROM cand
+        |  JOIN shf a ON a.doc_id = id_a JOIN shf b ON b.doc_id = id_b),
+        |c AS (SELECT id_a, id_b,
+        |  round(len(list_intersect(sa, sb))::DOUBLE / least(len(sa), len(sb)), 4) AS containment,
+        |  CASE WHEN len(sa) < len(sb) THEN id_a
+        |       WHEN len(sb) < len(sa) THEN id_b
+        |       ELSE least(id_a, id_b) END AS contained_id FROM v)
+        |SELECT id_a, id_b, containment, contained_id FROM c
+        |WHERE containment >= 0.9""".stripMargin,
     "q_embedding_neardup" ->
       (s"""WITH $embWithDupsSql,
           |b AS (SELECT vec_id, embedding, 0 AS tbl, ${bucketSql("embedding", 64, 8, 0)} AS bucket FROM emb

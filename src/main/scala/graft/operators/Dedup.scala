@@ -1105,6 +1105,75 @@ object Dedup {
         round(abs(col("__est") - col("jaccard")), 4).as("abs_err"))
   }
 
+  // ------------------------------------------------------- containment
+
+  /** Word n-gram CONTAINMENT pairs — the quote/subset detector that
+    * Jaccard structurally misses: a 100-shingle quote fully inside a
+    * 10,000-shingle document has Jaccard ≈ 0.01 but containment 1.0
+    * (score = |A∩B| / min(|A|, |B|), the max-containment symmetric
+    * form). The partial-recrawl / embedded-quotation / licensed-
+    * excerpt shape every crawl corpus carries.
+    *
+    * Scale design — PREFIX FILTERING (the Chaudhuri/Ganti/Kaushik
+    * SSJoin primitive, the PPJoin family's candidate rule): order
+    * every document's shingles by GLOBAL rarity (document frequency,
+    * then shingle — a total order both engines share); if
+    * |A∩B| ≥ t·|A| for the smaller set A, then ANY
+    * (|A| − ⌈t·|A|⌉ + 1)-subset of A intersects A∩B — so indexing
+    * only each doc's that-many RAREST shingles and probing with all
+    * (uncapped) shingle rows finds every qualifying pair. Candidate
+    * volume rides the rare end of the frequency distribution instead
+    * of K² blocks, and length-skewed pairs (the containment case) are
+    * found where any length-binned blocking would separate them.
+    * `maxShingleDocs` drops ultra-common shingles from index AND
+    * probe deterministically (a pair sharing ONLY stop-shingles is
+    * noise by contract). Verification is the [[attachSets]]
+    * join-back + one exact intersection per candidate.
+    *
+    * @return (id_a, id_b, containment 4 dp ≥ threshold, contained_id
+    *         — the smaller-set side, ties to the smaller id).
+    */
+  def containmentPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxShingleDocs: Int = 100000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(maxShingleDocs >= 2, "maxShingleDocs must be >= 2")
+    val src = Parallelism.spread(df)
+    val rows = src
+      .select(col(idCol).as("__id"), wordShingles(col(textCol), n).as("__set"))
+      .where(size(col("__set")) > 0)
+      .select(col("__id"), size(col("__set")).as("__sz"),
+        explode(col("__set")).as("__s"))
+      .localCheckpoint() // feeds freq + index + probe: shingle once
+    val freq = rows.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxShingleDocs)
+    val indexed = rows.join(freq, "__s")
+    val wRank = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__s"))
+    val pre = indexed
+      .withColumn("__rk", row_number().over(wRank))
+      .where(col("__rk") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
+    val cand = pre.select(col("__s"), col("__id").as("__pid"))
+      .join(indexed.select(col("__s"), col("__id").as("__qid")), "__s")
+      .where(col("__pid") =!= col("__qid"))
+      .select(least(col("__pid"), col("__qid")).as("id_a"),
+        greatest(col("__pid"), col("__qid")).as("id_b"))
+      .distinct()
+    attachSets(cand, src, idCol, textCol, wordShingles(_, n))
+      .withColumn("containment",
+        round(size(array_intersect(col("__set_a"), col("__set_b"))).cast("double") /
+          least(size(col("__set_a")), size(col("__set_b"))), 4))
+      .where(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"),
+        when(size(col("__set_a")) < size(col("__set_b")), col("id_a"))
+          .when(size(col("__set_b")) < size(col("__set_a")), col("id_b"))
+          .otherwise(least(col("id_a"), col("id_b"))).as("contained_id"))
+  }
+
   // ------------------------------------------------------- n-gram jaccard
 
   /** Word n-gram Jaccard similarity pairs within `blockBy` groups

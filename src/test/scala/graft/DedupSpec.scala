@@ -225,6 +225,47 @@ class DedupSpec extends SparkSpec {
     assert(a == b && a == Seq(2L, 7L))
   }
 
+  test("containmentPairs: finds the quote Jaccard misses; prefix filter loses nothing") {
+    val big = (1 to 20).map(i => s"w$i").mkString(" ")    // 18 shingles
+    val quote = (1 to 8).map(i => s"w$i").mkString(" ")   // 6 shingles, all in big
+    val other = (100 to 120).map(i => s"x$i").mkString(" ")
+    val df = Seq((1L, big), (2L, quote), (3L, other), (4L, ""))
+      .toDF("id", "text")
+    val out = Dedup.containmentPairs(df, "text", "id", n = 3, threshold = 0.9)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 1.0, 2L)))
+    // the same pair under Jaccard: 6/18 = 0.33 — below any sane
+    // near-dup threshold; containment is the operator that sees it
+    val jac = Dedup.ngramJaccardPairs(df.where($"id" <= 2), "text", "id",
+      n = 3, threshold = 0.5, allowBruteForce = true).count()
+    assert(jac == 0)
+    // prefix filtering vs exhaustive verification: identical results
+    // on a corpus with overlapping chunks
+    val docs2 = (0 until 30).map { i =>
+      val words = (i until i + 12).map(j => s"t${j % 17}")
+      (i.toLong, words.mkString(" "))
+    }.toDF("id", "text")
+    val fast = Dedup.containmentPairs(docs2, "text", "id", n = 3, threshold = 0.6)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // exhaustive reference: verify every pair
+    val sets = (0 until 30).map { i =>
+      val words = (i until i + 12).map(j => s"t${j % 17}")
+      i.toLong -> words.sliding(3).map(_.mkString(" ")).toSet
+    }.toMap
+    val brute = (for {
+      a <- 0L until 30L; b <- (a + 1) until 30L
+      inter = (sets(a) & sets(b)).size
+      c = inter.toDouble / math.min(sets(a).size, sets(b).size)
+      if BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.6
+    } yield (a, b)).toSet
+    assert(fast.map(p => (p._1, p._2)) == brute,
+      s"fast ${fast.size} vs brute ${brute.size}")
+    // determinism under repartitioning
+    val again = Dedup.containmentPairs(docs2.repartition(7), "text", "id",
+      n = 3, threshold = 0.6).as[(Long, Long, Double, Long)].collect().toSet
+    assert(again == fast)
+  }
+
   test("dropNearDuplicates: removes the larger id of each pair") {
     val pairs = Seq((1L, 2L, 1.0)).toDF("id_a", "id_b", "jaccard")
     val kept = Dedup.dropNearDuplicates(docs, pairs, "id")
