@@ -1317,6 +1317,14 @@ object SparkEntry {
         Parallelism.spread(t(s, dir, "events")),
         "user_id", "ts_ms", gapMinutes = 30)
     }),
+    "q_rollup_card" -> ((s, dir) => {
+      // Three granularities (cell, per-lang subtotal, grand total)
+      // from ONE grouping-sets aggregation; `level` = grouping_id()
+      // separates rolled-up dims from genuinely-null values.
+      graft.operators.Profile.rollupCard(
+        Parallelism.spread(t(s, dir, "documents")),
+        Seq("lang", "source"), "n_chars")
+    }),
     "q_standardize" -> ((s, dir) => {
       // Per-language z-score of doc length: one grouped moment agg
       // (exact DECIMAL sums), broadcast-ranged join back — the
@@ -4109,6 +4117,14 @@ object SparkEntry {
         |  max(ts) - min(ts) AS duration_ms,
         |  sum(n)::BIGINT AS n_events, sum(n) = 1 AS is_bounce
         |FROM g GROUP BY user_id, sess""".stripMargin,
+    // ROLLUP + grouping_id: same SQL-standard bit order (leftmost
+    // dim = MSB) in both engines; exact DECIMAL(38,6) sums
+    "q_rollup_card" ->
+      """SELECT lang, source, grouping_id(lang, source) AS level,
+        |  count(*)::BIGINT AS n_rows,
+        |  sum(n_chars::DECIMAL(18,6))::DECIMAL(38,6) AS sum_n_chars,
+        |  round(sum(n_chars::DECIMAL(18,6))::DOUBLE / count(*), 4) AS avg_n_chars
+        |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
     // exact DECIMAL moment sums, mean rounded 6 dp BEFORE the
     // variance subtraction (the anomalies discipline), z 4 dp
     "q_standardize" ->

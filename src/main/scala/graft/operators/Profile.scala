@@ -198,6 +198,36 @@ object Profile {
       .drop(lo, hi)
   }
 
+  /** Multi-granularity data card via ROLLUP — the release table that
+    * answers "per (lang, source) cell, per-lang subtotal, grand
+    * total" in ONE aggregation pass: Spark expands the grouping sets
+    * with map-side partial aggregation, so the three granularities
+    * cost one scan, not three. `level` = `grouping_id()` (leftmost
+    * dim = MSB, the SQL-standard bit order both engines share)
+    * disambiguates a rolled-up dimension from a genuinely-NULL
+    * dimension value — without it the two are indistinguishable in
+    * the output.
+    *
+    * @return one row per grouping-set cell: (dims…, level, n_rows,
+    *         sum_<value> DECIMAL(38,6) exact, avg_<value> 4 dp).
+    */
+  def rollupCard(
+      df: DataFrame,
+      dims: Seq[String],
+      valueCol: String): DataFrame = {
+    require(dims.nonEmpty && dims.size <= 8,
+      s"dims must be 1..8 columns, got ${dims.size}")
+    val dec = col(valueCol).cast("decimal(18,6)")
+    df.rollup(dims.map(col): _*)
+      .agg(
+        grouping_id().as("level"),
+        count(lit(1)).as("n_rows"),
+        sum(dec).cast("decimal(38,6)").as(s"sum_$valueCol"),
+        round(sum(dec).cast("double") / count(lit(1)), 4).as(s"avg_$valueCol"))
+      .select((dims.map(col) :+ col("level") :+ col("n_rows") :+
+        col(s"sum_$valueCol") :+ col(s"avg_$valueCol")): _*)
+  }
+
   /** Per-group Z-SCORE standardization — the parametric sibling of
     * [[percentileRank]] ("this doc is 1.8 group-standard-deviations
     * above its language's mean length"): z = (x − mean) / sd with

@@ -376,6 +376,35 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"funnel must be one scan:\n$plan")
   }
 
+  test("rollupCard: three granularities from one pass; level separates rolled-up from null dims") {
+    val df = Seq(
+      ("en", "a", 10), ("en", "a", 20), ("en", "b", 30),
+      ("de", "a", 40),
+      (null, "a", 50)) // genuinely-null lang — NOT a subtotal
+      .toDF("lang", "source", "n")
+    val out = Profile.rollupCard(df, Seq("lang", "source"), "n")
+      .as[(Option[String], Option[String], Long, Long, BigDecimal, Double)]
+      .collect().map(r => (r._1, r._2, r._3) -> ((r._4, r._6))).toMap
+    // grand total: level 3
+    assert(out((None, None, 3L)) == ((5L, 30.0)))
+    // per-lang subtotals: level 1
+    assert(out((Some("en"), None, 1L)) == ((3L, 20.0)))
+    assert(out((Some("de"), None, 1L)) == ((1L, 40.0)))
+    // the genuinely-null lang keeps level 1 subtotal AND level 0 cell
+    assert(out((None, None, 1L)) == ((1L, 50.0)))
+    assert(out((None, Some("a"), 0L)) == ((1L, 50.0)))
+    // cells: level 0
+    assert(out((Some("en"), Some("a"), 0L)) == ((2L, 15.0)))
+    assert(out((Some("en"), Some("b"), 0L)) == ((1L, 30.0)))
+    // one aggregation pass (expand, not a union of scans)
+    val plan = Profile.rollupCard(df, Seq("lang", "source"), "n")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Union"), s"rollup must be one expanded scan:\n$plan")
+    intercept[IllegalArgumentException] {
+      Profile.rollupCard(df, Nil, "n")
+    }
+  }
+
   test("standardizeByGroup: hand moments, zero-spread and null handling, name hygiene") {
     val df = Seq(
       ("a", Some(1.0)), ("a", Some(3.0)), ("a", Some(5.0)), // mean 3, sd sqrt(8/3)
