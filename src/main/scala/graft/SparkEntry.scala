@@ -1395,6 +1395,25 @@ object SparkEntry {
         t(s, dir, "documents"), "text", "doc_id",
         Seq("spark", "data", "query", "window"), k = 50)
     }),
+    "q_ndcg" -> ((s, dir) => {
+      // Retrieval-quality eval end to end: the q_bm25 ranking scored
+      // against synthetic graded judgments (rel = doc_id % 4), nDCG
+      // at 10. Natural-log discounts cancel in the ratio; per-term
+      // 8 dp rounding + DECIMAL accumulation keeps both sums
+      // order-independent.
+      import org.apache.spark.sql.expressions.Window
+      val ranked = graft.functions.TextAnalysis.bm25TopK(
+        t(s, dir, "documents"), "text", "doc_id",
+        Seq("spark", "data", "query", "window"), k = 50)
+        .withColumn("query_id", lit(0L))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      val rels = t(s, dir, "documents").select(
+        lit(0L).as("query_id"), col("doc_id"),
+        pmod(col("doc_id"), lit(4)).cast("int").as("rel"))
+      graft.operators.Eval.ndcgAtK(ranked, rels,
+        "query_id", "doc_id", "rank", "rel", k = 10)
+    }),
     "q_orc_roundtrip" -> ((s, dir) => {
       // Columnar interchange: write the doc slice as zstd ORC, read
       // it back under the explicit schema — identity oracle, newline/
@@ -4254,6 +4273,47 @@ object SparkEntry {
         |sc AS (SELECT doc_id, round($contribs, 4) AS bm25 FROM base, s)
         |SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
         |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin
+    },
+    // the q_bm25 ranking CTEs + the nDCG algebra: natural-log
+    // discounts in both sums (base cancels), 8 dp terms in
+    // DECIMAL(20,8), one division at the boundary
+    "q_ndcg" -> {
+      val terms = Seq("spark", "data", "query", "window")
+      val tfCols = terms.zipWithIndex.map { case (t, j) =>
+        s"len(list_filter(w, x -> x = '$t'))::DOUBLE AS tf$j"
+      }.mkString(",\n        |  ")
+      val dfCols = terms.indices.map(j =>
+        s"sum(CASE WHEN tf$j > 0 THEN 1 ELSE 0 END)::DOUBLE AS df$j")
+        .mkString(", ")
+      val contribs = terms.indices.map(j =>
+        s"round(round(ln(1.0 + (n - df$j + 0.5) / (df$j + 0.5)), 6) * tf$j * 2.2" +
+          s" / (tf$j + 1.2 * (0.25 + 0.75 * l / (sl / n))), 6)")
+        .mkString(" + ")
+      s"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+        |  FROM documents),
+        |base AS (SELECT doc_id, len(w) AS l,
+        |  $tfCols
+        |  FROM tk),
+        |s AS (SELECT count(*)::DOUBLE AS n, sum(l)::DOUBLE AS sl, $dfCols FROM base),
+        |sc AS (SELECT doc_id, round($contribs, 4) AS bm25 FROM base, s),
+        |top AS (SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+        |  ORDER BY bm25 DESC, doc_id LIMIT 50),
+        |rankd AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM top),
+        |rels AS (SELECT doc_id, (doc_id % 4)::INT AS rel FROM documents),
+        |d AS (SELECT sum(round((pow(2.0, coalesce(rel, 0)::DOUBLE) - 1.0)
+        |    / ln(rank + 1.0), 8)::DECIMAL(20,8)) AS dcg
+        |  FROM rankd LEFT JOIN rels USING (doc_id) WHERE rank <= 10),
+        |ideal AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS ir
+        |  FROM rels WHERE rel > 0),
+        |i AS (SELECT sum(round((pow(2.0, rel::DOUBLE) - 1.0)
+        |    / ln(ir + 1.0), 8)::DECIMAL(20,8)) AS idcg
+        |  FROM ideal WHERE ir <= 10)
+        |SELECT 0::BIGINT AS query_id, round(coalesce(dcg::DOUBLE, 0.0), 6) AS dcg,
+        |  round(idcg::DOUBLE, 6) AS idcg,
+        |  round(CASE WHEN idcg > 0
+        |    THEN coalesce(dcg, 0::DECIMAL(20,8))::DOUBLE / idcg::DOUBLE END, 6) AS ndcg
+        |FROM d, i""".stripMargin
     },
     "q_orc_roundtrip" ->
       "SELECT doc_id, lang, text, n_chars FROM documents",

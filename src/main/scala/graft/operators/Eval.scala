@@ -16,6 +16,67 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
+  /** nDCG@k (Järvelin & Kekäläinen, "Cumulated gain-based evaluation
+    * of IR techniques", TOIS 2002) — the graded-relevance ranking
+    * metric that scores a retrieval stack (BM25, ANN, rerank
+    * cascades) against labeled judgments, per query:
+    * DCG@k = Σ_{rank≤k} (2^rel − 1)/ln(rank+1)·ln2-free form — this
+    * implementation uses the natural-log discount ln(rank+1)
+    * CONSISTENTLY in DCG and IDCG, so the base cancels in the ratio
+    * and both engines replay with plain `ln`.
+    *
+    * Determinism: ranks are the caller's (unique per query by
+    * contract); per-position terms round to 8 dp and accumulate in
+    * exact DECIMAL(20,8) (order-independent), one double division at
+    * the boundary. Docs absent from `rels` count rel 0; queries with
+    * no positive judgment get null ndcg (0/0 is "unmeasurable", not
+    * perfect or zero).
+    *
+    * Scale shape: one (query, doc) equi-join, two map-side-combined
+    * grouped sums, one per-query window over the JUDGED docs only
+    * (WindowGroupLimit prunes to k per query map-side).
+    *
+    * @return one row per query appearing in either input:
+    *         (queryCol, dcg 6 dp, idcg 6 dp, ndcg 6 dp).
+    */
+  def ndcgAtK(
+      ranked: DataFrame,
+      rels: DataFrame,
+      queryCol: String,
+      docCol: String,
+      rankCol: String,
+      relCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    def gain(r: org.apache.spark.sql.Column) =
+      pow(lit(2.0), r.cast("double")) - lit(1.0)
+    def term(r: org.apache.spark.sql.Column, rank: org.apache.spark.sql.Column) =
+      round(gain(r) / log(rank.cast("double") + lit(1.0)), 8)
+        .cast("decimal(20,8)")
+    val dcg = ranked
+      .where(col(rankCol) <= k)
+      .join(rels.select(col(queryCol), col(docCol), col(relCol)),
+        Seq(queryCol, docCol), "left")
+      .groupBy(col(queryCol))
+      .agg(sum(term(coalesce(col(relCol), lit(0)), col(rankCol))).as("__dcg"))
+    val wIdeal = Window.partitionBy(col(queryCol))
+      .orderBy(col(relCol).desc, col(docCol).asc)
+    val idcg = rels
+      .where(col(relCol) > 0)
+      .withColumn("__ir", row_number().over(wIdeal))
+      .where(col("__ir") <= k)
+      .groupBy(col(queryCol))
+      .agg(sum(term(col(relCol), col("__ir"))).as("__idcg"))
+    dcg.join(idcg, Seq(queryCol), "full")
+      .select(col(queryCol),
+        round(coalesce(col("__dcg").cast("double"), lit(0.0)), 6).as("dcg"),
+        round(col("__idcg").cast("double"), 6).as("idcg"),
+        round(when(col("__idcg") > 0,
+          coalesce(col("__dcg"), lit(0).cast("decimal(20,8)")).cast("double") /
+            col("__idcg").cast("double")), 6).as("ndcg"))
+  }
+
   /** Tie-aware ROC AUC (the Mann-Whitney U statistic, average-rank
     * convention) of a boolean `labelCol` against a numeric
     * `scoreCol`.

@@ -110,4 +110,46 @@ class EvalSpec extends SparkSpec {
       graft.operators.Eval.bootstrapMeanCI(df, "id", "v", replicates = 4)
     }
   }
+
+  test("ndcgAtK: hand-computed graded gains, perfect ranking = 1, edge queries") {
+    import graft.operators.Eval
+    def r(x: Double, dp: Int) = BigDecimal(x)
+      .setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def t8(rel: Int, rank: Int) =
+      BigDecimal(r((math.pow(2.0, rel) - 1.0) / math.log(rank + 1.0), 8))
+    // q1: ranked docs a(rel 3), b(rel 0), c(rel 1); judged ideal
+    // ordering is a, c (+unretrieved d rel 2 at ideal rank 2!)
+    val ranked = Seq(
+      (1L, "a", 1), (1L, "b", 2), (1L, "c", 3),
+      (2L, "a", 1), (2L, "d", 2), // q2: perfect order
+      (3L, "a", 1)) // q3: no positive judgments anywhere
+      .toDF("q", "doc", "rank")
+    val rels = Seq(
+      (1L, "a", 3), (1L, "c", 1), (1L, "d", 2),
+      (2L, "a", 2), (2L, "d", 1),
+      (3L, "a", 0))
+      .toDF("q", "doc", "rel")
+    val out = Eval.ndcgAtK(ranked, rels, "q", "doc", "rank", "rel", k = 10)
+      .as[(Long, Double, Option[Double], Option[Double])].collect()
+      .map(row => row._1 -> row).toMap
+    val dcg1 = (t8(3, 1) + t8(0, 2) + t8(1, 3)).toDouble
+    val idcg1 = (t8(3, 1) + t8(2, 2) + t8(1, 3)).toDouble
+    assert(out(1L)._2 == r(dcg1, 6) && out(1L)._3.contains(r(idcg1, 6)))
+    assert(out(1L)._4.contains(r(dcg1 / idcg1, 6)))
+    // q2 retrieved its judgments in ideal order -> ndcg exactly 1
+    assert(out(2L)._4.contains(1.0))
+    // q3 has no positive judgment -> null ndcg, not 0 or 1
+    assert(out(3L)._4.isEmpty && out(3L)._2 == 0.0)
+    // a query present only in rels (never retrieved) -> dcg 0
+    val rels2 = rels.union(Seq((4L, "z", 3)).toDF("q", "doc", "rel"))
+    val out2 = Eval.ndcgAtK(ranked, rels2, "q", "doc", "rank", "rel", k = 10)
+      .as[(Long, Double, Option[Double], Option[Double])].collect()
+      .map(row => row._1 -> row).toMap
+    assert(out2(4L)._2 == 0.0 && out2(4L)._4.contains(0.0))
+    // determinism under repartitioning
+    val a = Eval.ndcgAtK(ranked.repartition(5), rels.repartition(3),
+      "q", "doc", "rank", "rel", k = 10).collect().toSet
+    assert(a == Eval.ndcgAtK(ranked, rels, "q", "doc", "rank", "rel", 10)
+      .collect().toSet)
+  }
 }
