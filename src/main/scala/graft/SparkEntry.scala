@@ -1317,6 +1317,17 @@ object SparkEntry {
         Parallelism.spread(t(s, dir, "events")),
         "user_id", "ts_ms", gapMinutes = 30)
     }),
+    "q_robust_scale" -> ((s, dir) => {
+      // Outlier-resistant per-language length scaling: exact median
+      // + MAD (6 dp), z_r = (x − med)/(1.4826·MAD) 4 dp — the
+      // scaling q_standardize's mean/sd would let one giant doc
+      // distort.
+      graft.operators.Profile.robustScaleByGroup(
+        Parallelism.spread(t(s, dir, "documents"))
+          .select("doc_id", "lang", "n_chars"),
+        "n_chars", "lang")
+        .select("doc_id", "lang", "n_chars", "n_chars_rz")
+    }),
     "q_rollup_card" -> ((s, dir) => {
       // Three granularities (cell, per-lang subtotal, grand total)
       // from ONE grouping-sets aggregation; `level` = grouping_id()
@@ -4136,6 +4147,20 @@ object SparkEntry {
         |  max(ts) - min(ts) AS duration_ms,
         |  sum(n)::BIGINT AS n_events, sum(n) = 1 AS is_bounce
         |FROM g GROUP BY user_id, sess""".stripMargin,
+    // quantile_cont matches Spark's exact percentile (p·(n−1)
+    // interpolation); 1.4826 spelled ::DOUBLE so DuckDB's DECIMAL
+    // literal cannot scale differently
+    "q_robust_scale" ->
+      """WITH nn AS (SELECT lang, doc_id, n_chars FROM documents WHERE n_chars IS NOT NULL),
+        |med AS (SELECT lang, round(quantile_cont(n_chars::DOUBLE, 0.5), 6) AS m FROM nn GROUP BY 1),
+        |mad AS (SELECT nn.lang, round(quantile_cont(abs(nn.n_chars::DOUBLE - m), 0.5), 6) AS d
+        |  FROM nn JOIN med USING (lang) GROUP BY 1),
+        |j AS (SELECT doc_id, documents.lang, n_chars, m, d
+        |  FROM documents LEFT JOIN med USING (lang) LEFT JOIN mad USING (lang))
+        |SELECT doc_id, lang, n_chars,
+        |  CASE WHEN n_chars IS NOT NULL AND d > 0
+        |    THEN round((n_chars - m) / (1.4826::DOUBLE * d), 4) END AS n_chars_rz
+        |FROM j""".stripMargin,
     // ROLLUP + grouping_id: same SQL-standard bit order (leftmost
     // dim = MSB) in both engines; exact DECIMAL(38,6) sums
     "q_rollup_card" ->

@@ -228,6 +228,49 @@ object Profile {
         col(s"sum_$valueCol") :+ col(s"avg_$valueCol")): _*)
   }
 
+  /** Per-group ROBUST scaling — [[standardizeByGroup]]'s
+    * outlier-resistant sibling: z_r = (x − median) / (1.4826·MAD)
+    * (the normal-consistency constant makes MAD estimate σ), the
+    * scaling a heavy-tailed signal (doc lengths, crawl latencies)
+    * needs where one 10 GB outlier would stretch a mean/sd z into
+    * uselessness.
+    *
+    * Scale shape: two grouped aggregations (exact `percentile`
+    * median — sort-based within the aggregation, fine to hundreds of
+    * millions of rows per executor; `approx = true` swaps in the
+    * t-digest at corpus scale) + two broadcast-ranged join-backs.
+    * Median and MAD round 6 dp, z 4 dp at the boundary; MAD 0 (over
+    * half the group at one value) yields null z.
+    */
+  def robustScaleByGroup(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      outCol: String = null,
+      approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    val out = Option(outCol).getOrElse(s"${valueCol}_rz")
+    val medCol = graft.Cols.unique("__med", df)
+    val madCol = graft.Cols.unique("__mad", df)
+    def med(c: Column) =
+      if (approx) approx_percentile(c, lit(0.5), lit(accuracy))
+      else percentile(c, lit(0.5))
+    val nn = df.where(col(valueCol).isNotNull)
+    val medians = nn.groupBy(col(groupCol))
+      .agg(round(med(col(valueCol).cast("double")), 6).as(medCol))
+    val mads = nn.join(medians, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(round(med(abs(col(valueCol).cast("double") - col(medCol))), 6)
+        .as(madCol))
+    df.join(medians, Seq(groupCol), "left")
+      .join(mads, Seq(groupCol), "left")
+      .withColumn(out,
+        when(col(valueCol).isNotNull && col(madCol) > 0,
+          round((col(valueCol) - col(medCol)) /
+            (lit(1.4826) * col(madCol)), 4)))
+      .drop(medCol, madCol)
+  }
+
   /** Per-group Z-SCORE standardization — the parametric sibling of
     * [[percentileRank]] ("this doc is 1.8 group-standard-deviations
     * above its language's mean length"): z = (x − mean) / sd with

@@ -376,6 +376,39 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"funnel must be one scan:\n$plan")
   }
 
+  test("robustScaleByGroup: outlier-immune where mean/sd is not; MAD-zero null") {
+    // group a: {1..9} plus a huge outlier; median 5.5, MAD = 2.5
+    val vals = (1 to 9).map(_.toDouble) :+ 1e9
+    val df = vals.map(("a", _)).toDF("g", "v")
+    val out = Profile.robustScaleByGroup(df, "v", "g")
+      .as[(String, Double, Option[Double])].collect().sortBy(_._2)
+    def r(x: Double, dp: Int) = BigDecimal(x)
+      .setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // v=1: (1 - 5.5) / (1.4826 * 2.5)
+    assert(out.head._3.contains(r(-4.5 / (1.4826 * 2.5), 4)))
+    // the normal values sit inside ±2 robust z; only the outlier is far
+    assert(out.init.forall(_._3.exists(z => math.abs(z) < 2.0)))
+    assert(out.last._3.exists(_ > 1000))
+    // the MEAN/SD scaling is wrecked by the same outlier: every
+    // normal point collapses to ~-0.33 sd (indistinguishable)
+    val classic = Profile.standardizeByGroup(df, "v", "g")
+      .as[(String, Double, Option[Double])].collect().sortBy(_._2)
+    assert(classic.init.forall(_._3.exists(z => math.abs(z + 0.3333) < 0.01)))
+    // constant-majority group: MAD 0 -> null
+    val const = Seq(("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 9.0))
+      .toDF("g", "v")
+    assert(Profile.robustScaleByGroup(const, "v", "g")
+      .where($"v_rz".isNotNull).count() == 0)
+    // null values pass through with null rz; determinism
+    val withNull = df.union(Seq(("a", null.asInstanceOf[java.lang.Double]))
+      .map(t => (t._1, Option(t._2).map(_.toDouble)))
+      .toDF("g", "v"))
+    val a1 = Profile.robustScaleByGroup(withNull, "v", "g").collect().toSet
+    val a2 = Profile.robustScaleByGroup(withNull.repartition(7), "v", "g")
+      .collect().toSet
+    assert(a1 == a2 && a1.size == 11)
+  }
+
   test("rollupCard: three granularities from one pass; level separates rolled-up from null dims") {
     val df = Seq(
       ("en", "a", 10), ("en", "a", 20), ("en", "b", 30),
