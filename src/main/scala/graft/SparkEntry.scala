@@ -2127,6 +2127,35 @@ object SparkEntry {
         .select(col("doc_id"), col("q.n_words"), col("q.mean_word_len"),
           col("q.symbol_ratio"), col("q.pass"))
     }),
+    "q_curation_e2e" -> ((s, dir) => {
+      // The curation ENTRY CHAIN composed end to end — the
+      // integration a user actually runs, not another kernel:
+      // encoding repair → HTML extraction (the q_crawl_clean wrapper
+      // verbatim) → Gopher gate → exact dedup on the cleaned text
+      // (keep the smallest id per md5) → survivor report. Every
+      // stage is an oracle-checked row on its own; this key checks
+      // that they COMPOSE (one scan through the codegen'd text
+      // chain, one WindowGroupLimit dedup shuffle).
+      import org.apache.spark.sql.expressions.Window
+      val html = concat(
+        lit("<html><head><script>if (1 < 2) x();</script></head><body><p>"),
+        col("text"), lit(dirtySuffix),
+        lit(" &amp; <!-- c --> tail</p></body></html>"))
+      val cleaned = graft.functions.TextAnalysis.stripHtml(
+        graft.functions.TextAnalysis.fixEncoding(html))
+      val gated = Parallelism.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), cleaned.as("__t"))
+        .withColumn("__q",
+          graft.functions.TextAnalysis.qualityFlags(col("__t"), minWords = 20))
+        .where(col("__q.pass"))
+      val w = Window.partitionBy(col("text_md5")).orderBy(col("doc_id"))
+      gated
+        .select(col("doc_id"), md5(col("__t")).as("text_md5"),
+          col("__q.n_words").as("n_words"))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select("doc_id", "text_md5", "n_words")
+    }),
     "q_contamination" -> ((s, dir) => {
       // Benchmark = the 13-gram sets of the original %100 docs; the
       // injected clones (ids ≥ 1e6) must all be flagged.
@@ -5319,6 +5348,29 @@ object SparkEntry {
       s"""WITH f AS (SELECT doc_id, $cleaned AS t FROM documents)
          |SELECT doc_id, md5(t) AS text_md5, length(t)::BIGINT AS n_chars
          |FROM f""".stripMargin
+    },
+    // the q_crawl_clean chain → the q_quality_flags algebra over the
+    // CLEANED text → keep-min-id exact dedup — each fragment verbatim
+    // from its stand-alone oracle
+    "q_curation_e2e" -> {
+      val html = "'<html><head><script>if (1 < 2) x();</script></head><body><p>' || " +
+        s"text || ${sqlQ(dirtySuffix)} || ' &amp; <!-- c --> tail</p></body></html>'"
+      val cleaned = stripHtmlSqlChain(fixEncodingSqlChain(html))
+      s"""WITH f AS (SELECT doc_id, $cleaned AS t FROM documents),
+         |tk AS (SELECT doc_id, t,
+         |  regexp_split_to_array(trim(lower(t)), '\\s+') AS tks FROM f),
+         |s AS (SELECT doc_id, t,
+         |  CASE WHEN trim(t) = '' THEN 0 ELSE len(tks) END AS n_words,
+         |  length(array_to_string(tks, '')) AS alpha_len,
+         |  (length(t) - length(regexp_replace(t, '[#|{}\\[\\]<>]', '', 'g')))::DOUBLE
+         |    / length(t) AS sr FROM tk),
+         |m AS (SELECT doc_id, t, n_words,
+         |  CASE WHEN n_words > 0 THEN alpha_len::DOUBLE / n_words END AS ml, sr FROM s),
+         |gate AS (SELECT doc_id, t, n_words FROM m
+         |  WHERE n_words BETWEEN 20 AND 100000 AND ml BETWEEN 3.0 AND 10.0 AND sr <= 0.1),
+         |d AS (SELECT doc_id, md5(t) AS text_md5, n_words,
+         |  row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn FROM gate)
+         |SELECT doc_id, text_md5, n_words::INT AS n_words FROM d WHERE rn = 1""".stripMargin
     },
     "q_quality_flags" ->
       """WITH tk AS (SELECT doc_id, text,
