@@ -1317,6 +1317,23 @@ object SparkEntry {
         Parallelism.spread(t(s, dir, "events")),
         "user_id", "ts_ms", gapMinutes = 30)
     }),
+    "q_hist_depth" -> ((s, dir) => {
+      // Equal-MASS histogram of doc length: edges at the i/10
+      // quantiles, so the heavy tail gets resolution where
+      // q_histogram's equi-width bins would waste buckets on one
+      // outlier's range.
+      graft.operators.Profile.equiDepthHistogram(
+        Parallelism.spread(t(s, dir, "documents")), "n_chars", bins = 10)
+        .select("bin", "lo", "hi", "n_rows")
+    }),
+    "q_twap" -> ((s, dir) => {
+      // Time-weighted average of each user's value stream: hold-time
+      // weights from the next-observation lead, exact DECIMAL
+      // weighted sums, one division at the boundary.
+      graft.operators.Events.twap(
+        Parallelism.spread(t(s, dir, "events")),
+        "user_id", "ts_ms", "value", tieCols = Seq("event_id"))
+    }),
     "q_robust_scale" -> ((s, dir) => {
       // Outlier-resistant per-language length scaling: exact median
       // + MAD (6 dp), z_r = (x − med)/(1.4826·MAD) 4 dp — the
@@ -4176,6 +4193,36 @@ object SparkEntry {
         |  max(ts) - min(ts) AS duration_ms,
         |  sum(n)::BIGINT AS n_events, sum(n) = 1 AS is_bounce
         |FROM g GROUP BY user_id, sess""".stripMargin,
+    // quantile edges rounded 6 dp before the strict-> comparisons, so
+    // both engines bucket edge ties identically
+    "q_hist_depth" ->
+      """WITH e AS (SELECT list_transform(
+        |    quantile_cont(n_chars::DOUBLE, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |    x -> round(x, 6)) AS edges
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |b AS (SELECT len(list_filter(edges, x -> n_chars::DOUBLE > x)) AS bin, edges
+        |  FROM documents, e WHERE n_chars IS NOT NULL),
+        |c AS (SELECT bin, edges, count(*)::BIGINT AS n_rows FROM b GROUP BY 1, 2)
+        |SELECT bin::INT AS bin,
+        |  CASE WHEN bin > 0 THEN edges[bin] END AS lo,
+        |  CASE WHEN bin < 9 THEN edges[bin + 1] END AS hi,
+        |  n_rows FROM c""".stripMargin,
+    // the lead() hold-time weights and exact DECIMAL weighted sums,
+    // one division at the boundary; (ts, event_id) is the unique
+    // per-key order both engines share
+    "q_twap" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, value FROM events
+        |  WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |d AS (SELECT user_id, ms, value,
+        |  coalesce(lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id), ms) - ms AS dt
+        |  FROM e),
+        |g AS (SELECT user_id, min(ms) AS t_first, max(ms) AS t_last,
+        |  count(*)::BIGINT AS n_obs,
+        |  sum(value::DECIMAL(18,6) * dt) AS wv FROM d GROUP BY 1)
+        |SELECT user_id, t_first, t_last, n_obs,
+        |  round(CASE WHEN t_last > t_first
+        |    THEN wv::DOUBLE / (t_last - t_first) END, 6) AS twap
+        |FROM g""".stripMargin,
     // quantile_cont matches Spark's exact percentile (p·(n−1)
     // interpolation); 1.4826 spelled ::DOUBLE so DuckDB's DECIMAL
     // literal cannot scale differently

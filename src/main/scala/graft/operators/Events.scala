@@ -510,6 +510,51 @@ object Events {
       coalesce(col("zscore") > z, lit(false)).as("is_anomaly"))
   }
 
+  /** Time-WEIGHTED average per key over irregularly sampled
+    * observations — the "average price / sensor reading / queue
+    * depth" where a plain mean over-weights bursts (ten readings in
+    * one busy second must not outvote one reading that held for an
+    * hour): each observation is weighted by how long it HELD (until
+    * the key's next observation; the last observation holds zero by
+    * the standard convention), so
+    * twap = Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_last − t_first).
+    *
+    * Determinism: `tieCols` must make (ts, ties…) unique per key
+    * (§4 window discipline — same-ms observations need a
+    * deterministic order for their zero/nonzero hold assignment);
+    * the weighted sum accumulates exact DECIMAL (value 6 dp ×
+    * integer ms), ONE double division at the boundary. Null values
+    * are dropped. A single-observation key (zero span) yields null
+    * twap.
+    *
+    * Scale shape: one (key, ts) window pass + one map-side-combined
+    * grouped aggregation — bounded output, one row per key.
+    */
+  def twap(
+      df: DataFrame,
+      keyCol: String,
+      tsMsCol: String,
+      valueCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy((col(tsMsCol) +: tieCols.map(col)).map(_.asc): _*)
+    df.where(col(valueCol).isNotNull && col(tsMsCol).isNotNull)
+      .withColumn("__dt",
+        coalesce(lead(col(tsMsCol).cast("long"), 1).over(w), col(tsMsCol).cast("long"))
+          - col(tsMsCol).cast("long"))
+      .groupBy(col(keyCol))
+      .agg(
+        min(col(tsMsCol).cast("long")).as("t_first"),
+        max(col(tsMsCol).cast("long")).as("t_last"),
+        count(lit(1)).as("n_obs"),
+        sum(col(valueCol).cast("decimal(18,6)") * col("__dt")).as("__wv"))
+      .select(col(keyCol), col("t_first"), col("t_last"), col("n_obs"),
+        round(when(col("t_last") > col("t_first"),
+          col("__wv").cast("double") / (col("t_last") - col("t_first"))), 6)
+          .as("twap"))
+  }
+
   /** Per-session engagement stats over inactivity-gap sessionization
     * — the report behind bounce rate / session duration dashboards,
     * sharing row 9's session rule (a session breaks when the gap

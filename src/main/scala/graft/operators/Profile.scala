@@ -626,6 +626,55 @@ object Profile {
       v, mn, mx, bins, Nil)
   }
 
+  /** EQUI-DEPTH histogram — [[histogram]]'s equal-MASS sibling: bin
+    * edges are the i/bins quantiles, so every bucket holds ~the same
+    * row count and the skewed tail gets resolution where equi-width
+    * wastes 19 empty buckets on one outlier's range. The view that
+    * makes per-bucket caps/budgets meaningful on heavy-tailed
+    * signals.
+    *
+    * One quantile aggregation (exact `percentile`; `approx = true`
+    * swaps in the t-digest at corpus scale) produces the bins−1
+    * edges as a 1-row broadcast frame; bin assignment is `x > edge`
+    * counts over that bounded array (edge values themselves round 6
+    * dp, so both engines compare identically); one grouped count.
+    * Ties AT an edge land in the lower bucket (strict >), so
+    * duplicate-heavy data may still skew counts — that is the data,
+    * not the binning.
+    *
+    * @return one row per non-empty bucket: (bin 0-based, lo, hi —
+    *         6 dp edges, −/+infinity at the ends as nulls, n_rows).
+    */
+  def equiDepthHistogram(
+      df: DataFrame,
+      valueCol: String,
+      bins: Int = 10,
+      approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val v = col(valueCol).cast("double")
+    val edgesCol = graft.Cols.unique("__edges", df)
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val probArr = array(probs.map(lit): _*)
+    val q =
+      if (approx) approx_percentile(v, probArr, lit(accuracy))
+      else percentile(v, probArr)
+    val edges = df.where(v.isNotNull)
+      .agg(transform(q, e => round(e, 6)).as(edgesCol))
+    df.where(v.isNotNull)
+      .crossJoin(broadcast(edges))
+      .select(v.as("__v"), col(edgesCol))
+      .withColumn("bin",
+        size(filter(col(edgesCol), e => col("__v") > e)))
+      .groupBy(col("bin"), col(edgesCol))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("bin"),
+        when(col("bin") > 0, element_at(col(edgesCol), col("bin"))).as("lo"),
+        when(col("bin") < bins - 1,
+          element_at(col(edgesCol), col("bin") + 1)).as("hi"),
+        col("n_rows"))
+  }
+
   /** Per-group [[histogram]]: each group gets `bins` buckets over ITS
     * observed [min, max] (the per-domain length-distribution view).
     * The bounds frame is one row per group — broadcast-joined back on

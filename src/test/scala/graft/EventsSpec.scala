@@ -212,6 +212,32 @@ class EventsSpec extends SparkSpec {
       (2L, 2 * d, 9.0, false)))
   }
 
+  test("twap: hold-time weighting, last-obs zero hold, single-obs null") {
+    // key 1: v=10 holds 100ms, v=20 holds 200ms, v=30 holds 0 (last)
+    //   twap = (10*100 + 20*200) / 300 = 16.666667
+    // key 2: single observation -> null
+    val df = Seq(
+      (1L, 0L, 1L, 10.0), (1L, 100L, 2L, 20.0), (1L, 300L, 3L, 30.0),
+      (2L, 50L, 4L, 99.0))
+      .toDF("k", "ts_ms", "eid", "v")
+    val out = Events.twap(df, "k", "ts_ms", "v", tieCols = Seq("eid"))
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 0L, 300L, 3L, Some(16.666667))))
+    assert(out(2L)._5.isEmpty && out(2L)._4 == 1L)
+    // a burst (ten same-ms readings) cannot outvote a long hold: the
+    // tie order gives all but the last burst row zero hold
+    val burst = ((1 to 10).map(i => (3L, 1000L, i.toLong, 500.0)) :+
+      ((3L, 0L, 0L, 1.0))).toDF("k", "ts_ms", "eid", "v")
+    val b = Events.twap(burst, "k", "ts_ms", "v", Seq("eid"))
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    assert(b._5.contains(1.0), s"burst must not move twap: $b")
+    // null values dropped; repartition-invariant
+    val a1 = Events.twap(df.repartition(7), "k", "ts_ms", "v", Seq("eid"))
+      .collect().toSet
+    assert(a1 == Events.twap(df, "k", "ts_ms", "v", Seq("eid")).collect().toSet)
+  }
+
   test("sessionStats: gap rule, bounce flag, same-ts events share a session") {
     val m = 60000L
     val rows = Seq(

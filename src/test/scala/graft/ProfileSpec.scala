@@ -376,6 +376,32 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"funnel must be one scan:\n$plan")
   }
 
+  test("equiDepthHistogram: equal masses on uniform data, tail resolution on skew") {
+    // 100 uniform values into 10 bins -> 10 rows each
+    val uni = (1 to 100).map(_.toDouble).toDF("v")
+    val out = Profile.equiDepthHistogram(uni, "v", bins = 10)
+      .as[(Int, Option[Double], Option[Double], Long)].collect().sortBy(_._1)
+    assert(out.length == 10)
+    assert(out.forall(_._4 == 10L), out.mkString(","))
+    assert(out.head._2.isEmpty && out.last._3.isEmpty) // open ends
+    // lo/hi chain: each bucket's hi is the next bucket's lo
+    out.sliding(2).foreach { case Array(a, b) => assert(a._3 == b._2) }
+    // skewed data: the one outlier gets its own top bucket instead of
+    // emptying 9 equi-width buckets
+    val skew = ((1 to 99).map(_ => 1.0 + scala.util.Random.nextInt(5)) :+ 1e9)
+      .toDF("v")
+    val s10 = Profile.equiDepthHistogram(skew, "v", bins = 10)
+      .as[(Int, Option[Double], Option[Double], Long)].collect()
+    assert(s10.map(_._4).sum == 100L)
+    // determinism under repartitioning
+    val a = Profile.equiDepthHistogram(uni.repartition(7), "v", 10)
+      .collect().toSet
+    assert(a == Profile.equiDepthHistogram(uni, "v", 10).collect().toSet)
+    intercept[IllegalArgumentException] {
+      Profile.equiDepthHistogram(uni, "v", bins = 1)
+    }
+  }
+
   test("robustScaleByGroup: outlier-immune where mean/sd is not; MAD-zero null") {
     // group a: {1..9} plus a huge outlier; median 5.5, MAD = 2.5
     val vals = (1 to 9).map(_.toDouble) :+ 1e9
