@@ -1317,6 +1317,13 @@ object SparkEntry {
         Parallelism.spread(t(s, dir, "events")),
         "user_id", "ts_ms", gapMinutes = 30)
     }),
+    "q_budget" -> ((s, dir) => {
+      // Proportional sampling plan: 1000 units across languages by
+      // doc count, largest-remainder rounding so the quotas sum to
+      // the target EXACTLY — all DECIMAL(38,0) integer arithmetic.
+      graft.operators.Sampling.allocateBudget(
+        Parallelism.spread(t(s, dir, "documents")), "lang", target = 1000)
+    }),
     "q_hist_depth" -> ((s, dir) => {
       // Equal-MASS histogram of doc length: edges at the i/10
       // quantiles, so the heavy tail gets resolution where
@@ -4193,6 +4200,19 @@ object SparkEntry {
         |  max(ts) - min(ts) AS duration_ms,
         |  sum(n)::BIGINT AS n_events, sum(n) = 1 AS is_bounce
         |FROM g GROUP BY user_id, sess""".stripMargin,
+    // exact integer Hamilton rounding: HUGEINT product/floor/mod in
+    // DuckDB mirrors Spark's DECIMAL(38,0) arithmetic
+    "q_budget" ->
+      """WITH c AS (SELECT lang, count(*)::HUGEINT AS n FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot FROM c),
+        |p AS (SELECT lang, n, 1000::HUGEINT * n AS prod, tot FROM c, t),
+        |b AS (SELECT lang, n, prod // tot AS base, prod % tot AS rem FROM p),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+        |  (SELECT 1000 - sum(base) FROM b) AS leftover FROM b)
+        |SELECT lang, n::BIGINT AS n_rows,
+        |  (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS quota
+        |FROM r""".stripMargin,
     // quantile edges rounded 6 dp before the strict-> comparisons, so
     // both engines bucket edge ties identically
     "q_hist_depth" ->

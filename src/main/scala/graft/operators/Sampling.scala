@@ -238,6 +238,60 @@ object Sampling {
     * independently. `idCol` must be unique and non-null within each
     * source.
     */
+  /** Proportional per-group budget allocation with LARGEST-REMAINDER
+    * (Hamilton) rounding — the sampling PLAN behind "give me 10M
+    * docs spread across sources proportionally": floor quotas from
+    * exact integer arithmetic, then the leftover units go to the
+    * groups with the largest remainders (ties to the smaller group
+    * key), so Σ quota == target EXACTLY — naive per-group rounding
+    * drifts by up to |groups|/2 units, which a downstream
+    * exact-count contract (shard sizing, epoch budgeting) cannot
+    * absorb. Feed the quotas to [[capPerStratum]] to materialize the
+    * sample.
+    *
+    * All arithmetic is exact DECIMAL(38,0) integers (target·count ≤
+    * 10³⁸ — overflow-free far past any real corpus), no doubles
+    * anywhere. The remainder-rank window runs on the GROUPS frame —
+    * bounded by contract, and `maxGroups` turns that bound into an
+    * in-plan check (the survivalCurve guard pattern).
+    *
+    * @return one row per group: (groupCol, n_rows, quota);
+    *         Σ quota = target (when target ≥ 0; groups may receive
+    *         quotas above their own n_rows — the plan is
+    *         proportional, capping is the materializer's call).
+    */
+  def allocateBudget(
+      df: DataFrame,
+      groupCol: String,
+      target: Long,
+      maxGroups: Int = 1000000): DataFrame = {
+    require(target >= 0, "target must be non-negative")
+    require(maxGroups >= 1, "maxGroups must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"))
+    val tot = counts.agg(sum(col("__n")).as("__tot"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRem = Window.orderBy(col("__rem").desc, col(groupCol).asc)
+    val t = lit(target).cast("decimal(38,0)")
+    counts.crossJoin(broadcast(tot))
+      .withColumn("__prod", t * col("__n"))
+      // exact integer floor + remainder: prod = base·tot + rem
+      .withColumn("__rem", expr("__prod % __tot"))
+      .withColumn("__base", ((col("__prod") - col("__rem")) / col("__tot"))
+        .cast("decimal(38,0)"))
+      .withColumn("__rk",
+        when(count(lit(1)).over(all) > maxGroups,
+          raise_error(lit(s"allocateBudget: more than $maxGroups groups - " +
+            "coarsen the group key or raise maxGroups explicitly")).cast("int"))
+          .otherwise(row_number().over(wRem)))
+      .withColumn("__left", t - sum(col("__base")).over(all))
+      .select(col(groupCol), col("__n").cast("long").as("n_rows"),
+        (col("__base") + when(col("__rk") <= col("__left"), 1).otherwise(0))
+          .cast("long").as("quota"))
+  }
+
   def mixCorpora(
       sources: Seq[(DataFrame, Double)],
       idCol: String,

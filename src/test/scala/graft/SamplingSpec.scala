@@ -333,4 +333,37 @@ class SamplingSpec extends SparkSpec {
     assert(counts.size > 450, s"only ${counts.size} distinct negatives drawn")
     assert(counts.values.max <= 30, s"hottest negative drawn ${counts.values.max}x")
   }
+
+  test("allocateBudget: quotas sum to the target exactly; largest remainders win") {
+    // counts 3:3:1 over target 10 -> exact shares 30/7, 30/7, 10/7;
+    // floors 4,4,1 leave 1 unit; remainders 2/7, 2/7, 3/7 -> c's is
+    // LARGEST, so c (the smallest group!) gets the extra unit -
+    // exactly the case naive biggest-group-first rounding gets wrong
+    val df = (Seq.fill(3)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .toDF("g")
+    val out = Sampling.allocateBudget(df, "g", target = 10)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(("a", 3L, 4L), ("b", 3L, 4L), ("c", 1L, 2L)))
+    assert(out.map(_._3).sum == 10L)
+    // a target that naive rounding would drift on: 100 groups of 1,
+    // target 50 -> every share is 0.5; exactly 50 groups get a unit
+    val many = (0 until 100).map(i => f"g$i%03d").toDF("g")
+    val m = Sampling.allocateBudget(many, "g", target = 50)
+      .as[(String, Long, Long)].collect()
+    assert(m.map(_._3).sum == 50L)
+    assert(m.count(_._3 == 1L) == 50)
+    // rem ties broken by group key: the lexicographically first 50 win
+    assert(m.filter(_._3 == 1L).map(_._1).sorted.toSeq ==
+      (0 until 50).map(i => f"g$i%03d"))
+    // null groups dropped; determinism; the groups cap fires loudly
+    val a = Sampling.allocateBudget(df.repartition(5), "g", 10)
+      .collect().toSet
+    assert(a == Sampling.allocateBudget(df, "g", 10).collect().toSet)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    val ex = intercept[Exception] {
+      Sampling.allocateBudget(many, "g", 50, maxGroups = 10).collect()
+    }
+    assert(msgs(ex).exists(_.contains("maxGroups")))
+  }
 }
