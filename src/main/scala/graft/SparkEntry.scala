@@ -2584,6 +2584,18 @@ object SparkEntry {
           round(col("mean_g"), 4).as("mean_g"),
           round(col("mean_b"), 4).as("mean_b"))
     }),
+    "q_image_luma" -> ((s, dir) => {
+      // Flat-image filter over the real decode: exact integer luma
+      // sums, variance numerator n·Q − S² in exact longs, so the
+      // 6 dp roundings sit on power-of-small-int denominators and
+      // can never hit a half boundary.
+      val imgs = graft.multimodal.Multimodal
+        .synthesizePng(
+          Parallelism.spread(t(s, dir, "documents").select("doc_id")), "doc_id")
+      graft.multimodal.Multimodal
+        .lumaStats(imgs, "payload", flatVar = 10.0)
+        .select("doc_id", "width", "height", "mean_luma", "var_luma", "is_flat")
+    }),
     "q_multimodal_resize" -> ((s, dir) => {
       // Full real-codec chain: synthesize PNG → decode → NN-resample
       // to 8×8 → re-encode PNG → decode again. The NN mapping
@@ -5668,6 +5680,26 @@ object SparkEntry {
         |  round((w*h*((3*doc_id) % 100) + 2*h*(w*(w-1)//2) + 4*w*(h*(h-1)//2)) / (w*h)::DOUBLE, 4) AS mean_g,
         |  round((w*h*((5*doc_id) % 150) + 1*h*(w*(w-1)//2) + 1*w*(h*(h-1)//2)) / (w*h)::DOUBLE, 4) AS mean_b
         |FROM d""".stripMargin,
+    // per-pixel unnest replay (floor-luma is not closed-form): the
+    // same affine channels, the same integer floor luma, exact
+    // BIGINT S/Q sums and the identical n/n^2 divisions
+    "q_image_luma" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 9 AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h, x.x AS x, y.y AS y
+        |  FROM d, LATERAL (SELECT unnest(range(0, w)) AS x) x,
+        |          LATERAL (SELECT unnest(range(0, h)) AS y) y),
+        |lm AS (SELECT doc_id, w, h,
+        |  (299 * (doc_id % 128 + 3*x + 5*y) + 587 * ((3*doc_id) % 100 + 2*x + 4*y)
+        |    + 114 * ((5*doc_id) % 150 + x + y)) // 1000 AS lum FROM px),
+        |ag AS (SELECT doc_id, w, h, w*h AS n,
+        |  sum(lum)::BIGINT AS s, sum(lum*lum)::BIGINT AS q
+        |  FROM lm GROUP BY 1, 2, 3),
+        |fin AS (SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+        |  round(s / n::DOUBLE, 6) AS mean_luma,
+        |  round((n*q - s*s) / (n::DOUBLE * n), 6) AS var_luma FROM ag)
+        |SELECT doc_id, width, height, mean_luma, var_luma,
+        |  var_luma < 10.0::DOUBLE AS is_flat FROM fin""".stripMargin,
     // GVID directory-walk twin: the synthesis arithmetic is the
     // contract (a walk that miscounts or a header echo of a
     // truncated file goes red)

@@ -405,6 +405,78 @@ object Multimodal {
     }
   }
 
+  /** Per-image LUMA statistics over the REAL decode — the
+    * blank/flat-image filter a multimodal curation pipeline gates on
+    * (solid-color thumbnails, tracking pixels, dead camera frames
+    * all show near-zero luma variance): integer luma per pixel
+    * (`(299r + 587g + 114b) / 1000` — the [[dHash]] luma), EXACT
+    * long sums S and Q, then
+    * mean = S/n and var = (n·Q − S²)/n² — the variance numerator is
+    * exact integer arithmetic, so the 6 dp roundings sit on
+    * denominators n and n² (powers-of-small-ints, never a 5⁶ factor)
+    * and can never land on a decimal half boundary either engine
+    * rounds differently. `is_flat` compares the ROUNDED variance to
+    * `flatVar`, so the flag replays exactly.
+    *
+    * Null/undecodable payloads yield null stats and null flag.
+    * Row-local, batched like [[decodeImage]].
+    */
+  def lumaStats(
+      df: DataFrame,
+      payloadCol: String = "payload",
+      flatVar: Double = 10.0,
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = df.schema
+      .add(StructField("width", LongType))
+      .add(StructField("height", LongType))
+      .add(StructField("mean_luma", DoubleType))
+      .add(StructField("var_luma", DoubleType))
+      .add(StructField("is_flat", org.apache.spark.sql.types.BooleanType))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val bytes = row.get(payloadIdx).asInstanceOf[Array[Byte]]
+          val stats: Seq[Any] =
+            if (bytes == null) Seq(null, null, null, null, null)
+            else {
+              val img =
+                try readImageCodec(bytes)
+                catch { case scala.util.control.NonFatal(_) => null }
+              if (img == null) Seq(null, null, null, null, null)
+              else {
+                val w = img.getWidth
+                val h = img.getHeight
+                var s = 0L
+                var q = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val rgb = img.getRGB(x, y)
+                    val lum = (299 * ((rgb >> 16) & 0xff) +
+                      587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+                    s += lum
+                    q += lum.toLong * lum
+                    x += 1
+                  }
+                  y += 1
+                }
+                val n = w.toLong * h
+                val mean = r6(s.toDouble / n)
+                val v = r6((n * q - s * s).toDouble / (n.toDouble * n))
+                Seq[Any](w.toLong, h.toLong, mean, v, v < flatVar)
+              }
+            }
+          Row.fromSeq(row.toSeq ++ stats)
+        }
+      }
+    }
+  }
+
   /** Audio synthesis pattern for id: 16-bit mono PCM, 8 kHz.
     *   n       = 160 + 16·(id mod 5)          (multiple of 16)
     *   s(i)    = 4·(id mod 256) + 8·(i mod 16) − 512

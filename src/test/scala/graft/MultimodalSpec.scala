@@ -474,4 +474,47 @@ class MultimodalSpec extends SparkSpec {
       assert(vals.map(math.abs).max == target.toLong, s"peak hits target for $id")
     }
   }
+
+  test("lumaStats: exact S/Q model, flat solid image flagged, null payload") {
+    import graft.multimodal.Multimodal
+    val ids = Seq(0L, 7L, 40L, 123L).toDF("doc_id")
+    val out = Multimodal.lumaStats(
+      Multimodal.synthesizePng(ids, "doc_id"), "payload")
+      .select("doc_id", "width", "height", "mean_luma", "var_luma", "is_flat")
+      .as[(Long, Long, Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (id <- Seq(0L, 7L, 40L, 123L)) {
+      val w = (8 + id % 9).toInt; val h = (8 + (id / 9) % 9).toInt
+      var sS = 0L; var sQ = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val lum = (299 * (id % 128 + 3 * x + 5 * y) +
+          587 * (3 * id % 100 + 2 * x + 4 * y) +
+          114 * (5 * id % 150 + x + y)) / 1000
+        sS += lum; sQ += lum * lum
+      }
+      val n = w.toLong * h
+      val got = out(id)
+      assert(got._2 == w && got._3 == h)
+      assert(got._4 == r6(sS.toDouble / n), s"mean for $id")
+      assert(got._5 == r6((n * sQ - sS * sS).toDouble / (n.toDouble * n)),
+        s"var for $id")
+      assert(!got._6, s"gradient image must not flag flat: $id")
+    }
+    // a SOLID image has zero variance -> flagged flat
+    val img = new java.awt.image.BufferedImage(
+      10, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 10) img.setRGB(x, y, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val solid = Seq((1L, bos.toByteArray), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val f = Multimodal.lumaStats(solid, "payload")
+      .select("id", "var_luma", "is_flat")
+      .as[(Long, Option[Double], Option[Boolean])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(f(1L)._2.contains(0.0) && f(1L)._3.contains(true))
+    assert(f(2L)._2.isEmpty && f(2L)._3.isEmpty, "null payload -> null stats")
+  }
 }
