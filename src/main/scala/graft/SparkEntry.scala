@@ -1430,6 +1430,24 @@ object SparkEntry {
         t(s, dir, "documents"), "text", "doc_id",
         Seq("spark", "data", "query", "window"), k = 50)
     }),
+    "q_rrf" -> ((s, dir) => {
+      // Rank fusion of two retrievers with incomparable scores: the
+      // q_bm25 ranking and a second BM25 over a different term set,
+      // fused by RRF (1/(60+rank) contributions in exact DECIMAL) —
+      // no score calibration anywhere.
+      import org.apache.spark.sql.expressions.Window
+      def ranked(terms: Seq[String]) =
+        graft.functions.TextAnalysis.bm25TopK(
+          t(s, dir, "documents"), "text", "doc_id", terms, k = 50)
+          .withColumn("query_id", lit(0L))
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+          .select("query_id", "doc_id", "rank")
+      graft.operators.Eval.rrfFuse(
+        Seq(ranked(Seq("spark", "data", "query", "window")),
+          ranked(Seq("join", "hash", "stream", "merge"))),
+        "query_id", "doc_id", "rank", c = 60, topK = 10)
+    }),
     "q_ndcg" -> ((s, dir) => {
       // Retrieval-quality eval end to end: the q_bm25 ranking scored
       // against synthetic graded judgments (rel = doc_id % 4), nDCG
@@ -4406,6 +4424,40 @@ object SparkEntry {
         |sc AS (SELECT doc_id, round($contribs, 4) AS bm25 FROM base, s)
         |SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
         |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin
+    },
+    // two q_bm25 CTE stacks (different term sets, shared tokenizer),
+    // each ranked, fused by 8 dp 1/(60+rank) DECIMAL contributions —
+    // denominators ≤ 110 can never make an 8 dp half boundary
+    "q_rrf" -> {
+      def stack(pfx: String, terms: Seq[String]): String = {
+        val tfCols = terms.zipWithIndex.map { case (t, j) =>
+          s"len(list_filter(w, x -> x = '$t'))::DOUBLE AS tf$j"
+        }.mkString(", ")
+        val dfCols = terms.indices.map(j =>
+          s"sum(CASE WHEN tf$j > 0 THEN 1 ELSE 0 END)::DOUBLE AS df$j")
+          .mkString(", ")
+        val contribs = terms.indices.map(j =>
+          s"round(round(ln(1.0 + (n - df$j + 0.5) / (df$j + 0.5)), 6) * tf$j * 2.2" +
+            s" / (tf$j + 1.2 * (0.25 + 0.75 * l / (sl / n))), 6)")
+          .mkString(" + ")
+        s"${pfx}base AS (SELECT doc_id, len(w) AS l, $tfCols FROM tk),\n" +
+          s"${pfx}st AS (SELECT count(*)::DOUBLE AS n, sum(l)::DOUBLE AS sl, $dfCols FROM ${pfx}base),\n" +
+          s"${pfx}sc AS (SELECT doc_id, round($contribs, 4) AS bm25 FROM ${pfx}base, ${pfx}st),\n" +
+          s"${pfx}top AS (SELECT doc_id, bm25 FROM ${pfx}sc WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 50),\n" +
+          s"${pfx}r AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM ${pfx}top)"
+      }
+      s"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+        |  FROM documents),
+        |${stack("xa", Seq("spark", "data", "query", "window"))},
+        |${stack("xb", Seq("join", "hash", "stream", "merge"))},
+        |u AS (SELECT doc_id, round(1.0::DOUBLE / (rank + 60), 8)::DECIMAL(20,8) AS c FROM xar
+        |  UNION ALL
+        |  SELECT doc_id, round(1.0::DOUBLE / (rank + 60), 8)::DECIMAL(20,8) FROM xbr),
+        |g AS (SELECT doc_id, sum(c) AS s FROM u GROUP BY 1),
+        |rr AS (SELECT doc_id, s::DOUBLE AS sc,
+        |  row_number() OVER (ORDER BY s::DOUBLE DESC, doc_id) AS rank FROM g)
+        |SELECT 0::BIGINT AS query_id, doc_id, round(sc, 8) AS rrf_score,
+        |  rank::INT AS rank FROM rr WHERE rank <= 10""".stripMargin
     },
     // the q_bm25 ranking CTEs + the nDCG algebra: natural-log
     // discounts in both sums (base cancels), 8 dp terms in

@@ -16,6 +16,53 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    * — combine N rankings of the same query set (BM25 + dense ANN +
+    * a rerank cascade…) without score calibration: each doc scores
+    * Σᵢ 1/(c + rankᵢ) over the rankings that retrieved it, which
+    * SIGIR 2009 showed beats individual rankers and learned fusion
+    * on rank information alone — exactly the cheap ensembling a
+    * retrieval stack with incomparable scores (BM25 floats vs
+    * cosine) needs.
+    *
+    * Determinism/replay: per-ranking contributions round 8 dp into
+    * exact DECIMAL(20,8) (order-independent across rankings), the
+    * fused rank orders by (score desc, doc asc) and the top-k filter
+    * compiles to WindowGroupLimit. Scale shape: one union + one
+    * map-side-combined grouped sum + one pruned rank window.
+    *
+    * @param rankings frames shaped (queryCol, docCol, rankCol) —
+    *                 ranks ≥ 1, unique per (query, doc) within a
+    *                 ranking.
+    * @return (queryCol, docCol, rrf_score 8 dp, rank 1..topK).
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      queryCol: String,
+      docCol: String,
+      rankCol: String,
+      c: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "no rankings given")
+    require(c >= 0, "c must be non-negative")
+    require(topK >= 1, "topK must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val parts = rankings.map(_.select(
+      col(queryCol), col(docCol),
+      round(lit(1.0) / (col(rankCol).cast("double") + c), 8)
+        .cast("decimal(20,8)").as("__c")))
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col("rrf_score").desc, col(docCol).asc)
+    parts.reduce(_ unionByName _)
+      .groupBy(col(queryCol), col(docCol))
+      .agg(sum(col("__c")).as("__s"))
+      .withColumn("rrf_score", col("__s").cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col(queryCol), col(docCol),
+        round(col("rrf_score"), 8).as("rrf_score"), col("rank"))
+  }
+
   /** nDCG@k (Järvelin & Kekäläinen, "Cumulated gain-based evaluation
     * of IR techniques", TOIS 2002) — the graded-relevance ranking
     * metric that scores a retrieval stack (BM25, ANN, rerank

@@ -111,6 +111,36 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("rrfFuse: hand-computed fusion, consensus beats single-list wins, determinism") {
+    def r8(x: Double) = BigDecimal(x)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 'b' is rank 2 in BOTH lists; 'a' and 'c' take rank 1 in
+    // one and rank 3 in the other. 1/x is CONVEX, so
+    // RRF(a) = 1/61 + 1/63 > RRF(b) = 2/62 — the hand-checkable
+    // signature of reciprocal fusion (extremes edge out the middle).
+    val r1 = Seq((0L, "a", 1), (0L, "b", 2), (0L, "c", 3)).toDF("q", "doc", "rank")
+    val r2 = Seq((0L, "c", 1), (0L, "b", 2), (0L, "a", 3)).toDF("q", "doc", "rank")
+    val out = Eval.rrfFuse(Seq(r1, r2), "q", "doc", "rank", c = 60, topK = 10)
+      .as[(Long, String, Double, Int)].collect().sortBy(_._4)
+    assert(out.map(_._2).toSeq == Seq("a", "c", "b"))
+    assert(out.head._3 == r8(r8(1.0 / 61) + r8(1.0 / 63)))
+    assert(out(2)._3 == r8(r8(1.0 / 62) + r8(1.0 / 62)))
+    // a/c tie on score (symmetric ranks) -> doc order breaks it
+    assert(out(0)._3 == out(1)._3)
+    // a doc present in only one list still scores (no inner-join loss)
+    val r3 = Seq((0L, "z", 1)).toDF("q", "doc", "rank")
+    val withZ = Eval.rrfFuse(Seq(r1, r3), "q", "doc", "rank", topK = 10)
+      .as[(Long, String, Double, Int)].collect()
+    assert(withZ.exists(_._2 == "z"))
+    // determinism under repartitioning; topK truncates
+    val a1 = Eval.rrfFuse(Seq(r1.repartition(3), r2.repartition(2)),
+      "q", "doc", "rank", topK = 2).collect().toSeq
+    val a2 = Eval.rrfFuse(Seq(r1, r2), "q", "doc", "rank", topK = 2)
+      .collect().toSeq
+    assert(a1.toSet == a2.toSet && a2.length == 2)
+    intercept[IllegalArgumentException] { Eval.rrfFuse(Nil, "q", "doc", "rank") }
+  }
+
   test("ndcgAtK: hand-computed graded gains, perfect ranking = 1, edge queries") {
     import graft.operators.Eval
     def r(x: Double, dp: Int) = BigDecimal(x)
