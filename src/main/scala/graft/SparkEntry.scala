@@ -4288,11 +4288,13 @@ object SparkEntry {
         |    THEN round((n_chars - m) / (1.4826::DOUBLE * d), 4) END AS n_chars_rz
         |FROM j""".stripMargin,
     // ROLLUP + grouping_id: same SQL-standard bit order (leftmost
-    // dim = MSB) in both engines; exact DECIMAL(38,6) sums
+    // dim = MSB) in both engines; exact DECIMAL accumulation, ONE
+    // cast at the boundary (BIGINT — integral input; a raw wide
+    // DECIMAL output materializes differently across readers)
     "q_rollup_card" ->
       """SELECT lang, source, grouping_id(lang, source) AS level,
         |  count(*)::BIGINT AS n_rows,
-        |  sum(n_chars::DECIMAL(18,6))::DECIMAL(38,6) AS sum_n_chars,
+        |  sum(n_chars::DECIMAL(18,6))::BIGINT AS sum_n_chars,
         |  round(sum(n_chars::DECIMAL(18,6))::DOUBLE / count(*), 4) AS avg_n_chars
         |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
     // exact DECIMAL moment sums, mean rounded 6 dp BEFORE the

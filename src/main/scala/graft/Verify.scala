@@ -24,12 +24,36 @@ object Verify {
     // recorded in errors.json and listed loudly — 6 queries silently
     // absent from the round-7 artifact read as "missing", not "red".
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // A decimal with precision > 18 in an OUTPUT schema materializes
+    // asymmetrically across readers (arrow decimal128 → python Decimal
+    // vs HUGEINT-backed engines → float64): equal values, different
+    // hashes (the round-12 q_rollup_card escape). Ban the class at the
+    // dump boundary — operators convert ONCE (BIGINT/DOUBLE) after
+    // their exact DECIMAL accumulation.
+    def wideDecimals(dt: org.apache.spark.sql.types.DataType,
+        path: String): Seq[String] = dt match {
+      case d: org.apache.spark.sql.types.DecimalType if d.precision > 18 =>
+        Seq(s"$path: $d")
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.toSeq.flatMap(f => wideDecimals(f.dataType, s"$path.${f.name}"))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        wideDecimals(a.elementType, s"$path[]")
+      case m: org.apache.spark.sql.types.MapType =>
+        wideDecimals(m.keyType, s"$path<key>") ++
+          wideDecimals(m.valueType, s"$path<val>")
+      case _ => Nil
+    }
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          val df = fn(spark, sfDir)
+          val wide = df.schema.fields.toSeq
+            .flatMap(f => wideDecimals(f.dataType, f.name))
+          require(wide.isEmpty,
+            s"output decimal precision > 18 (reader-asymmetric): ${wide.mkString(", ")}")
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
           errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}"
           System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
         }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
 
 /** Data profiling: per-column stats for pipeline health checks.
   *
@@ -208,8 +209,16 @@ object Profile {
     * dimension value — without it the two are indistinguishable in
     * the output.
     *
+    * Determinism: the sum accumulates in exact DECIMAL, then
+    * converts ONCE at the output boundary — BIGINT when the input is
+    * integral (the fraction is provably .000000), DOUBLE otherwise.
+    * A raw wide DECIMAL output column would hash differently across
+    * readers (arrow decimal128 vs HUGEINT-backed engines) despite
+    * equal values.
+    *
     * @return one row per grouping-set cell: (dims…, level, n_rows,
-    *         sum_<value> DECIMAL(38,6) exact, avg_<value> 4 dp).
+    *         sum_<value> BIGINT (integral input) or DOUBLE,
+    *         avg_<value> 4 dp).
     */
   def rollupCard(
       df: DataFrame,
@@ -217,12 +226,18 @@ object Profile {
       valueCol: String): DataFrame = {
     require(dims.nonEmpty && dims.size <= 8,
       s"dims must be 1..8 columns, got ${dims.size}")
+    val integral = df.schema(valueCol).dataType match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+      case _ => false
+    }
     val dec = col(valueCol).cast("decimal(18,6)")
+    val sumOut =
+      if (integral) sum(dec).cast("bigint") else sum(dec).cast("double")
     df.rollup(dims.map(col): _*)
       .agg(
         grouping_id().as("level"),
         count(lit(1)).as("n_rows"),
-        sum(dec).cast("decimal(38,6)").as(s"sum_$valueCol"),
+        sumOut.as(s"sum_$valueCol"),
         round(sum(dec).cast("double") / count(lit(1)), 4).as(s"avg_$valueCol"))
       .select((dims.map(col) :+ col("level") :+ col("n_rows") :+
         col(s"sum_$valueCol") :+ col(s"avg_$valueCol")): _*)

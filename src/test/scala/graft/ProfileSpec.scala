@@ -441,8 +441,13 @@ class ProfileSpec extends SparkSpec {
       ("de", "a", 40),
       (null, "a", 50)) // genuinely-null lang — NOT a subtotal
       .toDF("lang", "source", "n")
-    val out = Profile.rollupCard(df, Seq("lang", "source"), "n")
-      .as[(Option[String], Option[String], Long, Long, BigDecimal, Double)]
+    val rolled = Profile.rollupCard(df, Seq("lang", "source"), "n")
+    // integral input → sum_<value> converts ONCE to BIGINT (no raw
+    // wide-DECIMAL output column to materialize asymmetrically)
+    assert(rolled.schema("sum_n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val out = rolled
+      .as[(Option[String], Option[String], Long, Long, Long, Double)]
       .collect().map(r => (r._1, r._2, r._3) -> ((r._4, r._6))).toMap
     // grand total: level 3
     assert(out((None, None, 3L)) == ((5L, 30.0)))
@@ -462,6 +467,13 @@ class ProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Profile.rollupCard(df, Nil, "n")
     }
+    // fractional input → DOUBLE sum (still one post-accumulation cast)
+    val frac = Seq(("en", "a", 1.5), ("en", "a", 2.25)).toDF("lang", "source", "n")
+    val fr = Profile.rollupCard(frac, Seq("lang"), "n")
+    assert(fr.schema("sum_n").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(fr.where(org.apache.spark.sql.functions.col("level") === 1)
+      .select("sum_n").as[Double].head() == 3.75)
   }
 
   test("standardizeByGroup: hand moments, zero-spread and null handling, name hygiene") {

@@ -8,14 +8,22 @@ runs the matching SQL from oracle_sql.json in DuckDB against the
 sfDir tables, and compares: column names, row count, and values
 (sorted columns, sorted rows, exact match).
 
-DRIVER PARITY: values are materialized through pandas `.df()` frames,
-NOT `fetchall()`. The driver's compare goes through pandas, where a
-DuckDB HUGEINT / DECIMAL column degrades to float64 (`126.0` != the
-Spark side's `126`) — `fetchall()` would hide that by yielding Python
-ints (the round-9 `q_pack_shards` escape). Any per-column dtype-class
-difference (int vs float) between the two frames is also printed as a
-WARN line even when the values happen to match.
+DRIVER PARITY: the SPARK side is read through pyarrow (as the driver
+reads it), the ORACLE side through DuckDB's pandas `.df()` — NOT both
+through DuckDB, and NOT `fetchall()`. The two escapes this asymmetric
+read catches that a symmetric one provably cannot:
+  * round-9 `q_pack_shards`: DuckDB HUGEINT degrades to float64 in
+    pandas (`126.0`) while Spark's int64 stays `126`;
+  * round-12 `q_rollup_card`: Spark decimal128(38,6) materializes as
+    python `Decimal('19525.000000')` through pyarrow while DuckDB's
+    HUGEINT-backed DECIMAL(38,6) degrades to float64 `19525.0` —
+    equal values, different reprs, driver hash mismatch. Reading the
+    Spark side through DuckDB made both sides degrade identically,
+    so the old gate said PASS on the exact output the driver FAILed.
+Any per-column dtype-class difference (int vs float) between the two
+frames is also printed as a WARN line even when the values match.
 """
+import datetime
 import json
 import math
 import os
@@ -24,6 +32,21 @@ from pathlib import Path
 
 import duckdb
 import numpy as np
+import pyarrow.dataset as pa_ds
+import pyarrow.parquet as pa_pq
+
+
+def read_spark_df(qdir):
+    """Read a Verify query output directory the way the DRIVER does:
+    pyarrow -> pandas (decimals stay Decimal, int64 stays int64)."""
+    return pa_pq.read_table(str(qdir)).to_pandas()
+
+
+def read_spark_schema_df(qdir):
+    """LIMIT-0 twin of read_spark_df: pandas dtypes from the parquet
+    schema alone, nothing materialized."""
+    return pa_ds.dataset(str(qdir), format="parquet").schema \
+        .empty_table().to_pandas()
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -31,6 +54,15 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def norm_cell(v):
     if v is None:
         return "NULL"
+    # The pyarrow spark-side read yields datetime.date for DATE
+    # columns while DuckDB's .df() yields midnight Timestamps for the
+    # same values — the driver hashes those equal (its r12 board is
+    # green on q_dau_mau / q_jalali_inverse / q_moving_avg /
+    # q_trend_line), so canonicalize both to one timestamp repr.
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return f"{v} 00:00:00"
     if isinstance(v, (float, np.floating)):
         f = float(v)
         if math.isnan(f):
@@ -68,8 +100,7 @@ def dtype_sweep(sf_dir, out_dir):
             print(f"FAIL {name}: no spark output")
             n_bad += 1
             continue
-        got = con.sql(
-            f"SELECT * FROM read_parquet('{qdir}/*.parquet') LIMIT 0").df()
+        got = read_spark_schema_df(qdir)
         want = con.sql(f"SELECT * FROM ({oracle[name]}) __q LIMIT 0").df()
         if sorted(got.columns) != sorted(want.columns):
             print(f"FAIL {name}: columns {sorted(got.columns)} != {sorted(want.columns)}")
@@ -108,14 +139,14 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
-        got = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
+        gdf = read_spark_df(qdir)
         want = con.sql(oracle[name])
-        gcols, wcols = sorted(got.columns), sorted(want.columns)
+        gcols, wcols = sorted(gdf.columns), sorted(want.columns)
         if gcols != wcols:
             print(f"FAIL {name}: columns {gcols} != {wcols}")
             n_fail += 1
             continue
-        gdf, wdf = got.df(), want.df()
+        wdf = want.df()
         for c in gcols:
             gk, wk = dtype_class(gdf[c].dtype), dtype_class(wdf[c].dtype)
             if gk != wk:
@@ -147,7 +178,7 @@ def main(sf_dir, out_dir):
     # pandas sort so unhashable cells (arrays) fail HERE, not there
     for qdir in sorted(Path(out_dir).iterdir()):
         if qdir.is_dir() and qdir.name not in oracle:
-            df = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df()
+            df = read_spark_df(qdir)
             try:
                 df.sort_values(by=list(df.columns), inplace=False)
                 print(f"INFO {qdir.name}: no oracle, {len(df)} rows")
