@@ -512,15 +512,17 @@ object SparkEntry {
     * Ends with `pqr` = (query_id, corpus_id, adist, rank).
     */
   private def pqCtes(
-      m: Int, subDim: Int, numCentroids: Int, fitStride: Int = 1): String =
-    s"""st AS (SELECT CAST(ceil(count(*) / $numCentroids.0) AS BIGINT) AS stride
-       |  FROM embeddings WHERE embedding IS NOT NULL),
-       |sub AS (SELECT vec_id AS id, g.s::INT AS s,
+      m: Int, subDim: Int, numCentroids: Int, fitStride: Int = 1,
+      corpusPred: String = "TRUE", qPred: String = "id < 5"): String =
+    s"""sub AS (SELECT vec_id AS id, g.s::INT AS s,
        |  list_transform(embedding[(g.s*$subDim+1):((g.s+1)*$subDim)], x -> x::DOUBLE) AS v
        |  FROM embeddings, generate_series(0, ${m - 1}) AS g(s)
        |  WHERE embedding IS NOT NULL),
-       |fsub AS (SELECT * FROM sub WHERE id % $fitStride = 0),
-       |cen0 AS (SELECT s, id AS cid, v AS cv FROM sub, st WHERE id % stride = 0),
+       |csub AS (SELECT * FROM sub WHERE $corpusPred),
+       |st AS (SELECT CAST(ceil(count(*) / $numCentroids.0) AS BIGINT) AS stride
+       |  FROM csub WHERE s = 0),
+       |fsub AS (SELECT * FROM csub WHERE id % $fitStride = 0),
+       |cen0 AS (SELECT s, id AS cid, v AS cv FROM csub, st WHERE id % stride = 0),
        |d1 AS (SELECT fsub.id, fsub.s, cen0.cid, round(${l2Sql("fsub.v", "cen0.cv")}, 6) AS d
        |  FROM fsub JOIN cen0 USING (s)),
        |a1 AS (SELECT id, s, cid FROM (SELECT id, s, cid,
@@ -529,11 +531,11 @@ object SparkEntry {
        |  FROM a1 JOIN fsub USING (id, s), generate_series(1, $subDim) AS g(i)),
        |cm AS (SELECT s, cid, pos, round(avg(x), 6) AS mx FROM e1 GROUP BY 1, 2, 3),
        |cen1 AS (SELECT s, cid, list(mx ORDER BY pos) AS cv FROM cm GROUP BY 1, 2),
-       |d2 AS (SELECT sub.id, sub.s, cen1.cid, round(${l2Sql("sub.v", "cen1.cv")}, 6) AS d
-       |  FROM sub JOIN cen1 USING (s)),
+       |d2 AS (SELECT csub.id, csub.s, cen1.cid, round(${l2Sql("csub.v", "cen1.cv")}, 6) AS d
+       |  FROM csub JOIN cen1 USING (s)),
        |codes AS (SELECT id, s, cid FROM (SELECT id, s, cid,
        |    row_number() OVER (PARTITION BY id, s ORDER BY d, cid) AS rn FROM d2) WHERE rn = 1),
-       |qsub AS (SELECT id AS query_id, s, v FROM sub WHERE id < 5),
+       |qsub AS (SELECT id AS query_id, s, v FROM sub WHERE $qPred),
        |lut AS (SELECT q.query_id, c.s, c.cid, round(${l2Sql("q.v", "c.cv")}, 6)::DECIMAL(18,6) AS d
        |  FROM qsub q JOIN cen1 c ON q.s = c.s),
        |ad AS (SELECT l.query_id, codes.id AS corpus_id, (sum(l.d))::DOUBLE AS adist
@@ -1606,45 +1608,72 @@ object SparkEntry {
         .select(col("vec_id"), col("pos"), round(col("pc"), 6).as("pc"))
     }),
     "q_ann_pq" -> ((s, dir) => {
-      // Product-quantized ADC top-k: codebooks BOUNDED at 64
-      // centroids per 8-dim subspace via autoStride
-      // (stride = ceil(n/64), which the oracle replays as a scalar
-      // subquery — the at-scale configuration, not the fixed-stride
-      // one whose assignment cost turns quadratic), 2 Lloyd passes;
-      // corpus floats are read once at encode, the search sums m LUT
-      // lookups per code row.
+      // Product-quantized ADC top-k, DEFAULT configuration = the
+      // persisted index (codebooks BOUNDED at 64 centroids per 8-dim
+      // subspace via autoStride, 2 Lloyd passes, stride-4 fit
+      // sample): the corpus floats were read once at BUILD time and
+      // a query batch pays only LUT-build + code-join. The oracle
+      // replays the whole fit+encode+search recipe from scratch, so
+      // this key also proves the persisted codebooks/codes equal a
+      // from-scratch build; the per-call-fit baseline is
+      // q_ann_pq_fit.
       val e = t(s, dir, "embeddings")
-      graft.operators.Pq.pqTopK(e, e.where(col("vec_id") < 5),
-        "embedding", "vec_id", "vec_id", k = 10, dim = 64, m = 8,
-        numCentroids = 64, fitSampleStride = 4)
+      val table = ensurePqIndex(s, dir, "graft_pq_idx_s4_", e)
+      graft.operators.Pq.pqTopKFromIndex(s, table,
+        e.where(col("vec_id") < 5), "embedding", "vec_id", k = 10)
     }),
     "q_ann_pq_index" -> ((s, dir) => {
-      // Identical contract to q_ann_pq: the PERSISTED-index path
-      // (code rows + codebooks built once into catalog tables,
-      // geometry in table properties) must reproduce pqTopK exactly —
-      // the same fail-fast parity the IVF and signature tables keep.
-      // A query batch here never touches the corpus floats.
+      // A SECOND query batch against the same persisted index: the
+      // amortization claim made concrete — two batches, one build,
+      // zero refits (the ensure is srcDir-cached, so this key and
+      // q_ann_pq share the tables). Geometry rides the table
+      // properties; a mismatched assumption fails fast.
       val e = t(s, dir, "embeddings")
       // prefix versioned with the fit recipe: a pre-round-12 index in
       // the warehouse was fit on the full corpus and must not be
       // reused against the sampled-fit oracle
       val table = ensurePqIndex(s, dir, "graft_pq_idx_s4_", e)
       graft.operators.Pq.pqTopKFromIndex(s, table,
-        e.where(col("vec_id") < 5), "embedding", "vec_id", k = 10)
+        e.where(col("vec_id") >= 5 && col("vec_id") < 10),
+        "embedding", "vec_id", k = 10)
+    }),
+    "q_ann_pq_fit" -> ((s, dir) => {
+      // LABELED fit-inclusive baseline: what refusing to persist
+      // costs PER QUERY BATCH — fit + encode + search from scratch
+      // on every call. Run over the deterministic quarter corpus
+      // (vec_id % 4 = 0, nested stride-16 fit sample) so the
+      // calibration row stays affordable at every sf; the full-corpus
+      // build lives in the index q_ann_pq serves from, paid once.
+      val e = t(s, dir, "embeddings")
+      graft.operators.Pq.pqTopK(
+        e.where(pmod(col("vec_id"), lit(4)) === 0),
+        e.where(col("vec_id") < 5),
+        "embedding", "vec_id", "vec_id", k = 10, dim = 64, m = 8,
+        numCentroids = 64, fitSampleStride = 16)
     }),
     "q_pq_recall" -> ((s, dir) => {
-      // The PQ-quality eval: recall@10 of the ADC ranking vs the
-      // exact float path — both sides replayable, the metric itself
-      // oracle-checked (same contract as q_ann_recall). The baseline
-      // is metric-matched squared L2 (pqTopK scores squared L2; a
-      // cosine baseline would conflate metric disagreement on these
-      // non-unit-norm vectors with quantization loss).
+      // The PQ-quality eval, SAMPLED: recall@10 on a deterministic
+      // ~16-query stride subsample (the kmeans-init pattern — any
+      // engine regenerates it), ADC side served from the persisted
+      // index, exact side metric-matched squared L2 (cosine would
+      // conflate metric disagreement on these non-unit-norm vectors
+      // with quantization loss). Per-query recalls feed a Poisson-
+      // bootstrap 95% CI, so the subsample's uncertainty is REPORTED
+      // instead of hidden — the eval costs one bounded brute ranking
+      // + one index probe, never two full exact rankings.
       val e = t(s, dir, "embeddings")
-      val q = e.where(col("vec_id") < 5)
-      Similarity.annRecall(
-        graft.operators.Pq.pqTopK(e, q, "embedding", "vec_id", "vec_id",
-          k = 10, dim = 64, m = 8, numCentroids = 64, fitSampleStride = 4),
-        Similarity.bruteForceTopKL2(e, q, "embedding", "vec_id", "vec_id", k = 10))
+      val n = e.where(col("embedding").isNotNull).count()
+      val qstride = Similarity.autoStride(n, 16)
+      val q = e.where(col("embedding").isNotNull &&
+        pmod(col("vec_id"), lit(qstride)) === 0)
+      val table = ensurePqIndex(s, dir, "graft_pq_idx_s4_", e)
+      graft.operators.Eval.bootstrapMeanCI(
+        Similarity.annRecallByQuery(
+          graft.operators.Pq.pqTopKFromIndex(s, table, q,
+            "embedding", "vec_id", k = 10),
+          Similarity.bruteForceTopKL2(e, q, "embedding", "vec_id",
+            "vec_id", k = 10)),
+        "query_id", "recall", replicates = 64, seed = 0L, alpha = 0.05)
     }),
     "q_ann_matryoshka" -> ((s, dir) => {
       // Top-k over the 16-dim matryoshka prefix: 4× less vector
@@ -4666,30 +4695,63 @@ object SparkEntry {
         |  FROM u u1 JOIN u u2 USING (vec_id) GROUP BY 1, 2)
         |SELECT p.i, p.j, round((pp - s1.s * s2.s / n) / (n - 1), 6) + 0 AS cov
         |FROM p JOIN s s1 ON p.i = s1.i JOIN s s2 ON p.j = s2.i, nn""".stripMargin,
+    // the full fit+encode+search recipe replayed from scratch — so a
+    // green row ALSO proves the persisted codebooks/codes this key
+    // serves from equal a from-scratch build
     "q_ann_pq" ->
       (s"""WITH ${pqCtes(m = 8, subDim = 8, numCentroids = 64, fitStride = 4)}
           |SELECT query_id, corpus_id, adist, rank::INT AS rank FROM pqr WHERE rank <= 10""".stripMargin),
-    // identical contract: the persisted-index path must reproduce
-    // pqTopK exactly (same replay)
+    // second query batch, same index — same replay, different qPred
     "q_ann_pq_index" ->
-      (s"""WITH ${pqCtes(m = 8, subDim = 8, numCentroids = 64, fitStride = 4)}
+      (s"""WITH ${pqCtes(m = 8, subDim = 8, numCentroids = 64, fitStride = 4,
+             qPred = "id >= 5 AND id < 10")}
           |SELECT query_id, corpus_id, adist, rank::INT AS rank FROM pqr WHERE rank <= 10""".stripMargin),
-    // the ADC ranking CTEs + the metric-matched exact-L2 CTEs + the
-    // recall join (cosine here would grade metric disagreement, not
-    // quantization loss)
+    // the fit-inclusive baseline: quarter corpus (id % 4 = 0),
+    // nested stride-16 fit sample, queries unchanged
+    "q_ann_pq_fit" ->
+      (s"""WITH ${pqCtes(m = 8, subDim = 8, numCentroids = 64, fitStride = 16,
+             corpusPred = "id % 4 = 0")}
+          |SELECT query_id, corpus_id, adist, rank::INT AS rank FROM pqr WHERE rank <= 10""".stripMargin),
+    // the ADC ranking CTEs on the ~32-query stride subsample + the
+    // metric-matched exact-L2 CTEs (cosine here would grade metric
+    // disagreement, not quantization loss) + per-query recall + the
+    // q_bootstrap_ci Poisson replay (same 60-bit md5 uniform, same
+    // 10 dp CDF literals, decimal replicate sums)
     "q_pq_recall" ->
-      (s"""WITH ${pqCtes(m = 8, subDim = 8, numCentroids = 64, fitStride = 4)},
-          |fq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      (s"""WITH qst AS (SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) AS qstride
+          |  FROM embeddings WHERE embedding IS NOT NULL),
+          |${pqCtes(m = 8, subDim = 8, numCentroids = 64, fitStride = 4,
+             qPred = "id % (SELECT qstride FROM qst) = 0")},
+          |fq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          |  WHERE embedding IS NOT NULL AND vec_id % (SELECT qstride FROM qst) = 0),
           |fc AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
           |fs AS (SELECT query_id, corpus_id, round(${l2Sql("cv", "qv")}, 6) AS dist FROM fc, fq),
           |fr AS (SELECT query_id, corpus_id,
           |  row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, corpus_id) AS rank FROM fs),
           |exact AS (SELECT query_id, corpus_id FROM fr WHERE rank <= 10),
           |approx AS (SELECT query_id, corpus_id FROM pqr WHERE rank <= 10),
-          |tot AS (SELECT count(DISTINCT query_id) AS n_queries, count(*)::BIGINT AS n_exact FROM exact),
-          |mt AS (SELECT count(*)::BIGINT AS n_matched FROM exact JOIN approx USING (query_id, corpus_id))
-          |SELECT n_queries, n_exact, n_matched,
-          |  round(n_matched / n_exact::DOUBLE, 6) AS recall FROM tot, mt""".stripMargin),
+          |rq AS (SELECT e.query_id,
+          |    round(sum(CASE WHEN a.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+          |      / count(*)::DOUBLE, 6) AS recall
+          |  FROM exact e LEFT JOIN approx a USING (query_id, corpus_id) GROUP BY 1),
+          |rr AS (SELECT query_id, recall, unnest(range(0, 64)) AS b FROM rq),
+          |uu AS (SELECT b, recall,
+          |    ${h60Sql("query_id::VARCHAR || ':0:' || b::VARCHAR")}::DOUBLE
+          |      / 1152921504606846976.0 AS u FROM rr),
+          |ww AS (SELECT b, recall, CASE WHEN u < 0.3678794412 THEN 0
+          |    WHEN u < 0.7357588823 THEN 1 WHEN u < 0.9196986029 THEN 2
+          |    WHEN u < 0.9810118431 THEN 3 WHEN u < 0.9963401532 THEN 4
+          |    ELSE 5 END AS w FROM uu),
+          |mm AS (SELECT b, CASE WHEN sum(w) > 0 THEN
+          |    round(sum((w * recall::DOUBLE)::DECIMAL(28,10))::DOUBLE / sum(w), 6)
+          |  END AS m FROM ww GROUP BY 1),
+          |ci AS (SELECT count(m)::BIGINT AS n_replicates,
+          |    round(quantile_cont(m, 0.025), 6) AS ci_lo,
+          |    round(quantile_cont(m, 0.975), 6) AS ci_hi FROM mm),
+          |p AS (SELECT count(*)::BIGINT AS n_rows,
+          |    round(sum(recall::DECIMAL(28,10))::DOUBLE / count(*), 6) AS mean
+          |  FROM rq)
+          |SELECT n_rows, n_replicates, mean, ci_lo, ci_hi FROM p, ci""".stripMargin),
     // the 16-dim prefix slice, then the shared cosine replay
     "q_ann_matryoshka" ->
       (s"""WITH q AS (SELECT vec_id AS query_id, embedding[1:16] AS qv FROM embeddings WHERE vec_id < 5),

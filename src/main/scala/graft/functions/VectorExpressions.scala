@@ -107,6 +107,74 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Σ(aᵢ−bᵢ)² — exactly [[VectorFunctions.squaredL2Distance]]'s
+  * zip_with/aggregate fold (same index-order double accumulation;
+  * null on length mismatch or a null element, matching zip_with's
+  * null padding). The PQ fit/encode/ADC hot path evaluates this
+  * once per (row, centroid) pair, where the interpreted HOF version
+  * dominated the wall clock.
+  */
+case class SquaredL2Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import VectorExpressions._
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "squared_l2_distance"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>/array<double> inputs")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = elemAt(x, left.dataType, i) - elemAt(y, right.dataType, i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (getL, _) = elemPrim(left.dataType)
+      val (getR, _) = elemPrim(right.dataType)
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) { ${ev.isNull} = true; } else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = (double) $a.$getL($i) - (double) $b.$getR($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SquaredL2Distance =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Random-hyperplane LSH bucket id: bit p = (vec · planes(p)) > 0 —
   * exactly [[VectorFunctions.hyperplaneBucket]] (bucket 0 when the
   * vector length mismatches the planes or an element is null, like

@@ -92,6 +92,16 @@ object VectorFunctions {
       CosineSimilarity(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
   }
 
+  /** Native codegen squared L2 — bit-identical to
+    * [[squaredL2Distance]] (same index-order accumulation, same null
+    * semantics); the kernel the PQ fit/encode/ADC pairs loop runs on.
+    */
+  def squaredL2DistanceNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      SquaredL2Distance(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  }
+
   /** Native codegen hyperplane bucket — bit-identical to
     * [[hyperplaneBucket]]; one pass over the vector for all planes.
     */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.VectorFunctions.squaredL2Distance
+import graft.functions.VectorFunctions.squaredL2DistanceNative
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -65,7 +65,7 @@ object Pq {
       carrySub: Boolean = true): DataFrame = {
     val joined = sub.join(broadcast(cen), Seq("__s"))
       .withColumn("__d",
-        round(squaredL2Distance(col("__sub"), col("__cvec")), 6))
+        round(squaredL2DistanceNative(col("__sub"), col("__cvec")), 6))
       .groupBy(col("__id"), col("__s"))
     if (carrySub)
       joined
@@ -185,7 +185,7 @@ object Pq {
       .join(broadcast(books.select(col("s").as("__s"), col("cid").as("__cid"),
         col("centroid").as("__cvec"))), Seq("__s"))
       .select(col("__id").as("query_id"), col("__s"), col("__cid"),
-        round(squaredL2Distance(col("__sub"), col("__cvec")), 6)
+        round(squaredL2DistanceNative(col("__sub"), col("__cvec")), 6)
           .cast("decimal(18,6)").as("__d"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("corpus_id").asc)
@@ -198,10 +198,16 @@ object Pq {
       .select("query_id", "corpus_id", "adist", "rank")
   }
 
-  /** ADC top-k: fit + encode + the LUT-sum search in one call.
-    * Approximate by construction — ranks follow the quantized
-    * distances; measure with [[Similarity.annRecall]] against
-    * [[Similarity.bruteForceTopKL2]].
+  /** ADC top-k: encode + the LUT-sum search, plus an in-flight fit
+    * when no `codebooks` are passed. Approximate by construction —
+    * ranks follow the quantized distances; measure with
+    * [[Similarity.annRecall]] against [[Similarity.bruteForceTopKL2]].
+    *
+    * Prefer passing `codebooks` (the frozen output of
+    * [[fitCodebooks]] or a persisted index's `table__codebooks`): at
+    * scale the fit is paid once per CORPUS, not once per query batch
+    * — the fit-per-call default exists as the calibration baseline,
+    * and [[pqTopKFromIndex]] is the path that also skips the encode.
     *
     * @return (query_id, corpus_id, adist — approximate squared L2,
     *         6 dp, rank 1..k ascending distance).
@@ -219,11 +225,13 @@ object Pq {
       iters: Int = 2,
       numCentroids: Int = 0,
       expectedRows: Long = 0L,
-      fitSampleStride: Int = 1): DataFrame = {
+      fitSampleStride: Int = 1,
+      codebooks: DataFrame = null): DataFrame = {
     require(k >= 1, "k must be positive")
-    val books = fitCodebooks(corpus, vecCol, idCol, dim, m, stride, iters,
-      numCentroids, expectedRows, fitSampleStride)
-      .localCheckpoint()
+    val books = Option(codebooks).getOrElse(
+      fitCodebooks(corpus, vecCol, idCol, dim, m, stride, iters,
+        numCentroids, expectedRows, fitSampleStride)
+        .localCheckpoint())
     val codes = encode(corpus, vecCol, idCol, dim, m, books)
     adcSearch(
       codes.select(col("id").as("corpus_id"),

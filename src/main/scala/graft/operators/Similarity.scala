@@ -140,7 +140,7 @@ object Similarity {
     val scored = c
       .join(broadcast(q))
       .withColumn("dist",
-        round(squaredL2Distance(col("__cv"), col("__qv")), 6))
+        round(graft.functions.VectorFunctions.squaredL2DistanceNative(col("__cv"), col("__qv")), 6))
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("corpus_id").asc)
@@ -308,6 +308,28 @@ object Similarity {
       col("n_queries"), col("n_exact"), col("n_matched"),
       round(when(col("n_exact") > 0,
         col("n_matched") / col("n_exact").cast("double")), 6).as("recall"))
+  }
+
+  /** Per-query twin of [[annRecall]] — one (query_id, n_exact,
+    * n_matched, recall) row per query instead of one corpus-wide
+    * number, the shape a SAMPLED recall eval needs: rank a bounded
+    * deterministic query subsample, then put an error bar on the
+    * mean with [[graft.operators.Eval.bootstrapMeanCI]] over these
+    * rows rather than paying the exact ranking for every query. Same
+    * cost contract as [[annRecall]]: a join of two (queries × k)-row
+    * frames, nothing beyond the searches themselves.
+    */
+  def annRecallByQuery(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("corpus_id"))
+      .withColumn("__hit", lit(1))
+    exact.select(col("query_id"), col("corpus_id"))
+      .join(a, Seq("query_id", "corpus_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_matched"))
+      .withColumn("recall",
+        round(col("n_matched") / col("n_exact").cast("double"), 6))
   }
 
   /** Approximate top-k: candidates restricted to the query's

@@ -75,6 +75,21 @@ class PqSpec extends SparkSpec {
     assert(viaExpected.collect().toSet == explicit.collect().toSet)
   }
 
+  test("pqTopK with pre-fit codebooks equals the in-flight fit; skips refitting") {
+    val q = tiny.where($"vec_id" === 0)
+    val inFlight = Pq.pqTopK(tiny, q, "embedding", "vec_id", "vec_id",
+      k = 4, dim = 4, m = 2, stride = 2)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4).toSeq
+    val books = Pq.fitCodebooks(tiny, "embedding", "vec_id", dim = 4, m = 2,
+      stride = 2)
+    // frozen codebooks passed in → no stride/numCentroids needed, and
+    // the ranking is bit-identical to the fit-per-call path
+    val frozen = Pq.pqTopK(tiny, q, "embedding", "vec_id", "vec_id",
+      k = 4, dim = 4, m = 2, codebooks = books)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4).toSeq
+    assert(frozen == inFlight)
+  }
+
   test("fitCodebooks requires a stride or a centroid bound") {
     intercept[IllegalArgumentException] {
       Pq.fitCodebooks(tiny, "embedding", "vec_id", dim = 4, m = 2)

@@ -241,6 +241,28 @@ class SimilaritySpec extends SparkSpec {
     assert(row.getLong(0) == 0L && row.isNullAt(1))
   }
 
+  test("annRecallByQuery: one row per query, counts match annRecall's totals") {
+    val rnd = new scala.util.Random(31)
+    val c = (0L until 120L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "vec")
+    val q = c.where($"id" < 4)
+    val exact = Similarity.bruteForceTopK(c, q, "vec", "id", "id", k = 6)
+    // identical inputs → recall 1.0 per query
+    val self = Similarity.annRecallByQuery(exact, exact)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(self.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    assert(self.forall(r => r._2 == 6L && r._3 == 6L && r._4 == 1.0))
+    // an imperfect ranker: per-query matched sums to annRecall's total
+    val int8 = Similarity.bruteForceTopKInt8(c, q, "vec", "id", "id", k = 6)
+    val perQ = Similarity.annRecallByQuery(int8, exact)
+      .as[(Long, Long, Long, Double)].collect()
+    val total = Similarity.annRecall(int8, exact)
+      .as[(Long, Long, Long, Double)].head()
+    assert(perQ.length == 4 && perQ.map(_._2).sum == total._2 &&
+      perQ.map(_._3).sum == total._3)
+    assert(perQ.forall(r => r._4 == r._3.toDouble / r._2))
+  }
+
   test("ivfTopKFromIndex: identical results to ivfTopK, corpus side shuffle-free") {
     val rnd = new scala.util.Random(11)
     val c = (0L until 300L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))

@@ -50,11 +50,21 @@ class VectorFunctionsSpec extends SparkSpec {
     val cmp = df.select(
       cosineSimilarity($"v", $"w").as("hof_cos"),
       cosineSimilarityNative($"v", $"w").as("nat_cos"),
+      squaredL2Distance($"v", $"w").as("hof_l2"),
+      squaredL2DistanceNative($"v", $"w").as("nat_l2"),
       hyperplaneBucket($"v", 16, 8).as("hof_b"),
       hyperplaneBucketNative($"v", 16, 8).as("nat_b"))
     val bad = cmp.where(
-      $"hof_cos" =!= $"nat_cos" || $"hof_b" =!= $"nat_b").count()
+      $"hof_cos" =!= $"nat_cos" || $"hof_l2" =!= $"nat_l2" ||
+        $"hof_b" =!= $"nat_b").count()
     assert(bad == 0)
+    // native L2 null semantics match zip_with's padding: length
+    // mismatch and null element both yield null
+    val edge = Seq((Seq(1.0f, 2.0f), Seq(1.0f))).toDF("a", "b")
+      .select(squaredL2DistanceNative($"a", $"b").as("d"),
+        squaredL2Distance($"a", $"b").as("hd"))
+      .collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
     // distribution sanity: natives produce >1 distinct bucket
     assert(cmp.select($"nat_b").distinct().count() > 1)
   }
