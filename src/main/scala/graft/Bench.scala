@@ -158,11 +158,11 @@ object Bench {
     // rep and drop reps whose probe inflated past the factor.
     val flagFactor = sys.env.get("SPARK_GRAFT_PROBE_FACTOR")
       .flatMap(_.toDoubleOption).getOrElse(2.0)
-    val probeBaseline = {
+    val warmupBaseline = {
       val ps = (1 to 7).map(_ => probeOnce(spark)).sorted
       ps(ps.length / 2)
     }
-    val results = selected.map { case (name, fn) =>
+    val measured = selected.map { case (name, fn) =>
       val runs: Seq[Either[String, (Double, Double)]] = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try {
@@ -174,8 +174,24 @@ object Bench {
           Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
         }
       }
-      val err = runs.collectFirst { case Left(m) => m }
-      val pairs = runs.collect { case Right(p) => p }
+      (name, runs.collectFirst { case Left(m) => m },
+        runs.collect { case Right(p) => p })
+    }
+    // The baseline itself can be contended: if the box was loaded
+    // during the 7-probe warm-up, every later rep passes the factor
+    // test and the filter is silently disabled. Re-derive post hoc as
+    // min(warm-up median, median of ALL interleaved probes) — a quiet
+    // run pulls an inflated warm-up back down; a uniformly loaded box
+    // leaves it unchanged (and the JSON's baseline/median ratio is
+    // the red flag either way).
+    val interleaved = measured.flatMap(_._3.map(_._2)).sorted
+    val probeBaseline =
+      if (interleaved.isEmpty) warmupBaseline
+      else math.min(warmupBaseline, interleaved(interleaved.length / 2))
+    if (probeBaseline < warmupBaseline / flagFactor) System.err.println(
+      f"[bench] warm-up probe baseline ${warmupBaseline}%.3fs was itself " +
+        f"contended (run median ${probeBaseline}%.3fs) - using the run-derived baseline")
+    val results = measured.map { case (name, err, pairs) =>
       val (keptTimes, flagged) = filterFlagged(pairs, probeBaseline, flagFactor)
       if (flagged > 0) System.err.println(
         s"[bench] $name: $flagged/$reps reps flagged (probe > " +
@@ -205,7 +221,7 @@ object Bench {
     val probeMedian =
       if (allProbes.isEmpty) probeBaseline else allProbes(allProbes.length / 2)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failedJson,"queries":$qs,"total_min":$totalMin,"queries_min":$qsMin,"probe_baseline":$probeBaseline,"probe_median":$probeMedian,"probe_flag_factor":$flagFactor,"flagged_reps":$flaggedReps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failedJson,"queries":$qs,"total_min":$totalMin,"queries_min":$qsMin,"probe_baseline":$probeBaseline,"probe_warmup_baseline":$warmupBaseline,"probe_median":$probeMedian,"probe_flag_factor":$flagFactor,"flagged_reps":$flaggedReps,"sf":"$sfDir"}"""
     println(json)
     // The driver keeps only the stdout tail, which truncates the full
     // query map (round-5 BENCH artifact parsed as null). Always write

@@ -1130,7 +1130,18 @@ object Dedup {
     * noise by contract). Verification is the [[attachSets]]
     * join-back + one exact intersection per candidate.
     *
-    * @return (id_a, id_b, containment 4 dp ≥ threshold, contained_id
+    * Scoring vs candidacy asymmetry (deliberate, read carefully):
+    * the emitted `containment` is scored over the FULL unfiltered
+    * shingle sets — the number a user can reproduce from the two
+    * texts — while candidate generation only sees shingles with
+    * df ≤ `maxShingleDocs`. Consequently recall is guaranteed ONLY
+    * for pairs where at least one shared shingle survives the df
+    * cap; a qualifying pair whose entire overlap is stop-shingles is
+    * skipped by contract (it shares nothing distinctive), yet a
+    * FOUND pair's score does count those stop-shingles.
+    *
+    * @return (id_a, id_b, containment 4 dp ≥ threshold over the
+    *         UNFILTERED sets — see the asymmetry note, contained_id
     *         — the smaller-set side, ties to the smaller id).
     */
   def containmentPairs(

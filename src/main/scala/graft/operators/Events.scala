@@ -69,8 +69,12 @@ object Events {
       when(col(typeCol) === steps.head, lit(0))) { case (acc, (s, i)) =>
       acc.when(col(typeCol) === s, lit(i + 1))
     }
+    // A null timestamp would sort first, be accepted as step 0 with
+    // t0 = null, and poison every later `ts > null` comparison — the
+    // user silently never converts while a min()-based replay skips
+    // nulls. Exclude the row, keep the user's other events.
     val perUser = df
-      .where(col(typeCol).isin(steps: _*))
+      .where(col(typeCol).isin(steps: _*) && col(tsMsCol).isNotNull)
       .select(
         col(userCol).as("__u"),
         col(tsMsCol).cast("long").as("__ts"),
@@ -134,8 +138,11 @@ object Events {
       when(col(typeCol) === steps.head, lit(0))) { case (acc, (s, i)) =>
       acc.when(col(typeCol) === s, lit(i + 1))
     }
+    // Same null-timestamp exclusion as eventFunnel (see there): a
+    // null __ts would enter the fold as step 0 and nullify every
+    // later comparison.
     val durations = df
-      .where(col(typeCol).isin(steps: _*))
+      .where(col(typeCol).isin(steps: _*) && col(tsMsCol).isNotNull)
       .select(
         col(userCol).as("__u"),
         col(tsMsCol).cast("long").as("__ts"),

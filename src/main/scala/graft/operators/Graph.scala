@@ -222,7 +222,10 @@ object Graph {
     val base = und.agg(count(lit(1)).as("n_edges"))
     val nodes = deg.agg(
       count(lit(1)).as("n_nodes"),
-      coalesce(sum(col("__deg") * (col("__deg") - 1) / 2), lit(0))
+      // exact integer arithmetic: deg·(deg−1) is always even, so
+      // `div 2` is exact at any degree — `/` would route through
+      // double and silently lose precision past 2^53
+      coalesce(sum(expr("__deg * (__deg - 1) div 2")), lit(0))
         .cast("long").as("n_wedges"))
     nodes.crossJoin(broadcast(base)).crossJoin(broadcast(closed))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),

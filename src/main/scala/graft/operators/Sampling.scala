@@ -259,6 +259,10 @@ object Sampling {
     *         Σ quota = target (when target ≥ 0; groups may receive
     *         quotas above their own n_rows — the plan is
     *         proportional, capping is the materializer's call).
+    *         Raises in-plan when the input has NO non-null group
+    *         keys and target > 0 — the invariant is unmeetable and
+    *         an empty frame would hide that from an exact-count
+    *         consumer.
     */
   def allocateBudget(
       df: DataFrame,
@@ -275,7 +279,7 @@ object Sampling {
     val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wRem = Window.orderBy(col("__rem").desc, col(groupCol).asc)
     val t = lit(target).cast("decimal(38,0)")
-    counts.crossJoin(broadcast(tot))
+    val quotas = counts.crossJoin(broadcast(tot))
       .withColumn("__prod", t * col("__n"))
       // exact integer floor + remainder: prod = base·tot + rem
       .withColumn("__rem", expr("__prod % __tot"))
@@ -290,6 +294,23 @@ object Sampling {
       .select(col(groupCol), col("__n").cast("long").as("n_rows"),
         (col("__base") + when(col("__rk") <= col("__left"), 1).otherwise(0))
           .cast("long").as("quota"))
+    // Σ quota == target is IMPOSSIBLE when there are no groups (empty
+    // input, or every group key null) and target > 0 — and an empty
+    // result would silently break a downstream exact-count consumer
+    // (shard sizing). The guard rides a UNION branch, not the join's
+    // build side: with an empty stream side the optimizer propagates
+    // emptiness straight through the join and a build-side
+    // raise_error never evaluates, but a global aggregate always
+    // yields its one row, so this branch always runs its filter.
+    val guard = tot
+      .where(col("__tot").isNull && lit(target) > 0)
+      .select(
+        raise_error(lit("allocateBudget: empty input (no rows with a " +
+          s"non-null group key) cannot meet target = $target"))
+          .cast(df.schema(groupCol).dataType).as(groupCol),
+        lit(null).cast("long").as("n_rows"),
+        lit(null).cast("long").as("quota"))
+    quotas.unionByName(guard)
   }
 
   def mixCorpora(

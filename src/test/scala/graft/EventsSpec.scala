@@ -29,6 +29,26 @@ class EventsSpec extends SparkSpec {
     assert(out.map(_._4).toSeq == Seq(0.75, 0.5, 0.25))
   }
 
+  test("eventFunnel/timeToConvert: a null timestamp never enters the fold") {
+    // u1's null-ts view must NOT become an accepted step 0 with a
+    // null t0 (which would nullify every later `ts > t0` and mark a
+    // genuinely-converting user as never converting); the row is
+    // excluded, the user's remaining events still count.
+    val df = Seq[(Long, Option[Long], String)](
+      (1L, None, "view"), (1L, Some(100L), "view"),
+      (1L, Some(200L), "click"),
+      (2L, None, "view")) // ONLY a null-ts event: reaches nothing
+      .toDF("user_id", "ts_ms", "event_type")
+    val out = Events.eventFunnel(df, "user_id", "ts_ms", "event_type",
+      Seq("view", "click")).orderBy("step_idx")
+      .as[(Int, String, Long, Double)].collect()
+    assert(out.map(_._3).toSeq == Seq(1L, 1L), s"got ${out.toSeq}")
+    val ttc = Events.timeToConvert(df, "user_id", "ts_ms", "event_type",
+      Seq("view", "click"), probs = Seq(0.5))
+      .as[(String, Double, Double)].collect()
+    assert(ttc.toSeq == Seq(("duration_ms", 0.5, 100.0)), s"got ${ttc.toSeq}")
+  }
+
   test("eventFunnel: equal timestamps do NOT advance (strict >)") {
     val df = ev((1L, 100L, "view"), (1L, 100L, "click"), (1L, 200L, "click"))
     val out = Events.eventFunnel(df, "user_id", "ts_ms", "event_type",

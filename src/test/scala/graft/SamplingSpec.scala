@@ -355,6 +355,23 @@ class SamplingSpec extends SparkSpec {
     // rem ties broken by group key: the lexicographically first 50 win
     assert(m.filter(_._3 == 1L).map(_._1).sorted.toSeq ==
       (0 until 50).map(i => f"g$i%03d"))
+    // empty input (or all-null keys) with target > 0 cannot meet the
+    // Σ quota == target invariant — it raises instead of returning an
+    // empty frame a shard-sizing consumer would silently accept
+    val emptyEx = intercept[Exception] {
+      Sampling.allocateBudget(df.where(lit(false)), "g", 10).collect()
+    }
+    def allMsgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ allMsgs(e.getCause))
+    assert(allMsgs(emptyEx).exists(_.contains("cannot meet target")))
+    val nullEx = intercept[Exception] {
+      Sampling.allocateBudget(
+        Seq[Option[String]](None, None).toDF("g"), "g", 10).collect()
+    }
+    assert(allMsgs(nullEx).exists(_.contains("cannot meet target")))
+    // target 0 over an empty input is fine: empty plan, no raise
+    assert(Sampling.allocateBudget(df.where(lit(false)), "g", 0)
+      .collect().isEmpty)
     // null groups dropped; determinism; the groups cap fires loudly
     val a = Sampling.allocateBudget(df.repartition(5), "g", 10)
       .collect().toSet
