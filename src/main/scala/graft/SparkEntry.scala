@@ -1218,6 +1218,29 @@ object SparkEntry {
         .where(col(graft.sources.Jsonl.corruptCol).isNull)
         .drop(graft.sources.Jsonl.corruptCol)
     }),
+    "q_warc_roundtrip" -> ((s, dir) => {
+      // Crawl-archive interchange round trip: serialize each doc as
+      // a WARC response record (codegen'd concat/encode — headers,
+      // Content-Length in BYTES, record terminator), re-frame the
+      // bytes through the quarantining parser, and reconstruct the
+      // row. The oracle is the identity + the byte count; nothing
+      // may quarantine.
+      val docs = Parallelism.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text"))
+      val recs = graft.sources.Warc.toWarcRecords(
+        docs.select(
+          concat(lit("http://ex.test/"), col("doc_id")).as("uri"),
+          encode(col("text"), "UTF-8").as("payload")),
+        "uri", "payload")
+      graft.sources.Warc.parseWarc(recs.select("warc"), "warc")
+        .where(col(graft.sources.Warc.corruptCol).isNull)
+        .select(
+          regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long")
+            .as("doc_id"),
+          decode(col("payload"), "UTF-8").as("text"),
+          col("content_length").as("n_bytes"),
+          col("warc_type"))
+    }),
     "q_weighted_sample" -> ((s, dir) => {
       // Weight-proportional selection: P(doc) ∝ n_chars via the
       // Gumbel-top-k identity on the content-hash uniform — no RNG
@@ -4154,6 +4177,13 @@ object SparkEntry {
     // round trip is the contract: parsed output must equal the input
     "q_jsonl_roundtrip" ->
       "SELECT doc_id, lang, text FROM documents",
+    // identity + Content-Length = payload OCTETS (multi-byte text
+    // counts bytes, not chars); warc_type fixed by the writer
+    "q_warc_roundtrip" ->
+      """SELECT doc_id, text,
+        |  octet_length(encode(text))::BIGINT AS n_bytes,
+        |  'response' AS warc_type
+        |FROM documents""".stripMargin,
     "q_csv_roundtrip" ->
       "SELECT doc_id, lang, text FROM documents",
     // greedy earliest-transition funnel = chained conditional minima:
