@@ -618,6 +618,55 @@ object SparkEntry {
   private def swListSql(lang: String): String =
     graft.functions.TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Replay of [[graft.functions.TextAnalysis.languageIdScored]] (the
+    * q_lang_id decision kernel + the 13-class smoothed posterior
+    * confidence), optionally composed with the per-language tercile
+    * bucket gate (bucketByGroupQuantiles, the q_ccnet_buckets shape).
+    */
+  private def langConfOracle(gate: Boolean): String = {
+    val langs = graft.functions.StopwordHitsAll.Langs
+    val scoreCols = langs.map(l =>
+      s"  len(list_filter(tk, t -> list_contains(${swListSql(l)}, t))) AS s_$l")
+      .mkString(",\n|")
+    val gr = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val pick = langs.map(l => s"  WHEN s_$l = best THEN '$l'").mkString("\n|")
+    val tot = langs.map(l => s"s_$l").mkString("kana + hangul + cjk + arab + ", " + ", "")
+    val conf =
+      s"""WITH s AS (SELECT doc_id,
+         |  len(regexp_extract_all(text, '[\\x{3040}-\\x{30ff}]')) AS kana,
+         |  len(regexp_extract_all(text, '[\\x{ac00}-\\x{d7af}\\x{1100}-\\x{11ff}]')) AS hangul,
+         |  len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk,
+         |  len(regexp_extract_all(text, '[\\x{0600}-\\x{06ff}]')) AS arab,
+         |  regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents),
+         |v AS (SELECT doc_id, kana, hangul, cjk, arab,
+         |$scoreCols FROM s),
+         |w AS (SELECT doc_id, kana, hangul, cjk, arab, ${langs.map(l => s"s_$l").mkString(", ")},
+         |  $gr AS best, $tot AS tot FROM v),
+         |c AS (SELECT doc_id,
+         |  CASE WHEN kana > 0 THEN 'ja' WHEN hangul > 0 THEN 'ko'
+         |    WHEN cjk > 0 THEN 'zh' WHEN arab > 0 THEN 'fa'
+         |    WHEN best <= 0 THEN 'und'
+         |$pick
+         |    ELSE 'und' END AS lang_pred,
+         |  round((CASE WHEN kana > 0 THEN kana WHEN hangul > 0 THEN hangul
+         |    WHEN cjk > 0 THEN cjk WHEN arab > 0 THEN arab
+         |    WHEN best <= 0 THEN 0 ELSE best END + 0.5) / (tot + 6.5), 6) AS lang_conf
+         |  FROM w)""".stripMargin
+    if (!gate) s"$conf\nSELECT doc_id, lang_pred, lang_conf FROM c"
+    else
+      s"""$conf,
+         |thr AS (SELECT lang_pred,
+         |  round(quantile_cont(lang_conf, 0.3333333333333333), 6) AS t1,
+         |  round(quantile_cont(lang_conf, 0.6666666666666666), 6) AS t2
+         |  FROM c GROUP BY 1)
+         |SELECT c.doc_id, c.lang_pred, c.lang_conf,
+         |  CASE WHEN c.lang_conf IS NULL THEN NULL
+         |    WHEN c.lang_conf <= t1 THEN 'tail'
+         |    WHEN c.lang_conf <= t2 THEN 'middle'
+         |    ELSE 'head' END AS bucket
+         |FROM c JOIN thr USING (lang_pred)""".stripMargin
+  }
+
   /** Shared CTE chain ending in `mh(id_a, id_b, jac)` — the MinHash
     * LSH near-dup pairs over `docs` (mirrors Dedup.minHashLshPairs
     * with shingleK=5, numHashes=8, bands=2).
@@ -1992,6 +2041,31 @@ object SparkEntry {
       Parallelism.spread(t(s, dir, "documents")).select(
         col("doc_id"),
         graft.functions.TextAnalysis.languageId(col("text")).as("lang_pred"))
+    }),
+    "q_lang_conf" -> ((s, dir) => {
+      // Calibrated language ID: the q_lang_id label plus the smoothed
+      // posterior confidence (signal share over all 13 classes) a
+      // CCNet-style pipeline gates on. Label identical to q_lang_id
+      // by construction (shared decision kernel).
+      val sc = graft.functions.TextAnalysis.languageIdScored(col("text"))
+      Parallelism.spread(t(s, dir, "documents")).select(
+        col("doc_id"),
+        sc.getField("lang").as("lang_pred"),
+        sc.getField("conf").as("lang_conf"))
+    }),
+    "q_lang_conf_gate" -> ((s, dir) => {
+      // The CCNet-style confidence gate COMPOSITION: tag every doc
+      // head/middle/tail by its own predicted-language's confidence
+      // terciles — rows 35 (languageId) + 126 (bucketByGroupQuantiles)
+      // composed the way a real filtering pipeline uses them.
+      val sc = graft.functions.TextAnalysis.languageIdScored(col("text"))
+      val scored = Parallelism.spread(t(s, dir, "documents")).select(
+        col("doc_id"),
+        sc.getField("lang").as("lang_pred"),
+        sc.getField("conf").as("lang_conf"))
+      graft.operators.Profile.bucketByGroupQuantiles(
+        scored, "lang_conf", "lang_pred",
+        labels = Seq("tail", "middle", "head"))
     }),
     "q_quality_score" -> ((s, dir) => {
       Parallelism.spread(t(s, dir, "documents")).select(
@@ -5232,6 +5306,8 @@ object SparkEntry {
            |$pick
            |  ELSE 'und' END AS lang_pred FROM v""".stripMargin
       },
+    "q_lang_conf" -> langConfOracle(gate = false),
+    "q_lang_conf_gate" -> langConfOracle(gate = true),
     "q_quality_score" ->
       (s"""WITH s AS (SELECT doc_id, length(text)::DOUBLE AS nc,
           |  regexp_split_to_array(trim(lower(text)), '\\s+') AS tk,

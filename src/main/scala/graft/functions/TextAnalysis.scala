@@ -32,6 +32,14 @@ object TextAnalysis {
   def tokenCount(c: Column, tokenizer: Bpe.Spec): Column =
     Bpe.bpeTokenCount(c, tokenizer)
 
+  /** [[tokenCount]] under a unigram-LM (SentencePiece-style)
+    * tokenizer (see [[Unigram]]) — the same budget-accounting
+    * contract as the BPE overload, so the two vocabularies A/B
+    * directly.
+    */
+  def tokenCount(c: Column, tokenizer: Unigram.Spec): Column =
+    Unigram.unigramTokenCount(c, tokenizer)
+
   /** Tiny per-language stopword lists for the heuristics below (also
     * consumed by the oracle-SQL generator in SparkEntry).
     */
@@ -72,7 +80,45 @@ object TextAnalysis {
     * check because Japanese text mixes kanji with kana — ideographs
     * alone (no kana) read as Chinese.
     */
-  def languageId(c: Column): Column = {
+  def languageId(c: Column): Column = langDecision(c)._1
+
+  /** Calibrated language ID: the [[languageId]] label PLUS a posterior
+    * confidence — the number CCNet-style pipelines gate on (keep a doc
+    * only when the detector is sure; Wenzek et al. 2020 gate at 0.5).
+    *
+    * Model: a Dirichlet(α = 1/2)-smoothed categorical posterior over
+    * 13 classes — the 4 script classes (ja/ko/zh/fa, signal = script
+    * char count), the 8 stopword-voting languages of
+    * [[StopwordHitsAll.Langs]] (signal = stopword hits) and "und"
+    * (signal 0 by definition):
+    *
+    *   conf = (s_picked + α) / (Σ all signals + 13·α)
+    *
+    * Monotone in the picked language's share of the total evidence,
+    * bounded in (0, 1), ~1/13 when there is no evidence at all, and
+    * exactly engine-portable: numerator and denominator are
+    * half-integers, one IEEE division, one final 6 dp round. The
+    * LABEL is [[languageId]]'s, unchanged — a script override (e.g.
+    * kana → ja) with heavy foreign stopword mass simply yields a LOW
+    * confidence, which is precisely the mixed-language signal a
+    * quantile gate (bucketByGroupQuantiles on this column) exploits.
+    *
+    * @return struct(lang string, conf double)
+    */
+  def languageIdScored(c: Column): Column = {
+    val (pick, pickSignal, total) = langDecision(c)
+    val conf = round(
+      (pickSignal.cast("double") + lit(0.5)) /
+        (total.cast("double") + lit(13 * 0.5)), 6)
+    struct(pick.as("lang"), conf.as("conf"))
+  }
+
+  /** Shared decision kernel for [[languageId]] / [[languageIdScored]]:
+    * (label, picked-class signal, total signal mass). Kana outranks
+    * the CJK check because Japanese text mixes kanji with kana —
+    * ideographs alone (no kana) read as Chinese.
+    */
+  private def langDecision(c: Column): (Column, Column, Column) = {
     val kana = size(regexp_extract_all(c, lit("[\\x{3040}-\\x{30ff}]"), lit(0)))
     val hangul = size(regexp_extract_all(
       c, lit("[\\x{ac00}-\\x{d7af}\\x{1100}-\\x{11ff}]"), lit(0)))
@@ -90,11 +136,19 @@ object TextAnalysis {
     val latinPick = scores.foldLeft(when(best <= 0, "und")) {
       case (acc, (l, s)) => acc.when(s === best, l)
     }
-    when(kana > 0, "ja")
+    val pick = when(kana > 0, "ja")
       .when(hangul > 0, "ko")
       .when(cjk > 0, "zh")
       .when(arabicScript > 0, "fa")
       .otherwise(latinPick.otherwise("und"))
+    val pickSignal = when(kana > 0, kana)
+      .when(hangul > 0, hangul)
+      .when(cjk > 0, cjk)
+      .when(arabicScript > 0, arabicScript)
+      .otherwise(when(best <= 0, lit(0)).otherwise(best))
+    val total = scores.map(_._2)
+      .foldLeft(kana + hangul + cjk + arabicScript)(_ + _)
+    (pick, pickSignal, total)
   }
 
   /** Quality score in [0,1]: blend of length band, alphabetic ratio,
@@ -952,6 +1006,12 @@ object TextAnalysis {
   def chunkTokens(c: Column, maxTokens: Int, overlap: Int, tokenizer: Bpe.Spec): Column =
     Bpe.bpeChunks(c, tokenizer, maxTokens, overlap)
 
+  /** [[chunkTokens]] on unigram-LM subword boundaries (see
+    * [[Unigram.unigramChunks]]).
+    */
+  def chunkTokens(c: Column, maxTokens: Int, overlap: Int, tokenizer: Unigram.Spec): Column =
+    Unigram.unigramChunks(c, tokenizer, maxTokens, overlap)
+
   /** CORPUS-level boilerplate lines: lines occurring (as a distinct
     * line) in at least `minDocs` documents — navigation, cookie
     * banners, footers repeated ACROSS pages, the complement of the
@@ -1451,10 +1511,40 @@ object TextAnalysis {
       tokenizer: Bpe.Spec,
       orderCol: Column,
       seqLen: Int,
-      dropPartial: Boolean = true): org.apache.spark.sql.DataFrame = {
+      dropPartial: Boolean = true): org.apache.spark.sql.DataFrame =
+    packToShardsIds(df, Bpe.bpeTokenIds(col(textCol), tokenizer),
+      orderCol, seqLen, dropPartial)
+
+  /** [[packToShards]] under a unigram-LM tokenizer — identical
+    * packing contract, unigram piece ids in the sequences.
+    */
+  def packToShards(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      tokenizer: Unigram.Spec,
+      orderCol: Column,
+      seqLen: Int,
+      dropPartial: Boolean): org.apache.spark.sql.DataFrame =
+    packToShardsIds(df, Unigram.unigramTokenIds(col(textCol), tokenizer),
+      orderCol, seqLen, dropPartial)
+
+  def packToShards(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      tokenizer: Unigram.Spec,
+      orderCol: Column,
+      seqLen: Int): org.apache.spark.sql.DataFrame =
+    packToShards(df, textCol, tokenizer, orderCol, seqLen, dropPartial = true)
+
+  private def packToShardsIds(
+      df: org.apache.spark.sql.DataFrame,
+      idsExpr: Column,
+      orderCol: Column,
+      seqLen: Int,
+      dropPartial: Boolean): org.apache.spark.sql.DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val idsCol = graft.Cols.unique("__ids", df)
-    val staged = df.withColumn(idsCol, Bpe.bpeTokenIds(col(textCol), tokenizer))
+    val staged = df.withColumn(idsCol, idsExpr)
     val assigned = packingAssignment(
       staged, size(col(idsCol)).cast("long"), orderCol, seqLen)
     val L = lit(seqLen.toLong)

@@ -51,6 +51,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq("pt", "it", "nl", "ru", "ja", "ko", "zh"))
   }
 
+  test("languageIdScored: label matches languageId, confidence is the smoothed posterior") {
+    val df = Seq(
+      "the cat sat on the mat and it is fine", // en: 6 hits, no other signal
+      "zzz qqq xxx",                           // und: zero evidence -> 0.5/6.5
+      "これは the the the the 日本語").toDF("s")  // kana overrides, en mass lowers conf
+    val out = df.select(
+      languageIdScored($"s").getField("lang").as("l"),
+      languageIdScored($"s").getField("conf").as("c"),
+      languageId($"s").as("l0")).collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(2),
+      "scored label must equal languageId's"))
+    // en: hits = the,the,and,it,is = 5; total = 6 ("is" also hits nl)
+    // conf = (5 + 0.5) / (6 + 6.5) = 0.44
+    assert(out(0).getString(0) == "en")
+    assert(math.abs(out(0).getDouble(1) - 0.44) < 1e-9)
+    // und: (0 + 0.5) / (0 + 6.5) = 0.076923
+    assert(out(1).getString(0) == "und")
+    assert(math.abs(out(1).getDouble(1) - 0.076923) < 1e-9)
+    // ja via kana (これは = 3 kana); cjk 3 + en 4 dilute:
+    // (3 + 0.5) / (10 + 6.5) ≈ 0.212 — mixed text reads low-confidence
+    assert(out(2).getString(0) == "ja")
+    assert(out(2).getDouble(1) < 0.5, "mixed-language text must read low-confidence")
+  }
+
   test("stopwordHitsAll native kernel == HOF twin, per language, on adversarial inputs") {
     // occurrence counting (not distinct), multi-language words
     // ("de"/"la"/"que" are stopwords in several lists), blanks,
