@@ -2494,6 +2494,52 @@ object SparkEntry {
         case ((f, sec), r) => (r, f, sec)
       }).toDF("merge_rank", "lhs", "rhs")
     }),
+    "q_unigram_train" -> ((s, dir) => {
+      // Learn a unigram-LM vocabulary (the SentencePiece algorithm
+      // family): one distributed unit-count aggregation, then
+      // substring seeding + 2 hard-EM rounds + prune on the driver
+      // over the vocabulary-bounded table. The oracle replays the
+      // whole trainer — seeding, both Viterbi-DP E-steps, the exact
+      // integer re-counts, the prune, and the final re-score.
+      val spec = graft.functions.Unigram.train(
+        t(s, dir, "documents"), "text", numPieces = 272,
+        emRounds = 2, maxPieceLen = 6, maxUnitLen = 16)
+      s.createDataFrame(spec.pieces.drop(256).zipWithIndex.map {
+        case ((p, sc), r) => (r, p, sc)
+      }).toDF("piece_rank", "piece", "score")
+    }),
+    "q_unigram_fertility" -> ((s, dir) => {
+      // The two-tokenizer fertility A/B the unigram twin exists for:
+      // BPE fixture vs unigram fixture tokens-per-word by language,
+      // exact integer sums, one scan, both tokenizers codegen'd.
+      val bspec = graft.functions.Bpe.testFixture
+      val uspec = graft.functions.Unigram.testFixture
+      val d = Parallelism.spread(t(s, dir, "documents"))
+        .select(col("lang"),
+          graft.functions.TextAnalysis.tokenCount(col("text")).cast("long").as("w"),
+          graft.functions.Bpe.bpeTokenCount(col("text"), bspec).cast("long").as("tb"),
+          graft.functions.TextAnalysis.tokenCount(col("text"), uspec)
+            .cast("long").as("tu"))
+      d.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"),
+        sum(col("tb")).as("n_tokens_bpe"),
+        sum(col("tu")).as("n_tokens_unigram"),
+        round(sum(col("tb")).cast("double") / sum(col("w")), 4).as("fertility_bpe"),
+        round(sum(col("tu")).cast("double") / sum(col("w")), 4).as("fertility_unigram"))
+    }),
+    "q_pack_unigram" -> ((s, dir) => {
+      // q_pack_bpe's packing-assignment twin under the unigram
+      // tokenizer: sequence sizing on REAL unigram piece counts via
+      // the tokenCount(_, Unigram.Spec) overload.
+      val uspec = graft.functions.Unigram.testFixture
+      val d = Parallelism.spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.tokenCount(col("text"), uspec)
+            .cast("long").as("tokens"))
+      graft.functions.TextAnalysis.packingAssignment(d, col("tokens"), col("doc_id"), 512)
+        .select("doc_id", "tokens", "start_offset", "first_seq", "last_seq", "n_seqs")
+    }),
     "q_pack_bpe" -> ((s, dir) => {
       // q_pack on REAL subword counts: the shipped BPE fixture
       // (GPT-2 merges format) sizes every document exactly as a
@@ -3217,6 +3263,134 @@ object SparkEntry {
     val values = vocab.toSeq.sortBy(_._2)
       .map { case (sym, id) => s"('${esc(sym)}', $id)" }.mkString(", ")
     s"bpe_vocab(sym, id) AS (VALUES $values)"
+  }
+
+  /** Unrolled Viterbi DP chain for the unigram oracles: per position
+    * i = 1..`unroll`, extend every best prefix state j = i − L
+    * (L ≤ `maxPieceLen`) with a vocabulary piece and keep the
+    * per-unit argmax under the documented tie-break (score DESC,
+    * pieces ASC, last-piece length DESC) — the exact
+    * [[graft.functions.Unigram.viterbi]] cell rule. `ns` prefixes
+    * the CTE names (`ub$ns$i` accumulator / `us$ns$i` step); the
+    * chain ends in `uf$ns(unit [, c], np [, seg])` — final states at
+    * j = unit length. Accumulators are MATERIALIZED: each level is
+    * referenced twice (step i+1 and the next accumulator) and would
+    * otherwise inline 2^unroll times.
+    */
+  private def unigramDpChain(
+      ns: String,
+      unitsCte: String,
+      scoresCte: String,
+      unroll: Int,
+      maxPieceLen: Int,
+      withCount: Boolean,
+      withSeg: Boolean): String = {
+    val cCol = if (withCount) ", c" else ""
+    val segCol = if (withSeg) ", seg" else ""
+    val cols = s"unit$cCol, n, j, sc, np$segCol"
+    val base =
+      s"""ub${ns}0 AS (SELECT unit$cCol, length(unit) AS n, 0 AS j,
+         |  0::BIGINT AS sc, 0 AS np${if (withSeg) ", []::VARCHAR[] AS seg" else ""}
+         |  FROM $unitsCte)""".stripMargin
+    val steps = (1 to unroll).map { i =>
+      val segSel = if (withSeg) ", list_append(b.seg, v.piece) AS seg" else ""
+      s"""us$ns$i AS (SELECT $cols FROM (
+         |  SELECT b.unit${if (withCount) ", b.c" else ""}, b.n, $i AS j,
+         |    b.sc + v.s AS sc, b.np + 1 AS np$segSel,
+         |    row_number() OVER (PARTITION BY b.unit
+         |      ORDER BY b.sc + v.s DESC, b.np + 1 ASC, length(v.piece) DESC) AS rn
+         |  FROM ub$ns${i - 1} b JOIN $scoresCte v
+         |    ON b.n >= $i AND $i - b.j BETWEEN 1 AND $maxPieceLen
+         |    AND v.piece = substr(b.unit, b.j + 1, $i - b.j)
+         |) WHERE rn = 1),
+         |ub$ns$i AS MATERIALIZED (SELECT $cols FROM ub$ns${i - 1}
+         |  UNION ALL SELECT $cols FROM us$ns$i)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$steps,
+       |uf$ns AS (SELECT unit$cCol, np$segCol FROM ub$ns$unroll WHERE j = n)""".stripMargin
+  }
+
+  /** ALGORITHMIC replay of the UNIGRAM TRAINER
+    * ([[graft.functions.Unigram.train]]): substring seeding with
+    * Laplace-smoothed micro-nat scores, `emRounds` unrolled hard-EM
+    * rounds (Viterbi DP chain → exact integer re-counts → re-score,
+    * zero-count symbols re-entering at the +1-smoothed floor), then
+    * the (count DESC, piece ASC) prune and the final re-score over
+    * the pruned vocabulary. Output = the learned multi-symbol pieces
+    * (rank, piece, score).
+    */
+  private def unigramTrainOracle(
+      numMulti: Int,
+      emRounds: Int,
+      maxPieceLen: Int,
+      maxUnitLen: Int): String = {
+    // references t/v from whichever tv-CTE is cross-joined in scope
+    val scoreSql = (w: String) =>
+      s"floor(1e6 * ln(($w + 1)::DOUBLE / (t + v)::DOUBLE))"
+    val rounds = (1 to emRounds).map { r =>
+      val dp = unigramDpChain(s"r$r", "uc", s"sc${r - 1}", maxUnitLen,
+        maxPieceLen, withCount = true, withSeg = true)
+      s"""$dp,
+         |cn$r AS MATERIALIZED (SELECT p AS piece, sum(c) AS w FROM
+         |  (SELECT c, unnest(seg) AS p FROM ufr$r) GROUP BY 1),
+         |tv$r AS (SELECT (SELECT sum(w) FROM cn$r) AS t,
+         |  256 + (SELECT count(*) FROM cn$r WHERE length(piece) >= 2) AS v),
+         |sc$r AS MATERIALIZED (
+         |  SELECT piece, ${scoreSql("w")}::BIGINT AS s FROM cn$r, tv$r
+         |  UNION ALL
+         |  SELECT sy.piece, ${scoreSql("0")}::BIGINT FROM syms sy, tv$r
+         |  WHERE sy.piece NOT IN (SELECT piece FROM cn$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tk AS (SELECT list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws FROM documents),
+       |pos AS (SELECT unnest(range(1, len(ws) + 1)) AS i, ws FROM tk),
+       |uc0 AS (SELECT CASE WHEN i = 1 THEN ws[i] ELSE 'Ġ' || ws[i] END AS unit, count(*) AS c FROM pos GROUP BY 1),
+       |uc AS MATERIALIZED (SELECT unit, c FROM uc0 WHERE length(unit) <= $maxUnitLen),
+       |sub AS (SELECT unit, c, unnest(range(1, length(unit) + 1)) AS st FROM uc),
+       |sd AS MATERIALIZED (SELECT substr(unit, st::INT, L::INT) AS piece, sum(c) AS w
+       |  FROM sub, (SELECT unnest(range(1, ${maxPieceLen + 1})) AS L) ls
+       |  WHERE st + L - 1 <= length(unit) GROUP BY 1),
+       |syms AS (SELECT DISTINCT piece FROM sd WHERE length(piece) = 1),
+       |tv0 AS (SELECT (SELECT sum(w) FROM sd) AS t,
+       |  256 + (SELECT count(*) FROM sd WHERE length(piece) >= 2) AS v),
+       |sc0 AS MATERIALIZED (SELECT piece, ${scoreSql("w")}::BIGINT AS s FROM sd, tv0),
+       |$rounds,
+       |kept AS (SELECT piece, w FROM cn$emRounds WHERE length(piece) >= 2
+       |  ORDER BY w DESC, piece LIMIT $numMulti),
+       |tvf AS (SELECT ((SELECT sum(w) FROM kept)
+       |    + (SELECT coalesce(sum(w), 0) FROM cn$emRounds WHERE length(piece) = 1)) AS t,
+       |  256 + (SELECT count(*) FROM kept) AS v)
+       |SELECT (row_number() OVER (ORDER BY w DESC, piece) - 1)::INT AS piece_rank,
+       |  piece, ${scoreSql("w")}::INT AS score
+       |FROM kept, tvf""".stripMargin
+  }
+
+  /** Shared CTE chain ending in `udtok(doc_id, tokens)` — per-doc
+    * unigram piece counts under the shipped
+    * [[graft.functions.Unigram.testFixture]] (fixture pieces as a
+    * VALUES table, Viterbi DP over DISTINCT units, join-back by
+    * word position — the [[bpeOracleCtes]] shape). `echk` raises if
+    * any unit exceeds the DP unroll, so a corpus change can never
+    * silently under-count.
+    */
+  private lazy val unigramEncodeCtes: String = {
+    val spec = graft.functions.Unigram.testFixture
+    def esc(s: String) = s.replace("'", "''")
+    val values = spec.pieces
+      .map { case (p, sc) => s"('${esc(p)}', ${sc}::BIGINT)" }.mkString(", ")
+    val unroll = 24
+    val dp = unigramDpChain("e", "eu", "upieces", unroll,
+      spec.maxPieceLen, withCount = false, withSeg = false)
+    s"""upieces(piece, s) AS (VALUES $values),
+       |etk AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws FROM documents),
+       |epos AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS i, ws FROM etk),
+       |eu AS MATERIALIZED (SELECT DISTINCT CASE WHEN i = 1 THEN ws[i] ELSE 'Ġ' || ws[i] END AS unit FROM epos),
+       |echk AS (SELECT CASE WHEN coalesce(max(length(unit)), 0) > $unroll
+       |  THEN error('unigram oracle: unit exceeds the DP unroll') ELSE 1 END AS ok FROM eu),
+       |$dp,
+       |eucnt AS (SELECT unit, np FROM ufe, echk),
+       |udtok AS (SELECT p.doc_id, sum(c.np) AS tokens FROM epos p JOIN eucnt c
+       |  ON c.unit = CASE WHEN p.i = 1 THEN p.ws[p.i] ELSE 'Ġ' || p.ws[p.i] END GROUP BY 1)""".stripMargin
   }
 
   /** ALGORITHMIC replay of the BPE TRAINER for the oracle: `k`
@@ -5830,6 +6004,35 @@ object SparkEntry {
          |SELECT doc_id, chunk_idx::INT AS chunk_idx,
          |  replace(array_to_string(toks[(chunk_idx * 8 + 1):(chunk_idx * 8 + 8)], ''), 'Ġ', ' ') AS chunk_text
          |FROM bch""".stripMargin,
+    "q_unigram_train" -> unigramTrainOracle(
+      numMulti = 16, emRounds = 2, maxPieceLen = 6, maxUnitLen = 16),
+    // whitespace words vs BOTH subword replays (BPE merge loop +
+    // unigram Viterbi DP), per language, exact integer sums
+    "q_unigram_fertility" ->
+      s"""WITH $bpeOracleCtes,
+         |$unigramEncodeCtes,
+         |wt AS (SELECT doc_id, lang, CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+         |  ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS w
+         |  FROM documents),
+         |j AS (SELECT wt.lang, wt.w, coalesce(b.tokens, 0) AS tb, coalesce(u.tokens, 0) AS tu
+         |  FROM wt LEFT JOIN bdtok b USING (doc_id) LEFT JOIN udtok u USING (doc_id))
+         |SELECT lang, count(*)::BIGINT AS n_docs, sum(w)::BIGINT AS n_words,
+         |  sum(tb)::BIGINT AS n_tokens_bpe, sum(tu)::BIGINT AS n_tokens_unigram,
+         |  round(sum(tb)::DOUBLE / sum(w), 4) AS fertility_bpe,
+         |  round(sum(tu)::DOUBLE / sum(w), 4) AS fertility_unigram
+         |FROM j GROUP BY 1""".stripMargin,
+    // q_pack_bpe's prefix-sum replay over the unigram DP counts
+    "q_pack_unigram" ->
+      s"""WITH $unigramEncodeCtes,
+         |t AS (SELECT d.doc_id, coalesce(k.tokens, 0)::BIGINT AS tokens
+         |  FROM documents d LEFT JOIN udtok k USING (doc_id)),
+         |c AS (SELECT doc_id, tokens, sum(tokens) OVER (ORDER BY doc_id) AS cum FROM t)
+         |SELECT doc_id, tokens, (cum - tokens)::BIGINT AS start_offset,
+         |  (CASE WHEN tokens > 0 THEN (cum - tokens) // 512 END)::BIGINT AS first_seq,
+         |  (CASE WHEN tokens > 0 THEN (cum - 1) // 512 END)::BIGINT AS last_seq,
+         |  coalesce(CASE WHEN tokens > 0
+         |    THEN (cum - 1) // 512 - (cum - tokens) // 512 + 1 END, 0)::BIGINT AS n_seqs
+         |FROM c""".stripMargin,
     "q_pack_bpe" ->
       s"""WITH $bpeOracleCtes,
          |t AS (SELECT d.doc_id, coalesce(k.tokens, 0)::BIGINT AS tokens

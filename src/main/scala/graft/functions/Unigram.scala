@@ -13,11 +13,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * = the max-likelihood segmentation, train = EM re-estimation over
   * segmentations followed by pruning to the target vocabulary).
   *
-  * Shares [[Bpe]]'s text model so the two tokenizers are directly
-  * comparable on the same corpus (the fertility A/B): the GPT-2
-  * pre-tokenizer splits text into units, every unit is byte-mapped
-  * through [[Bpe.byteToChar]], and pieces are strings over that
-  * 256-symbol alphabet — [[Bpe.decode]] round-trips both.
+  * Text model: the SentencePiece convention — units are WHITESPACE
+  * runs' complements (split on `\s+`, empties dropped), every unit
+  * after the first carries the word-boundary marker (the space
+  * symbol Ġ), and unit bytes map through [[Bpe.byteToChar]] so
+  * pieces share [[Bpe]]'s 256-symbol alphabet and the two tokenizers
+  * A/B directly on the same corpus. [[Bpe.decode]] inverts tokens up
+  * to whitespace normalization (runs of whitespace read back as one
+  * space — the standard SentencePiece lossiness).
   *
   * Everything is INTEGER-exact so training and encoding replay
   * bit-identically in the DuckDB oracle: piece scores are quantized
@@ -83,6 +86,37 @@ object Unigram {
     */
   lazy val testFixture: Spec =
     loadPieces("classpath:graft/unigram/test_pieces.tsv")
+
+  /** Whitespace pre-tokenization (see the object doc): byte-mapped
+    * units of `text`, the word-boundary Ġ on every unit but the
+    * first. Package-visible for the trainer's distributed count pass
+    * and the encode expression.
+    */
+  private[graft] def unitStrings(
+      text: String): scala.collection.mutable.ArrayBuffer[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    val words = text.split("\\s+")
+    var k = 0
+    while (k < words.length) {
+      val w = words(k)
+      if (w.nonEmpty) {
+        val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val sb = new StringBuilder(bytes.length + 1)
+        if (out.nonEmpty) sb.append('Ġ') // Ġ = byteToChar(' ')
+        bytes.foreach(b => sb.append(Bpe.byteToChar(b & 0xff)))
+        out += sb.toString
+      }
+      k += 1
+    }
+    out
+  }
+
+  /** Byte-mapped whitespace UNITS of `c` (no segmentation) — the
+    * corpus side of [[train]], the [[Bpe.preTokenUnits]] twin.
+    */
+  def units(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(UnigramEncode(
+      org.apache.spark.sql.GraftSqlBridge.expression(c), Vector.empty, "units"))
 
   // ---- the deterministic Viterbi kernel --------------------------
 
@@ -194,20 +228,20 @@ object Unigram {
     require(maxPieceLen >= 2, "maxPieceLen must be >= 2")
     import org.apache.spark.sql.functions.{col, count, explode, lit}
     val counted = graft.operators.Parallelism.spread(df)
-      .select(explode(Bpe.preTokenUnits(col(textCol))).as("__u"))
+      .select(explode(units(col(textCol))).as("__u"))
       .groupBy(col("__u")).agg(count(lit(1)).as("__c"))
     val rows = counted.limit(maxUnits + 1).collect()
     require(rows.length <= maxUnits,
       s"train: corpus has more than $maxUnits distinct pre-tokens — " +
         "raise maxUnits deliberately or pre-truncate the tail")
-    val units: Array[(String, Long)] = rows
+    val unitRows: Array[(String, Long)] = rows
       .map(r => (r.getString(0), r.getLong(1)))
       .filter(_._1.length <= maxUnitLen)
     val symbols: Array[String] = Bpe.byteToChar.map(_.toString).sorted
 
     // 1. seed: substring weights
     val seed = new java.util.HashMap[String, java.lang.Long]()
-    units.foreach { case (u, c) =>
+    unitRows.foreach { case (u, c) =>
       var st = 0
       while (st < u.length) {
         var L = 1
@@ -253,7 +287,7 @@ object Unigram {
     var lastCounts: java.util.HashMap[String, java.lang.Long] = seed
     (1 to emRounds).foreach { _ =>
       val counts = new java.util.HashMap[String, java.lang.Long]()
-      units.foreach { case (u, c) =>
+      unitRows.foreach { case (u, c) =>
         viterbi(u, scores, maxPieceLen).foreach { p =>
           counts.put(p, java.lang.Long.valueOf(
             (if (counts.containsKey(p)) counts.get(p).longValue() else 0L) + c))
@@ -327,7 +361,8 @@ case class UnigramEncode(
     overlap: Int = 0) extends UnaryExpression {
 
   require(
-    Bpe.byteToChar.forall(ch => pieces.exists(_._1 == ch.toString)),
+    mode == "units" ||
+      Bpe.byteToChar.forall(ch => pieces.exists(_._1 == ch.toString)),
     "unigram spec must contain all 256 byte symbols")
 
   override def dataType: DataType = mode match {
@@ -370,14 +405,10 @@ case class UnigramEncode(
   }
 
   private def encode(text: String): scala.collection.mutable.ArrayBuffer[String] = {
+    val units = Unigram.unitStrings(text)
+    if (mode == "units") return units
     val out = new scala.collection.mutable.ArrayBuffer[String]()
-    val m = Bpe.PreTokenPattern.matcher(text)
-    while (m.find()) {
-      val bytes = m.group().getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val sb = new StringBuilder(bytes.length)
-      bytes.foreach(b => sb.append(Bpe.byteToChar(b & 0xff)))
-      out ++= segment(sb.toString)
-    }
+    units.foreach(u => out ++= segment(u))
     out
   }
 

@@ -65,18 +65,22 @@ class UnigramSpec extends SparkSpec {
     assert(spec.pieces.forall(_._2 < 0))
   }
 
-  test("encode totality: any bytes segment; decode round-trips; count == |tokens|") {
+  test("encode totality: any bytes segment; decode round-trips modulo whitespace") {
     val spec = Unigram.testFixture
     val texts = Seq("the table", "héllo wörld", "日本語テスト", "",
-      "tabs\tand\nnewlines", "zzz ~!@# 123")
+      "tabs\tand\nnewlines", "  leading and  runs ", "zzz ~!@# 123")
     val df = texts.toDF("s")
     val toks = df.select(Unigram.unigramTokens($"s", spec).as("t"))
       .as[Seq[String]].collect()
     val counts = df.select(Unigram.unigramTokenCount($"s", spec).as("n"))
       .as[Int].collect()
     toks.zip(counts).foreach { case (t, n) => assert(t.length == n) }
-    // decode(tokens) == byte-exact original (GPT-2 byte mapping is lossless)
-    toks.zip(texts).foreach { case (t, s) => assert(Bpe.decode(t) == s) }
+    // decode(tokens) == the whitespace-NORMALIZED original (runs of
+    // whitespace read back as one space — the SentencePiece
+    // convention); non-whitespace bytes are lossless
+    toks.zip(texts).foreach { case (t, s) =>
+      assert(Bpe.decode(t) == s.split("\\s+").filter(_.nonEmpty).mkString(" "))
+    }
   }
 
   test("fixture: 256 symbols + 16 learned pieces; ids stable; chunks windowed") {
