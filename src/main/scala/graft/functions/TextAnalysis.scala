@@ -146,8 +146,10 @@ object TextAnalysis {
       .when(cjk > 0, cjk)
       .when(arabicScript > 0, arabicScript)
       .otherwise(when(best <= 0, lit(0)).otherwise(best))
-    val total = scores.map(_._2)
-      .foldLeft(kana + hangul + cjk + arabicScript)(_ + _)
+    // widen before summing: 12 int signals each bounded by the doc
+    // length can overflow int on a pathological single doc
+    val total = (Seq(kana, hangul, cjk, arabicScript) ++ scores.map(_._2))
+      .map(_.cast("long")).reduce(_ + _)
     (pick, pickSignal, total)
   }
 
