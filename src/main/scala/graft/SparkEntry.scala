@@ -2528,6 +2528,16 @@ object SparkEntry {
         round(sum(col("tb")).cast("double") / sum(col("w")), 4).as("fertility_bpe"),
         round(sum(col("tu")).cast("double") / sum(col("w")), 4).as("fertility_unigram"))
     }),
+    "q_unigram_chunk" -> ((s, dir) => {
+      // Subword chunking under the unigram tokenizer: 8-piece
+      // windows decoded back to text — the q_chunk_bpe twin. The
+      // oracle rebuilds each doc's piece stream from the per-unit
+      // Viterbi-DP segmentations and re-decodes the windows.
+      graft.operators.Parallelism.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), posexplode(graft.functions.Unigram.unigramChunks(
+          col("text"), graft.functions.Unigram.testFixture, maxTokens = 8))
+          .as(Seq("chunk_idx", "chunk_text")))
+    }),
     "q_pack_unigram" -> ((s, dir) => {
       // q_pack_bpe's packing-assignment twin under the unigram
       // tokenizer: sequence sizing on REAL unigram piece counts via
@@ -3365,8 +3375,9 @@ object SparkEntry {
        |FROM kept, tvf""".stripMargin
   }
 
-  /** Shared CTE chain ending in `udtok(doc_id, tokens)` — per-doc
-    * unigram piece counts under the shipped
+  /** Shared CTE chain ending in `eucnt(unit, np, seg)` (per-unit
+    * Viterbi piece count + segmentation) and `udtok(doc_id, tokens)`
+    * (per-doc unigram piece counts) under the shipped
     * [[graft.functions.Unigram.testFixture]] (fixture pieces as a
     * VALUES table, Viterbi DP over DISTINCT units, join-back by
     * word position — the [[bpeOracleCtes]] shape). `echk` raises if
@@ -3380,7 +3391,7 @@ object SparkEntry {
       .map { case (p, sc) => s"('${esc(p)}', ${sc}::BIGINT)" }.mkString(", ")
     val unroll = 24
     val dp = unigramDpChain("e", "eu", "upieces", unroll,
-      spec.maxPieceLen, withCount = false, withSeg = false)
+      spec.maxPieceLen, withCount = false, withSeg = true)
     s"""upieces(piece, s) AS (VALUES $values),
        |etk AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws FROM documents),
        |epos AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS i, ws FROM etk),
@@ -3388,7 +3399,7 @@ object SparkEntry {
        |echk AS (SELECT CASE WHEN coalesce(max(length(unit)), 0) > $unroll
        |  THEN error('unigram oracle: unit exceeds the DP unroll') ELSE 1 END AS ok FROM eu),
        |$dp,
-       |eucnt AS (SELECT unit, np FROM ufe, echk),
+       |eucnt AS (SELECT unit, np, seg FROM ufe, echk),
        |udtok AS (SELECT p.doc_id, sum(c.np) AS tokens FROM epos p JOIN eucnt c
        |  ON c.unit = CASE WHEN p.i = 1 THEN p.ws[p.i] ELSE 'Ġ' || p.ws[p.i] END GROUP BY 1)""".stripMargin
   }
@@ -6021,6 +6032,18 @@ object SparkEntry {
          |  round(sum(tb)::DOUBLE / sum(w), 4) AS fertility_bpe,
          |  round(sum(tu)::DOUBLE / sum(w), 4) AS fertility_unigram
          |FROM j GROUP BY 1""".stripMargin,
+    // q_chunk_bpe's window replay over the unigram DP segmentations
+    "q_unigram_chunk" ->
+      s"""WITH $unigramEncodeCtes,
+         |utoks AS (SELECT p.doc_id, flatten(list(c.seg ORDER BY p.i)) AS toks
+         |  FROM epos p JOIN eucnt c
+         |  ON c.unit = CASE WHEN p.i = 1 THEN p.ws[p.i] ELSE 'Ġ' || p.ws[p.i] END
+         |  GROUP BY 1),
+         |uch AS (SELECT doc_id, toks,
+         |  unnest(range(0, greatest(1, ceil(len(toks) / 8.0)::INT))) AS chunk_idx FROM utoks)
+         |SELECT doc_id, chunk_idx::INT AS chunk_idx,
+         |  replace(array_to_string(toks[(chunk_idx * 8 + 1):(chunk_idx * 8 + 8)], ''), 'Ġ', ' ') AS chunk_text
+         |FROM uch""".stripMargin,
     // q_pack_bpe's prefix-sum replay over the unigram DP counts
     "q_pack_unigram" ->
       s"""WITH $unigramEncodeCtes,

@@ -95,5 +95,16 @@ class UnigramSpec extends SparkSpec {
       .select(Unigram.unigramChunks($"s", spec, maxTokens = 2).as("c"))
       .as[Seq[String]].head()
     assert(chunks.mkString == "table scan table scan")
+    // overlap: stride = maxTokens − overlap = 1, so window i decodes
+    // pieces [i, i+2) of the token stream — check against the stream
+    val df = Seq("table scan table").toDF("s")
+    val toks = df.select(Unigram.unigramTokens($"s", spec).as("t"))
+      .as[Seq[String]].head()
+    val ov = df.select(
+      Unigram.unigramChunks($"s", spec, maxTokens = 2, overlap = 1).as("c"))
+      .as[Seq[String]].head()
+    val expected = (0 until math.max(1, toks.length - 1))
+      .map(i => Bpe.decode(toks.slice(i, i + 2)))
+    assert(ov == expected)
   }
 }
