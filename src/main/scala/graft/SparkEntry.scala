@@ -1290,6 +1290,33 @@ object SparkEntry {
           col("content_length").as("n_bytes"),
           col("warc_type"))
     }),
+    "q_tar_roundtrip" -> ((s, dir) => {
+      // WebDataset-style shard interchange round trip: docs → native
+      // TarEntry members → 64-member shard blobs (ordered assembly +
+      // two-zero-block terminator) → the quarantining block parser →
+      // identity + byte counts; nothing may quarantine.
+      val docs = Parallelism.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text"))
+      val entries = graft.sources.Tar.toTarEntries(
+        docs.select(
+          concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+          encode(col("text"), "UTF-8").as("payload"),
+          col("doc_id")),
+        "name", "payload")
+      val shards = entries
+        .groupBy(expr("doc_id div 64").as("__shard"))
+        .agg(graft.sources.Tar.shardBytes(
+          transform(
+            array_sort(collect_list(struct(col("doc_id").as("k"),
+              col("tar_entry").as("e")))),
+            m => m.getField("e"))).as("bytes"))
+      graft.sources.Tar.parseTar(shards.select("bytes"), "bytes")
+        .where(col(graft.sources.Tar.corruptCol).isNull)
+        .select(
+          regexp_extract(col("name"), "^([0-9]+)", 1).cast("long").as("doc_id"),
+          decode(col("payload"), "UTF-8").as("text"),
+          col("entry_size").as("n_bytes"))
+    }),
     "q_weighted_sample" -> ((s, dir) => {
       // Weight-proportional selection: P(doc) ∝ n_chars via the
       // Gumbel-top-k identity on the content-hash uniform — no RNG
@@ -4442,6 +4469,10 @@ object SparkEntry {
       """SELECT doc_id, text,
         |  octet_length(encode(text))::BIGINT AS n_bytes,
         |  'response' AS warc_type
+        |FROM documents""".stripMargin,
+    "q_tar_roundtrip" ->
+      """SELECT doc_id, text,
+        |  octet_length(encode(text))::BIGINT AS n_bytes
         |FROM documents""".stripMargin,
     "q_csv_roundtrip" ->
       "SELECT doc_id, lang, text FROM documents",

@@ -75,4 +75,29 @@ class NativeKernelPropertySpec extends SparkSpec {
     assert(base.forall(s => s >= 0 && s < (1L << 28)))
     assert(base.distinct.length > 50) // signatures spread
   }
+
+  test("UnigramEncode agrees with the driver-side unit+Viterbi model on 200 random texts") {
+    val spec = graft.functions.Unigram.testFixture
+    // unicode words, whitespace runs, punctuation, leading/trailing ws
+    val messy = Seq(" ", "\t", "\n", "  ")
+    def messyText(): String = {
+      val parts = Seq.fill(1 + rng.nextInt(8))(vocab(rng.nextInt(vocab.length)))
+      parts.mkString(messy(rng.nextInt(messy.length))) +
+        (if (rng.nextBoolean()) " " else "")
+    }
+    val texts = Seq.fill(200)(messyText())
+    val got = texts.toDF("t")
+      .select(graft.functions.Unigram.unigramTokens($"t", spec)).collect()
+      .map(_.getSeq[String](0).toSeq).toSeq
+    val want = texts.map { t =>
+      graft.functions.Unigram.unitStrings(t).toSeq.flatMap(u =>
+        graft.functions.Unigram.viterbi(u, spec.scoreOf, spec.maxPieceLen).toSeq)
+    }
+    assert(got == want)
+    // counts/ids are projections of the same stream
+    val counts = texts.toDF("t")
+      .select(graft.functions.Unigram.unigramTokenCount($"t", spec))
+      .as[Int].collect().toSeq
+    assert(counts == want.map(_.length))
+  }
 }
