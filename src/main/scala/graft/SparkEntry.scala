@@ -1290,6 +1290,17 @@ object SparkEntry {
           col("content_length").as("n_bytes"),
           col("warc_type"))
     }),
+    "q_blocklist" -> ((s, dir) => {
+      // C4-style blocklist gate: token-exact occurrence count + flag
+      // under a demo list (three corpus words) — one native
+      // probe-loop pass, row-local.
+      val sig = graft.functions.TextAnalysis.blocklistSignals(
+        col("text"), Seq("slow", "big", "merge"))
+      Parallelism.spread(t(s, dir, "documents")).select(
+        col("doc_id"),
+        sig.getField("n_blocked").as("n_blocked"),
+        sig.getField("blocked").as("blocked"))
+    }),
     "q_tar_roundtrip" -> ((s, dir) => {
       // WebDataset-style shard interchange round trip: docs → native
       // TarEntry members → 64-member shard blobs (ordered assembly +
@@ -4473,6 +4484,13 @@ object SparkEntry {
     "q_tar_roundtrip" ->
       """SELECT doc_id, text,
         |  octet_length(encode(text))::BIGINT AS n_bytes
+        |FROM documents""".stripMargin,
+    "q_blocklist" ->
+      """SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    t -> list_contains(['slow', 'big', 'merge'], t)))::INT AS n_blocked,
+        |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    t -> list_contains(['slow', 'big', 'merge'], t))) > 0 AS blocked
         |FROM documents""".stripMargin,
     "q_csv_roundtrip" ->
       "SELECT doc_id, lang, text FROM documents",

@@ -569,3 +569,46 @@ case class DeflateRatio(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
     copy(child = newChild)
 }
+
+/** Occurrence count of caller-supplied blocklist words in a token
+  * array — the C4 "bad words" gate's kernel (Raffel et al. 2020
+  * §2.2 filter corpora on a public blocklist at TOKEN granularity —
+  * exact token match, so "assess" never hits a 3-letter entry). The
+  * word set ships inside the serialized plan (`addReferenceObj`) and
+  * builds one per-JVM hash set; one probe loop under whole-stage
+  * codegen, same shape as [[StopwordHitsAll]] but parameterized.
+  */
+case class WordlistHits(child: Expression, words: Seq[String]) extends UnaryExpression {
+  require(words.nonEmpty, "empty blocklist")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "wordlist_hits"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.length * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  def doEval(tokens: ArrayData): Int = {
+    var hits = 0
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i) && set.contains(tokens.getUTF8String(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    doEval(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordlist", this, classOf[WordlistHits].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.doEval($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordlistHits =
+    copy(child = newChild)
+}

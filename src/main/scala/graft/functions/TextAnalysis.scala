@@ -934,6 +934,28 @@ object TextAnalysis {
       (wordsOk && coalesce(meanOk, lit(false)) && symbolOk).as("pass"))
   }
 
+  /** C4-style blocklist gate (Raffel et al. 2020 §2.2 — drop any doc
+    * containing a word from a public blocklist): occurrence count and
+    * flag at TOKEN granularity (lowercased whitespace tokens, EXACT
+    * match — "assess" never hits a 3-letter entry; substring variants
+    * over-fire notoriously). One native probe-loop pass
+    * ([[WordlistHits]], the parameterized [[stopwordHitsAll]] shape);
+    * the blocklist ships inside the plan, so no broadcast plumbing.
+    * Supply your compliance team's list — the default is empty on
+    * purpose (raising beats silently gating on someone else's list).
+    *
+    * @return struct(n_blocked int, blocked boolean)
+    */
+  def blocklistSignals(c: Column, blocklist: Seq[String]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    require(blocklist.nonEmpty, "blocklistSignals needs a non-empty blocklist")
+    require(blocklist.forall(w => w == w.toLowerCase && !w.exists(_.isWhitespace)),
+      "blocklist entries must be lowercase single tokens (token-exact match)")
+    val hits = GraftSqlBridge.column(
+      WordlistHits(GraftSqlBridge.expression(tokens(c)), blocklist))
+    struct(hits.as("n_blocked"), (hits > 0).as("blocked"))
+  }
+
   /** Gopher-style WITHIN-document repetition signals (Rae et al.
     * 2021, table A1: duplicate-line fraction, duplicate-line
     * character fraction, top word-n-gram character fraction) as a

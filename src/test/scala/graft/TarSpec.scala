@@ -104,6 +104,27 @@ class TarSpec extends SparkSpec {
     assert(b.length == 1 && b.head.corrupt != null && b.head.corrupt.startsWith("gzip"))
   }
 
+  test("parseBlob: random garbage never throws, always terminates, only quarantines") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val n = rng.nextInt(4096)
+      val junk = new Array[Byte](n)
+      rng.nextBytes(junk)
+      val recs = Tar.parseBlob(junk, 1 << 20, 1 << 24).toSeq
+      // a random blob validating a checksummed ustar header is
+      // ~impossible: every emitted row must be a quarantine row
+      recs.foreach(r => assert(r.corrupt != null))
+      assert(recs.lengthCompare(n / 512 + 2) <= 0, "at most one row per block")
+    }
+    // random bytes spliced BETWEEN valid members still parse the members
+    val good = entry("ok.txt", "ok".getBytes)
+    val mid = Array.fill[Byte](1024)(0x55)
+    val recs = Tar.parseBlob(good ++ mid ++ good ++ new Array[Byte](1024),
+      1 << 20, 1 << 24).toSeq
+    assert(recs.count(_.corrupt == null) == 2)
+    assert(recs.filter(_.corrupt == null).forall(_.name == "ok.txt"))
+  }
+
   test("readTarShards + tarManifest: file-granular ingest, bounded audit") {
     val dir = java.nio.file.Files.createTempDirectory("tarspec").toFile
     try {

@@ -51,6 +51,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq("pt", "it", "nl", "ru", "ja", "ko", "zh"))
   }
 
+  test("blocklistSignals: token-exact occurrence counting, no substring hits") {
+    val sig = blocklistSignals($"s", Seq("bad", "worse"))
+    val out = Seq(
+      "bad things and worse things and BAD again", // 3 hits (case-folded)
+      "badge embedded notworse",                   // substrings never hit
+      "clean text only",
+      "").toDF("s")
+      .select(sig.getField("n_blocked").as("n"), sig.getField("blocked").as("b"))
+      .as[(Int, Boolean)].collect().toSeq
+    assert(out == Seq((3, true), (0, false), (0, false), (0, false)))
+    intercept[IllegalArgumentException] {
+      blocklistSignals($"s", Seq("Upper"))
+    }
+    intercept[IllegalArgumentException] {
+      blocklistSignals($"s", Seq("two words"))
+    }
+  }
+
   test("languageIdScored: label matches languageId, confidence is the smoothed posterior") {
     val df = Seq(
       "the cat sat on the mat and it is fine", // en: 6 hits, no other signal
