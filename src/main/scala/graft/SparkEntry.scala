@@ -1290,6 +1290,17 @@ object SparkEntry {
           col("content_length").as("n_bytes"),
           col("warc_type"))
     }),
+    "q_kappa" -> ((s, dir) => {
+      // Inter-annotator agreement QA: rater A = lang, rater B = lang
+      // with every 7th doc flipped to 'en' — a controlled
+      // disagreement pattern; chance-corrected kappa over the
+      // |labels|²-bounded contingency.
+      val d = Parallelism.spread(t(s, dir, "documents"))
+        .select(col("lang").as("rater_a"),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit("en"))
+            .otherwise(col("lang")).as("rater_b"))
+      graft.operators.Eval.cohenKappa(d, "rater_a", "rater_b")
+    }),
     "q_blocklist" -> ((s, dir) => {
       // C4-style blocklist gate: token-exact occurrence count + flag
       // under a demo list (three corpus words) — one native
@@ -4485,6 +4496,24 @@ object SparkEntry {
       """SELECT doc_id, text,
         |  octet_length(encode(text))::BIGINT AS n_bytes
         |FROM documents""".stripMargin,
+    "q_kappa" ->
+      """WITH l AS (SELECT lang AS a,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END AS b
+        |  FROM documents WHERE lang IS NOT NULL),
+        |cells AS (SELECT a, b, count(*) AS c FROM l GROUP BY 1, 2),
+        |ra AS (SELECT a AS k, sum(c) AS ra FROM cells GROUP BY 1),
+        |rb AS (SELECT b AS k, sum(c) AS rb FROM cells GROUP BY 1),
+        |e AS (SELECT coalesce(sum(coalesce(ra, 0) * coalesce(rb, 0)), 0) AS e
+        |  FROM ra FULL JOIN rb USING (k)),
+        |o AS (SELECT coalesce(sum(c), 0) AS n,
+        |  coalesce(sum(CASE WHEN a = b THEN c END), 0) AS agree FROM cells)
+        |SELECT n::BIGINT AS n_items, agree::BIGINT AS n_agree,
+        |  CASE WHEN n > 0 THEN round(agree::DOUBLE / n::DOUBLE, 6) END AS po,
+        |  CASE WHEN n > 0 THEN round(e::DOUBLE / n::DOUBLE / n::DOUBLE, 6) END AS pe,
+        |  CASE WHEN n > 0 AND e::DOUBLE / n::DOUBLE / n::DOUBLE < 1.0 THEN
+        |    round((agree::DOUBLE / n::DOUBLE - e::DOUBLE / n::DOUBLE / n::DOUBLE)
+        |      / (1.0 - e::DOUBLE / n::DOUBLE / n::DOUBLE), 6) END AS kappa
+        |FROM o, e""".stripMargin,
     "q_blocklist" ->
       """SELECT doc_id,
         |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

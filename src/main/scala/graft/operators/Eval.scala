@@ -139,6 +139,60 @@ object Eval {
     * @return one row: (auc, positives, negatives); auc is NaN when
     *         either class is absent.
     */
+  /** Cohen's kappa — chance-corrected inter-annotator agreement over
+    * two categorical label columns (the QA number for human-labeled
+    * quality/filter training sets: raw agreement flatters whenever
+    * one label dominates). κ = (p_o − p_e) / (1 − p_e) with
+    * p_o = Σ_k n_kk / n and p_e = Σ_k rowMarginal_k · colMarginal_k / n².
+    *
+    * Scale shape: ONE grouped count bounded by |labels|² (never a
+    * per-item frame), marginals joined on that tiny frame. Exact and
+    * order-independent: counts and the Σ rowM·colM numerator
+    * accumulate in DECIMAL(38,0); the only doubles are the output
+    * divisions, in a fixed order (each numerator / n, then / n). Rows
+    * where either label is null drop (unlabeled items). κ is null
+    * when p_e = 1 (both raters constant — chance correction
+    * undefined).
+    *
+    * @return one row (n_items, n_agree, po 6 dp, pe 6 dp, kappa 6 dp).
+    */
+  def cohenKappa(df: DataFrame, raterACol: String, raterBCol: String): DataFrame = {
+    val cells = df
+      .where(col(raterACol).isNotNull && col(raterBCol).isNotNull)
+      .groupBy(col(raterACol).as("__a"), col(raterBCol).as("__b"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__c"))
+    val rowM = cells.groupBy(col("__a").as("__k")).agg(sum(col("__c")).as("__ra"))
+    val colM = cells.groupBy(col("__b").as("__k")).agg(sum(col("__c")).as("__rb"))
+    val eNum = rowM.join(colM, Seq("__k"), "full")
+      .agg(coalesce(sum(
+        coalesce(col("__ra"), lit(0)).cast("decimal(38,0)") *
+          coalesce(col("__rb"), lit(0)).cast("decimal(38,0)")), lit(0))
+        .cast("decimal(38,0)").as("__e"))
+    val oNum = cells.agg(
+      coalesce(sum(col("__c")), lit(0)).cast("decimal(38,0)").as("__n"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__c"))), lit(0))
+        .cast("decimal(38,0)").as("__agree"))
+    oNum.crossJoin(broadcast(eNum))
+      .select(
+        col("__n").cast("long").as("n_items"),
+        col("__agree").cast("long").as("n_agree"),
+        when(col("__n") > 0,
+          round(col("__agree").cast("double") / col("__n").cast("double"), 6))
+          .as("po"),
+        when(col("__n") > 0,
+          round(col("__e").cast("double") / col("__n").cast("double")
+            / col("__n").cast("double"), 6)).as("pe"),
+        when(col("__n") > 0 &&
+          col("__e").cast("double") / col("__n").cast("double")
+            / col("__n").cast("double") < 1.0,
+          round(
+            (col("__agree").cast("double") / col("__n").cast("double") -
+              col("__e").cast("double") / col("__n").cast("double")
+                / col("__n").cast("double")) /
+              (lit(1.0) - col("__e").cast("double") / col("__n").cast("double")
+                / col("__n").cast("double")), 6)).as("kappa"))
+  }
+
   def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val g = df
       .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)

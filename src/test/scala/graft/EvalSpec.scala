@@ -182,4 +182,37 @@ class EvalSpec extends SparkSpec {
     assert(a == Eval.ndcgAtK(ranked, rels, "q", "doc", "rank", "rel", 10)
       .collect().toSet)
   }
+
+  test("cohenKappa: the textbook 2x2 worked example") {
+    // yes/yes 20, yes/no 5, no/yes 10, no/no 15: po = 0.7,
+    // pe = (25·30 + 25·20)/50² = 0.5, kappa = 0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val out = Eval.cohenKappa(rows.toDF("a", "b"), "a", "b").head()
+    assert(out.getLong(0) == 50 && out.getLong(1) == 35)
+    assert(math.abs(out.getDouble(2) - 0.7) < 1e-9)
+    assert(math.abs(out.getDouble(3) - 0.5) < 1e-9)
+    assert(math.abs(out.getDouble(4) - 0.4) < 1e-9)
+  }
+
+  test("cohenKappa: perfect agreement is 1; constant raters yield null kappa; nulls drop") {
+    val perfect = Seq(("a", "a"), ("b", "b"), ("c", "c"), ("a", "a")).toDF("a", "b")
+    assert(math.abs(Eval.cohenKappa(perfect, "a", "b").head().getDouble(4) - 1.0) < 1e-9)
+    // both raters always say "x": pe = 1, chance correction undefined
+    val const = Seq.fill(5)(("x", "x")).toDF("a", "b")
+    val r = Eval.cohenKappa(const, "a", "b").head()
+    assert(r.getLong(0) == 5 && r.isNullAt(4))
+    // unlabeled rows drop before counting
+    val withNulls = Seq(("y", "y"), (null, "y"), ("y", null)).toDF("a", "b")
+    assert(Eval.cohenKappa(withNulls, "a", "b").head().getLong(0) == 1)
+  }
+
+  test("cohenKappa: repartition-invariant") {
+    val rows = (1 to 200).map(i =>
+      (s"l${i % 4}", if (i % 9 == 0) "l0" else s"l${i % 4}"))
+    val df = rows.toDF("a", "b")
+    val one = Eval.cohenKappa(df, "a", "b").collect().toSeq
+    val many = Eval.cohenKappa(df.repartition(13), "a", "b").collect().toSeq
+    assert(one == many)
+  }
 }
