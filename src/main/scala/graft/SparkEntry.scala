@@ -898,6 +898,30 @@ object SparkEntry {
           label.as("label"))
       graft.operators.Eval.calibrationBins(scored, "score", "label", bins = 10)
     }),
+    "q_pr_auc" -> ((s, dir) => {
+      // Average precision over the same dyadic synthetic gate as
+      // q_auc: the rare-ish positive class (25%) plus guaranteed
+      // score ties exercise the blockwise step convention.
+      val label = pmod(col("doc_id"), lit(4)) === 0
+      val noise = pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":auc"))), 1, 4), 16, 10).cast("long"), lit(1024))
+      val scored = Parallelism.spread(t(s, dir, "documents"))
+        .select((noise / 1024.0 + when(label, 0.25).otherwise(0.0)).as("score"),
+          label.as("label"))
+      graft.operators.Eval.averagePrecision(scored, "score", "label")
+    }),
+    "q_ece" -> ((s, dir) => {
+      // One-number calibration summary over the q_calibration bins —
+      // same clamped binning, same 6 dp per-bin rounding.
+      val label = pmod(col("doc_id"), lit(4)) === 0
+      val noise = pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":auc"))), 1, 4), 16, 10).cast("long"), lit(1024))
+      val scored = Parallelism.spread(t(s, dir, "documents"))
+        .select((noise / 1024.0 + when(label, 0.25).otherwise(0.0)).as("score"),
+          label.as("label"))
+      graft.operators.Eval.expectedCalibrationError(scored, "score", "label",
+        bins = 10)
+    }),
     "q_kanon" -> ((s, dir) => {
       // Release-gate k-anonymity audit over (nation, segment) — at
       // k=10 a real mix of safe and at-risk groups (35/125 small at
@@ -3940,6 +3964,42 @@ object SparkEntry {
         |    / (pp::DOUBLE * nn::DOUBLE * 2.0), 6) AS auc,
         |  pp AS positives, nn AS negatives
         |FROM c, t GROUP BY pp, nn""".stripMargin,
+    // same dyadic score; blockwise descending sweep with the
+    // pessimistic (block-end) precision convention, 10 dp per-block
+    // terms into exact DECIMAL, one double division
+    "q_pr_auc" ->
+      s"""WITH d AS (SELECT (doc_id % 4 = 0) AS label,
+        |    (${h16Sql("doc_id::VARCHAR || ':auc'")} % 1024) / 1024.0
+        |      + CASE WHEN doc_id % 4 = 0 THEN 0.25 ELSE 0 END AS score
+        |  FROM documents),
+        |g AS (SELECT score AS s,
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS p,
+        |    count(*)::BIGINT AS t
+        |  FROM d GROUP BY 1),
+        |c AS (SELECT *, sum(p) OVER (ORDER BY s DESC) AS cp,
+        |    sum(t) OVER (ORDER BY s DESC) AS ct FROM g)
+        |SELECT round(sum(round(p * cp::DOUBLE / ct, 10)::DECIMAL(28,10))::DOUBLE
+        |    / sum(p)::DOUBLE, 6) AS average_precision,
+        |  sum(p)::BIGINT AS positives,
+        |  sum(t - p)::BIGINT AS negatives
+        |FROM c""".stripMargin,
+    // same clamped binning and 6 dp per-bin rounding as
+    // q_calibration; 10 dp per-bin terms into exact DECIMAL
+    "q_ece" ->
+      s"""WITH d AS (SELECT (doc_id % 4 = 0) AS label,
+        |    (${h16Sql("doc_id::VARCHAR || ':auc'")} % 1024) / 1024.0
+        |      + CASE WHEN doc_id % 4 = 0 THEN 0.25 ELSE 0 END AS score
+        |  FROM documents),
+        |b AS (SELECT least(greatest(floor(score * 10), 0), 9)::BIGINT AS bin,
+        |    count(*)::BIGINT AS n,
+        |    round(sum(score::DECIMAL(28,10))::DOUBLE / count(*), 6) AS ms,
+        |    round(sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+        |      AS pr
+        |  FROM d GROUP BY 1)
+        |SELECT sum(n)::BIGINT AS n_items, count(*)::BIGINT AS bins_used,
+        |  round(sum(round(n * abs(ms - pr), 10)::DECIMAL(28,10))::DOUBLE
+        |    / sum(n)::DOUBLE, 6) AS ece
+        |FROM b""".stripMargin,
     // identical clamped binning; mean over the exact 10-digit decimal
     // sum (the dyadic 1/1024 scores are exactly DECIMAL(28,10))
     "q_calibration" ->

@@ -78,6 +78,43 @@ object Cumulative {
       local + coalesce(off, lit(0))
     }
 
+  /** Several running sums over ONE range exchange: the per-partition
+    * offset frame carries one column per value, so callers needing
+    * both a cumulative numerator and a cumulative denominator (AUC /
+    * average-precision style sweeps) pay a single checkpoint instead
+    * of chaining [[withCumulativeSum]] twice.
+    */
+  def withCumulativeSums(
+      df: DataFrame,
+      values: Seq[(Column, String)],
+      onCol: Column,
+      ascending: Boolean = true): DataFrame = {
+    require(values.nonEmpty, "no values given")
+    val ord = if (ascending) onCol.asc else onCol.desc
+    val pidCol = graft.Cols.unique("__pid", df)
+    // One lazy localCheckpoint pins partition boundaries shared by the
+    // offsets branch and the main branch (same reasoning as prefixSum).
+    val part = df.repartitionByRange(ord)
+      .withColumn(pidCol, spark_partition_id())
+      .localCheckpoint(false)
+    val wLoc = Window.partitionBy(col(pidCol)).orderBy(ord)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy(pmod(col(pidCol), lit(1))).orderBy(col(pidCol))
+    val offCols = values.map { case (_, out) => graft.Cols.unique(s"__off_$out", df) }
+    val aggs = values.map { case (v, out) => sum(v).as(s"__ps_$out") }
+    val offs = part
+      .groupBy(col(pidCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(pidCol) +: values.zip(offCols).map { case ((_, out), oc) =>
+        sum(col(s"__ps_$out"))
+          .over(wOff.rowsBetween(Window.unboundedPreceding, -1)).as(oc)
+      }: _*)
+    val joined = part.join(broadcast(offs), Seq(pidCol))
+    values.zip(offCols).foldLeft(joined) { case (acc, ((v, out), oc)) =>
+      acc.withColumn(out, sum(v).over(wLoc) + coalesce(col(oc), lit(0)))
+    }.drop(pidCol +: offCols: _*)
+  }
+
   /** Global running percent-of-total ordered by `onCol` — the prefix
     * sum of [[withCumulativeSum]] over the broadcast grand total.
     */

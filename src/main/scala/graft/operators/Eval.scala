@@ -217,6 +217,89 @@ object Eval {
         col("__N").as("negatives"))
   }
 
+  /** Tie-aware average precision (area under the precision-recall
+    * curve, step interpolation) — the metric that matters when the
+    * positive class is rare (a contamination or PII detector at 0.1%
+    * prevalence shows a flattering ROC AUC while its PR curve
+    * collapses).
+    *
+    * Grouped formulation, never a per-row rank: per distinct score s
+    * (descending sweep), cumP_s / cumT_s = cumulative positives /
+    * rows down to and including the block, block precision
+    * cumP_s/cumT_s, and AP = Σ_s p_s · prec_s / P — every positive in
+    * a tied block scores the block-END precision (the pessimistic
+    * step convention; optimistic-vs-pessimistic differ only within
+    * tied blocks and this choice is documented and replayed by the
+    * oracle). Cumulatives come from ONE multi-value distributed
+    * prefix sum ([[Cumulative.withCumulativeSums]]); per-block terms
+    * round to 10 dp and accumulate in exact DECIMAL(28,10), one
+    * double division at the boundary.
+    *
+    * @return one row: (average_precision 6 dp, positives, negatives);
+    *         NaN when no positives exist.
+    */
+  def averagePrecision(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val g = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"),
+        count(lit(1)).as("__t"))
+    val c = Cumulative.withCumulativeSums(
+      g, Seq(col("__p") -> "__cp", col("__t") -> "__ct"),
+      col("__s"), ascending = false)
+    c.agg(
+        sum(col("__p")).as("__P"),
+        sum(col("__t") - col("__p")).as("__N"),
+        sum(round(col("__p") * col("__cp").cast("double") / col("__ct"), 10)
+          .cast("decimal(28,10)")).as("__num"))
+      .select(
+        when(col("__P") > 0,
+          round(col("__num").cast("double") / col("__P").cast("double"), 6))
+          .otherwise(lit(Double.NaN)).as("average_precision"),
+        coalesce(col("__P"), lit(0L)).as("positives"),
+        coalesce(col("__N"), lit(0L)).as("negatives"))
+  }
+
+  /** Expected Calibration Error (Naeini et al., AAAI 2015; the
+    * one-number summary of [[calibrationBins]]): ECE =
+    * Σ_b (n_b/N)·|mean_score_b − pos_rate_b| over `bins` equal-width
+    * bins. Per-bin means and rates use the calibrationBins rounding
+    * (6 dp) so the two reports agree digit-for-digit; per-bin terms
+    * round to 10 dp into DECIMAL(28,10) (order-independent across the
+    * ≤ bins rows), one double division at the boundary.
+    *
+    * @return one row: (n_items, bins_used, ece 6 dp).
+    */
+  def expectedCalibrationError(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val s = col(scoreCol)
+    val bin = least(greatest(floor(s * bins), lit(0L)), lit(bins - 1L))
+    df.where(s.isNotNull && col(labelCol).isNotNull)
+      .groupBy(bin.as("__bin"))
+      .agg(
+        count(lit(1)).as("__n"),
+        round(sum(s.cast("decimal(28,10)")).cast("double") / count(lit(1)), 6)
+          .as("__ms"),
+        round(sum(when(col(labelCol), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("__pr"))
+      .agg(
+        sum(col("__n")).as("__N"),
+        count(lit(1)).as("__bins"),
+        sum(round(col("__n") * abs(col("__ms") - col("__pr")), 10)
+          .cast("decimal(28,10)")).as("__num"))
+      .select(
+        coalesce(col("__N"), lit(0L)).as("n_items"),
+        col("__bins").cast("long").as("bins_used"),
+        when(col("__N") > 0,
+          round(col("__num").cast("double") / col("__N").cast("double"), 6))
+          .as("ece"))
+  }
+
   /** Reliability-diagram bins: scores bucketed into `bins` equal
     * [0,1) intervals (out-of-range scores clamp into the edge bins),
     * each bin reporting its size, exact mean score (DECIMAL-summed,

@@ -54,6 +54,20 @@ class CumulativeSpec extends SparkSpec {
     }
   }
 
+  test("withCumulativeSums: one pass matches two chained withCumulativeSum calls") {
+    for (asc <- Seq(true, false)) {
+      val two = Cumulative.withCumulativeSum(
+        Cumulative.withCumulativeSum(df, col("v"), col("id"), "a", asc),
+        col("v") * 2, col("id"), "b", asc)
+      val one = Cumulative.withCumulativeSums(
+        df, Seq((col("v"), "a"), (col("v") * 2, "b")), col("id"), asc)
+      val key = (d: org.apache.spark.sql.DataFrame) =>
+        d.select(col("id"), col("a").cast("long"), col("b").cast("long"))
+          .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(key(one) == key(two), s"ascending=$asc")
+    }
+  }
+
   test("withCumulativeSum: RANGE semantics under ties") {
     val ties = Seq((1, 1, 10), (2, 1, 20), (3, 2, 5)).toDF("id", "t", "v")
     val want = sortedDoubles(

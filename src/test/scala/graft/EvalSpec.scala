@@ -215,4 +215,56 @@ class EvalSpec extends SparkSpec {
     val many = Eval.cohenKappa(df.repartition(13), "a", "b").collect().toSeq
     assert(one == many)
   }
+
+  private def ap(rows: Seq[(Double, Boolean)]): (Double, Long, Long) =
+    Eval.averagePrecision(rows.toDF("score", "label"), "score", "label")
+      .as[(Double, Long, Long)].collect().head
+
+  test("averagePrecision: perfect separation is 1.0; no positives is NaN") {
+    val sep = Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))
+    assert(ap(sep) == ((1.0, 2L, 2L)))
+    assert(ap(Seq((0.9, false), (0.1, false)))._1.isNaN)
+  }
+
+  test("averagePrecision: hand-computed tied-block value (pessimistic step)") {
+    // blocks desc: 0.5 {p=2,t=3} prec 2/3; 0.3 {p=1,t=1} cp=3,ct=4 prec 3/4
+    // AP = (2*(2/3) + 1*(3/4)) / 3 = 25/36
+    val rows = Seq((0.5, true), (0.5, true), (0.3, true), (0.5, false), (0.2, false))
+    val (a, p, n) = ap(rows)
+    assert(p == 3L && n == 2L)
+    assert(math.abs(a - 25.0 / 36.0) < 1e-6)
+  }
+
+  test("averagePrecision: repartition-invariant and null-dropping") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(400)((rnd.nextInt(20) / 20.0, rnd.nextInt(5) == 0))
+    val one = ap(rows)
+    val many = Eval.averagePrecision(
+      rows.toDF("score", "label").repartition(17), "score", "label")
+      .as[(Double, Long, Long)].collect().head
+    assert(one == many)
+    val withNulls = Seq[(java.lang.Double, java.lang.Boolean)](
+      (0.9, true), (0.1, false), (null, true), (0.5, null)).toDF("score", "label")
+    val r = Eval.averagePrecision(withNulls, "score", "label")
+      .as[(Double, Long, Long)].collect().head
+    assert(r == ((1.0, 1L, 1L)))
+  }
+
+  test("expectedCalibrationError: hand value, zero for perfectly calibrated bins") {
+    // bin 0: 4 rows ms=0.05 pr=0.25 → 4·0.2; bin 9: 2 rows ms=0.95 pr=1 → 2·0.05
+    val rows = Seq((0.05, true), (0.05, false), (0.05, false), (0.05, false),
+      (0.95, true), (0.95, true))
+    val r = Eval.expectedCalibrationError(
+      rows.toDF("score", "label"), "score", "label", bins = 10)
+      .as[(Long, Long, Double)].collect().head
+    assert(r._1 == 6L && r._2 == 2L)
+    assert(math.abs(r._3 - 0.15) < 1e-9)
+    // mean score == pos rate in every bin → ece 0
+    val calibrated = Seq((0.25, true), (0.25, false), (0.25, false), (0.25, false),
+      (0.75, true), (0.75, true), (0.75, true), (0.75, false))
+    val c = Eval.expectedCalibrationError(
+      calibrated.toDF("score", "label"), "score", "label", bins = 10)
+      .as[(Long, Long, Double)].collect().head
+    assert(c._3 == 0.0)
+  }
 }
