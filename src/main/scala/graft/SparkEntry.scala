@@ -1711,6 +1711,14 @@ object SparkEntry {
       graft.operators.Profile.corrMatrix(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
     }),
+    "q_spearman" -> ((s, dir) => {
+      // Monotone association between quantity (50 distinct values —
+      // the tie convention carries real weight) and extendedprice;
+      // ranks from grouped counts + a distributed prefix sum, never
+      // a per-row rank window.
+      graft.operators.Profile.spearmanCorr(t(s, dir, "lineitem"),
+        "l_quantity", "l_extendedprice")
+    }),
     "q_crosstab" -> ((s, dir) => {
       // source × lang independence check: one corpus aggregation,
       // marginals derived from the staged bounded cell frame.
@@ -5065,6 +5073,26 @@ object SparkEntry {
         |FROM j""".stripMargin,
     "q_corr" -> corrOracleSql("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), 4),
+    // same doubled average ranks (2·cum − c + 1, exact integers) via
+    // window prefix sums; each √ factor converted to DOUBLE before
+    // the root, fixed multiply order, one rounding at the boundary
+    "q_spearman" ->
+      """WITH d AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |gx AS (SELECT x AS v, count(*)::BIGINT AS c FROM d GROUP BY 1),
+        |cx AS (SELECT v, (2*sum(c) OVER (ORDER BY v) - c + 1)::HUGEINT AS rx FROM gx),
+        |gy AS (SELECT y AS v, count(*)::BIGINT AS c FROM d GROUP BY 1),
+        |cy AS (SELECT v, (2*sum(c) OVER (ORDER BY v) - c + 1)::HUGEINT AS ry FROM gy),
+        |p AS (SELECT rx, ry FROM d JOIN cx ON d.x = cx.v JOIN cy ON d.y = cy.v),
+        |m AS (SELECT count(*)::HUGEINT AS n, sum(rx)::HUGEINT AS sx,
+        |    sum(ry)::HUGEINT AS sy, sum(rx*rx)::HUGEINT AS sxx,
+        |    sum(ry*ry)::HUGEINT AS syy, sum(rx*ry)::HUGEINT AS sxy FROM p)
+        |SELECT n::BIGINT AS n_rows,
+        |  CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
+        |    round((n*sxy - sx*sy)::DOUBLE /
+        |      (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)), 6)
+        |  END AS spearman
+        |FROM m""".stripMargin,
     // identical marginal products and the left-associative
     // (o−e)²/e — counts are exact longs, one double rounding per term
     "q_crosstab" ->

@@ -797,6 +797,61 @@ object Profile {
       .select("c.*")
   }
 
+  /** Spearman rank correlation of two numeric columns — the
+    * monotone-association twin of [[corrMatrix]] for heavy-tailed
+    * signals (doc length vs quality score, where one 10 GB outlier
+    * drags Pearson to ~1 or ~0 but cannot move ranks).
+    *
+    * Scale-safe ranking: NEVER a per-row rank window. Each column's
+    * average ranks (the standard tie convention) come from a grouped
+    * value count + the [[Cumulative.withCumulativeSum]] distributed
+    * prefix sum: for value v with count c and inclusive cumulative
+    * count cum, 2·rank(v) = 2·cum − c + 1 — an exact integer, so all
+    * moments accumulate in DECIMAL(38,0) (the 2× scale cancels in the
+    * correlation). Ranks join back by value (two value-keyed
+    * equi-joins). ρ = (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²)·√(n·Syy −
+    * Sy²)) with each factor converted to double BEFORE the √ (fixed
+    * order, replicated in the oracle).
+    *
+    * Rows with a null in either column drop first (ranking is over
+    * the paired sample). Exact for n up to ~1e9 (the n·Sxx moment
+    * reaches 4n⁴ ≤ 10³⁸).
+    *
+    * @return one row: (n_rows, spearman 6 dp — null when either
+    *         column is constant).
+    */
+  def spearmanCorr(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val d = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).as("__x"), col(yCol).as("__y"))
+    def ranks2x(c: String, out: String): DataFrame = {
+      val g = d.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__c"))
+      Cumulative.withCumulativeSum(g, col("__c"), col("__v"), "__cum")
+        .select(col("__v"),
+          (lit(2) * col("__cum") - col("__c") + lit(1))
+            .cast("decimal(38,0)").as(out))
+    }
+    val rx = ranks2x("__x", "__rx")
+    val ry = ranks2x("__y", "__ry")
+    val paired = d
+      .join(rx, d("__x") === rx("__v")).drop("__v")
+      .join(ry, col("__y") === ry("__v")).drop("__v")
+    val agg = paired.agg(
+      count(lit(1)).cast("decimal(38,0)").as("__n"),
+      coalesce(sum(col("__rx")), lit(0)).cast("decimal(38,0)").as("__sx"),
+      coalesce(sum(col("__ry")), lit(0)).cast("decimal(38,0)").as("__sy"),
+      coalesce(sum(col("__rx") * col("__rx")), lit(0)).cast("decimal(38,0)").as("__sxx"),
+      coalesce(sum(col("__ry") * col("__ry")), lit(0)).cast("decimal(38,0)").as("__syy"),
+      coalesce(sum(col("__rx") * col("__ry")), lit(0)).cast("decimal(38,0)").as("__sxy"))
+    val a = (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val b = (col("__n") * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    agg.select(
+      col("__n").cast("long").as("n_rows"),
+      round(when(a > 0 && b > 0,
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+          (sqrt(a) * sqrt(b))), 6).as("spearman"))
+  }
+
   /** Contingency table with χ²-of-independence contributions — the
     * confound check a corpus-mixing decision needs ("is source
     * independent of language, or does dropping a source silently

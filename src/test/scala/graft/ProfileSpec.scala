@@ -791,4 +791,42 @@ class ProfileSpec extends SparkSpec {
       .collect().head
     assert(out == ((0L, 0L, 0L)))
   }
+
+  private def spearman(rows: Seq[(Double, Double)]): (Long, Option[Double]) = {
+    val r = Profile.spearmanCorr(rows.toDF("x", "y"), "x", "y").head()
+    (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+  }
+
+  test("spearmanCorr: hand-computed tied case, monotone extremes, constant null") {
+    // x=(1,2,2,4) → 2·ranks (2,5,5,8); y=(10,20,30,40) → (2,4,6,8)
+    // ρ = 72/(√72·√80) = 3/√10
+    val (n, rho) = spearman(Seq((1, 10), (2, 20), (2, 30), (4, 40)))
+    assert(n == 4L)
+    assert(math.abs(rho.get - 3.0 / math.sqrt(10.0)) < 1e-6)
+    // any strictly monotone map scores exactly ±1 regardless of shape
+    val mono = (1 to 50).map(i => (i.toDouble, math.exp(i / 10.0)))
+    assert(spearman(mono)._2.get == 1.0)
+    assert(spearman(mono.map { case (x, y) => (x, -y) })._2.get == -1.0)
+    // a constant column has zero rank variance
+    assert(spearman(Seq((1, 5), (2, 5), (3, 5)))._2.isEmpty)
+  }
+
+  test("spearmanCorr: outlier immunity vs Pearson, null drop, repartition invariance") {
+    import org.apache.spark.sql.functions.col
+    // one huge outlier cannot move ranks
+    val base = (1 to 30).map(i => (i.toDouble, (31 - i).toDouble))
+    val withOutlier = base :+ (1e9, 1e9)
+    val clean = spearman(base)._2.get
+    val spiked = spearman(withOutlier)._2.get
+    assert(clean == -1.0 && spiked > -1.0 && spiked < -0.8)
+    val withNulls = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 2.0), (2.0, 3.0), (null, 9.0), (4.0, null), (3.0, 1.0))
+      .toDF("x", "y")
+    assert(Profile.spearmanCorr(withNulls, "x", "y").head().getLong(0) == 3L)
+    val df = (1 to 300).map(i => ((i * 37 % 50).toDouble, (i * 13 % 40).toDouble))
+      .toDF("x", "y")
+    val one = Profile.spearmanCorr(df, "x", "y").collect().toSeq
+    val many = Profile.spearmanCorr(df.repartition(17), "x", "y").collect().toSeq
+    assert(one == many)
+  }
 }
