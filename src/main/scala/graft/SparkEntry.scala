@@ -1488,6 +1488,29 @@ object SparkEntry {
         Parallelism.spread(t(s, dir, "events")),
         "user_id", "ts_ms", "value", tieCols = Seq("event_id"))
     }),
+    "q_concurrency" -> ((s, dir) => {
+      // Sweep-line: order lines OPEN (placed, not yet shipped) per
+      // priority over time — each valid [orderdate, shipdate) melts
+      // into +1/−1 boundary deltas, aggregated per (priority, date)
+      // then prefix-summed; the window runs over the bounded
+      // boundary frame, never raw rows.
+      val iv = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") >= col("o_orderdate"))
+        .select("o_orderpriority", "o_orderdate", "l_shipdate")
+      graft.operators.Events.concurrency(
+        iv, "o_orderdate", "l_shipdate", groupCols = Seq("o_orderpriority"))
+    }),
+    "q_peak_concurrency" -> ((s, dir) => {
+      // The capacity headline: each priority's peak open-lines level
+      // and the earliest date reaching it (one row per priority).
+      val iv = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") >= col("o_orderdate"))
+        .select("o_orderpriority", "o_orderdate", "l_shipdate")
+      graft.operators.Events.peakConcurrency(
+        iv, "o_orderdate", "l_shipdate", groupCols = Seq("o_orderpriority"))
+    }),
     "q_robust_scale" -> ((s, dir) => {
       // Outlier-resistant per-language length scaling: exact median
       // + MAD (6 dp), z_r = (x − med)/(1.4826·MAD) 4 dp — the
@@ -4737,6 +4760,31 @@ object SparkEntry {
         |  round(CASE WHEN t_last > t_first
         |    THEN wv::DOUBLE / (t_last - t_first) END, 6) AS twap
         |FROM g""".stripMargin,
+    // same closed-open +1/−1 melt and per-(mode, date) aggregation;
+    // the window prefix sum replays the running level exactly
+    "q_concurrency" ->
+      """WITH d AS (SELECT o_orderpriority AS g, o_orderdate AS s, l_shipdate AS e
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate >= o_orderdate),
+        |x AS (SELECT g, s AS t, 1 AS dlt FROM d
+        |  UNION ALL SELECT g, e AS t, -1 FROM d),
+        |a AS (SELECT g, t, sum(dlt)::BIGINT AS dd FROM x GROUP BY 1, 2)
+        |SELECT g AS o_orderpriority, t,
+        |  (sum(dd) OVER (PARTITION BY g ORDER BY t))::BIGINT AS concurrent
+        |FROM a""".stripMargin,
+    "q_peak_concurrency" ->
+      """WITH d AS (SELECT o_orderpriority AS g, o_orderdate AS s, l_shipdate AS e
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate >= o_orderdate),
+        |x AS (SELECT g, s AS t, 1 AS dlt FROM d
+        |  UNION ALL SELECT g, e AS t, -1 FROM d),
+        |a AS (SELECT g, t, sum(dlt)::BIGINT AS dd FROM x GROUP BY 1, 2),
+        |c AS (SELECT g, t,
+        |  (sum(dd) OVER (PARTITION BY g ORDER BY t))::BIGINT AS concurrent FROM a),
+        |p AS (SELECT g, max(concurrent)::BIGINT AS peak FROM c GROUP BY 1)
+        |SELECT c.g AS o_orderpriority, p.peak, min(c.t) AS peak_at
+        |FROM c JOIN p ON c.g = p.g AND c.concurrent = p.peak
+        |GROUP BY 1, 2""".stripMargin,
     // quantile_cont matches Spark's exact percentile (p·(n−1)
     // interpolation); 1.4826 spelled ::DOUBLE so DuckDB's DECIMAL
     // literal cannot scale differently

@@ -824,4 +824,83 @@ object Events {
         (col("__n") - col("n_events")).as("n_censored"),
         col("hazard"), col("survival"))
   }
+
+  /** Sweep-line interval concurrency — "how many shipments are in
+    * transit / sessions open / GPUs leased at once", the capacity
+    * question behind rate limits and shard sizing. Each interval
+    * [start, end) melts into a +1/−1 boundary delta (closed-open: a
+    * unit ending exactly when another starts never double-counts);
+    * deltas aggregate per (group, boundary) — the frame is bounded by
+    * DISTINCT boundary values, not rows — and a running sum turns
+    * them into the concurrency level holding from each boundary until
+    * the next.
+    *
+    * Scale shape: one union + one map-side-combined groupBy; the
+    * running sum is the [[Cumulative.withCumulativeSum]] distributed
+    * prefix sum when ungrouped, or a per-group RANGE window over the
+    * aggregated boundary frame when grouped (bounded by time
+    * granularity × groups, never by input rows). Null start/end rows
+    * drop (open-ended intervals are a different question); an
+    * inverted interval (end < start) raises in-plan — silent
+    * tolerance would corrupt every level after it.
+    *
+    * @return (groupCols…, t, concurrent) — one row per distinct
+    *         boundary instant per group; `concurrent` is the level in
+    *         [t, next boundary).
+    */
+  def concurrency(
+      df: DataFrame,
+      startCol: String,
+      endCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val base = df.where(col(startCol).isNotNull && col(endCol).isNotNull)
+    val open = when(col(endCol) < col(startCol),
+      raise_error(lit(s"concurrency: interval with $endCol < $startCol - " +
+        "fix or filter inverted intervals")).cast("int"))
+      .otherwise(lit(1))
+    val g = groupCols.map(col)
+    val deltas = base
+      .select(g :+ col(startCol).as("t") :+ open.as("__delta"): _*)
+      .unionByName(base
+        .select(g :+ col(endCol).as("t") :+ lit(-1).as("__delta"): _*))
+    val agg = deltas
+      .groupBy(g :+ col("t"): _*)
+      .agg(sum(col("__delta")).as("__d"))
+    if (groupCols.isEmpty)
+      Cumulative.withCumulativeSum(agg, col("__d"), col("t"), "concurrent")
+        .withColumn("concurrent", col("concurrent").cast("long"))
+        .drop("__d")
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(g: _*).orderBy(col("t"))
+        .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      agg.withColumn("concurrent", sum(col("__d")).over(w).cast("long"))
+        .drop("__d")
+    }
+  }
+
+  /** Per-group peak of [[concurrency]]: (groupCols…, peak,
+    * peak_at = the EARLIEST boundary reaching it). Bounded output
+    * (one row per group); two passes over the already-bounded
+    * boundary frame.
+    */
+  def peakConcurrency(
+      df: DataFrame,
+      startCol: String,
+      endCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val tl = concurrency(df, startCol, endCol, groupCols)
+    val g = groupCols.map(col)
+    val peaks =
+      if (groupCols.isEmpty) tl.agg(max(col("concurrent")).as("peak"))
+      else tl.groupBy(g: _*).agg(max(col("concurrent")).as("peak"))
+    val joined =
+      if (groupCols.isEmpty) tl.crossJoin(broadcast(peaks))
+      else tl.join(peaks, groupCols)
+    joined
+      .where(col("concurrent") === col("peak"))
+      .groupBy(g :+ col("peak"): _*)
+      .agg(min(col("t")).as("peak_at"))
+      .select(g ++ Seq(col("peak"), col("peak_at")): _*)
+  }
 }

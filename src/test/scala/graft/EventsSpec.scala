@@ -549,4 +549,54 @@ class EventsSpec extends SparkSpec {
     val messy = Seq((Some(-1L), true), (None, true)).toDF("dur", "ev")
     assert(Events.survivalCurve(messy, "dur", "ev").count() == 0)
   }
+
+  test("concurrency: closed-open sweep-line levels, grouped and global") {
+    // intervals: [1,5) [2,4) [4,6) — at t=4 one ends as one starts
+    val iv = Seq(("a", 1L, 5L), ("a", 2L, 4L), ("a", 4L, 6L))
+      .toDF("g", "s", "e")
+    val tl = Events.concurrency(iv, "s", "e", Seq("g"))
+      .select("t", "concurrent").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(tl == Seq((1L, 1L), (2L, 2L), (4L, 2L), (5L, 1L), (6L, 0L)))
+    // ungrouped path (distributed prefix sum) agrees
+    val glob = Events.concurrency(iv, "s", "e")
+      .select("t", "concurrent").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(glob == tl)
+    // groups are independent
+    val two = iv.unionByName(Seq(("b", 1L, 9L)).toDF("g", "s", "e"))
+    val byG = Events.concurrency(two, "s", "e", Seq("g"))
+      .where(col("g") === "b").select("t", "concurrent")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(byG == Seq((1L, 1L), (9L, 0L)))
+  }
+
+  test("concurrency: null intervals drop, inverted intervals raise, repartition-invariant") {
+    val withNull = Seq((Some(1L), Some(3L)), (None, Some(4L)), (Some(2L), None))
+      .toDF("s", "e")
+    assert(Events.concurrency(withNull, "s", "e").count() == 2)
+    val inverted = Seq((5L, 1L)).toDF("s", "e")
+    val ex = intercept[Exception] {
+      Events.concurrency(inverted, "s", "e").collect()
+    }
+    assert(ex.getMessage.contains("concurrency"))
+    val rnd = new scala.util.Random(3)
+    val many = Seq.fill(300) {
+      val s = rnd.nextInt(100).toLong; (s, s + 1 + rnd.nextInt(20))
+    }.toDF("s", "e")
+    val one = Events.concurrency(many, "s", "e").collect().toSeq.sortBy(_.getLong(0))
+    val rep = Events.concurrency(many.repartition(13), "s", "e")
+      .collect().toSeq.sortBy(_.getLong(0))
+    assert(one == rep)
+  }
+
+  test("peakConcurrency: earliest boundary at the peak, per group and global") {
+    val iv = Seq(("a", 1L, 5L), ("a", 2L, 4L), ("a", 4L, 6L), ("b", 7L, 8L))
+      .toDF("g", "s", "e")
+    val byG = Events.peakConcurrency(iv, "s", "e", Seq("g"))
+      .as[(String, Long, Long)].collect().toSet
+    // group a peaks at 2 first reached at t=2 (also 2 at t=4 — min wins)
+    assert(byG == Set(("a", 2L, 2L), ("b", 1L, 7L)))
+    val glob = Events.peakConcurrency(iv, "s", "e")
+      .as[(Long, Long)].collect().head
+    assert(glob == ((2L, 2L)))
+  }
 }
