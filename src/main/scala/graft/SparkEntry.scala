@@ -944,6 +944,16 @@ object SparkEntry {
       graft.operators.Profile.lDiversity(
         c, Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 4L)
     }),
+    "q_tcloseness" -> ((s, dir) => {
+      // t-closeness over the same quasi tuple and balance bands:
+      // ordered-EMD per group vs the global band distribution —
+      // diverse groups can still be skewed. t=0.2 splits the 125
+      // groups into both branches at sf0.01.
+      val c = t(s, dir, "customer")
+        .withColumn("bal_band", floor(col("c_acctbal") / 2000.0).cast("long"))
+      graft.operators.Profile.tCloseness(
+        c, Seq("c_nationkey", "c_mktsegment"), "bal_band", t = 0.2)
+    }),
     "q_kanon_flags" -> ((s, dir) => {
       // Per-row suppression frame for the same quasi tuple.
       graft.operators.Profile.kAnonymityFlags(
@@ -4076,6 +4086,37 @@ object SparkEntry {
         |  sum(CASE WHEN div < 4 THEN rows_ ELSE 0 END)::BIGINT AS rows_at_risk,
         |  min(div)::BIGINT AS min_diversity
         |FROM g""".stripMargin,
+    // same grid: bounded band frame cross-joined to groups, cumulative
+    // fractions divided once per (group, band) in a fixed order,
+    // 10 dp terms into exact DECIMAL, one division by (m-1)
+    "q_tcloseness" ->
+      """WITH d AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS v
+        |  FROM customer WHERE c_acctbal IS NOT NULL),
+        |cells AS (SELECT c_nationkey, c_mktsegment, v, count(*)::BIGINT AS c
+        |  FROM d GROUP BY 1, 2, 3),
+        |grp AS (SELECT c_nationkey, c_mktsegment, sum(c)::BIGINT AS ng
+        |  FROM cells GROUP BY 1, 2),
+        |vals AS (SELECT v, sum(c)::BIGINT AS cv FROM cells GROUP BY 1),
+        |gcum AS (SELECT v, sum(cv) OVER (ORDER BY v) AS cumv,
+        |    (SELECT sum(cv) FROM vals) AS n, (SELECT count(*) FROM vals) AS m
+        |  FROM vals),
+        |grid AS (SELECT g.c_nationkey, g.c_mktsegment, g.ng, gl.v, gl.cumv,
+        |    gl.n, gl.m, coalesce(c.c, 0) AS c
+        |  FROM grp g CROSS JOIN gcum gl
+        |  LEFT JOIN cells c ON c.c_nationkey = g.c_nationkey
+        |    AND c.c_mktsegment = g.c_mktsegment AND c.v = gl.v),
+        |cum AS (SELECT *, sum(c) OVER (
+        |    PARTITION BY c_nationkey, c_mktsegment ORDER BY v) AS cumg FROM grid),
+        |e AS (SELECT c_nationkey, c_mktsegment, ng, m,
+        |    sum(round(abs(cumg::DOUBLE / ng - cumv::DOUBLE / n), 10)
+        |      ::DECIMAL(28,10)) AS s
+        |  FROM cum GROUP BY 1, 2, 3, 4)
+        |SELECT c_nationkey, c_mktsegment, ng AS n_rows,
+        |  CASE WHEN m > 1 THEN round(s::DOUBLE / (m - 1), 6) ELSE 0.0 END AS emd,
+        |  (CASE WHEN m > 1 THEN round(s::DOUBLE / (m - 1), 6) ELSE 0.0 END) > 0.2
+        |    AS breaches_t
+        |FROM e""".stripMargin,
     "q_kanon_flags" ->
       """SELECT c_custkey,
         |  (count(*) OVER (PARTITION BY c_nationkey, c_mktsegment))::BIGINT

@@ -1285,6 +1285,89 @@ object Profile {
     * map-side-combined groupBy over (quasi..., sensitive), one
     * bounded roll-up — no distinct-set state.
     */
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) —
+    * the refinement [[lDiversity]] misses: a quasi-group can be
+    * diverse yet SKEWED (19 of 20 values "broke" in a group where the
+    * population is 50/50 reveals plenty). Per quasi-group, distance =
+    * Earth Mover's Distance between the group's distribution over the
+    * ORDERED sensitive values and the global one:
+    * EMD = (1/(m−1)) · Σᵢ |cumP_g(vᵢ) − cumQ(vᵢ)| (the ordered-EMD
+    * closed form from the paper).
+    *
+    * Scale shape: one map-side-combined groupBy over (quasi...,
+    * sensitive) — no per-row state — then the (groups × m) grid from
+    * a BROADCAST of the bounded value frame (m > maxValues raises
+    * in-plan: the grid is the scale knob, and a high-cardinality
+    * sensitive column should be banded first). Cumulative fractions
+    * divide once per (group, value) in a fixed order; per-value terms
+    * round to 10 dp into exact DECIMAL(28,10) so the per-group sum is
+    * order-independent. Rows with a null sensitive value drop
+    * (documented: they carry no distributional information). m = 1
+    * yields EMD 0 (one value everywhere — nothing to leak).
+    *
+    * @return one row per quasi-group: (quasiCols…, n_rows, emd 6 dp,
+    *         breaches_t).
+    */
+  def tCloseness(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      t: Double,
+      maxValues: Int = 1000): DataFrame = {
+    require(quasiCols.nonEmpty, "no quasi-identifier columns given")
+    require(!quasiCols.contains(sensitiveCol),
+      "the sensitive column cannot be a quasi-identifier")
+    require(t > 0 && t < 1, "t must be in (0, 1)")
+    require(maxValues >= 2, "maxValues must be >= 2")
+    val q = quasiCols.map(col)
+    val cells = df
+      .where(col(sensitiveCol).isNotNull)
+      .groupBy(q :+ col(sensitiveCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val groups = cells.groupBy(q: _*).agg(sum(col("__c")).as("__ng"))
+    val vals = cells.groupBy(col("__v")).agg(sum(col("__c")).as("__cv"))
+    val mN = vals.agg(
+      count(lit(1)).as("__m"), sum(col("__cv")).as("__N"))
+    // pmod(__m, 1) is constant-VALUED but not foldable, so the planner
+    // keeps a real (single-group) partition spec (the prefixSum trick)
+    val wGlob = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("__m"), lit(1))).orderBy(col("__v"))
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // the value frame is bounded (guarded below), so the constant-key
+    // window is a bounded single partition by construction
+    val glob = vals
+      .crossJoin(broadcast(mN))
+      .withColumn("__m",
+        when(col("__m") > maxValues,
+          raise_error(lit(s"tCloseness: more than $maxValues distinct " +
+            s"'$sensitiveCol' values - band the sensitive column or raise " +
+            "maxValues explicitly")).cast("long"))
+          .otherwise(col("__m")))
+      .withColumn("__cumv", sum(col("__cv")).over(wGlob))
+      .select(col("__v"), col("__cumv"), col("__N"), col("__m"))
+    val wGrp = org.apache.spark.sql.expressions.Window
+      .partitionBy(q: _*).orderBy(col("__v"))
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val grid = groups
+      .crossJoin(broadcast(glob))
+      .join(cells, quasiCols :+ "__v", "left")
+      .withColumn("__cumg",
+        sum(coalesce(col("__c"), lit(0L))).over(wGrp))
+      .withColumn("__term",
+        round(abs(col("__cumg").cast("double") / col("__ng") -
+          col("__cumv").cast("double") / col("__N")), 10)
+          .cast("decimal(28,10)"))
+    grid
+      .groupBy(q :+ col("__ng") :+ col("__m"): _*)
+      .agg(sum(col("__term")).as("__sum"))
+      .select(q ++ Seq(
+        col("__ng").as("n_rows"),
+        when(col("__m") > 1,
+          round(col("__sum").cast("double") / (col("__m") - lit(1)), 6))
+          .otherwise(lit(0.0)).as("emd")): _*)
+      .withColumn("breaches_t", col("emd") > t)
+  }
+
   def lDiversity(
       df: DataFrame,
       quasiCols: Seq[String],

@@ -792,6 +792,51 @@ class ProfileSpec extends SparkSpec {
     assert(out == ((0L, 0L, 0L)))
   }
 
+  test("tCloseness: hand-computed ordered EMD, symmetric mirror groups") {
+    // a: {1×3, 2×1}, b: {1×1, 2×3}; global 4/4 → cumQ(1)=0.5
+    // EMD(a) = |0.75−0.5|/(2−1) = 0.25 = EMD(b)
+    val df = (Seq.fill(3)(("a", 1)) ++ Seq(("a", 2)) ++
+      Seq(("b", 1)) ++ Seq.fill(3)(("b", 2))).toDF("q", "v")
+    val out = Profile.tCloseness(df, Seq("q"), "v", t = 0.2)
+      .as[(String, Long, Double, Boolean)].collect().toSet
+    assert(out == Set(("a", 4L, 0.25, true), ("b", 4L, 0.25, true)))
+    // below-threshold flag side
+    val loose = Profile.tCloseness(df, Seq("q"), "v", t = 0.3)
+      .as[(String, Long, Double, Boolean)].collect().toSet
+    assert(loose.forall(!_._4))
+  }
+
+  test("tCloseness: order matters (shifted bands), m=1 zero, null drop, guard") {
+    // ordered EMD sees the SHIFT between {1} and {3}
+    val shifted = (Seq.fill(2)(("a", 1)) ++ Seq.fill(2)(("b", 3))).toDF("q", "v")
+    val s = Profile.tCloseness(shifted, Seq("q"), "v", t = 0.4)
+      .as[(String, Long, Double, Boolean)].collect().toSet
+    assert(s == Set(("a", 2L, 0.5, true), ("b", 2L, 0.5, true)))
+    // single sensitive value everywhere → nothing to leak
+    val mono = Seq(("a", 7), ("b", 7), ("b", 7)).toDF("q", "v")
+    assert(Profile.tCloseness(mono, Seq("q"), "v", t = 0.1)
+      .as[(String, Long, Double, Boolean)].collect().forall(r => r._3 == 0.0 && !r._4))
+    // null sensitive rows drop entirely
+    val withNull = Seq[(String, Option[Int])](("a", Some(1)), ("a", None), ("b", Some(2)))
+      .toDF("q", "v")
+    assert(Profile.tCloseness(withNull, Seq("q"), "v", t = 0.5)
+      .agg(org.apache.spark.sql.functions.sum("n_rows")).head().getLong(0) == 2L)
+    // cardinality guard raises in-plan
+    val wide = (1 to 40).map(i => ("g", i)).toDF("q", "v")
+    val ex = intercept[Exception] {
+      Profile.tCloseness(wide, Seq("q"), "v", t = 0.1, maxValues = 10).collect()
+    }
+    assert(ex.getMessage.contains("tCloseness"))
+  }
+
+  test("tCloseness: repartition-invariant") {
+    val df = (1 to 400).map(i => (s"g${i % 5}", i * 31 % 7)).toDF("q", "v")
+    val one = Profile.tCloseness(df, Seq("q"), "v", t = 0.1).collect().toSet
+    val many = Profile.tCloseness(df.repartition(13), Seq("q"), "v", t = 0.1)
+      .collect().toSet
+    assert(one == many)
+  }
+
   private def spearman(rows: Seq[(Double, Double)]): (Long, Option[Double]) = {
     val r = Profile.spearmanCorr(rows.toDF("x", "y"), "x", "y").head()
     (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))
