@@ -2539,6 +2539,19 @@ object SparkEntry {
         concat(lit("h"), ((col("doc_id") * 7 + 11) % 40).cast("string")).as("d"))
       graft.operators.Graph.triangleStats(e1.unionByName(e2), "s", "d")
     }),
+    "q_assortativity" -> ((s, dir) => {
+      // Wiring diagnostic over the same injected host graph: does
+      // the corpus link hubs to hubs or hubs to leaves? Pearson over
+      // endpoint degrees, both orientations, exact DECIMAL moments.
+      val d = Parallelism.spread(t(s, dir, "documents"))
+      val e1 = d.select(
+        concat(lit("h"), (col("doc_id") % 40).cast("string")).as("s"),
+        concat(lit("h"), ((col("doc_id") * 3 + 7) % 40).cast("string")).as("d"))
+      val e2 = d.where(col("doc_id") % 2 === 0).select(
+        concat(lit("h"), (col("doc_id") % 40).cast("string")).as("s"),
+        concat(lit("h"), ((col("doc_id") * 7 + 11) % 40).cast("string")).as("d"))
+      graft.operators.Graph.degreeAssortativity(e1.unionByName(e2), "s", "d")
+    }),
     "q_snapshot_asof" -> ((s, dir) => {
       // Point-in-time reconstruction: the q_scd2 3-version change
       // log builds the SCD2 history, then snapshotAsOf(2) filters to
@@ -6214,6 +6227,35 @@ object SparkEntry {
         |  round(CASE WHEN n_wedges > 0
         |    THEN 3.0::DOUBLE * n_triangles / n_wedges END, 6) AS global_clustering
         |FROM nn, base, tri""".stripMargin,
+    // same normalization + both-orientation degree join; HUGEINT
+    // moments, each sqrt factor to DOUBLE before the root
+    "q_assortativity" ->
+      """WITH raw AS (
+        |  SELECT 'h' || (doc_id % 40)::VARCHAR AS s,
+        |         'h' || ((doc_id * 3 + 7) % 40)::VARCHAR AS d FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || (doc_id % 40)::VARCHAR,
+        |         'h' || ((doc_id * 7 + 11) % 40)::VARCHAR
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        |  FROM raw WHERE s <> d AND s IS NOT NULL AND d IS NOT NULL),
+        |deg AS (SELECT n, count(*)::HUGEINT AS dg FROM (
+        |    SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        |bo AS (SELECT u, v FROM (
+        |    SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und)),
+        |j AS (SELECT du.dg AS du, dv.dg AS dv
+        |  FROM bo JOIN deg du ON du.n = bo.u JOIN deg dv ON dv.n = bo.v),
+        |m AS (SELECT count(*)::HUGEINT AS k, sum(du)::HUGEINT AS sx,
+        |    sum(dv)::HUGEINT AS sy, sum(du*du)::HUGEINT AS sxx,
+        |    sum(dv*dv)::HUGEINT AS syy, sum(du*dv)::HUGEINT AS sxy FROM j),
+        |nn AS (SELECT count(*)::BIGINT AS n_nodes FROM deg),
+        |base AS (SELECT count(*)::BIGINT AS n_edges FROM und)
+        |SELECT n_nodes, n_edges,
+        |  CASE WHEN (k*sxx - sx*sx) > 0 AND (k*syy - sy*sy) > 0 THEN
+        |    round((k*sxy - sx*sy)::DOUBLE /
+        |      (sqrt((k*sxx - sx*sx)::DOUBLE) * sqrt((k*syy - sy*sy)::DOUBLE)), 6)
+        |  END AS assortativity
+        |FROM m, nn, base""".stripMargin,
     "q_label_propagate" -> labelPropOracle(iters = 3),
     // the q_scd2 history CTEs + the covering-interval filter at v2
     "q_snapshot_asof" ->

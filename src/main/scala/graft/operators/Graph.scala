@@ -234,4 +234,59 @@ object Graph {
           lit(3.0) * col("n_triangles") / col("n_wedges")), 6)
           .as("global_clustering"))
   }
+
+  /** Degree assortativity (Newman, PRL 2002) — does the link graph
+    * wire hubs to hubs (r > 0, social-network shape) or hubs to leaves
+    * (r < 0, web/crawl shape)? The one-number wiring diagnostic that
+    * tells a crawler whether domain authority concentrates or
+    * disperses, and it changes how [[pageRank]] mass flows.
+    *
+    * Pearson correlation of endpoint degrees over the undirected edge
+    * list counted in BOTH orientations (shift-invariance makes this
+    * equal to Newman's remaining-degree formulation). Same
+    * normalization as [[triangleStats]]: nulls and self-loops drop,
+    * parallel edges collapse. Degrees come from one grouped count;
+    * moments accumulate in exact DECIMAL(38,0) (exact to ~1e9 edges
+    * with degrees to ~1e7), each √ factor converts to double BEFORE
+    * the root in fixed order (the [[Profile.spearmanCorr]]
+    * discipline).
+    *
+    * @return one row: (n_nodes, n_edges, assortativity 6 dp — null
+    *         when every degree is equal, e.g. a cycle).
+    */
+  def degreeAssortativity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("__a"),
+        greatest(col(srcCol), col(dstCol)).as("__b"))
+      .distinct()
+      .localCheckpoint() // corpus-sized normalization runs ONCE
+    val deg = und.select(col("__a").as("__n"))
+      .union(und.select(col("__b").as("__n")))
+      .groupBy(col("__n")).agg(count(lit(1)).cast("decimal(38,0)").as("__deg"))
+    val both = und.select(col("__a").as("__u"), col("__b").as("__v"))
+      .unionByName(und.select(col("__b").as("__u"), col("__a").as("__v")))
+      .join(deg.select(col("__n").as("__u"), col("__deg").as("__du")), "__u")
+      .join(deg.select(col("__n").as("__v"), col("__deg").as("__dv")), "__v")
+    val agg = both.agg(
+      count(lit(1)).cast("decimal(38,0)").as("__k"),
+      coalesce(sum(col("__du")), lit(0)).cast("decimal(38,0)").as("__sx"),
+      coalesce(sum(col("__dv")), lit(0)).cast("decimal(38,0)").as("__sy"),
+      coalesce(sum(col("__du") * col("__du")), lit(0)).cast("decimal(38,0)").as("__sxx"),
+      coalesce(sum(col("__dv") * col("__dv")), lit(0)).cast("decimal(38,0)").as("__syy"),
+      coalesce(sum(col("__du") * col("__dv")), lit(0)).cast("decimal(38,0)").as("__sxy"))
+    val a = (col("__k") * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val b = (col("__k") * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val base = und.agg(count(lit(1)).as("n_edges"))
+    agg.crossJoin(broadcast(nodes)).crossJoin(broadcast(base))
+      .select(col("n_nodes"), col("n_edges"),
+        round(when(a > 0 && b > 0,
+          (col("__k") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+            (sqrt(a) * sqrt(b))), 6).as("assortativity"))
+  }
 }

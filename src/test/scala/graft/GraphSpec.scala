@@ -160,4 +160,39 @@ class GraphSpec extends SparkSpec {
     } yield 1).size.toLong
     assert(x._4 == brute, s"triangles ${x._4} vs brute $brute")
   }
+
+  test("degreeAssortativity: star is -1, regular graph null, barbell hand value") {
+    def assort(edges: Seq[(String, String)]): (Long, Long, Option[Double]) = {
+      val r = Graph.degreeAssortativity(edges.toDF("s", "d"), "s", "d").head()
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    }
+    // hub-to-leaf star: perfectly disassortative
+    val star = Seq(("c", "x"), ("c", "y"), ("c", "z"))
+    assert(assort(star) == ((4L, 3L, Some(-1.0))))
+    // K3: every degree equal → zero variance → null
+    val k3 = Seq(("a", "b"), ("b", "c"), ("a", "c"))
+    assert(assort(k3) == ((3L, 3L, None)))
+    // barbell (two K3s bridged at the hubs): r = −8/48 = −1/6
+    val barbell = Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("c", "d"), ("d", "e"), ("d", "f"), ("e", "f"))
+    val (n, e, r) = assort(barbell)
+    assert(n == 6L && e == 7L)
+    assert(math.abs(r.get - (-1.0 / 6.0)) < 1e-6)
+  }
+
+  test("degreeAssortativity: normalization (self-loops, parallels, nulls) and repartition") {
+    val clean = Seq(("c", "x"), ("c", "y"), ("c", "z"))
+    val messy = clean ++ Seq(("x", "c"), ("c", "c")) // parallel + self-loop
+    val a = Graph.degreeAssortativity(clean.toDF("s", "d"), "s", "d").collect().toSeq
+    val b = Graph.degreeAssortativity(messy.toDF("s", "d"), "s", "d").collect().toSeq
+    assert(a == b)
+    val withNull = messy.toDF("s", "d")
+      .unionByName(Seq((null.asInstanceOf[String], "q")).toDF("s", "d"))
+    assert(Graph.degreeAssortativity(withNull, "s", "d").collect().toSeq == a)
+    val rnd = new scala.util.Random(5)
+    val big = Seq.fill(300)((s"n${rnd.nextInt(25)}", s"n${rnd.nextInt(25)}")).toDF("s", "d")
+    val one = Graph.degreeAssortativity(big, "s", "d").collect().toSeq
+    val many = Graph.degreeAssortativity(big.repartition(13), "s", "d").collect().toSeq
+    assert(one == many)
+  }
 }
