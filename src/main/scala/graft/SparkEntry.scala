@@ -935,6 +935,21 @@ object SparkEntry {
       // mean/median length, exact byte-dup rate — one groupBy pass.
       graft.operators.Profile.corpusCard(docsWithDups(s, dir), "lang", "text")
     }),
+    "q_gini" -> ((s, dir) => {
+      // Concentration number for the data card: how unequal are doc
+      // lengths inside each language slice? Grouped-tie rank sums
+      // over the distinct-length frame, exact decimal moments.
+      graft.operators.Profile.giniByGroup(
+        Parallelism.spread(t(s, dir, "documents")).select("lang", "n_chars"),
+        "n_chars", "lang")
+    }),
+    "q_benford" -> ((s, dir) => {
+      // First-digit smell test over order prices: string-surgery
+      // digits (no log10 edge cases), shared 10 dp Benford literals,
+      // one groupBy pass, <= 9 rows.
+      graft.operators.Profile.benfordTest(
+        t(s, dir, "lineitem"), "l_extendedprice")
+    }),
     "q_ldiv" -> ((s, dir) => {
       // l-diversity refinement over the same quasi tuple: sensitive
       // = the account-balance band (6 bands), l=4 — k-anonymous
@@ -4085,6 +4100,46 @@ object SparkEntry {
           |  round(median(length(text)::DOUBLE), 4) AS p50_chars,
           |  round(1.0 - count(DISTINCT md5(text))::DOUBLE / count(text), 6) AS dup_rate
           |FROM docs GROUP BY 1""".stripMargin),
+    // same grouped-tie rank sums (c·cumBefore + c(c+1)/2 exact
+    // integers), DECIMAL(18,6)×DECIMAL(19,0) products, one boundary
+    // rounding per output column
+    "q_gini" ->
+      """WITH d AS (SELECT lang, CAST(n_chars AS DECIMAL(18,6)) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |cells AS (SELECT lang, v, count(*)::BIGINT AS c FROM d GROUP BY 1, 2),
+        |r AS (SELECT lang, v, c,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum FROM cells),
+        |g AS (SELECT lang, sum(c)::BIGINT AS n,
+        |    sum(v * c::DECIMAL(19,0))::DECIMAL(38,6) AS sx,
+        |    sum(v * (c*(cum - c) + c*(c+1)//2)::DECIMAL(19,0))::DECIMAL(38,6) AS s1
+        |  FROM r GROUP BY 1)
+        |SELECT lang, n AS n_rows, round(sx::DOUBLE, 6) AS total,
+        |  CASE WHEN sx > 0 THEN
+        |    round(2.0::DOUBLE * s1::DOUBLE / (n::DOUBLE * sx::DOUBLE)
+        |      - (n+1)::DOUBLE / n::DOUBLE, 6) END AS gini
+        |FROM g""".stripMargin,
+    // same string-surgery digit (global-flag regexp), the shared
+    // ::DOUBLE Benford literals, diff·diff squaring
+    "q_benford" ->
+      """WITH d AS (SELECT substring(
+        |      regexp_replace(l_extendedprice::VARCHAR, '[^1-9]', '', 'g'), 1, 1
+        |    )::INT AS digit
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+        |g AS (SELECT digit, count(*)::BIGINT AS n_obs FROM d GROUP BY 1),
+        |t AS (SELECT sum(n_obs)::BIGINT AS n FROM g),
+        |e AS (SELECT digit, n_obs, n,
+        |    CASE digit WHEN 1 THEN 0.3010299957::DOUBLE
+        |      WHEN 2 THEN 0.1760912591::DOUBLE WHEN 3 THEN 0.1249387366::DOUBLE
+        |      WHEN 4 THEN 0.0969100130::DOUBLE WHEN 5 THEN 0.0791812460::DOUBLE
+        |      WHEN 6 THEN 0.0669467896::DOUBLE WHEN 7 THEN 0.0579919470::DOUBLE
+        |      WHEN 8 THEN 0.0511525224::DOUBLE WHEN 9 THEN 0.0457574906::DOUBLE
+        |    END AS expected_p
+        |  FROM g, t)
+        |SELECT digit, n_obs, round(n_obs::DOUBLE / n, 6) AS observed_p,
+        |  expected_p,
+        |  round((n_obs::DOUBLE - n * expected_p) * (n_obs::DOUBLE - n * expected_p)
+        |    / (n * expected_p), 6) AS chi2_term
+        |FROM e""".stripMargin,
     "q_ldiv" ->
       """WITH s AS (SELECT c_nationkey, c_mktsegment,
         |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band,

@@ -1285,6 +1285,113 @@ object Profile {
     * map-side-combined groupBy over (quasi..., sensitive), one
     * bounded roll-up — no distinct-set state.
     */
+  /** Per-group Gini coefficient — the concentration number a corpus
+    * data card needs next to row 189's counts: "how unequal are doc
+    * lengths / domain shares / token budgets inside each slice?"
+    * (G = 0 everyone equal, → 1 one doc holds everything).
+    *
+    * Grouped-tie formulation over DISTINCT values, never a per-row
+    * rank: G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n with the rank-block sum
+    * for value v (count c, inclusive cumulative count cum):
+    * v·(c·(cum − c) + c·(c+1)/2) — exact integer rank arithmetic ×
+    * DECIMAL(20,6) values accumulated in DECIMAL(38,6). The window
+    * runs over the per-group distinct-value frame (bounded by value
+    * granularity, not rows). Nulls drop; a NEGATIVE value raises
+    * in-plan (Gini is undefined and silently corrupts the index);
+    * all-zero groups yield null.
+    *
+    * @return one row per group: (groupCol, n_rows, total 6 dp,
+    *         gini 6 dp).
+    */
+  def giniByGroup(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String): DataFrame = {
+    // DECIMAL(18,6) values × DECIMAL(19,0) rank sums multiply to
+    // precision exactly 38 — no cap, no silent precision loss
+    val v = when(col(valueCol) < 0,
+      raise_error(lit(s"giniByGroup: negative '$valueCol' - Gini is " +
+        "undefined on negative values; shift or filter first"))
+        .cast("decimal(18,6)"))
+      .otherwise(col(valueCol).cast("decimal(18,6)"))
+    val cells = df
+      .where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), v.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ranked = cells
+      .withColumn("__cum", sum(col("__c")).over(w))
+      // Σ ranks in the tie block: c·cumBefore + c(c+1)/2 — always an
+      // exact integer (c·(c+1) is even)
+      .withColumn("__rsum",
+        (col("__c") * (col("__cum") - col("__c")) +
+          expr("__c * (__c + 1) div 2")).cast("decimal(19,0)"))
+    ranked
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("__c")).as("__n"),
+        sum(col("__v") * col("__c").cast("decimal(19,0)"))
+          .cast("decimal(38,6)").as("__sx"),
+        sum(col("__v") * col("__rsum")).cast("decimal(38,6)").as("__s1"))
+      .select(col(groupCol),
+        col("__n").as("n_rows"),
+        round(col("__sx").cast("double"), 6).as("total"),
+        when(col("__sx") > 0,
+          round(lit(2.0) * col("__s1").cast("double") /
+            (col("__n").cast("double") * col("__sx").cast("double")) -
+            (col("__n") + lit(1)).cast("double") / col("__n").cast("double"), 6))
+          .as("gini"))
+  }
+
+  /** Benford first-significant-digit test — the classic fabricated /
+    * truncated / unit-mixed numeric-column smell test: naturally
+    * occurring multi-magnitude positives follow P(d) = log₁₀(1+1/d),
+    * and a column that diverges hard (big χ²) was usually clipped,
+    * defaulted, or synthesized. First digits extract via STRING
+    * surgery (first [1-9] of the value's canonical repr — log₁₀ would
+    * misbin values sitting one ulp under a power of ten); expected
+    * shares are shared 10 dp literals (both engines compare the same
+    * constants — they sum to exactly 1.0000000000). One groupBy pass,
+    * ≤ 9 output rows. Values ≤ 0 and nulls drop (no first digit).
+    *
+    * @return per observed digit: (digit, n_obs, observed_p 6 dp,
+    *         expected_p, chi2_term 6 dp) — χ² = Σ chi2_term vs the
+    *         χ²₈ tail the caller cares about.
+    */
+  def benfordTest(df: DataFrame, valueCol: String): DataFrame = {
+    val digit = substring(
+      regexp_replace(col(valueCol).cast("string"), "[^1-9]", ""), 1, 1)
+      .cast("int")
+    val expected = Profile.benfordP.zipWithIndex.foldLeft(lit(null).cast("double")) {
+      case (acc, (p, i)) => when(col("digit") === (i + 1), lit(p)).otherwise(acc)
+    }
+    df.where(col(valueCol).isNotNull && col(valueCol) > 0)
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+      .crossJoin(broadcast(
+        df.where(col(valueCol).isNotNull && col(valueCol) > 0)
+          .agg(count(lit(1)).as("__n"))))
+      .withColumn("expected_p", expected)
+      .withColumn("__diff",
+        col("n_obs").cast("double") - col("__n") * col("expected_p"))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("__n"), 6).as("observed_p"),
+        col("expected_p"),
+        // spelled diff·diff (not pow) so both engines square identically
+        round(col("__diff") * col("__diff") /
+          (col("__n") * col("expected_p")), 6).as("chi2_term"))
+  }
+
+  /** log₁₀(1 + 1/d) for d = 1..9, rounded to 10 dp — they sum to
+    * exactly 1.0000000000, and BOTH engines compare these literals
+    * rather than each computing its own logs.
+    */
+  private[graft] val benfordP = Seq(
+    0.3010299957, 0.1760912591, 0.1249387366, 0.0969100130, 0.0791812460,
+    0.0669467896, 0.0579919470, 0.0511525224, 0.0457574906)
+
   /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) —
     * the refinement [[lDiversity]] misses: a quasi-group can be
     * diverse yet SKEWED (19 of 20 values "broke" in a group where the

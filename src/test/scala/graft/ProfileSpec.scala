@@ -792,6 +792,58 @@ class ProfileSpec extends SparkSpec {
     assert(out == ((0L, 0L, 0L)))
   }
 
+  private def gini(rows: Seq[(String, Double)]): Map[String, (Long, Double, Option[Double])] =
+    Profile.giniByGroup(rows.toDF("g", "v"), "v", "g").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+
+  test("giniByGroup: equality 0, single-holder (n-1)/n, hand values with ties") {
+    val out = gini(
+      Seq.fill(4)(("eq", 5.0)) ++
+        (Seq.fill(3)(("one", 0.0)) :+ ("one", 12.0)) ++
+        Seq(("lin", 1.0), ("lin", 2.0), ("lin", 3.0), ("lin", 4.0)) ++
+        Seq(("tie", 1.0), ("tie", 1.0), ("tie", 2.0)))
+    assert(out("eq") == ((4L, 20.0, Some(0.0))))
+    assert(out("one") == ((4L, 12.0, Some(0.75))))
+    assert(out("lin") == ((4L, 10.0, Some(0.25))))
+    assert(out("tie")._3.get == 0.166667)
+  }
+
+  test("giniByGroup: all-zero null, null drop, negative raise, repartition invariance") {
+    assert(gini(Seq(("z", 0.0), ("z", 0.0)))("z")._3.isEmpty)
+    val withNull = Seq[(String, Option[Double])](
+      ("a", Some(1.0)), ("a", None), ("a", Some(3.0))).toDF("g", "v")
+    assert(Profile.giniByGroup(withNull, "v", "g").head().getLong(1) == 2L)
+    val ex = intercept[Exception] {
+      Profile.giniByGroup(Seq(("a", -1.0)).toDF("g", "v"), "v", "g").collect()
+    }
+    assert(ex.getMessage.contains("giniByGroup"))
+    val rnd = new scala.util.Random(9)
+    val big = Seq.fill(400)((s"g${rnd.nextInt(4)}", rnd.nextInt(50).toDouble))
+      .toDF("g", "v")
+    val one = Profile.giniByGroup(big, "v", "g").collect().toSet
+    val many = Profile.giniByGroup(big.repartition(13), "v", "g").collect().toSet
+    assert(one == many)
+  }
+
+  test("benfordTest: digit extraction, hand chi2, drops and shares") {
+    val vals = (1 to 9).map(_.toDouble) :+ 1000.0 // digit 1 twice
+    val df = (vals.map(Option(_)) ++ Seq(None, Some(0.0), Some(-3.0))).toDF("v")
+    val out = Profile.benfordTest(df, "v").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    assert(out.size == 9 && out(1)._1 == 2L && out(5)._1 == 1L)
+    assert(out(1)._2 == 0.2)
+    // expected shares are the shared literals and sum to exactly 1
+    assert(out.values.map(_._3).sum == 1.0)
+    val e1 = 10.0 * 0.3010299957
+    val hand = math.rint((2.0 - e1) * (2.0 - e1) / e1 * 1e6) / 1e6
+    assert(out(1)._4 == hand)
+    // small fractions: first SIGNIFICANT digit, not first char
+    val frac = Profile.benfordTest(Seq(0.00456).toDF("v"), "v").head()
+    assert(frac.getInt(0) == 4)
+  }
+
   test("tCloseness: hand-computed ordered EMD, symmetric mirror groups") {
     // a: {1×3, 2×1}, b: {1×1, 2×3}; global 4/4 → cumQ(1)=0.5
     // EMD(a) = |0.75−0.5|/(2−1) = 0.25 = EMD(b)
