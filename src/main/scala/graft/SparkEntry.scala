@@ -2453,6 +2453,16 @@ object SparkEntry {
         .where(col("__rn") === 1)
         .select("doc_id", "text_md5", "n_words")
     }),
+    "q_novelty" -> ((s, dir) => {
+      // 8-gram novelty of the whole corpus against the even-id half
+      // as the reference snapshot: even docs read exactly 0 (they ARE
+      // the reference), odd docs read high — both branches carry
+      // weight. Only (id, 60-bit hash) rows move.
+      val docs = Parallelism.spread(t(s, dir, "documents"))
+      graft.functions.TextAnalysis.noveltyScore(
+        docs, docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        "text", "doc_id", "text", n = 8)
+    }),
     "q_contamination" -> ((s, dir) => {
       // Benchmark = the 13-gram sets of the original %100 docs; the
       // injected clones (ids ≥ 1e6) must all be flagged.
@@ -6205,6 +6215,25 @@ object SparkEntry {
         |  md5(array_to_string(list_filter(lines, (x, i) -> list_position(lines, x) = i), chr(10))) AS cleaned_md5,
         |  (len(lines) - len(list_distinct(lines)))::BIGINT AS n_dropped
         |FROM s""".stripMargin,
+    // same 8-gram shingles and the h60 gram hashes on BOTH sides —
+    // a (vanishingly unlikely) 60-bit collision would replay
+    // identically in both engines
+    "q_novelty" ->
+      (s"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tks
+          |  FROM documents),
+          |sh AS (SELECT doc_id, CASE WHEN len(tks) >= 8
+          |  THEN list_distinct(list_transform(range(0, len(tks) - 7),
+          |    i -> ${(1 to 8).map(j => s"tks[i + $j]").mkString(" || ' ' || ")}))
+          |  ELSE [array_to_string(tks, ' ')] END AS s FROM tk),
+          |d AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+          |dh AS (SELECT doc_id, ${h60Sql("gram")} AS h FROM d),
+          |r AS (SELECT DISTINCT ${h60Sql("gram")} AS h FROM
+          |  (SELECT unnest(s) AS gram FROM sh WHERE doc_id % 2 = 0) rr)
+          |SELECT doc_id, count(*)::BIGINT AS n_grams,
+          |  sum(CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_seen,
+          |  round(1.0::DOUBLE - sum(CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+          |    / count(*)::DOUBLE, 6) AS novelty
+          |FROM dh LEFT JOIN r USING (h) GROUP BY 1""".stripMargin),
     "q_contamination" ->
       (s"""WITH $docsWithDupsSql,
           |tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tks FROM docs),

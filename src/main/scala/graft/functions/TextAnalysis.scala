@@ -1109,6 +1109,53 @@ object TextAnalysis {
     * scanned once with no shuffle of document n-grams; only the
     * (tiny) hit counts aggregate.
     */
+  /** Per-document n-gram NOVELTY against a reference corpus — the
+    * memorization-risk / freshness score next to [[contaminationHits]]
+    * (which flags overlap with a SMALL benchmark set; here the
+    * reference is corpus-scale, e.g. the previous training snapshot):
+    * novelty = 1 − (distinct word n-grams also in the reference) /
+    * (distinct word n-grams). New-crawl batches scoring ≈ 0 are
+    * re-scrapes; fine-tuning data scoring ≈ 0 against pretraining
+    * data is memorized, not new signal.
+    *
+    * Scale shape: document text NEVER shuffles — both sides reduce to
+    * 60-bit md5-prefix gram hashes (the cross-engine h16 idiom;
+    * deterministic, and a 60-bit collision is ~1e-18 per pair), so
+    * the equi-join moves only (id, 8-byte hash) rows against the
+    * distinct reference hash set. [[Dedup.wordShingles]] emits
+    * DISTINCT grams per doc (shorter-than-n docs → one whole-text
+    * shingle), so plain counts are distinct-gram counts.
+    *
+    * @return one row per df document: (doc_id, n_grams, n_seen,
+    *         novelty 6 dp).
+    */
+  def noveltyScore(
+      df: org.apache.spark.sql.DataFrame,
+      reference: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      refTextCol: String,
+      n: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "n must be positive")
+    val h = (g: org.apache.spark.sql.Column) =>
+      conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+    val grams = df.select(col(idCol).as("doc_id"),
+      explode(graft.operators.Dedup.wordShingles(col(textCol), n)).as("__g"))
+      .select(col("doc_id"), h(col("__g")).as("__h"))
+    val refH = reference
+      .select(explode(graft.operators.Dedup.wordShingles(col(refTextCol), n)).as("__g"))
+      .select(h(col("__g")).as("__h"))
+      .distinct()
+    grams
+      .join(refH.withColumn("__hit", lit(1L)), Seq("__h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_seen"))
+      .select(col("doc_id"), col("n_grams"), col("n_seen"),
+        round(lit(1.0) - col("n_seen").cast("double") / col("n_grams"), 6)
+          .as("novelty"))
+  }
+
   def contaminationHits(
       df: org.apache.spark.sql.DataFrame,
       benchmark: org.apache.spark.sql.DataFrame,

@@ -980,4 +980,32 @@ class TextAnalysisSpec extends SparkSpec {
     // all scores tie → alphabetic ranks
     assert(out.filter(_._1 == "X").sortBy(_._4).map(_._2) == Seq("a", "b", "c"))
   }
+
+  test("noveltyScore: clone 0, disjoint 1, half-overlap 0.5, short-doc shingle") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), // clone of ref → 0
+      (2L, "zeta eta theta"),   // disjoint → 1
+      (3L, "alpha beta kappa"), // grams {alpha beta, beta kappa}: 1 of 2 seen
+      (4L, "word")              // shorter than n → whole-text shingle
+    ).toDF("doc_id", "text")
+    val ref = Seq("alpha beta gamma", "word").toDF("rt")
+    val out = TextAnalysis.noveltyScore(docs, ref, "text", "doc_id", "rt", n = 2)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 2L, 0.0)))
+    assert(out(2L) == ((2L, 2L, 0L, 1.0)))
+    assert(out(3L) == ((3L, 2L, 1L, 0.5)))
+    assert(out(4L) == ((4L, 1L, 1L, 0.0)), "short doc matches via whole-text shingle")
+  }
+
+  test("noveltyScore: repartition-invariant") {
+    val docs = (1 to 100).map(i => (i.toLong, s"w${i % 9} w${i % 7} w${i % 5} w${i % 3}"))
+      .toDF("doc_id", "text")
+    val ref = (1 to 40).map(i => s"w${i % 9} w${i % 7} w${i % 5}").toDF("rt")
+    val one = TextAnalysis.noveltyScore(docs, ref, "text", "doc_id", "rt", n = 3)
+      .collect().toSet
+    val many = TextAnalysis.noveltyScore(
+      docs.repartition(13), ref.repartition(7), "text", "doc_id", "rt", n = 3)
+      .collect().toSet
+    assert(one == many)
+  }
 }
