@@ -898,6 +898,19 @@ object SparkEntry {
           label.as("label"))
       graft.operators.Eval.calibrationBins(scored, "score", "label", bins = 10)
     }),
+    "q_confusion" -> ((s, dir) => {
+      // Operating-point stats for the same dyadic gate at 0.7: a
+      // threshold inside both classes' score ranges, so every
+      // confusion cell is populated.
+      val label = pmod(col("doc_id"), lit(4)) === 0
+      val noise = pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":auc"))), 1, 4), 16, 10).cast("long"), lit(1024))
+      val scored = Parallelism.spread(t(s, dir, "documents"))
+        .select((noise / 1024.0 + when(label, 0.25).otherwise(0.0)).as("score"),
+          label.as("label"))
+      graft.operators.Eval.confusionStats(scored, "score", "label",
+        threshold = 0.7)
+    }),
     "q_pr_auc" -> ((s, dir) => {
       // Average precision over the same dyadic synthetic gate as
       // q_auc: the rare-ish positive class (25%) plus guaranteed
@@ -4043,6 +4056,32 @@ object SparkEntry {
         |    / (pp::DOUBLE * nn::DOUBLE * 2.0), 6) AS auc,
         |  pp AS positives, nn AS negatives
         |FROM c, t GROUP BY pp, nn""".stripMargin,
+    // same dyadic score and >= threshold; exact counts, one double
+    // division per metric in the same formula order
+    "q_confusion" ->
+      s"""WITH d AS (SELECT (doc_id % 4 = 0) AS label,
+        |    (${h16Sql("doc_id::VARCHAR || ':auc'")} % 1024) / 1024.0
+        |      + CASE WHEN doc_id % 4 = 0 THEN 0.25 ELSE 0 END AS score
+        |  FROM documents),
+        |m AS (SELECT
+        |    sum(CASE WHEN score >= 0.7 AND label THEN 1 ELSE 0 END)::BIGINT AS tp,
+        |    sum(CASE WHEN score >= 0.7 AND NOT label THEN 1 ELSE 0 END)::BIGINT AS fp,
+        |    sum(CASE WHEN score < 0.7 AND NOT label THEN 1 ELSE 0 END)::BIGINT AS tn,
+        |    sum(CASE WHEN score < 0.7 AND label THEN 1 ELSE 0 END)::BIGINT AS fn
+        |  FROM d)
+        |SELECT 0.7::DOUBLE AS threshold, tp, fp, tn, fn,
+        |  round((tp + tn)::DOUBLE / (tp + fp + tn + fn)::DOUBLE, 6) AS accuracy,
+        |  CASE WHEN tp + fp > 0
+        |    THEN round(tp::DOUBLE / (tp + fp)::DOUBLE, 6) END AS precision,
+        |  CASE WHEN tp + fn > 0
+        |    THEN round(tp::DOUBLE / (tp + fn)::DOUBLE, 6) END AS recall,
+        |  CASE WHEN tp + fp > 0 AND tp + fn > 0 THEN
+        |    CASE WHEN tp > 0 THEN round(
+        |      2.0::DOUBLE * (tp::DOUBLE / (tp + fp)::DOUBLE)
+        |        * (tp::DOUBLE / (tp + fn)::DOUBLE)
+        |        / (tp::DOUBLE / (tp + fp)::DOUBLE + tp::DOUBLE / (tp + fn)::DOUBLE), 6)
+        |    ELSE 0.0 END END AS f1
+        |FROM m""".stripMargin,
     // same dyadic score; blockwise descending sweep with the
     // pessimistic (block-end) precision convention, 10 dp per-block
     // terms into exact DECIMAL, one double division

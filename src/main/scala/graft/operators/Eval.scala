@@ -217,6 +217,49 @@ object Eval {
         col("__N").as("negatives"))
   }
 
+  /** Confusion-matrix statistics at a decision threshold — the
+    * numbers that turn [[rocAuc]]/[[averagePrecision]] curve summaries
+    * into an operating point ("gate at 0.7 keeps P=0.91 at R=0.78"):
+    * predict positive when score ≥ threshold. ONE aggregation pass
+    * (four conditional counts); accuracy/precision/recall/F1 derive
+    * from the exact counts on the single output row with one double
+    * division each, in a fixed formula order the oracle replays. Null
+    * metric when its denominator is 0 (no predicted positives → no
+    * precision; ANSI mode would otherwise fail the job).
+    *
+    * @return one row: (threshold, tp, fp, tn, fn, accuracy 6 dp,
+    *         precision 6 dp, recall 6 dp, f1 6 dp).
+    */
+  def confusionStats(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      threshold: Double): DataFrame = {
+    val pred = col(scoreCol) >= threshold
+    val agg = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .agg(
+        coalesce(sum(when(pred && col(labelCol), 1L)), lit(0L)).as("tp"),
+        coalesce(sum(when(pred && !col(labelCol), 1L)), lit(0L)).as("fp"),
+        coalesce(sum(when(!pred && !col(labelCol), 1L)), lit(0L)).as("tn"),
+        coalesce(sum(when(!pred && col(labelCol), 1L)), lit(0L)).as("fn"))
+    val n = (col("tp") + col("fp") + col("tn") + col("fn")).cast("double")
+    val p = col("tp").cast("double") / (col("tp") + col("fp")).cast("double")
+    val r = col("tp").cast("double") / (col("tp") + col("fn")).cast("double")
+    agg.select(
+      lit(threshold).as("threshold"),
+      col("tp"), col("fp"), col("tn"), col("fn"),
+      round(when(n > 0, (col("tp") + col("tn")).cast("double") / n), 6)
+        .as("accuracy"),
+      round(when(col("tp") + col("fp") > 0, p), 6).as("precision"),
+      round(when(col("tp") + col("fn") > 0, r), 6).as("recall"),
+      // tp = 0 with both classes predicted/present → F1 is 0 by
+      // convention (p = r = 0), not an undefined 0/0
+      round(when(col("tp") + col("fp") > 0 && col("tp") + col("fn") > 0,
+        when(col("tp") > 0, lit(2.0) * p * r / (p + r)).otherwise(lit(0.0))), 6)
+        .as("f1"))
+  }
+
   /** Tie-aware average precision (area under the precision-recall
     * curve, step interpolation) — the metric that matters when the
     * positive class is rare (a contamination or PII detector at 0.1%

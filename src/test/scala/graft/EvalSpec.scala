@@ -250,6 +250,34 @@ class EvalSpec extends SparkSpec {
     assert(r == ((1.0, 1L, 1L)))
   }
 
+  test("confusionStats: hand-computed cells and metrics, degenerate nulls") {
+    // scores >= 0.5 predicted positive
+    val rows = Seq((0.9, true), (0.8, false), (0.6, true), (0.4, true),
+      (0.3, false), (0.1, false))
+    val r = Eval.confusionStats(rows.toDF("score", "label"), "score", "label", 0.5)
+      .head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((2L, 1L, 2L, 1L)))
+    assert(r.getDouble(5) == 0.666667) // accuracy 4/6
+    assert(r.getDouble(6) == 0.666667) // precision 2/3
+    assert(r.getDouble(7) == 0.666667) // recall 2/3
+    assert(r.getDouble(8) == 0.666667) // f1 = p = r here
+    // nothing predicted positive → precision null, f1 null (fn>0 branch needs fp+tp>0)
+    val none = Eval.confusionStats(
+      Seq((0.1, true), (0.2, false)).toDF("score", "label"), "score", "label", 0.9)
+      .head()
+    assert(none.isNullAt(6) && none.getDouble(7) == 0.0)
+    // tp=0 with both denominators > 0 → f1 exactly 0
+    val zero = Eval.confusionStats(
+      Seq((0.9, false), (0.1, true)).toDF("score", "label"), "score", "label", 0.5)
+      .head()
+    assert(zero.getDouble(8) == 0.0)
+    // null rows drop
+    val withNulls = Seq[(java.lang.Double, java.lang.Boolean)](
+      (0.9, true), (null, true), (0.3, null)).toDF("score", "label")
+    assert(Eval.confusionStats(withNulls, "score", "label", 0.5).head().getLong(1) == 1L)
+  }
+
   test("expectedCalibrationError: hand value, zero for perfectly calibrated bins") {
     // bin 0: 4 rows ms=0.05 pr=0.25 → 4·0.2; bin 9: 2 rows ms=0.95 pr=1 → 2·0.05
     val rows = Seq((0.05, true), (0.05, false), (0.05, false), (0.05, false),
