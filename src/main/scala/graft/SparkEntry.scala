@@ -1795,6 +1795,14 @@ object SparkEntry {
       graft.operators.Profile.distributionDrift(
         d, d.where(col("n_chars") >= 200), "lang")
     }),
+    "q_ks" -> ((s, dir) => {
+      // Binless drift: KS distance between the en and de doc-length
+      // distributions — both cumulative CDFs from ONE multi-value
+      // prefix sum over the pooled distinct lengths.
+      graft.operators.Profile.ksTest(
+        Parallelism.spread(t(s, dir, "documents")),
+        "n_chars", "lang", "en", "de")
+    }),
     "q_mad" -> ((s, dir) => {
       // Robust per-language length outliers: median + MAD (two rank
       // passes) and the > 3-MAD flag count; thresholds rounded 6 dp
@@ -5329,6 +5337,23 @@ object SparkEntry {
         |SELECT lang, n_a, n_b, p_a, p_b,
         |  round(p_a * lab, 6) AS kl_ab, round(p_b * lba, 6) AS kl_ba,
         |  round(0.5 * p_a * lam + 0.5 * p_b * lbm, 6) AS js FROM l""".stripMargin,
+    // same pooled distinct-value cells and RANGE-semantics window
+    // cumulatives; 10 dp per-value gaps, max, one 6 dp boundary
+    "q_ks" ->
+      """WITH d AS (SELECT n_chars AS v, lang FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IN ('en', 'de')),
+        |cells AS (SELECT v,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT AS cb
+        |  FROM d GROUP BY 1),
+        |c AS (SELECT *, sum(ca) OVER (ORDER BY v) AS cuma,
+        |    sum(cb) OVER (ORDER BY v) AS cumb FROM cells),
+        |tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM cells)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    round(max(round(abs(cuma::DOUBLE / na - cumb::DOUBLE / nb), 10)), 6)
+        |  END AS ks
+        |FROM c, tot GROUP BY na, nb""".stripMargin,
     // exact grouped medians interpolate half-integers on integer
     // lengths — both engines land on the same doubles; thresholds
     // rounded 6 dp before the strict > compare

@@ -1285,6 +1285,57 @@ object Profile {
     * map-side-combined groupBy over (quasi..., sensitive), one
     * bounded roll-up — no distinct-set state.
     */
+  /** Two-sample Kolmogorov–Smirnov distance — the BINLESS drift test
+    * next to the binned KL/JS drift row: D = max_v |F_A(v) − F_B(v)|
+    * over the pooled empirical CDFs. KL/JS inherit their bin edges'
+    * blind spots (a shift inside one bin is invisible); KS sees any
+    * distributional move, and its null quantiles (D·√(n_a·n_b/(n_a+
+    * n_b)) vs the Kolmogorov distribution) give a calibrated alarm.
+    *
+    * Scale shape: never a per-row rank — one map-side-combined
+    * groupBy over distinct values with per-side conditional counts,
+    * BOTH cumulatives from one multi-value distributed prefix sum
+    * ([[Cumulative.withCumulativeSums]] — a single range exchange),
+    * per-value gaps round to 10 dp (one fixed-order double division
+    * per side) and a max aggregation (order-independent by nature).
+    * Rows outside the two groups and null values drop; either side
+    * empty → null D.
+    *
+    * @return one row: (n_a, n_b, ks 6 dp).
+    */
+  def ksTest(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    require(groupA != groupB, "the two samples must be different groups")
+    val g = col(groupCol)
+    val cells = df
+      .where(col(valueCol).isNotNull && (g === groupA || g === groupB))
+      .groupBy(col(valueCol).as("__v"))
+      .agg(
+        sum(when(g === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(g === groupB, 1L).otherwise(0L)).as("__cb"))
+    val c = Cumulative.withCumulativeSums(
+      cells, Seq(col("__ca") -> "__cuma", col("__cb") -> "__cumb"), col("__v"))
+    val tot = cells.agg(
+      coalesce(sum(col("__ca")), lit(0L)).as("__na"),
+      coalesce(sum(col("__cb")), lit(0L)).as("__nb"))
+    c.crossJoin(broadcast(tot))
+      .select(col("__na"), col("__nb"),
+        // guarded division — ANSI mode raises on a zero divisor, and
+        // an empty side must read as null, not crash
+        when(col("__na") > 0 && col("__nb") > 0,
+          round(abs(col("__cuma").cast("double") / col("__na") -
+            col("__cumb").cast("double") / col("__nb")), 10)).as("__gap"))
+      .groupBy(col("__na"), col("__nb"))
+      .agg(max(col("__gap")).as("__d"))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        when(col("__na") > 0 && col("__nb") > 0,
+          round(col("__d"), 6)).as("ks"))
+  }
+
   /** Per-group Gini coefficient — the concentration number a corpus
     * data card needs next to row 189's counts: "how unequal are doc
     * lengths / domain shares / token budgets inside each slice?"

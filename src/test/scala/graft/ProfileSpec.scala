@@ -792,6 +792,33 @@ class ProfileSpec extends SparkSpec {
     assert(out == ((0L, 0L, 0L)))
   }
 
+  private def ks(rows: Seq[(String, Double)]): (Long, Long, Option[Double]) = {
+    val r = Profile.ksTest(rows.toDF("g", "v"), "v", "g", "A", "B").head()
+    (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+  }
+
+  test("ksTest: hand gap, identical zero, disjoint one, empty-side null") {
+    // F_A jumps at {1,2}, F_B at {2,3}: max gap 0.5 at v=1 and v=2
+    assert(ks(Seq(("A", 1), ("A", 2), ("B", 2), ("B", 3))) == ((2L, 2L, Some(0.5))))
+    assert(ks(Seq(("A", 1), ("A", 2), ("B", 1), ("B", 2))) == ((2L, 2L, Some(0.0))))
+    assert(ks(Seq(("A", 1), ("A", 2), ("B", 5), ("B", 6))) == ((2L, 2L, Some(1.0))))
+    assert(ks(Seq(("A", 1), ("A", 2)))._3.isEmpty)
+  }
+
+  test("ksTest: other groups and nulls drop; repartition-invariant") {
+    val base = Seq(("A", 1.0), ("A", 2.0), ("B", 2.0), ("B", 3.0))
+    val noisy = (base ++ Seq(("C", 9.0))).toDF("g", "v")
+      .unionByName(Seq(("A", Option.empty[Double])).toDF("g", "v"))
+    val r = Profile.ksTest(noisy, "v", "g", "A", "B").head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((2L, 2L, 0.5)))
+    val rnd = new scala.util.Random(2)
+    val big = Seq.fill(500)((if (rnd.nextBoolean()) "A" else "B",
+      rnd.nextInt(60).toDouble)).toDF("g", "v")
+    val one = Profile.ksTest(big, "v", "g", "A", "B").collect().toSeq
+    val many = Profile.ksTest(big.repartition(17), "v", "g", "A", "B").collect().toSeq
+    assert(one == many)
+  }
+
   private def gini(rows: Seq[(String, Double)]): Map[String, (Long, Double, Option[Double])] =
     Profile.giniByGroup(rows.toDF("g", "v"), "v", "g").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
