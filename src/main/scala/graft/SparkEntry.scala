@@ -898,6 +898,43 @@ object SparkEntry {
           label.as("label"))
       graft.operators.Eval.calibrationBins(scored, "score", "label", bins = 10)
     }),
+    "q_mcnemar" -> ((s, dir) => {
+      // Paired comparison of two gates over the SAME docs: A = the
+      // dyadic score at 0.7, B = an independent second noise draw at
+      // 0.7 — only the discordant cells carry evidence.
+      val label = pmod(col("doc_id"), lit(4)) === 0
+      def noise(salt: String) = pmod(conv(substring(md5(concat(
+        col("doc_id").cast("string"), lit(salt))), 1, 4), 16, 10)
+        .cast("long"), lit(1024))
+      val scored = Parallelism.spread(t(s, dir, "documents"))
+        .select(
+          ((noise(":auc") / 1024.0 +
+            when(label, 0.25).otherwise(0.0)) >= 0.7).as("pred_a"),
+          ((noise(":auc2") / 1024.0 +
+            when(label, 0.25).otherwise(0.0)) >= 0.7).as("pred_b"),
+          label.as("label"))
+      graft.operators.Eval.mcnemarTest(scored, "pred_a", "pred_b", "label")
+    }),
+    "q_interarrival" -> ((s, dir) => {
+      // Per-user cadence profile over the event stream: lag gaps in
+      // the (ts, event_id) unique order, exact percentiles.
+      graft.operators.Events.interArrival(
+        Parallelism.spread(t(s, dir, "events")),
+        "user_id", "ts_ms", tieCols = Seq("event_id"))
+    }),
+    "q_missingness" -> ((s, dir) => {
+      // Co-missingness over a synthetically-holed frame: short docs
+      // lose their length, en docs lose their lang — the length/lang
+      // null masks overlap only where both rules fire.
+      val d = Parallelism.spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          when(col("n_chars") < 150, lit(null)).otherwise(col("n_chars"))
+            .as("len_opt"),
+          when(col("lang") === "en", lit(null)).otherwise(col("lang"))
+            .as("lang_opt"))
+      graft.operators.Profile.missingnessProfile(
+        d, Seq("doc_id", "len_opt", "lang_opt"))
+    }),
     "q_confusion" -> ((s, dir) => {
       // Operating-point stats for the same dyadic gate at 0.7: a
       // threshold inside both classes' score ranges, so every
@@ -4064,6 +4101,67 @@ object SparkEntry {
         |    / (pp::DOUBLE * nn::DOUBLE * 2.0), 6) AS auc,
         |  pp AS positives, nn AS negatives
         |FROM c, t GROUP BY pp, nn""".stripMargin,
+    // same two salted dyadic gates; concordance cells exact, one
+    // double division for the statistic
+    "q_mcnemar" ->
+      s"""WITH d AS (SELECT (doc_id % 4 = 0) AS label,
+        |    ((${h16Sql("doc_id::VARCHAR || ':auc'")} % 1024) / 1024.0
+        |      + CASE WHEN doc_id % 4 = 0 THEN 0.25 ELSE 0 END) >= 0.7 AS pa,
+        |    ((${h16Sql("doc_id::VARCHAR || ':auc2'")} % 1024) / 1024.0
+        |      + CASE WHEN doc_id % 4 = 0 THEN 0.25 ELSE 0 END) >= 0.7 AS pb
+        |  FROM documents),
+        |m AS (SELECT count(*)::BIGINT AS n_pairs,
+        |    sum(CASE WHEN pa = label AND pb = label THEN 1 ELSE 0 END)::BIGINT
+        |      AS both_correct,
+        |    sum(CASE WHEN pa <> label AND pb <> label THEN 1 ELSE 0 END)::BIGINT
+        |      AS both_wrong,
+        |    sum(CASE WHEN pa = label AND pb <> label THEN 1 ELSE 0 END)::BIGINT
+        |      AS a_only,
+        |    sum(CASE WHEN pa <> label AND pb = label THEN 1 ELSE 0 END)::BIGINT
+        |      AS b_only
+        |  FROM d)
+        |SELECT *, CASE WHEN a_only + b_only > 0 THEN
+        |    round((a_only - b_only)::DOUBLE * (a_only - b_only)::DOUBLE
+        |      / (a_only + b_only)::DOUBLE, 6) END AS mcnemar
+        |FROM m""".stripMargin,
+    // same unique (ms, event_id) lag order; quantile_cont matches
+    // Spark's exact percentile interpolation
+    "q_interarrival" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |g AS (SELECT user_id, ms - lag(ms) OVER (
+        |    PARTITION BY user_id ORDER BY ms, event_id) AS gap FROM e)
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |  count(gap)::BIGINT AS n_gaps, min(gap)::BIGINT AS min_gap,
+        |  round(quantile_cont(gap::DOUBLE, 0.5), 6) AS median_gap,
+        |  round(quantile_cont(gap::DOUBLE, 0.9), 6) AS p90_gap,
+        |  max(gap)::BIGINT AS max_gap
+        |FROM g GROUP BY 1""".stripMargin,
+    // same hole rules; exact cell counts, one double division per pair
+    "q_missingness" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN n_chars < 150 THEN NULL ELSE n_chars END AS len_opt,
+        |    CASE WHEN lang = 'en' THEN NULL ELSE lang END AS lang_opt
+        |  FROM documents),
+        |m AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS m0,
+        |    sum(CASE WHEN len_opt IS NULL THEN 1 ELSE 0 END)::BIGINT AS m1,
+        |    sum(CASE WHEN lang_opt IS NULL THEN 1 ELSE 0 END)::BIGINT AS m2,
+        |    sum(CASE WHEN doc_id IS NULL AND len_opt IS NULL THEN 1 ELSE 0 END)::BIGINT AS b01,
+        |    sum(CASE WHEN doc_id IS NULL AND lang_opt IS NULL THEN 1 ELSE 0 END)::BIGINT AS b02,
+        |    sum(CASE WHEN len_opt IS NULL AND lang_opt IS NULL THEN 1 ELSE 0 END)::BIGINT AS b12
+        |  FROM d)
+        |SELECT 'doc_id' AS col_x, 'len_opt' AS col_y, n AS n_rows, m0 AS x_null,
+        |  m1 AS y_null, b01 AS both_null,
+        |  CASE WHEN m0 + m1 - b01 > 0
+        |    THEN round(b01::DOUBLE / (m0 + m1 - b01)::DOUBLE, 6) END AS jaccard
+        |FROM m
+        |UNION ALL SELECT 'doc_id', 'lang_opt', n, m0, m2, b02,
+        |  CASE WHEN m0 + m2 - b02 > 0
+        |    THEN round(b02::DOUBLE / (m0 + m2 - b02)::DOUBLE, 6) END FROM m
+        |UNION ALL SELECT 'len_opt', 'lang_opt', n, m1, m2, b12,
+        |  CASE WHEN m1 + m2 - b12 > 0
+        |    THEN round(b12::DOUBLE / (m1 + m2 - b12)::DOUBLE, 6) END FROM m""".stripMargin,
     // same dyadic score and >= threshold; exact counts, one double
     // division per metric in the same formula order
     "q_confusion" ->

@@ -217,6 +217,44 @@ object Eval {
         col("__N").as("negatives"))
   }
 
+  /** McNemar's paired test — "is filter B actually better than filter
+    * A?" asked the RIGHT way: on the SAME examples, only the
+    * discordant pairs carry evidence (b = A right / B wrong, c = A
+    * wrong / B right), and χ² = (b−c)²/(b+c) against χ²₁ calibrates
+    * the answer where comparing two independent accuracy numbers
+    * (what [[confusionStats]] alone would give) ignores the pairing
+    * and overstates certainty.
+    *
+    * ONE aggregation pass over the four concordance cells; the
+    * statistic derives from exact counts with one double division
+    * (null when b + c = 0 — identical predictions carry no paired
+    * evidence). Rows with a null prediction or label drop.
+    *
+    * @return one row: (n_pairs, both_correct, both_wrong, a_only,
+    *         b_only, mcnemar 6 dp).
+    */
+  def mcnemarTest(
+      df: DataFrame,
+      predACol: String,
+      predBCol: String,
+      labelCol: String): DataFrame = {
+    val aOk = col(predACol) === col(labelCol)
+    val bOk = col(predBCol) === col(labelCol)
+    df.where(col(predACol).isNotNull && col(predBCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(aOk && bOk, 1L)), lit(0L)).as("both_correct"),
+        coalesce(sum(when(!aOk && !bOk, 1L)), lit(0L)).as("both_wrong"),
+        coalesce(sum(when(aOk && !bOk, 1L)), lit(0L)).as("a_only"),
+        coalesce(sum(when(!aOk && bOk, 1L)), lit(0L)).as("b_only"))
+      .withColumn("mcnemar",
+        when(col("a_only") + col("b_only") > 0,
+          round((col("a_only") - col("b_only")).cast("double") *
+            (col("a_only") - col("b_only")).cast("double") /
+            (col("a_only") + col("b_only")).cast("double"), 6)))
+  }
+
   /** Confusion-matrix statistics at a decision threshold — the
     * numbers that turn [[rocAuc]]/[[averagePrecision]] curve summaries
     * into an operating point ("gate at 0.7 keeps P=0.91 at R=0.78"):

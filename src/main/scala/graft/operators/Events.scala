@@ -825,6 +825,43 @@ object Events {
         col("hazard"), col("survival"))
   }
 
+  /** Per-key inter-arrival gap profile — the cadence question behind
+    * rate limits, bot detection and churn models ("does this user
+    * fire every 200 ms or once a week?"): consecutive-event gaps in
+    * the (ts, ties…) order, summarized per key as count / min /
+    * median / p90 / max. A bot reads a near-degenerate gap
+    * distribution (median ≈ min); a human reads orders-of-magnitude
+    * spread.
+    *
+    * One per-key ROWS window pass for the lag gaps (unique order per
+    * the §4 tie discipline — pass `tieCols` when timestamps can
+    * collide) + one map-side-combined aggregation with exact
+    * percentiles (6 dp at the boundary). Single-event keys report
+    * n_gaps = 0 with null gap stats. Null timestamps drop.
+    *
+    * @return one row per key: (keyCol, n_events, n_gaps, min_gap,
+    *         median_gap 6 dp, p90_gap 6 dp, max_gap).
+    */
+  def interArrival(
+      df: DataFrame,
+      keyCol: String,
+      tsMsCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(tsMsCol).asc +: tieCols.map(col(_).asc): _*)
+    df.where(col(keyCol).isNotNull && col(tsMsCol).isNotNull)
+      .withColumn("__gap", col(tsMsCol) - lag(col(tsMsCol), 1).over(w))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("__gap")).as("n_gaps"),
+        min(col("__gap")).as("min_gap"),
+        round(percentile(col("__gap"), lit(0.5)), 6).as("median_gap"),
+        round(percentile(col("__gap"), lit(0.9)), 6).as("p90_gap"),
+        max(col("__gap")).as("max_gap"))
+  }
+
   /** Sweep-line interval concurrency — "how many shipments are in
     * transit / sessions open / GPUs leased at once", the capacity
     * question behind rate limits and shard sizing. Each interval

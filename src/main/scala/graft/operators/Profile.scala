@@ -1285,6 +1285,54 @@ object Profile {
     * map-side-combined groupBy over (quasi..., sensitive), one
     * bounded roll-up — no distinct-set state.
     */
+  /** Pairwise missingness profile — nulls are rarely independent
+    * (the scraper that loses `title` usually loses `author` too), and
+    * imputation/gating decisions differ completely between "5% random
+    * nulls" and "5% of rows missing EVERYTHING". Per unordered column
+    * pair: each side's null count and the BOTH-null count, plus their
+    * Jaccard overlap both/(x+y−both) — 1.0 means one broken upstream
+    * path, ≈ x·y/n² means independent noise.
+    *
+    * The [[corrMatrix]] shape: ONE aggregation pass collects every
+    * cell (counts are exact longs, order-independent), the pair
+    * algebra runs on the single bounded agg row via `inline` — no
+    * second scan, no per-pair pass. Jaccard is null when neither side
+    * has nulls (no overlap to measure).
+    *
+    * @return one row per unordered pair in `cols` order: (col_x,
+    *         col_y, n_rows, x_null, y_null, both_null, jaccard 6 dp).
+    */
+  def missingnessProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.distinct == cols, "columns must be distinct")
+    val aggs = count(lit(1)).as("__n") +:
+      (cols.map(c => coalesce(sum(when(col(c).isNull, 1L)), lit(0L)).as(s"__m_$c")) ++
+        (for {
+          (ci, i) <- cols.zipWithIndex
+          (cj, j) <- cols.zipWithIndex if j > i
+        } yield coalesce(sum(when(col(ci).isNull && col(cj).isNull, 1L)), lit(0L))
+          .as(s"__b_${i}_$j")))
+    val pairs = for {
+      (ci, i) <- cols.zipWithIndex
+      (cj, j) <- cols.zipWithIndex if j > i
+    } yield {
+      val union = col(s"__m_$ci") + col(s"__m_$cj") - col(s"__b_${i}_$j")
+      struct(
+        lit(ci).as("col_x"),
+        lit(cj).as("col_y"),
+        col("__n").as("n_rows"),
+        col(s"__m_$ci").as("x_null"),
+        col(s"__m_$cj").as("y_null"),
+        col(s"__b_${i}_$j").as("both_null"),
+        round(when(union > 0,
+          col(s"__b_${i}_$j").cast("double") / union.cast("double")), 6)
+          .as("jaccard"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs: _*)).as("c"))
+      .select("c.*")
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance — the BINLESS drift test
     * next to the binned KL/JS drift row: D = max_v |F_A(v) − F_B(v)|
     * over the pooled empirical CDFs. KL/JS inherit their bin edges'

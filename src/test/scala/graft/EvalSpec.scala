@@ -250,6 +250,28 @@ class EvalSpec extends SparkSpec {
     assert(r == ((1.0, 1L, 1L)))
   }
 
+  test("mcnemarTest: hand cells and statistic, concordant-only null, null drop") {
+    // truth always true; a/b are boolean predictions
+    val rows = Seq(
+      (true, true, true), (true, true, true), (true, true, true), // both correct
+      (false, false, true),                                       // both wrong
+      (true, false, true), (true, false, true),
+      (true, false, true), (true, false, true),                   // a_only x4
+      (false, true, true))                                        // b_only x1
+    val r = Eval.mcnemarTest(rows.toDF("a", "b", "y"), "a", "b", "y").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((9L, 3L, 1L, 4L, 1L)))
+    assert(r.getDouble(5) == 1.8) // (4-1)^2 / 5
+    // identical predictions → no discordant evidence
+    val same = Seq((true, true, true), (false, false, true))
+    assert(Eval.mcnemarTest(same.toDF("a", "b", "y"), "a", "b", "y")
+      .head().isNullAt(5))
+    val withNull = Seq[(java.lang.Boolean, java.lang.Boolean, java.lang.Boolean)](
+      (true, false, true), (null, true, true), (true, null, true))
+      .toDF("a", "b", "y")
+    assert(Eval.mcnemarTest(withNull, "a", "b", "y").head().getLong(0) == 1L)
+  }
+
   test("confusionStats: hand-computed cells and metrics, degenerate nulls") {
     // scores >= 0.5 predicted positive
     val rows = Seq((0.9, true), (0.8, false), (0.6, true), (0.4, true),

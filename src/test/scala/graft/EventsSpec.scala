@@ -550,6 +550,23 @@ class EventsSpec extends SparkSpec {
     assert(Events.survivalCurve(messy, "dur", "ev").count() == 0)
   }
 
+  test("interArrival: hand gaps with exact percentiles, single-event key, tie order") {
+    val ev = Seq(("u", 0L, 1L), ("u", 10L, 2L), ("u", 30L, 3L), ("u", 100L, 4L),
+      ("v", 50L, 5L)).toDF("k", "ts", "eid")
+    val out = Events.interArrival(ev, "k", "ts", Seq("eid")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val u = out("u")
+    // gaps (10, 20, 70): p50 = 20, p90 = 20 + 0.8·50 = 60
+    assert((u.getLong(1), u.getLong(2), u.getLong(3)) == ((4L, 3L, 10L)))
+    assert(u.getDouble(4) == 20.0 && u.getDouble(5) == 60.0 && u.getLong(6) == 70L)
+    val v = out("v")
+    assert(v.getLong(1) == 1L && v.getLong(2) == 0L && v.isNullAt(4))
+    // same-ms burst: ties break on eid, so gaps are 0 and deterministic
+    val burst = Seq(("w", 5L, 2L), ("w", 5L, 1L), ("w", 9L, 3L)).toDF("k", "ts", "eid")
+    val w = Events.interArrival(burst, "k", "ts", Seq("eid")).head()
+    assert(w.getLong(2) == 2L && w.getLong(3) == 0L && w.getLong(6) == 4L)
+  }
+
   test("concurrency: closed-open sweep-line levels, grouped and global") {
     // intervals: [1,5) [2,4) [4,6) — at t=4 one ends as one starts
     val iv = Seq(("a", 1L, 5L), ("a", 2L, 4L), ("a", 4L, 6L))

@@ -792,6 +792,28 @@ class ProfileSpec extends SparkSpec {
     assert(out == ((0L, 0L, 0L)))
   }
 
+  test("missingnessProfile: hand cells, jaccard extremes, no-null pair null") {
+    val df = Seq[(Option[Int], Option[Int], Option[Int])](
+      (None, Some(1), Some(1)), (None, None, Some(1)),
+      (Some(1), None, Some(1)), (Some(1), Some(1), Some(1)))
+      .toDF("x", "y", "z")
+    val out = Profile.missingnessProfile(df, Seq("x", "y", "z")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
+    // x null rows {1,2}, y null {2,3}, both {2}: jaccard 1/3
+    assert(out(("x", "y")) == ((4L, 2L, 2L, 1L, Some(0.333333))))
+    // z never null → both pairs with z have empty unions only if x/y... x has nulls
+    assert(out(("x", "z")) == ((4L, 2L, 0L, 0L, Some(0.0))))
+    // identical masks → 1.0
+    val same = Seq[(Option[Int], Option[Int])]((None, None), (Some(1), Some(2)))
+      .toDF("a", "b")
+    assert(Profile.missingnessProfile(same, Seq("a", "b")).head().getDouble(6) == 1.0)
+    // neither side has nulls → null jaccard
+    val full = Seq((1, 2), (3, 4)).toDF("a", "b")
+    assert(Profile.missingnessProfile(full, Seq("a", "b")).head().isNullAt(6))
+  }
+
   private def ks(rows: Seq[(String, Double)]): (Long, Long, Option[Double]) = {
     val r = Profile.ksTest(rows.toDF("g", "v"), "v", "g", "A", "B").head()
     (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))
