@@ -3201,6 +3201,17 @@ object SparkEntry {
       graft.multimodal.Multimodal.aHash(nz, "normalized")
         .select("doc_id", "ahash")
     }),
+    "q_audio_stats" -> ((s, dir) => {
+      // Silence/clipping gate over the real decoder: thresholds
+      // placed inside the synthetic amplitude range (|s| ≤ 32 silent,
+      // ≥ 500 "hot") so both branches count real samples.
+      val wavs = graft.multimodal.Multimodal
+        .synthesizeWav(
+          Parallelism.spread(t(s, dir, "documents").select("doc_id")), "doc_id")
+      graft.multimodal.Multimodal
+        .audioStats(wavs, "payload", silenceThreshold = 32, clipThreshold = 500)
+        .select("doc_id", "n_samples", "peak", "silence_ratio", "clip_ratio", "rms")
+    }),
     "q_multimodal_audio" -> ((s, dir) => {
       // REAL WAV round trip via javax.sound.sampled; same closed-form
       // oracle idea as q_multimodal_decode.
@@ -6854,6 +6865,23 @@ object SparkEntry {
         |SELECT doc_id, printf('%08x%08x', hi, lo) AS ahash FROM agg""".stripMargin,
     // WAV twin: s(i) = 4·(id%256) + 8·(i mod 16) − 512 over a
     // multiple-of-16 sample count → mean = 4·(id%256) + 60 − 512.
+    // the 16-residue sample model collapsed: every residue occurs
+    // n/16 times, so counts/sums scale by n//16; same double
+    // divisions and one sqrt at the boundary
+    "q_audio_stats" ->
+      """WITH par AS (SELECT doc_id, 4*(doc_id % 256) - 512 AS base,
+        |    160 + 16*(doc_id % 5) AS n FROM documents),
+        |r AS (SELECT doc_id, base, n, unnest(generate_series(0, 15)) AS rr FROM par),
+        |v AS (SELECT doc_id, n, abs(base + 8*rr) AS a FROM r),
+        |g AS (SELECT doc_id, n, max(a) AS peak,
+        |    sum(CASE WHEN a <= 32 THEN 1 ELSE 0 END) AS sil,
+        |    sum(CASE WHEN a >= 500 THEN 1 ELSE 0 END) AS clip,
+        |    sum(a*a) AS q FROM v GROUP BY 1, 2)
+        |SELECT doc_id, n::BIGINT AS n_samples, peak::BIGINT AS peak,
+        |  round((sil * (n // 16))::DOUBLE / n, 6) AS silence_ratio,
+        |  round((clip * (n // 16))::DOUBLE / n, 6) AS clip_ratio,
+        |  round(sqrt((q * (n // 16))::DOUBLE / n), 6) AS rms
+        |FROM g""".stripMargin,
     "q_multimodal_audio" ->
       """SELECT doc_id,
         |  (160 + 16*(doc_id % 5))::BIGINT AS n_samples,

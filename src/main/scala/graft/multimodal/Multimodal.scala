@@ -581,6 +581,72 @@ object Multimodal {
     }
   }
 
+  /** Silence/clipping gate — the audio twin of [[lumaStats]]'s
+    * flat-image filter: a speech/audio curation pipeline drops dead
+    * microphones (all-silent), truncated uploads (long silent tails)
+    * and hot-mic distortion (clipped peaks) before paying for
+    * transcription. REAL decode (the lock-free PCM16 path at scale),
+    * per clip: peak, silence ratio (|s| ≤ `silenceThreshold`), clip
+    * ratio (|s| ≥ `clipThreshold`), and RMS — sums are EXACT Long
+    * integer arithmetic (Σ|s|² ≤ n·2³⁰ — no overflow below ~8e9
+    * samples per clip), the three ratios/RMS round 6 dp at the
+    * boundary (rms = √(Q/n), one double division then one √, fixed
+    * order so the oracle replays). Null/unparsable/empty payloads
+    * yield null stats. Row-local, batched, no shuffle.
+    */
+  def audioStats(
+      df: DataFrame,
+      payloadCol: String = "payload",
+      silenceThreshold: Int = 32,
+      clipThreshold: Int = 32700,
+      batchSize: Int = 64): DataFrame = {
+    require(silenceThreshold >= 0, "silenceThreshold must be >= 0")
+    require(clipThreshold >= 1, "clipThreshold must be >= 1")
+    val outSchema = df.schema
+      .add(StructField("n_samples", LongType))
+      .add(StructField("peak", LongType))
+      .add(StructField("silence_ratio", DoubleType))
+      .add(StructField("clip_ratio", DoubleType))
+      .add(StructField("rms", DoubleType))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    def r6(x: Double): Double = Math.rint(x * 1e6) / 1e6
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val bytes = row.get(payloadIdx).asInstanceOf[Array[Byte]]
+          val parsed =
+            if (bytes == null) null
+            else
+              try readPcm16(bytes)
+              catch { case scala.util.control.NonFatal(_) => null }
+          val stats: Seq[Any] =
+            if (parsed == null || parsed._1.isEmpty) Seq(null, null, null, null, null)
+            else {
+              val s = parsed._1
+              var peak = 0L
+              var silent = 0L
+              var clipped = 0L
+              var q = 0L
+              var i = 0
+              while (i < s.length) {
+                val a = math.abs(s(i)).toLong
+                if (a > peak) peak = a
+                if (a <= silenceThreshold) silent += 1
+                if (a >= clipThreshold) clipped += 1
+                q += a * a
+                i += 1
+              }
+              val n = s.length.toDouble
+              Seq[Any](s.length.toLong, peak,
+                r6(silent / n), r6(clipped / n), r6(math.sqrt(q / n)))
+            }
+          Row.fromSeq(row.toSeq ++ stats)
+        }
+      }
+    }
+  }
+
   /** Perceptual AUDIO hash — the audio twin of [[dHash]]: decode the
     * WAV (real `javax.sound.sampled` parse), split the signal into 64
     * equal windows (window j covers frames i with ⌊i·64/n⌋ = j),

@@ -517,4 +517,35 @@ class MultimodalSpec extends SparkSpec {
     assert(f(1L)._2.contains(0.0) && f(1L)._3.contains(true))
     assert(f(2L)._2.isEmpty && f(2L)._3.isEmpty, "null payload -> null stats")
   }
+
+  test("audioStats: exact counts against the sample model, null and garbage degrade") {
+    import graft.multimodal.Multimodal
+    val ids = Seq(0L, 1L, 128L, 255L, 999L)
+    val out = Multimodal.audioStats(
+      Multimodal.synthesizeWav(ids.toDF("id"), "id"), "payload",
+      silenceThreshold = 32, clipThreshold = 500, batchSize = 2)
+      .select($"id", $"n_samples", $"peak", $"silence_ratio", $"clip_ratio", $"rms")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    ids.foreach { id =>
+      val n = Multimodal.sampleCount(id)
+      val src = (0 until n).map(Multimodal.sampleAt(id, _))
+      val want = (
+        n.toLong,
+        src.map(math.abs).max.toLong,
+        math.rint(src.count(s => math.abs(s) <= 32) / n.toDouble * 1e6) / 1e6,
+        math.rint(src.count(s => math.abs(s) >= 500) / n.toDouble * 1e6) / 1e6,
+        math.rint(math.sqrt(src.map(s => s.toLong * s).sum.toDouble / n) * 1e6) / 1e6)
+      assert(out(id) == want, s"id=$id")
+    }
+    // id 128: base = 0 — the all-but-silent clip; sanity that branches fire
+    assert(out(128L)._3 > 0.0, "silence branch counts real samples")
+    assert(out(255L)._4 > 0.0, "clip branch counts real samples")
+    // null payload and garbage bytes degrade to null stats
+    val bad = Seq((1L, null.asInstanceOf[Array[Byte]]),
+      (2L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val b = Multimodal.audioStats(bad, "payload").select($"n_samples").collect()
+    assert(b.forall(_.isNullAt(0)))
+  }
 }
