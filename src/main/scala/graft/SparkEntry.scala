@@ -2511,6 +2511,13 @@ object SparkEntry {
         .where(col("__rn") === 1)
         .select("doc_id", "text_md5", "n_words")
     }),
+    "q_diversity" -> ((s, dir) => {
+      // Distinct-3 diversity per language — the mode-collapse number
+      // for a corpus slice; totals come from token counts row-locally,
+      // only (lang, hash) rows move for the distinct count.
+      graft.functions.TextAnalysis.corpusDiversity(
+        Parallelism.spread(t(s, dir, "documents")), "text", "lang", n = 3)
+    }),
     "q_novelty" -> ((s, dir) => {
       // 8-gram novelty of the whole corpus against the even-id half
       // as the reference snapshot: even docs read exactly 0 (they ARE
@@ -6388,6 +6395,25 @@ object SparkEntry {
         |  md5(array_to_string(list_filter(lines, (x, i) -> list_position(lines, x) = i), chr(10))) AS cleaned_md5,
         |  (len(lines) - len(list_distinct(lines)))::BIGINT AS n_dropped
         |FROM s""".stripMargin,
+    // same token-count totals (max(len-2, 1) — duplicates counted)
+    // and h60-hashed distinct grams, one double division
+    "q_diversity" ->
+      (s"""WITH tk AS (SELECT lang, regexp_split_to_array(trim(text), '\\s+') AS tks
+          |  FROM documents WHERE text IS NOT NULL),
+          |tot AS (SELECT lang, count(*)::BIGINT AS n_docs,
+          |    sum(greatest(len(tks) - 2, 1))::BIGINT AS total_ngrams FROM tk GROUP BY 1),
+          |sh AS (SELECT lang, CASE WHEN len(tks) >= 3
+          |  THEN list_distinct(list_transform(range(0, len(tks) - 2),
+          |    i -> ${(1 to 3).map(j => s"tks[i + $j]").mkString(" || ' ' || ")}))
+          |  ELSE [array_to_string(tks, ' ')] END AS s FROM tk),
+          |d AS (SELECT lang, unnest(s) AS gram FROM sh),
+          |dd AS (SELECT lang, count(DISTINCT ${h60Sql("gram")})::BIGINT AS distinct_ngrams
+          |  FROM d GROUP BY 1)
+          |SELECT lang, n_docs, total_ngrams,
+          |  coalesce(distinct_ngrams, 0) AS distinct_ngrams,
+          |  round(coalesce(distinct_ngrams, 0)::DOUBLE / total_ngrams::DOUBLE, 6)
+          |    AS distinct_ratio
+          |FROM tot LEFT JOIN dd USING (lang)""".stripMargin),
     // same 8-gram shingles and the h60 gram hashes on BOTH sides —
     // a (vanishingly unlikely) 60-bit collision would replay
     // identically in both engines

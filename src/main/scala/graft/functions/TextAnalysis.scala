@@ -1109,6 +1109,53 @@ object TextAnalysis {
     * scanned once with no shuffle of document n-grams; only the
     * (tiny) hit counts aggregate.
     */
+  /** Per-slice corpus n-gram diversity (distinct-n) — the
+    * mode-collapse detector for synthetic/generated training data:
+    * distinct word n-grams ÷ total n-gram OCCURRENCES in the slice.
+    * Human corpora hold the ratio as they grow; a sampler stuck in a
+    * template regurgitates the same grams and the ratio collapses —
+    * the [[noveltyScore]] question asked of a slice about itself
+    * rather than doc-by-doc against a reference.
+    *
+    * Scale shape: total occurrences come row-locally from token
+    * counts (max(tokens − n + 1, 1) — never materializing duplicate
+    * grams); the distinct count moves only (group, 60-bit md5-prefix
+    * hash) rows through one two-level grouped count. Null text counts
+    * as an empty doc (one whole-text shingle, matching
+    * [[graft.operators.Dedup.wordShingles]] short-doc semantics is
+    * NOT applied to nulls — null text rows drop).
+    *
+    * @return one row per group: (groupCol, n_docs, total_ngrams,
+    *         distinct_ngrams, distinct_ratio 6 dp).
+    */
+  def corpusDiversity(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      groupCol: String,
+      n: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "n must be positive")
+    val base = df.where(col(textCol).isNotNull)
+    val toks = size(split(trim(col(textCol)), "\\s+"))
+    val occ = greatest(toks - lit(n - 1), lit(1)).cast("long")
+    val totals = base
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(occ).as("total_ngrams"))
+    val h = (g: org.apache.spark.sql.Column) =>
+      conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+    val distinct = base
+      .select(col(groupCol),
+        explode(graft.operators.Dedup.wordShingles(col(textCol), n)).as("__g"))
+      .groupBy(col(groupCol), h(col("__g")).as("__h"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("distinct_ngrams"))
+    totals.join(distinct, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_docs"), col("total_ngrams"),
+        coalesce(col("distinct_ngrams"), lit(0L)).as("distinct_ngrams"),
+        round(coalesce(col("distinct_ngrams"), lit(0L)).cast("double") /
+          col("total_ngrams").cast("double"), 6).as("distinct_ratio"))
+  }
+
   /** Per-document n-gram NOVELTY against a reference corpus — the
     * memorization-risk / freshness score next to [[contaminationHits]]
     * (which flags overlap with a SMALL benchmark set; here the

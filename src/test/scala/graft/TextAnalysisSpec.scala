@@ -981,6 +981,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.filter(_._1 == "X").sortBy(_._4).map(_._2) == Seq("a", "b", "c"))
   }
 
+  test("corpusDiversity: hand counts, collapse detection, short docs, null drop") {
+    // slice A: two clones — 4 occurrences total (2 each), 2 distinct grams
+    // slice B: two disjoint docs — 4 occurrences, 4 distinct
+    val df = Seq(
+      ("A", "x y z w"), ("A", "x y z w"),
+      ("B", "a b c d"), ("B", "e f g h"),
+      ("C", "tiny"), // shorter than n → 1 occurrence, 1 whole-text shingle
+      ("D", null.asInstanceOf[String])).toDF("g", "text")
+    val out = TextAnalysis.corpusDiversity(df, "text", "g", n = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(out("A") == ((2L, 4L, 2L, 0.5)), "clones collapse the ratio")
+    assert(out("B") == ((2L, 4L, 4L, 1.0)), "disjoint docs keep it at 1")
+    assert(out("C") == ((1L, 1L, 1L, 1.0)))
+    assert(!out.contains("D"), "null text rows drop")
+  }
+
+  test("corpusDiversity: repartition-invariant") {
+    val docs = (1 to 120).map(i => (s"g${i % 3}", s"w${i % 11} w${i % 7} w${i % 5} w${i % 2}"))
+      .toDF("g", "text")
+    val one = TextAnalysis.corpusDiversity(docs, "text", "g").collect().toSet
+    val many = TextAnalysis.corpusDiversity(docs.repartition(13), "text", "g")
+      .collect().toSet
+    assert(one == many)
+  }
+
   test("noveltyScore: clone 0, disjoint 1, half-overlap 0.5, short-doc shingle") {
     val docs = Seq(
       (1L, "alpha beta gamma"), // clone of ref → 0
