@@ -985,6 +985,20 @@ object SparkEntry {
       // mean/median length, exact byte-dup rate — one groupBy pass.
       graft.operators.Profile.corpusCard(docsWithDups(s, dir), "lang", "text")
     }),
+    "q_join_cardinality" -> ((s, dir) => {
+      // Pre-flight for orders ⋈ lineitem on orderkey: exact output
+      // size and the worst key's contribution from the two id-sized
+      // count frames — the salt-or-not decision before the shuffle.
+      graft.operators.Profile.joinCardinality(
+        t(s, dir, "orders"), "o_orderkey",
+        t(s, dir, "lineitem"), "l_orderkey")
+    }),
+    "q_heatmap" -> ((s, dir) => {
+      // Weekly activity grid over the event stream: pure epoch
+      // arithmetic (no calendar library), bounded 168-row output.
+      graft.operators.Events.activityHeatmap(
+        Parallelism.spread(t(s, dir, "events")), "ts_ms")
+    }),
     "q_gini" -> ((s, dir) => {
       // Concentration number for the data card: how unequal are doc
       // lengths inside each language slice? Grouped-tie rank sums
@@ -4273,6 +4287,37 @@ object SparkEntry {
           |  round(median(length(text)::DOUBLE), 4) AS p50_chars,
           |  round(1.0 - count(DISTINCT md5(text))::DOUBLE / count(text), 6) AS dup_rate
           |FROM docs GROUP BY 1""".stripMargin),
+    // same two count frames joined on the key; HUGEINT products
+    "q_join_cardinality" ->
+      """WITH ca AS (SELECT o_orderkey AS k, count(*)::BIGINT AS c FROM orders
+        |  WHERE o_orderkey IS NOT NULL GROUP BY 1),
+        |cb AS (SELECT l_orderkey AS k, count(*)::BIGINT AS c FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |sh AS (SELECT count(*)::BIGINT AS n_shared_keys,
+        |    coalesce(sum(ca.c::HUGEINT * cb.c::HUGEINT), 0)::BIGINT AS join_rows,
+        |    coalesce(max(ca.c::HUGEINT * cb.c::HUGEINT), 0)::BIGINT AS max_key_rows
+        |  FROM ca JOIN cb USING (k)),
+        |ta AS (SELECT coalesce(sum(c), 0)::BIGINT AS n_rows_a,
+        |    count(*)::BIGINT AS n_keys_a FROM ca),
+        |tb AS (SELECT coalesce(sum(c), 0)::BIGINT AS n_rows_b,
+        |    count(*)::BIGINT AS n_keys_b FROM cb)
+        |SELECT n_rows_a, n_rows_b, n_keys_a, n_keys_b, n_shared_keys,
+        |  join_rows, max_key_rows
+        |FROM ta, tb, sh""".stripMargin,
+    // same floor-div epoch arithmetic (1970-01-01 = Thursday, dow 0 =
+    // Sunday); one grouped count, share divided once
+    "q_heatmap" ->
+      """WITH e AS (SELECT epoch_ms(ts) AS ms FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT (((ms - ((ms % 86400000 + 86400000) % 86400000)) // 86400000
+        |      + 4) % 7 + 7) % 7 AS dow,
+        |    (((ms - ((ms % 3600000 + 3600000) % 3600000)) // 3600000) % 24 + 24)
+        |      % 24 AS hour,
+        |    count(*)::BIGINT AS n_events
+        |  FROM e GROUP BY 1, 2),
+        |t AS (SELECT sum(n_events) AS tot FROM c)
+        |SELECT dow::INT AS dow, hour::INT AS hour, n_events,
+        |  round(n_events::DOUBLE / tot::DOUBLE, 6) AS share
+        |FROM c, t""".stripMargin,
     // same grouped-tie rank sums (c·cumBefore + c(c+1)/2 exact
     // integers), DECIMAL(18,6)×DECIMAL(19,0) products, one boundary
     // rounding per output column

@@ -825,6 +825,38 @@ object Events {
         col("hazard"), col("survival"))
   }
 
+  /** Day-of-week × hour activity heatmap — the seasonality readout
+    * behind load shaping, crawl scheduling and bot-vs-human triage
+    * (humans show a diurnal/weekly grid; farms run flat). Pure
+    * integer epoch arithmetic on UTC millis — NO timezone/calendar
+    * library: day index = floorDiv(ms, 86400000), dow =
+    * floorMod(day + 4, 7) (1970-01-01 was a Thursday; 0 = Sunday),
+    * hour = floorMod(floorDiv(ms, 3600000), 24) — so both engines
+    * replay every cell from arithmetic alone. One map-side-combined
+    * groupBy, output bounded at 168 rows (+ share of total, 6 dp).
+    *
+    * @return (dow 0–6 Sun-based, hour 0–23, n_events, share 6 dp).
+    */
+  def activityHeatmap(
+      df: DataFrame,
+      tsMsCol: String): DataFrame = {
+    val ms = col(tsMsCol)
+    // floorDiv(x, d) = (x − pmod(x, d))/d — the numerator is an exact
+    // multiple below 2⁵³, so the double division is exact
+    def floorDiv(x: org.apache.spark.sql.Column, d: Long) =
+      ((x - pmod(x, lit(d))) / lit(d)).cast("long")
+    val dow = pmod(floorDiv(ms, 86400000L) + lit(4), lit(7))
+    val hour = pmod(floorDiv(ms, 3600000L), lit(24))
+    val counted = df
+      .where(ms.isNotNull)
+      .groupBy(dow.cast("int").as("dow"), hour.cast("int").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    counted
+      .crossJoin(broadcast(counted.agg(sum(col("n_events")).as("__t"))))
+      .select(col("dow"), col("hour"), col("n_events"),
+        round(col("n_events").cast("double") / col("__t"), 6).as("share"))
+  }
+
   /** Per-key inter-arrival gap profile — the cadence question behind
     * rate limits, bot detection and churn models ("does this user
     * fire every 200 ms or once a week?"): consecutive-event gaps in

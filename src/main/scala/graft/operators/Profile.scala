@@ -1285,6 +1285,47 @@ object Profile {
     * map-side-combined groupBy over (quasi..., sensitive), one
     * bounded roll-up — no distinct-set state.
     */
+  /** Join-cardinality pre-flight — "will this join explode?" answered
+    * EXACTLY before paying for it: output rows = Σ_k cntA(k)·cntB(k)
+    * over shared keys, computed from the two per-key count frames (a
+    * grouped count per side — id-sized rows, never payloads — plus
+    * one equi-join of the count frames). The report that tells you to
+    * salt/pre-aggregate BEFORE the 100 TB shuffle, not after the
+    * stage dies: `max_key_rows` is the single worst key's
+    * contribution (the skew headline), `join_rows` the exact output
+    * size. Null keys drop on both sides (equi-joins drop them
+    * anyway).
+    *
+    * @return one row: (n_rows_a, n_rows_b, n_keys_a, n_keys_b,
+    *         n_shared_keys, join_rows, max_key_rows).
+    */
+  def joinCardinality(
+      dfA: DataFrame,
+      keyA: String,
+      dfB: DataFrame,
+      keyB: String): DataFrame = {
+    val ca = dfA.where(col(keyA).isNotNull)
+      .groupBy(col(keyA).as("__k")).agg(count(lit(1)).as("__ca"))
+    val cb = dfB.where(col(keyB).isNotNull)
+      .groupBy(col(keyB).as("__k")).agg(count(lit(1)).as("__cb"))
+    val shared = ca.join(cb, Seq("__k"))
+      .select((col("__ca").cast("decimal(38,0)") *
+        col("__cb").cast("decimal(38,0)")).as("__prod"))
+      .agg(
+        count(lit(1)).as("n_shared_keys"),
+        coalesce(sum(col("__prod")), lit(0)).cast("decimal(38,0)").as("__rows"),
+        max(col("__prod")).as("__max"))
+    val ta = ca.agg(coalesce(sum(col("__ca")), lit(0L)).as("n_rows_a"),
+      count(lit(1)).as("n_keys_a"))
+    val tb = cb.agg(coalesce(sum(col("__cb")), lit(0L)).as("n_rows_b"),
+      count(lit(1)).as("n_keys_b"))
+    ta.crossJoin(broadcast(tb)).crossJoin(broadcast(shared))
+      .select(col("n_rows_a"), col("n_rows_b"), col("n_keys_a"),
+        col("n_keys_b"), col("n_shared_keys"),
+        col("__rows").cast("long").as("join_rows"),
+        coalesce(col("__max").cast("long"), lit(0L)).as("max_key_rows"))
+  }
+
   /** Pairwise missingness profile — nulls are rarely independent
     * (the scraper that loses `title` usually loses `author` too), and
     * imputation/gating decisions differ completely between "5% random

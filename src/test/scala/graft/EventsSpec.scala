@@ -550,6 +550,21 @@ class EventsSpec extends SparkSpec {
     assert(Events.survivalCurve(messy, "dur", "ev").count() == 0)
   }
 
+  test("activityHeatmap: epoch arithmetic lands on the right cells") {
+    // 1970-01-01 00:30 UTC is a Thursday (dow 4), hour 0;
+    // 1970-01-04 23:30 UTC is a Sunday (dow 0), hour 23
+    val thu0 = 30L * 60 * 1000
+    val sun23 = 3L * 86400000 + 23L * 3600000 + 30 * 60 * 1000
+    val df = Seq(thu0, thu0 + 1000, sun23).toDF("ts_ms")
+    val out = Events.activityHeatmap(df, "ts_ms")
+      .as[(Int, Int, Long, Double)].collect().map(r => (r._1, r._2) -> r).toMap
+    assert(out((4, 0))._3 == 2L && out((4, 0))._4 == 0.666667)
+    assert(out((0, 23))._3 == 1L)
+    // null timestamps drop; bounded output
+    val withNull = Seq[Option[Long]](Some(thu0), None).toDF("ts_ms")
+    assert(Events.activityHeatmap(withNull, "ts_ms").count() == 1L)
+  }
+
   test("interArrival: hand gaps with exact percentiles, single-event key, tie order") {
     val ev = Seq(("u", 0L, 1L), ("u", 10L, 2L), ("u", 30L, 3L), ("u", 100L, 4L),
       ("v", 50L, 5L)).toDF("k", "ts", "eid")

@@ -792,6 +792,23 @@ class ProfileSpec extends SparkSpec {
     assert(out == ((0L, 0L, 0L)))
   }
 
+  test("joinCardinality: exact explosion math, skew headline, null keys drop") {
+    val a = Seq(1, 1, 1, 2, 3, 4).toDF("k")  // key 1 x3
+    val b = Seq(1, 1, 2, 5).toDF("k")        // key 1 x2
+    val r = Profile.joinCardinality(a, "k", b, "k").head()
+    // shared {1, 2}: 3*2 + 1*1 = 7 rows, worst key contributes 6
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) == ((6L, 4L, 4L, 3L, 2L, 7L, 6L)))
+    // it predicts the real join exactly
+    assert(a.join(b, Seq("k")).count() == 7L)
+    val withNull = Seq[Option[Int]](Some(1), None).toDF("k")
+    val rn = Profile.joinCardinality(withNull, "k", b, "k").head()
+    assert(rn.getLong(0) == 1L && rn.getLong(5) == 2L)
+    // disjoint keys → zero rows, zero max
+    val z = Profile.joinCardinality(Seq(9).toDF("k"), "k", b, "k").head()
+    assert(z.getLong(4) == 0L && z.getLong(5) == 0L && z.getLong(6) == 0L)
+  }
+
   test("missingnessProfile: hand cells, jaccard extremes, no-null pair null") {
     val df = Seq[(Option[Int], Option[Int], Option[Int])](
       (None, Some(1), Some(1)), (None, None, Some(1)),
