@@ -915,6 +915,36 @@ object SparkEntry {
           label.as("label"))
       graft.operators.Eval.mcnemarTest(scored, "pred_a", "pred_b", "label")
     }),
+    "q_rate_limit" -> ((s, dir) => {
+      // Who would a 2-events-per-sliding-day contract have throttled,
+      // and when first: one per-user RANGE window + one rollup.
+      graft.operators.Events.rateLimitAudit(
+        Parallelism.spread(t(s, dir, "events")),
+        "user_id", "ts_ms", maxEvents = 2, windowMs = 86400000L)
+    }),
+    "q_regression_eval" -> ((s, dir) => {
+      // MAE/RMSE/R2 of a synthetic length regressor: label = doc
+      // length, prediction = label + deterministic md5 noise in
+      // [-10, 10] — R2 lands close to 1 with real residual mass.
+      val noise = pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":reg"))), 1, 4), 16, 10).cast("long"), lit(21)) - 10
+      val scored = Parallelism.spread(t(s, dir, "documents"))
+        .select((col("n_chars") + noise).cast("double").as("pred"),
+          col("n_chars").cast("double").as("label"))
+      graft.operators.Eval.regressionStats(scored, "pred", "label")
+    }),
+    "q_reciprocity" -> ((s, dir) => {
+      // Directed reciprocity of the injected host graph — the
+      // symmetrization-bug detector; one id-pair semi join.
+      val d = Parallelism.spread(t(s, dir, "documents"))
+      val e1 = d.select(
+        concat(lit("h"), (col("doc_id") % 40).cast("string")).as("s"),
+        concat(lit("h"), ((col("doc_id") * 3 + 7) % 40).cast("string")).as("d"))
+      val e2 = d.where(col("doc_id") % 2 === 0).select(
+        concat(lit("h"), (col("doc_id") % 40).cast("string")).as("s"),
+        concat(lit("h"), ((col("doc_id") * 7 + 11) % 40).cast("string")).as("d"))
+      graft.operators.Graph.reciprocity(e1.unionByName(e2), "s", "d")
+    }),
     "q_interarrival" -> ((s, dir) => {
       // Per-user cadence profile over the event stream: lag gaps in
       // the (ts, event_id) unique order, exact percentiles.
@@ -4156,6 +4186,62 @@ object SparkEntry {
         |    round((a_only - b_only)::DOUBLE * (a_only - b_only)::DOUBLE
         |      / (a_only + b_only)::DOUBLE, 6) END AS mcnemar
         |FROM m""".stripMargin,
+    // same RANGE trailing-window count (ties share the frame by
+    // RANGE semantics in both engines); exact counts
+    "q_rate_limit" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |w AS (SELECT user_id, ms, count(*) OVER (PARTITION BY user_id ORDER BY ms
+        |    RANGE BETWEEN 86399999 PRECEDING AND CURRENT ROW) AS c FROM e)
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |  sum(CASE WHEN c > 2 THEN 1 ELSE 0 END)::BIGINT AS n_violations,
+        |  max(c)::BIGINT AS max_in_window,
+        |  min(CASE WHEN c > 2 THEN ms END)::BIGINT AS first_violation_ms
+        |FROM w GROUP BY 1""".stripMargin,
+    // same 6 dp DECIMAL(18,6) moments; fixed-order divisions, one
+    // sqrt, R2 null on constant labels
+    "q_regression_eval" ->
+      s"""WITH d AS (SELECT
+        |    (n_chars + (${h16Sql("doc_id::VARCHAR || ':reg'")} % 21) - 10)
+        |      ::DOUBLE AS pred,
+        |    n_chars::DOUBLE AS label
+        |  FROM documents),
+        |c AS (SELECT round(pred, 6)::DECIMAL(18,6) AS p,
+        |    round(label, 6)::DECIMAL(18,6) AS y FROM d
+        |  WHERE pred IS NOT NULL AND label IS NOT NULL),
+        |m AS (SELECT count(*)::BIGINT AS n,
+        |    coalesce(sum(abs((p - y)::DECIMAL(18,6))), 0)::DECIMAL(38,6) AS sae,
+        |    coalesce(sum((p - y)::DECIMAL(18,6) * (p - y)::DECIMAL(18,6)), 0)
+        |      ::DECIMAL(38,12) AS sse,
+        |    coalesce(sum(y), 0)::DECIMAL(38,6) AS sy,
+        |    coalesce(sum(y * y), 0)::DECIMAL(38,12) AS syy
+        |  FROM c)
+        |SELECT n AS n_rows,
+        |  CASE WHEN n > 0 THEN round(sae::DOUBLE / n::DOUBLE, 6) END AS mae,
+        |  CASE WHEN n > 0 THEN round(sqrt(sse::DOUBLE / n::DOUBLE), 6) END AS rmse,
+        |  CASE WHEN n > 0 AND (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE) > 0
+        |    THEN round(1.0::DOUBLE - sse::DOUBLE
+        |      / (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE), 6)
+        |  END AS r2
+        |FROM m""".stripMargin,
+    // same normalized distinct edge set; EXISTS = the semi join
+    "q_reciprocity" ->
+      """WITH raw AS (
+        |  SELECT 'h' || (doc_id % 40)::VARCHAR AS s,
+        |         'h' || ((doc_id * 3 + 7) % 40)::VARCHAR AS d FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || (doc_id % 40)::VARCHAR,
+        |         'h' || ((doc_id * 7 + 11) % 40)::VARCHAR
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |e AS (SELECT DISTINCT s, d FROM raw
+        |  WHERE s <> d AND s IS NOT NULL AND d IS NOT NULL),
+        |r AS (SELECT count(*)::BIGINT AS n_reciprocal FROM e
+        |  WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.s = e.d AND e2.d = e.s)),
+        |t AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+        |SELECT n_edges, n_reciprocal,
+        |  CASE WHEN n_edges > 0
+        |    THEN round(n_reciprocal::DOUBLE / n_edges::DOUBLE, 6) END AS reciprocity
+        |FROM t, r""".stripMargin,
     // same unique (ms, event_id) lag order; quantile_cont matches
     // Spark's exact percentile interpolation
     "q_interarrival" ->

@@ -217,6 +217,48 @@ object Eval {
         col("__N").as("negatives"))
   }
 
+  /** Regression-eval summary — MAE / RMSE / R² for a numeric
+    * predictor (a quality-score regressor, a length estimator, a
+    * reranker's calibration against graded labels), the continuous
+    * counterpart of [[confusionStats]]. ONE aggregation pass: inputs
+    * round to 6 dp into DECIMAL(18,6) (|values| < 1e12 by contract),
+    * so errors, their squares (37 digits — under the 38 cap, no
+    * silent precision loss) and label moments are exact
+    * order-independent sums; the three metrics derive on the single
+    * output row with fixed-order double arithmetic. R² = 1 − SSE/SST
+    * is null when the labels are constant (SST = 0 — "explained
+    * variance" is undefined, not 0). Rows with a null on either side
+    * drop.
+    *
+    * @return one row: (n_rows, mae 6 dp, rmse 6 dp, r2 6 dp).
+    */
+  def regressionStats(
+      df: DataFrame,
+      predCol: String,
+      labelCol: String): DataFrame = {
+    val p = round(col(predCol).cast("double"), 6).cast("decimal(18,6)")
+    val y = round(col(labelCol).cast("double"), 6).cast("decimal(18,6)")
+    val err = (p - y).cast("decimal(18,6)")
+    val agg = df
+      .where(col(predCol).isNotNull && col(labelCol).isNotNull)
+      .agg(
+        count(lit(1)).as("__n"),
+        coalesce(sum(abs(err)), lit(0)).cast("decimal(38,6)").as("__sae"),
+        coalesce(sum(err * err), lit(0)).cast("decimal(38,12)").as("__sse"),
+        coalesce(sum(y), lit(0)).cast("decimal(38,6)").as("__sy"),
+        coalesce(sum(y * y), lit(0)).cast("decimal(38,12)").as("__syy"))
+    val n = col("__n").cast("double")
+    val sst = col("__syy").cast("double") -
+      col("__sy").cast("double") * col("__sy").cast("double") / n
+    agg.select(
+      col("__n").as("n_rows"),
+      round(when(col("__n") > 0, col("__sae").cast("double") / n), 6).as("mae"),
+      round(when(col("__n") > 0, sqrt(col("__sse").cast("double") / n)), 6)
+        .as("rmse"),
+      round(when(col("__n") > 0 && sst > 0,
+        lit(1.0) - col("__sse").cast("double") / sst), 6).as("r2"))
+  }
+
   /** McNemar's paired test — "is filter B actually better than filter
     * A?" asked the RIGHT way: on the SAME examples, only the
     * discordant pairs carry evidence (b = A right / B wrong, c = A

@@ -825,6 +825,46 @@ object Events {
         col("hazard"), col("survival"))
   }
 
+  /** Sliding-window rate-limit audit — "which keys would a limit of
+    * `maxEvents` per `windowMs` have throttled, and how hard?": for
+    * every event, the count of the key's events in the trailing
+    * (t − windowMs, t] RANGE window; an event whose trailing count
+    * exceeds the limit is a violation. The abuse-triage twin of
+    * [[interArrival]] — cadence says "bot-shaped", this says "over
+    * the contract, here's when".
+    *
+    * One per-key RANGE window pass (ties inside a millisecond share
+    * the frame by RANGE semantics — deterministic without a tie
+    * column) + one map-side-combined per-key rollup. Null key/ts
+    * rows drop.
+    *
+    * @return one row per key with ≥ 1 event: (keyCol, n_events,
+    *         n_violations, max_in_window, first_violation_ms —
+    *         null when the key never violates).
+    */
+  def rateLimitAudit(
+      df: DataFrame,
+      keyCol: String,
+      tsMsCol: String,
+      maxEvents: Int,
+      windowMs: Long): DataFrame = {
+    require(maxEvents >= 1, "maxEvents must be positive")
+    require(windowMs >= 1, "windowMs must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsMsCol))
+      .rangeBetween(-(windowMs - 1), 0)
+    df.where(col(keyCol).isNotNull && col(tsMsCol).isNotNull)
+      .withColumn("__in_w", count(lit(1)).over(w))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        coalesce(sum(when(col("__in_w") > maxEvents, 1L)), lit(0L))
+          .as("n_violations"),
+        max(col("__in_w")).as("max_in_window"),
+        min(when(col("__in_w") > maxEvents, col(tsMsCol)))
+          .as("first_violation_ms"))
+  }
+
   /** Day-of-week × hour activity heatmap — the seasonality readout
     * behind load shaping, crawl scheduling and bot-vs-human triage
     * (humans show a diurnal/weekly grid; farms run flat). Pure

@@ -235,6 +235,41 @@ object Graph {
           .as("global_clustering"))
   }
 
+  /** Directed-edge reciprocity — the fraction of directed links whose
+    * reverse also exists. The one-number DIRECTED complement of
+    * [[degreeAssortativity]]: citation/crawl graphs read near 0,
+    * social/follow graphs read 0.2–0.5, and a "web" graph reading
+    * ≈ 1 usually means somebody symmetrized the edges upstream by
+    * accident (a real pipeline bug this catches cheaply).
+    *
+    * Normalization: nulls and self-loops drop, parallel duplicates
+    * collapse (DISTINCT directed edges). The reverse test is ONE
+    * self-equi-join on the id pair — id-sized rows only. Exact
+    * counts, one double division at the boundary.
+    *
+    * @return one row: (n_edges, n_reciprocal, reciprocity 6 dp —
+    *         null on an edgeless graph).
+    */
+  def reciprocity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .distinct()
+      .localCheckpoint() // normalized once; both join sides reuse it
+    val rev = e.select(col("__d").as("__s"), col("__s").as("__d"))
+    e.join(rev, Seq("__s", "__d"), "left_semi")
+      .agg(count(lit(1)).as("n_reciprocal"))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .select(col("n_edges"), col("n_reciprocal"),
+        round(when(col("n_edges") > 0,
+          col("n_reciprocal").cast("double") / col("n_edges").cast("double")), 6)
+          .as("reciprocity"))
+  }
+
   /** Degree assortativity (Newman, PRL 2002) — does the link graph
     * wire hubs to hubs (r > 0, social-network shape) or hubs to leaves
     * (r < 0, web/crawl shape)? The one-number wiring diagnostic that

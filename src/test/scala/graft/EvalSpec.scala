@@ -250,6 +250,24 @@ class EvalSpec extends SparkSpec {
     assert(r == ((1.0, 1L, 1L)))
   }
 
+  test("regressionStats: perfect fit, hand residuals, constant-label null r2") {
+    val perfect = Seq((1.0, 1.0), (2.5, 2.5)).toDF("p", "y")
+    val r0 = Eval.regressionStats(perfect, "p", "y").head()
+    assert(r0.getDouble(1) == 0.0 && r0.getDouble(2) == 0.0 && r0.getDouble(3) == 1.0)
+    // labels (1,2,3), preds all 2: sse = 2, sst = 2 → r2 exactly 0
+    val mid = Seq((2.0, 1.0), (2.0, 2.0), (2.0, 3.0)).toDF("p", "y")
+    val r1 = Eval.regressionStats(mid, "p", "y").head()
+    assert(r1.getDouble(1) == 0.666667)
+    assert(r1.getDouble(2) == 0.816497)
+    assert(r1.getDouble(3) == 0.0)
+    // constant labels: explained variance undefined
+    val const = Seq((1.0, 2.0), (3.0, 2.0)).toDF("p", "y")
+    assert(Eval.regressionStats(const, "p", "y").head().isNullAt(3))
+    val withNull = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 1.0), (null, 2.0), (3.0, null)).toDF("p", "y")
+    assert(Eval.regressionStats(withNull, "p", "y").head().getLong(0) == 1L)
+  }
+
   test("mcnemarTest: hand cells and statistic, concordant-only null, null drop") {
     // truth always true; a/b are boolean predictions
     val rows = Seq(

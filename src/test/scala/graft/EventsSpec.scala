@@ -550,6 +550,26 @@ class EventsSpec extends SparkSpec {
     assert(Events.survivalCurve(messy, "dur", "ev").count() == 0)
   }
 
+  test("rateLimitAudit: trailing-window counts, first violation, RANGE ties") {
+    val ev = Seq(("u", 0L), ("u", 10L), ("u", 20L), ("u", 2000L), ("v", 5L))
+      .toDF("k", "ts")
+    val out = Events.rateLimitAudit(ev, "k", "ts", maxEvents = 2, windowMs = 100L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val u = out("u")
+    assert((u.getLong(1), u.getLong(2), u.getLong(3), u.getLong(4)) ==
+      ((4L, 1L, 3L, 20L)))
+    val v = out("v")
+    assert(v.getLong(2) == 0L && v.isNullAt(4))
+    // same-ms burst: RANGE frames include the ties, so all three
+    // events see count 3 — deterministic without a tie column
+    val burst = Seq(("w", 5L), ("w", 5L), ("w", 5L)).toDF("k", "ts")
+    val w = Events.rateLimitAudit(burst, "k", "ts", 2, 100L).head()
+    assert((w.getLong(2), w.getLong(3), w.getLong(4)) == ((3L, 3L, 5L)))
+    val withNull = Seq[(Option[String], Option[Long])](
+      (Some("x"), Some(1L)), (None, Some(2L)), (Some("x"), None)).toDF("k", "ts")
+    assert(Events.rateLimitAudit(withNull, "k", "ts", 1, 10L).head().getLong(1) == 1L)
+  }
+
   test("activityHeatmap: epoch arithmetic lands on the right cells") {
     // 1970-01-01 00:30 UTC is a Thursday (dow 4), hour 0;
     // 1970-01-04 23:30 UTC is a Sunday (dow 0), hour 23

@@ -161,6 +161,21 @@ class GraphSpec extends SparkSpec {
     assert(x._4 == brute, s"triangles ${x._4} vs brute $brute")
   }
 
+  test("reciprocity: mutual pairs counted both ways, normalization, degenerate null") {
+    def rec(edges: Seq[(String, String)]): (Long, Long, Option[Double]) = {
+      val r = Graph.reciprocity(edges.toDF("s", "d"), "s", "d").head()
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    }
+    // a<->b mutual (both directions count), a->c one-way
+    assert(rec(Seq(("a", "b"), ("b", "a"), ("a", "c"))) == ((3L, 2L, Some(0.666667))))
+    assert(rec(Seq(("a", "b"), ("b", "c"))) == ((2L, 0L, Some(0.0))))
+    // parallels collapse, self-loops drop — same answer as the clean set
+    assert(rec(Seq(("a", "b"), ("a", "b"), ("b", "a"), ("c", "c"))) ==
+      ((2L, 2L, Some(1.0))))
+    // nothing survives normalization → null ratio
+    assert(rec(Seq(("z", "z"))) == ((0L, 0L, None)))
+  }
+
   test("degreeAssortativity: star is -1, regular graph null, barbell hand value") {
     def assort(edges: Seq[(String, String)]): (Long, Long, Option[Double]) = {
       val r = Graph.degreeAssortativity(edges.toDF("s", "d"), "s", "d").head()
