@@ -898,6 +898,30 @@ object SparkEntry {
           label.as("label"))
       graft.operators.Eval.calibrationBins(scored, "score", "label", bins = 10)
     }),
+    "q_ab_test" -> ((s, dir) => {
+      // Two-proportion experiment readout: variants from the doc-id
+      // parity, conversion = the dyadic score clearing 0.5 — arm B
+      // gets a +0.15 nudge so the lift and z carry real signal.
+      val noise = pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":ab"))), 1, 4), 16, 10).cast("long"), lit(1024))
+      val arm = when(pmod(col("doc_id"), lit(2)) === 0, "control")
+        .otherwise("treat")
+      val scored = Parallelism.spread(t(s, dir, "documents"))
+        .select(arm.as("variant"),
+          (noise / 1024.0 +
+            when(pmod(col("doc_id"), lit(2)) === 1, 0.15).otherwise(0.0) >= 0.5)
+            .as("converted"))
+      graft.operators.Eval.abTest(scored, "variant", "converted",
+        "control", "treat")
+    }),
+    "q_psi" -> ((s, dir) => {
+      // Monitoring-standard drift: PSI of the n_chars >= 200
+      // survivor slice against the full corpus's decile bins — the
+      // q_drift gate read the industry way.
+      val d = Parallelism.spread(t(s, dir, "documents"))
+      graft.operators.Profile.psi(
+        d, d.where(col("n_chars") >= 200), "n_chars", bins = 10)
+    }),
     "q_mcnemar" -> ((s, dir) => {
       // Paired comparison of two gates over the SAME docs: A = the
       // dyadic score at 0.7, B = an independent second noise draw at
@@ -4163,6 +4187,61 @@ object SparkEntry {
         |    / (pp::DOUBLE * nn::DOUBLE * 2.0), 6) AS auc,
         |  pp AS positives, nn AS negatives
         |FROM c, t GROUP BY pp, nn""".stripMargin,
+    // same parity arms and nudged dyadic conversion; pooled-variance
+    // z in the identical formula order
+    "q_ab_test" ->
+      s"""WITH d AS (SELECT
+        |    CASE WHEN doc_id % 2 = 0 THEN 'control' ELSE 'treat' END AS variant,
+        |    ((${h16Sql("doc_id::VARCHAR || ':ab'")} % 1024) / 1024.0
+        |      + CASE WHEN doc_id % 2 = 1 THEN 0.15 ELSE 0 END) >= 0.5 AS conv
+        |  FROM documents),
+        |m AS (SELECT
+        |    sum(CASE WHEN variant = 'control' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN variant = 'control' AND conv THEN 1 ELSE 0 END)::BIGINT
+        |      AS conv_a,
+        |    sum(CASE WHEN variant = 'treat' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN variant = 'treat' AND conv THEN 1 ELSE 0 END)::BIGINT
+        |      AS conv_b
+        |  FROM d)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  round(conv_a::DOUBLE / n_a::DOUBLE, 6) AS rate_a,
+        |  round(conv_b::DOUBLE / n_b::DOUBLE, 6) AS rate_b,
+        |  round(conv_b::DOUBLE / n_b::DOUBLE - conv_a::DOUBLE / n_a::DOUBLE, 6)
+        |    AS lift,
+        |  round((conv_b::DOUBLE / n_b::DOUBLE - conv_a::DOUBLE / n_a::DOUBLE)
+        |    / sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+        |      * (1.0::DOUBLE - (conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+        |      * (1.0::DOUBLE / n_a::DOUBLE + 1.0::DOUBLE / n_b::DOUBLE)), 6) AS z
+        |FROM m""".stripMargin,
+    // same 6 dp reference-decile edges (quantile_cont = Spark's exact
+    // percentile), strict-> binning, Laplace shares, double-rounded
+    // ln terms
+    "q_psi" ->
+      """WITH ref AS (SELECT n_chars::DOUBLE AS v FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |cur AS (SELECT n_chars::DOUBLE AS v FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars >= 200),
+        |e AS (SELECT list_transform(
+        |    quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |    x -> round(x, 6)) AS ed FROM ref),
+        |rb AS (SELECT len(list_filter(ed, x -> v > x)) AS bin FROM ref, e),
+        |cb AS (SELECT len(list_filter(ed, x -> v > x)) AS bin FROM cur, e),
+        |cr AS (SELECT bin, count(*)::BIGINT AS n_ref FROM rb GROUP BY 1),
+        |cc AS (SELECT bin, count(*)::BIGINT AS n_cur FROM cb GROUP BY 1),
+        |cells AS (SELECT coalesce(cr.bin, cc.bin) AS bin,
+        |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |  FROM cr FULL OUTER JOIN cc ON cr.bin = cc.bin),
+        |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM cells),
+        |p AS (SELECT bin,
+        |    CASE WHEN bin > 0 THEN ed[bin] END AS lo,
+        |    CASE WHEN bin < 9 THEN ed[bin + 1] END AS hi,
+        |    n_ref, n_cur,
+        |    round((n_ref + 1)::DOUBLE / (tr + 10), 6) AS p_ref,
+        |    round((n_cur + 1)::DOUBLE / (tc + 10), 6) AS p_cur
+        |  FROM cells, t, e)
+        |SELECT bin::INT AS bin, lo, hi, n_ref, n_cur, p_ref, p_cur,
+        |  round(round((p_cur - p_ref) * ln(p_cur / p_ref), 8), 6) AS psi_term
+        |FROM p""".stripMargin,
     // same two salted dyadic gates; concordance cells exact, one
     // double division for the statistic
     "q_mcnemar" ->

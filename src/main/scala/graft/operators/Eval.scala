@@ -217,6 +217,54 @@ object Eval {
         col("__N").as("negatives"))
   }
 
+  /** Two-proportion A/B summary — the experiment readout behind
+    * "did the new quality gate change the keep rate?": per variant
+    * conversions/exposures, absolute lift, and the pooled two-
+    * proportion z statistic z = (p_b − p_a)/√(p̂(1−p̂)(1/n_a+1/n_b)),
+    * read against the normal tail. ONE aggregation pass (four
+    * conditional counts); all derived numbers come from the exact
+    * counts on the single output row in a fixed formula order (the
+    * oracle replays digit-for-digit). z is null when either arm is
+    * empty or the pooled variance is 0 (all-converted / none-
+    * converted — no evidence scale). Rows outside the two variants
+    * and null conversions drop.
+    *
+    * @return one row: (n_a, conv_a, n_b, conv_b, rate_a 6 dp,
+    *         rate_b 6 dp, lift 6 dp, z 6 dp).
+    */
+  def abTest(
+      df: DataFrame,
+      variantCol: String,
+      convertedCol: String,
+      variantA: String,
+      variantB: String): DataFrame = {
+    require(variantA != variantB, "the two variants must differ")
+    val v = col(variantCol)
+    val agg = df
+      .where((v === variantA || v === variantB) && col(convertedCol).isNotNull)
+      .agg(
+        coalesce(sum(when(v === variantA, 1L)), lit(0L)).as("n_a"),
+        coalesce(sum(when(v === variantA && col(convertedCol), 1L)), lit(0L))
+          .as("conv_a"),
+        coalesce(sum(when(v === variantB, 1L)), lit(0L)).as("n_b"),
+        coalesce(sum(when(v === variantB && col(convertedCol), 1L)), lit(0L))
+          .as("conv_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val pa = col("conv_a").cast("double") / na
+    val pb = col("conv_b").cast("double") / nb
+    val pooled = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pooled * (lit(1.0) - pooled) * (lit(1.0) / na + lit(1.0) / nb))
+    agg.select(
+      col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(when(col("n_a") > 0, pa), 6).as("rate_a"),
+      round(when(col("n_b") > 0, pb), 6).as("rate_b"),
+      round(when(col("n_a") > 0 && col("n_b") > 0, pb - pa), 6).as("lift"),
+      round(when(col("n_a") > 0 && col("n_b") > 0 &&
+        pooled > 0 && pooled < 1, (pb - pa) / se), 6).as("z"))
+  }
+
   /** Regression-eval summary — MAE / RMSE / R² for a numeric
     * predictor (a quality-score regressor, a length estimator, a
     * reranker's calibration against graded labels), the continuous

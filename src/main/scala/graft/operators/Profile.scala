@@ -1285,6 +1285,74 @@ object Profile {
     * map-side-combined groupBy over (quasi..., sensitive), one
     * bounded roll-up — no distinct-set state.
     */
+  /** Population Stability Index over reference-quantile bins — the
+    * ML-monitoring standard next to [[distributionDrift]] (KL/JS on
+    * categorical keys) and [[ksTest]] (binless): bin edges come from
+    * the REFERENCE side's deciles (so "the score distribution moved"
+    * is measured against where the model was trained), PSI =
+    * Σ_b (p_cur − p_ref)·ln(p_cur/p_ref) with the industry reading
+    * < 0.1 stable / 0.1–0.25 drifting / > 0.25 broken.
+    *
+    * One quantile aggregation on the reference (t-digest via
+    * `approx = true` at corpus scale) → a broadcast 1-row edge array
+    * (6 dp, the [[equiDepthHistogram]] edge discipline) → one grouped
+    * count per side. Laplace-smoothed shares ((n_b + 1)/(N + bins) —
+    * an empty bin cannot produce ±∞), per-bin terms round 8 dp into
+    * exact DECIMAL(28,8), one 6 dp boundary. Null values drop.
+    *
+    * @return per bin: (bin, lo, hi, n_ref, n_cur, p_ref 6 dp, p_cur
+    *         6 dp, psi_term 6 dp) — total PSI = Σ psi_term.
+    */
+  def psi(
+      reference: DataFrame,
+      current: DataFrame,
+      valueCol: String,
+      bins: Int = 10,
+      approx: Boolean = false): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val refV = reference.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"))
+    val curV = current.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"))
+    val ps = (1 until bins).map(_.toDouble / bins)
+    val edgeAgg =
+      if (approx)
+        refV.agg(percentile_approx(col("__v"),
+          array(ps.map(lit): _*), lit(10000)).as("__e"))
+      else refV.agg(percentile(col("__v"), array(ps.map(lit): _*)).as("__e"))
+    val edges = edgeAgg.select(transform(col("__e"), e => round(e, 6)).as("__e"))
+    def binOf = {
+      // bin = #edges strictly below the value (strict-> tie rule —
+      // the equiDepthHistogram discipline, identical in the oracle)
+      aggregate(col("__e"),
+        lit(0), (acc, e) => acc + when(col("__v") > e, 1).otherwise(0))
+    }
+    def counted(side: DataFrame, out: String) = side
+      .crossJoin(broadcast(edges))
+      .groupBy(binOf.as("bin"))
+      .agg(count(lit(1)).as(out))
+    val cells = counted(refV, "n_ref")
+      .join(counted(curV, "n_cur"), Seq("bin"), "full")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = cells.agg(
+      coalesce(sum(col("n_ref")), lit(0L)).as("__tr"),
+      coalesce(sum(col("n_cur")), lit(0L)).as("__tc"))
+    cells.crossJoin(broadcast(tot)).crossJoin(broadcast(edges))
+      .select(col("bin"),
+        when(col("bin") > 0, element_at(col("__e"), col("bin"))).as("lo"),
+        when(col("bin") < bins - 1, element_at(col("__e"), col("bin") + 1)).as("hi"),
+        col("n_ref"), col("n_cur"),
+        round((col("n_ref") + 1).cast("double") / (col("__tr") + bins), 6)
+          .as("p_ref"),
+        round((col("n_cur") + 1).cast("double") / (col("__tc") + bins), 6)
+          .as("p_cur"))
+      .withColumn("psi_term",
+        round(round((col("p_cur") - col("p_ref")) *
+          log(col("p_cur") / col("p_ref")), 8), 6))
+  }
+
   /** Join-cardinality pre-flight — "will this join explode?" answered
     * EXACTLY before paying for it: output rows = Σ_k cntA(k)·cntB(k)
     * over shared keys, computed from the two per-key count frames (a

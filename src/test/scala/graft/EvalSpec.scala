@@ -250,6 +250,25 @@ class EvalSpec extends SparkSpec {
     assert(r == ((1.0, 1L, 1L)))
   }
 
+  test("abTest: hand two-proportion z, degenerate arms, variant filtering") {
+    // control 1/4, treat 3/4: pooled 0.5, se = sqrt(0.125), z = sqrt(2)
+    val rows = Seq(("a", true), ("a", false), ("a", false), ("a", false),
+      ("b", true), ("b", true), ("b", true), ("b", false),
+      ("c", true)) // other variant drops
+    val r = Eval.abTest(rows.toDF("v", "c"), "v", "c", "a", "b").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 1L, 4L, 3L)))
+    assert(r.getDouble(4) == 0.25 && r.getDouble(5) == 0.75 && r.getDouble(6) == 0.5)
+    assert(math.abs(r.getDouble(7) - math.sqrt(2.0)) < 1e-6)
+    // one arm empty → null lift and z
+    val solo = Eval.abTest(Seq(("a", true)).toDF("v", "c"), "v", "c", "a", "b").head()
+    assert(solo.isNullAt(6) && solo.isNullAt(7))
+    // everyone converted → pooled variance 0 → z null, lift still 0
+    val all = Eval.abTest(Seq(("a", true), ("b", true)).toDF("v", "c"),
+      "v", "c", "a", "b").head()
+    assert(all.getDouble(6) == 0.0 && all.isNullAt(7))
+  }
+
   test("regressionStats: perfect fit, hand residuals, constant-label null r2") {
     val perfect = Seq((1.0, 1.0), (2.5, 2.5)).toDF("p", "y")
     val r0 = Eval.regressionStats(perfect, "p", "y").head()

@@ -792,6 +792,28 @@ class ProfileSpec extends SparkSpec {
     assert(out == ((0L, 0L, 0L)))
   }
 
+  test("psi: identical slices read 0, a shift reads 'broken', bins/edges behave") {
+    import org.apache.spark.sql.functions.{col => c}
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    val same = Profile.psi(ref, ref, "v", bins = 10).collect()
+    assert(same.length == 10)
+    assert(same.forall(_.getDouble(7) == 0.0), "equal shares cancel exactly")
+    // a +50 shift drains the low bins: total PSI far over the 0.25 bar
+    val shifted = (51 to 150).map(_.toDouble).toDF("v")
+    val drift = Profile.psi(ref, shifted, "v", bins = 10).collect()
+    val total = drift.map(_.getDouble(7)).sum
+    assert(total > 0.25, s"psi $total")
+    // open-ended edge bins: bin 0 has null lo, bin 9 null hi
+    val byBin = drift.map(r => r.getInt(0) -> r).toMap
+    assert(byBin(0).isNullAt(1) && byBin(9).isNullAt(2))
+    // null values drop
+    val withNull = (Seq[Option[Double]](Some(1.0), None) ++
+      (2 to 50).map(d => Some(d.toDouble))).toDF("v")
+    val n = Profile.psi(withNull, withNull, "v", bins = 5)
+      .agg(org.apache.spark.sql.functions.sum(c("n_ref"))).head().getLong(0)
+    assert(n == 50L)
+  }
+
   test("joinCardinality: exact explosion math, skew headline, null keys drop") {
     val a = Seq(1, 1, 1, 2, 3, 4).toDF("k")  // key 1 x3
     val b = Seq(1, 1, 2, 5).toDF("k")        // key 1 x2
