@@ -939,6 +939,21 @@ object SparkEntry {
           label.as("label"))
       graft.operators.Eval.mcnemarTest(scored, "pred_a", "pred_b", "label")
     }),
+    "q_ohlc" -> ((s, dir) => {
+      // Telemetry compaction: per-user weekly OHLC of the value
+      // stream — open/close by the unique (ts, event_id) order, one
+      // grouped pass, no window function.
+      graft.operators.Events.ohlc(
+        Parallelism.spread(t(s, dir, "events")),
+        "user_id", "ts_ms", "value", windowMs = 604800000L,
+        tieCols = Seq("event_id"))
+    }),
+    "q_streaks" -> ((s, dir) => {
+      // Gaps-and-islands: longest active-day streak per user from
+      // distinct epoch days — the window never sees raw events.
+      graft.operators.Events.activeStreaks(
+        Parallelism.spread(t(s, dir, "events")), "user_id", "ts_ms")
+    }),
     "q_rate_limit" -> ((s, dir) => {
       // Who would a 2-events-per-sliding-day contract have throttled,
       // and when first: one per-user RANGE window + one rollup.
@@ -4265,6 +4280,44 @@ object SparkEntry {
         |    round((a_only - b_only)::DOUBLE * (a_only - b_only)::DOUBLE
         |      / (a_only + b_only)::DOUBLE, 6) END AS mcnemar
         |FROM m""".stripMargin,
+    // same tumbling bucket; open/close via row_number over the
+    // identical unique (ms, event_id) order
+    "q_ohlc" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, value FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |b AS (SELECT user_id,
+        |    (ms - ((ms % 604800000 + 604800000) % 604800000))::BIGINT AS bucket_ms,
+        |    ms, event_id, value FROM e),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY user_id, bucket_ms
+        |      ORDER BY ms, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY user_id, bucket_ms
+        |      ORDER BY ms DESC, event_id DESC) AS rd FROM b)
+        |SELECT user_id, bucket_ms, count(*)::BIGINT AS n_obs,
+        |  max(CASE WHEN ra = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rd = 1 THEN value END) AS close
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    // same distinct epoch days and day − row_number island ids;
+    // longest-run pick = (len desc, start asc) via the equality join
+    "q_streaks" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |d AS (SELECT DISTINCT user_id,
+        |    ((ms - ((ms % 86400000 + 86400000) % 86400000)) // 86400000)::BIGINT
+        |      AS day FROM e),
+        |r AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS isl
+        |  FROM d),
+        |runs AS (SELECT user_id, isl, count(*)::BIGINT AS len,
+        |    min(day)::BIGINT AS strt FROM r GROUP BY 1, 2),
+        |agg AS (SELECT user_id, sum(len)::BIGINT AS n_active_days,
+        |    max(len)::BIGINT AS longest FROM runs GROUP BY 1),
+        |pick AS (SELECT runs.user_id, min(strt)::BIGINT AS start FROM runs
+        |  JOIN agg ON runs.user_id = agg.user_id AND runs.len = agg.longest
+        |  GROUP BY 1)
+        |SELECT agg.user_id, n_active_days, longest AS longest_streak,
+        |  start AS longest_streak_start_day
+        |FROM agg JOIN pick ON agg.user_id = pick.user_id""".stripMargin,
     // same RANGE trailing-window count (ties share the frame by
     // RANGE semantics in both engines); exact counts
     "q_rate_limit" ->

@@ -825,6 +825,79 @@ object Events {
         col("hazard"), col("survival"))
   }
 
+  /** Per-interval OHLC summary — open/high/low/close of a value
+    * stream per (key, tumbling window): the standard compaction for
+    * telemetry/metric streams (and prices) that keeps the shape a
+    * dashboard needs at 1/1000th the rows. Open/close are
+    * earliest/latest BY TIME, not min/max — `min_by`/`max_by` over
+    * the (ts, ties…) struct gives the deterministic argmin/argmax
+    * both engines share (§4 unique-order discipline: pass `tieCols`
+    * when timestamps can collide).
+    *
+    * One map-side-combined groupBy — no window function at all.
+    * Null ts/value rows drop.
+    *
+    * @return (keyCol, bucket_ms, n_obs, open, high, low, close).
+    */
+  def ohlc(
+      df: DataFrame,
+      keyCol: String,
+      tsMsCol: String,
+      valueCol: String,
+      windowMs: Long,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(windowMs >= 1, "windowMs must be positive")
+    val ms = col(tsMsCol)
+    val bucket = (ms - pmod(ms, lit(windowMs)))
+    val ord = struct(col(tsMsCol) +: tieCols.map(col): _*)
+    df.where(ms.isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol), bucket.cast("long").as("bucket_ms"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"))
+  }
+
+  /** Longest active-day streak per key — the classic gaps-and-islands
+    * engagement metric ("42-day streak") behind habit features and
+    * churn-risk flags. Distinct active days collapse first (one
+    * grouped dedup — the window never sees raw events), then island
+    * id = day − row_number is constant exactly within a consecutive
+    * run, and one more grouped count takes each key's longest and
+    * current-best run. Pure epoch-day integers ([[activityHeatmap]]
+    * arithmetic) — no calendar library.
+    *
+    * @return one row per key: (keyCol, n_active_days, longest_streak,
+    *         longest_streak_start_day — epoch days, earliest such
+    *         streak on ties).
+    */
+  def activeStreaks(
+      df: DataFrame,
+      keyCol: String,
+      tsMsCol: String): DataFrame = {
+    val ms = col(tsMsCol)
+    val day = ((ms - pmod(ms, lit(86400000L))) / lit(86400000L)).cast("long")
+    val days = df
+      .where(col(keyCol).isNotNull && ms.isNotNull)
+      .select(col(keyCol), day.as("__d"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__d"))
+    val runs = days
+      .withColumn("__isl", col("__d") - row_number().over(w))
+      .groupBy(col(keyCol), col("__isl"))
+      .agg(count(lit(1)).as("__len"), min(col("__d")).as("__start"))
+    runs
+      .groupBy(col(keyCol))
+      .agg(
+        sum(col("__len")).as("n_active_days"),
+        max(col("__len")).as("longest_streak"),
+        min_by(col("__start"), struct((lit(0) - col("__len")).as("l"),
+          col("__start").as("s"))).as("longest_streak_start_day"))
+  }
+
   /** Sliding-window rate-limit audit — "which keys would a limit of
     * `maxEvents` per `windowMs` have throttled, and how hard?": for
     * every event, the count of the key's events in the trailing

@@ -550,6 +550,35 @@ class EventsSpec extends SparkSpec {
     assert(Events.survivalCurve(messy, "dur", "ev").count() == 0)
   }
 
+  test("ohlc: open/close by time not value, tie order, bucketing") {
+    // one bucket (w=100): values 5 (t=1), 9 (t=2), 3 (t=3) → o=5 h=9 l=3 c=3
+    val ev = Seq(("k", 1L, 1L, 5.0), ("k", 2L, 2L, 9.0), ("k", 3L, 3L, 3.0),
+      ("k", 150L, 4L, 7.0)).toDF("k", "ts", "eid", "v")
+    val out = Events.ohlc(ev, "k", "ts", "v", windowMs = 100L, tieCols = Seq("eid"))
+      .collect().map(r => r.getLong(1) -> r).toMap
+    val b0 = out(0L)
+    assert((b0.getLong(2), b0.getDouble(3), b0.getDouble(4), b0.getDouble(5),
+      b0.getDouble(6)) == ((3L, 5.0, 9.0, 3.0, 3.0)))
+    assert(out(100L).getDouble(3) == 7.0)
+    // same-ms ties resolve on the tie column
+    val tied = Seq(("k", 5L, 2L, 8.0), ("k", 5L, 1L, 2.0)).toDF("k", "ts", "eid", "v")
+    val t0 = Events.ohlc(tied, "k", "ts", "v", 100L, Seq("eid")).head()
+    assert(t0.getDouble(3) == 2.0 && t0.getDouble(6) == 8.0)
+  }
+
+  test("activeStreaks: islands, longest with earliest tie, distinct days") {
+    def day(d: Long) = d * 86400000L + 3600000L // any intra-day instant
+    // u: days {1,2,3, 7,8, 20} → longest 3 starting day 1
+    val ev = Seq(1L, 2L, 3L, 7L, 8L, 20L).map(d => ("u", day(d))) ++
+      Seq(("u", day(2) + 999L)) // duplicate active day collapses
+    val r = Events.activeStreaks(ev.toDF("k", "ts"), "k", "ts").head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((6L, 3L, 1L)))
+    // tie between two 2-day runs → earliest start wins
+    val tie = Seq(5L, 6L, 10L, 11L).map(d => ("v", day(d))).toDF("k", "ts")
+    val t = Events.activeStreaks(tie, "k", "ts").head()
+    assert((t.getLong(2), t.getLong(3)) == ((2L, 5L)))
+  }
+
   test("rateLimitAudit: trailing-window counts, first violation, RANGE ties") {
     val ev = Seq(("u", 0L), ("u", 10L), ("u", 20L), ("u", 2000L), ("v", 5L))
       .toDF("k", "ts")
