@@ -6682,7 +6682,7 @@ object SparkEntry {
     // identically in both engines
     "q_novelty" ->
       (s"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tks
-          |  FROM documents),
+          |  FROM documents WHERE text IS NOT NULL),
           |sh AS (SELECT doc_id, CASE WHEN len(tks) >= 8
           |  THEN list_distinct(list_transform(range(0, len(tks) - 7),
           |    i -> ${(1 to 8).map(j => s"tks[i + $j]").mkString(" || ' ' || ")}))

@@ -1171,7 +1171,9 @@ object TextAnalysis {
     * the equi-join moves only (id, 8-byte hash) rows against the
     * distinct reference hash set. [[Dedup.wordShingles]] emits
     * DISTINCT grams per doc (shorter-than-n docs → one whole-text
-    * shingle), so plain counts are distinct-gram counts.
+    * shingle), so plain counts are distinct-gram counts. Null-text
+    * rows drop on BOTH sides (the [[corpusDiversity]] contract — a
+    * null document has no grams to be novel about).
     *
     * @return one row per df document: (doc_id, n_grams, n_seen,
     *         novelty 6 dp).
@@ -1186,10 +1188,11 @@ object TextAnalysis {
     require(n >= 1, "n must be positive")
     val h = (g: org.apache.spark.sql.Column) =>
       conv(substring(md5(g), 1, 15), 16, 10).cast("long")
-    val grams = df.select(col(idCol).as("doc_id"),
-      explode(graft.operators.Dedup.wordShingles(col(textCol), n)).as("__g"))
+    val grams = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(graft.operators.Dedup.wordShingles(col(textCol), n)).as("__g"))
       .select(col("doc_id"), h(col("__g")).as("__h"))
-    val refH = reference
+    val refH = reference.where(col(refTextCol).isNotNull)
       .select(explode(graft.operators.Dedup.wordShingles(col(refTextCol), n)).as("__g"))
       .select(h(col("__g")).as("__h"))
       .distinct()

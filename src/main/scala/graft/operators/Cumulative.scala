@@ -74,46 +74,24 @@ object Cumulative {
       onCol: Column,
       outCol: String,
       ascending: Boolean = true): DataFrame =
-    prefixSum(df, value, onCol, ascending, outCol) { (local, off, _) =>
+    prefixSums(df, Seq(value -> outCol), onCol, ascending) { (local, off, _) =>
       local + coalesce(off, lit(0))
     }
 
   /** Several running sums over ONE range exchange: the per-partition
     * offset frame carries one column per value, so callers needing
     * both a cumulative numerator and a cumulative denominator (AUC /
-    * average-precision style sweeps) pay a single checkpoint instead
-    * of chaining [[withCumulativeSum]] twice.
+    * average-precision / KS style sweeps) pay a single checkpoint
+    * instead of chaining [[withCumulativeSum]].
     */
   def withCumulativeSums(
       df: DataFrame,
       values: Seq[(Column, String)],
       onCol: Column,
-      ascending: Boolean = true): DataFrame = {
-    require(values.nonEmpty, "no values given")
-    val ord = if (ascending) onCol.asc else onCol.desc
-    val pidCol = graft.Cols.unique("__pid", df)
-    // One lazy localCheckpoint pins partition boundaries shared by the
-    // offsets branch and the main branch (same reasoning as prefixSum).
-    val part = df.repartitionByRange(ord)
-      .withColumn(pidCol, spark_partition_id())
-      .localCheckpoint(false)
-    val wLoc = Window.partitionBy(col(pidCol)).orderBy(ord)
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val wOff = Window.partitionBy(pmod(col(pidCol), lit(1))).orderBy(col(pidCol))
-    val offCols = values.map { case (_, out) => graft.Cols.unique(s"__off_$out", df) }
-    val aggs = values.map { case (v, out) => sum(v).as(s"__ps_$out") }
-    val offs = part
-      .groupBy(col(pidCol))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col(pidCol) +: values.zip(offCols).map { case ((_, out), oc) =>
-        sum(col(s"__ps_$out"))
-          .over(wOff.rowsBetween(Window.unboundedPreceding, -1)).as(oc)
-      }: _*)
-    val joined = part.join(broadcast(offs), Seq(pidCol))
-    values.zip(offCols).foldLeft(joined) { case (acc, ((v, out), oc)) =>
-      acc.withColumn(out, sum(v).over(wLoc) + coalesce(col(oc), lit(0)))
-    }.drop(pidCol +: offCols: _*)
-  }
+      ascending: Boolean = true): DataFrame =
+    prefixSums(df, values, onCol, ascending) { (local, off, _) =>
+      local + coalesce(off, lit(0))
+    }
 
   /** Global running percent-of-total ordered by `onCol` — the prefix
     * sum of [[withCumulativeSum]] over the broadcast grand total.
@@ -125,23 +103,28 @@ object Cumulative {
       outCol: String,
       ascending: Boolean = true,
       r: Int = 2): DataFrame =
-    prefixSum(df, value, onCol, ascending, outCol) { (local, off, tot) =>
+    prefixSums(df, Seq(value -> outCol), onCol, ascending) { (local, off, tot) =>
       round(lit(100) * (local + coalesce(off, lit(0))) / tot, r)
     }
 
-  private def prefixSum(
+  /** The ONE distributed prefix-sum core (every public cumulative
+    * wrapper above routes here — the checkpoint reasoning below is
+    * correctness-critical and deliberately not duplicated).
+    */
+  private def prefixSums(
       df: DataFrame,
-      value: Column,
+      values: Seq[(Column, String)],
       onCol: Column,
-      ascending: Boolean,
-      outCol: String)(
+      ascending: Boolean)(
       out: (Column, Column, Column) => Column): DataFrame = {
+    require(values.nonEmpty, "no values given")
     val ord = if (ascending) onCol.asc else onCol.desc
     // Uniquified temp names: the user's frame survives to the output,
     // so a fixed __pid/__off/__tot would clobber same-named columns.
     val pidCol = graft.Cols.unique("__pid", df)
-    val offCol = graft.Cols.unique("__off", df)
-    val totCol = graft.Cols.unique("__tot", df)
+    val offCols = values.map { case (_, o) => graft.Cols.unique(s"__off_$o", df) }
+    val totCols = values.map { case (_, o) => graft.Cols.unique(s"__tot_$o", df) }
+    val psCols = values.map { case (_, o) => graft.Cols.unique(s"__ps_$o", df) }
     // Lazy localCheckpoint: the offsets branch and the main branch
     // both consume `part`, and `spark_partition_id()` is only
     // meaningful if they see the SAME physical partitioning. Without
@@ -165,18 +148,23 @@ object Cumulative {
     // planner keeps a real (single-group) partition spec instead of
     // warning about an undefined one.
     val wOff = Window.partitionBy(pmod(col(pidCol), lit(1))).orderBy(col(pidCol))
+    val aggs = values.zip(psCols).map { case ((v, _), ps) => sum(v).as(ps) }
     val offs = part
       .groupBy(col(pidCol))
-      .agg(sum(value).as("__ps"))
-      .select(
-        col(pidCol),
-        sum(col("__ps")).over(wOff.rowsBetween(Window.unboundedPreceding, -1)).as(offCol),
-        sum(col("__ps")).over(
-          wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as(totCol))
-    part
-      .join(broadcast(offs), Seq(pidCol))
-      .withColumn(outCol, out(sum(value).over(wLoc), col(offCol), col(totCol)))
-      .drop(pidCol, offCol, totCol)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(pidCol) +:
+        (psCols.zip(offCols).map { case (ps, oc) =>
+          sum(col(ps))
+            .over(wOff.rowsBetween(Window.unboundedPreceding, -1)).as(oc)
+        } ++ psCols.zip(totCols).map { case (ps, tc) =>
+          sum(col(ps)).over(wOff.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)).as(tc)
+        }): _*)
+    val joined = part.join(broadcast(offs), Seq(pidCol))
+    values.zip(offCols.zip(totCols)).foldLeft(joined) {
+      case (acc, ((v, o), (oc, tc))) =>
+        acc.withColumn(o, out(sum(v).over(wLoc), col(oc), col(tc)))
+    }.drop(pidCol +: (offCols ++ totCols): _*)
   }
 
   /** Global moving average over a ROWS frame of `period` rows ordered

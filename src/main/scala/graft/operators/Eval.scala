@@ -269,9 +269,11 @@ object Eval {
     * predictor (a quality-score regressor, a length estimator, a
     * reranker's calibration against graded labels), the continuous
     * counterpart of [[confusionStats]]. ONE aggregation pass: inputs
-    * round to 6 dp into DECIMAL(18,6) (|values| < 1e12 by contract),
-    * so errors, their squares (37 digits — under the 38 cap, no
-    * silent precision loss) and label moments are exact
+    * round to 6 dp into DECIMAL(18,6) — |values| AND |pred − label|
+    * must stay under 1e12 (an error outside that bound fails the
+    * job's decimal cast LOUDLY under ANSI rather than skewing sums
+    * silently) — so errors, their squares (37 digits — under the 38
+    * cap, no silent precision loss) and label moments are exact
     * order-independent sums; the three metrics derive on the single
     * output row with fixed-order double arithmetic. R² = 1 − SSE/SST
     * is null when the labels are constant (SST = 0 — "explained

@@ -960,10 +960,13 @@ object Events {
       ((x - pmod(x, lit(d))) / lit(d)).cast("long")
     val dow = pmod(floorDiv(ms, 86400000L) + lit(4), lit(7))
     val hour = pmod(floorDiv(ms, 3600000L), lit(24))
+    // ≤ 168-row grid, staged so the share total derives from it
+    // without re-running the input scan
     val counted = df
       .where(ms.isNotNull)
       .groupBy(dow.cast("int").as("dow"), hour.cast("int").as("hour"))
       .agg(count(lit(1)).as("n_events"))
+      .localCheckpoint()
     counted
       .crossJoin(broadcast(counted.agg(sum(col("n_events")).as("__t"))))
       .select(col("dow"), col("hour"), col("n_events"),
@@ -1071,7 +1074,10 @@ object Events {
       startCol: String,
       endCol: String,
       groupCols: Seq[String] = Nil): DataFrame = {
-    val tl = concurrency(df, startCol, endCol, groupCols)
+    // the boundary frame is bounded by distinct instants; staging it
+    // guarantees the corpus-sized melt/aggregate pipeline runs ONCE
+    // for the peaks aggregate and the join probe
+    val tl = concurrency(df, startCol, endCol, groupCols).localCheckpoint()
     val g = groupCols.map(col)
     val peaks =
       if (groupCols.isEmpty) tl.agg(max(col("concurrent")).as("peak"))

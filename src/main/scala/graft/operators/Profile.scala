@@ -821,9 +821,12 @@ object Profile {
     *         column is constant).
     */
   def spearmanCorr(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    // staged: three consumers (x-ranks, y-ranks, the pair probe) must
+    // not re-run the input scan/filter three times
     val d = df
       .where(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).as("__x"), col(yCol).as("__y"))
+      .localCheckpoint()
     def ranks2x(c: String, out: String): DataFrame = {
       val g = d.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__c"))
       Cumulative.withCumulativeSum(g, col("__c"), col("__v"), "__cum")
@@ -1320,7 +1323,10 @@ object Profile {
         refV.agg(percentile_approx(col("__v"),
           array(ps.map(lit): _*), lit(10000)).as("__e"))
       else refV.agg(percentile(col("__v"), array(ps.map(lit): _*)).as("__e"))
+    // 1-row edge frame, staged: three consumers (two binning passes +
+    // the final lo/hi select) must not re-run the reference quantile
     val edges = edgeAgg.select(transform(col("__e"), e => round(e, 6)).as("__e"))
+      .localCheckpoint()
     def binOf = {
       // bin = #edges strictly below the value (strict-> tie rule —
       // the equiDepthHistogram discipline, identical in the oracle)
@@ -1331,11 +1337,13 @@ object Profile {
       .crossJoin(broadcast(edges))
       .groupBy(binOf.as("bin"))
       .agg(count(lit(1)).as(out))
+    // bounded by bins, staged for the totals aggregate + final select
     val cells = counted(refV, "n_ref")
       .join(counted(curV, "n_cur"), Seq("bin"), "full")
       .select(col("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .localCheckpoint()
     val tot = cells.agg(
       coalesce(sum(col("n_ref")), lit(0L)).as("__tr"),
       coalesce(sum(col("n_cur")), lit(0L)).as("__tc"))
@@ -1372,10 +1380,15 @@ object Profile {
       keyA: String,
       dfB: DataFrame,
       keyB: String): DataFrame = {
+    // per-key count frames (id + count, compact) staged: each feeds
+    // both the shared-key join and its own totals aggregate, and the
+    // input scans must run ONCE
     val ca = dfA.where(col(keyA).isNotNull)
       .groupBy(col(keyA).as("__k")).agg(count(lit(1)).as("__ca"))
+      .localCheckpoint()
     val cb = dfB.where(col(keyB).isNotNull)
       .groupBy(col(keyB).as("__k")).agg(count(lit(1)).as("__cb"))
+      .localCheckpoint()
     val shared = ca.join(cb, Seq("__k"))
       .select((col("__ca").cast("decimal(38,0)") *
         col("__cb").cast("decimal(38,0)")).as("__prod"))
@@ -1575,12 +1588,13 @@ object Profile {
     val expected = Profile.benfordP.zipWithIndex.foldLeft(lit(null).cast("double")) {
       case (acc, (p, i)) => when(col("digit") === (i + 1), lit(p)).otherwise(acc)
     }
-    df.where(col(valueCol).isNotNull && col(valueCol) > 0)
+    // ≤ 9-row grouped frame, staged so the total derives from it
+    // without a second input scan
+    val g = df.where(col(valueCol).isNotNull && col(valueCol) > 0)
       .groupBy(digit.as("digit"))
       .agg(count(lit(1)).as("n_obs"))
-      .crossJoin(broadcast(
-        df.where(col(valueCol).isNotNull && col(valueCol) > 0)
-          .agg(count(lit(1)).as("__n"))))
+      .localCheckpoint()
+    g.crossJoin(broadcast(g.agg(sum(col("n_obs")).as("__n"))))
       .withColumn("expected_p", expected)
       .withColumn("__diff",
         col("n_obs").cast("double") - col("__n") * col("expected_p"))

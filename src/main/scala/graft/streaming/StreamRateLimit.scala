@@ -41,9 +41,10 @@ case class RateState(recent: List[Long])
   *     order is decided against the surviving state (the batch audit
   *     is the exact retrospective).
   *
-  * State never times out by default: a key's list is already bounded;
-  * pass a watermark upstream and `timeout = true` to drop idle keys'
-  * state entirely.
+  * State never times out: a key's list is already bounded at
+  * maxEvents timestamps, so idle keys cost a few dozen bytes each —
+  * acceptable up to very large key cardinalities, and the decision
+  * semantics stay exact for a key that goes quiet and returns.
   */
 object StreamRateLimit {
 
@@ -72,7 +73,11 @@ object StreamRateLimit {
         recent = recent.filter(_ > t - windowMs)
         val occupancy = math.min(recent.size + 1, maxEvents + 1)
         val violation = occupancy > maxEvents
-        recent = (recent :+ t).takeRight(maxEvents)
+        // sort before trimming: a LATE arrival lands out of order at
+        // the tail, and an unsorted takeRight would evict the newest
+        // timestamp instead of the oldest — corrupting decisions for
+        // every later in-order event, not just the late one
+        recent = (recent :+ t).sorted.takeRight(maxEvents)
         RateDecision(key, t, occupancy, violation)
       }
       state.update(RateState(recent))

@@ -52,6 +52,20 @@ class StreamRateLimitSpec extends SparkSpec {
     assert(out.filter(_._1 == "b").forall(!_._4))
   }
 
+  test("late arrival cannot evict a newer timestamp from state") {
+    // maxEvents=1, window=100: t=200 arrives, then LATE t=150, then
+    // t=260 — 200 is inside (160, 260], so 260 must be flagged; an
+    // unsorted state trim would have evicted 200 in favour of 150.
+    val out = run(Seq(
+      Seq(RateEv("u", 200L)),
+      Seq(RateEv("u", 150L)),
+      Seq(RateEv("u", 260L))),
+      maxEvents = 1, windowMs = 100L)
+      .sortBy(_._2)
+    assert(out.map(r => (r._2, r._4)) ==
+      Seq((150L, true), (200L, false), (260L, true)))
+  }
+
   test("validation rejects degenerate parameters") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[RateEv]
