@@ -1054,6 +1054,12 @@ object SparkEntry {
       // mean/median length, exact byte-dup rate — one groupBy pass.
       graft.operators.Profile.corpusCard(docsWithDups(s, dir), "lang", "text")
     }),
+    "q_topk_coverage" -> ((s, dir) => {
+      // Concentration headline: share of docs held by the top-1/5/10
+      // sources — ranked frame bounded by max(k), never by key count.
+      graft.operators.Profile.topKCoverage(
+        Parallelism.spread(t(s, dir, "documents")), "source", Seq(1, 5, 10))
+    }),
     "q_join_cardinality" -> ((s, dir) => {
       // Pre-flight for orders ⋈ lineitem on orderkey: exact output
       // size and the worst key's contribution from the two id-sized
@@ -4505,6 +4511,17 @@ object SparkEntry {
           |  round(median(length(text)::DOUBLE), 4) AS p50_chars,
           |  round(1.0 - count(DISTINCT md5(text))::DOUBLE / count(text), 6) AS dup_rate
           |FROM docs GROUP BY 1""".stripMargin),
+    // same (count desc, key asc) rank and bounded cumulative shares
+    "q_topk_coverage" ->
+      """WITH c AS (SELECT source AS k, count(*)::BIGINT AS c FROM documents
+        |  WHERE source IS NOT NULL GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, k ASC) AS rnk FROM c),
+        |t AS (SELECT sum(c)::BIGINT AS tot FROM c),
+        |g AS (SELECT unnest([1, 5, 10]) AS k)
+        |SELECT g.k::INT AS k, coalesce(sum(r.c), 0)::BIGINT AS top_rows,
+        |  CASE WHEN tot > 0 THEN
+        |    round(coalesce(sum(r.c), 0)::DOUBLE / tot::DOUBLE, 6) END AS coverage
+        |FROM g LEFT JOIN r ON r.rnk <= g.k, t GROUP BY g.k, tot""".stripMargin,
     // same two count frames joined on the key; HUGEINT products
     "q_join_cardinality" ->
       """WITH ca AS (SELECT o_orderkey AS k, count(*)::BIGINT AS c FROM orders

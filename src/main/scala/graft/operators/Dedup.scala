@@ -108,6 +108,56 @@ object Dedup {
       array_min(transform(shingleArr, s => xxhash64(s, lit(h))))
     }: _*)
 
+  /** One candidate banding plan: with `bands` bands of `rows` hashes,
+    * a pair at Jaccard s collides with probability
+    * 1 − (1 − s^rows)^bands; `threshold50` is the s where that curve
+    * crosses 0.5 (≈ (1/bands)^(1/rows)), `fnAtTarget`/`fpAtLow` the
+    * miss rate at the caller's target similarity and the false-
+    * candidate rate at the nuisance similarity.
+    */
+  case class LshPlan(
+      bands: Int,
+      rows: Int,
+      threshold50: Double,
+      fnAtTarget: Double,
+      fpAtLow: Double)
+
+  /** Driver-side LSH parameter planner — answers "how many bands for
+    * THIS dedup?" before anyone burns a cluster run finding out the
+    * s-curve was in the wrong place (the standard MMDS §3.4 analysis,
+    * done for you). Enumerates every divisor split of `numHashes`,
+    * scores each banding's collision curve at the target and
+    * nuisance similarities, and returns the plans sorted by
+    * fn + fp (best first). Pure arithmetic, no Spark job —
+    * feed the winner's `bands` straight into [[bandKeys]] /
+    * [[minhashPairs]].
+    *
+    * @param target   similarity the dedup MUST catch (fn scored here)
+    * @param nuisance similarity it must NOT flood candidates with
+    */
+  def lshPlan(
+      numHashes: Int,
+      target: Double,
+      nuisance: Double): Seq[LshPlan] = {
+    require(numHashes >= 2, "need at least 2 hashes")
+    require(target > 0 && target < 1, "target must be in (0, 1)")
+    require(nuisance >= 0 && nuisance < target,
+      "nuisance must be in [0, target)")
+    def collide(s: Double, bands: Int, rows: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, rows.toDouble), bands.toDouble)
+    (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map { bands =>
+        val rows = numHashes / bands
+        LshPlan(
+          bands, rows,
+          threshold50 = math.pow(1.0 - math.pow(0.5, 1.0 / bands), 1.0 / rows),
+          fnAtTarget = 1.0 - collide(target, bands, rows),
+          fpAtLow = collide(nuisance, bands, rows))
+      }
+      .sortBy(p => p.fnAtTarget + p.fpAtLow)
+  }
+
   /** LSH band keys from a signature: `bands` hashes, each over
     * `numHashes / bands` consecutive signature entries.
     */

@@ -1361,6 +1361,52 @@ object Profile {
           log(col("p_cur") / col("p_ref")), 8), 6))
   }
 
+  /** Top-k concentration headline — "what share of the corpus do the
+    * k biggest sources/domains hold?" — the one-line answer behind
+    * "are we one takedown away from losing half the data?" and the
+    * k-at-a-glance complement of [[giniByGroup]]'s integral.
+    *
+    * Scale shape: one map-side-combined grouped count, then the top
+    * max(ks) keys via TakeOrderedAndProject ((count desc, key asc) —
+    * deterministic under count ties) — the ranked frame is bounded by
+    * max(ks), never by key cardinality, and the cumulative share runs
+    * on that bounded frame. Null keys drop.
+    *
+    * @return one row per k in `ks` (ascending): (k, top_rows,
+    *         coverage 6 dp — null on an empty input).
+    */
+  def topKCoverage(
+      df: DataFrame,
+      keyCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty, "no ks given")
+    require(ks.forall(_ >= 1), "every k must be positive")
+    require(ks.distinct == ks, "ks must be distinct")
+    val counts = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("__k")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // one grouped pass feeds both the top and the total
+    val top = counts
+      .orderBy(col("__c").desc, col("__k").asc)
+      .limit(ks.max)
+      .withColumn("__rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("__c"), lit(1)))
+          .orderBy(col("__c").desc, col("__k").asc)))
+    val tot = counts.agg(coalesce(sum(col("__c")), lit(0L)).as("__t"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grid = ks.sorted.toDF("k")
+    grid
+      .join(top, col("__rank") <= col("k"), "left")
+      .groupBy(col("k"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("top_rows"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("top_rows"),
+        when(col("__t") > 0,
+          round(col("top_rows").cast("double") / col("__t").cast("double"), 6))
+          .as("coverage"))
+  }
+
   /** Join-cardinality pre-flight — "will this join explode?" answered
     * EXACTLY before paying for it: output rows = Σ_k cntA(k)·cntB(k)
     * over shared keys, computed from the two per-key count frames (a

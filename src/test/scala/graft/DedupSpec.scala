@@ -446,4 +446,30 @@ class DedupSpec extends SparkSpec {
     val matches13 = sigs(1L).zip(sigs(3L)).count { case (x, y) => x == y }
     if (matches13 > 0) assert(loose((1L, 3L)) == matches13.toDouble / 8)
   }
+
+  test("lshPlan: the MMDS s-curve arithmetic, ordering, and extremes") {
+    val plans = graft.operators.Dedup.lshPlan(128, target = 0.8, nuisance = 0.3)
+    // every divisor split enumerated, bands * rows == numHashes
+    assert(plans.map(_.bands).sorted ==
+      (1 to 128).filter(128 % _ == 0).sorted)
+    assert(plans.forall(p => p.bands * p.rows == 128))
+    // hand-check one banding: b=16, r=8 at s: 1 - (1 - s^8)^16
+    val p16 = plans.find(_.bands == 16).get
+    def collide(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, 8.0), 16.0)
+    assert(math.abs(p16.fnAtTarget - (1.0 - collide(0.8))) < 1e-12)
+    assert(math.abs(p16.fpAtLow - collide(0.3)) < 1e-12)
+    assert(math.abs(collide(p16.threshold50) - 0.5) < 1e-9)
+    // sorted best-first by fn + fp
+    val scores = plans.map(p => p.fnAtTarget + p.fpAtLow)
+    assert(scores == scores.sorted)
+    // extremes are bad plans: one band of 128 rows misses nearly
+    // everything at 0.8; 128 bands of 1 row floods candidates at 0.3
+    assert(plans.find(_.bands == 1).get.fnAtTarget > 0.9)
+    assert(plans.find(_.bands == 128).get.fpAtLow > 0.9)
+    // the winner actually separates: catches 0.8s, starves 0.3s
+    assert(plans.head.fnAtTarget < 0.1 && plans.head.fpAtLow < 0.1)
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.lshPlan(128, target = 0.5, nuisance = 0.6)
+    }
+  }
 }

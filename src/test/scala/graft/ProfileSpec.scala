@@ -792,6 +792,24 @@ class ProfileSpec extends SparkSpec {
     assert(out == ((0L, 0L, 0L)))
   }
 
+  test("topKCoverage: cumulative shares, count-tie determinism, k beyond keys") {
+    // counts: a=4, b=3, c=2, d=1 (total 10)
+    val rows = Seq.fill(4)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c") :+ "d"
+    val out = Profile.topKCoverage(rows.toDF("k"), "k", Seq(1, 2, 10))
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1, 4L, 0.4), (2, 7L, 0.7), (10, 10L, 1.0)))
+    // ties break on key asc: x and y both 2 — top-1 must be x
+    val tied = Seq("x", "x", "y", "y").toDF("k")
+    assert(Profile.topKCoverage(tied, "k", Seq(1))
+      .as[(Int, Long, Double)].head() == ((1, 2L, 0.5)))
+    // null keys drop; empty input → zero rows, null coverage
+    val withNull = Seq[Option[String]](Some("a"), None).toDF("k")
+    assert(Profile.topKCoverage(withNull, "k", Seq(1)).head().getLong(1) == 1L)
+    val empty = Seq.empty[String].toDF("k")
+    val e = Profile.topKCoverage(empty, "k", Seq(2)).head()
+    assert(e.getLong(1) == 0L && e.isNullAt(2))
+  }
+
   test("psi: identical slices read 0, a shift reads 'broken', bins/edges behave") {
     import org.apache.spark.sql.functions.{col => c}
     val ref = (1 to 100).map(_.toDouble).toDF("v")
