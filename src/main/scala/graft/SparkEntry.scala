@@ -898,6 +898,18 @@ object SparkEntry {
           label.as("label"))
       graft.operators.Eval.calibrationBins(scored, "score", "label", bins = 10)
     }),
+    "q_gains" -> ((s, dir) => {
+      // Decile gains/lift for the dyadic gate: distinct scores sweep
+      // descending through one multi-value prefix sum; tied blocks
+      // land whole in their end-fraction bucket.
+      val label = pmod(col("doc_id"), lit(4)) === 0
+      val noise = pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":auc"))), 1, 4), 16, 10).cast("long"), lit(1024))
+      val scored = Parallelism.spread(t(s, dir, "documents"))
+        .select((noise / 1024.0 + when(label, 0.25).otherwise(0.0)).as("score"),
+          label.as("label"))
+      graft.operators.Eval.gainsTable(scored, "score", "label", buckets = 10)
+    }),
     "q_ab_test" -> ((s, dir) => {
       // Two-proportion experiment readout: variants from the doc-id
       // parity, conversion = the dyadic score clearing 0.5 — arm B
@@ -4208,6 +4220,33 @@ object SparkEntry {
         |    / (pp::DOUBLE * nn::DOUBLE * 2.0), 6) AS auc,
         |  pp AS positives, nn AS negatives
         |FROM c, t GROUP BY pp, nn""".stripMargin,
+    // same desc sweep, the exact-integer (a+b-1)//b bucket ceil, and
+    // cumulative rollup over the bounded bucket frame
+    "q_gains" ->
+      s"""WITH d AS (SELECT (doc_id % 4 = 0) AS label,
+        |    (${h16Sql("doc_id::VARCHAR || ':auc'")} % 1024) / 1024.0
+        |      + CASE WHEN doc_id % 4 = 0 THEN 0.25 ELSE 0 END AS score
+        |  FROM documents),
+        |g AS (SELECT score AS s,
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS p,
+        |    count(*)::BIGINT AS t FROM d GROUP BY 1),
+        |c AS (SELECT *, sum(p) OVER (ORDER BY s DESC) AS cp,
+        |    sum(t) OVER (ORDER BY s DESC) AS ct FROM g),
+        |tt AS (SELECT sum(p)::BIGINT AS pp, sum(t)::BIGINT AS nn FROM g),
+        |b AS (SELECT least((10 * ct + nn - 1) // nn, 10)::INT AS bucket,
+        |    sum(t)::BIGINT AS n_rows, sum(p)::BIGINT AS n_pos
+        |  FROM c, tt GROUP BY 1),
+        |cum AS (SELECT *, sum(n_rows) OVER (ORDER BY bucket) AS cum_rows,
+        |    sum(n_pos) OVER (ORDER BY bucket) AS cum_pos FROM b)
+        |SELECT bucket, n_rows, n_pos,
+        |  round(n_pos::DOUBLE / n_rows::DOUBLE, 6) AS response_rate,
+        |  cum_rows::BIGINT AS cum_rows, cum_pos::BIGINT AS cum_pos,
+        |  CASE WHEN pp > 0
+        |    THEN round(cum_pos::DOUBLE / pp::DOUBLE, 6) END AS cum_gain,
+        |  CASE WHEN pp > 0 THEN round(
+        |    (cum_pos::DOUBLE / cum_rows::DOUBLE) / (pp::DOUBLE / nn::DOUBLE), 6)
+        |  END AS lift
+        |FROM cum, tt""".stripMargin,
     // same parity arms and nudged dyadic conversion; pooled-variance
     // z in the identical formula order
     "q_ab_test" ->

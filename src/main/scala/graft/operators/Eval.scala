@@ -217,6 +217,75 @@ object Eval {
         col("__N").as("negatives"))
   }
 
+  /** Cumulative gains / lift table — "if we only keep the top 20%
+    * by score, what fraction of the positives do we capture, and how
+    * much better is that than random?": the decile report that turns
+    * [[averagePrecision]]'s integral into the per-tranche numbers a
+    * budget decision reads. NEVER a global ntile: distinct scores
+    * group first (one map-side-combined pass), BOTH cumulative
+    * positives and rows come from one multi-value distributed prefix
+    * sum descending, and a score BLOCK lands in the bucket of its
+    * END fraction (ceil(buckets·cumRows/N) — deterministic under
+    * ties, documented: a tied block never splits across buckets, so
+    * sparse score distributions may leave some buckets empty). The
+    * final cumulative runs over the ≤ `buckets` aggregated rows.
+    *
+    * @return one row per non-empty bucket (ascending): (bucket,
+    *         n_rows, n_pos, response_rate 6 dp, cum_rows, cum_pos,
+    *         cum_gain 6 dp — fraction of ALL positives captured
+    *         through this bucket, lift 6 dp — cumulative response
+    *         over the base rate; null when the base rate is 0).
+    */
+  def gainsTable(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    val g = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"),
+        count(lit(1)).as("__t"))
+      .localCheckpoint() // feeds the sweep AND the totals once
+    val c = Cumulative.withCumulativeSums(
+      g, Seq(col("__p") -> "__cp", col("__t") -> "__ct"),
+      col("__s"), ascending = false)
+    // case-insensitive resolution means __P/__T would collide with
+    // the per-score __p/__t — distinct names throughout
+    val tot = g.agg(
+      coalesce(sum(col("__p")), lit(0L)).as("__totp"),
+      coalesce(sum(col("__t")), lit(0L)).as("__tott"))
+    val bucketed = c.crossJoin(broadcast(tot))
+      // ceil(buckets·cumRows/N) in EXACT integer arithmetic —
+      // (a + b − 1) div b — so a bucket boundary can never move by a
+      // double ulp between engines
+      .withColumn("bucket",
+        least(expr(s"($buckets * __ct + __tott - 1) div __tott"), lit(buckets))
+          .cast("int"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("__t")).as("n_rows"), sum(col("__p")).as("n_pos"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("bucket"), lit(1))).orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    bucketed
+      .withColumn("cum_rows", sum(col("n_rows")).over(wCum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_rows"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n_rows").cast("double"), 6)
+          .as("response_rate"),
+        col("cum_rows"), col("cum_pos"),
+        round(when(col("__totp") > 0,
+          col("cum_pos").cast("double") / col("__totp").cast("double")), 6)
+          .as("cum_gain"),
+        round(when(col("__totp") > 0,
+          (col("cum_pos").cast("double") / col("cum_rows").cast("double")) /
+            (col("__totp").cast("double") / col("__tott").cast("double"))), 6)
+          .as("lift"))
+  }
+
   /** Two-proportion A/B summary — the experiment readout behind
     * "did the new quality gate change the keep rate?": per variant
     * conversions/exposures, absolute lift, and the pooled two-

@@ -250,6 +250,31 @@ class EvalSpec extends SparkSpec {
     assert(r == ((1.0, 1L, 1L)))
   }
 
+  test("gainsTable: hand deciles, perfect separation lift, tied-block no-split") {
+    // perfect top-half separation at 2 buckets: lift 2.0 in bucket 1
+    val sep = Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))
+      .toDF("score", "label")
+    val out = Eval.gainsTable(sep, "score", "label", buckets = 2)
+      .as[(Int, Long, Long, Double, Long, Long, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1, 2L, 2L, 1.0, 2L, 2L, 1.0, 2.0),
+      (2, 2L, 0L, 0.0, 4L, 2L, 1.0, 1.0)))
+    // a tied block lands whole in its end-fraction bucket — bucket 1
+    // can be empty, and the block never splits
+    val tied = Seq((0.5, true), (0.5, true), (0.5, false), (0.1, false))
+      .toDF("score", "label")
+    val t = Eval.gainsTable(tied, "score", "label", buckets = 2)
+      .as[(Int, Long, Long, Double, Long, Long, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(t.map(_._1) == Seq(2) && t.head._2 == 4L)
+    // no positives → gains/lift null
+    val neg = Eval.gainsTable(
+      Seq((0.9, false), (0.1, false)).toDF("score", "label"),
+      "score", "label", buckets = 2).collect()
+    assert(neg.forall(r => r.isNullAt(6) && r.isNullAt(7)))
+  }
+
   test("abTest: hand two-proportion z, degenerate arms, variant filtering") {
     // control 1/4, treat 3/4: pooled 0.5, se = sqrt(0.125), z = sqrt(2)
     val rows = Seq(("a", true), ("a", false), ("a", false), ("a", false),
