@@ -1924,6 +1924,12 @@ object SparkEntry {
       graft.operators.Profile.crossTab(
         Parallelism.spread(t(s, dir, "documents")), "source", "lang")
     }),
+    "q_cramers_v" -> ((s, dir) => {
+      // The q_crosstab confound as an effect size: is source×lang
+      // association cosmetic or structural, independent of n.
+      graft.operators.Profile.cramersV(
+        Parallelism.spread(t(s, dir, "documents")), "source", "lang")
+    }),
     "q_drift" -> ((s, dir) => {
       // What the length gate did to the language mix: per-lang
       // KL/JS contributions between the full corpus and the
@@ -5742,6 +5748,34 @@ object SparkEntry {
         |      (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)), 6)
         |  END AS spearman
         |FROM m""".stripMargin,
+    // same HUGEINT-widened marginal products and 8 dp DECIMAL χ²
+    // terms; V derives with the identical fixed-order doubles
+    "q_cramers_v" ->
+      """WITH c AS (SELECT source, lang, count(*)::BIGINT AS n_obs
+        |  FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT source, sum(n_obs) AS r FROM c GROUP BY 1),
+        |cb AS (SELECT lang, sum(n_obs) AS cl FROM c GROUP BY 1),
+        |nn AS (SELECT sum(n_obs)::DOUBLE AS nd FROM c),
+        |grid AS (SELECT ra.source, cb.lang, ra.r, cb.cl,
+        |    coalesce(c.n_obs, 0) AS o
+        |  FROM ra CROSS JOIN cb
+        |  LEFT JOIN c ON c.source = ra.source AND c.lang = cb.lang),
+        |x AS (SELECT round(sum(round(
+        |      (o - r::HUGEINT * cl::HUGEINT / nd)
+        |        * (o - r::HUGEINT * cl::HUGEINT / nd)
+        |        / (r::HUGEINT * cl::HUGEINT / nd), 8)::DECIMAL(28,8)), 8)
+        |    AS chi
+        |  FROM grid, nn),
+        |s AS (SELECT sum(n_obs)::BIGINT AS n,
+        |    count(DISTINCT source)::BIGINT AS nr,
+        |    count(DISTINCT lang)::BIGINT AS nc FROM c)
+        |SELECT n AS n_rows, nr AS n_a, nc AS n_b,
+        |  ((nr - 1) * (nc - 1))::BIGINT AS dof,
+        |  round(chi::DOUBLE, 6) AS chi2,
+        |  CASE WHEN n > 0 AND least(nr, nc) > 1 THEN
+        |    round(sqrt(chi::DOUBLE / (n::DOUBLE * (least(nr, nc) - 1)::DOUBLE)), 6)
+        |  END AS cramers_v
+        |FROM s, x""".stripMargin,
     // identical marginal products and the left-associative
     // (o−e)²/e — counts are exact longs, one double rounding per term
     "q_crosstab" ->

@@ -870,6 +870,61 @@ object Profile {
     * @return one row per observed cell: (colA, colB, n_obs,
     *         expected 6 dp, contrib 6 dp).
     */
+  /** Cramér's V — the one-number EFFECT SIZE on top of [[crossTab]]'s
+    * χ² cells: χ² alone grows with n (at corpus scale everything is
+    * "significant"); V = √(χ²/(n·(min(r,c)−1))) ∈ [0,1] says whether
+    * the source×language confound is cosmetic (≈ 0.1) or structural
+    * (≳ 0.5) independent of corpus size — the number the mixing
+    * decision actually needs.
+    *
+    * Same one-scan cell machinery as crossTab (staged cell frame,
+    * DECIMAL-widened marginal products) — but unlike the per-OBSERVED-
+    * cell report, χ² here runs over the FULL r×c marginal grid
+    * (bounded by the categorical contract): a zero-observed cell
+    * still contributes (0 − e)²/e, and omitting those would bias V
+    * toward independence exactly when the association is strongest.
+    * Per-cell contributions round 8 dp into exact DECIMAL(28,8) so χ²
+    * is order-independent, then V derives with fixed-order double
+    * arithmetic. Null V when min(r,c) = 1 (a 1×k table has no
+    * association to measure).
+    *
+    * @return one row: (n_rows, n_a, n_b, dof, chi2 6 dp,
+    *         cramers_v 6 dp).
+    */
+  def cramersV(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA), col(colB))
+      .agg(count(lit(1)).as("n_obs"))
+      .localCheckpoint()
+    val ra = cells.groupBy(col(colA)).agg(sum(col("n_obs")).as("__ra"))
+    val cb = cells.groupBy(col(colB)).agg(sum(col("n_obs")).as("__cb"))
+    val nn = cells.agg(sum(col("n_obs")).cast("double").as("__nd"))
+    val e = col("__ra").cast("decimal(19,0)") *
+      col("__cb").cast("decimal(19,0)") / col("__nd")
+    val o = coalesce(col("n_obs"), lit(0L))
+    val chi = ra.crossJoin(cb) // the FULL bounded grid, zero cells included
+      .join(cells, Seq(colA, colB), "left")
+      .crossJoin(broadcast(nn))
+      .agg(coalesce(sum(
+        round((o - e) * (o - e) / e, 8)
+          .cast("decimal(28,8)")), lit(0)).cast("decimal(28,8)").as("__chi"))
+    val shape = cells.agg(
+      coalesce(sum(col("n_obs")), lit(0L)).as("__n"),
+      countDistinct(col(colA)).as("__r"),
+      countDistinct(col(colB)).as("__c"))
+    val minDim = least(col("__r"), col("__c"))
+    shape.crossJoin(broadcast(chi))
+      .select(
+        col("__n").as("n_rows"),
+        col("__r").as("n_a"),
+        col("__c").as("n_b"),
+        ((col("__r") - 1) * (col("__c") - 1)).as("dof"),
+        round(col("__chi").cast("double"), 6).as("chi2"),
+        round(when(col("__n") > 0 && minDim > 1,
+          sqrt(col("__chi").cast("double") /
+            (col("__n").cast("double") * (minDim - lit(1)).cast("double")))), 6)
+          .as("cramers_v"))
+  }
+
   def crossTab(df: DataFrame, colA: String, colB: String): DataFrame = {
     val cells = df.groupBy(col(colA), col(colB))
       .agg(count(lit(1)).as("n_obs"))

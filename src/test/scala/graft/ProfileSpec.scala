@@ -792,6 +792,22 @@ class ProfileSpec extends SparkSpec {
     assert(out == ((0L, 0L, 0L)))
   }
 
+  test("cramersV: perfect association 1, independence 0, zero cells counted, 1xk null") {
+    // 2x2 perfect: diagonal only — the two ZERO cells contribute half of chi2
+    val perfect = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")).toDF("s", "l")
+    val p = Profile.cramersV(perfect, "s", "l").head()
+    assert((p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3)) ==
+      ((4L, 2L, 2L, 1L)))
+    assert(p.getDouble(4) == 4.0 && p.getDouble(5) == 1.0)
+    // exact independence
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")).toDF("s", "l")
+    val i = Profile.cramersV(indep, "s", "l").head()
+    assert(i.getDouble(4) == 0.0 && i.getDouble(5) == 0.0)
+    // a 1xk table has no association to measure
+    val flat = Seq(("a", "x"), ("a", "y")).toDF("s", "l")
+    assert(Profile.cramersV(flat, "s", "l").head().isNullAt(5))
+  }
+
   test("topKCoverage: cumulative shares, count-tie determinism, k beyond keys") {
     // counts: a=4, b=3, c=2, d=1 (total 10)
     val rows = Seq.fill(4)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c") :+ "d"
