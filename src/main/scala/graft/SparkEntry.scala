@@ -4294,9 +4294,11 @@ object SparkEntry {
         |cb AS (SELECT len(list_filter(ed, x -> v > x)) AS bin FROM cur, e),
         |cr AS (SELECT bin, count(*)::BIGINT AS n_ref FROM rb GROUP BY 1),
         |cc AS (SELECT bin, count(*)::BIGINT AS n_cur FROM cb GROUP BY 1),
-        |cells AS (SELECT coalesce(cr.bin, cc.bin) AS bin,
+        |bg AS (SELECT unnest(range(0, 10)) AS bin),
+        |cells AS (SELECT bg.bin,
         |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
-        |  FROM cr FULL OUTER JOIN cc ON cr.bin = cc.bin),
+        |  FROM bg LEFT JOIN cr ON cr.bin = bg.bin
+        |  LEFT JOIN cc ON cc.bin = bg.bin),
         |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM cells),
         |p AS (SELECT bin,
         |    CASE WHEN bin > 0 THEN ed[bin] END AS lo,
@@ -4658,7 +4660,8 @@ object SparkEntry {
     "q_tcloseness" ->
       """WITH d AS (SELECT c_nationkey, c_mktsegment,
         |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS v
-        |  FROM customer WHERE c_acctbal IS NOT NULL),
+        |  FROM customer WHERE c_acctbal IS NOT NULL
+        |    AND c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL),
         |cells AS (SELECT c_nationkey, c_mktsegment, v, count(*)::BIGINT AS c
         |  FROM d GROUP BY 1, 2, 3),
         |grp AS (SELECT c_nationkey, c_mktsegment, sum(c)::BIGINT AS ng
@@ -5390,7 +5393,8 @@ object SparkEntry {
         |  (sum(dd) OVER (PARTITION BY g ORDER BY t))::BIGINT AS concurrent FROM a),
         |p AS (SELECT g, max(concurrent)::BIGINT AS peak FROM c GROUP BY 1)
         |SELECT c.g AS o_orderpriority, p.peak, min(c.t) AS peak_at
-        |FROM c JOIN p ON c.g = p.g AND c.concurrent = p.peak
+        |FROM c JOIN p ON c.g IS NOT DISTINCT FROM p.g
+        |  AND c.concurrent = p.peak
         |GROUP BY 1, 2""".stripMargin,
     // quantile_cont matches Spark's exact percentile (p·(n−1)
     // interpolation); 1.4826 spelled ::DOUBLE so DuckDB's DECIMAL
@@ -5752,7 +5756,8 @@ object SparkEntry {
     // terms; V derives with the identical fixed-order doubles
     "q_cramers_v" ->
       """WITH c AS (SELECT source, lang, count(*)::BIGINT AS n_obs
-        |  FROM documents GROUP BY 1, 2),
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
         |ra AS (SELECT source, sum(n_obs) AS r FROM c GROUP BY 1),
         |cb AS (SELECT lang, sum(n_obs) AS cl FROM c GROUP BY 1),
         |nn AS (SELECT sum(n_obs)::DOUBLE AS nd FROM c),
@@ -5779,7 +5784,8 @@ object SparkEntry {
     // identical marginal products and the left-associative
     // (o−e)²/e — counts are exact longs, one double rounding per term
     "q_crosstab" ->
-      """WITH c AS (SELECT source, lang, count(*)::BIGINT AS n_obs FROM documents GROUP BY 1, 2),
+      """WITH c AS (SELECT source, lang, count(*)::BIGINT AS n_obs FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
         |ra AS (SELECT source, sum(n_obs) AS r FROM c GROUP BY 1),
         |cb AS (SELECT lang, sum(n_obs) AS cl FROM c GROUP BY 1),
         |nn AS (SELECT sum(n_obs)::DOUBLE AS n FROM c)

@@ -1181,17 +1181,24 @@ object Dedup {
     * join-back + one exact intersection per candidate.
     *
     * Scoring vs candidacy asymmetry (deliberate, read carefully):
-    * the emitted `containment` is scored over the FULL unfiltered
-    * shingle sets — the number a user can reproduce from the two
-    * texts — while candidate generation only sees shingles with
-    * df ≤ `maxShingleDocs`. Consequently recall is guaranteed ONLY
-    * for pairs where at least one shared shingle survives the df
-    * cap; a qualifying pair whose entire overlap is stop-shingles is
-    * skipped by contract (it shares nothing distinctive), yet a
-    * FOUND pair's score does count those stop-shingles.
+    * by default the emitted `containment` is scored over the FULL
+    * unfiltered shingle sets — the number a user can reproduce from
+    * the two texts — while candidate generation only sees shingles
+    * with df ≤ `maxShingleDocs`. Consequently recall is guaranteed
+    * ONLY for pairs where at least one shared shingle survives the
+    * df cap; a qualifying pair whose entire overlap is stop-shingles
+    * is skipped by contract (it shares nothing distinctive), yet a
+    * FOUND pair's score does count those stop-shingles. Pass
+    * `verifyFiltered = true` to score over the SAME df-capped sets
+    * candidacy uses — then the recall guarantee and the score
+    * semantics agree exactly (every pair whose FILTERED containment
+    * ≥ threshold is found and scored on that same quantity), at the
+    * price of a score a user cannot reproduce from the raw texts
+    * without re-deriving the df table.
     *
-    * @return (id_a, id_b, containment 4 dp ≥ threshold over the
-    *         UNFILTERED sets — see the asymmetry note, contained_id
+    * @return (id_a, id_b, containment 4 dp ≥ threshold — over the
+    *         UNFILTERED sets by default, the df-capped sets when
+    *         `verifyFiltered` — see the asymmetry note, contained_id
     *         — the smaller-set side, ties to the smaller id).
     */
   def containmentPairs(
@@ -1200,7 +1207,8 @@ object Dedup {
       idCol: String,
       n: Int = 3,
       threshold: Double = 0.8,
-      maxShingleDocs: Int = 100000): DataFrame = {
+      maxShingleDocs: Int = 100000,
+      verifyFiltered: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     require(maxShingleDocs >= 2, "maxShingleDocs must be >= 2")
@@ -1224,7 +1232,24 @@ object Dedup {
       .select(least(col("__pid"), col("__qid")).as("id_a"),
         greatest(col("__pid"), col("__qid")).as("id_b"))
       .distinct()
-    attachSets(cand, src, idCol, textCol, wordShingles(_, n))
+    val withSets =
+      if (verifyFiltered) {
+        // Score over the same df-capped sets candidacy saw: rebuild
+        // each doc's surviving-shingle set from the staged `indexed`
+        // frame (one grouped collect over already-filtered rows —
+        // bounded by the doc's own shingle count) instead of
+        // re-shingling raw text. array_sort so the intersection
+        // kernel sees canonical arrays.
+        val fsets = indexed.groupBy(col("__id"))
+          .agg(array_sort(collect_set(col("__s"))).as("__set"))
+        pushdownBarrier(cand
+          .repartition(cand.sparkSession.sparkContext.defaultParallelism)
+          .join(fsets.select(col("__id").as("id_a"), col("__set").as("__set_a")),
+            Seq("id_a"))
+          .join(fsets.select(col("__id").as("id_b"), col("__set").as("__set_b")),
+            Seq("id_b")))
+      } else attachSets(cand, src, idCol, textCol, wordShingles(_, n))
+    withSets
       .withColumn("containment",
         round(size(array_intersect(col("__set_a"), col("__set_b"))).cast("double") /
           least(size(col("__set_a")), size(col("__set_b"))), 4))

@@ -1084,7 +1084,16 @@ object Events {
       else tl.groupBy(g: _*).agg(max(col("concurrent")).as("peak"))
     val joined =
       if (groupCols.isEmpty) tl.crossJoin(broadcast(peaks))
-      else tl.join(peaks, groupCols)
+      else {
+        // Null-safe (<=>) probe join: concurrency() emits null group
+        // keys as real groups, and a plain equi-join would silently
+        // drop them from the peak report.
+        val pk = groupCols.foldLeft(peaks)(
+          (d, c) => d.withColumnRenamed(c, "__pk_" + c))
+        tl.join(pk, groupCols.map(c => col(c) <=> col("__pk_" + c))
+            .reduce(_ && _))
+          .drop(groupCols.map("__pk_" + _): _*)
+      }
     joined
       .where(col("concurrent") === col("peak"))
       .groupBy(g :+ col("peak"): _*)

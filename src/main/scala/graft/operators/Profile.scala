@@ -886,13 +886,20 @@ object Profile {
     * Per-cell contributions round 8 dp into exact DECIMAL(28,8) so χ²
     * is order-independent, then V derives with fixed-order double
     * arithmetic. Null V when min(r,c) = 1 (a 1×k table has no
-    * association to measure).
+    * association to measure). Null categories are excluded by
+    * contract (the [[distributionDrift]] rule, and for the same
+    * reason: the full-grid left join matches on equality, so a null
+    * cell would count in the marginals but never match its observed
+    * count — silently inflating χ²; a null category is missing data,
+    * not a level of the variable).
     *
     * @return one row: (n_rows, n_a, n_b, dof, chi2 6 dp,
     *         cramers_v 6 dp).
     */
   def cramersV(df: DataFrame, colA: String, colB: String): DataFrame = {
-    val cells = df.groupBy(col(colA), col(colB))
+    val cells = df
+      .where(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA), col(colB))
       .agg(count(lit(1)).as("n_obs"))
       .localCheckpoint()
     val ra = cells.groupBy(col(colA)).agg(sum(col("n_obs")).as("__ra"))
@@ -925,8 +932,14 @@ object Profile {
           .as("cramers_v"))
   }
 
+  // Null categories excluded by the same contract as cramersV /
+  // distributionDrift: the marginal joins match on equality, so a
+  // null-category cell would inflate n and the marginals while its
+  // own row silently vanishes from the per-cell report.
   def crossTab(df: DataFrame, colA: String, colB: String): DataFrame = {
-    val cells = df.groupBy(col(colA), col(colB))
+    val cells = df
+      .where(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA), col(colB))
       .agg(count(lit(1)).as("n_obs"))
       .localCheckpoint()
     val ra = cells.groupBy(col(colA)).agg(sum(col("n_obs")).as("__ra"))
@@ -1358,8 +1371,11 @@ object Profile {
     * an empty bin cannot produce ±∞), per-bin terms round 8 dp into
     * exact DECIMAL(28,8), one 6 dp boundary. Null values drop.
     *
-    * @return per bin: (bin, lo, hi, n_ref, n_cur, p_ref 6 dp, p_cur
-    *         6 dp, psi_term 6 dp) — total PSI = Σ psi_term.
+    * @return one row per bin 0..bins-1 — the FULL grid, including
+    *         bins empty on both sides (their smoothed psi_term is
+    *         nonzero whenever the totals differ): (bin, lo, hi,
+    *         n_ref, n_cur, p_ref 6 dp, p_cur 6 dp, psi_term 6 dp) —
+    *         total PSI = Σ psi_term.
     */
   def psi(
       reference: DataFrame,
@@ -1392,9 +1408,17 @@ object Profile {
       .crossJoin(broadcast(edges))
       .groupBy(binOf.as("bin"))
       .agg(count(lit(1)).as(out))
-    // bounded by bins, staged for the totals aggregate + final select
-    val cells = counted(refV, "n_ref")
-      .join(counted(curV, "n_cur"), Seq("bin"), "full")
+    // The COMPLETE 0..bins-1 grid, not just the observed bins: with
+    // Laplace smoothing a bin empty on BOTH sides still carries a
+    // nonzero psi_term whenever the ref and cur totals differ, so
+    // dropping it would understate the summed PSI and truncate the
+    // advertised per-bin report. Bounded by bins, staged for the
+    // totals aggregate + final select.
+    val grid = reference.sparkSession.range(bins)
+      .select(col("id").cast("int").as("bin"))
+    val cells = grid
+      .join(counted(refV, "n_ref"), Seq("bin"), "left")
+      .join(counted(curV, "n_cur"), Seq("bin"), "left")
       .select(col("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
@@ -1732,8 +1756,13 @@ object Profile {
     * divide once per (group, value) in a fixed order; per-value terms
     * round to 10 dp into exact DECIMAL(28,10) so the per-group sum is
     * order-independent. Rows with a null sensitive value drop
-    * (documented: they carry no distributional information). m = 1
-    * yields EMD 0 (one value everywhere — nothing to leak).
+    * (documented: they carry no distributional information), and so
+    * do rows with a null QUASI value: the grid join-back matches on
+    * equality, so a null-quasi group's observed counts would never
+    * match (cumg stuck at 0 → a large spurious EMD and a false
+    * breaches_t). A null quasi value is already suppressed — it
+    * cannot re-identify anyone — so it has no place in the audit.
+    * m = 1 yields EMD 0 (one value everywhere — nothing to leak).
     *
     * @return one row per quasi-group: (quasiCols…, n_rows, emd 6 dp,
     *         breaches_t).
@@ -1751,7 +1780,8 @@ object Profile {
     require(maxValues >= 2, "maxValues must be >= 2")
     val q = quasiCols.map(col)
     val cells = df
-      .where(col(sensitiveCol).isNotNull)
+      .where(quasiCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(sensitiveCol).isNotNull)
       .groupBy(q :+ col(sensitiveCol).as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
     val groups = cells.groupBy(q: _*).agg(sum(col("__c")).as("__ng"))

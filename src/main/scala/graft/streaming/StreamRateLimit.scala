@@ -37,9 +37,12 @@ case class RateState(recent: List[Long])
   *     maxEvents timestamps — exactly enough to decide the flag; the
   *     batch audit reports the full trailing count);
   *   - decision order is micro-batch arrival, ts-sorted within a
-  *     batch per key; an event arriving later than windowMs out of
-  *     order is decided against the surviving state (the batch audit
-  *     is the exact retrospective).
+  *     batch per key; a LATE event counts only surviving state
+  *     timestamps inside ITS OWN trailing window (t − window, t] —
+  *     never its future — but timestamps older than its window may
+  *     already have been evicted by the maxEvents trim, so a
+  *     sufficiently late event can under-count (the batch audit is
+  *     the exact retrospective).
   *
   * State never times out: a key's list is already bounded at
   * maxEvents timestamps, so idle keys cost a few dozen bytes each —
@@ -71,7 +74,13 @@ object StreamRateLimit {
       var recent = state.getOption.map(_.recent).getOrElse(Nil)
       val out = rows.map(_._2).toSeq.sorted.map { t =>
         recent = recent.filter(_ > t - windowMs)
-        val occupancy = math.min(recent.size + 1, maxEvents + 1)
+        // Occupancy counts only timestamps in (t − window, t]: a LATE
+        // event's trailing window must not count state timestamps
+        // from its future (events that happened after it) — those
+        // stay in state (they decide LATER events) but are invisible
+        // to this one's own sliding window.
+        val occupancy =
+          math.min(recent.count(_ <= t) + 1, maxEvents + 1)
         val violation = occupancy > maxEvents
         // sort before trimming: a LATE arrival lands out of order at
         // the tail, and an unsorted takeRight would evict the newest

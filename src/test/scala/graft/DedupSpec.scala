@@ -266,6 +266,28 @@ class DedupSpec extends SparkSpec {
     assert(again == fast)
   }
 
+  test("containmentPairs: verifyFiltered scores over the same df-capped sets as candidacy") {
+    // df("common") = 5 > maxShingleDocs = 3 → dropped from index AND
+    // probe; "x" (df 2) survives and links docs 1-2. Default scoring
+    // counts the stop-shingle ({x,common}∩ / min-size-3 = 0.6667);
+    // verifyFiltered scores the capped sets ({x}∩ / min-size-2 = 0.5)
+    // so recall guarantee and score semantics agree.
+    val docs5 = Seq(
+      (1L, "x common p"),
+      (2L, "x common z w"),
+      (3L, "common c1 c2"),
+      (4L, "common d1 d2"),
+      (5L, "common e1 e2")).toDF("id", "text")
+    val unf = Dedup.containmentPairs(docs5, "text", "id", n = 1,
+      threshold = 0.5, maxShingleDocs = 3)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(unf == Seq((1L, 2L, 0.6667, 1L)))
+    val filt = Dedup.containmentPairs(docs5, "text", "id", n = 1,
+      threshold = 0.5, maxShingleDocs = 3, verifyFiltered = true)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(filt == Seq((1L, 2L, 0.5, 1L)))
+  }
+
   test("dropNearDuplicates: removes the larger id of each pair") {
     val pairs = Seq((1L, 2L, 1.0)).toDF("id_a", "id_b", "jaccard")
     val kept = Dedup.dropNearDuplicates(docs, pairs, "id")

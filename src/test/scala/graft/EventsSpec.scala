@@ -680,4 +680,14 @@ class EventsSpec extends SparkSpec {
       .as[(Long, Long)].collect().head
     assert(glob == ((2L, 2L)))
   }
+
+  test("peakConcurrency: a null group key is a real group, not a dropped row") {
+    // concurrency() emits the null-key group; the peak probe join
+    // must be null-safe or the group silently vanishes from the report
+    val iv = Seq[(Option[String], Long, Long)](
+      (Some("a"), 1L, 5L), (None, 2L, 6L), (None, 3L, 7L)).toDF("g", "s", "e")
+    val byG = Events.peakConcurrency(iv, "s", "e", Seq("g"))
+      .as[(Option[String], Long, Long)].collect().toSet
+    assert(byG == Set((Some("a"), 1L, 1L), (None, 2L, 3L)))
+  }
 }

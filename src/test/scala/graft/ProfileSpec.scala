@@ -808,6 +808,21 @@ class ProfileSpec extends SparkSpec {
     assert(Profile.cramersV(flat, "s", "l").head().isNullAt(5))
   }
 
+  test("cramersV/crossTab: null categories are excluded, not counted as zeros") {
+    // a null category would inflate n and the marginals while its
+    // observed cell never matches the grid's equality join — the
+    // report must equal the null-free slice exactly
+    val withNull = Seq[(Option[String], Option[String])](
+      (Some("a"), Some("x")), (Some("a"), Some("x")),
+      (Some("b"), Some("y")), (Some("b"), Some("y")),
+      (None, Some("x")), (Some("a"), None)).toDF("s", "l")
+    val clean = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")).toDF("s", "l")
+    assert(Profile.cramersV(withNull, "s", "l").collect().toSeq ==
+      Profile.cramersV(clean, "s", "l").collect().toSeq)
+    assert(Profile.crossTab(withNull, "s", "l").collect().toSet ==
+      Profile.crossTab(clean, "s", "l").collect().toSet)
+  }
+
   test("topKCoverage: cumulative shares, count-tie determinism, k beyond keys") {
     // counts: a=4, b=3, c=2, d=1 (total 10)
     val rows = Seq.fill(4)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c") :+ "d"
@@ -846,6 +861,20 @@ class ProfileSpec extends SparkSpec {
     val n = Profile.psi(withNull, withNull, "v", bins = 5)
       .agg(org.apache.spark.sql.functions.sum(c("n_ref"))).head().getLong(0)
     assert(n == 50L)
+  }
+
+  test("psi: the report is the COMPLETE bin grid - both-empty bins keep their term") {
+    // all-identical reference values collapse every row into bin 0;
+    // bins 1..9 are empty on BOTH sides, yet with Laplace smoothing
+    // each still carries a nonzero psi_term whenever the totals differ
+    val ref = Seq.fill(10)(1.0).toDF("v")
+    val cur = Seq.fill(20)(1.0).toDF("v")
+    val out = Profile.psi(ref, cur, "v", bins = 10).collect()
+    assert(out.length == 10, "full 0..bins-1 grid")
+    val empty = out.filter(r => r.getLong(3) == 0L && r.getLong(4) == 0L)
+    assert(empty.length == 9)
+    assert(empty.forall(_.getDouble(7) > 0.0),
+      "smoothed term of an empty bin is nonzero when totals differ")
   }
 
   test("joinCardinality: exact explosion math, skew headline, null keys drop") {
@@ -978,6 +1007,18 @@ class ProfileSpec extends SparkSpec {
     val loose = Profile.tCloseness(df, Seq("q"), "v", t = 0.3)
       .as[(String, Long, Double, Boolean)].collect().toSet
     assert(loose.forall(!_._4))
+  }
+
+  test("tCloseness: null quasi keys drop instead of reporting spurious EMD") {
+    // a null-quasi group would never match the grid join-back (cumg
+    // stuck at 0 → fake max-EMD breach); it is already suppressed, so
+    // it leaves the audit — and the global distribution — entirely
+    val df = (Seq.fill(3)((Option("a"), 1)) ++ Seq((Option("a"), 2)) ++
+      Seq((Option("b"), 1)) ++ Seq.fill(3)((Option("b"), 2)) ++
+      Seq((Option.empty[String], 1), (Option.empty[String], 2))).toDF("q", "v")
+    val out = Profile.tCloseness(df, Seq("q"), "v", t = 0.2)
+      .as[(String, Long, Double, Boolean)].collect().toSet
+    assert(out == Set(("a", 4L, 0.25, true), ("b", 4L, 0.25, true)))
   }
 
   test("tCloseness: order matters (shifted bands), m=1 zero, null drop, guard") {

@@ -79,6 +79,47 @@ class StreamJoinSpec extends SparkSpec {
     }
   }
 
+  test("intervalJoin: state plateaus under watermark eviction (bounded by rate x window)") {
+    // The scale claim in the Scaladoc — "state is bounded by the
+    // event rate × the window regardless of stream length" — measured
+    // with the state-store metrics instead of asserted by narrative:
+    // 12 equal-rate batches, each 30 event-minutes later (twice the
+    // 15-minute maxDelay+watermark keep window), so eviction must hold
+    // numRowsTotal flat while cumulative input grows 12×.
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Impression]
+    val clicks = MemoryStream[Click]
+    val joined = StreamJoin.intervalJoin(
+      imps.toDF(), clicks.toDF(), "user_id", "imp_ts", "click_ts",
+      maxDelay = "10 minutes", watermarkDelay = "5 minutes")
+    val query = joined.writeStream
+      .format("memory").queryName("graft_attr_state").outputMode("append").start()
+    try {
+      val perBatch = 20
+      val stateRows = (0 until 12).map { b =>
+        val base = b * 30
+        imps.addData((0 until perBatch).map(i =>
+          Impression(i.toLong, t(base), s"ad$b")): _*)
+        clicks.addData((0 until perBatch).map(i =>
+          Click(i.toLong, t(base + 1), s"c$b")): _*)
+        query.processAllAvailable()
+        val p = query.lastProgress
+        if (p == null || p.stateOperators.isEmpty) 0L
+        else p.stateOperators.map(_.numRowsTotal).sum
+      }
+      // warm-up aside, the second half must not sit above the first —
+      // a leak grows monotonically with batch count
+      val firstHalf = stateRows.slice(2, 6).max
+      val secondHalf = stateRows.slice(6, 12).max
+      assert(secondHalf <= firstHalf * 3 / 2 + 1,
+        s"state grew across halves: $stateRows")
+      // absolute bound: a few batches of both sides, never the stream
+      val fed = 12L * perBatch * 2
+      assert(stateRows.last <= fed / 3,
+        s"final state ${stateRows.last} not << cumulative input $fed: $stateRows")
+    } finally query.stop()
+  }
+
   test("intervalJoin on batch frames: same semantics, usable as the oracle twin") {
     // the operator body is engine-agnostic — running it on batch
     // frames replays the exact interval semantics

@@ -56,6 +56,8 @@ class StreamRateLimitSpec extends SparkSpec {
     // maxEvents=1, window=100: t=200 arrives, then LATE t=150, then
     // t=260 — 200 is inside (160, 260], so 260 must be flagged; an
     // unsorted state trim would have evicted 200 in favour of 150.
+    // 150 itself is NOT flagged: 200 is in its future, outside its
+    // own trailing window (50, 150].
     val out = run(Seq(
       Seq(RateEv("u", 200L)),
       Seq(RateEv("u", 150L)),
@@ -63,7 +65,19 @@ class StreamRateLimitSpec extends SparkSpec {
       maxEvents = 1, windowMs = 100L)
       .sortBy(_._2)
     assert(out.map(r => (r._2, r._4)) ==
-      Seq((150L, true), (200L, false), (260L, true)))
+      Seq((150L, false), (200L, false), (260L, true)))
+  }
+
+  test("a late event is decided by its own trailing window, never its future") {
+    // maxEvents=2, window=100: 200 and 250 arrive, then LATE 60 —
+    // both state timestamps are in 60's future, so its window
+    // (-40, 60] holds only itself: occupancy 1, no violation.
+    val out = run(Seq(
+      Seq(RateEv("u", 200L), RateEv("u", 250L)),
+      Seq(RateEv("u", 60L))),
+      maxEvents = 2, windowMs = 100L).sortBy(_._2)
+    assert(out.map(r => (r._2, r._3, r._4)) ==
+      Seq((60L, 1, false), (200L, 1, false), (250L, 2, false)))
   }
 
   test("validation rejects degenerate parameters") {

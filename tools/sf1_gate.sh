@@ -38,12 +38,22 @@ if [ "${GRAFT_SF1_SKIP_ORACLE:-0}" != "1" ]; then
   python3 tools/check_oracle.py "$SF1" tmp/verify_sf1
 fi
 
+# Bench with one retry when the reading comes back contended (>10%
+# of reps probe-flagged — Bench emits "contended": true): a loaded
+# box produces a non-record-quality number, and recording it anyway
+# is how round-13's BENCH_LAST overstated the board.
+run_bench () { # $1 = sf dir, $2 = out json
+  SPARK_GRAFT_SF_DIR=$1 SPARK_GRAFT_BENCH_OUT=$2 sbt -batch "runMain graft.Bench"
+  if python3 -c "import json,sys; sys.exit(0 if json.load(open('$2')).get('contended') else 1)"; then
+    echo "[sf1_gate] $2 contended - retrying once"
+    SPARK_GRAFT_SF_DIR=$1 SPARK_GRAFT_BENCH_OUT=$2 sbt -batch "runMain graft.Bench"
+    python3 -c "import json; d=json.load(open('$2')); print('[sf1_gate] retry contended:', d.get('contended'))"
+  fi
+}
 echo "[sf1_gate] bench sf0.1"
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-  SPARK_GRAFT_BENCH_OUT=tmp/bench_sf0.1.json sbt -batch "runMain graft.Bench"
+run_bench /root/testdata/sf0.1 tmp/bench_sf0.1.json
 echo "[sf1_gate] bench sf1"
-SPARK_GRAFT_SF_DIR=$SF1 \
-  SPARK_GRAFT_BENCH_OUT=tmp/bench_sf1.json sbt -batch "runMain graft.Bench"
+run_bench "$SF1" tmp/bench_sf1.json
 python3 tools/scale_report.py tmp/bench_sf0.1.json tmp/bench_sf1.json \
   | tee tmp/scale_report.md
 
