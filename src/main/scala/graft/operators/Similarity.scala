@@ -995,13 +995,22 @@ object Similarity {
     * (the paper's "ratio" margin) — and each source keeps its best
     * target by margin, thresholded.
     *
-    * Distributed shape: two [[bruteForceTopK]] passes (forward
-    * x→Y, backward y→X — each a broadcast of the query side over one
-    * corpus scan, no corpus shuffle), then the per-endpoint
-    * neighborhood sums are GROUP-SIZED frames broadcast back onto
-    * the forward candidates. Nothing in the plan scales with
-    * |X|×|Y|; at index scale, swap `bruteForceTopK` for the IVF/PQ
-    * top-k — the margin algebra is unchanged.
+    * Distributed shape: BOTH directions derive from ONE score
+    * product — the corpus (Y) scans once with the bounded batch (X)
+    * broadcast, and the forward top-k (per x over Y) and backward
+    * top-k (per y over X) are two windows over that same join. The
+    * naive alternative — a second [[bruteForceTopK]] with the roles
+    * swapped — scans the |X|-row batch side, so its |X|×|Y| score
+    * product and |Y|-group window sort land on however few
+    * partitions hold the batch: measured 11.2 s vs 1.2 s at sf1
+    * (20k vectors) purely from that serialization. Here both
+    * windows ride the corpus scan's parallelism, and WindowGroupLimit
+    * trims each side to ≤ k per group BEFORE its exchange. The
+    * per-endpoint neighborhood sums are GROUP-SIZED frames broadcast
+    * back onto the forward candidates. Nothing in the plan scales
+    * with |X|×|Y| beyond the linear score product itself; at index
+    * scale, swap to [[marginMineTopK]] — the margin algebra is
+    * unchanged.
     *
     * Determinism/replay: candidate cosines are 6-dp-rounded, the
     * neighborhood sums accumulate those rounded values as exact
@@ -1021,8 +1030,38 @@ object Similarity {
       k: Int = 8,
       minMargin: Double = 1.0): DataFrame = {
     require(k >= 1, "k must be positive")
-    val fwd = bruteForceTopK(tgt, src, vecCol, tgtIdCol, srcIdCol, k)
-    val bwd = bruteForceTopK(src, tgt, vecCol, srcIdCol, tgtIdCol, k)
+    // One score product serves both directions (cosine is symmetric
+    // — bit-identically so: the dot and the norm product are
+    // commutative FP expressions — and both tie-breaks order by the
+    // opposite-side id, so the two windows reproduce the two
+    // bruteForceTopK calls exactly).
+    // spread: a small/unsplittable corpus file arrives as 1-2 scan
+    // tasks, and the whole |X|x|Y| score product would run there
+    // (measured 9.2 s -> sub-second at sf1); no-op on a real wide scan
+    val c = Parallelism.spread(tgt)
+      .select(col(tgtIdCol).as("corpus_id"), col(vecCol).as("__cv"))
+    val q = src.select(col(srcIdCol).as("query_id"), col(vecCol).as("__qv"))
+    def scored = c.join(broadcast(q))
+      .withColumn("cosine",
+        round(cosineSimilarityNative(col("__cv"), col("__qv")), 6))
+      .select("query_id", "corpus_id", "cosine")
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    val fwd = scored
+      .withColumn("rank", row_number().over(wF))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+    // Backward = per CORPUS row over the batch: partitioning by
+    // corpus_id keeps every group inside the map partition that
+    // produced it, so the group-limit trims to ≤ k rows per corpus
+    // row before anything shuffles.
+    val wB = Window.partitionBy(col("corpus_id"))
+      .orderBy(col("cosine").desc, col("query_id").asc)
+    val bwd = scored
+      .withColumn("rank", row_number().over(wB))
+      .where(col("rank") <= k)
+      .select(col("corpus_id").as("query_id"),
+        col("query_id").as("corpus_id"), col("cosine"), col("rank"))
     // The batch contract bounds both neighborhood frames (srcNn is
     // |batch|-sized; tgtNn rows outside fwd's candidate set never
     // survive the join), so the hints are safe here.
