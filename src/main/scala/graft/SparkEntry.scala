@@ -2003,6 +2003,19 @@ object SparkEntry {
         e.where(col("vec_id") >= 5 && col("vec_id") < 10),
         "embedding", "vec_id", k = 10)
     }),
+    "q_ann_pq_rerank" -> ((s, dir) => {
+      // The production serve cascade: PQ/ADC shortlist (5× over-
+      // fetch from the persisted index) → exact float rerank of the
+      // survivors. Closes the quantization recall gap (SURVEY §6b
+      // frontier: 0.823 raw ADC → 0.975 recall@10 at sf1) while the
+      // exact kernel touches |queries|×50 rows, never the corpus.
+      val e = t(s, dir, "embeddings")
+      val table = ensurePqIndex(s, dir, "graft_pq_idx_s4_", e)
+      Similarity.rerankTopK(e, e.where(col("vec_id") < 5),
+        graft.operators.Pq.pqTopKFromIndex(s, table,
+          e.where(col("vec_id") < 5), "embedding", "vec_id", k = 50),
+        "embedding", "vec_id", "vec_id", k = 10)
+    }),
     "q_ann_pq_fit" -> ((s, dir) => {
       // LABELED fit-inclusive baseline: what refusing to persist
       // costs PER QUERY BATCH — fit + encode + search from scratch
@@ -5867,6 +5880,18 @@ object SparkEntry {
       (s"""WITH ${pqCtes(m = 8, subDim = 8, numCentroids = 64, fitStride = 4,
              qPred = "id >= 5 AND id < 10")}
           |SELECT query_id, corpus_id, adist, rank::INT AS rank FROM pqr WHERE rank <= 10""".stripMargin),
+    // same ADC replay fetched at 50, then the exact-cosine rerank
+    // window over the shortlist — the cascade in SQL
+    "q_ann_pq_rerank" ->
+      (s"""WITH ${pqCtes(m = 8, subDim = 8, numCentroids = 64, fitStride = 4)},
+          |sl AS (SELECT query_id, corpus_id FROM pqr WHERE rank <= 50),
+          |cvt AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+          |qvt AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+          |sc AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine
+          |  FROM sl JOIN cvt USING (corpus_id) JOIN qvt USING (query_id)),
+          |rr AS (SELECT *, row_number() OVER (
+          |    PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM sc)
+          |SELECT query_id, corpus_id, cosine, rank::INT AS rank FROM rr WHERE rank <= 10""".stripMargin),
     // the fit-inclusive baseline: quarter corpus (id % 4 = 0),
     // nested stride-16 fit sample, queries unchanged
     "q_ann_pq_fit" ->

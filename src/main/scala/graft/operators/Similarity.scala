@@ -283,6 +283,49 @@ object Similarity {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
+  /** Exact float rerank of an approximate SHORTLIST — the detachable
+    * final stage of every production ANN cascade: take ANY
+    * (query_id, corpus_id, …) candidate frame (PQ/ADC, IVF, Hamming,
+    * LSH — every `*TopK` here returns the shape) fetched at
+    * `|shortlist| > k`, score the survivors exactly, keep the top k.
+    * Recall@k of the composition is bounded by the shortlist's
+    * recall@|shortlist| — typically FAR above its own recall@k (the
+    * frontier table in SURVEY §6b measures PQ m=8: 0.82 raw → 0.98
+    * after a 50→10 rerank) — while the exact kernel touches only
+    * |queries|·|shortlist| rows, never the corpus.
+    *
+    * Plan shape: the shortlist and the query vectors are bounded by
+    * the batch contract (broadcast); the corpus contributes ONE scan
+    * probed by the broadcast shortlist — no corpus shuffle, same as
+    * [[cascadeTopK]]'s final stage.
+    *
+    * @return (query_id, corpus_id, cosine 6 dp, rank 1..k, tie-break
+    *         on corpus id).
+    */
+  def rerankTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      shortlist: DataFrame,
+      vecCol: String,
+      idCol: String,
+      qIdCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val sl = shortlist.select(col("query_id"), col("corpus_id"))
+    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+    val qv = queries.select(col(qIdCol).as("query_id"), col(vecCol).as("__qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    cv
+      .join(broadcast(sl), Seq("corpus_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine",
+        round(cosineSimilarityNative(col("__cv"), col("__qv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
   /** Recall@k of an approximate top-k result against the exact one —
     * the eval that turns "the LSH/IVF/cascade path is good enough"
     * from a claim into a measured number, run on a sampled query set

@@ -1,0 +1,89 @@
+package graft.tools
+
+import graft.operators.{Pq, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Recall/latency frontier of the ANN serving stack (dev tool, the
+  * round-13 verdict's HNSW-or-measured-sufficiency protocol): exact
+  * brute-force ground truth for a 100-query batch, then recall@10 +
+  * median-of-3 latency for IVF at nprobe 1/2/4 and the persisted-PQ
+  * (ADC) path. Prints a markdown table for SURVEY §6b; the decision
+  * rule is recall@10 ≥ 0.9 at the latency budget → no graph index.
+  */
+object RecallFrontier {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/testdata-sf1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = e.where(col("vec_id") < 100)
+    val n = e.count()
+    println(s"corpus rows=$n, queries=100, k=10, dir=$dir")
+
+    def medianTime(df: => DataFrame): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
+    }
+
+    // ground truth (also the brute-force latency row)
+    val exactT = medianTime(Similarity.bruteForceTopK(
+      e, queries, "embedding", "vec_id", "vec_id", 10))
+    val exact = Similarity.bruteForceTopK(
+      e, queries, "embedding", "vec_id", "vec_id", 10).localCheckpoint()
+
+    def recallOf(approx: DataFrame): Double =
+      Similarity.annRecall(approx, exact)
+        .select("recall").head().getDouble(0)
+
+    val rows = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
+    rows += (("brute-force (exact)", exactT, 1.0))
+
+    for (nprobe <- Seq(1, 2, 4)) {
+      def run = Similarity.ivfTopK(e, queries, "embedding", "vec_id",
+        "vec_id", k = 10, stride = 100, nprobe = nprobe)
+      val t = medianTime(run)
+      rows += ((s"IVF nprobe=$nprobe (nlist=${n / 100})", t, recallOf(run)))
+    }
+
+    // persisted-PQ serve path (the q_ann_pq configuration)
+    val table = "graft_recall_frontier_pq"
+    Pq.writePqIndex(e, "embedding", "vec_id", table, dim = 64, m = 8,
+      numCentroids = 64, expectedRows = n, fitSampleStride = 4)
+    def pqRun = Pq.pqTopKFromIndex(spark, table, queries,
+      "embedding", "vec_id", k = 10)
+    val pqT = medianTime(pqRun)
+    rows += (("PQ/ADC from index (m=8, 64 centroids)", pqT, recallOf(pqRun)))
+
+    // the production cascade: PQ shortlist 50 -> exact float rerank
+    def cascade = Similarity.rerankTopK(e, queries,
+      Pq.pqTopKFromIndex(spark, table, queries, "embedding", "vec_id", k = 50),
+      "embedding", "vec_id", "vec_id", k = 10)
+    val cT = medianTime(cascade)
+    rows += (("PQ shortlist 50 -> exact rerank", cT, recallOf(cascade)))
+
+    println("| path | median latency (100 queries) | recall@10 |")
+    println("|---|---|---|")
+    rows.foreach { case (name, t, r) =>
+      println(f"| $name | $t%.2f s | $r%.4f |")
+    }
+    val best = rows.drop(1).filter(_._3 >= 0.9)
+    println(
+      if (best.nonEmpty)
+        f"DECISION: ${best.minBy(_._2)._1} reaches recall@10 ${best.minBy(_._2)._3}%.4f at ${best.minBy(_._2)._2}%.2f s - no graph index needed"
+      else
+        "DECISION: no approximate path reaches recall@10 >= 0.9 - graph index warranted")
+    spark.stop()
+  }
+}

@@ -214,6 +214,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("rerankTopK: covering shortlist reproduces brute force; restricted shortlist is respected") {
+    val q = corpus.where($"id" === 1L)
+    val exact = Similarity.bruteForceTopK(corpus, q, "vec", "id", "id", k = 3)
+    // a shortlist that covers the true top-3 (here: everything)
+    val full = Similarity.bruteForceTopK(corpus, q, "vec", "id", "id", k = 5)
+    val rr = Similarity.rerankTopK(corpus, q, full, "vec", "id", "id", k = 3)
+    assert(rr.collect().toSet == exact.collect().toSet)
+    // a shortlist MISSING the near-dup: rerank can only rank survivors
+    val sl = Seq((1L, 1L), (1L, 3L)).toDF("query_id", "corpus_id")
+    val restricted = Similarity.rerankTopK(corpus, q, sl, "vec", "id", "id", k = 3)
+      .select($"corpus_id", $"rank").as[(Long, Int)].collect().toMap.map(_.swap)
+    assert(restricted == Map(1 -> 1L, 2 -> 3L))
+    intercept[IllegalArgumentException] {
+      Similarity.rerankTopK(corpus, q, sl, "vec", "id", "id", k = 0)
+    }
+  }
+
   test("annRecall: hand-checkable counts; degenerate cascade scores 1.0; empty exact is null") {
     val rnd = new scala.util.Random(29)
     val c = (0L until 150L).map(i => (i, Seq.fill(32)(rnd.nextFloat() * 2 - 1)))
