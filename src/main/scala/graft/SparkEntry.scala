@@ -786,6 +786,21 @@ object SparkEntry {
           .where(col("word") =!= ""),
         "lang", "word", k = 256)
     }),
+    "q_distinct_hll" -> ((s, dir) => {
+      // The MERGEABLE twin of q_distinct_kmv: per-language
+      // vocabulary from 4096 six-bit HLL registers — shard/day
+      // partial sketches union by plain per-bucket max, the rolling
+      // 100 TB distinct-count shape. Registers are a grouped max
+      // (no custom aggregate); exact-integer register sums; the
+      // linear-counting branch binds at sf0.01, the raw estimator
+      // at larger vocabularies — both replayed.
+      graft.operators.Profile.distinctHll(
+        Parallelism.spread(t(s, dir, "documents"))
+          .select(col("lang"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+          .where(col("word") =!= ""),
+        "lang", "word")
+    }),
     "q_fuzzy_join" -> ((s, dir) => {
       // "Which entity names are one typo apart" — deletion-
       // neighborhood blocking (linear candidate generation, never an
@@ -4080,6 +4095,37 @@ object SparkEntry {
         |  CASE WHEN g.nd < 256 THEN g.nd::DOUBLE
         |       ELSE round(255.0 * 1152921504606846976.0 / kv.hk, 4) END AS est_distinct
         |FROM g LEFT JOIN kv ON g.lang = kv.lang""".stripMargin,
+    // the HLL registers are a grouped max over string-inspected
+    // leading-zero runs of the same md5; exact HUGEINT register sums
+    // mirror Spark's DECIMAL(38,0), the estimate is the identical
+    // fixed-order double expression, both branches 4 dp
+    "q_distinct_hll" ->
+      (s"""WITH w AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+          |  FROM documents),
+          |t AS (SELECT lang, word FROM w WHERE word <> ''),
+          |h AS (SELECT lang, ${hNibSql("word", 3)} AS bk,
+          |    substr(md5(word), 4, 15) AS ws FROM t),
+          |z AS (SELECT lang, bk,
+          |    length(regexp_extract(ws, '^0*')) AS nz,
+          |    substr(regexp_replace(ws, '^0*', ''), 1, 1) AS fc FROM h),
+          |r AS (SELECT lang, bk, max(CASE WHEN nz = 15 THEN 61 ELSE nz * 4 +
+          |    (CASE WHEN fc IN ('8','9','a','b','c','d','e','f') THEN 0
+          |          WHEN fc IN ('4','5','6','7') THEN 1
+          |          WHEN fc IN ('2','3') THEN 2 ELSE 3 END) + 1 END) AS rr
+          |  FROM z GROUP BY 1, 2),
+          |g AS (SELECT lang, count(*)::BIGINT AS nb,
+          |    sum(power(2, 61 - rr)::HUGEINT) AS sp FROM r GROUP BY 1),
+          |e AS (SELECT lang, nb,
+          |    sp + (4096 - nb)::HUGEINT * 2305843009213693952::HUGEINT AS st,
+          |    (4096 - nb) AS v FROM g),
+          |f AS (SELECT lang, nb,
+          |    0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0 *
+          |      2305843009213693952.0 / st::DOUBLE AS eraw, v FROM e)
+          |SELECT lang, nb AS n_registers,
+          |  CASE WHEN v > 0 AND eraw <= 10240.0
+          |    THEN round(4096.0 * ln(4096.0 / v::DOUBLE), 4)
+          |    ELSE round(eraw, 4) END AS est_distinct
+          |FROM f""".stripMargin),
     // the two slice sketches + the union sketch replayed as window
     // ranks over the same 60-bit hashes; est_union is rounded FIRST
     // (4 dp), then est_inter multiplies the rounded value — the

@@ -1278,6 +1278,78 @@ object Profile {
           .as("est_distinct"))
   }
 
+  /** HyperLogLog distinct-count sketch per group (Flajolet, Fusy,
+    * Gandouet & Meunier, AofA 2007) — the MERGEABLE complement of
+    * [[distinctKmv]]: KMV ships the k smallest hashes (~2 KiB, best
+    * absolute accuracy at small k), HLL ships m = 4096 six-bit
+    * registers (~3 KiB) whose per-bucket MAX is associative — so
+    * partial sketches from shards/days/partitions union by plain
+    * `max` with no re-scan, the property a 100 TB rolling distinct
+    * count actually needs (KMV merge needs a re-sort of the union).
+    * Standard error ≈ 1.04/√m ≈ 1.6 %.
+    *
+    * Determinism/replay (no custom aggregate — the registers ARE a
+    * grouped max): bucket = the first 3 md5 nibbles (12 bits,
+    * m = 4096); rho = leading-zero count of the next 15 nibbles + 1,
+    * computed by STRING inspection (count '0' chars, then a CASE on
+    * the first nonzero nibble) — exact in both engines, no
+    * float log2 at power-of-two boundaries. The register sum
+    * Σ 2^(−r) accumulates as the exact INTEGER Σ 2^(61−r) in
+    * DECIMAL(38,0) (each term a power of two ≤ 2^61, exact in double
+    * and decimal; HUGEINT in the oracle), so it is order-independent;
+    * the estimate is fixed-order double arithmetic on that sum —
+    * α_m·m²·2⁶¹/S — with the small-range linear-counting branch
+    * (E ≤ 2.5m and empty registers exist → m·ln(m/V)) taken
+    * identically in both engines and one 4 dp boundary rounding.
+    * Null values drop.
+    *
+    * @return one row per group: (groupCol, n_registers — occupied,
+    *         of 4096, est_distinct 4 dp).
+    */
+  def distinctHll(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val m = 4096
+    val hex = md5(col(valueCol).cast("string"))
+    val wstr = substring(hex, 4, 15)
+    val zeros = length(regexp_extract(wstr, "^0*", 0))
+    val firstNz = substring(regexp_replace(wstr, "^0*", ""), 1, 1)
+    val nibZeros = when(firstNz.isin("8", "9", "a", "b", "c", "d", "e", "f"), 0)
+      .when(firstNz.isin("4", "5", "6", "7"), 1)
+      .when(firstNz.isin("2", "3"), 2)
+      .otherwise(3)
+    val rho = when(zeros === 15, lit(61))
+      .otherwise(zeros * 4 + nibZeros + 1)
+    val regs = df
+      .where(col(valueCol).isNotNull)
+      .select(col(groupCol),
+        conv(substring(hex, 1, 3), 16, 10).cast("long").as("__b"),
+        rho.as("__rho"))
+      .groupBy(col(groupCol), col("__b"))
+      .agg(max(col("__rho")).as("__r"))
+    val summed = regs
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("__nb"),
+        sum(pow(lit(2.0), lit(61) - col("__r")).cast("decimal(38,0)"))
+          .as("__sp"))
+    val sTot = col("__sp") +
+      (lit(m.toLong) - col("__nb")).cast("decimal(38,0)") *
+        lit(2305843009213693952L).cast("decimal(38,0)")
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val v = lit(m.toLong) - col("__nb")
+    summed
+      .withColumn("__eraw",
+        alpha * lit(m.toDouble) * lit(m.toDouble) *
+          lit(2305843009213693952.0) / sTot.cast("double"))
+      .select(col(groupCol),
+        col("__nb").as("n_registers"),
+        when(v > 0 && col("__eraw") <= lit(2.5 * m),
+          round(lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")), 4))
+          .otherwise(round(col("__eraw"), 4)).as("est_distinct"))
+  }
+
   /** k-anonymity audit over a quasi-identifier tuple — the
     * re-identification-risk gate a dataset must clear before release
     * (Sweeney's k-anonymity: every quasi-identifier combination must

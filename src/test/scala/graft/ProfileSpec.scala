@@ -808,6 +808,28 @@ class ProfileSpec extends SparkSpec {
     assert(Profile.cramersV(flat, "s", "l").head().isNullAt(5))
   }
 
+  test("distinctHll: both estimator branches accurate, duplicate-invariant, null drop") {
+    // 2000 distinct at m=4096 → the linear-counting branch (n/m ≈ 0.5,
+    // error well under 2%); generous 8% slack keeps the test hash-free
+    val vals = (1 to 2000).map(i => ("g", s"v$i")).toDF("g", "v")
+    val one = Profile.distinctHll(vals, "g", "v").collect().toSeq
+    val est = one.head.getDouble(2)
+    assert(math.abs(est - 2000) / 2000.0 < 0.08, s"linear-counting est $est")
+    // 50k distinct → the raw HLL estimator (1.04/√4096 ≈ 1.6% stderr)
+    val big = (1 to 50000).map(i => ("g", s"w$i")).toDF("g", "v")
+    val bigEst = Profile.distinctHll(big, "g", "v").head().getDouble(2)
+    assert(math.abs(bigEst - 50000) / 50000.0 < 0.05, s"raw est $bigEst")
+    // a sketch of DISTINCT values: duplicates cannot move any register
+    assert(Profile.distinctHll(vals.unionAll(vals), "g", "v")
+      .collect().toSeq == one)
+    // null values drop; repartition-deterministic (grouped max)
+    val withNull = vals.unionAll(
+      Seq(("g", null.asInstanceOf[String])).toDF("g", "v"))
+    assert(Profile.distinctHll(withNull, "g", "v").collect().toSeq == one)
+    assert(Profile.distinctHll(vals.repartition(13), "g", "v")
+      .collect().toSeq == one)
+  }
+
   test("cramersV/crossTab: null categories are excluded, not counted as zeros") {
     // a null category would inflate n and the marginals while its
     // observed cell never matches the grid's equality join — the
