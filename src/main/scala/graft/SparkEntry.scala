@@ -902,6 +902,20 @@ object SparkEntry {
           label.as("label"))
       graft.operators.Eval.rocAuc(scored, "score", "label")
     }),
+    "q_auc_by_group" -> ((s, dir) => {
+      // The slice eval: the same synthetic gate scored PER LANGUAGE
+      // — a global AUC hides a filter that ranks one language
+      // randomly; per-group prefix sums over the bounded
+      // (lang, score) frame.
+      val label = pmod(col("doc_id"), lit(4)) === 0
+      val noise = pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":auc"))), 1, 4), 16, 10).cast("long"), lit(1024))
+      val scored = Parallelism.spread(t(s, dir, "documents"))
+        .select(col("lang"),
+          (noise / 1024.0 + when(label, 0.25).otherwise(0.0)).as("score"),
+          label.as("label"))
+      graft.operators.Eval.rocAucByGroup(scored, "lang", "score", "label")
+    }),
     "q_calibration" -> ((s, dir) => {
       // Reliability bins over the same synthetic gate: scores reach
       // 1.25 − ε, so the top bin's clamp is exercised on real rows.
@@ -924,6 +938,50 @@ object SparkEntry {
         .select((noise / 1024.0 + when(label, 0.25).otherwise(0.0)).as("score"),
           label.as("label"))
       graft.operators.Eval.gainsTable(scored, "score", "label", buckets = 10)
+    }),
+    "q_welch" -> ((s, dir) => {
+      // Means experiment readout: did clicks and views carry
+      // different average values? Welch's unequal-variance t — one
+      // aggregation pass, exact DECIMAL moments, the anomalies
+      // mean-rounding discipline.
+      graft.operators.Eval.welchTTest(
+        Parallelism.spread(t(s, dir, "events")),
+        "event_type", "value", "click", "view")
+    }),
+    "q_mannwhitney" -> ((s, dir) => {
+      // The nonparametric twin on the same slice pair: tie-averaged
+      // rank U + tie-corrected z + rank-biserial effect size, ranks
+      // from one grouped count + one distributed prefix sum.
+      graft.operators.Eval.mannWhitneyU(
+        Parallelism.spread(t(s, dir, "events")),
+        "event_type", "value", "click", "view")
+    }),
+    "q_cooccurrence" -> ((s, dir) => {
+      // "Users who did A also did B": ordered event-type pairs with
+      // support/confidence/lift — baskets aggregated once, pairs by
+      // double explode of the bounded per-user type set.
+      graft.operators.Events.coOccurrence(
+        Parallelism.spread(t(s, dir, "events")), "user_id", "event_type")
+    }),
+    "q_attribution_linear" -> ((s, dir) => {
+      // Which channel drove purchases: every purchase splits one
+      // credit unit equally across the user's click/view touches in
+      // the trailing 3 days — per-user range join, one window sort
+      // per conversion, exact DECIMAL credit sums.
+      graft.operators.Events.attributionCredits(
+        Parallelism.spread(t(s, dir, "events")),
+        "user_id", "ts_ms", "event_id", "event_type",
+        Seq("click", "view"), "purchase", windowMs = 259200000L,
+        model = "linear")
+    }),
+    "q_attribution_last" -> ((s, dir) => {
+      // The marketing default on the same events: all credit to the
+      // LATEST in-window touch (unique event-id tie-break).
+      graft.operators.Events.attributionCredits(
+        Parallelism.spread(t(s, dir, "events")),
+        "user_id", "ts_ms", "event_id", "event_type",
+        Seq("click", "view"), "purchase", windowMs = 259200000L,
+        model = "last")
     }),
     "q_ab_test" -> ((s, dir) => {
       // Two-proportion experiment readout: variants from the doc-id
@@ -2188,6 +2246,16 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5),
         "embedding", "vec_id", "vec_id", k = 10)
+    }),
+    "q_centroid_sim" -> ((s, dir) => {
+      // Which languages live in the same embedding region: per-lang
+      // centroid (one scan, exact decimal position sums) then cosine
+      // over the bounded lang-pair grid — the slice-geometry view
+      // that scopes cross-source semantic dedup.
+      val e = t(s, dir, "embeddings")
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      Similarity.centroidSimilarity(
+        e.join(d, col("vec_id") === col("doc_id")), "embedding", "lang")
     }),
     "q_bitext_margin" -> ((s, dir) => {
       // margin-normalized best-pair mining (LASER objective): a
@@ -4285,6 +4353,25 @@ object SparkEntry {
         |    / (pp::DOUBLE * nn::DOUBLE * 2.0), 6) AS auc,
         |  pp AS positives, nn AS negatives
         |FROM c, t GROUP BY pp, nn""".stripMargin,
+    // the same Mann-Whitney accumulation with the negative prefix
+    // and totals both per language
+    "q_auc_by_group" ->
+      s"""WITH d AS (SELECT lang, (doc_id % 4 = 0) AS label,
+        |    (${h16Sql("doc_id::VARCHAR || ':auc'")} % 1024) / 1024.0
+        |      + CASE WHEN doc_id % 4 = 0 THEN 0.25 ELSE 0 END AS score
+        |  FROM documents WHERE lang IS NOT NULL),
+        |g AS (SELECT lang, score AS s,
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS p,
+        |    sum(CASE WHEN label THEN 0 ELSE 1 END)::BIGINT AS n
+        |  FROM d GROUP BY 1, 2),
+        |c AS (SELECT *, sum(n) OVER (PARTITION BY lang ORDER BY s) AS cn FROM g)
+        |SELECT lang,
+        |  CASE WHEN sum(p) > 0 AND sum(n) > 0
+        |    THEN round(sum(p * (2 * cn - n))::DOUBLE
+        |      / (sum(p)::DOUBLE * sum(n)::DOUBLE * 2.0), 6)
+        |    ELSE 'NaN'::DOUBLE END AS auc,
+        |  sum(p)::BIGINT AS positives, sum(n)::BIGINT AS negatives
+        |FROM c GROUP BY 1""".stripMargin,
     // same desc sweep, the exact-integer (a+b-1)//b bucket ceil, and
     // cumulative rollup over the bounded bucket frame
     "q_gains" ->
@@ -4338,6 +4425,115 @@ object SparkEntry {
         |      * (1.0::DOUBLE - (conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE)
         |      * (1.0::DOUBLE / n_a::DOUBLE + 1.0::DOUBLE / n_b::DOUBLE)), 6) AS z
         |FROM m""".stripMargin,
+    // exact DECIMAL moment sums, means rounded 6 dp BEFORE the
+    // variance subtraction, identical fixed-order double t and
+    // Welch-Satterthwaite df
+    "q_welch" ->
+      """WITH d AS (SELECT event_type AS g, round(value, 6)::DECIMAL(18,6) AS x
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+        |a AS (SELECT
+        |    sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN g = 'click' THEN x END) AS sa,
+        |    sum(CASE WHEN g = 'click' THEN (x * x)::DECIMAL(38,12) END) AS qa,
+        |    sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN g = 'view' THEN x END) AS sb,
+        |    sum(CASE WHEN g = 'view' THEN (x * x)::DECIMAL(38,12) END) AS qb
+        |  FROM d),
+        |m AS (SELECT *, round(sa::DOUBLE / n_a::DOUBLE, 6) AS ma,
+        |    round(sb::DOUBLE / n_b::DOUBLE, 6) AS mb FROM a),
+        |v AS (SELECT *,
+        |    (qa::DOUBLE - n_a::DOUBLE * ma * ma) / (n_a::DOUBLE - 1.0) AS va,
+        |    (qb::DOUBLE - n_b::DOUBLE * mb * mb) / (n_b::DOUBLE - 1.0) AS vb
+        |  FROM m)
+        |SELECT n_a, n_b, ma AS mean_a, mb AS mean_b,
+        |  round(va, 6) AS var_a, round(vb, 6) AS var_b,
+        |  round((mb - ma) / sqrt(va / n_a::DOUBLE + vb / n_b::DOUBLE), 6) AS t,
+        |  round((va / n_a::DOUBLE + vb / n_b::DOUBLE)
+        |      * (va / n_a::DOUBLE + vb / n_b::DOUBLE)
+        |    / ((va / n_a::DOUBLE) * (va / n_a::DOUBLE) / (n_a::DOUBLE - 1.0)
+        |      + (vb / n_b::DOUBLE) * (vb / n_b::DOUBLE) / (n_b::DOUBLE - 1.0)),
+        |    4) AS df
+        |FROM v""".stripMargin,
+    // one grouped count per distinct value, tie-averaged ranks via
+    // the window prefix sum (2rank = 2cum - t + 1 exact), HUGEINT
+    // rank/tie sums mirroring Spark's DECIMAL, fixed-order double z
+    "q_mannwhitney" ->
+      """WITH d AS (SELECT value AS v, event_type AS g FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+        |c AS (SELECT v,
+        |    sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END)::BIGINT AS cb
+        |  FROM d GROUP BY 1),
+        |w AS (SELECT *, ca + cb AS t,
+        |    sum(ca + cb) OVER (ORDER BY v) AS cum FROM c),
+        |s AS (SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+        |    sum(cb::HUGEINT * (2 * cum - t + 1)::HUGEINT) AS s2,
+        |    sum((t::HUGEINT * t * t - t)::HUGEINT) AS tt FROM w),
+        |e AS (SELECT n_a, n_b,
+        |    (s2 - n_b::HUGEINT * (n_b + 1)::HUGEINT)::DOUBLE AS twou,
+        |    n_a::DOUBLE AS na, n_b::DOUBLE AS nb,
+        |    (n_a + n_b)::DOUBLE AS n, tt::DOUBLE AS ttd FROM s)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN round(twou / 2.0, 1) END AS u_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND n > 1
+        |      AND na * nb * ((n + 1.0) - ttd / (n * (n - 1.0))) / 12.0 > 0
+        |    THEN round((twou - na * nb)
+        |      / (2.0 * sqrt(na * nb * ((n + 1.0) - ttd / (n * (n - 1.0))) / 12.0)),
+        |      6) END AS z,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN round(twou / (na * nb) - 1.0, 6) END AS r_rank_biserial
+        |FROM e""".stripMargin,
+    // exact-integer basket/pair counts both sides; the three ratios
+    // are identically-ordered double divisions rounded 6 dp
+    "q_cooccurrence" ->
+      """WITH d AS (SELECT DISTINCT user_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |nb AS (SELECT count(DISTINCT user_id)::BIGINT AS n FROM d),
+        |i AS (SELECT event_type AS it, count(*)::BIGINT AS ni FROM d GROUP BY 1),
+        |p AS (SELECT a.event_type AS item_a, b.event_type AS item_b,
+        |    count(*)::BIGINT AS n_ab
+        |  FROM d a JOIN d b ON a.user_id = b.user_id
+        |    AND a.event_type <> b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, ia.ni AS n_a, ib.ni AS n_b, n_ab,
+        |  round(n_ab::DOUBLE / n, 6) AS support,
+        |  round(n_ab::DOUBLE / ia.ni, 6) AS confidence,
+        |  round(n_ab::DOUBLE * n / (ia.ni::DOUBLE * ib.ni), 6) AS lift
+        |FROM p JOIN i ia ON item_a = ia.it JOIN i ib ON item_b = ib.it, nb""".stripMargin,
+    // identical per-user range join + window; linear credits are
+    // round(1/n, 10) DECIMAL both sides, last = rn == n over the
+    // same (tt, event_id) total order
+    "q_attribution_linear" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |t AS (SELECT user_id, ms AS tt, event_id AS tid, event_type AS channel
+        |  FROM e WHERE event_type IN ('click', 'view')),
+        |c AS (SELECT user_id, ms AS tc, event_id AS cid FROM e
+        |  WHERE event_type = 'purchase'),
+        |j AS (SELECT t.channel, t.user_id, c.cid, t.tt, t.tid
+        |  FROM t JOIN c USING (user_id)
+        |  WHERE t.tt <= c.tc AND t.tt > c.tc - 259200000),
+        |w AS (SELECT *, count(*) OVER (PARTITION BY user_id, cid) AS n FROM j)
+        |SELECT channel, count(DISTINCT cid)::BIGINT AS n_conversions,
+        |  round(sum(round(1.0 / n, 10)::DECIMAL(28,10))::DOUBLE, 4) AS credit
+        |FROM w GROUP BY 1""".stripMargin,
+    "q_attribution_last" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |t AS (SELECT user_id, ms AS tt, event_id AS tid, event_type AS channel
+        |  FROM e WHERE event_type IN ('click', 'view')),
+        |c AS (SELECT user_id, ms AS tc, event_id AS cid FROM e
+        |  WHERE event_type = 'purchase'),
+        |j AS (SELECT t.channel, t.user_id, c.cid, t.tt, t.tid
+        |  FROM t JOIN c USING (user_id)
+        |  WHERE t.tt <= c.tc AND t.tt > c.tc - 259200000),
+        |w AS (SELECT *, count(*) OVER (PARTITION BY user_id, cid) AS n,
+        |    row_number() OVER (PARTITION BY user_id, cid
+        |      ORDER BY tt, tid) AS rn FROM j)
+        |SELECT channel, count(DISTINCT cid)::BIGINT AS n_conversions,
+        |  round(sum(1::DECIMAL(28,10))::DOUBLE, 4) AS credit
+        |FROM w WHERE rn = n GROUP BY 1""".stripMargin,
     // same 6 dp reference-decile edges (quantile_cont = Spark's exact
     // percentile), strict-> binning, Laplace shares, double-rounded
     // ln terms
@@ -6213,6 +6409,28 @@ object SparkEntry {
           |s AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine FROM c, q),
           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM s)
           |SELECT query_id, corpus_id, cosine, rank::INT AS rank FROM r WHERE rank <= 10""".stripMargin),
+    // q_cov's float->DECIMAL(19,6) discipline for the position sums,
+    // 6 dp means into DECIMAL(18,6), exact DECIMAL(38,12) dot/norm
+    // sums, one identical fixed-order double cosine
+    "q_centroid_sim" ->
+      """WITH u AS (SELECT d.lang AS g, gg.i::INT - 1 AS p,
+        |    e.embedding[gg.i]::DOUBLE::DECIMAL(19,6) AS x
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id,
+        |    generate_series(1, 64) AS gg(i)
+        |  WHERE e.embedding IS NOT NULL AND d.lang IS NOT NULL),
+        |c AS (SELECT g, p,
+        |    round(sum(x)::DOUBLE / count(*), 6)::DECIMAL(18,6) AS v
+        |  FROM u GROUP BY 1, 2),
+        |j AS (SELECT a.g AS group_a, b.g AS group_b,
+        |    sum((a.v * b.v)::DECIMAL(38,12)) AS dot,
+        |    sum((a.v * a.v)::DECIMAL(38,12)) AS na,
+        |    sum((b.v * b.v)::DECIMAL(38,12)) AS nb
+        |  FROM c a JOIN c b ON a.p = b.p AND a.g < b.g GROUP BY 1, 2)
+        |SELECT group_a, group_b,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    round(dot::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)), 6)
+        |  END AS cosine
+        |FROM j""".stripMargin,
     // mirrors marginMine: neighborhood sums of the 6-dp-rounded
     // cosines accumulate as exact DECIMAL (order-independent), the
     // margin is one double expression on those sums in both engines

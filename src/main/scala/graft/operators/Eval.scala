@@ -634,4 +634,190 @@ object Eval {
       .select(col("n_rows"), col("n_replicates"), col("mean"),
         col("ci_lo"), col("ci_hi"))
   }
+
+  /** Per-group (slice) ROC AUC — [[rocAuc]] computed independently
+    * for every slice of `groupCol`: the eval a mixed corpus actually
+    * needs, because a global AUC hides a filter that ranks perfectly
+    * on English and randomly on Thai (Simpson's-paradox territory —
+    * a model can beat another globally and lose on EVERY slice).
+    *
+    * Same tie-aware Mann–Whitney accumulation as [[rocAuc]], with
+    * the cumulative-negative prefix running per group (a RANGE
+    * window over the per-(group, score) aggregated frame — bounded
+    * by distinct scores per group, parallel across groups; never a
+    * window over raw rows). NaN for a group missing a class, same as
+    * the global twin.
+    *
+    * @return one row per group: (groupCol, auc 6 dp — NaN when a
+    *         class is absent, positives, negatives).
+    */
+  def rocAucByGroup(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      labelCol: String): DataFrame = {
+    val g = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .groupBy(col(groupCol), col(scoreCol).as("__s"))
+      .agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__s"))
+      .rangeBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    g.withColumn("__cn", sum(col("__n")).over(w))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("__p")).as("__P"),
+        sum(col("__n")).as("__N"),
+        sum(col("__p").cast("decimal(38,0)") *
+          (col("__cn") * 2 - col("__n"))).as("__num"))
+      .select(col(groupCol),
+        when(col("__P") > 0 && col("__N") > 0,
+          round(col("__num").cast("double") /
+            (col("__P").cast("double") * col("__N").cast("double") * lit(2.0)),
+            6))
+          .otherwise(lit(Double.NaN)).as("auc"),
+        col("__P").as("positives"),
+        col("__N").as("negatives"))
+  }
+
+  /** Welch's two-sample t-test (unequal variances) — the MEANS
+    * counterpart of [[abTest]]'s proportions z: "did the new
+    * filter / variant move the average session value", robust to the
+    * two slices having different spreads AND sizes (the corpus-slice
+    * norm; Student's pooled-variance t silently assumes equal
+    * variance). t = (mean_b − mean_a) / √(s²a/na + s²b/nb), df by
+    * Welch–Satterthwaite.
+    *
+    * ONE aggregation pass: values round 6 dp into DECIMAL(18,6) (the
+    * [[regressionStats]] |value| < 1e12 bound contract — squares stay
+    * under the 38-digit cap), so both sides' moment sums are exact
+    * and order-independent; means round 6 dp BEFORE the variance
+    * subtraction (the anomalies discipline) and everything after is
+    * fixed-order double arithmetic on the single output row. Rows
+    * with null value and other variants drop; t/df null unless both
+    * sides have n ≥ 2 and the combined SE is positive.
+    *
+    * @return one row: (n_a, n_b, mean_a 6 dp, mean_b 6 dp, var_a
+    *         6 dp, var_b 6 dp, t 6 dp, df 4 dp).
+    */
+  def welchTTest(
+      df: DataFrame,
+      variantCol: String,
+      valueCol: String,
+      variantA: String,
+      variantB: String): DataFrame = {
+    require(variantA != variantB, "the two variants must differ")
+    val v = col(variantCol)
+    val x = round(col(valueCol).cast("double"), 6).cast("decimal(18,6)")
+    def side(cond: org.apache.spark.sql.Column, suffix: String) = Seq(
+      coalesce(sum(when(cond, 1L)), lit(0L)).as("n_" + suffix),
+      sum(when(cond, x)).as("__s" + suffix),
+      sum(when(cond, (x * x).cast("decimal(38,12)"))).as("__q" + suffix))
+    val agg = df
+      .where(col(valueCol).isNotNull && (v === variantA || v === variantB))
+      .agg(side(v === variantA, "a").head,
+        (side(v === variantA, "a").tail ++ side(v === variantB, "b")): _*)
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val ma = round(col("__sa").cast("double") / na, 6)
+    val mb = round(col("__sb").cast("double") / nb, 6)
+    val va = (col("__qa").cast("double") - na * col("__ma") * col("__ma")) /
+      (na - lit(1.0))
+    val vb = (col("__qb").cast("double") - nb * col("__mb") * col("__mb")) /
+      (nb - lit(1.0))
+    val sea = col("__va") / na
+    val seb = col("__vb") / nb
+    val se2 = sea + seb
+    val okN = col("n_a") >= 2 && col("n_b") >= 2
+    agg
+      .withColumn("__ma", when(col("n_a") > 0, ma))
+      .withColumn("__mb", when(col("n_b") > 0, mb))
+      .withColumn("__va", when(okN, va))
+      .withColumn("__vb", when(okN, vb))
+      .select(
+        col("n_a"), col("n_b"),
+        col("__ma").as("mean_a"), col("__mb").as("mean_b"),
+        round(col("__va"), 6).as("var_a"),
+        round(col("__vb"), 6).as("var_b"),
+        round(when(okN && se2 > 0,
+          (col("__mb") - col("__ma")) / sqrt(se2)), 6).as("t"),
+        round(when(okN && se2 > 0,
+          se2 * se2 / (sea * sea / (na - lit(1.0)) +
+            seb * seb / (nb - lit(1.0)))), 4).as("df"))
+  }
+
+  /** Mann–Whitney U test — the NONPARAMETRIC twin of [[welchTTest]]:
+    * "does one slice's value distribution stochastically dominate the
+    * other's", immune to the heavy tails and outliers that move a
+    * mean (doc lengths, session values, latencies — most corpus
+    * metrics). Tie-aware: U from tie-averaged ranks, the normal
+    * approximation's variance carries the standard Σ(t³−t) tie
+    * correction, plus the rank-biserial effect size
+    * r = 2U_b/(n_a·n_b) − 1 ∈ [−1, 1] (the readable number once n
+    * makes every z "significant"). No continuity correction
+    * (documented; both engines identical).
+    *
+    * Scale shape: ONE grouped count per distinct value (map-side
+    * combined — never a per-row rank), ranks from the
+    * [[graft.operators.Cumulative]] distributed prefix sum over the
+    * bounded distinct-value frame, doubled-rank arithmetic kept in
+    * exact integers (2·rank_avg = 2·cum − t + 1) accumulated in
+    * DECIMAL — order-independent; one fixed-order double z at the
+    * boundary. Nulls and other variants drop; z null when every
+    * value ties (zero variance).
+    *
+    * @return one row: (n_a, n_b, u_b 1 dp — U of variant B, z 6 dp,
+    *         r_rank_biserial 6 dp).
+    */
+  def mannWhitneyU(
+      df: DataFrame,
+      variantCol: String,
+      valueCol: String,
+      variantA: String,
+      variantB: String): DataFrame = {
+    require(variantA != variantB, "the two variants must differ")
+    val g = col(variantCol)
+    val cells = df
+      .where(col(valueCol).isNotNull && (g === variantA || g === variantB))
+      .groupBy(col(valueCol).as("__v"))
+      .agg(
+        sum(when(g === variantA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(g === variantB, 1L).otherwise(0L)).as("__cb"))
+    val t = col("__ca") + col("__cb")
+    val withCum = Cumulative.withCumulativeSums(
+      cells.withColumn("__t", t), Seq(col("__t") -> "__cum"), col("__v"))
+    // 2·rank_avg of a tie block (size t, inclusive cum) = 2·cum − t + 1
+    val rank2 = (lit(2) * col("__cum") - col("__t") + lit(1)).cast("decimal(38,0)")
+    val s = withCum.agg(
+      coalesce(sum(col("__ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("__cb")), lit(0L)).as("n_b"),
+      coalesce(sum(col("__cb").cast("decimal(38,0)") * rank2), lit(0))
+        .cast("decimal(38,0)").as("__s2"),
+      coalesce(sum((col("__t").cast("decimal(38,0)") * col("__t") * col("__t") -
+        col("__t")).cast("decimal(38,0)")), lit(0))
+        .cast("decimal(38,0)").as("__tt"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val n = na + nb
+    // 2·U_b = Σ cb·2rank − nb·(nb+1), exact
+    val twoU = col("__s2") -
+      (col("n_b").cast("decimal(38,0)") *
+        (col("n_b") + 1).cast("decimal(38,0)")).cast("decimal(38,0)")
+    val varU = na * nb * ((n + lit(1.0)) -
+      col("__tt").cast("double") / (n * (n - lit(1.0)))) / lit(12.0)
+    val ok = col("n_a") > 0 && col("n_b") > 0
+    s.withColumn("__2u", twoU.cast("double"))
+      .withColumn("__varu", when(col("n_a") > 0 && col("n_b") > 0 && n > 1, varU))
+      .select(
+        col("n_a"), col("n_b"),
+        round(when(ok, col("__2u") / lit(2.0)), 1).as("u_b"),
+        round(when(col("__varu") > 0,
+          (col("__2u") - na * nb) / (lit(2.0) * sqrt(col("__varu")))), 6).as("z"),
+        round(when(ok, col("__2u") / (na * nb) - lit(1.0)), 6)
+          .as("r_rank_biserial"))
+  }
 }

@@ -1064,6 +1064,135 @@ object Events {
     }
   }
 
+  /** Item co-occurrence / association rules (support, confidence,
+    * lift) — the market-basket view of an event log: "users who did A
+    * also did B" for cross-sell, feature-adoption funnels, and
+    * co-usage diagnostics. One row per ORDERED pair (a → b):
+    * support = n_ab/N, confidence = n_ab/n_a, lift =
+    * n_ab·N/(n_a·n_b) (> 1 means A users do B more than base rate).
+    *
+    * Scale shape: one distinct-items-per-basket aggregation
+    * (collect_set — bounded by ITEM CARDINALITY, the categorical
+    * contract; the item column is a type/category, never a free
+    * string), then pairs by double explode of the bounded set — the
+    * §5 bucket-grouped pattern, never a corpus self-join — and one
+    * map-side-combined pair count. All outputs are exact-integer
+    * ratios rounded 6 dp. Null baskets/items drop.
+    *
+    * @return (item_a, item_b, n_a, n_b, n_ab, support 6 dp,
+    *         confidence 6 dp — P(b|a), lift 6 dp).
+    */
+  def coOccurrence(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String): DataFrame = {
+    val baskets = df
+      .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .groupBy(col(basketCol))
+      .agg(collect_set(col(itemCol)).as("__items"))
+      .localCheckpoint() // one basket scan feeds totals, items, pairs
+    val tot = baskets.agg(count(lit(1)).as("__nb"))
+    val itemN = baskets
+      .select(explode(col("__items")).as("__i"))
+      .groupBy(col("__i"))
+      .agg(count(lit(1)).as("__ni"))
+    val pairN = baskets
+      .select(explode(col("__items")).as("__a"), col("__items"))
+      .select(col("__a"), explode(col("__items")).as("__b"))
+      .where(col("__a") =!= col("__b"))
+      .groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairN
+      .join(broadcast(itemN.select(col("__i").as("__a"), col("__ni").as("n_a"))),
+        Seq("__a"))
+      .join(broadcast(itemN.select(col("__i").as("__b"), col("__ni").as("n_b"))),
+        Seq("__b"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("__a").as("item_a"), col("__b").as("item_b"),
+        col("n_a"), col("n_b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("__nb"), 6).as("support"),
+        round(col("n_ab").cast("double") / col("n_a"), 6).as("confidence"),
+        round(col("n_ab").cast("double") * col("__nb") /
+          (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+  }
+
+  /** Multi-touch attribution credits — "which channel gets credit
+    * for each conversion": every conversion event looks back over the
+    * user's touch events inside `(t_conv − windowMs, t_conv]` and
+    * distributes one unit of credit by `model`:
+    * `"linear"` — 1/n to each of its n in-window touches (the
+    * position-agnostic default), `"first"` — all credit to the
+    * earliest touch, `"last"` — all credit to the latest (the
+    * marketing default). Conversions with NO in-window touch receive
+    * no row (organic conversions are a different report — count them
+    * as total conversions − Σ n_conversions).
+    *
+    * Scale shape: touches join conversions per USER (equi-join on
+    * the user key + the range predicate — candidate volume is
+    * per-user touches × conversions inside the window, the
+    * [[TemporalJoin.rangeJoin]] shape, never cross-user); ONE window
+    * sort per conversion gives first-rank, count, and (total order
+    * via the unique id tie-break) last = n − rn + 1 derived without
+    * a second sort. Linear credits are 1/n rounded 10 dp into exact
+    * DECIMAL so per-channel sums are order-independent; one 4 dp
+    * boundary.
+    *
+    * @param idCol a UNIQUE event id — the tie-break that makes
+    *              first/last deterministic under equal timestamps
+    *              and the conversion identity for n_conversions.
+    * @return one row per touch channel: (channel, n_conversions —
+    *         distinct conversions the channel got any credit for,
+    *         credit 4 dp — Σ of this channel's credit units).
+    */
+  def attributionCredits(
+      df: DataFrame,
+      userCol: String,
+      tsMsCol: String,
+      idCol: String,
+      typeCol: String,
+      touchTypes: Seq[String],
+      conversionType: String,
+      windowMs: Long,
+      model: String = "linear"): DataFrame = {
+    require(Seq("linear", "first", "last").contains(model),
+      s"model must be linear, first or last, got $model")
+    require(touchTypes.nonEmpty, "no touch types given")
+    require(!touchTypes.contains(conversionType),
+      "the conversion type cannot also be a touch type")
+    require(windowMs >= 1, "windowMs must be positive")
+    val base = df.where(col(userCol).isNotNull && col(tsMsCol).isNotNull)
+    val touches = base
+      .where(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("__u"), col(tsMsCol).as("__tt"),
+        col(idCol).as("__tid"), col(typeCol).as("channel"))
+    val convs = base
+      .where(col(typeCol) === conversionType)
+      .select(col(userCol).as("__u"), col(tsMsCol).as("__tc"),
+        col(idCol).as("__cid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u"), col("__cid"))
+    val joined = touches.join(convs, Seq("__u"))
+      .where(col("__tt") <= col("__tc") &&
+        col("__tt") > col("__tc") - windowMs)
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col("__tt").asc, col("__tid").asc)))
+    val credited = model match {
+      case "linear" => joined.withColumn("__credit",
+        round(lit(1.0) / col("__n"), 10).cast("decimal(28,10)"))
+      case "first" => joined.where(col("__rn") === 1)
+        .withColumn("__credit", lit(1).cast("decimal(28,10)"))
+      case "last" => joined.where(col("__rn") === col("__n"))
+        .withColumn("__credit", lit(1).cast("decimal(28,10)"))
+    }
+    credited
+      .groupBy(col("channel"))
+      .agg(
+        countDistinct(col("__cid")).as("n_conversions"),
+        round(sum(col("__credit")).cast("double"), 4).as("credit"))
+  }
+
   /** Per-group peak of [[concurrency]]: (groupCols…, peak,
     * peak_at = the EARLIEST boundary reaching it). Bounded output
     * (one row per group); two passes over the already-bounded

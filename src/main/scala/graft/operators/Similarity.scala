@@ -48,6 +48,62 @@ object Similarity {
     out
   }
 
+  /** Pairwise cosine between GROUP CENTROIDS — the corpus-mix
+    * geometry view ("which languages/sources live in the same
+    * embedding region", the slice-level complement of the per-vector
+    * operators): per-group mean vector, then cosine over the bounded
+    * group-pair grid. Feeds mixing and dedup-scope decisions — two
+    * sources whose centroids read ≈ 1 are candidates for cross-source
+    * semantic dedup (row 80); ≈ orthogonal slices can dedup
+    * independently.
+    *
+    * Scale shape: ONE posexplode + map-side-combined groupBy over
+    * (group, position) — the corpus is scanned once and nothing
+    * bigger than (groups × dim) survives; the pair grid joins that
+    * bounded frame to itself on position (groups² × dim rows — the
+    * group column is categorical by contract, the crossTab rule).
+    * Determinism: components cast DECIMAL(19,6) (the q_cov float
+    * discipline) so position sums are exact and order-independent;
+    * means round 6 dp into DECIMAL(18,6); dot/norm sums are exact
+    * DECIMAL(38,12); one fixed-order double cosine at the boundary.
+    * Null groups/vectors drop; a zero-norm centroid yields null.
+    *
+    * @return one row per unordered group pair (group_a < group_b):
+    *         (group_a, group_b, cosine 6 dp).
+    */
+  def centroidSimilarity(
+      df: DataFrame,
+      vecCol: String,
+      groupCol: String): DataFrame = {
+    val cents = df
+      .where(col(vecCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        posexplode(col(vecCol)).as(Seq("__p", "__x")))
+      .groupBy(col("__g"), col("__p"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x").cast("decimal(19,6)")).as("__s"))
+      .select(col("__g"), col("__p"),
+        round(col("__s").cast("double") / col("__n"), 6)
+          .cast("decimal(18,6)").as("__v"))
+      .localCheckpoint() // bounded groups×dim; feeds both grid sides
+    val a = cents.select(col("__g").as("group_a"), col("__p"),
+      col("__v").as("__va"))
+    val b = cents.select(col("__g").as("group_b"), col("__p"),
+      col("__v").as("__vb"))
+    a.join(b, Seq("__p"))
+      .where(col("group_a") < col("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(
+        sum((col("__va") * col("__vb")).cast("decimal(38,12)")).as("__dot"),
+        sum((col("__va") * col("__va")).cast("decimal(38,12)")).as("__na"),
+        sum((col("__vb") * col("__vb")).cast("decimal(38,12)")).as("__nb"))
+      .select(col("group_a"), col("group_b"),
+        round(when(col("__na") > 0 && col("__nb") > 0,
+          col("__dot").cast("double") /
+            (sqrt(col("__na").cast("double")) *
+              sqrt(col("__nb").cast("double")))), 6).as("cosine"))
+  }
+
   /** Exact top-k cosine neighbours for each query vector.
     *
     * @return (query id, corpus id, cosine, rank) — rank 1..k,

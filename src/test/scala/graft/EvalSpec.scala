@@ -379,4 +379,61 @@ class EvalSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().head
     assert(c._3 == 0.0)
   }
+
+  test("rocAucByGroup: each slice equals the global operator on that slice; NaN class-absent") {
+    val df = Seq(
+      ("en", 0.9, true), ("en", 0.8, false), ("en", 0.7, true), ("en", 0.1, false),
+      ("de", 0.2, true), ("de", 0.9, false), ("de", 0.5, true),
+      ("th", 0.5, true), ("th", 0.6, true)) // no negatives → NaN
+      .toDF("g", "score", "label")
+    val by = Eval.rocAucByGroup(df, "g", "score", "label")
+      .collect().map(r =>
+        r.getString(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    for (g <- Seq("en", "de")) {
+      val solo = Eval.rocAuc(df.where($"g" === g), "score", "label").head()
+      assert(by(g) == ((solo.getDouble(0), solo.getLong(1), solo.getLong(2))), g)
+    }
+    assert(by("th")._1.isNaN && by("th")._2 == 2L && by("th")._3 == 0L)
+  }
+
+  test("welchTTest: hand-computed t and Welch-Satterthwaite df, degenerate guards") {
+    // A = {1,2,3}: mean 2, var 1. B = {5,7,9}: mean 7, var 4.
+    // se2 = 1/3 + 4/3 = 5/3; t = 5/sqrt(5/3) = sqrt(15); df = 50/17.
+    val df = (Seq(1, 2, 3).map(x => ("a", x.toDouble)) ++
+      Seq(5, 7, 9).map(x => ("b", x.toDouble))).toDF("g", "x")
+    val r = Eval.welchTTest(df, "g", "x", "a", "b").head()
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 3L)))
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 7.0)
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 4.0)
+    assert(r.getDouble(6) == math.rint(math.sqrt(15.0) * 1e6) / 1e6)
+    assert(r.getDouble(7) == math.rint(50.0 / 17.0 * 1e4) / 1e4)
+    // one-row side: variance undefined -> t/df null
+    val tiny = Seq(("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "x")
+    val t0 = Eval.welchTTest(tiny, "g", "x", "a", "b").head()
+    assert(t0.isNullAt(6) && t0.isNullAt(7))
+    intercept[IllegalArgumentException] {
+      Eval.welchTTest(df, "g", "x", "a", "a")
+    }
+  }
+
+  test("mannWhitneyU: hand-computed tie-averaged U, tie-corrected z, effect size") {
+    // A = {1,2,3}, B = {2,3,4}: ranks 1, 2.5, 2.5, 4.5, 4.5, 6
+    // R_b = 13, U_b = 7; T = 12; varU = 0.75*(7 - 0.4) = 4.95
+    val df = (Seq(1, 2, 3).map(x => ("a", x.toDouble)) ++
+      Seq(2, 3, 4).map(x => ("b", x.toDouble))).toDF("g", "x")
+    val r = Eval.mannWhitneyU(df, "g", "x", "a", "b").head()
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 3L)))
+    assert(r.getDouble(2) == 7.0)
+    assert(r.getDouble(3) == math.rint(2.5 / math.sqrt(4.95) * 1e6) / 1e6)
+    assert(r.getDouble(4) == math.rint((14.0 / 9.0 - 1.0) * 1e6) / 1e6)
+    // every value tied: zero variance -> z null, U still defined
+    val tied = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)).toDF("g", "x")
+    val tr = Eval.mannWhitneyU(tied, "g", "x", "a", "b").head()
+    assert(tr.isNullAt(3))
+    assert(tr.getDouble(2) == 1.0) // U_b = 1*2 - 1 = 1 (mid-rank 2)
+    // repartition determinism (distributed prefix-sum ranks)
+    assert(Eval.mannWhitneyU(df.repartition(7), "g", "x", "a", "b")
+      .collect().toSeq == Eval.mannWhitneyU(df, "g", "x", "a", "b")
+      .collect().toSeq)
+  }
 }

@@ -681,6 +681,53 @@ class EventsSpec extends SparkSpec {
     assert(glob == ((2L, 2L)))
   }
 
+  test("coOccurrence: hand-computed support/confidence/lift, duplicates collapse") {
+    // baskets: u1{A,B}, u2{A,B}, u3{A}, u4{B,C}; N=4, nA=3, nB=3, nC=1
+    val ev = Seq((1L, "A"), (1L, "B"), (1L, "A"), // duplicate A collapses
+      (2L, "A"), (2L, "B"), (3L, "A"), (4L, "B"), (4L, "C"))
+      .toDF("u", "it")
+    val out = Events.coOccurrence(ev, "u", "it")
+      .as[(String, String, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(out.size == 4) // A->B, B->A, B->C, C->B
+    val ab = out(("A", "B"))
+    assert((ab._3, ab._4, ab._5) == ((3L, 3L, 2L)))
+    assert(ab._6 == 0.5 && ab._7 == 0.666667 && ab._8 == 0.888889)
+    val cb = out(("C", "B"))
+    assert(cb._7 == 1.0 && cb._8 == 1.333333)
+    // ordered-pair symmetry where supports are symmetric
+    assert(out(("B", "A"))._5 == 2L && out(("B", "C"))._7 == 0.333333)
+  }
+
+  test("attributionCredits: linear splits, first/last deterministic, window respected") {
+    val ev = Seq(
+      (1L, 1L, 101L, "click"),    // in window of the t=3 purchase
+      (1L, 2L, 102L, "view"),     // in window
+      (1L, 3L, 103L, "purchase"),
+      (2L, 100L, 201L, "click"),  // 100 <= 200 - 10: outside window
+      (2L, 200L, 202L, "purchase"),
+      (3L, 5L, 301L, "click"),    // tied timestamps: id tie-break
+      (3L, 5L, 302L, "view"),
+      (3L, 6L, 303L, "purchase")).toDF("u", "ts", "id", "typ")
+    def run(model: String) = Events.attributionCredits(ev, "u", "ts", "id",
+      "typ", Seq("click", "view"), "purchase", windowMs = 10L, model = model)
+      .as[(String, Long, Double)].collect().toSet
+    assert(run("linear") ==
+      Set(("click", 2L, 1.0), ("view", 2L, 1.0)))
+    // first touch: user 1 -> click(t=1); user 3 tie -> id 301 (click)
+    assert(run("first") == Set(("click", 2L, 2.0)))
+    // last touch: user 1 -> view(t=2); user 3 tie -> id 302 (view)
+    assert(run("last") == Set(("view", 2L, 2.0)))
+    intercept[IllegalArgumentException] {
+      Events.attributionCredits(ev, "u", "ts", "id", "typ",
+        Seq("click"), "purchase", 10L, model = "shapley")
+    }
+    intercept[IllegalArgumentException] {
+      Events.attributionCredits(ev, "u", "ts", "id", "typ",
+        Seq("purchase"), "purchase", 10L)
+    }
+  }
+
   test("peakConcurrency: a null group key is a real group, not a dropped row") {
     // concurrency() emits the null-key group; the peak probe join
     // must be null-safe or the group silently vanishes from the report

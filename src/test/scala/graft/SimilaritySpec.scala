@@ -214,6 +214,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("centroidSimilarity: orthogonal 0, parallel 1, zero-norm null, bounded grid") {
+    val df = Seq(
+      ("a", Seq(1.0f, 0.0f)), ("a", Seq(3.0f, 0.0f)), // centroid (2, 0)
+      ("b", Seq(0.0f, 2.0f)),                         // centroid (0, 2)
+      ("c", Seq(4.0f, 0.0f)),                         // centroid (4, 0) ∥ a
+      ("z", Seq(0.0f, 0.0f)))                         // zero norm
+      .toDF("g", "vec")
+    val out = Similarity.centroidSimilarity(df, "vec", "g")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out.size == 6) // all unordered pairs of 4 groups
+    assert(out(("a", "b")) == Some(0.0))
+    assert(out(("a", "c")) == Some(1.0))
+    assert(out(("b", "c")) == Some(0.0))
+    assert(out(("a", "z")) == None && out(("b", "z")) == None)
+    // null group rows drop; repartition-deterministic
+    val withNull = df.unionAll(
+      Seq((null.asInstanceOf[String], Seq(9.0f, 9.0f))).toDF("g", "vec"))
+    assert(Similarity.centroidSimilarity(withNull.repartition(7), "vec", "g")
+      .collect().toSet ==
+      Similarity.centroidSimilarity(df, "vec", "g").collect().toSet)
+  }
+
   test("rerankTopK: covering shortlist reproduces brute force; restricted shortlist is respected") {
     val q = corpus.where($"id" === 1L)
     val exact = Similarity.bruteForceTopK(corpus, q, "vec", "id", "id", k = 3)
