@@ -902,6 +902,19 @@ object SparkEntry {
           label.as("label"))
       graft.operators.Eval.rocAuc(scored, "score", "label")
     }),
+    "q_bh" -> ((s, dir) => {
+      // FDR control over a battery of synthetic slice tests: null
+      // p-values uniform dyadic, every 4th doc's test carries signal
+      // (p/50) — BH at q=0.05 must reject the signal block and admit
+      // ~5% of the nulls; exact-rational step-up compare.
+      val h = pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":bh"))), 1, 4), 16, 10).cast("long"), lit(1024))
+      val p = when(pmod(col("doc_id"), lit(4)) === 0, h / lit(51200.0))
+        .otherwise(h / lit(1024.0))
+      graft.operators.Eval.bhCorrection(
+        Parallelism.spread(t(s, dir, "documents")).select(p.as("p")),
+        "p", q = 0.05)
+    }),
     "q_auc_by_group" -> ((s, dir) => {
       // The slice eval: the same synthetic gate scored PER LANGUAGE
       // — a global AUC hides a filter that ranks one language
@@ -4353,6 +4366,25 @@ object SparkEntry {
         |    / (pp::DOUBLE * nn::DOUBLE * 2.0), 6) AS auc,
         |  pp AS positives, nn AS negatives
         |FROM c, t GROUP BY pp, nn""".stripMargin,
+    // identical dyadic p synthesis, the same no-division DECIMAL
+    // step-up compare (p*m <= rank*q), cutoff as one bounded max
+    "q_bh" ->
+      (s"""WITH d AS (SELECT CASE WHEN doc_id % 4 = 0
+          |    THEN (${h16Sql("doc_id::VARCHAR || ':bh'")} % 1024) / 51200.0
+          |    ELSE (${h16Sql("doc_id::VARCHAR || ':bh'")} % 1024) / 1024.0
+          |  END AS p FROM documents),
+          |c AS (SELECT p, count(*)::BIGINT AS cnt FROM d GROUP BY 1),
+          |r AS (SELECT *, sum(cnt) OVER (ORDER BY p) AS rnk FROM c),
+          |m AS (SELECT sum(cnt)::BIGINT AS m FROM c),
+          |f AS (SELECT p, rnk, m,
+          |    (p::DECIMAL(18,10) * m <=
+          |      rnk::DECIMAL(18,6) * 0.050000::DECIMAL(12,6)) AS pass
+          |  FROM r, m),
+          |k AS (SELECT coalesce(max(CASE WHEN pass THEN rnk END), 0) AS cut FROM f)
+          |SELECT p AS p_value, m AS n_tests, rnk::BIGINT AS rank,
+          |  round(rnk::DOUBLE * 0.05 / m, 6) AS bh_critical,
+          |  rnk <= cut AS rejected
+          |FROM f, k""".stripMargin),
     // the same Mann-Whitney accumulation with the negative prefix
     // and totals both per language
     "q_auc_by_group" ->

@@ -635,6 +635,67 @@ object Eval {
         col("ci_lo"), col("ci_hi"))
   }
 
+  /** Benjamini–Hochberg FDR correction (JRSS-B 1995) — the
+    * multiple-comparisons control the rest of this eval suite
+    * creates a need for: run [[abTest]]/[[welchTTest]]/
+    * [[mannWhitneyU]] over 100 slices and ~5 of them read
+    * "significant" at α = 0.05 by chance alone; BH's step-up rule
+    * bounds the FALSE DISCOVERY RATE at `q` instead (reject all
+    * hypotheses ranked ≤ the largest i with p₍ᵢ₎ ≤ i·q/m).
+    *
+    * Scale shape: one grouped count per DISTINCT p (map-side
+    * combined), ranks from the [[graft.operators.Cumulative]]
+    * distributed prefix sum over the bounded distinct-p frame, the
+    * step-up cutoff as ONE bounded aggregate broadcast back — never
+    * a per-row sort. Ties: a tied block shares the block's LARGEST
+    * rank (the most favorable index — the standard step-up reading;
+    * any member passing there passes for all). The p ≤ i·q/m compare
+    * runs on exact rationals spelled as `p·m ≤ i·q` in DECIMAL —
+    * no division, no float boundary. Null p drops; p outside [0, 1]
+    * raises in-plan.
+    *
+    * @return one row per DISTINCT p value: (p_value, n_tests,
+    *         rank — the tie block's largest index, bh_critical 6 dp
+    *         = rank·q/m, rejected — applies to every test in the
+    *         block). Join back on p_value for a per-test frame.
+    */
+  def bhCorrection(
+      df: DataFrame,
+      pCol: String,
+      q: Double): DataFrame = {
+    require(q > 0 && q < 1, "q must be in (0, 1)")
+    val pOk = when(col(pCol) < 0 || col(pCol) > 1,
+      raise_error(lit(s"bhCorrection: $pCol outside [0, 1]"))
+        .cast("double"))
+      .otherwise(col(pCol).cast("double"))
+    val cells = df
+      .where(col(pCol).isNotNull)
+      .select(pOk.as("__p"))
+      .groupBy(col("__p"))
+      .agg(count(lit(1)).as("__c"))
+    val ranked = Cumulative.withCumulativeSum(
+      cells, col("__c"), col("__p"), "__rank")
+    val tot = cells.agg(coalesce(sum(col("__c")), lit(0L)).as("__m"))
+    // exact-rational step-up test: p <= rank*q/m  <=>  p*m <= rank*q,
+    // both sides exact DECIMAL (q to 6 dp by contract)
+    val qDec = lit(BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .cast("decimal(12,6)")
+    val flagged = ranked.crossJoin(broadcast(tot))
+      .withColumn("__pass",
+        col("__p").cast("decimal(18,10)") * col("__m") <=
+          col("__rank").cast("decimal(18,6)") * qDec)
+    val cut = flagged.agg(
+      coalesce(max(when(col("__pass"), col("__rank"))), lit(0L)).as("__cut"))
+    flagged.crossJoin(broadcast(cut))
+      .select(
+        col("__p").as("p_value"),
+        col("__m").as("n_tests"),
+        col("__rank").as("rank"),
+        round(col("__rank").cast("double") * lit(q) / col("__m"), 6)
+          .as("bh_critical"),
+        (col("__rank") <= col("__cut")).as("rejected"))
+  }
+
   /** Per-group (slice) ROC AUC — [[rocAuc]] computed independently
     * for every slice of `groupCol`: the eval a mixed corpus actually
     * needs, because a global AUC hides a filter that ranks perfectly

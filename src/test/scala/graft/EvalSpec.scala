@@ -380,6 +380,32 @@ class EvalSpec extends SparkSpec {
     assert(c._3 == 0.0)
   }
 
+  test("bhCorrection: step-up rescues below-cut failures, ties share the block rank") {
+    // q=0.1, m=3: crits 0.0333/0.0667/0.1 — 0.07 FAILS its own crit
+    // but 0.09 passes rank 3, so the step-up rejects ALL three
+    val df = Seq(0.003, 0.07, 0.09).toDF("p")
+    val out = Eval.bhCorrection(df, "p", q = 0.1)
+      .as[(Double, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(out.map(_._5).forall(identity), s"step-up must reject all: ${out.toSeq}")
+    assert(out.map(_._3).toSeq == Seq(1L, 2L, 3L))
+    assert(out(1)._4 == 0.066667)
+    // plain case: the large p stays admitted
+    val out2 = Eval.bhCorrection(Seq(0.01, 0.02, 0.03, 0.5).toDF("p"), "p", 0.1)
+      .as[(Double, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(out2.map(r => (r._1, r._5)).toSeq ==
+      Seq((0.01, true), (0.02, true), (0.03, true), (0.5, false)))
+    // tie block shares its LARGEST rank and decides as one
+    val tied = Eval.bhCorrection(Seq(0.02, 0.02).toDF("p"), "p", 0.1)
+      .as[(Double, Long, Long, Double, Boolean)].collect().toSeq
+    assert(tied == Seq((0.02, 2L, 2L, 0.1, true)))
+    intercept[Exception] {
+      Eval.bhCorrection(Seq(1.5).toDF("p"), "p", 0.1).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Eval.bhCorrection(df, "p", 0.0)
+    }
+  }
+
   test("rocAucByGroup: each slice equals the global operator on that slice; NaN class-absent") {
     val df = Seq(
       ("en", 0.9, true), ("en", 0.8, false), ("en", 0.7, true), ("en", 0.1, false),
