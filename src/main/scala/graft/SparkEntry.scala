@@ -969,6 +969,18 @@ object SparkEntry {
         Parallelism.spread(t(s, dir, "events")),
         "event_type", "value", "click", "view")
     }),
+    "q_cusum" -> ((s, dir) => {
+      // Sustained-shift detection the z-score flags miss: two-sided
+      // CUSUM per user over the value stream (target 50 = the
+      // stream's design mean, slack 5, decision interval 100) — the
+      // recursive max-reset folded into one per-key window sort via
+      // the prefix-minus-running-min identity.
+      graft.operators.Events.cusum(
+        Parallelism.spread(t(s, dir, "events"))
+          .select(col("user_id"), col("ts_ms"), col("event_id"), col("value")),
+        "user_id", Seq("ts_ms", "event_id"), "value",
+        target = 50.0, slack = 5.0, h = 100.0)
+    }),
     "q_cooccurrence" -> ((s, dir) => {
       // "Users who did A also did B": ordered event-type pairs with
       // support/confidence/lift — baskets aggregated once, pairs by
@@ -4516,6 +4528,27 @@ object SparkEntry {
         |  CASE WHEN n_a > 0 AND n_b > 0
         |    THEN round(twou / (na * nb) - 1.0, 6) END AS r_rank_biserial
         |FROM e""".stripMargin,
+    // the same prefix-minus-running-min identity over identical
+    // 6 dp DECIMAL deviations; alarm compares in DECIMAL, levels
+    // convert once at the boundary
+    "q_cusum" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value
+        |  FROM events WHERE value IS NOT NULL),
+        |p AS (SELECT *,
+        |    sum(round(value - 50.0 - 5.0, 6)::DECIMAL(18,6)) OVER w AS pu,
+        |    sum(round(-(value - 50.0) - 5.0, 6)::DECIMAL(18,6)) OVER w AS pd
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |    ROWS UNBOUNDED PRECEDING)),
+        |m AS (SELECT *, least(0, min(pu) OVER w2) AS mu,
+        |    least(0, min(pd) OVER w2) AS md
+        |  FROM p WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT user_id, ts_ms, event_id, value,
+        |  (pu - mu > 100.000000::DECIMAL(18,6)
+        |    OR pd - md > 100.000000::DECIMAL(18,6)) AS alarm,
+        |  round((pu - mu)::DOUBLE, 6) AS cusum_hi,
+        |  round((pd - md)::DOUBLE, 6) AS cusum_lo
+        |FROM m""".stripMargin,
     // exact-integer basket/pair counts both sides; the three ratios
     // are identically-ordered double divisions rounded 6 dp
     "q_cooccurrence" ->

@@ -1064,6 +1064,66 @@ object Events {
     }
   }
 
+  /** CUSUM change-point detection (Page 1954) — the SMALL-SHIFT
+    * complement of [[anomalies]]' z-score flags: a z-score catches
+    * one big spike, CUSUM accumulates many small deviations until a
+    * sustained LEVEL SHIFT (a new crawl source degrading quality, a
+    * metric drifting 2% per day) crosses the decision interval.
+    * Standard two-sided form: S⁺_t = max(0, S⁺_{t−1} + (x_t − target
+    * − slack)), S⁻ the mirror; alarm when either exceeds `h`.
+    *
+    * Distributed shape: the recursive max-reset folds into prefix
+    * algebra — S⁺_t = P_t − min(0, min_{j≤t} P_j) with P the running
+    * sum of (x − target − slack) — so both sides come from ONE
+    * per-key window sort (two running sums + two running mins over
+    * the same ordering), never a sequential fold. Deviations round
+    * 6 dp into exact DECIMAL so every prefix is order-independent
+    * and replayable; |value| bounded by the DECIMAL(18,6) cast (the
+    * regressionStats contract). Null values drop.
+    *
+    * @param orderCols a TOTAL order within the key (add a unique id
+    *                  to break timestamp ties — the [[withEwma]]
+    *                  convention).
+    * @return input + (cusum_hi 6 dp, cusum_lo 6 dp, alarm).
+    */
+  def cusum(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      valueCol: String,
+      target: Double,
+      slack: Double,
+      h: Double): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must not be empty")
+    require(slack >= 0, s"slack must be >= 0, got $slack")
+    require(h > 0, s"h must be positive, got $h")
+    val x = col(valueCol).cast("double")
+    val dUp = round(x - target - slack, 6).cast("decimal(18,6)")
+    val dDn = round(-(x - target) - slack, 6).cast("decimal(18,6)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val base = df.where(col(valueCol).isNotNull)
+      .withColumn("__pu", sum(dUp).over(w))
+      .withColumn("__pd", sum(dDn).over(w))
+      .withColumn("__mu", least(lit(0).cast("decimal(18,6)"), min(col("__pu")).over(w)))
+      .withColumn("__md", least(lit(0).cast("decimal(18,6)"), min(col("__pd")).over(w)))
+    val hDec = lit(BigDecimal(h).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .cast("decimal(18,6)")
+    base
+      // the alarm compares in exact DECIMAL; the reported levels
+      // convert ONCE at the output boundary (wide decimals
+      // materialize asymmetrically across parquet readers — the
+      // round-12 rollup lesson)
+      .withColumn("alarm",
+        col("__pu") - col("__mu") > hDec || col("__pd") - col("__md") > hDec)
+      .withColumn("cusum_hi",
+        round((col("__pu") - col("__mu")).cast("double"), 6))
+      .withColumn("cusum_lo",
+        round((col("__pd") - col("__md")).cast("double"), 6))
+      .drop("__pu", "__pd", "__mu", "__md")
+  }
+
   /** Item co-occurrence / association rules (support, confidence,
     * lift) — the market-basket view of an event log: "users who did A
     * also did B" for cross-sell, feature-adoption funnels, and

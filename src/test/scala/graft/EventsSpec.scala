@@ -681,6 +681,35 @@ class EventsSpec extends SparkSpec {
     assert(glob == ((2L, 2L)))
   }
 
+  test("cusum: hand-computed two-sided levels, reset identity, alarm threshold") {
+    // target 50, slack 5, h 10: values [60, 30, 58] →
+    // S+ = [5, 0, 3] (the −25 step resets through max(0,·)),
+    // S− = [0, 15, 2] — row 2 crosses h on the LOW side
+    val ev = Seq((1L, 1L, 60.0), (1L, 2L, 30.0), (1L, 3L, 58.0))
+      .toDF("k", "t", "v")
+    val out = Events.cusum(ev, "k", Seq("t"), "v",
+      target = 50.0, slack = 5.0, h = 10.0)
+      .orderBy("t")
+      .select("t", "alarm", "cusum_hi", "cusum_lo")
+      .as[(Long, Boolean, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, false, 5.0, 0.0),
+      (2L, true, 0.0, 15.0),
+      (3L, false, 3.0, 2.0)))
+    // keys are independent; null values drop
+    val multi = ev.unionAll(Seq((2L, Some(1L), Some(200.0)),
+      (1L, Some(4L), Option.empty[Double]))
+      .toDF("k", "t", "v"))
+    val withNull = Events.cusum(multi, "k", Seq("t"), "v", 50.0, 5.0, 10.0)
+    assert(withNull.where($"k" === 2L)
+      .select("alarm").as[Boolean].collect().toSeq ==
+      Seq(true)) // 200 − 55 = 145 > 10 immediately
+    assert(withNull.where($"k" === 1L).count() == 3) // the null row left
+    intercept[IllegalArgumentException] {
+      Events.cusum(ev, "k", Seq("t"), "v", 50.0, -1.0, 10.0)
+    }
+  }
+
   test("coOccurrence: hand-computed support/confidence/lift, duplicates collapse") {
     // baskets: u1{A,B}, u2{A,B}, u3{A}, u4{B,C}; N=4, nA=3, nB=3, nC=1
     val ev = Seq((1L, "A"), (1L, "B"), (1L, "A"), // duplicate A collapses
