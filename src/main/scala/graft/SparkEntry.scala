@@ -811,6 +811,24 @@ object SparkEntry {
         t(s, dir, "customer"), "c_name",
         minLen = 4, maxLen = 64, maxBucket = 500)
     }),
+    "q_fuzzy_jw" -> ((s, dir) => {
+      // The GRADED matcher next to q_fuzzy_join's exact distance-1:
+      // Jaro-Winkler over the same typo-noisy entity names, blocked
+      // on the extracted numeric key (the blocking survives both the
+      // suffix and the leading typo — first-letter blocking would
+      // not); native codegen kernel, DuckDB-identical semantics.
+      val m3 = pmod(expr("doc_id div 12"), lit(3))
+      val base = concat(lit("company-"),
+        (pmod(col("doc_id"), lit(12)) * 7919).cast("string"))
+      val names = Parallelism.spread(t(s, dir, "documents"))
+        .select(
+          when(m3 === 0, concat(base, lit("x")))
+            .when(m3 === 1, concat(lit("k"), substring(base, 2, 100)))
+            .otherwise(base).as("name"))
+        .withColumn("blk", regexp_extract(col("name"), "[0-9]+", 0))
+      graft.operators.Fuzzy.jaroWinklerPairs(
+        names, "name", Seq("blk"), threshold = 0.9)
+    }),
     "q_entity_resolution" -> ((s, dir) => {
       // The full record-linkage composition over typo-noisy entity
       // names (12 companies × {base, suffix-typo, leading-typo}):
@@ -4248,6 +4266,25 @@ object SparkEntry {
         |  CASE WHEN nu = 0 THEN 0.0 ELSE round(c::DOUBLE * eu_ / nu, 4) END AS est_inter,
         |  CASE WHEN nu = 0 THEN 0.0 ELSE round(c::DOUBLE / nu, 6) END AS jaccard_kmv
         |FROM e""".stripMargin,
+    // the native kernel implements DuckDB's jaro_winkler_similarity
+    // semantics verbatim (0.7 boost threshold, prefix cap 4,
+    // half-transposition count, empty sides 0) — the oracle IS the
+    // reference implementation; 6 dp boundary both sides
+    "q_fuzzy_jw" ->
+      """WITH n AS (SELECT
+        |    CASE WHEN (doc_id // 12) % 3 = 0
+        |      THEN 'company-' || ((doc_id % 12) * 7919)::VARCHAR || 'x'
+        |    WHEN (doc_id // 12) % 3 = 1
+        |      THEN 'k' || substr('company-' || ((doc_id % 12) * 7919)::VARCHAR, 2)
+        |    ELSE 'company-' || ((doc_id % 12) * 7919)::VARCHAR END AS name
+        |  FROM documents),
+        |b AS (SELECT DISTINCT regexp_extract(name, '[0-9]+') AS blk, name FROM n),
+        |p AS (SELECT DISTINCT a.name AS value_a, b2.name AS value_b
+        |  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.name < b2.name)
+        |SELECT value_a, value_b,
+        |  round(jaro_winkler_similarity(value_a, value_b), 6) AS jw
+        |FROM p
+        |WHERE round(jaro_winkler_similarity(value_a, value_b), 6) >= 0.9""".stripMargin,
     // deletion-neighborhood blocking replayed exactly: {v} ∪ the
     // single-char deletions, the same HAVING <= 500 bucket cap, the
     // same levenshtein verify — completeness makes blocked == exact

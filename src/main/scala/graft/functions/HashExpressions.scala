@@ -612,3 +612,83 @@ case class WordlistHits(child: Expression, words: Seq[String]) extends UnaryExpr
   override protected def withNewChildInternal(newChild: Expression): WordlistHits =
     copy(child = newChild)
 }
+
+/** Static kernel for the native Jaro–Winkler expression. */
+object FuzzyKernels {
+
+  /** Classic Jaro–Winkler similarity (Winkler 1990), matching
+    * DuckDB's `jaro_winkler_similarity` semantics exactly: Jaro with
+    * the ⌊max(|s|,|t|)/2⌋−1 matching window and half-transposition
+    * count, boosted only when jaro > 0.7 by l·0.1·(1 − jaro) over
+    * the ≤ 4-char common prefix; any empty side scores 0 (including
+    * both-empty — DuckDB's convention). Operates on UTF-16 code
+    * units of the decoded strings, identical to DuckDB over the
+    * ASCII entity keys the pairs operator blocks on.
+    */
+  def jaroWinkler(av: UTF8String, bv: UTF8String): Double = {
+    val s = av.toString
+    val t = bv.toString
+    val n = s.length
+    val m = t.length
+    if (n == 0 || m == 0) return 0.0
+    if (s == t) return 1.0
+    val window = math.max(0, math.max(n, m) / 2 - 1)
+    val sM = new Array[Boolean](n)
+    val tM = new Array[Boolean](m)
+    var matches = 0
+    var i = 0
+    while (i < n) {
+      val hi = math.min(m - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!tM(j) && s.charAt(i) == t.charAt(j)) {
+          sM(i) = true; tM(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var k = 0
+    var trans = 0
+    i = 0
+    while (i < n) {
+      if (sM(i)) {
+        while (!tM(k)) k += 1
+        if (s.charAt(i) != t.charAt(k)) trans += 1
+        k += 1
+      }
+      i += 1
+    }
+    val mm = matches.toDouble
+    val jaro = (mm / n + mm / m + (mm - trans / 2) / mm) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxL = math.min(4, math.min(n, m))
+    while (l < maxL && s.charAt(l) == t.charAt(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
+}
+
+/** Native Jaro–Winkler similarity — codegen'd; see
+  * [[FuzzyKernels.jaroWinkler]] for the exact semantics contract.
+  */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    FuzzyKernels.jaroWinkler(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.FuzzyKernels.jaroWinkler($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinklerExpr =
+    copy(left = newLeft, right = newRight)
+}

@@ -93,4 +93,58 @@ object Fuzzy {
       .select(col("l.__v").as("a"), col("r.__v").as("b"), col("dist"))
       .distinct() // a pair can share several keys; emit once
   }
+
+  /** Native Jaro–Winkler similarity column (DuckDB
+    * `jaro_winkler_similarity` semantics — see
+    * [[graft.functions.FuzzyKernels.jaroWinkler]]): the
+    * edit-distance family's GRADED cousin, weighting shared prefixes
+    * — the name/title matcher (edit distance treats "jonathan" vs
+    * "jonathon" and "jonathan" vs "zonathan" identically; JW does
+    * not).
+    */
+  def jaroWinkler(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.JaroWinklerExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
+
+  /** Jaro–Winkler pairs within `blockBy` groups — [[editDistancePairs]]
+    * has a completeness guarantee from its deletion neighborhoods;
+    * JW has no such exact blocking, so candidacy is an EXPLICIT,
+    * user-chosen blocking key (an extracted numeric id, a phonetic
+    * key, a length band — whatever survives the expected typo class;
+    * recall is scoped to pairs sharing a block, by contract). Within
+    * blocks: the §5 bucket-grouped pair pattern (collect + double
+    * explode, never a corpus self-join), one codegen'd JW kernel per
+    * candidate, 6 dp rounding.
+    *
+    * @return (value_a, value_b, jw ≥ threshold, 6 dp), value_a <
+    *         value_b, distinct across blocks.
+    */
+  def jaroWinklerPairs(
+      df: DataFrame,
+      valueCol: String,
+      blockBy: Seq[String],
+      threshold: Double = 0.9,
+      maxBlock: Int = 0): DataFrame = {
+    require(blockBy.nonEmpty,
+      "jaroWinklerPairs needs an explicit blocking key (JW has no " +
+        "exact-blocking guarantee; see editDistancePairs for typo-class joins)")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val exploded = Parallelism.spread(df)
+      .where(col(valueCol).isNotNull &&
+        blockBy.map(col(_).isNotNull).reduce(_ && _))
+      .select(col(valueCol).cast("string").as("__v"),
+        lit(0).as("__bpos"), struct(blockBy.map(col): _*).as("__bkey"))
+      .distinct()
+    Dedup.bucketPairs(exploded, col("__v"), maxBlock)
+      .where(col("__a") < col("__b"))
+      .select(col("__a").as("value_a"), col("__b").as("value_b"))
+      .distinct() // the same value pair can share several blocks
+      .withColumn("jw",
+        round(jaroWinkler(col("value_a"), col("value_b")), 6))
+      .where(col("jw") >= threshold)
+  }
 }

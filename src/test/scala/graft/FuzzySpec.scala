@@ -82,4 +82,38 @@ class FuzzySpec extends SparkSpec {
       .select($"a", $"b").as[(String, String)].collect().toSet
     assert(got == bruteDist1(vals))
   }
+
+  test("jaroWinkler: reference values, boost threshold, empty-side zero") {
+    def jw(a: String, b: String): Double =
+      Seq((a, b)).toDF("a", "b")
+        .select(Fuzzy.jaroWinkler($"a", $"b")).head().getDouble(0)
+    // classic reference pairs — exact doubles match DuckDB's
+    // jaro_winkler_similarity (probed values)
+    assert(jw("martha", "marhta") == 0.9611111111111111)
+    assert(jw("dixon", "dicksonx") == 0.8133333333333332)
+    assert(jw("jellyfish", "smellyfish") == 0.8962962962962964)
+    assert(jw("dwayne", "duane") == 0.8400000000000001)
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("abc", "xyz") == 0.0)
+    assert(jw("a", "") == 0.0 && jw("", "") == 0.0)
+    // the 0.7 boost threshold: jaro 0.5 with a shared prefix stays 0.5
+    assert(jw("aaxxxxxx", "aayyyyyy") == 0.5)
+    // just above the threshold boosts
+    assert(jw("ab", "abcdefghij") == 0.7866666666666667)
+  }
+
+  test("jaroWinklerPairs: blocked candidates only, threshold filter, validation") {
+    val df = Seq(
+      ("b1", "jonathan"), ("b1", "jonathon"), // high JW — pair
+      ("b1", "zebra"),                        // same block, low JW
+      ("b2", "jonathan2")                     // other block: no pair
+    ).toDF("blk", "name")
+    val out = Fuzzy.jaroWinklerPairs(df, "name", Seq("blk"), threshold = 0.9)
+      .as[(String, String, Double)].collect().toSeq
+    assert(out.map(p => (p._1, p._2)) == Seq(("jonathan", "jonathon")))
+    assert(out.head._3 > 0.9)
+    intercept[IllegalArgumentException] {
+      Fuzzy.jaroWinklerPairs(df, "name", Nil)
+    }
+  }
 }
