@@ -2046,6 +2046,13 @@ object SparkEntry {
       graft.operators.Profile.cramersV(
         Parallelism.spread(t(s, dir, "documents")), "source", "lang")
     }),
+    "q_mutual_info" -> ((s, dir) => {
+      // The information-theoretic reading of the same confound: how
+      // many nats does the source tell you about the language, and
+      // the cardinality-normalized NMI for cross-pair comparison.
+      graft.operators.Profile.mutualInformation(
+        Parallelism.spread(t(s, dir, "documents")), "source", "lang")
+    }),
     "q_drift" -> ((s, dir) => {
       // What the length gate did to the language mix: per-lang
       // KL/JS contributions between the full corpus and the
@@ -6138,6 +6145,30 @@ object SparkEntry {
         |    round(sqrt(chi::DOUBLE / (n::DOUBLE * (least(nr, nc) - 1)::DOUBLE)), 6)
         |  END AS cramers_v
         |FROM s, x""".stripMargin,
+    // identical 8 dp DECIMAL ln terms (the distributionDrift
+    // ln-boundary discipline) for MI and both entropies; NMI is one
+    // fixed-order double at the boundary
+    "q_mutual_info" ->
+      """WITH c AS (SELECT source, lang, count(*)::BIGINT AS c FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+        |ra AS (SELECT source, sum(c)::BIGINT AS ra FROM c GROUP BY 1),
+        |cb AS (SELECT lang, sum(c)::BIGINT AS cl FROM c GROUP BY 1),
+        |nn AS (SELECT sum(c)::DOUBLE AS n, count(DISTINCT source)::BIGINT AS na,
+        |    count(DISTINCT lang)::BIGINT AS nb FROM c),
+        |mi AS (SELECT coalesce(sum(round((c / n) * ln(c * n / (ra::DOUBLE * cl)), 8)
+        |    ::DECIMAL(28,8)), 0) AS m
+        |  FROM c JOIN ra USING (source) JOIN cb USING (lang), nn),
+        |ha AS (SELECT coalesce(sum(round(-(ra / n) * ln(ra / n), 8)
+        |    ::DECIMAL(28,8)), 0) AS h FROM ra, nn),
+        |hb AS (SELECT coalesce(sum(round(-(cl / n) * ln(cl / n), 8)
+        |    ::DECIMAL(28,8)), 0) AS h FROM cb, nn)
+        |SELECT n::BIGINT AS n_rows, na AS n_a, nb AS n_b,
+        |  round(m::DOUBLE, 6) AS mi,
+        |  round(ha.h::DOUBLE, 6) AS h_a, round(hb.h::DOUBLE, 6) AS h_b,
+        |  CASE WHEN ha.h > 0 AND hb.h > 0
+        |    THEN round(m::DOUBLE / sqrt(ha.h::DOUBLE * hb.h::DOUBLE), 6)
+        |  END AS nmi
+        |FROM nn, mi, ha, hb""".stripMargin,
     // identical marginal products and the left-associative
     // (o−e)²/e — counts are exact longs, one double rounding per term
     "q_crosstab" ->

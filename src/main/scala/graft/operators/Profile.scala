@@ -932,6 +932,69 @@ object Profile {
           .as("cramers_v"))
   }
 
+  /** Mutual information between two categorical columns — the
+    * INFORMATION-theoretic reading next to [[cramersV]]'s effect
+    * size: MI = Σ p(a,b)·ln(p(a,b)/(p(a)·p(b))) says how many nats
+    * knowing the source tells you about the language; the normalized
+    * form NMI = MI/√(H(A)·H(B)) ∈ [0,1] compares across column
+    * pairs with different cardinalities (the feature-selection /
+    * redundant-column scan).
+    *
+    * Same one-scan cell machinery as [[crossTab]]/[[cramersV]]
+    * (staged bounded cell frame, marginals derived from it) — only
+    * OBSERVED cells contribute (0·ln 0 = 0, so the zero cells of the
+    * full grid add nothing — unlike χ²). Null categories excluded by
+    * the shared contract. Determinism: per-cell/per-marginal ln
+    * terms round 8 dp into exact DECIMAL(28,8) (order-independent;
+    * the [[distributionDrift]] ln-boundary discipline), one
+    * fixed-order double derivation at the boundary.
+    *
+    * @return one row: (n_rows, n_a, n_b, mi 6 dp, h_a 6 dp, h_b
+    *         6 dp, nmi 6 dp — null when either entropy is 0).
+    */
+  def mutualInformation(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df
+      .where(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA), col(colB))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val ra = cells.groupBy(col(colA)).agg(sum(col("__c")).as("__ra"))
+    val cb = cells.groupBy(col(colB)).agg(sum(col("__c")).as("__cb"))
+    val nn = cells.agg(sum(col("__c")).cast("double").as("__n"),
+      countDistinct(col(colA)).as("__na"),
+      countDistinct(col(colB)).as("__nb"))
+    def entropy(m: DataFrame, cnt: String) = m
+      .crossJoin(broadcast(nn.select(col("__n"))))
+      .agg(coalesce(sum(
+        round(-(col(cnt) / col("__n")) * log(col(cnt) / col("__n")), 8)
+          .cast("decimal(28,8)")), lit(0)).cast("decimal(28,8)"))
+    val ha = entropy(ra, "__ra")
+    val hb = entropy(cb, "__cb")
+    val mi = cells
+      .join(broadcast(ra), Seq(colA))
+      .join(broadcast(cb), Seq(colB))
+      .crossJoin(broadcast(nn.select(col("__n"))))
+      .agg(coalesce(sum(
+        round((col("__c") / col("__n")) *
+          log(col("__c") * col("__n") /
+            (col("__ra").cast("double") * col("__cb"))), 8)
+          .cast("decimal(28,8)")), lit(0)).cast("decimal(28,8)"))
+    nn.select(
+      col("__n").cast("long").as("n_rows"),
+      col("__na").as("n_a"), col("__nb").as("n_b"))
+      .crossJoin(broadcast(mi.toDF("__mi")))
+      .crossJoin(broadcast(ha.toDF("__ha")))
+      .crossJoin(broadcast(hb.toDF("__hb")))
+      .select(col("n_rows"), col("n_a"), col("n_b"),
+        round(col("__mi").cast("double"), 6).as("mi"),
+        round(col("__ha").cast("double"), 6).as("h_a"),
+        round(col("__hb").cast("double"), 6).as("h_b"),
+        round(when(col("__ha") > 0 && col("__hb") > 0,
+          col("__mi").cast("double") /
+            sqrt(col("__ha").cast("double") * col("__hb").cast("double"))), 6)
+          .as("nmi"))
+  }
+
   // Null categories excluded by the same contract as cramersV /
   // distributionDrift: the marginal joins match on equality, so a
   // null-category cell would inflate n and the marginals while its

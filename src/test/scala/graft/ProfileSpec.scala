@@ -830,6 +830,27 @@ class ProfileSpec extends SparkSpec {
       .collect().toSeq == one)
   }
 
+  test("mutualInformation: perfect = ln2/NMI 1, independence = 0, null drop") {
+    val perfect = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")).toDF("s", "l")
+    val p = Profile.mutualInformation(perfect, "s", "l").head()
+    assert((p.getLong(0), p.getLong(1), p.getLong(2)) == ((4L, 2L, 2L)))
+    assert(p.getDouble(3) == 0.693147 && p.getDouble(6) == 1.0)
+    assert(p.getDouble(4) == 0.693147 && p.getDouble(5) == 0.693147)
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")).toDF("s", "l")
+    val i = Profile.mutualInformation(indep, "s", "l").head()
+    assert(i.getDouble(3) == 0.0 && i.getDouble(6) == 0.0)
+    // a constant column has zero entropy → NMI undefined (null)
+    val flat = Seq(("a", "x"), ("a", "y")).toDF("s", "l")
+    assert(Profile.mutualInformation(flat, "s", "l").head().isNullAt(6))
+    // null categories excluded, matching cramersV's contract
+    val withNull = Seq[(Option[String], Option[String])](
+      (Some("a"), Some("x")), (Some("a"), Some("x")),
+      (Some("b"), Some("y")), (Some("b"), Some("y")),
+      (None, Some("x")), (Some("a"), None)).toDF("s", "l")
+    assert(Profile.mutualInformation(withNull, "s", "l").collect().toSeq ==
+      Profile.mutualInformation(perfect, "s", "l").collect().toSeq)
+  }
+
   test("cramersV/crossTab: null categories are excluded, not counted as zeros") {
     // a null category would inflate n and the marginals while its
     // observed cell never matches the grid's equality join — the
