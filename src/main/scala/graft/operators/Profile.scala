@@ -127,6 +127,25 @@ object Profile {
         round(col("__q"), 4).as("quantile"))
   }
 
+  /** Null-safe (<=>) join-back of a bounded per-group frame onto the
+    * corpus: `groupBy` keeps a NULL group as a real group (its
+    * threshold/moments are computed), so a plain equality join-back
+    * would silently drop or null-score exactly those rows — the
+    * round-13 ADVICE defect class (cramersV/tCloseness). A null
+    * group is a real slice ("language unknown"); it joins back like
+    * any other.
+    */
+  private def joinBackByGroup(
+      df: DataFrame,
+      bounded: DataFrame,
+      groupCol: String,
+      joinType: String = "inner"): DataFrame = {
+    val pk = "__jb_" + groupCol
+    df.join(bounded.withColumnRenamed(groupCol, pk),
+        col(groupCol) <=> col(pk), joinType)
+      .drop(pk)
+  }
+
   /** Per-group quantile GATE: drop every row whose `valueCol` falls
     * below its own group's `prob`-quantile — "keep each domain's top
     * 75 % by quality score", the relative-threshold filter that
@@ -137,8 +156,9 @@ object Profile {
     * (raw interpolated doubles differ in the last ulp across
     * engines). Rows in a group too small for interpolation still get
     * the exact percentile semantics; ties at the threshold are kept.
-    * `approx = true` switches the threshold fit to t-digests for the
-    * 100 TB configuration.
+    * A NULL group is a real slice — gated against its own threshold
+    * (null-safe join-back). `approx = true` switches the threshold
+    * fit to t-digests for the 100 TB configuration.
     */
   def dropBelowGroupQuantile(
       df: DataFrame,
@@ -153,7 +173,7 @@ object Profile {
       if (approx) approx_percentile(col(valueCol).cast("double"), lit(prob), lit(accuracy))
       else percentile(col(valueCol).cast("double"), lit(prob))
     val thresholds = df.groupBy(col(groupCol)).agg(round(q, 6).as(thrCol))
-    df.join(thresholds, Seq(groupCol))
+    joinBackByGroup(df, thresholds, groupCol)
       .where(col(valueCol).cast("double") >= col(thrCol))
       .drop(thrCol)
   }
@@ -191,7 +211,7 @@ object Profile {
       else percentile(col(valueCol).cast("double"), lit(p))
     val thresholds = df.groupBy(col(groupCol))
       .agg(round(q(pLo), 6).as(lo), round(q(pHi), 6).as(hi))
-    df.join(thresholds, Seq(groupCol))
+    joinBackByGroup(df, thresholds, groupCol)
       // least/greatest SKIP nulls (a null value would clip to the lo
       // bound) — gate the clip on non-null explicitly
       .withColumn(out, when(col(valueCol).isNotNull,
@@ -273,12 +293,12 @@ object Profile {
     val nn = df.where(col(valueCol).isNotNull)
     val medians = nn.groupBy(col(groupCol))
       .agg(round(med(col(valueCol).cast("double")), 6).as(medCol))
-    val mads = nn.join(medians, Seq(groupCol))
+    val mads = joinBackByGroup(nn, medians, groupCol)
       .groupBy(col(groupCol))
       .agg(round(med(abs(col(valueCol).cast("double") - col(medCol))), 6)
         .as(madCol))
-    df.join(medians, Seq(groupCol), "left")
-      .join(mads, Seq(groupCol), "left")
+    joinBackByGroup(joinBackByGroup(df, medians, groupCol, "left"),
+        mads, groupCol, "left")
       .withColumn(out,
         when(col(valueCol).isNotNull && col(madCol) > 0,
           round((col(valueCol) - col(medCol)) /
@@ -322,7 +342,7 @@ object Profile {
       .withColumn(sCol, round(sqrt(greatest(lit(0.0),
         col("__sq").cast("double") / col("__cnt") - col(mCol) * col(mCol))), 6))
       .select(col(groupCol), col(mCol), col(sCol))
-    df.join(moments, Seq(groupCol), "left")
+    joinBackByGroup(df, moments, groupCol, "left")
       .withColumn(out,
         when(col(valueCol).isNotNull && col(sCol) > 0,
           round((col(valueCol) - col(mCol)) / col(sCol), 4)))
@@ -392,7 +412,7 @@ object Profile {
       when(v.isNull, lit(null).cast("string"))) { (acc, i) =>
       acc.when(v <= col(thrCols(i)), lit(labels(i)))
     }.otherwise(lit(labels.last))
-    df.join(thresholds, Seq(groupCol))
+    joinBackByGroup(df, thresholds, groupCol)
       .withColumn(outCol, bucket)
       .drop(thrCols: _*)
   }

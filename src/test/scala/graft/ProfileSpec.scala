@@ -830,6 +830,33 @@ class ProfileSpec extends SparkSpec {
       .collect().toSeq == one)
   }
 
+  test("per-group join-backs treat a NULL group as a real slice") {
+    // groupBy computes the null group's threshold/moments; a plain
+    // equality join-back would silently drop or null-score its rows
+    val df = Seq[(Option[String], Option[Double])](
+      (Some("a"), Some(1.0)), (Some("a"), Some(2.0)), (Some("a"), Some(3.0)),
+      (None, Some(10.0)), (None, Some(20.0)), (None, Some(30.0)))
+      .toDF("g", "v")
+    // winsorize is row-preserving for the null group too
+    val w = Profile.winsorize(df, "v", "g", pLo = 0.0, pHi = 0.5)
+    assert(w.count() == 6)
+    assert(w.where($"g".isNull).select($"v_w").as[Double]
+      .collect().sorted.toSeq == Seq(10.0, 20.0, 20.0))
+    // the gate keeps the null group's own top half
+    val gated = Profile.dropBelowGroupQuantile(df, "v", "g", prob = 0.5)
+    assert(gated.where($"g".isNull).select($"v").as[Double]
+      .collect().sorted.toSeq == Seq(20.0, 30.0))
+    // z-scores are real numbers for the null group, not nulls
+    val z = Profile.standardizeByGroup(df, "v", "g")
+    assert(z.where($"g".isNull && $"v_z".isNotNull).count() == 3)
+    val rz = Profile.robustScaleByGroup(df, "v", "g")
+    assert(rz.where($"g".isNull && $"v_rz".isNotNull).count() == 3)
+    // quantile buckets label the null group like any other
+    val b = Profile.bucketByGroupQuantiles(df, "v", "g",
+      probs = Seq(0.5), labels = Seq("low", "high"))
+    assert(b.where($"g".isNull).count() == 3)
+  }
+
   test("mutualInformation: perfect = ln2/NMI 1, independence = 0, null drop") {
     val perfect = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")).toDF("s", "l")
     val p = Profile.mutualInformation(perfect, "s", "l").head()
