@@ -101,15 +101,21 @@ object Eval {
     def term(r: org.apache.spark.sql.Column, rank: org.apache.spark.sql.Column) =
       round(gain(r) / log(rank.cast("double") + lit(1.0)), 8)
         .cast("decimal(20,8)")
-    val dcg = ranked
+    // null query/doc ids drop by contract: the dcg↔rels join and the
+    // final full join both match on equality, so a null id would
+    // fetch no relevance AND split into two half-rows (null ≠ null
+    // in a full join) — silent wrong shape
+    val ranked0 = ranked.where(col(queryCol).isNotNull && col(docCol).isNotNull)
+    val rels0 = rels.where(col(queryCol).isNotNull && col(docCol).isNotNull)
+    val dcg = ranked0
       .where(col(rankCol) <= k)
-      .join(rels.select(col(queryCol), col(docCol), col(relCol)),
+      .join(rels0.select(col(queryCol), col(docCol), col(relCol)),
         Seq(queryCol, docCol), "left")
       .groupBy(col(queryCol))
       .agg(sum(term(coalesce(col(relCol), lit(0)), col(rankCol))).as("__dcg"))
     val wIdeal = Window.partitionBy(col(queryCol))
       .orderBy(col(relCol).desc, col(docCol).asc)
-    val idcg = rels
+    val idcg = rels0
       .where(col(relCol) > 0)
       .withColumn("__ir", row_number().over(wIdeal))
       .where(col("__ir") <= k)

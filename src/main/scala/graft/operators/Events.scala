@@ -714,7 +714,15 @@ object Events {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col("__d"))
       .rowsBetween(Long.MinValue, 0)
-    spine.join(daily, Seq(keyCol, "__d"), "left")
+    // null-safe on the key: a NULL-key series is a real series (its
+    // spine and daily sums both exist) — a plain equality join would
+    // silently null out every one of its buckets
+    spine.join(
+        daily.withColumnRenamed(keyCol, "__gf_k")
+          .withColumnRenamed("__d", "__gf_d"),
+        col(keyCol) <=> col("__gf_k") && col("__d") === col("__gf_d"),
+        "left")
+      .drop("__gf_k", "__gf_d")
       .select(
         col(keyCol),
         (col("__d") * stepMs).as("bucket_ms"),

@@ -380,6 +380,19 @@ class EvalSpec extends SparkSpec {
     assert(c._3 == 0.0)
   }
 
+  test("ndcgAtK: null query/doc ids drop - no half-rows from the full join") {
+    val ranked = Seq[(Option[String], Option[String], Int)](
+      (Some("q1"), Some("d1"), 1), (None, Some("dx"), 1),
+      (Some("q1"), None, 2)).toDF("q", "d", "rank")
+    val rels = Seq[(Option[String], Option[String], Int)](
+      (Some("q1"), Some("d1"), 3), (None, Some("dx"), 3))
+      .toDF("q", "d", "rel")
+    val out = Eval.ndcgAtK(ranked, rels, "q", "d", "rank", "rel", k = 10)
+      .collect()
+    assert(out.length == 1 && out.head.getString(0) == "q1",
+      s"null ids must not split into half-rows: ${out.toSeq}")
+  }
+
   test("bhCorrection: step-up rescues below-cut failures, ties share the block rank") {
     // q=0.1, m=3: crits 0.0333/0.0667/0.1 — 0.07 FAILS its own crit
     // but 0.09 passes rank 3, so the step-up rejects ALL three

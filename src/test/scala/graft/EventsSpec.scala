@@ -681,6 +681,19 @@ class EventsSpec extends SparkSpec {
     assert(glob == ((2L, 2L)))
   }
 
+  test("gapFill: a NULL-key series fills like any other (null-safe spine join)") {
+    val ev = Seq[(Option[String], Long, Double)](
+      (None, 0L, 1.0), (None, 3000L, 4.0), (Some("a"), 0L, 9.0))
+      .toDF("k", "ts", "v")
+    val out = Events.gapFill(ev, "ts", "k", "v", stepMs = 1000L)
+      .where($"k".isNull)
+      .orderBy("bucket_ms")
+      .select($"value_filled".cast("double")).as[Double].collect().toSeq
+    // buckets 0..3: [1, ffill 1, ffill 1, 4] — an equality join would
+    // have nulled every bucket of the null-key series
+    assert(out == Seq(1.0, 1.0, 1.0, 4.0))
+  }
+
   test("cusum: hand-computed two-sided levels, reset identity, alarm threshold") {
     // target 50, slack 5, h 10: values [60, 30, 58] →
     // S+ = [5, 0, 3] (the −25 step resets through max(0,·)),
