@@ -4531,8 +4531,10 @@ object SparkEntry {
         |m AS (SELECT *, round(sa::DOUBLE / n_a::DOUBLE, 6) AS ma,
         |    round(sb::DOUBLE / n_b::DOUBLE, 6) AS mb FROM a),
         |v AS (SELECT *,
-        |    (qa::DOUBLE - n_a::DOUBLE * ma * ma) / (n_a::DOUBLE - 1.0) AS va,
-        |    (qb::DOUBLE - n_b::DOUBLE * mb * mb) / (n_b::DOUBLE - 1.0) AS vb
+        |    greatest(0.0, qa::DOUBLE - n_a::DOUBLE * ma * ma)
+        |      / (n_a::DOUBLE - 1.0) AS va,
+        |    greatest(0.0, qb::DOUBLE - n_b::DOUBLE * mb * mb)
+        |      / (n_b::DOUBLE - 1.0) AS vb
         |  FROM m)
         |SELECT n_a, n_b, ma AS mean_a, mb AS mean_b,
         |  round(va, 6) AS var_a, round(vb, 6) AS var_b,
@@ -4615,7 +4617,8 @@ object SparkEntry {
     // same (tt, event_id) total order
     "q_attribution_linear" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type
-        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_id IS NOT NULL),
         |t AS (SELECT user_id, ms AS tt, event_id AS tid, event_type AS channel
         |  FROM e WHERE event_type IN ('click', 'view')),
         |c AS (SELECT user_id, ms AS tc, event_id AS cid FROM e
@@ -4629,7 +4632,8 @@ object SparkEntry {
         |FROM w GROUP BY 1""".stripMargin,
     "q_attribution_last" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type
-        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_id IS NOT NULL),
         |t AS (SELECT user_id, ms AS tt, event_id AS tid, event_type AS channel
         |  FROM e WHERE event_type IN ('click', 'view')),
         |c AS (SELECT user_id, ms AS tc, event_id AS cid FROM e

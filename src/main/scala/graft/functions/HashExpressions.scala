@@ -621,7 +621,11 @@ object FuzzyKernels {
     * the ⌊max(|s|,|t|)/2⌋−1 matching window and half-transposition
     * count, boosted only when jaro > 0.7 by l·0.1·(1 − jaro) over
     * the ≤ 4-char common prefix; any empty side scores 0 (including
-    * both-empty — DuckDB's convention). Operates on UTF-16 code
+    * both-empty — VERIFIED against the oracle's DuckDB 1.0.0:
+    * `jaro_winkler_similarity('','')` = 0.0 there, as are the
+    * one-empty-side cases; newer rapidfuzz builds return 1.0 for
+    * both-empty, so re-check this edge if the oracle engine is ever
+    * upgraded). Operates on UTF-16 code
     * units of the decoded strings, identical to DuckDB over the
     * ASCII entity keys the pairs operator blocks on.
     */

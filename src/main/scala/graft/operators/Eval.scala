@@ -792,9 +792,14 @@ object Eval {
     val nb = col("n_b").cast("double")
     val ma = round(col("__sa").cast("double") / na, 6)
     val mb = round(col("__sb").cast("double") / nb, 6)
-    val va = (col("__qa").cast("double") - na * col("__ma") * col("__ma")) /
+    // greatest(0, ·): the 6 dp-rounded mean makes qa − n·ma² a tiny
+    // negative for a constant-valued arm; clamp so var is never
+    // reported below zero (mirrored in the DuckDB oracle)
+    val va = greatest(lit(0.0),
+      col("__qa").cast("double") - na * col("__ma") * col("__ma")) /
       (na - lit(1.0))
-    val vb = (col("__qb").cast("double") - nb * col("__mb") * col("__mb")) /
+    val vb = greatest(lit(0.0),
+      col("__qb").cast("double") - nb * col("__mb") * col("__mb")) /
       (nb - lit(1.0))
     val sea = col("__va") / na
     val seb = col("__vb") / nb

@@ -1229,7 +1229,13 @@ object Events {
     require(!touchTypes.contains(conversionType),
       "the conversion type cannot also be a touch type")
     require(windowMs >= 1, "windowMs must be positive")
-    val base = df.where(col(userCol).isNotNull && col(tsMsCol).isNotNull)
+    // idCol is the conversion identity AND the first/last tie-break:
+    // a null id would collapse every null-id conversion of a user
+    // into one (__u, null) window partition (inflating __n) while
+    // countDistinct silently excluded it — drop it like the other
+    // two key columns instead of skewing both numbers.
+    val base = df.where(col(userCol).isNotNull && col(tsMsCol).isNotNull &&
+      col(idCol).isNotNull)
     val touches = base
       .where(col(typeCol).isin(touchTypes: _*))
       .select(col(userCol).as("__u"), col(tsMsCol).as("__tt"),

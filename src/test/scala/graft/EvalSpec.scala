@@ -450,6 +450,17 @@ class EvalSpec extends SparkSpec {
     val tiny = Seq(("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "x")
     val t0 = Eval.welchTTest(tiny, "g", "x", "a", "b").head()
     assert(t0.isNullAt(6) && t0.isNullAt(7))
+    // constant-valued arm whose 6 dp-rounded mean makes qa - n*ma^2
+    // come out a hair negative in FP: var must clamp to exactly 0.0,
+    // never a tiny negative, and t/df null out on the se2 > 0 guard
+    // (with x = 0.1: qa = 0.03 exactly via DECIMAL, but n·ma² in
+    // double is 0.030000000000000006 — unclamped va would be ~ -2e-18)
+    val const = (Seq.fill(3)(("a", 0.1)) ++
+      Seq(("b", 2.0), ("b", 4.0), ("b", 6.0))).toDF("g", "x")
+    val cr = Eval.welchTTest(const, "g", "x", "a", "b").head()
+    assert(cr.getDouble(4) == 0.0, s"var_a must clamp to 0, got $cr")
+    assert(cr.getDouble(5) == 4.0)
+
     intercept[IllegalArgumentException] {
       Eval.welchTTest(df, "g", "x", "a", "a")
     }

@@ -41,13 +41,20 @@ fi
 # Bench with one retry when the reading comes back contended (>10%
 # of reps probe-flagged — Bench emits "contended": true): a loaded
 # box produces a non-record-quality number, and recording it anyway
-# is how round-13's BENCH_LAST overstated the board.
+# is how round-13's BENCH_LAST overstated the board. If the RETRY is
+# also contended the gate must refuse to be the record: the artifact
+# stays on disk for diagnosis, but the gate exits non-zero at the
+# end so a contended pair can never be published as record-quality.
+GATE_CONTENDED=0
 run_bench () { # $1 = sf dir, $2 = out json
   SPARK_GRAFT_SF_DIR=$1 SPARK_GRAFT_BENCH_OUT=$2 sbt -batch "runMain graft.Bench"
   if python3 -c "import json,sys; sys.exit(0 if json.load(open('$2')).get('contended') else 1)"; then
     echo "[sf1_gate] $2 contended - retrying once"
     SPARK_GRAFT_SF_DIR=$1 SPARK_GRAFT_BENCH_OUT=$2 sbt -batch "runMain graft.Bench"
-    python3 -c "import json; d=json.load(open('$2')); print('[sf1_gate] retry contended:', d.get('contended'))"
+    if python3 -c "import json,sys; sys.exit(0 if json.load(open('$2')).get('contended') else 1)"; then
+      echo "[sf1_gate] ERROR: $2 STILL contended after retry - NOT record quality"
+      GATE_CONTENDED=1
+    fi
   fi
 }
 echo "[sf1_gate] bench sf0.1"
@@ -60,4 +67,10 @@ python3 tools/scale_report.py tmp/bench_sf0.1.json tmp/bench_sf1.json \
 echo "[sf1_gate] dsirResample rank-path probe (k = 40% of sf1 corpus)"
 SPARK_GRAFT_SF_DIR=$SF1 sbt -batch "runMain graft.tools.RankProbe"
 
+if [ "$GATE_CONTENDED" = 1 ]; then
+  echo "[sf1_gate] FAILED: a bench reading stayed contended after its" \
+       "retry - rerun on a quiet box; do NOT publish tmp/bench_*.json" \
+       "as the record"
+  exit 2
+fi
 echo "[sf1_gate] done - tmp/scale_report.md has the per-query table"
