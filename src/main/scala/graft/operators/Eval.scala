@@ -47,10 +47,17 @@ object Eval {
     require(c >= 0, "c must be non-negative")
     require(topK >= 1, "topK must be positive")
     import org.apache.spark.sql.expressions.Window
-    val parts = rankings.map(_.select(
-      col(queryCol), col(docCol),
-      round(lit(1.0) / (col(rankCol).cast("double") + c), 8)
-        .cast("decimal(20,8)").as("__c")))
+    // a null query/doc/rank row is not a ranking entry: left in, it
+    // would consume a fused output rank slot (shifting every real
+    // doc below it) and null contributions would silently vanish
+    // from the per-doc sum — the ndcgAtK null contract, same reason
+    val parts = rankings.map(_
+      .where(col(queryCol).isNotNull && col(docCol).isNotNull &&
+        col(rankCol).isNotNull)
+      .select(
+        col(queryCol), col(docCol),
+        round(lit(1.0) / (col(rankCol).cast("double") + c), 8)
+          .cast("decimal(20,8)").as("__c")))
     val w = Window.partitionBy(col(queryCol))
       .orderBy(col("rrf_score").desc, col(docCol).asc)
     parts.reduce(_ unionByName _)

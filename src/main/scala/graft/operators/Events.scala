@@ -72,9 +72,13 @@ object Events {
     // A null timestamp would sort first, be accepted as step 0 with
     // t0 = null, and poison every later `ts > null` comparison — the
     // user silently never converts while a min()-based replay skips
-    // nulls. Exclude the row, keep the user's other events.
+    // nulls. Exclude the row, keep the user's other events. A null
+    // USER drops too: groupBy would meld every null-user event into
+    // one phantom user that both converts (inflating step counts)
+    // and inflates the share denominator.
     val perUser = df
-      .where(col(typeCol).isin(steps: _*) && col(tsMsCol).isNotNull)
+      .where(col(typeCol).isin(steps: _*) && col(tsMsCol).isNotNull &&
+        col(userCol).isNotNull)
       .select(
         col(userCol).as("__u"),
         col(tsMsCol).cast("long").as("__ts"),
@@ -138,11 +142,13 @@ object Events {
       when(col(typeCol) === steps.head, lit(0))) { case (acc, (s, i)) =>
       acc.when(col(typeCol) === s, lit(i + 1))
     }
-    // Same null-timestamp exclusion as eventFunnel (see there): a
-    // null __ts would enter the fold as step 0 and nullify every
-    // later comparison.
+    // Same null-timestamp and null-user exclusion as eventFunnel
+    // (see there): a null __ts would enter the fold as step 0 and
+    // nullify every later comparison; a null user is a phantom
+    // converter.
     val durations = df
-      .where(col(typeCol).isin(steps: _*) && col(tsMsCol).isNotNull)
+      .where(col(typeCol).isin(steps: _*) && col(tsMsCol).isNotNull &&
+        col(userCol).isNotNull)
       .select(
         col(userCol).as("__u"),
         col(tsMsCol).cast("long").as("__ts"),
@@ -191,8 +197,11 @@ object Events {
       when(col(typeCol) === steps.head, lit(0))) { case (acc, (s, i)) =>
       acc.when(col(typeCol) === s, lit(i + 1))
     }
+    // same exclusions as eventFunnel: null ts poisons the fold,
+    // null user melds into a phantom per-group converter
     val perUser = df
-      .where(col(typeCol).isin(steps: _*))
+      .where(col(typeCol).isin(steps: _*) && col(tsMsCol).isNotNull &&
+        col(userCol).isNotNull)
       .select(
         col(groupCol),
         col(userCol).as("__u"),
@@ -306,7 +315,12 @@ object Events {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(userCol))
       .orderBy(col(tsMsCol).asc, col(tieCol).asc)
+    // null user would chain every null-user event into one phantom
+    // sequence; null ts/tie make lag() order nondeterministic; a
+    // null type is not a state — all four drop.
     val withPrev = df
+      .where(col(userCol).isNotNull && col(tsMsCol).isNotNull &&
+        col(typeCol).isNotNull && col(tieCol).isNotNull)
       .select(col(userCol), col(tsMsCol), col(tieCol), col(typeCol))
       .withColumn("__prev", lag(col(typeCol), 1).over(w))
       .where(col("__prev").isNotNull)
@@ -330,6 +344,10 @@ object Events {
     * sums drift with partitioning), then convert once for the 4 dp
     * report.
     *
+    * Rows with a null timestamp drop (they have no window); null
+    * values count in n_events but not the sums; null users count in
+    * n_events but not n_users (count_distinct skips them).
+    *
     * @return (window_start_ms, n_events, n_users — distinct users in
     *         the window, sum_value/avg_value over `valueCol` 4 dp).
     */
@@ -340,7 +358,10 @@ object Events {
       userCol: String,
       widthMs: Long): DataFrame = {
     require(widthMs > 0, "widthMs must be positive")
-    df.groupBy(
+    // a null timestamp has no window: the row would otherwise land
+    // in a phantom NULL-bucket output row
+    df.where(col(tsMsCol).isNotNull)
+      .groupBy(
         (floorDivMs(tsMsCol, widthMs) * widthMs).as("window_start_ms"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -370,6 +391,9 @@ object Events {
     * as tumbling — no window function, no self-join, |windows| output
     * rows. Value sums ride the exact DECIMAL(18,6) accumulator.
     *
+    * Null handling mirrors [[tumblingRollup]]: null-timestamp rows
+    * drop, null values/users skip the sum/distinct.
+    *
     * @return (window_start_ms, n_events, n_users, sum_value/avg_value
     *         4 dp) — one row per (window, data present).
     */
@@ -383,7 +407,9 @@ object Events {
     require(slideMs > 0 && widthMs > 0, "width/slide must be positive")
     require(widthMs % slideMs == 0, "widthMs must be a multiple of slideMs")
     val k = widthMs / slideMs
-    df.select(col(tsMsCol), col(valueCol), col(userCol),
+    // null timestamps drop (no window), as in tumblingRollup
+    df.where(col(tsMsCol).isNotNull)
+      .select(col(tsMsCol), col(valueCol), col(userCol),
         explode(sequence(lit(0L), lit(k - 1))).as("__i"))
       .groupBy(
         ((floorDivMs(tsMsCol, slideMs) - col("__i"))
@@ -453,8 +479,14 @@ object Events {
       s"topK must be in [1, 100000] (a top-paths REPORT, not a path dump), got $topK")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(userCol)).orderBy(col(tsMsCol), col("__s0"))
+    // null user melds unrelated events into one phantom path chain;
+    // null ts makes lead() order nondeterministic; null types cannot
+    // be path elements (the __s-not-null gate below would drop the
+    // WINDOW rows but the null would still shift every lead()).
+    val clean = df.where(col(userCol).isNotNull && col(tsMsCol).isNotNull &&
+      col(typeCol).isNotNull)
     val steps = (1 until n).foldLeft(
-      df.select(col(userCol), col(tsMsCol), col(typeCol).as("__s0"))) {
+      clean.select(col(userCol), col(tsMsCol), col(typeCol).as("__s0"))) {
       case (acc, i) => acc.withColumn(s"__s$i", lead(col("__s0"), i).over(w))
     }
     val counted = steps
@@ -481,6 +513,9 @@ object Events {
     * Scale shape: everything downstream of gapFill's first
     * aggregation is |keys × buckets|-sized; the two window passes
     * share one (key, bucket) sort.
+    *
+    * Null-timestamp rows drop (no bucket); a NULL key is a real
+    * series (slice contract, inherited from [[gapFill]]).
     *
     * @return (keyCol, bucket_ms, value_filled, zscore, is_anomaly) —
     *         zscore null until a full trailing window with nonzero
@@ -531,8 +566,9 @@ object Events {
     * deterministic order for their zero/nonzero hold assignment);
     * the weighted sum accumulates exact DECIMAL (value 6 dp ×
     * integer ms), ONE double division at the boundary. Null values
-    * are dropped. A single-observation key (zero span) yields null
-    * twap.
+    * and null timestamps are dropped; a NULL key is a real series
+    * (slice contract — it aggregates alone, like any other key). A
+    * single-observation key (zero span) yields null twap.
     *
     * Scale shape: one (key, ts) window pass + one map-side-combined
     * grouped aggregation — bounded output, one row per key.
@@ -632,7 +668,8 @@ object Events {
     * mantissa); ONE rounding at the output. `orderCols` must be a
     * unique key per partition (SURVEY §4 window discipline). Rows
     * with null `valueCol` are dropped (mirror of collect_list's null
-    * skip — a silent weight misalignment otherwise).
+    * skip — a silent weight misalignment otherwise); a NULL key is a
+    * real series (slice contract).
     *
     * Scale shape: one window pass per key (the same (key, order)
     * sort every rolling signal pays); the fold is row-local over a
@@ -843,7 +880,8 @@ object Events {
     * when timestamps can collide).
     *
     * One map-side-combined groupBy — no window function at all.
-    * Null ts/value rows drop.
+    * Null ts/value rows drop; a NULL key is a real series (slice
+    * contract).
     *
     * @return (keyCol, bucket_ms, n_obs, open, high, low, close).
     */
@@ -1087,7 +1125,8 @@ object Events {
     * the same ordering), never a sequential fold. Deviations round
     * 6 dp into exact DECIMAL so every prefix is order-independent
     * and replayable; |value| bounded by the DECIMAL(18,6) cast (the
-    * regressionStats contract). Null values drop.
+    * regressionStats contract). Null values drop; a NULL key is a
+    * real series (slice contract).
     *
     * @param orderCols a TOTAL order within the key (add a unique id
     *                  to break timestamp ties — the [[withEwma]]

@@ -480,7 +480,11 @@ object Profile {
     */
   def keySkew(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
     require(topK > 0, "topK must be positive")
-    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+    // null keys drop: this report sizes the SHUFFLE a join/groupBy
+    // on the key would pay, and equi-joins drop null keys anyway —
+    // counting them would overstate total_rows and distinct_keys
+    val counts = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
       .localCheckpoint()
     val overall = counts.agg(
       sum(col("__n")).as("total_rows"),
