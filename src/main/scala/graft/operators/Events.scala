@@ -1235,14 +1235,30 @@ object Events {
     * no row (organic conversions are a different report — count them
     * as total conversions − Σ n_conversions).
     *
-    * Scale shape: touches join conversions per USER (equi-join on
-    * the user key + the range predicate — candidate volume is
-    * per-user touches × conversions inside the window, the
-    * [[TemporalJoin.rangeJoin]] shape, never cross-user); ONE window
-    * sort per conversion gives first-rank, count, and (total order
-    * via the unique id tie-break) last = n − rn + 1 derived without
-    * a second sort. Linear credits are 1/n rounded 10 dp into exact
-    * DECIMAL so per-channel sums are order-independent; one 4 dp
+    * Scale shape — SWEEP, never a product: the naïve form is a
+    * per-user range join whose candidate volume is touches ×
+    * conversions inside the window, QUADRATIC in a single user's
+    * event rate (a power user holding 10% of sf1 contributes ~80M
+    * joined rows in one task; round-15 SkewProbe measured the join
+    * form at 2.5× under that skew, and the exponent only grows with
+    * scale). This implementation never materializes the product:
+    *  - '''linear''' needs only the per-(conversion, channel)
+    *    IN-WINDOW COUNT, which an interval sweep reads off a running
+    *    prefix count: union each channel's touches (+1 each) with
+    *    two zero-weight probes per conversion (at t_c and t_c −
+    *    window), one (user, channel)-partitioned ordered window sum,
+    *    then n_ch = cnt(t_c) − cnt(t_c − window). Rows: touches +
+    *    2·|convs|·|channels| — linear in the user's rate.
+    *  - '''first'''/'''last''' need one argmin/argmax touch per
+    *    conversion: a running `last_value(ignoreNulls)` over the
+    *    (user)-partitioned time order gives the latest touch ≤ t_c
+    *    (validity: tt > t_c − window); the same sweep over the
+    *    REVERSED order anchored at t_c − window gives the earliest
+    *    in-window touch (validity: tt ≤ t_c). Rows: touches + convs.
+    * Credits stay DECIMAL-exact and bit-identical to the join form:
+    * linear multiplies the exact per-touch unit round(1/n, 10) —
+    * decimal(11,10) — by the integer n_ch (product decimal(31,10),
+    * exact; equal to summing n_ch per-touch copies); one 4 dp
     * boundary.
     *
     * @param idCol a UNIQUE event id — the tie-break that makes
@@ -1262,6 +1278,7 @@ object Events {
       conversionType: String,
       windowMs: Long,
       model: String = "linear"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(Seq("linear", "first", "last").contains(model),
       s"model must be linear, first or last, got $model")
     require(touchTypes.nonEmpty, "no touch types given")
@@ -1277,33 +1294,108 @@ object Events {
       col(idCol).isNotNull)
     val touches = base
       .where(col(typeCol).isin(touchTypes: _*))
-      .select(col(userCol).as("__u"), col(tsMsCol).as("__tt"),
+      .select(col(userCol).as("__u"), col(tsMsCol).cast("long").as("__tt"),
         col(idCol).as("__tid"), col(typeCol).as("channel"))
     val convs = base
       .where(col(typeCol) === conversionType)
-      .select(col(userCol).as("__u"), col(tsMsCol).as("__tc"),
+      .select(col(userCol).as("__u"), col(tsMsCol).cast("long").as("__tc"),
         col(idCol).as("__cid"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__u"), col("__cid"))
-    val joined = touches.join(convs, Seq("__u"))
-      .where(col("__tt") <= col("__tc") &&
-        col("__tt") > col("__tc") - windowMs)
-      .withColumn("__n", count(lit(1)).over(w))
-      .withColumn("__rn", row_number().over(
-        w.orderBy(col("__tt").asc, col("__tid").asc)))
-    val credited = model match {
-      case "linear" => joined.withColumn("__credit",
-        round(lit(1.0) / col("__n"), 10).cast("decimal(28,10)"))
-      case "first" => joined.where(col("__rn") === 1)
-        .withColumn("__credit", lit(1).cast("decimal(28,10)"))
-      case "last" => joined.where(col("__rn") === col("__n"))
-        .withColumn("__credit", lit(1).cast("decimal(28,10)"))
-    }
-    credited
+    val idType = base.schema(idCol).dataType
+
+    def channelReport(credited: DataFrame): DataFrame = credited
       .groupBy(col("channel"))
       .agg(
-        countDistinct(col("__cid")).as("n_conversions"),
+        count(lit(1)).as("n_conversions"),
         round(sum(col("__credit")).cast("double"), 4).as("credit"))
+
+    if (model == "linear") {
+      // counts sweep per (user, channel): touches carry +1; each
+      // conversion plants two zero-weight probes whose running count
+      // reads "touches with tt <= t". Tie order at equal t: touches
+      // (k=0) before probes (k=1), so t_c is inclusive and the
+      // t_c − window probe counts (and thereby excludes) touches AT
+      // the window-open instant — exactly tt > t_c − windowMs.
+      // Probes contribute 0, so order among equal keys cannot change
+      // any probe's count.
+      val chans = array(touchTypes.map(lit): _*)
+      val touchRows = touches.select(
+        col("__u"), col("channel"), col("__tt").as("__t"),
+        lit(0).as("__k"), lit(1L).as("__c"),
+        lit(null).cast(idType).as("__cid"), lit(0).as("__sgn"))
+      val probeRows = convs
+        .select(col("__u"), explode(chans).as("channel"),
+          col("__tc"), col("__cid"))
+        .select(col("__u"), col("channel"),
+          explode(array(
+            struct(col("__tc").as("__t"), lit(1).as("__sgn")),
+            struct((col("__tc") - windowMs).as("__t"),
+              lit(-1).as("__sgn")))).as("__p"),
+          col("__cid"))
+        .select(col("__u"), col("channel"), col("__p.__t").as("__t"),
+          lit(1).as("__k"), lit(0L).as("__c"), col("__cid"),
+          col("__p.__sgn").as("__sgn"))
+      val wCnt = Window.partitionBy(col("__u"), col("channel"))
+        .orderBy(col("__t").asc, col("__k").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val perConvChannel = touchRows.unionByName(probeRows)
+        .withColumn("__cnt", sum(col("__c")).over(wCnt))
+        .where(col("__k") === 1)
+        .groupBy(col("__cid"), col("channel"))
+        .agg(sum(col("__sgn") * col("__cnt")).as("__nch"))
+      val wConv = Window.partitionBy(col("__cid"))
+      channelReport(perConvChannel
+        .withColumn("__n", sum(col("__nch")).over(wConv))
+        .where(col("__nch") > 0)
+        // decimal(11,10) unit × decimal(19,0) count = decimal(31,10),
+        // exact — identical to summing __nch per-touch copies of the
+        // join form's round(1/n, 10) credit
+        .withColumn("__credit",
+          col("__nch").cast("decimal(19,0)") *
+            round(lit(1.0) / col("__n"), 10).cast("decimal(11,10)")))
+    } else {
+      // argmin/argmax sweep per user: one running last_value over the
+      // merged (touch, probe) time order. For `last` the probe sits
+      // at t_c AFTER equal-t touches (inclusive upper bound); for
+      // `first` the order reverses and the probe sits at
+      // t_c − window BEFORE equal-t touches (exclusive lower bound).
+      val touchRows = touches.select(
+        col("__u"), col("__tt").as("__t"), lit(0).as("__k"),
+        col("__tid"), col("channel"),
+        lit(null).cast(idType).as("__cid"),
+        lit(null).cast("long").as("__tc"))
+      val (probeT, order, valid) = model match {
+        case "last" => (
+          col("__tc"),
+          Seq(col("__t").asc, col("__k").asc, col("__tid").asc),
+          (cand: Column, tc: Column) => cand("tt") > tc - windowMs)
+        case "first" => (
+          col("__tc") - windowMs,
+          Seq(col("__t").desc, col("__k").desc, col("__tid").desc),
+          (cand: Column, tc: Column) => cand("tt") <= tc)
+      }
+      // probe __k = 1 under BOTH orders: `last` sorts k ASC (equal-t
+      // touches before the probe — t_c inclusive), `first` sorts k
+      // DESC (the probe before equal-t touches — touches AT
+      // t_c − window stay invisible, the strict lower bound)
+      val probeRows = convs.select(
+        col("__u"), probeT.as("__t"), lit(1).as("__k"),
+        lit(null).cast(idType).as("__tid"),
+        lit(null).cast("string").as("channel"),
+        col("__cid"), col("__tc"))
+      val wCand = Window.partitionBy(col("__u"))
+        .orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cand = last(
+        when(col("__k") === 0,
+          struct(col("__t").as("tt"), col("__tid"), col("channel"))),
+        ignoreNulls = true).over(wCand)
+      channelReport(touchRows.unionByName(probeRows)
+        .withColumn("__cand", cand)
+        .where(col("__k") =!= 0 && col("__cand").isNotNull &&
+          valid(col("__cand"), col("__tc")))
+        .select(col("__cid"), col("__cand.channel").as("channel"),
+          lit(1).cast("decimal(28,10)").as("__credit")))
+    }
   }
 
   /** Per-group peak of [[concurrency]]: (groupCols…, peak,

@@ -770,6 +770,56 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("attributionCredits: sweep form equals the brute-force join form") {
+    // The sweep rewrite must agree with the naive per-user range join
+    // on a dense synthetic stream that exercises every boundary: a
+    // touch exactly AT t_conv (inclusive), exactly at t_conv - window
+    // (exclusive), equal-timestamp ties broken by id, conversions
+    // with no in-window touch, and interleaved multi-conversion
+    // windows.
+    val rows = for {
+      u <- 1 to 5
+      i <- 0 until 40
+    } yield {
+      val typ = Seq("click", "view", "purchase", "view")((u + i) % 4)
+      // coarse timestamps force exact-boundary and tie collisions
+      (u.toLong, ((i * 7 + u * 3) % 50).toLong * 10L, (u * 1000 + i).toLong, typ)
+    }
+    val ev = rows.toDF("u", "ts", "id", "typ")
+    def brute(model: String) = {
+      import org.apache.spark.sql.expressions.Window
+      val t = ev.where(col("typ").isin("click", "view"))
+        .select(col("u"), col("ts").as("tt"), col("id").as("tid"),
+          col("typ").as("channel"))
+      val c = ev.where(col("typ") === "purchase")
+        .select(col("u"), col("ts").as("tc"), col("id").as("cid"))
+      val w = Window.partitionBy(col("u"), col("cid"))
+      val j = t.join(c, Seq("u"))
+        .where(col("tt") <= col("tc") && col("tt") > col("tc") - 100L)
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("tt").asc, col("tid").asc)))
+      val cr = model match {
+        case "linear" => j.withColumn("cr",
+          round(lit(1.0) / col("n"), 10).cast("decimal(28,10)"))
+        case "first" => j.where(col("rn") === 1)
+          .withColumn("cr", lit(1).cast("decimal(28,10)"))
+        case "last" => j.where(col("rn") === col("n"))
+          .withColumn("cr", lit(1).cast("decimal(28,10)"))
+      }
+      cr.groupBy(col("channel"))
+        .agg(countDistinct(col("cid")).as("n_conversions"),
+          round(sum(col("cr")).cast("double"), 4).as("credit"))
+        .as[(String, Long, Double)].collect().toSet
+    }
+    for (model <- Seq("linear", "first", "last")) {
+      val sweep = Events.attributionCredits(ev, "u", "ts", "id", "typ",
+        Seq("click", "view"), "purchase", windowMs = 100L, model = model)
+        .as[(String, Long, Double)].collect().toSet
+      assert(sweep == brute(model), s"model=$model")
+    }
+  }
+
   test("peakConcurrency: a null group key is a real group, not a dropped row") {
     // concurrency() emits the null-key group; the peak probe join
     // must be null-safe or the group silently vanishes from the report
