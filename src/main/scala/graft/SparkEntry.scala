@@ -693,6 +693,82 @@ object SparkEntry {
   }
 
   private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------ round 15: events
+    "q_rfm" -> ((s, dir) => {
+      // Classic user-value triage scored by corpus quantiles — the
+      // per-user quality prior; asOf anchor is a fixed literal
+      // (2024-02-01) so reruns and both engines measure the same
+      // recency.
+      graft.operators.Events.rfmSegments(
+        Parallelism.spread(t(s, dir, "events")),
+        "user_id", "ts_ms", "value", asOfMs = 1706745600000L, buckets = 5)
+    }),
+    "q_xcorr" -> ((s, dir) => {
+      // Do purchases follow clicks, and by how many days? Lead-lag
+      // Pearson over the dense daily count series, exact integer
+      // moments.
+      graft.operators.Events.crossCorrelation(
+        Parallelism.spread(t(s, dir, "events")),
+        "ts_ms", "event_type", "click", "purchase",
+        stepMs = 86400000L, maxLag = 5)
+    }),
+    "q_theil_sen" -> ((s, dir) => {
+      // Robust daily-value trend: median pairwise slope over the
+      // bounded daily series (the outlier-immune TrendLine twin).
+      graft.operators.Events.theilSenTrend(
+        Parallelism.spread(t(s, dir, "events")),
+        "ts_ms", "value", stepMs = 86400000L)
+    }),
+    // ------------------------------------------ round 15: eval stats
+    "q_anova" -> ((s, dir) => {
+      // k-arm means omnibus over the event-type slices: one grouped
+      // moment pass, per-group 6 dp terms in exact DECIMAL.
+      graft.operators.Eval.anovaF(
+        Parallelism.spread(t(s, dir, "events")), "event_type", "value")
+    }),
+    "q_levene" -> ((s, dir) => {
+      // Brown-Forsythe dispersion omnibus on the same slices: the
+      // anovaF statistic over |v - median_g| deviations.
+      graft.operators.Eval.leveneTest(
+        Parallelism.spread(t(s, dir, "events")), "event_type", "value")
+    }),
+    "q_paired_t" -> ((s, dir) => {
+      // Paired-by-user design: each user's exact click/view value
+      // means (DECIMAL sums, one 6 dp division) are the paired
+      // measurements; users lacking either arm carry a null mean and
+      // drop inside pairedTTest by its null contract.
+      val per = Parallelism.spread(t(s, dir, "events"))
+        .where(col("event_type").isin("click", "view") &&
+          col("value").isNotNull && col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          round(sum(when(col("event_type") === "click",
+            round(col("value"), 6).cast("decimal(18,6)"))).cast("double") /
+            sum(when(col("event_type") === "click", 1L)), 6).as("click_mean"),
+          round(sum(when(col("event_type") === "view",
+            round(col("value"), 6).cast("decimal(18,6)"))).cast("double") /
+            sum(when(col("event_type") === "view", 1L)), 6).as("view_mean"))
+      graft.operators.Eval.pairedTTest(per, "click_mean", "view_mean")
+    }),
+    "q_wilson" -> ((s, dir) => {
+      // Per-slice rate with honest small-n error bars: hot = high-
+      // value event; a null value nulls the flag and drops.
+      graft.operators.Eval.wilsonCI(
+        Parallelism.spread(t(s, dir, "events"))
+          .select(col("event_type"), (col("value") >= 50.0).as("hot")),
+        "event_type", "hot")
+    }),
+    "q_brier" -> ((s, dir) => {
+      // Murphy decomposition of the q_calibration synthetic gate:
+      // same score/label construction, one-row verdict.
+      val label = pmod(col("doc_id"), lit(4)) === 0
+      val noise = pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":auc"))), 1, 4), 16, 10).cast("long"), lit(1024))
+      val scored = Parallelism.spread(t(s, dir, "documents"))
+        .select((noise / 1024.0 + when(label, 0.25).otherwise(0.0)).as("score"),
+          label.as("label"))
+      graft.operators.Eval.brierDecomposition(scored, "score", "label", bins = 10)
+    }),
     "q_dsir" -> ((s, dir) => {
       // DSIR toward the English slice: raw pool = the whole corpus,
       // target = the lang='en' rows (one staged pass — the self/flag
@@ -4098,6 +4174,215 @@ object SparkEntry {
        |ob AS (SELECT doc_id, lang, ${h16Sql("g")} % 64 AS b FROM oc)""".stripMargin
 
   private def pipelineOracle: Map[String, String] = Map(
+    // same per-user triple (DECIMAL monetary sums), 6 dp
+    // quantile_cont edges, strictly-greater bucketing (the psi
+    // ulp-safe convention), higher-is-better score orientation
+    "q_rfm" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms,
+        |    round(value, 6)::DECIMAL(18,6) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |per AS (SELECT user_id,
+        |    1706745600000 - max(ms) AS recency_ms,
+        |    count(*)::BIGINT AS frequency,
+        |    round(coalesce(sum(v), 0)::DOUBLE, 6) AS monetary
+        |  FROM e GROUP BY 1),
+        |ed AS (SELECT
+        |    list_transform(quantile_cont(recency_ms::DOUBLE,
+        |      [0.2, 0.4, 0.6, 0.8]), x -> round(x, 6)) AS er,
+        |    list_transform(quantile_cont(frequency::DOUBLE,
+        |      [0.2, 0.4, 0.6, 0.8]), x -> round(x, 6)) AS ef,
+        |    list_transform(quantile_cont(monetary,
+        |      [0.2, 0.4, 0.6, 0.8]), x -> round(x, 6)) AS em
+        |  FROM per),
+        |sc AS (SELECT user_id, recency_ms, frequency, monetary,
+        |    5 - len(list_filter(er, x -> recency_ms::DOUBLE > x)) AS r_score,
+        |    len(list_filter(ef, x -> frequency::DOUBLE > x)) + 1 AS f_score,
+        |    len(list_filter(em, x -> monetary > x)) + 1 AS m_score
+        |  FROM per, ed)
+        |SELECT user_id, recency_ms, frequency, monetary,
+        |  r_score, f_score, m_score,
+        |  r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS segment
+        |FROM sc""".stripMargin,
+    // same dense daily spine (missing days count 0), exact HUGEINT
+    // moment sums per lag, one double division
+    "q_xcorr" ->
+      """WITH e AS (SELECT epoch_ms(ts) // 86400000 AS b, event_type
+        |  FROM events WHERE ts IS NOT NULL
+        |    AND event_type IN ('click', 'purchase')),
+        |c AS (SELECT b,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS na,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |      AS nb
+        |  FROM e GROUP BY 1),
+        |bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM c),
+        |spine AS (SELECT unnest(range(lo, hi + 1)) AS b FROM bounds),
+        |d AS (SELECT spine.b, coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+        |  FROM spine LEFT JOIN c ON spine.b = c.b),
+        |lg AS (SELECT unnest(range(-5, 6)) AS lag),
+        |j AS (SELECT lg.lag, x.na, y.nb
+        |  FROM lg, d x JOIN d y ON y.b = x.b + lg.lag),
+        |a AS (SELECT lag, count(*)::BIGINT AS n_buckets,
+        |    sum(na::HUGEINT) AS sx, sum(nb::HUGEINT) AS sy,
+        |    sum((na * nb)::HUGEINT) AS sxy,
+        |    sum((na * na)::HUGEINT) AS sxx,
+        |    sum((nb * nb)::HUGEINT) AS syy
+        |  FROM j GROUP BY 1),
+        |f AS (SELECT lag, n_buckets,
+        |    (n_buckets * sxy - sx * sy)::DOUBLE AS num,
+        |    (n_buckets * sxx - sx * sx)::DOUBLE AS dx,
+        |    (n_buckets * syy - sy * sy)::DOUBLE AS dy
+        |  FROM a)
+        |SELECT lag, n_buckets,
+        |  round(CASE WHEN dx > 0 AND dy > 0
+        |    THEN num / sqrt(dx * dy) END, 6) AS corr
+        |FROM f""".stripMargin,
+    // same 6 dp daily sums, 6 dp pair slopes, exact medians
+    "q_theil_sen" ->
+      """WITH e AS (SELECT epoch_ms(ts) // 86400000 AS x,
+        |    round(value, 6)::DECIMAL(18,6) AS v
+        |  FROM events WHERE ts IS NOT NULL),
+        |s AS (SELECT x, round(coalesce(sum(v), 0)::DOUBLE, 6) AS y
+        |  FROM e GROUP BY 1),
+        |p AS (SELECT round((b.y - a.y) / (b.x - a.x)::DOUBLE, 6) AS sl
+        |  FROM s a JOIN s b ON b.x > a.x),
+        |m AS (SELECT count(*)::BIGINT AS n_pairs,
+        |    round(quantile_cont(sl, 0.5), 6) AS slope FROM p),
+        |i AS (SELECT round(quantile_cont(y - slope * x::DOUBLE, 0.5), 6)
+        |    AS intercept FROM s, m)
+        |SELECT (SELECT count(*)::BIGINT FROM s) AS n_buckets,
+        |  n_pairs, slope, intercept
+        |FROM m, i""".stripMargin,
+    // identical per-group DECIMAL moments, 6 dp means, zero-clamped
+    // within-variance, per-group 6 dp SS terms summed in DECIMAL
+    "q_anova" ->
+      """WITH d AS (SELECT event_type AS g, round(value, 6)::DECIMAL(18,6) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |pg AS (SELECT g, count(*)::BIGINT AS n, sum(x) AS s,
+        |    sum((x * x)::DECIMAL(38,12)) AS q FROM d GROUP BY 1),
+        |pm AS (SELECT *, round(s::DOUBLE / n::DOUBLE, 6) AS m FROM pg),
+        |pw AS (SELECT *, greatest(0.0, q::DOUBLE - n::DOUBLE * m * m) AS w
+        |  FROM pm),
+        |g AS (SELECT sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_groups,
+        |    sum(s) AS gs FROM pw),
+        |gm AS (SELECT *, round(gs::DOUBLE / n_rows::DOUBLE, 6) AS gmean FROM g),
+        |tt AS (SELECT
+        |    sum(round(n::DOUBLE * (m - gmean) * (m - gmean), 6)
+        |      ::DECIMAL(28,6)) AS ssb,
+        |    sum(round(w, 6)::DECIMAL(28,6)) AS ssw
+        |  FROM pw, gm)
+        |SELECT n_rows, n_groups,
+        |  round(ssb::DOUBLE, 6) AS ss_between, round(ssw::DOUBLE, 6) AS ss_within,
+        |  (n_groups - 1)::BIGINT AS df1, (n_rows - n_groups)::BIGINT AS df2,
+        |  round(CASE WHEN n_groups >= 2 AND n_rows > n_groups AND ssw > 0
+        |    THEN (ssb::DOUBLE / (n_groups - 1))
+        |      / (ssw::DOUBLE / (n_rows - n_groups)) END, 6) AS f
+        |FROM gm, tt""".stripMargin,
+    // 6 dp per-group exact medians first, then the identical F chain
+    // over the 6 dp |v - median| deviations
+    "q_levene" ->
+      """WITH raw AS (SELECT event_type AS g, value::DOUBLE AS v FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |md AS (SELECT g, round(quantile_cont(v, 0.5), 6) AS med
+        |  FROM raw GROUP BY 1),
+        |d AS (SELECT raw.g, round(abs(v - med), 6)::DECIMAL(18,6) AS x
+        |  FROM raw JOIN md ON raw.g = md.g),
+        |pg AS (SELECT g, count(*)::BIGINT AS n, sum(x) AS s,
+        |    sum((x * x)::DECIMAL(38,12)) AS q FROM d GROUP BY 1),
+        |pm AS (SELECT *, round(s::DOUBLE / n::DOUBLE, 6) AS m FROM pg),
+        |pw AS (SELECT *, greatest(0.0, q::DOUBLE - n::DOUBLE * m * m) AS w
+        |  FROM pm),
+        |g AS (SELECT sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_groups,
+        |    sum(s) AS gs FROM pw),
+        |gm AS (SELECT *, round(gs::DOUBLE / n_rows::DOUBLE, 6) AS gmean FROM g),
+        |tt AS (SELECT
+        |    sum(round(n::DOUBLE * (m - gmean) * (m - gmean), 6)
+        |      ::DECIMAL(28,6)) AS ssb,
+        |    sum(round(w, 6)::DECIMAL(28,6)) AS ssw
+        |  FROM pw, gm)
+        |SELECT n_rows, n_groups,
+        |  round(ssb::DOUBLE, 6) AS ss_between, round(ssw::DOUBLE, 6) AS ss_within,
+        |  (n_groups - 1)::BIGINT AS df1, (n_rows - n_groups)::BIGINT AS df2,
+        |  round(CASE WHEN n_groups >= 2 AND n_rows > n_groups AND ssw > 0
+        |    THEN (ssb::DOUBLE / (n_groups - 1))
+        |      / (ssw::DOUBLE / (n_rows - n_groups)) END, 6) AS f
+        |FROM gm, tt""".stripMargin,
+    // same per-user paired means (DECIMAL sums, 6 dp), 6 dp DECIMAL
+    // differences, zero-clamped variance, identical t/df order
+    "q_paired_t" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    round(value, 6)::DECIMAL(18,6) AS v
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |    AND value IS NOT NULL AND user_id IS NOT NULL),
+        |pu AS (SELECT user_id,
+        |    round(sum(CASE WHEN event_type = 'click' THEN v END)::DOUBLE
+        |      / sum(CASE WHEN event_type = 'click' THEN 1 END), 6) AS cm,
+        |    round(sum(CASE WHEN event_type = 'view' THEN v END)::DOUBLE
+        |      / sum(CASE WHEN event_type = 'view' THEN 1 END), 6) AS vm
+        |  FROM e GROUP BY 1),
+        |d AS (SELECT round(cm - vm, 6)::DECIMAL(18,6) AS dd FROM pu
+        |  WHERE cm IS NOT NULL AND vm IS NOT NULL),
+        |a AS (SELECT count(*)::BIGINT AS n, sum(dd) AS s,
+        |    sum((dd * dd)::DECIMAL(38,12)) AS q FROM d),
+        |m AS (SELECT *, CASE WHEN n > 0
+        |    THEN round(s::DOUBLE / n::DOUBLE, 6) END AS md FROM a),
+        |v AS (SELECT *, CASE WHEN n >= 2 THEN
+        |    greatest(0.0, q::DOUBLE - n::DOUBLE * md * md) / (n::DOUBLE - 1.0)
+        |  END AS vd FROM m)
+        |SELECT n, md AS mean_diff, round(vd, 6) AS var_diff,
+        |  round(CASE WHEN vd > 0 THEN md / sqrt(vd / n::DOUBLE) END, 6) AS t,
+        |  (n - 1)::BIGINT AS df
+        |FROM v""".stripMargin,
+    // identical Wilson closed form in a fixed double order; the z²
+    // constant is the same IEEE product on both engines
+    "q_wilson" ->
+      """WITH d AS (SELECT event_type, (value >= 50.0) AS hot FROM events
+        |  WHERE value IS NOT NULL),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n,
+        |    coalesce(sum(CASE WHEN hot THEN 1 END), 0)::BIGINT AS successes
+        |  FROM d GROUP BY 1),
+        |w AS (SELECT *, successes::DOUBLE / n::DOUBLE AS p,
+        |    1.959964 * 1.959964 AS z2, n::DOUBLE AS nd FROM a),
+        |c AS (SELECT *, 1.0 + z2 / nd AS den,
+        |    (p + z2 / (2.0 * nd)) / (1.0 + z2 / nd) AS center,
+        |    1.959964 * sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd))
+        |      / (1.0 + z2 / nd) AS half
+        |  FROM w)
+        |SELECT event_type, n, successes, round(p, 6) AS rate,
+        |  round(greatest(0.0, center - half), 6) AS lo,
+        |  round(least(1.0, center + half), 6) AS hi
+        |FROM c""".stripMargin,
+    // the q_calibration synthetic gate; per-bin 6 dp means, per-bin
+    // 6 dp Murphy terms summed in DECIMAL, direct MSE from 10 dp
+    // DECIMAL squares
+    "q_brier" ->
+      s"""WITH d AS (SELECT (doc_id % 4 = 0) AS label,
+        |    (${h16Sql("doc_id::VARCHAR || ':auc'")} % 1024) / 1024.0
+        |      + CASE WHEN doc_id % 4 = 0 THEN 0.25 ELSE 0 END AS score
+        |  FROM documents),
+        |b AS (SELECT least(greatest(floor(score * 10), 0), 9)::BIGINT AS bin,
+        |    CASE WHEN label THEN 1 ELSE 0 END AS y, score FROM d),
+        |pb AS (SELECT bin, count(*)::BIGINT AS n,
+        |    sum(score::DECIMAL(28,10)) AS fs, sum(y)::BIGINT AS pos,
+        |    sum(((score - y) * (score - y))::DECIMAL(28,10)) AS sq
+        |  FROM b GROUP BY 1),
+        |pm AS (SELECT *, round(fs::DOUBLE / n::DOUBLE, 6) AS f,
+        |    round(pos::DOUBLE / n::DOUBLE, 6) AS o FROM pb),
+        |tot AS (SELECT sum(n)::BIGINT AS n_rows, sum(pos)::BIGINT AS allpos,
+        |    sum(sq) AS allsq FROM pm),
+        |ob AS (SELECT *, round(allpos::DOUBLE / n_rows::DOUBLE, 6) AS obar
+        |  FROM tot),
+        |tt AS (SELECT
+        |    sum(round(n::DOUBLE * (f - o) * (f - o), 6)
+        |      ::DECIMAL(28,6)) AS rel,
+        |    sum(round(n::DOUBLE * (o - obar) * (o - obar), 6)
+        |      ::DECIMAL(28,6)) AS res
+        |  FROM pm, ob)
+        |SELECT n_rows, 10 AS bins,
+        |  round(allsq::DOUBLE / n_rows::DOUBLE, 6) AS brier,
+        |  round(rel::DOUBLE / n_rows::DOUBLE, 6) AS reliability,
+        |  round(res::DOUBLE / n_rows::DOUBLE, 6) AS resolution,
+        |  round(obar * (1.0 - obar), 6) AS uncertainty
+        |FROM ob, tt""".stripMargin,
     // DSIR replay: smoothed bucket log-ratios (6 dp) -> per-doc sums
     // (4 dp) -> hash-Gumbel top-100. alpha=1, B=64 => the +64.0 terms.
     "q_dsir" ->

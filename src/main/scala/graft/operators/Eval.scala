@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Classifier-evaluation statistics for quality-filter models (the
@@ -898,5 +898,254 @@ object Eval {
           (col("__2u") - na * nb) / (lit(2.0) * sqrt(col("__varu")))), 6).as("z"),
         round(when(ok, col("__2u") / (na * nb) - lit(1.0)), 6)
           .as("r_rank_biserial"))
+  }
+
+  /** Shared F-statistic core of [[anovaF]] and [[leveneTest]] over a
+    * (group, value) frame: ONE grouped moment pass (exact DECIMAL
+    * sums of the 6 dp-rounded values), then the bounded per-group
+    * frame folds to SS terms. Order-independence discipline: every
+    * per-group double term (n_g·(m_g−m)², the within-group q−n·m²)
+    * rounds to 6 dp and accumulates in DECIMAL, so the cross-group
+    * sums cannot drift with partitioning; the welch zero-clamp
+    * applies to each within-group variance numerator.
+    */
+  private def fStat(df: DataFrame, g: Column, x0: Column): DataFrame = {
+    val x = round(x0.cast("double"), 6).cast("decimal(18,6)")
+    val perGroup = df
+      .where(g.isNotNull && x0.isNotNull)
+      .groupBy(g.as("__g"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(x).as("__s"),
+        sum((x * x).cast("decimal(38,12)")).as("__q"))
+      .withColumn("__m", round(col("__s").cast("double") /
+        col("__n").cast("double"), 6))
+      .withColumn("__w", greatest(lit(0.0),
+        col("__q").cast("double") -
+          col("__n").cast("double") * col("__m") * col("__m")))
+    val grand = perGroup.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      sum(col("__s")).as("__gs"))
+      .withColumn("__gm", round(col("__gs").cast("double") /
+        col("n_rows").cast("double"), 6))
+    val terms = perGroup
+      .crossJoin(broadcast(grand.select(col("__gm"))))
+      .agg(
+        coalesce(sum(round(col("__n").cast("double") *
+          (col("__m") - col("__gm")) * (col("__m") - col("__gm")), 6)
+          .cast("decimal(28,6)")), lit(0).cast("decimal(28,6)")).as("__ssb"),
+        coalesce(sum(round(col("__w"), 6).cast("decimal(28,6)")),
+          lit(0).cast("decimal(28,6)")).as("__ssw"))
+    grand.crossJoin(broadcast(terms))
+      .select(
+        col("n_rows"), col("n_groups"),
+        round(col("__ssb").cast("double"), 6).as("ss_between"),
+        round(col("__ssw").cast("double"), 6).as("ss_within"),
+        (col("n_groups") - 1).as("df1"),
+        (col("n_rows") - col("n_groups")).as("df2"),
+        round(when(col("n_groups") >= 2 &&
+            col("n_rows") > col("n_groups") && col("__ssw") > 0,
+          (col("__ssb").cast("double") / (col("n_groups") - 1)) /
+            (col("__ssw").cast("double") /
+              (col("n_rows") - col("n_groups")))), 6).as("f"))
+  }
+
+  /** One-way ANOVA F — "do the group means differ more than chance":
+    * the k-arm generalization of [[welchTTest]] (equal-variance,
+    * omnibus), the first readout of a k-way experiment or a
+    * per-source quality comparison before pairwise drilling. F =
+    * (SS_between/(k−1)) / (SS_within/(N−k)).
+    *
+    * Scale shape: one map-side-combined grouped moment pass; all
+    * later arithmetic is on the bounded |groups| frame. Null groups
+    * and null values drop (the test is over the labeled arms). F is
+    * null when k < 2, N ≤ k, or SS_within = 0 (no residual variance
+    * to test against).
+    *
+    * @return one row: (n_rows, n_groups, ss_between 6 dp, ss_within
+    *         6 dp, df1, df2, f 6 dp).
+    */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    fStat(df, col(groupCol), col(valueCol))
+
+  /** Brown–Forsythe test (the robust Levene variant, Brown &
+    * Forsythe 1974) — "do the group VARIANCES differ": the
+    * [[anovaF]] statistic computed over |v − median_g| deviations.
+    * The variance-equality pre-check behind pooled tests, and a
+    * dispersion-drift alarm in its own right (a source whose length
+    * SPREAD explodes is degrading even when its mean holds).
+    * Median-based (not mean-based Levene): robust to the heavy tails
+    * corpus metrics always have.
+    *
+    * Scale shape: one grouped exact-median pass (bounded per-group
+    * frame, broadcast join-back — the [[Profile.robustScaleByGroup]]
+    * shape), then the [[anovaF]] moment pass over deviations. Null
+    * groups/values drop. Medians round 6 dp before the deviation so
+    * both engines subtract identical constants.
+    *
+    * @return one row: (n_rows, n_groups, ss_between 6 dp, ss_within
+    *         6 dp, df1, df2, f 6 dp) — F of the deviations.
+    */
+  def leveneTest(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val meds = df
+      .where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__lg"))
+      .agg(round(percentile(v, lit(0.5)), 6).as("__med"))
+    val dev = df
+      .where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .join(broadcast(meds), col(groupCol) === col("__lg"))
+      .select(col(groupCol), abs(v - col("__med")).as("__dev"))
+    fStat(dev, col(groupCol), col("__dev"))
+  }
+
+  /** Paired t-test — the within-subject twin of [[welchTTest]]: each
+    * unit carries BOTH measurements (before/after, model A/model B on
+    * the same doc), so the test runs on per-unit differences and the
+    * between-unit variance cancels — far more sensitive than the
+    * unpaired test on the same data. d = a − b per row; t = mean_d /
+    * (sd_d/√n), df = n − 1.
+    *
+    * One aggregation pass over exact DECIMAL moments of the 6 dp
+    * differences (the [[welchTTest]] discipline, zero-clamped
+    * variance included). Rows with a null on either side drop. t/df
+    * null when n < 2 or the differences are constant.
+    *
+    * @return one row: (n, mean_diff 6 dp, var_diff 6 dp, t 6 dp, df).
+    */
+  def pairedTTest(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d = round(col(aCol).cast("double") - col(bCol).cast("double"), 6)
+      .cast("decimal(18,6)")
+    val agg = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(d).as("__s"),
+        sum((d * d).cast("decimal(38,12)")).as("__q"))
+    val n = col("n").cast("double")
+    val md = round(col("__s").cast("double") / n, 6)
+    agg
+      .withColumn("__md", when(col("n") > 0, md))
+      .withColumn("__vd", when(col("n") >= 2,
+        greatest(lit(0.0),
+          col("__q").cast("double") - n * col("__md") * col("__md")) /
+          (n - lit(1.0))))
+      .select(
+        col("n"),
+        col("__md").as("mean_diff"),
+        round(col("__vd"), 6).as("var_diff"),
+        round(when(col("__vd") > 0,
+          col("__md") / sqrt(col("__vd") / n)), 6).as("t"),
+        (col("n") - 1).as("df"))
+  }
+
+  /** Per-group Wilson score interval — the error bar a RATE deserves
+    * (conversion, defect, pass rate): unlike the normal ±z√(p̂q̂/n)
+    * interval it never leaves [0,1] and stays honest at small n or
+    * extreme p̂. center = (p̂ + z²/2n)/(1 + z²/n), half-width =
+    * z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n).
+    *
+    * One map-side-combined grouped count pass; output bounded by
+    * |groups|. A NULL group is a real slice (SQL GROUP BY — the
+    * [[Profile.stageFunnelByGroup]] convention); null successes
+    * drop. z is a caller literal (1.959964 ≈ 95%) so both engines
+    * square the same constant; one 6 dp rounding per output column
+    * in a fixed formula order.
+    *
+    * @return per group: (groupCol, n, successes, rate 6 dp, lo 6 dp,
+    *         hi 6 dp).
+    */
+  def wilsonCI(
+      df: DataFrame,
+      groupCol: String,
+      successCol: String,
+      z: Double = 1.959964): DataFrame = {
+    require(z > 0, "z must be positive")
+    val agg = df
+      .where(col(successCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(when(col(successCol), 1L)), lit(0L)).as("successes"))
+    val n = col("n").cast("double")
+    val p = col("successes").cast("double") / n
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      z2 / (lit(4.0) * n * n)) / denom
+    agg.select(
+      col(groupCol), col("n"), col("successes"),
+      round(p, 6).as("rate"),
+      round(greatest(lit(0.0), center - half), 6).as("lo"),
+      round(least(lit(1.0), center + half), 6).as("hi"))
+  }
+
+  /** Murphy (1973) Brier-score decomposition — the one-row calibration
+    * verdict behind a [[calibrationBins]] reliability diagram:
+    * brier = reliability − resolution + uncertainty over binned
+    * forecasts. Reliability (lower better) is miscalibration —
+    * Σ n_k(f̄_k − ō_k)²/N; resolution (higher better) is how far the
+    * bins' outcome rates spread from the base rate — Σ n_k(ō_k −
+    * ō)²/N; uncertainty ō(1−ō) is the data's irreducible floor.
+    *
+    * One grouped pass over the [[calibrationBins]] bin convention
+    * (floor(s·bins) clamped into edge bins), plus the direct
+    * brier = mean((p−y)²) from per-row 10 dp DECIMAL terms —
+    * reported alongside so the binning approximation is visible.
+    * Per-bin double terms round 6 dp into DECIMAL before the
+    * cross-bin sum (the [[anovaF]] order-independence discipline).
+    * Null scores/labels drop.
+    *
+    * @return one row: (n_rows, bins, brier 6 dp, reliability 6 dp,
+    *         resolution 6 dp, uncertainty 6 dp).
+    */
+  def brierDecomposition(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val s = col(scoreCol)
+    val y = when(col(labelCol), 1L).otherwise(0L)
+    val bin = least(greatest(floor(s * bins), lit(0L)), lit(bins - 1L))
+    val base = df.where(s.isNotNull && col(labelCol).isNotNull)
+    val perBin = base
+      .groupBy(bin.as("__bin"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(s.cast("decimal(28,10)")).as("__fs"),
+        sum(y).as("__pos"),
+        sum(((s - y) * (s - y)).cast("decimal(28,10)")).as("__sq"))
+      .withColumn("__f", round(col("__fs").cast("double") /
+        col("__n").cast("double"), 6))
+      .withColumn("__o", round(col("__pos").cast("double") /
+        col("__n").cast("double"), 6))
+    val tot = perBin.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("n_rows"),
+      coalesce(sum(col("__pos")), lit(0L)).as("__allpos"),
+      sum(col("__sq")).as("__allsq"))
+      .withColumn("__obar", round(col("__allpos").cast("double") /
+        col("n_rows").cast("double"), 6))
+    val terms = perBin
+      .crossJoin(broadcast(tot.select(col("__obar"))))
+      .agg(
+        coalesce(sum(round(col("__n").cast("double") *
+          (col("__f") - col("__o")) * (col("__f") - col("__o")), 6)
+          .cast("decimal(28,6)")), lit(0).cast("decimal(28,6)")).as("__rel"),
+        coalesce(sum(round(col("__n").cast("double") *
+          (col("__o") - col("__obar")) * (col("__o") - col("__obar")), 6)
+          .cast("decimal(28,6)")), lit(0).cast("decimal(28,6)")).as("__res"))
+    tot.crossJoin(broadcast(terms))
+      .select(
+        col("n_rows"), lit(bins).as("bins"),
+        round(col("__allsq").cast("double") / col("n_rows").cast("double"), 6)
+          .as("brier"),
+        round(col("__rel").cast("double") / col("n_rows").cast("double"), 6)
+          .as("reliability"),
+        round(col("__res").cast("double") / col("n_rows").cast("double"), 6)
+          .as("resolution"),
+        round(col("__obar") * (lit(1.0) - col("__obar")), 6).as("uncertainty"))
   }
 }

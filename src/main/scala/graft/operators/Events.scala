@@ -1434,4 +1434,205 @@ object Events {
       .agg(min(col("t")).as("peak_at"))
       .select(g ++ Seq(col("peak"), col("peak_at")): _*)
   }
+
+  /** RFM segmentation — the classic user-value triage (recency of
+    * last activity, frequency of events, monetary value) with each
+    * dimension scored 1..`buckets` by its own corpus quantiles, the
+    * standard marketing-segmentation input and a fine per-user
+    * quality prior for sampling weights.
+    *
+    * Scale shape: ONE grouped pass collapses events to the per-user
+    * (recency, frequency, monetary) triple (map-side combined;
+    * monetary sums ride exact DECIMAL); the 3×(buckets−1) quantile
+    * edges come from one bounded aggregation over that frame and
+    * broadcast back — never a global ntile window (a corpus-wide
+    * sort at 100 TB). Bucketing is the [[graft.operators.Profile]]
+    * psi convention: edges round 6 dp, assignment counts edges
+    * STRICTLY below the value, so both engines bucket identically at
+    * ulp-adjacent boundaries. Higher score = better: frequency and
+    * monetary score bin+1; recency (smaller is fresher) scores
+    * buckets−bin. Null users/timestamps drop; null values count into
+    * frequency but not monetary.
+    *
+    * @param asOfMs the "now" anchor recency is measured from — a
+    *               caller literal so reruns are reproducible.
+    * @return one row per user: (userCol, recency_ms, frequency,
+    *         monetary 6 dp, r_score, f_score, m_score, segment
+    *         "RFM" digits).
+    */
+  def rfmSegments(
+      df: DataFrame,
+      userCol: String,
+      tsMsCol: String,
+      valueCol: String,
+      asOfMs: Long,
+      buckets: Int = 5): DataFrame = {
+    require(buckets >= 2 && buckets <= 10, "buckets must be in [2, 10]")
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val per = df
+      .where(col(userCol).isNotNull && col(tsMsCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(
+        (lit(asOfMs) - max(col(tsMsCol).cast("long"))).as("recency_ms"),
+        count(lit(1)).as("frequency"),
+        round(coalesce(sum(round(col(valueCol), 6).cast("decimal(18,6)")),
+          lit(0).cast("decimal(18,6)")).cast("double"), 6).as("monetary"))
+      .localCheckpoint() // one event scan feeds the edges AND the scoring
+    def edges(c: String) = (1 until buckets).map(i =>
+      round(element_at(percentile(col(c).cast("double"),
+        typedLit(probs)), i), 6).as(s"__e_${c}_$i"))
+    val e = per.agg(
+      (edges("recency_ms") ++ edges("frequency") ++ edges("monetary")).head,
+      (edges("recency_ms") ++ edges("frequency") ++ edges("monetary")).tail: _*)
+    def bin(c: String): Column = (1 until buckets)
+      .map(i => when(col(c).cast("double") > col(s"__e_${c}_$i"), 1)
+        .otherwise(0))
+      .reduce(_ + _)
+    per.crossJoin(broadcast(e))
+      .withColumn("r_score", lit(buckets) - bin("recency_ms"))
+      .withColumn("f_score", bin("frequency") + 1)
+      .withColumn("m_score", bin("monetary") + 1)
+      .select(col(userCol), col("recency_ms"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")).as("segment"))
+  }
+
+  /** Lead–lag cross-correlation of two event types' bucketed count
+    * series — "do purchases follow clicks, and by how many days":
+    * Pearson correlation of count_A[t] against count_B[t+lag] for
+    * every lag in [−maxLag, +maxLag]. Positive-lag peaks mean A
+    * leads B.
+    *
+    * Scale shape: the corpus collapses to per-bucket counts in ONE
+    * map-side-combined aggregation; the dense spine (missing buckets
+    * count 0 — a silent day is real data), the lag explode, and the
+    * self-join are all over the bounded |buckets| frame, guarded by
+    * `maxBuckets`. Counts are integers, so every moment sum is EXACT
+    * (DECIMAL(38,0)) and the one double division per lag makes the
+    * output partitioning-independent with no intermediate rounding.
+    * Null timestamps drop. corr is null when either series is
+    * constant over the overlap.
+    *
+    * @return one row per lag: (lag, n_buckets — overlap length,
+    *         corr 6 dp).
+    */
+  def crossCorrelation(
+      df: DataFrame,
+      tsMsCol: String,
+      typeCol: String,
+      typeA: String,
+      typeB: String,
+      stepMs: Long,
+      maxLag: Int,
+      maxBuckets: Long = 1000000L): DataFrame = {
+    require(stepMs > 0, "stepMs must be positive")
+    require(maxLag >= 1, "maxLag must be positive")
+    val counts = df
+      .where(col(tsMsCol).isNotNull &&
+        (col(typeCol) === typeA || col(typeCol) === typeB))
+      .groupBy(floorDivMs(tsMsCol, stepMs).as("__b"))
+      .agg(
+        sum(when(col(typeCol) === typeA, 1L).otherwise(0L)).as("__na"),
+        sum(when(col(typeCol) === typeB, 1L).otherwise(0L)).as("__nb"))
+      .localCheckpoint() // bounded; feeds the spine bounds and both join sides
+    val bounds = counts.agg(
+      min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
+    // the gapFill guard discipline: fold the cap check into a column
+    // the plan NEEDS, so Catalyst cannot prune the raise_error away
+    val spine = bounds
+      .select(
+        when(col("__hi") - col("__lo") + 1 > maxBuckets,
+          raise_error(format_string(
+            s"crossCorrelation: bucket spine spans %s buckets at " +
+              s"stepMs=$stepMs, over maxBuckets=$maxBuckets - coarsen stepMs",
+            col("__hi") - col("__lo") + lit(1L))).cast("long"))
+          .otherwise(col("__lo")).as("__lo"),
+        col("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("__b"))
+    val dense = spine.join(counts, Seq("__b"), "left")
+      .select(col("__b"),
+        coalesce(col("__na"), lit(0L)).as("__na"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"))
+      .localCheckpoint() // bounded; reused as both sides of the lag join
+    val x = dense.select(col("__b"), col("__na"),
+      explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"))
+    val y = dense.select(col("__b").as("__by"), col("__nb"))
+    x.join(y, col("__by") === col("__b") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("__na").cast("decimal(38,0)")).as("__sx"),
+        sum(col("__nb").cast("decimal(38,0)")).as("__sy"),
+        sum((col("__na") * col("__nb")).cast("decimal(38,0)")).as("__sxy"),
+        sum((col("__na") * col("__na")).cast("decimal(38,0)")).as("__sxx"),
+        sum((col("__nb") * col("__nb")).cast("decimal(38,0)")).as("__syy"))
+      .withColumn("__num", (col("n_buckets") * col("__sxy") -
+        col("__sx") * col("__sy")).cast("double"))
+      .withColumn("__dx", (col("n_buckets") * col("__sxx") -
+        col("__sx") * col("__sx")).cast("double"))
+      .withColumn("__dy", (col("n_buckets") * col("__syy") -
+        col("__sy") * col("__sy")).cast("double"))
+      .select(col("lag"), col("n_buckets"),
+        round(when(col("__dx") > 0 && col("__dy") > 0,
+          col("__num") / sqrt(col("__dx") * col("__dy"))), 6).as("corr"))
+  }
+
+  /** Theil–Sen robust trend — the slope estimate a single outlier
+    * day cannot move (unlike [[graft.operators.TrendLine]]'s least
+    * squares): median of all pairwise slopes over the bucketed
+    * series, intercept = median(y − slope·x). The standard robust
+    * "is this metric drifting" number for daily corpus health
+    * series.
+    *
+    * Scale shape: the corpus collapses to per-bucket 6 dp sums in
+    * ONE map-side-combined pass; the pair frame is |buckets|²/2 over
+    * that BOUNDED series, guarded by `maxBuckets` (default 2000 →
+    * ≤ 2M pair rows) — never a corpus self-join. Pair slopes round
+    * 6 dp before the exact median, one 6 dp output rounding each.
+    * Null timestamps drop; missing buckets are absent (not zero) —
+    * gap-fill first if silence should count.
+    *
+    * @return one row: (n_buckets, n_pairs, slope 6 dp — per bucket
+    *         step, intercept 6 dp).
+    */
+  def theilSenTrend(
+      df: DataFrame,
+      tsMsCol: String,
+      valueCol: String,
+      stepMs: Long,
+      maxBuckets: Long = 2000L): DataFrame = {
+    require(stepMs > 0, "stepMs must be positive")
+    val series = df
+      .where(col(tsMsCol).isNotNull)
+      .groupBy(floorDivMs(tsMsCol, stepMs).as("__x"))
+      .agg(round(coalesce(sum(round(col(valueCol), 6).cast("decimal(18,6)")),
+        lit(0).cast("decimal(18,6)")).cast("double"), 6).as("__y"))
+      .localCheckpoint() // bounded; feeds the guard, pairs and intercept
+    // guard folded into the needed column (the gapFill discipline)
+    val guard = series.agg(count(lit(1)).as("__nb"))
+      .select(
+        when(col("__nb") > maxBuckets,
+          raise_error(format_string(
+            s"theilSenTrend: series has %s buckets, over " +
+              s"maxBuckets=$maxBuckets - coarsen stepMs",
+            col("__nb"))).cast("long"))
+          .otherwise(col("__nb")).as("__nb"))
+    val a = series.select(col("__x").as("__xi"), col("__y").as("__yi"))
+    val b = series.select(col("__x").as("__xj"), col("__y").as("__yj"))
+    val slopes = a.join(b, col("__xj") > col("__xi"))
+      .select(round((col("__yj") - col("__yi")) /
+        (col("__xj") - col("__xi")).cast("double"), 6).as("__s"))
+    val sl = slopes.agg(
+      count(lit(1)).as("n_pairs"),
+      round(percentile(col("__s"), lit(0.5)), 6).as("slope"))
+    val ic = series.crossJoin(broadcast(sl.select(col("slope").as("__sl"))))
+      .agg(round(percentile(
+        col("__y") - col("__sl") * col("__x").cast("double"), lit(0.5)), 6)
+        .as("intercept"))
+    guard.select(col("__nb").as("n_buckets"))
+      .crossJoin(broadcast(sl))
+      .crossJoin(broadcast(ic))
+      .select(col("n_buckets"), col("n_pairs"), col("slope"), col("intercept"))
+  }
 }

@@ -486,4 +486,82 @@ class EvalSpec extends SparkSpec {
       .collect().toSeq == Eval.mannWhitneyU(df, "g", "x", "a", "b")
       .collect().toSeq)
   }
+
+  test("anovaF: hand-computed SS terms and F, degenerate guards") {
+    // a={1,2,3} m=2 w=2; b={2,4,6} m=4 w=8; c={5,5,5} m=5 w=0
+    // grand mean 3.666667 (6dp); SSB = 14.000001 from the 6dp-rounded
+    // per-group terms (the exact-fraction value is 14; the rounded
+    // grand mean moves each squared deviation by ~1e-6)
+    val df = (Seq(1, 2, 3).map(("a", _)) ++ Seq(2, 4, 6).map(("b", _)) ++
+      Seq(5, 5, 5).map(("c", _))).map { case (g, v) => (g, v.toDouble) }
+      .toDF("g", "x")
+    val r = Eval.anovaF(df, "g", "x").head()
+    assert((r.getLong(0), r.getLong(1)) == ((9L, 3L)))
+    assert(r.getDouble(2) == 14.000001 && r.getDouble(3) == 10.0)
+    assert((r.getLong(4), r.getLong(5)) == ((2L, 6L)))
+    assert(r.getDouble(6) == 4.2)
+    // one group only: F null (df1 = 0)
+    val one = Eval.anovaF(df.where($"g" === "a"), "g", "x").head()
+    assert(one.isNullAt(6))
+    // zero within-variance: F null, not infinity
+    val konst = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)).toDF("g", "x")
+    assert(Eval.anovaF(konst, "g", "x").head().isNullAt(6))
+  }
+
+  test("leveneTest: equal dispersion reads F = 0, unequal reads F > 0") {
+    val equal = (Seq(1, 2, 3).map(("a", _)) ++ Seq(10, 11, 12).map(("b", _)))
+      .map { case (g, v) => (g, v.toDouble) }.toDF("g", "x")
+    assert(Eval.leveneTest(equal, "g", "x").head().getDouble(6) == 0.0)
+    val unequal = (Seq(1, 2, 3).map(("a", _)) ++ Seq(0, 20, 40).map(("b", _)))
+      .map { case (g, v) => (g, v.toDouble) }.toDF("g", "x")
+    val r = Eval.leveneTest(unequal, "g", "x").head()
+    assert(r.getDouble(6) > 0.0 && r.getLong(1) == 2L)
+  }
+
+  test("pairedTTest: hand-computed t over differences, constant diff guards") {
+    val df = Seq((3.0, 2.0), (5.0, 3.0), (9.0, 6.0)).toDF("a", "b")
+    val r = Eval.pairedTTest(df, "a", "b").head()
+    // diffs {1, 2, 3}: mean 2, var 1, t = 2/sqrt(1/3) = 2*sqrt(3)
+    assert(r.getLong(0) == 3L && r.getDouble(1) == 2.0 && r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) == math.rint(2.0 * math.sqrt(3.0) * 1e6) / 1e6)
+    assert(r.getLong(4) == 2L)
+    val const = Seq((2.0, 1.0), (3.0, 2.0)).toDF("a", "b")
+    assert(Eval.pairedTTest(const, "a", "b").head().isNullAt(3))
+    // null sides drop
+    val withNull = df.union(Seq((null.asInstanceOf[java.lang.Double], 1.0)
+      .asInstanceOf[(java.lang.Double, Double)]).toDF("a", "b"))
+    assert(Eval.pairedTTest(withNull, "a", "b").head().getLong(0) == 3L)
+  }
+
+  test("wilsonCI: matches the closed form, clamps to [0,1], null group is a slice") {
+    val df = (Seq.fill(1)(("g1", true)) ++ Seq.fill(3)(("g1", false)) ++
+      Seq.fill(5)(("g2", true))).toDF("g", "ok")
+    val z = 1.959964
+    def wilson(s: Long, n: Long): (Double, Double) = {
+      val p = s.toDouble / n; val z2 = z * z
+      val den = 1.0 + z2 / n
+      val c = (p + z2 / (2.0 * n)) / den
+      val h = z * math.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n)) / den
+      (math.rint(math.max(0, c - h) * 1e6) / 1e6,
+        math.rint(math.min(1, c + h) * 1e6) / 1e6)
+    }
+    val by = Eval.wilsonCI(df, "g", "ok")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(by("g1")._1 == 4L && by("g1")._2 == 1L)
+    assert((by("g1")._3, by("g1")._4) == wilson(1, 4))
+    // all-success arm: hi clamps to <= 1.0
+    assert((by("g2")._3, by("g2")._4) == wilson(5, 5) && by("g2")._4 <= 1.0)
+  }
+
+  test("brierDecomposition: hand-computed Murphy terms") {
+    val df = Seq((0.1, false), (0.9, true), (0.8, false), (0.3, false))
+      .toDF("p", "y")
+    val r = Eval.brierDecomposition(df, "p", "y", bins = 2).head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(2) == 0.1875)   // mean squared error
+    assert(r.getDouble(3) == 0.08125)  // reliability
+    assert(r.getDouble(4) == 0.0625)   // resolution
+    assert(r.getDouble(5) == 0.1875)   // uncertainty = .25*.75
+  }
 }

@@ -829,4 +829,66 @@ class EventsSpec extends SparkSpec {
       .as[(Option[String], Long, Long)].collect().toSet
     assert(byG == Set((Some("a"), 1L, 1L), (None, 2L, 3L)))
   }
+
+  test("rfmSegments: hand-computed quantile scores at buckets = 2") {
+    // asOf=100. u1: r=10 f=4 m=40; u2: r=50 f=2 m=10; u3: r=20 f=1
+    // m=100; u4: r=80 f=3 m=5. Median edges: r 35, f 2.5, m 25.
+    val ev = Seq(
+      ("u1", 90L, 10.0), ("u1", 10L, 10.0), ("u1", 20L, 10.0), ("u1", 30L, 10.0),
+      ("u2", 50L, 5.0), ("u2", 40L, 5.0),
+      ("u3", 80L, 100.0),
+      ("u4", 20L, 1.0), ("u4", 10L, 2.0), ("u4", 15L, 2.0)
+    ).toDF("u", "ts", "v")
+    val out = Events.rfmSegments(ev, "u", "ts", "v", asOfMs = 100L, buckets = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(7)))).toMap
+    assert(out("u1") == ((10L, 4L, 40.0, "222")))
+    assert(out("u2") == ((50L, 2L, 10.0, "111")))
+    assert(out("u3") == ((20L, 1L, 100.0, "212")))
+    assert(out("u4") == ((80L, 3L, 5.0, "121")))
+    // deterministic under repartitioning
+    val rep = Events.rfmSegments(ev.repartition(7), "u", "ts", "v", 100L, 2)
+      .collect().map(r => r.getString(0) -> r.getString(7)).toMap
+    assert(rep == out.map { case (k, v) => k -> v._4 })
+  }
+
+  test("crossCorrelation: a shifted copy correlates 1.0 at its lag") {
+    // A counts per bucket [2,1,3,0]; B is A shifted +1: [0,2,1,3]
+    val rows = Seq.fill(2)(("a", 0L)) ++ Seq(("a", 10L)) ++
+      Seq.fill(3)(("a", 20L)) ++
+      Seq.fill(2)(("b", 10L)) ++ Seq(("b", 20L)) ++ Seq.fill(3)(("b", 30L))
+    val ev = rows.toDF("typ", "ts")
+    val out = Events.crossCorrelation(ev, "ts", "typ", "a", "b",
+      stepMs = 10L, maxLag = 1)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1) == ((3L, 1.0)))
+    // hand-computed at lag -1: [1,3,0] vs [0,2,1] -> 6/sqrt(84)
+    assert(out(-1)._2 ==
+      math.rint(6.0 / math.sqrt(84.0) * 1e6) / 1e6)
+    // constant overlap -> null corr, never a divide-by-zero
+    val flat = Seq(("a", 0L), ("a", 10L), ("b", 0L), ("b", 10L)).toDF("typ", "ts")
+    val fo = Events.crossCorrelation(flat, "ts", "typ", "a", "b", 10L, 1)
+      .where(col("lag") === 0).head()
+    assert(fo.isNullAt(2))
+  }
+
+  test("theilSenTrend: exact line recovers slope and intercept; outlier-robust") {
+    // y = 2x + 1 over buckets 0..4, one value per bucket
+    val ev = (0 to 4).map(x => (x * 10L, 2.0 * x + 1)).toDF("ts", "v")
+    val r = Events.theilSenTrend(ev, "ts", "v", stepMs = 10L).head()
+    assert((r.getLong(0), r.getLong(1)) == ((5L, 10L)))
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 1.0)
+    // one wild outlier bucket barely moves the median slope
+    val dirty = ev.union(Seq((50L, 1000.0)).toDF("ts", "v"))
+    val rd = Events.theilSenTrend(dirty, "ts", "v", stepMs = 10L).head()
+    assert(rd.getDouble(2) < 3.0, s"robust slope moved to ${rd.getDouble(2)}")
+    // bucket-cap guard raises in-plan (pair volume is |buckets|²)
+    val wide = (0 until 20).map(i => (i.toLong, 1.0)).toDF("ts", "v")
+    val err = intercept[Exception] {
+      Events.theilSenTrend(wide, "ts", "v", stepMs = 1L, maxBuckets = 10L)
+        .collect()
+    }
+    assert(err.getMessage.contains("maxBuckets") ||
+      err.getCause != null, err.getMessage)
+  }
 }
