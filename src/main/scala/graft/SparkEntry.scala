@@ -693,6 +693,53 @@ object SparkEntry {
   }
 
   private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heaps" -> ((s, dir) => {
+      // Vocabulary-growth fit over the corpus in doc_id order: is
+      // the tail still adding new words, or re-treading boilerplate?
+      graft.functions.TextAnalysis.heapsLaw(
+        t(s, dir, "documents"), "text", "doc_id")
+    }),
+    // ------------------------------------- round 15: layout & state
+    "q_partitioned_roundtrip" -> ((s, dir) => {
+      // Hive-partitioned write + DIRECTORY-pruned read: the per-slice
+      // report is computed off a scan whose PartitionFilters carry
+      // the lang predicate (asserted in-plan — a regression to a
+      // post-scan filter fails the query, not just a spec).
+      val out = sys.props("java.io.tmpdir") + "/graft_partitioned_rt"
+      graft.sources.Partitioned.writePartitioned(
+        Parallelism.spread(t(s, dir, "documents"))
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+        out, Seq("lang"))
+      val en = graft.sources.Partitioned.readPartitioned(s, out)
+        .where(col("lang") === "en")
+      graft.sources.Partitioned.assertPartitionPruned(en, "lang")
+      en.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+    "q_incremental_moments" -> ((s, dir) => {
+      // Mergeable exact-moment state: per-parity batch states merged
+      // by addition, report derived from the merged state — history
+      // is never re-scanned. Merge(state(even), state(odd)) must
+      // equal direct per-lang stats over the whole corpus.
+      val docs = Parallelism.spread(t(s, dir, "documents"))
+      val a = graft.operators.IncrementalStats.momentState(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), Seq("lang"), "n_chars")
+      val b = graft.operators.IncrementalStats.momentState(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1), Seq("lang"), "n_chars")
+      graft.operators.IncrementalStats.momentReport(
+        graft.operators.IncrementalStats.mergeMomentStates(Seq(a, b), Seq("lang")),
+        Seq("lang"))
+    }),
+    "q_fd" -> ((s, dir) => {
+      // g3 functional-dependency profile over the categorical trio
+      // (lang, source, lang_prefix): lang -> lang_prefix must hold
+      // exactly (strength 1.0); the other directions measure real
+      // violation mass.
+      graft.operators.Profile.functionalDependencies(
+        Parallelism.spread(t(s, dir, "documents"))
+          .withColumn("lang_prefix", substring(col("lang"), 1, 1)),
+        Seq("lang", "source", "lang_prefix"))
+    }),
     // ------------------------------------------ round 15: events
     "q_rfm" -> ((s, dir) => {
       // Classic user-value triage scored by corpus quantiles — the
@@ -4174,6 +4221,136 @@ object SparkEntry {
        |ob AS (SELECT doc_id, lang, ${h16Sql("g")} % 64 AS b FROM oc)""".stripMargin
 
   private def pipelineOracle: Map[String, String] = Map(
+    // same tokenization (lower/trim/\s+/non-empty), grouped first-doc
+    // mins, window prefix sums in doc order, 6 dp ln points, DECIMAL
+    // moment sums, one double solve
+    "q_heaps" ->
+      """WITH tk AS (SELECT doc_id AS d,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> t <> '') AS w
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |tc AS (SELECT d, coalesce(len(w), 0)::BIGINT AS tcnt FROM tk),
+        |fi AS (SELECT t, min(d) AS fd
+        |  FROM (SELECT d, unnest(w) AS t FROM tk) GROUP BY 1),
+        |nv AS (SELECT fd AS d, count(*)::BIGINT AS nvv FROM fi GROUP BY 1),
+        |pd AS (SELECT tc.d, tcnt, coalesce(nvv, 0) AS nvv
+        |  FROM tc LEFT JOIN nv ON tc.d = nv.d),
+        |cm AS (SELECT d, sum(tcnt) OVER (ORDER BY d) AS nn,
+        |    sum(nvv) OVER (ORDER BY d) AS vv FROM pd),
+        |pts AS (SELECT round(ln(nn::DOUBLE), 6) AS x,
+        |    round(ln(vv::DOUBLE), 6) AS y FROM cm WHERE nn > 0 AND vv > 0),
+        |f AS (SELECT count(*)::BIGINT AS np,
+        |    sum(x::DECIMAL(18,6)) AS sx, sum(y::DECIMAL(18,6)) AS sy,
+        |    sum(round(x * x, 6)::DECIMAL(18,6)) AS sxx,
+        |    sum(round(x * y, 6)::DECIMAL(18,6)) AS sxy FROM pts),
+        |tt AS (SELECT count(*)::BIGINT AS n_docs,
+        |    coalesce(sum(tcnt), 0)::BIGINT AS n_tokens,
+        |    coalesce(sum(nvv), 0)::BIGINT AS vocab FROM pd),
+        |b AS (SELECT *, CASE WHEN np >= 2
+        |      AND np::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE <> 0.0
+        |    THEN (np::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |      / (np::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |  END AS beta_raw FROM f)
+        |SELECT n_docs, n_tokens, vocab, round(beta_raw, 6) AS beta,
+        |  round(exp((sy::DOUBLE - beta_raw * sx::DOUBLE) / np::DOUBLE), 6) AS k
+        |FROM tt, b""".stripMargin,
+    // identical per-slice aggregate over the pruned partition — the
+    // values cannot tell pruned from unpruned; the Spark side
+    // asserts the PLAN, this replay asserts the VALUES
+    "q_partitioned_roundtrip" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents WHERE lang = 'en' GROUP BY 1""".stripMargin,
+    // direct per-group moments replicate state-build -> merge ->
+    // report exactly (the merge is rounding-free by construction)
+    "q_incremental_moments" ->
+      """WITH d AS (SELECT lang, round(n_chars, 6)::DECIMAL(18,6) AS x
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |a AS (SELECT lang, count(*)::BIGINT AS n_rows, sum(x) AS s,
+        |    sum((x * x)::DECIMAL(38,12)) AS q FROM d GROUP BY 1),
+        |m AS (SELECT *, CASE WHEN n_rows > 0
+        |    THEN round(s::DOUBLE / n_rows::DOUBLE, 6) END AS mean FROM a),
+        |v AS (SELECT *, CASE WHEN n_rows >= 2 THEN
+        |    greatest(0.0, q::DOUBLE - n_rows::DOUBLE * mean * mean)
+        |      / (n_rows::DOUBLE - 1.0) END AS vr FROM m)
+        |SELECT lang, n_rows, mean, round(vr, 6) AS variance,
+        |  round(sqrt(vr), 6) AS stddev
+        |FROM v""".stripMargin,
+    // per-pair g3: bounded (det, dep) cells, per-det majority mass
+    "q_fd" ->
+      """WITH dd AS (SELECT lang, source, substr(lang, 1, 1) AS lang_prefix
+        |  FROM documents)
+        |SELECT 'lang' AS determinant, 'source' AS dependent,
+        |  coalesce(sum(tot), 0)::BIGINT AS n_rows,
+        |  count(*)::BIGINT AS n_det_values,
+        |  coalesce(sum(tot - mx), 0)::BIGINT AS n_violations,
+        |  round(CASE WHEN coalesce(sum(tot), 0) > 0 THEN
+        |    1.0 - coalesce(sum(tot - mx), 0)::DOUBLE / sum(tot)::DOUBLE
+        |  END, 6) AS strength
+        |FROM (SELECT a, max(c) AS mx, sum(c) AS tot FROM
+        |  (SELECT lang AS a, source AS b, count(*)::BIGINT AS c FROM dd
+        |   WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |UNION ALL
+        |SELECT 'lang' AS determinant, 'lang_prefix' AS dependent,
+        |  coalesce(sum(tot), 0)::BIGINT AS n_rows,
+        |  count(*)::BIGINT AS n_det_values,
+        |  coalesce(sum(tot - mx), 0)::BIGINT AS n_violations,
+        |  round(CASE WHEN coalesce(sum(tot), 0) > 0 THEN
+        |    1.0 - coalesce(sum(tot - mx), 0)::DOUBLE / sum(tot)::DOUBLE
+        |  END, 6) AS strength
+        |FROM (SELECT a, max(c) AS mx, sum(c) AS tot FROM
+        |  (SELECT lang AS a, lang_prefix AS b, count(*)::BIGINT AS c FROM dd
+        |   WHERE lang IS NOT NULL AND lang_prefix IS NOT NULL GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |UNION ALL
+        |SELECT 'source' AS determinant, 'lang' AS dependent,
+        |  coalesce(sum(tot), 0)::BIGINT AS n_rows,
+        |  count(*)::BIGINT AS n_det_values,
+        |  coalesce(sum(tot - mx), 0)::BIGINT AS n_violations,
+        |  round(CASE WHEN coalesce(sum(tot), 0) > 0 THEN
+        |    1.0 - coalesce(sum(tot - mx), 0)::DOUBLE / sum(tot)::DOUBLE
+        |  END, 6) AS strength
+        |FROM (SELECT a, max(c) AS mx, sum(c) AS tot FROM
+        |  (SELECT source AS a, lang AS b, count(*)::BIGINT AS c FROM dd
+        |   WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |UNION ALL
+        |SELECT 'source' AS determinant, 'lang_prefix' AS dependent,
+        |  coalesce(sum(tot), 0)::BIGINT AS n_rows,
+        |  count(*)::BIGINT AS n_det_values,
+        |  coalesce(sum(tot - mx), 0)::BIGINT AS n_violations,
+        |  round(CASE WHEN coalesce(sum(tot), 0) > 0 THEN
+        |    1.0 - coalesce(sum(tot - mx), 0)::DOUBLE / sum(tot)::DOUBLE
+        |  END, 6) AS strength
+        |FROM (SELECT a, max(c) AS mx, sum(c) AS tot FROM
+        |  (SELECT source AS a, lang_prefix AS b, count(*)::BIGINT AS c FROM dd
+        |   WHERE source IS NOT NULL AND lang_prefix IS NOT NULL GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |UNION ALL
+        |SELECT 'lang_prefix' AS determinant, 'lang' AS dependent,
+        |  coalesce(sum(tot), 0)::BIGINT AS n_rows,
+        |  count(*)::BIGINT AS n_det_values,
+        |  coalesce(sum(tot - mx), 0)::BIGINT AS n_violations,
+        |  round(CASE WHEN coalesce(sum(tot), 0) > 0 THEN
+        |    1.0 - coalesce(sum(tot - mx), 0)::DOUBLE / sum(tot)::DOUBLE
+        |  END, 6) AS strength
+        |FROM (SELECT a, max(c) AS mx, sum(c) AS tot FROM
+        |  (SELECT lang_prefix AS a, lang AS b, count(*)::BIGINT AS c FROM dd
+        |   WHERE lang_prefix IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |UNION ALL
+        |SELECT 'lang_prefix' AS determinant, 'source' AS dependent,
+        |  coalesce(sum(tot), 0)::BIGINT AS n_rows,
+        |  count(*)::BIGINT AS n_det_values,
+        |  coalesce(sum(tot - mx), 0)::BIGINT AS n_violations,
+        |  round(CASE WHEN coalesce(sum(tot), 0) > 0 THEN
+        |    1.0 - coalesce(sum(tot - mx), 0)::DOUBLE / sum(tot)::DOUBLE
+        |  END, 6) AS strength
+        |FROM (SELECT a, max(c) AS mx, sum(c) AS tot FROM
+        |  (SELECT lang_prefix AS a, source AS b, count(*)::BIGINT AS c FROM dd
+        |   WHERE lang_prefix IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2)
+        |  GROUP BY 1)""".stripMargin,
     // same per-user triple (DECIMAL monetary sums), 6 dp
     // quantile_cont edges, strictly-greater bucketing (the psi
     // ulp-safe convention), higher-is-better score orientation

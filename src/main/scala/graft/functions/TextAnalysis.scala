@@ -1807,4 +1807,76 @@ object TextAnalysis {
       .select(col("token"), col("df_count"),
         size(col("postings")).as("n_postings"), col("postings"))
   }
+
+  /** Heaps'-law vocabulary-growth fit — "is the corpus still teaching
+    * the tokenizer new words": distinct-vocabulary size V grows with
+    * token count N as V ≈ K·N^β (Heaps 1978; β ≈ 0.4–0.6 for natural
+    * language). A β collapsing toward 0 means the tail of the corpus
+    * is re-treading known vocabulary (template/boilerplate mass); a
+    * synthetic corpus bends the log-log line just like Zipf's. One
+    * least-squares line through (ln N(d), ln V(d)) sampled at every
+    * document boundary of the `idCol` order.
+    *
+    * Scale shape — never a sequential scan: each token's FIRST
+    * document is one map-side-combined grouped min; per-doc
+    * new-vocabulary counts are a second bounded-by-|docs| group; the
+    * running (N, V) prefixes ride the
+    * [[graft.operators.Cumulative]] distributed prefix sum (no
+    * single-partition window); the fit follows the [[zipfFit]]
+    * decimal discipline (6 dp ln points and products summed in exact
+    * DECIMAL, one double solve). Null doc ids drop; blank docs
+    * contribute zero tokens.
+    *
+    * @return one row: (n_docs, n_tokens, vocab, beta 6 dp, k 6 dp —
+    *         the fitted K = e^intercept; beta/k null when fewer than
+    *         2 distinct points survive).
+    */
+  def heapsLaw(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val tk = graft.operators.Parallelism.spread(df)
+      .where(col(idCol).isNotNull)
+      .select(col(idCol).as("__d"),
+        filter(tokens(col(textCol)), t => t =!= "").as("__w"))
+      .localCheckpoint() // one tokenize pass feeds counts AND firsts
+    val tc = tk.select(col("__d"),
+      coalesce(size(col("__w")), lit(0)).cast("long").as("__tc"))
+    val nv = tk.select(col("__d"), explode(col("__w")).as("__t"))
+      .groupBy(col("__t")).agg(min(col("__d")).as("__fd"))
+      .groupBy(col("__fd").as("__d")).agg(count(lit(1)).as("__nv"))
+    val perDoc = tc.join(nv, Seq("__d"), "left")
+      .select(col("__d"), col("__tc"),
+        coalesce(col("__nv"), lit(0L)).as("__nv"))
+    val cum = graft.operators.Cumulative.withCumulativeSums(
+      perDoc, Seq(col("__tc") -> "__N", col("__nv") -> "__V"), col("__d"))
+    val pts = cum
+      .where(col("__N") > 0 && col("__V") > 0)
+      .select(
+        round(log(col("__N").cast("double")), 6).as("__x"),
+        round(log(col("__V").cast("double")), 6).as("__y"))
+    val fit = pts.agg(
+      count(lit(1)).as("__np"),
+      sum(col("__x").cast("decimal(18,6)")).as("__sx"),
+      sum(col("__y").cast("decimal(18,6)")).as("__sy"),
+      sum(round(col("__x") * col("__x"), 6).cast("decimal(18,6)")).as("__sxx"),
+      sum(round(col("__x") * col("__y"), 6).cast("decimal(18,6)")).as("__sxy"))
+    val tot = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("__tc")), lit(0L)).as("n_tokens"),
+      coalesce(sum(col("__nv")), lit(0L)).as("vocab"))
+    val np = col("__np").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    val sxx = col("__sxx").cast("double")
+    val sxy = col("__sxy").cast("double")
+    val den = np * sxx - sx * sx
+    tot.crossJoin(broadcast(fit))
+      .withColumn("__beta_raw",
+        when(col("__np") >= 2 && den =!= 0.0, (np * sxy - sx * sy) / den))
+      .select(
+        col("n_docs"), col("n_tokens"), col("vocab"),
+        round(col("__beta_raw"), 6).as("beta"),
+        round(exp((sy - col("__beta_raw") * sx) / np), 6).as("k"))
+  }
 }

@@ -2032,4 +2032,49 @@ object Profile {
     df.withColumn("group_size", count(lit(1)).over(w))
       .withColumn("at_risk", col("group_size") < k)
   }
+
+  /** Functional-dependency discovery (the g₃ measure, Kivinen &
+    * Mannila 1995) — "does column A determine column B": for every
+    * ordered pair of `cols`, the minimum number of rows that must be
+    * removed for A → B to hold exactly (per A value, everything but
+    * its majority B) and the strength 1 − violations/n. The
+    * data-profiling primitive behind schema inference, key
+    * discovery, and denormalization checks ("is source derivable
+    * from lang?").
+    *
+    * Scale shape: per pair, ONE map-side-combined (A, B) cell count
+    * (bounded by the CATEGORICAL combination count — the crossTab
+    * contract: these are category columns, never free strings), a
+    * grouped max/sum over that bounded frame, one global fold. Rows
+    * with a null on either side of a pair drop for that pair (the
+    * cramersV null-category contract). Output is |pairs| rows.
+    *
+    * @return one row per ordered pair: (determinant, dependent,
+    *         n_rows, n_det_values, n_violations, strength 6 dp —
+    *         1.0 means the FD holds exactly).
+    */
+  def functionalDependencies(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.distinct == cols, "columns must be distinct")
+    val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+    pairs.map { case (a, b) =>
+      val cells = df
+        .where(col(a).isNotNull && col(b).isNotNull)
+        .groupBy(col(a).as("__a"), col(b).as("__b"))
+        .agg(count(lit(1)).as("__c"))
+      val perDet = cells
+        .groupBy(col("__a"))
+        .agg(max(col("__c")).as("__mx"), sum(col("__c")).as("__tot"))
+      perDet.agg(
+        coalesce(sum(col("__tot")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_det_values"),
+        coalesce(sum(col("__tot") - col("__mx")), lit(0L)).as("n_violations"))
+        .select(
+          lit(a).as("determinant"), lit(b).as("dependent"),
+          col("n_rows"), col("n_det_values"), col("n_violations"),
+          round(when(col("n_rows") > 0,
+            lit(1.0) - col("n_violations").cast("double") /
+              col("n_rows").cast("double")), 6).as("strength"))
+    }.reduce(_ unionByName _)
+  }
 }

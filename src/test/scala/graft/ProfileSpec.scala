@@ -1159,4 +1159,22 @@ class ProfileSpec extends SparkSpec {
     val many = Profile.spearmanCorr(df.repartition(17), "x", "y").collect().toSeq
     assert(one == many)
   }
+
+  test("functionalDependencies: hand-computed g3 violations and strength") {
+    import graft.operators.Profile
+    // a -> b holds exactly; b -> a: b=x maps to {a1 x2, a2 x1} ->
+    // 1 violation of 4 rows; nulls drop per pair
+    val df = Seq(
+      ("a1", "x"), ("a1", "x"), ("a2", "x"), ("a3", "y"),
+      (null.asInstanceOf[String], "x"))
+      .toDF("a", "b")
+    val out = Profile.functionalDependencies(df, Seq("a", "b"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(("a", "b")) == ((4L, 3L, 0L, 1.0)))
+    assert(out(("b", "a")) == ((4L, 2L, 1L, 0.75)))
+    intercept[IllegalArgumentException] {
+      Profile.functionalDependencies(df, Seq("a"))
+    }
+  }
 }

@@ -1034,4 +1034,33 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().toSet
     assert(one == many)
   }
+
+  test("heapsLaw: exact power law recovers beta and K; counts are exact") {
+    import graft.functions.TextAnalysis
+    // Build docs so V(N) = N^0.5 exactly at every boundary: doc d
+    // adds tokens so cumulative N = d^2 and introduces d new words
+    // ... simpler exact construction: V = N (every token new) gives
+    // beta = 1, K = 1.
+    val allNew = (1 to 10).map(d =>
+      (d.toLong, (0 until 5).map(i => s"w_${d}_$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r1 = TextAnalysis.heapsLaw(allNew, "text", "doc_id").head()
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) == ((10L, 50L, 50L)))
+    assert(r1.getDouble(3) == 1.0 && r1.getDouble(4) == 1.0)
+    // a fully repetitive tail: vocab stops growing, beta < 1
+    val repetitive = allNew.union(
+      (11 to 30).map(d => (d.toLong, "w_1_0 w_1_1 w_1_2 w_1_3 w_1_4"))
+        .toDF("doc_id", "text"))
+    val r2 = TextAnalysis.heapsLaw(repetitive, "text", "doc_id").head()
+    assert(r2.getLong(2) == 50L && r2.getDouble(3) < 0.7,
+      s"beta should collapse, got ${r2.getDouble(3)}")
+    // determinism under repartitioning
+    val r3 = TextAnalysis.heapsLaw(repetitive.repartition(7), "text", "doc_id")
+      .head()
+    assert(r3 == r2)
+    // blank docs contribute zero tokens, null ids drop
+    val withBlank = allNew.union(Seq((31L, "   ")).toDF("doc_id", "text"))
+    val r4 = TextAnalysis.heapsLaw(withBlank, "text", "doc_id").head()
+    assert(r4.getLong(0) == 11L && r4.getLong(1) == 50L)
+  }
 }
