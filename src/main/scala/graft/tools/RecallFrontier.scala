@@ -10,6 +10,15 @@ import org.apache.spark.sql.functions._
   * median-of-3 latency for IVF at nprobe 1/2/4 and the persisted-PQ
   * (ADC) path. Prints a markdown table for SURVEY §6b; the decision
   * rule is recall@10 ≥ 0.9 at the latency budget → no graph index.
+  *
+  * `--clustered` (round-14 verdict optional ask): instead of the
+  * driver's ISOTROPIC embeddings (near-uniform on the sphere, where
+  * centroid routing carries little neighborhood signal), synthesize
+  * a deterministic 20k×64 corpus of 50 real clusters (unit centers
+  * from a seeded Gaussian, members = normalize(center + 0.35·noise))
+  * and run the identical frontier — the regime where IVF routing is
+  * SUPPOSED to work, re-confirming (or overturning) the no-graph
+  * decision on realistic geometry.
   */
 object RecallFrontier {
   def main(args: Array[String]): Unit = {
@@ -23,7 +32,9 @@ object RecallFrontier {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val e =
+      if (args.contains("--clustered")) clusteredCorpus(spark)
+      else spark.read.parquet(s"$dir/embeddings.parquet")
     val queries = e.where(col("vec_id") < 100)
     val n = e.count()
     println(s"corpus rows=$n, queries=100, k=10, dir=$dir")
@@ -50,7 +61,9 @@ object RecallFrontier {
     val rows = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
     rows += (("brute-force (exact)", exactT, 1.0))
 
-    for (nprobe <- Seq(1, 2, 4)) {
+    val nprobes = if (args.contains("--clustered")) Seq(1, 2, 4, 8, 16)
+      else Seq(1, 2, 4)
+    for (nprobe <- nprobes) {
       def run = Similarity.ivfTopK(e, queries, "embedding", "vec_id",
         "vec_id", k = 10, stride = 100, nprobe = nprobe)
       val t = medianTime(run)
@@ -58,7 +71,8 @@ object RecallFrontier {
     }
 
     // persisted-PQ serve path (the q_ann_pq configuration)
-    val table = "graft_recall_frontier_pq"
+    val table = if (args.contains("--clustered"))
+      "graft_recall_frontier_pq_clustered" else "graft_recall_frontier_pq"
     Pq.writePqIndex(e, "embedding", "vec_id", table, dim = 64, m = 8,
       numCentroids = 64, expectedRows = n, fitSampleStride = 4)
     def pqRun = Pq.pqTopKFromIndex(spark, table, queries,
@@ -67,11 +81,15 @@ object RecallFrontier {
     rows += (("PQ/ADC from index (m=8, 64 centroids)", pqT, recallOf(pqRun)))
 
     // the production cascade: PQ shortlist 50 -> exact float rerank
-    def cascade = Similarity.rerankTopK(e, queries,
-      Pq.pqTopKFromIndex(spark, table, queries, "embedding", "vec_id", k = 50),
-      "embedding", "vec_id", "vec_id", k = 10)
-    val cT = medianTime(cascade)
-    rows += (("PQ shortlist 50 -> exact rerank", cT, recallOf(cascade)))
+    val shortlists = if (args.contains("--clustered")) Seq(50, 200, 400)
+      else Seq(50)
+    for (sl <- shortlists) {
+      def cascade = Similarity.rerankTopK(e, queries,
+        Pq.pqTopKFromIndex(spark, table, queries, "embedding", "vec_id", k = sl),
+        "embedding", "vec_id", "vec_id", k = 10)
+      val cT = medianTime(cascade)
+      rows += ((s"PQ shortlist $sl -> exact rerank", cT, recallOf(cascade)))
+    }
 
     println("| path | median latency (100 queries) | recall@10 |")
     println("|---|---|---|")
@@ -85,5 +103,38 @@ object RecallFrontier {
       else
         "DECISION: no approximate path reaches recall@10 >= 0.9 - graph index warranted")
     spark.stop()
+  }
+
+  /** Deterministic clustered synthetic corpus: 50 unit centers from
+    * a seeded Gaussian; member i belongs to cluster i %% 50 with
+    * normalize(center + 0.35·noise_i) — every draw seeded by index,
+    * reproducible across runs/machines. Written through parquet so
+    * the scan shape matches the real-embedding path exactly.
+    */
+  private def clusteredCorpus(spark: SparkSession): DataFrame = {
+    val k = 50
+    val dim = 64
+    val nRows = 20000
+    def unit(v: Array[Double]): Array[Float] = {
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / nrm).toFloat)
+    }
+    val centers = (0 until k).map { c =>
+      val r = new scala.util.Random(7000 + c)
+      unit(Array.fill(dim)(r.nextGaussian()))
+    }
+    val rows = (0 until nRows).map { i =>
+      val c = centers(i % k)
+      val r = new scala.util.Random(100000 + i)
+      val v = unit(c.map(_.toDouble).zip(
+        Array.fill(dim)(r.nextGaussian() * 0.35)).map { case (a, b) => a + b })
+      (i.toLong, v.toSeq)
+    }
+    import spark.implicits._
+    val out = sys.props("java.io.tmpdir") + "/graft_clustered_frontier"
+    rows.toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "cast(embedding as array<float>) as embedding")
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
   }
 }
