@@ -923,6 +923,9 @@ object Eval {
       .withColumn("__w", greatest(lit(0.0),
         col("__q").cast("double") -
           col("__n").cast("double") * col("__m") * col("__m")))
+      // bounded |groups| frame feeding BOTH the grand totals and the
+      // SS-terms fold: stage it or the corpus moment pass runs twice
+      .localCheckpoint()
     val grand = perGroup.agg(
       coalesce(sum(col("__n")), lit(0L)).as("n_rows"),
       count(lit(1)).as("n_groups"),
@@ -1122,6 +1125,8 @@ object Eval {
         col("__n").cast("double"), 6))
       .withColumn("__o", round(col("__pos").cast("double") /
         col("__n").cast("double"), 6))
+      // bounded |bins| frame, two consumers (totals + Murphy terms)
+      .localCheckpoint()
     val tot = perBin.agg(
       coalesce(sum(col("__n")), lit(0L)).as("n_rows"),
       coalesce(sum(col("__pos")), lit(0L)).as("__allpos"),

@@ -2047,7 +2047,9 @@ object Profile {
     * contract: these are category columns, never free strings), a
     * grouped max/sum over that bounded frame, one global fold. Rows
     * with a null on either side of a pair drop for that pair (the
-    * cramersV null-category contract). Output is |pairs| rows.
+    * cramersV null-category contract); a pair with NO surviving rows
+    * emits no row. Output is ≤ |pairs| rows, ONE corpus scan total
+    * (values melt to per-pair string tuples in-task).
     *
     * @return one row per ordered pair: (determinant, dependent,
     *         n_rows, n_det_values, n_violations, strength 6 dp —
@@ -2057,24 +2059,36 @@ object Profile {
     require(cols.size >= 2, "need at least two columns")
     require(cols.distinct == cols, "columns must be distinct")
     val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
-    pairs.map { case (a, b) =>
-      val cells = df
-        .where(col(a).isNotNull && col(b).isNotNull)
-        .groupBy(col(a).as("__a"), col(b).as("__b"))
-        .agg(count(lit(1)).as("__c"))
-      val perDet = cells
-        .groupBy(col("__a"))
-        .agg(max(col("__c")).as("__mx"), sum(col("__c")).as("__tot"))
-      perDet.agg(
+    // ONE corpus scan for ALL pairs: melt each row into its |pairs|
+    // (det, dep, det_val, dep_val) tuples in-task (the explode is
+    // row-local), drop null-sided tuples per pair, then every later
+    // frame is bounded by the categorical cell counts. The naive
+    // per-pair loop re-scans the corpus |pairs| times — the audit
+    // caught it at 5 scans for 6 pairs.
+    val melted = df
+      .select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("determinant"), lit(b).as("dependent"),
+          col(a).cast("string").as("__dv"), col(b).cast("string").as("__bv"))
+      }: _*)).as("__p"))
+      .select(col("__p.*"))
+      .where(col("__dv").isNotNull && col("__bv").isNotNull)
+    val cells = melted
+      .groupBy(col("determinant"), col("dependent"), col("__dv"), col("__bv"))
+      .agg(count(lit(1)).as("__c"))
+    val perDet = cells
+      .groupBy(col("determinant"), col("dependent"), col("__dv"))
+      .agg(max(col("__c")).as("__mx"), sum(col("__c")).as("__tot"))
+    perDet
+      .groupBy(col("determinant"), col("dependent"))
+      .agg(
         coalesce(sum(col("__tot")), lit(0L)).as("n_rows"),
         count(lit(1)).as("n_det_values"),
         coalesce(sum(col("__tot") - col("__mx")), lit(0L)).as("n_violations"))
-        .select(
-          lit(a).as("determinant"), lit(b).as("dependent"),
-          col("n_rows"), col("n_det_values"), col("n_violations"),
-          round(when(col("n_rows") > 0,
-            lit(1.0) - col("n_violations").cast("double") /
-              col("n_rows").cast("double")), 6).as("strength"))
-    }.reduce(_ unionByName _)
+      .select(
+        col("determinant"), col("dependent"),
+        col("n_rows"), col("n_det_values"), col("n_violations"),
+        round(when(col("n_rows") > 0,
+          lit(1.0) - col("n_violations").cast("double") /
+            col("n_rows").cast("double")), 6).as("strength"))
   }
 }
