@@ -693,6 +693,21 @@ object SparkEntry {
   }
 
   private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hits" -> ((s, dir) => {
+      // Hubs vs authorities over the same injected domain graph as
+      // q_pagerank: 5 weighted L1-normalized power iterations, every
+      // score 6 dp, DECIMAL contribution sums — the oracle unrolls
+      // the identical rounds.
+      val d = Parallelism.spread(t(s, dir, "documents"))
+        .where(col("doc_id") % 5 =!= 4)
+      graft.operators.Graph.hits(
+        d.select(
+          concat(lit("d"), (col("doc_id") % 50).cast("string"),
+            lit(".ex.org")).as("src_host"),
+          concat(lit("d"), ((col("doc_id") * 7 + 13) % 50).cast("string"),
+            lit(".ex.org")).as("dst_host")),
+        "src_host", "dst_host", iters = 5)
+    }),
     "q_heaps" -> ((s, dir) => {
       // Vocabulary-growth fit over the corpus in doc_id order: is
       // the tail still adding new words, or re-treading boilerplate?
@@ -4061,6 +4076,46 @@ object SparkEntry {
     * DECIMAL literals would subtract exactly and could flip a rank
     * sitting on a 6 dp rounding boundary.
     */
+  /** ALGORITHMIC replay of [[graft.operators.Graph.hits]] over the
+    * q_pagerank domain graph: `iters` unrolled weighted
+    * L1-normalized rounds — h ← normalize(Σ_out w·a) then
+    * a ← normalize(Σ_in w·h) — every score 6 dp, DECIMAL
+    * contribution sums, identical coalesce/normalize order.
+    */
+  private def hitsOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""hr$k AS (SELECT ew.src AS node,
+         |    sum(round(ew.w * a.authority, 6)::DECIMAL(18,6)) AS s
+         |  FROM ew JOIN a${k - 1} a ON a.node = ew.dst GROUP BY 1),
+         |ht$k AS (SELECT sum(s) AS t FROM hr$k),
+         |h$k AS MATERIALIZED (SELECT nodes.node,
+         |    round(coalesce(s, 0::DECIMAL(18,6))::DOUBLE / t::DOUBLE, 6)
+         |      AS hub
+         |  FROM nodes LEFT JOIN hr$k ON nodes.node = hr$k.node, ht$k),
+         |ar$k AS (SELECT ew.dst AS node,
+         |    sum(round(ew.w * h.hub, 6)::DECIMAL(18,6)) AS s
+         |  FROM ew JOIN h$k h ON h.node = ew.src GROUP BY 1),
+         |at$k AS (SELECT sum(s) AS t FROM ar$k),
+         |a$k AS MATERIALIZED (SELECT nodes.node,
+         |    round(coalesce(s, 0::DECIMAL(18,6))::DOUBLE / t::DOUBLE, 6)
+         |      AS authority
+         |  FROM nodes LEFT JOIN ar$k ON nodes.node = ar$k.node, at$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT 'd' || (doc_id % 50)::VARCHAR || '.ex.org' AS src,
+       |    'd' || ((doc_id * 7 + 13) % 50)::VARCHAR || '.ex.org' AS dst
+       |  FROM documents WHERE doc_id % 5 <> 4),
+       |ew AS (SELECT src, dst, count(*)::DOUBLE AS w FROM e GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM ew UNION ALL SELECT dst FROM ew)),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+       |a0 AS (SELECT node, round(1.0 / n, 6) AS authority FROM nodes, nn),
+       |$steps
+       |SELECT h$iters.node, hub, authority
+       |FROM h$iters JOIN a$iters ON h$iters.node = a$iters.node"""
+      .stripMargin
+  }
+
   private def pageRankOracle(iters: Int): String = {
     val steps = (1 to iters).map { k =>
       s"""c$k AS (SELECT ew.dst AS node,
@@ -7727,6 +7782,7 @@ object SparkEntry {
     // double subtraction Scala computes (a 0.15 literal parses to a
     // different ulp)
     "q_pagerank" -> pageRankOracle(iters = 5),
+    "q_hits" -> hitsOracle(iters = 5),
     // triangleStats replay: same canonical edges, same (degree, id)
     // row-value orientation, same root-wedge closure; row comparisons
     // are the struct order both engines share

@@ -324,4 +324,75 @@ object Graph {
           (col("__k") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
             (sqrt(a) * sqrt(b))), 6).as("assortativity"))
   }
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) — the
+    * directed-graph complement of [[pageRank]]: a node is a good HUB
+    * when it links to good authorities and a good AUTHORITY when
+    * good hubs link to it. On a crawl's domain graph the two scores
+    * separate link-farm directories (high hub, low authority) from
+    * canonical sources (the reverse) — a ranking signal PageRank's
+    * single score conflates.
+    *
+    * Determinism/replay: weighted power iteration with L1
+    * normalization, every score rounded 6 dp after each normalize
+    * and every contribution sum in exact DECIMAL(18,6) — the
+    * [[pageRank]] discipline, so the oracle unrolls the identical
+    * `iters` rounds. Per iteration: h ← normalize(Σ_out w·a), then
+    * a ← normalize(Σ_in w·h).
+    *
+    * Scale shape: the corpus-sized edge list aggregates ONCE
+    * (staged); every iteration runs on the bounded weighted graph
+    * (|nodes| ≤ the domain contract), iteration frames are
+    * checkpointed so lineage never grows, and the L1 totals ride
+    * broadcast one-row frames — no collect, no driver loop over
+    * data. Null endpoints drop.
+    *
+    * @return one row per node: (node, hub 6 dp, authority 6 dp).
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val e = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+      .localCheckpoint() // the corpus-sized aggregation runs ONCE
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count() // bounded by the domain-node contract
+    require(n > 0, "hits over an empty edge set")
+    def normalize(raw: DataFrame, outCol: String): DataFrame = {
+      val tot = raw.agg(sum(col("__s")).as("__t"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          round(coalesce(col("__s"), lit(0).cast("decimal(18,6)"))
+            .cast("double") / col("__t").cast("double"), 6).as(outCol))
+        .localCheckpoint() // bounded |nodes| frame per iteration
+    }
+    var auth = nodes.withColumn("authority", round(lit(1.0) / n, 6))
+    var hub = nodes.withColumn("hub", round(lit(1.0) / n, 6))
+    for (_ <- 1 to iters) {
+      hub = normalize(
+        e.join(auth.withColumnRenamed("node", "dst"), "dst")
+          .select(col("src").as("node"),
+            round(col("w") * col("authority"), 6)
+              .cast("decimal(18,6)").as("__c"))
+          .groupBy(col("node")).agg(sum(col("__c")).as("__s")),
+        "hub")
+      auth = normalize(
+        e.join(hub.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"),
+            round(col("w") * col("hub"), 6)
+              .cast("decimal(18,6)").as("__c"))
+          .groupBy(col("node")).agg(sum(col("__c")).as("__s")),
+        "authority")
+    }
+    hub.join(auth, Seq("node"))
+  }
 }

@@ -210,4 +210,38 @@ class GraphSpec extends SparkSpec {
     val many = Graph.degreeAssortativity(big.repartition(13), "s", "d").collect().toSeq
     assert(one == many)
   }
+
+  test("hits: hub/authority separation on a directory-vs-source graph") {
+    import graft.operators.Graph
+    // d (directory) links to s1, s2, s3; nobody links to d;
+    // s1 also links to s2. Expect: d = best hub, low authority;
+    // s2 = best authority (two hubs link it).
+    val edges = Seq(
+      ("d", "s1"), ("d", "s2"), ("d", "s3"), ("s1", "s2"))
+      .toDF("src", "dst")
+    val out = Graph.hits(edges, "src", "dst", iters = 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out.size == 4)
+    val bestHub = out.maxBy(_._2._1)._1
+    val bestAuth = out.maxBy(_._2._2)._1
+    assert(bestHub == "d", s"best hub was $bestHub: $out")
+    assert(bestAuth == "s2", s"best authority was $bestAuth: $out")
+    assert(out("d")._2 == 0.0, "nobody links the directory")
+    assert(out("s3")._1 == 0.0, "a sink has no hub score")
+    // L1 normalization: each score column sums to ~1
+    val hubSum = out.values.map(_._1).sum
+    val authSum = out.values.map(_._2).sum
+    assert(math.abs(hubSum - 1.0) < 1e-4 && math.abs(authSum - 1.0) < 1e-4)
+    // deterministic under repartitioning
+    val rep = Graph.hits(edges.repartition(5), "src", "dst", iters = 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(rep == out)
+    // null endpoints drop
+    val withNull = edges.union(
+      Seq((null.asInstanceOf[String], "s1")).toDF("src", "dst"))
+    assert(Graph.hits(withNull, "src", "dst", 5).collect().map(
+      r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap == out)
+  }
 }
