@@ -1650,25 +1650,51 @@ object SparkEntry {
         round(sum(col("tk")).cast("double") / sum(col("w")), 4).as("fertility"))
     }),
     "q_bpe_stress" -> ((s, dir) => {
-      // PRODUCTION-SIZE tokenizer stress: the same one-scan count as
-      // q_bpe_fertility's token half, under the 50,000-merge /
-      // 50,256-token Bpe.productionScaleSpec (GPT-2 scale) instead
-      // of the 45-merge fixture — this is the row that proves the
-      // serialized merge table, the per-JVM rank-map build, and the
-      // LRU pre-token cache hold at real vocab scale (per-token cost
-      // vs q_bpe_fertility is the A/B). Rows-only by declared design
-      // (SURVEY §4): no SQL engine replays a 50k-rank BPE merge
-      // loop; BpeSpec pins the algebra on hand-checked words.
+      // PRODUCTION-SIZE tokenizer stress: a full 50,000-merge /
+      // 50,256-token encode (Bpe.productionScaleSpec, GPT-2 scale)
+      // over the corpus — the key that proves the serialized merge
+      // table, the per-JVM rank-map build, and the LRU pre-token
+      // cache hold at real vocab scale. Round-16 upgrade from
+      // rows-only to CHECKED invariants (no SQL engine replays a
+      // 50k-rank merge loop, but a correct encode has hashable
+      // consequences):
+      //   - content conservation: concat(tokens) == concat(pre-token
+      //     units) per doc (merges only ever join symbols inside a
+      //     unit), and Σ token symbol-lengths == octet_length(text)
+      //     — the latter is recomputed INDEPENDENTLY by DuckDB
+      //     (strlen = UTF-8 bytes; each byte maps to exactly one
+      //     symbol char), so n_token_bytes anchors the whole encode
+      //     to the raw corpus bytes cross-engine.
+      //   - token-count conservation: n_words ≤ n_tokens ≤
+      //     n_token_bytes per doc (each whitespace word is ≥ 1 unit,
+      //     each unit ≥ 1 token, each token ≥ 1 byte).
+      // An encode that drops/duplicates/reorders ANY byte at vocab
+      // scale hashes red in the driver replay.
       val spec = graft.functions.Bpe.productionScaleSpec
+      val toks = graft.functions.Bpe.bpeTokens(col("text"), spec)
+      val units = graft.functions.Bpe.preTokenUnits(col("text"))
       Parallelism.spread(t(s, dir, "documents"))
         .select(col("lang"),
-          graft.functions.TextAnalysis.tokenCount(col("text")).cast("long").as("w"),
-          graft.functions.Bpe.bpeTokenCount(col("text"), spec).cast("long").as("tk"))
+          graft.functions.TextAnalysis.tokenCount(col("text")).cast("long").as("__w"),
+          toks.as("__tk"), units.as("__un"),
+          call_function("octet_length", col("text")).cast("long").as("__ob"))
+        .select(col("lang"), col("__w"),
+          when(col("__tk").isNull, lit(0L))
+            .otherwise(size(col("__tk")).cast("long")).as("__ntk"),
+          when(col("__tk").isNull, lit(0L))
+            .otherwise(aggregate(transform(col("__tk"), t => length(t).cast("long")),
+              lit(0L), (a, b) => a + b)).as("__tb"),
+          when(col("__tk").isNull, lit(true))
+            .otherwise(concat_ws("", col("__tk")) === concat_ws("", col("__un")) &&
+              aggregate(transform(col("__tk"), t => length(t).cast("long")),
+                lit(0L), (a, b) => a + b) === col("__ob")).as("__ok"))
         .groupBy(col("lang")).agg(
           count(lit(1)).as("n_docs"),
-          sum(col("w")).as("n_words"),
-          sum(col("tk")).as("n_tokens"),
-          round(sum(col("tk")).cast("double") / sum(col("w")), 4).as("fertility"))
+          sum(col("__w")).as("n_words"),
+          sum(when(col("__ok"), 1L).otherwise(0L)).as("n_content_ok"),
+          sum(col("__tb")).as("n_token_bytes"),
+          bool_and(col("__w") <= col("__ntk") && col("__ntk") <= col("__tb") ||
+            col("__tb") === 0).as("tokens_bounded"))
     }),
     "q_funnel_histogram" -> ((s, dir) => {
       // Profiling rows COMPOSE: the q_funnel survivor set (all five
@@ -2223,16 +2249,77 @@ object SparkEntry {
         t(s, dir, "embeddings"), "embedding", dim = 64)
     }),
     "q_pca" -> ((s, dir) => {
-      // PCA projection (fit = same moment scan + driver-side Jacobi
-      // on the 64x64 matrix; project = 8 row-local dots). Rows-only
-      // by declared design: no SQL engine replays an
-      // eigendecomposition — the covariance input is the
-      // oracle-checked q_cov, and PcaSpec pins the algebra.
+      // FULL-HASH invariant oracle for the eigendecomposition (the
+      // round-15 upgrade from rows-only): no SQL engine replays
+      // Jacobi, but every CONSEQUENCE of a correct fit is hashable.
+      //   - 'trace' (cross-engine): Σ all 64 eigenvalues == trace of
+      //     the covariance — DuckDB recomputes the trace from the
+      //     q_cov moment replay, so the spectrum is anchored to the
+      //     data, not to Spark's own output.
+      //   - 'norm2_sum' (cross-engine): Σ over vectors of
+      //     ||x − μ||² (round-6 → exact DECIMAL sum) — anchors the
+      //     fitted mean to DuckDB's independently-replayed mean.
+      //   - 'proj_norm_diff' (per vector): projecting onto the FULL
+      //     k=64 basis preserves each vector's centered norm —
+      //     nonzero anywhere means the basis is not orthonormal or
+      //     the projection is wrong; DuckDB emits the expected zeros
+      //     per vec_id.
+      //   - per component: eigen residual |S'v − λv| (S' = the
+      //     oracle-green q_cov matrix), pairwise orthonormality
+      //     error, sign convention, descending order, PSD — all
+      //     exact 0/1 after rounding (residual bound ~4e-6 from the
+      //     6 dp S'; the 4 dp round has 12× headroom).
+      import s.implicits._
       val e = t(s, dir, "embeddings")
-      val m = graft.operators.Pca.fit(e, "embedding", dim = 64, k = 8)
-      graft.operators.Pca.project(e, "embedding", m)
-        .select(col("vec_id"), posexplode(col("pca")).as(Seq("pos", "pc")))
-        .select(col("vec_id"), col("pos"), round(col("pc"), 6).as("pc"))
+      val d = 64
+      val m = graft.operators.Pca.fit(e, "embedding", dim = d, k = d)
+      val sPrime = graft.operators.Pca.covarianceMatrix(e, "embedding", dim = d)
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      def r4(x: Double): Double =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val checks = scala.collection.mutable.ArrayBuffer[(String, Long, Double)]()
+      checks += (("trace", -1L, r4(m.eigenvalues.sum)))
+      for (c <- 0 until d) {
+        val v = m.components(c)
+        val residual = (0 until d).map { i =>
+          math.abs((0 until d).map(j => sPrime((i, j)) * v(j)).sum -
+            m.eigenvalues(c) * v(i))
+        }.max
+        checks += (("eigen_residual", c.toLong, r4(residual)))
+        val ortho = (0 until d).map { b =>
+          val dot = (0 until d).map(i => v(i) * m.components(b)(i)).sum
+          math.abs(dot - (if (b == c) 1.0 else 0.0))
+        }.max
+        checks += (("ortho", c.toLong, r4(ortho)))
+        val mx = v.indices.maxBy(i => (math.abs(v(i)), -i))
+        checks += (("sign", c.toLong, if (v(mx) >= 0) 1.0 else 0.0))
+        checks += (("psd", c.toLong, if (m.eigenvalues(c) >= -1e-9) 1.0 else 0.0))
+        if (c < d - 1)
+          checks += (("order", c.toLong,
+            if (m.eigenvalues(c) >= m.eigenvalues(c + 1) - 1e-12) 1.0 else 0.0))
+      }
+      val centered = graft.functions.VectorFunctions
+        .subtractMean(col("embedding"), m.mean.toSeq)
+      val withC = e.where(col("embedding").isNotNull)
+        .select(col("vec_id").cast("long").as("id"), centered.as("__cg"))
+      val projN = m.components.toSeq.map { cp =>
+        val dt = graft.functions.VectorFunctions
+          .dotProduct(col("__cg"), array(cp.toSeq.map(lit): _*))
+        dt * dt
+      }.reduce(_ + _)
+      val directN = graft.functions.VectorFunctions
+        .dotProduct(col("__cg"), col("__cg"))
+      val staged = withC
+        .select(col("id"), projN.as("__pn"), directN.as("__dn"))
+        .localCheckpoint() // feeds both the per-vector rows and the sum
+      val perVec = staged.select(lit("proj_norm_diff").as("chk"), col("id"),
+        abs(round(col("__pn") - col("__dn"), 4)).as("value"))
+      val sumRow = staged
+        .select(round(col("__dn"), 6).cast("decimal(18,6)").as("__n2"))
+        .agg(round(sum(col("__n2")).cast("double"), 4).as("value"))
+        .select(lit("norm2_sum").as("chk"), lit(-1L).as("id"), col("value"))
+      checks.toSeq.toDF("chk", "id", "value")
+        .unionAll(perVec).unionAll(sumRow)
     }),
     "q_ann_pq" -> ((s, dir) => {
       // Product-quantized ADC top-k, DEFAULT configuration = the
@@ -2556,6 +2643,20 @@ object SparkEntry {
         numCentroids = 200)
         .select(col("id").as("vec_id"), col("cluster"), col("cosine"))
     }),
+    "q_ann_cluster_routed" -> ((s, dir) => {
+      // Cluster-routed exact ANN (the round-15 frontier-gap closure):
+      // queries route to their nprobe=4 nearest Lloyd-refined
+      // centroids (the q_kmeans 2-pass / numCentroids=200 fit shape,
+      // but with SCRAMBLED seed selection — `id % stride` seeding
+      // collides with id-periodic structure; see kmeansFit), exact
+      // cosine within the probed clusters only. The only
+      // approximation is the routing — razor-margin siblings inside
+      // a cluster rank exactly.
+      val e = t(s, dir, "embeddings")
+      Similarity.clusterRoutedTopK(e, e.where(col("vec_id") < 5),
+        "embedding", "vec_id", "vec_id", k = 10, nprobe = 4, iters = 2,
+        numCentroids = 200)
+    }),
     "q_semdedup" -> ((s, dir) => {
       // Cluster-scoped near-dup (SemDeDup shape): one assignment
       // pass, pairs only within a cluster, exact-cosine verify. The
@@ -2727,15 +2828,37 @@ object SparkEntry {
     }),
     "q_quantiles_approx" -> ((s, dir) => {
       // The 100 TB configuration: one-pass mergeable quantile
-      // sketches with bounded memory. Sketch outputs pick actual data
-      // elements (no interpolation), so there is no exact SQL replay
-      // — rows-only by declared design (SURVEY §4); accuracy is
-      // spec-bounded against the exact path at sf1 (±1%,
-      // ProfileSpec).
-      graft.operators.Profile.quantiles(
-        t(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount"),
-        approx = true)
+      // sketches with bounded memory. Sketch outputs pick actual
+      // data elements (no interpolation), so their VALUES have no
+      // exact SQL replay — but their declared ≤1% rank-error bound
+      // does (the round-15 upgrade from rows-only): a second scan
+      // computes the EXACT ranks of each sketch output (count <, and
+      // count ≤, as integers — the broadcast sketch frame is 12
+      // rows) and the tie-aware bound
+      //   100·|{x < q̂}| ≤ (100p+1)·n  ∧  100·|{x ≤ q̂}| ≥ (100p−1)·n
+      // is checked in EXACT integer arithmetic (100p is a whole
+      // number for every declared prob). The oracle emits the
+      // expected all-true grid, so a sketch drifting out of bound
+      // hashes red in the driver replay, not just in ScalaTest.
+      val li = t(s, dir, "lineitem")
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val sk = graft.operators.Profile
+        .quantiles(li, cols, approx = true)
+        .localCheckpoint() // 12 rows; feeds the rank join below
+      val melted = li.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col(c).cast("double").as("__x"))): _*))
+        .as("m")).select(col("m.column").as("column"), col("m.__x"))
+      melted
+        .join(broadcast(sk), Seq("column"))
+        .groupBy(col("column"), col("prob"))
+        .agg(
+          sum(when(col("__x") < col("quantile"), 1L).otherwise(0L)).as("__lt"),
+          sum(when(col("__x") <= col("quantile"), 1L).otherwise(0L)).as("__le"),
+          count(lit(1)).as("__n"))
+        .select(col("column"), col("prob"),
+          (col("__lt") * 100 <= (round(col("prob") * 100) + 1).cast("long") * col("__n") &&
+            col("__le") * 100 >= (round(col("prob") * 100) - 1).cast("long") * col("__n"))
+            .as("within_bound"))
     }),
     "q_tfidf" -> ((s, dir) => {
       graft.functions.TextAnalysis.tfIdfTopK(
@@ -5991,6 +6114,19 @@ object SparkEntry {
          |  sum(tk)::BIGINT AS n_tokens,
          |  round(sum(tk)::DOUBLE / sum(w), 4) AS fertility
          |FROM j GROUP BY 1""".stripMargin,
+    // production-scale encode invariants: n_token_bytes is DuckDB's
+    // own independent byte count (strlen = UTF-8 bytes; byte-level
+    // BPE maps each byte to exactly one symbol char), content/bound
+    // flags replay as their expected all-green values
+    "q_bpe_stress" ->
+      """WITH wt AS (SELECT lang, CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |  ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS w,
+        |  CASE WHEN text IS NULL THEN 0 ELSE strlen(text) END AS tb
+        |  FROM documents)
+        |SELECT lang, count(*)::BIGINT AS n_docs, sum(w)::BIGINT AS n_words,
+        |  count(*)::BIGINT AS n_content_ok, sum(tb)::BIGINT AS n_token_bytes,
+        |  true AS tokens_bounded
+        |FROM wt GROUP BY 1""".stripMargin,
     // the q_funnel gate conjunction as the survivor filter, then the
     // q_histogram_by_group arithmetic over the survivors
     "q_funnel_histogram" ->
@@ -6765,6 +6901,38 @@ object SparkEntry {
         |  FROM u u1 JOIN u u2 USING (vec_id) GROUP BY 1, 2)
         |SELECT p.i, p.j, round((pp - s1.s * s2.s / n) / (n - 1), 6) + 0 AS cov
         |FROM p JOIN s s1 ON p.i = s1.i JOIN s s2 ON p.j = s2.i, nn""".stripMargin,
+    // PCA invariant oracle (round-16 upgrade from rows-only): the
+    // trace and norm2_sum rows are recomputed INDEPENDENTLY from the
+    // q_cov moment replay (cross-engine anchors for the spectrum and
+    // the fitted mean); the algebraic-consequence rows (projection
+    // preserves centered norms, eigen residual vs the replayed S',
+    // orthonormality, sign/order/PSD conventions) have known exact
+    // values, so any fit defect hashes red. Per-vector centered
+    // norms use the RAW ::DOUBLE elements minus the decimal-moment
+    // mean — bit-identical to Spark's subtractMean/dotProduct fold
+    // (same operands, same left-fold order).
+    "q_pca" ->
+      """WITH u AS (SELECT vec_id, g.i::INT - 1 AS i, embedding[g.i]::DOUBLE::DECIMAL(19,6) AS a
+        |  FROM embeddings, generate_series(1, 64) AS g(i)
+        |  WHERE embedding IS NOT NULL),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings WHERE embedding IS NOT NULL),
+        |s AS (SELECT i, sum(a)::DOUBLE AS sx FROM u GROUP BY 1),
+        |dg AS (SELECT i, sum(a * a)::DOUBLE AS pp FROM u GROUP BY 1),
+        |tr AS (SELECT round(sum((pp - sx * sx / n) / (n - 1)), 4) AS v
+        |  FROM dg JOIN s USING (i), nn),
+        |mus AS (SELECT list(sx / n ORDER BY i) AS ml FROM s, nn),
+        |cn AS (SELECT vec_id, round(list_reduce(list_transform(range(1, 65),
+        |    i -> (embedding[i]::DOUBLE - ml[i]) * (embedding[i]::DOUBLE - ml[i])),
+        |    (x, y) -> x + y), 6) AS n2
+        |  FROM embeddings, mus WHERE embedding IS NOT NULL)
+        |SELECT 'trace' AS chk, -1::BIGINT AS id, v AS value FROM tr
+        |UNION ALL SELECT 'norm2_sum', -1::BIGINT, round(sum(n2::DECIMAL(18,6))::DOUBLE, 4) FROM cn
+        |UNION ALL SELECT 'proj_norm_diff', vec_id::BIGINT, 0.0::DOUBLE FROM cn
+        |UNION ALL SELECT 'eigen_residual', g.c::BIGINT, 0.0::DOUBLE FROM generate_series(0, 63) AS g(c)
+        |UNION ALL SELECT 'ortho', g.c::BIGINT, 0.0::DOUBLE FROM generate_series(0, 63) AS g(c)
+        |UNION ALL SELECT 'sign', g.c::BIGINT, 1.0::DOUBLE FROM generate_series(0, 63) AS g(c)
+        |UNION ALL SELECT 'psd', g.c::BIGINT, 1.0::DOUBLE FROM generate_series(0, 63) AS g(c)
+        |UNION ALL SELECT 'order', g.c::BIGINT, 1.0::DOUBLE FROM generate_series(0, 62) AS g(c)""".stripMargin,
     // the full fit+encode+search recipe replayed from scratch — so a
     // green row ALSO proves the persisted codebooks/codes this key
     // serves from equal a from-scratch build
@@ -7414,6 +7582,14 @@ object SparkEntry {
         |  round(unnest(quantile_cont(l_extendedprice::DOUBLE, [0.25, 0.5, 0.75, 0.95])), 4) FROM lineitem
         |UNION ALL SELECT 'l_discount', unnest([0.25, 0.5, 0.75, 0.95]::DOUBLE[]),
         |  round(unnest(quantile_cont(l_discount::DOUBLE, [0.25, 0.5, 0.75, 0.95])), 4) FROM lineitem""".stripMargin,
+    // the sketch key's CHECKED ≤1% rank-error bound (round-16 upgrade
+    // from rows-only): the Spark side computes exact integer ranks of
+    // its own sketch outputs; the oracle pins the expected all-true
+    // grid, so an out-of-bound sketch hashes red in the driver replay
+    "q_quantiles_approx" ->
+      """SELECT 'l_quantity' AS "column", unnest([0.25, 0.5, 0.75, 0.95]::DOUBLE[]) AS prob, true AS within_bound
+        |UNION ALL SELECT 'l_extendedprice', unnest([0.25, 0.5, 0.75, 0.95]::DOUBLE[]), true
+        |UNION ALL SELECT 'l_discount', unnest([0.25, 0.5, 0.75, 0.95]::DOUBLE[]), true""".stripMargin,
     "q_profile" ->
       """WITH e AS (SELECT user_id, nullif(event_type, 'error') AS et, value FROM events)
         |SELECT 'user_id' AS "column", count(*)::BIGINT AS n_rows,
@@ -7441,6 +7617,34 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn
          |  FROM embeddings, c1)
          |SELECT vec_id, cid AS cluster, cosine FROM a2 WHERE rn = 1""".stripMargin,
+    // The q_kmeans fit chain (identical st/c0/a1/px/pm/c1 CTEs →
+    // bit-identical centroids), then: final member assignment, query
+    // probes ranked by UNROUNDED cosine (top nprobe=4), exact cosine
+    // within probed clusters, rank on the ROUNDED cosine — the
+    // ivfSearch ordering contract.
+    "q_ann_cluster_routed" ->
+      s"""WITH st AS (SELECT CAST(ceil(count(*) / 200.0) AS BIGINT) AS stride FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings, st
+         |  WHERE (((vec_id % 1000003) * 2654435761) % 1000003) % stride = 0),
+         |a1 AS (SELECT vec_id, embedding, cid,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn
+         |  FROM embeddings, c0),
+         |a1f AS (SELECT vec_id, embedding, cid FROM a1 WHERE rn = 1),
+         |px AS (SELECT cid, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos FROM a1f),
+         |pm AS (SELECT cid, pos, round(avg(x::DOUBLE), 6) AS m FROM px GROUP BY 1, 2),
+         |c1 AS (SELECT cid, list(m ORDER BY pos) AS cvec FROM pm GROUP BY 1),
+         |a2 AS (SELECT vec_id AS corpus_id, embedding AS cv, cid,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn
+         |  FROM embeddings, c1),
+         |a2f AS (SELECT corpus_id, cv, cid FROM a2 WHERE rn = 1),
+         |pr AS (SELECT vec_id AS query_id, embedding AS qv, cid,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn
+         |  FROM embeddings, c1 WHERE vec_id < 5),
+         |prf AS (SELECT query_id, qv, cid FROM pr WHERE rn <= 4),
+         |sc AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine
+         |  FROM a2f JOIN prf USING (cid)),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM sc)
+         |SELECT query_id, corpus_id, cosine, rank::INT AS rank FROM rk WHERE rank <= 10""".stripMargin,
     "q_semdedup" ->
       s"""WITH $embWithDupsSql,
          |cen AS (SELECT vec_id AS cid, embedding AS cvec FROM emb WHERE vec_id % 100 = 0),

@@ -868,6 +868,32 @@ object Similarity {
       iters: Int = 2,
       numCentroids: Int = 0,
       expectedRows: Long = 0L): DataFrame = {
+    val (assigned, _) =
+      kmeansFit(df, vecCol, idCol, stride, iters, numCentroids, expectedRows)
+    assigned.select(col("__id").as("id"), col("__cid").as("cluster"),
+      round(col("__cos"), 6).as("cosine"))
+  }
+
+  /** The Lloyd loop behind [[kmeansAssignments]], returning BOTH the
+    * final assignment (`__id, __cv, __cid, __cos`) and the centroid
+    * table that assignment was scored against (`__cid, __cvec`) — the
+    * fitted state [[clusterRoutedTopK]] routes queries with.
+    * `stageCen` localCheckpoints the final centroid frame (bounded:
+    * nlist×dim scalars) when a SECOND consumer will read it besides
+    * the last assignment pass — without it the centroid-update
+    * aggregation (a full corpus assignment + posexplode mean) would
+    * re-execute per consumer.
+    */
+  private[operators] def kmeansFit(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      stride: Int = 100,
+      iters: Int = 2,
+      numCentroids: Int = 0,
+      expectedRows: Long = 0L,
+      stageCen: Boolean = false,
+      scrambleSeeds: Boolean = false): (DataFrame, DataFrame) = {
     require(iters >= 1, "iters must be >= 1")
     require(stride >= 1, "stride must be >= 1")
     // A FIXED stride means k = n/stride grows with the corpus, so the
@@ -882,11 +908,23 @@ object Similarity {
           numCentroids)
       else stride
     val src = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__cv"))
+    // `id % stride == 0` seed selection COLLIDES with any id-periodic
+    // structure in the corpus (measured on the §6b clustered frontier:
+    // cluster = id % 50 put every stride-400 seed in ONE true cluster
+    // and capped routed recall at 0.42). `scrambleSeeds` decorrelates
+    // with a deterministic multiplicative hash (Knuth constant mod a
+    // prime) that stays engine-replayable and overflow-safe (operand
+    // reduced mod p BEFORE the multiply, so the product is < 2^52).
+    val seedKey =
+      if (scrambleSeeds)
+        pmod(pmod(col("__id"), lit(1000003L)) * lit(2654435761L), lit(1000003L))
+      else col("__id")
     var cen = src
-      .where(pmod(col("__id"), lit(effStride)) === 0)
+      .where(pmod(seedKey, lit(effStride)) === 0)
       .select(col("__id").as("__cid"), col("__cv").as("__cvec"))
     var assigned: DataFrame = null
     for (i <- 1 to iters) {
+      if (i == iters && stageCen) cen = cen.localCheckpoint()
       assigned = src
         .join(broadcast(cen))
         .withColumn("__ccos", cosineSimilarityNative(col("__cv"), col("__cvec")))
@@ -906,8 +944,58 @@ object Similarity {
             s => s.getField("__mv")).as("__cvec"))
       }
     }
-    assigned.select(col("__id").as("id"), col("__cid").as("cluster"),
-      round(col("__cos"), 6).as("cosine"))
+    (assigned, cen)
+  }
+
+  /** CLUSTER-ROUTED exact top-k: route each query to its `nprobe`
+    * nearest Lloyd-refined k-means centroids, exact cosine against
+    * ONLY those clusters' members. The closure of the measured
+    * tight-cluster frontier gap (SURVEY §6b, round 15): on
+    * razor-margin clustered geometry every quantizer path saturates
+    * ≤ 0.75 recall@10 — k-means routing at TRUE cluster granularity
+    * with exhaustive within-cluster search is the path that reaches
+    * the 0.9 bar there, because the only approximation left is the
+    * routing itself (Lloyd centroids converge to the real cluster
+    * centers, and `nprobe` covers a cluster split across cells;
+    * distances inside are exact, so sibling margins below any
+    * quantization error cost nothing).
+    *
+    * vs [[ivfTopK]]: identical probe/search plan shape (bounded
+    * centroid broadcast, AQE-decided probe join, WindowGroupLimit
+    * top-k; corpus never meets corpus) — the difference is the
+    * routing table: `iters` Lloyd passes pull the stride-sampled
+    * seeds onto the corpus's actual cluster structure, and
+    * `numCentroids` is sized to the TRUE cluster count rather than a
+    * fixed occupancy. Each Lloyd pass costs one corpus×nlist
+    * broadcast scan + one bounded (nlist×dim) mean shuffle — pay it
+    * when the geometry is clustered (measure with [[annRecall]]);
+    * for isotropic corpora the PQ rerank cascade is cheaper at equal
+    * recall.
+    *
+    * @return (query id, corpus id, cosine 6 dp, rank 1..k,
+    *         deterministic tie-break on corpus id).
+    */
+  def clusterRoutedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      qIdCol: String,
+      k: Int,
+      nprobe: Int = 4,
+      stride: Int = 100,
+      iters: Int = 2,
+      numCentroids: Int = 0,
+      expectedRows: Long = 0L,
+      scrambleSeeds: Boolean = true): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(nprobe >= 1, "nprobe must be positive")
+    val (assigned, cen) = kmeansFit(corpus, vecCol, idCol, stride, iters,
+      numCentroids, expectedRows, stageCen = true,
+      scrambleSeeds = scrambleSeeds)
+    ivfSearch(
+      assigned.select(col("__id").as("corpus_id"), col("__cv"), col("__cid")),
+      cen, queries, vecCol, qIdCol, k, nprobe)
   }
 
   /** Cluster-scoped embedding near-duplicates (the SemDeDup shape,

@@ -91,6 +91,20 @@ object RecallFrontier {
       rows += ((s"PQ shortlist $sl -> exact rerank", cT, recallOf(cascade)))
     }
 
+    // cluster-routed exact search (round-16: the tight-cluster
+    // closure) — k-means routing at TRUE cluster granularity, exact
+    // cosine inside the probed clusters. On the clustered corpus the
+    // true count is 50; on the driver corpus use the q_kmeans bound.
+    val nlist = if (args.contains("--clustered")) 50 else 200
+    for (nprobe <- Seq(1, 2, 4)) {
+      def run = Similarity.clusterRoutedTopK(e, queries, "embedding",
+        "vec_id", "vec_id", k = 10, nprobe = nprobe, iters = 2,
+        numCentroids = nlist, expectedRows = n)
+      val t = medianTime(run)
+      rows += ((s"cluster-routed exact (nlist=$nlist, nprobe=$nprobe)", t,
+        recallOf(run)))
+    }
+
     println("| path | median latency (100 queries) | recall@10 |")
     println("|---|---|---|")
     rows.foreach { case (name, t, r) =>

@@ -134,6 +134,57 @@ class SimilaritySpec extends SparkSpec {
     assert(out.values.toSet.subsetOf(Set(0L, 1L, 2L)))
   }
 
+  test("clusterRoutedTopK: probing every cluster equals brute force") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 60L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val c = vecs.toDF("id", "vec")
+    val q = c.where($"id" < 3)
+    // stride 10 → ≤ 6 seed centroids; nprobe 6 covers them all, so
+    // the ONLY approximation (routing) is removed and the result must
+    // be bit-identical to the exact path.
+    val routed = Similarity.clusterRoutedTopK(c, q, "vec", "id", "id",
+      k = 5, nprobe = 6, stride = 10, iters = 2)
+    val exact = Similarity.bruteForceTopK(c, q, "vec", "id", "id", k = 5)
+    assert(routed.sort("query_id", "rank").collect().toSeq ==
+      exact.sort("query_id", "rank").collect().toSeq)
+  }
+
+  test("clusterRoutedTopK: tight clusters — exact ranking within the routed cluster") {
+    // Three razor-margin clusters around orthogonal axes (the §6b
+    // geometry where quantizer paths saturate): Lloyd routing sends
+    // each query to its true cluster, and within-cluster distances
+    // are exact, so recall@k vs brute force is 1.0.
+    val rnd = new scala.util.Random(13)
+    def member(axis: Int, i: Long): (Long, Seq[Float]) = {
+      val base = Array.fill(12)(rnd.nextGaussian() * 0.05)
+      base(axis) += 1.0
+      val n = math.sqrt(base.map(x => x * x).sum)
+      (i, base.map(x => (x / n).toFloat).toSeq)
+    }
+    val c = (0L until 90L).map(i => member((i % 3).toInt, i)).toDF("id", "vec")
+    val q = c.where($"id" < 3)
+    val routed = Similarity.clusterRoutedTopK(c, q, "vec", "id", "id",
+      k = 8, nprobe = 2, stride = 30, iters = 2)
+    val exact = Similarity.bruteForceTopK(c, q, "vec", "id", "id", k = 8)
+    val recall = Similarity.annRecall(routed, exact)
+      .select("recall").head().getDouble(0)
+    assert(recall == 1.0, s"tight-cluster recall@8 was $recall")
+    // and the neighbours really are same-cluster siblings
+    val byQ = routed.select($"query_id", $"corpus_id")
+      .as[(Long, Long)].collect()
+    byQ.foreach { case (qid, cid) => assert(cid % 3 == qid % 3) }
+  }
+
+  test("clusterRoutedTopK: validation") {
+    val c = Seq((0L, Seq(1.0f, 0.0f))).toDF("id", "vec")
+    intercept[IllegalArgumentException] {
+      Similarity.clusterRoutedTopK(c, c, "vec", "id", "id", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.clusterRoutedTopK(c, c, "vec", "id", "id", k = 1, nprobe = 0)
+    }
+  }
+
   test("bruteForceTopKInt8: self is rank 1; high recall vs the float path") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 200L).map(i => (i, Seq.fill(32)(rnd.nextFloat() * 2 - 1)))
