@@ -162,10 +162,23 @@ object Bench {
       val ps = (1 to 7).map(_ => probeOnce(spark)).sorted
       ps(ps.length / 2)
     }
-    val measured = selected.map { case (name, fn) =>
-      val runs: Seq[Either[String, (Double, Double)]] = (1 to reps).map { _ =>
+    // ORDER ROTATION (round-15 verdict ask #4): the old shape ran each
+    // query's reps back-to-back in one alphabetical sweep, so every
+    // rep of a late-alphabet query sampled the same end-of-board
+    // JVM/GC state — the r15 standing record read q_welch/q_w* at
+    // 4-5x their isolated times. Now each rep is a full board sweep
+    // starting at a different rotation offset, so a query's reps
+    // sample DIFFERENT board positions and the median sheds
+    // position-correlated pressure.
+    val nSel = selected.size
+    val runsByName = scala.collection.mutable.Map.empty[
+      String, Vector[Either[String, (Double, Double)]]]
+    for (r <- 0 until reps) {
+      val offset = if (nSel == 0) 0 else (r * nSel) / reps
+      val order = selected.drop(offset) ++ selected.take(offset)
+      for ((name, fn) <- order) {
         val t0 = System.nanoTime()
-        try {
+        val res: Either[String, (Double, Double)] = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val q = (System.nanoTime() - t0) / 1e9
           Right((q, probeOnce(spark)))
@@ -173,7 +186,11 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: $e")
           Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
         }
+        runsByName(name) = runsByName.getOrElse(name, Vector.empty) :+ res
       }
+    }
+    val measured = selected.map { case (name, _) =>
+      val runs = runsByName.getOrElse(name, Vector.empty)
       (name, runs.collectFirst { case Left(m) => m },
         runs.collect { case Right(p) => p })
     }

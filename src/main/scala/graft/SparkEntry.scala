@@ -720,7 +720,11 @@ object SparkEntry {
       // report is computed off a scan whose PartitionFilters carry
       // the lang predicate (asserted in-plan — a regression to a
       // post-scan filter fails the query, not just a spec).
-      val out = sys.props("java.io.tmpdir") + "/graft_partitioned_rt"
+      // path derived from the sf dir: two concurrent harness runs on
+      // one box (different sf dirs, or a dev gate racing the driver)
+      // must not overwrite each other mid-read
+      val out = sys.props("java.io.tmpdir") + "/graft_partitioned_rt_" +
+        java.lang.Integer.toHexString(dir.hashCode)
       graft.sources.Partitioned.writePartitioned(
         Parallelism.spread(t(s, dir, "documents"))
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),

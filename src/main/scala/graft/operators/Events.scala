@@ -1618,9 +1618,19 @@ object Events {
               s"maxBuckets=$maxBuckets - coarsen stepMs",
             col("__nb"))).cast("long"))
           .otherwise(col("__nb")).as("__nb"))
-    val a = series.select(col("__x").as("__xi"), col("__y").as("__yi"))
+    // The |buckets|²/2 pair join must TRANSITIVELY require the guard
+    // (the crossCorrelation/gapFill shape): without the dependence,
+    // Spark schedules the quadratic stages concurrently with the tiny
+    // guard aggregate and an over-cap series burns the quadratic work
+    // before the raise_error aborts. The always-true `__nb <=
+    // maxBuckets` join term keeps `__nb` un-prunable, so the guard's
+    // 1-row broadcast (which evaluates the cap check) gates the pair
+    // stage.
+    val a = series.crossJoin(broadcast(guard))
+      .select(col("__x").as("__xi"), col("__y").as("__yi"), col("__nb"))
     val b = series.select(col("__x").as("__xj"), col("__y").as("__yj"))
-    val slopes = a.join(b, col("__xj") > col("__xi"))
+    val slopes = a.join(b,
+      col("__xj") > col("__xi") && col("__nb") <= lit(maxBuckets))
       .select(round((col("__yj") - col("__yi")) /
         (col("__xj") - col("__xi")).cast("double"), 6).as("__s"))
     val sl = slopes.agg(

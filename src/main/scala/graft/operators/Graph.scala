@@ -366,13 +366,29 @@ object Graph {
       .localCheckpoint()
     val n = nodes.count() // bounded by the domain-node contract
     require(n > 0, "hits over an empty edge set")
+    // round(1/n, 6) underflows to 0 past 2,000,000 nodes, which would
+    // zero the init vector and null every later score — fail loudly
+    // at the contract boundary instead (the domain graph is bounded
+    // by construction; a bigger graph needs a higher-precision HITS).
+    require(n <= 2000000L,
+      s"hits: $n nodes - the 6 dp init round(1/n, 6) underflows past " +
+        "2,000,000 nodes; shrink the graph or raise the precision")
     def normalize(raw: DataFrame, outCol: String): DataFrame = {
       val tot = raw.agg(sum(col("__s")).as("__t"))
+      // A vanished L1 total (all contributions rounding to 0 at 6 dp
+      // — e.g. tiny weight×score products) must not silently null
+      // every subsequent score: the guard rides the division column
+      // the plan needs, per the fail-loud discipline.
+      val safeTot = when(col("__t") > 0, col("__t").cast("double"))
+        .otherwise(raise_error(lit(
+          "hits: normalization total vanished at 6 dp - scores " +
+            "underflowed; coarsen weights or raise precision"))
+          .cast("double"))
       nodes.join(raw, Seq("node"), "left")
         .crossJoin(broadcast(tot))
         .select(col("node"),
           round(coalesce(col("__s"), lit(0).cast("decimal(18,6)"))
-            .cast("double") / col("__t").cast("double"), 6).as(outCol))
+            .cast("double") / safeTot, 6).as(outCol))
         .localCheckpoint() // bounded |nodes| frame per iteration
     }
     var auth = nodes.withColumn("authority", round(lit(1.0) / n, 6))

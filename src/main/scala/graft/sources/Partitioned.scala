@@ -23,17 +23,29 @@ object Partitioned {
 
   /** Write `df` hive-partitioned by `partitionCols`; returns the
     * bounded partition manifest (one row per partition tuple with
-    * its row count) computed from the INPUT in the same pass shape —
-    * never by re-listing the written files.
+    * its row count). The manifest is a SECOND scan of the input (a
+    * map-side-combined count — cheap relative to the write, but not
+    * free; callers that cannot afford it can derive counts from
+    * `observe` metrics on their own write).
+    *
+    * `filesPerPartition` bounds per-task volume on SKEWED partition
+    * values: with the default 1 each partition tuple is written by
+    * exactly one task (fewest files), which serializes a hot value —
+    * a `lang=en` slice holding most of the corpus would funnel
+    * through a single writer. Setting it to F salts the repartition
+    * key so a hot partition spreads over ≤ F tasks/files while small
+    * partitions still produce ≤ F (usually 1 non-empty) files.
     */
   def writePartitioned(
       df: DataFrame,
       outDir: String,
       partitionCols: Seq[String],
-      maxPartitions: Long = 10000L): DataFrame = {
+      maxPartitions: Long = 10000L,
+      filesPerPartition: Int = 1): DataFrame = {
     require(partitionCols.nonEmpty, "no partition columns given")
     require(partitionCols.distinct == partitionCols,
       "partition columns must be distinct")
+    require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
     val pcols = partitionCols.map(col)
     val manifest = df.groupBy(pcols: _*).agg(count(lit(1)).as("n_rows"))
     // directory-count guard, in-plan (the gapFill discipline): fold
@@ -44,7 +56,14 @@ object Partitioned {
       s"writePartitioned: $nParts partition tuples exceed " +
         s"maxPartitions=$maxPartitions - partition columns must be " +
         "low-cardinality (directory names, not ids)")
-    df.repartition(pcols: _*)
+    // Deterministic row-content salt (retry-safe — a rand()/row-id
+    // salt can lose rows when a task retries under a different
+    // shuffle assignment): hash every non-partition column.
+    val dataCols = df.columns.filterNot(partitionCols.contains).map(col)
+    val keys =
+      if (filesPerPartition == 1 || dataCols.isEmpty) pcols
+      else pcols :+ pmod(hash(dataCols: _*), lit(filesPerPartition))
+    df.repartition(keys: _*)
       .write
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)

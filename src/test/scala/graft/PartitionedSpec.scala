@@ -45,6 +45,33 @@ class PartitionedSpec extends SparkSpec {
     }
   }
 
+  test("filesPerPartition salts a hot partition over several files, losslessly") {
+    // 90% of rows share lang=en — the skewed-value case where one
+    // writer task would otherwise serialize the hot slice
+    val df = (0 until 200)
+      .map(i => (i.toLong, if (i % 10 == 0) "de" else "en", s"t$i"))
+      .toDF("id", "lang", "text")
+    val dir = tmp()
+    // test-size rows all fit one AQE-coalesced partition; at scale a
+    // hot slice exceeds the advisory size and stays spread — disable
+    // coalescing here so the salt's task fan-out is observable
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val manifest =
+      try Partitioned
+        .writePartitioned(df, dir, Seq("lang"), filesPerPartition = 4)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      finally spark.conf
+        .set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert(manifest == Map("en" -> 180L, "de" -> 20L))
+    val enFiles = new java.io.File(s"$dir/lang=en")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(enFiles > 1 && enFiles <= 4,
+      s"hot partition written as $enFiles files, expected 2..4")
+    val back = Partitioned.readPartitioned(spark, dir)
+      .select("id", "lang", "text").as[(Long, String, String)].collect().toSet
+    assert(back == df.as[(Long, String, String)].collect().toSet)
+  }
+
   test("the cardinality guard rejects id-like partition columns") {
     val df = (0 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "k")
     intercept[IllegalArgumentException] {

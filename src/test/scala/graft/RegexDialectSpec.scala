@@ -107,15 +107,16 @@ class RegexDialectSpec extends AnyFunSuite {
     * (SparkEntry's q_url_dedup oracle does), which this lint must
     * not misread as a pattern backreference.
     */
-  private def stringLiterals(src: String): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+  private def stringLiterals(src: String, isOracleFile: Boolean): Seq[String] = {
+    // (body, wasTripleQuoted)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
     var i = 0
     val n = src.length
     while (i < n) {
       if (src.startsWith("\"\"\"", i)) {
         val end = src.indexOf("\"\"\"", i + 3)
         if (end < 0) { i = n }
-        else { out += src.substring(i + 3, end); i = end + 3 }
+        else { out += ((src.substring(i + 3, end), true)); i = end + 3 }
       } else if (src.charAt(i) == '"') {
         val sb = new StringBuilder
         i += 1
@@ -127,11 +128,27 @@ class RegexDialectSpec extends AnyFunSuite {
           else if (ch == '\n') { done = true; i += 1 } // unterminated: bail
           else { sb.append(ch); i += 1 }
         }
-        out += sb.toString
+        out += ((sb.toString, false))
       } else i += 1
     }
-    out.toSeq.filterNot(b =>
-      b.contains("SELECT ") || b.contains("\n        |") || b.contains("|SELECT"))
+    out.toSeq
+      // DuckDB oracle SQL is exempt (RE2-native, and its replacement
+      // strings legitimately use \1) — but ONLY in the file that
+      // carries the oracle map, and only for its house shapes:
+      // triple-quoted margin blocks and SELECT-leading bodies. A
+      // Spark-side regex in any other file is never exempted however
+      // SQL-ish its surrounding text looks (the round-15 ADVICE
+      // hole: content sniffing applied everywhere).
+      .filterNot { case (b, triple) =>
+        isOracleFile && (triple && (
+          b.contains("SELECT ") || "(?m)^\\s*\\|".r.findFirstIn(b).isDefined) ||
+          b.trim.startsWith("SELECT ") || b.trim.startsWith("WITH "))
+      }
+      // scalac processes escapes only in single-quoted literals;
+      // unescaping a triple-quoted body would manufacture escapes the
+      // compiled string never contains (false-positive direction, but
+      // the lint should match scalac exactly)
+      .map { case (b, triple) => if (triple) b else unescape(b) }
   }
 
   /** The regex-bearing main sources. Tripwired below: if a regexp_*
@@ -156,8 +173,9 @@ class RegexDialectSpec extends AnyFunSuite {
   test("every string literal in regex-bearing sources is RE2-compatible") {
     val scanned = for {
       path <- lintedFiles
-      body <- stringLiterals(read(path))
-    } yield (path, unescape(body))
+      body <- stringLiterals(read(path),
+        isOracleFile = path.endsWith("SparkEntry.scala"))
+    } yield (path, body)
     // tripwire: a scanner regression that returns (almost) nothing
     // would green this lint trivially — the six files carry hundreds
     // of literals today
