@@ -2661,6 +2661,38 @@ object SparkEntry {
         "embedding", "vec_id", "vec_id", k = 10, nprobe = 4, iters = 2,
         numCentroids = 200)
     }),
+    "q_ann_kmeans_index" -> ((s, dir) => {
+      // The persisted-fit serve path must reproduce clusterRoutedTopK
+      // exactly (same Lloyd fit, zero fit cost per batch), so the
+      // q_ann_cluster_routed oracle applies verbatim. Write-once per
+      // (session, corpus), like the IVF/PQ index keys.
+      val e = t(s, dir, "embeddings")
+      val kmTable = "graft_km_verify_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      if (!s.catalog.tableExists(kmTable))
+        Similarity.writeKmeansIndex(e, "embedding", "vec_id", kmTable,
+          iters = 2, numCentroids = 200)
+      Similarity.clusterRoutedTopKFromIndex(s, kmTable,
+        e.where(col("vec_id") < 5), "embedding", "vec_id", k = 10, nprobe = 4)
+    }),
+    "q_ann_kmeans_append" -> ((s, dir) => {
+      // Incremental growth with a FROZEN Lloyd fit: build over most
+      // of the corpus, append the rest against the build-time
+      // centroids, search the combined index. The batch slice
+      // (vec_id % 300 = 0) is seed-eligible on purpose — an
+      // implementation that re-fits or lets appended rows join the
+      // centroid set hashes differently and fails the oracle (the
+      // q_ann_ivf_append discipline).
+      val e = t(s, dir, "embeddings")
+      val kmTable = "graft_km_app_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Similarity.writeKmeansIndex(e.where(col("vec_id") % 300 =!= 0),
+        "embedding", "vec_id", kmTable, iters = 2, numCentroids = 200)
+      Similarity.appendKmeansIndex(e.where(col("vec_id") % 300 === 0),
+        "embedding", "vec_id", kmTable)
+      Similarity.clusterRoutedTopKFromIndex(s, kmTable,
+        e.where(col("vec_id") < 5), "embedding", "vec_id", k = 10, nprobe = 4)
+    }),
     "q_semdedup" -> ((s, dir) => {
       // Cluster-scoped near-dup (SemDeDup shape): one assignment
       // pass, pairs only within a cluster, exact-cosine verify. The
@@ -3929,6 +3961,52 @@ object SparkEntry {
   }
 
   private lazy val ivfOracleSql: String = ivfOracle("vec_id % 100 = 0")
+
+  /** The cluster-routed replay (q_kmeans Lloyd chain with SCRAMBLED
+    * seed selection → final member assignment → probe ranking on
+    * unrounded cosine → exact within-cluster rank on the rounded
+    * cosine — the ivfSearch ordering contract). `basePred` scopes the
+    * FIT to a corpus slice; `batchPred` (optional) assigns an
+    * appended slice to the frozen fitted centroids WITHOUT letting it
+    * seed or update them — the q_ann_kmeans_append replay.
+    */
+  private def clusterRoutedOracle(
+      basePred: String = "TRUE", batchPred: String = ""): String = {
+    val batchCtes =
+      if (batchPred.isEmpty) "all_m AS (SELECT corpus_id, cv, cid FROM a2f),"
+      else
+        s"""bat AS (SELECT vec_id, embedding FROM embeddings WHERE $batchPred),
+           |ab AS (SELECT vec_id AS corpus_id, embedding AS cv, cid,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn
+           |  FROM bat, c1),
+           |abf AS (SELECT corpus_id, cv, cid FROM ab WHERE rn = 1),
+           |all_m AS (SELECT corpus_id, cv, cid FROM a2f
+           |  UNION ALL SELECT corpus_id, cv, cid FROM abf),""".stripMargin
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE $basePred),
+       |st AS (SELECT CAST(ceil(count(*) / 200.0) AS BIGINT) AS stride FROM base),
+       |c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM base, st
+       |  WHERE (((vec_id % 1000003) * 2654435761) % 1000003) % stride = 0),
+       |a1 AS (SELECT vec_id, embedding, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn
+       |  FROM base, c0),
+       |a1f AS (SELECT vec_id, embedding, cid FROM a1 WHERE rn = 1),
+       |px AS (SELECT cid, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos FROM a1f),
+       |pm AS (SELECT cid, pos, round(avg(x::DOUBLE), 6) AS m FROM px GROUP BY 1, 2),
+       |c1 AS (SELECT cid, list(m ORDER BY pos) AS cvec FROM pm GROUP BY 1),
+       |a2 AS (SELECT vec_id AS corpus_id, embedding AS cv, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn
+       |  FROM base, c1),
+       |a2f AS (SELECT corpus_id, cv, cid FROM a2 WHERE rn = 1),
+       |$batchCtes
+       |pr AS (SELECT vec_id AS query_id, embedding AS qv, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn
+       |  FROM embeddings, c1 WHERE vec_id < 5),
+       |prf AS (SELECT query_id, qv, cid FROM pr WHERE rn <= 4),
+       |sc AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine
+       |  FROM all_m JOIN prf USING (cid)),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM sc)
+       |SELECT query_id, corpus_id, cosine, rank::INT AS rank FROM rk WHERE rank <= 10""".stripMargin
+  }
 
   /** ALGORITHMIC byte-level BPE replay for the oracle: per distinct
     * (word, space-prefixed?) unit, 12 unrolled lowest-rank merge
@@ -7621,34 +7699,17 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn
          |  FROM embeddings, c1)
          |SELECT vec_id, cid AS cluster, cosine FROM a2 WHERE rn = 1""".stripMargin,
-    // The q_kmeans fit chain (identical st/c0/a1/px/pm/c1 CTEs →
-    // bit-identical centroids), then: final member assignment, query
-    // probes ranked by UNROUNDED cosine (top nprobe=4), exact cosine
-    // within probed clusters, rank on the ROUNDED cosine — the
-    // ivfSearch ordering contract.
-    "q_ann_cluster_routed" ->
-      s"""WITH st AS (SELECT CAST(ceil(count(*) / 200.0) AS BIGINT) AS stride FROM embeddings),
-         |c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings, st
-         |  WHERE (((vec_id % 1000003) * 2654435761) % 1000003) % stride = 0),
-         |a1 AS (SELECT vec_id, embedding, cid,
-         |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn
-         |  FROM embeddings, c0),
-         |a1f AS (SELECT vec_id, embedding, cid FROM a1 WHERE rn = 1),
-         |px AS (SELECT cid, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos FROM a1f),
-         |pm AS (SELECT cid, pos, round(avg(x::DOUBLE), 6) AS m FROM px GROUP BY 1, 2),
-         |c1 AS (SELECT cid, list(m ORDER BY pos) AS cvec FROM pm GROUP BY 1),
-         |a2 AS (SELECT vec_id AS corpus_id, embedding AS cv, cid,
-         |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn
-         |  FROM embeddings, c1),
-         |a2f AS (SELECT corpus_id, cv, cid FROM a2 WHERE rn = 1),
-         |pr AS (SELECT vec_id AS query_id, embedding AS qv, cid,
-         |  row_number() OVER (PARTITION BY vec_id ORDER BY ${cosSql("embedding", "cvec")} DESC, cid) AS rn
-         |  FROM embeddings, c1 WHERE vec_id < 5),
-         |prf AS (SELECT query_id, qv, cid FROM pr WHERE rn <= 4),
-         |sc AS (SELECT query_id, corpus_id, round(${cosSql("cv", "qv")}, 6) AS cosine
-         |  FROM a2f JOIN prf USING (cid)),
-         |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank FROM sc)
-         |SELECT query_id, corpus_id, cosine, rank::INT AS rank FROM rk WHERE rank <= 10""".stripMargin,
+    // The q_kmeans fit chain with scrambled seeds → final member
+    // assignment → probe ranking on UNROUNDED cosine (top nprobe=4) →
+    // exact within-cluster rank on the ROUNDED cosine (see
+    // clusterRoutedOracle).
+    "q_ann_cluster_routed" -> clusterRoutedOracle(),
+    // the persisted fit must equal the from-scratch call exactly
+    "q_ann_kmeans_index" -> clusterRoutedOracle(),
+    // fit on the base slice only; the batch assigns to the FROZEN
+    // fitted centroids (never seeds, never updates them)
+    "q_ann_kmeans_append" -> clusterRoutedOracle(
+      basePred = "vec_id % 300 <> 0", batchPred = "vec_id % 300 = 0"),
     "q_semdedup" ->
       s"""WITH $embWithDupsSql,
          |cen AS (SELECT vec_id AS cid, embedding AS cvec FROM emb WHERE vec_id % 100 = 0),

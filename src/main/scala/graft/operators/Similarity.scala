@@ -834,6 +834,148 @@ object Similarity {
       spark.table(table), numBuckets, Seq("__cid"))
   }
 
+  /** Persist the k-means fit behind [[clusterRoutedTopK]] as a
+    * catalog table bucketed (and sorted) by the cluster id — the
+    * "fit once, serve many batches" step the routed path needs in
+    * production: [[clusterRoutedTopK]] re-runs the full Lloyd loop
+    * (iters × corpus×nlist broadcast scans) on EVERY call, which is
+    * the right shape for one-off curation but not for a serving
+    * index. With the fit persisted, a query batch pays only the
+    * probe ranking + the bucketed candidate scan — the corpus never
+    * shuffles again (the [[writeIvfIndex]] contract, with one
+    * difference: Lloyd centroids are synthetic MEAN vectors, not
+    * corpus rows, so they ride the same table as `__cen = true`
+    * marker rows and are excluded from search candidates on read).
+    */
+  def writeKmeansIndex(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      table: String,
+      stride: Int = 100,
+      iters: Int = 2,
+      numCentroids: Int = 0,
+      expectedRows: Long = 0L,
+      numBuckets: Int = 64,
+      scrambleSeeds: Boolean = true): Unit = {
+    val spark = corpus.sparkSession
+    val (assigned, cen) = kmeansFit(corpus, vecCol, idCol, stride, iters,
+      numCentroids, expectedRows, stageCen = true,
+      scrambleSeeds = scrambleSeeds)
+    ManagedTables.dropAndClearOrphan(spark, table)
+    assigned
+      .select(col("__id").as("corpus_id"), col("__cv"), col("__cid"),
+        lit(false).as("__cen"))
+      .unionByName(cen.select(col("__cid").as("corpus_id"),
+        col("__cvec").as("__cv"), col("__cid"), lit(true).as("__cen")))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "__cid")
+      .sortBy("__cid")
+      .saveAsTable(table)
+    spark.sql(
+      s"ALTER TABLE `$table` SET TBLPROPERTIES (" +
+        s"'graft.kmeans.iters' = '$iters', " +
+        s"'graft.kmeans.numBuckets' = '$numBuckets')")
+  }
+
+  /** Build parameters recorded by [[writeKmeansIndex]], or None for a
+    * table without them (not a graft k-means index).
+    */
+  def readKmeansIndexMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String): Option[(Int, Int)] = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES `$table`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for {
+      i <- props.get("graft.kmeans.iters")
+      b <- props.get("graft.kmeans.numBuckets")
+    } yield (i.toInt, b.toInt)
+  }
+
+  private def kmeansIndexParts(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      caller: String): (DataFrame, DataFrame) = {
+    require(readKmeansIndexMeta(spark, table).nonEmpty,
+      s"$caller: `$table` records no graft.kmeans.* table properties " +
+        "— create it with writeKmeansIndex")
+    val t = spark.table(table)
+    val cen = t.where(col("__cen"))
+      .select(col("__cid"), col("__cv").as("__cvec"))
+    val assigned = t.where(!col("__cen"))
+      .select(col("corpus_id"), col("__cv"), col("__cid"))
+    (assigned, cen)
+  }
+
+  /** [[clusterRoutedTopK]] over a persisted index (see
+    * [[writeKmeansIndex]]): identical results to the from-scratch
+    * call with the same fit parameters, zero fit cost per batch, and
+    * the candidate scan rides the table's `__cid` bucketing — the
+    * corpus never shuffles.
+    */
+  def clusterRoutedTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      queries: DataFrame,
+      vecCol: String,
+      qIdCol: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(nprobe >= 1, "nprobe must be positive")
+    val (assigned, cen) =
+      kmeansIndexParts(spark, table, "clusterRoutedTopKFromIndex")
+    ivfSearch(assigned, cen, queries, vecCol, qIdCol, k, nprobe)
+  }
+
+  /** Append a batch to a persisted k-means index WITHOUT re-fitting:
+    * the batch is assigned to the index's FROZEN Lloyd centroids
+    * (`__cen` rows) and lands as additional bucketed files under the
+    * same spec — the [[appendIvfIndex]] growth contract. Appended
+    * rows are searchable, never centroids; search equals "assign
+    * everything to the original fit", so results stay reproducible
+    * until the owner chooses to re-fit (drift is measurable with
+    * [[annRecall]] against a brute-force sample).
+    */
+  def appendKmeansIndex(
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      table: String): Unit = {
+    val spark = batch.sparkSession
+    val (_, numBuckets) = readKmeansIndexMeta(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"appendKmeansIndex: `$table` records no graft.kmeans.* table " +
+          "properties — create it with writeKmeansIndex"))
+    // bounded, broadcast-sized; materialized BEFORE the append job so
+    // the write never lazily re-reads the table it appends to
+    val cen = spark.table(table).where(col("__cen"))
+      .select(col("__cid"), col("__cv").as("__cvec"))
+      .localCheckpoint(true)
+    ivfAssign(batch, vecCol, idCol, cen)
+      .select(col("corpus_id"), col("__cv").cast("array<double>").as("__cv"),
+        col("__cid"), lit(false).as("__cen"))
+      .write.mode("append").format("parquet")
+      .bucketBy(numBuckets, "__cid")
+      .sortBy("__cid")
+      .saveAsTable(table)
+  }
+
+  /** Compact a k-means index after appends (small-file fold, same
+    * crash contract as [[compactIvfIndex]]); search results are
+    * unchanged.
+    */
+  def compactKmeansIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val (_, numBuckets) = readKmeansIndexMeta(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"compactKmeansIndex: `$table` records no graft.kmeans.* table " +
+          "properties — create it with writeKmeansIndex"))
+    ManagedTables.rewriteBucketed(spark, table,
+      spark.table(table), numBuckets, Seq("__cid"))
+  }
+
   /** Spherical k-means assignments after `iters` Lloyd passes
     * (cosine argmax; the update step is the per-position mean of each
     * cluster's members). Init is the same deterministic stride sample

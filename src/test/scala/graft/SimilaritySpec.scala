@@ -175,6 +175,63 @@ class SimilaritySpec extends SparkSpec {
     byQ.foreach { case (qid, cid) => assert(cid % 3 == qid % 3) }
   }
 
+  test("kmeans index: from-index equals from-scratch; append freezes centroids; compact preserves") {
+    val rnd = new scala.util.Random(17)
+    val vecs = (0L until 80L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val all = vecs.toDF("id", "vec")
+    val q = all.where($"id" < 3)
+    val table = "graft_km_spec"
+    try {
+      Similarity.writeKmeansIndex(all, "vec", "id", table,
+        stride = 10, iters = 2, numBuckets = 4)
+      val direct = Similarity.clusterRoutedTopK(all, q, "vec", "id", "id",
+        k = 5, nprobe = 3, stride = 10, iters = 2)
+        .sort("query_id", "rank").collect().toSeq
+      val fromIdx = Similarity.clusterRoutedTopKFromIndex(spark, table, q,
+        "vec", "id", k = 5, nprobe = 3)
+      assert(fromIdx.sort("query_id", "rank").collect().toSeq == direct)
+      // a centroid marker row shares its seed's corpus id — candidates
+      // must still be unique per (query, corpus) (markers excluded)
+      assert(fromIdx.groupBy($"query_id", $"corpus_id").count()
+        .agg(max($"count")).head().getLong(0) == 1L)
+
+      // rebuild on 4/5 of the corpus, append the seed-ELIGIBLE rest:
+      // the centroid set must stay the build-time fit
+      val base = all.where($"id" % 5 =!= 0)
+      Similarity.writeKmeansIndex(base, "vec", "id", table,
+        stride = 10, iters = 2, numBuckets = 4)
+      val cenBefore = spark.table(table).where($"__cen")
+        .select($"__cid").as[Long].collect().toSet
+      Similarity.appendKmeansIndex(all.where($"id" % 5 === 0), "vec", "id", table)
+      val cenAfter = spark.table(table).where($"__cen")
+        .select($"__cid").as[Long].collect().toSet
+      assert(cenAfter == cenBefore, "append must never grow the centroid set")
+      // appended rows are searchable: full-coverage probes find id 0
+      // (an appended row) as its own rank-1 neighbour
+      val nCen = cenBefore.size
+      val found = Similarity.clusterRoutedTopKFromIndex(spark, table,
+        all.where($"id" === 0), "vec", "id", k = 1, nprobe = nCen)
+        .select($"corpus_id").as[Long].head()
+      assert(found == 0L)
+      // compaction folds files, results unchanged
+      val before = Similarity.clusterRoutedTopKFromIndex(spark, table, q,
+        "vec", "id", k = 5, nprobe = 3).sort("query_id", "rank").collect().toSeq
+      Similarity.compactKmeansIndex(spark, table)
+      val after = Similarity.clusterRoutedTopKFromIndex(spark, table, q,
+        "vec", "id", k = 5, nprobe = 3).sort("query_id", "rank").collect().toSeq
+      assert(after == before)
+      // a real table WITHOUT the kmeans properties is rejected
+      all.write.mode("overwrite").saveAsTable("graft_not_an_index")
+      intercept[IllegalArgumentException] {
+        Similarity.clusterRoutedTopKFromIndex(spark, "graft_not_an_index",
+          q, "vec", "id", 5)
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql("DROP TABLE IF EXISTS graft_not_an_index")
+    }
+  }
+
   test("clusterRoutedTopK: validation") {
     val c = Seq((0L, Seq(1.0f, 0.0f))).toDF("id", "vec")
     intercept[IllegalArgumentException] {
