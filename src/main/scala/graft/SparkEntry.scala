@@ -246,7 +246,10 @@ object SparkEntry {
         .select(col("date"), col("cnt"), round(col("cnt_trendline"), 2).as("trend"))
     }),
     "q_transpose" -> ((s, dir) => {
-      // rows-only check: output schema depends on data values
+      // Output schema depends on data values in general, but here the
+      // pivot keys are TPC-H region keys — static 0..4 at every SF —
+      // so the oracle can pin the pivoted columns and full-hash check
+      // (round-16 upgrade from rows-only).
       val byRegion = t(s, dir, "nation")
         .groupBy(col("n_regionkey"))
         .agg(count(lit(1)).as("cnt"))
@@ -405,7 +408,19 @@ object SparkEntry {
         |spine AS (SELECT unnest(generate_series(d0, d1 + INTERVAL 7 DAY, INTERVAL 1 DAY))::DATE AS date FROM bounds)
         |SELECT s.date, d.cnt,
         |  round(b0 + b1 * date_diff('day', (SELECT d0 FROM bounds), s.date)::DOUBLE, 2) AS trend
-        |FROM spine s LEFT JOIN daily d USING (date), beta""".stripMargin)
+        |FROM spine s LEFT JOIN daily d USING (date), beta""".stripMargin,
+    // transpose's pivot keys are the TPC-H region keys (static 0..4 at
+    // every SF), so the dynamic-schema operator replays as a pinned
+    // pivot; every cell is stringified exactly as transpose does.
+    "q_transpose" ->
+      """WITH g AS (SELECT n_regionkey, count(*) AS cnt FROM nation GROUP BY 1)
+        |SELECT 'cnt' AS "index",
+        |  CAST(max(CASE WHEN n_regionkey = 0 THEN cnt END) AS VARCHAR) AS "0",
+        |  CAST(max(CASE WHEN n_regionkey = 1 THEN cnt END) AS VARCHAR) AS "1",
+        |  CAST(max(CASE WHEN n_regionkey = 2 THEN cnt END) AS VARCHAR) AS "2",
+        |  CAST(max(CASE WHEN n_regionkey = 3 THEN cnt END) AS VARCHAR) AS "3",
+        |  CAST(max(CASE WHEN n_regionkey = 4 THEN cnt END) AS VARCHAR) AS "4"
+        |FROM g""".stripMargin)
 
   // ===================================================================
   // §2.3 LLM-pipeline operators: dedup, similarity, text, multimodal
