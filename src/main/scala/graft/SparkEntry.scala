@@ -1800,6 +1800,26 @@ object SparkEntry {
             .otherwise(col("lang")).as("rater_b"))
       graft.operators.Eval.cohenKappa(d, "rater_a", "rater_b")
     }),
+    "q_krippendorff" -> ((s, dir) => {
+      // Multi-rater agreement with MISSING ratings (the pool shape
+      // cohenKappa cannot handle): rater 1 labels every doc, rater 2
+      // only even doc_ids (7th flipped 'en'), rater 3 only every 3rd
+      // (11th flipped 'fr') — per-item rating counts m ∈ {1,2,3},
+      // single-rating items drop as unpairable.
+      val d = Parallelism.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"))
+      val r1 = d.select(col("doc_id").as("item"), col("lang").as("label"))
+      val r2 = d.where(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id").as("item"),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit("en"))
+            .otherwise(col("lang")).as("label"))
+      val r3 = d.where(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id").as("item"),
+          when(pmod(col("doc_id"), lit(11)) === 0, lit("fr"))
+            .otherwise(col("lang")).as("label"))
+      graft.operators.Eval.krippendorffAlpha(
+        r1.unionByName(r2).unionByName(r3), "item", "label")
+    }),
     "q_blocklist" -> ((s, dir) => {
       // C4-style blocklist gate: token-exact occurrence count + flag
       // under a demo list (three corpus words) — one native
@@ -6333,6 +6353,40 @@ object SparkEntry {
         |    round((agree::DOUBLE / n::DOUBLE - e::DOUBLE / n::DOUBLE / n::DOUBLE)
         |      / (1.0 - e::DOUBLE / n::DOUBLE / n::DOUBLE), 6) END AS kappa
         |FROM o, e""".stripMargin,
+    // Krippendorff nominal alpha: coincidence-matrix algebra with the
+    // per-item 1/(m−1) weights folded through the common denominator
+    // D = Π(m−1) over distinct m — integer-exact in both engines at
+    // gate scale (m ∈ {1,2,3} → D = 2; every folded term < 2^53).
+    "q_krippendorff" ->
+      """WITH r AS (
+        |  SELECT doc_id AS i, lang AS l FROM documents WHERE lang IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END
+        |  FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN 'fr' ELSE lang END
+        |  FROM documents WHERE doc_id % 3 = 0 AND lang IS NOT NULL),
+        |muc AS (SELECT i, l, count(*)::HUGEINT AS c FROM r GROUP BY 1, 2),
+        |mu AS (SELECT i, sum(c) AS m, sum(c * c) AS s2 FROM muc GROUP BY 1
+        |  HAVING sum(c) >= 2),
+        |bym AS (SELECT m, sum(m * m - s2) AS sdis FROM mu GROUP BY 1),
+        |tot AS (SELECT sum(m) AS n, count(*) AS items FROM mu),
+        |ncs AS (SELECT l, sum(c) AS nc FROM muc
+        |  WHERE i IN (SELECT i FROM mu) GROUP BY 1),
+        |y AS (SELECT coalesce(sum(nc * nc), 0) AS sc2 FROM ncs),
+        |d AS (SELECT product(m - 1) AS dd FROM bym),
+        |num AS (SELECT sum(sdis::DOUBLE * (dd / (m - 1)::DOUBLE)) AS nm
+        |  FROM bym, d)
+        |SELECT items::BIGINT AS n_items, n::BIGINT AS n_values,
+        |  CASE WHEN n >= 2 THEN
+        |    round(nm / dd / n::DOUBLE, 6) END AS do_rate,
+        |  CASE WHEN n >= 2 THEN
+        |    round((n * n - sc2)::DOUBLE / n::DOUBLE / (n - 1)::DOUBLE, 6)
+        |  END AS de_rate,
+        |  CASE WHEN n >= 2 AND (n * n - sc2)::DOUBLE > 0.0 THEN
+        |    round(1.0 - (nm * (n - 1)::DOUBLE)
+        |      / (dd * (n * n - sc2)::DOUBLE), 6) END AS alpha
+        |FROM tot, y, d, num""".stripMargin,
     "q_blocklist" ->
       """SELECT doc_id,
         |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

@@ -1153,4 +1153,100 @@ object Eval {
           .as("resolution"),
         round(col("__obar") * (lit(1.0) - col("__obar")), 6).as("uncertainty"))
   }
+
+  /** Krippendorff's alpha (nominal) — chance-corrected agreement over
+    * ANY number of raters with missing ratings, the annotation-QC
+    * number [[cohenKappa]] cannot produce once a labeling pool stops
+    * being two-complete (the usual case: N raters, each item rated by
+    * whoever was assigned). Input is LONG format: one row per rating
+    * (item, label); rater identity is irrelevant to nominal alpha.
+    *
+    * α = 1 − D_o/D_e over the coincidence matrix. Within an item
+    * rated m_u ≥ 2 times with per-label counts m_uc, the disagreeing
+    * ordered-pair mass is A_u = (m_u² − Σ_c m_uc²)/(m_u − 1); with
+    * n = Σ m_u (pairable values) and n_c = Σ_u m_uc:
+    * α = 1 − (n−1)·Σ_u A_u / (n² − Σ_c n_c²).
+    *
+    * Exact and order-independent (the [[cohenKappa]] discipline): all
+    * counts accumulate in DECIMAL(38,0); the per-item 1/(m_u−1)
+    * weights are folded EXACTLY by grouping items on m_u (the
+    * distinct-m frame is bounded by the max ratings-per-item) and
+    * multiplying through the common denominator D = Π(m−1) — integer
+    * arithmetic end to end, with the only doubles being the output
+    * divisions in a fixed order. D is guarded ≤ 1e15 via
+    * `raise_error` (fail loud, never a silent decimal overflow):
+    * real annotation pools have a handful of distinct per-item
+    * rating counts.
+    *
+    * Scale shape: one (item,label) grouped count (map-side combined),
+    * one item-level reduce, then everything is label- or
+    * distinct-m-bounded; no per-rating joins or windows.
+    *
+    * @return one row (n_items, n_values, do_rate, de_rate, alpha
+    *         6 dp; alpha null when n < 2 or D_e = 0 — a constant
+    *         label pool has no chance disagreement to correct by).
+    */
+  def krippendorffAlpha(
+      df: DataFrame,
+      itemCol: String,
+      labelCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val muc = df
+      .where(col(itemCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"), col(labelCol).as("__l"))
+      .agg(count(lit(1)).cast(d38).as("__c"))
+      // 2 consumers (item reduce + label marginals) — stage once
+      .localCheckpoint()
+    val mu = muc.groupBy(col("__i"))
+      .agg(sum(col("__c")).cast(d38).as("__m"),
+        sum(col("__c") * col("__c")).cast(d38).as("__s2"))
+      .where(col("__m") >= 2)
+      .localCheckpoint() // 3 consumers: byM, totals, marginal semi-join
+    val byM = mu.groupBy(col("__m"))
+      .agg(sum(col("__m") * col("__m") - col("__s2")).cast(d38).as("__S"))
+    val tot = mu.agg(
+      coalesce(sum(col("__m")), lit(0)).cast(d38).as("__n"),
+      count(lit(1)).as("__items"))
+    val y = muc.join(mu.select(col("__i")), Seq("__i"), "left_semi")
+      .groupBy(col("__l")).agg(sum(col("__c")).cast(d38).as("__nc"))
+      .agg(coalesce(sum(col("__nc") * col("__nc")), lit(0)).cast(d38).as("__sc2"))
+    // Fold the 1/(m−1) weights exactly: D = Π(m−1) over the bounded
+    // distinct-m frame, num = Σ_m S_m · D/(m−1). D/(m−1) divides
+    // exactly and D ≤ 1e15 < 2^53, so the double division inside the
+    // fold is integer-exact; everything re-enters DECIMAL immediately.
+    val ms = byM.agg(array_sort(collect_list(struct(
+      col("__m").cast("long").as("m"), col("__S").as("s")))).as("__ms"))
+    val dRaw = aggregate(col("__ms"), lit(1).cast(d38),
+      (acc, x) => (acc * (x.getField("m") - 1).cast(d38)).cast(d38))
+    val folded = ms.select(
+      when(dRaw.isNull || dRaw > lit(1e15),
+        raise_error(lit("krippendorffAlpha: Π(m−1) over distinct " +
+          "ratings-per-item exceeds 1e15 — pool has too many distinct " +
+          "per-item rating counts for exact folding")))
+        .otherwise(dRaw).as("__D"),
+      col("__ms"))
+    val num = folded.select(col("__D"),
+      aggregate(col("__ms"), lit(0).cast(d38),
+        (acc, x) => (acc + x.getField("s") *
+          (col("__D").cast("double") / (x.getField("m") - 1).cast("double"))
+            .cast(d38)).cast(d38)).as("__num"))
+    tot.crossJoin(broadcast(y)).crossJoin(broadcast(num))
+      .select(
+        col("__items").as("n_items"),
+        col("__n").cast("long").as("n_values"),
+        when(col("__n") >= 2, round(
+          col("__num").cast("double") / col("__D").cast("double")
+            / col("__n").cast("double"), 6)).as("do_rate"),
+        when(col("__n") >= 2, round(
+          (col("__n") * col("__n") - col("__sc2")).cast("double")
+            / col("__n").cast("double")
+            / (col("__n") - 1).cast("double"), 6)).as("de_rate"),
+        when(col("__n") >= 2 &&
+          (col("__n") * col("__n") - col("__sc2")).cast("double") > 0.0,
+          round(lit(1.0) -
+            (col("__num").cast("double") * (col("__n") - 1).cast("double"))
+              / (col("__D").cast("double") *
+                (col("__n") * col("__n") - col("__sc2")).cast("double")), 6))
+          .as("alpha"))
+  }
 }

@@ -564,4 +564,55 @@ class EvalSpec extends SparkSpec {
     assert(r.getDouble(4) == 0.0625)   // resolution
     assert(r.getDouble(5) == 0.1875)   // uncertainty = .25*.75
   }
+
+  private def kripp(rows: Seq[(Int, String)]) =
+    Eval.krippendorffAlpha(rows.toDF("item", "label"), "item", "label").head()
+
+  /** Direct reference computation of nominal alpha for cross-checks. */
+  private def krippRef(rows: Seq[(Int, String)]): Double = {
+    val byItem = rows.groupBy(_._1).values.map(_.map(_._2))
+      .filter(_.size >= 2).toSeq
+    val n = byItem.map(_.size).sum.toDouble
+    val x = byItem.map { ls =>
+      val m = ls.size.toDouble
+      val s2 = ls.groupBy(identity).values.map(g => g.size.toDouble * g.size).sum
+      (m * m - s2) / (m - 1)
+    }.sum
+    val nc = byItem.flatten.groupBy(identity).values.map(_.size.toDouble)
+    1.0 - (n - 1) * x / (n * n - nc.map(c => c * c).sum)
+  }
+
+  test("krippendorffAlpha: hand-computed mixed-m example") {
+    // item1: a,a,b (m=3, A/(m-1)=2) item2: a,b (A/(m-1)=2) item3: a (drops)
+    // n=5, n_a=3, n_b=2 -> Do=4/5, De=12/20, alpha = 1 - 0.8/0.6 = -1/3
+    val r = kripp(Seq(1 -> "a", 1 -> "a", 1 -> "b", 2 -> "a", 2 -> "b", 3 -> "a"))
+    assert(r.getLong(0) == 2L && r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 0.8 && r.getDouble(3) == 0.6)
+    assert(math.abs(r.getDouble(4) - (-1.0 / 3.0)) < 1e-6)
+  }
+
+  test("krippendorffAlpha: perfect agreement is 1, constant pool is null, nulls drop") {
+    val perfect = kripp(Seq(1 -> "a", 1 -> "a", 2 -> "b", 2 -> "b"))
+    assert(perfect.getDouble(4) == 1.0)
+    val const = kripp(Seq(1 -> "a", 1 -> "a", 2 -> "a", 2 -> "a"))
+    assert(const.isNullAt(4)) // De = 0: no chance disagreement to correct by
+    val withNull = Eval.krippendorffAlpha(
+      Seq[(Integer, String)]((1, "a"), (1, "a"), (1, null), (2, "b"))
+        .toDF("item", "label"), "item", "label").head()
+    assert(withNull.getLong(0) == 1L && withNull.getLong(1) == 2L)
+  }
+
+  test("krippendorffAlpha: matches the reference computation across varying m and repartitioning") {
+    val rnd = new scala.util.Random(7)
+    // items rated 1..5 times over 4 labels — exercises D = Π(m−1) folding
+    val rows = (1 to 120).flatMap { i =>
+      Seq.fill(1 + rnd.nextInt(5))(i -> s"l${rnd.nextInt(4)}")
+    }
+    val expected = krippRef(rows)
+    val r = kripp(rows)
+    assert(math.abs(r.getDouble(4) - expected) < 1e-6)
+    val repart = Eval.krippendorffAlpha(
+      rows.toDF("item", "label").repartition(13), "item", "label").head()
+    assert(repart == r) // exact decimal path: bit-identical under repartitioning
+  }
 }
