@@ -1820,6 +1820,35 @@ object SparkEntry {
       graft.operators.Eval.krippendorffAlpha(
         r1.unionByName(r2).unionByName(r3), "item", "label")
     }),
+    "q_dialog_flags" -> ((s, dir) => {
+      // SFT structural QC over synthesized 4-turn conversations with
+      // controlled defects: %5 empty last turn, %7 double-assistant,
+      // %11 leading system turn, %13 copy-paste duplicate, %17
+      // foreign role. The oracle derives every flag CLOSED-FORM from
+      // the injection rules — an independent derivation, not a
+      // replay of the array pipeline.
+      val doc = col("doc_id")
+      val s1 = substring(col("text"), 1, 50)
+      val s2 = substring(col("text"), 51, 50)
+      val c3 = when(pmod(doc, lit(13)) === 0, s2)
+        .otherwise(substring(col("text"), 101, 50))
+      val c4 = when(pmod(doc, lit(5)) === 0, lit(""))
+        .otherwise(substring(col("text"), 151, 50))
+      val r1 = when(pmod(doc, lit(17)) === 0, lit("tool")).otherwise(lit("user"))
+      val r3 = when(pmod(doc, lit(7)) === 0, lit("assistant")).otherwise(lit("user"))
+      val base = array(
+        struct(r1.as("role"), s1.as("content")),
+        struct(lit("assistant").as("role"), s2.as("content")),
+        struct(r3.as("role"), c3.as("content")),
+        struct(lit("assistant").as("role"), c4.as("content")))
+      val turns = when(pmod(doc, lit(11)) === 0,
+        concat(array(struct(lit("system").as("role"),
+          lit("You are helpful.").as("content"))), base))
+        .otherwise(base)
+      Parallelism.spread(t(s, dir, "documents"))
+        .select(doc, graft.functions.Dialog.dialogFlags(turns).as("f"))
+        .select(col("doc_id"), col("f.*"))
+    }),
     "q_blocklist" -> ((s, dir) => {
       // C4-style blocklist gate: token-exact occurrence count + flag
       // under a demo list (three corpus words) — one native
@@ -6387,6 +6416,45 @@ object SparkEntry {
         |    round(1.0 - (nm * (n - 1)::DOUBLE)
         |      / (dd * (n * n - sc2)::DOUBLE), 6) END AS alpha
         |FROM tot, y, d, num""".stripMargin,
+    // Closed-form flag derivation from the q_dialog_flags injection
+    // rules (body roles are [r1,'assistant',r3,'assistant'], so e.g.
+    // adjacent-equal exists iff r1 or r3 is 'assistant') — an
+    // independent oracle, not a list-pipeline replay.
+    "q_dialog_flags" ->
+      """WITH d AS (SELECT doc_id,
+        |  substr(text, 1, 50) AS s1, substr(text, 51, 50) AS s2,
+        |  CASE WHEN doc_id % 13 = 0 THEN substr(text, 51, 50)
+        |       ELSE substr(text, 101, 50) END AS c3,
+        |  CASE WHEN doc_id % 5 = 0 THEN ''
+        |       ELSE substr(text, 151, 50) END AS c4,
+        |  CASE WHEN doc_id % 17 = 0 THEN 'tool' ELSE 'user' END AS r1,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'assistant' ELSE 'user' END AS r3,
+        |  doc_id % 11 = 0 AS sys
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (CASE WHEN sys THEN 5 ELSE 4 END)::INT AS n_turns,
+        |  sys AS has_system,
+        |  r1 = 'user' AS starts_user,
+        |  TRUE AS ends_assistant,
+        |  r1 IN ('user', 'assistant') AND r3 IN ('user', 'assistant') AS roles_ok,
+        |  NOT (r1 = 'assistant' OR r3 = 'assistant') AS alternates,
+        |  trim(s1) = '' OR trim(s2) = '' OR trim(c3) = '' OR trim(c4) = ''
+        |    AS has_empty,
+        |  ((sys AND s1 = 'You are helpful.') OR
+        |   (s1 = s2 AND trim(s1) <> '') OR (s2 = c3 AND trim(s2) <> '') OR
+        |   (c3 = c4 AND trim(c3) <> '')) AS dup_turn,
+        |  ((CASE WHEN r1 = 'user' THEN length(s1) ELSE 0 END) +
+        |   (CASE WHEN r3 = 'user' THEN length(c3) ELSE 0 END))::INT AS user_chars,
+        |  (length(s2) + length(c4) +
+        |   (CASE WHEN r3 = 'assistant' THEN length(c3) ELSE 0 END))::INT
+        |    AS assistant_chars,
+        |  (r1 = 'user' AND r3 IN ('user', 'assistant') AND
+        |   NOT (r1 = 'assistant' OR r3 = 'assistant') AND
+        |   NOT (trim(s1) = '' OR trim(s2) = '' OR trim(c3) = '' OR trim(c4) = '')
+        |   AND NOT ((sys AND s1 = 'You are helpful.') OR
+        |     (s1 = s2 AND trim(s1) <> '') OR (s2 = c3 AND trim(s2) <> '') OR
+        |     (c3 = c4 AND trim(c3) <> ''))) AS valid
+        |FROM d""".stripMargin,
     "q_blocklist" ->
       """SELECT doc_id,
         |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
