@@ -426,6 +426,28 @@ object SparkEntry {
   // §2.3 LLM-pipeline operators: dedup, similarity, text, multimodal
   // ===================================================================
 
+  /** Synthetic pairwise-preference judgments for the Preference keys:
+    * item_a = the order's priority, item_b = a mod-keyed opponent
+    * from the 5 TPC-H priorities, winner = lower priority digit wins
+    * with a 1-in-4 upset and a 1-in-11 tie — deterministic, window-
+    * free, and closed-form replayable.
+    */
+  private def prefJudgments(s: SparkSession, dir: String): DataFrame = {
+    val pris = array(lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"),
+      lit("4-NOT SPECIFIED"), lit("5-LOW"))
+    val b = get(pris, pmod(col("o_orderkey"), lit(5)).cast("int"))
+    val ra = substring(col("o_orderpriority"), 1, 1).cast("int")
+    val rb = substring(b, 1, 1).cast("int")
+    val upset = pmod(col("o_orderkey"), lit(4)) === 0
+    val winner = when(pmod(col("o_orderkey"), lit(11)) === 0, lit("tie"))
+      .when(ra < rb, when(upset, lit("b")).otherwise(lit("a")))
+      .otherwise(when(upset, lit("a")).otherwise(lit("b")))
+    t(s, dir, "orders")
+      .select(col("o_orderpriority").as("item_a"), b.as("item_b"),
+        winner.as("winner"))
+      .where(col("item_a") =!= col("item_b"))
+  }
+
   /** documents ∪ clones of every 100th doc (new ids) — guarantees the
     * near-dup operators have true positives to find on synthetic data.
     */
@@ -1849,6 +1871,15 @@ object SparkEntry {
         .select(doc, graft.functions.Dialog.dialogFlags(turns).as("f"))
         .select(col("doc_id"), col("f.*"))
     }),
+    "q_win_rates" -> ((s, dir) =>
+      graft.operators.Preference.winRates(
+        prefJudgments(s, dir), "item_a", "item_b", "winner")),
+    "q_copeland" -> ((s, dir) =>
+      graft.operators.Preference.copelandScores(
+        prefJudgments(s, dir), "item_a", "item_b", "winner")),
+    "q_bradley_terry" -> ((s, dir) =>
+      graft.operators.Preference.bradleyTerry(
+        prefJudgments(s, dir), "item_a", "item_b", "winner", iters = 3)),
     "q_blocklist" -> ((s, dir) => {
       // C4-style blocklist gate: token-exact occurrence count + flag
       // under a demo list (three corpus words) — one native
@@ -4544,6 +4575,22 @@ object SparkEntry {
        |        WHERE len(w) >= 2)),
        |ob AS (SELECT doc_id, lang, ${h16Sql("g")} % 64 AS b FROM oc)""".stripMargin
 
+  /** Shared CTE replaying [[prefJudgments]] for the three Preference
+    * oracles (list indexing is 1-based in DuckDB; the winner rule is
+    * the closed form of the Spark when-chain).
+    */
+  private val prefSynthSql: String =
+    """c0 AS (SELECT o_orderpriority AS ia,
+      |  (['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'])
+      |    [(o_orderkey % 5)::INT + 1] AS ib,
+      |  o_orderkey % 4 = 0 AS upset, o_orderkey % 11 = 0 AS tied FROM orders),
+      |c AS (SELECT ia, ib,
+      |  CASE WHEN tied THEN 'tie'
+      |       WHEN (substr(ia, 1, 1)::INT < substr(ib, 1, 1)::INT) <> upset
+      |         THEN 'a'
+      |       ELSE 'b' END AS w
+      |  FROM c0 WHERE ia <> ib)""".stripMargin
+
   private def pipelineOracle: Map[String, String] = Map(
     // same tokenization (lower/trim/\s+/non-empty), grouped first-doc
     // mins, window prefix sums in doc order, 6 dp ln points, DECIMAL
@@ -6455,6 +6502,91 @@ object SparkEntry {
         |     (s1 = s2 AND trim(s1) <> '') OR (s2 = c3 AND trim(s2) <> '') OR
         |     (c3 = c4 AND trim(c3) <> ''))) AS valid
         |FROM d""".stripMargin,
+    "q_win_rates" ->
+      s"""WITH $prefSynthSql,
+        |n AS (SELECT least(ia, ib) AS item_lo, greatest(ia, ib) AS item_hi,
+        |  w = 'tie' AS tied,
+        |  (w = 'a' AND ia < ib) OR (w = 'b' AND ib < ia) AS lo_won FROM c)
+        |SELECT item_lo, item_hi, count(*) AS n_games,
+        |  count(CASE WHEN NOT tied AND lo_won THEN 1 END) AS wins_lo,
+        |  count(CASE WHEN NOT tied AND NOT lo_won THEN 1 END) AS wins_hi,
+        |  count(CASE WHEN tied THEN 1 END) AS ties,
+        |  CASE WHEN count(CASE WHEN NOT tied THEN 1 END) > 0 THEN
+        |    round(count(CASE WHEN NOT tied AND lo_won THEN 1 END)::DOUBLE /
+        |      count(CASE WHEN NOT tied THEN 1 END)::DOUBLE, 6)
+        |  END AS win_rate_lo
+        |FROM n GROUP BY 1, 2""".stripMargin,
+    "q_copeland" ->
+      s"""WITH $prefSynthSql,
+        |n AS (SELECT least(ia, ib) AS item_lo, greatest(ia, ib) AS item_hi,
+        |  w = 'tie' AS tied,
+        |  (w = 'a' AND ia < ib) OR (w = 'b' AND ib < ia) AS lo_won FROM c),
+        |pairs AS (SELECT item_lo, item_hi,
+        |  count(CASE WHEN NOT tied AND lo_won THEN 1 END) AS wl,
+        |  count(CASE WHEN NOT tied AND NOT lo_won THEN 1 END) AS wh
+        |  FROM n GROUP BY 1, 2),
+        |sides AS (
+        |  SELECT item_lo AS item, wl > wh AS win, wl = wh AS tie FROM pairs
+        |  UNION ALL
+        |  SELECT item_hi, wh > wl, wl = wh FROM pairs),
+        |scored AS (SELECT item, count(*) AS n_opponents,
+        |  count(CASE WHEN win THEN 1 END) AS maj_wins,
+        |  count(CASE WHEN tie THEN 1 END) AS maj_ties,
+        |  count(CASE WHEN NOT win AND NOT tie THEN 1 END) AS maj_losses,
+        |  count(CASE WHEN win THEN 1 END)::DOUBLE +
+        |    count(CASE WHEN tie THEN 1 END)::DOUBLE / 2 AS copeland
+        |  FROM sides GROUP BY 1)
+        |SELECT item, n_opponents, maj_wins, maj_ties, maj_losses, copeland,
+        |  dense_rank() OVER (ORDER BY copeland DESC)::INT AS rank
+        |FROM scored""".stripMargin,
+    // Bradley-Terry MM replay, 3 iterations unrolled: per-term round
+    // 12 dp into DECIMAL before the grouped sum, strength round 9 dp,
+    // mean-1 normalization, publish 6 dp — the operator's exact
+    // discipline, independently re-derived in SQL.
+    "q_bradley_terry" ->
+      s"""WITH $prefSynthSql,
+        |dec AS (SELECT CASE WHEN w = 'a' THEN ia ELSE ib END AS wi,
+        |  CASE WHEN w = 'a' THEN ib ELSE ia END AS li FROM c WHERE w <> 'tie'),
+        |games AS (SELECT i, j, count(*) AS n FROM (
+        |  SELECT wi AS i, li AS j FROM dec
+        |  UNION ALL SELECT li, wi FROM dec) GROUP BY 1, 2),
+        |per AS (SELECT i, sum(n)::BIGINT AS games FROM games GROUP BY 1),
+        |wn AS (SELECT wi AS i, count(*) AS w FROM dec GROUP BY 1),
+        |item AS (SELECT per.i, coalesce(wn.w, 0)::BIGINT AS wins, per.games
+        |  FROM per LEFT JOIN wn USING (i)),
+        |kk AS (SELECT count(*)::BIGINT AS k FROM item),
+        |p0 AS (SELECT i, 1.0::DOUBLE AS p FROM item),
+        |d1 AS (SELECT g.i, sum(round(g.n::DOUBLE /
+        |    (greatest(pi.p, 1e-9) + greatest(pj.p, 1e-9)), 12)::DECIMAL(28,12)) AS d
+        |  FROM games g JOIN p0 pi ON g.i = pi.i JOIN p0 pj ON g.j = pj.i
+        |  GROUP BY 1),
+        |r1 AS (SELECT item.i, round(item.wins::DOUBLE / d1.d::DOUBLE, 9) AS p9
+        |  FROM item JOIN d1 ON item.i = d1.i),
+        |s1 AS (SELECT sum(p9::DECIMAL(28,9)) AS s FROM r1),
+        |p1 AS (SELECT i, round(p9 * ((SELECT k FROM kk)::DOUBLE
+        |  / (SELECT s FROM s1)::DOUBLE), 6) AS p FROM r1),
+        |d2 AS (SELECT g.i, sum(round(g.n::DOUBLE /
+        |    (greatest(pi.p, 1e-9) + greatest(pj.p, 1e-9)), 12)::DECIMAL(28,12)) AS d
+        |  FROM games g JOIN p1 pi ON g.i = pi.i JOIN p1 pj ON g.j = pj.i
+        |  GROUP BY 1),
+        |r2 AS (SELECT item.i, round(item.wins::DOUBLE / d2.d::DOUBLE, 9) AS p9
+        |  FROM item JOIN d2 ON item.i = d2.i),
+        |s2 AS (SELECT sum(p9::DECIMAL(28,9)) AS s FROM r2),
+        |p2 AS (SELECT i, round(p9 * ((SELECT k FROM kk)::DOUBLE
+        |  / (SELECT s FROM s2)::DOUBLE), 6) AS p FROM r2),
+        |d3 AS (SELECT g.i, sum(round(g.n::DOUBLE /
+        |    (greatest(pi.p, 1e-9) + greatest(pj.p, 1e-9)), 12)::DECIMAL(28,12)) AS d
+        |  FROM games g JOIN p2 pi ON g.i = pi.i JOIN p2 pj ON g.j = pj.i
+        |  GROUP BY 1),
+        |r3 AS (SELECT item.i, round(item.wins::DOUBLE / d3.d::DOUBLE, 9) AS p9
+        |  FROM item JOIN d3 ON item.i = d3.i),
+        |s3 AS (SELECT sum(p9::DECIMAL(28,9)) AS s FROM r3),
+        |p3 AS (SELECT i, round(p9 * ((SELECT k FROM kk)::DOUBLE
+        |  / (SELECT s FROM s3)::DOUBLE), 6) AS p FROM r3)
+        |SELECT item.i AS item, item.wins AS wins, item.games AS n_decided,
+        |  p3.p AS strength,
+        |  dense_rank() OVER (ORDER BY p3.p DESC)::INT AS rank
+        |FROM item JOIN p3 ON item.i = p3.i""".stripMargin,
     "q_blocklist" ->
       """SELECT doc_id,
         |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
