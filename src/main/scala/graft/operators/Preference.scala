@@ -34,8 +34,14 @@ import org.apache.spark.sql.functions._
   */
 object Preference {
 
+  /** Null-TRANSPARENT on purpose: null winners drop via the
+    * `cleaned` filter, but Catalyst may push later predicates below
+    * that filter and evaluate this expression on null rows first —
+    * the guard must not fire there.
+    */
   private def winnerGuard(winnerCol: String): Column =
-    when(col(winnerCol).isin("a", "b", "tie"), col(winnerCol))
+    when(col(winnerCol).isNull || col(winnerCol).isin("a", "b", "tie"),
+      col(winnerCol))
       .otherwise(raise_error(concat(
         lit("preference: winner must be 'a'|'b'|'tie', got "), col(winnerCol))))
 

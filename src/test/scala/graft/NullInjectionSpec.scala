@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Eval, Events, Profile}
+import graft.operators.{Eval, Events, Preference, Profile}
 
 /** Null-injection property harness (round-14 verdict ask #3).
   *
@@ -453,6 +453,32 @@ class NullInjectionSpec extends SparkSpec {
     val at = ld0.fieldIndex("n_low_diversity_groups")
     assert(ld0.get(at) == ld1.get(at),
       "null sensitive must not change diversity")
+    flush()
+  }
+
+  test("Preference/agreement null contracts: unjudged rows and unlabeled ratings drop") {
+    val judged = injectNulls((for {
+      i <- 0 until 40
+    } yield {
+      val items = Seq("A", "B", "C", "D")
+      val a = items(i % 4)
+      val b = items((i + 1 + i % 3) % 4)
+      (a, b, Seq("a", "b", "tie")(i % 3))
+    }).filter(r => r._1 != r._2).toDF("ia", "ib", "w"))
+    val keep = col("ia").isNotNull && col("ib").isNotNull && col("w").isNotNull
+    assertDrops("winRates", judged, keep,
+      Preference.winRates(_, "ia", "ib", "w"))
+    assertDrops("copelandScores", judged, keep,
+      Preference.copelandScores(_, "ia", "ib", "w"))
+    assertDrops("bradleyTerry", judged, keep,
+      Preference.bradleyTerry(_, "ia", "ib", "w", iters = 2))
+    val ratings = injectNulls((for {
+      i <- 1 to 30
+      r <- 0 until (1 + i % 3)
+    } yield (i, s"l${(i * 7 + r * 3) % 4}")).toDF("item", "label"))
+    assertDrops("krippendorffAlpha", ratings,
+      col("item").isNotNull && col("label").isNotNull,
+      Eval.krippendorffAlpha(_, "item", "label"))
     flush()
   }
 }
