@@ -1871,6 +1871,21 @@ object SparkEntry {
         .select(doc, graft.functions.Dialog.dialogFlags(turns).as("f"))
         .select(col("doc_id"), col("f.*"))
     }),
+    "q_isotonic" -> ((s, dir) => {
+      // PAV calibration of a synthetic quality score (deterministic
+      // hash noise + a language-correlated bump) against the lang
+      // label; 20 buckets force real violator pooling. The oracle
+      // re-derives the fit INDEPENDENTLY via the minimax
+      // characterization yhat_i = max_{l<=i} min_{r>=i} avg(l..r).
+      val d = Parallelism.spread(t(s, dir, "documents"))
+        .where(col("lang").isNotNull)
+        .select(
+          ((pmod(col("doc_id") * 37, lit(100)) +
+            when(col("lang") === "en", lit(25)).otherwise(lit(0))) / lit(125.0))
+            .as("score"),
+          (col("lang") === "en").as("label"))
+      graft.operators.Eval.isotonicCalibration(d, "score", "label", bins = 20)
+    }),
     "q_win_rates" -> ((s, dir) =>
       graft.operators.Preference.winRates(
         prefJudgments(s, dir), "item_a", "item_b", "winner")),
@@ -6502,6 +6517,38 @@ object SparkEntry {
         |     (s1 = s2 AND trim(s1) <> '') OR (s2 = c3 AND trim(s2) <> '') OR
         |     (c3 = c4 AND trim(c3) <> ''))) AS valid
         |FROM d""".stripMargin,
+    // PAV replayed via the minimax characterization over dense bucket
+    // prefix sums — an independent derivation of the isotonic fit
+    // (the Spark side pools violators with an exact-rational stack).
+    "q_isotonic" ->
+      """WITH d AS (SELECT
+        |  ((doc_id * 37) % 100 + CASE WHEN lang = 'en' THEN 25 ELSE 0 END)
+        |    / 125.0 AS s,
+        |  lang = 'en' AS y FROM documents WHERE lang IS NOT NULL),
+        |b AS (SELECT least(greatest(floor(s * 20), 0), 19)::BIGINT AS bin,
+        |  count(*)::BIGINT AS n,
+        |  sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS pos FROM d GROUP BY 1),
+        |o AS (SELECT bin, n, pos, row_number() OVER (ORDER BY bin) AS idx FROM b),
+        |pre AS (SELECT idx, bin, n, pos, sum(pos) OVER (ORDER BY idx) AS cp,
+        |  sum(n) OVER (ORDER BY idx) AS cn FROM o),
+        |pairs AS (SELECT l.idx AS li, r.idx AS ri,
+        |  (r.cp - coalesce(lp.cp, 0))::DOUBLE
+        |    / (r.cn - coalesce(lp.cn, 0))::DOUBLE AS a
+        |  FROM pre l JOIN pre r ON r.idx >= l.idx
+        |  LEFT JOIN pre lp ON lp.idx = l.idx - 1),
+        |inn AS (SELECT p.li, i.idx AS ii, min(p.a) AS mn
+        |  FROM pairs p JOIN o i ON p.li <= i.idx AND i.idx <= p.ri
+        |  GROUP BY 1, 2),
+        |yh AS (SELECT ii, round(max(mn), 6) AS calibrated FROM inn GROUP BY 1),
+        |runs AS (SELECT o.bin, o.n, o.pos, o.idx, yh.calibrated,
+        |  CASE WHEN lag(yh.calibrated) OVER (ORDER BY o.idx) = yh.calibrated
+        |    THEN 0 ELSE 1 END AS brk
+        |  FROM o JOIN yh ON o.idx = yh.ii),
+        |grp AS (SELECT bin, n, pos, calibrated, idx,
+        |  sum(brk) OVER (ORDER BY idx) AS g FROM runs)
+        |SELECT bin, n, pos, min(bin) OVER (PARTITION BY g) AS block_bin,
+        |  calibrated
+        |FROM grp""".stripMargin,
     "q_win_rates" ->
       s"""WITH $prefSynthSql,
         |n AS (SELECT least(ia, ib) AS item_lo, greatest(ia, ib) AS item_hi,

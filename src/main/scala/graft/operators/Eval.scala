@@ -1154,6 +1154,79 @@ object Eval {
         round(col("__obar") * (lit(1.0) - col("__obar")), 6).as("uncertainty"))
   }
 
+  /** Isotonic (PAV) calibration of a classifier score to an
+    * empirical probability — what a quality-filter threshold needs
+    * before anyone reads the score AS a probability: [[calibrationBins]]
+    * shows the miscalibration, this fits the standard monotone
+    * correction (pool-adjacent-violators over score buckets).
+    *
+    * Scores bucket into `bins` equal [0,1) intervals (edge-clamped,
+    * the [[expectedCalibrationError]] convention); PAV pools adjacent
+    * buckets whose empirical positive rates decrease, with EXACT
+    * rational mean comparisons (BigInt cross-multiplication — no
+    * float pooling decisions), then publishes each bucket's pooled
+    * rate at 6 dp. `block_bin` is the canonical block label: the
+    * smallest bin of the maximal run of equal published values
+    * (PAV's VALUES are unique; its block structure under exactly
+    * equal adjacent means is not — the value-run canonicalization
+    * makes the output engine-comparable).
+    *
+    * Scale shape: ONE map-side-combined aggregation bounded by
+    * `bins`, then a driver PAV over ≤ `bins` rows (the bounded-by-
+    * contract collect of the model-table operators — `bins` is
+    * capped at 100k) broadcast back as a `bins`-row frame. Apply is
+    * a broadcast join on the bucket of the incoming score.
+    *
+    * @return (bin, n, pos, block_bin, calibrated 6 dp), one row per
+    *         NON-EMPTY bucket, monotone non-decreasing in bin.
+    */
+  def isotonicCalibration(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int = 100): DataFrame = {
+    require(bins > 0 && bins <= 100000,
+      "bins must be in [1, 100000] (driver-bounded model table)")
+    val s = col(scoreCol)
+    val bin = least(greatest(floor(s * bins), lit(0L)), lit(bins - 1L))
+    val perBin = df.where(s.isNotNull && col(labelCol).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("pos"))
+      .orderBy(col("bin"))
+      .collect() // ≤ bins rows by construction
+    // stack PAV: pool while the previous block's mean EXCEEDS the
+    // next's (strict — equal means stay separate, canonicalized below)
+    final case class Block(pos: BigInt, n: BigInt, members: List[(Long, Long, Long)])
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    perBin.foreach { r =>
+      var b = Block(BigInt(r.getLong(2)), BigInt(r.getLong(1)),
+        List((r.getLong(0), r.getLong(1), r.getLong(2))))
+      while (stack.nonEmpty &&
+        stack.last.pos * b.n > b.pos * stack.last.n) {
+        val p = stack.remove(stack.length - 1)
+        b = Block(p.pos + b.pos, p.n + b.n, p.members ++ b.members)
+      }
+      stack += b
+    }
+    val valued = stack.toList.map { b =>
+      val cal = BigDecimal(b.pos.toDouble / b.n.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (b.members, cal)
+    }
+    // canonical block label: min bin of the maximal equal-value run
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Double)]
+    var runStart = -1L
+    var prev = Double.NaN
+    valued.foreach { case (members, cal) =>
+      if (runStart < 0 || cal != prev) { runStart = members.head._1; prev = cal }
+      members.foreach { case (bn, n, pos) => out += ((bn, n, pos, runStart, cal)) }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.toSeq.toDF("bin", "n", "pos", "block_bin", "calibrated")
+  }
+
   /** Krippendorff's alpha (nominal) — chance-corrected agreement over
     * ANY number of raters with missing ratings, the annotation-QC
     * number [[cohenKappa]] cannot produce once a labeling pool stops

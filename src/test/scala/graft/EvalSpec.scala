@@ -565,6 +565,58 @@ class EvalSpec extends SparkSpec {
     assert(r.getDouble(5) == 0.1875)   // uncertainty = .25*.75
   }
 
+  /** rows for bucket means: bins=4, `spec` = (positives, total) per bin */
+  private def isoDf(spec: Seq[(Int, Int)]) =
+    spec.zipWithIndex.flatMap { case ((pos, n), b) =>
+      (0 until n).map(i => (b * 0.25 + 0.1, i < pos))
+    }.toDF("s", "y")
+
+  private def iso(spec: Seq[(Int, Int)]) =
+    Eval.isotonicCalibration(isoDf(spec), "s", "y", bins = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+
+  test("isotonicCalibration: textbook violator pooling, weighted") {
+    // means [0.1, 0.3, 0.2, 0.4] -> pool bins 1,2 to 0.25
+    val out = iso(Seq((1, 10), (3, 10), (2, 10), (4, 10)))
+    assert(out(0L) == ((10L, 1L, 0L, 0.1)))
+    assert(out(1L) == ((10L, 3L, 1L, 0.25)) && out(2L) == ((10L, 2L, 1L, 0.25)))
+    assert(out(3L) == ((10L, 4L, 3L, 0.4)))
+    // weighted: [0.5 (n=2), 0.2 (n=8)] pools to 9/10... then 0.9 stays
+    val w = iso(Seq((1, 2), (2, 10), (9, 10)))
+    assert(w(0L)._4 == 0.25 && w(1L)._4 == 0.25 && w(0L)._3 == 0L)
+    assert(w(2L)._4 == 0.9)
+  }
+
+  test("isotonicCalibration: fully decreasing pools to one block; monotone stays put") {
+    val dec = iso(Seq((9, 10), (6, 10), (3, 10), (2, 10)))
+    assert(dec.values.map(_._4).toSet == Set(0.5)) // global mean 20/40
+    assert(dec.values.map(_._3).toSet == Set(0L))
+    val mono = iso(Seq((1, 10), (2, 10), (5, 10), (9, 10)))
+    assert(mono(0L)._4 == 0.1 && mono(3L)._4 == 0.9)
+    assert(mono.values.map(_._3).toSet.size == 4) // four distinct blocks
+  }
+
+  test("isotonicCalibration: equal adjacent means share the canonical block label") {
+    val eq = iso(Seq((2, 10), (2, 10), (7, 10)))
+    assert(eq(0L)._4 == 0.2 && eq(1L)._4 == 0.2)
+    assert(eq(0L)._3 == 0L && eq(1L)._3 == 0L) // value-run canonicalization
+    assert(eq(2L)._3 == 2L)
+  }
+
+  test("isotonicCalibration: monotone + mean-preserving on random data; empty bins skipped") {
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.fill(400)((rnd.nextInt(80) / 100.0,
+      rnd.nextDouble() < 0.5)).toDF("s", "y")
+    val out = Eval.isotonicCalibration(rows, "s", "y", bins = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(out.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    val recon = out.map(r => r._2 * r._4).sum
+    assert(math.abs(recon - out.map(_._3.toDouble).sum) < out.length * 1e-3)
+    assert(out.forall(_._1 < 8)) // scores < 0.8: top bins absent
+  }
+
   private def kripp(rows: Seq[(Int, String)]) =
     Eval.krippendorffAlpha(rows.toDF("item", "label"), "item", "label").head()
 
