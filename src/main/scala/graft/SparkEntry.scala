@@ -1886,6 +1886,23 @@ object SparkEntry {
           (col("lang") === "en").as("label"))
       graft.operators.Eval.isotonicCalibration(d, "score", "label", bins = 20)
     }),
+    "q_isotonic_apply" -> ((s, dir) => {
+      // Serving path: fit on the q_isotonic synth, serve SHIFTED
+      // scores (×1.2 − 0.1) through the shuffle-free literal step
+      // function — exercises edge clamping both ways; the oracle
+      // replays the fit via minimax + an ASOF join lookup.
+      val base = Parallelism.spread(t(s, dir, "documents"))
+        .where(col("lang").isNotNull)
+      val raw = (pmod(col("doc_id") * 37, lit(100)) +
+        when(col("lang") === "en", lit(25)).otherwise(lit(0))) / lit(125.0)
+      val fit = graft.operators.Eval.isotonicCalibration(
+        base.select(raw.as("score"), (col("lang") === "en").as("label")),
+        "score", "label", bins = 20)
+      val table = graft.operators.Eval.collectIsotonic(fit)
+      val s2 = raw * lit(1.2) - lit(0.1)
+      base.select(col("doc_id"), round(s2, 6).as("score"),
+        graft.operators.Eval.isotonicColumn(table, s2, bins = 20).as("calibrated"))
+    }),
     "q_win_rates" -> ((s, dir) =>
       graft.operators.Preference.winRates(
         prefJudgments(s, dir), "item_a", "item_b", "winner")),
@@ -4606,6 +4623,40 @@ object SparkEntry {
       |       ELSE 'b' END AS w
       |  FROM c0 WHERE ia <> ib)""".stripMargin
 
+  /** Shared CTE chain deriving the q_isotonic fit INDEPENDENTLY via
+    * the minimax characterization yhat_i = max_{l≤i} min_{r≥i}
+    * avg(l..r) over dense bucket prefix sums; ends in
+    * `fit(bin, n, pos, block_bin, calibrated)`.
+    */
+  private val isoFitSql: String =
+    """d AS (SELECT
+      |  ((doc_id * 37) % 100 + CASE WHEN lang = 'en' THEN 25 ELSE 0 END)
+      |    / 125.0 AS s,
+      |  lang = 'en' AS y FROM documents WHERE lang IS NOT NULL),
+      |b AS (SELECT least(greatest(floor(s * 20), 0), 19)::BIGINT AS bin,
+      |  count(*)::BIGINT AS n,
+      |  sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS pos FROM d GROUP BY 1),
+      |o AS (SELECT bin, n, pos, row_number() OVER (ORDER BY bin) AS idx FROM b),
+      |pre AS (SELECT idx, bin, n, pos, sum(pos) OVER (ORDER BY idx) AS cp,
+      |  sum(n) OVER (ORDER BY idx) AS cn FROM o),
+      |pairs AS (SELECT l.idx AS li, r.idx AS ri,
+      |  (r.cp - coalesce(lp.cp, 0))::DOUBLE
+      |    / (r.cn - coalesce(lp.cn, 0))::DOUBLE AS a
+      |  FROM pre l JOIN pre r ON r.idx >= l.idx
+      |  LEFT JOIN pre lp ON lp.idx = l.idx - 1),
+      |inn AS (SELECT p.li, i.idx AS ii, min(p.a) AS mn
+      |  FROM pairs p JOIN o i ON p.li <= i.idx AND i.idx <= p.ri
+      |  GROUP BY 1, 2),
+      |yh AS (SELECT ii, round(max(mn), 6) AS calibrated FROM inn GROUP BY 1),
+      |runs AS (SELECT o.bin, o.n, o.pos, o.idx, yh.calibrated,
+      |  CASE WHEN lag(yh.calibrated) OVER (ORDER BY o.idx) = yh.calibrated
+      |    THEN 0 ELSE 1 END AS brk
+      |  FROM o JOIN yh ON o.idx = yh.ii),
+      |grp AS (SELECT bin, n, pos, calibrated, idx,
+      |  sum(brk) OVER (ORDER BY idx) AS g FROM runs),
+      |fit AS (SELECT bin, n, pos,
+      |  min(bin) OVER (PARTITION BY g) AS block_bin, calibrated FROM grp)""".stripMargin
+
   private def pipelineOracle: Map[String, String] = Map(
     // same tokenization (lower/trim/\s+/non-empty), grouped first-doc
     // mins, window prefix sums in doc order, 6 dp ln points, DECIMAL
@@ -6521,34 +6572,19 @@ object SparkEntry {
     // prefix sums — an independent derivation of the isotonic fit
     // (the Spark side pools violators with an exact-rational stack).
     "q_isotonic" ->
-      """WITH d AS (SELECT
+      s"""WITH $isoFitSql
+        |SELECT bin, n, pos, block_bin, calibrated FROM fit""".stripMargin,
+    "q_isotonic_apply" ->
+      s"""WITH $isoFitSql,
+        |srv AS (SELECT doc_id,
         |  ((doc_id * 37) % 100 + CASE WHEN lang = 'en' THEN 25 ELSE 0 END)
-        |    / 125.0 AS s,
-        |  lang = 'en' AS y FROM documents WHERE lang IS NOT NULL),
-        |b AS (SELECT least(greatest(floor(s * 20), 0), 19)::BIGINT AS bin,
-        |  count(*)::BIGINT AS n,
-        |  sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS pos FROM d GROUP BY 1),
-        |o AS (SELECT bin, n, pos, row_number() OVER (ORDER BY bin) AS idx FROM b),
-        |pre AS (SELECT idx, bin, n, pos, sum(pos) OVER (ORDER BY idx) AS cp,
-        |  sum(n) OVER (ORDER BY idx) AS cn FROM o),
-        |pairs AS (SELECT l.idx AS li, r.idx AS ri,
-        |  (r.cp - coalesce(lp.cp, 0))::DOUBLE
-        |    / (r.cn - coalesce(lp.cn, 0))::DOUBLE AS a
-        |  FROM pre l JOIN pre r ON r.idx >= l.idx
-        |  LEFT JOIN pre lp ON lp.idx = l.idx - 1),
-        |inn AS (SELECT p.li, i.idx AS ii, min(p.a) AS mn
-        |  FROM pairs p JOIN o i ON p.li <= i.idx AND i.idx <= p.ri
-        |  GROUP BY 1, 2),
-        |yh AS (SELECT ii, round(max(mn), 6) AS calibrated FROM inn GROUP BY 1),
-        |runs AS (SELECT o.bin, o.n, o.pos, o.idx, yh.calibrated,
-        |  CASE WHEN lag(yh.calibrated) OVER (ORDER BY o.idx) = yh.calibrated
-        |    THEN 0 ELSE 1 END AS brk
-        |  FROM o JOIN yh ON o.idx = yh.ii),
-        |grp AS (SELECT bin, n, pos, calibrated, idx,
-        |  sum(brk) OVER (ORDER BY idx) AS g FROM runs)
-        |SELECT bin, n, pos, min(bin) OVER (PARTITION BY g) AS block_bin,
-        |  calibrated
-        |FROM grp""".stripMargin,
+        |    / 125.0 * 1.2 - 0.1 AS s2
+        |  FROM documents WHERE lang IS NOT NULL),
+        |sb AS (SELECT doc_id, round(s2, 6) AS score,
+        |  least(greatest(floor(s2 * 20), 0), 19)::BIGINT AS bin2 FROM srv),
+        |c0 AS (SELECT calibrated AS v0 FROM fit ORDER BY bin LIMIT 1)
+        |SELECT sb.doc_id, sb.score, coalesce(f.calibrated, c0.v0) AS calibrated
+        |FROM sb ASOF LEFT JOIN fit f ON sb.bin2 >= f.bin, c0""".stripMargin,
     "q_win_rates" ->
       s"""WITH $prefSynthSql,
         |n AS (SELECT least(ia, ib) AS item_lo, greatest(ia, ib) AS item_hi,

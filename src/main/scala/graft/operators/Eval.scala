@@ -1227,6 +1227,42 @@ object Eval {
     out.toSeq.toDF("bin", "n", "pos", "block_bin", "calibrated")
   }
 
+  /** Collect a fitted [[isotonicCalibration]] table — bounded by
+    * `bins` by construction (the [[graft.operators.Selection]]
+    * collectNbModel contract).
+    */
+  def collectIsotonic(calibration: DataFrame): Seq[(Long, Double)] =
+    calibration.select(col("bin"), col("calibrated"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq.sortBy(_._1)
+
+  /** ROW-LOCAL calibrated probability for a score — the serving twin
+    * of [[isotonicCalibration]] (score a live stream or a new batch
+    * against a fit trained offline): the fitted step function ships
+    * as a DENSE bins-sized literal array in the plan (empty buckets
+    * fill forward from the nearest fitted bucket below; scores below
+    * the first fitted bucket take its value; out-of-range scores
+    * edge-clamp like the fit). No join, no shuffle — scan-speed
+    * serving, the nbScoreColumn shape.
+    */
+  def isotonicColumn(
+      table: Seq[(Long, Double)], score: Column, bins: Int): Column = {
+    require(bins > 0 && bins <= 100000, "bins must be in [1, 100000]")
+    require(table.nonEmpty, "isotonicColumn needs a non-empty fit table")
+    val sorted = table.sortBy(_._1)
+    require(sorted.head._1 >= 0 && sorted.last._1 < bins,
+      s"fit table bins must lie in [0, $bins)")
+    val fitted = sorted.toMap
+    val dense = new Array[Double](bins)
+    var cur = sorted.head._2
+    (0 until bins).foreach { b =>
+      cur = fitted.getOrElse(b.toLong, cur)
+      dense(b) = cur
+    }
+    val arr = typedLit(dense.toSeq)
+    val bin = least(greatest(floor(score * bins), lit(0L)), lit(bins - 1L))
+    when(score.isNotNull, element_at(arr, (bin + 1).cast("int")))
+  }
+
   /** Krippendorff's alpha (nominal) — chance-corrected agreement over
     * ANY number of raters with missing ratings, the annotation-QC
     * number [[cohenKappa]] cannot produce once a labeling pool stops

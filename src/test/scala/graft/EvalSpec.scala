@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Eval
+import org.apache.spark.sql.functions.col
 
 class EvalSpec extends SparkSpec {
   import spark.implicits._
@@ -615,6 +616,27 @@ class EvalSpec extends SparkSpec {
     val recon = out.map(r => r._2 * r._4).sum
     assert(math.abs(recon - out.map(_._3.toDouble).sum) < out.length * 1e-3)
     assert(out.forall(_._1 < 8)) // scores < 0.8: top bins absent
+  }
+
+  test("isotonicColumn: step serving — fill-forward, back-fill, clamp, null") {
+    val table = Seq((2L, 0.2), (5L, 0.5))
+    val scores = Seq[java.lang.Double](0.0, 0.35, 0.59, 1.7, -0.3, null)
+      .toDF("s")
+    val got = scores.select(
+      Eval.isotonicColumn(table, col("s"), bins = 10).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
+    assert(got == Seq(0.2, 0.2, 0.5, 0.5, 0.2, null))
+  }
+
+  test("isotonicColumn: serving a fit's own buckets returns the fitted values") {
+    val fitted = Eval.isotonicCalibration(
+      isoDf(Seq((1, 10), (3, 10), (2, 10), (4, 10))), "s", "y", bins = 4)
+    val table = Eval.collectIsotonic(fitted)
+    val served = isoDf(Seq((1, 10), (3, 10), (2, 10), (4, 10)))
+      .select(col("s"), Eval.isotonicColumn(table, col("s"), bins = 4).as("c"))
+      .distinct().collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(served(0.1) == 0.1 && served(0.35) == 0.25 &&
+      served(0.6) == 0.25 && served(0.85) == 0.4)
   }
 
   private def kripp(rows: Seq[(Int, String)]) =
