@@ -1842,6 +1842,26 @@ object SparkEntry {
       graft.operators.Eval.krippendorffAlpha(
         r1.unionByName(r2).unionByName(r3), "item", "label")
     }),
+    "q_krippendorff_interval" -> ((s, dir) => {
+      // Interval-metric agreement over synthetic 1..5 Likert grades:
+      // rater 1 grades every doc, rater 2 (even ids) bumps every 7th
+      // up one (clamped), rater 3 (every 3rd) drops every 11th by
+      // two — near misses must cost less than far ones.
+      val d = Parallelism.spread(t(s, dir, "documents"))
+        .select(col("doc_id"))
+      val base = (pmod(col("doc_id") * 13, lit(5)) + 1).cast("double")
+      val r1 = d.select(col("doc_id").as("item"), base.as("v"))
+      val r2 = d.where(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id").as("item"),
+          least(base + when(pmod(col("doc_id"), lit(7)) === 0, 1).otherwise(0),
+            lit(5.0)).as("v"))
+      val r3 = d.where(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id").as("item"),
+          greatest(base - when(pmod(col("doc_id"), lit(11)) === 0, 2).otherwise(0),
+            lit(1.0)).as("v"))
+      graft.operators.Eval.krippendorffAlphaInterval(
+        r1.unionByName(r2).unionByName(r3), "item", "v")
+    }),
     "q_dialog_flags" -> ((s, dir) => {
       // SFT structural QC over synthesized 4-turn conversations with
       // controlled defects: %5 empty last turn, %7 double-assistant,
@@ -6528,6 +6548,42 @@ object SparkEntry {
         |  CASE WHEN n >= 2 AND (n * n - sc2)::DOUBLE > 0.0 THEN
         |    round(1.0 - (nm * (n - 1)::DOUBLE)
         |      / (dd * (n * n - sc2)::DOUBLE), 6) END AS alpha
+        |FROM tot, y, d, num""".stripMargin,
+    // Interval alpha: same common-denominator folding as the nominal
+    // form, over INTEGER-SCALED values (v = x·10⁶) — every moment is
+    // HUGEINT-exact, the D_over products come from tiny correlated
+    // product() subqueries (exact doubles → HUGEINT), and the final
+    // double casts match Spark's decimal→double rounding bit-for-bit.
+    "q_krippendorff_interval" ->
+      """WITH base AS (SELECT doc_id, ((doc_id * 13) % 5 + 1)::DOUBLE AS b
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id AS i, b AS x FROM base
+        |  UNION ALL
+        |  SELECT doc_id, least(b + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END,
+        |    5.0) FROM base WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, greatest(b - CASE WHEN doc_id % 11 = 0 THEN 2 ELSE 0
+        |    END, 1.0) FROM base WHERE doc_id % 3 = 0),
+        |vv AS (SELECT i, (x * 1000000)::HUGEINT AS v FROM r WHERE x IS NOT NULL),
+        |mu AS (SELECT i, count(*)::HUGEINT AS m, sum(v) AS s1,
+        |  sum(v * v) AS s2 FROM vv GROUP BY 1 HAVING count(*) >= 2),
+        |bym AS (SELECT m, sum((m * s2 - s1 * s1) * 2) AS sdis FROM mu GROUP BY 1),
+        |tot AS (SELECT sum(m) AS n, count(*) AS items, sum(s1) AS t1,
+        |  sum(s2) AS t2 FROM mu),
+        |d AS (SELECT product(m - 1) AS dd FROM bym),
+        |num AS (SELECT sum(sdis * (SELECT coalesce(product(b2.m - 1), 1)
+        |    FROM bym b2 WHERE b2.m <> bym.m)::HUGEINT) AS nm FROM bym),
+        |y AS (SELECT ((n * t2 - t1 * t1) * 2) AS yy FROM tot)
+        |SELECT items::BIGINT AS n_items, n::BIGINT AS n_values,
+        |  CASE WHEN n >= 2 THEN
+        |    round(nm::DOUBLE / dd / n::DOUBLE / 1e12, 6) END AS do_rate,
+        |  CASE WHEN n >= 2 THEN
+        |    round(yy::DOUBLE / n::DOUBLE / (n - 1)::DOUBLE / 1e12, 6)
+        |  END AS de_rate,
+        |  CASE WHEN n >= 2 AND yy::DOUBLE > 0.0 THEN
+        |    round(1.0 - (nm::DOUBLE * (n - 1)::DOUBLE)
+        |      / (dd * yy::DOUBLE), 6) END AS alpha
         |FROM tot, y, d, num""".stripMargin,
     // Closed-form flag derivation from the q_dialog_flags injection
     // rules (body roles are [r1,'assistant',r3,'assistant'], so e.g.

@@ -1295,6 +1295,96 @@ object Eval {
     *         6 dp; alpha null when n < 2 or D_e = 0 — a constant
     *         label pool has no chance disagreement to correct by).
     */
+  /** Krippendorff's alpha with the INTERVAL metric — the
+    * [[krippendorffAlpha]] for NUMERIC ratings (Likert quality
+    * scores, 1-5 helpfulness grades): disagreement is squared
+    * distance, so a 1-vs-2 split costs far less than 1-vs-5.
+    * Same pool shape (long format, any rater count, missing ratings
+    * fine; rows with null item or value drop).
+    *
+    * Within an item rated m ≥ 2 times, the ordered-pair disagreement
+    * Σ(x−y)² = 2[m·Σx² − (Σx)²]; pooled the same way over all n
+    * pairable values for the expectation:
+    * α = 1 − (n−1)·Σ_u A_u/(m_u−1) / (n·Σx² − (Σx)²)·2 … with the
+    * identical common-denominator folding as the nominal form.
+    *
+    * Exactness: values fix to 6 dp on entry and scale to INTEGERS
+    * (v = x·10⁶ — 6 dp is the rating-scale contract, and |x| ≤ 1000
+    * is guarded fail-loud so every moment below stays inside
+    * DECIMAL(38,0)); all sums and products are integer-exact, the
+    * per-item 1/(m−1) weights fold through D = Π(m−1) (guarded
+    * ≤ 1e6 here — the v² unit inflation leaves less headroom than
+    * the nominal form's 1e15), and the only doubles are the
+    * fixed-order output divisions (do/de are reported in RATING²
+    * units — the 10¹² v-unit factor divides out explicitly; it
+    * cancels entirely in alpha).
+    *
+    * @return one row (n_items, n_values, do_rate, de_rate, alpha
+    *         6 dp; alpha null when n < 2 or the pooled variance is 0).
+    */
+  def krippendorffAlphaInterval(
+      df: DataFrame,
+      itemCol: String,
+      valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val xIn = col(valueCol).cast("decimal(18,6)")
+    val v = when(abs(xIn) <= 1000, (xIn * 1000000).cast(d38))
+      .otherwise(raise_error(concat(
+        lit("krippendorffAlphaInterval: |value| must be <= 1000, got "),
+        col(valueCol).cast("string"))))
+    val mu = df
+      .where(col(itemCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(itemCol).as("__i"), v.as("__v"))
+      .groupBy(col("__i"))
+      .agg(count(lit(1)).cast(d38).as("__m"),
+        sum(col("__v")).cast(d38).as("__s1"),
+        sum((col("__v") * col("__v")).cast(d38)).cast(d38).as("__s2"))
+      .where(col("__m") >= 2)
+      .localCheckpoint() // 2 consumers: by-m fold + pooled totals
+    val byM = mu.groupBy(col("__m"))
+      .agg(sum(((col("__m") * col("__s2")).cast(d38) -
+        (col("__s1") * col("__s1")).cast(d38)) * 2).cast(d38).as("__S"))
+    val tot = mu.agg(
+      coalesce(sum(col("__m")), lit(0)).cast(d38).as("__n"),
+      count(lit(1)).as("__items"),
+      coalesce(sum(col("__s1")), lit(0)).cast(d38).as("__t1"),
+      coalesce(sum(col("__s2")), lit(0)).cast(d38).as("__t2"))
+    val ms = byM.agg(array_sort(collect_list(struct(
+      col("__m").cast("long").as("m"), col("__S").as("s")))).as("__ms"))
+    val dRaw = aggregate(col("__ms"), lit(1).cast(d38),
+      (acc, xx) => (acc * (xx.getField("m") - 1).cast(d38)).cast(d38))
+    val folded = ms.select(
+      when(dRaw.isNull || dRaw > lit(1e6),
+        raise_error(lit("krippendorffAlphaInterval: Π(m−1) over distinct " +
+          "ratings-per-item exceeds 1e6 — pool has too many distinct " +
+          "per-item rating counts for exact folding")))
+        .otherwise(dRaw).as("__D"),
+      col("__ms"))
+    val num = folded.select(col("__D"),
+      aggregate(col("__ms"), lit(0).cast(d38),
+        (acc, xx) => (acc + (xx.getField("s") *
+          (col("__D").cast("double") / (xx.getField("m") - 1).cast("double"))
+            .cast(d38)).cast(d38)).cast(d38)).as("__num"))
+    val y = ((col("__n") * col("__t2")).cast(d38) -
+      (col("__t1") * col("__t1")).cast(d38)) * 2
+    val unit = lit(1e12) // v = x·10⁶ → v² carries 10¹²
+    tot.crossJoin(broadcast(num))
+      .select(
+        col("__items").as("n_items"),
+        col("__n").cast("long").as("n_values"),
+        when(col("__n") >= 2, round(
+          col("__num").cast("double") / col("__D").cast("double")
+            / col("__n").cast("double") / unit, 6)).as("do_rate"),
+        when(col("__n") >= 2, round(
+          y.cast("double") / col("__n").cast("double")
+            / (col("__n") - 1).cast("double") / unit, 6)).as("de_rate"),
+        when(col("__n") >= 2 && y.cast("double") > 0.0,
+          round(lit(1.0) -
+            (col("__num").cast("double") * (col("__n") - 1).cast("double"))
+              / (col("__D").cast("double") * y.cast("double")), 6))
+          .as("alpha"))
+  }
+
   def krippendorffAlpha(
       df: DataFrame,
       itemCol: String,

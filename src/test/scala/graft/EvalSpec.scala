@@ -676,6 +676,62 @@ class EvalSpec extends SparkSpec {
     assert(withNull.getLong(0) == 1L && withNull.getLong(1) == 2L)
   }
 
+  private def krippI(rows: Seq[(Int, Double)]) =
+    Eval.krippendorffAlphaInterval(rows.toDF("item", "v"), "item", "v").head()
+
+  /** Direct reference computation of interval alpha. */
+  private def krippIRef(rows: Seq[(Int, Double)]): Double = {
+    val byItem = rows.groupBy(_._1).values.map(_.map(_._2))
+      .filter(_.size >= 2).toSeq
+    val n = byItem.map(_.size).sum.toDouble
+    val x = byItem.map { vs =>
+      val m = vs.size.toDouble
+      2 * (m * vs.map(v => v * v).sum - math.pow(vs.sum, 2)) / (m - 1)
+    }.sum
+    val all = byItem.flatten
+    val y = 2 * (n * all.map(v => v * v).sum - math.pow(all.sum, 2))
+    1.0 - (n - 1) * x / y
+  }
+
+  test("krippendorffAlphaInterval: hand-computed example; near misses beat far misses") {
+    // item1: 1,2  item2: 1,1 -> Do = 0.5, De = 0.5, alpha = 0
+    val r = krippI(Seq(1 -> 1.0, 1 -> 2.0, 2 -> 1.0, 2 -> 1.0))
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 0.5)
+    assert(r.getDouble(4) == 0.0)
+    // same label-pattern shape, but the one disagreement is 1-vs-2
+    // (near) vs 1-vs-5 (far): interval alpha punishes distance where
+    // the nominal metric sees identical "one mismatched pair" pools.
+    // near: X=2, Y=234 -> 1 - 10/234; far: X=32, Y=288 -> 1 - 160/288
+    val near = krippI(Seq(1 -> 1.0, 1 -> 2.0, 2 -> 1.0, 2 -> 1.0,
+      3 -> 5.0, 3 -> 5.0))
+    val far = krippI(Seq(1 -> 1.0, 1 -> 5.0, 2 -> 1.0, 2 -> 1.0,
+      3 -> 5.0, 3 -> 5.0))
+    assert(math.abs(near.getDouble(4) - (1.0 - 10.0 / 234)) < 1e-6)
+    assert(math.abs(far.getDouble(4) - (1.0 - 160.0 / 288)) < 1e-6)
+    assert(near.getDouble(4) > far.getDouble(4))
+    // perfect agreement across distinct item values
+    val perfect = krippI(Seq(1 -> 2.0, 1 -> 2.0, 2 -> 4.0, 2 -> 4.0))
+    assert(perfect.getDouble(4) == 1.0)
+    // constant pool: no variance to disagree against
+    assert(krippI(Seq(1 -> 3.0, 1 -> 3.0, 2 -> 3.0, 2 -> 3.0)).isNullAt(4))
+  }
+
+  test("krippendorffAlphaInterval: matches the reference; guards out-of-range values") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 100).flatMap { i =>
+      Seq.fill(1 + rnd.nextInt(4))(i -> (1.0 + rnd.nextInt(9) * 0.5))
+    }
+    val r = krippI(rows)
+    assert(math.abs(r.getDouble(4) - krippIRef(rows)) < 1e-6)
+    val repart = Eval.krippendorffAlphaInterval(
+      rows.toDF("item", "v").repartition(13), "item", "v").head()
+    assert(repart == r)
+    intercept[Exception] {
+      krippI(Seq(1 -> 1.0, 1 -> 1500.0))
+    }
+  }
+
   test("krippendorffAlpha: matches the reference computation across varying m and repartitioning") {
     val rnd = new scala.util.Random(7)
     // items rated 1..5 times over 4 labels — exercises D = Π(m−1) folding
