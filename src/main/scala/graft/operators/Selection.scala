@@ -274,10 +274,24 @@ object Selection {
       .select(col("__doc"), col(flagCol),
         gramBucket(col("__gram"), numBuckets).as("bucket"))
       .localCheckpoint(true)
-    val rawCounts = occ.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
-    val tgtCounts = occ.where(col(flagCol))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
-    val ratios = ratioTable(rawCounts, tgtCounts, numBuckets, alpha)
+    // ONE counted aggregation fits both distributions (raw = every
+    // occurrence, target = the flagged ones — a conditional sum, the
+    // same fused shape as [[oddsTable]]): the old rawCounts/tgtCounts
+    // pair cost a second full pass over the staged grams plus a
+    // bucket join to re-align the two count frames. Counts are
+    // integers either way, so the 6-dp log ratios are bit-identical.
+    val counts = occ.groupBy(col("bucket")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col(flagCol), 1L).otherwise(0L)).as("ct"))
+    val totals = counts.agg(
+      sum(col("cr")).as("nr"),
+      coalesce(sum(col("ct")), lit(0L)).as("nt"))
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(
+          log((col("ct") + alpha) / (col("nt") + alpha * numBuckets)) -
+            log((col("cr") + alpha) / (col("nr") + alpha * numBuckets)),
+          6).as("log_ratio"))
     val sums = occ.join(broadcast(ratios), Seq("bucket"))
       .groupBy(col("__doc"))
       .agg(round(sum(col("log_ratio").cast("decimal(18,6)")), 4)
