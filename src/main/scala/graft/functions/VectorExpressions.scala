@@ -615,3 +615,142 @@ object CosineSimilarityInt8 {
       dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)))
   }
 }
+
+/** Row-local nearest-centroid argmax/argmin over a (broadcast) centroid
+  * matrix column — `array<struct<cid, vec>>`, sorted ascending by the
+  * (unique) cid. Replaces the join-explode + max(struct)/min(struct)
+  * hash-aggregation shape of the IVF/k-means assignment: the corpus
+  * row never fans out to nlist candidate rows and, critically, never
+  * re-shuffles through a groupBy(corpus_id) — the argmax happens
+  * inside the row (guide §2.4: remove shuffles outright).
+  *
+  * Bit-equivalence with the aggregation it replaces:
+  *  - metric "cosine": winner = max cosine ([[CosineSimilarity]]'s
+  *    exact kernel), ties and all-null scores → LOWEST cid — exactly
+  *    `max(struct(cos, -cid))` given the matrix is cid-ascending and
+  *    the scan keeps the first strictly-better candidate.
+  *  - metric "l2r6": winner = min of `round(squared_l2, 6)`
+  *    ([[SquaredL2Distance]]'s kernel + Spark's HALF_UP double round),
+  *    null distances WIN (Spark struct ordering puts nulls first in
+  *    `min(struct(d, cid))`), ties → lowest cid.
+  *
+  * Returns struct(cid, score double). Null ⇔ the matrix itself is
+  * null or EMPTY (the join shapes emit no row then — callers filter);
+  * a null/mismatched input vector yields struct(first cid, null score)
+  * exactly like the aggregation (null compares lowest/highest).
+  */
+case class NearestCentroid(left: Expression, right: Expression, metric: String)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import VectorExpressions._
+
+  private lazy val cenType: StructType =
+    right.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  private lazy val cidType: DataType = cenType.fields(0).dataType
+  private lazy val vecType: DataType = cenType.fields(1).dataType
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cid", cidType, nullable = true),
+    StructField("score", DoubleType, nullable = true)))
+  override def nullable: Boolean = true
+  override def prettyName: String = s"nearest_centroid_$metric"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val okMetric = metric == "cosine" || metric == "l2r6"
+    val okLeft = left.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    val okRight = right.dataType match {
+      case ArrayType(s: StructType, _) if s.fields.length == 2 =>
+        s.fields(1).dataType match {
+          case ArrayType(FloatType | DoubleType, _) => true
+          case _ => false
+        }
+      case _ => false
+    }
+    if (okMetric && okLeft && okRight)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, array<struct<cid, array<float|double>>>)")
+  }
+
+  private def cosine(x: ArrayData, y: ArrayData): java.lang.Double = {
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = elemAt(x, left.dataType, i)
+      val yv = elemAt(y, vecType, i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom > 0.0) java.lang.Double.valueOf(dot / denom) else null
+  }
+
+  private def l2r6(x: ArrayData, y: ArrayData): java.lang.Double = {
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = elemAt(x, left.dataType, i) - elemAt(y, vecType, i)
+      acc += d * d
+      i += 1
+    }
+    // Spark Round(double, 6) semantics (HALF_UP over the shortest
+    // decimal representation) — matches round(squaredL2Distance, 6).
+    if (acc.isNaN || acc.isInfinite) java.lang.Double.valueOf(acc)
+    else java.lang.Double.valueOf(BigDecimal(acc)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val cens = right.eval(input)
+    if (cens == null) return null
+    val arr = cens.asInstanceOf[ArrayData]
+    val k = arr.numElements()
+    if (k == 0) return null
+    val vecRaw = left.eval(input)
+    val vec = if (vecRaw == null) null else vecRaw.asInstanceOf[ArrayData]
+    val isCos = metric == "cosine"
+    var bestIdx = 0
+    var bestScore: java.lang.Double =
+      if (vec == null) null
+      else {
+        val c0 = arr.getStruct(0, 2)
+        val v0 = if (c0.isNullAt(1)) null else c0.getArray(1)
+        if (v0 == null) null else if (isCos) cosine(vec, v0) else l2r6(vec, v0)
+      }
+    if (vec != null) {
+      var i = 1
+      while (i < k) {
+        val c = arr.getStruct(i, 2)
+        val cv = if (c.isNullAt(1)) null else c.getArray(1)
+        val s: java.lang.Double =
+          if (cv == null) null else if (isCos) cosine(vec, cv) else l2r6(vec, cv)
+        val better =
+          if (isCos) s != null && (bestScore == null || s > bestScore)
+          // l2r6: nulls sort FIRST in min(struct(d, cid)) — a null
+          // distance beats any non-null; among nulls the earlier
+          // (lower) cid stays.
+          else (s == null && bestScore != null) ||
+            (s != null && bestScore != null && s < bestScore)
+        if (better) { bestIdx = i; bestScore = s }
+        i += 1
+      }
+    }
+    val cidRow = arr.getStruct(bestIdx, 2)
+    val cid = cidRow.get(0, cidType)
+    org.apache.spark.sql.catalyst.InternalRow(cid, bestScore)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCentroid =
+    copy(left = newLeft, right = newRight)
+}

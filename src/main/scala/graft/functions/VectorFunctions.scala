@@ -102,6 +102,19 @@ object VectorFunctions {
       SquaredL2Distance(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
   }
 
+  /** Row-local nearest centroid over a centroid-matrix column
+    * (`array<struct<cid, vec>>`, cid-ascending) — see
+    * [[NearestCentroid]] for the exact equivalence contract with the
+    * max/min(struct) aggregation shape it replaces. metric: "cosine"
+    * (argmax, raw kernel score) or "l2r6" (argmin of round(L2², 6)).
+    */
+  def nearestCentroidNative(vec: Column, cens: Column, metric: String): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      NearestCentroid(
+        GraftSqlBridge.expression(vec), GraftSqlBridge.expression(cens), metric))
+  }
+
   /** Native codegen hyperplane bucket — bit-identical to
     * [[hyperplaneBucket]]; one pass over the vector for all planes.
     */

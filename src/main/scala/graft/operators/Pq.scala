@@ -63,19 +63,23 @@ object Pq {
       sub: DataFrame,
       cen: DataFrame,
       carrySub: Boolean = true): DataFrame = {
-    val joined = sub.join(broadcast(cen), Seq("__s"))
-      .withColumn("__d",
-        round(squaredL2DistanceNative(col("__sub"), col("__cvec")), 6))
-      .groupBy(col("__id"), col("__s"))
+    // Row-local argmin against the per-subspace codebook matrix
+    // (array<struct<cid, cvec>>, cid-ascending) — the previous shape
+    // fanned every (id, s) row out to k candidate rows and re-shuffled
+    // them through a groupBy(__id, __s) min(struct) aggregation; the
+    // broadcast join on __s is m rows, and NearestCentroid("l2r6")
+    // reproduces min(struct(round(L2²,6), cid)) bit-for-bit (nulls
+    // first, ties to the lower cid — see the expression's contract).
+    val cenM = cen.groupBy(col("__s"))
+      .agg(sort_array(
+        collect_list(struct(col("__cid"), col("__cvec")))).as("__cens"))
+    val m = sub.join(broadcast(cenM), Seq("__s"))
+      .withColumn("__m", graft.functions.VectorFunctions
+        .nearestCentroidNative(col("__sub"), col("__cens"), "l2r6"))
     if (carrySub)
-      joined
-        .agg(min(struct(col("__d"), col("__cid"), col("__sub"))).as("__m"))
-        .select(col("__id"), col("__s"), col("__m.__cid").as("__cid"),
-          col("__m.__sub").as("__sub"))
+      m.select(col("__id"), col("__s"), col("__m.cid").as("__cid"), col("__sub"))
     else
-      joined
-        .agg(min(struct(col("__d"), col("__cid"))).as("__m"))
-        .select(col("__id"), col("__s"), col("__m.__cid").as("__cid"))
+      m.select(col("__id"), col("__s"), col("__m.cid").as("__cid"))
   }
 
   /** Fit the m per-subspace codebooks: stride-sampled init (the same

@@ -541,34 +541,39 @@ object Similarity {
       .where(pmod(col(idCol), lit(stride)) === 0)
       .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"))
 
-  /** Corpus→centroid argmax as max(struct(cos, -cid, ...)) — a hash
-    * aggregation with map-side partials, not a window (which would
-    * sort-shuffle the full corpus, the 100 TB side). The -cid field
-    * makes ties deterministic (highest cos, then lowest cid) exactly
-    * like the ORDER BY (cos DESC, cid) the oracle uses.
+  /** One-row centroid-matrix frame: `array<struct<__cid, __cvec>>`
+    * sorted ascending by the (unique) __cid — the broadcast operand
+    * of the row-local argmax. Bounded by the nlist contract exactly
+    * like the per-row broadcast join it replaces.
+    */
+  private def centroidMatrix(cen: DataFrame): DataFrame =
+    cen.agg(sort_array(
+      collect_list(struct(col("__cid"), col("__cvec")))).as("__cens"))
+
+  /** Corpus→centroid argmax, ROW-LOCAL: the centroid table rides as
+    * one broadcast array<struct> row and [[NearestCentroid]] scans it
+    * inside the corpus row. vs the previous max(struct) hash
+    * aggregation: no corpus×nlist candidate fan-out and — decisive at
+    * 100 TB — NO groupBy(corpus_id) exchange of the full (id, vector)
+    * corpus (guide §2.4). Tie/null semantics are bit-identical (see
+    * [[NearestCentroid]]): highest cos, then lowest cid, exactly the
+    * ORDER BY (cos DESC, cid) the oracle uses; an empty centroid set
+    * assigns nothing (the old join shape's no-candidate case).
     * @return (corpus_id, __cv vector, __cid assigned centroid)
     */
   private[operators] def ivfAssign(
       corpus: DataFrame, vecCol: String, idCol: String, cen: DataFrame,
       extraCols: Seq[String] = Nil): DataFrame = {
-    // extraCols ride in the argmax struct BEHIND the (__ccos,
-    // __negcid) total order, so they can never influence which
-    // centroid wins — they are payload (e.g. the attribute columns a
-    // filtered index carries), not ordering.
-    val payload = struct(
-      (col("__ccos") +: (-col("__cid")).as("__negcid") +:
-        col("__cid").as("__cid") +: col("__cv").as("__cv") +:
-        extraCols.map(c => col(c).as(c))): _*)
+    val m = graft.Cols.unique("__m", corpus)
     corpus
       .select((col(idCol).as("corpus_id") +: col(vecCol).as("__cv") +:
         extraCols.map(col)): _*)
-      .join(broadcast(cen))
-      .withColumn("__ccos", cosineSimilarityNative(col("__cv"), col("__cvec")))
-      .groupBy(col("corpus_id"))
-      .agg(max(payload).as("__m"))
-      .select((col("corpus_id") +: col("__m.__cv").as("__cv") +:
-        col("__m.__cid").as("__cid") +:
-        extraCols.map(c => col(s"__m.$c").as(c))): _*)
+      .crossJoin(broadcast(centroidMatrix(cen)))
+      .withColumn(m, graft.functions.VectorFunctions
+        .nearestCentroidNative(col("__cv"), col("__cens"), "cosine"))
+      .where(col(m).isNotNull)
+      .select((col("corpus_id") +: col("__cv") +:
+        col(s"$m.cid").as("__cid") +: extraCols.map(col)): _*)
   }
 
   private[operators] def ivfSearch(
@@ -1067,14 +1072,18 @@ object Similarity {
     var assigned: DataFrame = null
     for (i <- 1 to iters) {
       if (i == iters && stageCen) cen = cen.localCheckpoint()
+      // Row-local argmax against the broadcast centroid matrix — each
+      // Lloyd pass used to re-shuffle the full (id, vector) corpus
+      // through a groupBy(__id) max(struct) aggregation; now the
+      // assignment is a narrow map (see [[ivfAssign]] /
+      // [[NearestCentroid]] for the bit-equivalence contract).
       assigned = src
-        .join(broadcast(cen))
-        .withColumn("__ccos", cosineSimilarityNative(col("__cv"), col("__cvec")))
-        .groupBy(col("__id"))
-        .agg(max(struct(col("__ccos"), (-col("__cid")).as("__negcid"),
-          col("__cid").as("__cid"), col("__cv").as("__cv"))).as("__m"))
-        .select(col("__id"), col("__m.__cv").as("__cv"),
-          col("__m.__cid").as("__cid"), col("__m.__ccos").as("__cos"))
+        .crossJoin(broadcast(centroidMatrix(cen)))
+        .withColumn("__m", graft.functions.VectorFunctions
+          .nearestCentroidNative(col("__cv"), col("__cens"), "cosine"))
+        .where(col("__m").isNotNull)
+        .select(col("__id"), col("__cv"),
+          col("__m.cid").as("__cid"), col("__m.score").as("__cos"))
       if (i < iters) {
         cen = assigned
           .select(col("__cid"), posexplode(col("__cv")).as(Seq("__pos", "__x")))
