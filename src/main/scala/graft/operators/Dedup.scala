@@ -319,8 +319,10 @@ object Dedup {
       fast: Boolean = false,
       numBuckets: Int = 64): Unit = {
     ManagedTables.dropAndClearOrphan(df.sparkSession, table)
-    bandedSignatures(Parallelism.spread(df), textCol, idCol,
-      shingleK, numHashes, bands, fast)
+    graft.sources.Bucketing.clusterForBuckets(
+      bandedSignatures(Parallelism.spread(df), textCol, idCol,
+        shingleK, numHashes, bands, fast),
+      Seq("__bpos", "__bkey"), numBuckets)
       .write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, "__bpos", "__bkey")
       .sortBy("__bpos", "__bkey")
@@ -358,8 +360,10 @@ object Dedup {
       throw new IllegalArgumentException(
         s"appendMinHashSignatures: `$table` records no graft.minhash.* " +
           "table properties — create it with writeMinHashSignatures"))
-    bandedSignatures(Parallelism.spread(df), textCol, idCol,
-      m.shingleK, m.numHashes, m.bands, m.fast)
+    graft.sources.Bucketing.clusterForBuckets(
+      bandedSignatures(Parallelism.spread(df), textCol, idCol,
+        m.shingleK, m.numHashes, m.bands, m.fast),
+      Seq("__bpos", "__bkey"), m.numBuckets)
       .write.mode("append").format("parquet")
       .bucketBy(m.numBuckets, "__bpos", "__bkey")
       .sortBy("__bpos", "__bkey")

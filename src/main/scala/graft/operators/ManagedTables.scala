@@ -72,13 +72,16 @@ private[graft] object ManagedTables {
     val tmp = table + "__compact"
     // a sibling left by a previous crash is superseded state
     dropAndClearOrphan(spark, tmp)
-    val w = df.write.mode("overwrite").format("parquet")
     bucketSpec match {
       case Some((n, cols)) =>
-        w.bucketBy(n, cols.head, cols.tail: _*)
+        // one file per bucket, not (tasks × buckets) — see
+        // Bucketing.clusterForBuckets
+        graft.sources.Bucketing.clusterForBuckets(df, cols, n)
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(n, cols.head, cols.tail: _*)
           .sortBy(cols.head, cols.tail: _*)
           .saveAsTable(tmp)
-      case None => w.saveAsTable(tmp)
+      case None => df.write.mode("overwrite").format("parquet").saveAsTable(tmp)
     }
     if (props.nonEmpty) {
       val kv = props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")

@@ -647,9 +647,11 @@ object Similarity {
     // never silently join the centroid set on later reads.
     // matchCols are carried as plain columns so ONE index serves both
     // unfiltered search and [[filteredTopKFromIndex]].
-    ivfAssign(corpus, vecCol, idCol, centroids(corpus, vecCol, idCol, stride),
-      matchCols)
-      .withColumn("__cen", pmod(col("corpus_id"), lit(stride)) === 0)
+    graft.sources.Bucketing.clusterForBuckets(
+      ivfAssign(corpus, vecCol, idCol,
+        centroids(corpus, vecCol, idCol, stride), matchCols)
+        .withColumn("__cen", pmod(col("corpus_id"), lit(stride)) === 0),
+      Seq("__cid"), numBuckets)
       .write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, "__cid")
       .sortBy("__cid")
@@ -812,8 +814,10 @@ object Similarity {
       s"appendIvfIndex: `$table` carries column(s) " +
         s"${carried.mkString(", ")} but the batch lacks " +
         s"${missing.mkString(", ")}")
-    ivfAssign(batch, vecCol, idCol, cen, carried)
-      .withColumn("__cen", lit(false))
+    graft.sources.Bucketing.clusterForBuckets(
+      ivfAssign(batch, vecCol, idCol, cen, carried)
+        .withColumn("__cen", lit(false)),
+      Seq("__cid"), numBuckets)
       .write.mode("append").format("parquet")
       .bucketBy(numBuckets, "__cid")
       .sortBy("__cid")
@@ -868,11 +872,13 @@ object Similarity {
       numCentroids, expectedRows, stageCen = true,
       scrambleSeeds = scrambleSeeds)
     ManagedTables.dropAndClearOrphan(spark, table)
-    assigned
-      .select(col("__id").as("corpus_id"), col("__cv"), col("__cid"),
-        lit(false).as("__cen"))
-      .unionByName(cen.select(col("__cid").as("corpus_id"),
-        col("__cvec").as("__cv"), col("__cid"), lit(true).as("__cen")))
+    graft.sources.Bucketing.clusterForBuckets(
+      assigned
+        .select(col("__id").as("corpus_id"), col("__cv"), col("__cid"),
+          lit(false).as("__cen"))
+        .unionByName(cen.select(col("__cid").as("corpus_id"),
+          col("__cvec").as("__cv"), col("__cid"), lit(true).as("__cen"))),
+      Seq("__cid"), numBuckets)
       .write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, "__cid")
       .sortBy("__cid")
@@ -957,9 +963,11 @@ object Similarity {
     val cen = spark.table(table).where(col("__cen"))
       .select(col("__cid"), col("__cv").as("__cvec"))
       .localCheckpoint(true)
-    ivfAssign(batch, vecCol, idCol, cen)
-      .select(col("corpus_id"), col("__cv").cast("array<double>").as("__cv"),
-        col("__cid"), lit(false).as("__cen"))
+    graft.sources.Bucketing.clusterForBuckets(
+      ivfAssign(batch, vecCol, idCol, cen)
+        .select(col("corpus_id"), col("__cv").cast("array<double>").as("__cv"),
+          col("__cid"), lit(false).as("__cen")),
+      Seq("__cid"), numBuckets)
       .write.mode("append").format("parquet")
       .bucketBy(numBuckets, "__cid")
       .sortBy("__cid")
