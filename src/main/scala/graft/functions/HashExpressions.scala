@@ -278,10 +278,28 @@ object CharShingles {
   def shingles(s: UTF8String, k: Int): ArrayData = {
     val n = s.numChars()
     if (n < k) return new GenericArrayData(Array[Any](s))
+    // UTF8String.substring(i, i + k) re-walks the char offsets from
+    // byte 0 on EVERY call — O(chars²) per document, measured as the
+    // dominant cost of the whole dedup signature pass. Walk the
+    // offsets once, then emit zero-copy views over one immutable byte
+    // buffer (getBytes copies unless it can return the full base
+    // array; clone in that one case so a reused reader buffer can
+    // never alias the output).
+    val raw = s.getBytes
+    val bytes = if (raw.asInstanceOf[AnyRef] eq s.getBaseObject) raw.clone() else raw
+    val offs = new Array[Int](n + 1)
+    var ci = 0
+    var b = 0
+    while (ci < n) {
+      offs(ci) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      ci += 1
+    }
+    offs(n) = bytes.length
     val seen = new java.util.LinkedHashSet[UTF8String](math.min(n * 2, 1 << 16))
     var i = 0
     while (i <= n - k) {
-      seen.add(s.substring(i, i + k))
+      seen.add(UTF8String.fromBytes(bytes, offs(i), offs(i + k) - offs(i)))
       i += 1
     }
     val out = new Array[Any](seen.size)
