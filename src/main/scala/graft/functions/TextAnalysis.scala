@@ -518,17 +518,24 @@ object TextAnalysis {
     // an already-wide scan.
     val tk = graft.operators.Parallelism.spread(df)
       .select(col(idCol).as("__id"), tokens(col(textCol)).as("__w"))
-    val uni = tk.select(explode(col("__w")).as("__t"))
-    val voc = uni
+    // ONE token-count table serves both the vocab cut and the mapped
+    // unigram counts: the old shape re-ran the corpus tokenize+explode
+    // for c1 (a second full pass); summing the vocab-bounded distinct-
+    // token counts gives the identical integers. Staged because two
+    // consumers read it.
+    val cntAll = tk.select(explode(col("__w")).as("__t"))
       .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val voc = cntAll
       .orderBy(col("__c").desc, col("__t").asc)
       .limit(topV)
       .select(col("__t"))
     val vsz = voc.select((count(lit(1)) + 1).cast("double").as("__v"))
-    val c1 = uni
+    val c1 = cntAll
       .join(broadcast(voc.select(col("__t"), lit(1).as("__k"))), Seq("__t"), "left")
-      .select(when(col("__k").isNotNull, col("__t")).otherwise(lit("<unk>")).as("__m"))
-      .groupBy(col("__m")).agg(count(lit(1)).as("__c1"))
+      .select(when(col("__k").isNotNull, col("__t")).otherwise(lit("<unk>")).as("__m"),
+        col("__c"))
+      .groupBy(col("__m")).agg(sum(col("__c")).as("__c1"))
       .withColumnRenamed("__m", "__m1")
     val bg = tk
       .where(size(col("__w")) >= 2)
@@ -595,9 +602,14 @@ object TextAnalysis {
     require(lambda >= 0 && lambda <= 1, "lambda must be in [0, 1]")
     val tk = graft.operators.Parallelism.spread(df)
       .select(col(idCol).as("__id"), tokens(col(textCol)).as("__w"))
-    val uni = tk.select(explode(col("__w")).as("__t"))
-    val voc = uni
+    // One staged token-count table for the vocab cut AND the mapped
+    // unigram counts — same fused shape as [[lmScore]]: summing the
+    // distinct-token counts is the identical integer arithmetic at a
+    // full corpus pass less.
+    val cntAll = tk.select(explode(col("__w")).as("__t"))
       .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val voc = cntAll
       .orderBy(col("__c").desc, col("__t").asc)
       .limit(topV)
       .select(col("__t"))
@@ -606,10 +618,10 @@ object TextAnalysis {
     def mapped(c: Column, k: Column): Column =
       when(k.isNotNull, c).otherwise(lit("<unk>"))
     // unigram counts over mapped tokens
-    val c1 = uni
+    val c1 = cntAll
       .join(vocB, Seq("__t"), "left")
-      .select(mapped(col("__t"), col("__k")).as("__m"))
-      .groupBy(col("__m")).agg(count(lit(1)).as("__c1"))
+      .select(mapped(col("__t"), col("__k")).as("__m"), col("__c"))
+      .groupBy(col("__m")).agg(sum(col("__c")).as("__c1"))
     // bigram counts over ALL adjacent positions, 128-bit keys
     val bgm = tk
       .where(size(col("__w")) >= 2)
