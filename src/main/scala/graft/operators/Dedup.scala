@@ -1252,7 +1252,25 @@ object Dedup {
             Seq("id_a"))
           .join(fsets.select(col("__id").as("id_b"), col("__set").as("__set_b")),
             Seq("id_b")))
-      } else attachSets(cand, src, idCol, textCol, wordShingles(_, n))
+      } else {
+        // Rebuild each doc's FULL shingle set once from the staged
+        // rows frame (same shape as the verifyFiltered branch, minus
+        // the df cap) instead of attachSets' per-pair re-shingling —
+        // a doc in k candidate pairs used to pay the wordShingles
+        // kernel k times (measured 17× redundancy on the bench
+        // corpus, the two dominant codegen spans of the query). The
+        // set is distinct either way and only intersection/set SIZES
+        // feed the score, so the ordering difference cannot change a
+        // result.
+        val fsets = rows.groupBy(col("__id"))
+          .agg(array_sort(collect_set(col("__s"))).as("__set"))
+        pushdownBarrier(cand
+          .repartition(cand.sparkSession.sparkContext.defaultParallelism)
+          .join(fsets.select(col("__id").as("id_a"), col("__set").as("__set_a")),
+            Seq("id_a"))
+          .join(fsets.select(col("__id").as("id_b"), col("__set").as("__set_b")),
+            Seq("id_b")))
+      }
     withSets
       .withColumn("containment",
         round(size(array_intersect(col("__set_a"), col("__set_b"))).cast("double") /
