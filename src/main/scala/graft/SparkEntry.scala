@@ -3195,10 +3195,17 @@ object SparkEntry {
         lit(" &amp; <!-- c --> tail</p></body></html>"))
       val cleaned = graft.functions.TextAnalysis.stripHtml(
         graft.functions.TextAnalysis.fixEncoding(html))
-      val gated = Parallelism.spread(t(s, dir, "documents"))
-        .select(col("doc_id"), cleaned.as("__t"))
-        .withColumn("__q",
-          graft.functions.TextAnalysis.qualityFlags(col("__t"), minWords = 20))
+      // Barriers stage the expensive per-row chains ONCE: without
+      // them CollapseProject + filter pushdown inline the whole
+      // fixEncoding→stripHtml regex chain into every reference (the
+      // plan held 151 regexp_replace nodes — ~25 evaluations of the
+      // 6-regex chain per row).
+      val staged = Parallelism.pushdownBarrier(
+        Parallelism.spread(t(s, dir, "documents"))
+          .select(col("doc_id"), cleaned.as("__t")))
+      val gated = Parallelism.pushdownBarrier(
+        staged.withColumn("__q",
+          graft.functions.TextAnalysis.qualityFlags(col("__t"), minWords = 20)))
         .where(col("__q.pass"))
       val w = Window.partitionBy(col("text_md5")).orderBy(col("doc_id"))
       gated
