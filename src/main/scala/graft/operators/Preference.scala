@@ -194,13 +194,25 @@ object Preference {
         .select(col("__i"),
           round(col("__wins").cast("double") / col("__d").cast("double"), 9)
             .as("__p9"))
+      // One normalization aggregate carries BOTH the strength sum and
+      // the item count: raw is perItem ⋈ denom over the same item set
+      // perItem was counted from, so count(raw) IS the guard's __k —
+      // re-cross-joining the guard frame every round paid one
+      // broadcast exchange per iteration to re-derive a constant. The
+      // fail-loud raise stays: it re-wraps the count here and the
+      // checkpoint below materializes it every round.
       val norm = raw.agg(
-        sum(col("__p9").cast("decimal(28,9)")).as("__s"))
-      p = raw.crossJoin(broadcast(norm)).crossJoin(broadcast(guard))
+        sum(col("__p9").cast("decimal(28,9)")).as("__s"),
+        count(lit(1)).as("__kraw"))
+      val kGuarded = when(col("__kraw") <= maxItems, col("__kraw"))
+        .otherwise(raise_error(concat(lit(
+          s"bradleyTerry: item count exceeds maxItems=$maxItems: "),
+          col("__kraw").cast("string"))))
+      p = raw.crossJoin(broadcast(norm))
         .select(col("__i"),
-          round(col("__p9") * (col("__k").cast("double") /
+          round(col("__p9") * (kGuarded.cast("double") /
             col("__s").cast("double")), 6).as("__p"),
-          col("__k"))
+          kGuarded.as("__k"))
         .localCheckpoint()
     }
     p.join(perItem, Seq("__i"))
