@@ -1887,8 +1887,16 @@ object SparkEntry {
         concat(array(struct(lit("system").as("role"),
           lit("You are helpful.").as("content"))), base))
         .otherwise(base)
-      Parallelism.spread(t(s, dir, "documents"))
-        .select(doc, graft.functions.Dialog.dialogFlags(turns).as("f"))
+      // Materialize the synthesized turns array ONCE per row: the
+      // flags struct references it ~15× through interpreted HOFs
+      // (no codegen CSE there), and without the barrier
+      // CollapseProject would inline the whole when/array/struct
+      // construction into every reference.
+      Parallelism.pushdownBarrier(
+        Parallelism.spread(t(s, dir, "documents"))
+          .select(doc, turns.as("__turns")))
+        .select(col("doc_id"),
+          graft.functions.Dialog.dialogFlags(col("__turns")).as("f"))
         .select(col("doc_id"), col("f.*"))
     }),
     "q_isotonic" -> ((s, dir) => {
