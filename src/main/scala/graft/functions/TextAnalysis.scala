@@ -516,8 +516,12 @@ object TextAnalysis {
     // tokenize/explode kernels — and the checkpoint layout below,
     // which every downstream stage inherits — to 1-4 tasks. No-op on
     // an already-wide scan.
+    // Stage the tokenized corpus ONCE: the count fit and the bigram
+    // frame below both consume it, and re-tokenizing means a second
+    // corpus scan + regex split per pass.
     val tk = graft.operators.Parallelism.spread(df)
       .select(col(idCol).as("__id"), tokens(col(textCol)).as("__w"))
+      .localCheckpoint(true)
     // ONE token-count table serves both the vocab cut and the mapped
     // unigram counts: the old shape re-ran the corpus tokenize+explode
     // for c1 (a second full pass); summing the vocab-bounded distinct-
@@ -600,8 +604,12 @@ object TextAnalysis {
     require(topV >= 1, "topV must be >= 1")
     require(addK > 0, "addK must be > 0")
     require(lambda >= 0 && lambda <= 1, "lambda must be in [0, 1]")
+    // Staged once: the count fit, the bigram counts and the trigram
+    // frame all consume the tokenized corpus (three re-tokenizations
+    // otherwise).
     val tk = graft.operators.Parallelism.spread(df)
       .select(col(idCol).as("__id"), tokens(col(textCol)).as("__w"))
+      .localCheckpoint(true)
     // One staged token-count table for the vocab cut AND the mapped
     // unigram counts — same fused shape as [[lmScore]]: summing the
     // distinct-token counts is the identical integer arithmetic at a
