@@ -270,6 +270,14 @@ object Bench {
         System.err.println(s"[bench] could not write $path: ${e.getMessage}")
       }
     }
+    // The driver keeps a ~2 KB stdout TAIL; the full line above is
+    // ~16 KB, so it has parsed as null in every BENCH_rNN artifact
+    // (16 straight rounds). Print a compact totals-only summary as
+    // the FINAL stdout line so the tail always ends with parseable
+    // JSON — same methodology, same run, no queries map (that stays
+    // in the first line, BENCH_LAST.json and SPARK_GRAFT_BENCH_OUT).
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":${results.length},"n_failed":${failed.length},"contended":$contended,"total_min":$totalMin,"probe_baseline":$probeBaseline,"probe_median":$probeMedian,"flagged_reps":$flaggedReps,"sf":"$sfDir","queries_in":"BENCH_LAST.json"}""")
     spark.stop()
   }
 }
