@@ -634,8 +634,16 @@ object CosineSimilarityInt8 {
   *    null distances WIN (Spark struct ordering puts nulls first in
   *    `min(struct(d, cid))`), ties → lowest cid.
   *
+  * Score comparisons use Spark's nan-safe double ordering (NaN ==
+  * NaN, NaN above everything, ±0.0 equal) — the ordering the
+  * max/min(struct) aggregations applied — so the equivalence holds
+  * on non-finite inputs too.
+  *
   * Returns struct(cid, score double). Null ⇔ the matrix itself is
-  * null or EMPTY (the join shapes emit no row then — callers filter);
+  * null or EMPTY (the join shapes emit no row then — callers filter
+  * or pre-filter the matrix frame), or every matrix element is a
+  * null struct (null elements cannot arise from the internal
+  * collect_list builders and are skipped — they carry no cid);
   * a null/mismatched input vector yields struct(first cid, null score)
   * exactly like the aggregation (null compares lowest/highest).
   */
@@ -710,41 +718,66 @@ case class NearestCentroid(left: Expression, right: Expression, metric: String)
       .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  /** Spark's nan-safe double ordering (`Utils.nanSafeCompareDoubles`):
+    * NaN == NaN and NaN sorts ABOVE everything else, ±0.0 compare
+    * equal — the ordering `max(struct)`/`min(struct)` used, so the
+    * bit-equivalence contract holds on non-finite scores too
+    * (round-16 ADVICE: plain `>`/`<` silently dropped NaN winners for
+    * cosine and kept NaN losers for l2r6).
+    */
+  private def nanSafeCompare(x: Double, y: Double): Int = {
+    val xN = java.lang.Double.isNaN(x)
+    val yN = java.lang.Double.isNaN(y)
+    if ((xN && yN) || (x == y)) 0
+    else if (xN) 1
+    else if (yN) -1
+    else if (x > y) 1 else -1
+  }
+
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val cens = right.eval(input)
     if (cens == null) return null
     val arr = cens.asInstanceOf[ArrayData]
     val k = arr.numElements()
-    if (k == 0) return null
     val vecRaw = left.eval(input)
     val vec = if (vecRaw == null) null else vecRaw.asInstanceOf[ArrayData]
     val isCos = metric == "cosine"
-    var bestIdx = 0
-    var bestScore: java.lang.Double =
-      if (vec == null) null
-      else {
-        val c0 = arr.getStruct(0, 2)
-        val v0 = if (c0.isNullAt(1)) null else c0.getArray(1)
-        if (v0 == null) null else if (isCos) cosine(vec, v0) else l2r6(vec, v0)
+    // NULL struct elements (impossible from the internal collect_list
+    // builders, possible through the public nearestCentroidNative API)
+    // are SKIPPED rather than NPE'd: they carry no cid to assign to.
+    var bestIdx = -1
+    var bestScore: java.lang.Double = null
+    var i = 0
+    while (i < k) {
+      val c = arr.getStruct(i, 2)
+      if (c != null) {
+        if (bestIdx < 0) {
+          bestIdx = i
+          bestScore =
+            if (vec == null) null
+            else {
+              val v0 = if (c.isNullAt(1)) null else c.getArray(1)
+              if (v0 == null) null
+              else if (isCos) cosine(vec, v0) else l2r6(vec, v0)
+            }
+        } else if (vec != null) {
+          val cv = if (c.isNullAt(1)) null else c.getArray(1)
+          val s: java.lang.Double =
+            if (cv == null) null else if (isCos) cosine(vec, cv) else l2r6(vec, cv)
+          val better =
+            if (isCos) s != null &&
+              (bestScore == null || nanSafeCompare(s, bestScore) > 0)
+            // l2r6: nulls sort FIRST in min(struct(d, cid)) — a null
+            // distance beats any non-null; among nulls the earlier
+            // (lower) cid stays.
+            else (s == null && bestScore != null) ||
+              (s != null && bestScore != null && nanSafeCompare(s, bestScore) < 0)
+          if (better) { bestIdx = i; bestScore = s }
+        }
       }
-    if (vec != null) {
-      var i = 1
-      while (i < k) {
-        val c = arr.getStruct(i, 2)
-        val cv = if (c.isNullAt(1)) null else c.getArray(1)
-        val s: java.lang.Double =
-          if (cv == null) null else if (isCos) cosine(vec, cv) else l2r6(vec, cv)
-        val better =
-          if (isCos) s != null && (bestScore == null || s > bestScore)
-          // l2r6: nulls sort FIRST in min(struct(d, cid)) — a null
-          // distance beats any non-null; among nulls the earlier
-          // (lower) cid stays.
-          else (s == null && bestScore != null) ||
-            (s != null && bestScore != null && s < bestScore)
-        if (better) { bestIdx = i; bestScore = s }
-        i += 1
-      }
+      i += 1
     }
+    if (bestIdx < 0) return null // empty matrix, or every element null
     val cidRow = arr.getStruct(bestIdx, 2)
     val cid = cidRow.get(0, cidType)
     org.apache.spark.sql.catalyst.InternalRow(cid, bestScore)

@@ -70,9 +70,22 @@ object Pq {
     // broadcast join on __s is m rows, and NearestCentroid("l2r6")
     // reproduces min(struct(round(L2²,6), cid)) bit-for-bit (nulls
     // first, ties to the lower cid — see the expression's contract).
+    // Same fail-loud bound as Similarity.centroidMatrix: one codebook
+    // row must stay far below the 2 GiB row/broadcast value limits —
+    // raise at the contract boundary, not deep inside the broadcast
+    // build. (k × subdim per __s row; 1e8 doubles ≈ 800 MB.)
     val cenM = cen.groupBy(col("__s"))
       .agg(sort_array(
         collect_list(struct(col("__cid"), col("__cvec")))).as("__cens"))
+      .where(when(
+        size(col("__cens")).cast("long") *
+          coalesce(size(col("__cens")(0)("__cvec")).cast("long"), lit(1L)) >
+          lit(100000000L),
+        raise_error(lit("pq codebook: k x subdim exceeds 1e8 elements " +
+          "per subspace - the single-row codebook matrix would " +
+          "approach the 2 GiB row/broadcast value limit; raise the " +
+          "stride or m")).cast("boolean"))
+        .otherwise(lit(true)))
     val m = sub.join(broadcast(cenM), Seq("__s"))
       .withColumn("__m", graft.functions.VectorFunctions
         .nearestCentroidNative(col("__sub"), col("__cens"), "l2r6"))

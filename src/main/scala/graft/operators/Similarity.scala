@@ -545,10 +545,28 @@ object Similarity {
     * sorted ascending by the (unique) __cid — the broadcast operand
     * of the row-local argmax. Bounded by the nlist contract exactly
     * like the per-row broadcast join it replaces.
+    *
+    * The frame FILTERS ITSELF: an empty centroid set drops the one
+    * row (so a crossJoin against it assigns nothing — the old join
+    * shape's no-candidate case — and consumers need no isNotNull
+    * filter on the argmax result, which predicate pushdown would
+    * otherwise clone into the join condition and pay twice per row),
+    * and an oversized set fails loudly instead of dying deep inside
+    * the 2 GiB single-row/broadcast limits (nlist × dim is bounded
+    * at 1e8 elements ≈ 800 MB of doubles).
     */
-  private def centroidMatrix(cen: DataFrame): DataFrame =
+  private[operators] def centroidMatrix(cen: DataFrame): DataFrame =
     cen.agg(sort_array(
       collect_list(struct(col("__cid"), col("__cvec")))).as("__cens"))
+      .where(when(
+        size(col("__cens")).cast("long") *
+          coalesce(size(col("__cens")(0)("__cvec")).cast("long"), lit(1L)) >
+          lit(100000000L),
+        raise_error(lit("centroidMatrix: nlist x dim exceeds 1e8 " +
+          "elements - the single-row centroid matrix would approach " +
+          "the 2 GiB row/broadcast value limit; raise the stride / " +
+          "lower numCentroids")).cast("boolean"))
+        .otherwise(size(col("__cens")) > 0))
 
   /** Corpus→centroid argmax, ROW-LOCAL: the centroid table rides as
     * one broadcast array<struct> row and [[NearestCentroid]] scans it
@@ -565,15 +583,25 @@ object Similarity {
       corpus: DataFrame, vecCol: String, idCol: String, cen: DataFrame,
       extraCols: Seq[String] = Nil): DataFrame = {
     val m = graft.Cols.unique("__m", corpus)
-    corpus
+    // No isNotNull filter on the argmax: the matrix frame is already
+    // empty-filtered (see [[centroidMatrix]]), and NearestCentroid is
+    // null ⇔ its matrix operand is null/empty — so the filter was
+    // pure overhead that pushdown cloned into the BNLJ join condition,
+    // evaluating the interpreted centroid scan TWICE per corpus row
+    // (round-16 verdict, What's-wrong #1).
+    // The barrier stages __cid: downstream joins on __cid otherwise
+    // make InferFiltersFromConstraints clone constraint filters
+    // (e.g. ivfSearch's probes carry pmod(__cid, stride) = 0) down
+    // INTO the BNLJ condition, re-evaluating the interpreted centroid
+    // scan per corpus row — observed in the r16 q_ann_ivf plan.
+    Dedup.pushdownBarrier(corpus
       .select((col(idCol).as("corpus_id") +: col(vecCol).as("__cv") +:
         extraCols.map(col)): _*)
       .crossJoin(broadcast(centroidMatrix(cen)))
       .withColumn(m, graft.functions.VectorFunctions
         .nearestCentroidNative(col("__cv"), col("__cens"), "cosine"))
-      .where(col(m).isNotNull)
       .select((col("corpus_id") +: col("__cv") +:
-        col(s"$m.cid").as("__cid") +: extraCols.map(col)): _*)
+        col(s"$m.cid").as("__cid") +: extraCols.map(col)): _*))
   }
 
   private[operators] def ivfSearch(
@@ -1085,11 +1113,14 @@ object Similarity {
       // through a groupBy(__id) max(struct) aggregation; now the
       // assignment is a narrow map (see [[ivfAssign]] /
       // [[NearestCentroid]] for the bit-equivalence contract).
+      // No isNotNull filter on __m — the matrix frame is already
+      // empty-filtered (see [[centroidMatrix]]; the filter would be
+      // pushed into the BNLJ condition and pay the centroid scan
+      // twice per row).
       assigned = src
         .crossJoin(broadcast(centroidMatrix(cen)))
         .withColumn("__m", graft.functions.VectorFunctions
           .nearestCentroidNative(col("__cv"), col("__cens"), "cosine"))
-        .where(col("__m").isNotNull)
         .select(col("__id"), col("__cv"),
           col("__m.cid").as("__cid"), col("__m.score").as("__cos"))
       if (i < iters) {
@@ -1152,8 +1183,12 @@ object Similarity {
     val (assigned, cen) = kmeansFit(corpus, vecCol, idCol, stride, iters,
       numCentroids, expectedRows, stageCen = true,
       scrambleSeeds = scrambleSeeds)
+    // Barrier: stages __cid so ivfSearch's join on it cannot pull an
+    // inferred isnotnull(nearest_centroid(...).cid) filter down into
+    // the assignment BNLJ condition (same disease as [[ivfAssign]]).
     ivfSearch(
-      assigned.select(col("__id").as("corpus_id"), col("__cv"), col("__cid")),
+      Dedup.pushdownBarrier(assigned
+        .select(col("__id").as("corpus_id"), col("__cv"), col("__cid"))),
       cen, queries, vecCol, qIdCol, k, nprobe)
   }
 
