@@ -374,18 +374,26 @@ object Graph {
       s"hits: $n nodes - the 6 dp init round(1/n, 6) underflows past " +
         "2,000,000 nodes; shrink the graph or raise the precision")
     def normalize(raw: DataFrame, outCol: String): DataFrame = {
-      val tot = raw.agg(sum(col("__s")).as("__t"))
+      // The L1 total rides a single-partition window over the bounded
+      // |nodes| frame (≤ 2M rows by the contract above) instead of a
+      // separate agg + crossJoin(broadcast): the old shape evaluated
+      // `raw` — an e-sized join + aggregation — TWICE per half-round
+      // (once under the broadcast total, once as the join input) and
+      // paid a broadcast-collect job per normalize. One evaluation,
+      // one job (guide §2.4: two ops keyed the same way share one
+      // pass; round-17).
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
       // A vanished L1 total (all contributions rounding to 0 at 6 dp
       // — e.g. tiny weight×score products) must not silently null
       // every subsequent score: the guard rides the division column
       // the plan needs, per the fail-loud discipline.
-      val safeTot = when(col("__t") > 0, col("__t").cast("double"))
+      val tot = sum(col("__s")).over(w)
+      val safeTot = when(tot > 0, tot.cast("double"))
         .otherwise(raise_error(lit(
           "hits: normalization total vanished at 6 dp - scores " +
             "underflowed; coarsen weights or raise precision"))
           .cast("double"))
       nodes.join(raw, Seq("node"), "left")
-        .crossJoin(broadcast(tot))
         .select(col("node"),
           round(coalesce(col("__s"), lit(0).cast("decimal(18,6)"))
             .cast("double") / safeTot, 6).as(outCol))
