@@ -1332,6 +1332,15 @@ object Eval {
       .otherwise(raise_error(concat(
         lit("krippendorffAlphaInterval: |value| must be <= 1000, got "),
         col(valueCol).cast("string"))))
+    // One linear pipeline (round-17, guide §2.4): the pooled totals
+    // (n, items, Σx, Σx²) fold into the SAME distinct-m frame the
+    // by-m disagreement masses ride — per-m count and sums collected
+    // alongside __S, totals recovered row-locally from the array —
+    // so the separate `tot` aggregation over mu, its crossJoin
+    // broadcast, and mu's 2-consumer localCheckpoint all disappear.
+    // All folds are integer-exact decimal sums regrouped by m
+    // (addition is associative; counts are integers), so every
+    // output is bit-identical.
     val mu = df
       .where(col(itemCol).isNotNull && col(valueCol).isNotNull)
       .select(col(itemCol).as("__i"), v.as("__v"))
@@ -1340,17 +1349,19 @@ object Eval {
         sum(col("__v")).cast(d38).as("__s1"),
         sum((col("__v") * col("__v")).cast(d38)).cast(d38).as("__s2"))
       .where(col("__m") >= 2)
-      .localCheckpoint() // 2 consumers: by-m fold + pooled totals
     val byM = mu.groupBy(col("__m"))
       .agg(sum(((col("__m") * col("__s2")).cast(d38) -
-        (col("__s1") * col("__s1")).cast(d38)) * 2).cast(d38).as("__S"))
-    val tot = mu.agg(
-      coalesce(sum(col("__m")), lit(0)).cast(d38).as("__n"),
-      count(lit(1)).as("__items"),
-      coalesce(sum(col("__s1")), lit(0)).cast(d38).as("__t1"),
-      coalesce(sum(col("__s2")), lit(0)).cast(d38).as("__t2"))
+        (col("__s1") * col("__s1")).cast(d38)) * 2).cast(d38).as("__S"),
+        count(lit(1)).as("__cm"),
+        sum(col("__s1")).cast(d38).as("__t1m"),
+        sum(col("__s2")).cast(d38).as("__t2m"))
+    // array_sort orders by the struct's leading field m (unique per
+    // row), so the fold below walks the same m-ascending sequence as
+    // before regardless of the extra total fields.
     val ms = byM.agg(array_sort(collect_list(struct(
-      col("__m").cast("long").as("m"), col("__S").as("s")))).as("__ms"))
+      col("__m").cast("long").as("m"), col("__S").as("s"),
+      col("__cm").as("cm"), col("__t1m").as("t1m"),
+      col("__t2m").as("t2m")))).as("__ms"))
     val dRaw = aggregate(col("__ms"), lit(1).cast(d38),
       (acc, xx) => (acc * (xx.getField("m") - 1).cast(d38)).cast(d38))
     val folded = ms.select(
@@ -1364,11 +1375,20 @@ object Eval {
       aggregate(col("__ms"), lit(0).cast(d38),
         (acc, xx) => (acc + (xx.getField("s") *
           (col("__D").cast("double") / (xx.getField("m") - 1).cast("double"))
-            .cast(d38)).cast(d38)).cast(d38)).as("__num"))
+            .cast(d38)).cast(d38)).cast(d38)).as("__num"),
+      aggregate(col("__ms"), lit(0).cast(d38),
+        (acc, xx) => (acc + (xx.getField("m").cast(d38) *
+          xx.getField("cm").cast(d38)).cast(d38)).cast(d38)).as("__n"),
+      aggregate(col("__ms"), lit(0L),
+        (acc, xx) => acc + xx.getField("cm")).as("__items"),
+      aggregate(col("__ms"), lit(0).cast(d38),
+        (acc, xx) => (acc + xx.getField("t1m")).cast(d38)).as("__t1"),
+      aggregate(col("__ms"), lit(0).cast(d38),
+        (acc, xx) => (acc + xx.getField("t2m")).cast(d38)).as("__t2"))
     val y = ((col("__n") * col("__t2")).cast(d38) -
       (col("__t1") * col("__t1")).cast(d38)) * 2
     val unit = lit(1e12) // v = x·10⁶ → v² carries 10¹²
-    tot.crossJoin(broadcast(num))
+    num
       .select(
         col("__items").as("n_items"),
         col("__n").cast("long").as("n_values"),
@@ -1396,16 +1416,21 @@ object Eval {
       .agg(count(lit(1)).cast(d38).as("__c"))
       // 2 consumers (item reduce + label marginals) — stage once
       .localCheckpoint()
+    // The pooled totals (n, items) fold into the distinct-m frame
+    // exactly as in [[krippendorffAlphaInterval]] (round-17): per-m
+    // item counts ride the byM aggregate and the totals are
+    // recovered row-locally from the collected array — one fewer
+    // aggregation pass over mu and one fewer broadcast; integer-
+    // exact regrouping, bit-identical outputs. mu keeps its
+    // checkpoint (still 2 consumers: byM + the marginal semi-join).
     val mu = muc.groupBy(col("__i"))
       .agg(sum(col("__c")).cast(d38).as("__m"),
         sum(col("__c") * col("__c")).cast(d38).as("__s2"))
       .where(col("__m") >= 2)
-      .localCheckpoint() // 3 consumers: byM, totals, marginal semi-join
+      .localCheckpoint() // 2 consumers: byM + marginal semi-join
     val byM = mu.groupBy(col("__m"))
-      .agg(sum(col("__m") * col("__m") - col("__s2")).cast(d38).as("__S"))
-    val tot = mu.agg(
-      coalesce(sum(col("__m")), lit(0)).cast(d38).as("__n"),
-      count(lit(1)).as("__items"))
+      .agg(sum(col("__m") * col("__m") - col("__s2")).cast(d38).as("__S"),
+        count(lit(1)).as("__cm"))
     val y = muc.join(mu.select(col("__i")), Seq("__i"), "left_semi")
       .groupBy(col("__l")).agg(sum(col("__c")).cast(d38).as("__nc"))
       .agg(coalesce(sum(col("__nc") * col("__nc")), lit(0)).cast(d38).as("__sc2"))
@@ -1414,7 +1439,8 @@ object Eval {
     // exactly and D ≤ 1e15 < 2^53, so the double division inside the
     // fold is integer-exact; everything re-enters DECIMAL immediately.
     val ms = byM.agg(array_sort(collect_list(struct(
-      col("__m").cast("long").as("m"), col("__S").as("s")))).as("__ms"))
+      col("__m").cast("long").as("m"), col("__S").as("s"),
+      col("__cm").as("cm")))).as("__ms"))
     val dRaw = aggregate(col("__ms"), lit(1).cast(d38),
       (acc, x) => (acc * (x.getField("m") - 1).cast(d38)).cast(d38))
     val folded = ms.select(
@@ -1428,8 +1454,13 @@ object Eval {
       aggregate(col("__ms"), lit(0).cast(d38),
         (acc, x) => (acc + x.getField("s") *
           (col("__D").cast("double") / (x.getField("m") - 1).cast("double"))
-            .cast(d38)).cast(d38)).as("__num"))
-    tot.crossJoin(broadcast(y)).crossJoin(broadcast(num))
+            .cast(d38)).cast(d38)).as("__num"),
+      aggregate(col("__ms"), lit(0).cast(d38),
+        (acc, x) => (acc + (x.getField("m").cast(d38) *
+          x.getField("cm").cast(d38)).cast(d38)).cast(d38)).as("__n"),
+      aggregate(col("__ms"), lit(0L),
+        (acc, x) => acc + x.getField("cm")).as("__items"))
+    num.crossJoin(broadcast(y))
       .select(
         col("__items").as("n_items"),
         col("__n").cast("long").as("n_values"),
