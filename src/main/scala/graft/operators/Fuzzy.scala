@@ -86,10 +86,17 @@ object Fuzzy {
     // Verify BEFORE dedup: levenshtein is codegen'd row-local work,
     // so filtering the K² candidate stream first means the distinct
     // only shuffles TRUE pairs (a ~6× smaller exchange here).
+    // THRESHOLD form (round-17): candidates are dist ≤ 2 by
+    // construction but mostly dist 2 (false positives of the
+    // blocking); levenshtein(l, r, 1) runs the banded O(len·1) DP
+    // and early-exits to -1 past the bound instead of filling the
+    // full O(len²) matrix — for kept rows it returns the exact
+    // distance, so `dist` and the kept set are bit-identical
+    // (dist ≥ 0 ⇔ true distance ≤ 1).
     capped.as("l").join(capped.as("r"), col("l.__key") === col("r.__key"))
       .where(col("l.__v") < col("r.__v"))
-      .withColumn("dist", levenshtein(col("l.__v"), col("r.__v")))
-      .where(col("dist") <= 1)
+      .withColumn("dist", levenshtein(col("l.__v"), col("r.__v"), 1))
+      .where(col("dist") >= 0)
       .select(col("l.__v").as("a"), col("r.__v").as("b"), col("dist"))
       .distinct() // a pair can share several keys; emit once
   }
