@@ -588,6 +588,33 @@ object Dedup {
   private[operators] def pushdownBarrier(df: DataFrame): DataFrame =
     Parallelism.pushdownBarrier(df)
 
+  private val ckptObsCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Eager localCheckpoint that collects aggregate metrics IN THE SAME
+    * materialization job via a `CollectMetrics` (observe) node — the
+    * fixpoint loops' per-round bookkeeping (convergence flags, edge-set
+    * signatures) then costs no separate scan job over the checkpointed
+    * blocks (round-17; the driver loops were job-count-bound). The
+    * metrics row is read synchronously from the observed frame's own
+    * QueryExecution after the eager materialization, so no listener
+    * race; fails loudly if the metrics did not populate (a Spark
+    * behavior change must not silently disable convergence checks).
+    * Returns the checkpointed frame (metrics node NOT in its plan) and
+    * the observed row.
+    */
+  private def checkpointObserved(
+      df: DataFrame, aggs: Column*): (DataFrame, org.apache.spark.sql.Row) = {
+    val name = s"graft_ckpt_obs_${ckptObsCounter.incrementAndGet()}"
+    val obs = df.observe(name, aggs.head, aggs.tail: _*)
+    val ck = obs.localCheckpoint(true)
+    val row = obs.queryExecution.observedMetrics.getOrElse(name,
+      throw new IllegalStateException(
+        "checkpointObserved: observed metrics missing after eager " +
+          "localCheckpoint - Spark no longer materializes CollectMetrics " +
+          "on the checkpoint action; restore the separate convergence scan"))
+    (ck, row)
+  }
+
   private[operators] def attachSets(
       cands: DataFrame,
       src: DataFrame,
@@ -752,23 +779,24 @@ object Dedup {
     var converged = false
     while (!converged && iter < maxIter) {
       // One-hop min propagation, with the change flag computed INSIDE
-      // the same job (no separate join-against-old count job: the
-      // convergence check below is a limit-1 scan of checkpointed
-      // blocks).
+      // the same job and COUNTED during the checkpoint materialization
+      // itself ([[checkpointObserved]]) — no separate convergence-scan
+      // job per round (round-17).
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("__dl")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("__dl")).as("__nl"))
-      val stepped = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("__nl"), col("label"))).as("label"),
-          (col("__nl") < col("label")).as("__chg"))
-        .localCheckpoint(true)
+      val (stepped, chg) = checkpointObserved(
+        labels
+          .join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("__nl"), col("label"))).as("label"),
+            (col("__nl") < col("label")).as("__chg")),
+        count(when(col("__chg"), lit(1))).as("__n_chg"))
       // A step fixpoint is a global fixpoint: no label change on any
       // edge means labels are constant per component, so pointer
       // jumping is skipped on the (usual) final confirmation round.
-      converged = stepped.where(col("__chg")).isEmpty
+      converged = chg.getLong(0) == 0L
       labels =
         if (converged) stepped.select(col("id"), col("label"))
         else {
@@ -815,31 +843,39 @@ object Dedup {
     val p0 = pairs
       .select(col(idA).as("src"), col(idB).as("dst"))
       .localCheckpoint(true)
+    // No checkpoint on allIds: it is consumed exactly once (the final
+    // left join) and derives from the already-checkpointed p0 — the
+    // materialization was a pure extra job (round-17).
     val allIds = p0.select(col("src").as("id"))
       .unionByName(p0.select(col("dst").as("id")))
       .distinct()
-      .localCheckpoint(true)
-    var e = p0
-      .where(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(true)
-    // Order-independent edge-set signature: stop when a full LS+SS
-    // round leaves the edge list unchanged.
-    def signature(d: DataFrame): (Long, Long) = {
-      // bit_xor: order-independent and overflow-free (edges are
-      // distinct, so xor cancellation can't collide legitimately)
-      val r = d.agg(
-        count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).head()
+    // Order-independent edge-set signature (count + bit_xor of the
+    // edge hashes: order-independent and overflow-free — edges are
+    // distinct, so xor cancellation can't collide legitimately),
+    // collected DURING each checkpoint's materialization job
+    // ([[checkpointObserved]]) instead of a separate per-round
+    // aggregation scan (round-17). Stop when a full LS+SS round
+    // leaves the edge list unchanged.
+    val sigAggs = Seq(
+      count(lit(1)).as("__sig_n"),
+      coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)).as("__sig_x"))
+    def sigOf(r: org.apache.spark.sql.Row): (Long, Long) =
       (r.getLong(0), r.getLong(1))
-    }
-    var sig = signature(e)
+    val (e0, e0Sig) = checkpointObserved(
+      p0.where(col("src") =!= col("dst")).distinct(), sigAggs: _*)
+    var e = e0
+    var sig = sigOf(e0Sig)
     var iter = 0
     var stable = false
     while (!stable && iter < maxIter) {
-      val next = starRound(starRound(e, large = true), large = false)
-        .localCheckpoint(true)
-      val nextSig = signature(next)
+      // The inner (large-star) round skips its trailing distinct: the
+      // small-star round's min aggregations are duplicate-insensitive
+      // and ITS trailing distinct dedups the attach edges, so the set
+      // is identical — one fewer exchange per round (round-17).
+      val (next, nextSigRow) = checkpointObserved(
+        starRound(starRound(e, large = true, dedup = false), large = false),
+        sigAggs: _*)
+      val nextSig = sigOf(nextSigRow)
       // The signature is a fast filter, not proof: two DISTINCT edge
       // sets with equal (count, xor) — a hash collision or xor
       // cancellation across rounds — would otherwise stop iteration
@@ -871,28 +907,42 @@ object Dedup {
     * larger neighbours, or (small) its ≤ neighbours, to
     * m = min(relevant neighbourhood ∪ {u}); u itself attaches to m.
     */
-  private def starRound(e: DataFrame, large: Boolean): DataFrame = {
+  private def starRound(
+      e: DataFrame, large: Boolean, dedup: Boolean = true): DataFrame = {
     // No distinct on nbrs: duplicate (src,dst) rows can't change a
     // min aggregation, and the round's trailing distinct() dedups the
     // attach edges — dropping it saves one full shuffle per round.
     val nbrs = e
       .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-    // m(u) = min(relevant neighbourhood ∪ {u}) in ONE grouped pass:
-    // the conditional min is null when no neighbour qualifies and
-    // `least` skips nulls, so the old distinct-src + left-join
-    // fallback frame (two more shuffles) is unnecessary. The group-by
-    // covers every src in nbrs, so mFull is total by construction.
+    // m(u) = min(relevant neighbourhood ∪ {u}) rides a WINDOW over
+    // the one hash exchange on src (round-17): the previous
+    // groupBy(src) + join-back shape shuffled nbrs TWICE per star
+    // round (once into the aggregate, once into the join). The
+    // conditional min is null when no neighbour qualifies and `least`
+    // skips nulls, so m is total by construction; each row then emits
+    // its attach edge (relevant dst → m) and its self edge (src → m)
+    // in the same pass — self-edge duplicates are killed by the
+    // round's trailing distinct, exactly like duplicate attach edges
+    // always were.
     val relevant = if (large) col("dst")
       else when(col("dst") <= col("src"), col("dst"))
-    val mFull = nbrs.groupBy(col("src"))
-      .agg(least(col("src"), min(relevant)).as("__m"))
-    nbrs
-      .where(if (large) col("dst") > col("src") else col("dst") <= col("src"))
-      .join(mFull, Seq("src"))
-      .select(col("dst").as("src"), col("__m").as("dst"))
-      .unionByName(mFull.select(col("src"), col("__m").as("dst")))
-      .where(col("src") =!= col("dst"))
-      .distinct()
+    val w = Window.partitionBy(col("src"))
+    val attached = nbrs
+      .withColumn("__m", least(col("src"), min(relevant).over(w)))
+      .select(explode(array(
+        struct(
+          when(if (large) col("dst") > col("src") else col("dst") <= col("src"),
+            col("dst")).as("src"),
+          col("__m").as("dst")),
+        struct(col("src"), col("__m").as("dst")))).as("__edge"))
+      .select(col("__edge.src").as("src"), col("__edge.dst").as("dst"))
+      .where(col("src").isNotNull && col("src") =!= col("dst"))
+    // dedup = false when another star round consumes this one: its min
+    // aggregations are duplicate-insensitive and its own trailing
+    // distinct dedups the attach edges, so skipping this exchange
+    // changes nothing but the per-round stage count. The duplicate
+    // factor stays bounded by the (shrinking) edge list either way.
+    if (dedup) attached.distinct() else attached
   }
 
   /** Distinct character k-shingles (code-point semantics; shorter
