@@ -753,20 +753,25 @@ object TextAnalysis {
       // computation, and every count aggregates map-side — no
       // single-task hot-gram window partition.
       .localCheckpoint(true)
-    val nGrams = grams.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
     val shared = grams
       .groupBy(col("__h1"), col("__h2")).agg(count(lit(1)).as("__docs"))
       .where(col("__docs") >= 2)
-      .select(col("__h1"), col("__h2"))
-    val hits = grams
-      .join(shared, Seq("__h1", "__h2"))
-      .groupBy(col("__id")).agg(count(lit(1)).as("__dup"))
-    nGrams
-      .join(hits, Seq("__id"), "left")
+      .select(col("__h1"), col("__h2"), lit(1).as("__hit"))
+    // ONE groupBy(id) for both counts (round-17): the old shape ran
+    // separate per-doc aggregations for the total (all grams) and the
+    // hits (inner join vs the shared set) and joined them back — a
+    // second corpus-gram exchange plus a join. A LEFT join against
+    // the (unique-keyed, AQE-broadcastable) shared set flags each
+    // gram row in place and count(__hit) IS the hit count (count
+    // skips nulls; 0 when none — exactly the old coalesce(dup, 0)).
+    grams
+      .join(shared, Seq("__h1", "__h2"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("__n"), count(col("__hit")).as("__dup"))
       .select(
         col("__id").as(idCol),
         col("__n").as("n_grams"),
-        round(coalesce(col("__dup"), lit(0L)).cast("double") / col("__n"), 4)
+        round(col("__dup").cast("double") / col("__n"), 4)
           .as("dup_ngram_frac"))
   }
 
