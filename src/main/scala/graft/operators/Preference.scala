@@ -194,24 +194,30 @@ object Preference {
         .select(col("__i"),
           round(col("__wins").cast("double") / col("__d").cast("double"), 9)
             .as("__p9"))
-      // One normalization aggregate carries BOTH the strength sum and
-      // the item count: raw is perItem ⋈ denom over the same item set
+      // One normalization pass carries BOTH the strength sum and the
+      // item count: raw is perItem ⋈ denom over the same item set
       // perItem was counted from, so count(raw) IS the guard's __k —
       // re-cross-joining the guard frame every round paid one
-      // broadcast exchange per iteration to re-derive a constant. The
-      // fail-loud raise stays: it re-wraps the count here and the
-      // checkpoint below materializes it every round.
-      val norm = raw.agg(
-        sum(col("__p9").cast("decimal(28,9)")).as("__s"),
-        count(lit(1)).as("__kraw"))
-      val kGuarded = when(col("__kraw") <= maxItems, col("__kraw"))
+      // broadcast exchange per iteration to re-derive a constant.
+      // The totals ride a single-partition WINDOW over the
+      // |items|-bounded (≤ maxItems by the guard) raw frame
+      // (round-17): the previous agg + crossJoin(broadcast) evaluated
+      // `raw` — a games-sized join + aggregation — twice per round
+      // and paid a broadcast-collect job each time (the same shape
+      // fixed in Graph.hits). The fail-loud raise stays: it re-wraps
+      // the count here and the checkpoint below materializes it
+      // every round.
+      val wAll = Window.partitionBy()
+      val normS = sum(col("__p9").cast("decimal(28,9)")).over(wAll)
+      val normK = count(lit(1)).over(wAll)
+      val kGuarded = when(normK <= maxItems, normK)
         .otherwise(raise_error(concat(lit(
           s"bradleyTerry: item count exceeds maxItems=$maxItems: "),
-          col("__kraw").cast("string"))))
-      p = raw.crossJoin(broadcast(norm))
+          normK.cast("string"))))
+      p = raw
         .select(col("__i"),
           round(col("__p9") * (kGuarded.cast("double") /
-            col("__s").cast("double")), 6).as("__p"),
+            normS.cast("double")), 6).as("__p"),
           kGuarded.as("__k"))
         .localCheckpoint()
     }
