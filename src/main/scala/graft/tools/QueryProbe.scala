@@ -33,6 +33,7 @@ object QueryProbe {
     case class St(name: String) {
       var wallMs = 0L; var taskMs = 0L; var tasks = 0
       var shufReadB = 0L; var shufWriteB = 0L; var inputB = 0L
+      var spillMemB = 0L; var spillDiskB = 0L
       var count = 0
     }
     val stages = mutable.LinkedHashMap.empty[String, St]
@@ -53,6 +54,8 @@ object QueryProbe {
         st.shufReadB += si.taskMetrics.shuffleReadMetrics.totalBytesRead
         st.shufWriteB += si.taskMetrics.shuffleWriteMetrics.bytesWritten
         st.inputB += si.taskMetrics.inputMetrics.bytesRead
+        st.spillMemB += si.taskMetrics.memoryBytesSpilled
+        st.spillDiskB += si.taskMetrics.diskBytesSpilled
         st.count += 1
       }
     })
@@ -79,7 +82,10 @@ object QueryProbe {
         println(f"  stage x${s.count}%-3d wall=${s.wallMs / n / 1e3}%6.2f s " +
           f"task=${s.taskMs / n / 1e3}%7.2f s tasks=${s.tasks / n}%4d " +
           f"in=${s.inputB / n / 1e6}%6.1f MB sr=${s.shufReadB / n / 1e6}%6.1f MB " +
-          f"sw=${s.shufWriteB / n / 1e6}%6.1f MB  ${s.name}")
+          f"sw=${s.shufWriteB / n / 1e6}%6.1f MB " +
+          (if (s.spillMemB + s.spillDiskB > 0)
+            f"SPILL mem=${s.spillMemB / n / 1e6}%.1f MB disk=${s.spillDiskB / n / 1e6}%.1f MB "
+          else "") + s.name)
       }
     }
     spark.stop()
